@@ -1,38 +1,48 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` smoke-runs the flagship query; `queries()` /
+`oracle_sql()` expose every declared operator from SURVEY.md §2.9 plus
+the LLM-pipeline superset, registered in `core_spark.plans.REGISTRY`.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from core_spark.io import register_views  # noqa: E402
+from core_spark.plans import REGISTRY  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (Q-TPCH1 pricing summary) on sf0.001."""
+    return REGISTRY["q_tpch1"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(name: str) -> Callable[[SparkSession, str], DataFrame]:
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            register_views(spark, sf_dir)
+            return REGISTRY[name].fn(spark, sf_dir)
+
+        run.__name__ = name
+        run.__doc__ = REGISTRY[name].doc
+        return run
+
+    return {name: wrap(name) for name in sorted(REGISTRY)}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query (omitted → rows-only check)."""
+    return {
+        name: q.oracle for name, q in sorted(REGISTRY.items()) if q.oracle is not None
+    }

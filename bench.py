@@ -1,0 +1,75 @@
+"""Benchmark harness: runs the headline declared queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Each query is executed as the engine would serve it — full plan through
+Catalyst/AQE, results drained with a count-style action (no driver-side
+collect of payloads).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from core_spark.plans.registry import REGISTRY  # noqa: E402
+from core_spark.session import get_spark  # noqa: E402
+
+# Headline set: the scale-relevant declared queries (scan/agg, joins,
+# windows, set ops, the sequencer dedup, and the mappings).
+HEADLINE = [
+    "q_wc1",
+    "q_ss1",
+    "q_bs_win",
+    "q_dedup",
+    "q_join1",
+    "q_join2",
+    "q_topk",
+    "q_setop",
+    "q_tpch1",
+    "q_tpch3",
+    "q_tpch6",
+    "q_shuf",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="core_spark-bench")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = REGISTRY.get(name)
+        if q is None:
+            continue
+        df = q.fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()  # warm (plan+IO caches)
+        t0 = time.perf_counter()
+        df = q.fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,248 @@
+"""Label catalog: JournalSpec/ShardSpec model + LabelSelector resolution.
+
+The reference's control plane stores JournalSpecs in Etcd and resolves
+K8s-style LabelSelectors over them to form ad-hoc "topics"
+(broker/protocol/protocol.proto:105-147 labels, :149-339 JournalSpec;
+matching logic broker/protocol/label_extensions.go:246-254 Matches,
+:318-352 matchSelector, parser :435-465). In this engine the catalog is
+plain data — a small DataFrame of specs — and a selector is a predicate
+over it; the resolved set of journals is the set of table partitions a
+query unions over.
+
+Matching semantics (label_extensions.go):
+- include: every named label must match; a name with empty value set
+  matches any value of that name; multiple values = OR within name.
+- exclude: any match on a named label (same value rules) rejects.
+- `prefix: true` values match by string prefix.
+- Reserved meta-labels `name` / `prefix` match the spec's own name
+  (exact / path-prefix).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+@dataclass(frozen=True)
+class Label:
+    name: str
+    value: str
+
+
+@dataclass(frozen=True)
+class JournalSpec:
+    """Journal (≈ streamed-table partition) definition.
+
+    Fields mirror broker/protocol/protocol.proto:149-339: fragment
+    policy becomes the table's file-writing policy.
+    """
+
+    name: str
+    labels: tuple[Label, ...] = ()
+    replication: int = 1
+    fragment_length: int = 1 << 29  # bytes; valid 2^10..2^34
+    codec: str = "ZSTD"  # NONE|GZIP|ZSTD|SNAPPY (protocol.proto:72-102)
+    stores: tuple[str, ...] = ()
+    path_postfix: str = ""  # e.g. 'date={date}/hour={hour}' (Hive-style)
+
+
+@dataclass(frozen=True)
+class LabelSelector:
+    """include/exclude selector (label_extensions.go:318-352).
+
+    `include` / `exclude`: mapping name -> tuple of values; empty tuple
+    means "any value with this name". `prefix_includes`: values matched
+    as prefixes. Meta-names 'name'/'prefix' match the journal name.
+    """
+
+    include: dict[str, tuple[str, ...]] = field(default_factory=dict)
+    exclude: dict[str, tuple[str, ...]] = field(default_factory=dict)
+    prefix_includes: dict[str, tuple[str, ...]] = field(default_factory=dict)
+
+    def matches(self, spec: JournalSpec) -> bool:
+        def has(name: str, values: tuple[str, ...], prefix: bool) -> bool:
+            if name in ("name", "prefix"):
+                cand = [spec.name]
+                if name == "prefix":
+                    prefix = True
+            else:
+                cand = [l.value for l in spec.labels if l.name == name]
+            if not values:
+                return bool(cand)
+            if prefix:
+                return any(c.startswith(v) for c in cand for v in values)
+            return any(c in values for c in cand)
+
+        for n, vs in self.include.items():
+            if not has(n, vs, False):
+                return False
+        for n, vs in self.prefix_includes.items():
+            if not has(n, vs, True):
+                return False
+        for n, vs in self.exclude.items():
+            if has(n, vs, False):
+                return False
+        return True
+
+    def to_column(self) -> Column:
+        """The same predicate as a Spark expression over rows with
+        columns (name: string, labels: array<struct<name,value>>)."""
+
+        def any_of(preds: list[Column]) -> Column:
+            out = preds[0]
+            for p in preds[1:]:
+                out = out | p
+            return out
+
+        def label_match(name: str, values: tuple[str, ...], prefix: bool) -> Column:
+            if name in ("name", "prefix"):
+                col = F.col("name")
+                if not values:
+                    return F.lit(True)
+                if name == "prefix" or prefix:
+                    return any_of([col.startswith(v) for v in values])
+                return col.isin(list(values))
+            if not values:
+                return F.exists("labels", lambda l: l.getField("name") == name)
+            if prefix:
+                return F.exists(
+                    "labels",
+                    lambda l: (l.getField("name") == name)
+                    & any_of([l.getField("value").startswith(v) for v in values]),
+                )
+            return F.exists(
+                "labels",
+                lambda l: (l.getField("name") == name)
+                & l.getField("value").isin(list(values)),
+            )
+
+        pred = F.lit(True)
+        for n, vs in self.include.items():
+            pred = pred & label_match(n, vs, False)
+        for n, vs in self.prefix_includes.items():
+            pred = pred & label_match(n, vs, True)
+        for n, vs in self.exclude.items():
+            pred = pred & ~label_match(n, vs, False)
+        return pred
+
+
+JOURNAL_SCHEMA = T.StructType(
+    [
+        T.StructField("name", T.StringType(), False),
+        T.StructField(
+            "labels",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("name", T.StringType(), False),
+                        T.StructField("value", T.StringType(), False),
+                    ]
+                )
+            ),
+            False,
+        ),
+        T.StructField("replication", T.IntegerType(), False),
+        T.StructField("fragment_length", T.LongType(), False),
+        T.StructField("codec", T.StringType(), False),
+        T.StructField("stores", T.ArrayType(T.StringType()), False),
+        T.StructField("path_postfix", T.StringType(), False),
+    ]
+)
+
+
+def _l(name: str, value: str) -> Label:
+    return Label(name, value)
+
+
+# Fixture catalog mirroring the reference examples' journal topology
+# (examples/word-count, examples/stream-sum, examples/bike-share) —
+# used by Q-SEL and the catalog tests.
+FIXTURE_JOURNALS: tuple[JournalSpec, ...] = (
+    JournalSpec(
+        "examples/bike-share/rides/part-000",
+        (_l("content-type", "text/csv"), _l("message-type", "bike_share.Ride"),
+         _l("region", "us-central1")),
+        stores=("s3://example/bike/",),
+        path_postfix="date={date}/hour={hour}",
+    ),
+    JournalSpec(
+        "examples/bike-share/rides/part-001",
+        (_l("content-type", "text/csv"), _l("message-type", "bike_share.Ride"),
+         _l("region", "eu-west1")),
+        stores=("s3://example/bike/",),
+    ),
+    JournalSpec(
+        "examples/word-count/deltas/part-000",
+        (_l("content-type", "application/x-protobuf"),
+         _l("message-type", "word_count.NGramCount"), _l("region", "us-central1")),
+        codec="SNAPPY",
+    ),
+    JournalSpec(
+        "examples/word-count/deltas/part-001",
+        (_l("content-type", "application/x-protobuf"),
+         _l("message-type", "word_count.NGramCount"), _l("region", "eu-west1")),
+        codec="SNAPPY",
+    ),
+    JournalSpec(
+        "examples/stream-sum/chunks/part-000",
+        (_l("content-type", "application/x-ndjson"),
+         _l("message-type", "stream_sum.Chunk"), _l("region", "us-central1")),
+    ),
+    JournalSpec(
+        "examples/stream-sum/sums",
+        (_l("content-type", "application/x-ndjson"),
+         _l("message-type", "stream_sum.Sum"), _l("region", "us-central1")),
+    ),
+    JournalSpec(
+        "ops/broker-logs",
+        (_l("content-type", "application/x-ndjson"), _l("tier", "ops")),
+        codec="GZIP",
+    ),
+    JournalSpec(
+        "ops/metrics",
+        (_l("content-type", "application/x-ndjson"), _l("tier", "ops"),
+         _l("region", "us-central1")),
+    ),
+)
+
+
+def journals_df(
+    spark: SparkSession, specs: tuple[JournalSpec, ...] = FIXTURE_JOURNALS
+) -> DataFrame:
+    rows = [
+        (
+            s.name,
+            [(l.name, l.value) for l in s.labels],
+            s.replication,
+            s.fragment_length,
+            s.codec,
+            list(s.stores),
+            s.path_postfix,
+        )
+        for s in specs
+    ]
+    return spark.createDataFrame(rows, JOURNAL_SCHEMA)
+
+
+def resolve(
+    spark: SparkSession,
+    selector: LabelSelector,
+    specs: tuple[JournalSpec, ...] = FIXTURE_JOURNALS,
+) -> DataFrame:
+    """Resolve a selector to its journal set (the 'topic')."""
+    return journals_df(spark, specs).filter(selector.to_column()).select("name")
+
+
+def duck_journals_values(specs: tuple[JournalSpec, ...] = FIXTURE_JOURNALS) -> str:
+    """DuckDB VALUES literal of (name, labels) for oracle queries."""
+    rows = []
+    for s in specs:
+        labels = ", ".join(
+            "{'name': '%s', 'value': '%s'}" % (l.name, l.value) for l in s.labels
+        )
+        rows.append(f"('{s.name}', [{labels}])")
+    return ",\n      ".join(rows)

@@ -1,0 +1,59 @@
+"""Testdata loaders.
+
+The driver materializes the TPC-H-ish star schema plus `events`,
+`documents`, `embeddings` as one Parquet file per table under
+/root/testdata/sf*/ (TESTDATA.md). At 100 TB each "table" is a
+directory tree of many fragments — `spark.read.parquet` handles both
+shapes identically, and Catalyst pushes filters/projections into the
+scan either way.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table.
+
+    The driver's `events.parquet` stores ts as TIMESTAMP(NANOS), which
+    Spark's vectorized parquet reader rejects; we read nanos as long
+    (runtime SQL conf, so this works under any caller's session) and
+    rebuild the micros-precision timestamp with integer arithmetic —
+    the data carries no sub-microsecond components, and DuckDB's view
+    of the same file is micros-precision too.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Timestamp parity with the DuckDB oracle (naive-UTC) must hold even
+    # under a caller-owned session (the driver's) — pin the session TZ.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view (idempotent)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

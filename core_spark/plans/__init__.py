@@ -1,0 +1,12 @@
+"""Query plan library: the declared query set (SURVEY.md §2.9) plus the
+LLM-data-pipeline superset, each as a (Spark callable, DuckDB oracle SQL)
+pair registered in `core_spark.plans.registry.REGISTRY`."""
+
+from core_spark.plans.registry import REGISTRY, Query, query
+
+# Import for registration side effects.
+from core_spark.plans import relational  # noqa: E402,F401
+from core_spark.plans import message  # noqa: E402,F401
+from core_spark.plans import llmops  # noqa: E402,F401
+
+__all__ = ["REGISTRY", "Query", "query"]

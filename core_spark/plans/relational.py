@@ -1,0 +1,480 @@
+"""Declared relational query set (SURVEY.md §2.9).
+
+Each query mirrors a concrete behavior the reference executes (citations
+into /root/reference in each docstring) re-expressed over the driver's
+testdata. The Spark side is idiomatic DataFrame/SQL — Catalyst supplies
+predicate pushdown, column pruning and join strategy; we only add
+explicit `broadcast()` hints where the reference's own pattern is the
+big-stream x small-table join.
+
+Float discipline: every floating aggregate is rounded identically on
+both sides (money → 2 decimals) so the driver's value-hash is stable
+across summation orders.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from core_spark.io import load_table
+from core_spark.plans.registry import query
+
+
+# ---------------------------------------------------------------- Q-WC1
+@query(
+    "q_wc1",
+    oracle="""
+    SELECT l_returnflag AS key, COUNT(*) AS cnt,
+           ROUND(SUM(l_quantity), 2) AS qty
+    FROM lineitem GROUP BY l_returnflag ORDER BY key
+    """,
+)
+def q_wc1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-count running grouped count (streaming fold → batch agg).
+
+    Reference: examples/word-count/word_count.go:109-153 — per-NGram
+    running count with partial (in-txn cache) → final (store flush)
+    aggregation; Spark's partial/final hash aggregate is the same
+    physical shape, chosen automatically.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_returnflag").alias("key"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        )
+        .orderBy("key")
+    )
+
+
+# ---------------------------------------------------------------- Q-WC2
+@query(
+    "q_wc2",
+    oracle="""
+    SELECT p_type, COUNT(*) AS cnt
+    FROM part WHERE p_type LIKE 'PROMO%'
+    GROUP BY p_type ORDER BY p_type
+    """,
+)
+def q_wc2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-scan over materialized counts.
+
+    Reference: examples/word-count/word_count.go:222-278 — RocksDB
+    Seek/ValidForPrefix prefix iteration. Batch analog: LIKE-prefix
+    predicate, which Catalyst pushes to the parquet scan as a
+    StringStartsWith filter.
+    """
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_type").startswith("PROMO"))
+        .groupBy("p_type")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("p_type")
+    )
+
+
+# ---------------------------------------------------------------- Q-SS1
+@query(
+    "q_ss1",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS cnt,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_custkey ORDER BY o_custkey
+    """,
+)
+def q_ss1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-sum per-stream accumulate → final emission.
+
+    Reference: examples/stream-sum/stream_sum.go:97-110,224-341 —
+    per-stream accumulator emitted at stream end. Batch analog:
+    per-key grouped fold over orders.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+# ------------------------------------------------------------- Q-BS-WIN
+@query(
+    "q_bs_win",
+    oracle="""
+    SELECT event_id, user_id, event_type, value, rn FROM (
+      SELECT e.event_id, e.user_id, e.event_type, e.value,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.user_id
+               ORDER BY e.ts DESC, e.event_id DESC) AS rn
+      FROM events e
+    ) WHERE rn <= 20 ORDER BY user_id, rn
+    """,
+)
+def q_bs_win(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep newest-20-per-key retention window.
+
+    Reference: examples/bike-share/sql_statements.go:54-58 — windowed
+    DELETE retaining the 20 most-recent rides per bike. Expressed as
+    the standard top-N-per-group window; event_id breaks ts ties
+    deterministically.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("event_id", "user_id", "event_type", "value", "rn")
+        .orderBy("user_id", "rn")
+    )
+
+
+# ------------------------------------------------------------ Q-BS-HIST
+@query(
+    "q_bs_hist",
+    oracle="""
+    SELECT event_id, ts, event_type, value
+    FROM events WHERE user_id = 42 ORDER BY ts, event_id
+    """,
+)
+def q_bs_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-lookup history per key.
+
+    Reference: examples/bike-share/sql_statements.go:108-110 and
+    examples/bike-share/api.go — per-bike ride history. The key
+    predicate is pushed to the parquet scan.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("user_id") == 42)
+        .select("event_id", "ts", "event_type", "value")
+        .orderBy("ts", "event_id")
+    )
+
+
+# -------------------------------------------------------------- Q-JOIN1
+@query(
+    "q_join1",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderstatus = 'O'
+    ORDER BY o.o_orderkey
+    """,
+)
+def q_join1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aligned-partition two-stream join.
+
+    Reference: consumer/protocol/protocol.proto:64-78 — a shard
+    consuming journals co-partitioned on the same key "represents a
+    join over messages of distinct journals". Batch analog: equi-join
+    on the shared key; Catalyst/AQE picks the physical strategy (at
+    100 TB both sides bucket/shuffle on the key — exactly the
+    reference's aligned partitioning).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+        .orderBy("o_orderkey")
+    )
+
+
+# -------------------------------------------------------------- Q-JOIN2
+@query(
+    "q_join2",
+    oracle="""
+    SELECT n.n_name, COUNT(*) AS cnt
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name ORDER BY n.n_name
+    """,
+)
+def q_join2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-stream x small-table broadcast join.
+
+    Reference: consumer/protocol/protocol.proto:74-78 — "high volume
+    stream joined against all events of a low volume stream". The
+    explicit broadcast() hint is the point: no shuffle of the big side
+    at any scale.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        customer.join(
+            F.broadcast(nation),
+            customer.c_nationkey == nation.n_nationkey,
+        )
+        .groupBy("n_name")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("n_name")
+    )
+
+
+# --------------------------------------------------------------- Q-TOPK
+@query(
+    "q_topk",
+    oracle="""
+    SELECT l_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS rev
+    FROM lineitem GROUP BY l_orderkey
+    ORDER BY rev DESC, l_orderkey LIMIT 10
+    """,
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N by aggregate (sort + limit).
+
+    Reference: gazctl table outputs / fragment listings
+    (cmd/gazctl/gazctlcmd/journals_fragments.go:123+). Spark plans
+    TakeOrderedAndProject — a per-partition top-K then a K-row merge,
+    no global sort, which is the scalable shape.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("rev")
+        )
+        .orderBy(F.desc("rev"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# -------------------------------------------------------------- Q-SETOP
+@query(
+    "q_setop",
+    oracle="""
+    SELECT o_orderkey FROM orders
+    EXCEPT
+    SELECT l_orderkey AS o_orderkey FROM lineitem
+    ORDER BY o_orderkey
+    """,
+)
+def q_setop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (fragment CoverSet difference analog).
+
+    Reference: broker/fragment/cover_set.go:117-142 —
+    CoverSetDifference computes fragments in one set not covered by
+    another; relational analog is EXCEPT over key sets.
+    """
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    return orders.subtract(li).orderBy("o_orderkey")
+
+
+# ------------------------------------------------------------ Q-SETOP-2
+@query(
+    "q_setop_intersect",
+    oracle="""
+    SELECT DISTINCT o_orderkey
+    FROM orders
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem)
+      AND o_orderstatus = 'F'
+    ORDER BY o_orderkey
+    """,
+)
+def q_setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join / IN-subquery (NOT IN anti's dual).
+
+    Reference: examples/bike-share/sql_statements.go:54-58 uses
+    `NOT IN` anti-join; the LEFT SEMI here is the same subquery family
+    (Spark plans both as semi/anti joins).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    return (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+        .join(li, "o_orderkey", "left_semi")
+        .distinct()
+        .orderBy("o_orderkey")
+    )
+
+
+# -------------------------------------------------------------- Q-TPCH1
+@query(
+    "q_tpch1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+             AS sum_charge,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary (general relational coverage).
+
+    The reference's SQL surface is whatever its embedded SQLite /
+    remote Postgres executes (docs/examples-bike-share.rst:452-480);
+    TPC-H Q1/3/6 stand in for that general capability.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# -------------------------------------------------------------- Q-TPCH3
+@query(
+    "q_tpch3",
+    oracle="""
+    SELECT l.l_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q_tpch3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shipping priority (3-way join + agg + top-N)."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# -------------------------------------------------------------- Q-TPCH6
+@query(
+    "q_tpch6",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.09
+      AND l_quantity < 25
+    """,
+)
+def q_tpch6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecasting revenue change (pure scan+filter+agg).
+
+    The whole predicate set is pushed into the parquet scan
+    (PushedFilters on l_shipdate/l_discount/l_quantity) — the query is
+    scan-bound, the shape you want at 100 TB.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.09)
+        & (F.col("l_quantity") < 25)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        )
+    )
+
+
+# --------------------------------------------------------------- Q-FRAG
+@query(
+    "q_frag",
+    oracle="""
+    WITH frags AS (
+      SELECT event_type AS journal,
+             CAST(FLOOR(event_id / 500) AS BIGINT) AS spool,
+             MIN(event_id) AS begin_off,
+             MAX(event_id) + 1 AS end_off,
+             COUNT(*) AS n_records,
+             MAX(ts) AS mod_time
+      FROM events
+      GROUP BY event_type, CAST(FLOOR(event_id / 500) AS BIGINT)
+    )
+    SELECT journal, begin_off, end_off, n_records, mod_time
+    FROM frags
+    WHERE mod_time >= TIMESTAMP '2024-01-10 00:00:00'
+      AND mod_time <  TIMESTAMP '2024-01-20 00:00:00'
+    ORDER BY journal, begin_off
+    """,
+)
+def q_frag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range fragment listing for batch handoff.
+
+    Reference: ListFragments with [begin_mod_time, end_mod_time)
+    (broker/protocol/protocol.proto:728-779,
+    cmd/gazctl/gazctlcmd/journals_fragments.go:20-70). The fragment
+    index here is *derived* from the events journal: journal =
+    event_type, spool roll every 500 offsets — mirroring how a spool
+    commits a fragment with begin/end offsets and a mod_time
+    (broker/fragment/spool.go:73-238).
+    """
+    events = load_table(spark, sf_dir, "events")
+    frags = (
+        events.groupBy(
+            F.col("event_type").alias("journal"),
+            F.floor(F.col("event_id") / 500).alias("spool"),
+        )
+        .agg(
+            F.min("event_id").alias("begin_off"),
+            (F.max("event_id") + 1).alias("end_off"),
+            F.count("*").alias("n_records"),
+            F.max("ts").alias("mod_time"),
+        )
+    )
+    return (
+        frags.filter(
+            (F.col("mod_time") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+            & (F.col("mod_time") < F.lit("2024-01-20 00:00:00").cast("timestamp"))
+        )
+        .select("journal", "begin_off", "end_off", "n_records", "mod_time")
+        .orderBy("journal", "begin_off")
+    )
