@@ -478,3 +478,104 @@ def q_frag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("journal", "begin_off", "end_off", "n_records", "mod_time")
         .orderBy("journal", "begin_off")
     )
+
+
+# -------------------------------------------------------------- Q-BS-CYC
+_CYC_SQL = """
+    WITH RECURSIVE ordered AS (
+      SELECT user_id, event_id,
+             CAST(event_id % 30 AS INT) AS station,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ),
+    path(user_id, rn, station, start_station, depth) AS (
+      SELECT user_id, rn, station, station AS start_station, 1 AS depth
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.rn, o.station, p.start_station, p.depth + 1
+      FROM path p JOIN ordered o
+        ON o.user_id = p.user_id AND o.rn = p.rn + 1
+      WHERE p.depth < 20
+        AND (p.depth = 1 OR p.station <> p.start_station)
+    )
+    SELECT user_id,
+           MAX(depth) AS path_len,
+           MAX(CASE WHEN depth > 1 AND station = start_station
+                    THEN 1 ELSE 0 END) AS has_cycle
+    FROM path GROUP BY user_id ORDER BY user_id
+"""
+
+
+@query("q_bs_cyc", oracle=_CYC_SQL)
+def q_bs_cyc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE path walk with cycle detection.
+
+    Reference: examples/bike-share/sql_statements.go:64-103 — recursive
+    CTE following a bike's rides station-to-station, stopping when the
+    path returns to its origin station. Analog: per user, walk events
+    newest-first (station := event_id % 30), accumulate the path until
+    it revisits the start station or hits depth 20; emit path length
+    and cycle flag. Spark ≥4.0 executes WITH RECURSIVE natively
+    (iterative joins, each depth a co-partitioned hash join on
+    user_id), so the *same SQL text* runs on both engines.
+    """
+    from core_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_CYC_SQL)
+
+
+# ---------------------------------------------------------- Q-SS1-EVENTS
+@query(
+    "q_ss1_events",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS v,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS i
+      FROM events
+    )
+    SELECT user_id AS stream,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(v * ((i * 2654435761) % 1000003)) % 2147483647 AS BIGINT)
+             AS checksum
+    FROM seq GROUP BY user_id ORDER BY stream
+    """,
+)
+def q_ss1_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-sum event-stream variant: order-sensitive per-stream
+    checksum.
+
+    Reference: examples/stream-sum/stream_sum.go:97-110 — per-stream
+    accumulator over chunks in sequence order, emitted at stream end.
+    A SHA1 chain is inherently sequential (that version is the
+    streaming transformWithState demo); the batch-declarative analog
+    is a position-weighted checksum: each chunk's contribution depends
+    on its position in (ts, event_id) order, so any reordering or
+    drop/duplication changes the result — the same verification power
+    stream-sum's verifier derives from its chained hash.
+    """
+    from core_spark.io import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+        F.row_number().over(w).alias("i"),
+    )
+    return (
+        seq.groupBy(F.col("user_id").alias("stream"))
+        .agg(
+            F.count("*").alias("n_chunks"),
+            (
+                F.sum(F.col("v") * ((F.col("i") * 2654435761) % 1000003))
+                % 2147483647
+            )
+            .cast("bigint")
+            .alias("checksum"),
+        )
+        .orderBy("stream")
+    )
