@@ -1,0 +1,222 @@
+"""Deduplication operator family for large-scale training-data
+pipelines: exact, MinHash+LSH, SimHash, and blocked n-gram Jaccard.
+
+These are the engine's LLM-data superset (BASELINE.json north star):
+the reference platform dedups *messages* by UUID (core_spark.operators.
+sequencer); a data pipeline additionally dedups *content*. All four
+operators are pure DataFrame compositions — hashing via md5 column
+expressions, candidate generation via explode + shuffle-on-key joins —
+so they inherit Catalyst/AQE planning and scale by partitioning on the
+hash/band keys (no driver-side state, no UDFs).
+
+Scale notes (100 TB):
+- exact: one groupBy on a 32-hex digest — maximally skew-resistant.
+- minhash_lsh: cost = O(docs x shingles) map-side + a shuffle keyed on
+  (band, signature); bucket sizes are the knob (bands x rows tunes the
+  Jaccard threshold curve). Candidate verification joins only within
+  buckets — never all-pairs.
+- simhash: map-side fingerprint; near-dup search = self-join on
+  rotated fingerprint bands (Hamming-ball probing), same shuffle shape.
+- ngram_jaccard: exact pairwise *within a blocking key* — the
+  verification tier behind LSH candidates, never run unblocked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Spark-SQL expression fragments (kept as strings so the DuckDB oracle
+# twins in plans/llmops.py stay visibly line-for-line parallel).
+SPARK_TOKS = "split({col}, ' ')"
+SPARK_SHINGLES = (
+    "CASE WHEN size({toks}) >= 3 THEN "
+    "array_distinct(transform(sequence(0, size({toks}) - 3), "
+    "i -> concat_ws(' ', {toks}[i], {toks}[i+1], {toks}[i+2]))) "
+    "ELSE array() END"
+)
+SPARK_MD5I32 = "CAST(conv(substring(md5({x}), 1, 8), 16, 10) AS BIGINT)"
+
+
+def _spark_shingles(col: str) -> str:
+    toks = SPARK_TOKS.format(col=col)
+    return SPARK_SHINGLES.format(toks=toks)
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: md5 digest groupBy, canonical = min doc_id.
+
+    Output: (content_hash, canonical_doc_id, n_copies).
+    """
+    return (
+        docs.select("doc_id", F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", k: int = 16
+) -> DataFrame:
+    """Per-doc MinHash signature: k seeded md5 minima over distinct
+    word 3-shingles. Output: (doc_id, mh: array<bigint> length k)."""
+    sh = _spark_shingles(text_col)
+    mins = ", ".join(
+        "coalesce(array_min(transform(_sh, s -> "
+        + SPARK_MD5I32.format(x=f"concat('s{i}:', s)")
+        + ")), 0)"
+        for i in range(k)
+    )
+    return docs.select(
+        "doc_id", F.expr(sh).alias("_sh")
+    ).select("doc_id", F.expr(f"array({mins})").alias("mh"))
+
+
+def lsh_candidates(
+    sigs: DataFrame, bands: int = 4, rows: int = 4
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs sharing >= 1 band.
+
+    Shuffle is keyed on (band_idx, band_signature) — the LSH bucket —
+    so the join never sees cross-bucket pairs. Output: (doc_a, doc_b).
+    """
+    band_exprs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",", *[F.col("mh")[b * rows + r] for r in range(rows)]
+                ).alias("sig"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        "doc_id", F.explode(band_exprs).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    left = banded.alias("a")
+    right = banded.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def verify_jaccard(
+    candidates: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact shingle-Jaccard for candidate pairs (integer arithmetic
+    only — no float boundary risk). Output adds (inter, uni)."""
+    sh = docs.select(
+        F.col("doc_id"), F.expr(_spark_shingles(text_col)).alias("sh")
+    )
+    a = sh.alias("sa")
+    b = sh.alias("sb")
+    return (
+        candidates.join(a, candidates.doc_a == F.col("sa.doc_id"))
+        .join(b, candidates.doc_b == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("size(array_intersect(sa.sh, sb.sh))").alias("inter"),
+            (
+                F.expr("size(sa.sh)")
+                + F.expr("size(sb.sh)")
+                - F.expr("size(array_intersect(sa.sh, sb.sh))")
+            ).alias("uni"),
+        )
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
+    """Frequency-weighted SimHash fingerprint per document.
+
+    token hash -> per-bit +/-1 votes -> sign -> packed fingerprint.
+    Pure explode/groupBy; dynamic bit extraction uses exact double
+    power-of-two division (values < 2^32 are double-exact).
+    Output: (doc_id, simhash).
+    """
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.expr(SPARK_TOKS.format(col=text_col))).alias("tok"),
+    ).select(
+        "doc_id",
+        F.expr(SPARK_MD5I32.format(x="concat('t:', tok)")).alias("h"),
+    )
+    votes = toks.select(
+        "doc_id",
+        "h",
+        F.explode(F.expr(f"sequence(0, {bits - 1})")).alias("b"),
+    ).select(
+        "doc_id",
+        "b",
+        F.expr(
+            "CAST(FLOOR(h / power(2, b)) AS BIGINT) % 2 * 2 - 1"
+        ).alias("s"),
+    )
+    return (
+        votes.groupBy("doc_id", "b")
+        .agg(F.sum("s").alias("v"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("v") > 0, F.expr("CAST(power(2, b) AS BIGINT)")).otherwise(
+                    0
+                )
+            ).alias("simhash")
+        )
+    )
+
+
+def blocked_jaccard_pairs(
+    docs: DataFrame,
+    block_col: str,
+    text_col: str = "text",
+    num: int = 5,
+    den: int = 10,
+) -> DataFrame:
+    """All-pairs exact Jaccard within a blocking key, threshold
+    num/den compared by integer cross-multiplication.
+
+    Output: (doc_a, doc_b, inter, uni). The blocking key bounds the
+    quadratic term; at scale the block is an LSH bucket, not a
+    natural column.
+    """
+    sh = docs.select(
+        F.col(block_col).alias("blk"),
+        F.col("doc_id"),
+        F.expr(_spark_shingles(text_col)).alias("sh"),
+    )
+    a = sh.alias("ja")
+    b = sh.alias("jb")
+    return (
+        a.join(
+            b,
+            (F.col("ja.blk") == F.col("jb.blk"))
+            & (F.col("ja.doc_id") < F.col("jb.doc_id")),
+        )
+        .select(
+            F.col("ja.doc_id").alias("doc_a"),
+            F.col("jb.doc_id").alias("doc_b"),
+            F.expr("size(array_intersect(ja.sh, jb.sh))").alias("inter"),
+            (
+                F.expr("size(ja.sh)")
+                + F.expr("size(jb.sh)")
+                - F.expr("size(array_intersect(ja.sh, jb.sh))")
+            ).alias("uni"),
+        )
+        .filter(F.col("inter") * den >= F.col("uni") * num)
+    )

@@ -1,6 +1,396 @@
-"""LLM-data-pipeline operator queries (dedup families, similarity
-search, text analysis) over `documents` / `embeddings`.
+"""LLM-data-pipeline declared queries over `documents` / `embeddings`:
+dedup families, similarity search, text analysis, fingerprinting.
 
-Populated in the P3 build phase — see core_spark/operators/dedup.py,
-similarity.py and functions/text.py.
+These are the engine's superset beyond the reference's own operator
+surface (BASELINE.json north star: "add the LLM-data-pipeline
+operators ... design every operator for 100 TB scale"). Every query is
+a pure DataFrame/SQL composition from core_spark.operators.{dedup,
+similarity} and functions.text, paired with a value-identical DuckDB
+oracle. Integer arithmetic is used wherever a float boundary could
+flip a row (Jaccard thresholds as cross-multiplication; checksums mod
+2^31; cosine rounded to 6dp before ranking).
 """
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from core_spark.functions.text import (
+    duck_fingerprint,
+    duck_lang_pred,
+    duck_stopword_ratio,
+    spark_fingerprint,
+    spark_lang_pred,
+    spark_stopword_ratio,
+)
+from core_spark.io import load_table
+from core_spark.operators.dedup import (
+    blocked_jaccard_pairs,
+    exact_dedup,
+    lsh_candidates,
+    minhash_signatures,
+    simhash,
+    verify_jaccard,
+)
+from core_spark.operators.similarity import ann_lsh, hyperplanes, knn_bruteforce
+from core_spark.plans.registry import query
+
+# ---------------------------------------------------------- DuckDB bits
+DUCK_SHINGLES = """
+    SELECT doc_id,
+           list_distinct(list_transform(
+             range(1, greatest(len(toks) - 1, 1)),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+"""
+
+
+def _duck_md5i32(x: str) -> str:
+    return f"CAST('0x' || substr(md5({x}), 1, 8) AS BIGINT)"
+
+
+# ----------------------------------------------------------- exact dedup
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           MIN(doc_id) AS canonical_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text) ORDER BY content_hash
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: one groupBy on the md5 digest; canonical
+    row = min doc_id. At 100 TB this is the cheapest dedup tier —
+    map-side digest, single skew-free shuffle on a 128-bit key."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs).orderBy("content_hash")
+
+
+# ----------------------------------------------------------- minhash-lsh
+_MINHASH_K = 16
+_BANDS, _ROWS = 4, 4
+
+_DUCK_MINS = ", ".join(
+    "coalesce(list_min(list_transform(sh, s -> "
+    + _duck_md5i32(f"'s{i}:' || s")
+    + ")), 0)"
+    for i in range(_MINHASH_K)
+)
+@query(
+    "q_minhash_lsh",
+    oracle=f"""
+    WITH sh AS ({DUCK_SHINGLES}),
+    mh AS (SELECT doc_id, [{_DUCK_MINS}] AS mh FROM sh),
+    bands AS (
+      SELECT doc_id, b,
+             CASE b {" ".join(
+                 f"WHEN {b} THEN " + " || ',' || ".join(
+                     f"CAST(mh[{b * _ROWS + r + 1}] AS VARCHAR)" for r in range(_ROWS)
+                 )
+                 for b in range(_BANDS)
+             )} END AS sig
+      FROM mh, (SELECT unnest(range({_BANDS})) AS b)
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.sig = b.sig AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           len(list_intersect(sa.sh, sb.sh)) AS inter,
+           len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS uni
+    FROM cand c
+    JOIN sh sa ON c.doc_a = sa.doc_id
+    JOIN sh sb ON c.doc_b = sb.doc_id
+    WHERE len(list_intersect(sa.sh, sb.sh)) * 10
+          >= (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) * 7
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection: shingle → 16 minhashes → 4
+    bands of 4 → bucket-join candidates → exact-Jaccard verify at
+    0.7 (integer cross-multiplication).
+
+    The only shuffle that touches all docs is keyed on (band, band
+    signature); verification joins run per-candidate. This is the
+    scale path for near-dedup at 100 TB — all-pairs never happens.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, k=_MINHASH_K)
+    cand = lsh_candidates(sigs, bands=_BANDS, rows=_ROWS)
+    return (
+        verify_jaccard(cand, docs)
+        .filter(F.col("inter") * 10 >= F.col("uni") * 7)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# -------------------------------------------------------- blocked jaccard
+@query(
+    "q_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT d.doc_id, d.lang, s.sh
+      FROM documents d JOIN ({DUCK_SHINGLES}) s ON d.doc_id = s.doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_intersect(a.sh, b.sh)) AS inter,
+           len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
+    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh)) * 10
+          >= (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 5
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs within a blocking key (lang),
+    threshold 0.5. The quadratic term is bounded by the block; at
+    scale the block is an LSH bucket (q_minhash_lsh), not a natural
+    column — this is the verification-tier operator."""
+    docs = load_table(spark, sf_dir, "documents")
+    return blocked_jaccard_pairs(docs, "lang", num=5, den=10).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+# --------------------------------------------------------------- simhash
+@query(
+    "q_simhash",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5('t:' || tok), 1, 8) AS BIGINT) AS h
+      FROM toks
+    ),
+    votes AS (
+      SELECT doc_id, b,
+             SUM(CAST(FLOOR(h / power(2, b)) AS BIGINT) % 2 * 2 - 1) AS v
+      FROM h, (SELECT unnest(range(32)) AS b)
+      GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN v > 0 THEN CAST(power(2, b) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit frequency-weighted SimHash fingerprint per document —
+    map-side near-dup signature; Hamming-band self-join finds pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs, bits=32).orderBy("doc_id")
+
+
+# ------------------------------------------------------------ knn cosine
+def _duck_cos(a: str, b: str) -> str:
+    dot = f"list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))"
+    na = f"sqrt(list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {a}[i])))"
+    nb = f"sqrt(list_sum(list_transform(range(1, len({b}) + 1), i -> {b}[i] * {b}[i])))"
+    return f"round({dot} / ({na} * {nb}), 6)"
+
+
+@query(
+    "q_knn_cosine",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+    pairs AS (
+      SELECT q.qid, e.vec_id, {_duck_cos("qv", "v")} AS sim
+      FROM q JOIN e ON q.qid <> e.vec_id
+    )
+    SELECT qid, vec_id, sim FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+      FROM pairs
+    ) WHERE rn <= 5 ORDER BY qid, vec_id
+    """,
+)
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors (vec_id < 10) —
+    the exact-similarity baseline. Corpus side broadcast; dot product
+    is a codegen'd aggregate/zip_with fold in double, rounded to 6dp
+    before ranking so ordering is engine-stable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return knn_bruteforce(queries, emb, k=5).orderBy("qid", "vec_id")
+
+
+# ---------------------------------------------------------------- ann-lsh
+_PLANES = hyperplanes(8, 64)
+
+
+def _duck_bucket(v: str) -> str:
+    terms = []
+    for p, row in enumerate(_PLANES):
+        arr = "[" + ", ".join(str(w) for w in row) + "]"
+        dot = (
+            f"list_sum(list_transform(range(1, len({v}) + 1), "
+            f"i -> {v}[i] * ({arr})[i]))"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+@query(
+    "q_ann_lsh",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    bucketed AS (SELECT vec_id, v, {_duck_bucket("v")} AS bucket FROM e),
+    q AS (SELECT vec_id AS qid, v AS qv, bucket FROM bucketed WHERE vec_id < 10),
+    pairs AS (
+      SELECT q.qid, c.vec_id, q.bucket, {_duck_cos("qv", "v")} AS sim
+      FROM q JOIN bucketed c USING (bucket)
+      WHERE q.qid <> c.vec_id
+    )
+    SELECT qid, vec_id, bucket, sim FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+      FROM pairs
+    ) WHERE rn <= 3 ORDER BY qid, vec_id
+    """,
+)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via random-hyperplane LSH: 8 fixed ±1 planes →
+    256 buckets; candidates share the query's bucket; top-3 by cosine.
+    The shuffle is keyed on bucket — the 100 TB scale path where
+    brute force is impossible. Hyperplanes are a deterministic literal
+    (seeded md5 off-engine) so both engines bucket identically."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ann_lsh(queries, emb, k=3, n_planes=8, dims=64).orderBy(
+        "qid", "vec_id"
+    )
+
+
+# ---------------------------------------------------------------- lang id
+@query(
+    "q_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang, {duck_lang_pred("toks")} AS predicted_lang
+    FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+    ORDER BY doc_id
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID skeleton: tokenize → count per-language marker-word
+    hits → argmax (deterministic tie-break). Map-side only."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("toks", F.expr("split(text, ' ')"))
+        .select(
+            "doc_id",
+            "lang",
+            F.expr(spark_lang_pred("toks")).alias("predicted_lang"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------- quality
+@query(
+    "q_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           round(length(replace(text, ' ', '')) / len(toks), 4) AS avg_tok_len,
+           {duck_stopword_ratio("toks")} AS stopword_ratio,
+           round(least(len(toks) / 100.0, 1.0) * 0.6 +
+                 (len(list_filter(toks, t ->
+                    t IN ('the', 'a', 'and', 'of', 'in'))) / len(toks)) * 0.4,
+                 4) AS quality_score
+    FROM t ORDER BY doc_id
+    """,
+)
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: token count, mean token length, stopword
+    ratio, and a blended score — the standard cheap quality gates a
+    corpus pass applies before expensive dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.withColumn("toks", F.expr("split(text, ' ')"))
+    return (
+        t.select(
+            "doc_id",
+            F.expr("size(toks)").alias("n_tokens"),
+            F.expr(
+                "round(length(replace(text, ' ', '')) / size(toks), 4)"
+            ).alias("avg_tok_len"),
+            F.expr(spark_stopword_ratio("toks")).alias("stopword_ratio"),
+            F.expr(
+                "round(least(size(toks) / 100.0, 1.0) * 0.6 + "
+                "(size(filter(toks, t -> "
+                "t IN ('the', 'a', 'and', 'of', 'in'))) / size(toks)) * 0.4, 4)"
+            ).alias("quality_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ----------------------------------------------------------------- tokens
+@query(
+    "q_tokens",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS ws_tokens,
+           CAST(CEIL(length(text) / 4.0) AS BIGINT) AS subword_est,
+           GREATEST(len(toks),
+                    CAST(CEIL(length(text) / 4.0) AS BIGINT)) AS tok_est
+    FROM t ORDER BY doc_id
+    """,
+)
+def q_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + chars/4 BPE-style estimate
+    (the standard budget heuristic), and their max as the planning
+    figure."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.withColumn("toks", F.expr("split(text, ' ')"))
+    return (
+        t.select(
+            "doc_id",
+            F.expr("size(toks)").cast("bigint").alias("ws_tokens"),
+            F.expr("CAST(CEIL(length(text) / 4.0) AS BIGINT)").alias(
+                "subword_est"
+            ),
+            F.expr(
+                "GREATEST(CAST(size(toks) AS BIGINT), "
+                "CAST(CEIL(length(text) / 4.0) AS BIGINT))"
+            ).alias("tok_est"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ------------------------------------------------------------ fingerprint
+@query(
+    "q_fingerprint",
+    oracle=f"""
+    SELECT doc_id, {duck_fingerprint("text")} AS fp
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: position-weighted rolling character hash
+    over the first 256 chars, mod 2^31 — a compact order-sensitive
+    digest for shard-level manifests."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.expr(spark_fingerprint("text")).alias("fp")
+    ).orderBy("doc_id")
