@@ -8,5 +8,6 @@ from core_spark.plans.registry import REGISTRY, Query, query
 from core_spark.plans import relational  # noqa: E402,F401
 from core_spark.plans import message  # noqa: E402,F401
 from core_spark.plans import llmops  # noqa: E402,F401
+from core_spark.plans import streaming_queries  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "query"]

@@ -1,0 +1,72 @@
+"""Declared streaming queries (non-SQL-expressible: stateful streaming
+operators — registered without oracles, driver records rows-only)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid as py_uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from core_spark.io import load_table
+from core_spark.plans.message import message_view
+from core_spark.plans.registry import query
+from core_spark.streaming.read_committed import (
+    MESSAGE_SCHEMA,
+    stream_read_committed,
+)
+
+
+@query("q_stream_dedup", oracle=None)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming read-committed view (applyInPandasWithState sequencer).
+
+    Feeds the derived message journal (plans/message.py) through the
+    stateful streaming operator in 3 offset-ordered micro-batches and
+    returns the emitted set. By construction this equals q_dedup's
+    batch result — the batch/streaming agreement is asserted in
+    tests/test_streaming.py; here the streaming path itself is the
+    declared operator (reference: message/sequencer.go Step loop under
+    consumer/transaction.go's micro-batch driver).
+    """
+    events = load_table(spark, sf_dir, "events")
+    msgs = message_view(events).select(
+        "event_id", "user_id", "value", "off", "producer", "clock", "flags"
+    )
+    work = tempfile.mkdtemp(prefix="q_stream_dedup_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    ordered = msgs.orderBy("off")
+    total = ordered.count()
+    rows = ordered.collect()
+    cuts = [total // 3, 2 * total // 3, total]
+    lo = 0
+    for i, hi in enumerate(cuts):
+        spark.createDataFrame(rows[lo:hi], schema=MESSAGE_SCHEMA).coalesce(
+            1
+        ).write.parquet(os.path.join(src, f"chunk-{i}.parquet"))
+        lo = hi
+
+    name = "q_stream_dedup_" + py_uuid.uuid4().hex[:8]
+    stream = (
+        spark.readStream.schema(MESSAGE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        stream_read_committed(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(
+        f"SELECT event_id, user_id, value, off, producer, clock, flags "
+        f"FROM {name} ORDER BY off"
+    )

@@ -1,0 +1,246 @@
+"""Journal = append-only byte/record stream persisted as immutable
+parquet fragments under a directory, indexed by a versioned manifest.
+
+Reference mapping (SURVEY.md §1.1, §3.1):
+- Fragment: immutable span [begin, end) of the journal with mod_time
+  (broker/protocol/protocol.proto:383-405) → an immutable parquet file
+  whose rows carry materialized `_offset`s; content-addressed naming.
+- Serializable atomic append (docs/brokers-concepts.rst:15-21,
+  broker/append_fsm.go): whole-batch-or-nothing. Achieved with a
+  write-temp → fsync → manifest CAS protocol: manifest version N+1 is
+  created with O_EXCL, so exactly one concurrent appender wins; the
+  loser's fragment is never referenced (= rolled back). On an object
+  store the same CAS is a conditional PUT (S3 If-None-Match / GCS
+  x-goog-if-generation-match).
+- Registers (protocol.proto:493-560): a small label-set carried in the
+  manifest, check-and-set with each append — write fences and
+  at-most-once appenders.
+- Offset index / ListFragments (broker/fragment/index.go:41-131,
+  protocol.proto:728-779): `fragments_df` + offset/mod-time pruning in
+  `read` — only covering fragments are scanned, which at 100 TB is
+  the file-pruning that keeps tail reads O(new data).
+- Retention (protocol.proto:216-222): `prune` drops fragments wholly
+  older than the horizon, via a new manifest version (readers pinned
+  to older versions are unaffected — snapshot isolation for free).
+
+Total order per journal (SURVEY.md §4.2): appends are per-journal
+serialized (the reference funnels every append through one primary
+broker, docs/brokers-concepts.rst:45-52), so the single-partition
+coalesce inside `append` is the *same* scaling contract — parallelism
+comes from many journals, not from parallel appends to one.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid as py_uuid
+from dataclasses import asdict, dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class RegisterMismatch(Exception):
+    """Append precondition failed (REGISTER_MISMATCH analog,
+    broker/append_fsm.go:411-596)."""
+
+
+class AppendConflict(Exception):
+    """Lost the manifest CAS to a concurrent appender."""
+
+
+@dataclass
+class Fragment:
+    seq: int
+    begin: int  # first offset (inclusive)
+    end: int  # last offset (exclusive)
+    n_records: int
+    path: str  # relative to journal root
+    mod_time: float
+
+
+@dataclass
+class Manifest:
+    version: int = 0
+    next_offset: int = 0
+    fragments: list[Fragment] = field(default_factory=list)
+    registers: dict[str, str] = field(default_factory=dict)
+
+    @staticmethod
+    def from_json(raw: str) -> "Manifest":
+        d = json.loads(raw)
+        return Manifest(
+            version=d["version"],
+            next_offset=d["next_offset"],
+            fragments=[Fragment(**f) for f in d["fragments"]],
+            registers=d.get("registers", {}),
+        )
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "version": self.version,
+                "next_offset": self.next_offset,
+                "fragments": [asdict(f) for f in self.fragments],
+                "registers": self.registers,
+            }
+        )
+
+
+class Journal:
+    """One journal (≈ one partition of a streamed table)."""
+
+    def __init__(self, root: str, name: str):
+        self.name = name
+        self.root = os.path.join(root, name)
+        self.manifest_dir = os.path.join(self.root, "_manifest")
+        self.frag_dir = os.path.join(self.root, "fragments")
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        os.makedirs(self.frag_dir, exist_ok=True)
+
+    # ----------------------------------------------------------- manifest
+    def manifest(self) -> Manifest:
+        versions = [
+            int(f[1:-5])
+            for f in os.listdir(self.manifest_dir)
+            if f.startswith("v") and f.endswith(".json")
+        ]
+        if not versions:
+            return Manifest()
+        with open(os.path.join(self.manifest_dir, f"v{max(versions)}.json")) as fh:
+            return Manifest.from_json(fh.read())
+
+    def _commit_manifest(self, m: Manifest) -> None:
+        """CAS: exactly one writer creates version N (O_EXCL)."""
+        path = os.path.join(self.manifest_dir, f"v{m.version}.json")
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError as e:
+            raise AppendConflict(
+                f"manifest v{m.version} already committed by a concurrent appender"
+            ) from e
+        with os.fdopen(fd, "w") as fh:
+            fh.write(m.to_json())
+            fh.flush()
+            os.fsync(fh.fileno())
+
+    # ------------------------------------------------------------- append
+    def append(
+        self,
+        df: DataFrame,
+        check_registers: dict[str, str] | None = None,
+        set_registers: dict[str, str] | None = None,
+    ) -> Fragment:
+        """Serializable atomic append of a batch as one fragment.
+
+        `check_registers`: every (k, v) must match the journal's
+        current registers or the append fails before writing
+        (register-check predicate). `set_registers`: merged on commit
+        (the union/subtract register ops).
+        """
+        m = self.manifest()
+        for k, v in (check_registers or {}).items():
+            if m.registers.get(k) != v:
+                raise RegisterMismatch(
+                    f"register {k!r}: want {v!r}, have {m.registers.get(k)!r}"
+                )
+
+        begin = m.next_offset
+        frag_name = f"frag-{begin:020d}-{py_uuid.uuid4().hex[:8]}"
+        tmp = os.path.join(self.frag_dir, "_tmp-" + frag_name)
+        # Stamp durable per-row offsets: single partition => row order
+        # is the append order (per-journal serialization contract).
+        stamped = df.coalesce(1).withColumn(
+            "_offset", F.monotonically_increasing_id() + F.lit(begin)
+        )
+        stamped.write.mode("overwrite").parquet(tmp)
+        n = stamped.sparkSession.read.parquet(tmp).count()
+
+        final = os.path.join(self.frag_dir, frag_name)
+        os.rename(tmp, final)
+        frag = Fragment(
+            seq=len(m.fragments),
+            begin=begin,
+            end=begin + n,
+            n_records=n,
+            path=os.path.join("fragments", frag_name),
+            mod_time=time.time(),
+        )
+        new = Manifest(
+            version=m.version + 1,
+            next_offset=begin + n,
+            fragments=[*m.fragments, frag],
+            registers={**m.registers, **(set_registers or {})},
+        )
+        try:
+            self._commit_manifest(new)
+        except AppendConflict:
+            shutil.rmtree(final, ignore_errors=True)  # rollback
+            raise
+        return frag
+
+    # --------------------------------------------------------------- read
+    def read(
+        self,
+        spark: SparkSession,
+        begin: int | None = None,
+        end: int | None = None,
+        begin_mod_time: float | None = None,
+    ) -> DataFrame:
+        """Read the journal from `begin` (inclusive) to `end`
+        (exclusive), pruning non-covering fragments before the scan
+        (offset→fragment index query, broker/fragment/index.go:41-131);
+        `begin_mod_time` skips old fragments (protocol.proto:441-446).
+        """
+        m = self.manifest()
+        frags = [
+            f
+            for f in m.fragments
+            if (begin is None or f.end > begin)
+            and (end is None or f.begin < end)
+            and (begin_mod_time is None or f.mod_time >= begin_mod_time)
+        ]
+        if not frags:
+            raise ValueError(f"no fragments cover [{begin}, {end})")
+        df = spark.read.parquet(*[os.path.join(self.root, f.path) for f in frags])
+        if begin is not None:
+            df = df.filter(F.col("_offset") >= begin)
+        if end is not None:
+            df = df.filter(F.col("_offset") < end)
+        return df.withColumn("_journal", F.lit(self.name))
+
+    def fragments_df(self, spark: SparkSession) -> DataFrame:
+        """The fragment index as a DataFrame (ListFragments)."""
+        m = self.manifest()
+        return spark.createDataFrame(
+            [
+                (self.name, f.seq, f.begin, f.end, f.n_records, f.path, f.mod_time)
+                for f in m.fragments
+            ],
+            "journal string, seq int, begin_off long, end_off long, "
+            "n_records long, path string, mod_time double",
+        )
+
+    # -------------------------------------------------------------- prune
+    def prune(self, keep_mod_time_after: float) -> int:
+        """Retention: drop fragments wholly older than the horizon
+        (gazctl journals prune). Returns number removed."""
+        m = self.manifest()
+        keep = [f for f in m.fragments if f.mod_time >= keep_mod_time_after]
+        dropped = [f for f in m.fragments if f.mod_time < keep_mod_time_after]
+        if not dropped:
+            return 0
+        self._commit_manifest(
+            Manifest(
+                version=m.version + 1,
+                next_offset=m.next_offset,
+                fragments=keep,
+                registers=m.registers,
+            )
+        )
+        for f in dropped:
+            shutil.rmtree(os.path.join(self.root, f.path), ignore_errors=True)
+        return len(dropped)

@@ -1,0 +1,75 @@
+"""Shard runner: the consumer-transaction loop as a streaming query.
+
+Reference mapping (SURVEY.md §2.7, §3.3):
+- ShardSpec {sources, txn min/max duration, state location}
+  (consumer/protocol/protocol.proto:55-233) → ShardConfig below.
+- runTransactions' pipelined dynamic micro-batches
+  (consumer/transaction.go:22-113) → Structured Streaming micro-batch
+  driver with a processing-time trigger (max_txn_duration analog).
+- ConsumeMessage/FinalizeTxn app hooks (consumer/interfaces.go:232-276)
+  → the `transform` callable (per-batch DataFrame → DataFrame);
+  stateful apps use stream_read_committed / their own
+  applyInPandasWithState upstream of the sink.
+- Checkpoint restore → Spark streaming checkpoint + the sink's
+  committed-batch watermark (restart-safe, tested).
+- Commit barrier + ACK fan-out → FencedJournalSink.
+
+The source is a journal directory tailed as a file stream — the
+"blocking read at the write head" (broker/read_api.go) is the trigger
+loop; `maxFilesPerTrigger` is the read-pump admission control
+(consumer/shard.go:21-38 channel bounds).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from core_spark.streaming.sink import FencedJournalSink
+
+
+@dataclass
+class ShardConfig:
+    source_glob: str  # journal fragment glob to tail
+    source_schema: str
+    out_root: str
+    out_journal: str
+    shard_id: str
+    fence: int
+    checkpoint_dir: str
+    max_files_per_trigger: int = 8
+    trigger_seconds: float | None = None  # None => availableNow semantics
+
+
+def run_shard(
+    spark: SparkSession,
+    cfg: ShardConfig,
+    transform: Callable[[DataFrame], DataFrame],
+) -> StreamingQuery:
+    """Start the shard's streaming query; returns the handle
+    (caller awaits/stops — the Resolver analog owns lifecycle)."""
+    src = (
+        spark.readStream.schema(cfg.source_schema)
+        .option("maxFilesPerTrigger", cfg.max_files_per_trigger)
+        .parquet(cfg.source_glob)
+    )
+    sink = FencedJournalSink(
+        cfg.out_root, cfg.out_journal, shard=cfg.shard_id, fence=cfg.fence
+    )
+
+    def process(df: DataFrame, batch_id: int) -> None:
+        sink(transform(df), batch_id)
+
+    writer = (
+        src.writeStream.foreachBatch(process)
+        .option("checkpointLocation", cfg.checkpoint_dir)
+        .outputMode("update")
+    )
+    if cfg.trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{cfg.trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,108 @@
+"""Journal storage: serializable appends, offset continuity, register
+CAS, offset/mod-time pruned reads, retention."""
+
+import time
+
+import pytest
+
+from core_spark.sources.journal import (
+    AppendConflict,
+    Journal,
+    Manifest,
+    RegisterMismatch,
+)
+
+
+@pytest.fixture
+def journal(tmp_path):
+    return Journal(str(tmp_path), "test/journal-0")
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).withColumnRenamed("id", "v")
+
+
+def test_append_read_offsets(spark, journal):
+    journal.append(_df(spark, 0, 10))
+    journal.append(_df(spark, 10, 15))
+    journal.append(_df(spark, 15, 30))
+
+    df = journal.read(spark)
+    rows = sorted((r._offset, r.v) for r in df.collect())
+    assert [o for o, _ in rows] == list(range(30))  # contiguous total order
+    assert [v for _, v in rows] == list(range(30))  # append order preserved
+    assert journal.manifest().next_offset == 30
+
+    # bounded offset-range read
+    mid = journal.read(spark, begin=8, end=17)
+    assert sorted(r._offset for r in mid.collect()) == list(range(8, 17))
+    # the range [8,17) spans fragments 0,1,2 -> all kept; [10,15) -> only frag 1
+    one = journal.read(spark, begin=10, end=15)
+    assert one.select("_journal").distinct().count() == 1
+    assert sorted(r.v for r in one.collect()) == list(range(10, 15))
+
+
+def test_fragment_pruning_reads_fewer_files(spark, journal):
+    journal.append(_df(spark, 0, 10))
+    journal.append(_df(spark, 10, 20))
+    m = journal.manifest()
+    # read that only needs fragment 2 must not reference fragment 1's path
+    df = journal.read(spark, begin=10)
+    scanned = df.inputFiles()
+    assert all(m.fragments[0].path not in p for p in scanned)
+
+
+def test_register_check_and_cas(spark, journal):
+    journal.append(_df(spark, 0, 5), set_registers={"author": "a1"})
+    with pytest.raises(RegisterMismatch):
+        journal.append(_df(spark, 5, 9), check_registers={"author": "a2"})
+    journal.append(
+        _df(spark, 5, 9),
+        check_registers={"author": "a1"},
+        set_registers={"author": "a2"},
+    )
+    assert journal.manifest().registers["author"] == "a2"
+
+    # losing the manifest CAS rolls the fragment back
+    m = journal.manifest()
+    journal._commit_manifest(
+        Manifest(version=m.version + 1, next_offset=m.next_offset,
+                 fragments=m.fragments, registers=m.registers)
+    )
+    before = journal.manifest()
+    with pytest.raises(AppendConflict):
+        # race: stale appender targets the now-taken version
+        stale = Journal(journal.root.rsplit("/", 2)[0], journal.name)
+        stale_m = stale.manifest()
+        stale._commit_manifest(
+            Manifest(version=stale_m.version, next_offset=0, fragments=[])
+        )
+    after = journal.manifest()
+    assert after.next_offset == before.next_offset  # nothing torn
+
+
+def test_mod_time_and_retention(spark, journal):
+    journal.append(_df(spark, 0, 5))
+    cut = time.time()
+    time.sleep(0.01)
+    journal.append(_df(spark, 5, 9))
+
+    recent = journal.read(spark, begin_mod_time=cut)
+    assert sorted(r.v for r in recent.collect()) == list(range(5, 9))
+
+    assert journal.prune(keep_mod_time_after=cut) == 1
+    assert len(journal.manifest().fragments) == 1
+    # offsets are NOT rewritten by retention (byte-offset semantics)
+    assert journal.manifest().next_offset == 9
+    left = journal.read(spark)
+    assert sorted(r._offset for r in left.collect()) == list(range(5, 9))
+
+
+def test_fragments_df(spark, journal):
+    journal.append(_df(spark, 0, 7))
+    journal.append(_df(spark, 7, 9))
+    fr = journal.fragments_df(spark).orderBy("begin_off").collect()
+    assert [(f.begin_off, f.end_off, f.n_records) for f in fr] == [
+        (0, 7, 7),
+        (7, 9, 2),
+    ]
