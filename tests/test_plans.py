@@ -1,0 +1,61 @@
+"""Physical-plan shape assertions — the scale contract, kept as tests
+so a regression that silently de-optimizes a plan (lost pushdown,
+broadcast→SMJ flip, extra shuffle) fails CI rather than only showing
+up at 100 TB."""
+
+import re
+
+import pytest
+
+from core_spark.plans.registry import REGISTRY
+from tests.conftest import SF_SMOKE
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_SMOKE)
+    # formatted mode keeps scan metadata (PushedFilters et al.) untruncated
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_tpch6_filters_pushed_and_pruned(spark):
+    plan = _plan(spark, "q_tpch6")
+    assert "GreaterThanOrEqual(l_shipda" in plan  # pushed to the scan
+    assert "LessThan(l_quantity" in plan
+    # column pruning: the scan must not read the unused columns
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "l_orderkey" not in m.group(1) and "l_returnflag" not in m.group(1)
+
+
+def test_join2_broadcasts_small_side(spark):
+    plan = _plan(spark, "q_join2")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_uses_partial_topk(spark):
+    # per-partition top-K merge, never a global sort of the aggregate
+    assert "TakeOrderedAndProject" in _plan(spark, "q_topk")
+
+
+def test_wc2_prefix_pushed(spark):
+    assert "StringStartsWith(p_type,PROMO)" in _plan(spark, "q_wc2")
+
+
+def test_dedup_single_hash_shuffle(spark):
+    """All three sequencer windows must share ONE hash exchange on
+    producer (subset-clustering satisfaction); a second hash shuffle
+    means someone broke the co-partitioning."""
+    plan = _plan(spark, "q_dedup")
+    hash_exchanges = re.findall(r"Arguments: hashpartitioning\((\w+)", plan)
+    assert len(hash_exchanges) == 1, hash_exchanges
+    assert hash_exchanges[0].startswith("producer")
+
+
+@pytest.mark.parametrize("name", ["q_wc1", "q_tpch1", "q_ss1"])
+def test_aggregates_are_partial_final(spark, name):
+    # partial (map-side) aggregation before the shuffle — the
+    # in-txn-cache → store-flush shape of the reference
+    plan = _plan(spark, name)
+    assert plan.count("HashAggregate") >= 2
