@@ -1,0 +1,178 @@
+"""engine CLI — the gazctl analog (cmd/gazctl): batch bridge onto
+journals and the catalog.
+
+Commands (each wraps a batch DataFrame job):
+  journals read     — read a journal [offset range / mod-time] to
+                      stdout-JSON or a parquet dir
+                      (gazctl journals read, journals_read.go:17-35)
+  journals append   — append a parquet/csv/json input as one fragment
+                      (journals_append.go:20-34)
+  journals fragments— list the fragment index, optional time range
+                      (journals_fragments.go:20-70)
+  journals prune    — retention by mod-time horizon
+                      (journals_prune.go)
+  journals list     — resolve a label selector over the catalog
+                      (gazctl journals list -l ...)
+  attach-uuids      — stamp v1 UUIDs onto an input for exactly-once
+                      ingest (attach_uuids.go:13-50)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from core_spark.session import get_spark
+
+
+def _read_input(spark, path: str, fmt: str):
+    reader = {"parquet": spark.read.parquet,
+              "json": lambda p: spark.read.json(p),
+              "csv": lambda p: spark.read.option("header", True).csv(p)}[fmt]
+    return reader(path)
+
+
+def cmd_read(args) -> int:
+    from core_spark.sources.journal import Journal
+
+    spark = get_spark("engine-cli")
+    j = Journal(args.root, args.journal)
+    df = j.read(
+        spark,
+        begin=args.offset,
+        end=args.end_offset,
+        begin_mod_time=args.begin_mod_time,
+    )
+    if args.output:
+        df.write.mode("overwrite").parquet(args.output)
+    else:
+        for row in df.orderBy("_offset").toLocalIterator():
+            print(json.dumps(row.asDict(), default=str))
+    return 0
+
+
+def cmd_append(args) -> int:
+    from core_spark.sources.journal import Journal
+
+    spark = get_spark("engine-cli")
+    df = _read_input(spark, args.input, args.framing)
+    frag = Journal(args.root, args.journal).append(df)
+    print(json.dumps({"begin": frag.begin, "end": frag.end,
+                      "n_records": frag.n_records, "path": frag.path}))
+    return 0
+
+
+def cmd_fragments(args) -> int:
+    from core_spark.sources.journal import Journal
+
+    spark = get_spark("engine-cli")
+    df = Journal(args.root, args.journal).fragments_df(spark)
+    if args.from_time is not None:
+        df = df.filter(df.mod_time >= args.from_time)
+    if args.to_time is not None:
+        df = df.filter(df.mod_time < args.to_time)
+    for row in df.orderBy("begin_off").collect():
+        print(json.dumps(row.asDict(), default=str))
+    return 0
+
+
+def cmd_prune(args) -> int:
+    from core_spark.sources.journal import Journal
+
+    n = Journal(args.root, args.journal).prune(args.keep_after)
+    print(json.dumps({"pruned": n}))
+    return 0
+
+
+def cmd_list(args) -> int:
+    from core_spark.catalog import LabelSelector, resolve
+
+    spark = get_spark("engine-cli")
+    include: dict[str, tuple[str, ...]] = {}
+    exclude: dict[str, tuple[str, ...]] = {}
+    for spec in args.selector or []:
+        neg = spec.startswith("!")
+        body = spec[1:] if neg else spec
+        name, _, vals = body.partition("=")
+        target = exclude if neg else include
+        target[name] = tuple(v for v in vals.split(",") if v)
+    for row in resolve(spark, LabelSelector(include=include, exclude=exclude)).collect():
+        print(row.name)
+    return 0
+
+
+def cmd_attach_uuids(args) -> int:
+    from core_spark.streaming.publisher import attach_uuids
+    from pyspark.sql import functions as F
+
+    spark = get_spark("engine-cli")
+    df = _read_input(spark, args.input, args.framing)
+    stamped = attach_uuids(
+        df.withColumn("_ord", F.monotonically_increasing_id()),
+        producer_seed=F.lit(args.producer_seed),
+        order=F.col("_ord"),
+    ).drop("_ord")
+    stamped.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"rows": stamped.count(), "output": args.output}))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="engine", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    jr = sub.add_parser("journals-read")
+    jr.add_argument("--root", required=True)
+    jr.add_argument("--journal", required=True)
+    jr.add_argument("--offset", type=int, default=None)
+    jr.add_argument("--end-offset", type=int, default=None)
+    jr.add_argument("--begin-mod-time", type=float, default=None)
+    jr.add_argument("--output", default=None)
+    jr.set_defaults(fn=cmd_read)
+
+    ja = sub.add_parser("journals-append")
+    ja.add_argument("--root", required=True)
+    ja.add_argument("--journal", required=True)
+    ja.add_argument("--input", required=True)
+    ja.add_argument("--framing", choices=["parquet", "json", "csv"],
+                    default="parquet")
+    ja.set_defaults(fn=cmd_append)
+
+    jf = sub.add_parser("journals-fragments")
+    jf.add_argument("--root", required=True)
+    jf.add_argument("--journal", required=True)
+    jf.add_argument("--from-time", type=float, default=None)
+    jf.add_argument("--to-time", type=float, default=None)
+    jf.set_defaults(fn=cmd_fragments)
+
+    jp = sub.add_parser("journals-prune")
+    jp.add_argument("--root", required=True)
+    jp.add_argument("--journal", required=True)
+    jp.add_argument("--keep-after", type=float, required=True)
+    jp.set_defaults(fn=cmd_prune)
+
+    jl = sub.add_parser("journals-list")
+    jl.add_argument(
+        "-l", "--selector", action="append",
+        help="label selector: name=v1,v2 or !name=v (repeatable)",
+    )
+    jl.set_defaults(fn=cmd_list)
+
+    au = sub.add_parser("attach-uuids")
+    au.add_argument("--input", required=True)
+    au.add_argument("--output", required=True)
+    au.add_argument("--framing", choices=["parquet", "json", "csv"],
+                    default="csv")
+    au.add_argument("--producer-seed", default="cli")
+    au.set_defaults(fn=cmd_attach_uuids)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

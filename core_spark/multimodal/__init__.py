@@ -1,0 +1,16 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed
+metadata, with Arrow-batched decode/transform plumbing."""
+
+from core_spark.multimodal.columns import (
+    attach_payload,
+    decode_image_meta,
+    resize_images,
+    sample_audio_frames,
+)
+
+__all__ = [
+    "attach_payload",
+    "decode_image_meta",
+    "resize_images",
+    "sample_audio_frames",
+]

@@ -9,5 +9,7 @@ from core_spark.plans import relational  # noqa: E402,F401
 from core_spark.plans import message  # noqa: E402,F401
 from core_spark.plans import llmops  # noqa: E402,F401
 from core_spark.plans import streaming_queries  # noqa: E402,F401
+from core_spark.plans import superset  # noqa: E402,F401
+from core_spark.plans import multimodal_queries  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "query"]

@@ -1,0 +1,279 @@
+"""Superset declared queries: framings (JSON/CSV decode), event-time
+sessionization, as-of join, pivot, rollup, running windows, approx
+distinct.
+
+These cover (a) the reference's framing registry
+(message/json_framing.go, csv_framing.go — content-type selects a
+decoder) re-expressed as column decoding, and (b) the Spark-native
+surface SURVEY.md §2.5/§2.10 marks "absent in reference — expose as
+superset" (tumbling/session windows, cube/rollup, approx distinct,
+frame specs, as-of composition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from core_spark.io import load_table
+from core_spark.plans.registry import query
+
+
+# ------------------------------------------------------------ JSON framing
+@query(
+    "q_framing_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           event_type
+    FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+    ORDER BY event_id
+    """,
+)
+def q_framing_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON framing: content-type application/x-ndjson decode
+    (message/json_framing.go:10-49) as column extraction, with the
+    decoded field usable in predicates (pushed post-scan)."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        events.select("event_id", k.alias("k"), "event_type")
+        .filter(F.col("k") >= 50)
+        .orderBy("event_id")
+    )
+
+
+# ------------------------------------------------------------- CSV framing
+@query(
+    "q_framing_csv",
+    oracle="""
+    WITH lines AS (
+      SELECT event_id,
+             CAST(event_id AS VARCHAR) || ',' || event_type || ',' ||
+               CAST(user_id AS VARCHAR) AS line
+      FROM events
+    )
+    SELECT event_id,
+           string_split(line, ',')[2] AS f_type,
+           CAST(string_split(line, ',')[3] AS BIGINT) AS f_user
+    FROM lines ORDER BY event_id
+    """,
+)
+def q_framing_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV framing round-trip: encode rows to delimited lines and
+    decode fields back (message/csv_framing.go:15-81's record
+    encode/decode as expressions)."""
+    events = load_table(spark, sf_dir, "events")
+    line = F.concat_ws(
+        ",",
+        F.col("event_id").cast("string"),
+        F.col("event_type"),
+        F.col("user_id").cast("string"),
+    )
+    t = events.select("event_id", line.alias("line"))
+    parts = F.split(F.col("line"), ",")
+    return t.select(
+        "event_id",
+        parts[1].alias("f_type"),
+        parts[2].cast("bigint").alias("f_user"),
+    ).orderBy("event_id")
+
+
+# ------------------------------------------------------------ sessionization
+@query(
+    "q_session",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 3600000000
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS session_id
+      FROM g
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM s GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def q_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gap > 1 h starts a session): lag + running sum
+    of boundaries — the batch form; streaming uses session_window().
+    Superset per SURVEY §2.10 (no event-time windows in reference)."""
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = events.withColumn(
+        "new_s",
+        F.when(
+            (
+                F.unix_micros(F.col("ts"))
+                - F.unix_micros(F.lag("ts").over(w))
+                > 3_600_000_000
+            )
+            | F.lag("ts").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    s = g.withColumn(
+        "session_id",
+        F.sum("new_s").over(w.rowsBetween(W.unboundedPreceding, 0)).cast("bigint"),
+    )
+    return (
+        s.groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("session_start"), F.count("*").alias("n_events"))
+        .orderBy("user_id", "session_id")
+    )
+
+
+# ------------------------------------------------------------------ as-of
+@query(
+    "q_asof",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END
+                        IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_click_id
+      FROM events
+    )
+    SELECT event_id, user_id, last_click_id
+    FROM tagged WHERE event_type = 'purchase'
+    ORDER BY event_id
+    """,
+)
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join as window composition: each purchase joined to the
+    user's most recent *prior* click. Spark has no native as-of join;
+    the union-sort-carry formulation is one shuffle on the key and an
+    O(n) growing frame — the scalable shape (pyspark guide's
+    merge_asof alternative without Python)."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    tagged = events.withColumn(
+        "last_click_id",
+        F.last(
+            F.when(F.col("event_type") == "click", F.col("event_id")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        tagged.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "last_click_id")
+        .orderBy("event_id")
+    )
+
+
+# ------------------------------------------------------------------ pivot
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "q_pivot",
+    oracle=f"""
+    SELECT user_id,
+           {", ".join(
+               f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}"
+               for t in _EVENT_TYPES
+           )}
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event-type counts as columns (materialized-view
+    shape for the word-count style per-key counters)."""
+    events = load_table(spark, sf_dir, "events")
+    out = (
+        events.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .na.fill(0, _EVENT_TYPES)
+    )
+    return out.orderBy("user_id")
+
+
+# ----------------------------------------------------------------- rollup
+@query(
+    "q_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS g,
+           COUNT(*) AS cnt, ROUND(SUM(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    ORDER BY g, l_returnflag, l_linestatus
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping id — hierarchical totals (superset; the
+    reference materializes only flat per-key counters)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("g"),
+            F.count("*").alias("cnt"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "g", "cnt", "qty")
+        .orderBy("g", "l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------- running
+@query(
+    "q_running",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_total
+    FROM orders ORDER BY o_custkey, o_orderkey
+    """,
+)
+def q_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-key totals with an explicit frame spec — the
+    materialized running-count shape of word-count, with frame specs
+    exposed as superset (SURVEY §2.10)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+# ---------------------------------------------------------- approx distinct
+@query("q_approx_distinct", oracle=None)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct (superset, SURVEY §2.5).
+    No oracle: approximation algorithms differ across engines by
+    design; the rows-only check applies. Exact-distinct parity is
+    covered by q_ss1/q_setop."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -25,9 +25,13 @@ from core_spark.functions.uuid import (
 
 
 def _clock_expr(order: Column) -> Column:
-    """60-bit clock: 100ns-unit wall time + low counter bits from the
-    caller's order column (uuid.go:61-102's timestamp+counter)."""
-    return F.unix_micros(F.current_timestamp()) * 10 + (order % 10)
+    """60-bit clock: 100ns-unit wall time plus the caller's order
+    column (uuid.go:61-102's timestamp+counter). The full order value
+    is added — not masked — so every row of a producer gets a distinct,
+    monotone clock; a masked counter would collide past its width and
+    read-committed consumers would drop the collisions as duplicates.
+    """
+    return F.unix_micros(F.current_timestamp()) * 10 + order
 
 
 def attach_uuids(

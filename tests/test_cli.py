@@ -1,0 +1,60 @@
+"""CLI: in-process drives of each subcommand (the gazctl batch
+bridge). The spark session is shared via getOrCreate."""
+
+import json
+
+from core_spark.cli import main
+
+
+def test_append_fragments_read_prune(spark, tmp_path, capsys):
+    root = str(tmp_path / "j")
+
+    assert main([
+        "journals-append", "--root", root, "--journal", "demo/n",
+        "--input", "/root/testdata/sf0.001/nation.parquet",
+    ]) == 0
+    frag = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert (frag["begin"], frag["end"]) == (0, 25)
+
+    assert main([
+        "journals-fragments", "--root", root, "--journal", "demo/n",
+    ]) == 0
+    frags = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(frags) == 1 and frags[0]["n_records"] == 25
+
+    assert main([
+        "journals-read", "--root", root, "--journal", "demo/n",
+        "--offset", "5", "--end-offset", "8",
+    ]) == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert [r["_offset"] for r in rows] == [5, 6, 7]
+
+    assert main([
+        "journals-prune", "--root", root, "--journal", "demo/n",
+        "--keep-after", "0",
+    ]) == 0
+    assert json.loads(capsys.readouterr().out.strip())["pruned"] == 0
+
+
+def test_selector_list(spark, capsys):
+    assert main([
+        "journals-list",
+        "-l", "message-type=bike_share.Ride",
+        "-l", "!region=eu-west1",
+    ]) == 0
+    names = capsys.readouterr().out.strip().splitlines()
+    assert names == ["examples/bike-share/rides/part-000"]
+
+
+def test_attach_uuids(spark, tmp_path, capsys):
+    src = tmp_path / "in.csv"
+    src.write_text("a,b\n1,x\n2,y\n")
+    out = str(tmp_path / "out.pq")
+    assert main([
+        "attach-uuids", "--input", str(src), "--output", out,
+        "--framing", "csv",
+    ]) == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["rows"] == 2
+    df = spark.read.parquet(out)
+    assert df.select("uuid").distinct().count() == 2  # distinct clocks
