@@ -23,7 +23,8 @@ from core_spark.plans.registry import REGISTRY  # noqa: E402
 from core_spark.session import get_spark  # noqa: E402
 
 # Headline set: the scale-relevant declared queries (scan/agg, joins,
-# windows, set ops, the sequencer dedup, and the mappings).
+# windows, set ops, the sequencer dedup, the mappings, and the
+# LLM-pipeline dedup/similarity tier).
 HEADLINE = [
     "q_wc1",
     "q_ss1",
@@ -37,6 +38,14 @@ HEADLINE = [
     "q_tpch3",
     "q_tpch6",
     "q_shuf",
+    "q_session",
+    "q_asof",
+    "q_dedup_exact",
+    "q_simhash",
+    "q_minhash_lsh",
+    "q_ngram_jaccard",
+    "q_knn_cosine",
+    "q_ann_lsh",
 ]
 
 

@@ -26,9 +26,12 @@ from core_spark.functions.text import (
 )
 from core_spark.io import load_table
 from core_spark.operators.dedup import (
+    MAX_SHINGLE_DF,
+    MINHASH_P,
     blocked_jaccard_pairs,
     exact_dedup,
     lsh_candidates,
+    minhash_params,
     minhash_signatures,
     simhash,
     verify_jaccard,
@@ -73,16 +76,19 @@ _MINHASH_K = 16
 _BANDS, _ROWS = 4, 4
 
 _DUCK_MINS = ", ".join(
-    "coalesce(list_min(list_transform(sh, s -> "
-    + _duck_md5i32(f"'s{i}:' || s")
-    + ")), 0)"
-    for i in range(_MINHASH_K)
+    f"coalesce(list_min(list_transform(hs, h -> (h * {a} + {b}) % {MINHASH_P})), 0)"
+    for a, b in minhash_params(_MINHASH_K)
 )
 @query(
     "q_minhash_lsh",
     oracle=f"""
     WITH sh AS ({DUCK_SHINGLES}),
-    mh AS (SELECT doc_id, [{_DUCK_MINS}] AS mh FROM sh),
+    hsh AS (
+      SELECT doc_id, sh,
+             list_transform(sh, s -> {_duck_md5i32("s")}) AS hs
+      FROM sh
+    ),
+    mh AS (SELECT doc_id, [{_DUCK_MINS}] AS mh FROM hsh),
     bands AS (
       SELECT doc_id, b,
              CASE b {" ".join(
@@ -133,24 +139,37 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_ngram_jaccard",
     oracle=f"""
-    WITH sh AS (
-      SELECT d.doc_id, d.lang, s.sh
+    WITH sh0 AS (
+      SELECT d.lang, s.doc_id, unnest(s.sh) AS s
       FROM documents d JOIN ({DUCK_SHINGLES}) s ON d.doc_id = s.doc_id
+    ),
+    kept AS (
+      SELECT lang, s FROM sh0 GROUP BY lang, s
+      HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+    ),
+    shk AS (SELECT sh0.* FROM sh0 JOIN kept USING (lang, s)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shk GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM shk a JOIN shk b
+        ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           len(list_intersect(a.sh, b.sh)) AS inter,
-           len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
-    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.sh, b.sh)) * 10
-          >= (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 5
+    SELECT doc_a, doc_b, inter,
+           sa.n_sh + sb.n_sh - inter AS uni
+    FROM pairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE inter * 10 >= (sa.n_sh + sb.n_sh - inter) * 5
     ORDER BY doc_a, doc_b
     """,
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard pairs within a blocking key (lang),
-    threshold 0.5. The quadratic term is bounded by the block; at
-    scale the block is an LSH bucket (q_minhash_lsh), not a natural
-    column — this is the verification-tier operator."""
+    threshold 0.5, via the inverted shingle index — pairs sharing no
+    shingle never materialize (Σ df² cost, not block²), with a
+    document-frequency cap as the skew guard. The verification-tier
+    operator behind LSH candidates."""
     docs = load_table(spark, sf_dir, "documents")
     return blocked_jaccard_pairs(docs, "lang", num=5, den=10).orderBy(
         "doc_a", "doc_b"
