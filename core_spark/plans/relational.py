@@ -483,11 +483,13 @@ def q_frag(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -------------------------------------------------------------- Q-BS-CYC
 _CYC_SQL = """
     WITH RECURSIVE ordered AS (
-      SELECT user_id, event_id,
-             CAST(event_id % 30 AS INT) AS station,
-             ROW_NUMBER() OVER (
-               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-      FROM events
+      SELECT * FROM (
+        SELECT user_id, event_id,
+               CAST(event_id % 30 AS INT) AS station,
+               ROW_NUMBER() OVER (
+                 PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn <= 20
     ),
     path(user_id, rn, station, start_station, depth) AS (
       SELECT user_id, rn, station, station AS start_station, 1 AS depth

@@ -54,8 +54,25 @@ class FencedJournalSink:
         m = self.journal.manifest()
         return int(m.registers.get(f"batch:{self.shard}", "-1"))
 
+    def _ensure_ack(self, batch_id: int) -> None:
+        """Write the batch's ACK intent if absent. Called on the commit
+        path AND on re-delivery: a crash between commit and ACK must
+        re-send the ACK when the batch is re-delivered (the recovered
+        checkpoint's AckIntents are re-appended at startup,
+        consumer/transaction.go:45-91 — idempotent because keyed by
+        batch id)."""
+        ack_path = os.path.join(self.journal.root, f"_acks/batch-{batch_id}.json")
+        if os.path.exists(ack_path):
+            return
+        os.makedirs(os.path.dirname(ack_path), exist_ok=True)
+        with open(ack_path, "w") as fh:
+            json.dump(
+                {"shard": self.shard, "batch": batch_id, "flags": "ACK_TXN"}, fh
+            )
+
     def __call__(self, df: DataFrame, batch_id: int) -> None:
         if batch_id <= self.committed_batch():
+            self._ensure_ack(batch_id)  # ACK re-send after crash-between
             return  # idempotent re-delivery
 
         m = self.journal.manifest()
@@ -78,9 +95,4 @@ class FencedJournalSink:
             },
         )
         # Post-commit ACK intent (idempotent: keyed by batch id).
-        ack_path = os.path.join(self.journal.root, f"_acks/batch-{batch_id}.json")
-        os.makedirs(os.path.dirname(ack_path), exist_ok=True)
-        with open(ack_path, "w") as fh:
-            json.dump(
-                {"shard": self.shard, "batch": batch_id, "flags": "ACK_TXN"}, fh
-            )
+        self._ensure_ack(batch_id)
