@@ -1,0 +1,125 @@
+"""Framing registry: content-type → record decode/encode.
+
+Reference: message/interfaces.go:82-96,179-196 — a journal's
+`content-type` label selects a registered Framing; the registry
+(message/routines.go:19-33) ships JSON-lines (json_framing.go:10-49),
+CSV (csv_framing.go:15-81), and fixed-header protobuf
+(fixed_framing.go:32-148: magic 0x66,0x33,0x93,0x36 + little-endian
+u32 length + body).
+
+Here a framing is a function (DataFrame, payload column, schema) →
+DataFrame of decoded columns, built from Spark's native decoders
+(`from_json` / `from_csv` — JVM, codegen'd). The fixed framing parses
+the magic + LE length header with pure binary expressions; the
+protobuf *body* decode is stubbed (no protobuf runtime in this
+container) behind `NotImplementedError`, with the header math — the
+Gazette-specific part — real and round-trip tested.
+
+`decode_journal` dispatches on a JournalSpec's content-type label —
+the NewMessageFunc analog (message/interfaces.go:239-243).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+FIXED_MAGIC = bytes([0x66, 0x33, 0x93, 0x36])
+
+Framing = Callable[[DataFrame, str, str], DataFrame]
+_REGISTRY: dict[str, Framing] = {}
+
+
+def register_framing(content_type: str, framing: Framing) -> None:
+    """RegisterFraming (message/routines.go:19-33)."""
+    _REGISTRY[content_type] = framing
+
+
+def framing_for(content_type: str) -> Framing:
+    try:
+        return _REGISTRY[content_type]
+    except KeyError:
+        raise ValueError(f"no framing registered for {content_type!r}") from None
+
+
+# ------------------------------------------------------------------- JSON
+def json_framing(df: DataFrame, payload_col: str, schema: str) -> DataFrame:
+    """application/x-ndjson: one JSON document per record."""
+    return df.withColumn(
+        "_msg", F.from_json(F.decode(F.col(payload_col), "UTF-8"), schema)
+    )
+
+
+# -------------------------------------------------------------------- CSV
+def csv_framing(df: DataFrame, payload_col: str, schema: str) -> DataFrame:
+    """text/csv: one CSV record per line (csv_framing.go:15-81)."""
+    return df.withColumn(
+        "_msg", F.from_csv(F.decode(F.col(payload_col), "UTF-8"), F.lit(schema))
+    )
+
+
+# ------------------------------------------------------------ fixed/proto
+def fixed_header_length(payload: Column) -> Column:
+    """LE u32 frame length from header bytes 5..8 (fixed_framing.go:
+    the 4 magic bytes are followed by a little-endian uint32)."""
+    hx = F.lower(F.hex(F.substring(payload, 5, 4)))  # stored byte order
+    be = F.concat(  # reverse byte pairs: little- → big-endian hex
+        F.substring(hx, 7, 2),
+        F.substring(hx, 5, 2),
+        F.substring(hx, 3, 2),
+        F.substring(hx, 1, 2),
+    )
+    return F.conv(be, 16, 10).cast("bigint")
+
+
+def fixed_header_valid(payload: Column) -> Column:
+    return F.substring(payload, 1, 4) == F.lit(FIXED_MAGIC)
+
+
+def fixed_frame_body(payload: Column) -> Column:
+    return F.substring(payload, F.lit(9), fixed_header_length(payload))
+
+
+def encode_fixed_frame(body: Column) -> Column:
+    """magic + LE u32 length + body, as pure expressions."""
+    ln = F.length(body)
+    hx = F.lpad(F.lower(F.hex(ln)), 8, "0")  # big-endian hex of length
+    le_hex = F.concat(  # reverse to little-endian byte order
+        F.substring(hx, 7, 2),
+        F.substring(hx, 5, 2),
+        F.substring(hx, 3, 2),
+        F.substring(hx, 1, 2),
+    )
+    return F.concat(F.lit(FIXED_MAGIC), F.unhex(le_hex), body)
+
+
+def fixed_framing(df: DataFrame, payload_col: str, schema: str) -> DataFrame:
+    """application/x-protobuf: header parse is real; body decode needs
+    a protobuf runtime (absent here) — clearly stubbed."""
+    p = F.col(payload_col)
+    checked = df.withColumn("_frame_ok", fixed_header_valid(p)).withColumn(
+        "_frame_len", fixed_header_length(p)
+    )
+    raise NotImplementedError(
+        "STUB: protobuf body decode requires the protobuf runtime "
+        "(google.protobuf / spark-protobuf); header parsing is available "
+        "via fixed_header_valid/fixed_header_length/fixed_frame_body "
+        f"(schema requested: {schema!r}; parsed frame plan: "
+        f"{checked.schema.simpleString()})"
+    )
+
+
+register_framing("application/x-ndjson", json_framing)
+register_framing("text/csv", csv_framing)
+register_framing("application/x-protobuf", fixed_framing)
+
+
+def decode_journal(
+    df: DataFrame, content_type: str, schema: str, payload_col: str = "payload"
+) -> DataFrame:
+    """Decode a journal's raw payloads per its content-type label and
+    lift message fields to columns (Envelope: message + metadata)."""
+    framed = framing_for(content_type)(df, payload_col, schema)
+    return framed.select("*", "_msg.*").drop("_msg")

@@ -1,0 +1,65 @@
+"""The three reference example apps, end-to-end on the engine."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from core_spark.examples.bike_share import (
+    bike_history,
+    detect_cycles,
+    ingest_rides,
+    recent_rides,
+)
+from core_spark.examples.stream_sum import run_and_verify
+from core_spark.examples.word_count import query_prefix, run_word_count
+
+
+def test_word_count_end_to_end(spark, tmp_path):
+    src = str(tmp_path / "sentences")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [("the quick brown fox",), ("the quick red fox",), ("a lazy dog",)],
+        "sentence string",
+    ).coalesce(1).write.parquet(os.path.join(src, "s0.parquet"))
+
+    run_word_count(
+        spark, src + "/*", str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    got = {
+        (r.ngram, r.cnt)
+        for r in query_prefix(spark, str(tmp_path / "out"), "the ").collect()
+    }
+    assert got == {("the quick", 2)}
+
+
+def test_stream_sum_self_verifies(spark):
+    # passes with at-least-once duplicate delivery (exactly-once holds)
+    run_and_verify(spark, n_streams=5, n_chunks=40, with_duplicates=True)
+
+
+def test_bike_share_pipeline(spark):
+    lines = [
+        # bike 1: newest ride ends at 10; an older ride also ended at
+        # 10 -> the newest-first walk revisits its origin (a cycle)
+        (0, "1,2024-01-01 09:00:00,2024-01-01 09:10:00,9,10,600"),
+        (1, "1,2024-01-01 10:00:00,2024-01-01 10:10:00,10,11,600"),
+        (2, "1,2024-01-01 11:00:00,2024-01-01 11:10:00,11,12,600"),
+        (3, "1,2024-01-01 12:00:00,2024-01-01 12:10:00,12,10,600"),
+        # bike 2: no revisit
+        (4, "2,2024-01-01 10:00:00,2024-01-01 10:20:00,5,6,1200"),
+        (5, "2,2024-01-01 11:00:00,2024-01-01 11:20:00,6,7,1200"),
+    ]
+    csv_df = spark.createDataFrame(lines, "off long, line string")
+    rides = ingest_rides(spark, csv_df)
+    assert rides.filter(F.col("uuid").isNull()).count() == 0
+    assert rides.select("bike_id", "start_station", "end_station").count() == 6
+
+    assert recent_rides(rides, keep=2).groupBy("bike_id").count().filter(
+        F.col("count") > 2
+    ).count() == 0
+
+    hist = bike_history(rides, 1).select("start_station").collect()
+    assert [r.start_station for r in hist] == [9, 10, 11, 12]
+
+    cyc = {r.bike_id: r.has_cycle for r in detect_cycles(spark, rides).collect()}
+    assert cyc[1] == 1 and cyc[2] == 0
