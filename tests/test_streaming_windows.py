@@ -1,0 +1,116 @@
+"""Streaming superset: tumbling-window aggregation with a watermark,
+and the stateful sequencer on the RocksDB state-store provider (the
+cluster configuration DESIGN.md §4 prescribes)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from core_spark.io import load_table
+from core_spark.operators.sequencer import read_committed
+from core_spark.plans.message import message_view
+from core_spark.streaming.read_committed import (
+    MESSAGE_SCHEMA,
+    stream_read_committed,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_tumbling_window_with_watermark(spark, tmp_path):
+    """1-hour tumbling windows over the events stream; results equal
+    the batch windowed aggregation (append mode emits only closed
+    windows — all of them, since the data is bounded)."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    events = load_table(spark, SF_SMOKE, "events")
+    events.coalesce(1).write.parquet(os.path.join(src, "all.parquet"))
+
+    schema = "event_id long, ts timestamp, user_id long, " \
+             "event_type string, value double, props string"
+    stream = spark.readStream.schema(schema).parquet(src + "/*")
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r.w.start, r.event_type, r.n, r.v)
+        for r in spark.sql("SELECT * FROM win_out").collect()
+    }
+    want = {
+        (r.w.start, r.event_type, r.n, r.v)
+        for r in events.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v"))
+        .collect()
+    }
+    # append mode withholds windows not yet past the watermark: the
+    # final (newest) window may be missing — everything else must match
+    missing = want - got
+    assert got <= want and len(missing) <= len({w for w, *_ in missing})
+    assert len(got) >= len(want) - 10
+
+
+def test_stream_dedup_on_rocksdb_state_store(spark, tmp_path):
+    """The streaming sequencer under the RocksDB state-store provider
+    must agree with the batch formulation (state-store backend is an
+    orthogonal knob — this is the 100 TB configuration)."""
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        events = load_table(spark, SF_SMOKE, "events")
+        msgs = message_view(events).select(
+            "event_id", "user_id", "value", "off", "producer", "clock", "flags"
+        )
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        ordered = msgs.orderBy("off").collect()
+        half = len(ordered) // 2
+        for i, chunk in enumerate((ordered[:half], ordered[half:])):
+            spark.createDataFrame(chunk, schema=MESSAGE_SCHEMA).coalesce(
+                1
+            ).write.parquet(os.path.join(src, f"c{i}.parquet"))
+        stream = (
+            spark.readStream.schema(MESSAGE_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+        q = (
+            stream_read_committed(stream)
+            .writeStream.format("memory")
+            .queryName("rocks_out")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {r.off for r in spark.sql("SELECT off FROM rocks_out").collect()}
+        want = {
+            r.off
+            for r in read_committed(msgs, offset="off").select("off").collect()
+        }
+        assert got == want and got
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
