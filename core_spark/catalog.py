@@ -246,3 +246,121 @@ def duck_journals_values(specs: tuple[JournalSpec, ...] = FIXTURE_JOURNALS) -> s
         )
         rows.append(f"('{s.name}', [{labels}])")
     return ",\n      ".join(rows)
+
+
+# --------------------------------------------------------- catalog store
+class ApplyConflict(Exception):
+    """Catalog CAS failed (Etcd mod-revision mismatch analog)."""
+
+
+class SpecValidation(Exception):
+    """Spec failed validation (journal_spec_extensions.go rules)."""
+
+
+_VALID_CODECS = ("NONE", "GZIP", "ZSTD", "SNAPPY")
+
+
+def validate_spec(spec: JournalSpec) -> None:
+    """JournalSpec validation (journal_spec_extensions.go:476 fragment
+    bounds; label/name shape rules)."""
+    if not spec.name or spec.name.startswith("/") or "//" in spec.name:
+        raise SpecValidation(f"invalid journal name {spec.name!r}")
+    if not (1 << 10) <= spec.fragment_length <= (1 << 34):
+        raise SpecValidation(
+            f"fragment_length {spec.fragment_length} outside [2^10, 2^34]"
+        )
+    if spec.codec not in _VALID_CODECS:
+        raise SpecValidation(f"codec {spec.codec!r} not in {_VALID_CODECS}")
+    if spec.replication < 1:
+        raise SpecValidation("replication must be >= 1")
+
+
+class CatalogStore:
+    """Persistent spec catalog with check-and-set Apply — the engine's
+    metastore, replacing the reference's Etcd keyspace + Apply RPC
+    (broker/protocol/protocol.proto:703-726: upserts/deletions CAS'd
+    on mod revision). Versions are O_EXCL-created JSON files, same
+    protocol as the journal manifest (conditional PUT on object
+    stores)."""
+
+    def __init__(self, root: str):
+        import json as _json
+        import os as _os
+
+        self._json = _json
+        self._os = _os
+        self.dir = _os.path.join(root, "_catalog")
+        _os.makedirs(self.dir, exist_ok=True)
+
+    def _version(self) -> int:
+        vs = [
+            int(f[1:-5])
+            for f in self._os.listdir(self.dir)
+            if f.startswith("v") and f.endswith(".json")
+        ]
+        return max(vs, default=0)
+
+    def specs(self) -> tuple[JournalSpec, ...]:
+        v = self._version()
+        if v == 0:
+            return ()
+        with open(self._os.path.join(self.dir, f"v{v}.json")) as fh:
+            raw = self._json.load(fh)
+        return tuple(
+            JournalSpec(
+                name=d["name"],
+                labels=tuple(Label(*l) for l in d["labels"]),
+                replication=d["replication"],
+                fragment_length=d["fragment_length"],
+                codec=d["codec"],
+                stores=tuple(d["stores"]),
+                path_postfix=d["path_postfix"],
+            )
+            for d in raw
+        )
+
+    def apply(
+        self,
+        upserts: tuple[JournalSpec, ...] = (),
+        deletions: tuple[str, ...] = (),
+        expect_version: int | None = None,
+    ) -> int:
+        """Upsert/delete specs atomically; CAS on catalog version."""
+        for s in upserts:
+            validate_spec(s)
+        cur = self._version()
+        if expect_version is not None and expect_version != cur:
+            raise ApplyConflict(f"version {expect_version} != current {cur}")
+        by_name = {s.name: s for s in self.specs()}
+        for name in deletions:
+            by_name.pop(name, None)
+        for s in upserts:
+            by_name[s.name] = s
+        new_v = cur + 1
+        path = self._os.path.join(self.dir, f"v{new_v}.json")
+        payload = self._json.dumps(
+            [
+                {
+                    "name": s.name,
+                    "labels": [[l.name, l.value] for l in s.labels],
+                    "replication": s.replication,
+                    "fragment_length": s.fragment_length,
+                    "codec": s.codec,
+                    "stores": list(s.stores),
+                    "path_postfix": s.path_postfix,
+                }
+                for s in sorted(by_name.values(), key=lambda s: s.name)
+            ]
+        )
+        try:
+            fd = self._os.open(
+                path, self._os.O_CREAT | self._os.O_EXCL | self._os.O_WRONLY
+            )
+        except FileExistsError as e:
+            raise ApplyConflict(f"catalog v{new_v} concurrently applied") from e
+        with self._os.fdopen(fd, "w") as fh:
+            fh.write(payload)
+        return new_v
+
+    def resolve(self, spark: SparkSession, selector: LabelSelector) -> DataFrame:
+        return resolve(spark, selector, self.specs())

@@ -581,3 +581,90 @@ def q_ss1_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stream")
     )
+
+
+# -------------------------------------------------------------- Q-TPCH5
+@query(
+    "q_tpch5",
+    oracle="""
+    SELECT n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name ORDER BY revenue DESC, n_name
+    """,
+)
+def q_tpch5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 local supplier volume — the full star schema in one
+    query (all 6 relational tables; 5 joins).
+
+    Scale shape: nation/region broadcast (tiny dims); customer/orders/
+    lineitem/supplier shuffle on their join keys with AQE free to
+    reorder; the date filter pushes to the orders scan.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(
+            s,
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+# ---------------------------------------------------------- Q-SUPPBAL
+@query(
+    "q_suppbal",
+    oracle="""
+    SELECT r.r_name, COUNT(*) AS n_suppliers,
+           ROUND(SUM(s.s_acctbal), 2) AS total_bal,
+           ROUND(MAX(s.s_acctbal), 2) AS max_bal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name ORDER BY r.r_name
+    """,
+)
+def q_suppbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier account balances by region (TPC-H Q2's dimension
+    rollup core) — exercises the supplier/nation/region chain."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+            F.round(F.max("s_acctbal"), 2).alias("max_bal"),
+        )
+        .orderBy("r_name")
+    )
