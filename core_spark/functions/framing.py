@@ -103,11 +103,13 @@ def fixed_framing(df: DataFrame, payload_col: str, schema: str) -> DataFrame:
         "_frame_len", fixed_header_length(p)
     )
     raise NotImplementedError(
-        "STUB: protobuf body decode requires the protobuf runtime "
-        "(google.protobuf / spark-protobuf); header parsing is available "
-        "via fixed_header_valid/fixed_header_length/fixed_frame_body "
-        f"(schema requested: {schema!r}; parsed frame plan: "
-        f"{checked.schema.simpleString()})"
+        "STUB: schema-compiled protobuf decode requires a protobuf "
+        "runtime (google.protobuf / spark-protobuf). Header parsing is "
+        "real (fixed_header_valid/fixed_header_length/fixed_frame_body), "
+        "and schema-known scalar messages decode without any runtime via "
+        "core_spark.functions.protowire.decode_proto (see its NGramCount "
+        f"round-trip tests). Requested schema: {schema!r}; frame plan: "
+        f"{checked.schema.simpleString()}"
     )
 
 
