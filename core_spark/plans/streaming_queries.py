@@ -54,18 +54,27 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(src + "/*")
     )
-    q = (
-        stream_read_committed(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .outputMode("append")
-        .start()
-    )
+    # Stateful-op parallelism follows spark.sql.shuffle.partitions; a
+    # caller session's default (200) means 200 Python-worker tasks per
+    # micro-batch for 20 producers — pin a sane width for this query
+    # and restore the caller's setting afterwards.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
     try:
-        q.processAllAvailable()
+        q = (
+            stream_read_committed(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.sql(
         f"SELECT event_id, user_id, value, off, producer, clock, flags "
         f"FROM {name} ORDER BY off"
