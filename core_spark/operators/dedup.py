@@ -285,3 +285,55 @@ def blocked_jaccard_pairs(
         )
         .filter(F.col("inter") * den >= F.col("uni") * num)
     )
+
+
+def simhash_pairs(
+    fingerprints: DataFrame, bits: int = 32, bands: int = 4, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance via band rotation.
+
+    Pigeonhole: two fingerprints within Hamming distance d < `bands`
+    must agree exactly on at least one of `bands` disjoint bit-bands —
+    so candidates are pairs sharing any (band_idx, band_bits) bucket
+    (the same shuffle shape as MinHash LSH), then the exact distance
+    is one `bit_count(xor)` per candidate. Never all-pairs.
+
+    Input: (doc_id, simhash). Output: (doc_a, doc_b, hamming).
+    """
+    width = bits // bands
+    mask = (1 << width) - 1
+    banded = fingerprints.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bb"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "simhash", F.col("bs.band").alias("band"), F.col("bs.bb").alias("bb"))
+    a, b = banded.alias("ha"), banded.alias("hb")
+    return (
+        a.join(
+            b,
+            (F.col("ha.band") == F.col("hb.band"))
+            & (F.col("ha.bb") == F.col("hb.bb"))
+            & (F.col("ha.doc_id") < F.col("hb.doc_id")),
+        )
+        .select(
+            F.col("ha.doc_id").alias("doc_a"),
+            F.col("hb.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("ha.simhash").bitwiseXOR(F.col("hb.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -413,3 +413,57 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.expr(spark_fingerprint("text")).alias("fp")
     ).orderBy("doc_id")
+
+
+# ----------------------------------------------------------- simhash pairs
+@query(
+    "q_simhash_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5('t:' || tok), 1, 8) AS BIGINT) AS h
+      FROM toks
+    ),
+    votes AS (
+      SELECT doc_id, b,
+             SUM(CAST(FLOOR(h / power(2, b)) AS BIGINT) % 2 * 2 - 1) AS v
+      FROM h, (SELECT unnest(range(32)) AS b)
+      GROUP BY doc_id, b
+    ),
+    fp AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0 THEN CAST(power(2, b) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, simhash, b AS band,
+             (simhash >> (b * 8)) & 255 AS bb
+      FROM fp, (SELECT unnest(range(4)) AS b)
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             bit_count(xor(a.simhash, b.simhash)) AS hamming
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bb = b.bb AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id, a.simhash, b.simhash
+    )
+    SELECT doc_a, doc_b, hamming FROM cand
+    WHERE hamming <= 3 ORDER BY doc_a, doc_b
+    """,
+)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 4-band rotation buckets candidates
+    (pigeonhole guarantees recall for Hamming <= 3), one
+    bit_count(xor) per candidate verifies. The map-side-fingerprint +
+    bucket-join dual of q_minhash_lsh."""
+    from core_spark.operators.dedup import simhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = simhash(docs, bits=32)
+    return simhash_pairs(fp, bits=32, bands=4, max_hamming=3).orderBy(
+        "doc_a", "doc_b"
+    )

@@ -27,7 +27,7 @@ from core_spark.plans.registry import query
     "q_wc1",
     oracle="""
     SELECT l_returnflag AS key, COUNT(*) AS cnt,
-           ROUND(SUM(l_quantity), 2) AS qty
+           SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) / 100.0 AS qty
     FROM lineitem GROUP BY l_returnflag ORDER BY key
     """,
 )
@@ -44,7 +44,8 @@ def q_wc1(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy(F.col("l_returnflag").alias("key"))
         .agg(
             F.count("*").alias("cnt"),
-            F.round(F.sum("l_quantity"), 2).alias("qty"),
+            (F.sum(F.round(F.col("l_quantity") * 100).cast("bigint")) / 100.0)
+            .alias("qty"),
         )
         .orderBy("key")
     )
@@ -81,7 +82,7 @@ def q_wc2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_ss1",
     oracle="""
     SELECT o_custkey, COUNT(*) AS cnt,
-           ROUND(SUM(o_totalprice), 2) AS total
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
     FROM orders GROUP BY o_custkey ORDER BY o_custkey
     """,
 )
@@ -97,7 +98,8 @@ def q_ss1(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.groupBy("o_custkey")
         .agg(
             F.count("*").alias("cnt"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            (F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")) / 100.0)
+            .alias("total"),
         )
         .orderBy("o_custkey")
     )
@@ -221,7 +223,9 @@ def q_join2(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_topk",
     oracle="""
-    SELECT l_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS rev
+    SELECT l_orderkey,
+           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+             / 100.0 AS rev
     FROM lineitem GROUP BY l_orderkey
     ORDER BY rev DESC, l_orderkey LIMIT 10
     """,
@@ -238,8 +242,13 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_orderkey")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            (
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                    ).cast("bigint")
+                )
+                / 100.0
             ).alias("rev")
         )
         .orderBy(F.desc("rev"), F.asc("l_orderkey"))
@@ -308,14 +317,19 @@ def q_setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch1",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
-             AS sum_charge,
-           ROUND(AVG(l_quantity), 4) AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4) AS avg_price,
-           ROUND(AVG(l_discount), 6) AS avg_disc,
+           SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0
+             AS sum_base_price,
+           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+             / 100.0 AS sum_disc_price,
+           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                          * 100) AS BIGINT)) / 100.0 AS sum_charge,
+           ROUND(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) / 100.0
+                 / COUNT(*), 4) AS avg_qty,
+           ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0
+                 / COUNT(*), 4) AS avg_price,
+           ROUND(SUM(CAST(ROUND(l_discount * 1000000) AS BIGINT)) / 1000000.0
+                 / COUNT(*), 6) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -336,13 +350,34 @@ def q_tpch1(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            (F.sum(F.round(F.col("l_quantity") * 100).cast("bigint")) / 100.0)
+            .alias("sum_qty"),
+            (F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")) / 100.0)
+            .alias("sum_base_price"),
+            (F.sum(F.round(disc_price * 100).cast("bigint")) / 100.0)
+            .alias("sum_disc_price"),
+            (
+                F.sum(F.round(disc_price * (1 + F.col("l_tax")) * 100).cast("bigint"))
+                / 100.0
+            ).alias("sum_charge"),
+            F.round(
+                F.sum(F.round(F.col("l_quantity") * 100).cast("bigint"))
+                / 100.0
+                / F.count("*"),
+                4,
+            ).alias("avg_qty"),
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+                / 100.0
+                / F.count("*"),
+                4,
+            ).alias("avg_price"),
+            F.round(
+                F.sum(F.round(F.col("l_discount") * 1000000).cast("bigint"))
+                / 1000000.0
+                / F.count("*"),
+                6,
+            ).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -354,7 +389,8 @@ def q_tpch1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch3",
     oracle="""
     SELECT l.l_orderkey,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT)) / 100.0 AS revenue,
            o.o_orderdate
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -382,8 +418,13 @@ def q_tpch3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(l, l.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            (
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                    ).cast("bigint")
+                )
+                / 100.0
             ).alias("revenue")
         )
         .select("l_orderkey", "revenue", "o_orderdate")
@@ -396,7 +437,8 @@ def q_tpch3(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_tpch6",
     oracle="""
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    SELECT SUM(CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT))
+             / 100.0 AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -419,9 +461,14 @@ def q_tpch6(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount") <= 0.09)
         & (F.col("l_quantity") < 25)
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-            "revenue"
-        )
+        (
+            F.sum(
+                F.round(F.col("l_extendedprice") * F.col("l_discount") * 100).cast(
+                    "bigint"
+                )
+            )
+            / 100.0
+        ).alias("revenue")
     )
 
 
@@ -588,7 +635,8 @@ def q_ss1_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch5",
     oracle="""
     SELECT n.n_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT)) / 100.0 AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -630,8 +678,13 @@ def q_tpch5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            (
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                    ).cast("bigint")
+                )
+                / 100.0
             ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("n_name"))
@@ -643,7 +696,7 @@ def q_tpch5(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_suppbal",
     oracle="""
     SELECT r.r_name, COUNT(*) AS n_suppliers,
-           ROUND(SUM(s.s_acctbal), 2) AS total_bal,
+           SUM(CAST(ROUND(s.s_acctbal * 100) AS BIGINT)) / 100.0 AS total_bal,
            ROUND(MAX(s.s_acctbal), 2) AS max_bal
     FROM supplier s
     JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -663,8 +716,120 @@ def q_suppbal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(
             F.count("*").alias("n_suppliers"),
-            F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+            (F.sum(F.round(F.col("s_acctbal") * 100).cast("bigint")) / 100.0)
+            .alias("total_bal"),
             F.round(F.max("s_acctbal"), 2).alias("max_bal"),
         )
         .orderBy("r_name")
+    )
+
+
+# -------------------------------------------------------------- Q-TPCH7
+@query(
+    "q_tpch7",
+    oracle="""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+           SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT)) / 100.0 AS volume
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    WHERE cn.n_name < sn.n_name
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY cn.n_name, sn.n_name, EXTRACT(year FROM l.l_shipdate)
+    ORDER BY cust_nation, supp_nation, l_year
+    """,
+)
+def q_tpch7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 volume shipping (nation-pair trade volume by year) —
+    the same dimension table joined twice under different roles, both
+    broadcast."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .filter(F.col("cust_nation") < F.col("supp_nation"))
+        .groupBy(
+            "cust_nation",
+            "supp_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(
+            (
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                    ).cast("bigint")
+                )
+                / 100.0
+            ).alias("volume")
+        )
+        .orderBy("cust_nation", "supp_nation", "l_year")
+    )
+
+
+# ------------------------------------------------------------- Q-TPCH10
+@query(
+    "q_tpch10",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT)) / 100.0 AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q_tpch10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 returned-item reporting (top 20 customers by lost
+    revenue) — join + agg + top-N (TakeOrderedAndProject)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            (
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                    ).cast("bigint")
+                )
+                / 100.0
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
     )

@@ -210,7 +210,8 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS g,
-           COUNT(*) AS cnt, ROUND(SUM(l_quantity), 2) AS qty
+           COUNT(*) AS cnt,
+           SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) / 100.0 AS qty
     FROM lineitem
     GROUP BY ROLLUP(l_returnflag, l_linestatus)
     ORDER BY g, l_returnflag, l_linestatus
@@ -225,7 +226,8 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().alias("g"),
             F.count("*").alias("cnt"),
-            F.round(F.sum("l_quantity"), 2).alias("qty"),
+            (F.sum(F.round(F.col("l_quantity") * 100).cast("bigint")) / 100.0)
+            .alias("qty"),
         )
         .select("l_returnflag", "l_linestatus", "g", "cnt", "qty")
         .orderBy("g", "l_returnflag", "l_linestatus")
@@ -237,9 +239,9 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_running",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           ROUND(SUM(o_totalprice) OVER (
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0
              AS running_total
     FROM orders ORDER BY o_custkey, o_orderkey
     """,
@@ -257,7 +259,10 @@ def q_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).over(w)
+            / 100.0
+        ).alias("running_total"),
     ).orderBy("o_custkey", "o_orderkey")
 
 
