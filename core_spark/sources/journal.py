@@ -133,6 +133,7 @@ class Journal:
         df: DataFrame,
         check_registers: dict[str, str] | None = None,
         set_registers: dict[str, str] | None = None,
+        path_postfix: tuple[str, ...] = (),
     ) -> Fragment:
         """Serializable atomic append of a batch as one fragment.
 
@@ -140,6 +141,13 @@ class Journal:
         current registers or the append fails before writing
         (register-check predicate). `set_registers`: merged on commit
         (the union/subtract register ops).
+
+        `path_postfix`: column names laid out Hive-style inside the
+        fragment (`date=…/hour=…`) — the JournalSpec path-postfix
+        template (protocol.proto:248-266), which exists precisely so
+        batch readers get partition pruning over fragment contents;
+        Spark's partition discovery restores the columns on read and
+        prunes subdirectories for free.
         """
         m = self.manifest()
         for k, v in (check_registers or {}).items():
@@ -156,7 +164,10 @@ class Journal:
         stamped = df.coalesce(1).withColumn(
             "_offset", F.monotonically_increasing_id() + F.lit(begin)
         )
-        stamped.write.mode("overwrite").parquet(tmp)
+        writer = stamped.write.mode("overwrite")
+        if path_postfix:
+            writer = writer.partitionBy(*path_postfix)
+        writer.parquet(tmp)
         n = stamped.sparkSession.read.parquet(tmp).count()
 
         final = os.path.join(self.frag_dir, frag_name)

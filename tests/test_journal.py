@@ -106,3 +106,28 @@ def test_fragments_df(spark, journal):
         (0, 7, 7),
         (7, 9, 2),
     ]
+
+
+def test_hive_postfix_partition_pruning(spark, journal):
+    """path_postfix fragments lay out date=... subdirs; a dated read
+    prunes to the matching subdirectory's files only."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("v"),
+        F.when(F.col("id") < 50, "2024-01-01").otherwise("2024-01-02").alias("dt"),
+    )
+    journal.append(df, path_postfix=("dt",))
+
+    full = journal.read(spark)
+    assert full.count() == 100
+    assert "dt" in full.columns  # partition column restored on read
+
+    day2 = full.filter(F.col("dt") == "2024-01-02")
+    assert day2.count() == 50
+    plan = day2._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    assert re.search(r"PartitionFilters: \[[^\]]*= 2024-01-02", plan), plan
+    # offsets remain a contiguous total order across partitions
+    assert sorted(r._offset for r in full.collect()) == list(range(100))
