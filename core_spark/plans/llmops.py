@@ -369,6 +369,8 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            len(toks) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^ a-z0-9]'))
+                AS BIGINT) AS bpe_tokens,
            CAST(CEIL(length(text) / 4.0) AS BIGINT) AS subword_est,
            GREATEST(len(toks),
                     CAST(CEIL(length(text) / 4.0) AS BIGINT)) AS tok_est
@@ -376,15 +378,20 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting: whitespace tokens + chars/4 BPE-style estimate
-    (the standard budget heuristic), and their max as the planning
-    figure."""
+    """Token counting: whitespace tokens, a BPE-ish regex segmentation
+    (letter runs | digit runs | single other-symbols — the pre-merge
+    word-splitting BPE tokenizers apply), the chars/4 budget estimate,
+    and their max as the planning figure."""
     docs = load_table(spark, sf_dir, "documents")
     t = docs.withColumn("toks", F.expr("split(text, ' ')"))
     return (
         t.select(
             "doc_id",
             F.expr("size(toks)").cast("bigint").alias("ws_tokens"),
+            F.expr(
+                "CAST(size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^ a-z0-9]', 0)) "
+                "AS BIGINT)"
+            ).alias("bpe_tokens"),
             F.expr("CAST(CEIL(length(text) / 4.0) AS BIGINT)").alias(
                 "subword_est"
             ),
