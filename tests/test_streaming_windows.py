@@ -114,3 +114,52 @@ def test_stream_dedup_on_rocksdb_state_store(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_native_session_window_matches_batch_sessionization(spark, tmp_path):
+    """Streaming session_window(gap=1h) per user must produce the same
+    (user, session_start, n_events) sets as the batch lag/cumsum
+    formulation (q_session)."""
+    import os
+
+    from core_spark.plans.registry import REGISTRY
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    events = load_table(spark, SF_SMOKE, "events")
+    events.coalesce(1).write.parquet(os.path.join(src, "all.parquet"))
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    stream = spark.readStream.schema(schema).parquet(src + "/*")
+    agg = (
+        stream.withWatermark("ts", "48 hours")
+        .groupBy(F.session_window("ts", "1 hour").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r.user_id, r.sw.start, r.n_events)
+        for r in spark.sql("SELECT user_id, sw, n_events FROM sess_out").collect()
+    }
+    want = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in REGISTRY["q_session"].fn(spark, SF_SMOKE).collect()
+    }
+    # append mode withholds sessions not yet closed by the watermark —
+    # everything emitted must be a batch session, covering most of them
+    assert got <= want
+    assert len(got) >= len(want) * 0.8
