@@ -36,12 +36,24 @@ def build_uuid(producer_node: Column, clock: Column, flags: Column) -> Column:
     """Pack (producer, clock, flags) into a v1 UUID string.
 
     `producer_node` is the 48-bit node int (multicast bit expected
-    set), `clock` the 60-bit clock, `flags` the 10-bit flag word.
+    set), `clock` the 64-bit clock (60-bit 100ns timestamp in the high
+    bits, 4-bit sequence counter in the low bits), `flags` the 10-bit
+    flag word. Bit-for-bit the reference layout (uuid.go:123-135):
+    time_low/mid/hi carry clock>>4 and the 4 counter bits land in
+    clock_seq bits 10-13, so UUIDs are wire-compatible with
+    reference-minted ones (asserted against an independent Python
+    restatement of BuildUUID in tests/test_uuid.py).
     """
-    time_low = clock.bitwiseAND(F.lit(0xFFFFFFFF))
-    time_mid = F.shiftright(clock, 32).bitwiseAND(F.lit(0xFFFF))
-    time_hi_ver = F.shiftright(clock, 48).bitwiseAND(F.lit(0x0FFF)) + F.lit(0x1000)
-    clock_seq = flags.bitwiseAND(F.lit(0x3FF)) + F.lit(0x8000)
+    time_low = F.shiftrightunsigned(clock, 4).bitwiseAND(F.lit(0xFFFFFFFF))
+    time_mid = F.shiftrightunsigned(clock, 36).bitwiseAND(F.lit(0xFFFF))
+    time_hi_ver = F.shiftrightunsigned(clock, 52).bitwiseAND(F.lit(0x0FFF)) + F.lit(
+        0x1000
+    )
+    clock_seq = (
+        F.shiftleft(clock.bitwiseAND(F.lit(0xF)), 10)
+        + flags.bitwiseAND(F.lit(0x3FF))
+        + F.lit(0x8000)
+    )
     return F.concat_ws(
         "-",
         _hexpad(time_low, 8),
@@ -62,11 +74,20 @@ def producer_node(seed: Column) -> Column:
 
 
 def uuid_clock(col: Column) -> Column:
-    """Unpack the 60-bit clock from a v1 UUID string (uuid.go:94-102)."""
+    """Unpack the full 64-bit clock from a v1 UUID string
+    (uuid.go:104-110 GetClock): timestamp bits from time_low/mid/hi
+    shifted up 4, plus the 4 sequence-counter bits from clock_seq
+    bits 10-13 (`uuid[8]>>2 & 0xf`)."""
     hi = F.conv(F.substring(col, 16, 3), 16, 10).cast("bigint")
     mid = F.conv(F.substring(col, 10, 4), 16, 10).cast("bigint")
     low = F.conv(F.substring(col, 1, 8), 16, 10).cast("bigint")
-    return F.shiftleft(hi, 48) + F.shiftleft(mid, 32) + low
+    seq = F.shiftright(F.conv(F.substring(col, 20, 2), 16, 10).cast("bigint"), 2)
+    return (
+        F.shiftleft(hi, 52)
+        + F.shiftleft(mid, 36)
+        + F.shiftleft(low, 4)
+        + seq.bitwiseAND(F.lit(0xF))
+    )
 
 
 def uuid_flags(col: Column) -> Column:
@@ -90,11 +111,11 @@ def duck_hexpad(expr: str, width: int) -> str:
 
 def duck_build_uuid(node: str, clock: str, flags: str) -> str:
     return (
-        f"{duck_hexpad(f'({clock}) & 4294967295', 8)} || '-' || "
-        f"{duck_hexpad(f'(({clock}) >> 32) & 65535', 4)} || '-' || "
-        f"{duck_hexpad(f'((({clock}) >> 48) & 4095) + 4096', 4)} || '-' || "
-        f"{duck_hexpad(f'(({flags}) & 1023) + 32768', 4)} || '-' || "
-        f"{duck_hexpad(node, 12)}"
+        f"{duck_hexpad(f'(({clock}) >> 4) & 4294967295', 8)} || '-' || "
+        f"{duck_hexpad(f'(({clock}) >> 36) & 65535', 4)} || '-' || "
+        f"{duck_hexpad(f'((({clock}) >> 52) & 4095) + 4096', 4)} || '-' || "
+        f"{duck_hexpad(f'((({clock}) & 15) * 1024) + (({flags}) & 1023) + 32768', 4)}"
+        f" || '-' || {duck_hexpad(node, 12)}"
     )
 
 
@@ -106,9 +127,10 @@ def duck_producer_node(seed_expr: str) -> str:
 
 def duck_uuid_clock(expr: str) -> str:
     return (
-        f"((CAST('0x' || substr({expr}, 16, 3) AS BIGINT) << 48) + "
-        f"(CAST('0x' || substr({expr}, 10, 4) AS BIGINT) << 32) + "
-        f"CAST('0x' || substr({expr}, 1, 8) AS BIGINT))"
+        f"((CAST('0x' || substr({expr}, 16, 3) AS BIGINT) << 52) + "
+        f"(CAST('0x' || substr({expr}, 10, 4) AS BIGINT) << 36) + "
+        f"(CAST('0x' || substr({expr}, 1, 8) AS BIGINT) << 4) + "
+        f"((CAST('0x' || substr({expr}, 20, 2) AS BIGINT) >> 2) & 15))"
     )
 
 

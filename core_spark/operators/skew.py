@@ -29,7 +29,22 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Equi-join `big` ⋈ `small` on `key`, salted across `n_salts`
-    tasks per key. Result equals `big.join(small, key, how)`."""
+    tasks per key. Result equals `big.join(small, key, how)` for
+    inner and left joins only: right/full-outer would replicate each
+    unmatched small-side row once per salt (the small side is
+    cross-joined with every salt value), so those modes are rejected.
+
+    The salt is drawn from monotonically_increasing_id and is NOT
+    stable across task retries — row-to-salt assignment may differ
+    between attempts. That changes only which task processes a row,
+    never the join result, because every salt of a key joins the same
+    replicated small side.
+    """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports inner/left joins, not {how!r}: outer "
+            "small-side rows would be duplicated once per salt"
+        )
     salted_big = big.withColumn(
         "_salt",
         F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salts)),
