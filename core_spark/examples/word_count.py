@@ -43,7 +43,6 @@ def run_word_count(
     source_glob: str,
     out_root: str,
     checkpoint_dir: str,
-    fence: int = 1,
 ) -> None:
     cfg = ShardConfig(
         source_glob=source_glob,
@@ -51,7 +50,6 @@ def run_word_count(
         out_root=out_root,
         out_journal="word-count/deltas",
         shard_id="word-count-0",
-        fence=fence,
         checkpoint_dir=checkpoint_dir,
     )
     run_shard(spark, cfg, ngram_deltas).awaitTermination(300)

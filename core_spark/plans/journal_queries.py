@@ -23,13 +23,17 @@ def q_journal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two covering fragments, with durable per-row `_offset`s
     (broker append/read lifecycle, SURVEY §3.1-3.2, re-expressed as
     fragment files + manifest)."""
-    events = load_table(spark, sf_dir, "events").orderBy("event_id").limit(3000)
+    events = load_table(spark, sf_dir, "events")
     root = tempfile.mkdtemp(prefix="q_journal_")
     j = Journal(root, "declared/events")
-    chunk = events.collect()
+    # Three appends as pure DataFrame filters over the event-id range
+    # (ids are dense from 0, so id < 3000 IS the first 3k events) —
+    # the rows never materialize on the driver.
     for lo in range(0, 3000, 1000):
         j.append(
-            spark.createDataFrame(chunk[lo : lo + 1000], schema=events.schema)
+            events.filter(
+                (F.col("event_id") >= lo) & (F.col("event_id") < lo + 1000)
+            )
         )
     return (
         j.read(spark, begin=500, end=2500)

@@ -16,12 +16,19 @@ Derivation (off = position in the journal):
               off = event_id * 2 + 1001 (interleaved ~500 later)
   producer  = user_id % 20            (interleaved producers)
   zero-uuid = event_id % 17 == 0  → clock 0, flags 0 (passthrough)
-  flags     = event_id % 10 in 0..5 → 0 (OUTSIDE_TXN)
-                              6..8 → 1 (CONTINUE_TXN)
-                                 9 → 2 (ACK_TXN)
+  flags     — three producer classes (producer % 3), so committed and
+              rolled-back CONTINUE runs are exercised both clean and
+              clobbered (the reference's mixed-use path,
+              sequencer.go:315-325):
+              class 0 (pure committed publisher): always 0
+              class 1 (pure transactional): m in 0..8 → 1, m == 9 → 2
+              class 2 (mixed use): m in 0..5 → 0, 6..8 → 1, 9 → 2
+              where m = event_id % 10
   clock     = event_id + 1, except rollback ACKs
               (event_id % 30 == 9) use clock event_id - 4, rolling
-              back any pending CONTINUEs with larger clocks.
+              back any pending CONTINUEs with larger clocks AND
+              resetting the committed horizon downward
+              (QueueAckRollback).
 """
 
 from __future__ import annotations
@@ -66,10 +73,13 @@ def message_view(events: DataFrame) -> DataFrame:
     eid = F.col("event_id")
     is_zero = eid % 17 == 0
     m = eid % 10
+    cls = (F.col("user_id") % 20) % 3
     return msgs.withColumns(
         {
             "producer": F.col("user_id") % 20,
             "flags": F.when(is_zero, 0)
+            .when(cls == 0, 0)
+            .when(cls == 1, F.when(m <= 8, 1).otherwise(2))
             .when(m <= 5, 0)
             .when(m <= 8, 1)
             .otherwise(2),
@@ -84,6 +94,9 @@ DUCK_MESSAGE_VIEW = """
     SELECT event_id, user_id, value, off,
            user_id % 20 AS producer,
            CASE WHEN event_id % 17 = 0 THEN 0
+                WHEN (user_id % 20) % 3 = 0 THEN 0
+                WHEN (user_id % 20) % 3 = 1 THEN
+                     CASE WHEN event_id % 10 <= 8 THEN 1 ELSE 2 END
                 WHEN event_id % 10 <= 5 THEN 0
                 WHEN event_id % 10 <= 8 THEN 1
                 ELSE 2 END AS flags,

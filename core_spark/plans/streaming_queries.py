@@ -8,6 +8,7 @@ import tempfile
 import uuid as py_uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from core_spark.io import load_table
 from core_spark.plans.message import message_view
@@ -20,7 +21,8 @@ from core_spark.streaming.read_committed import (
 
 @query("q_stream_dedup", oracle=None)
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming read-committed view (applyInPandasWithState sequencer).
+    """Streaming read-committed view (keyed-state sequencer; see
+    core_spark/streaming/read_committed.py for backend selection).
 
     Feeds the derived message journal (plans/message.py) through the
     stateful streaming operator in 3 offset-ordered micro-batches and
@@ -37,16 +39,19 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="q_stream_dedup_")
     src = os.path.join(work, "src")
     os.makedirs(src)
-    ordered = msgs.orderBy("off")
-    total = ordered.count()
-    rows = ordered.collect()
-    cuts = [total // 3, 2 * total // 3, total]
-    lo = 0
-    for i, hi in enumerate(cuts):
-        spark.createDataFrame(rows[lo:hi], schema=MESSAGE_SCHEMA).coalesce(
-            1
-        ).write.parquet(os.path.join(src, f"chunk-{i}.parquet"))
-        lo = hi
+    # Three offset-ordered chunks cut at approximate terciles — pure
+    # DataFrame writes, nothing materializes on the driver (the chunk
+    # files themselves stream through executors; only the two cut
+    # points come back).
+    q1, q2 = msgs.stat.approxQuantile("off", [1 / 3, 2 / 3], 0.001)
+    bounds = [(None, int(q1)), (int(q1), int(q2)), (int(q2), None)]
+    for i, (lo, hi) in enumerate(bounds):
+        chunk = msgs
+        if lo is not None:
+            chunk = chunk.filter(F.col("off") >= lo)
+        if hi is not None:
+            chunk = chunk.filter(F.col("off") < hi)
+        chunk.coalesce(1).write.parquet(os.path.join(src, f"chunk-{i}.parquet"))
 
     name = "q_stream_dedup_" + py_uuid.uuid4().hex[:8]
     stream = (

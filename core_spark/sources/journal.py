@@ -42,6 +42,22 @@ from dataclasses import asdict, dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from core_spark.sources.stores import FSManifestStore, ManifestStore
+
+
+def _footer_row_count(path: str) -> int:
+    """Row count of a written fragment from parquet footers only — no
+    data pages are read, unlike a count() re-scan (which doubled
+    append I/O for large fragments)."""
+    import pyarrow.parquet as pq
+
+    n = 0
+    for dirpath, _dirs, files in os.walk(path):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                n += pq.ParquetFile(os.path.join(dirpath, fn)).metadata.num_rows
+    return n
+
 
 class RegisterMismatch(Exception):
     """Append precondition failed (REGISTER_MISMATCH analog,
@@ -91,41 +107,62 @@ class Manifest:
 
 
 class Journal:
-    """One journal (≈ one partition of a streamed table)."""
+    """One journal (≈ one partition of a streamed table).
 
-    def __init__(self, root: str, name: str):
+    `store` carries the manifest CAS; it defaults to the filesystem
+    driver (O_EXCL). Pass a shared MemoryCASStore to model contended
+    appenders against an object store's conditional PUT
+    (core_spark/sources/stores.py).
+    """
+
+    def __init__(self, root: str, name: str, store: ManifestStore | None = None):
         self.name = name
         self.root = os.path.join(root, name)
         self.manifest_dir = os.path.join(self.root, "_manifest")
         self.frag_dir = os.path.join(self.root, "fragments")
         os.makedirs(self.manifest_dir, exist_ok=True)
         os.makedirs(self.frag_dir, exist_ok=True)
+        self.store = store if store is not None else FSManifestStore(self.manifest_dir)
 
     # ----------------------------------------------------------- manifest
     def manifest(self) -> Manifest:
-        versions = [
-            int(f[1:-5])
-            for f in os.listdir(self.manifest_dir)
-            if f.startswith("v") and f.endswith(".json")
-        ]
+        versions = self.store.list_versions()
         if not versions:
             return Manifest()
-        with open(os.path.join(self.manifest_dir, f"v{max(versions)}.json")) as fh:
-            return Manifest.from_json(fh.read())
+        return Manifest.from_json(self.store.read(max(versions)))
 
     def _commit_manifest(self, m: Manifest) -> None:
-        """CAS: exactly one writer creates version N (O_EXCL)."""
-        path = os.path.join(self.manifest_dir, f"v{m.version}.json")
-        try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError as e:
+        """CAS: exactly one writer creates version N (conditional
+        create — O_EXCL on fs, conditional PUT on object stores)."""
+        if not self.store.put_if_absent(m.version, m.to_json()):
             raise AppendConflict(
                 f"manifest v{m.version} already committed by a concurrent appender"
-            ) from e
-        with os.fdopen(fd, "w") as fh:
-            fh.write(m.to_json())
-            fh.flush()
-            os.fsync(fh.fileno())
+            )
+
+    # -------------------------------------------------------------- fence
+    def acquire_fence(self, shard: str, max_attempts: int = 64) -> int:
+        """Store-assigned unique, monotonically-increasing fence for a
+        shard incarnation: a register-only manifest commit carrying
+        fence:{shard} = held+1. Uniqueness comes from the manifest CAS
+        itself — two incarnations racing here serialize on the version
+        create, so each observes the other's bump and retries (the
+        atomic fence-increment of consumer/store_sql.go:96-146,
+        re-expressed on the journal's own CAS)."""
+        for _ in range(max_attempts):
+            m = self.manifest()
+            held = int(m.registers.get(f"fence:{shard}", "0"))
+            new = Manifest(
+                version=m.version + 1,
+                next_offset=m.next_offset,
+                fragments=m.fragments,
+                registers={**m.registers, f"fence:{shard}": str(held + 1)},
+            )
+            try:
+                self._commit_manifest(new)
+                return held + 1
+            except AppendConflict:
+                continue  # lost the race; re-read and re-bump
+        raise AppendConflict(f"fence CAS for {shard} contended {max_attempts} times")
 
     # ------------------------------------------------------------- append
     def append(
@@ -168,7 +205,7 @@ class Journal:
         if path_postfix:
             writer = writer.partitionBy(*path_postfix)
         writer.parquet(tmp)
-        n = stamped.sparkSession.read.parquet(tmp).count()
+        n = _footer_row_count(tmp)
 
         final = os.path.join(self.frag_dir, frag_name)
         os.rename(tmp, final)

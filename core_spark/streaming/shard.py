@@ -38,7 +38,6 @@ class ShardConfig:
     out_root: str
     out_journal: str
     shard_id: str
-    fence: int
     checkpoint_dir: str
     max_files_per_trigger: int = 8
     trigger_seconds: float | None = None  # None => availableNow semantics
@@ -56,9 +55,9 @@ def run_shard(
         .option("maxFilesPerTrigger", cfg.max_files_per_trigger)
         .parquet(cfg.source_glob)
     )
-    sink = FencedJournalSink(
-        cfg.out_root, cfg.out_journal, shard=cfg.shard_id, fence=cfg.fence
-    )
+    # fence is store-assigned at construction: each incarnation of the
+    # shard gets a unique, larger fence via the journal's manifest CAS
+    sink = FencedJournalSink(cfg.out_root, cfg.out_journal, shard=cfg.shard_id)
 
     def process(df: DataFrame, batch_id: int) -> None:
         sink(transform(df), batch_id)

@@ -11,16 +11,25 @@ Reference mapping (SURVEY.md §4.3.2-3):
 
 Spark shape: `foreachBatch(sink)` — the micro-batch id is the
 transaction id. The sink:
-  1. skips batch ids at or below the committed watermark (idempotent
+  1. acquires its fence FROM THE STORE at construction
+     (Journal.acquire_fence: a register-only manifest CAS increments
+     fence:{shard}), so every incarnation holds a unique,
+     strictly-larger fence — two writers constructed concurrently
+     serialize on the CAS and cannot share a fence;
+  2. skips batch ids at or below the committed watermark (idempotent
      re-delivery after restart — Spark may re-run the last batch);
-  2. writes the batch's data fragments to the output journal;
-  3. commits {batch_id} via the journal's manifest CAS, carrying the
-     shard fence in the journal registers — a zombie writer holding a
-     stale fence loses the CAS and aborts (write fence,
+  3. writes the batch's data fragments to the output journal and
+     commits {batch_id} via the journal's manifest CAS, carrying the
+     fence in the journal registers — a zombie writer holding a stale
+     fence loses the register check / CAS and aborts (write fence,
      consumer/recoverylog/fsm.go:41-56);
   4. after the commit, appends one ACK_TXN marker per touched journal
      (BuildAckIntents) so downstream read-committed consumers release
-     the batch's CONTINUE run.
+     the batch's CONTINUE run. The ACK path is fence-gated too: a
+     zombie re-delivering an already-committed batch may not write
+     ACKs either — re-sends belong to the live incarnation, which
+     re-appends recovered AckIntents at startup
+     (consumer/transaction.go:45-91).
 """
 
 from __future__ import annotations
@@ -37,22 +46,25 @@ from core_spark.sources.journal import Journal, RegisterMismatch
 class FencedJournalSink:
     """foreachBatch target writing exactly-once into a Journal."""
 
-    def __init__(self, root: str, journal: str, shard: str, fence: int):
+    def __init__(self, root: str, journal: str, shard: str):
         self.journal = Journal(root, journal)
         self.shard = shard
-        self.fence = fence
-        # Claim the fence: newer incarnations bump it; older writers
-        # then fail their register check (at-most-once appender).
-        m = self.journal.manifest()
-        held = int(m.registers.get(f"fence:{shard}", "-1"))
-        if held >= fence:
-            raise RegisterMismatch(
-                f"fence {fence} stale: shard {shard} already at {held}"
-            )
+        # Store-assigned unique fence: newer incarnations bump it;
+        # older writers then fail their register check / ack gate.
+        self.fence = self.journal.acquire_fence(shard)
 
     def committed_batch(self) -> int:
         m = self.journal.manifest()
         return int(m.registers.get(f"batch:{self.shard}", "-1"))
+
+    def _check_fence(self) -> None:
+        held = int(
+            self.journal.manifest().registers.get(f"fence:{self.shard}", "0")
+        )
+        if held > self.fence:
+            raise RegisterMismatch(
+                f"fenced off: journal holds {held} > {self.fence}"
+            )
 
     def _ensure_ack(self, batch_id: int) -> None:
         """Write the batch's ACK intent if absent. Called on the commit
@@ -60,7 +72,7 @@ class FencedJournalSink:
         re-send the ACK when the batch is re-delivered (the recovered
         checkpoint's AckIntents are re-appended at startup,
         consumer/transaction.go:45-91 — idempotent because keyed by
-        batch id)."""
+        batch id). Fence-checked by callers: zombies don't ACK."""
         ack_path = os.path.join(self.journal.root, f"_acks/batch-{batch_id}.json")
         if os.path.exists(ack_path):
             return
@@ -71,28 +83,19 @@ class FencedJournalSink:
             )
 
     def __call__(self, df: DataFrame, batch_id: int) -> None:
+        self._check_fence()  # zombies neither write data nor ACK
         if batch_id <= self.committed_batch():
             self._ensure_ack(batch_id)  # ACK re-send after crash-between
             return  # idempotent re-delivery
 
-        m = self.journal.manifest()
-        check = {}
-        prev_fence = m.registers.get(f"fence:{self.shard}")
-        if prev_fence is not None:
-            if int(prev_fence) > self.fence:
-                raise RegisterMismatch(
-                    f"fenced off: journal holds {prev_fence} > {self.fence}"
-                )
-            check[f"fence:{self.shard}"] = prev_fence
-
         staged = df.withColumn("_batch", F.lit(batch_id))
         self.journal.append(
             staged,
-            check_registers=check,
-            set_registers={
-                f"fence:{self.shard}": str(self.fence),
-                f"batch:{self.shard}": str(batch_id),
-            },
+            # the append itself re-validates the fence against the
+            # manifest it commits over — the CAS closes the
+            # check-then-act window _check_fence alone would leave
+            check_registers={f"fence:{self.shard}": str(self.fence)},
+            set_registers={f"batch:{self.shard}": str(batch_id)},
         )
         # Post-commit ACK intent (idempotent: keyed by batch id).
         self._ensure_ack(batch_id)

@@ -60,7 +60,7 @@ def flaky_then_agg(df):
 cfg = ShardConfig(
     source_glob=src + "/*", source_schema="key long, v long",
     out_root=os.path.join(work, "out"), out_journal="sum/results",
-    shard_id="s0", fence=1, checkpoint_dir=os.path.join(work, "ckpt"),
+    shard_id="s0", checkpoint_dir=os.path.join(work, "ckpt"),
 )
 run_shard(spark, cfg, flaky_then_agg).awaitTermination(180)
 
@@ -92,7 +92,7 @@ def test_exactly_once_under_task_retry(tmp_path):
 
 def test_ack_resent_after_crash_between_commit_and_ack(spark, tmp_path):
     root = str(tmp_path / "j")
-    sink = FencedJournalSink(root, "out/r", shard="s0", fence=1)
+    sink = FencedJournalSink(root, "out/r", shard="s0")
     batch = spark.range(0, 10).withColumnRenamed("id", "v")
     sink(batch, 0)
     ack = Path(Journal(root, "out/r").root) / "_acks" / "batch-0.json"

@@ -74,6 +74,23 @@ def _directed_cases() -> list[list[Msg]]:
         seq(1006, [(0, 0, 0), (0, 0, 0), (0, 1, 0)]),
         # duplicate ACKs; CONTINUE between equal-clock ACKs rolls back
         seq(1007, [(0, 3, 1), (0, 5, 2), (0, 7, 1), (0, 5, 2), (0, 9, 2)]),
+        # recovery replay: rollback ACK RESETS the horizon DOWNWARD so
+        # post-recovery re-sends are accepted (QueueAckRollback,
+        # sequencer.go:236-257) — emits 10 AND 8
+        seq(1008, [(0, 10, 1), (0, 10, 2), (0, 6, 2), (0, 8, 1), (0, 8, 2)]),
+        # at-least-once fallback: the SAME message re-sent after a
+        # rollback below its clock is emitted twice
+        seq(1009, [(0, 5, 1), (0, 5, 2), (0, 2, 2), (0, 5, 1), (0, 5, 2)]),
+        # committed OUTSIDE clobbers the pending CONTINUE run
+        # (sequencer.go:315-325) — emits OUT 5 and CONT 7, not CONT 10
+        seq(1010, [(0, 10, 1), (0, 5, 0), (0, 7, 1), (0, 7, 2)]),
+        # OUTSIDE accepted after a rollback lowered the horizon
+        seq(1011, [(0, 9, 0), (0, 3, 2), (0, 5, 0)]),
+        # ACK commits THROUGH its clock: higher-clock pending dropped
+        # (sequencer.go:326-328) — emits 3 only
+        seq(1012, [(0, 3, 1), (0, 5, 1), (0, 4, 2)]),
+        # rollback, then a fresh run from below the old horizon
+        seq(1013, [(0, 4, 1), (0, 2, 2), (0, 3, 1), (0, 3, 2)]),
     ]
 
 

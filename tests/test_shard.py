@@ -28,7 +28,6 @@ def test_shard_word_count_resume(spark, tmp_path):
         out_root=str(tmp_path / "out"),
         out_journal="wc/deltas",
         shard_id="shard-0",
-        fence=1,
         checkpoint_dir=str(tmp_path / "ckpt"),
         max_files_per_trigger=1,
     )
@@ -50,7 +49,7 @@ def test_shard_word_count_resume(spark, tmp_path):
     assert totals == {"a": 2, "b": 2, "c": 1}
 
     # restart with no new input: nothing re-emitted
-    cfg2 = ShardConfig(**{**cfg.__dict__, "fence": 2})
+    cfg2 = ShardConfig(**cfg.__dict__)  # new incarnation: fence auto-bumps
     run_shard(spark, cfg2, deltas).awaitTermination(120)
     assert j.read(spark).count() == j.read(spark).dropDuplicates().count()
     totals2 = {
@@ -61,7 +60,7 @@ def test_shard_word_count_resume(spark, tmp_path):
 
     # new chunk after restart: only the delta lands
     _write_chunk(spark, src, "c2.parquet", ["c", "c"])
-    cfg3 = ShardConfig(**{**cfg.__dict__, "fence": 3})
+    cfg3 = ShardConfig(**cfg.__dict__)
     run_shard(spark, cfg3, deltas).awaitTermination(120)
     totals3 = {
         r.word: r.total
