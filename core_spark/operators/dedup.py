@@ -173,8 +173,15 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFram
     """Frequency-weighted SimHash fingerprint per document.
 
     token hash -> per-bit +/-1 votes -> sign -> packed fingerprint.
-    Pure explode/groupBy; dynamic bit extraction uses exact double
-    power-of-two division (values < 2^32 are double-exact).
+
+    Shape: ONE aggregate per bit over the token stream — a single
+    groupBy(doc_id) with `bits` sum columns, so there is no per-bit
+    row blowup (an earlier formulation exploded every token-hash row
+    into `bits` vote rows: at 100 TB that intermediate is 32x corpus
+    tokens; this one is 1x, and map-side partial aggregation
+    compresses each task's tokens to one 32-long row per doc before
+    the shuffle). Bit extraction is integer shift/mask — equal to the
+    oracle's FLOOR(h / 2^b) % 2 for the non-negative 32-bit hash.
     Output: (doc_id, simhash).
     """
     toks = docs.select(
@@ -184,29 +191,19 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFram
         "doc_id",
         F.expr(SPARK_MD5I32.format(x="concat('t:', tok)")).alias("h"),
     )
-    votes = toks.select(
-        "doc_id",
-        "h",
-        F.explode(F.expr(f"sequence(0, {bits - 1})")).alias("b"),
-    ).select(
-        "doc_id",
-        "b",
-        F.expr(
-            "CAST(FLOOR(h / power(2, b)) AS BIGINT) % 2 * 2 - 1"
-        ).alias("s"),
-    )
-    return (
-        votes.groupBy("doc_id", "b")
-        .agg(F.sum("s").alias("v"))
-        .groupBy("doc_id")
-        .agg(
+    votes = toks.groupBy("doc_id").agg(
+        *[
             F.sum(
-                F.when(F.col("v") > 0, F.expr("CAST(power(2, b) AS BIGINT)")).otherwise(
-                    0
-                )
-            ).alias("simhash")
-        )
+                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"v{b}")
+            for b in range(bits)
+        ]
     )
+    pack = None
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        pack = term if pack is None else pack + term
+    return votes.select("doc_id", pack.cast("bigint").alias("simhash"))
 
 
 # Skew cap for the inverted-index join: shingles in more docs than this
