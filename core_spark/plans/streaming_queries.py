@@ -19,6 +19,121 @@ from core_spark.streaming.read_committed import (
 )
 
 
+@query(
+    "q_join1_stream",
+    oracle="""
+    WITH a AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_id % 2 = 0
+    ),
+    b AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_id % 2 = 1
+    )
+    SELECT a.event_id AS a_event, b.event_id AS b_event,
+           a.user_id AS user_id,
+           epoch_us(a.ts) AS a_us, epoch_us(b.ts) AS b_us
+    FROM a JOIN b ON a.user_id = b.user_id
+       AND b.ts BETWEEN a.ts - INTERVAL 5 MINUTE AND a.ts
+    ORDER BY a_event, b_event
+    """,
+)
+def q_join1_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join over two co-partitioned
+    sources — the streaming form of q_join1.
+
+    Reference: consumer/protocol/protocol.proto:64-78 (a shard reading
+    co-partitioned journals "represents a join over messages of
+    distinct journals"), read pump consumer/shard.go:373-413. Spark
+    form: two file-stream sources advanced in lockstep
+    (maxFilesPerTrigger=1 each side, time-ordered chunks), both
+    watermarked on event time; the inner join carries a 5-minute
+    range predicate so state is evicted as the watermark advances.
+
+    Oracle-checkable: the watermark delay (30 min) exceeds the join
+    range plus any cross-chunk disorder, so no qualifying row is ever
+    evicted early and the streaming result equals the batch join —
+    the DuckDB oracle IS that batch join.
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", F.unix_micros("ts").alias("us")
+    )
+    a = events.filter(F.col("event_id") % 2 == 0)
+    b = events.filter(F.col("event_id") % 2 == 1)
+
+    work = tempfile.mkdtemp(prefix="q_join1_stream_")
+    q1, q2 = events.stat.approxQuantile("us", [1 / 3, 2 / 3], 0.001)
+    bounds = [(None, int(q1)), (int(q1), int(q2)), (int(q2), None)]
+    for side, df in (("a", a), ("b", b)):
+        os.makedirs(os.path.join(work, side))
+        for i, (lo, hi) in enumerate(bounds):
+            chunk = df
+            if lo is not None:
+                chunk = chunk.filter(F.col("us") >= lo)
+            if hi is not None:
+                chunk = chunk.filter(F.col("us") < hi)
+            chunk.select("event_id", "user_id", "ts").coalesce(1).write.parquet(
+                os.path.join(work, side, f"chunk-{i}.parquet")
+            )
+
+    schema = "event_id long, user_id long, ts timestamp"
+
+    def tail(side):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(work, side) + "/*")
+        )
+
+    sa = (
+        tail("a")
+        .select(
+            F.col("event_id").alias("a_event"),
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("a_ts"),
+        )
+        .withWatermark("a_ts", "30 minutes")
+    )
+    sb = (
+        tail("b")
+        .select(
+            F.col("event_id").alias("b_event"),
+            F.col("user_id").alias("b_user"),
+            F.col("ts").alias("b_ts"),
+        )
+        .withWatermark("b_ts", "30 minutes")
+    )
+    joined = sa.join(
+        sb,
+        F.expr(
+            "user_id = b_user AND "
+            "b_ts BETWEEN a_ts - INTERVAL 5 MINUTES AND a_ts"
+        ),
+        "inner",
+    )
+
+    name = "q_join1_stream_" + py_uuid.uuid4().hex[:8]
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.sql(
+        f"SELECT a_event, b_event, user_id, "
+        f"unix_micros(a_ts) AS a_us, unix_micros(b_ts) AS b_us "
+        f"FROM {name} ORDER BY a_event, b_event"
+    )
+
+
 @query("q_stream_dedup", oracle=None)
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming read-committed view (keyed-state sequencer; see
