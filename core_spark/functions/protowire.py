@@ -1,43 +1,76 @@
-"""Minimal protobuf wire-format decode — no protobuf runtime needed.
+"""Protobuf wire-format decode — no protobuf runtime needed.
 
-The reference's word-count messages are protobuf
+The reference's example messages are protobuf
 (examples/word-count/word_count.pb.go:32-39: NGramCount{uuid: bytes=1,
 n_gram: string=2, count: uint64=3}) carried in fixed-header frames
-(message/fixed_framing.go). The general protobuf framing stays stubbed
-behind the registry (a schema-compiled runtime belongs there), but the
-wire format itself is simple — (tag varint, value) pairs — so schema-
-known messages decode in an Arrow-batched `mapInPandas` stage with a
-~30-line pure-Python varint reader. This is the engine's "bring a
-frame decoder" extension point exercised for real, and the decoder
-closure is self-contained (pickled by value — worker processes need no
-repo import).
+(message/fixed_framing.go:32-148). A schema-compiled runtime would
+normally decode the body; none exists in this container, but the wire
+format itself is simple — (tag varint, value) pairs — so schema-known
+messages decode in an Arrow-batched `mapInPandas` stage with a pure-
+Python varint reader. The decoder closure is self-contained (pickled
+by value — worker processes need no repo import).
 
-Supported field kinds: varint (wire type 0) → int, length-delimited
-(wire type 2) → bytes/str. That covers NGramCount and any similarly
-scalar message; nested/packed fields would extend the same loop.
+Field kinds (proto wire types in parens):
+- 'varint' (0)        → long
+- 'bytes' / 'str' (2) → binary / string
+- 'double' (1), 'float' (5), 'fixed64' (1), 'fixed32' (5)
+- 'packed_varint' (2, or repeated 0) → array<long>
+- a nested {field_no: (name, kind)} dict (2) → struct<...>, recursive
+
+Unknown fields are skipped per proto semantics (including wire types
+1/5, whose width is known without a schema).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+_KIND_DDL = {
+    "varint": "long",
+    "bytes": "binary",
+    "str": "string",
+    "double": "double",
+    "float": "float",
+    "fixed64": "long",
+    "fixed32": "long",
+    "packed_varint": "array<bigint>",
+}
+
+
+def schema_of(spec: dict) -> str:
+    """DDL schema for a {field_no: (name, kind)} spec (kind may be a
+    nested spec dict)."""
+    parts = []
+    for name, kind in spec.values():
+        if isinstance(kind, dict):
+            parts.append(f"{name} struct<{schema_of(kind)}>")
+        else:
+            parts.append(f"{name} {_KIND_DDL[kind]}")
+    return ", ".join(parts)
+
 
 def decode_proto(
     df: DataFrame,
     payload_col: str,
-    fields: dict[int, tuple[str, str]],
+    fields: dict,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Decode protobuf payloads per a {field_no: (name, kind)} map,
-    kind in {'varint', 'bytes', 'str'}. Output: doc columns per field
-    (missing fields → null). Unknown fields are skipped per proto
-    semantics."""
+    """Decode protobuf payloads per a {field_no: (name, kind)} spec.
+    Output: one column per field (missing fields → null), plus
+    `keep_cols` passed through unchanged."""
     spec = dict(fields)  # capture a plain dict in the closure
-    out_schema = ", ".join(
-        f"{name} {'long' if kind == 'varint' else 'binary' if kind == 'bytes' else 'string'}"
-        for name, kind in spec.values()
-    )
+    keep = list(keep_cols or [])
+    out_schema = schema_of(spec)
+    if keep:
+        kept_ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in df.select(*keep).schema.fields
+        )
+        out_schema = f"{kept_ddl}, {out_schema}"
 
     def decode(batches):
+        import struct as _struct
+
         import pandas as pd
 
         def read_varint(b: bytes, i: int) -> tuple[int, int]:
@@ -50,34 +83,69 @@ def decode_proto(
                     return val, i
                 shift += 7
 
-        def decode_one(raw: bytes) -> dict:
-            out = {name: None for name, _ in spec.values()}
+        def decode_one(raw: bytes, sp: dict) -> dict:
+            out = {}
+            for name, kind in sp.values():
+                out[name] = [] if kind == "packed_varint" else None
             i = 0
             while i < len(raw):
                 tag, i = read_varint(raw, i)
                 field_no, wire = tag >> 3, tag & 0x7
                 if wire == 0:
                     val, i = read_varint(raw, i)
+                elif wire == 1:
+                    val = raw[i : i + 8]
+                    i += 8
                 elif wire == 2:
                     ln, i = read_varint(raw, i)
                     val = raw[i : i + ln]
                     i += ln
+                elif wire == 5:
+                    val = raw[i : i + 4]
+                    i += 4
                 else:
                     raise ValueError(f"unsupported wire type {wire}")
-                if field_no in spec:
-                    name, kind = spec[field_no]
-                    out[name] = (
-                        val if kind != "str" else bytes(val).decode("utf-8")
-                    )
+                if field_no not in sp:
+                    continue  # unknown field: skipped, width consumed
+                name, kind = sp[field_no]
+                if isinstance(kind, dict):
+                    out[name] = decode_one(bytes(val), kind)
+                elif kind == "packed_varint":
+                    if wire == 0:  # unpacked repeated occurrence
+                        out[name].append(val)
+                    else:
+                        j = 0
+                        while j < len(val):
+                            v, j = read_varint(val, j)
+                            out[name].append(v)
+                elif kind == "str":
+                    out[name] = bytes(val).decode("utf-8")
+                elif kind == "double":
+                    out[name] = _struct.unpack("<d", val)[0]
+                elif kind == "float":
+                    out[name] = _struct.unpack("<f", val)[0]
+                elif kind == "fixed64":
+                    out[name] = _struct.unpack("<q", val)[0]
+                elif kind == "fixed32":
+                    out[name] = _struct.unpack("<i", val)[0]
+                else:  # varint / bytes
+                    out[name] = val
             return out
 
         for pdf in batches:
-            decoded = [decode_one(bytes(b)) for b in pdf[payload_col]]
-            yield pd.DataFrame(decoded)
+            decoded = pd.DataFrame(
+                [decode_one(bytes(b), spec) for b in pdf[payload_col]]
+            )
+            if keep:
+                base = pdf[keep].reset_index(drop=True)
+                decoded = pd.concat([base, decoded], axis=1)
+            yield decoded
 
-    return df.select(payload_col).mapInPandas(decode, schema=out_schema)
+    cols = [*keep, payload_col] if keep else [payload_col]
+    return df.select(*cols).mapInPandas(decode, schema=out_schema)
 
 
+# ------------------------------------------------------------- encoders
 def encode_varint(n: int) -> bytes:
     out = bytearray()
     while True:
@@ -88,11 +156,37 @@ def encode_varint(n: int) -> bytes:
             return bytes(out)
 
 
+def encode_message(values: dict, spec: dict) -> bytes:
+    """Encode {name: value} per the same spec (test/fixture side).
+    Nested dicts recurse; packed_varint lists pack into one wire-2
+    field."""
+    by_name = {name: (no, kind) for no, (name, kind) in spec.items()}
+    body = b""
+    for name, value in values.items():
+        no, kind = by_name[name]
+        if value is None:
+            continue
+        if isinstance(kind, dict):
+            sub = encode_message(value, kind)
+            body += encode_varint(no << 3 | 2) + encode_varint(len(sub)) + sub
+        elif kind == "packed_varint":
+            packed = b"".join(encode_varint(v) for v in value)
+            body += encode_varint(no << 3 | 2) + encode_varint(len(packed)) + packed
+        elif kind == "str":
+            raw = value.encode("utf-8")
+            body += encode_varint(no << 3 | 2) + encode_varint(len(raw)) + raw
+        elif kind == "bytes":
+            body += encode_varint(no << 3 | 2) + encode_varint(len(value)) + value
+        elif kind == "varint":
+            body += encode_varint(no << 3 | 0) + encode_varint(value)
+        else:
+            raise ValueError(f"encode_message: unsupported kind {kind!r}")
+    return body
+
+
 def encode_ngram_count(uuid: bytes, ngram: str, count: int) -> bytes:
     """Test-side encoder for NGramCount (tag = field_no<<3 | wire)."""
-    body = b""
-    body += encode_varint(1 << 3 | 2) + encode_varint(len(uuid)) + uuid
-    ng = ngram.encode()
-    body += encode_varint(2 << 3 | 2) + encode_varint(len(ng)) + ng
-    body += encode_varint(3 << 3 | 0) + encode_varint(count)
-    return body
+    return encode_message(
+        {"uuid": uuid, "ngram": ngram, "count": count},
+        {1: ("uuid", "bytes"), 2: ("ngram", "str"), 3: ("count", "varint")},
+    )

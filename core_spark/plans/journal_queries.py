@@ -1,5 +1,7 @@
-"""Journal-storage declared query (rows-only: exercises the engine's
-own storage layer, which has no DuckDB analog)."""
+"""Journal-storage declared queries: the append/read lifecycle
+(rows-only — it exercises the engine's own storage layer), and the
+framed-journal pipeline (oracle-checked: encode → fixed-header frame →
+journal → read → header parse → protowire decode → aggregate)."""
 
 from __future__ import annotations
 
@@ -8,6 +10,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from core_spark.functions.framing import decode_journal, encode_fixed_frame
 from core_spark.io import load_table
 from core_spark.plans.registry import query
 from core_spark.sources.journal import Journal
@@ -39,4 +42,112 @@ def q_journal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.read(spark, begin=500, end=2500)
         .select("event_id", "user_id", "value", "_offset", "_journal")
         .orderBy("_offset")
+    )
+
+
+# ------------------------------------------------------- framed journal
+@query(
+    "q_framed_journal",
+    oracle="""
+    SELECT event_type AS ngram,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS sum_count,
+           CAST(SUM(user_id % 8 + event_id % 4) AS BIGINT) AS sum_meta,
+           CAST(SUM((event_id % 10) * 100 + (event_id % 7) * 10
+                    + event_id % 3) AS BIGINT) AS sum_samples
+    FROM events
+    GROUP BY event_type ORDER BY ngram
+    """,
+)
+def q_framed_journal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full framed-message lifecycle over a journal, oracle-checked:
+    protobuf-encode one message per event (nested sub-message + packed
+    repeated field included), wrap in fixed-header frames
+    (message/fixed_framing.go:32-148 magic + LE u32), append the raw
+    payloads to a journal, read them back, and decode via the
+    content-type framing registry (message/interfaces.go:82-96) —
+    header parse as binary expressions, body via the runtime-free
+    protowire reader. The aggregate over decoded fields must equal the
+    same aggregate computed directly from `events` in DuckDB, proving
+    the encode→frame→store→read→decode loop is lossless.
+
+    Message (word_count.pb.go:32-39 NGramCount, extended):
+      1: uuid bytes, 2: ngram str, 3: count varint,
+      4: meta message(1: shard varint, 2: slot varint),
+      5: samples packed_varint
+    """
+    events = load_table(spark, sf_dir, "events")
+    src = events.select(
+        F.unhex(F.md5(F.col("event_id").cast("string"))).alias("uuid"),
+        F.col("event_type").alias("ngram"),
+        F.col("event_id").alias("count"),
+        (F.col("user_id") % 8).alias("shard"),
+        (F.col("event_id") % 4).alias("slot"),
+        (F.col("event_id") % 10).alias("s0"),
+        (F.col("event_id") % 7).alias("s1"),
+        (F.col("event_id") % 3).alias("s2"),
+    )
+
+    def encode(batches):
+        """Self-contained protowire encoder (workers have no repo)."""
+        import pandas as pd
+
+        def varint(n):
+            out = bytearray()
+            while True:
+                b = n & 0x7F
+                n >>= 7
+                out.append(b | (0x80 if n else 0))
+                if not n:
+                    return bytes(out)
+
+        def ld(no, raw):  # length-delimited field
+            return varint(no << 3 | 2) + varint(len(raw)) + raw
+
+        for pdf in batches:
+            bodies = []
+            for r in pdf.itertuples(index=False):
+                meta = varint(1 << 3) + varint(int(r.shard)) + varint(
+                    2 << 3
+                ) + varint(int(r.slot))
+                packed = varint(int(r.s0)) + varint(int(r.s1)) + varint(int(r.s2))
+                body = (
+                    ld(1, bytes(r.uuid))
+                    + ld(2, r.ngram.encode("utf-8"))
+                    + varint(3 << 3)
+                    + varint(int(r.count))
+                    + ld(4, meta)
+                    + ld(5, packed)
+                )
+                bodies.append(body)
+            yield pd.DataFrame({"body": bodies})
+
+    bodies = src.mapInPandas(encode, schema="body binary")
+    payloads = bodies.select(encode_fixed_frame(F.col("body")).alias("payload"))
+
+    root = tempfile.mkdtemp(prefix="q_framed_")
+    j = Journal(root, "framed/ngrams")
+    j.append(payloads)
+
+    raw = j.read(spark).select("payload")
+    decoded = decode_journal(
+        raw,
+        "application/x-protobuf",
+        "1:uuid:bytes, 2:ngram:str, 3:count:varint, "
+        "4:meta:message(1:shard:varint, 2:slot:varint), "
+        "5:samples:packed_varint",
+    )
+    return (
+        decoded.groupBy("ngram")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("count").alias("sum_count"),
+            F.sum(F.col("meta.shard") + F.col("meta.slot")).alias("sum_meta"),
+            F.sum(
+                F.element_at("samples", 1) * 100
+                + F.element_at("samples", 2) * 10
+                + F.element_at("samples", 3)
+            ).alias("sum_samples"),
+        )
+        .orderBy("ngram")
     )

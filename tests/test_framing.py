@@ -64,9 +64,16 @@ def test_fixed_frame_roundtrip(spark):
     assert FIXED_MAGIC == bytes([0x66, 0x33, 0x93, 0x36])
 
 
-def test_protobuf_body_is_stubbed(spark, raw):
-    with pytest.raises(NotImplementedError, match="STUB.*protobuf"):
-        decode_journal(raw, "application/x-protobuf", "k long")
+def test_protobuf_schema_dsl_parses_nested():
+    from core_spark.functions.framing import parse_proto_schema
+
+    spec = parse_proto_schema(
+        "1:uuid:bytes, 2:n_gram:str, 3:count:varint, "
+        "4:meta:message(1:shard:varint, 2:slot:varint), 5:xs:packed_varint"
+    )
+    assert spec[2] == ("n_gram", "str")
+    assert spec[4][0] == "meta" and spec[4][1][2] == ("slot", "varint")
+    assert spec[5] == ("xs", "packed_varint")
 
 
 def test_unknown_content_type(spark):

@@ -40,3 +40,81 @@ def test_multibyte_varints(spark):
         [(encode_ngram_count(b"", "big", big),)], "msg binary"
     )
     assert decode_proto(df, "msg", NGRAM_FIELDS).first()["count"] == big
+
+
+NESTED_FIELDS = {
+    1: ("name", "str"),
+    2: ("meta", {1: ("shard", "varint"), 2: ("slot", "varint")}),
+    3: ("samples", "packed_varint"),
+    4: ("score", "double"),
+}
+
+
+def test_nested_and_packed_roundtrip(spark):
+    from core_spark.functions.protowire import encode_message, encode_varint
+
+    import struct as s
+
+    bodies = []
+    for i in range(20):
+        body = encode_message(
+            {
+                "name": f"doc-{i}",
+                "meta": {"shard": i % 8, "slot": i * 3},
+                "samples": [i, i * 1000, 2**40 + i],
+            },
+            NESTED_FIELDS,
+        )
+        # wire-1 double field appended manually (encode_message keeps
+        # to varint/bytes kinds)
+        body += encode_varint(4 << 3 | 1) + s.pack("<d", i / 4)
+        bodies.append((i, body))
+    df = spark.createDataFrame(bodies, "i long, msg binary")
+    out = decode_proto(df, "msg", NESTED_FIELDS, keep_cols=["i"]).collect()
+    assert len(out) == 20
+    for r in out:
+        i = r["i"]
+        assert r["name"] == f"doc-{i}"
+        assert r["meta"]["shard"] == i % 8 and r["meta"]["slot"] == i * 3
+        assert list(r["samples"]) == [i, i * 1000, 2**40 + i]
+        assert r["score"] == i / 4
+
+
+def test_unpacked_repeated_occurrences_append(spark):
+    """proto3 decoders must accept unpacked encodings of packed
+    fields: repeated wire-0 occurrences of field 3 accumulate."""
+    from core_spark.functions.protowire import encode_varint
+
+    body = b"".join(
+        encode_varint(3 << 3 | 0) + encode_varint(v) for v in (7, 8, 9)
+    )
+    df = spark.createDataFrame([(body,)], "msg binary")
+    r = decode_proto(df, "msg", NESTED_FIELDS).first()
+    assert list(r["samples"]) == [7, 8, 9]
+
+
+def test_proto_framing_registry_end_to_end(spark):
+    """application/x-protobuf framing: magic check, LE length, DSL
+    schema with nesting — bad-magic frames dropped."""
+    from core_spark.functions.framing import decode_journal
+    from core_spark.functions.protowire import encode_message
+
+    good = [
+        (encode_message({"name": f"g{i}", "meta": {"shard": i, "slot": 1}},
+                        NESTED_FIELDS),)
+        for i in range(10)
+    ]
+    framed = spark.createDataFrame(good, "body binary").select(
+        encode_fixed_frame(F.col("body")).alias("payload")
+    )
+    junk = spark.createDataFrame([(b"\x00\x01\x02\x03junkjunk",)], "payload binary")
+    raw = framed.unionByName(junk)
+    out = decode_journal(
+        raw,
+        "application/x-protobuf",
+        "1:name:str, 2:meta:message(1:shard:varint, 2:slot:varint)",
+    )
+    rows = out.collect()
+    assert len(rows) == 10  # junk frame dropped by the magic check
+    assert {r["name"] for r in rows} == {f"g{i}" for i in range(10)}
+    assert all(r["meta"]["slot"] == 1 for r in rows)
