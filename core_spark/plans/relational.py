@@ -833,3 +833,228 @@ def q_tpch10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+# -------------------------------------------------------------- Q-TPCH2
+@query(
+    "q_tpch2",
+    oracle="""
+    SELECT DISTINCT p.p_partkey, p.p_name, p.p_brand, s.s_name, n.n_name,
+           l.l_extendedprice AS min_price
+    FROM part p, lineitem l, supplier s, nation n
+    WHERE l.l_partkey = p.p_partkey AND l.l_suppkey = s.s_suppkey
+      AND s.s_nationkey = n.n_nationkey
+      AND p.p_size = 15
+      AND l.l_extendedprice = (
+        SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+        WHERE l2.l_partkey = p.p_partkey)
+    ORDER BY p.p_partkey, s.s_name
+    """,
+)
+def q_tpch2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 core (min-cost supplier per part via a correlated
+    minimum), adapted to the dataset: lineitem stands in for partsupp
+    as the per-(part, supplier) price list. The correlated subquery is
+    re-expressed the Spark-idiomatic way — a per-part MIN aggregate
+    joined back on exact equality (no arithmetic on the double, so the
+    equality is engine-exact)."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    minp = li.groupBy(F.col("l_partkey").alias("mp_partkey")).agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    return (
+        part.join(li, F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            minp,
+            (F.col("mp_partkey") == F.col("p_partkey"))
+            & (F.col("l_extendedprice") == F.col("min_price")),
+        )
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("p_partkey", "p_name", "p_brand", "s_name", "n_name", "min_price")
+        .distinct()
+        .orderBy("p_partkey", "s_name")
+    )
+
+
+# -------------------------------------------------------------- Q-TPCH8
+@query(
+    "q_tpch8",
+    oracle="""
+    WITH volumes AS (
+      SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+             CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                  AS BIGINT) AS vol_c,
+             n2.n_name AS supp_nation
+      FROM part p, lineitem l, orders o, customer c,
+           nation n1, region r, supplier s, nation n2
+      WHERE p.p_partkey = l.l_partkey AND l.l_orderkey = o.o_orderkey
+        AND o.o_custkey = c.c_custkey AND c.c_nationkey = n1.n_nationkey
+        AND n1.n_regionkey = r.r_regionkey AND r.r_name = 'AMERICA'
+        AND l.l_suppkey = s.s_suppkey AND s.s_nationkey = n2.n_nationkey
+        AND p.p_type = 'ECONOMY'
+    )
+    SELECT o_year,
+           ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                               THEN vol_c ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(vol_c) AS DOUBLE), 6) AS mkt_share
+    FROM volumes GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q_tpch8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 national market share (adapted nation/type literals to
+    the synthetic domains). Money discipline: per-row integer cents,
+    then one exact int/int division rounded to 6dp — order-independent
+    under any partitioning."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol_c = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    volumes = (
+        part.join(li, F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == F.col("r_regionkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol_c.alias("vol_c"),
+            "supp_nation",
+        )
+    )
+    return (
+        volumes.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", F.col("vol_c"))
+                    .otherwise(0)
+                ).cast("double")
+                / F.sum("vol_c").cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+# ------------------------------------------------------------- Q-TPCH12
+@query(
+    "q_tpch12",
+    oracle="""
+    SELECT l.l_returnflag AS grp,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY grp ORDER BY grp
+    """,
+)
+def q_tpch12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shipping-priority counts, adapted to the dataset's
+    columns: 'late' lineitems (shipped >60 days after the order date —
+    the dataset has no commit/receipt dates) classified by order
+    priority, grouped by return flag."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy(F.col("l_returnflag").alias("grp"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("grp")
+    )
+
+
+# ------------------------------------------------------------- Q-TPCH14
+@query(
+    "q_tpch14",
+    oracle="""
+    SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                      AS BIGINT) ELSE 0 END) AS DOUBLE)
+           / CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                 AS BIGINT)) AS DOUBLE), 6) AS promo_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+    """,
+)
+def q_tpch14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 promo revenue share for one month. Same cents-int
+    then exact-division discipline as q_tpch8; the broadcast join on
+    part keeps the big lineitem side shuffle-free."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    return li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")).agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type") == "PROMO", cents).otherwise(0)).cast(
+                "double"
+            )
+            / F.sum(cents).cast("double"),
+            6,
+        ).alias("promo_revenue")
+    )
+
+
+# ------------------------------------------------------- Q-GROUPING-SETS
+@query(
+    "q_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS over orders: per-(status, priority) cells plus
+    per-status and grand-total super-aggregates in one pass — Spark
+    computes all sets in a single Expand + hash aggregate (one
+    shuffle), not one scan per set. Same SQL text runs on DuckDB."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n,
+               -- 100.0D: a plain 100.0 literal is DECIMAL in Spark
+               -- SQL, and bigint/decimal division renders with
+               -- trailing zeros the oracle's double does not have
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0D AS total
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """)
