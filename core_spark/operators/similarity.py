@@ -15,9 +15,16 @@ Two tiers, mirroring what a 100 TB training-data pipeline needs:
   The hyperplanes are a deterministic literal (seeded off-engine) so
   results are reproducible and oracle-checkable.
 
-An IVF variant (k-means coarse quantizer) would follow the same join
-shape with learned centroids; LSH is preferred here because it needs
-no training pass and its determinism is oracle-friendly.
+- `ann_ivf`: inverted-file index (IVF) with a deterministic coarse
+  quantizer. Centroids are designated corpus vectors (lowest ids)
+  rather than k-means-trained ones: Lloyd iterations average floats,
+  and float summation order differs across engines/partitionings, so
+  trained centroids would make results non-reproducible — the
+  engine-exact alternative keeps every IVF *search* property (cell
+  assignment by nearest centroid as a broadcast argmax, inverted
+  lists keyed by cell, multi-probe queries) while staying
+  oracle-checkable. Swapping in k-means centroids is a drop-in
+  `centroids` DataFrame.
 
 Float discipline: dot products computed in double, cosine rounded to 6
 decimals *before* ranking, ties broken by vec_id — so ranking is
@@ -120,6 +127,78 @@ def ann_lsh(
         "vec_id",
         "bucket",
         F.expr(cosine_sim_expr("qv", "cv")).alias("sim"),
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def ann_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: nearest-centroid cell assignment
+    (broadcast argmax over `n_cells` designated centroids — map-side,
+    the corpus is never all-paired), inverted lists keyed by cell,
+    queries probing their `nprobe` nearest cells.
+
+    Cell assignment uses the same rounded-cosine + id tie-break
+    discipline as ranking, so it is engine-deterministic. The corpus
+    side is one max_by aggregate (partial map-side combine: the
+    n_cells candidate rows of a vector collapse before the shuffle);
+    the candidate join shuffles on the cell id only.
+
+    Output: (qid, vec_id, cell, sim)."""
+    cents = corpus.orderBy(id_col).limit(n_cells).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_v")
+    )
+
+    def assign(df, out_id, top_n):
+        sims = (
+            df.join(F.broadcast(cents))
+            .select(
+                F.col(out_id),
+                "cent_id",
+                F.expr(cosine_sim_expr("_v", "cent_v")).alias("csim"),
+            )
+        )
+        if top_n == 1:
+            return sims.groupBy(out_id).agg(
+                F.max_by(
+                    "cent_id", F.struct(F.col("csim"), -F.col("cent_id"))
+                ).alias("cell")
+            )
+        w = W.partitionBy(out_id).orderBy(F.desc("csim"), F.asc("cent_id"))
+        return (
+            sims.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= top_n)
+            .select(out_id, F.col("cent_id").alias("cell"))
+        )
+
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
+    c_cells = assign(c, "vec_id", 1)
+    inverted = c.join(c_cells, "vec_id").select(
+        "vec_id", F.col("_v").alias("cv"), "cell"
+    )
+
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("_v"))
+    q_cells = assign(q, "qid", nprobe)
+    probes = q.join(q_cells, "qid").select("qid", F.col("_v").alias("qv"), "cell")
+
+    pairs = (
+        probes.join(inverted, "cell")
+        .filter(F.col("qid") != F.col("vec_id"))
+        .select(
+            "qid", "vec_id", "cell", F.expr(cosine_sim_expr("qv", "cv")).alias("sim")
+        )
     )
     w = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (

@@ -36,7 +36,12 @@ from core_spark.operators.dedup import (
     simhash,
     verify_jaccard,
 )
-from core_spark.operators.similarity import ann_lsh, hyperplanes, knn_bruteforce
+from core_spark.operators.similarity import (
+    ann_ivf,
+    ann_lsh,
+    hyperplanes,
+    knn_bruteforce,
+)
 from core_spark.plans.registry import query
 
 # ---------------------------------------------------------- DuckDB bits
@@ -290,6 +295,62 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return ann_lsh(queries, emb, k=3, n_planes=8, dims=64).orderBy(
+        "qid", "vec_id"
+    )
+
+
+# ---------------------------------------------------------------- ann-ivf
+@query(
+    "q_ann_ivf",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cent_id, v AS cent_v FROM e
+              ORDER BY vec_id LIMIT 16),
+    c_assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cent_id AS cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_duck_cos("e.v", "c.cent_v")} DESC, c.cent_id) AS rn
+        FROM e, cents c
+      ) WHERE rn = 1
+    ),
+    q_assign AS (
+      SELECT qid, cell FROM (
+        SELECT e.vec_id AS qid, c.cent_id AS cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_duck_cos("e.v", "c.cent_v")} DESC, c.cent_id) AS rn
+        FROM e, cents c WHERE e.vec_id < 10
+      ) WHERE rn <= 2
+    ),
+    pairs AS (
+      SELECT q.qid, ca.vec_id, q.cell, {_duck_cos("qe.v", "ce.v")} AS sim
+      FROM q_assign q
+      JOIN e qe ON qe.vec_id = q.qid
+      JOIN c_assign ca ON ca.cell = q.cell
+      JOIN e ce ON ce.vec_id = ca.vec_id
+      WHERE q.qid <> ca.vec_id
+    )
+    SELECT qid, vec_id, cell, sim FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+      FROM pairs
+    ) WHERE rn <= 3 ORDER BY qid, vec_id
+    """,
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via an inverted-file index: 16 deterministic
+    centroids (designated corpus vectors — k-means averaging is not
+    engine-reproducible in floats), nearest-centroid cell assignment
+    as a broadcast argmax, inverted lists keyed on the cell id, and
+    2-probe queries; top-3 by cosine. The candidate shuffle is keyed
+    on cell — the other standard 100 TB ANN layout beside
+    hyperplane LSH (q_ann_lsh)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ann_ivf(queries, emb, k=3, n_cells=16, nprobe=2).orderBy(
         "qid", "vec_id"
     )
 
