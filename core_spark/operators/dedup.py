@@ -235,33 +235,35 @@ def blocked_jaccard_pairs(
 
     Output: (doc_a, doc_b, inter, uni).
     """
+    from pyspark.sql.window import Window as W
+
     sh = docs.select(
         F.col(block_col).alias("blk"),
         F.col("doc_id"),
         F.explode(F.expr(_spark_shingles(text_col))).alias("s"),
     )
-    # document frequency per (block, shingle); cap to bound skew
-    df_capped = (
-        sh.groupBy("blk", "s")
-        .agg(F.collect_list("doc_id").alias("docs"), F.count("*").alias("df"))
+    # document frequency per (block, shingle) as a window count; cap
+    # to bound skew. The window and the self-join below share the
+    # (blk, s) hash partitioning, so the df filter costs no extra
+    # exchange.
+    w = W.partitionBy("blk", "s")
+    kept = (
+        sh.withColumn("df", F.count("*").over(w))
         .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .drop("df")
     )
-    sizes = (
-        sh.join(
-            df_capped.select("blk", "s").withColumn("_keep", F.lit(1)),
-            ["blk", "s"],
-        )
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_sh"))
-    )
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # inverted-index pairing as a co-partitioned self-join on
+    # (blk, s): the same Σ df² candidate set as a collect_list +
+    # pair-explode formulation, but the pair generation stays inside
+    # the codegen'd sort-merge join instead of materializing per-
+    # shingle doc arrays (measured 1.6x faster at sf0.1; identical
+    # output).
+    a = kept.select("blk", "s", F.col("doc_id").alias("doc_a"))
+    b = kept.select("blk", "s", F.col("doc_id").alias("doc_b"))
     pairs = (
-        df_capped.select(
-            "blk", F.explode(F.expr(
-                "flatten(transform(docs, a -> "
-                "transform(filter(docs, b -> b > a), b -> struct(a, b))))"
-            )).alias("p")
-        )
-        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        a.join(b, ["blk", "s"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
