@@ -46,6 +46,10 @@ HEADLINE = [
     "q_ngram_jaccard",
     "q_knn_cosine",
     "q_ann_lsh",
+    "q_ann_ivf",
+    "q_tpch8",
+    "q_tpch14",
+    "q_grouping_sets",
 ]
 
 
