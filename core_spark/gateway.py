@@ -1,0 +1,160 @@
+"""HTTP gateway: thin REST bridge over the journal API.
+
+Reference: broker/http_gateway/http_gateway.go:26-237 — GET proxies a
+journal Read (offset via query params, read-through metadata in
+response headers), PUT proxies an Append of the request body. The
+reference exists so environments that can't speak gRPC can still
+read/append; this analog plays the same role for the engine: a
+stdlib ThreadingHTTPServer in front of `Journal`, NDJSON over the
+wire.
+
+Endpoints:
+  PUT /jnl/<journal/name>            body: NDJSON rows → one atomic
+                                     append (one fragment); response
+                                     {journal, begin, end, n_records}
+  GET /jnl/<journal/name>?begin=&end= NDJSON rows of the offset range;
+                                     X-Journal-Next-Offset carries the
+                                     read-through offset (the
+                                     Content-Range analog)
+  GET /journals                      manifest summary of every journal
+                                     under the root
+
+Scale note: the gateway is a *convenience* path, exactly as in the
+reference — one HTTP body funnels through one append (the per-journal
+serialization contract), and reads materialize the bounded requested
+range to serve the response. Bulk work belongs on the DataFrame API;
+the gateway exists for curl-class clients.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from pyspark.sql import SparkSession
+
+from core_spark.sources.journal import Journal, RegisterMismatch
+
+
+class JournalGateway:
+    """Serve journals under `root` over HTTP. start() binds and
+    returns (host, port); stop() shuts the server down."""
+
+    def __init__(self, spark: SparkSession, root: str, host: str = "127.0.0.1",
+                 port: int = 0):
+        self.spark = spark
+        self.root = root
+        self._host, self._port = host, port
+        self._server: ThreadingHTTPServer | None = None
+        self._thread: threading.Thread | None = None
+
+    # ------------------------------------------------------------ server
+    def start(self) -> tuple[str, int]:
+        gw = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):  # silence request logging
+                pass
+
+            def _send(self, code: int, body: bytes,
+                      ctype: str = "application/json",
+                      headers: dict[str, str] | None = None):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                for k, v in (headers or {}).items():
+                    self.send_header(k, v)
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _error(self, code: int, msg: str):
+                self._send(code, json.dumps({"error": msg}).encode())
+
+            def do_GET(self):
+                url = urlparse(self.path)
+                if url.path == "/journals":
+                    self._send(200, json.dumps(gw.list_journals()).encode())
+                    return
+                if not url.path.startswith("/jnl/"):
+                    self._error(404, f"unknown path {url.path}")
+                    return
+                name = url.path[len("/jnl/"):]
+                qs = parse_qs(url.query)
+                begin = int(qs["begin"][0]) if "begin" in qs else None
+                end = int(qs["end"][0]) if "end" in qs else None
+                try:
+                    body, next_off = gw.read_ndjson(name, begin, end)
+                except ValueError as e:
+                    self._error(416, str(e))  # no covering fragments
+                    return
+                self._send(
+                    200, body, ctype="application/x-ndjson",
+                    headers={"X-Journal-Next-Offset": str(next_off)},
+                )
+
+            def do_PUT(self):
+                url = urlparse(self.path)
+                if not url.path.startswith("/jnl/"):
+                    self._error(404, f"unknown path {url.path}")
+                    return
+                name = url.path[len("/jnl/"):]
+                length = int(self.headers.get("Content-Length", "0"))
+                raw = self.rfile.read(length)
+                try:
+                    frag = gw.append_ndjson(name, raw)
+                except RegisterMismatch as e:
+                    self._error(412, str(e))  # precondition failed
+                    return
+                except Exception as e:  # malformed body
+                    self._error(400, str(e))
+                    return
+                self._send(200, json.dumps(
+                    {"journal": name, "begin": frag.begin, "end": frag.end,
+                     "n_records": frag.n_records}
+                ).encode())
+
+        self._server = ThreadingHTTPServer((self._host, self._port), Handler)
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self._server.server_address[0], self._server.server_address[1]
+
+    def stop(self) -> None:
+        if self._server is not None:
+            self._server.shutdown()
+            self._server.server_close()
+
+    # ------------------------------------------------------------- verbs
+    def append_ndjson(self, name: str, raw: bytes):
+        lines = [ln for ln in raw.decode("utf-8").splitlines() if ln.strip()]
+        if not lines:
+            raise ValueError("empty append body")
+        df = self.spark.read.json(
+            self.spark.sparkContext.parallelize(lines, 1)
+        )
+        return Journal(self.root, name).append(df)
+
+    def read_ndjson(self, name: str, begin: int | None, end: int | None):
+        j = Journal(self.root, name)
+        df = j.read(self.spark, begin=begin, end=end).orderBy("_offset")
+        rows = df.toJSON().collect()
+        next_off = j.manifest().next_offset if end is None else end
+        return ("\n".join(rows) + "\n").encode("utf-8"), next_off
+
+    def list_journals(self) -> list[dict]:
+        out = []
+        for dirpath, dirs, _files in os.walk(self.root):
+            if "_manifest" in dirs:
+                name = os.path.relpath(dirpath, self.root)
+                m = Journal(self.root, name).manifest()
+                out.append(
+                    {"name": name, "next_offset": m.next_offset,
+                     "fragments": len(m.fragments),
+                     "registers": m.registers}
+                )
+                dirs.remove("_manifest")
+        return sorted(out, key=lambda d: d["name"])
