@@ -33,14 +33,19 @@ from core_spark.streaming.sink import FencedJournalSink
 
 @dataclass
 class ShardConfig:
-    source_glob: str  # journal fragment glob to tail
-    source_schema: str
+    source_glob: str | None  # journal fragment glob to tail, OR...
+    source_schema: str | None
     out_root: str
     out_journal: str
     shard_id: str
     checkpoint_dir: str
     max_files_per_trigger: int = 8
     trigger_seconds: float | None = None  # None => availableNow semantics
+    # ...a journal tailed through its own manifest via the journal
+    # data source (sources/datasource.py) — the MessageProducer
+    # override path; offsets/progress are journal offsets.
+    source_root: str | None = None
+    source_journal: str | None = None
 
 
 def run_shard(
@@ -50,11 +55,22 @@ def run_shard(
 ) -> StreamingQuery:
     """Start the shard's streaming query; returns the handle
     (caller awaits/stops — the Resolver analog owns lifecycle)."""
-    src = (
-        spark.readStream.schema(cfg.source_schema)
-        .option("maxFilesPerTrigger", cfg.max_files_per_trigger)
-        .parquet(cfg.source_glob)
-    )
+    if cfg.source_journal is not None:
+        from core_spark.sources.datasource import journal_datasource
+
+        spark.dataSource.register(journal_datasource())
+        src = (
+            spark.readStream.format("journal")
+            .option("root", cfg.source_root)
+            .option("name", cfg.source_journal)
+            .load()
+        )
+    else:
+        src = (
+            spark.readStream.schema(cfg.source_schema)
+            .option("maxFilesPerTrigger", cfg.max_files_per_trigger)
+            .parquet(cfg.source_glob)
+        )
     # fence is store-assigned at construction: each incarnation of the
     # shard gets a unique, larger fence via the journal's manifest CAS
     sink = FencedJournalSink(cfg.out_root, cfg.out_journal, shard=cfg.shard_id)
