@@ -16,7 +16,19 @@ from core_spark.plans.registry import query
 from core_spark.sources.journal import Journal
 
 
-@query("q_journal_roundtrip", oracle=None)
+@query(
+    "q_journal_roundtrip",
+    # Appends are explicitly event_id-sorted, so the stamped journal
+    # offset of each row is exactly its event_id — which makes the
+    # whole storage round-trip oracle-checkable in DuckDB.
+    oracle="""
+    SELECT event_id, user_id, value,
+           event_id AS _offset,
+           'declared/events' AS _journal
+    FROM events WHERE event_id >= 500 AND event_id < 2500
+    ORDER BY _offset
+    """,
+)
 def q_journal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serializable append → offset-stamped fragments → pruned read.
 
@@ -31,12 +43,13 @@ def q_journal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = Journal(root, "declared/events")
     # Three appends as pure DataFrame filters over the event-id range
     # (ids are dense from 0, so id < 3000 IS the first 3k events) —
-    # the rows never materialize on the driver.
+    # the rows never materialize on the driver. Each append is sorted
+    # so journal offsets are deterministic (offset == event_id).
     for lo in range(0, 3000, 1000):
         j.append(
             events.filter(
                 (F.col("event_id") >= lo) & (F.col("event_id") < lo + 1000)
-            )
+            ).orderBy("event_id")
         )
     return (
         j.read(spark, begin=500, end=2500)

@@ -134,7 +134,23 @@ def q_join1_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_stream_dedup", oracle=None)
+from core_spark.operators.sequencer import duck_read_committed
+from core_spark.plans.message import DUCK_MESSAGE_VIEW
+
+
+@query(
+    "q_stream_dedup",
+    # The streaming sequencer agrees bit-for-bit with the batch window
+    # formulation (asserted in tests/test_streaming.py), so the batch
+    # DuckDB twin IS this query's oracle — the streaming path gets the
+    # full rows+schema+hash gate, not a rows-only pass.
+    oracle=duck_read_committed(
+        DUCK_MESSAGE_VIEW,
+        offset="off",
+        select_cols="event_id, user_id, value, off, producer, clock, flags",
+    )
+    + " ORDER BY off",
+)
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming read-committed view (keyed-state sequencer; see
     core_spark/streaming/read_committed.py for backend selection).
