@@ -59,3 +59,48 @@ def test_aggregates_are_partial_final(spark, name):
     # in-txn-cache → store-flush shape of the reference
     plan = _plan(spark, name)
     assert plan.count("HashAggregate") >= 2
+
+
+def test_tpch8_broadcasts_dims_no_cartesian(spark):
+    plan = _plan(spark, "q_tpch8")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the type filter reaches the part scan
+    assert "EqualTo(p_type,ECONOMY)" in plan
+
+
+def test_tpch14_broadcast_and_pushed_dates(spark):
+    plan = _plan(spark, "q_tpch14")
+    assert "BroadcastHashJoin" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_tpch2_size_filter_pushed(spark):
+    assert "EqualTo(p_size,15)" in _plan(spark, "q_tpch2")
+
+
+def test_grouping_sets_single_expand_single_agg_shuffle(spark):
+    """All three grouping sets compute in ONE Expand + one aggregate
+    exchange — not one scan/shuffle per set."""
+    plan = _plan(spark, "q_grouping_sets")
+    assert plan.count("Expand") >= 1
+    hash_exchanges = re.findall(r"Arguments: hashpartitioning\(", plan)
+    assert len(hash_exchanges) == 1, plan[:40]
+
+
+def test_ivf_assignment_broadcasts_centroids(spark):
+    plan = _plan(spark, "q_ann_ivf")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_jaccard_selfjoin_shares_blk_s_partitioning(spark):
+    """The df-cap window and the pair self-join must run on ONE
+    (blk, s) hash exchange: the capped index is materialized
+    (persist) and its partitioning is reused by both self-join sides
+    — no re-shuffle of the exploded shingle stream."""
+    plan = _plan(spark, "q_ngram_jaccard")
+    exchanges = re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan)
+    blk_s = [e for e in exchanges if e.startswith("blk")]
+    assert len(blk_s) == 1, exchanges
+    assert "InMemoryTableScan" in plan
