@@ -99,6 +99,9 @@ def test_jaccard_selfjoin_shares_blk_s_partitioning(spark):
     (blk, s) hash exchange: the capped index is materialized
     (persist) and its partitioning is reused by both self-join sides
     — no re-shuffle of the exploded shingle stream."""
+    # the assertion is about the COLD plan; a cache left warm by an
+    # earlier test prints the cached subtree's exchange once per scan
+    spark.catalog.clearCache()
     plan = _plan(spark, "q_ngram_jaccard")
     exchanges = re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan)
     blk_s = [e for e in exchanges if e.startswith("blk")]
