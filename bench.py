@@ -50,6 +50,10 @@ HEADLINE = [
     "q_tpch8",
     "q_tpch14",
     "q_grouping_sets",
+    "q_tpch9",
+    "q_tpch13",
+    "q_tpch17",
+    "q_tpch21",
 ]
 
 
