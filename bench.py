@@ -54,6 +54,8 @@ HEADLINE = [
     "q_tpch13",
     "q_tpch17",
     "q_tpch21",
+    "q_decontam",
+    "q_repetition",
 ]
 
 

@@ -1,0 +1,236 @@
+"""Corpus-curation declared queries: deterministic train/val/test
+splitting, benchmark decontamination, and intra-document repetition
+scoring (the Gopher-style quality rule).
+
+These close the training-data-pipeline loop around the dedup tier in
+plans/llmops.py: after near-dup removal, a real corpus pass (a) splits
+the corpus reproducibly, (b) removes documents that leak held-out
+evaluation data, and (c) drops degenerate repetitive documents. All
+three are pure DataFrame/SQL compositions with value-identical DuckDB
+oracles.
+
+Scale notes (100 TB):
+- split: map-side only — a salted md5 of the stable doc key, bucketed
+  by integer ranges. No shuffle; the assignment is a projection any
+  downstream read can recompute (no materialized membership table).
+- decontamination: the benchmark side is small by construction (an
+  eval suite, not a corpus) -> distinct shingle set is broadcast; the
+  corpus side explodes 3-shingles map-side and aggregates once on
+  doc_id. One skew-free shuffle at corpus scale.
+- repetition: per-doc token stats are array expressions (map-side);
+  the top-bigram count is explode -> two-level aggregate keyed on
+  (doc_id, bigram) then doc_id — both keys are high-cardinality and
+  skew-free, and partial aggregation absorbs the blowup map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from core_spark.io import load_table
+from core_spark.plans.registry import query
+
+# ------------------------------------------------------------------ split
+# Salted content-independent hash split. The salt keeps the assignment
+# independent of every other md5-keyed operator (dedup buckets, shard
+# mappings); bucketing on a hash of the STABLE KEY (not the text) keeps
+# a document's split stable under text re-processing.
+_SPARK_BUCKET = (
+    "CAST(conv(substring(md5(concat('split:', CAST(doc_id AS STRING))), 1, 8), "
+    "16, 10) AS BIGINT) % 100"
+)
+_DUCK_BUCKET = (
+    "CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) "
+    "AS BIGINT) % 100"
+)
+
+
+@query(
+    "q_split",
+    oracle=f"""
+    SELECT doc_id,
+           {_DUCK_BUCKET} AS bucket,
+           CASE WHEN {_DUCK_BUCKET} < 80 THEN 'train'
+                WHEN {_DUCK_BUCKET} < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split: salted md5 of the
+    stable doc key -> integer bucket -> range assignment. Map-side
+    only; any job can recompute membership without a lookup table."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_SPARK_BUCKET)
+    return (
+        docs.select(
+            "doc_id",
+            bucket.alias("bucket"),
+            F.when(bucket < 80, F.lit("train"))
+            .when(bucket < 90, F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# -------------------------------------------------------- decontamination
+@query(
+    "q_decontam",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 1, 1)),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 97 = 0
+    ),
+    corpus AS (
+      SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS s
+      FROM sh WHERE doc_id % 97 <> 0
+    )
+    SELECT c.doc_id,
+           c.n_shingles,
+           COUNT(*) AS n_overlap,
+           CAST(COUNT(*) * 10 >= c.n_shingles AS BIGINT) AS contaminated
+    FROM corpus c JOIN bench b USING (s)
+    GROUP BY c.doc_id, c.n_shingles
+    ORDER BY c.doc_id
+    """,
+)
+def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing word
+    3-shingles with a held-out benchmark set (here: doc_id % 97 = 0
+    stands in for the eval suite). The benchmark's distinct shingle
+    set is broadcast — the corpus side never shuffles its shingles,
+    only the per-doc overlap counts. `contaminated` = overlap on
+    >= 10% of the doc's shingles (integer cross-multiplication)."""
+    from core_spark.operators.dedup import _explode_shingles, _with_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = (
+        _explode_shingles(docs.filter(F.col("doc_id") % 97 == 0), "text", [])
+        .select("s")
+        .distinct()
+    )
+    corpus = _with_shingles(
+        docs.filter(F.col("doc_id") % 97 != 0), "text", ["doc_id"]
+    ).select("doc_id", F.size("sh").alias("n_shingles"), F.explode("sh").alias("s"))
+    return (
+        corpus.join(F.broadcast(bench), "s")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.count("*").alias("n_overlap"))
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_overlap",
+            (F.col("n_overlap") * 10 >= F.col("n_shingles"))
+            .cast("bigint")
+            .alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ------------------------------------------------------------- repetition
+@query(
+    "q_repetition",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    st AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             len(list_distinct(toks)) AS n_distinct
+      FROM t
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i+1])) AS b
+      FROM t
+    ),
+    mx AS (
+      SELECT doc_id, MAX(c) AS top_bigram_n
+      FROM (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b)
+      GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           s.n_tokens,
+           round((s.n_tokens - s.n_distinct) / s.n_tokens, 4)
+             AS dup_token_ratio,
+           coalesce(mx.top_bigram_n, 0) AS top_bigram_n,
+           CASE WHEN s.n_tokens > 1
+                THEN round(coalesce(mx.top_bigram_n, 0)
+                           / (s.n_tokens - 1.0), 4)
+                ELSE 0.0 END AS top_bigram_frac,
+           CAST(coalesce(mx.top_bigram_n, 0) * 5 >= (s.n_tokens - 1)
+                AND s.n_tokens > 1 AS BIGINT) AS repetitive
+    FROM st s LEFT JOIN mx USING (doc_id)
+    ORDER BY s.doc_id
+    """,
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition scoring (Gopher-style): duplicate-
+    token ratio from array expressions (map-side) plus the most-
+    frequent-bigram fraction via explode -> (doc_id, bigram) count ->
+    per-doc max. `repetitive` = top bigram covers >= 20% of bigram
+    slots (integer cross-multiplication, no float threshold)."""
+    docs = load_table(spark, sf_dir, "documents")
+    # Materialize the token array before any lambda indexes into it —
+    # inlining split() into transform() re-splits per element
+    # (quadratic in doc length; see operators/dedup.py:_with_shingles).
+    t = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    st = t.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+    )
+    bg = t.select(
+        "doc_id",
+        # sequence(0, -1) steps BACKWARDS in Spark — guard n < 2
+        # explicitly instead of clamping the bound.
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) >= 2 THEN "
+                "transform(sequence(0, size(toks) - 2), "
+                "i -> concat(toks[i], ' ', toks[i+1])) "
+                "ELSE array() END"
+            )
+        ).alias("b"),
+    )
+    mx = (
+        bg.groupBy("doc_id", "b")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_bigram_n"))
+    )
+    top_n = F.coalesce(F.col("top_bigram_n"), F.lit(0))
+    return (
+        st.join(mx, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                (F.col("n_tokens") - F.col("n_distinct")) / F.col("n_tokens"), 4
+            ).alias("dup_token_ratio"),
+            top_n.alias("top_bigram_n"),
+            F.when(
+                F.col("n_tokens") > 1,
+                F.round(top_n / (F.col("n_tokens") - 1.0), 4),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("top_bigram_frac"),
+            (
+                (top_n * 5 >= F.col("n_tokens") - 1) & (F.col("n_tokens") > 1)
+            )
+            .cast("bigint")
+            .alias("repetitive"),
+        )
+        .orderBy("doc_id")
+    )
