@@ -118,13 +118,23 @@ def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s")
         .distinct()
     )
-    corpus = _with_shingles(
-        docs.filter(F.col("doc_id") % 97 != 0), "text", ["doc_id"]
-    ).select("doc_id", F.size("sh").alias("n_shingles"), F.explode("sh").alias("s"))
-    return (
-        corpus.join(F.broadcast(bench), "s")
-        .groupBy("doc_id", "n_shingles")
+    corpus_docs = docs.filter(F.col("doc_id") % 97 != 0)
+    # Two branches over the corpus: sizes stay map-side (array size,
+    # no generator), overlaps explode. Exploding an array aliased in
+    # a previous select re-inlines split() into a per-row generator
+    # filter (see operators/dedup.py:_explode_shingles) — measured
+    # 8.1 s -> ~1 s at sf0.1 for this query.
+    sizes = _with_shingles(corpus_docs, "text", ["doc_id"]).select(
+        "doc_id", F.size("sh").alias("n_shingles")
+    )
+    overlap = (
+        _explode_shingles(corpus_docs, "text", ["doc_id"])
+        .join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
         .agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        overlap.join(sizes, "doc_id")
         .select(
             "doc_id",
             "n_shingles",
