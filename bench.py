@@ -56,6 +56,7 @@ HEADLINE = [
     "q_tpch21",
     "q_decontam",
     "q_repetition",
+    "q_dup_clusters",
 ]
 
 

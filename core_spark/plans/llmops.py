@@ -84,10 +84,9 @@ _DUCK_MINS = ", ".join(
     f"coalesce(list_min(list_transform(hs, h -> (h * {a} + {b}) % {MINHASH_P})), 0)"
     for a, b in minhash_params(_MINHASH_K)
 )
-@query(
-    "q_minhash_lsh",
-    oracle=f"""
-    WITH sh AS ({DUCK_SHINGLES}),
+# CTE list + final pair select, factored so the dup-cluster oracle can
+# embed the exact same pair pipeline under WITH RECURSIVE.
+DUCK_MINHASH_CTES = f"""sh AS ({DUCK_SHINGLES}),
     hsh AS (
       SELECT doc_id, sh,
              list_transform(sh, s -> {_duck_md5i32("s")}) AS hs
@@ -109,15 +108,22 @@ _DUCK_MINS = ", ".join(
       FROM bands a JOIN bands b
         ON a.b = b.b AND a.sig = b.sig AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
-    )
-    SELECT c.doc_a, c.doc_b,
+    )"""
+DUCK_MINHASH_PAIR_SELECT = """SELECT c.doc_a, c.doc_b,
            len(list_intersect(sa.sh, sb.sh)) AS inter,
            len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS uni
     FROM cand c
     JOIN sh sa ON c.doc_a = sa.doc_id
     JOIN sh sb ON c.doc_b = sb.doc_id
     WHERE len(list_intersect(sa.sh, sb.sh)) * 10
-          >= (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) * 7
+          >= (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) * 7"""
+
+
+@query(
+    "q_minhash_lsh",
+    oracle=f"""
+    WITH {DUCK_MINHASH_CTES}
+    {DUCK_MINHASH_PAIR_SELECT}
     ORDER BY doc_a, doc_b
     """,
 )
@@ -138,6 +144,45 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("inter") * 10 >= F.col("uni") * 7)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ------------------------------------------------------------ dup clusters
+@query(
+    "q_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {DUCK_MINHASH_CTES},
+    pairs AS ({DUCK_MINHASH_PAIR_SELECT}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.v, r.lbl FROM reach r JOIN edges e ON r.node = e.u
+    )
+    SELECT node AS doc_id, MIN(lbl) AS cluster_id
+    FROM reach GROUP BY node ORDER BY doc_id
+    """,
+)
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup cluster resolution: the connected components of the
+    MinHash near-dup pair graph — canonical doc = min doc_id reachable
+    through any chain of pairs (A~B, B~C => one cluster even when A,C
+    never pair directly). Spark: iterative min-label propagation (one
+    keyed shuffle per round, scalar convergence probe — Spark's
+    recursive CTE lacks the UNION-distinct the closure needs). Oracle:
+    the same pair pipeline under WITH RECURSIVE transitive closure."""
+    from core_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, k=_MINHASH_K)
+    cand = lsh_candidates(sigs, bands=_BANDS, rows=_ROWS)
+    pairs = verify_jaccard(cand, docs).filter(
+        F.col("inter") * 10 >= F.col("uni") * 7
+    )
+    return connected_components(pairs).orderBy("doc_id")
 
 
 # -------------------------------------------------------- blocked jaccard

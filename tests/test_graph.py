@@ -1,0 +1,33 @@
+"""Connected-components operator: chains, cycles, transitivity."""
+
+from core_spark.operators.graph import connected_components
+
+
+def _cc(spark, rows):
+    pairs = spark.createDataFrame(rows, "doc_a BIGINT, doc_b BIGINT")
+    got = connected_components(pairs).collect()
+    return {r.doc_id: r.cluster_id for r in got}
+
+
+def test_transitive_chain(spark):
+    # 1-2, 2-3, 3-4: one component even though 1,4 never pair
+    assert _cc(spark, [(1, 2), (2, 3), (3, 4)]) == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_cycle_and_islands(spark):
+    got = _cc(spark, [(10, 20), (20, 30), (30, 10), (7, 8)])
+    assert got == {10: 10, 20: 10, 30: 10, 7: 7, 8: 7}
+
+
+def test_min_label_is_component_min(spark):
+    # edge order / direction must not matter
+    got = _cc(spark, [(9, 5), (5, 12), (3, 12)])
+    assert got == {3: 3, 5: 3, 9: 3, 12: 3}
+
+
+def test_long_chain_converges(spark):
+    n = 12
+    rows = [(i, i + 1) for i in range(n)]
+    got = _cc(spark, rows)
+    assert set(got.values()) == {0}
+    assert len(got) == n + 1
