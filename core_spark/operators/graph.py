@@ -56,26 +56,30 @@ def connected_components(
         .withColumn("lbl", F.col("node"))
         .localCheckpoint()
     )
+    # Convergence probe: labels only ever decrease, so sum(lbl)
+    # strictly decreases iff any label improved — a scan + scalar
+    # aggregate instead of an old-vs-new shuffle join. Decimal(38)
+    # keeps the sum exact for arbitrarily large id spaces.
+    def _checksum(df: DataFrame) -> int:
+        return df.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
+
+    prev_sum = _checksum(labels)
     for _ in range(max_iter):
         nbr = labels.join(
             edges, labels["node"] == edges["u"], "inner"
         ).select(F.col("v").alias("node"), "lbl")
-        new = (
+        labels = (
             labels.unionByName(nbr)
             .groupBy("node")
             .agg(F.min("lbl").alias("lbl"))
             .localCheckpoint()
         )
-        improved = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lbl") < F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
-        labels = new
-        if improved == 0:
+        new_sum = _checksum(labels)
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     edges.unpersist()
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
