@@ -33,11 +33,21 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 20,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Resolve undirected pair edges into components.
 
     Output: (doc_id, cluster_id) for every node that appears in a
     pair; cluster_id = min node id of the component.
+
+    `shuffle_partitions` pins the LABEL LOOP's shuffle width (restored
+    afterwards): every round materializes eagerly, so a caller
+    session's default (200) costs 200 tasks x rounds x 3 jobs even on
+    a small pair graph. Size it to the expected edge count — the pair
+    graph is orders of magnitude smaller than the corpus. Edge
+    generation (the upstream pair pipeline) runs BEFORE the pin at the
+    caller's full width — it scans the corpus and wants the
+    parallelism the label rounds don't.
     """
     fwd = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     edges = (
@@ -45,6 +55,19 @@ def connected_components(
         .distinct()
         .persist()
     )
+    edges.count()  # materialize the pair pipeline at caller width
+
+    spark = pairs.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        return _cc_loop(edges, max_iter)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _cc_loop(edges: DataFrame, max_iter: int) -> DataFrame:
     # localCheckpoint truncates lineage each round: without it the
     # logical plan doubles per iteration (the label table references
     # its whole history) and the analyzer blows up after ~10 rounds.

@@ -182,7 +182,7 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = verify_jaccard(cand, docs).filter(
         F.col("inter") * 10 >= F.col("uni") * 7
     )
-    return connected_components(pairs).orderBy("doc_id")
+    return connected_components(pairs, shuffle_partitions=16).orderBy("doc_id")
 
 
 # -------------------------------------------------------- blocked jaccard
