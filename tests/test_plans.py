@@ -107,3 +107,27 @@ def test_jaccard_selfjoin_shares_blk_s_partitioning(spark):
     blk_s = [e for e in exchanges if e.startswith("blk")]
     assert len(blk_s) == 1, exchanges
     assert "InMemoryTableScan" in plan
+
+
+def test_decontam_broadcasts_benchmark_and_keeps_split_linear(spark):
+    """The benchmark shingle set must broadcast (eval suites are
+    small; the corpus side must never shuffle its shingles to meet
+    it), and the corpus tokenizer must not be re-inlined into a
+    generator filter: the explode's input must be the materialized
+    token-array column, not a nested split() call (the quadratic
+    re-evaluation trap — see operators/dedup.py:_explode_shingles)."""
+    plan = _plan(spark, "q_decontam")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # generator filters of the form size(transform(... split(...) ...))
+    # mean pushdown substituted the alias chain back into the filter
+    gen_filters = re.findall(r"Filter.*size\(transform\(split\(", plan)
+    assert not gen_filters, gen_filters
+
+
+def test_split_is_pure_projection(spark):
+    """q_split must not shuffle except the presentation orderBy —
+    membership is a map-side recomputable projection."""
+    plan = _plan(spark, "q_split")
+    assert "hashpartitioning" not in plan
+    assert "BroadcastHashJoin" not in plan and "SortMergeJoin" not in plan
