@@ -57,6 +57,7 @@ HEADLINE = [
     "q_decontam",
     "q_repetition",
     "q_dup_clusters",
+    "q_embed_dup",
 ]
 
 

@@ -39,6 +39,7 @@ from core_spark.operators.dedup import (
 from core_spark.operators.similarity import (
     ann_ivf,
     ann_lsh,
+    embed_near_dup,
     hyperplanes,
     knn_bruteforce,
 )
@@ -298,9 +299,9 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PLANES = hyperplanes(8, 64)
 
 
-def _duck_bucket(v: str) -> str:
+def _duck_bucket(v: str, planes: list[list[int]] | None = None) -> str:
     terms = []
-    for p, row in enumerate(_PLANES):
+    for p, row in enumerate(planes if planes is not None else _PLANES):
         arr = "[" + ", ".join(str(w) for w in row) + "]"
         dot = (
             f"list_sum(list_transform(range(1, len({v}) + 1), "
@@ -398,6 +399,64 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf(queries, emb, k=3, n_cells=16, nprobe=2).orderBy(
         "qid", "vec_id"
     )
+
+
+# -------------------------------------------------- embedding near-dup
+_ND_BANDS = 8
+_ND_PLANES = [
+    hyperplanes(4, 64, seed=f"nd:{b}") for b in range(_ND_BANDS)
+]
+
+
+def _duck_nd_banded() -> str:
+    branches = [
+        f"SELECT vec_id, vn, {b} AS band, "
+        f"{_duck_bucket('v', _ND_PLANES[b])} AS bkt FROM n"
+        for b in range(_ND_BANDS)
+    ]
+    return "\n      UNION ALL ".join(branches)
+
+
+_DUCK_ND_DOT = (
+    "round(list_sum(list_transform(range(1, len(a.vn) + 1), "
+    "i -> a.vn[i] * b.vn[i])), 6)"
+)
+
+@query(
+    "q_embed_dup",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, v,
+             list_transform(v, x -> x / sqrt(list_sum(
+               list_transform(v, y -> y * y)))) AS vn
+      FROM e
+    ),
+    banded AS (
+      {_duck_nd_banded()}
+    )
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id, min({_DUCK_ND_DOT}) AS sim
+    FROM banded a JOIN banded b USING (band, bkt)
+    WHERE a.vec_id < b.vec_id
+    GROUP BY 1, 2
+    HAVING min({_DUCK_ND_DOT}) >= CAST(0.35 AS DOUBLE)
+    ORDER BY a_id, b_id
+    """,
+)
+def q_embed_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: banded hyperplane LSH
+    (8 bands x 4 planes) generates candidates sharing any band
+    bucket; exact cosine >= 0.35 keeps the pair. The corpus is never
+    all-paired — the shuffle is keyed on (band, bucket). Completes
+    the dedup family (exact / MinHash / SimHash / Jaccard) with the
+    embedding-space member."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embed_near_dup(
+        emb, threshold=0.35, bands=_ND_BANDS, planes_per_band=4
+    ).orderBy("a_id", "b_id")
 
 
 # ---------------------------------------------------------------- lang id

@@ -4,7 +4,12 @@ hyperplane LSH and IVF over the embeddings table."""
 from pyspark.sql import functions as F
 
 from core_spark.io import load_table
-from core_spark.operators.similarity import ann_ivf, ann_lsh, knn_bruteforce
+from core_spark.operators.similarity import (
+    ann_ivf,
+    ann_lsh,
+    embed_near_dup,
+    knn_bruteforce,
+)
 from tests.conftest import SF_SMOKE
 
 
@@ -45,6 +50,64 @@ def test_ivf_every_query_gets_k(spark):
     # nprobe=2 over cells of ~N/16 vectors: every query should find
     # at least k candidates in this corpus
     assert all(n == 3 for n in counts.values())
+
+
+def _brute_pairs(spark, emb, threshold):
+    """All-pairs twin of embed_near_dup's exact tier — the identical
+    normalized-dot expression, so boundary rounding agrees."""
+    from core_spark.operators.similarity import SPARK_DOT, SPARK_NORM
+
+    vn = f"transform(v, x -> CAST(x AS DOUBLE) / ({SPARK_NORM.format(a='v')}))"
+    base = emb.select(
+        F.col("vec_id"), F.col("embedding").alias("v")
+    ).select("vec_id", F.expr(vn).alias("vn"))
+    a = base.select(F.col("vec_id").alias("a_id"), F.col("vn").alias("an"))
+    b = base.select(F.col("vec_id").alias("b_id"), F.col("vn").alias("bn"))
+    sim = f"round({SPARK_DOT.format(a='an', b='bn')}, 6)"
+    return {
+        (r.a_id, r.b_id)
+        for r in a.join(b, F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", F.expr(sim).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+        .collect()
+    }
+
+
+def test_embed_near_dup_precision_and_recall(spark):
+    """Every returned pair truly clears the threshold (precision 1.0 —
+    candidates are exact-verified), and banded SRP-LSH recovers a
+    meaningful share of the brute-force pairs even on i.i.d. random
+    vectors, the LSH-hostile case (P[plane agrees] ~0.61 at the 0.35
+    threshold vs ~0.86 at a realistic 0.9 near-dup bar)."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    truth = _brute_pairs(spark, emb, 0.35)
+    got = {
+        (r.a_id, r.b_id)
+        for r in embed_near_dup(emb, threshold=0.35).collect()
+    }
+    assert got <= truth, f"false positives: {sorted(got - truth)[:5]}"
+    recall = len(got) / len(truth)
+    assert recall >= 0.5, f"recall {recall:.2f} below floor ({len(truth)} true)"
+    # ordered pairs, no self-pairs, deduped across bands
+    assert all(a < b for a, b in got)
+    assert len(got) == embed_near_dup(emb, threshold=0.35).count()
+
+
+def test_embed_near_dup_tighter_bands_trade_recall(spark):
+    """More planes per band shrink buckets: the candidate set (and so
+    the result) can only lose pairs, never gain false ones."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    coarse = {
+        (r.a_id, r.b_id)
+        for r in embed_near_dup(emb, threshold=0.35, planes_per_band=4).collect()
+    }
+    truth = _brute_pairs(spark, emb, 0.35)
+    fine = {
+        (r.a_id, r.b_id)
+        for r in embed_near_dup(emb, threshold=0.35, planes_per_band=8).collect()
+    }
+    assert fine <= truth
+    assert len(fine) <= len(coarse)
 
 
 def test_lsh_vs_ivf_both_subsets_of_plausible(spark):
