@@ -88,7 +88,9 @@ def _cc_loop(edges: DataFrame, max_iter: int) -> DataFrame:
             F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
         ).first()["s"]
 
-    prev_sum = _checksum(labels)
+    # No pre-loop checksum: round 1 always changes labels when edges
+    # exist, so the first comparison happens between rounds 1 and 2.
+    prev_sum = None
     for _ in range(max_iter):
         nbr = labels.join(
             edges, labels["node"] == edges["u"], "inner"

@@ -131,3 +131,20 @@ def test_split_is_pure_projection(spark):
     plan = _plan(spark, "q_split")
     assert "hashpartitioning" not in plan
     assert "BroadcastHashJoin" not in plan and "SortMergeJoin" not in plan
+
+
+def test_embed_dup_is_bucket_keyed_kernel_no_pair_join(spark):
+    """q_embed_dup's pairing must happen inside the per-bucket Arrow
+    kernel: exactly one grouped-map python node, clustered on the
+    (band, bkt) exchange, and NO join operator — a join formulation
+    would materialize the candidate set through interpreted
+    higher-order-function folds (measured ~200us/pair)."""
+    plan = _plan(spark, "q_embed_dup")
+    assert "FlatMapGroupsInPandas" in plan
+    # one kernel node: formatted explain shows the tree + one
+    # numbered detail block per physical node
+    assert len(re.findall(r"\(\d+\) FlatMapGroupsInPandas", plan)) == 1
+    assert "hashpartitioning(band" in plan
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                 "BroadcastNestedLoopJoin"):
+        assert join not in plan, join
