@@ -26,6 +26,45 @@ def test_salted_join_equals_plain_join(spark):
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
 
 
+def test_aqe_splits_skewed_join_partition(spark):
+    """The DESIGN.md skew playbook's first line of defense, executed:
+    AQE detects the hot key's oversized partition at runtime and
+    splits it (SortMergeJoin(skew=true)) — no salting needed for the
+    common case. Thresholds are lowered so the local fixture
+    triggers the same code path a 100 TB hot key would."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        # one key owns ~95% of fact rows, padded so its partition
+        # clears the (lowered) byte threshold
+        fact = spark.range(0, 60_000).select(
+            F.when(F.col("id") % 20 < 19, 7)
+            .otherwise(F.col("id") % 40)
+            .alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id")).alias("pad"),
+        )
+        dim = spark.range(0, 40).select(
+            F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("nm")
+        )
+        joined = fact.join(dim, "k")
+        # run THIS DataFrame's execution (count() would plan its own
+        # query and leave this one's adaptive plan unfinalized)
+        assert len(joined.collect()) == 60_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
 @pytest.fixture(scope="module")
 def bucketed_tables(spark, tmp_path_factory):
     spark.sql("DROP TABLE IF EXISTS b_orders")
