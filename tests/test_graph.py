@@ -1,6 +1,29 @@
-"""Connected-components operator: chains, cycles, transitivity."""
+"""Connected-components operator: chains, cycles, transitivity, and a
+property-based sweep against a union-find reference."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from core_spark.operators.graph import connected_components
+
+
+def _union_find(edges):
+    """Driver-side reference: path-compressed union-find, min root."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+    return {n: find(n) for n in parent}
 
 
 def _cc(spark, rows):
@@ -31,3 +54,21 @@ def test_long_chain_converges(spark):
     got = _cc(spark, rows)
     assert set(got.values()) == {0}
     assert len(got) == n + 1
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_cc_matches_union_find(spark, edges):
+    """Random edge sets (self-loops excluded, duplicates and both
+    orientations allowed): min-label propagation must agree with
+    driver-side union-find on every node's component minimum."""
+    assert _cc(spark, [(int(a), int(b)) for a, b in edges]) == _union_find(edges)
