@@ -58,6 +58,7 @@ HEADLINE = [
     "q_repetition",
     "q_dup_clusters",
     "q_embed_dup",
+    "q_curate",
 ]
 
 

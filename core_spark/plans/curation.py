@@ -244,3 +244,113 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------------------- full pipeline
+def _curate_oracle() -> str:
+    from core_spark.plans.llmops import (
+        DUCK_MINHASH_PAIR_SELECT,
+        duck_minhash_ctes,
+    )
+
+    return f"""
+    WITH RECURSIVE
+    canon AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    d1 AS (SELECT d.doc_id, d.text FROM documents d JOIN canon USING (doc_id)),
+    {duck_minhash_ctes("d1")},
+    pairs AS ({DUCK_MINHASH_PAIR_SELECT}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.v, r.lbl FROM reach r JOIN edges e ON r.node = e.u
+    ),
+    clusters AS (
+      SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+    ),
+    d2 AS (
+      SELECT d1.doc_id, d1.text FROM d1 LEFT JOIN clusters c USING (doc_id)
+      WHERE c.doc_id IS NULL OR c.cluster_id = d1.doc_id
+    ),
+    gated AS (
+      SELECT doc_id, len(toks) AS n_tokens
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM d2)
+      WHERE len(toks) >= 10
+        AND len(list_filter(toks,
+              t -> t IN ('the', 'a', 'and', 'of', 'in'))) * 20 >= len(toks)
+    )
+    SELECT doc_id, n_tokens,
+           CASE WHEN {_DUCK_BUCKET} < 80 THEN 'train'
+                WHEN {_DUCK_BUCKET} < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM gated ORDER BY doc_id
+    """
+
+
+@query("q_curate", oracle=_curate_oracle())
+def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-curation pass, composed from the tiers
+    this engine ships as separate operators: exact dedup (md5
+    canonical) -> MinHash near-dup clusters (canonical = component
+    min, transitive) -> integer-arithmetic quality gate (>= 10
+    tokens, >= 5% stopwords) -> deterministic train/val/test split.
+    One declared query proving the operators compose, hash-checked
+    end-to-end against the same pipeline as a single recursive-CTE
+    oracle.
+
+    Scale shape: each stage is the same plan its standalone query
+    pins — no collects, no all-pairs; the only iterative piece is
+    the label-propagation loop, which runs at a pinned narrow width
+    while the pair pipeline keeps full parallelism."""
+    from core_spark.operators.dedup import (
+        lsh_candidates,
+        minhash_signatures,
+        verify_jaccard,
+    )
+    from core_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    canon = (
+        docs.select("doc_id", F.md5("text").alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    # d1 feeds four consumers (signatures, both verify sides, the
+    # final survivor join) — materialize once, as the jaccard index
+    # does (operators/dedup.py:blocked_jaccard_pairs).
+    from pyspark import StorageLevel
+
+    d1 = docs.join(canon, "doc_id").persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = minhash_signatures(d1, k=16)
+    cand = lsh_candidates(sigs, bands=4, rows=4)
+    pairs = verify_jaccard(cand, d1).filter(
+        F.col("inter") * 10 >= F.col("uni") * 7
+    )
+    cc = connected_components(pairs, shuffle_partitions=16)
+    drop = cc.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    d2 = d1.join(drop, "doc_id", "left_anti")
+    t = d2.select("doc_id", F.split("text", " ").alias("toks"))
+    gated = t.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.expr(
+            "size(filter(toks, t -> t IN ('the', 'a', 'and', 'of', 'in')))"
+        ).alias("n_stop"),
+    ).filter(
+        (F.col("n_tokens") >= 10)
+        & (F.col("n_stop") * 20 >= F.col("n_tokens"))
+    )
+    bucket = F.expr(_SPARK_BUCKET)
+    return gated.select(
+        "doc_id",
+        "n_tokens",
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    ).orderBy("doc_id")

@@ -46,13 +46,18 @@ from core_spark.operators.similarity import (
 from core_spark.plans.registry import query
 
 # ---------------------------------------------------------- DuckDB bits
-DUCK_SHINGLES = """
+def duck_shingles(src: str = "documents") -> str:
+    """Distinct word-3-shingle CTE body over any doc-shaped source."""
+    return f"""
     SELECT doc_id,
            list_distinct(list_transform(
              range(1, greatest(len(toks) - 1, 1)),
              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM {src})
 """
+
+
+DUCK_SHINGLES = duck_shingles()
 
 
 def _duck_md5i32(x: str) -> str:
@@ -85,9 +90,11 @@ _DUCK_MINS = ", ".join(
     f"coalesce(list_min(list_transform(hs, h -> (h * {a} + {b}) % {MINHASH_P})), 0)"
     for a, b in minhash_params(_MINHASH_K)
 )
-# CTE list + final pair select, factored so the dup-cluster oracle can
-# embed the exact same pair pipeline under WITH RECURSIVE.
-DUCK_MINHASH_CTES = f"""sh AS ({DUCK_SHINGLES}),
+# CTE list + final pair select, factored so the dup-cluster and
+# curation-pipeline oracles can embed the exact same pair pipeline
+# (over any doc-shaped source) under WITH RECURSIVE.
+def duck_minhash_ctes(src: str = "documents") -> str:
+    return f"""sh AS ({duck_shingles(src)}),
     hsh AS (
       SELECT doc_id, sh,
              list_transform(sh, s -> {_duck_md5i32("s")}) AS hs
@@ -110,6 +117,9 @@ DUCK_MINHASH_CTES = f"""sh AS ({DUCK_SHINGLES}),
         ON a.b = b.b AND a.sig = b.sig AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     )"""
+
+
+DUCK_MINHASH_CTES = duck_minhash_ctes()
 DUCK_MINHASH_PAIR_SELECT = """SELECT c.doc_a, c.doc_b,
            len(list_intersect(sa.sh, sb.sh)) AS inter,
            len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS uni
