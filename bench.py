@@ -59,6 +59,10 @@ HEADLINE = [
     "q_dup_clusters",
     "q_embed_dup",
     "q_curate",
+    "q_pii_redact",
+    "q_chunk",
+    "q_ngram_topk",
+    "q_token_stats",
 ]
 
 

@@ -148,3 +148,25 @@ def test_embed_dup_is_bucket_keyed_kernel_no_pair_join(spark):
     for join in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
                  "BroadcastNestedLoopJoin"):
         assert join not in plan, join
+
+
+def test_scrub_tier_plans(spark):
+    """The scrub tier's scale contracts: redaction and sampling stay
+    map-side (no shuffle but the presentation sort); chunking and the
+    n-gram top-k materialize the token array exactly once (no
+    re-inlined split() per generated row — the quadratic trap); the
+    top-k compiles to TakeOrderedAndProject, not a global sort."""
+    plan = _plan(spark, "q_pii_redact")
+    assert "hashpartitioning" not in plan
+    assert "Join" not in plan
+
+    plan = _plan(spark, "q_sample")
+    assert "hashpartitioning" not in plan
+    assert "Join" not in plan
+
+    for name in ("q_chunk", "q_ngram_topk"):
+        plan = _plan(spark, name)
+        assert plan.count("split(") == 1, name
+
+    plan = _plan(spark, "q_ngram_topk")
+    assert "TakeOrderedAndProject" in plan

@@ -122,3 +122,34 @@ def test_lsh_vs_ivf_both_subsets_of_plausible(spark):
     ):
         for r in df.collect():
             assert r.vec_id in ids and r.vec_id != r.qid
+
+
+def test_chunk_windows_cover_every_token(spark):
+    """Chunking property: with size 32 / stride 24 the windows cover
+    every token position, overlaps are exactly 8 tokens between
+    consecutive full chunks, and chunk token counts reconstruct the
+    document's token count."""
+    from core_spark.plans.registry import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    from core_spark.io import load_table
+    import pyspark.sql.functions as F
+
+    chunks = REGISTRY["q_chunk"].fn(spark, SF_SMOKE).toPandas()
+    docs = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .toPandas()
+        .set_index("doc_id")["n"]
+    )
+    for doc_id, g in chunks.groupby("doc_id"):
+        g = g.sort_values("chunk_id")
+        n = int(docs.loc[doc_id])
+        # every position covered: last chunk must reach the end
+        last_start = int(g["chunk_id"].iloc[-1]) * 24
+        assert last_start + int(g["chunk_tokens"].iloc[-1]) == n, doc_id
+        # all but the last chunk are full-size
+        assert (g["chunk_tokens"].iloc[:-1] == 32).all(), doc_id
+        # consecutive full chunks overlap by 8 tokens
+        if len(g) > 1:
+            assert last_start < n <= last_start + 32, doc_id
