@@ -63,6 +63,10 @@ HEADLINE = [
     "q_chunk",
     "q_ngram_topk",
     "q_token_stats",
+    "q_kmv_distinct",
+    "q_token_budget",
+    "q_incr_dedup",
+    "q_embed_quant",
 ]
 
 

@@ -1,0 +1,314 @@
+"""Sketch, budget-sampling, incremental-dedup, and quantization
+declared queries — the remaining shaping passes of a training-data
+pipeline, each chosen to be *deterministic across engines* so the
+usual "approximation differs by design" escape hatch isn't needed.
+
+- q_kmv_distinct: a K-Minimum-Values distinct sketch. Unlike HLL
+  (q_approx_distinct, rows-only by design), KMV over a portable md5
+  hash is bit-reproducible on any engine: the estimate
+  (k-1) * 2^60 / h_k depends only on the k-th smallest distinct hash.
+  Approximate in statistics, exact in bytes — so it hash-checks.
+- q_token_budget: priority sampling under a token budget, the "give
+  me ~N tokens of this corpus, reproducibly" pass. The Spark side is
+  the distributed two-pass prefix-sum (per-bucket partial sums, then
+  a 64-row exclusive scan, then per-bucket windows); the oracle is
+  the single-window cumsum the math collapses to — the bucket id is
+  the hash's top 6 bits, so (bucket, hash) order IS hash order.
+- q_incr_dedup: the incremental ingest gate — classify a new batch
+  against the deduped corpus (dup-of-corpus / dup-within-batch /
+  unique) with one hash-keyed join + one per-hash window.
+- q_embed_quant: int8 max-abs embedding quantization (the storage/
+  ANN-memory layout move). All math elementwise in double, the
+  scale reported in integer micros, the vector as md5 of its
+  comma-joined int values — no float summation order anywhere.
+
+Scale notes (100 TB):
+- KMV: the per-group k-smallest runs as a window over the group key
+  (parallel across groups; map-side distinct-combine first). A
+  per-partition "keep k smallest" aggregator would drop the shuffle
+  to k rows/partition; the window form is declared because it's
+  whole-stage-codegen all the way and the group count is small.
+- token budget: no global sort, no single-partition window on data —
+  the only one-task step is the 64-row bucket scan. Doc rows shuffle
+  once, keyed on bucket.
+- incremental dedup: joins are keyed on content hash (uniform);
+  corpus side is pre-shrunk to distinct hashes.
+- quantization: map-side only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from core_spark.io import load_table
+from core_spark.plans.registry import query
+
+# ------------------------------------------------------------ kmv sketch
+_KMV_K = 64
+# 60-bit hash: 15 hex chars of md5 — positive BIGINT on both engines.
+_SPARK_H60 = (
+    "CAST(conv(substring(md5(CAST({x} AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+)
+_DUCK_H60 = "CAST('0x' || substr(md5(CAST({x} AS VARCHAR)), 1, 15) AS BIGINT)"
+
+
+@query(
+    "q_kmv_distinct",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT l_returnflag,
+             {_DUCK_H60.format(x="l_partkey")} AS h
+      FROM lineitem
+    ),
+    r AS (
+      SELECT l_returnflag, h,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n_exact
+      FROM h
+    ),
+    kth AS (
+      SELECT l_returnflag, h AS kth_hash, n_exact FROM r WHERE rn = {_KMV_K}
+    ),
+    ex AS (
+      SELECT l_returnflag, MAX(n_exact) AS exact_distinct FROM r
+      GROUP BY l_returnflag
+    )
+    SELECT ex.l_returnflag,
+           coalesce(kth.kth_hash, -1) AS kth_hash,
+           CAST(coalesce(
+             FLOOR(({_KMV_K} - 1) * CAST(1152921504606846976 AS DECIMAL(38,0))
+                   / kth.kth_hash),
+             ex.exact_distinct) AS BIGINT) AS est_distinct,
+           ex.exact_distinct
+    FROM ex LEFT JOIN kth USING (l_returnflag)
+    ORDER BY ex.l_returnflag
+    """,
+)
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-Minimum-Values distinct sketch per group: estimate =
+    (k-1) * 2^60 / h_k where h_k is the k-th smallest distinct 60-bit
+    md5 hash. Deterministic on any engine (no HLL register layout),
+    so the *approximation itself* is oracle-checked. Groups with
+    fewer than k distinct values fall back to the exact count, as KMV
+    prescribes. Division runs in DECIMAL(38) and is floored before
+    the BIGINT cast (DuckDB rounds, Spark truncates)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    h = li.select(
+        "l_returnflag", F.expr(_SPARK_H60.format(x="l_partkey")).alias("h")
+    ).distinct()
+    w = Window.partitionBy("l_returnflag")
+    r = h.select(
+        "l_returnflag",
+        "h",
+        F.row_number().over(w.orderBy("h")).alias("rn"),
+        F.count("*").over(w).alias("n_exact"),
+    )
+    kth = r.filter(F.col("rn") == _KMV_K).select(
+        "l_returnflag", F.col("h").alias("kth_hash")
+    )
+    ex = r.groupBy("l_returnflag").agg(F.max("n_exact").alias("exact_distinct"))
+    est = F.floor(
+        (_KMV_K - 1)
+        * F.lit(1152921504606846976).cast("decimal(38,0)")
+        / F.col("kth_hash")
+    )
+    return (
+        ex.join(kth, "l_returnflag", "left")
+        .select(
+            "l_returnflag",
+            F.coalesce("kth_hash", F.lit(-1)).alias("kth_hash"),
+            F.coalesce(est, F.col("exact_distinct"))
+            .cast("bigint")
+            .alias("est_distinct"),
+            "exact_distinct",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------- token budget
+_BUDGET = 20_000  # tokens
+_N_BKT = 64  # priority-hash top bits — must divide the hash range
+
+
+@query(
+    "q_token_budget",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+             {_DUCK_H60.format(x="'budget:' || CAST(doc_id AS VARCHAR)")} AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n, h,
+             SUM(n) OVER (ORDER BY h, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, n, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= {_BUDGET}
+    ORDER BY doc_id
+    """,
+)
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible priority sampling under a token budget: order
+    documents by a salted hash and keep the prefix whose cumulative
+    token count fits the budget.
+
+    The naive formulation is a single global-order window — one task
+    holding the corpus. This is the distributed two-pass prefix-sum
+    instead: bucket by the hash's top 6 bits (bucket order == hash
+    order), sum tokens per bucket, exclusive-scan the 64 bucket
+    totals (the only single-task step — 64 rows), then add per-bucket
+    window cumsums to the bucket offsets. The oracle is the collapsed
+    single-window form."""
+    docs = load_table(spark, sf_dir, "documents")
+    salted = "concat('budget:', CAST(doc_id AS STRING))"
+    t = docs.select(
+        "doc_id",
+        F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("n"),
+        F.expr(_SPARK_H60.format(x=salted)).alias("h"),
+    ).withColumn("bkt", F.expr(f"CAST(h DIV {2**60 // _N_BKT} AS INT)"))
+    # Pass 1: bucket totals -> exclusive prefix (64 rows, one task).
+    offsets = (
+        t.groupBy("bkt")
+        .agg(F.sum("n").alias("bkt_tokens"))
+        .select(
+            "bkt",
+            (
+                F.sum("bkt_tokens").over(
+                    Window.orderBy("bkt").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                )
+            ).alias("offset_tokens"),
+        )
+        .na.fill({"offset_tokens": 0})
+    )
+    # Pass 2: per-bucket cumsum + broadcast offset join.
+    w = Window.partitionBy("bkt").orderBy("h", "doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = (
+        t.withColumn("bkt_cum", F.sum("n").over(w))
+        .join(F.broadcast(offsets), "bkt")
+        .select(
+            "doc_id",
+            "n",
+            (F.col("offset_tokens") + F.col("bkt_cum"))
+            .cast("bigint")
+            .alias("cum_tokens"),
+        )
+    )
+    return c.filter(F.col("cum_tokens") <= _BUDGET).orderBy("doc_id")
+
+
+# ------------------------------------------------------ incremental dedup
+@query(
+    "q_incr_dedup",
+    oracle="""
+    WITH batch AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 = 9
+    ),
+    corpus_h AS (
+      SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 <> 9
+    ),
+    w AS (
+      SELECT b.doc_id, b.h,
+             MIN(b.doc_id) OVER (PARTITION BY b.h) AS first_in_batch,
+             CAST(c.h IS NOT NULL AS BIGINT) AS in_corpus
+      FROM batch b LEFT JOIN corpus_h c USING (h)
+    )
+    SELECT doc_id,
+           CASE WHEN in_corpus = 1 THEN 'dup_corpus'
+                WHEN doc_id <> first_in_batch THEN 'dup_batch'
+                ELSE 'unique' END AS verdict
+    FROM w ORDER BY doc_id
+    """,
+)
+def q_incr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: classify a new batch (doc_id%10=9
+    stands in for today's crawl) against the already-deduped corpus.
+    Verdicts: dup_corpus (content hash exists in corpus), dup_batch
+    (second+ occurrence within the batch), unique. One join keyed on
+    the content hash (uniform, skew-free) + one per-hash window over
+    the batch side; the corpus side is pre-shrunk to distinct hashes
+    — at 100 TB that's the exact-dedup output, not the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 9).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    corpus_h = (
+        docs.filter(F.col("doc_id") % 10 != 9)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+        .withColumn("in_corpus", F.lit(1))
+    )
+    w = batch.join(corpus_h, "h", "left").select(
+        "doc_id",
+        F.min("doc_id").over(Window.partitionBy("h")).alias("first_in_batch"),
+        F.coalesce("in_corpus", F.lit(0)).alias("in_corpus"),
+    )
+    return w.select(
+        "doc_id",
+        F.when(F.col("in_corpus") == 1, F.lit("dup_corpus"))
+        .when(F.col("doc_id") != F.col("first_in_batch"), F.lit("dup_batch"))
+        .otherwise(F.lit("unique"))
+        .alias("verdict"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------- embed quantize
+@query(
+    "q_embed_quant",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding,
+                      v -> abs(CAST(v AS DOUBLE)))) AS scale
+      FROM embeddings
+    ),
+    q AS (
+      SELECT e.vec_id,
+             CAST(len(e.embedding) AS BIGINT) AS n_dims,
+             CAST(FLOOR(s.scale * 1000000) AS BIGINT) AS scale_micro,
+             CASE WHEN s.scale = 0
+                  THEN md5('')
+                  ELSE md5(array_to_string(list_transform(e.embedding,
+                         v -> CAST(CAST(FLOOR(CAST(v AS DOUBLE) / s.scale * 127)
+                                        AS BIGINT) AS VARCHAR)), ','))
+             END AS q_hash
+      FROM embeddings e JOIN s USING (vec_id)
+    )
+    SELECT vec_id, n_dims, scale_micro, q_hash FROM q ORDER BY vec_id
+    """,
+)
+def q_embed_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 max-abs embedding quantization — the storage layout a
+    100 TB ANN index actually holds (4x smaller than float32, SIMD
+    dot products). Map-side only. Every op is elementwise double
+    (float32 upcasts exactly; no summation order anywhere); the
+    quantized value floors (DuckDB's int cast rounds, Spark's
+    truncates — floor agrees) and the scale is reported in integer
+    micros for the same reason."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    scale = "aggregate(embedding, CAST(0.0 AS DOUBLE), (m, v) -> greatest(m, abs(CAST(v AS DOUBLE))))"
+    return (
+        emb.withColumn("scale", F.expr(scale))
+        .select(
+            "vec_id",
+            F.expr("CAST(size(embedding) AS BIGINT)").alias("n_dims"),
+            F.expr("CAST(FLOOR(scale * 1000000) AS BIGINT)").alias(
+                "scale_micro"
+            ),
+            F.expr(
+                "CASE WHEN scale = 0 THEN md5('') "
+                "ELSE md5(array_join(transform(embedding, "
+                "v -> CAST(CAST(FLOOR(CAST(v AS DOUBLE) / scale * 127) "
+                "AS BIGINT) AS STRING)), ',')) END"
+            ).alias("q_hash"),
+        )
+        .orderBy("vec_id")
+    )

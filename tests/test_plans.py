@@ -170,3 +170,31 @@ def test_scrub_tier_plans(spark):
 
     plan = _plan(spark, "q_ngram_topk")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_token_budget_no_global_data_window(spark):
+    """q_token_budget's per-document cumsum must be partitioned by
+    bucket — a single-partition window over the data is the
+    scale-killer this query exists to avoid. The only SinglePartition
+    exchange allowed is the 64-row bucket-offset scan, and the
+    offsets must broadcast back."""
+    plan = _plan(spark, "q_token_budget")
+    assert re.search(r"windowspecdefinition\(bkt", plan)
+    assert "BroadcastHashJoin" in plan
+    # the doc-side window must not sit on a SinglePartition exchange:
+    # every SinglePartition in the plan belongs to the offsets branch
+    # (which aggregates to <= 64 rows before its window)
+    assert plan.count("SinglePartition") == 1
+
+
+def test_embed_quant_is_map_side(spark):
+    plan = _plan(spark, "q_embed_quant")
+    assert "hashpartitioning" not in plan
+    assert "Join" not in plan
+
+
+def test_incr_dedup_hash_keyed_no_cartesian(spark):
+    plan = _plan(spark, "q_incr_dedup")
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan
+    assert re.search(r"windowspecdefinition\(h#", plan)

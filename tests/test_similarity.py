@@ -153,3 +153,22 @@ def test_chunk_windows_cover_every_token(spark):
         # consecutive full chunks overlap by 8 tokens
         if len(g) > 1:
             assert last_start < n <= last_start + 32, doc_id
+
+
+def test_kmv_estimate_within_error_bound(spark):
+    """The KMV sketch is deterministic (oracle-checked elsewhere);
+    this checks it's also a *good* sketch: relative error within
+    4 standard errors (4/sqrt(k-1) ~ 50% at k=64) of the exact
+    distinct count for every group large enough to engage the
+    sketch, and exact for groups below k."""
+    from core_spark.plans.registry import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = REGISTRY["q_kmv_distinct"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        if r.kth_hash == -1:  # fewer than k distinct: exact by design
+            assert r.est_distinct == r.exact_distinct
+        else:
+            rel = abs(r.est_distinct - r.exact_distinct) / r.exact_distinct
+            assert rel < 0.5, (r.l_returnflag, r.est_distinct, r.exact_distinct)
