@@ -67,6 +67,7 @@ HEADLINE = [
     "q_token_budget",
     "q_incr_dedup",
     "q_embed_quant",
+    "q_funnel",
 ]
 
 

@@ -282,3 +282,89 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ------------------------------------------------------------------ funnel
+@query(
+    "q_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'view' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    ),
+    u AS (SELECT DISTINCT user_id FROM events)
+    SELECT u.user_id,
+           CASE WHEN s3.t3 IS NOT NULL THEN 3
+                WHEN s2.t2 IS NOT NULL THEN 2
+                WHEN s1.t1 IS NOT NULL THEN 1
+                ELSE 0 END AS stage,
+           coalesce((epoch_us(s3.t3) - epoch_us(s1.t1)) // 1000, -1)
+             AS funnel_ms
+    FROM u LEFT JOIN s1 USING (user_id)
+           LEFT JOIN s2 USING (user_id)
+           LEFT JOIN s3 USING (user_id)
+    ORDER BY u.user_id
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence funnel (signup -> view -> purchase, strictly
+    ordered in event time): per user, the furthest stage reached and
+    the signup->purchase latency for completers.
+
+    Spark-first shape: ONE shuffle (groupBy user) collecting each
+    user's (ts, type) events into a sorted array, then a codegen'd
+    `aggregate` fold walks the sequence with a (stage, first, last)
+    state — the oracle's equivalent min-chaining form needs three
+    self-joins. Greedy-first-match over the sorted array equals
+    min-chaining because each stage advances only on a strictly later
+    timestamp. Per-user arrays bound state; a user with millions of
+    events would switch to the three-pass join form (same results,
+    no array)."""
+    events = load_table(spark, sf_dir, "events")
+    evs = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.unix_micros("ts").alias("us"),
+                F.col("event_type").alias("et"),
+            )
+        )
+    )
+    fold = (
+        "aggregate(evs, "
+        "named_struct('stage', 0, 'first_us', CAST(0 AS BIGINT), "
+        "'last_us', CAST(0 AS BIGINT)), "
+        "(s, e) -> CASE "
+        "WHEN s.stage = 0 AND e.et = 'signup' THEN "
+        "  named_struct('stage', 1, 'first_us', e.us, 'last_us', e.us) "
+        "WHEN s.stage = 1 AND e.et = 'view' AND e.us > s.last_us THEN "
+        "  named_struct('stage', 2, 'first_us', s.first_us, 'last_us', e.us) "
+        "WHEN s.stage = 2 AND e.et = 'purchase' AND e.us > s.last_us THEN "
+        "  named_struct('stage', 3, 'first_us', s.first_us, 'last_us', e.us) "
+        "ELSE s END)"
+    )
+    return (
+        events.groupBy("user_id")
+        .agg(evs.alias("evs"))
+        .withColumn("st", F.expr(fold))
+        .select(
+            "user_id",
+            F.col("st.stage").alias("stage"),
+            F.expr(
+                "coalesce(CASE WHEN st.stage = 3 "
+                "THEN (st.last_us - st.first_us) DIV 1000 END, -1)"
+            ).alias("funnel_ms"),
+        )
+        .orderBy("user_id")
+    )

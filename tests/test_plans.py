@@ -198,3 +198,12 @@ def test_incr_dedup_hash_keyed_no_cartesian(spark):
     for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
         assert bad not in plan
     assert re.search(r"windowspecdefinition\(h#", plan)
+
+
+def test_funnel_single_shuffle_no_joins(spark):
+    """q_funnel must be the one-shuffle fold formulation — the
+    min-chaining alternative carries three self-joins of the events
+    table."""
+    plan = _plan(spark, "q_funnel")
+    assert "Join" not in plan
+    assert len(re.findall(r"hashpartitioning\(user_id", plan)) == 1
