@@ -68,6 +68,7 @@ HEADLINE = [
     "q_incr_dedup",
     "q_embed_quant",
     "q_funnel",
+    "q_retention",
 ]
 
 

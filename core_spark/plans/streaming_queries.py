@@ -215,3 +215,85 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT event_id, user_id, value, off, producer, clock, flags "
         f"FROM {name} ORDER BY off"
     )
+
+
+@query(
+    "q_window_stream",
+    oracle="""
+    WITH b AS (
+      SELECT epoch_us(ts) // 3600000000 AS hr, event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT hr * 3600000000 AS win_us, event_type,
+           COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM b GROUP BY hr, event_type
+    ORDER BY win_us, event_type
+    """,
+)
+def q_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window aggregation: 1-hour event-time
+    windows of per-type counts and integer-cents sums, fed as three
+    time-ordered file chunks (maxFilesPerTrigger=1) so the state
+    store carries windows across micro-batches.
+
+    Output mode is `complete` so every window is emitted and the
+    result equals the batch GROUP BY — which is the DuckDB oracle.
+    (In `append` mode the windows past max_ts - watermark never
+    finalize, so the tail of the timeline would be missing by
+    design; watermarked append-mode state *eviction* is exercised by
+    q_join1_stream and the session-window test instead.) Money stays
+    in per-row-rounded integer cents — summation-order-proof."""
+    events = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", "value", F.unix_micros("ts").alias("us")
+    )
+    work = tempfile.mkdtemp(prefix="q_window_stream_")
+    q1, q2 = events.stat.approxQuantile("us", [1 / 3, 2 / 3], 0.001)
+    bounds = [(None, int(q1)), (int(q1), int(q2)), (int(q2), None)]
+    os.makedirs(os.path.join(work, "in"))
+    for i, (lo, hi) in enumerate(bounds):
+        chunk = events
+        if lo is not None:
+            chunk = chunk.filter(F.col("us") >= lo)
+        if hi is not None:
+            chunk = chunk.filter(F.col("us") < hi)
+        chunk.select("ts", "event_type", "value").coalesce(1).write.parquet(
+            os.path.join(work, "in", f"chunk-{i}.parquet")
+        )
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(work, "in") + "/*")
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)")).alias(
+                "sum_cents"
+            ),
+        )
+    )
+    name = "q_window_stream_" + py_uuid.uuid4().hex[:8]
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.sql(
+        f"SELECT unix_micros(win.start) AS win_us, event_type, n, sum_cents "
+        f"FROM {name} ORDER BY win_us, event_type"
+    )

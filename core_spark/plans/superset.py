@@ -368,3 +368,50 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------- retention
+@query(
+    "q_retention",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id
+    ),
+    j AS (
+      SELECT e.user_id,
+             (epoch_us(f.first_ts) - epoch_us(TIMESTAMP '2024-01-01'))
+               // 604800000000 AS cohort_week,
+             (epoch_us(e.ts) - epoch_us(f.first_ts))
+               // 604800000000 AS week_k
+      FROM events e JOIN f USING (user_id)
+    )
+    SELECT cohort_week, week_k,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM j GROUP BY cohort_week, week_k
+    ORDER BY cohort_week, week_k
+    """,
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-event week
+    (cohort), counted as retained in each subsequent week they were
+    active. Two aggregates and one user-keyed join — uniform keys,
+    skew-free; all week arithmetic in integer micros."""
+    events = load_table(spark, sf_dir, "events")
+    week_us = 604_800_000_000
+    origin = "epoch_us(TIMESTAMP '2024-01-01')"
+    f = events.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    j = events.join(f, "user_id").select(
+        "user_id",
+        F.expr(
+            f"(unix_micros(first_ts) - {origin.replace('epoch_us', 'unix_micros')}) "
+            f"DIV {week_us}"
+        ).alias("cohort_week"),
+        F.expr(f"(unix_micros(ts) - unix_micros(first_ts)) DIV {week_us}").alias(
+            "week_k"
+        ),
+    )
+    return (
+        j.groupBy("cohort_week", "week_k")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+        .orderBy("cohort_week", "week_k")
+    )
