@@ -69,6 +69,7 @@ HEADLINE = [
     "q_embed_quant",
     "q_funnel",
     "q_retention",
+    "q_label_centroid",
 ]
 
 

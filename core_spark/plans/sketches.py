@@ -312,3 +312,50 @@ def q_embed_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# -------------------------------------------------------- label centroids
+@query(
+    "q_label_centroid",
+    oracle="""
+    WITH el AS (
+      SELECT e.label, d.dim,
+             CAST(FLOOR(CAST(e.embedding[d.dim + 1] AS DOUBLE) * 1000000)
+                  AS BIGINT) AS micro
+      FROM embeddings e, (SELECT unnest(range(64)) AS dim) d
+    )
+    SELECT label, dim,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(micro) AS BIGINT) AS sum_micro
+    FROM el GROUP BY label, dim
+    ORDER BY label, dim
+    """,
+)
+def q_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label class centroids (the nearest-class-mean / clustering
+    building block): elementwise sums over each label's vectors, in
+    integer micro-units so the result is summation-order-independent
+    — float centroid math diverges across engines by partition
+    order, integer addition never does. posexplode fans each vector
+    into 64 (label, dim) rows; map-side partial aggregation absorbs
+    the fan-out, and the 640 final groups are skew-free. The mean is
+    sum_micro/n_vecs, left to the consumer (integer division floors
+    differently across engines on negatives)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    el = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "label",
+        "dim",
+        F.expr("CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT)").alias(
+            "micro"
+        ),
+    )
+    return (
+        el.groupBy("label", "dim")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.sum("micro").cast("bigint").alias("sum_micro"),
+        )
+        .orderBy("label", "dim")
+    )
