@@ -70,6 +70,8 @@ HEADLINE = [
     "q_funnel",
     "q_retention",
     "q_label_centroid",
+    "q_zorder",
+    "q_pagerank",
 ]
 
 

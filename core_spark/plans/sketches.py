@@ -359,3 +359,153 @@ def q_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "dim")
     )
+
+
+# ------------------------------------------------------------- z-ordering
+def _part1by1(x: str) -> str:
+    """Bit-spread a 31-bit int to even bit positions (portable SQL:
+    same magic-mask sequence in Spark and DuckDB; inputs masked to 31
+    bits so the final interleave stays under 2^63 — signed-BIGINT
+    safe on both engines)."""
+    e = f"(({x}) & 2147483647)"
+    for shift, mask in (
+        (16, 0x0000FFFF0000FFFF),
+        (8, 0x00FF00FF00FF00FF),
+        (4, 0x0F0F0F0F0F0F0F0F),
+        (2, 0x3333333333333333),
+        (1, 0x5555555555555555),
+    ):
+        e = f"((({e}) | (({e}) << {shift})) & {mask})"
+    return e
+
+
+def _morton(a: str, b: str) -> str:
+    return f"({_part1by1(a)} | ({_part1by1(b)} << 1))"
+
+
+@query(
+    "q_zorder",
+    oracle=f"""
+    WITH t AS (
+      SELECT event_id, user_id,
+             epoch_us(ts) // 3600000000 AS hr
+      FROM events
+    )
+    SELECT event_id,
+           {_morton("user_id", "hr")} AS zcode
+    FROM t ORDER BY event_id
+    """,
+)
+def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) codes over (user_id, event-hour) — the
+    space-filling-curve layout key that makes ONE sort serve range
+    pruning on BOTH dimensions: rows near in (user, time) are near
+    in zcode, so files written in zcode order carry tight min/max
+    footers for either predicate. The interleave is five shift-mask
+    steps per dimension, pure codegen'd integer expressions, map-side
+    only. At 100 TB this key feeds `repartitionByRange(zcode)` +
+    sortWithinPartitions before the fragment write; here the code
+    itself is the declared, oracle-checked output."""
+    events = load_table(spark, sf_dir, "events")
+    t = events.select(
+        "event_id",
+        "user_id",
+        F.expr("unix_micros(ts) DIV 3600000000").alias("hr"),
+    )
+    return t.select(
+        "event_id", F.expr(_morton("user_id", "hr")).alias("zcode")
+    ).orderBy("event_id")
+
+
+# --------------------------------------------------------------- pagerank
+_PR_ITERS = 5
+_PR_SUPP_OFF = 10_000_000  # supplier node ids offset into one id space
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled-CTE oracle: one contrib+rank CTE pair per iteration.
+    Fixed iteration count + integer arithmetic make the iterative
+    algorithm itself hash-checkable — recursive SQL can't aggregate
+    between steps, but unrolling can."""
+    ctes = [
+        f"""
+    und AS (
+      SELECT DISTINCT u, v FROM (
+        SELECT o_custkey AS u, {_PR_SUPP_OFF} + l_suppkey AS v
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        UNION ALL
+        SELECT {_PR_SUPP_OFF} + l_suppkey AS u, o_custkey AS v
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      )
+    ),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY u),
+    r0 AS (SELECT u AS node, CAST(1000000 AS BIGINT) AS r FROM deg)"""
+    ]
+    for i in range(1, _PR_ITERS + 1):
+        ctes.append(f"""
+    c{i} AS (
+      SELECT r.node, r.r // d.d AS c
+      FROM r{i - 1} r JOIN deg d ON d.u = r.node
+    ),
+    r{i} AS (
+      SELECT e.v AS node,
+             CAST(150000 + (85 * SUM(c.c)) // 100 AS BIGINT) AS r
+      FROM und e JOIN c{i} c ON e.u = c.node
+      GROUP BY e.v
+    )""")
+    return (
+        "WITH " + ",".join(ctes) + f"""
+    SELECT node, r AS rank_micro FROM r{_PR_ITERS} ORDER BY node
+    """
+    )
+
+
+@query("q_pagerank", oracle=_pagerank_oracle())
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer↔supplier interaction graph
+    (undirected edges from lineitem×orders), five fixed rounds in
+    integer micro-units: contrib = rank DIV degree, rank' = 0.15 +
+    0.85·Σcontrib — every operation integer, so the result is
+    identical on any engine and partitioning (float PageRank never
+    is). The declared iterative-algorithm pattern: edges and degrees
+    persist once, each round is one join + one aggregate keyed on
+    node id, the driver holds no data, and the oracle unrolls the
+    same five rounds as chained CTEs — full hash parity for an
+    iterative algorithm. Remainder mass from the floored divisions
+    decays toward the 0.15 floor; acceptable and deterministic."""
+    from pyspark import StorageLevel
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cs = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        F.col("o_custkey").alias("cu"),
+        (F.lit(_PR_SUPP_OFF) + F.col("l_suppkey")).alias("su"),
+    )
+    und = (
+        cs.select(F.col("cu").alias("u"), F.col("su").alias("v"))
+        .unionByName(cs.select(F.col("su").alias("u"), F.col("cu").alias("v")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    deg = und.groupBy("u").agg(F.count("*").cast("bigint").alias("d")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    ranks = deg.select(F.col("u").alias("node"), F.lit(1_000_000).cast("bigint").alias("r"))
+    for _ in range(_PR_ITERS):
+        contrib = ranks.join(deg, ranks["node"] == deg["u"]).select(
+            "node", F.expr("r DIV d").alias("c")
+        )
+        ranks = (
+            und.join(contrib, und["u"] == contrib["node"])
+            .groupBy("v")
+            .agg(
+                (F.lit(150_000) + F.expr("(85 * SUM(c)) DIV 100"))
+                .cast("bigint")
+                .alias("r")
+            )
+            .withColumnRenamed("v", "node")
+        )
+    return ranks.select("node", F.col("r").alias("rank_micro")).orderBy("node")
+

@@ -207,3 +207,19 @@ def test_funnel_single_shuffle_no_joins(spark):
     plan = _plan(spark, "q_funnel")
     assert "Join" not in plan
     assert len(re.findall(r"hashpartitioning\(user_id", plan)) == 1
+
+
+def test_zorder_is_map_side(spark):
+    plan = _plan(spark, "q_zorder")
+    assert "hashpartitioning" not in plan
+    assert "Join" not in plan
+
+
+def test_pagerank_reuses_persisted_graph(spark):
+    """Each PageRank round must join the PERSISTED edge/degree
+    tables (InMemoryTableScan), not rebuild the lineitem×orders
+    join five times; no cartesian anywhere."""
+    plan = _plan(spark, "q_pagerank")
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
