@@ -72,6 +72,10 @@ HEADLINE = [
     "q_label_centroid",
     "q_zorder",
     "q_pagerank",
+    "q_tfidf",
+    "q_bm25",
+    "q_hopping",
+    "q_anomaly",
 ]
 
 

@@ -16,5 +16,6 @@ from core_spark.plans import tpch_deep  # noqa: E402,F401
 from core_spark.plans import curation  # noqa: E402,F401
 from core_spark.plans import scrub  # noqa: E402,F401
 from core_spark.plans import sketches  # noqa: E402,F401
+from core_spark.plans import ranking  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "query"]

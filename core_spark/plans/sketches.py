@@ -483,10 +483,17 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("cu"),
         (F.lit(_PR_SUPP_OFF) + F.col("l_suppkey")).alias("su"),
     )
+    # distinct() leaves und hash-partitioned on (u, v); every round's
+    # edge⋈contrib join is keyed on u alone, so without this explicit
+    # re-key the FULL edge list re-shuffles five times. Partitioned on
+    # u once and persisted, each round exchanges only the contrib side
+    # (one row per node), and deg's groupBy("u") is exchange-free too.
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
     und = (
         cs.select(F.col("cu").alias("u"), F.col("su").alias("v"))
         .unionByName(cs.select(F.col("su").alias("u"), F.col("cu").alias("v")))
         .distinct()
+        .repartition(width, "u")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     deg = und.groupBy("u").agg(F.count("*").cast("bigint").alias("d")).persist(

@@ -415,3 +415,111 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
         .orderBy("cohort_week", "week_k")
     )
+
+
+# ---------------------------------------------------------------- hopping
+@query(
+    "q_hopping",
+    oracle="""
+    WITH x AS (
+      SELECT (epoch_us(date_trunc('hour', ts)) - k.k * 3600000000) AS win_us,
+             event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events CROSS JOIN (VALUES (0), (1)) k(k)
+    )
+    SELECT win_us, event_type, COUNT(*) AS n,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM x GROUP BY win_us, event_type
+    ORDER BY win_us, event_type
+    """,
+)
+def q_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows: 2-hour windows every 1 hour, so each
+    event lands in exactly two windows — Spark's `window(ts, '2 hours',
+    '1 hour')` superset of the reference's absent time windowing
+    (SURVEY §2.10: correctness there hangs on ACK barriers, not time).
+    The oracle expands the two covering window starts per row
+    (trunc-hour and trunc-hour minus one) — the identity Spark's
+    generator implements. Money in per-row-rounded integer cents.
+
+    Scale shape: the window generator is a map-side 2x explode (slide
+    count, not data size); the aggregate is one partial/final shuffle
+    keyed on (window, type) — identical cost to a tumbling window at
+    twice the key cardinality."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("win"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)")).alias(
+                "sum_cents"
+            ),
+        )
+        .select(
+            F.unix_micros(F.col("win.start")).alias("win_us"),
+            "event_type",
+            "n",
+            "sum_cents",
+        )
+        .orderBy("win_us", "event_type")
+    )
+
+
+# ---------------------------------------------------------------- anomaly
+@query(
+    "q_anomaly",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, event_type,
+             CAST(ROUND(value * 10) AS BIGINT) AS deci
+      FROM events
+    ),
+    st AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(deci) AS BIGINT) AS s,
+             CAST(SUM(deci * deci) AS BIGINT) AS q
+      FROM e GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.deci
+    FROM e JOIN st USING (event_type)
+    WHERE (e.deci * st.n - st.s) * (e.deci * st.n - st.s)
+          > 9 * (st.n * st.q - st.s * st.s)
+    ORDER BY event_id
+    """,
+)
+def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type 3-sigma outliers, integer-exact: |v - mean| > 3*stddev
+    cross-multiplies to (n*v - S)^2 > 9*(n*Q - S^2) over per-row deci
+    units (S = sum, Q = sum of squares) — no float mean/variance, so
+    the flag set is engine- and partitioning-independent. Deci scale
+    bounds the worst-case square inside int64 through sf 1; the 100 TB
+    variant swaps the comparison into DECIMAL(38,0) (or streams
+    Welford in double once a tolerance is acceptable).
+
+    Plan: one partial/final aggregate to the per-type stats (5 rows),
+    broadcast back over the scan — a single corpus-sized pass, no
+    window, no second shuffle."""
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(ROUND(value * 10) AS BIGINT)").alias("deci"),
+    )
+    st = e.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("deci").cast("bigint").alias("s"),
+        F.sum(F.expr("deci * deci")).cast("bigint").alias("q"),
+    )
+    return (
+        e.join(F.broadcast(st), "event_type")
+        .filter(
+            F.expr(
+                "(deci * n - s) * (deci * n - s) > 9 * (n * q - s * s)"
+            )
+        )
+        .select("event_id", "event_type", "deci")
+        .orderBy("event_id")
+    )
