@@ -97,3 +97,47 @@ def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
         assert joined.count() == 5000
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """A selective filter on the dim side injects a runtime bloom
+    filter into the fact-side scan (creation-side `bloom_filter_agg`,
+    apply-side `might_contain`) — Spark's runtime-filter analog of the
+    reference's offset/mod-time-pruned reads, and the scale path that
+    keeps a 100 TB fact scan from shipping rows a filtered dim can
+    never match. The scan-size threshold is lowered here because the
+    local fact is tiny; at real scan sizes the default (10 GiB)
+    passes on its own."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        from pyspark.sql import functions as F
+
+        li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+        o = spark.read.parquet("/root/testdata/sf0.01/orders.parquet").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        assert "might_contain" in plan, plan[:2000]
+        # the bloom-pruned join returns exactly the unpruned result
+        n_bloomed = j.count()
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        try:
+            plain = li.join(o, li.l_orderkey == o.o_orderkey)
+            assert "might_contain" not in (
+                plain._jdf.queryExecution().executedPlan().toString()
+            )
+            assert n_bloomed == plain.count()
+        finally:
+            spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
