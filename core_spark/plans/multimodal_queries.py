@@ -31,3 +31,59 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape, worker self-containment) rather than a codec."""
     docs = load_table(spark, sf_dir, "documents")
     return decode_image_meta(attach_payload(docs)).orderBy("doc_id")
+
+
+@query(
+    "q_multimodal_frames",
+    oracle="""
+    WITH d AS (SELECT doc_id, strlen(text) AS len FROM documents),
+    f AS (
+      SELECT doc_id,
+             unnest(range(CAST(greatest(1, len // 100) AS BIGINT))) AS frame_idx,
+             len
+      FROM d
+    )
+    SELECT doc_id, frame_idx,
+           frame_idx * 1000 AS offset_ms,
+           least(100, len - frame_idx * 100) AS n_bytes
+    FROM f ORDER BY doc_id, frame_idx
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: one media payload exploded into fixed-interval
+    frames inside the Arrow stage (the fan-out shape of audio/video
+    frame extraction — output rows >> input rows, produced
+    executor-side with no driver involvement). Fake framing treats
+    every 100 payload bytes as one second; the oracle reproduces the
+    arithmetic from the text length."""
+    from core_spark.multimodal import sample_audio_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_audio_frames(attach_payload(docs)).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
+@query(
+    "q_multimodal_resize",
+    oracle="""
+    WITH t AS (SELECT doc_id, substr(text, 1, 1024) AS cut FROM documents)
+    SELECT doc_id,
+           'image/png' AS mime,
+           64 + CAST('0x' || substr(md5(cut), 1, 4) AS BIGINT) % 512 AS width,
+           64 + CAST('0x' || substr(md5(cut), 9, 4) AS BIGINT) % 512 AS height,
+           strlen(cut) AS n_bytes
+    FROM t ORDER BY doc_id
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transform composition: resize (payload → bounded payload) then
+    metadata decode, two chained Arrow stages over the same binary
+    column — the map-map pipeline a real thumbnail+index pass runs.
+    Fake resize truncates to max_side*4 bytes deterministically, so
+    the oracle recomputes the downstream md5 on the truncated text."""
+    from core_spark.multimodal import resize_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    resized = resize_images(attach_payload(docs), max_side=256)
+    return decode_image_meta(resized).orderBy("doc_id")
