@@ -467,10 +467,16 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer micro-units: contrib = rank DIV degree, rank' = 0.15 +
     0.85·Σcontrib — every operation integer, so the result is
     identical on any engine and partitioning (float PageRank never
-    is). The declared iterative-algorithm pattern: edges and degrees
-    persist once, each round is one join + one aggregate keyed on
-    node id, the driver holds no data, and the oracle unrolls the
-    same five rounds as chained CTEs — full hash parity for an
+    is). The declared iterative-algorithm pattern: the edge list
+    carries its source degree and persists once; each round is one
+    broadcast join (rank vector ≈ one row per node — always tiny
+    relative to edges) plus one aggregate keyed on the destination,
+    so exactly ONE shuffle of edge-width data per round; and each
+    round's result is localCheckpoint'ed, truncating lineage so
+    analysis/optimization cost stays constant per round instead of
+    growing with the unrolled tree (the standard Pregel/GraphX
+    pattern for iterative convergence on Spark). The oracle unrolls
+    the same five rounds as chained CTEs — full hash parity for an
     iterative algorithm. Remainder mass from the floored divisions
     decays toward the 0.15 floor; acceptable and deterministic."""
     from pyspark import StorageLevel
@@ -483,36 +489,38 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("cu"),
         (F.lit(_PR_SUPP_OFF) + F.col("l_suppkey")).alias("su"),
     )
-    # distinct() leaves und hash-partitioned on (u, v); every round's
-    # edge⋈contrib join is keyed on u alone, so without this explicit
-    # re-key the FULL edge list re-shuffles five times. Partitioned on
-    # u once and persisted, each round exchanges only the contrib side
-    # (one row per node), and deg's groupBy("u") is exchange-free too.
-    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
     und = (
         cs.select(F.col("cu").alias("u"), F.col("su").alias("v"))
         .unionByName(cs.select(F.col("su").alias("u"), F.col("cu").alias("v")))
         .distinct()
-        .repartition(width, "u")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    deg = und.groupBy("u").agg(F.count("*").cast("bigint").alias("d")).persist(
+    deg = und.groupBy("u").agg(F.count("*").cast("bigint").alias("d"))
+    # (u, v, d): source degree denormalized onto every edge, so rounds
+    # never join a separate degree table — contrib r DIV d is computed
+    # in place on the edge row.
+    graph = und.join(deg, "u").select("u", "v", "d").persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    ranks = deg.select(F.col("u").alias("node"), F.lit(1_000_000).cast("bigint").alias("r"))
-    for _ in range(_PR_ITERS):
-        contrib = ranks.join(deg, ranks["node"] == deg["u"]).select(
-            "node", F.expr("r DIV d").alias("c")
+    ranks = (
+        graph.select("u")
+        .distinct()
+        .select(
+            F.col("u").alias("node"),
+            F.lit(1_000_000).cast("bigint").alias("r"),
         )
+        .localCheckpoint()
+    )
+    for _ in range(_PR_ITERS):
         ranks = (
-            und.join(contrib, und["u"] == contrib["node"])
+            graph.join(F.broadcast(ranks), graph["u"] == ranks["node"])
             .groupBy("v")
             .agg(
-                (F.lit(150_000) + F.expr("(85 * SUM(c)) DIV 100"))
+                (F.lit(150_000) + F.expr("(85 * SUM(r DIV d)) DIV 100"))
                 .cast("bigint")
                 .alias("r")
             )
             .withColumnRenamed("v", "node")
+            .localCheckpoint()
         )
     return ranks.select("node", F.col("r").alias("rank_micro")).orderBy("node")
 
