@@ -50,6 +50,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Depending on the writer's parquet metadata (isAdjustedToUTC) and the
+    # reader's inferTimestampNTZ setting, ts may arrive as TIMESTAMP_NTZ.
+    # Normalize to TIMESTAMP: with the session TZ pinned to UTC above the
+    # cast is value-preserving and matches DuckDB's naive-UTC view.
+    for field in df.schema.fields:
+        if isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 
