@@ -510,7 +510,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    for _ in range(_PR_ITERS):
+    for i in range(_PR_ITERS):
         ranks = (
             graph.join(F.broadcast(ranks), graph["u"] == ranks["node"])
             .groupBy("v")
@@ -520,7 +520,11 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("r")
             )
             .withColumnRenamed("v", "node")
-            .localCheckpoint()
         )
+        # Truncate lineage between rounds; the LAST round keeps its plan
+        # so callers (and the plan-shape test) see the persisted-graph
+        # join + broadcast shape rather than an opaque ExistingRDD scan.
+        if i < _PR_ITERS - 1:
+            ranks = ranks.localCheckpoint()
     return ranks.select("node", F.col("r").alias("rank_micro")).orderBy("node")
 
