@@ -91,10 +91,17 @@ def main() -> None:
             continue
         df = q.fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # warm (plan+IO caches)
+        # Queries that persist() intermediates (curate, CC, pagerank)
+        # leave cached blocks behind; without this, later queries in the
+        # 50-query session inherit memory pressure and drift 1.3-2.8x
+        # (measured r1 vs r2). Clearing between timings keeps each
+        # number a fresh-session-comparable measurement.
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         df = q.fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     print(
