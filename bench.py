@@ -47,13 +47,13 @@ HEADLINE = [
     "q_knn_cosine",
     "q_ann_lsh",
     "q_ann_ivf",
-    "q_tpch8",
-    "q_tpch14",
+    "q_h08",
+    "q_h14",
     "q_grouping_sets",
-    "q_tpch9",
-    "q_tpch13",
-    "q_tpch17",
-    "q_tpch21",
+    "q_h09",
+    "q_h13",
+    "q_h17",
+    "q_h21",
     "q_decontam",
     "q_repetition",
     "q_dup_clusters",
@@ -62,17 +62,17 @@ HEADLINE = [
     "q_pii_redact",
     "q_chunk",
     "q_ngram_topk",
-    "q_token_stats",
+    "q_doc_token_stats",
     "q_kmv_distinct",
-    "q_token_budget",
+    "q_budget_pack",
     "q_incr_dedup",
     "q_embed_quant",
     "q_funnel",
     "q_retention",
     "q_label_centroid",
-    "q_zorder",
+    "q_cluster_zorder",
     "q_pagerank",
-    "q_tfidf",
+    "q_doc_tfidf",
     "q_bm25",
     "q_hopping",
     "q_anomaly",

@@ -52,20 +52,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     # Depending on the writer's parquet metadata (isAdjustedToUTC) and the
     # reader's inferTimestampNTZ setting, ts may arrive as TIMESTAMP_NTZ.
-    # Normalize to TIMESTAMP, treating the NTZ wall time as UTC (DuckDB's
-    # naive-UTC view of the same file). Both current_timezone() and the
-    # cast resolve at action time with the SAME conf value, so the
-    # round-trip is invariant even if a caller resets the session TZ
-    # between load_table and the action.
+    # Normalize to TIMESTAMP with a plain cast: with the session TZ pinned
+    # to UTC above, the cast is value-preserving and matches DuckDB's
+    # naive-UTC view. CONSTRAINT: the cast resolves the session TZ at
+    # action time, so callers must not reset spark.sql.session.timeZone
+    # between load_table and the action. (A TZ-independent
+    # convert_timezone('UTC', current_timezone(), col) formulation was
+    # measured to defeat parquet predicate pushdown on these columns —
+    # filters like l_shipdate >= X stop reaching the scan — so the
+    # pinned-conf contract is the right trade.)
     for field in df.schema.fields:
         if isinstance(field.dataType, T.TimestampNTZType):
-            df = df.withColumn(
-                field.name,
-                F.expr(
-                    f"cast(convert_timezone('UTC', current_timezone(),"
-                    f" {field.name}) as timestamp)"
-                ),
-            )
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

@@ -47,7 +47,7 @@ _DUCK_BUCKET = (
 
 
 @query(
-    "q_split",
+    "q_datasplit",
     oracle=f"""
     SELECT doc_id,
            {_DUCK_BUCKET} AS bucket,
@@ -57,7 +57,7 @@ _DUCK_BUCKET = (
     FROM documents ORDER BY doc_id
     """,
 )
-def q_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_datasplit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 80/10/10 train/val/test split: salted md5 of the
     stable doc key -> integer bucket -> range assignment. Map-side
     only; any job can recompute membership without a lookup table."""

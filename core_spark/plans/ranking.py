@@ -27,7 +27,7 @@ from core_spark.plans.registry import query
 
 # ---------------------------------------------------------------- tf-idf
 @query(
-    "q_tfidf",
+    "q_doc_tfidf",
     oracle="""
     WITH toks AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
@@ -50,7 +50,7 @@ from core_spark.plans.registry import query
     ) WHERE rn <= 3 ORDER BY doc_id, term
     """,
 )
-def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_doc_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document. idf is the reciprocal-df ratio
     in micros, `(N * 1e6) DIV df` — integer-exact (see module doc);
     score = tf * idf_micro; ties broken by term.

@@ -837,7 +837,7 @@ def q_tpch10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -------------------------------------------------------------- Q-TPCH2
 @query(
-    "q_tpch2",
+    "q_h02",
     oracle="""
     SELECT DISTINCT p.p_partkey, p.p_name, p.p_brand, s.s_name, n.n_name,
            l.l_extendedprice AS min_price
@@ -851,7 +851,7 @@ def q_tpch10(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY p.p_partkey, s.s_name
     """,
 )
-def q_tpch2(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_h02(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 core (min-cost supplier per part via a correlated
     minimum), adapted to the dataset: lineitem stands in for partsupp
     as the per-(part, supplier) price list. The correlated subquery is
@@ -882,7 +882,7 @@ def q_tpch2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -------------------------------------------------------------- Q-TPCH8
 @query(
-    "q_tpch8",
+    "q_h08",
     oracle="""
     WITH volumes AS (
       SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
@@ -904,7 +904,7 @@ def q_tpch2(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM volumes GROUP BY o_year ORDER BY o_year
     """,
 )
-def q_tpch8(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_h08(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 national market share (adapted nation/type literals to
     the synthetic domains). Money discipline: per-row integer cents,
     then one exact int/int division rounded to 6dp — order-independent
@@ -957,7 +957,7 @@ def q_tpch8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------- Q-TPCH12
 @query(
-    "q_tpch12",
+    "q_h12",
     oracle="""
     SELECT l.l_returnflag AS grp,
            CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
@@ -969,7 +969,7 @@ def q_tpch8(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY grp ORDER BY grp
     """,
 )
-def q_tpch12(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_h12(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shipping-priority counts, adapted to the dataset's
     columns: 'late' lineitems (shipped >60 days after the order date —
     the dataset has no commit/receipt dates) classified by order
@@ -991,7 +991,7 @@ def q_tpch12(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------- Q-TPCH14
 @query(
-    "q_tpch14",
+    "q_h14",
     oracle="""
     SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
                  THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
@@ -1003,9 +1003,9 @@ def q_tpch12(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l.l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
     """,
 )
-def q_tpch14(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_h14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 promo revenue share for one month. Same cents-int
-    then exact-division discipline as q_tpch8; the broadcast join on
+    then exact-division discipline as q_h08; the broadcast join on
     part keeps the big lineitem side shuffle-free."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))

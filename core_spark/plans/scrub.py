@@ -303,7 +303,7 @@ def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------ token stats
 @query(
-    "q_token_stats",
+    "q_doc_token_stats",
     oracle="""
     WITH t AS (
       SELECT doc_id, lang,
@@ -329,7 +329,7 @@ def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM r GROUP BY lang ORDER BY lang
     """,
 )
-def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language token-count distribution: doc count, totals,
     min/max, exact median (reported as the sum of the two middle
     ranks — integer, so no interpolation float can diverge between

@@ -8,7 +8,7 @@ usual "approximation differs by design" escape hatch isn't needed.
   hash is bit-reproducible on any engine: the estimate
   (k-1) * 2^60 / h_k depends only on the k-th smallest distinct hash.
   Approximate in statistics, exact in bytes — so it hash-checks.
-- q_token_budget: priority sampling under a token budget, the "give
+- q_budget_pack: priority sampling under a token budget, the "give
   me ~N tokens of this corpus, reproducibly" pass. The Spark side is
   the distributed two-pass prefix-sum (per-bucket partial sums, then
   a 64-row exclusive scan, then per-bucket windows); the oracle is
@@ -133,7 +133,7 @@ _N_BKT = 64  # priority-hash top bits — must divide the hash range
 
 
 @query(
-    "q_token_budget",
+    "q_budget_pack",
     oracle=f"""
     WITH t AS (
       SELECT doc_id,
@@ -152,7 +152,7 @@ _N_BKT = 64  # priority-hash top bits — must divide the hash range
     ORDER BY doc_id
     """,
 )
-def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible priority sampling under a token budget: order
     documents by a salted hash and keep the prefix whose cumulative
     token count fits the budget.
@@ -384,7 +384,7 @@ def _morton(a: str, b: str) -> str:
 
 
 @query(
-    "q_zorder",
+    "q_cluster_zorder",
     oracle=f"""
     WITH t AS (
       SELECT event_id, user_id,
@@ -396,7 +396,7 @@ def _morton(a: str, b: str) -> str:
     FROM t ORDER BY event_id
     """,
 )
-def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_cluster_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) codes over (user_id, event-hour) — the
     space-filling-curve layout key that makes ONE sort serve range
     pruning on BOTH dimensions: rows near in (user, time) are near

@@ -218,7 +218,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q_window_stream",
+    "q_agg_window_stream",
     oracle="""
     WITH b AS (
       SELECT epoch_us(ts) // 3600000000 AS hr, event_type,
@@ -231,7 +231,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY win_us, event_type
     """,
 )
-def q_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_agg_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming tumbling-window aggregation: 1-hour event-time
     windows of per-type counts and integer-cents sums, fed as three
     time-ordered file chunks (maxFilesPerTrigger=1) so the state

@@ -36,7 +36,7 @@ def _rev_cents() -> F.Column:
 
 # --------------------------------------------------------------- Q-TPCH4
 @query(
-    "q_tpch4",
+    "q_h04",
     oracle="""
     SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
     FROM orders o
@@ -49,7 +49,7 @@ def _rev_cents() -> F.Column:
     ORDER BY o.o_orderpriority
     """,
 )
-def q_tpch4(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_h04(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 order-priority checking. The correlated EXISTS (a
     lineitem shipped >30 days after the order date — the dataset's
     'late' analog of commitdate < receiptdate) is a left-semi join
@@ -75,7 +75,7 @@ def q_tpch4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------- Q-TPCH9
 @query(
-    "q_tpch9",
+    "q_h09",
     oracle=f"""
     SELECT n.n_name AS nation, EXTRACT(year FROM o.o_orderdate) AS o_year,
            SUM({_CENTS_REV}) / 100.0 AS sum_profit
@@ -89,7 +89,7 @@ def q_tpch4(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY nation, o_year DESC
     """,
 )
-def q_tpch9(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_h09(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 product-type profit by supplier nation and year
     (profit = discounted revenue; the dataset has no ps_supplycost to
     subtract). part/supplier/nation are broadcast — lineitem, the only
@@ -115,7 +115,7 @@ def q_tpch9(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -------------------------------------------------------------- Q-TPCH11
 @query(
-    "q_tpch11",
+    "q_h11",
     oracle=f"""
     WITH pv AS (
       SELECT l.l_partkey AS ps_partkey, SUM({_CENTS_REV}) AS value_c
@@ -130,7 +130,7 @@ def q_tpch9(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY value DESC, ps_partkey
     """,
 )
-def q_tpch11(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_h11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 important stock: per-part value (via lineitem — the
     dataset's partsupp stand-in) for suppliers of a nation group,
     keeping parts worth > 0.1% of the group total. The global-total
@@ -160,7 +160,7 @@ def q_tpch11(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -------------------------------------------------------------- Q-TPCH13
 @query(
-    "q_tpch13",
+    "q_h13",
     oracle="""
     SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
     FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
@@ -172,7 +172,7 @@ def q_tpch11(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY custdist DESC, c_count DESC
     """,
 )
-def q_tpch13(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_h13(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 customer order-count distribution: left outer join
     with the filter INSIDE the join condition (customers whose only
     orders are urgent still count as zero), then a two-level
@@ -197,7 +197,7 @@ def q_tpch13(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -------------------------------------------------------------- Q-TPCH15
 @query(
-    "q_tpch15",
+    "q_h15",
     oracle=f"""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no, SUM({_CENTS_REV}) AS total_c
@@ -211,7 +211,7 @@ def q_tpch13(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY s.s_suppkey
     """,
 )
-def q_tpch15(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_h15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 top supplier: quarterly revenue per supplier, keep
     the max. The MAX scalar subquery is a broadcast single-row
     aggregate; the equality compares exact integer cents (comparing
@@ -239,7 +239,7 @@ def q_tpch15(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -------------------------------------------------------------- Q-TPCH16
 @query(
-    "q_tpch16",
+    "q_h16",
     oracle="""
     SELECT p.p_brand, p.p_type, p.p_size,
            CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
@@ -252,7 +252,7 @@ def q_tpch15(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
     """,
 )
-def q_tpch16(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_h16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 part/supplier relationship counts (lineitem as the
     partsupp stand-in; negative account balance as the 'complaints'
     exclusion). The NOT IN is an anti join against a tiny broadcast
@@ -277,7 +277,7 @@ def q_tpch16(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -------------------------------------------------------------- Q-TPCH17
 @query(
-    "q_tpch17",
+    "q_h17",
     oracle="""
     WITH pq AS (
       SELECT l_partkey,
@@ -293,7 +293,7 @@ def q_tpch16(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND CAST(ROUND(l.l_quantity * 100) AS BIGINT) * 5 * pq.cnt < pq.sum_qc
     """,
 )
-def q_tpch17(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_h17(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 small-quantity-order revenue: lineitems below 20% of
     their part's average quantity. The correlated AVG becomes a
     per-part (sum, count) aggregate joined back; the 0.2*avg threshold
@@ -323,7 +323,7 @@ def q_tpch17(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -------------------------------------------------------------- Q-TPCH18
 @query(
-    "q_tpch18",
+    "q_h18",
     oracle="""
     WITH big AS (
       SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
@@ -341,7 +341,7 @@ def q_tpch17(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 100
     """,
 )
-def q_tpch18(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_h18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 large-volume customers: orders totalling >300 units.
     The IN-subquery is a semi join against the HAVING aggregate
     (threshold in integer quantity-cents); only qualifying orders
@@ -369,7 +369,7 @@ def q_tpch18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -------------------------------------------------------------- Q-TPCH19
 @query(
-    "q_tpch19",
+    "q_h19",
     oracle=f"""
     SELECT SUM({_CENTS_REV}) / 100.0 AS revenue
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
@@ -381,7 +381,7 @@ def q_tpch18(spark: SparkSession, sf_dir: str) -> DataFrame:
            AND l.l_quantity BETWEEN 20 AND 30)
     """,
 )
-def q_tpch19(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_h19(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 discounted revenue under OR'd predicate triplets
     (brand/size/quantity standing in for the missing container and
     shipmode columns). The disjunction spans both join sides, so it
@@ -409,7 +409,7 @@ def q_tpch19(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -------------------------------------------------------------- Q-TPCH20
 @query(
-    "q_tpch20",
+    "q_h20",
     oracle="""
     SELECT s.s_name, s.s_suppkey
     FROM supplier s
@@ -424,7 +424,7 @@ def q_tpch19(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY s.s_suppkey
     """,
 )
-def q_tpch20(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_h20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 potential part promotion: suppliers who moved >50
     units of some 'small%' part in 1996 (the dataset's analog of
     availqty > half the shipped quantity). Nested IN-subqueries
@@ -452,7 +452,7 @@ def q_tpch20(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -------------------------------------------------------------- Q-TPCH21
 @query(
-    "q_tpch21",
+    "q_h21",
     oracle="""
     SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
     FROM supplier s
@@ -473,7 +473,7 @@ def q_tpch20(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 10
     """,
 )
-def q_tpch21(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_h21(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 suppliers who kept orders waiting: the sole late
     supplier (shipped >60 days after the order date) on a multi-
     supplier finished order. EXISTS/NOT EXISTS become a semi and an
@@ -520,7 +520,7 @@ def q_tpch21(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -------------------------------------------------------------- Q-TPCH22
 @query(
-    "q_tpch22",
+    "q_h22",
     oracle="""
     WITH pos AS (
       SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS sum_c,
@@ -540,7 +540,7 @@ def q_tpch21(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY cntrycode
     """,
 )
-def q_tpch22(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_h22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 global sales opportunity: customers with no recent
     orders (none since 1999 — every customer in this dataset has SOME
     order) whose balance beats the average positive balance, bucketed

@@ -62,7 +62,7 @@ def test_aggregates_are_partial_final(spark, name):
 
 
 def test_tpch8_broadcasts_dims_no_cartesian(spark):
-    plan = _plan(spark, "q_tpch8")
+    plan = _plan(spark, "q_h08")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     # the type filter reaches the part scan
@@ -70,13 +70,13 @@ def test_tpch8_broadcasts_dims_no_cartesian(spark):
 
 
 def test_tpch14_broadcast_and_pushed_dates(spark):
-    plan = _plan(spark, "q_tpch14")
+    plan = _plan(spark, "q_h14")
     assert "BroadcastHashJoin" in plan
     assert "GreaterThanOrEqual(l_shipdate" in plan
 
 
 def test_tpch2_size_filter_pushed(spark):
-    assert "EqualTo(p_size,15)" in _plan(spark, "q_tpch2")
+    assert "EqualTo(p_size,15)" in _plan(spark, "q_h02")
 
 
 def test_grouping_sets_single_expand_single_agg_shuffle(spark):
@@ -126,9 +126,9 @@ def test_decontam_broadcasts_benchmark_and_keeps_split_linear(spark):
 
 
 def test_split_is_pure_projection(spark):
-    """q_split must not shuffle except the presentation orderBy —
+    """q_datasplit must not shuffle except the presentation orderBy —
     membership is a map-side recomputable projection."""
-    plan = _plan(spark, "q_split")
+    plan = _plan(spark, "q_datasplit")
     assert "hashpartitioning" not in plan
     assert "BroadcastHashJoin" not in plan and "SortMergeJoin" not in plan
 
@@ -173,12 +173,12 @@ def test_scrub_tier_plans(spark):
 
 
 def test_token_budget_no_global_data_window(spark):
-    """q_token_budget's per-document cumsum must be partitioned by
+    """q_budget_pack's per-document cumsum must be partitioned by
     bucket — a single-partition window over the data is the
     scale-killer this query exists to avoid. The only SinglePartition
     exchange allowed is the 64-row bucket-offset scan, and the
     offsets must broadcast back."""
-    plan = _plan(spark, "q_token_budget")
+    plan = _plan(spark, "q_budget_pack")
     assert re.search(r"windowspecdefinition\(bkt", plan)
     assert "BroadcastHashJoin" in plan
     # the doc-side window must not sit on a SinglePartition exchange:
@@ -210,7 +210,7 @@ def test_funnel_single_shuffle_no_joins(spark):
 
 
 def test_zorder_is_map_side(spark):
-    plan = _plan(spark, "q_zorder")
+    plan = _plan(spark, "q_cluster_zorder")
     assert "hashpartitioning" not in plan
     assert "Join" not in plan
 

@@ -7,7 +7,7 @@ from collections import Counter
 from pyspark.sql import functions as F
 
 from core_spark.io import load_table
-from core_spark.plans.ranking import _BM25_TERMS, q_bm25, q_tfidf
+from core_spark.plans.ranking import _BM25_TERMS, q_bm25, q_doc_tfidf
 from core_spark.plans.registry import REGISTRY
 from tests.conftest import SF_SMOKE
 
@@ -39,7 +39,7 @@ def test_tfidf_matches_python_reference(spark):
         want[doc_id] = {(t, c, s) for t, c, s in scored}
 
     got = {}
-    for r in q_tfidf(spark, SF_SMOKE).collect():
+    for r in q_doc_tfidf(spark, SF_SMOKE).collect():
         got.setdefault(r.doc_id, set()).add((r.term, r.tf, r.score))
     assert got == want
 
