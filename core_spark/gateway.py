@@ -21,9 +21,14 @@ Endpoints:
 
 Scale note: the gateway is a *convenience* path, exactly as in the
 reference — one HTTP body funnels through one append (the per-journal
-serialization contract), and reads materialize the bounded requested
-range to serve the response. Bulk work belongs on the DataFrame API;
-the gateway exists for curl-class clients.
+serialization contract). Reads are flow-controlled: at most
+`max_read_rows` rows are served per GET (a limit the plan pushes down,
+so the driver never materializes more than one page), and
+X-Journal-Next-Offset tells the client where to resume — the analog of
+the reference's append flow control + offset paging
+(broker/append_flow_control.go; client/reader.go RetryReader resume).
+Bulk work belongs on the DataFrame API; the gateway exists for
+curl-class clients.
 """
 
 from __future__ import annotations
@@ -43,10 +48,13 @@ class JournalGateway:
     """Serve journals under `root` over HTTP. start() binds and
     returns (host, port); stop() shuts the server down."""
 
+    DEFAULT_MAX_READ_ROWS = 65536
+
     def __init__(self, spark: SparkSession, root: str, host: str = "127.0.0.1",
-                 port: int = 0):
+                 port: int = 0, max_read_rows: int = DEFAULT_MAX_READ_ROWS):
         self.spark = spark
         self.root = root
+        self.max_read_rows = max_read_rows
         self._host, self._port = host, port
         self._server: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
@@ -86,13 +94,16 @@ class JournalGateway:
                 begin = int(qs["begin"][0]) if "begin" in qs else None
                 end = int(qs["end"][0]) if "end" in qs else None
                 try:
-                    body, next_off = gw.read_ndjson(name, begin, end)
+                    body, next_off, truncated = gw.read_ndjson(name, begin, end)
                 except ValueError as e:
                     self._error(416, str(e))  # no covering fragments
                     return
                 self._send(
                     200, body, ctype="application/x-ndjson",
-                    headers={"X-Journal-Next-Offset": str(next_off)},
+                    headers={
+                        "X-Journal-Next-Offset": str(next_off),
+                        "X-Journal-Truncated": "true" if truncated else "false",
+                    },
                 )
 
             def do_PUT(self):
@@ -139,11 +150,30 @@ class JournalGateway:
         return Journal(self.root, name).append(df)
 
     def read_ndjson(self, name: str, begin: int | None, end: int | None):
+        """Serve at most `max_read_rows` rows of the range; returns
+        (body, next_offset, truncated). The cap rides a limit() so the
+        plan is TakeOrderedAndProject — the driver holds one page, never
+        the journal. A truncated response's next_offset points at the
+        first unserved row, so `GET ?begin=<next>` resumes exactly."""
+        from pyspark.sql import functions as F
+
         j = Journal(self.root, name)
         df = j.read(self.spark, begin=begin, end=end).orderBy("_offset")
-        rows = df.toJSON().collect()
-        next_off = j.manifest().next_offset if end is None else end
-        return ("\n".join(rows) + "\n").encode("utf-8"), next_off
+        cap = self.max_read_rows
+        page = df.select(
+            F.col("_offset").alias("__off"),
+            F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("__js"),
+        ).limit(cap + 1).collect()
+        truncated = len(page) > cap
+        page = page[:cap]
+        if truncated:
+            next_off = page[-1]["__off"] + 1
+        elif end is not None:
+            next_off = end
+        else:
+            next_off = j.manifest().next_offset
+        body = "\n".join(r["__js"] for r in page)
+        return (body + "\n" if body else "").encode("utf-8"), next_off, truncated
 
     def list_journals(self) -> list[dict]:
         out = []

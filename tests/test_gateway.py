@@ -67,3 +67,33 @@ def test_list_journals(gw):
     names = [j["name"] for j in json.loads(body)]
     assert names == ["apps/a", "apps/b"]
     assert all(j["next_offset"] == 1 for j in json.loads(body))
+
+
+def test_read_is_paged_under_row_cap(spark, tmp_path):
+    """The read path must stay bounded-memory: a GET serves at most
+    max_read_rows rows (limit pushed into the plan, driver holds one
+    page) and X-Journal-Next-Offset resumes exactly where the page
+    ended — the flow-control analog of append_flow_control.go."""
+    g = JournalGateway(spark, str(tmp_path / "journals"), max_read_rows=8)
+    host, port = g.start()
+    base = f"http://{host}:{port}"
+    try:
+        _put(base, "api/paged", "\n".join(
+            json.dumps({"k": i}) for i in range(30)
+        ))
+        seen, begin, pages = [], None, 0
+        while True:
+            q = "" if begin is None else f"?begin={begin}"
+            body, headers = _get(base, f"/jnl/api/paged{q}")
+            rows = [json.loads(ln) for ln in body.splitlines()]
+            assert len(rows) <= 8  # the cap holds per response
+            seen.extend(r["k"] for r in rows)
+            pages += 1
+            if headers["X-Journal-Truncated"] == "false":
+                assert headers["X-Journal-Next-Offset"] == "30"
+                break
+            begin = int(headers["X-Journal-Next-Offset"])
+        assert seen == list(range(30))  # exact, ordered, no dup/gap
+        assert pages == 4  # 8+8+8+6
+    finally:
+        g.stop()
