@@ -27,9 +27,17 @@ pyspark). Register per session:
     df = (spark.read.format("journal")
           .option("root", root).option("name", "apps/j1").load())
 
-Fragments written with a Hive path-postfix (partitionBy) are not
-served by this source — use Journal.read, which goes through Spark's
-native partition discovery.
+Fragments written with a Hive path-postfix (partitionBy) are served
+with partition discovery: `key=value` path segments under a fragment
+are parsed back into columns (appended after the data columns, exactly
+like Spark's native discovery in Journal.read), values are unescaped,
+`__HIVE_DEFAULT_PARTITION__` maps to null, and types are inferred
+int32 → int64 → float64 → string across every fragment's observed
+values (mirroring Spark's partitionColumnTypeInference ladder for the
+types a postfix template produces). Partition pruning falls out of the
+per-fragment file listing: a filter on a postfix column prunes
+subdirectories at the pyarrow scan exactly as the Hive layout intends
+(protocol.proto:248-266).
 """
 
 from __future__ import annotations
@@ -59,35 +67,117 @@ def journal_datasource():
         with open(os.path.join(mdir, f"v{max(versions)}.json")) as fh:
             return json.load(fh)
 
-    def _fragment_files(journal_root: str, frag: dict) -> list[str]:
+    _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+    def _fragment_files(journal_root: str, frag: dict) -> list[tuple]:
+        """List a fragment's parquet files as (path, partition-values):
+        `key=value` directory segments between the fragment base and
+        the file are the Hive path postfix, parsed back here."""
+        from urllib.parse import unquote
+
         base = os.path.join(journal_root, frag["path"])
         out = []
         for dirpath, _dirs, files in os.walk(base):
+            pvals = {}
+            rel = os.path.relpath(dirpath, base)
+            if rel != ".":
+                for seg in rel.split(os.sep):
+                    if "=" in seg:
+                        k, _, v = seg.partition("=")
+                        pvals[k] = None if v == _HIVE_NULL else unquote(v)
             out.extend(
-                os.path.join(dirpath, f)
+                (os.path.join(dirpath, f), pvals)
                 for f in files
                 if f.endswith(".parquet")
             )
         return sorted(out)
 
+    def _infer_ptypes(all_files: list[tuple]) -> dict[str, str]:
+        """Partition-column type names in first-seen key order, over
+        every observed value: int32 -> int64 -> float64 -> string (the
+        inference ladder Spark's native discovery applies to the types
+        a postfix template can produce)."""
+        vals: dict[str, list] = {}
+        for _path, pvals in all_files:
+            for k, v in pvals.items():
+                vals.setdefault(k, [])
+                if v is not None:
+                    vals[k].append(v)
+
+        def infer(vs: list) -> str:
+            try:
+                ints = [int(v) for v in vs]
+                return (
+                    "int32"
+                    if all(-(2**31) <= i < 2**31 for i in ints)
+                    else "int64"
+                )
+            except ValueError:
+                try:
+                    [float(v) for v in vs]
+                    return "float64"
+                except ValueError:
+                    return "string"
+
+        return {k: infer(vs) for k, vs in vals.items()}
+
+    def _pa_type(name: str):
+        import pyarrow as pa
+
+        return {
+            "int32": pa.int32(),
+            "int64": pa.int64(),
+            "float64": pa.float64(),
+            "string": pa.string(),
+        }[name]
+
+    def _pconvert(type_name: str, v: str):
+        if type_name in ("int32", "int64"):
+            return int(v)
+        if type_name == "float64":
+            return float(v)
+        return v
+
     class FragPartition(InputPartition):
-        def __init__(self, files: list[str], begin: int, end: int):
-            self.files = files
+        def __init__(self, files: list[tuple], begin: int, end: int,
+                     ptypes: dict[str, str]):
+            self.files = files  # [(path, {pcol: raw value}), ...]
             self.begin = begin  # clamp: serve _offset in [begin, end)
             self.end = end
+            self.ptypes = ptypes
 
     def _read_partition(part: FragPartition, field_names: list[str]):
+        import pyarrow as pa
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        for path in part.files:
+        for path, pvals in part.files:
             table = pq.read_table(path)
             mask = pc.and_(
                 pc.greater_equal(table["_offset"], part.begin),
                 pc.less(table["_offset"], part.end),
             )
-            table = table.filter(mask).select(field_names)
+            table = table.filter(mask)
+            for k, tname in part.ptypes.items():
+                typ = _pa_type(tname)
+                v = pvals.get(k)
+                arr = (
+                    pa.nulls(len(table), type=typ)
+                    if v is None
+                    else pa.array([_pconvert(tname, v)] * len(table), type=typ)
+                )
+                table = table.append_column(pa.field(k, typ), arr)
+            table = table.select(field_names)
             yield from table.to_batches()
+
+    def _all_files_and_ptypes(journal_root: str, m: dict):
+        per_frag = {
+            f["path"]: _fragment_files(journal_root, f) for f in m["fragments"]
+        }
+        ptypes = _infer_ptypes(
+            [fp for files in per_frag.values() for fp in files]
+        )
+        return per_frag, ptypes
 
     class _Reader(DataSourceReader):
         def __init__(self, journal_root: str, schema):
@@ -96,9 +186,10 @@ def journal_datasource():
 
         def partitions(self):
             m = _latest_manifest(self.journal_root)
+            per_frag, ptypes = _all_files_and_ptypes(self.journal_root, m)
             return [
                 FragPartition(
-                    _fragment_files(self.journal_root, f), f["begin"], f["end"]
+                    per_frag[f["path"]], f["begin"], f["end"], ptypes
                 )
                 for f in m["fragments"]
             ]
@@ -123,11 +214,13 @@ def journal_datasource():
             if lo >= hi:
                 return []
             m = _latest_manifest(self.journal_root)
+            per_frag, ptypes = _all_files_and_ptypes(self.journal_root, m)
             return [
                 FragPartition(
-                    _fragment_files(self.journal_root, f),
+                    per_frag[f["path"]],
                     max(f["begin"], lo),
                     min(f["end"], hi),
+                    ptypes,
                 )
                 for f in m["fragments"]
                 if f["end"] > lo and f["begin"] < hi
@@ -158,6 +251,7 @@ def journal_datasource():
             return os.path.join(root, jname)
 
         def schema(self):
+            import pyarrow as pa
             import pyarrow.parquet as pq
             from pyspark.sql.pandas.types import from_arrow_schema
 
@@ -165,8 +259,14 @@ def journal_datasource():
             m = _latest_manifest(jroot)
             if not m["fragments"]:
                 raise ValueError(f"journal {jroot} has no fragments")
-            first = _fragment_files(jroot, m["fragments"][0])[0]
-            return from_arrow_schema(pq.read_schema(first))
+            per_frag, ptypes = _all_files_and_ptypes(jroot, m)
+            first = next(iter(per_frag.values()))[0][0]
+            file_schema = pq.read_schema(first)
+            # partition columns append after data columns, as in
+            # Spark's native discovery
+            for k, tname in ptypes.items():
+                file_schema = file_schema.append(pa.field(k, _pa_type(tname)))
+            return from_arrow_schema(file_schema)
 
         def reader(self, schema):
             return _Reader(self._journal_root(), schema)

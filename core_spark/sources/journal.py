@@ -253,7 +253,32 @@ class Journal:
         ]
         if not frags:
             raise ValueError(f"no fragments cover [{begin}, {end})")
-        df = spark.read.parquet(*[os.path.join(self.root, f.path) for f in frags])
+        paths = [os.path.join(self.root, f.path) for f in frags]
+
+        def _has_postfix(p: str) -> bool:
+            try:
+                return any(
+                    "=" in d and os.path.isdir(os.path.join(p, d))
+                    for d in os.listdir(p)
+                )
+            except FileNotFoundError:
+                return False
+
+        if len(paths) > 1 and any(map(_has_postfix, paths)):
+            # Hive path-postfix fragments: each fragment dir carries its
+            # own key=value tree, and Spark's multi-path discovery
+            # rejects the non-partition frag-… segment between them
+            # (CONFLICTING_DIRECTORY_STRUCTURES). Discover per fragment
+            # and union — pushed filters on postfix columns still prune
+            # each fragment's subdirectories independently.
+            from functools import reduce
+
+            df = reduce(
+                lambda a, b: a.unionByName(b),
+                (spark.read.parquet(p) for p in paths),
+            )
+        else:
+            df = spark.read.parquet(*paths)
         if begin is not None:
             df = df.filter(F.col("_offset") >= begin)
         if end is not None:

@@ -102,3 +102,69 @@ def test_shard_tails_journal_source_end_to_end(spark, tmp_path):
         for r in out.groupBy("word").agg(F.sum("cnt").alias("total")).collect()
     }
     assert totals == {"a": 3, "b": 2, "c": 1}
+
+
+def test_partitioned_fragments_served_with_discovery(spark, tmp_path):
+    """Hive path-postfix fragments (partitionBy) must be readable
+    through format("journal") — partition columns restored from the
+    key=value path segments, matching Journal.read's native-discovery
+    view (values AND inferred column types)."""
+    root = str(tmp_path / "journals")
+    j = Journal(root, "ds/part")
+    df = spark.range(0, 40).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).alias("day"),
+        F.concat(F.lit("s"), (F.col("id") % 2).cast("string")).alias("site"),
+    )
+    j.append(df.filter(F.col("k") < 25), path_postfix=("day", "site"))
+    j.append(df.filter(F.col("k") >= 25), path_postfix=("day", "site"))
+    spark.dataSource.register(journal_datasource())
+
+    got = (
+        spark.read.format("journal")
+        .option("root", root)
+        .option("name", "ds/part")
+        .load()
+    )
+    want = j.read(spark).drop("_journal")
+    assert dict(got.dtypes) == dict(want.dtypes)
+    key = lambda r: (r.k, r.day, r.site, r._offset)  # noqa: E731
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+    assert got.count() == 40
+
+
+def test_partitioned_tail_streams_through_manifest(spark, tmp_path):
+    """Tailing a partitionBy journal via readStream.format("journal")
+    — previously only Journal.read could serve these fragments."""
+    root = str(tmp_path / "journals")
+    j = Journal(root, "ds/ptail")
+    mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id").alias("k"), (F.col("id") % 2).alias("bucket")
+    )
+    j.append(mk(0, 20), path_postfix=("bucket",))
+    spark.dataSource.register(journal_datasource())
+    stream = (
+        spark.readStream.format("journal")
+        .option("root", root)
+        .option("name", "ds/ptail")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ds_ptail")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        j.append(mk(20, 30), path_postfix=("bucket",))
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT k, bucket, _offset FROM ds_ptail ORDER BY _offset"
+        ).collect()
+        assert len(rows) == 30
+        assert [r._offset for r in rows] == list(range(30))
+        assert all(r.bucket == r.k % 2 for r in rows)
+    finally:
+        q.stop()
