@@ -9,18 +9,25 @@ inside the engine.
 The decode/transform operators are Arrow-batched `mapInPandas` stages:
 per-partition iterators of pandas batches, binary in → binary/meta
 out, so a 100 TB media corpus streams through executors without
-driver involvement and without row-at-a-time serde. The actual codec
-calls are STUBBED — this container has no image/audio libraries — but
-the Spark-side contract (schema, batch shape, partition behavior,
-worker self-containment) is real and tested:
+driver involvement and without row-at-a-time serde.
 
-- real mode (`fake=False`) raises NotImplementedError naming the
-  library that would be used (PIL / libsndfile / pyav);
-- fake mode derives deterministic metadata from an md5 of the payload,
-  so the full pipeline is runnable and oracle-checkable end-to-end.
+Two modes:
 
-Worker closures are self-contained (stdlib+pandas only, pickled by
-value) — callers' Python workers never need this repo importable.
+- fake mode (`fake=True`, default in this container) derives
+  deterministic metadata from an md5 of the payload, so the full
+  pipeline is runnable and oracle-checkable end-to-end with text
+  payloads standing in for media bytes;
+- real mode (`fake=False`) decodes the codec families expressible in
+  pure stdlib+numpy — PPM/PGM (P6/P5) and BMP headers for image
+  metadata, nearest-neighbor PPM resize, RIFF/WAV framing via the
+  stdlib `wave` module. Compressed codecs (PNG/JPEG/FLAC/MP4…) raise
+  NotImplementedError naming the library a cluster image would add
+  (PIL / libsndfile / pyav); the Spark-side contract is identical
+  either way.
+
+Worker closures are self-contained (stdlib+pandas+numpy only, pickled
+by value — parse helpers are nested inside each closure) — callers'
+Python workers never need this repo importable.
 """
 
 from __future__ import annotations
@@ -48,28 +55,68 @@ def decode_image_meta(
 ) -> DataFrame:
     """Decode image metadata from binary payloads.
 
-    Output: IMAGE_META_SCHEMA. Real decode is stubbed (no PIL here);
-    fake mode hashes the payload into deterministic dimensions.
+    Output: IMAGE_META_SCHEMA. Real mode parses PPM/PGM (P6/P5) and
+    BMP headers in pure Python; other codecs raise, naming PIL. Fake
+    mode hashes the payload into deterministic dimensions.
     """
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
+        import struct
 
-        if not fake:
+        def ppm_header(raw):
+            toks, i = [], 2
+            while len(toks) < 3 and i < len(raw):
+                while i < len(raw) and raw[i : i + 1].isspace():
+                    i += 1
+                if raw[i : i + 1] == b"#":
+                    while i < len(raw) and raw[i : i + 1] != b"\n":
+                        i += 1
+                    continue
+                j = i
+                while j < len(raw) and not raw[j : j + 1].isspace():
+                    j += 1
+                toks.append(int(raw[i:j]))
+                i = j
+            return toks[0], toks[1]
+
+        def real_meta(raw: bytes):
+            if raw[:2] == b"P6":
+                w, h = ppm_header(raw)
+                return "image/x-portable-pixmap", w, h
+            if raw[:2] == b"P5":
+                w, h = ppm_header(raw)
+                return "image/x-portable-graymap", w, h
+            if raw[:2] == b"BM" and len(raw) >= 26:
+                w, h = struct.unpack_from("<ii", raw, 18)
+                return "image/bmp", w, abs(h)  # negative h = top-down rows
             raise NotImplementedError(
-                "STUB: real image decode requires PIL (pillow); "
-                "install it and decode via PIL.Image.open(io.BytesIO(b))"
+                f"STUB: image codec with magic {raw[:4]!r} requires PIL "
+                "(pillow); pure-python real mode covers PPM/PGM/BMP"
             )
+
         for pdf in batches:
-            hexes = [
-                hashlib.md5(bytes(b)).hexdigest() for b in pdf[payload_col]
-            ]
+            if fake:
+                hexes = [
+                    hashlib.md5(bytes(b)).hexdigest() for b in pdf[payload_col]
+                ]
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "mime": "image/png",
+                        "width": [64 + int(h[0:4], 16) % 512 for h in hexes],
+                        "height": [64 + int(h[8:12], 16) % 512 for h in hexes],
+                        "n_bytes": [len(bytes(b)) for b in pdf[payload_col]],
+                    }
+                )
+                continue
+            metas = [real_meta(bytes(b)) for b in pdf[payload_col]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "mime": "image/png",
-                    "width": [64 + int(h[0:4], 16) % 512 for h in hexes],
-                    "height": [64 + int(h[8:12], 16) % 512 for h in hexes],
+                    "mime": [m[0] for m in metas],
+                    "width": [m[1] for m in metas],
+                    "height": [m[2] for m in metas],
                     "n_bytes": [len(bytes(b)) for b in pdf[payload_col]],
                 }
             )
@@ -84,19 +131,58 @@ def resize_images(
     fake: bool = True,
 ) -> DataFrame:
     """Resize payloads to bounded dimensions (batch in → batch out;
-    output payload replaces input). Stubbed: fake mode truncates the
-    payload deterministically to emulate a smaller encode."""
+    output payload replaces input). Real mode: nearest-neighbor
+    downsample of P6 PPM payloads (numpy row/column index sampling,
+    aspect preserved, re-encoded as P6; images already within bounds
+    pass through untouched); other codecs raise, naming PIL. Fake
+    mode truncates the payload deterministically."""
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if not fake:
-            raise NotImplementedError(
-                "STUB: real resize requires PIL (pillow).Image.thumbnail"
-            )
+        import numpy as np
+
+        def resize_p6(raw: bytes) -> bytes:
+            if raw[:2] != b"P6":
+                raise NotImplementedError(
+                    f"STUB: resize for magic {raw[:4]!r} requires PIL "
+                    "(pillow).Image.thumbnail; pure-python real mode "
+                    "covers P6 PPM"
+                )
+            toks, i = [], 2
+            while len(toks) < 3 and i < len(raw):
+                while i < len(raw) and raw[i : i + 1].isspace():
+                    i += 1
+                if raw[i : i + 1] == b"#":
+                    while i < len(raw) and raw[i : i + 1] != b"\n":
+                        i += 1
+                    continue
+                j = i
+                while j < len(raw) and not raw[j : j + 1].isspace():
+                    j += 1
+                toks.append(int(raw[i:j]))
+                i = j
+            w, h, maxval, off = toks[0], toks[1], toks[2], i + 1
+            if max(w, h) <= max_side:
+                return raw
+            scale = max(w, h) / max_side
+            nw, nh = max(1, round(w / scale)), max(1, round(h / scale))
+            data = np.frombuffer(
+                raw, dtype=np.uint8, count=w * h * 3, offset=off
+            ).reshape(h, w, 3)
+            ys = np.minimum((np.arange(nh) * (h / nh)).astype(int), h - 1)
+            xs = np.minimum((np.arange(nw) * (w / nw)).astype(int), w - 1)
+            out = data[ys][:, xs]
+            return f"P6\n{nw} {nh}\n{maxval}\n".encode() + out.tobytes()
+
         for pdf in batches:
             out = pdf.copy()
-            out[payload_col] = [
-                bytes(b)[: max_side * 4] for b in pdf[payload_col]
-            ]
+            if fake:
+                out[payload_col] = [
+                    bytes(b)[: max_side * 4] for b in pdf[payload_col]
+                ]
+            else:
+                out[payload_col] = [
+                    resize_p6(bytes(b)) for b in pdf[payload_col]
+                ]
             yield out
 
     return df.mapInPandas(resize, schema=df.schema)
@@ -107,22 +193,51 @@ def sample_audio_frames(
     fake: bool = True,
 ) -> DataFrame:
     """Explode audio payloads into fixed-interval frames (1 row per
-    frame — the fan-out shape of frame sampling). Stubbed: fake mode
-    treats every 100 bytes as one frame_ms of audio."""
+    frame — the fan-out shape of frame sampling). Real mode frames
+    RIFF/WAV via the stdlib `wave` module (PCM frames per slice ×
+    channels × sample width = n_bytes); other containers raise,
+    naming pyav. Fake mode treats every 100 bytes as one frame_ms."""
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if not fake:
-            raise NotImplementedError(
-                "STUB: real audio framing requires libsndfile/pyav"
-            )
+        import io
+        import wave
+
+        def wav_frames(doc_id: int, raw: bytes):
+            if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+                raise NotImplementedError(
+                    f"STUB: audio container with magic {raw[:4]!r} "
+                    "requires libsndfile/pyav; pure-python real mode "
+                    "covers RIFF/WAV PCM"
+                )
+            with wave.open(io.BytesIO(raw)) as wf:
+                nch, sw, fr, nf = (
+                    wf.getnchannels(),
+                    wf.getsampwidth(),
+                    wf.getframerate(),
+                    wf.getnframes(),
+                )
+            per_slice = max(1, (fr * frame_ms) // 1000)
+            n_slices = max(1, -(-nf // per_slice))  # ceil
+            for i in range(n_slices):
+                got = min(per_slice, nf - i * per_slice)
+                yield (doc_id, i, i * frame_ms, got * nch * sw)
+
         for pdf in batches:
             rows = []
             for doc_id, b in zip(pdf["doc_id"], pdf[payload_col]):
                 raw = bytes(b)
-                for i in range(max(1, len(raw) // 100)):
-                    rows.append(
-                        (int(doc_id), i, i * frame_ms, min(100, len(raw) - i * 100))
-                    )
+                if fake:
+                    for i in range(max(1, len(raw) // 100)):
+                        rows.append(
+                            (
+                                int(doc_id),
+                                i,
+                                i * frame_ms,
+                                min(100, len(raw) - i * 100),
+                            )
+                        )
+                else:
+                    rows.extend(wav_frames(int(doc_id), raw))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "frame_idx", "offset_ms", "n_bytes"]
             )
