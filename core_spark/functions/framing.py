@@ -140,9 +140,27 @@ def fixed_framing(df: DataFrame, payload_col: str, schema: str) -> DataFrame:
     messages and packed repeated fields included. Frames failing the
     magic check are dropped, as the reference's Unpack errors them
     out."""
+    return _fixed_framing_spec(df, payload_col, parse_proto_schema(schema))
+
+
+def fixed_framing_from_descriptor(
+    df: DataFrame, payload_col: str, fds_bytes: bytes, message_name: str
+) -> DataFrame:
+    """fixed_framing driven by a compiled FileDescriptorSet (protoc
+    output) instead of the schema DSL — the deployment-shaped front
+    end: the descriptor blob a build ships (word_count.pb.go's
+    compiled form) resolves to the same protowire spec, decoded by the
+    same runtime-free reader. See functions/descriptors.py for the
+    supported type surface."""
+    from core_spark.functions.descriptors import descriptor_set_to_spec
+
+    spec = descriptor_set_to_spec(fds_bytes, message_name)
+    return _fixed_framing_spec(df, payload_col, spec)
+
+
+def _fixed_framing_spec(df: DataFrame, payload_col: str, spec: dict) -> DataFrame:
     from core_spark.functions.protowire import decode_proto
 
-    spec = parse_proto_schema(schema)
     p = F.col(payload_col)
     framed = (
         df.filter(fixed_header_valid(p))

@@ -125,8 +125,17 @@ def _make_fold():
     return fold
 
 
-def _tws_variant(messages: DataFrame, prune_ms: int | None) -> DataFrame:
-    """transformWithStateInPandas backend with timer-based prune."""
+def make_tws_sequencer(prune_ms: int | None):
+    """Build the transformWithStateInPandas StatefulProcessor class.
+
+    Module-level factory (rather than a closure inside `_tws_variant`)
+    so the TWS code path is directly drivable: the StatefulProcessor
+    base imports without google.protobuf — only Spark's state *server*
+    needs it — so tests/test_tws_processor.py executes init /
+    handleInputRows / timer re-arm / handleExpiredTimer against a
+    faithful handle double and asserts bit-for-bit agreement with the
+    batch sequencer, leaving only the protobuf wire plumbing untested
+    in this container."""
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
     fold = _make_fold()
@@ -182,6 +191,12 @@ def _tws_variant(messages: DataFrame, prune_ms: int | None) -> DataFrame:
             self._pend.clear()
             return iter([])
 
+    return _Sequencer
+
+
+def _tws_variant(messages: DataFrame, prune_ms: int | None) -> DataFrame:
+    """transformWithStateInPandas backend with timer-based prune."""
+    _Sequencer = make_tws_sequencer(prune_ms)
     return messages.groupBy("producer").transformWithStateInPandas(
         statefulProcessor=_Sequencer(),
         outputStructType=MESSAGE_SCHEMA,

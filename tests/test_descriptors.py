@@ -1,0 +1,132 @@
+"""Compiled-descriptor framing: a FileDescriptorSet blob (what protoc
+emits) resolves to the protowire spec and decodes fixed frames — no
+protobuf runtime anywhere.
+
+The fixture descriptor bytes are built with our own protowire encoder:
+descriptor.proto is itself a protobuf message with a frozen public
+layout, so hand-encoding FileDescriptorSet { file { package,
+message_type { name, field{...} } } } produces exactly the bytes
+protoc would (field ordering aside, which the wire format does not
+care about). Reference shapes: word_count.pb.go:32-39 (NGramCount),
+message/fixed_framing.go:32-148 (frame header).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from core_spark.functions.descriptors import descriptor_set_to_spec
+from core_spark.functions.framing import (
+    encode_fixed_frame,
+    fixed_framing_from_descriptor,
+)
+from core_spark.functions.protowire import (
+    encode_message,
+    encode_ngram_count,
+    encode_varint,
+)
+
+# descriptor.proto field specs (the frozen public subset we encode)
+_FIELD_SPEC = {
+    1: ("name", "str"),
+    3: ("number", "varint"),
+    4: ("label", "varint"),
+    5: ("type", "varint"),
+    6: ("type_name", "str"),
+}
+_NAME_ONLY = {1: ("name", "str")}
+_FILE_HEAD = {1: ("name", "str"), 2: ("package", "str")}
+
+
+def _sub(no: int, payload: bytes) -> bytes:
+    return encode_varint(no << 3 | 2) + encode_varint(len(payload)) + payload
+
+
+def _field(name, number, ftype, label=1, type_name=None) -> bytes:
+    vals = {"name": name, "number": number, "label": label, "type": ftype}
+    if type_name:
+        vals["type_name"] = type_name
+    return encode_message(vals, _FIELD_SPEC)
+
+
+def _message(name: str, *fields: bytes) -> bytes:
+    body = encode_message({"name": name}, _NAME_ONLY)
+    for f in fields:
+        body += _sub(2, f)  # DescriptorProto.field = 2
+    return body
+
+
+def _file(package: str, *messages: bytes) -> bytes:
+    body = encode_message(
+        {"name": f"{package}.proto", "package": package}, _FILE_HEAD
+    )
+    for m in messages:
+        body += _sub(4, m)  # FileDescriptorProto.message_type = 4
+    return body
+
+
+@pytest.fixture(scope="module")
+def fds() -> bytes:
+    """FileDescriptorSet with NGramCount (uuid bytes=1, n_gram str=2,
+    count uint64=3 — word_count.pb.go:32-39) plus a message exercising
+    nesting and packed repeated."""
+    ngram = _message(
+        "NGramCount",
+        _field("uuid", 1, 12),  # TYPE_BYTES
+        _field("n_gram", 2, 9),  # TYPE_STRING
+        _field("count", 3, 4),  # TYPE_UINT64
+    )
+    inner = _message("Inner", _field("tag", 1, 9), _field("weight", 2, 1))
+    outer = _message(
+        "Outer",
+        _field("id", 1, 3),  # TYPE_INT64
+        _field("inner", 2, 11, type_name=".examples.word_count.Inner"),
+        _field("vals", 3, 4, label=3),  # repeated uint64
+    )
+    return _sub(1, _file("examples.word_count", ngram, inner, outer))
+
+
+def test_descriptor_resolves_to_spec(fds):
+    spec = descriptor_set_to_spec(fds, "examples.word_count.NGramCount")
+    assert spec == {
+        1: ("uuid", "bytes"),
+        2: ("n_gram", "str"),
+        3: ("count", "varint"),
+    }
+    spec2 = descriptor_set_to_spec(fds, ".examples.word_count.Outer")
+    assert spec2[1] == ("id", "varint")
+    assert spec2[3] == ("vals", "packed_varint")
+    assert spec2[2] == ("inner", {1: ("tag", "str"), 2: ("weight", "double")})
+
+
+def test_unknown_message_and_unsupported_types(fds):
+    with pytest.raises(KeyError, match="not in descriptor set"):
+        descriptor_set_to_spec(fds, "examples.word_count.Missing")
+    sint = _sub(
+        1,
+        _file("p", _message("S", _field("z", 1, 17))),  # TYPE_SINT32
+    )
+    with pytest.raises(NotImplementedError, match="zigzag"):
+        descriptor_set_to_spec(sint, "p.S")
+
+
+def test_framed_roundtrip_via_descriptor(spark, fds):
+    """Encode NGramCount frames with the test-side encoder, decode via
+    the descriptor-driven framing, recover every field."""
+    rows = [
+        (i, encode_ngram_count(bytes([i] * 16), f"gram-{i}", i * 10))
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "k long, body binary").withColumn(
+        "payload", encode_fixed_frame(F.col("body"))
+    )
+    out = (
+        fixed_framing_from_descriptor(
+            df, "payload", fds, "examples.word_count.NGramCount"
+        )
+        .select("k", "_msg.*")
+        .orderBy("k")
+        .collect()
+    )
+    assert [(r.k, bytes(r.uuid), r.n_gram, r["count"]) for r in out] == [
+        (i, bytes([i] * 16), f"gram-{i}", i * 10) for i in range(5)
+    ]
