@@ -471,11 +471,13 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries its source degree and persists once; each round is one
     broadcast join (rank vector ≈ one row per node — always tiny
     relative to edges) plus one aggregate keyed on the destination,
-    so exactly ONE shuffle of edge-width data per round; and each
-    round's result is localCheckpoint'ed, truncating lineage so
-    analysis/optimization cost stays constant per round instead of
-    growing with the unrolled tree (the standard Pregel/GraphX
-    pattern for iterative convergence on Spark). The oracle unrolls
+    so exactly ONE shuffle of edge-width data per round; and every
+    round's result except the last is localCheckpoint'ed, truncating
+    lineage so analysis/optimization cost stays constant per round
+    instead of growing with the unrolled tree (the standard
+    Pregel/GraphX pattern for iterative convergence on Spark) — the
+    last round keeps its plan visible for callers and the plan-shape
+    test (see the loop comment). The oracle unrolls
     the same five rounds as chained CTEs — full hash parity for an
     iterative algorithm. Remainder mass from the floored divisions
     decays toward the 0.15 floor; acceptable and deterministic."""
