@@ -37,16 +37,27 @@ _T_SFIXED32, _T_SFIXED64, _T_SINT32, _T_SINT64 = 15, 16, 17, 18
 _VARINT_TYPES = {_T_INT64, _T_UINT64, _T_INT32, _T_UINT32, _T_BOOL, _T_ENUM}
 _LABEL_REPEATED = 3
 
+# Signedness matters: negative int32/int64/enum values wire-encode as
+# sign-extended 64-bit varints (varint2c folds them back); fixed32 is
+# unsigned in proto (ufixed32) while sfixed32 is signed; sfixed64 fits
+# long. Unsigned 64-bit types cannot be represented in a long column
+# for values ≥ 2^63 — uint64 varints keep the raw interpretation (the
+# standard proto→int64 hazard, same as any int64-typed consumer) but
+# unsigned *fixed64* raises below rather than silently reading '<q'.
 _SCALAR_KIND = {
     _T_DOUBLE: "double",
     _T_FLOAT: "float",
-    _T_FIXED64: "fixed64",
     _T_SFIXED64: "fixed64",
-    _T_FIXED32: "fixed32",
+    _T_FIXED32: "ufixed32",
     _T_SFIXED32: "fixed32",
     _T_STRING: "str",
     _T_BYTES: "bytes",
-    **{t: "varint" for t in _VARINT_TYPES},
+    _T_UINT64: "varint",
+    _T_UINT32: "varint",
+    _T_BOOL: "varint",
+    _T_INT64: "varint2c",
+    _T_INT32: "varint2c",
+    _T_ENUM: "varint2c",
 }
 
 
@@ -125,6 +136,11 @@ def _to_spec(msg_raw: bytes, msgs: dict, seen: tuple) -> dict:
             raise NotImplementedError(
                 f"field {name!r}: sint zigzag decode is not implemented"
             )
+        elif ftype == _T_FIXED64:
+            raise NotImplementedError(
+                f"field {name!r}: unsigned fixed64 values ≥ 2^63 cannot "
+                "be represented in a long column (sfixed64 is supported)"
+            )
         elif ftype == _T_GROUP:
             raise NotImplementedError(f"field {name!r}: proto2 groups")
         elif label == _LABEL_REPEATED:
@@ -132,7 +148,10 @@ def _to_spec(msg_raw: bytes, msgs: dict, seen: tuple) -> dict:
                 raise NotImplementedError(
                     f"repeated field {name!r} of non-varint type {ftype}"
                 )
-            spec[number] = (name, "packed_varint")
+            signed = ftype in (_T_INT32, _T_INT64, _T_ENUM)
+            spec[number] = (
+                name, "packed_varint2c" if signed else "packed_varint"
+            )
         else:
             spec[number] = (name, _SCALAR_KIND[ftype])
     return spec

@@ -11,10 +11,14 @@ Python varint reader. The decoder closure is self-contained (pickled
 by value — worker processes need no repo import).
 
 Field kinds (proto wire types in parens):
-- 'varint' (0)        → long
+- 'varint' (0)        → long (unsigned interpretation)
+- 'varint2c' (0)      → long, two's-complement signed — negative
+  int32/int64/enum values wire-encode as 10-byte sign-extended
+  varints; this kind folds them back (v - 2^64 when v ≥ 2^63)
 - 'bytes' / 'str' (2) → binary / string
-- 'double' (1), 'float' (5), 'fixed64' (1), 'fixed32' (5)
-- 'packed_varint' (2, or repeated 0) → array<long>
+- 'double' (1), 'float' (5), 'fixed64' (1, signed), 'fixed32'
+  (5, signed), 'ufixed32' (5, unsigned)
+- 'packed_varint' / 'packed_varint2c' (2, or repeated 0) → array<long>
 - a nested {field_no: (name, kind)} dict (2) → struct<...>, recursive
 
 Unknown fields are skipped per proto semantics (including wire types
@@ -27,13 +31,16 @@ from pyspark.sql import DataFrame
 
 _KIND_DDL = {
     "varint": "long",
+    "varint2c": "long",
     "bytes": "binary",
     "str": "string",
     "double": "double",
     "float": "float",
     "fixed64": "long",
     "fixed32": "long",
+    "ufixed32": "long",
     "packed_varint": "array<bigint>",
+    "packed_varint2c": "array<bigint>",
 }
 
 
@@ -86,7 +93,11 @@ def decode_proto(
         def decode_one(raw: bytes, sp: dict) -> dict:
             out = {}
             for name, kind in sp.values():
-                out[name] = [] if kind == "packed_varint" else None
+                out[name] = (
+                    []
+                    if kind in ("packed_varint", "packed_varint2c")
+                    else None
+                )
             i = 0
             while i < len(raw):
                 tag, i = read_varint(raw, i)
@@ -110,14 +121,19 @@ def decode_proto(
                 name, kind = sp[field_no]
                 if isinstance(kind, dict):
                     out[name] = decode_one(bytes(val), kind)
-                elif kind == "packed_varint":
+                elif kind in ("packed_varint", "packed_varint2c"):
+                    def _fold(v, _k=kind):
+                        if _k == "packed_varint2c" and v >= 1 << 63:
+                            return v - (1 << 64)
+                        return v
+
                     if wire == 0:  # unpacked repeated occurrence
-                        out[name].append(val)
+                        out[name].append(_fold(val))
                     else:
                         j = 0
                         while j < len(val):
                             v, j = read_varint(val, j)
-                            out[name].append(v)
+                            out[name].append(_fold(v))
                 elif kind == "str":
                     out[name] = bytes(val).decode("utf-8")
                 elif kind == "double":
@@ -128,6 +144,10 @@ def decode_proto(
                     out[name] = _struct.unpack("<q", val)[0]
                 elif kind == "fixed32":
                     out[name] = _struct.unpack("<i", val)[0]
+                elif kind == "ufixed32":
+                    out[name] = _struct.unpack("<I", val)[0]
+                elif kind == "varint2c":
+                    out[name] = val - (1 << 64) if val >= 1 << 63 else val
                 else:  # varint / bytes
                     out[name] = val
             return out
@@ -169,8 +189,10 @@ def encode_message(values: dict, spec: dict) -> bytes:
         if isinstance(kind, dict):
             sub = encode_message(value, kind)
             body += encode_varint(no << 3 | 2) + encode_varint(len(sub)) + sub
-        elif kind == "packed_varint":
-            packed = b"".join(encode_varint(v) for v in value)
+        elif kind in ("packed_varint", "packed_varint2c"):
+            packed = b"".join(
+                encode_varint(v & ((1 << 64) - 1)) for v in value
+            )
             body += encode_varint(no << 3 | 2) + encode_varint(len(packed)) + packed
         elif kind == "str":
             raw = value.encode("utf-8")
@@ -179,6 +201,14 @@ def encode_message(values: dict, spec: dict) -> bytes:
             body += encode_varint(no << 3 | 2) + encode_varint(len(value)) + value
         elif kind == "varint":
             body += encode_varint(no << 3 | 0) + encode_varint(value)
+        elif kind == "varint2c":
+            body += encode_varint(no << 3 | 0) + encode_varint(
+                value & ((1 << 64) - 1)
+            )
+        elif kind == "ufixed32":
+            import struct as _s
+
+            body += encode_varint(no << 3 | 5) + _s.pack("<I", value)
         else:
             raise ValueError(f"encode_message: unsupported kind {kind!r}")
     return body

@@ -166,12 +166,16 @@ class JournalGateway:
         ).limit(cap + 1).collect()
         truncated = len(page) > cap
         page = page[:cap]
-        if truncated:
-            next_off = page[-1]["__off"] + 1
-        elif end is not None:
-            next_off = end
+        if page:
+            # Resume point = first unserved row. For unbounded reads
+            # this must derive from what was SERVED, not a manifest
+            # re-read — an append committing between the scan and the
+            # manifest read would otherwise advance next_off past rows
+            # this response never carried.
+            next_off = page[-1]["__off"] + 1 if (truncated or end is None) \
+                else end
         else:
-            next_off = j.manifest().next_offset
+            next_off = end if end is not None else (begin or 0)
         body = "\n".join(r["__js"] for r in page)
         return (body + "\n" if body else "").encode("utf-8"), next_off, truncated
 

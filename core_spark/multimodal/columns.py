@@ -88,6 +88,17 @@ def decode_image_meta(
                 w, h = ppm_header(raw)
                 return "image/x-portable-graymap", w, h
             if raw[:2] == b"BM" and len(raw) >= 26:
+                # width/height live at 18/22 only for the 40-byte
+                # BITMAPINFOHEADER family (40/52/56/108/124); the
+                # 12-byte OS/2 BITMAPCOREHEADER packs 16-bit dims at
+                # 18/20 — reading it as <ii would return garbage, so
+                # raise rather than mis-decode.
+                dib = struct.unpack_from("<I", raw, 14)[0]
+                if dib < 40:
+                    raise NotImplementedError(
+                        f"STUB: BMP with {dib}-byte DIB header "
+                        "(BITMAPCOREHEADER) requires PIL (pillow)"
+                    )
                 w, h = struct.unpack_from("<ii", raw, 18)
                 return "image/bmp", w, abs(h)  # negative h = top-down rows
             raise NotImplementedError(
@@ -161,6 +172,12 @@ def resize_images(
                 toks.append(int(raw[i:j]))
                 i = j
             w, h, maxval, off = toks[0], toks[1], toks[2], i + 1
+            if maxval > 255:
+                raise NotImplementedError(
+                    "STUB: 16-bit-per-sample PPM (maxval > 255) resize "
+                    "requires PIL (pillow); pure-python real mode covers "
+                    "1-byte samples"
+                )
             if max(w, h) <= max_side:
                 return raw
             scale = max(w, h) / max_side

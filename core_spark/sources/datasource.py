@@ -105,6 +105,8 @@ def journal_datasource():
                     vals[k].append(v)
 
         def infer(vs: list) -> str:
+            if not vs:
+                return "string"  # all-null: native discovery says string
             try:
                 ints = [int(v) for v in vs]
                 return (
@@ -201,6 +203,14 @@ def journal_datasource():
         def __init__(self, journal_root: str, schema):
             self.journal_root = journal_root
             self.field_names = [f.name for f in schema.fields]
+            # Pin partition-column types ONCE, matching the stream
+            # schema fixed at start — re-inferring per micro-batch
+            # could flip the ladder (a later append writes
+            # bucket=2147483648 or bucket=abc) and permanently break
+            # the running stream's arrow conversion.
+            _, self.ptypes = _all_files_and_ptypes(
+                journal_root, _latest_manifest(journal_root)
+            )
 
         def initialOffset(self) -> dict:
             return {"next": 0}
@@ -214,13 +224,13 @@ def journal_datasource():
             if lo >= hi:
                 return []
             m = _latest_manifest(self.journal_root)
-            per_frag, ptypes = _all_files_and_ptypes(self.journal_root, m)
+            # list files only for fragments this micro-batch touches
             return [
                 FragPartition(
-                    per_frag[f["path"]],
+                    _fragment_files(self.journal_root, f),
                     max(f["begin"], lo),
                     min(f["end"], hi),
-                    ptypes,
+                    self.ptypes,
                 )
                 for f in m["fragments"]
                 if f["end"] > lo and f["begin"] < hi

@@ -273,8 +273,11 @@ class Journal:
             # each fragment's subdirectories independently.
             from functools import reduce
 
+            # allowMissingColumns: appends are free to vary the postfix
+            # template over a journal's life (or drop it); absent
+            # partition columns read as null, as native discovery would
             df = reduce(
-                lambda a, b: a.unionByName(b),
+                lambda a, b: a.unionByName(b, allowMissingColumns=True),
                 (spark.read.parquet(p) for p in paths),
             )
         else:

@@ -93,8 +93,8 @@ def test_descriptor_resolves_to_spec(fds):
         3: ("count", "varint"),
     }
     spec2 = descriptor_set_to_spec(fds, ".examples.word_count.Outer")
-    assert spec2[1] == ("id", "varint")
-    assert spec2[3] == ("vals", "packed_varint")
+    assert spec2[1] == ("id", "varint2c")  # int64: signed varint
+    assert spec2[3] == ("vals", "packed_varint")  # uint64: unsigned
     assert spec2[2] == ("inner", {1: ("tag", "str"), 2: ("weight", "double")})
 
 
@@ -130,3 +130,42 @@ def test_framed_roundtrip_via_descriptor(spark, fds):
     assert [(r.k, bytes(r.uuid), r.n_gram, r["count"]) for r in out] == [
         (i, bytes([i] * 16), f"gram-{i}", i * 10) for i in range(5)
     ]
+
+
+def test_signedness_mapping(spark):
+    """Negative int32/int64 values wire-encode as sign-extended 64-bit
+    varints; fixed32 is unsigned in proto. Both decode to the true
+    values (the silent-wrong cases the mapping used to have); unsigned
+    fixed64 refuses rather than mis-reading '<q'."""
+    signed = _sub(
+        1,
+        _file(
+            "p",
+            _message(
+                "M",
+                _field("a", 1, 5),  # int32
+                _field("b", 2, 7),  # fixed32 (unsigned)
+                _field("c", 3, 3, label=3),  # repeated int64
+            ),
+        ),
+    )
+    spec = descriptor_set_to_spec(signed, "p.M")
+    assert spec == {
+        1: ("a", "varint2c"),
+        2: ("b", "ufixed32"),
+        3: ("c", "packed_varint2c"),
+    }
+    body = encode_message(
+        {"a": -42, "b": 0xDEADBEEF, "c": [-1, 7, -(2**40)]}, spec
+    )
+    df = spark.createDataFrame([(body,)], "payload binary").withColumn(
+        "payload", encode_fixed_frame(F.col("payload"))
+    )
+    from core_spark.functions.framing import _fixed_framing_spec
+
+    r = _fixed_framing_spec(df, "payload", spec).select("_msg.*").first()
+    assert (r.a, r.b, r.c) == (-42, 0xDEADBEEF, [-1, 7, -(2**40)])
+
+    ufixed = _sub(1, _file("p", _message("U", _field("x", 1, 6))))
+    with pytest.raises(NotImplementedError, match="fixed64"):
+        descriptor_set_to_spec(ufixed, "p.U")

@@ -1,0 +1,40 @@
+"""Registry/driver-window invariant.
+
+The round driver records correctness rows for the alphabetically first
+50 registry names. This guard keeps the coverage property that r3
+established — every query has a driver row in some round — from
+silently regressing: any NEW query must either sort after the current
+window cutoff (documented pytest-only coverage) or displace only
+names that already hold a driver row from a committed CORRECTNESS
+file. If this test fails, rename the new query (or update the
+committed CORRECTNESS files) so no query ends up both outside the
+window and without a historical row.
+"""
+
+import json
+from pathlib import Path
+
+from core_spark.plans.registry import REGISTRY
+
+DRIVER_WINDOW = 50
+_REPO = Path(__file__).resolve().parent.parent
+
+
+def _historical_rows() -> set[str]:
+    names: set[str] = set()
+    for f in sorted(_REPO.glob("CORRECTNESS_r*.json")):
+        names |= set(json.loads(f.read_text()).keys())
+    return names
+
+
+def test_every_query_has_driver_coverage_path():
+    names = sorted(REGISTRY)
+    window = set(names[:DRIVER_WINDOW])
+    covered = _historical_rows() | window
+    uncovered = [n for n in names if n not in covered]
+    assert not uncovered, (
+        f"queries outside the driver's first-{DRIVER_WINDOW} window with "
+        f"no historical CORRECTNESS row: {uncovered} — rename them to "
+        "sort inside the window or accept pytest-only coverage "
+        "explicitly in COVERAGE.md"
+    )
