@@ -491,18 +491,20 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("cu"),
         (F.lit(_PR_SUPP_OFF) + F.col("l_suppkey")).alias("su"),
     )
-    und = (
-        cs.select(F.col("cu").alias("u"), F.col("su").alias("v"))
-        .unionByName(cs.select(F.col("su").alias("u"), F.col("cu").alias("v")))
-        .distinct()
+    # Dedupe BEFORE mirroring: cu/su live in disjoint id ranges (the
+    # _PR_SUPP_OFF shift), so distinct (cu, su) pairs mirror into
+    # distinct directed edges — E rows through the distinct shuffle
+    # instead of 2E.
+    cs = cs.distinct()
+    und = cs.select(F.col("cu").alias("u"), F.col("su").alias("v")).unionByName(
+        cs.select(F.col("su").alias("u"), F.col("cu").alias("v"))
     )
-    deg = und.groupBy("u").agg(F.count("*").cast("bigint").alias("d"))
-    # (u, v, d): source degree denormalized onto every edge, so rounds
-    # never join a separate degree table — contrib r DIV d is computed
-    # in place on the edge row.
-    graph = und.join(deg, "u").select("u", "v", "d").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # (u, v, d): source degree denormalized onto every edge via a
+    # window on u — one shuffle computes the degree AND leaves the
+    # edges keyed for the rounds; no separate degree aggregate+join.
+    graph = und.withColumn(
+        "d", F.count("*").over(Window.partitionBy("u")).cast("bigint")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     ranks = (
         graph.select("u")
         .distinct()
