@@ -38,7 +38,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from core_spark.io import load_table
@@ -532,3 +532,96 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ranks = ranks.localCheckpoint()
     return ranks.select("node", F.col("r").alias("rank_micro")).orderBy("node")
 
+
+
+# --------------------------------------------------------- count-min sketch
+_CMS_D, _CMS_W = 4, 256  # depth (hash rows) x width (counters per row)
+
+
+def _cms_pairs(key: Column) -> Column:
+    """The d (row, column) counter coordinates of a key — portable
+    seeded-md5 hash family, unrolled per row so the Spark and DuckDB
+    hash strings match byte-for-byte."""
+    from core_spark.functions.hashing import seeded_md5i32
+
+    return F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                (seeded_md5i32(key, 100 + r) % _CMS_W).alias("c"),
+            )
+            for r in range(_CMS_D)
+        ]
+    )
+
+
+def _duck_cms_c(key_expr: str, r: int) -> str:
+    from core_spark.functions.hashing import duck_seeded_md5i32
+
+    return f"({duck_seeded_md5i32(key_expr, 100 + r)} % {_CMS_W})"
+
+
+def _cms_oracle() -> str:
+    pair_rows = " UNION ALL ".join(
+        f"SELECT key, {r} AS r, {_duck_cms_c('key', r)} AS c FROM keyed"
+        for r in range(_CMS_D)
+    )
+    return f"""
+    WITH keyed AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events),
+    pairs AS ({pair_rows}),
+    counters AS (SELECT r, c, COUNT(*) AS cnt FROM pairs GROUP BY r, c),
+    keys AS (SELECT key, COUNT(*) AS exact_cnt FROM keyed GROUP BY key),
+    kp AS ({" UNION ALL ".join(
+        f"SELECT key, exact_cnt, {r} AS r, {_duck_cms_c('key', r)} AS c "
+        "FROM keys"
+        for r in range(_CMS_D)
+    )})
+    SELECT key, exact_cnt, MIN(cnt) AS est_cnt
+    FROM kp JOIN counters USING (r, c)
+    GROUP BY key, exact_cnt
+    ORDER BY est_cnt DESC, key LIMIT 20
+    """
+
+
+@query("q_sketch_cms", oracle=_cms_oracle())
+def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters over the event stream: d=4 x w=256
+    integer counters, estimate = min over rows of the key's counter —
+    the classic streaming frequency sketch, here with a portable
+    seeded-md5 hash family so the *approximation itself* is
+    deterministic and oracle-checked (same philosophy as
+    q_kmv_distinct; HLL-style register layouts can't do this).
+
+    Scale shape: counter build is one d-way map-side explode into a
+    (r, c) groupBy — the sketch is d*w rows (1024) regardless of
+    stream size, i.e. the mergeable fixed-memory summary that makes
+    CMS the 100 TB answer to "frequency of everything"; estimation
+    joins the tiny counter table back broadcast. Top-20 output via
+    TakeOrderedAndProject (est desc, key — total order, ties broken
+    by the unique key).
+
+    Reference parity: gazette/core ships no sketch tier; this extends
+    the deterministic-sketch family per the training-pipeline brief
+    (word-count's materialized exact counts are the d=∞ analog,
+    examples/word-count/word_count.go:109-153)."""
+    events = load_table(spark, sf_dir, "events")
+    keyed = events.select(F.col("user_id").cast("string").alias("key"))
+    pairs = keyed.select(F.explode(_cms_pairs(F.col("key"))).alias("p")).select(
+        "p.r", "p.c"
+    )
+    counters = pairs.groupBy("r", "c").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    keys = keyed.groupBy("key").agg(
+        F.count("*").cast("bigint").alias("exact_cnt")
+    )
+    kp = keys.select(
+        "key", "exact_cnt", F.explode(_cms_pairs(F.col("key"))).alias("p")
+    ).select("key", "exact_cnt", "p.r", "p.c")
+    return (
+        kp.join(F.broadcast(counters), ["r", "c"])
+        .groupBy("key", "exact_cnt")
+        .agg(F.min("cnt").alias("est_cnt"))
+        .orderBy(F.desc("est_cnt"), "key")
+        .limit(20)
+    )
