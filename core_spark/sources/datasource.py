@@ -88,7 +88,7 @@ def journal_datasource():
             out.extend(
                 (os.path.join(dirpath, f), pvals)
                 for f in files
-                if f.endswith(".parquet")
+                if f.endswith((".parquet", ".orc"))
             )
         return sorted(out)
 
@@ -148,13 +148,23 @@ def journal_datasource():
             self.end = end
             self.ptypes = ptypes
 
+    def _read_table(path: str):
+        """Read one fragment file by extension (parquet or ORC — the
+        per-fragment `fmt` the manifest records)."""
+        if path.endswith(".orc"):
+            from pyarrow import orc
+
+            return orc.read_table(path)
+        import pyarrow.parquet as pq
+
+        return pq.read_table(path)
+
     def _read_partition(part: FragPartition, field_names: list[str]):
         import pyarrow as pa
         import pyarrow.compute as pc
-        import pyarrow.parquet as pq
 
         for path, pvals in part.files:
-            table = pq.read_table(path)
+            table = _read_table(path)
             mask = pc.and_(
                 pc.greater_equal(table["_offset"], part.begin),
                 pc.less(table["_offset"], part.end),
@@ -262,7 +272,6 @@ def journal_datasource():
 
         def schema(self):
             import pyarrow as pa
-            import pyarrow.parquet as pq
             from pyspark.sql.pandas.types import from_arrow_schema
 
             jroot = self._journal_root()
@@ -271,7 +280,14 @@ def journal_datasource():
                 raise ValueError(f"journal {jroot} has no fragments")
             per_frag, ptypes = _all_files_and_ptypes(jroot, m)
             first = next(iter(per_frag.values()))[0][0]
-            file_schema = pq.read_schema(first)
+            if first.endswith(".orc"):
+                from pyarrow import orc
+
+                file_schema = orc.ORCFile(first).schema
+            else:
+                import pyarrow.parquet as pq
+
+                file_schema = pq.read_schema(first)
             # partition columns append after data columns, as in
             # Spark's native discovery
             for k, tname in ptypes.items():

@@ -46,9 +46,10 @@ from core_spark.sources.stores import FSManifestStore, ManifestStore
 
 
 def _footer_row_count(path: str) -> int:
-    """Row count of a written fragment from parquet footers only — no
+    """Row count of a written fragment from file footers only — no
     data pages are read, unlike a count() re-scan (which doubled
-    append I/O for large fragments)."""
+    append I/O for large fragments). Parquet and ORC both carry the
+    count in their footer metadata."""
     import pyarrow.parquet as pq
 
     n = 0
@@ -56,6 +57,10 @@ def _footer_row_count(path: str) -> int:
         for fn in files:
             if fn.endswith(".parquet"):
                 n += pq.ParquetFile(os.path.join(dirpath, fn)).metadata.num_rows
+            elif fn.endswith(".orc"):
+                from pyarrow import orc
+
+                n += orc.ORCFile(os.path.join(dirpath, fn)).nrows
     return n
 
 
@@ -76,6 +81,11 @@ class Fragment:
     n_records: int
     path: str  # relative to journal root
     mod_time: float
+    # Columnar file format of this fragment (the CompressionCodec /
+    # content-encoding analog of protocol.proto:72-102 at file-format
+    # granularity). Per-fragment so a journal can migrate formats
+    # without rewriting history; default keeps old manifests parsing.
+    fmt: str = "parquet"
 
 
 @dataclass
@@ -171,6 +181,7 @@ class Journal:
         check_registers: dict[str, str] | None = None,
         set_registers: dict[str, str] | None = None,
         path_postfix: tuple[str, ...] = (),
+        fmt: str = "parquet",
     ) -> Fragment:
         """Serializable atomic append of a batch as one fragment.
 
@@ -201,10 +212,12 @@ class Journal:
         stamped = df.coalesce(1).withColumn(
             "_offset", F.monotonically_increasing_id() + F.lit(begin)
         )
+        if fmt not in ("parquet", "orc"):
+            raise ValueError(f"unsupported fragment format {fmt!r}")
         writer = stamped.write.mode("overwrite")
         if path_postfix:
             writer = writer.partitionBy(*path_postfix)
-        writer.parquet(tmp)
+        getattr(writer, fmt)(tmp)
         n = _footer_row_count(tmp)
 
         final = os.path.join(self.frag_dir, frag_name)
@@ -216,6 +229,7 @@ class Journal:
             n_records=n,
             path=os.path.join("fragments", frag_name),
             mod_time=time.time(),
+            fmt=fmt,
         )
         new = Manifest(
             version=m.version + 1,
@@ -264,13 +278,18 @@ class Journal:
             except FileNotFoundError:
                 return False
 
-        if len(paths) > 1 and any(map(_has_postfix, paths)):
-            # Hive path-postfix fragments: each fragment dir carries its
-            # own key=value tree, and Spark's multi-path discovery
-            # rejects the non-partition frag-… segment between them
-            # (CONFLICTING_DIRECTORY_STRUCTURES). Discover per fragment
-            # and union — pushed filters on postfix columns still prune
-            # each fragment's subdirectories independently.
+        def _load(fmt: str, *ps: str) -> DataFrame:
+            return getattr(spark.read, fmt)(*ps)
+
+        mixed_fmt = len({f.fmt for f in frags}) > 1
+        if len(paths) > 1 and (mixed_fmt or any(map(_has_postfix, paths))):
+            # Per-fragment discovery + union, needed when (a) fragments
+            # carry Hive path-postfix key=value trees — Spark's
+            # multi-path discovery rejects the non-partition frag-…
+            # segment between them (CONFLICTING_DIRECTORY_STRUCTURES) —
+            # or (b) the journal migrated file formats mid-history.
+            # Pushed filters on postfix columns still prune each
+            # fragment's subdirectories independently.
             from functools import reduce
 
             # allowMissingColumns: appends are free to vary the postfix
@@ -278,10 +297,13 @@ class Journal:
             # partition columns read as null, as native discovery would
             df = reduce(
                 lambda a, b: a.unionByName(b, allowMissingColumns=True),
-                (spark.read.parquet(p) for p in paths),
+                (
+                    _load(f.fmt, os.path.join(self.root, f.path))
+                    for f in frags
+                ),
             )
         else:
-            df = spark.read.parquet(*paths)
+            df = _load(frags[0].fmt, *paths)
         if begin is not None:
             df = df.filter(F.col("_offset") >= begin)
         if end is not None:

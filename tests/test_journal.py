@@ -131,3 +131,45 @@ def test_hive_postfix_partition_pruning(spark, journal):
     assert re.search(r"PartitionFilters: \[[^\]]*= 2024-01-02", plan), plan
     # offsets remain a contiguous total order across partitions
     assert sorted(r._offset for r in full.collect()) == list(range(100))
+
+
+def test_orc_fragments_and_mixed_format_journal(spark, tmp_path):
+    """Per-fragment file format: ORC appends read back through
+    Journal.read AND the native data source, including a journal that
+    migrated parquet -> orc mid-history (per-fragment fmt in the
+    manifest, per-fragment reader on scan)."""
+    from pyspark.sql import functions as F
+
+    from core_spark.sources.datasource import journal_datasource
+
+    root = str(tmp_path / "journals")
+    j = Journal(root, "fmt/mixed")
+    df = spark.range(0, 30).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    f1 = j.append(df.filter(F.col("k") < 10))  # parquet (default)
+    f2 = j.append(df.filter((F.col("k") >= 10) & (F.col("k") < 20)), fmt="orc")
+    f3 = j.append(df.filter(F.col("k") >= 20), fmt="orc")
+    assert (f1.fmt, f2.fmt, f3.fmt) == ("parquet", "orc", "orc")
+
+    got = j.read(spark)
+    assert got.count() == 30
+    rows = sorted((r.k, r.v, r._offset) for r in got.collect())
+    assert rows == [(i, i * 3, i) for i in range(30)]
+    # offset-pruned read crossing the format boundary
+    mid = j.read(spark, begin=5, end=25)
+    assert sorted(r._offset for r in mid.collect()) == list(range(5, 25))
+
+    spark.dataSource.register(journal_datasource())
+    native = (
+        spark.read.format("journal")
+        .option("root", root)
+        .option("name", "fmt/mixed")
+        .load()
+    )
+    assert sorted((r.k, r.v, r._offset) for r in native.collect()) == rows
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported fragment format"):
+        j.append(df, fmt="avro")
