@@ -76,6 +76,7 @@ HEADLINE = [
     "q_bm25",
     "q_hopping",
     "q_anomaly",
+    "q_bucketed_range_join",
 ]
 
 

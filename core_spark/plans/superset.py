@@ -523,3 +523,58 @@ def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "deci")
         .orderBy("event_id")
     )
+
+
+# ----------------------------------------------------------- range join
+_RANGE_W_US = 15 * 60 * 1_000_000  # 15-minute lookback
+
+
+@query(
+    "q_bucketed_range_join",
+    oracle=f"""
+    SELECT a.event_id,
+           COUNT(b.event_id) AS n_prior,
+           CAST(coalesce(SUM(CAST(FLOOR(b.value * 1000000) AS BIGINT)), 0)
+                AS BIGINT) AS sum_prior_micro
+    FROM events a LEFT JOIN events b
+      ON epoch_us(b.ts) < epoch_us(a.ts)
+     AND epoch_us(b.ts) >= epoch_us(a.ts) - {_RANGE_W_US}
+    GROUP BY a.event_id ORDER BY a.event_id
+    """,
+)
+def q_range_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event lookback aggregate over a pure time-range predicate:
+    how many events (any key) landed in the strictly-prior 15 minutes,
+    and their total value in integer micros.
+
+    The declared range-join pattern: the naive non-equi formulation
+    (the oracle's LEFT JOIN ON ts BETWEEN …) can only plan a nested
+    loop; the engine side runs operators/rangejoin.range_lookback_join
+    — window-wide time buckets, two-bucket probe explode, bucket-keyed
+    equi-join, exact predicate on candidates — so the plan is an
+    ordinary shuffled join whose compared-row count is density-bounded,
+    not |events|² (plan-asserted: no BroadcastNestedLoopJoin). A left
+    join back preserves zero-prior events."""
+    from core_spark.operators.rangejoin import range_lookback_join
+
+    ev = load_table(spark, sf_dir, "events")
+    micro = F.expr("CAST(FLOOR(value * 1000000) AS BIGINT)")
+    left = ev.select("event_id", "ts")
+    right = ev.select(
+        F.col("event_id").alias("rid"), F.col("ts").alias("rts"),
+        micro.alias("rmicro"),
+    )
+    pairs = range_lookback_join(
+        left, right, "ts", "rts", _RANGE_W_US,
+        left_cols=["event_id"], right_cols=["rid", "rmicro"],
+    )
+    agg = pairs.groupBy("event_id").agg(
+        F.count("rid").alias("n_prior"),
+        F.sum("rmicro").alias("sum_prior_micro"),
+    )
+    return (
+        left.select("event_id")
+        .join(agg, "event_id", "left")
+        .na.fill({"n_prior": 0, "sum_prior_micro": 0})
+        .orderBy("event_id")
+    )

@@ -223,3 +223,14 @@ def test_pagerank_reuses_persisted_graph(spark):
     assert "InMemoryTableScan" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_is_bucketized_not_nested_loop(spark):
+    """The range join must plan as a bucket-keyed equi-join — a
+    non-equi time predicate alone would force BroadcastNestedLoopJoin
+    (O(n^2) compared rows, the 100 TB trap the bucketization exists
+    to avoid)."""
+    plan = _plan(spark, "q_bucketed_range_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "_bkt" in plan  # the bucket equi-key carries the join
