@@ -15,6 +15,13 @@ Commands (each wraps a batch DataFrame job):
                       (gazctl journals list -l ...)
   attach-uuids      — stamp v1 UUIDs onto an input for exactly-once
                       ingest (attach_uuids.go:13-50)
+  journals sql      — run a SQL statement with journals mounted as
+                      views — the batch face of the reference's
+                      query-API pattern (word-count's prefix-count
+                      RPC, word_count.go:222-278; bike-share's SQL
+                      over materialized state, examples/bike-share/
+                      api.go): materialized journals ARE the state,
+                      Spark SQL is the query surface
 """
 
 from __future__ import annotations
@@ -118,6 +125,25 @@ def cmd_attach_uuids(args) -> int:
     return 0
 
 
+def cmd_sql(args) -> int:
+    from core_spark.sources.journal import Journal
+
+    spark = get_spark("engine-cli")
+    for mount in args.view or []:
+        view, _, name = mount.partition("=")
+        if not name:
+            # bare journal name: view name = last path segment
+            view, name = mount.rsplit("/", 1)[-1], mount
+        Journal(args.root, name).read(spark).createOrReplaceTempView(view)
+    df = spark.sql(args.query)
+    if args.output:
+        df.write.mode("overwrite").parquet(args.output)
+    else:
+        for row in df.toLocalIterator():
+            print(json.dumps(row.asDict(), default=str))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="engine", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -158,6 +184,17 @@ def build_parser() -> argparse.ArgumentParser:
         help="label selector: name=v1,v2 or !name=v (repeatable)",
     )
     jl.set_defaults(fn=cmd_list)
+
+    js = sub.add_parser("journals-sql")
+    js.add_argument("--root", required=True)
+    js.add_argument(
+        "-v", "--view", action="append",
+        help="mount a journal as a view: view=journal/name, or a bare "
+             "journal name (view = last path segment); repeatable",
+    )
+    js.add_argument("--query", required=True)
+    js.add_argument("--output", default=None)
+    js.set_defaults(fn=cmd_sql)
 
     au = sub.add_parser("attach-uuids")
     au.add_argument("--input", required=True)

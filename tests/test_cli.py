@@ -58,3 +58,31 @@ def test_attach_uuids(spark, tmp_path, capsys):
     assert info["rows"] == 2
     df = spark.read.parquet(out)
     assert df.select("uuid").distinct().count() == 2  # distinct clocks
+
+def test_journals_sql(spark, tmp_path, capsys):
+    """SQL over mounted journal views — the word-count prefix-query /
+    bike-share SQL-API pattern as a batch command."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from core_spark.cli import main
+    from core_spark.sources.journal import Journal
+
+    root = str(tmp_path / "journals")
+    j = Journal(root, "apps/counts")
+    j.append(
+        spark.createDataFrame(
+            [("the", 5), ("then", 3), ("dog", 9)], "ngram string, cnt long"
+        )
+    )
+    rc = main([
+        "journals-sql", "--root", root,
+        "-v", "counts=apps/counts",
+        "--query",
+        "SELECT ngram, cnt FROM counts WHERE ngram LIKE 'the%' "
+        "ORDER BY ngram",
+    ])
+    assert rc == 0
+    rows = [_json.loads(ln) for ln in capsys.readouterr().out.splitlines()]
+    assert rows == [{"ngram": "the", "cnt": 5}, {"ngram": "then", "cnt": 3}]
