@@ -105,6 +105,11 @@ def run_and_verify(
     frames = msgs.unionByName(acks)
     if with_duplicates:  # at-least-once redelivery of every 7th chunk
         frames = frames.unionByName(msgs.filter(F.col("seq") % 7 == 0))
+    # Global row_number = single-partition window — fine ONLY because
+    # this is the demo's synthetic journal (n_streams*n_chunks rows by
+    # construction). A real ingest derives offsets from the journal
+    # itself (Journal.append stamps them); see q_dedup for the
+    # production formulation where offsets arrive with the data.
     ordered = frames.withColumn(
         "off",
         F.row_number().over(W.orderBy("flags", "producer", "clock")),
