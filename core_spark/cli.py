@@ -40,6 +40,16 @@ def _read_input(spark, path: str, fmt: str):
     return reader(path)
 
 
+def _emit(df, output: str | None) -> None:
+    """Write to parquet when --output is given, else stream NDJSON to
+    stdout driver-boundedly."""
+    if output:
+        df.write.mode("overwrite").parquet(output)
+    else:
+        for row in df.toLocalIterator():
+            print(json.dumps(row.asDict(), default=str))
+
+
 def cmd_read(args) -> int:
     from core_spark.sources.journal import Journal
 
@@ -51,11 +61,7 @@ def cmd_read(args) -> int:
         end=args.end_offset,
         begin_mod_time=args.begin_mod_time,
     )
-    if args.output:
-        df.write.mode("overwrite").parquet(args.output)
-    else:
-        for row in df.orderBy("_offset").toLocalIterator():
-            print(json.dumps(row.asDict(), default=str))
+    _emit(df if args.output else df.orderBy("_offset"), args.output)
     return 0
 
 
@@ -129,18 +135,24 @@ def cmd_sql(args) -> int:
     from core_spark.sources.journal import Journal
 
     spark = get_spark("engine-cli")
+    mounted: dict[str, str] = {}
     for mount in args.view or []:
         view, _, name = mount.partition("=")
         if not name:
             # bare journal name: view name = last path segment
             view, name = mount.rsplit("/", 1)[-1], mount
+        if view in mounted:
+            # fail loudly — a silent createOrReplaceTempView would run
+            # the query over whichever mount came last
+            print(
+                f"view {view!r} mounted twice ({mounted[view]!r} and "
+                f"{name!r}); use view=journal/name to disambiguate",
+                file=sys.stderr,
+            )
+            return 2
+        mounted[view] = name
         Journal(args.root, name).read(spark).createOrReplaceTempView(view)
-    df = spark.sql(args.query)
-    if args.output:
-        df.write.mode("overwrite").parquet(args.output)
-    else:
-        for row in df.toLocalIterator():
-            print(json.dumps(row.asDict(), default=str))
+    _emit(spark.sql(args.query), args.output)
     return 0
 
 

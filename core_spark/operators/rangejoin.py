@@ -42,23 +42,41 @@ def range_lookback_join(
     epoch). `window_us` is also the bucket width — the two-bucket
     probe is only correct for lookbacks ≤ one bucket, which this
     enforces by construction.
-    """
 
-    def _bkt(ts: Column) -> Column:
-        return (F.unix_micros(ts) / F.lit(window_us)).cast("bigint")
+    `left_cols` and `right_cols` must be disjoint and must not use the
+    reserved internal names — a general-purpose operator fails loudly
+    here rather than emitting ambiguous or silently-dropped columns.
+    """
+    reserved = {"_bkt", "_lt", "_rt"}
+    overlap = set(left_cols) & set(right_cols)
+    if overlap:
+        raise ValueError(
+            f"left_cols and right_cols overlap on {sorted(overlap)}; "
+            "alias one side before joining"
+        )
+    bad = (set(left_cols) | set(right_cols)) & reserved
+    if bad:
+        raise ValueError(f"column names {sorted(bad)} are reserved internals")
+
+    def _bkt(ts_name: str) -> Column:
+        # integer DIV, not float division — double loses sub-window
+        # precision once unix_micros crosses 2^52 and misbuckets rows
+        # at bucket boundaries (repo convention, e.g. the hour buckets
+        # in plans/sketches.py z-order)
+        return F.expr(f"unix_micros({ts_name}) DIV {window_us}")
 
     l_t = F.unix_micros(F.col(left_ts))
     probe = left.select(
         *left_cols,
         l_t.alias("_lt"),
         F.explode(
-            F.array(_bkt(F.col(left_ts)), _bkt(F.col(left_ts)) - 1)
+            F.array(_bkt(left_ts), _bkt(left_ts) - 1)
         ).alias("_bkt"),
     )
     build = right.select(
         *right_cols,
         F.unix_micros(F.col(right_ts)).alias("_rt"),
-        _bkt(F.col(right_ts)).alias("_bkt"),
+        _bkt(right_ts).alias("_bkt"),
     )
     return (
         probe.join(build, "_bkt")

@@ -499,12 +499,16 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = cs.select(F.col("cu").alias("u"), F.col("su").alias("v")).unionByName(
         cs.select(F.col("su").alias("u"), F.col("cu").alias("v"))
     )
-    # (u, v, d): source degree denormalized onto every edge via a
-    # window on u — one shuffle computes the degree AND leaves the
-    # edges keyed for the rounds; no separate degree aggregate+join.
-    graph = und.withColumn(
-        "d", F.count("*").over(Window.partitionBy("u")).cast("bigint")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # (u, v, d): source degree denormalized onto every edge. Degree
+    # comes from a partial-aggregating groupBy + join, NOT a window on
+    # u: WindowExec buffers a hot node's entire edge partition in one
+    # task (no map-side combine), which is straggler skew on the
+    # power-law graphs this query targets; the aggregate's partial
+    # rows stay bounded by distinct keys per input partition.
+    deg = und.groupBy("u").agg(F.count("*").cast("bigint").alias("d"))
+    graph = und.join(deg, "u").select("u", "v", "d").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     ranks = (
         graph.select("u")
         .distinct()

@@ -315,11 +315,14 @@ class Journal:
         m = self.manifest()
         return spark.createDataFrame(
             [
-                (self.name, f.seq, f.begin, f.end, f.n_records, f.path, f.mod_time)
+                (
+                    self.name, f.seq, f.begin, f.end, f.n_records, f.path,
+                    f.mod_time, f.fmt,
+                )
                 for f in m.fragments
             ],
             "journal string, seq int, begin_off long, end_off long, "
-            "n_records long, path string, mod_time double",
+            "n_records long, path string, mod_time double, fmt string",
         )
 
     # -------------------------------------------------------------- prune

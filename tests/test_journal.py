@@ -173,3 +173,21 @@ def test_orc_fragments_and_mixed_format_journal(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="unsupported fragment format"):
         j.append(df, fmt="avro")
+
+
+def test_rangejoin_validates_column_names(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from core_spark.operators.rangejoin import range_lookback_join
+
+    df = spark.range(3).select(
+        F.col("id"), F.timestamp_micros(F.col("id") * 1000000).alias("ts")
+    )
+    with _pytest.raises(ValueError, match="overlap"):
+        range_lookback_join(df, df, "ts", "ts", 10**6, ["id"], ["id"])
+    with _pytest.raises(ValueError, match="reserved"):
+        range_lookback_join(
+            df.withColumn("_rt", F.lit(1)), df, "ts", "ts", 10**6,
+            ["_rt"], ["id"],
+        )
