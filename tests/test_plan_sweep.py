@@ -1,0 +1,77 @@
+"""Blanket scale-killer sweep: no registry query may plan a cartesian
+or nested-loop join unless its name is allowlisted here with a reason.
+
+The targeted plan-shape tests (test_plans.py) pin specific contracts;
+this sweep is the backstop that catches a NEW query (or a regression
+in an old one) accidentally introducing the O(n²) join shapes —
+Catalyst falls back to BroadcastNestedLoopJoin silently whenever a
+join loses its equi-key, and nothing else in CI would notice until a
+bench regression at scale.
+"""
+
+import pytest
+
+from core_spark.plans.registry import REGISTRY
+from tests.conftest import SF_SMOKE
+
+# Queries whose nested-loop/cross shapes are deliberate. Every entry
+# must state why the shape is scale-safe (or explicitly not the scale
+# path).
+ALLOWED = {
+    "q_bm25": "corpus stats (S, N) are a broadcast ONE-ROW global",
+    "q_doc_tfidf": "doc-count scalar is a broadcast ONE-ROW global",
+    "q_h11": "TPC-H Q11 global threshold: broadcast one-row aggregate",
+    "q_h22": "TPC-H Q22 global avg balance: broadcast one-row aggregate",
+    "q_knn_cosine": "brute-force baseline, labeled NOT the scale path "
+                    "(verification tier for the ANN operators)",
+    "q_ann_ivf": "centroid argmax: each vector x broadcast n_cells "
+                 "centroid rows IS the assignment work, map-side",
+}
+
+# Building these executes real streaming jobs / journal writes — their
+# plan shapes are pinned individually where it matters.
+EXECUTING = {n for n in REGISTRY if "stream" in n} | {
+    "q_journal_roundtrip",
+    "q_framed_journal",
+    "q_frag",
+}
+
+SWEEP = sorted(n for n in REGISTRY if n not in EXECUTING)
+
+
+@pytest.mark.parametrize("name", SWEEP)
+def test_no_accidental_cartesian_or_nested_loop(spark, name):
+    df = REGISTRY[name].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "extended"
+        )
+    )
+    hits = [
+        k
+        for k in ("CartesianProduct", "BroadcastNestedLoopJoin", "Join Cross")
+        if k in plan
+    ]
+    if name in ALLOWED:
+        return  # deliberate; reason documented above
+    assert not hits, (
+        f"{name} plans {hits} — an O(n^2) join shape. Either restore "
+        "the equi-key (bucketize: see operators/rangejoin.py) or "
+        "allowlist it here with a scale-safety justification."
+    )
+
+
+def test_allowlist_entries_still_needed(spark):
+    """Prune the allowlist when a query stops needing it — stale
+    exemptions hide future regressions."""
+    for name in sorted(ALLOWED):
+        df = REGISTRY[name].fn(spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "extended"
+            )
+        )
+        assert any(
+            k in plan
+            for k in ("CartesianProduct", "BroadcastNestedLoopJoin", "Join Cross")
+        ), f"{name} no longer plans a nested loop — remove it from ALLOWED"
