@@ -67,3 +67,63 @@ def test_shard_word_count_resume(spark, tmp_path):
         for r in j.read(spark).groupBy("word").agg(F.sum("cnt").alias("total")).collect()
     }
     assert totals3 == {"a": 2, "b": 2, "c": 3}
+
+
+def test_shard_streaming_cms_maintenance(spark, tmp_path):
+    """Streaming sketch maintenance = the deltas pattern applied to a
+    mergeable summary: each micro-batch emits partial Count-Min
+    counters into the out-journal; the materialized sketch is one
+    groupBy-sum over the journal and equals the batch-built sketch
+    EXACTLY (integer counters + deterministic hash family — no
+    approximation drift across the batch/stream boundary)."""
+    from core_spark.plans.sketches import _CMS_D, _CMS_W, _cms_pairs
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_chunk(spark, src, "c0.parquet", ["u1", "u2", "u1"])
+    _write_chunk(spark, src, "c1.parquet", ["u3", "u1", "u2"])
+
+    cfg = ShardConfig(
+        source_glob=src + "/*",
+        source_schema="word string",
+        out_root=str(tmp_path / "out"),
+        out_journal="cms/deltas",
+        shard_id="cms-0",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+
+    def cms_deltas(df):
+        return (
+            df.select(F.explode(_cms_pairs(F.col("word"))).alias("p"))
+            .select("p.r", "p.c")
+            .groupBy("r", "c")
+            .agg(F.count("*").alias("cnt"))
+        )
+
+    run_shard(spark, cfg, cms_deltas).awaitTermination(120)
+    j = Journal(str(tmp_path / "out"), "cms/deltas")
+    streamed = {
+        (r.r, r.c): r.total
+        for r in j.read(spark)
+        .groupBy("r", "c")
+        .agg(F.sum("cnt").alias("total"))
+        .collect()
+    }
+
+    batch_df = spark.createDataFrame(
+        [("u1",), ("u2",), ("u1",), ("u3",), ("u1",), ("u2",)], "word string"
+    )
+    batch = {
+        (r.r, r.c): r.total
+        for r in batch_df.select(
+            F.explode(_cms_pairs(F.col("word"))).alias("p")
+        )
+        .select("p.r", "p.c")
+        .groupBy("r", "c")
+        .agg(F.count("*").cast("bigint").alias("total"))
+        .collect()
+    }
+    assert streamed == batch
+    assert sum(streamed.values()) == 6 * _CMS_D  # every row hashed d times
+    assert all(0 <= c < _CMS_W for (_r, c) in streamed)
