@@ -71,7 +71,7 @@ HEADLINE = [
     "q_retention",
     "q_label_centroid",
     "q_cluster_zorder",
-    "q_pagerank",
+    "q_graph_pagerank",
     "q_doc_tfidf",
     "q_bm25",
     "q_hopping",

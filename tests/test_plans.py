@@ -219,10 +219,40 @@ def test_pagerank_reuses_persisted_graph(spark):
     """Each PageRank round must join the PERSISTED edge/degree
     tables (InMemoryTableScan), not rebuild the lineitem×orders
     join five times; no cartesian anywhere."""
-    plan = _plan(spark, "q_pagerank")
+    plan = _plan(spark, "q_graph_pagerank")
     assert "InMemoryTableScan" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pagerank_rank_join_is_shuffled_not_broadcast(spark):
+    """The per-round rank join must be a ShuffledHashJoin — the rank
+    vector is one row per NODE, which at 10⁹-node scale exceeds any
+    broadcast limit; broadcasting it was VERDICT r3's scale flag.
+    (The graph-BUILD subtree may broadcast orders at tiny SF — that
+    is Catalyst's size-based call, flipping to SMJ at scale — so the
+    assertion targets the join keyed on `node`, not the whole plan.)
+    The cached graph side must also not re-shuffle: its persisted
+    hashpartitioning(u) satisfies the join's distribution, so the
+    InMemoryTableScan feeds the round join with no Exchange above it."""
+    plan = _plan(spark, "q_graph_pagerank")
+    # per-node detail blocks of the formatted explain
+    blocks = re.split(r"\n\(\d+\) ", plan)
+    rank_joins = [b for b in blocks if "keys [1]: [node#" in b]
+    assert rank_joins, "no join keyed on the rank vector found"
+    assert all(b.startswith("ShuffledHashJoin") for b in rank_joins), (
+        "rank join must be ShuffledHashJoin, not broadcast"
+    )
+    # cache side streams straight into the round join: the tree shows
+    # ShuffledHashJoin whose left subtree reaches InMemoryTableScan
+    # without an intervening Exchange
+    tree = plan.split("(1) ")[0]
+    seg = re.search(
+        r"ShuffledHashJoin[^\n]*\n(.*?)InMemoryTableScan", tree, re.S
+    )
+    assert seg and "Exchange" not in seg.group(1), (
+        "persisted graph re-shuffled before the round join"
+    )
 
 
 def test_range_join_is_bucketized_not_nested_loop(spark):

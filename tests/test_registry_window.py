@@ -21,9 +21,9 @@ _REPO = Path(__file__).resolve().parent.parent
 
 # Queries that deliberately live outside the window with pytest-oracle
 # coverage only — each must be called out in COVERAGE.md.
-PYTEST_ONLY = {
-    "q_sketch_cms",  # added r3 after the window was balanced
-}
+# r4: q_sketch_cms was renamed q_cms_heavy INTO the window (the one
+# query that had zero driver rows); the set is empty again.
+PYTEST_ONLY: set[str] = set()
 
 
 def _historical_rows() -> set[str]:
