@@ -64,6 +64,10 @@ _SCALAR_KIND = {
 def _varint(b: bytes, i: int) -> tuple[int, int]:
     shift = val = 0
     while True:
+        if i >= len(b):
+            raise ValueError(
+                f"truncated descriptor: varint runs past end at byte {i}"
+            )
         byte = b[i]
         i += 1
         val |= (byte & 0x7F) << shift
@@ -72,9 +76,22 @@ def _varint(b: bytes, i: int) -> tuple[int, int]:
         shift += 7
 
 
+def _take(raw: bytes, i: int, n: int, no: int) -> tuple[bytes, int]:
+    """Slice n bytes with a bounds check — a short slice would
+    otherwise silently mis-decode wire types 1/2/5 downstream."""
+    if i + n > len(raw):
+        raise ValueError(
+            f"truncated descriptor: field {no} needs {n} bytes at "
+            f"offset {i}, only {len(raw) - i} remain"
+        )
+    return raw[i : i + n], i + n
+
+
 def _fields(raw: bytes) -> dict[int, list]:
     """Generic protobuf walk: field_no → list of raw values in wire
-    order (repeated fields keep every occurrence)."""
+    order (repeated fields keep every occurrence). Raises ValueError
+    naming the field/offset on truncated or corrupt input rather than
+    an executor-opaque IndexError or a silent short slice."""
     i, out = 0, {}
     while i < len(raw):
         tag, i = _varint(raw, i)
@@ -82,15 +99,12 @@ def _fields(raw: bytes) -> dict[int, list]:
         if wire == 0:
             v, i = _varint(raw, i)
         elif wire == 1:
-            v = raw[i : i + 8]
-            i += 8
+            v, i = _take(raw, i, 8, no)
         elif wire == 2:
             ln, i = _varint(raw, i)
-            v = raw[i : i + ln]
-            i += ln
+            v, i = _take(raw, i, ln, no)
         elif wire == 5:
-            v = raw[i : i + 4]
-            i += 4
+            v, i = _take(raw, i, 4, no)
         else:
             raise ValueError(f"unsupported wire type {wire} in descriptor")
         out.setdefault(no, []).append(v)

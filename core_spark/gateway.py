@@ -98,8 +98,13 @@ class JournalGateway:
                 except ValueError as e:
                     self._error(416, str(e))  # no covering fragments
                     return
+                # A capped page is 206 Partial Content, NOT 200: a
+                # client unaware of the paging headers must fail loudly
+                # (or at least see a non-200) instead of silently
+                # treating a truncated body as the complete range.
                 self._send(
-                    200, body, ctype="application/x-ndjson",
+                    206 if truncated else 200, body,
+                    ctype="application/x-ndjson",
                     headers={
                         "X-Journal-Next-Offset": str(next_off),
                         "X-Journal-Truncated": "true" if truncated else "false",
@@ -154,7 +159,14 @@ class JournalGateway:
         (body, next_offset, truncated). The cap rides a limit() so the
         plan is TakeOrderedAndProject — the driver holds one page, never
         the journal. A truncated response's next_offset points at the
-        first unserved row, so `GET ?begin=<next>` resumes exactly."""
+        first unserved row, so `GET ?begin=<next>` resumes exactly.
+
+        HTTP contract (endpoint `GET /jnl/<name>?begin=&end=`): a full
+        range is `200`; a capped page is `206 Partial Content` with
+        `X-Journal-Truncated: true` and `X-Journal-Next-Offset: <off>`
+        naming the resume point. Both headers are present on every
+        response; the status-code split exists so clients that never
+        read them still can't mistake a page for the whole range."""
         from pyspark.sql import functions as F
 
         j = Journal(self.root, name)

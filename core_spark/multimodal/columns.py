@@ -76,8 +76,18 @@ def decode_image_meta(
                 j = i
                 while j < len(raw) and not raw[j : j + 1].isspace():
                     j += 1
+                if i == j or not raw[i:j].isdigit():
+                    break
                 toks.append(int(raw[i:j]))
                 i = j
+            # A 'P6'/'P5' magic with fewer than width/height/maxval
+            # tokens must be a clear per-payload parse error, not an
+            # executor-opaque IndexError.
+            if len(toks) < 2:
+                raise ValueError(
+                    "malformed PPM/PGM payload: header has "
+                    f"{len(toks)} of 3 expected integer tokens"
+                )
             return toks[0], toks[1]
 
         def real_meta(raw: bytes):

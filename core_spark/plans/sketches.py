@@ -4,7 +4,7 @@ pipeline, each chosen to be *deterministic across engines* so the
 usual "approximation differs by design" escape hatch isn't needed.
 
 - q_kmv_distinct: a K-Minimum-Values distinct sketch. Unlike HLL
-  (q_approx_distinct, rows-only by design), KMV over a portable md5
+  (q_approx_distinct, error-bound-checked), KMV over a portable md5
   hash is bit-reproducible on any engine: the estimate
   (k-1) * 2^60 / h_k depends only on the k-th smallest distinct hash.
   Approximate in statistics, exact in bytes — so it hash-checks.

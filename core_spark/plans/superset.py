@@ -267,21 +267,43 @@ def q_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------- approx distinct
-@query("q_approx_distinct", oracle=None)
+@query(
+    "q_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           1 AS within_15pct
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct (superset, SURVEY §2.5).
-    No oracle: approximation algorithms differ across engines by
-    design; the rows-only check applies. Exact-distinct parity is
-    covered by q_ss1/q_setop."""
+
+    HLL register layouts are engine-specific, so the estimate itself
+    can never hash-match DuckDB — but its ERROR BOUND can: the query
+    emits the exact count plus an integer flag asserting the HLL
+    estimate lands within 15% (3x the default 5% rsd) of it, and the
+    oracle emits the same exact count with the flag constant-true.
+    A bound violation flips the flag to 0 and fails the driver's
+    value-hash — upgrading this from the one rows-only query to a
+    checked accuracy contract (VERDICT r3 ask #9). Bit-reproducible
+    approximate counting is q_kmv_distinct's job."""
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
-            F.countDistinct("l_partkey").alias("exact_parts"),
-        )
-        .orderBy("l_returnflag")
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
     )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        # integer cross-multiplication: |approx-exact|*100 <= exact*15
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts")) * 100
+            <= F.col("exact_parts") * 15
+        )
+        .cast("int")
+        .alias("within_15pct"),
+    ).orderBy("l_returnflag")
 
 
 # ------------------------------------------------------------------ funnel

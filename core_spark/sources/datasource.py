@@ -47,6 +47,7 @@ def journal_datasource():
     """Return the DataSource class for spark.dataSource.register()."""
     import json
     import os
+    import re
 
     from pyspark.sql.datasource import (
         DataSource,
@@ -104,22 +105,37 @@ def journal_datasource():
                 if v is not None:
                     vals[k].append(v)
 
+        # Match Spark's partitionColumnTypeInference ladder, not
+        # Python's laxer int()/float(): Python accepts '1_000', ' 7 ',
+        # 'inf', 'nan' — native discovery (Integer/Long.parseLong then
+        # Double.parseDouble, measured empirically) types those as
+        # string, and the two read paths (format('journal') vs
+        # Journal.read native discovery) must agree on one schema.
+        # Java-isms kept: leading '+' on ints ('+5' IS int 5 natively)
+        # and the case-sensitive NaN/±Infinity double literals.
+        # Documented divergences, all unreachable from values our
+        # writer renders: native types integral decimals ('5.', '1e3',
+        # >int64 digits) as DecimalType, accepts hex-float ('0x1p3'),
+        # trailing f/d suffixes, and whitespace-padded doubles — we
+        # type those string rather than grow a decimal reader type.
+        _INT_RE = re.compile(r"^[-+]?\d+$")
+        _FLOAT_RE = re.compile(
+            r"^[-+]?(NaN|Infinity|(\d+\.\d*|\.\d+|\d+)([eE][-+]?\d+)?)$"
+        )
+
         def infer(vs: list) -> str:
             if not vs:
                 return "string"  # all-null: native discovery says string
-            try:
+            if all(_INT_RE.match(v) for v in vs):
                 ints = [int(v) for v in vs]
-                return (
-                    "int32"
-                    if all(-(2**31) <= i < 2**31 for i in ints)
-                    else "int64"
-                )
-            except ValueError:
-                try:
-                    [float(v) for v in vs]
-                    return "float64"
-                except ValueError:
-                    return "string"
+                if all(-(2**31) <= i < 2**31 for i in ints):
+                    return "int32"
+                if all(-(2**63) <= i < 2**63 for i in ints):
+                    return "int64"
+                return "string"  # native: decimal; see divergence note
+            if all(_FLOAT_RE.match(v) for v in vs):
+                return "float64"
+            return "string"
 
         return {k: infer(vs) for k, vs in vals.items()}
 

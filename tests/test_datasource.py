@@ -168,3 +168,34 @@ def test_partitioned_tail_streams_through_manifest(spark, tmp_path):
         assert all(r.bucket == r.k % 2 for r in rows)
     finally:
         q.stop()
+
+
+def test_partition_type_inference_matches_native_edge_forms(spark, tmp_path):
+    """The python datasource's partition-type ladder must agree with
+    Spark's native discovery on the forms where Python's int()/float()
+    are laxer (ADVICE r3): '+5' IS int natively (and reads back as 5),
+    while '1_000', 'inf', 'nan' are strings; 'NaN' (Java case) is
+    double. A disagreement would give the same journal two schemas
+    depending on the read path."""
+    root = str(tmp_path / "journals")
+    j = Journal(root, "ds/edge")
+    rows = [("+5", "1_000", "inf", "NaN"), ("7", "22", "nan", "Infinity")]
+    df = spark.createDataFrame(rows, "a string, b string, c string, d string")
+    j.append(df.withColumn("k", F.lit(1)), path_postfix=("a", "b", "c", "d"))
+    spark.dataSource.register(journal_datasource())
+
+    got = (
+        spark.read.format("journal")
+        .option("root", root)
+        .option("name", "ds/edge")
+        .load()
+    )
+    want = j.read(spark).drop("_journal")
+    assert dict(got.dtypes) == dict(want.dtypes)
+    for d in (dict(got.dtypes),):
+        assert d["a"] == "int", d      # '+5' parses as int natively
+        assert d["b"] == "string", d   # '1_000' does not
+        assert d["c"] == "string", d   # lowercase inf/nan are strings
+        assert d["d"] == "double", d   # Java NaN/Infinity literals
+    key = lambda r: (r.k, r.a, r.b, r.c, str(r.d))  # noqa: E731
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))

@@ -169,3 +169,16 @@ def test_signedness_mapping(spark):
     ufixed = _sub(1, _file("p", _message("U", _field("x", 1, 6))))
     with pytest.raises(NotImplementedError, match="fixed64"):
         descriptor_set_to_spec(ufixed, "p.U")
+
+
+def test_truncated_descriptor_raises_named_error():
+    """Corrupt/truncated FileDescriptorSet bytes must raise a clear
+    ValueError naming the damage, not an IndexError deep in the walk
+    or a silent short slice (ADVICE r3)."""
+    good = _sub(1, _file("p", _message("M", _field("a", 1, 3))))
+    # cut inside a length-delimited field payload
+    with pytest.raises(ValueError, match="truncated descriptor"):
+        descriptor_set_to_spec(good[: len(good) - 3], "p.M")
+    # a varint that runs off the end
+    with pytest.raises(ValueError, match="truncated descriptor"):
+        descriptor_set_to_spec(b"\x08\xff\xff", "p.M")

@@ -29,7 +29,7 @@ def _put(base, name, body: str):
 
 def _get(base, path):
     with urllib.request.urlopen(f"{base}{path}") as resp:
-        return resp.read().decode(), dict(resp.headers)
+        return resp.read().decode(), dict(resp.headers), resp.status
 
 
 def test_put_then_get_roundtrip(gw, spark):
@@ -41,7 +41,8 @@ def test_put_then_get_roundtrip(gw, spark):
     r2 = _put(base, "api/events", json.dumps({"k": 99, "v": "late"}))
     assert (r2["begin"], r2["end"]) == (10, 11)
 
-    body, headers = _get(base, "/jnl/api/events?begin=5&end=11")
+    body, headers, status = _get(base, "/jnl/api/events?begin=5&end=11")
+    assert status == 200  # full range, not a page
     rows = [json.loads(ln) for ln in body.splitlines()]
     assert [r["k"] for r in rows] == [5, 6, 7, 8, 9, 99]
     assert headers["X-Journal-Next-Offset"] == "11"
@@ -63,7 +64,7 @@ def test_list_journals(gw):
     _, base = gw
     _put(base, "apps/a", json.dumps({"x": 1}))
     _put(base, "apps/b", json.dumps({"x": 2}))
-    body, _ = _get(base, "/journals")
+    body, _, _ = _get(base, "/journals")
     names = [j["name"] for j in json.loads(body)]
     assert names == ["apps/a", "apps/b"]
     assert all(j["next_offset"] == 1 for j in json.loads(body))
@@ -84,11 +85,13 @@ def test_read_is_paged_under_row_cap(spark, tmp_path):
         seen, begin, pages = [], None, 0
         while True:
             q = "" if begin is None else f"?begin={begin}"
-            body, headers = _get(base, f"/jnl/api/paged{q}")
+            body, headers, status = _get(base, f"/jnl/api/paged{q}")
             rows = [json.loads(ln) for ln in body.splitlines()]
             assert len(rows) <= 8  # the cap holds per response
             seen.extend(r["k"] for r in rows)
             pages += 1
+            # status-code contract: capped page = 206, final = 200
+            assert status == (206 if headers["X-Journal-Truncated"] == "true" else 200)
             if headers["X-Journal-Truncated"] == "false":
                 assert headers["X-Journal-Next-Offset"] == "30"
                 break

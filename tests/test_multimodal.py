@@ -137,3 +137,14 @@ def test_real_mode_unknown_codecs_raise(spark):
         decode_image_meta(df, fake=False).collect()
     with pytest.raises(Exception, match="STUB.*pyav|STUB.*libsndfile"):
         sample_audio_frames(df, fake=False).collect()
+
+
+def test_real_mode_malformed_ppm_header_is_named(spark):
+    """A 'P6' magic whose header lacks the width/height tokens must
+    fail with a ValueError naming the malformed payload, not an
+    executor-opaque IndexError (ADVICE r3)."""
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"P6  "))], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="malformed PPM"):
+        decode_image_meta(bad, fake=False).collect()
