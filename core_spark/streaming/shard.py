@@ -76,7 +76,19 @@ def run_shard(
     sink = FencedJournalSink(cfg.out_root, cfg.out_journal, shard=cfg.shard_id)
 
     def process(df: DataFrame, batch_id: int) -> None:
-        sink(transform(df), batch_id)
+        # Offset-granular progress (Stat RPC's ReadThrough): when the
+        # source is a journal, the batch rows carry their source
+        # `_offset` — one scalar max() over the already-admitted
+        # micro-batch names the exclusive end offset this commit
+        # covers, stored in the same manifest CAS as the batch.
+        rt = None
+        if cfg.source_journal is not None and "_offset" in df.columns:
+            from pyspark.sql import functions as F
+
+            mx = df.agg(F.max("_offset")).first()[0]
+            if mx is not None:
+                rt = {cfg.source_journal: int(mx) + 1}
+        sink(transform(df), batch_id, read_through=rt)
 
     writer = (
         src.writeStream.foreachBatch(process)
@@ -88,3 +100,41 @@ def run_shard(
     else:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def await_offset(
+    out_root: str,
+    out_journal: str,
+    shard_id: str,
+    journal: str,
+    offset: int,
+    timeout: float = 30.0,
+    poll: float = 0.05,
+) -> int:
+    """Offset-granular read-through barrier: block until `shard_id`'s
+    COMMITTED progress covers source `journal` through `offset`
+    (exclusive end), then return the committed read-through.
+
+    This is the Stat RPC with ReadThrough offsets
+    (consumer/shard_api.go:24-51, gating consumer/resolver.go:101-285):
+    append → await_offset(r.end) → query the materialization and the
+    row is guaranteed visible, because the read-through register
+    commits in the same manifest CAS as the batch's data. Raises
+    TimeoutError (with the stalled offsets) if the shard does not
+    catch up — the resolver's deadline behavior."""
+    import time as _time
+
+    from core_spark.sources.journal import Journal
+
+    j = Journal(out_root, out_journal)
+    deadline = _time.monotonic() + timeout
+    while True:
+        rt = int(j.manifest().registers.get(f"rt:{shard_id}:{journal}", "0"))
+        if rt >= offset:
+            return rt
+        if _time.monotonic() > deadline:
+            raise TimeoutError(
+                f"shard {shard_id}: read-through {rt} < {offset} for "
+                f"{journal} after {timeout}s"
+            )
+        _time.sleep(poll)

@@ -127,3 +127,55 @@ def test_shard_streaming_cms_maintenance(spark, tmp_path):
     assert streamed == batch
     assert sum(streamed.values()) == 6 * _CMS_D  # every row hashed d times
     assert all(0 <= c < _CMS_W for (_r, c) in streamed)
+
+
+def test_await_offset_read_your_writes(spark, tmp_path):
+    """Offset-granular read-through barrier (Stat RPC analog,
+    consumer/shard_api.go:24-51): append to the SOURCE journal while
+    the shard runs, await_offset on the append's end offset, then
+    query the materialization — the row must be visible, because the
+    rt register commits in the same manifest CAS as the batch."""
+    from core_spark.streaming.shard import await_offset
+
+    root = str(tmp_path / "journals")
+    src = Journal(root, "in/events")
+    src.append(
+        spark.createDataFrame([(k,) for k in range(5)], "k long")
+    )
+
+    cfg = ShardConfig(
+        source_glob=None,
+        source_schema=None,
+        out_root=root,
+        out_journal="out/mat",
+        shard_id="s0",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        source_root=root,
+        source_journal="in/events",
+        trigger_seconds=0.5,
+    )
+    q = run_shard(spark, cfg, lambda df: df.select("k"))
+    try:
+        # first barrier: the pre-existing rows
+        rt = await_offset(root, "out/mat", "s0", "in/events", 5, timeout=90)
+        assert rt >= 5
+
+        # read-your-writes: append mid-run, await its end offset
+        frag = src.append(spark.createDataFrame([(99,)], "k long"))
+        rt = await_offset(
+            root, "out/mat", "s0", "in/events", frag.end, timeout=90
+        )
+        assert rt >= frag.end
+        out = Journal(root, "out/mat").read(spark)
+        assert out.filter(F.col("k") == 99).count() == 1
+
+        # an offset beyond the write head does not resolve
+        import pytest as _pytest
+
+        with _pytest.raises(TimeoutError, match="read-through"):
+            await_offset(
+                root, "out/mat", "s0", "in/events", frag.end + 1000,
+                timeout=1.5,
+            )
+    finally:
+        q.stop()
