@@ -364,3 +364,50 @@ class CatalogStore:
 
     def resolve(self, spark: SparkSession, selector: LabelSelector) -> DataFrame:
         return resolve(spark, selector, self.specs())
+
+    def version(self) -> int:
+        """Current catalog version (Etcd mod-revision analog)."""
+        return self._version()
+
+
+class WatchedList:
+    """Live selector resolution over the CatalogStore — the
+    broker/client/list.go:25-147 WatchedList.
+
+    The reference holds a server-streamed watch of a ListRequest and
+    keeps an atomically-swapped snapshot that mapping functions read
+    per message. Our catalog is a monotone sequence of CAS'd version
+    files, so the watch degenerates to a version probe: `refresh()`
+    compares the stored version and re-resolves the selector only on
+    change (one listdir + at most one small JSON read — O(topology),
+    no Spark job). Publishers call refresh() once per trigger, making
+    the watch cadence the trigger cadence, which is exactly when a
+    topology change can first take effect in a micro-batch engine.
+
+    `names()` is the List() analog: the most recent snapshot, sorted
+    for stable modulo indexing (the reference's ListResponse is
+    likewise name-ordered, so index-stable until membership changes).
+    """
+
+    def __init__(self, store: CatalogStore, selector: LabelSelector):
+        self.store = store
+        self.selector = selector
+        self.version = -1
+        self._names: tuple[str, ...] = ()
+        self.refresh()
+
+    def refresh(self) -> tuple[str, ...]:
+        v = self.store.version()
+        if v != self.version:
+            self._names = tuple(
+                sorted(
+                    s.name
+                    for s in self.store.specs()
+                    if self.selector.matches(s)
+                )
+            )
+            self.version = v
+        return self._names
+
+    def names(self) -> tuple[str, ...]:
+        return self._names

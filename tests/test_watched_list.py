@@ -1,0 +1,153 @@
+"""WatchedList live topology: selector resolution tracks catalog
+Apply mid-stream, and a routed publisher starts feeding a journal
+added while the stream runs.
+
+Reference: broker/client/list.go:25-147 (WatchedList),
+examples/bike-share/application.go:208-228 (buildMapping routes every
+message over the watch's current snapshot)."""
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from core_spark.catalog import (
+    CatalogStore,
+    JournalSpec,
+    Label,
+    LabelSelector,
+    WatchedList,
+)
+from core_spark.sources.journal import Journal
+from core_spark.streaming.routed import RoutedPublisher
+
+
+def _spec(name: str, topic: str = "clicks") -> JournalSpec:
+    return JournalSpec(name=name, labels=(Label("topic", topic),))
+
+
+def test_watch_tracks_apply_and_delete(tmp_path):
+    store = CatalogStore(str(tmp_path))
+    store.apply(upserts=(_spec("pipeline/part-000"), _spec("pipeline/part-001")))
+    w = WatchedList(store, LabelSelector(include={"topic": ("clicks",)}))
+    assert w.names() == ("pipeline/part-000", "pipeline/part-001")
+    v1 = w.version
+
+    # a matching spec and a non-matching one land mid-watch
+    store.apply(upserts=(_spec("pipeline/part-002"), _spec("other/x", "views")))
+    assert w.names() == ("pipeline/part-000", "pipeline/part-001")  # snapshot
+    assert w.refresh() == (
+        "pipeline/part-000", "pipeline/part-001", "pipeline/part-002",
+    )
+    assert w.version > v1
+
+    store.apply(deletions=("pipeline/part-001",))
+    assert w.refresh() == ("pipeline/part-000", "pipeline/part-002")
+
+    # unchanged catalog: refresh is a no-op version probe
+    v = w.version
+    assert w.refresh() == w.names() and w.version == v
+
+
+def test_routed_publisher_feeds_journal_added_mid_stream(spark, tmp_path):
+    """Start a stream routing rows over 2 matching journals; Apply a
+    third matching JournalSpec while it runs; later rows must reach
+    the new journal, and every row lands in exactly one journal."""
+    root = str(tmp_path / "journals")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    store = CatalogStore(root)
+    store.apply(upserts=(_spec("pipeline/part-000"), _spec("pipeline/part-001")))
+    watch = WatchedList(store, LabelSelector(include={"topic": ("clicks",)}))
+    pub = RoutedPublisher(root, watch, key_col="k")
+
+    def chunk(name, lo, hi):
+        spark.createDataFrame(
+            [(i,) for i in range(lo, hi)], "k long"
+        ).coalesce(1).write.parquet(os.path.join(src, name))
+
+    chunk("c0.parquet", 0, 40)
+    q = (
+        spark.readStream.schema("k long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+        .writeStream.foreachBatch(pub)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0.5 seconds")
+        .start()
+    )
+
+    def journal_counts():
+        out = {}
+        for n in ("pipeline/part-000", "pipeline/part-001", "pipeline/part-002"):
+            try:
+                out[n] = Journal(root, n).read(spark).count()
+            except Exception:
+                out[n] = 0
+        return out
+
+    try:
+        deadline = time.monotonic() + 90
+        while sum(journal_counts().values()) < 40:
+            assert time.monotonic() < deadline, "first chunk never routed"
+            time.sleep(0.3)
+        first = journal_counts()
+        assert first["pipeline/part-002"] == 0  # not in the topology yet
+
+        # topology grows mid-stream; the watch sees it next trigger
+        store.apply(upserts=(_spec("pipeline/part-002"),))
+        chunk("c1.parquet", 40, 120)
+        deadline = time.monotonic() + 90
+        while sum(journal_counts().values()) < 120:
+            assert time.monotonic() < deadline, "second chunk never routed"
+            time.sleep(0.3)
+    finally:
+        q.stop()
+
+    final = journal_counts()
+    assert sum(final.values()) == 120
+    # the journal added mid-stream took its modulo share of chunk 2
+    assert final["pipeline/part-002"] > 0
+
+    # exactly-once: the union of journals is the input set, no dups
+    seen = []
+    for n, c in final.items():
+        if c:
+            seen += [r.k for r in Journal(root, n).read(spark).select("k").collect()]
+    assert sorted(seen) == list(range(120))
+
+
+def test_routed_publisher_empty_topology_is_loud(spark, tmp_path):
+    root = str(tmp_path / "journals")
+    store = CatalogStore(root)
+    store.apply(upserts=(_spec("other/x", "views"),))
+    watch = WatchedList(store, LabelSelector(include={"topic": ("clicks",)}))
+    pub = RoutedPublisher(root, watch, key_col="k")
+    with pytest.raises(RuntimeError, match="resolves no journals"):
+        pub(spark.range(3).withColumnRenamed("id", "k"), 0)
+
+
+def test_rendezvous_routing_minimal_churn(spark, tmp_path):
+    """Rendezvous mapping: when the set grows, keys either stay where
+    they were or move to the NEW journal — never between survivors
+    (the minimal-churn property modulo lacks)."""
+    root = str(tmp_path / "journals")
+    store = CatalogStore(root)
+    store.apply(upserts=(_spec("p/a"), _spec("p/b")))
+    watch = WatchedList(store, LabelSelector(include={"topic": ("clicks",)}))
+    pub = RoutedPublisher(root, watch, key_col="k", mapping="rendezvous")
+    df = spark.range(200).withColumnRenamed("id", "k")
+
+    before = {
+        r.k: r.j
+        for r in df.withColumn("j", pub._route_col(watch.refresh())).collect()
+    }
+    store.apply(upserts=(_spec("p/c"),))
+    after = {
+        r.k: r.j
+        for r in df.withColumn("j", pub._route_col(watch.refresh())).collect()
+    }
+    moved = {k for k in before if before[k] != after[k]}
+    assert moved, "some keys should adopt the new journal"
+    assert all(after[k] == "p/c" for k in moved)
