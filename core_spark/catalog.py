@@ -48,6 +48,9 @@ class JournalSpec:
     codec: str = "ZSTD"  # NONE|GZIP|ZSTD|SNAPPY (protocol.proto:72-102)
     stores: tuple[str, ...] = ()
     path_postfix: str = ""  # e.g. 'date={date}/hour={hour}' (Hive-style)
+    # bytes/second appenders may sustain; 0 = unlimited
+    # (protocol.proto MaxAppendRate, broker/append_flow_control.go:11-43)
+    max_append_rate: int = 0
 
 
 @dataclass(frozen=True)
@@ -273,6 +276,8 @@ def validate_spec(spec: JournalSpec) -> None:
         raise SpecValidation(f"codec {spec.codec!r} not in {_VALID_CODECS}")
     if spec.replication < 1:
         raise SpecValidation("replication must be >= 1")
+    if spec.max_append_rate < 0:
+        raise SpecValidation("max_append_rate must be >= 0 (0 = unlimited)")
 
 
 class CatalogStore:
@@ -315,6 +320,8 @@ class CatalogStore:
                 codec=d["codec"],
                 stores=tuple(d["stores"]),
                 path_postfix=d["path_postfix"],
+                # absent in pre-r4 catalogs: unlimited
+                max_append_rate=int(d.get("max_append_rate", 0)),
             )
             for d in raw
         )
@@ -348,6 +355,7 @@ class CatalogStore:
                     "codec": s.codec,
                     "stores": list(s.stores),
                     "path_postfix": s.path_postfix,
+                    "max_append_rate": s.max_append_rate,
                 }
                 for s in sorted(by_name.values(), key=lambda s: s.name)
             ]

@@ -127,12 +127,38 @@ class Journal:
 
     def __init__(self, root: str, name: str, store: ManifestStore | None = None):
         self.name = name
+        self.journals_root = root
         self.root = os.path.join(root, name)
         self.manifest_dir = os.path.join(self.root, "_manifest")
         self.frag_dir = os.path.join(self.root, "fragments")
         os.makedirs(self.manifest_dir, exist_ok=True)
         os.makedirs(self.frag_dir, exist_ok=True)
         self.store = store if store is not None else FSManifestStore(self.manifest_dir)
+        self._rate_cache: tuple[int, int] = (-1, 0)  # (catalog version, rate)
+
+    # -------------------------------------------------------- flow control
+    def _max_append_rate(self) -> int:
+        """The journal's JournalSpec max_append_rate (bytes/s; 0 =
+        unlimited), honored by append (broker/append_flow_control.go:
+        11-43). Looked up from the CatalogStore living under the same
+        journals root, cached by catalog version — one listdir per
+        append when unchanged. Journals without a catalog (or without
+        a spec) are unlimited."""
+        cat_dir = os.path.join(self.journals_root, "_catalog")
+        if not os.path.isdir(cat_dir):
+            return 0
+        from core_spark.catalog import CatalogStore
+
+        store = CatalogStore(self.journals_root)
+        v = store.version()
+        if v != self._rate_cache[0]:
+            rate = 0
+            for s in store.specs():
+                if s.name == self.name:
+                    rate = s.max_append_rate
+                    break
+            self._rate_cache = (v, rate)
+        return self._rate_cache[1]
 
     # ----------------------------------------------------------- manifest
     def manifest(self) -> Manifest:
@@ -222,6 +248,23 @@ class Journal:
 
         final = os.path.join(self.frag_dir, frag_name)
         os.rename(tmp, final)
+
+        # Append-path flow control (token bucket over the fragment's
+        # real bytes): a capped journal's writers sleep off their debt
+        # BEFORE the commit becomes visible, shaping the sustained
+        # append rate to the spec's max_append_rate. Unlimited (the
+        # default) costs one isdir() check.
+        rate = self._max_append_rate()
+        if rate > 0:
+            from core_spark.sources.flow_control import bucket_for
+
+            n_bytes = sum(
+                os.path.getsize(os.path.join(dp, f))
+                for dp, _dirs, files in os.walk(final)
+                for f in files
+            )
+            bucket_for(self.root, rate).throttle(n_bytes)
+
         frag = Fragment(
             seq=len(m.fragments),
             begin=begin,
