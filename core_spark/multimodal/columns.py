@@ -55,9 +55,10 @@ def decode_image_meta(
 ) -> DataFrame:
     """Decode image metadata from binary payloads.
 
-    Output: IMAGE_META_SCHEMA. Real mode parses PPM/PGM (P6/P5) and
-    BMP headers in pure Python; other codecs raise, naming PIL. Fake
-    mode hashes the payload into deterministic dimensions.
+    Output: IMAGE_META_SCHEMA. Real mode parses PNG (IHDR), PPM/PGM
+    (P6/P5) and BMP headers in pure Python; other codecs raise,
+    naming PIL. Fake mode hashes the payload into deterministic
+    dimensions.
     """
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -91,6 +92,11 @@ def decode_image_meta(
             return toks[0], toks[1]
 
         def real_meta(raw: bytes):
+            if raw[:8] == b"\x89PNG\r\n\x1a\n":
+                from core_spark.multimodal.png import png_meta
+
+                w, h, _depth, _ctype = png_meta(raw)
+                return "image/png", w, h
             if raw[:2] == b"P6":
                 w, h = ppm_header(raw)
                 return "image/x-portable-pixmap", w, h
@@ -155,18 +161,39 @@ def resize_images(
     output payload replaces input). Real mode: nearest-neighbor
     downsample of P6 PPM payloads (numpy row/column index sampling,
     aspect preserved, re-encoded as P6; images already within bounds
-    pass through untouched); other codecs raise, naming PIL. Fake
-    mode truncates the payload deterministically."""
+    pass through untouched) and of 8-bit gray/RGB/RGBA PNG (full
+    stdlib decode — zlib inflate + scanline unfilter — resample,
+    re-encode; multimodal/png.py); other codecs raise, naming PIL.
+    Fake mode truncates the payload deterministically."""
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        def resize_png(raw: bytes) -> bytes:
+            from core_spark.multimodal.png import (
+                png_decode,
+                png_encode,
+                png_meta,
+            )
+
+            w, h, _depth, _ctype = png_meta(raw)
+            if max(w, h) <= max_side:
+                return raw
+            data = png_decode(raw)
+            scale = max(w, h) / max_side
+            nw, nh = max(1, round(w / scale)), max(1, round(h / scale))
+            ys = np.minimum((np.arange(nh) * (h / nh)).astype(int), h - 1)
+            xs = np.minimum((np.arange(nw) * (w / nw)).astype(int), w - 1)
+            return png_encode(data[ys][:, xs])
+
         def resize_p6(raw: bytes) -> bytes:
+            if raw[:8] == b"\x89PNG\r\n\x1a\n":
+                return resize_png(raw)
             if raw[:2] != b"P6":
                 raise NotImplementedError(
                     f"STUB: resize for magic {raw[:4]!r} requires PIL "
                     "(pillow).Image.thumbnail; pure-python real mode "
-                    "covers P6 PPM"
+                    "covers P6 PPM and 8-bit gray/RGB/RGBA PNG"
                 )
             toks, i = [], 2
             while len(toks) < 3 and i < len(raw):

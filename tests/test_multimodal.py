@@ -130,13 +130,20 @@ def test_real_wav_framing(spark):
 
 
 def test_real_mode_unknown_codecs_raise(spark):
+    # JPEG stays stubbed (r4 made PNG real — multimodal/png.py)
     df = spark.createDataFrame(
-        [(1, b"\x89PNG\r\n\x1a\nxxxx")], "doc_id long, payload binary"
+        [(1, b"\xff\xd8\xff\xe0jfif")], "doc_id long, payload binary"
     )
     with pytest.raises(Exception, match="STUB.*PIL"):
         decode_image_meta(df, fake=False).collect()
     with pytest.raises(Exception, match="STUB.*pyav|STUB.*libsndfile"):
         sample_audio_frames(df, fake=False).collect()
+    # a PNG magic with garbage body is a MALFORMED payload, not a stub
+    bad = spark.createDataFrame(
+        [(1, b"\x89PNG\r\n\x1a\nxxxx")], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="malformed PNG"):
+        decode_image_meta(bad, fake=False).collect()
 
 
 def test_real_mode_malformed_ppm_header_is_named(spark):
@@ -148,3 +155,145 @@ def test_real_mode_malformed_ppm_header_is_named(spark):
     )
     with pytest.raises(Exception, match="malformed PPM"):
         decode_image_meta(bad, fake=False).collect()
+
+
+# ----------------------------------------------------------- PNG real mode
+def _png_chunk(typ, data):
+    import struct
+    import zlib as _z
+
+    return (
+        struct.pack(">I", len(data)) + typ + data
+        + struct.pack(">I", _z.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def _forward_filter(arr, ftypes):
+    """Reference FORWARD filter (PNG spec §9), written independently
+    in the test so png_decode's inverse is checked against it."""
+    h, w, ch = arr.shape
+    stride = w * ch
+    flat = arr.reshape(h, stride).astype(int)
+    out = bytearray()
+    prev = [0] * stride
+    for y in range(h):
+        ft = ftypes[y % len(ftypes)]
+        row = list(flat[y])
+        f = []
+        for x in range(stride):
+            a = row[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            f.append((row[x] - pred) & 255)
+        out.append(ft)
+        out += bytes(f)
+        prev = row
+    return bytes(out)
+
+
+def _test_image(w=37, h=23, ch=3):
+    import numpy as np
+
+    y, x, c = np.meshgrid(
+        np.arange(h), np.arange(w), np.arange(ch), indexing="ij"
+    )
+    return ((x * 7 + y * 13 + c * 29) % 256).astype(np.uint8)
+
+
+def test_png_roundtrip_and_meta():
+    from core_spark.multimodal.png import png_decode, png_encode, png_meta
+
+    import numpy as np
+
+    for chn in (1, 2, 3, 4):
+        img = _test_image(ch=chn)
+        raw = png_encode(img)
+        assert png_meta(raw)[:2] == (37, 23)
+        assert np.array_equal(png_decode(raw), img)
+
+
+def test_png_decode_all_five_filters():
+    """Hand-filtered scanlines (forward filter written in the test)
+    cycling None/Sub/Up/Average/Paeth must reconstruct exactly."""
+    import struct
+    import zlib as _z
+
+    import numpy as np
+
+    from core_spark.multimodal.png import SIGNATURE, png_decode
+
+    img = _test_image(w=16, h=10, ch=3)
+    idat = _z.compress(_forward_filter(img, [0, 1, 2, 3, 4]))
+    ihdr = struct.pack(">IIBBBBB", 16, 10, 8, 2, 0, 0, 0)
+    raw = (
+        SIGNATURE + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(png_decode(raw), img)
+
+
+def test_png_real_meta_and_resize(spark):
+    import numpy as np
+
+    from core_spark.multimodal.columns import decode_image_meta, resize_images
+    from core_spark.multimodal.png import png_decode, png_encode
+
+    img = _test_image(w=300, h=150, ch=3)
+    df = spark.createDataFrame(
+        [(1, bytearray(png_encode(img)))], "doc_id long, payload binary"
+    )
+    meta = decode_image_meta(df, fake=False).first()
+    assert (meta.mime, meta.width, meta.height) == ("image/png", 300, 150)
+
+    out = resize_images(df, max_side=64, fake=False).first()
+    small = png_decode(bytes(out.payload))
+    assert small.shape == (32, 64, 3)
+    # nearest-neighbor: resized (0, 0) is source (0, 0); the step is
+    # source-index sampling, so spot-check an interior pixel
+    assert np.array_equal(small[0, 0], img[0, 0])
+    ys = min(int(10 * (150 / 32)), 149)
+    xs = min(int(20 * (300 / 64)), 299)
+    assert np.array_equal(small[10, 20], img[ys, xs])
+    # already-in-bounds payloads pass through untouched
+    ok = spark.createDataFrame(
+        [(2, bytearray(png_encode(_test_image(w=40, h=30))))],
+        "doc_id long, payload binary",
+    )
+    assert bytes(resize_images(ok, max_side=64, fake=False).first().payload) \
+        == bytes(ok.first().payload)
+
+
+def test_png_unsupported_variants_stay_loudly_stubbed():
+    import struct
+
+    import pytest as _pt
+
+    from core_spark.multimodal.png import SIGNATURE, png_decode
+
+    def mk(depth, ctype, interlace):
+        ihdr = struct.pack(">IIBBBBB", 4, 4, depth, ctype, 0, 0, interlace)
+        return (
+            SIGNATURE + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", b"x") + _png_chunk(b"IEND", b"")
+        )
+
+    with _pt.raises(NotImplementedError, match="palette.*PIL"):
+        png_decode(mk(8, 3, 0))
+    with _pt.raises(NotImplementedError, match="16-bit.*PIL"):
+        png_decode(mk(16, 2, 0))
+    with _pt.raises(NotImplementedError, match="interlaced.*PIL"):
+        png_decode(mk(8, 2, 1))
+    with _pt.raises(ValueError, match="truncated"):
+        png_decode(SIGNATURE + b"\x00\x00\x00\x0dIHDRshort")
