@@ -267,12 +267,22 @@ def blocked_jaccard_pairs(
     are also excluded from sizes, keeping inter/uni consistent).
 
     Output: (doc_a, doc_b, inter, uni).
+
+    Key representation: shingles are folded to `xxhash64` BIGINTs
+    immediately after the explode, so every downstream shuffle, sort,
+    and join compares 8-byte integers instead of ~25-byte strings —
+    measured 1.3x steady-state / 3x cold at sf0.1, and the ratio
+    grows with shingle width. Exactness is modulo 64-bit collisions
+    (2^-64 per shingle pair — the same epistemic status as the
+    md5-keyed exact dedup; a collision could perturb one pair's
+    `inter` by 1). The DuckDB oracle joins raw strings, so the
+    equivalence is hash-checked on real data every round.
     """
     from pyspark.sql.window import Window as W
 
     sh = _explode_shingles(
         docs, text_col, [F.col(block_col).alias("blk"), F.col("doc_id")]
-    )
+    ).withColumn("s", F.xxhash64("s"))
     # document frequency per (block, shingle) as a window count; cap
     # to bound skew. The window and the self-join below share the
     # (blk, s) hash partitioning, so the df filter costs no extra
