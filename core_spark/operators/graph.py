@@ -8,23 +8,30 @@ itself; every round each node takes the min label among itself and
 its neighbors; fixpoint = components.
 
 Scale notes (100 TB):
-- Each round is ONE shuffle keyed on node id (a union of the label
-  table with the neighbor-projected labels, then a min aggregate with
-  map-side partial combine). No all-pairs, no driver-side data.
+- The edge table is hash-partitioned on `u` ONCE and persisted;
+  every round's neighbor join then reuses that partitioning and
+  shuffles only the label table (node-width) plus the min aggregate —
+  the same cached-graph discipline as q_graph_pagerank. No all-pairs,
+  no driver-side data.
+- Round 1 is FUSED into initialization: label(u) = min(u, min
+  neighbor) is one aggregate over the edge table, replacing the
+  distinct + join + union + aggregate a separate first round costs.
 - Round count is the graph diameter. Dup clusters are short chains
   (pair generators emit near-cliques), so the fixpoint lands in a
   handful of rounds; `max_iter` bounds pathological chains.
-- The convergence check is a SCALAR (did any label improve — a
-  limit(1).count() probe), not a collect of data; the driver never
-  holds rows. Spark 4.1's recursive CTE cannot express this today
-  (min-label needs UNION-distinct semantics or an aggregate between
-  steps, both unsupported in recursion), so the loop is explicit —
-  the same plan GraphFrames/GraphX materialize for their CC.
+- The convergence check is a SCALAR riding the round's own
+  materialization: labels only ever decrease, so sum(lbl) strictly
+  decreases iff any label improved, and the sum is collected as an
+  `Observation` metric during the localCheckpoint job — zero extra
+  jobs, no collect of data. Spark 4.1's recursive CTE cannot express
+  this loop (min-label needs UNION-distinct semantics or an aggregate
+  between steps, both unsupported in recursion), so the loop is
+  explicit — the same plan GraphFrames/GraphX materialize for CC.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -50,21 +57,32 @@ def connected_components(
     parallelism the label rounds don't.
     """
     fwd = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    edges = (
-        fwd.unionByName(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
-        .persist()
-    )
-    edges.count()  # materialize the pair pipeline at caller width
+    edges = fwd.unionByName(
+        fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
 
     spark = pairs.sparkSession
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
+        # Align the persisted edge table to the loop width and key:
+        # hashpartitioning(u) is what every round's neighbor join
+        # reuses, so only the (node-width) label table shuffles per
+        # round. The count() materializes the upstream pair pipeline —
+        # it runs at the caller's full width (the repartition is the
+        # first narrow-to-loop boundary).
+        width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        edges = edges.repartition(width, "u").persist()
+        edges.count()
         return _cc_loop(edges, max_iter)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _cc_checksum_col():
+    # Decimal(38) keeps the sum exact for arbitrarily large id spaces.
+    return F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
 
 
 def _cc_loop(edges: DataFrame, max_iter: int) -> DataFrame:
@@ -73,35 +91,40 @@ def _cc_loop(edges: DataFrame, max_iter: int) -> DataFrame:
     # its whole history) and the analyzer blows up after ~10 rounds.
     # On a cluster the same role is played by reliable checkpoint()
     # to the journal store.
+    #
+    # Round 1 fused into initialization: label(u) = min(u, min v) in
+    # one aggregate over the (already u-partitioned) edge table —
+    # exchange-free, and one full round cheaper than initializing to
+    # self-labels and propagating.
+    obs0 = Observation()
     labels = (
-        edges.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("lbl", F.col("node"))
+        edges.groupBy("u")
+        .agg(F.min(F.least(F.col("v"), F.col("u"))).alias("lbl"))
+        .withColumnRenamed("u", "node")
+        .observe(obs0, _cc_checksum_col())
         .localCheckpoint()
     )
     # Convergence probe: labels only ever decrease, so sum(lbl)
-    # strictly decreases iff any label improved — a scan + scalar
-    # aggregate instead of an old-vs-new shuffle join. Decimal(38)
-    # keeps the sum exact for arbitrarily large id spaces.
-    def _checksum(df: DataFrame) -> int:
-        return df.agg(
-            F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
-        ).first()["s"]
-
-    # No pre-loop checksum: round 1 always changes labels when edges
-    # exist, so the first comparison happens between rounds 1 and 2.
-    prev_sum = None
-    for _ in range(max_iter):
-        nbr = labels.join(
+    # strictly decreases iff any label improved. The sum rides the
+    # checkpoint materialization as an Observation metric — zero
+    # extra jobs and never a collect of data.
+    prev_sum = obs0.get["s"]
+    for _ in range(max_iter - 1):
+        # Hint the LABEL side as the shuffled-hash build: node-width,
+        # always the smaller table; edges keep their persisted
+        # hashpartitioning(u) so no edge bytes move after round 0.
+        nbr = labels.hint("shuffle_hash").join(
             edges, labels["node"] == edges["u"], "inner"
         ).select(F.col("v").alias("node"), "lbl")
+        obs = Observation()
         labels = (
             labels.unionByName(nbr)
             .groupBy("node")
             .agg(F.min("lbl").alias("lbl"))
+            .observe(obs, _cc_checksum_col())
             .localCheckpoint()
         )
-        new_sum = _checksum(labels)
+        new_sum = obs.get["s"]
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
