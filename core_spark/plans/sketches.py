@@ -495,6 +495,30 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey"
     )
+    # Shuffle width for the build AND the rank loop, sized from the
+    # input: directed edges are bounded by 2x the lineitem row count
+    # (the mirror of a distinct subset), at ~150k edges ≈ 4 MiB per
+    # partition, capped at the session width. Rationale: the persisted
+    # graph's fixed partitioning is what lets every round reuse it,
+    # but it also blinds AQE's byte-based coalescing inside the loop —
+    # at toy scale 32 near-empty tasks per round cost 2.5x the actual
+    # work (measured 2.7s -> 0.95s for the five rounds at sf0.1). At
+    # cluster scale 2|li| // 150k exceeds any session width, the cap
+    # wins, and the plan is identical to the unpinned one — the same
+    # explicit-width discipline as the CC loop (operators/graph.py).
+    # The row count is one parquet-metadata-weight job; the build
+    # itself keeps full SCAN parallelism either way (file splits, not
+    # shuffle partitions, drive it) and only its shuffles narrow.
+    session_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    width = min(session_width, max(4, (2 * li.count()) // 150_000))
+    spark.conf.set("spark.sql.shuffle.partitions", str(width))
+    try:
+        return _pr_build_and_loop(li, orders, StorageLevel.MEMORY_AND_DISK)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(session_width))
+
+
+def _pr_build_and_loop(li, orders, level) -> DataFrame:
     cs = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
         F.col("o_custkey").alias("cu"),
         (F.lit(_PR_SUPP_OFF) + F.col("l_suppkey")).alias("su"),
@@ -528,8 +552,16 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hashpartitioning(u) — each round's rank join then reuses it and
     # shuffles only the rank vector.
     graph = und.join(deg.hint("shuffle_hash"), "u").select("u", "v", "d").persist(
-        StorageLevel.MEMORY_AND_DISK
+        level
     )
+    # Materialize the graph inside the pinned-width scope so the
+    # build's shuffles (distinct, degree) and the persisted
+    # partitioning all land at loop width.
+    graph.count()
+    return _pr_loop(graph)
+
+
+def _pr_loop(graph: DataFrame) -> DataFrame:
     # Initial ranks: distinct u over the CACHED graph — its persisted
     # hashpartitioning(u) satisfies the distinct's distribution, so
     # this is exchange-free. Not checkpointed: round 0's checkpoint
