@@ -96,8 +96,15 @@ def main() -> None:
         # leave cached blocks behind; without this, later queries in the
         # 50-query session inherit memory pressure and drift 1.3-2.8x
         # (measured r1 vs r2). Clearing between timings keeps each
-        # number a fresh-session-comparable measurement.
+        # number a fresh-session-comparable measurement. The explicit
+        # JVM GC extends the same policy to localCheckpoint blocks,
+        # whose release waits on driver-side garbage collection of the
+        # checkpointed RDD handles — without it, iterative queries
+        # measured mid-session drift 1.5-2x against their isolated
+        # cost (measured r4: q_curate 5.0->8.0s across back-to-back
+        # trials without GC, flat ~3.7s with).
         spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         df = q.fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
