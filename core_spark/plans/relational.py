@@ -1058,3 +1058,73 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (o_orderstatus), ())
         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
     """)
+
+
+# --------------------------------------------------------- Q-COLOC-JOIN
+@query(
+    "q_coloc_join",
+    oracle="""
+    SELECT l_orderkey,
+           COUNT(*) AS n_items,
+           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+               AS BIGINT)) / 100.0 AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_orderkey ORDER BY l_orderkey
+    """,
+)
+def q_coloc_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join over bucketed journal materializations — the
+    executable form of the reference's aligned-partition contract
+    (consumer/protocol/protocol.proto:64-78: co-keyed journals join
+    partition i against partition i, never re-shuffling).
+
+    Both sides are first written `bucketBy(8, orderkey)` + sorted
+    (sources/bucketed.py), then the join AND the per-order aggregate
+    run with ZERO Exchange on either side: bucket i of lineitem joins
+    bucket i of orders locally, and the groupBy on the bucket key
+    reuses the same partitioning (plan pinned in
+    tests/test_bucketed.py). At 100 TB this is the difference between
+    shuffling both fact tables per join and a per-bucket local merge
+    — the same economics the reference gets from routing producers
+    through one ModuloMapping shared by both topics.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    from core_spark.sources.bucketed import co_located_join, write_bucketed
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), "core_spark_bucketed", tag)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    write_bucketed(li, f"bkt_lineitem_{tag}", "l_orderkey", 8,
+                   os.path.join(root, "lineitem"))
+    write_bucketed(orders, f"bkt_orders_{tag}", "o_orderkey", 8,
+                   os.path.join(root, "orders"))
+    j = co_located_join(
+        spark, f"bkt_lineitem_{tag}", f"bkt_orders_{tag}",
+        "l_orderkey", "o_orderkey",
+    )
+    return (
+        j.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            (
+                F.sum(
+                    F.expr(
+                        "CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)"
+                        " AS BIGINT)"
+                    )
+                )
+                / 100.0
+            ).alias("revenue"),
+        )
+        .orderBy("l_orderkey")
+    )
