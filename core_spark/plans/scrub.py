@@ -301,6 +301,69 @@ def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------- exact quota
+_QUOTA_K = 25  # docs kept per stratum
+_QUOTA_B = 16  # stage-1 salt buckets per stratum
+
+_SPARK_QH = (
+    "CAST(conv(substring(md5(concat('quota:', CAST(doc_id AS STRING))), 1, 15), "
+    "16, 10) AS BIGINT)"
+)
+_DUCK_QH = (
+    "CAST('0x' || substr(md5('quota:' || CAST(doc_id AS VARCHAR)), 1, 15) "
+    "AS BIGINT)"
+)
+
+
+@query(
+    "q_exact_quota",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, lang, {_DUCK_QH} AS pri,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY {_DUCK_QH}, doc_id) AS rk
+      FROM documents
+    )
+    SELECT doc_id, lang, pri, rk FROM r WHERE rk <= {_QUOTA_K}
+    ORDER BY doc_id
+    """,
+)
+def q_exact_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota stratified sampling: keep exactly K documents per
+    stratum, chosen deterministically by salted-hash priority (the
+    rate-based q_sample can only hit a quota in expectation; dataset
+    curation and eval-split carving need exact counts).
+
+    The naive form is one window per stratum — with a handful of
+    strata that is a handful of tasks holding the corpus (the
+    straggler shape DESIGN.md §2 bans). This is the two-stage
+    top-K instead: stage 1 ranks within (stratum, hash-salt bucket) —
+    uniform parallel width — and keeps at most K per bucket, so at
+    most K*B candidate rows per stratum survive; stage 2 re-ranks
+    only those candidates per stratum. Any row stage 2 keeps has
+    stratum-wide rank <= K, and every stratum-wide top-K row is in
+    its bucket's top-K, so the two-stage result is exactly the
+    single-window result — the oracle IS the single window.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pri = F.expr(_SPARK_QH)
+    staged = docs.select("doc_id", "lang", pri.alias("pri")).withColumn(
+        "bkt", F.col("pri") % _QUOTA_B
+    )
+    w1 = Window.partitionBy("lang", "bkt").orderBy("pri", "doc_id")
+    cand = (
+        staged.withColumn("rk1", F.row_number().over(w1))
+        .filter(F.col("rk1") <= _QUOTA_K)
+        .drop("rk1", "bkt")
+    )
+    w2 = Window.partitionBy("lang").orderBy("pri", "doc_id")
+    return (
+        cand.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= _QUOTA_K)
+        .orderBy("doc_id")
+    )
+
+
 # ------------------------------------------------------------ token stats
 @query(
     "q_doc_token_stats",
