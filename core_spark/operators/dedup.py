@@ -138,14 +138,14 @@ def minhash_signatures(
     )
 
 
-def lsh_candidates(
+def banded_signatures(
     sigs: DataFrame, bands: int = 4, rows: int = 4
 ) -> DataFrame:
-    """Band the signatures and emit candidate pairs sharing >= 1 band.
-
-    Shuffle is keyed on (band_idx, band_signature) — the LSH bucket —
-    so the join never sees cross-bucket pairs. Output: (doc_a, doc_b).
-    """
+    """Explode each MinHash signature into its LSH band buckets.
+    Output: (doc_id, band, sig) — the unit the bucket joins key on.
+    This is also the INDEX layout for incremental dedup: persist the
+    corpus's banded rows keyed on (band, sig) and probe new batches
+    against them (`lsh_probe`)."""
     band_exprs = F.array(
         *[
             F.struct(
@@ -157,9 +157,45 @@ def lsh_candidates(
             for b in range(bands)
         ]
     )
-    banded = sigs.select(
-        "doc_id", F.explode(band_exprs).alias("bs")
-    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    return sigs.select("doc_id", F.explode(band_exprs).alias("bs")).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+
+
+def lsh_probe(
+    banded_new: DataFrame, banded_index: DataFrame
+) -> DataFrame:
+    """Probe a new batch's band buckets against an existing banded
+    index: candidates are (doc_new, doc_idx) pairs sharing >= 1
+    bucket. The shuffle is keyed on (band, sig) exactly like the
+    self-join form, but the candidate set is |batch| x bucket-mates —
+    never index x index — which is what makes continuous-ingest dedup
+    affordable against a 100 TB corpus."""
+    n = banded_new.alias("n")
+    ix = banded_index.alias("ix")
+    return (
+        n.join(
+            ix,
+            (F.col("n.band") == F.col("ix.band"))
+            & (F.col("n.sig") == F.col("ix.sig")),
+        )
+        .select(
+            F.col("n.doc_id").alias("doc_new"),
+            F.col("ix.doc_id").alias("doc_idx"),
+        )
+        .distinct()
+    )
+
+
+def lsh_candidates(
+    sigs: DataFrame, bands: int = 4, rows: int = 4
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs sharing >= 1 band.
+
+    Shuffle is keyed on (band_idx, band_signature) — the LSH bucket —
+    so the join never sees cross-bucket pairs. Output: (doc_a, doc_b).
+    """
+    banded = banded_signatures(sigs, bands, rows)
     left = banded.alias("a")
     right = banded.alias("b")
     return (

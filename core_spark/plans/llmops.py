@@ -196,6 +196,134 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, shuffle_partitions=16).orderBy("doc_id")
 
 
+# ------------------------------------------------------------- dup ingest
+@query(
+    "q_dup_ingest",
+    oracle=f"""
+    WITH {DUCK_MINHASH_CTES},
+    bc AS (
+      SELECT n.doc_id AS doc_new, ix.doc_id AS doc_idx
+      FROM bands n JOIN bands ix
+        ON n.b = ix.b AND n.sig = ix.sig
+       AND n.doc_id % 10 = 0 AND ix.doc_id % 10 <> 0
+      GROUP BY n.doc_id, ix.doc_id
+    ),
+    vbc AS (
+      SELECT c.doc_new FROM bc c
+      JOIN sh sa ON c.doc_new = sa.doc_id
+      JOIN sh sb ON c.doc_idx = sb.doc_id
+      WHERE len(list_intersect(sa.sh, sb.sh)) * 10
+        >= (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) * 7
+    ),
+    nc AS (SELECT doc_new, COUNT(*) AS n_corpus FROM vbc GROUP BY doc_new),
+    bb AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.sig = b.sig AND a.doc_id < b.doc_id
+       AND a.doc_id % 10 = 0 AND b.doc_id % 10 = 0
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    vbb AS (
+      SELECT c.doc_b FROM bb c
+      JOIN sh sa ON c.doc_a = sa.doc_id
+      JOIN sh sb ON c.doc_b = sb.doc_id
+      WHERE len(list_intersect(sa.sh, sb.sh)) * 10
+        >= (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) * 7
+    ),
+    np AS (SELECT doc_b AS doc_new, COUNT(*) AS n_prior FROM vbb GROUP BY doc_b)
+    SELECT d.doc_id,
+           CAST(COALESCE(nc.n_corpus, 0) AS BIGINT) AS n_corpus,
+           CAST(COALESCE(np.n_prior, 0) AS BIGINT) AS n_prior,
+           CASE WHEN COALESCE(nc.n_corpus, 0) > 0 THEN 'dup_of_corpus'
+                WHEN COALESCE(np.n_prior, 0) > 0 THEN 'dup_within_batch'
+                ELSE 'unique' END AS status
+    FROM documents d
+    LEFT JOIN nc ON d.doc_id = nc.doc_new
+    LEFT JOIN np ON d.doc_id = np.doc_new
+    WHERE d.doc_id % 10 = 0
+    ORDER BY d.doc_id
+    """,
+)
+def q_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup dedup at ingest: classify a new batch
+    (doc_id %% 10 = 0) against the already-deduped corpus without ever
+    pairing the corpus with itself — the continuous-crawl pattern.
+
+    Each batch doc becomes `dup_of_corpus` (>= 1 verified corpus
+    match), else `dup_within_batch` (a verified match with an EARLIER
+    batch doc — first-by-id wins, so the batch's own kept set is
+    deterministic), else `unique`. Candidates come from probing the
+    batch's LSH band buckets against the corpus's banded signature
+    index (`operators/dedup.py:lsh_probe`): the only corpus-wide cost
+    is the (band, sig)-keyed bucket join, candidates are
+    |batch| x bucket-mates, and verification is exact Jaccard on
+    survivors only. At 100 TB the corpus's banded rows are a
+    persisted index updated as batches commit (q_incr_dedup's journal
+    pattern), not recomputed — here both sides derive from one
+    signature pass for the oracle's sake.
+    """
+    from core_spark.operators.dedup import (
+        banded_signatures,
+        lsh_probe,
+        minhash_signatures,
+        verify_jaccard,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % 10 == 0
+    sigs = minhash_signatures(docs, k=_MINHASH_K)
+    banded = banded_signatures(sigs, bands=_BANDS, rows=_ROWS)
+    banded_b = banded.filter(F.col("doc_id") % 10 == 0)
+    banded_c = banded.filter(F.col("doc_id") % 10 != 0)
+
+    thr = F.col("inter") * 10 >= F.col("uni") * 7
+    cand_bc = lsh_probe(banded_b, banded_c).select(
+        F.col("doc_new").alias("doc_a"), F.col("doc_idx").alias("doc_b")
+    )
+    n_corpus = (
+        verify_jaccard(cand_bc, docs)
+        .filter(thr)
+        .groupBy("doc_a")
+        .agg(F.count("*").alias("n_corpus"))
+    )
+    a, b = banded_b.alias("a"), banded_b.alias("b")
+    cand_bb = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    n_prior = (
+        verify_jaccard(cand_bb, docs)
+        .filter(thr)
+        .groupBy("doc_b")
+        .agg(F.count("*").alias("n_prior"))
+    )
+    zero = F.lit(0).cast("bigint")
+    return (
+        docs.filter(is_batch)
+        .select("doc_id")
+        .join(n_corpus.withColumnRenamed("doc_a", "doc_id"), "doc_id", "left")
+        .join(n_prior.withColumnRenamed("doc_b", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_corpus", zero).alias("n_corpus"),
+            F.coalesce("n_prior", zero).alias("n_prior"),
+            F.when(F.coalesce("n_corpus", zero) > 0, "dup_of_corpus")
+            .when(F.coalesce("n_prior", zero) > 0, "dup_within_batch")
+            .otherwise("unique")
+            .alias("status"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # -------------------------------------------------------- blocked jaccard
 @query(
     "q_ngram_jaccard",
