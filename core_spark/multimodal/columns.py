@@ -19,15 +19,20 @@ Two modes:
   payloads standing in for media bytes;
 - real mode (`fake=False`) decodes the codec families expressible in
   pure stdlib+numpy — PPM/PGM (P6/P5) and BMP headers for image
-  metadata, nearest-neighbor PPM resize, RIFF/WAV framing via the
-  stdlib `wave` module. Compressed codecs (PNG/JPEG/FLAC/MP4…) raise
+  metadata, full 8-bit PNG decode/encode (multimodal/png.py: zlib
+  inflate + scanline unfilter) and baseline JPEG decode/encode
+  (multimodal/jpeg.py: Huffman + DCT, any JFIF sampling, restart
+  intervals), nearest-neighbor resize for PPM/PNG/JPEG, RIFF/WAV
+  framing via the stdlib `wave` module. The remaining codecs
+  (progressive JPEG, palette/16-bit PNG, FLAC, MP4…) raise
   NotImplementedError naming the library a cluster image would add
   (PIL / libsndfile / pyav); the Spark-side contract is identical
   either way.
 
-Worker closures are self-contained (stdlib+pandas+numpy only, pickled
-by value — parse helpers are nested inside each closure) — callers'
-Python workers never need this repo importable.
+Worker closures are self-contained up to this package (stdlib +
+pandas + numpy + the pure-python codec modules, imported lazily
+inside each closure) — a cluster deployment ships `core_spark` as a
+zip/wheel exactly once.
 """
 
 from __future__ import annotations
@@ -97,6 +102,11 @@ def decode_image_meta(
 
                 w, h, _depth, _ctype = png_meta(raw)
                 return "image/png", w, h
+            if raw[:2] == b"\xff\xd8":
+                from core_spark.multimodal.jpeg import jpeg_meta
+
+                w, h, _nc = jpeg_meta(raw)
+                return "image/jpeg", w, h
             if raw[:2] == b"P6":
                 w, h = ppm_header(raw)
                 return "image/x-portable-pixmap", w, h
@@ -186,14 +196,35 @@ def resize_images(
             xs = np.minimum((np.arange(nw) * (w / nw)).astype(int), w - 1)
             return png_encode(data[ys][:, xs])
 
+        def resize_jpeg(raw: bytes) -> bytes:
+            from core_spark.multimodal.jpeg import (
+                jpeg_decode,
+                jpeg_encode,
+                jpeg_meta,
+            )
+
+            w, h, _nc = jpeg_meta(raw)
+            if max(w, h) <= max_side:
+                return raw
+            data = jpeg_decode(raw)  # raises NotImplementedError on
+            #                          progressive, naming PIL
+            scale = max(w, h) / max_side
+            nw, nh = max(1, round(w / scale)), max(1, round(h / scale))
+            ys = np.minimum((np.arange(nh) * (h / nh)).astype(int), h - 1)
+            xs = np.minimum((np.arange(nw) * (w / nw)).astype(int), w - 1)
+            return jpeg_encode(data[ys][:, xs])
+
         def resize_p6(raw: bytes) -> bytes:
             if raw[:8] == b"\x89PNG\r\n\x1a\n":
                 return resize_png(raw)
+            if raw[:2] == b"\xff\xd8":
+                return resize_jpeg(raw)
             if raw[:2] != b"P6":
                 raise NotImplementedError(
                     f"STUB: resize for magic {raw[:4]!r} requires PIL "
                     "(pillow).Image.thumbnail; pure-python real mode "
-                    "covers P6 PPM and 8-bit gray/RGB/RGBA PNG"
+                    "covers P6 PPM, 8-bit gray/RGB/RGBA PNG, and "
+                    "baseline JPEG"
                 )
             toks, i = [], 2
             while len(toks) < 3 and i < len(raw):

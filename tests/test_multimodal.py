@@ -130,20 +130,26 @@ def test_real_wav_framing(spark):
 
 
 def test_real_mode_unknown_codecs_raise(spark):
-    # JPEG stays stubbed (r4 made PNG real — multimodal/png.py)
+    # GIF has no pure-python path — stays a loud stub
     df = spark.createDataFrame(
-        [(1, b"\xff\xd8\xff\xe0jfif")], "doc_id long, payload binary"
+        [(1, b"GIF89agarbage")], "doc_id long, payload binary"
     )
     with pytest.raises(Exception, match="STUB.*PIL"):
         decode_image_meta(df, fake=False).collect()
     with pytest.raises(Exception, match="STUB.*pyav|STUB.*libsndfile"):
         sample_audio_frames(df, fake=False).collect()
-    # a PNG magic with garbage body is a MALFORMED payload, not a stub
+    # PNG/JPEG magics with garbage bodies are MALFORMED payloads (the
+    # codecs are real as of r4 — multimodal/png.py, jpeg.py), not stubs
     bad = spark.createDataFrame(
         [(1, b"\x89PNG\r\n\x1a\nxxxx")], "doc_id long, payload binary"
     )
     with pytest.raises(Exception, match="malformed PNG"):
         decode_image_meta(bad, fake=False).collect()
+    badj = spark.createDataFrame(
+        [(1, b"\xff\xd8\xff\xe0jfif")], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="malformed JPEG"):
+        decode_image_meta(badj, fake=False).collect()
 
 
 def test_real_mode_malformed_ppm_header_is_named(spark):
@@ -297,3 +303,105 @@ def test_png_unsupported_variants_stay_loudly_stubbed():
         png_decode(mk(8, 2, 1))
     with _pt.raises(ValueError, match="truncated"):
         png_decode(SIGNATURE + b"\x00\x00\x00\x0dIHDRshort")
+
+
+def test_jpeg_roundtrip_meta_and_samplings():
+    import numpy as np
+
+    from core_spark.multimodal.jpeg import jpeg_decode, jpeg_encode, jpeg_meta
+
+    h, w = 41, 53
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [(xx * 255 / w), (yy * 255 / h), ((xx + yy) * 255 / (w + h))],
+        axis=-1,
+    ).astype(np.uint8)
+    for sub in (False, True):
+        raw = jpeg_encode(img, subsample=sub)
+        assert jpeg_meta(raw) == (w, h, 3)
+        dec = jpeg_decode(raw)
+        assert dec.shape == (h, w, 3)
+        mae = float(np.abs(dec.astype(int) - img.astype(int)).mean())
+        assert mae < 5.0, (sub, mae)
+    gray = (yy * 255 / h).astype(np.uint8)
+    raw = jpeg_encode(gray)
+    assert jpeg_meta(raw) == (w, h, 1)
+    assert float(
+        np.abs(jpeg_decode(raw).astype(int) - gray.astype(int)).mean()
+    ) < 2.0
+
+
+def test_jpeg_restart_intervals_decode_identically():
+    import numpy as np
+
+    from core_spark.multimodal.jpeg import jpeg_decode, jpeg_encode
+
+    h, w = 37, 61
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [(xx * 255 / w), (yy * 255 / h), ((xx + yy) * 255 / (w + h))],
+        axis=-1,
+    ).astype(np.uint8)
+    ref = jpeg_decode(jpeg_encode(img, subsample=True))
+    withr = jpeg_decode(jpeg_encode(img, subsample=True, restart_interval=2))
+    assert np.array_equal(ref, withr)
+
+
+def test_jpeg_real_meta_and_resize(spark):
+    import numpy as np
+
+    from core_spark.multimodal.columns import decode_image_meta, resize_images
+    from core_spark.multimodal.jpeg import jpeg_decode, jpeg_encode
+
+    h, w = 150, 300
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [(xx * 255 / w), (yy * 255 / h), ((xx + yy) * 255 / (w + h))],
+        axis=-1,
+    ).astype(np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(jpeg_encode(img)))], "doc_id long, payload binary"
+    )
+    meta = decode_image_meta(df, fake=False).first()
+    assert (meta.mime, meta.width, meta.height) == ("image/jpeg", 300, 150)
+
+    out = resize_images(df, max_side=64, fake=False).first()
+    small = jpeg_decode(bytes(out.payload))
+    assert small.shape == (32, 64, 3)
+    # lossy codec: assert proximity, not equality, against the ideal
+    # nearest-neighbor downsample of the (already once-coded) source
+    src = jpeg_decode(bytes(df.first().payload))
+    ys = np.minimum((np.arange(32) * (150 / 32)).astype(int), 149)
+    xs = np.minimum((np.arange(64) * (300 / 64)).astype(int), 299)
+    ideal = src[ys][:, xs]
+    mae = float(np.abs(small.astype(int) - ideal.astype(int)).mean())
+    assert mae < 6.0, mae
+
+
+def test_jpeg_unsupported_variants_stay_loudly_stubbed():
+    import struct
+
+    import pytest as _pt
+
+    from core_spark.multimodal.jpeg import SOI, jpeg_decode, jpeg_meta
+
+    def frame(marker):
+        sof = struct.pack(">BHHB", 8, 10, 10, 3) + bytes(
+            [1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]
+        )
+        return (
+            SOI + bytes([0xFF, marker])
+            + struct.pack(">H", 2 + len(sof)) + sof
+        )
+
+    # progressive: meta parses dimensions, full decode raises by name
+    prog = frame(0xC2)
+    assert jpeg_meta(prog) == (10, 10, 3)
+    with _pt.raises(NotImplementedError, match="progressive.*PIL"):
+        jpeg_decode(prog + b"\xff\xd9")
+    with _pt.raises(NotImplementedError, match="arithmetic.*PIL"):
+        jpeg_decode(frame(0xC9) + b"\xff\xd9")
+    with _pt.raises(ValueError, match="missing SOI"):
+        jpeg_meta(b"nope")
+    with _pt.raises(ValueError, match="truncated"):
+        jpeg_meta(SOI + b"\xff\xc0\xff\xff")
