@@ -63,10 +63,18 @@ def png_meta(raw: bytes) -> tuple[int, int, int, int]:
 
 def _check_supported(depth: int, ctype: int, interlace: int) -> int:
     if ctype == 3:
-        raise NotImplementedError(
-            "STUB: palette (indexed) PNG requires PIL (pillow); "
-            "pure-python real mode covers gray/RGB/RGBA 8-bit"
-        )
+        # palette: one index byte per pixel; PLTE lookup happens after
+        # unfiltering (png_decode expands to RGB)
+        if depth != 8:
+            raise NotImplementedError(
+                f"STUB: {depth}-bit palette PNG requires PIL (pillow); "
+                "pure-python real mode covers 8-bit indices"
+            )
+        if interlace:
+            raise NotImplementedError(
+                "STUB: Adam7-interlaced PNG requires PIL (pillow)"
+            )
+        return 1
     if ctype not in _CHANNELS:
         raise ValueError(f"malformed PNG: color type {ctype}")
     if depth != 8:
@@ -87,6 +95,9 @@ def png_decode(raw: bytes) -> np.ndarray:
         raise ValueError("malformed PNG: bad signature")
     w = h = None
     ch = 0
+    ctype = -1
+    palette = None
+    trns = None
     idat = bytearray()
     for typ, data in _chunks(raw):
         if typ == b"IHDR":
@@ -94,10 +105,18 @@ def png_decode(raw: bytes) -> np.ndarray:
                 ">IIBBBBB", data[:13]
             )
             ch = _check_supported(depth, ctype, interlace)
+        elif typ == b"PLTE":
+            if len(data) % 3:
+                raise ValueError("malformed PNG: PLTE length not 3n")
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"tRNS":
+            trns = np.frombuffer(data, dtype=np.uint8)
         elif typ == b"IDAT":
             idat += data
     if w is None:
         raise ValueError("malformed PNG: no IHDR")
+    if ctype == 3 and palette is None:
+        raise ValueError("malformed PNG: palette image without PLTE")
     if not idat:
         raise ValueError("malformed PNG: no IDAT data")
     stride = w * ch
@@ -140,7 +159,21 @@ def png_decode(raw: bytes) -> np.ndarray:
             raise ValueError(f"malformed PNG: filter type {ftype} on row {y}")
         out[y] = rec.astype(np.uint8)
         prev = rec
-    return out.reshape(h, w, ch)
+    img = out.reshape(h, w, ch)
+    if ctype == 3:
+        idx = img[..., 0]
+        if int(idx.max()) >= palette.shape[0]:
+            raise ValueError(
+                f"malformed PNG: palette index {int(idx.max())} out of "
+                f"range for {palette.shape[0]}-entry PLTE"
+            )
+        rgb = palette[idx]
+        if trns is not None:
+            alpha = np.full(palette.shape[0], 255, dtype=np.uint8)
+            alpha[: trns.size] = trns
+            return np.dstack([rgb, alpha[idx]])
+        return rgb
+    return img
 
 
 def png_encode(arr: np.ndarray) -> bytes:

@@ -295,7 +295,11 @@ def test_png_unsupported_variants_stay_loudly_stubbed():
             + _png_chunk(b"IDAT", b"x") + _png_chunk(b"IEND", b"")
         )
 
+    # 8-bit palette decodes as of late r4; sub-8-bit indices stay
+    # stubbed and a PLTE-less palette image is malformed, not a stub
     with _pt.raises(NotImplementedError, match="palette.*PIL"):
+        png_decode(mk(4, 3, 0))
+    with _pt.raises(ValueError, match="without PLTE"):
         png_decode(mk(8, 3, 0))
     with _pt.raises(NotImplementedError, match="16-bit.*PIL"):
         png_decode(mk(16, 2, 0))
@@ -405,3 +409,53 @@ def test_jpeg_unsupported_variants_stay_loudly_stubbed():
         jpeg_meta(b"nope")
     with _pt.raises(ValueError, match="truncated"):
         jpeg_meta(SOI + b"\xff\xc0\xff\xff")
+
+
+def test_png_palette_decode_with_and_without_trns():
+    import struct
+    import zlib as _z
+
+    import numpy as np
+
+    from core_spark.multimodal.png import SIGNATURE, png_decode
+
+    w, h = 5, 4
+    idx = (np.arange(w * h, dtype=np.uint8).reshape(h, w)) % 3
+    scan = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+    plte = bytes([250, 0, 0, 0, 250, 0, 0, 0, 250])
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+
+    raw = (
+        SIGNATURE + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"PLTE", plte)
+        + _png_chunk(b"IDAT", _z.compress(scan)) + _png_chunk(b"IEND", b"")
+    )
+    rgb = png_decode(raw)
+    assert rgb.shape == (h, w, 3)
+    assert tuple(rgb[0, 0]) == (250, 0, 0) and tuple(rgb[0, 1]) == (0, 250, 0)
+
+    rawt = (
+        SIGNATURE + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"PLTE", plte)
+        + _png_chunk(b"tRNS", bytes([10, 200]))
+        + _png_chunk(b"IDAT", _z.compress(scan)) + _png_chunk(b"IEND", b"")
+    )
+    rgba = png_decode(rawt)
+    assert rgba.shape == (h, w, 4)
+    # entry 0 -> alpha 10, entry 1 -> 200, entry 2 -> default 255
+    assert rgba[0, 0, 3] == 10 and rgba[0, 1, 3] == 200 and rgba[0, 2, 3] == 255
+
+    import pytest as _pt
+    # index beyond the palette is a malformed payload, named as such
+    bad = (
+        SIGNATURE + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", bytes([1, 2, 3]))
+        + _png_chunk(b"IDAT", _z.compress(scan)) + _png_chunk(b"IEND", b"")
+    )
+    with _pt.raises(ValueError, match="palette index"):
+        png_decode(bad)
+    # palette image without PLTE
+    nop = (
+        SIGNATURE + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _z.compress(scan)) + _png_chunk(b"IEND", b"")
+    )
+    with _pt.raises(ValueError, match="without PLTE"):
+        png_decode(nop)
