@@ -77,6 +77,9 @@ HEADLINE = [
     "q_hopping",
     "q_anomaly",
     "q_bucketed_range_join",
+    "q_coloc_join",
+    "q_dup_ingest",
+    "q_exact_quota",
 ]
 
 

@@ -24,7 +24,8 @@ Two modes:
   (multimodal/jpeg.py: Huffman + DCT, any JFIF sampling, restart
   intervals), nearest-neighbor resize for PPM/PNG/JPEG, RIFF/WAV
   framing via the stdlib `wave` module. The remaining codecs
-  (progressive JPEG, palette/16-bit PNG, FLAC, MP4…) raise
+  (progressive/multi-scan JPEG, sub-8-bit-palette/16-bit/interlaced
+  PNG, FLAC, MP4…) raise
   NotImplementedError naming the library a cluster image would add
   (PIL / libsndfile / pyav); the Spark-side contract is identical
   either way.

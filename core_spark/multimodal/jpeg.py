@@ -188,8 +188,12 @@ class _BitReader:
         self.n = 0
 
     def _fill(self):
+        if self.pos >= len(self.raw):
+            raise ValueError("malformed JPEG: truncated entropy data")
         b = self.raw[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.raw):
+                raise ValueError("malformed JPEG: truncated entropy data")
             nxt = self.raw[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
@@ -203,6 +207,11 @@ class _BitReader:
             self.pos += 1
         self.acc = (self.acc << 8) | b
         self.n += 8
+        # keep only the live bits: without this mask the accumulator
+        # retains every byte ever read and the bigint shifts make the
+        # whole decode quadratic in entropy size (measured 13x per 4x
+        # pixels before the fix)
+        self.acc &= (1 << self.n) - 1
 
     def bit(self) -> int:
         if self.n == 0:
@@ -219,9 +228,16 @@ class _BitReader:
     def align_restart(self):
         """Consume padding bits + the RSTn marker itself."""
         self.n = 0
-        while self.raw[self.pos] != 0xFF or not (
-            0xD0 <= self.raw[self.pos + 1] <= 0xD7
-        ):
+        self.acc = 0
+        while True:
+            if self.pos + 1 >= len(self.raw):
+                raise ValueError(
+                    "malformed JPEG: truncated before restart marker"
+                )
+            if self.raw[self.pos] == 0xFF and (
+                0xD0 <= self.raw[self.pos + 1] <= 0xD7
+            ):
+                break
             self.pos += 1
         self.pos += 2
 
@@ -314,6 +330,14 @@ def jpeg_decode(raw: bytes) -> np.ndarray:
             scan_pos = off + len(data)
     if frame is None or scan is None:
         raise ValueError("malformed JPEG: missing SOF or SOS")
+    if len(scan) != len(frame["comps"]):
+        # a baseline file may legally carry one SOS per component
+        # (non-interleaved scans); decoding only the first would
+        # return silently corrupt pixels, so refuse loudly instead
+        raise NotImplementedError(
+            "multi-scan (non-interleaved) baseline JPEG — needs "
+            "PIL/libjpeg"
+        )
 
     comps = frame["comps"]
     hmax = max(c["h"] for c in comps)
@@ -417,6 +441,10 @@ class _BitWriter:
             self.out.append(b)
             if b == 0xFF:
                 self.out.append(0x00)
+        # drop emitted bits — an unmasked accumulator grows with the
+        # whole stream and turns encoding quadratic (same trap as the
+        # reader)
+        self.acc &= (1 << self.n) - 1
 
     def flush(self):
         if self.n:

@@ -1,9 +1,11 @@
 """Pure-stdlib PNG codec (zlib inflate + scanline unfilter) for the
-multimodal real mode — makes the most common image format real in a
-container without PIL (VERDICT r3 ask #8); JPEG stays stubbed.
+multimodal real mode — makes the most common lossless image format
+real in a container without PIL (VERDICT r3 ask #8); baseline JPEG
+is likewise real (multimodal/jpeg.py).
 
-Scope: baseline, non-interlaced PNG with 8-bit samples in grayscale
-(color type 0), RGB (2), gray+alpha (4) or RGBA (6). Palette (3),
+Scope: non-interlaced PNG with 8-bit samples in grayscale (color
+type 0), RGB (2), palette (3, expanded through PLTE with tRNS
+alpha), gray+alpha (4) or RGBA (6). Sub-8-bit palette indices,
 16-bit samples, and Adam7 interlace raise NotImplementedError naming
 PIL — same loud-stub policy as the other codecs. The five scanline
 filters (None/Sub/Up/Average/Paeth, PNG spec §9) are all implemented:

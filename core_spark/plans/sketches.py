@@ -513,12 +513,14 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     width = min(session_width, max(4, (2 * li.count()) // 150_000))
     spark.conf.set("spark.sql.shuffle.partitions", str(width))
     try:
-        return _pr_build_and_loop(li, orders, StorageLevel.MEMORY_AND_DISK)
+        return _pr_build_and_loop(
+            li, orders, StorageLevel.MEMORY_AND_DISK, session_width
+        )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", str(session_width))
 
 
-def _pr_build_and_loop(li, orders, level) -> DataFrame:
+def _pr_build_and_loop(li, orders, level, session_width) -> DataFrame:
     cs = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
         F.col("o_custkey").alias("cu"),
         (F.lit(_PR_SUPP_OFF) + F.col("l_suppkey")).alias("su"),
@@ -558,10 +560,10 @@ def _pr_build_and_loop(li, orders, level) -> DataFrame:
     # build's shuffles (distinct, degree) and the persisted
     # partitioning all land at loop width.
     graph.count()
-    return _pr_loop(graph)
+    return _pr_loop(graph, session_width)
 
 
-def _pr_loop(graph: DataFrame) -> DataFrame:
+def _pr_loop(graph: DataFrame, session_width: int) -> DataFrame:
     # Initial ranks: distinct u over the CACHED graph — its persisted
     # hashpartitioning(u) satisfies the distinct's distribution, so
     # this is exchange-free. Not checkpointed: round 0's checkpoint
@@ -574,17 +576,43 @@ def _pr_loop(graph: DataFrame) -> DataFrame:
             F.lit(1_000_000).cast("bigint").alias("r"),
         )
     )
+    # loop width = the pinned conf this loop runs under; the TRUE
+    # session width is passed in because inside the pin they differ
+    width = int(graph.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     for i in range(_PR_ITERS):
-        ranks = (
-            graph.join(ranks.hint("shuffle_hash"), graph["u"] == ranks["node"])
-            .groupBy("v")
-            .agg(
-                (F.lit(150_000) + F.expr("(85 * SUM(r DIV d)) DIV 100"))
-                .cast("bigint")
-                .alias("r")
-            )
-            .withColumnRenamed("v", "node")
+        joined = graph.join(
+            ranks.hint("shuffle_hash"), graph["u"] == ranks["node"]
         )
+        if i == _PR_ITERS - 1 and width != session_width:
+            # The last round is the one piece of the loop that executes
+            # at the CALLER's action time — after the conf pin around
+            # this loop has been restored — so its aggregate would run
+            # at session width, not loop width. Pin it with an explicit
+            # repartition of the contribs, trading one round's map-side
+            # combine for width consistency. At cluster scale the pin
+            # equals the session width and this branch is dead.
+            joined = joined.select(
+                "v", F.expr("r DIV d").alias("_c")
+            ).repartition(width, "v")
+            ranks = (
+                joined.groupBy("v")
+                .agg(
+                    (F.lit(150_000) + F.expr("(85 * SUM(_c)) DIV 100"))
+                    .cast("bigint")
+                    .alias("r")
+                )
+                .withColumnRenamed("v", "node")
+            )
+        else:
+            ranks = (
+                joined.groupBy("v")
+                .agg(
+                    (F.lit(150_000) + F.expr("(85 * SUM(r DIV d)) DIV 100"))
+                    .cast("bigint")
+                    .alias("r")
+                )
+                .withColumnRenamed("v", "node")
+            )
         # Truncate lineage every SECOND round: plans stay bounded at
         # two rounds deep (still O(1) analysis per round) while the
         # eager localCheckpoint materializations — one Spark job each —

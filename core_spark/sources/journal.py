@@ -208,13 +208,19 @@ class Journal:
         set_registers: dict[str, str] | None = None,
         path_postfix: tuple[str, ...] = (),
         fmt: str = "parquet",
+        post_write_registers=None,
     ) -> Fragment:
         """Serializable atomic append of a batch as one fragment.
 
         `check_registers`: every (k, v) must match the journal's
         current registers or the append fails before writing
         (register-check predicate). `set_registers`: merged on commit
-        (the union/subtract register ops).
+        (the union/subtract register ops). `post_write_registers`: a
+        zero-arg callable resolved AFTER the fragment write and merged
+        over `set_registers` — the hook that lets `Observation`
+        metrics collected by the write job (e.g. the batch's max
+        source offset) commit in the same manifest CAS without a
+        second scan of the batch.
 
         `path_postfix`: column names laid out Hive-style inside the
         fragment (`date=…/hour=…`) — the JournalSpec path-postfix
@@ -264,6 +270,15 @@ class Journal:
                 for f in files
             )
             bucket_for(self.root, rate).throttle(n_bytes)
+
+        if post_write_registers is not None:
+            # the fragment write above is the action that resolves any
+            # Observation riding the batch; merge its registers into
+            # the same CAS commit
+            set_registers = {
+                **(set_registers or {}),
+                **post_write_registers(),
+            }
 
         frag = Fragment(
             seq=len(m.fragments),

@@ -43,6 +43,7 @@ class RoutedPublisher:
         watch: WatchedList,
         key_col: str,
         mapping: str = "modulo",
+        publisher_id: str = "routed",
     ):
         if mapping not in ("modulo", "rendezvous"):
             raise ValueError(f"unknown mapping {mapping!r}")
@@ -50,6 +51,7 @@ class RoutedPublisher:
         self.watch = watch
         self.key_col = key_col
         self.mapping = mapping
+        self.publisher_id = publisher_id
 
     def _route_col(self, names: tuple[str, ...]) -> Column:
         key = F.col(self.key_col).cast("string")
@@ -71,10 +73,25 @@ class RoutedPublisher:
                 f"selector resolves no journals (catalog v{self.watch.version})"
             )
         routed = df.withColumn("_route", self._route_col(names)).persist()
+        # Per-journal batch register: a foreachBatch retry after a
+        # mid-batch crash re-delivers the batch, and without a marker
+        # every journal that DID commit would receive its group twice.
+        # Each append records `pub:{publisher_id} = batch_id` in the
+        # same manifest CAS as the fragment, so the skip below is
+        # exactly-once per (journal, batch) — the FencedJournalSink
+        # batch-skip pattern applied to the fan-out path. Caveat
+        # (same as the reference's live-mapping window): if the
+        # TOPOLOGY changes between the failed attempt and the retry,
+        # keys may re-route to a journal that hasn't seen the batch,
+        # while their original journal keeps the first attempt's copy.
+        reg = f"pub:{self.publisher_id}"
         try:
             for name in names:
+                j = Journal(self.root, name)
+                if int(j.manifest().registers.get(reg, "-1")) >= batch_id:
+                    continue  # this journal already committed the batch
                 part = routed.filter(F.col("_route") == name).drop("_route")
                 if part.limit(1).count():
-                    Journal(self.root, name).append(part)
+                    j.append(part, set_registers={reg: str(batch_id)})
         finally:
             routed.unpersist()

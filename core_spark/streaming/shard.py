@@ -78,17 +78,26 @@ def run_shard(
     def process(df: DataFrame, batch_id: int) -> None:
         # Offset-granular progress (Stat RPC's ReadThrough): when the
         # source is a journal, the batch rows carry their source
-        # `_offset` — one scalar max() over the already-admitted
-        # micro-batch names the exclusive end offset this commit
-        # covers, stored in the same manifest CAS as the batch.
-        rt = None
+        # `_offset`. The max rides the sink's own write job as an
+        # Observation metric — an eager df.agg(...).first() here would
+        # re-read the batch's fragments, doubling source I/O on every
+        # trigger (review finding r4). The resolved offset commits in
+        # the same manifest CAS as the batch (post_write_registers).
+        rt_fn = None
         if cfg.source_journal is not None and "_offset" in df.columns:
+            from pyspark.sql import Observation
             from pyspark.sql import functions as F
 
-            mx = df.agg(F.max("_offset")).first()[0]
-            if mx is not None:
-                rt = {cfg.source_journal: int(mx) + 1}
-        sink(transform(df), batch_id, read_through=rt)
+            obs = Observation()
+            df = df.observe(obs, F.max("_offset").alias("mx"))
+
+            def rt_fn():
+                mx = obs.get["mx"]
+                if mx is None:
+                    return {}
+                return {cfg.source_journal: int(mx) + 1}
+
+        sink(transform(df), batch_id, read_through_fn=rt_fn)
 
     writer = (
         src.writeStream.foreachBatch(process)

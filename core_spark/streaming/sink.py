@@ -95,11 +95,17 @@ class FencedJournalSink:
         df: DataFrame,
         batch_id: int,
         read_through: dict[str, int] | None = None,
+        read_through_fn=None,
     ) -> None:
         """`read_through` maps source journal name -> exclusive end
         offset consumed by this batch; committed ATOMICALLY with the
         batch via the same manifest CAS, giving offset-granular
-        progress (not just the batch watermark) for await_offset."""
+        progress (not just the batch watermark) for await_offset.
+        `read_through_fn` is the zero-extra-job variant: a zero-arg
+        callable (typically closing over an `Observation` riding the
+        batch plan) resolved after the data write and committed in the
+        same CAS — use it when computing the offsets eagerly would
+        re-scan the source."""
         self._check_fence()  # zombies neither write data nor ACK
         if batch_id <= self.committed_batch():
             self._ensure_ack(batch_id)  # ACK re-send after crash-between
@@ -108,6 +114,13 @@ class FencedJournalSink:
         regs = {f"batch:{self.shard}": str(batch_id)}
         for j, off in (read_through or {}).items():
             regs[f"rt:{self.shard}:{j}"] = str(int(off))
+        post = None
+        if read_through_fn is not None:
+            def post():
+                return {
+                    f"rt:{self.shard}:{j}": str(int(off))
+                    for j, off in (read_through_fn() or {}).items()
+                }
         staged = df.withColumn("_batch", F.lit(batch_id))
         self.journal.append(
             staged,
@@ -116,6 +129,7 @@ class FencedJournalSink:
             # check-then-act window _check_fence alone would leave
             check_registers={f"fence:{self.shard}": str(self.fence)},
             set_registers=regs,
+            post_write_registers=post,
         )
         # Post-commit ACK intent (idempotent: keyed by batch id).
         self._ensure_ack(batch_id)

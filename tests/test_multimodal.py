@@ -459,3 +459,54 @@ def test_png_palette_decode_with_and_without_trns():
     )
     with _pt.raises(ValueError, match="without PLTE"):
         png_decode(nop)
+
+
+def test_jpeg_malformed_and_multiscan_are_named():
+    import struct
+
+    import numpy as np
+    import pytest as _pt
+
+    from core_spark.multimodal.jpeg import SOI, jpeg_decode, jpeg_encode
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    raw = jpeg_encode(img)
+    # truncated entropy data: named ValueError, never a bare IndexError
+    with _pt.raises(ValueError, match="truncated entropy"):
+        jpeg_decode(raw[:-10])
+    # multi-scan baseline (SOS listing fewer components than SOF):
+    # refuse loudly rather than return silently corrupt pixels
+    i = raw.index(b"\xff\xda")
+    (ln,) = struct.unpack(">H", raw[i + 2 : i + 4])
+    one_comp_sos = b"\xff\xda" + struct.pack(">H", 8) + bytes(
+        [1, 1, 0x00, 0, 63, 0]
+    )
+    hacked = raw[:i] + one_comp_sos + raw[i + 2 + ln :]
+    with _pt.raises(NotImplementedError, match="multi-scan"):
+        jpeg_decode(hacked)
+
+
+def test_jpeg_entropy_cost_is_linear():
+    """The bit accumulators must not retain consumed bytes — an
+    unmasked bigint makes codec cost quadratic in entropy size
+    (review finding; 13x per 4x pixels before the fix). Noise images
+    maximize entropy; allow generous scheduling slack but fail the
+    quadratic regime, which is >10x per 4x pixels."""
+    import time
+
+    import numpy as np
+
+    from core_spark.multimodal.jpeg import jpeg_decode, jpeg_encode
+
+    rng = np.random.default_rng(3)
+    times = []
+    for side in (64, 256):
+        img = rng.integers(0, 256, (side, side, 3), dtype=np.uint8)
+        raw = jpeg_encode(img)
+        t0 = time.perf_counter()
+        jpeg_decode(raw)
+        times.append(time.perf_counter() - t0)
+    # 16x pixels: linear => ~16x time; quadratic was >100x. Split the
+    # difference with a 60x ceiling to stay robust under noisy CI.
+    assert times[1] < max(times[0], 0.005) * 60, times

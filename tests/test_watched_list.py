@@ -151,3 +151,38 @@ def test_rendezvous_routing_minimal_churn(spark, tmp_path):
     moved = {k for k in before if before[k] != after[k]}
     assert moved, "some keys should adopt the new journal"
     assert all(after[k] == "p/c" for k in moved)
+
+
+def test_routed_publisher_batch_retry_is_idempotent(spark, tmp_path):
+    """foreachBatch re-delivers the last batch after a crash; journals
+    that already committed the batch must not receive their group
+    twice (review finding r4: per-journal `pub:` batch register)."""
+    root = str(tmp_path / "journals")
+    store = CatalogStore(root)
+    store.apply(upserts=(_spec("pipeline/part-000"), _spec("pipeline/part-001")))
+    watch = WatchedList(store, LabelSelector(include={"topic": ("clicks",)}))
+    pub = RoutedPublisher(root, watch, key_col="k")
+    df = spark.createDataFrame([(i,) for i in range(30)], "k long")
+
+    pub(df, batch_id=7)
+    first = {
+        n: Journal(root, n).read(spark).count()
+        for n in ("pipeline/part-000", "pipeline/part-001")
+    }
+    assert sum(first.values()) == 30
+    # full re-delivery of the same batch: no journal grows
+    pub(df, batch_id=7)
+    again = {
+        n: Journal(root, n).read(spark).count()
+        for n in ("pipeline/part-000", "pipeline/part-001")
+    }
+    assert again == first
+    # the next batch still lands
+    pub(spark.createDataFrame([(i,) for i in range(30, 40)], "k long"), 8)
+    assert (
+        sum(
+            Journal(root, n).read(spark).count()
+            for n in ("pipeline/part-000", "pipeline/part-001")
+        )
+        == 40
+    )
