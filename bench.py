@@ -79,6 +79,7 @@ HEADLINE = [
     "q_bucketed_range_join",
     "q_coloc_join",
     "q_dup_ingest",
+    "q_dup_spans",
     "q_exact_quota",
 ]
 

@@ -324,6 +324,120 @@ def q_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------- dup spans
+_WIN_K = 16  # char k-gram length
+_WIN_W = 8  # winnowing window (k-grams per window)
+_WIN_T = 8  # shared selected prints to call a span-duplicate pair
+_WIN_POS = 1_048_576  # 2^20: pos packed into the hash's low bits
+_WIN_DF = 100  # skew cap: prints in more docs than this are dropped
+
+
+@query(
+    "q_dup_spans",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text, len(text) AS n FROM documents),
+    pos AS (
+      SELECT doc_id, n, i AS pos,
+             CAST('0x' || substr(md5(substr(text, i + 1, {_WIN_K})), 1, 10)
+                  AS BIGINT) * {_WIN_POS} + i AS key
+      FROM d, (SELECT unnest(range(0, 10000)) AS i)
+      WHERE i <= n - {_WIN_K}
+    ),
+    sel AS (
+      SELECT doc_id,
+             MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW
+                            AND {_WIN_W - 1} FOLLOWING) AS minkey
+      FROM pos
+      QUALIFY pos <= n - {_WIN_K} - {_WIN_W - 1}
+    ),
+    fp AS (
+      SELECT DISTINCT doc_id, minkey // {_WIN_POS} AS fph FROM sel
+    ),
+    kept AS (
+      SELECT fph FROM fp GROUP BY fph HAVING COUNT(*) <= {_WIN_DF}
+    ),
+    fpk AS (SELECT fp.* FROM fp JOIN kept USING (fph))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           COUNT(*) AS n_shared
+    FROM fpk a JOIN fpk b ON a.fph = b.fph AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= {_WIN_T}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-duplicate pairs by winnowed fingerprints (Schleimer
+    et al., the MOSS scheme): hash every {_WIN_K}-char gram, slide a
+    {_WIN_W}-gram window, select each window's minimum hash (ties
+    broken by position — hash and position pack into one BIGINT so
+    the min is total and engine-independent), and call a pair a
+    span-duplicate when it shares >= {_WIN_T} distinct selected
+    prints. Winnowing's guarantee: any shared substring of
+    k + w - 1 = {_WIN_K + _WIN_W - 1}+ chars yields at least one
+    shared selected print, while ~1/w of grams are kept — the
+    sub-sampling that makes substring-level dedup affordable where
+    q_ngram_jaccard's whole-doc Jaccard would miss a copied span
+    inside otherwise-different documents.
+
+    Shape at 100 TB: position explode is map-side; window min is a
+    per-doc sliding frame (doc-id partitioning, O(w) per position);
+    the pair join is the inverted-index form keyed on the print with
+    a df <= {_WIN_DF} skew cap — never all-pairs. Like every dedup
+    operator here the selection itself is oracle-hash-checked, not
+    just the pair list.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window as W
+
+    d = docs.select("doc_id", "text", F.length("text").alias("n"))
+    pos = d.filter(F.col("n") >= _WIN_K).select(
+        "doc_id",
+        "n",
+        F.explode(F.expr(f"sequence(0, n - {_WIN_K})")).alias("pos"),
+        "text",
+    ).select(
+        "doc_id",
+        "n",
+        "pos",
+        (
+            F.expr(
+                "CAST(conv(substring(md5(substring(text, pos + 1, "
+                f"{_WIN_K})), 1, 10), 16, 10) AS BIGINT)"
+            )
+            * _WIN_POS
+            + F.col("pos")
+        ).alias("key"),
+    )
+    w = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(W.currentRow, _WIN_W - 1)
+    )
+    sel = pos.withColumn("minkey", F.min("key").over(w)).filter(
+        F.col("pos") <= F.col("n") - _WIN_K - (_WIN_W - 1)
+    )
+    # integer DIV, not `/`: float64 division of 60-bit packed keys
+    # loses low bits past the 53-bit mantissa
+    fp = sel.select(
+        "doc_id", F.expr(f"minkey DIV {_WIN_POS}").alias("fph")
+    ).distinct()
+    kept = fp.groupBy("fph").count().filter(
+        F.col("count") <= _WIN_DF
+    ).select("fph")
+    fpk = fp.join(kept, "fph")
+    a = fpk.select("fph", F.col("doc_id").alias("doc_a"))
+    b = fpk.select("fph", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, ["fph"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= _WIN_T)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 # -------------------------------------------------------- blocked jaccard
 @query(
     "q_ngram_jaccard",
