@@ -335,13 +335,17 @@ _WIN_DF = 100  # skew cap: prints in more docs than this are dropped
 @query(
     "q_dup_spans",
     oracle=f"""
-    WITH d AS (SELECT doc_id, text, len(text) AS n FROM documents),
+    WITH d AS (SELECT doc_id, text, len(text) AS n FROM documents
+               WHERE len(text) >= {_WIN_K}),
+    posx AS (
+      SELECT doc_id, n, unnest(range(0, n - {_WIN_K} + 1)) AS pos FROM d
+    ),
     pos AS (
-      SELECT doc_id, n, i AS pos,
-             CAST('0x' || substr(md5(substr(text, i + 1, {_WIN_K})), 1, 10)
-                  AS BIGINT) * {_WIN_POS} + i AS key
-      FROM d, (SELECT unnest(range(0, 10000)) AS i)
-      WHERE i <= n - {_WIN_K}
+      SELECT p.doc_id, p.n, p.pos,
+             CAST('0x' || substr(md5(substr(d.text, p.pos + 1, {_WIN_K})),
+                  1, 10) AS BIGINT) * {_WIN_POS}
+               + p.pos % {_WIN_POS} AS key
+      FROM posx p JOIN d USING (doc_id)
     ),
     sel AS (
       SELECT doc_id,
@@ -400,13 +404,19 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n",
         "pos",
+        # pos is packed MODULO 2^20: the tie-break only needs a total
+        # order within one w-position window, which the mod preserves
+        # everywhere except the single window straddling a 2^20
+        # boundary (both engines compute the identical rule there), so
+        # million-char documents can't bleed position bits into the
+        # print hash (review finding r4)
         (
             F.expr(
                 "CAST(conv(substring(md5(substring(text, pos + 1, "
                 f"{_WIN_K})), 1, 10), 16, 10) AS BIGINT)"
             )
             * _WIN_POS
-            + F.col("pos")
+            + F.col("pos") % _WIN_POS
         ).alias("key"),
     )
     w = (

@@ -274,11 +274,17 @@ class Journal:
         if post_write_registers is not None:
             # the fragment write above is the action that resolves any
             # Observation riding the batch; merge its registers into
-            # the same CAS commit
-            set_registers = {
-                **(set_registers or {}),
-                **post_write_registers(),
-            }
+            # the same CAS commit. A raising resolver must roll the
+            # already-renamed fragment back like a CAS conflict does —
+            # otherwise glob-tailing readers observe uncommitted rows.
+            try:
+                set_registers = {
+                    **(set_registers or {}),
+                    **post_write_registers(),
+                }
+            except Exception:
+                shutil.rmtree(final, ignore_errors=True)  # rollback
+                raise
 
         frag = Fragment(
             seq=len(m.fragments),

@@ -35,7 +35,18 @@ class RoutedPublisher:
 
     mapping: 'modulo' (stable index over the sorted snapshot) or
     'rendezvous' (highest-random-weight; minimal churn on topology
-    change)."""
+    change).
+
+    Exactly-once contract (the same one every checkpointed Spark sink
+    has): the per-journal `pub:{publisher_id}` batch registers and the
+    query's CHECKPOINT DIRECTORY share a lifecycle. Deleting the
+    checkpoint resets batch ids to 0 while the registers remember the
+    old high-water mark, so early batches of the reborn query would be
+    skipped as re-deliveries — if you reset the checkpoint, reset (or
+    rename) `publisher_id` with it. For the same reason two CONCURRENT
+    queries writing overlapping journals must use distinct
+    publisher_ids; sharing one makes each query skip batches the other
+    committed."""
 
     def __init__(
         self,

@@ -89,10 +89,20 @@ def run_shard(
             from pyspark.sql import functions as F
 
             obs = Observation()
+            raw = df
             df = df.observe(obs, F.max("_offset").alias("mx"))
 
             def rt_fn():
-                mx = obs.get["mx"]
+                # Non-blocking probe first: a transform is allowed to
+                # return a DataFrame NOT derived from its input (e.g. a
+                # toPandas round-trip), in which case the sink's write
+                # never executes the observed plan and a bare obs.get
+                # would deadlock the micro-batch. The fallback pays the
+                # one extra scan the observation normally avoids.
+                if obs._jo.getRowOrEmpty().isEmpty():
+                    mx = raw.agg(F.max("_offset")).first()[0]
+                else:
+                    mx = obs.get["mx"]
                 if mx is None:
                     return {}
                 return {cfg.source_journal: int(mx) + 1}

@@ -191,3 +191,34 @@ def test_rangejoin_validates_column_names(spark):
             df.withColumn("_rt", F.lit(1)), df, "ts", "ts", 10**6,
             ["_rt"], ["id"],
         )
+
+
+def test_post_write_registers_failure_rolls_back_fragment(spark, journal):
+    """A raising post-write register resolver must roll back the
+    already-renamed fragment like a CAS conflict does; otherwise
+    glob-tailing readers observe rows no manifest committed."""
+    import os
+
+    journal.append(_df(spark, 0, 5))
+    before = journal.manifest()
+
+    def boom():
+        raise RuntimeError("resolver failed")
+
+    with pytest.raises(RuntimeError, match="resolver failed"):
+        journal.append(_df(spark, 5, 10), post_write_registers=boom)
+
+    after = journal.manifest()
+    assert after.version == before.version
+    assert len(after.fragments) == len(before.fragments)
+    on_disk = sorted(os.listdir(journal.frag_dir))
+    committed = sorted(
+        os.path.basename(f.path) for f in after.fragments
+    )
+    assert on_disk == committed  # no orphaned fragment dirs
+
+    # the successful post-write path still merges its registers
+    journal.append(
+        _df(spark, 5, 10), post_write_registers=lambda: {"rt:x": "10"}
+    )
+    assert journal.manifest().registers.get("rt:x") == "10"
