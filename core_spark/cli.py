@@ -98,6 +98,17 @@ def cmd_prune(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    from core_spark.sources.journal import Journal
+
+    spark = get_spark("engine-cli")
+    n = Journal(args.root, args.journal).compact(
+        spark, target_records=args.target_records
+    )
+    print(json.dumps({"compacted": n}))
+    return 0
+
+
 def cmd_list(args) -> int:
     from core_spark.catalog import LabelSelector, resolve
 
@@ -189,6 +200,12 @@ def build_parser() -> argparse.ArgumentParser:
     jp.add_argument("--journal", required=True)
     jp.add_argument("--keep-after", type=float, required=True)
     jp.set_defaults(fn=cmd_prune)
+
+    jc = sub.add_parser("journals-compact")
+    jc.add_argument("--root", required=True)
+    jc.add_argument("--journal", required=True)
+    jc.add_argument("--target-records", type=int, default=512_000)
+    jc.set_defaults(fn=cmd_compact)
 
     jl = sub.add_parser("journals-list")
     jl.add_argument(

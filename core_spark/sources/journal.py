@@ -389,6 +389,137 @@ class Journal:
             "n_records long, path string, mod_time double, fmt string",
         )
 
+    # ------------------------------------------------------------ compact
+    def compact(
+        self,
+        spark: SparkSession,
+        target_records: int = 512_000,
+        delete_source: bool = True,
+    ) -> int:
+        """Merge runs of ADJACENT small fragments into single
+        fragments of up to `target_records` rows. Returns the number
+        of fragments eliminated.
+
+        Why this exists: streaming sinks commit one fragment per
+        micro-batch, so a long-lived materialization accumulates
+        thousands of tiny files — the small-file problem that makes a
+        100 TB journal scan seek-bound. The reference sizes fragments
+        at WRITE time (brokers roll by length); a micro-batch engine
+        can't, so compaction is the Spark-native answer (the Delta
+        OPTIMIZE / Iceberg rewrite_data_files pattern) applied to the
+        journal contract:
+
+        - Offsets are PRESERVED exactly — rows keep their stamped
+          `_offset`, and the merged Fragment spans [first.begin,
+          last.end), so every offset-bounded read, register, and
+          read-through barrier is unaffected.
+        - Only contiguous runs merge (f.begin == prev.end); retention
+          gaps break runs. Hive path-postfix fragments are skipped
+          (their directory layout IS their pruning index); mixed
+          parquet/ORC runs merge to parquet.
+        - The swap is one manifest CAS, serialized against appenders
+          like any commit; a lost race raises AppendConflict and the
+          caller simply retries — no data was made visible.
+        - `delete_source` removes merged dirs immediately (fine for a
+          single-writer deployment); at cluster scale pass False and
+          let a mod_time-based sweep reap them after the fragment
+          refresh interval, so readers holding the PREVIOUS manifest
+          finish their scans — the same grace the reference's
+          fragment listing refresh gives deleted fragments.
+        """
+        m = self.manifest()
+        frags = sorted(m.fragments, key=lambda f: f.begin)
+
+        def _compactable(f: Fragment) -> bool:
+            p = os.path.join(self.root, f.path)
+            try:
+                has_postfix = any(
+                    "=" in d and os.path.isdir(os.path.join(p, d))
+                    for d in os.listdir(p)
+                )
+            except FileNotFoundError:
+                return False
+            return not has_postfix
+
+        runs: list[list[Fragment]] = []
+        cur: list[Fragment] = []
+        for f in frags:
+            contiguous = not cur or cur[-1].end == f.begin
+            fits = sum(x.n_records for x in cur) + f.n_records <= target_records
+            if _compactable(f) and contiguous and (not cur or fits):
+                cur.append(f)
+            else:
+                runs.append(cur)
+                cur = [f] if _compactable(f) else []
+        runs.append(cur)
+        todo = [r for r in runs if len(r) >= 2]
+        if not todo:
+            return 0
+
+        replaced: dict[int, Fragment] = {}  # first seq -> merged frag
+        dropped: set[int] = set()
+        new_dirs: list[str] = []
+        from functools import reduce
+
+        for run in todo:
+            name = f"frag-{run[0].begin:020d}-cmp-{py_uuid.uuid4().hex[:8]}"
+            tmp = os.path.join(self.frag_dir, "_tmp-" + name)
+            df = reduce(
+                lambda a, b: a.unionByName(b),
+                (
+                    getattr(spark.read, f.fmt)(os.path.join(self.root, f.path))
+                    for f in run
+                ),
+            )
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            final = os.path.join(self.frag_dir, name)
+            os.rename(tmp, final)
+            new_dirs.append(final)
+            replaced[run[0].seq] = Fragment(
+                seq=run[0].seq,
+                begin=run[0].begin,
+                end=run[-1].end,
+                n_records=sum(f.n_records for f in run),
+                path=os.path.join("fragments", name),
+                mod_time=max(f.mod_time for f in run),
+                fmt="parquet",
+            )
+            dropped.update(f.seq for f in run)
+
+        merged: list[Fragment] = []
+        for f in frags:
+            if f.seq in replaced:
+                merged.append(replaced[f.seq])
+            elif f.seq not in dropped:
+                merged.append(f)
+        merged = [
+            Fragment(
+                seq=i, begin=f.begin, end=f.end, n_records=f.n_records,
+                path=f.path, mod_time=f.mod_time, fmt=f.fmt,
+            )
+            for i, f in enumerate(merged)
+        ]
+        try:
+            self._commit_manifest(
+                Manifest(
+                    version=m.version + 1,
+                    next_offset=m.next_offset,
+                    fragments=merged,
+                    registers=m.registers,
+                )
+            )
+        except AppendConflict:
+            for d in new_dirs:
+                shutil.rmtree(d, ignore_errors=True)  # rollback
+            raise
+        if delete_source:
+            for run in todo:
+                for f in run:
+                    shutil.rmtree(
+                        os.path.join(self.root, f.path), ignore_errors=True
+                    )
+        return sum(len(r) for r in todo) - len(todo)
+
     # -------------------------------------------------------------- prune
     def prune(self, keep_mod_time_after: float) -> int:
         """Retention: drop fragments wholly older than the horizon

@@ -222,3 +222,51 @@ def test_post_write_registers_failure_rolls_back_fragment(spark, journal):
         _df(spark, 5, 10), post_write_registers=lambda: {"rt:x": "10"}
     )
     assert journal.manifest().registers.get("rt:x") == "10"
+
+
+def test_compact_merges_small_fragments_preserving_offsets(spark, journal):
+    """Streaming sinks commit one fragment per batch; compaction must
+    merge adjacent small fragments into one while every offset,
+    bounded read, and register stays identical."""
+    for lo in range(0, 30, 5):
+        journal.append(_df(spark, lo, lo + 5), set_registers={"k": str(lo)})
+    before = journal.read(spark).orderBy("_offset").collect()
+    m0 = journal.manifest()
+    assert len(m0.fragments) == 6
+
+    n = journal.compact(spark, target_records=1000)
+    assert n == 5  # 6 fragments -> 1
+    m1 = journal.manifest()
+    assert len(m1.fragments) == 1
+    f = m1.fragments[0]
+    assert (f.begin, f.end, f.n_records) == (0, 30, 30)
+    assert m1.registers == m0.registers
+    assert m1.next_offset == m0.next_offset
+
+    after = journal.read(spark).orderBy("_offset").collect()
+    assert after == before
+    # offset-bounded reads unchanged across the rewrite
+    assert journal.read(spark, begin=7, end=23).count() == 16
+    # appends continue at the same offsets
+    journal.append(_df(spark, 30, 33))
+    assert journal.read(spark).count() == 33
+
+
+def test_compact_respects_target_and_skips_postfix(spark, journal):
+    from pyspark.sql import functions as F
+
+    # two mergeable pairs under the target, then a postfix fragment
+    for lo in range(0, 20, 5):
+        journal.append(_df(spark, lo, lo + 5))
+    journal.append(
+        _df(spark, 20, 25).withColumn("part", F.lit("a")),
+        path_postfix=("part",),
+    )
+    n = journal.compact(spark, target_records=10)
+    m = journal.manifest()
+    # 4 flat frags of 5 rows pack pairwise at target 10; postfix stays
+    assert n == 2
+    assert [f.n_records for f in m.fragments] == [10, 10, 5]
+    assert journal.read(spark).count() == 25
+    # a second compaction at the same target is a no-op
+    assert journal.compact(spark, target_records=10) == 0
