@@ -22,10 +22,12 @@ Two modes:
   metadata, full 8-bit PNG decode/encode (multimodal/png.py: zlib
   inflate + scanline unfilter) and baseline JPEG decode/encode
   (multimodal/jpeg.py: Huffman + DCT, any JFIF sampling, restart
-  intervals), nearest-neighbor resize for PPM/PNG/JPEG, RIFF/WAV
-  framing via the stdlib `wave` module. The remaining codecs
-  (progressive/multi-scan JPEG, sub-8-bit-palette/16-bit/interlaced
-  PNG, FLAC, MP4…) raise
+  intervals) and GIF87a/89a first-frame decode/encode
+  (multimodal/gif.py: LZW, interlace, transparency), nearest-neighbor
+  resize for PPM/PNG/JPEG/GIF, RIFF/WAV framing via the stdlib
+  `wave` module. The remaining codecs (progressive/multi-scan JPEG,
+  sub-8-bit-palette/16-bit/interlaced PNG, animated-GIF frames past
+  the first, WEBP/TIFF, FLAC, MP4…) raise
   NotImplementedError naming the library a cluster image would add
   (PIL / libsndfile / pyav); the Spark-side contract is identical
   either way.
@@ -108,6 +110,11 @@ def decode_image_meta(
 
                 w, h, _nc = jpeg_meta(raw)
                 return "image/jpeg", w, h
+            if raw[:6] in (b"GIF87a", b"GIF89a"):
+                from core_spark.multimodal.gif import gif_meta
+
+                w, h, _frames = gif_meta(raw)
+                return "image/gif", w, h
             if raw[:2] == b"P6":
                 w, h = ppm_header(raw)
                 return "image/x-portable-pixmap", w, h
@@ -215,11 +222,37 @@ def resize_images(
             xs = np.minimum((np.arange(nw) * (w / nw)).astype(int), w - 1)
             return jpeg_encode(data[ys][:, xs])
 
+        def resize_gif(raw: bytes) -> bytes:
+            from core_spark.multimodal.gif import (
+                gif_decode,
+                gif_encode,
+                gif_meta,
+            )
+
+            w, h, _frames = gif_meta(raw)
+            if max(w, h) <= max_side:
+                return raw
+            data = gif_decode(raw)
+            if data.shape[-1] == 4:
+                raise NotImplementedError(
+                    "STUB: resizing a transparent GIF requires PIL "
+                    "(pillow); pure-python re-encode is RGB-only"
+                )
+            scale = max(w, h) / max_side
+            nw, nh = max(1, round(w / scale)), max(1, round(h / scale))
+            ys = np.minimum((np.arange(nh) * (h / nh)).astype(int), h - 1)
+            xs = np.minimum((np.arange(nw) * (w / nw)).astype(int), w - 1)
+            # nearest-neighbor samples existing pixels, so the palette
+            # can only shrink — re-encode never needs quantization
+            return gif_encode(data[ys][:, xs])
+
         def resize_p6(raw: bytes) -> bytes:
             if raw[:8] == b"\x89PNG\r\n\x1a\n":
                 return resize_png(raw)
             if raw[:2] == b"\xff\xd8":
                 return resize_jpeg(raw)
+            if raw[:6] in (b"GIF87a", b"GIF89a"):
+                return resize_gif(raw)
             if raw[:2] != b"P6":
                 raise NotImplementedError(
                     f"STUB: resize for magic {raw[:4]!r} requires PIL "

@@ -130,9 +130,10 @@ def test_real_wav_framing(spark):
 
 
 def test_real_mode_unknown_codecs_raise(spark):
-    # GIF has no pure-python path — stays a loud stub
+    # WEBP has no pure-python path — stays a loud stub
     df = spark.createDataFrame(
-        [(1, b"GIF89agarbage")], "doc_id long, payload binary"
+        [(1, b"RIFF\x00\x00\x00\x00WEBPgarbage")],
+        "doc_id long, payload binary",
     )
     with pytest.raises(Exception, match="STUB.*PIL"):
         decode_image_meta(df, fake=False).collect()
@@ -510,3 +511,92 @@ def test_jpeg_entropy_cost_is_linear():
     # 16x pixels: linear => ~16x time; quadratic was >100x. Split the
     # difference with a 60x ceiling to stay robust under noisy CI.
     assert times[1] < max(times[0], 0.005) * 60, times
+
+
+# ----------------------------------------------------------- GIF real mode
+def test_gif_roundtrip_meta_and_grayscale():
+    import numpy as np
+
+    from core_spark.multimodal.gif import gif_decode, gif_encode, gif_meta
+
+    h, w = 23, 37
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [(xx * 16) % 256, (xx * 16) % 256, ((xx // 4) * 32) % 256], axis=-1
+    ).astype(np.uint8)
+    raw = gif_encode(img)
+    assert gif_meta(raw) == (w, h, 1)
+    assert np.array_equal(gif_decode(raw), img)
+    g = ((yy * 9) % 200).astype(np.uint8)
+    assert np.array_equal(
+        gif_decode(gif_encode(g)), np.stack([g] * 3, axis=-1)
+    )
+
+
+def test_gif_interlace_and_transparency_decode():
+    import struct
+
+    import numpy as np
+
+    from core_spark.multimodal.gif import gif_decode, gif_encode
+
+    # build an interlaced variant by patching the encoder's frame
+    # flags and reordering rows with the 4-pass schedule ourselves
+    h, w = 13, 9
+    img = (np.arange(h * w * 3).reshape(h, w, 3) % 7 * 36).astype(np.uint8)
+    raw = bytearray(gif_encode(img))
+    desc = raw.index(0x2C, 13)
+    assert raw[desc + 9] == 0  # frame flags byte
+    # the encoder wrote rows sequentially; an interlaced READER maps
+    # file rows through the pass schedule, so feed it a file whose
+    # rows are pre-permuted to decode back to `img`
+    order = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        order += list(range(start, h, step))
+    permuted = img[order]
+    raw2 = bytearray(gif_encode(permuted))
+    desc2 = raw2.index(0x2C, 13)
+    raw2[desc2 + 9] |= 0x40  # set interlace flag
+    assert np.array_equal(gif_decode(bytes(raw2)), img)
+
+    # GIF89a graphic control: transparent index -> RGBA with alpha 0
+    base = gif_encode(img)
+    gce = bytes([0x21, 0xF9, 0x04, 0x01, 0x00, 0x00, 0x00, 0x00])
+    desc3 = base.index(b"\x2c", 13)
+    withgce = base[:desc3] + gce + base[desc3:]
+    rgba = gif_decode(withgce)
+    assert rgba.shape == (h, w, 4)
+    assert (rgba[..., 3] == 0).any() and (rgba[..., 3] == 255).any()
+
+
+def test_gif_real_meta_resize_and_malformed(spark):
+    import numpy as np
+    import pytest as _pt
+
+    from core_spark.multimodal.columns import decode_image_meta, resize_images
+    from core_spark.multimodal.gif import gif_decode, gif_encode
+
+    h, w = 150, 300
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = ((xx // 32 * 32 + yy // 32) % 8 * 30).astype(np.uint8)
+    rgb = np.stack([img] * 3, axis=-1)
+    df = spark.createDataFrame(
+        [(1, bytearray(gif_encode(rgb)))], "doc_id long, payload binary"
+    )
+    meta = decode_image_meta(df, fake=False).first()
+    assert (meta.mime, meta.width, meta.height) == ("image/gif", 300, 150)
+    out = resize_images(df, max_side=64, fake=False).first()
+    small = gif_decode(bytes(out.payload))
+    assert small.shape == (32, 64, 3)
+    ys = min(int(10 * (150 / 32)), 149)
+    xs = min(int(20 * (300 / 64)), 299)
+    assert np.array_equal(small[10, 20], rgb[ys, xs])  # nearest-neighbor
+
+    with _pt.raises(ValueError, match="malformed GIF"):
+        gif_decode(b"GIF89a\x00")
+    with _pt.raises(ValueError, match="256-entry"):
+        i = np.arange(400).reshape(20, 20)
+        many = np.stack(
+            [i % 256, i // 256, np.zeros_like(i)], axis=-1
+        ).astype(np.uint8)  # 400 distinct colors
+        gif_encode(many)
