@@ -98,6 +98,46 @@ def cmd_prune(args) -> int:
     return 0
 
 
+def cmd_shards_stat(args) -> int:
+    """Stat: per-shard committed batch, fence, and read-through
+    offsets, parsed from the output journal's registers — the Stat
+    RPC surface (consumer/shard_api.go:24-51) without a server."""
+    from collections import defaultdict
+
+    from core_spark.sources.journal import Journal
+
+    m = Journal(args.root, args.journal).manifest()
+    shards: dict = defaultdict(lambda: {"fence": None, "batch": None, "read_through": {}})
+    for k, v in m.registers.items():
+        if k.startswith("fence:"):
+            shards[k[6:]]["fence"] = int(v)
+        elif k.startswith("batch:"):
+            shards[k[6:]]["batch"] = int(v)
+        elif k.startswith("rt:"):
+            _, shard, src = k.split(":", 2)
+            shards[shard]["read_through"][src] = int(v)
+    for shard in sorted(shards):
+        print(json.dumps({"shard": shard, **shards[shard]}))
+    return 0
+
+
+def cmd_shards_await(args) -> int:
+    """Block until the shard's committed progress covers a source
+    offset (read-your-writes barrier over the Stat registers)."""
+    from core_spark.streaming.shard import await_offset
+
+    rt = await_offset(
+        args.root,
+        args.journal,
+        args.shard,
+        args.source,
+        args.offset,
+        timeout=args.timeout,
+    )
+    print(json.dumps({"read_through": rt}))
+    return 0
+
+
 def cmd_compact(args) -> int:
     from core_spark.sources.journal import Journal
 
@@ -206,6 +246,20 @@ def build_parser() -> argparse.ArgumentParser:
     jc.add_argument("--journal", required=True)
     jc.add_argument("--target-records", type=int, default=512_000)
     jc.set_defaults(fn=cmd_compact)
+
+    st = sub.add_parser("shards-stat")
+    st.add_argument("--root", required=True)
+    st.add_argument("--journal", required=True, help="the shard's OUTPUT journal")
+    st.set_defaults(fn=cmd_shards_stat)
+
+    sa = sub.add_parser("shards-await")
+    sa.add_argument("--root", required=True)
+    sa.add_argument("--journal", required=True, help="the shard's OUTPUT journal")
+    sa.add_argument("--shard", required=True)
+    sa.add_argument("--source", required=True, help="source journal name")
+    sa.add_argument("--offset", type=int, required=True)
+    sa.add_argument("--timeout", type=float, default=30.0)
+    sa.set_defaults(fn=cmd_shards_await)
 
     jl = sub.add_parser("journals-list")
     jl.add_argument(

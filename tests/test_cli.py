@@ -86,3 +86,49 @@ def test_journals_sql(spark, tmp_path, capsys):
     assert rc == 0
     rows = [_json.loads(ln) for ln in capsys.readouterr().out.splitlines()]
     assert rows == [{"ngram": "the", "cnt": 5}, {"ngram": "then", "cnt": 3}]
+
+
+def test_shards_stat_and_await(spark, tmp_path, capsys):
+    """shards-stat surfaces fence/batch/read-through registers; the
+    await wrapper gates on a covered offset (Stat RPC surface)."""
+    import json as _json
+
+    from core_spark.cli import main
+    from core_spark.sources.journal import Journal
+
+    root = str(tmp_path)
+    j = Journal(root, "out/j")
+    j.append(
+        spark.range(3).withColumnRenamed("id", "v"),
+        set_registers={
+            "fence:s1": "2",
+            "batch:s1": "7",
+            "rt:s1:src/a": "120",
+        },
+    )
+    assert main(["shards-stat", "--root", root, "--journal", "out/j"]) == 0
+    row = _json.loads(capsys.readouterr().out.strip())
+    assert row == {
+        "shard": "s1",
+        "fence": 2,
+        "batch": 7,
+        "read_through": {"src/a": 120},
+    }
+
+    assert (
+        main([
+            "shards-await", "--root", root, "--journal", "out/j",
+            "--shard", "s1", "--source", "src/a", "--offset", "100",
+        ])
+        == 0
+    )
+    assert _json.loads(capsys.readouterr().out.strip()) == {"read_through": 120}
+
+    import pytest as _pt
+
+    with _pt.raises(TimeoutError):
+        main([
+            "shards-await", "--root", root, "--journal", "out/j",
+            "--shard", "s1", "--source", "src/a", "--offset", "999",
+            "--timeout", "0.3",
+        ])
