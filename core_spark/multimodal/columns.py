@@ -19,15 +19,15 @@ Two modes:
   payloads standing in for media bytes;
 - real mode (`fake=False`) decodes the codec families expressible in
   pure stdlib+numpy — PPM/PGM (P6/P5) and BMP headers for image
-  metadata, full 8-bit PNG decode/encode (multimodal/png.py: zlib
-  inflate + scanline unfilter) and baseline JPEG decode/encode
+  metadata, full PNG decode/encode (multimodal/png.py: zlib inflate +
+  scanline unfilter; 1/2/4/8-bit gray+palette, 8-bit RGB(A), Adam7) and baseline JPEG decode/encode
   (multimodal/jpeg.py: Huffman + DCT, any JFIF sampling, restart
   intervals) and GIF87a/89a first-frame decode/encode
   (multimodal/gif.py: LZW, interlace, transparency), nearest-neighbor
   resize for PPM/PNG/JPEG/GIF, RIFF/WAV framing via the stdlib
   `wave` module. The remaining codecs (progressive/multi-scan JPEG,
-  sub-8-bit-palette/16-bit/interlaced PNG, animated-GIF frames past
-  the first, WEBP/TIFF, FLAC, MP4…) raise
+  16-bit PNG, animated-GIF frames past the first, WEBP/TIFF, FLAC,
+  MP4…) raise
   NotImplementedError naming the library a cluster image would add
   (PIL / libsndfile / pyav); the Spark-side contract is identical
   either way.

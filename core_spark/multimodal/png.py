@@ -3,11 +3,12 @@ multimodal real mode — makes the most common lossless image format
 real in a container without PIL (VERDICT r3 ask #8); baseline JPEG
 is likewise real (multimodal/jpeg.py).
 
-Scope: non-interlaced PNG with 8-bit samples in grayscale (color
-type 0), RGB (2), palette (3, expanded through PLTE with tRNS
-alpha), gray+alpha (4) or RGBA (6). Sub-8-bit palette indices,
-16-bit samples, and Adam7 interlace raise NotImplementedError naming
-PIL — same loud-stub policy as the other codecs. The five scanline
+Scope: grayscale (color type 0) and palette (3, expanded through
+PLTE with tRNS alpha) at 1/2/4/8-bit depths; RGB (2), gray+alpha (4)
+and RGBA (6) at 8-bit; Adam7-interlaced OR sequential for all of
+those (the seven-pass grid deinterlaces with per-pass unfiltering).
+Only 16-bit samples still raise NotImplementedError naming PIL —
+the loud-stub policy's last PNG holdout. The five scanline
 filters (None/Sub/Up/Average/Paeth, PNG spec §9) are all implemented:
 Up is vectorized row-wise; Sub/Average/Paeth reconstruct left-to-
 right per row (the spec's own data dependency).
@@ -64,17 +65,16 @@ def png_meta(raw: bytes) -> tuple[int, int, int, int]:
 
 
 def _check_supported(depth: int, ctype: int, interlace: int) -> int:
-    if ctype == 3:
-        # palette: one index byte per pixel; PLTE lookup happens after
-        # unfiltering (png_decode expands to RGB)
-        if depth != 8:
+    """Returns channels/pixel. Supported: 1/2/4/8-bit grayscale (0)
+    and palette (3); 8-bit RGB (2), gray+alpha (4), RGBA (6); Adam7
+    or sequential for all of those. 16-bit samples stay stubbed."""
+    if interlace not in (0, 1):
+        raise ValueError(f"malformed PNG: interlace method {interlace}")
+    if ctype in (0, 3):
+        if depth not in (1, 2, 4, 8):
             raise NotImplementedError(
-                f"STUB: {depth}-bit palette PNG requires PIL (pillow); "
-                "pure-python real mode covers 8-bit indices"
-            )
-        if interlace:
-            raise NotImplementedError(
-                "STUB: Adam7-interlaced PNG requires PIL (pillow)"
+                f"STUB: {depth}-bit PNG requires PIL (pillow); "
+                "pure-python real mode covers 1/2/4/8-bit samples"
             )
         return 1
     if ctype not in _CHANNELS:
@@ -82,13 +82,66 @@ def _check_supported(depth: int, ctype: int, interlace: int) -> int:
     if depth != 8:
         raise NotImplementedError(
             f"STUB: {depth}-bit PNG requires PIL (pillow); "
-            "pure-python real mode covers 8-bit samples"
-        )
-    if interlace:
-        raise NotImplementedError(
-            "STUB: Adam7-interlaced PNG requires PIL (pillow)"
+            "pure-python real mode covers 8-bit samples for color "
+            f"type {ctype}"
         )
     return _CHANNELS[ctype]
+
+
+# Adam7 pass grid: (x0, dx, y0, dy), PNG spec §8.2
+_ADAM7 = (
+    (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+    (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+)
+
+
+def _unfilter(lines: np.ndarray, stride: int, bpp: int) -> np.ndarray:
+    """Invert the five scanline filters over (rows, stride+1) bytes;
+    `bpp` is the filter's left-neighbor distance in BYTES (>=1 even
+    for sub-byte depths, per spec §9)."""
+    rows = lines.shape[0]
+    out = np.zeros((rows, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint16)
+    for y in range(rows):
+        ftype = int(lines[y, 0])
+        cur = lines[y, 1:].astype(np.uint16)
+        if ftype == 0:  # None
+            rec = cur
+        elif ftype == 2:  # Up
+            rec = (cur + prev) & 0xFF
+        elif ftype == 1:  # Sub
+            rec = cur.copy()
+            for x in range(bpp, stride):
+                rec[x] = (rec[x] + rec[x - bpp]) & 0xFF
+        elif ftype == 3:  # Average
+            rec = cur.copy()
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (rec[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            rec = cur.copy()
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (rec[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"malformed PNG: filter type {ftype} on row {y}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out
+
+
+def _unpack_samples(row: np.ndarray, depth: int, n: int) -> np.ndarray:
+    """First `n` samples of a packed scanline row (MSB-first)."""
+    if depth == 8:
+        return row[:n]
+    bits = np.unpackbits(row)
+    vals = bits.reshape(-1, depth) @ (1 << np.arange(depth - 1, -1, -1))
+    return vals[:n].astype(np.uint8)
 
 
 def png_decode(raw: bytes) -> np.ndarray:
@@ -121,47 +174,46 @@ def png_decode(raw: bytes) -> np.ndarray:
         raise ValueError("malformed PNG: palette image without PLTE")
     if not idat:
         raise ValueError("malformed PNG: no IDAT data")
-    stride = w * ch
+    bpp = max(1, depth * ch // 8)
     flat = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    if flat.size != h * (stride + 1):
+
+    def pass_bytes(pw: int, ph: int) -> int:
+        return ph * ((pw * ch * depth + 7) // 8 + 1)
+
+    samples = np.zeros((h, w * ch), dtype=np.uint8)
+    if interlace:
+        passes = [
+            (x0, dx, y0, dy,
+             (w - x0 + dx - 1) // dx, (h - y0 + dy - 1) // dy)
+            for x0, dx, y0, dy in _ADAM7
+        ]
+        expected = sum(pass_bytes(pw, ph) for *_rest, pw, ph in passes if pw and ph)
+    else:
+        passes = [(0, 1, 0, 1, w, h)]
+        expected = pass_bytes(w, h)
+    if flat.size != expected:
         raise ValueError(
-            f"malformed PNG: {flat.size} filtered bytes, "
-            f"expected {h * (stride + 1)}"
+            f"malformed PNG: {flat.size} filtered bytes, expected {expected}"
         )
-    lines = flat.reshape(h, stride + 1)
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint16)
-    for y in range(h):
-        ftype = int(lines[y, 0])
-        cur = lines[y, 1:].astype(np.uint16)
-        if ftype == 0:  # None
-            rec = cur
-        elif ftype == 2:  # Up
-            rec = (cur + prev) & 0xFF
-        elif ftype == 1:  # Sub
-            rec = cur.copy()
-            for x in range(ch, stride):
-                rec[x] = (rec[x] + rec[x - ch]) & 0xFF
-        elif ftype == 3:  # Average
-            rec = cur.copy()
-            for x in range(stride):
-                left = rec[x - ch] if x >= ch else 0
-                rec[x] = (rec[x] + ((left + prev[x]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            rec = cur.copy()
-            for x in range(stride):
-                a = int(rec[x - ch]) if x >= ch else 0
-                b = int(prev[x])
-                c = int(prev[x - ch]) if x >= ch else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                rec[x] = (rec[x] + pred) & 0xFF
-        else:
-            raise ValueError(f"malformed PNG: filter type {ftype} on row {y}")
-        out[y] = rec.astype(np.uint8)
-        prev = rec
-    img = out.reshape(h, w, ch)
+    off = 0
+    for x0, dx, y0, dy, pw, ph in passes:
+        if pw == 0 or ph == 0:
+            continue
+        stride = (pw * ch * depth + 7) // 8
+        n = ph * (stride + 1)
+        lines = flat[off : off + n].reshape(ph, stride + 1)
+        off += n
+        rec = _unfilter(lines, stride, bpp)
+        for j in range(ph):
+            vals = _unpack_samples(rec[j], depth, pw * ch).reshape(pw, ch)
+            row = samples[y0 + j * dy].reshape(w, ch)
+            row[x0::dx][:pw] = vals
+    if ctype == 0 and depth < 8:
+        # expand sub-byte grayscale to full 8-bit range
+        samples = (
+            samples.astype(np.uint16) * 255 // ((1 << depth) - 1)
+        ).astype(np.uint8)
+    img = samples.reshape(h, w, ch)
     if ctype == 3:
         idx = img[..., 0]
         if int(idx.max()) >= palette.shape[0]:

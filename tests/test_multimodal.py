@@ -296,16 +296,12 @@ def test_png_unsupported_variants_stay_loudly_stubbed():
             + _png_chunk(b"IDAT", b"x") + _png_chunk(b"IEND", b"")
         )
 
-    # 8-bit palette decodes as of late r4; sub-8-bit indices stay
-    # stubbed and a PLTE-less palette image is malformed, not a stub
-    with _pt.raises(NotImplementedError, match="palette.*PIL"):
-        png_decode(mk(4, 3, 0))
+    # palette (any depth) and Adam7 decode as of late r4; a PLTE-less
+    # palette image is malformed, not a stub. 16-bit stays stubbed.
     with _pt.raises(ValueError, match="without PLTE"):
         png_decode(mk(8, 3, 0))
     with _pt.raises(NotImplementedError, match="16-bit.*PIL"):
         png_decode(mk(16, 2, 0))
-    with _pt.raises(NotImplementedError, match="interlaced.*PIL"):
-        png_decode(mk(8, 2, 1))
     with _pt.raises(ValueError, match="truncated"):
         png_decode(SIGNATURE + b"\x00\x00\x00\x0dIHDRshort")
 
@@ -600,3 +596,73 @@ def test_gif_real_meta_resize_and_malformed(spark):
             [i % 256, i // 256, np.zeros_like(i)], axis=-1
         ).astype(np.uint8)  # 400 distinct colors
         gif_encode(many)
+
+
+def test_png_sub_byte_depths_and_adam7():
+    """1/2/4-bit grayscale + palette, and Adam7 interlace for 8-bit
+    RGB — fixtures built with an independent test-side packer."""
+    import struct
+    import zlib as _z
+
+    import numpy as np
+
+    from core_spark.multimodal.png import SIGNATURE, png_decode
+
+    def pack_rows(vals2d, depth):
+        # MSB-first bit packing of one sample per entry, filter 0 rows
+        out = bytearray()
+        for row in vals2d:
+            bits = []
+            for v in row:
+                bits += [(v >> (depth - 1 - i)) & 1 for i in range(depth)]
+            while len(bits) % 8:
+                bits.append(0)
+            packed = np.packbits(np.array(bits, dtype=np.uint8))
+            out.append(0)
+            out += packed.tobytes()
+        return bytes(out)
+
+    w, h = 11, 5
+    for depth in (1, 2, 4):
+        maxv = (1 << depth) - 1
+        idx = (np.arange(h * w).reshape(h, w) % (maxv + 1)).astype(np.uint8)
+        # grayscale: samples scale to 0..255
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0)
+        raw = (
+            SIGNATURE + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", _z.compress(pack_rows(idx, depth)))
+            + _png_chunk(b"IEND", b"")
+        )
+        want = (idx.astype(int) * 255 // maxv).astype(np.uint8)
+        assert np.array_equal(png_decode(raw)[..., 0], want), depth
+        # palette: samples are indices into PLTE
+        plte = bytes(
+            b for c in range(maxv + 1) for b in (c * 16 % 256, 0, 255 - c * 16 % 256)
+        )
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+        rawp = (
+            SIGNATURE + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"PLTE", plte)
+            + _png_chunk(b"IDAT", _z.compress(pack_rows(idx, depth)))
+            + _png_chunk(b"IEND", b"")
+        )
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        assert np.array_equal(png_decode(rawp), pal[idx]), depth
+
+    # Adam7 8-bit RGB: extract the seven passes test-side, filter 0
+    img = _test_image(w=13, h=9, ch=3)
+    passes = bytearray()
+    for x0, dx, y0, dy in (
+        (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+        (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+    ):
+        sub = img[y0::dy, x0::dx]
+        for row in sub:
+            passes.append(0)
+            passes += row.tobytes()
+    ihdr = struct.pack(">IIBBBBB", 13, 9, 8, 2, 0, 0, 1)
+    rawi = (
+        SIGNATURE + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _z.compress(bytes(passes)))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(png_decode(rawi), img)
