@@ -19,15 +19,14 @@ Two modes:
   payloads standing in for media bytes;
 - real mode (`fake=False`) decodes the codec families expressible in
   pure stdlib+numpy — PPM/PGM (P6/P5) and BMP headers for image
-  metadata, full PNG decode/encode (multimodal/png.py: zlib inflate +
-  scanline unfilter; 1/2/4/8-bit gray+palette, 8-bit RGB(A), Adam7) and baseline JPEG decode/encode
+  metadata, COMPLETE static-PNG decode (multimodal/png.py: all
+  depths, palette, Adam7; 16-bit to uint16) with 8-bit encode and baseline JPEG decode/encode
   (multimodal/jpeg.py: Huffman + DCT, any JFIF sampling, restart
   intervals) and GIF87a/89a first-frame decode/encode
   (multimodal/gif.py: LZW, interlace, transparency), nearest-neighbor
   resize for PPM/PNG/JPEG/GIF, RIFF/WAV framing via the stdlib
   `wave` module. The remaining codecs (progressive/multi-scan JPEG,
-  16-bit PNG, animated-GIF frames past the first, WEBP/TIFF, FLAC,
-  MP4…) raise
+  animated-GIF frames past the first, WEBP/TIFF, FLAC, MP4…) raise
   NotImplementedError naming the library a cluster image would add
   (PIL / libsndfile / pyav); the Spark-side contract is identical
   either way.
@@ -198,6 +197,8 @@ def resize_images(
             if max(w, h) <= max_side:
                 return raw
             data = png_decode(raw)
+            if data.dtype == np.uint16:  # 16-bit: thumbnail at 8-bit
+                data = (data >> 8).astype(np.uint8)
             scale = max(w, h) / max_side
             nw, nh = max(1, round(w / scale)), max(1, round(h / scale))
             ys = np.minimum((np.arange(nh) * (h / nh)).astype(int), h - 1)

@@ -6,9 +6,10 @@ is likewise real (multimodal/jpeg.py).
 Scope: grayscale (color type 0) and palette (3, expanded through
 PLTE with tRNS alpha) at 1/2/4/8-bit depths; RGB (2), gray+alpha (4)
 and RGBA (6) at 8-bit; Adam7-interlaced OR sequential for all of
-those (the seven-pass grid deinterlaces with per-pass unfiltering).
-Only 16-bit samples still raise NotImplementedError naming PIL —
-the loud-stub policy's last PNG holdout. The five scanline
+those (the seven-pass grid deinterlaces with per-pass unfiltering);
+16-bit samples decode to uint16 (filters invert on the byte stream
+with a 2*ch left distance, per spec §9). Static PNG is COMPLETE —
+every remaining failure is a malformed payload failing by name. The five scanline
 filters (None/Sub/Up/Average/Paeth, PNG spec §9) are all implemented:
 Up is vectorized row-wise; Sub/Average/Paeth reconstruct left-to-
 right per row (the spec's own data dependency).
@@ -65,25 +66,25 @@ def png_meta(raw: bytes) -> tuple[int, int, int, int]:
 
 
 def _check_supported(depth: int, ctype: int, interlace: int) -> int:
-    """Returns channels/pixel. Supported: 1/2/4/8-bit grayscale (0)
-    and palette (3); 8-bit RGB (2), gray+alpha (4), RGBA (6); Adam7
-    or sequential for all of those. 16-bit samples stay stubbed."""
+    """Returns channels/pixel. Supported: the full static-PNG matrix —
+    1/2/4/8-bit grayscale (0) and palette (3); 8/16-bit for
+    grayscale, RGB (2), gray+alpha (4), RGBA (6); Adam7 or
+    sequential for all of those."""
     if interlace not in (0, 1):
         raise ValueError(f"malformed PNG: interlace method {interlace}")
-    if ctype in (0, 3):
+    if ctype == 3:
         if depth not in (1, 2, 4, 8):
-            raise NotImplementedError(
-                f"STUB: {depth}-bit PNG requires PIL (pillow); "
-                "pure-python real mode covers 1/2/4/8-bit samples"
-            )
+            raise ValueError(f"malformed PNG: {depth}-bit palette depth")
+        return 1
+    if ctype == 0:
+        if depth not in (1, 2, 4, 8, 16):
+            raise ValueError(f"malformed PNG: {depth}-bit gray depth")
         return 1
     if ctype not in _CHANNELS:
         raise ValueError(f"malformed PNG: color type {ctype}")
-    if depth != 8:
-        raise NotImplementedError(
-            f"STUB: {depth}-bit PNG requires PIL (pillow); "
-            "pure-python real mode covers 8-bit samples for color "
-            f"type {ctype}"
+    if depth not in (8, 16):
+        raise ValueError(
+            f"malformed PNG: {depth}-bit depth for color type {ctype}"
         )
     return _CHANNELS[ctype]
 
@@ -145,7 +146,9 @@ def _unpack_samples(row: np.ndarray, depth: int, n: int) -> np.ndarray:
 
 
 def png_decode(raw: bytes) -> np.ndarray:
-    """Decode to a (h, w, channels) uint8 array."""
+    """Decode to a (h, w, channels) array — uint8, or uint16 for
+    16-bit-per-sample files (callers thumbnailing 16-bit media
+    downconvert with >> 8, as resize_images does)."""
     if raw[: len(SIGNATURE)] != SIGNATURE:
         raise ValueError("malformed PNG: bad signature")
     w = h = None
@@ -175,12 +178,17 @@ def png_decode(raw: bytes) -> np.ndarray:
     if not idat:
         raise ValueError("malformed PNG: no IDAT data")
     bpp = max(1, depth * ch // 8)
-    flat = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    try:
+        inflated = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"malformed PNG: IDAT inflate failed ({e})") from None
+    flat = np.frombuffer(inflated, dtype=np.uint8)
 
     def pass_bytes(pw: int, ph: int) -> int:
         return ph * ((pw * ch * depth + 7) // 8 + 1)
 
-    samples = np.zeros((h, w * ch), dtype=np.uint8)
+    sample_dtype = np.uint16 if depth == 16 else np.uint8
+    samples = np.zeros((h, w * ch), dtype=sample_dtype)
     if interlace:
         passes = [
             (x0, dx, y0, dy,
@@ -205,7 +213,15 @@ def png_decode(raw: bytes) -> np.ndarray:
         off += n
         rec = _unfilter(lines, stride, bpp)
         for j in range(ph):
-            vals = _unpack_samples(rec[j], depth, pw * ch).reshape(pw, ch)
+            if depth == 16:
+                # filters operate on BYTES (bpp = 2*ch); samples are
+                # the big-endian 16-bit view of the reconstruction
+                vals = (
+                    rec[j].view(">u2").astype(np.uint16)[: pw * ch]
+                    .reshape(pw, ch)
+                )
+            else:
+                vals = _unpack_samples(rec[j], depth, pw * ch).reshape(pw, ch)
             row = samples[y0 + j * dy].reshape(w, ch)
             row[x0::dx][:pw] = vals
     if ctype == 0 and depth < 8:

@@ -296,12 +296,14 @@ def test_png_unsupported_variants_stay_loudly_stubbed():
             + _png_chunk(b"IDAT", b"x") + _png_chunk(b"IEND", b"")
         )
 
-    # palette (any depth) and Adam7 decode as of late r4; a PLTE-less
-    # palette image is malformed, not a stub. 16-bit stays stubbed.
+    # the full static-PNG matrix decodes as of late r4 — what remains
+    # are MALFORMED payloads failing by name, never silent garbage
     with _pt.raises(ValueError, match="without PLTE"):
         png_decode(mk(8, 3, 0))
-    with _pt.raises(NotImplementedError, match="16-bit.*PIL"):
-        png_decode(mk(16, 2, 0))
+    with _pt.raises(ValueError, match="16-bit palette|palette depth"):
+        png_decode(mk(16, 3, 0))
+    with _pt.raises(ValueError, match="inflate failed"):
+        png_decode(mk(16, 2, 0))  # garbage IDAT bytes
     with _pt.raises(ValueError, match="truncated"):
         png_decode(SIGNATURE + b"\x00\x00\x00\x0dIHDRshort")
 
@@ -666,3 +668,51 @@ def test_png_sub_byte_depths_and_adam7():
         + _png_chunk(b"IEND", b"")
     )
     assert np.array_equal(png_decode(rawi), img)
+
+
+def test_png_16bit_decode():
+    import struct
+    import zlib as _z
+
+    import numpy as np
+
+    from core_spark.multimodal.png import SIGNATURE, png_decode
+
+    h, w = 5, 7
+    img = (np.arange(h * w * 3).reshape(h, w, 3) * 997 % 65536).astype(
+        np.uint16
+    )
+    scan = b"".join(
+        b"\x00" + img[y].astype(">u2").tobytes() for y in range(h)
+    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)
+    raw = (
+        SIGNATURE + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _z.compress(scan)) + _png_chunk(b"IEND", b"")
+    )
+    dec = png_decode(raw)
+    assert dec.dtype == np.uint16
+    assert np.array_equal(dec, img)
+
+    # 16-bit grayscale with a Sub-filtered row: the filter's left
+    # distance is 2 bytes (bpp), exercised against a test-side filter
+    g = (np.arange(w, dtype=np.uint16) * 4099 % 65536)[None, :].repeat(
+        h, axis=0
+    )
+    rows = bytearray()
+    for y in range(h):
+        raw_b = g[y].astype(">u2").tobytes()
+        if y == 2:  # forward Sub filter with bpp=2
+            fb = bytearray(raw_b)
+            for x in range(len(fb) - 1, 1, -1):
+                fb[x] = (fb[x] - raw_b[x - 2]) & 0xFF
+            rows += b"\x01" + bytes(fb)
+        else:
+            rows += b"\x00" + raw_b
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)
+    raw = (
+        SIGNATURE + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _z.compress(bytes(rows)))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(png_decode(raw)[..., 0], g)
