@@ -18,8 +18,9 @@ Two modes:
   pipeline is runnable and oracle-checkable end-to-end with text
   payloads standing in for media bytes;
 - real mode (`fake=False`) decodes the codec families expressible in
-  pure stdlib+numpy — PPM/PGM (P6/P5) and BMP headers for image
-  metadata, COMPLETE static-PNG decode (multimodal/png.py: all
+  pure stdlib+numpy — PPM/PGM (P6/P5) decode, full BMP decode/encode
+  (multimodal/bmp.py: 8-bit palette / 24-bit / 32-bit BI_RGB, either
+  row order), COMPLETE static-PNG decode (multimodal/png.py: all
   depths, palette, Adam7; 16-bit to uint16) with 8-bit encode and baseline JPEG decode/encode
   (multimodal/jpeg.py: Huffman + DCT, any JFIF sampling, restart
   intervals) and GIF87a/89a first-frame decode/encode
@@ -121,19 +122,10 @@ def decode_image_meta(
                 w, h = ppm_header(raw)
                 return "image/x-portable-graymap", w, h
             if raw[:2] == b"BM" and len(raw) >= 26:
-                # width/height live at 18/22 only for the 40-byte
-                # BITMAPINFOHEADER family (40/52/56/108/124); the
-                # 12-byte OS/2 BITMAPCOREHEADER packs 16-bit dims at
-                # 18/20 — reading it as <ii would return garbage, so
-                # raise rather than mis-decode.
-                dib = struct.unpack_from("<I", raw, 14)[0]
-                if dib < 40:
-                    raise NotImplementedError(
-                        f"STUB: BMP with {dib}-byte DIB header "
-                        "(BITMAPCOREHEADER) requires PIL (pillow)"
-                    )
-                w, h = struct.unpack_from("<ii", raw, 18)
-                return "image/bmp", w, abs(h)  # negative h = top-down rows
+                from core_spark.multimodal.bmp import bmp_meta
+
+                w, h, _bits = bmp_meta(raw)
+                return "image/bmp", w, h
             raise NotImplementedError(
                 f"STUB: image codec with magic {raw[:4]!r} requires PIL "
                 "(pillow); pure-python real mode covers PPM/PGM/BMP"
@@ -247,6 +239,23 @@ def resize_images(
             # can only shrink — re-encode never needs quantization
             return gif_encode(data[ys][:, xs])
 
+        def resize_bmp(raw: bytes) -> bytes:
+            from core_spark.multimodal.bmp import (
+                bmp_decode,
+                bmp_encode,
+                bmp_meta,
+            )
+
+            w, h, _bits = bmp_meta(raw)
+            if max(w, h) <= max_side:
+                return raw
+            data = bmp_decode(raw)[..., :3]  # 32-bit thumbnails drop alpha
+            scale = max(w, h) / max_side
+            nw, nh = max(1, round(w / scale)), max(1, round(h / scale))
+            ys = np.minimum((np.arange(nh) * (h / nh)).astype(int), h - 1)
+            xs = np.minimum((np.arange(nw) * (w / nw)).astype(int), w - 1)
+            return bmp_encode(data[ys][:, xs])
+
         def resize_p6(raw: bytes) -> bytes:
             if raw[:8] == b"\x89PNG\r\n\x1a\n":
                 return resize_png(raw)
@@ -254,6 +263,8 @@ def resize_images(
                 return resize_jpeg(raw)
             if raw[:6] in (b"GIF87a", b"GIF89a"):
                 return resize_gif(raw)
+            if raw[:2] == b"BM":
+                return resize_bmp(raw)
             if raw[:2] != b"P6":
                 raise NotImplementedError(
                     f"STUB: resize for magic {raw[:4]!r} requires PIL "

@@ -716,3 +716,67 @@ def test_png_16bit_decode():
         + _png_chunk(b"IEND", b"")
     )
     assert np.array_equal(png_decode(raw)[..., 0], g)
+
+
+def test_bmp_decode_roundtrip_palette_and_orientation(spark):
+    import struct
+
+    import numpy as np
+    import pytest as _pt
+
+    from core_spark.multimodal.bmp import bmp_decode, bmp_encode, bmp_meta
+    from core_spark.multimodal.columns import decode_image_meta, resize_images
+
+    img = _test_image(w=13, h=9, ch=3)
+    raw = bmp_encode(img)
+    assert bmp_meta(raw) == (13, 9, 24)
+    assert np.array_equal(bmp_decode(raw), img)
+
+    # top-down variant: negate height, reverse rows in the body
+    flipped = bmp_encode(img[::-1])
+    td = bytearray(flipped)
+    struct.pack_into("<i", td, 22, -9)
+    assert np.array_equal(bmp_decode(bytes(td)), img)
+
+    # 8-bit palette: header + 4-byte BGRX entries + padded index rows
+    w, h = 7, 3
+    idx = (np.arange(h * w).reshape(h, w) % 4).astype(np.uint8)
+    pal = bytes(b for c in range(4) for b in (255 - c * 60, c * 60, c * 10, 0))
+    row_bytes = (w + 3) // 4 * 4
+    body = np.zeros((h, row_bytes), dtype=np.uint8)
+    body[:, :w] = idx[::-1]
+    raw8 = (
+        struct.pack("<2sIHHI", b"BM", 0, 0, 0, 54 + len(pal))
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, 0, 0, 0, 4, 0)
+        + pal + body.tobytes()
+    )
+    dec = bmp_decode(raw8)
+    want = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 4)[:, [2, 1, 0]][idx]
+    assert np.array_equal(dec, want)
+
+    # 32-bit BGRA keeps alpha
+    rgba = np.dstack([img, np.full(img.shape[:2], 7, np.uint8)])
+    bgra = rgba[::-1][:, :, [2, 1, 0, 3]]
+    raw32 = (
+        struct.pack("<2sIHHI", b"BM", 0, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 13, 9, 1, 32, 0, 0, 0, 0, 0, 0)
+        + bgra.tobytes()
+    )
+    assert np.array_equal(bmp_decode(raw32), rgba)
+
+    with _pt.raises(NotImplementedError, match="RLE|compression"):
+        bad = bytearray(raw)
+        struct.pack_into("<I", bad, 30, 1)
+        bmp_decode(bytes(bad))
+    with _pt.raises(ValueError, match="truncated"):
+        bmp_decode(raw[:70])
+
+    # kernel integration: meta + resize over Spark
+    big = bmp_encode(_test_image(w=300, h=150, ch=3))
+    df = spark.createDataFrame(
+        [(1, bytearray(big))], "doc_id long, payload binary"
+    )
+    meta = decode_image_meta(df, fake=False).first()
+    assert (meta.mime, meta.width, meta.height) == ("image/bmp", 300, 150)
+    out = resize_images(df, max_side=64, fake=False).first()
+    assert bmp_decode(bytes(out.payload)).shape == (32, 64, 3)
