@@ -270,3 +270,32 @@ def test_compact_respects_target_and_skips_postfix(spark, journal):
     assert journal.read(spark).count() == 25
     # a second compaction at the same target is a no-op
     assert journal.compact(spark, target_records=10) == 0
+
+
+def test_compact_lost_cas_race_rolls_back(spark, journal, monkeypatch):
+    """A concurrent appender winning the manifest CAS must leave the
+    journal exactly as before: no merged fragment dirs, no manifest
+    change — the caller retries."""
+    import os
+
+    from core_spark.sources.journal import AppendConflict, Journal
+
+    for lo in range(0, 20, 5):
+        journal.append(_df(spark, lo, lo + 5))
+    m0 = journal.manifest()
+
+    def lose(self, m):
+        raise AppendConflict("concurrent appender won")
+
+    monkeypatch.setattr(Journal, "_commit_manifest", lose)
+    with pytest.raises(AppendConflict):
+        journal.compact(spark, target_records=1000)
+    monkeypatch.undo()
+
+    m1 = journal.manifest()
+    assert m1.version == m0.version
+    assert [f.path for f in m1.fragments] == [f.path for f in m0.fragments]
+    on_disk = sorted(os.listdir(journal.frag_dir))
+    assert on_disk == sorted(os.path.basename(f.path) for f in m1.fragments)
+    # and a retry succeeds
+    assert journal.compact(spark, target_records=1000) == 3
