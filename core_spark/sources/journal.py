@@ -161,8 +161,20 @@ class Journal:
         return self._rate_cache[1]
 
     # ----------------------------------------------------------- manifest
-    def manifest(self) -> Manifest:
+    def manifest(self, at_version: int | None = None) -> Manifest:
+        """Latest manifest, or — `at_version` — the newest manifest
+        whose version is <= the bound: manifests are an immutable CAS
+        history, so every past state remains addressable (time-travel,
+        the Delta/Iceberg snapshot-read pattern for free). Fragments a
+        later prune/compact deleted may no longer resolve; reads of a
+        pruned snapshot fail loudly on the missing path."""
         versions = self.store.list_versions()
+        if at_version is not None:
+            versions = [v for v in versions if v <= at_version]
+            if not versions:
+                raise ValueError(
+                    f"no manifest at or before version {at_version}"
+                )
         if not versions:
             return Manifest()
         return Manifest.from_json(self.store.read(max(versions)))
@@ -315,13 +327,16 @@ class Journal:
         begin: int | None = None,
         end: int | None = None,
         begin_mod_time: float | None = None,
+        at_version: int | None = None,
     ) -> DataFrame:
         """Read the journal from `begin` (inclusive) to `end`
         (exclusive), pruning non-covering fragments before the scan
         (offset→fragment index query, broker/fragment/index.go:41-131);
-        `begin_mod_time` skips old fragments (protocol.proto:441-446).
+        `begin_mod_time` skips old fragments (protocol.proto:441-446);
+        `at_version` reads the journal AS OF a past manifest version
+        (time travel over the immutable CAS history).
         """
-        m = self.manifest()
+        m = self.manifest(at_version=at_version)
         frags = [
             f
             for f in m.fragments

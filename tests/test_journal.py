@@ -299,3 +299,24 @@ def test_compact_lost_cas_race_rolls_back(spark, journal, monkeypatch):
     assert on_disk == sorted(os.path.basename(f.path) for f in m1.fragments)
     # and a retry succeeds
     assert journal.compact(spark, target_records=1000) == 3
+
+
+def test_time_travel_read_at_version(spark, journal):
+    """Manifests are an immutable CAS history, so any past state is
+    addressable: read(at_version=v) sees exactly the rows committed
+    through v — including registers as of that commit."""
+    journal.append(_df(spark, 0, 5), set_registers={"k": "a"})
+    v1 = journal.manifest().version
+    journal.append(_df(spark, 5, 12), set_registers={"k": "b"})
+
+    assert journal.read(spark).count() == 12
+    old = journal.read(spark, at_version=v1)
+    assert old.count() == 5
+    assert old.agg({"_offset": "max"}).first()[0] == 4
+    assert journal.manifest(at_version=v1).registers["k"] == "a"
+    assert journal.manifest().registers["k"] == "b"
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="no manifest at or before"):
+        journal.manifest(at_version=0)
