@@ -6,6 +6,7 @@ from core_spark.multimodal.columns import (
     decode_image_meta,
     resize_images,
     sample_audio_frames,
+    sample_video_frames,
 )
 
 __all__ = [
@@ -13,4 +14,5 @@ __all__ = [
     "decode_image_meta",
     "resize_images",
     "sample_audio_frames",
+    "sample_video_frames",
 ]

@@ -376,3 +376,103 @@ def sample_audio_frames(
     return df.select("doc_id", payload_col).mapInPandas(
         sample, schema=AUDIO_FRAME_SCHEMA
     )
+
+
+VIDEO_FRAME_SCHEMA = (
+    "doc_id long, frame_idx long, t_ms long, width long, height long,"
+    " mean_luma double"
+)
+
+
+def sample_video_frames(
+    df: DataFrame, payload_col: str = "payload", every_ms: int = 1000,
+    fake: bool = True,
+) -> DataFrame:
+    """Sample video payloads at fixed timestamps (one row per sampled
+    frame: source frame index, timestamp, dimensions, mean luma) —
+    the decode + temporal-subsample stage of a video curation
+    pipeline, as an Arrow `mapInPandas` fan-out like
+    `sample_audio_frames`.
+
+    Real mode plays back animated GIF (multimodal/gif.py composites
+    frames with full disposal semantics) and samples the frame
+    visible at each multiple of `every_ms`; mean_luma is the ITU-R
+    BT.601 luma average of the composed canvas. MP4/WEBM/AVI raise
+    NotImplementedError naming pyav (no media libs in this
+    container); the Spark-side contract — schema, batching, fan-out
+    shape — is identical. Fake mode derives every output from md5
+    arithmetic a SQL oracle reproduces.
+    """
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        def gif_samples(doc_id: int, raw: bytes):
+            from core_spark.multimodal.gif import gif_frames
+
+            t = 0
+            next_t = 0
+            fi = 0
+            first = None
+            got = False
+            for delay, arr in gif_frames(raw):
+                if first is None:
+                    first = arr
+                while next_t < t + delay:
+                    got = True
+                    yield (doc_id, fi, next_t) + frame_stats(arr)
+                    next_t += every_ms
+                t += delay
+                fi += 1
+            if not got:  # zero-duration animation: sample frame 0
+                yield (doc_id, 0, 0) + frame_stats(first)
+
+        def frame_stats(arr):
+            luma = (
+                0.299 * arr[..., 0] + 0.587 * arr[..., 1] + 0.114 * arr[..., 2]
+            )
+            return (arr.shape[1], arr.shape[0], float(luma.mean()))
+
+        for pdf in batches:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf[payload_col]):
+                raw = bytes(b)
+                if fake:
+                    hex0 = hashlib.md5(raw).hexdigest()
+                    w = 64 + int(hex0[0:4], 16) % 512
+                    h = 64 + int(hex0[8:12], 16) % 512
+                    for fi in range(max(1, len(raw) // 200)):
+                        hx = hashlib.md5(
+                            raw + b":" + str(fi).encode()
+                        ).hexdigest()
+                        rows.append(
+                            (
+                                int(doc_id),
+                                fi,
+                                fi * every_ms,
+                                w,
+                                h,
+                                (int(hx[0:8], 16) % 256000) / 1000.0,
+                            )
+                        )
+                elif raw[:6] in (b"GIF87a", b"GIF89a"):
+                    rows.extend(gif_samples(int(doc_id), raw))
+                else:
+                    raise NotImplementedError(
+                        f"STUB: video container with magic {raw[:4]!r} "
+                        "requires pyav; pure-python real mode plays "
+                        "animated GIF"
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "t_ms", "width", "height",
+                    "mean_luma",
+                ],
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(
+        sample, schema=VIDEO_FRAME_SCHEMA
+    )

@@ -2,14 +2,19 @@
 third common scraped-web image format after PNG and JPEG
 (multimodal/png.py, jpeg.py), in a container without PIL.
 
-Scope: GIF87a/GIF89a, first image frame, global or local color
-table, interlaced or sequential rows, GIF89a graphic-control
-transparency (decoded to an alpha channel). Animation is
-first-frame-only BY DESIGN for a curation pipeline (metadata +
-thumbnail work reads frame 0; `gif_meta` reports the frame count so
-a pipeline can route animations differently). Malformed structures
-raise named ValueErrors; there is no unsupported-variant stub left
-for static GIFs.
+Scope: GIF87a/GIF89a, global or local color table, interlaced or
+sequential rows, GIF89a graphic-control transparency (decoded to an
+alpha channel), and FULL ANIMATION: `gif_frames` composites every
+frame onto the logical screen honoring disposal methods 0-3
+(none / keep / restore-background / restore-previous) and yields
+(delay_ms, rgb) pairs, which is what backs the video
+frame-sampling kernel (columns.sample_video_frames) — animated GIF
+is the one video-like container expressible in pure stdlib, so it
+is the real-mode stand-in for MP4/WEBM (which raise, naming pyav).
+`gif_encode_anim` writes multi-frame GIFs (per-frame GCE delays +
+NETSCAPE loop block) so the compositing path is exercised by
+construction. Malformed structures raise named ValueErrors; there
+is no unsupported-variant stub left for GIF.
 
 The encoder exists for tests and the resize round-trip: it builds a
 palette from the image's distinct colors (<= 256, else raises — a
@@ -259,4 +264,175 @@ def gif_encode(arr: np.ndarray) -> bytes:
         out.append(len(chunk))
         out += chunk
     out += b"\x00\x3b"
+    return bytes(out)
+
+
+def gif_frames(raw: bytes, max_frames: int | None = None):
+    """Composite every animation frame onto the logical screen and
+    yield `(delay_ms, rgb)` pairs (uint8 (sh, sw, 3)).
+
+    Disposal semantics (GIF89a spec §23, graphic-control packed
+    field): 0/1 leave the frame in place, 2 restores the frame's
+    rect to the background color, 3 restores the pre-draw pixels.
+    Transparent pixels never overwrite the canvas, so partial-update
+    animations (the common delta-encoded case) compose correctly.
+    Reference parity: this is the decode stage a video curation
+    pipeline runs per asset — the engine itself still only moves
+    opaque bytes (message/interfaces.go:121-124).
+    """
+    sw, sh = _screen(raw)
+    gflags = raw[10]
+    bg = raw[11]
+    gct, i = _color_table(raw, 13, gflags)
+    if gct is not None:
+        bg_rgb = gct[min(bg, gct.shape[0] - 1)]
+    else:
+        bg_rgb = np.zeros(3, dtype=np.uint8)
+    canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).copy()
+    transparent: int | None = None
+    delay_ms = 0
+    disposal = 0
+    n = 0
+    while i < len(raw):
+        b = raw[i]
+        if b == 0x3B:
+            break
+        if b == 0x21:
+            label = raw[i + 1]
+            data, i = _sub_blocks(raw, i + 2)
+            if label == 0xF9 and len(data) >= 4:
+                disposal = (data[0] >> 2) & 0x07
+                delay_ms = struct.unpack_from("<H", data, 1)[0] * 10
+                transparent = data[3] if data[0] & 0x01 else None
+            continue
+        if b != 0x2C:
+            raise ValueError(f"malformed GIF: unknown block 0x{b:02X}")
+        left, top, fw, fh = struct.unpack_from("<HHHH", raw, i + 1)
+        lflags = raw[i + 9]
+        lct, i = _color_table(raw, i + 10, lflags)
+        palette = lct if lct is not None else gct
+        if palette is None:
+            raise ValueError("malformed GIF: frame has no color table")
+        min_code = raw[i]
+        data, i = _sub_blocks(raw, i + 1)
+        idx = np.array(
+            _lzw_decode(data, min_code, fw * fh), dtype=np.int32
+        ).reshape(fh, fw)
+        if lflags & 0x40:
+            rows = np.empty(fh, dtype=np.int64)
+            k = 0
+            for start, step in _INTERLACE:
+                for y in range(start, fh, step):
+                    rows[y] = k
+                    k += 1
+            idx = idx[rows]
+        if int(idx.max()) >= palette.shape[0]:
+            raise ValueError(
+                f"malformed GIF: pixel index {int(idx.max())} outside "
+                f"{palette.shape[0]}-entry palette"
+            )
+        rect = canvas[top : top + fh, left : left + fw]
+        saved = rect.copy() if disposal == 3 else None
+        rgb = palette[idx]
+        if transparent is not None:
+            mask = idx != transparent
+            rect[mask] = rgb[mask]
+        else:
+            rect[...] = rgb
+        yield delay_ms, canvas.copy()
+        n += 1
+        if max_frames is not None and n >= max_frames:
+            return
+        if disposal == 2:
+            rect[...] = bg_rgb
+        elif disposal == 3:
+            rect[...] = saved
+        disposal = 0
+        transparent = None
+        delay_ms = 0
+    if n == 0:
+        raise ValueError("malformed GIF: no image frame")
+
+
+def _lzw_encode_literal(idx: np.ndarray, min_code: int) -> bytearray:
+    """Literal-code LZW stream (CLEAR before any width bump) — shared
+    by the static and animated encoders."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    width = min_code + 1
+    acc = 0
+    nbits = 0
+    body = bytearray()
+
+    def emit(code: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            body.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    next_code = eoi + 1
+    for px in idx.reshape(-1):
+        if next_code >= (1 << width) - 1:
+            emit(clear)
+            next_code = eoi + 1
+        emit(int(px))
+        next_code += 1
+    emit(eoi)
+    if nbits:
+        body.append(acc & 0xFF)
+    return body
+
+
+def gif_encode_anim(
+    frames: list[np.ndarray], delays_ms: list[int], loop: int = 0
+) -> bytes:
+    """Encode full frames as an animated GIF89a: one global palette
+    built from the union of all frames' colors (<= 256 else raises —
+    quantization is PIL's job), a NETSCAPE2.0 loop block, and a
+    graphic-control extension per frame carrying its delay. Frames
+    are written whole (disposal 1) — delta encoding is an optimizer,
+    not a format requirement — so `gif_frames` round-trips exactly.
+    """
+    if len(frames) != len(delays_ms) or not frames:
+        raise ValueError("frames and delays_ms must be equal-length, non-empty")
+    h, w = frames[0].shape[:2]
+    for f in frames:
+        if f.shape[:2] != (h, w):
+            raise ValueError("animated GIF frames must share dimensions")
+    stack = np.concatenate([f.reshape(-1, 3) for f in frames])
+    colors, inv = np.unique(stack, axis=0, return_inverse=True)
+    if colors.shape[0] > 256:
+        raise ValueError(
+            f"{colors.shape[0]} distinct colors exceed GIF's 256-entry "
+            "palette; quantize first (PIL)"
+        )
+    bits = max(2, int(np.ceil(np.log2(max(2, colors.shape[0])))))
+    n_pal = 1 << bits
+    pal = np.zeros((n_pal, 3), dtype=np.uint8)
+    pal[: colors.shape[0]] = colors
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    out += pal.tobytes()
+    # NETSCAPE2.0 application extension: loop count (0 = forever)
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01" + struct.pack("<H", loop) + b"\x00"
+    inv = inv.reshape(len(frames), h * w)
+    for fi, delay in enumerate(delays_ms):
+        out += b"\x21\xf9\x04" + bytes([0x04]) + struct.pack(
+            "<H", max(0, delay) // 10
+        ) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        min_code = bits
+        body = _lzw_encode_literal(inv[fi], min_code)
+        out.append(min_code)
+        for j in range(0, len(body), 255):
+            chunk = body[j : j + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
     return bytes(out)

@@ -87,3 +87,43 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     resized = resize_images(attach_payload(docs), max_side=256)
     return decode_image_meta(resized).orderBy("doc_id")
+
+
+@query(
+    "q_frame_sample",
+    oracle="""
+    WITH d AS (SELECT doc_id, text, strlen(text) AS len FROM documents),
+    f AS (
+      SELECT doc_id, text,
+             unnest(range(CAST(greatest(1, len // 200) AS BIGINT)))
+               AS frame_idx
+      FROM d
+    )
+    SELECT doc_id, frame_idx,
+           frame_idx * 1000 AS t_ms,
+           64 + CAST('0x' || substr(md5(text), 1, 4) AS BIGINT) % 512
+             AS width,
+           64 + CAST('0x' || substr(md5(text), 9, 4) AS BIGINT) % 512
+             AS height,
+           (CAST('0x' || substr(md5(text || ':' ||
+                 CAST(frame_idx AS VARCHAR)), 1, 8) AS BIGINT)
+            % 256000) / 1000.0 AS mean_luma
+    FROM f ORDER BY doc_id, frame_idx
+    """,
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: each payload played back and sampled at
+    fixed timestamps inside the Arrow stage (columns.
+    sample_video_frames) — the temporal-subsample fan-out of a video
+    curation pass, with per-frame dimensions and mean luma. Real
+    mode composites animated GIF with full disposal semantics
+    (multimodal/gif.py gif_frames, exercised in
+    tests/test_multimodal.py); the fake mode run here derives every
+    output from md5 arithmetic the oracle reproduces, proving the
+    schema/batching/fan-out plumbing on text payloads."""
+    from core_spark.multimodal import sample_video_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_video_frames(attach_payload(docs)).orderBy(
+        "doc_id", "frame_idx"
+    )
