@@ -25,12 +25,15 @@ Two modes:
   (multimodal/jpeg.py: Huffman + DCT, any JFIF sampling, restart
   intervals) and GIF87a/89a first-frame decode/encode
   (multimodal/gif.py: LZW, interlace, transparency), nearest-neighbor
-  resize for PPM/PNG/JPEG/GIF, RIFF/WAV framing via the stdlib
-  `wave` module. The remaining codecs (progressive/multi-scan JPEG,
-  animated-GIF frames past the first, WEBP/TIFF, FLAC, MP4…) raise
-  NotImplementedError naming the library a cluster image would add
-  (PIL / libsndfile / pyav); the Spark-side contract is identical
-  either way.
+  resize for PPM/PNG/JPEG/GIF, animated-GIF playback with disposal
+  compositing (multimodal/gif.py gif_frames) behind the video
+  frame sampler, RIFF/WAV framing via the stdlib `wave` module,
+  and FLAC decode/encode (multimodal/flac.py: fixed + LPC
+  prediction, Rice residuals incl. escapes, stereo decorrelation,
+  CRC-verified). The remaining codecs (progressive/multi-scan
+  JPEG, WEBP/TIFF, MP3/AAC, MP4/WEBM…) raise NotImplementedError
+  naming the library a cluster image would add (PIL / libsndfile /
+  pyav); the Spark-side contract is identical either way.
 
 Worker closures are self-contained up to this package (stdlib +
 pandas + numpy + the pure-python codec modules, imported lazily
@@ -325,20 +328,39 @@ def sample_audio_frames(
 ) -> DataFrame:
     """Explode audio payloads into fixed-interval frames (1 row per
     frame — the fan-out shape of frame sampling). Real mode frames
-    RIFF/WAV via the stdlib `wave` module (PCM frames per slice ×
-    channels × sample width = n_bytes); other containers raise,
-    naming pyav. Fake mode treats every 100 bytes as one frame_ms."""
+    RIFF/WAV via the stdlib `wave` module and FLAC via the pure-
+    stdlib decoder (multimodal/flac.py: fixed/LPC prediction, Rice
+    residuals, stereo decorrelation, CRC-checked) — PCM frames per
+    slice × channels × sample width = n_bytes; other containers
+    raise, naming pyav. Fake mode treats every 100 bytes as one
+    frame_ms."""
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
         import wave
 
+        def flac_frames(doc_id: int, raw: bytes):
+            from core_spark.multimodal.flac import flac_decode, flac_meta
+
+            _rate, nch, bps, _total = flac_meta(raw)
+            pcm, fr = flac_decode(raw)
+            nf = pcm.shape[0]
+            sw = (bps + 7) // 8
+            per_slice = max(1, (fr * frame_ms) // 1000)
+            n_slices = max(1, -(-nf // per_slice))
+            for i in range(n_slices):
+                got = min(per_slice, nf - i * per_slice)
+                yield (doc_id, i, i * frame_ms, got * nch * sw)
+
         def wav_frames(doc_id: int, raw: bytes):
+            if raw[:4] == b"fLaC":
+                yield from flac_frames(doc_id, raw)
+                return
             if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
                 raise NotImplementedError(
                     f"STUB: audio container with magic {raw[:4]!r} "
                     "requires libsndfile/pyav; pure-python real mode "
-                    "covers RIFF/WAV PCM"
+                    "covers RIFF/WAV PCM and FLAC"
                 )
             with wave.open(io.BytesIO(raw)) as wf:
                 nch, sw, fr, nf = (

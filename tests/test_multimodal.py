@@ -916,3 +916,151 @@ def test_sample_video_frames_real_and_fake(spark):
     assert got[0].width == 64 + int(h0[0:4], 16) % 512
     exp = (int(hashlib.md5(payload + b":1").hexdigest()[:8], 16) % 256000) / 1000.0
     assert got[1].mean_luma == exp and got[1].t_ms == 1000
+
+
+class _FlacPacker:
+    """Independent test-side bit packer (MSB-first like FLAC)."""
+
+    def __init__(self):
+        self.bits = []
+
+    def w(self, v, n):
+        for i in range(n - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+
+    def align(self):
+        while len(self.bits) % 8:
+            self.bits.append(0)
+
+    def bytes(self):
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            b = 0
+            for bit in self.bits[i : i + 8]:
+                b = (b << 1) | bit
+            out.append(b)
+        return bytes(out)
+
+
+def test_flac_roundtrip_families():
+    import numpy as np
+
+    from core_spark.multimodal.flac import flac_decode, flac_encode, flac_meta
+
+    rng = np.random.default_rng(11)
+    t = np.arange(5000)
+    pcm = np.stack(
+        [
+            (2500 * np.sin(t / 40) + rng.integers(-9, 9, t.size)),
+            (1800 * np.cos(t / 70) + rng.integers(-9, 9, t.size)),
+        ],
+        axis=1,
+    ).astype(np.int32)
+    raw = flac_encode(pcm, sample_rate=16000, bps=16, block_size=512)
+    assert flac_meta(raw) == (16000, 2, 16, 5000)
+    dec, rate = flac_decode(raw)
+    assert rate == 16000 and np.array_equal(dec, pcm)
+    assert len(raw) < pcm.size * 2  # prediction actually compresses
+
+    noisy = rng.integers(-(1 << 15), (1 << 15) - 1, 777).astype(np.int32)
+    d2, _ = flac_decode(flac_encode(noisy, bps=16, block_size=192))
+    assert np.array_equal(d2[:, 0], noisy)
+
+    import pytest as _pt
+
+    bad = bytearray(raw)
+    bad[-1] ^= 0xFF
+    with _pt.raises(ValueError, match="CRC-16"):
+        flac_decode(bytes(bad))
+    with _pt.raises(ValueError, match="signature"):
+        flac_meta(b"flaC....")
+
+
+def test_flac_decoder_lpc_midside_escape_wasted():
+    """Hand-built frame exercising the decode-only paths the encoder
+    never emits: LPC prediction, mid/side stereo, a Rice escape
+    partition (5-bit method), and wasted bits."""
+    import numpy as np
+
+    from core_spark.multimodal.flac import _crc8, _crc16, flac_decode
+
+    n = 16
+    # STREAMINFO: rate 8000, 2ch, 16bps, 16 samples
+    info = bytearray()
+    info += (16).to_bytes(2, "big") + (16).to_bytes(2, "big")
+    info += (0).to_bytes(3, "big") * 2
+    info += ((8000 << 44) | (1 << 41) | (15 << 36) | n).to_bytes(8, "big")
+    info += b"\x00" * 16
+    raw = bytearray(b"fLaC")
+    raw += bytes([0x80]) + len(info).to_bytes(3, "big") + info
+
+    p = _FlacPacker()
+    p.w(0x3FFE, 14); p.w(0, 1); p.w(0, 1)
+    p.w(6, 4)       # 8-bit block size follows
+    p.w(0, 4)       # rate from STREAMINFO
+    p.w(10, 4)      # mid/side
+    p.w(0, 3); p.w(0, 1)
+    p.w(0, 8)       # frame number 0 (utf8 1-byte)
+    p.w(n - 1, 8)
+    p.align()
+    hdr = p.bytes()
+    p.w(_crc8(hdr), 8)
+
+    # mid subframe: LPC order 1, coeff 1, shift 0 -> s[i] = e[i] + s[i-1]
+    mids = [10]
+    resid = [3, -2, 5, 0, -7, 1, 2, -1, 4, -3, 6, 0, -5, 2, 1]
+    p.w(0, 1); p.w(32, 6); p.w(0, 1)     # LPC order 1, no wasted bits
+    p.w(mids[0] & 0xFFFF, 16)            # warmup
+    p.w(3, 4)                            # precision-1 -> 4 bits
+    p.w(0, 5)                            # shift 0
+    p.w(1, 4)                            # coeff = 1
+    p.w(1, 2)                            # residual method 1 (5-bit)
+    p.w(0, 4)                            # partition order 0
+    p.w(31, 5)                           # escape
+    p.w(6, 5)                            # raw 6-bit residuals
+    for e in resid:
+        p.w(e & 0x3F, 6)
+        mids.append(mids[-1] + e)
+
+    # side subframe: wasted bits = 1, CONSTANT 3 -> samples all 6
+    p.w(0, 1); p.w(0, 6)                 # CONSTANT
+    p.w(1, 1)                            # wasted-bits flag
+    p.w(1, 1)                            # unary 0 -> wasted = 1
+    p.w(3, 17 - 1, )                     # bps 16+1 side, minus wasted
+    p.align()
+    frame = p.bytes()
+    raw += frame + _crc16(frame).to_bytes(2, "big")
+
+    dec, rate = flac_decode(bytes(raw))
+    assert rate == 8000 and dec.shape == (n, 2)
+    m = np.array(mids)
+    s = np.full(n, 6)
+    left = ((np.left_shift(m, 1) | (s & 1)) + s) >> 1
+    right = left - s
+    assert np.array_equal(dec[:, 0], left)
+    assert np.array_equal(dec[:, 1], right)
+
+
+def test_sample_audio_frames_flac(spark):
+    import numpy as np
+
+    from core_spark.multimodal.columns import sample_audio_frames
+    from core_spark.multimodal.flac import flac_encode
+
+    t = np.arange(3000)
+    pcm = np.stack(
+        [(900 * np.sin(t / 30)), (700 * np.cos(t / 55))], axis=1
+    ).astype(np.int32)
+    raw = flac_encode(pcm, sample_rate=1000, bps=16, block_size=1024)
+    df = spark.createDataFrame(
+        [(5, bytearray(raw))], "doc_id long, payload binary"
+    )
+    rows = (
+        sample_audio_frames(df, fake=False).orderBy("frame_idx").collect()
+    )
+    # 3000 samples @1kHz = 3 one-second slices of 1000 samples
+    assert [(r.frame_idx, r.offset_ms, r.n_bytes) for r in rows] == [
+        (0, 0, 4000),
+        (1, 1000, 4000),
+        (2, 2000, 4000),
+    ]
