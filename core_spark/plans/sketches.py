@@ -476,11 +476,11 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector (node-width) plus one edge-width shuffle of contribs, and
     NOTHING is broadcast: a 10⁹-node rank table exceeds any broadcast
     limit, which is why the earlier broadcast(ranks) form was a
-    scale flag (VERDICT r3 §wrong-3). Every round's result except the
-    last is localCheckpoint'ed, truncating lineage so analysis cost
-    stays constant per round (the standard Pregel/GraphX pattern) —
-    the last round keeps its plan visible for callers and the
-    plan-shape test (see the loop comment). The oracle unrolls the
+    scale flag (VERDICT r3 §wrong-3). The fixed five-round loop keeps
+    its whole plan (no mid-loop checkpoint jobs — depth is bounded by
+    the constant round count; see the loop comment), so callers and
+    the plan-shape test see the persisted-graph ShuffledHashJoin in
+    every round. The oracle unrolls the
     same five rounds as chained CTEs — full hash parity for an
     iterative algorithm. Remainder mass from the floored divisions
     decays toward the 0.15 floor; acceptable and deterministic.
@@ -506,11 +506,24 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cluster scale 2|li| // 150k exceeds any session width, the cap
     # wins, and the plan is identical to the unpinned one — the same
     # explicit-width discipline as the CC loop (operators/graph.py).
-    # The row count is one parquet-metadata-weight job; the build
+    # Row count is estimated from SOURCE BYTES (pure filesystem
+    # metadata — zero Spark jobs; ~18 B/row measured on the zstd
+    # lineitem parquet, so bytes // 1_350_000 ≈ 2·rows // 150_000),
+    # falling back to a count() job when the path isn't statable.
+    # This is the table-stats sizing a real catalog serves for free;
+    # the width only picks shuffle fan-out, never results. The build
     # itself keeps full SCAN parallelism either way (file splits, not
     # shuffle partitions, drive it) and only its shuffles narrow.
+    import os
+
     session_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    width = min(session_width, max(4, (2 * li.count()) // 150_000))
+    try:
+        li_bytes = os.path.getsize(
+            os.path.join(sf_dir, "lineitem.parquet")
+        )
+        width = min(session_width, max(4, li_bytes // 1_350_000))
+    except OSError:
+        width = min(session_width, max(4, (2 * li.count()) // 150_000))
     spark.conf.set("spark.sql.shuffle.partitions", str(width))
     try:
         return _pr_build_and_loop(
@@ -583,44 +596,42 @@ def _pr_loop(graph: DataFrame, session_width: int) -> DataFrame:
         joined = graph.join(
             ranks.hint("shuffle_hash"), graph["u"] == ranks["node"]
         )
-        if i == _PR_ITERS - 1 and width != session_width:
-            # The last round is the one piece of the loop that executes
-            # at the CALLER's action time — after the conf pin around
-            # this loop has been restored — so its aggregate would run
-            # at session width, not loop width. Pin it with an explicit
-            # repartition of the contribs, trading one round's map-side
-            # combine for width consistency. At cluster scale the pin
-            # equals the session width and this branch is dead.
-            joined = joined.select(
-                "v", F.expr("r DIV d").alias("_c")
-            ).repartition(width, "v")
-            ranks = (
-                joined.groupBy("v")
-                .agg(
-                    (F.lit(150_000) + F.expr("(85 * SUM(_c)) DIV 100"))
-                    .cast("bigint")
-                    .alias("r")
-                )
-                .withColumnRenamed("v", "node")
+        # Every round pins its own shuffle with an EXPLICIT
+        # repartition of the contribs on the destination key. This is
+        # what makes the whole loop independent of the session conf
+        # at action time: the caller's action runs AFTER the width pin
+        # around this loop is restored, so a conf-derived groupBy
+        # exchange would plan at session width while the persisted
+        # graph sits at loop width — Spark then re-shuffles the cached
+        # graph every round (measured: the r4 no-checkpoint first cut
+        # did exactly that). With the explicit repartition, each
+        # round's join sees hash(u, width) on the cached side and
+        # hash(node, width) from the previous round's aggregate — no
+        # exchange on either join input, and exactly ONE edge-width
+        # shuffle per round (the repartition), the floor for message
+        # passing. The trade is map-side combine on the contribs;
+        # measured at sf0.1 the pinned shape wins 1.5-2x, and at
+        # cluster scale width == session width keeps the same plan.
+        joined = joined.select(
+            "v", F.expr("r DIV d").alias("_c")
+        ).repartition(width, "v")
+        ranks = (
+            joined.groupBy("v")
+            .agg(
+                (F.lit(150_000) + F.expr("(85 * SUM(_c)) DIV 100"))
+                .cast("bigint")
+                .alias("r")
             )
-        else:
-            ranks = (
-                joined.groupBy("v")
-                .agg(
-                    (F.lit(150_000) + F.expr("(85 * SUM(r DIV d)) DIV 100"))
-                    .cast("bigint")
-                    .alias("r")
-                )
-                .withColumnRenamed("v", "node")
-            )
-        # Truncate lineage every SECOND round: plans stay bounded at
-        # two rounds deep (still O(1) analysis per round) while the
-        # eager localCheckpoint materializations — one Spark job each —
-        # halve. The LAST round keeps its plan so callers (and the
-        # plan-shape test) see the persisted-graph ShuffledHashJoin
-        # rather than an opaque ExistingRDD scan.
-        if i < _PR_ITERS - 1 and i % 2 == 1:
-            ranks = ranks.localCheckpoint()
+            .withColumnRenamed("v", "node")
+        )
+    # No mid-loop lineage truncation: _PR_ITERS is a FIXED 5 rounds,
+    # so the plan is bounded at five join+agg layers regardless of
+    # data scale — localCheckpoint would buy O(1) analysis that is
+    # already O(1) here, at one eager materialization job per cut
+    # (measured ~0.6s of the sf0.1 loop; bench r4). Variable-round
+    # loops (the CC loop, operators/graph.py) DO truncate, because
+    # their depth grows with the data. Callers and the plan-shape
+    # test see the persisted-graph ShuffledHashJoin all the way down.
     return ranks.select("node", F.col("r").alias("rank_micro")).orderBy("node")
 
 
