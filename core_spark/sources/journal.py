@@ -64,6 +64,93 @@ def _footer_row_count(path: str) -> int:
     return n
 
 
+def _footer_stats(path: str) -> dict[str, list]:
+    """Per-column [min, max] zone map of a written fragment, from the
+    SAME parquet footers the row count comes from — zero extra data
+    I/O at append time. NUMERIC AND BOOLEAN columns only: parquet
+    writers may truncate binary/string min-max (Spark pads the upper
+    bound), which would make string pruning unsound; numeric footer
+    stats are exact. Columns with any stats-less row group (or absent
+    from some file of a postfix tree) are dropped — a zone map must
+    bound EVERY row of the fragment or pruning on it is wrong.
+
+    This is the manifest-level data skipping of an Iceberg/Delta
+    file-stats index, scoped to the fragment manifest: `Journal.read`
+    consults it BEFORE handing paths to Spark, so non-covering
+    fragments never even reach the scan's file listing — at 100 TB
+    that is the difference between pruning inside a 10⁶-file listing
+    and never listing it."""
+    import pyarrow.parquet as pq
+
+    merged: dict[str, list] = {}
+    dropped: set[str] = set()
+    n_files = 0
+    seen_files: dict[str, int] = {}
+    for dirpath, _dirs, files in os.walk(path):
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            n_files += 1
+            meta = pq.ParquetFile(os.path.join(dirpath, fn)).metadata
+            for rg in range(meta.num_row_groups):
+                row_group = meta.row_group(rg)
+                for ci in range(row_group.num_columns):
+                    col = row_group.column(ci)
+                    name = col.path_in_schema
+                    if "." in name or name in dropped:
+                        continue  # nested leaves: out of scope
+                    st = col.statistics
+                    if (
+                        st is None
+                        or not st.has_min_max
+                        or not isinstance(st.min, (int, float, bool))
+                        or isinstance(st.min, float)
+                        and (st.min != st.min or st.max != st.max)
+                    ):
+                        dropped.add(name)
+                        merged.pop(name, None)
+                        continue
+                    if name in merged:
+                        merged[name][0] = min(merged[name][0], st.min)
+                        merged[name][1] = max(merged[name][1], st.max)
+                    else:
+                        merged[name] = [st.min, st.max]
+                    if rg == 0:
+                        seen_files[name] = seen_files.get(name, 0) + 1
+    # a column absent from some file (postfix trees with varying
+    # schemas) does not bound the whole fragment
+    return {
+        k: v
+        for k, v in merged.items()
+        if seen_files.get(k, 0) == n_files
+    }
+
+
+_ZONE_OPS = ("=", "<", "<=", ">", ">=")
+
+
+def _stats_may_match(
+    stats: dict[str, list], col: str, op: str, value
+) -> bool:
+    """Can any row of a fragment with this zone map satisfy
+    `col op value`? Missing stats → True (conservative)."""
+    mm = stats.get(col)
+    if mm is None or not isinstance(value, (int, float, bool)):
+        return True
+    lo, hi = mm
+    if op == "=":
+        return lo <= value <= hi
+    if op == "<":
+        return lo < value
+    if op == "<=":
+        return lo <= value
+    if op == ">":
+        return hi > value
+    if op == ">=":
+        return hi >= value
+    raise ValueError(f"unsupported zone-map op {op!r} (use one of {_ZONE_OPS})")
+
+
 class RegisterMismatch(Exception):
     """Append precondition failed (REGISTER_MISMATCH analog,
     broker/append_fsm.go:411-596)."""
@@ -86,6 +173,11 @@ class Fragment:
     # granularity). Per-fragment so a journal can migrate formats
     # without rewriting history; default keeps old manifests parsing.
     fmt: str = "parquet"
+    # Zone map: {column: [min, max]} over numeric/bool columns,
+    # harvested from parquet footers at append time (_footer_stats).
+    # Default keeps pre-stats manifests parsing; readers treat a
+    # missing map as "may match anything".
+    stats: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -263,6 +355,7 @@ class Journal:
             writer = writer.partitionBy(*path_postfix)
         getattr(writer, fmt)(tmp)
         n = _footer_row_count(tmp)
+        stats = _footer_stats(tmp) if fmt == "parquet" else {}
 
         final = os.path.join(self.frag_dir, frag_name)
         os.rename(tmp, final)
@@ -306,6 +399,7 @@ class Journal:
             path=os.path.join("fragments", frag_name),
             mod_time=time.time(),
             fmt=fmt,
+            stats=stats,
         )
         new = Manifest(
             version=m.version + 1,
@@ -328,6 +422,7 @@ class Journal:
         end: int | None = None,
         begin_mod_time: float | None = None,
         at_version: int | None = None,
+        where: list[tuple] | None = None,
     ) -> DataFrame:
         """Read the journal from `begin` (inclusive) to `end`
         (exclusive), pruning non-covering fragments before the scan
@@ -335,14 +430,33 @@ class Journal:
         `begin_mod_time` skips old fragments (protocol.proto:441-446);
         `at_version` reads the journal AS OF a past manifest version
         (time travel over the immutable CAS history).
+
+        `where`: a list of (column, op, literal) predicates with op in
+        {=, <, <=, >, >=}. Each is BOTH applied to the result (exact
+        semantics) and consulted against the fragments' manifest zone
+        maps to drop fragments that provably contain no matching row —
+        data skipping ABOVE Spark's file pruning: skipped fragments
+        never reach the scan's file listing, so a selective predicate
+        on a 10⁶-fragment journal lists only the covering few. Spark's
+        own parquet row-group pruning still applies inside the
+        survivors (the same predicate is pushed to the scan).
         """
         m = self.manifest(at_version=at_version)
+        for col, op, value in where or []:
+            if op not in _ZONE_OPS:
+                raise ValueError(
+                    f"unsupported zone-map op {op!r} (use one of {_ZONE_OPS})"
+                )
         frags = [
             f
             for f in m.fragments
             if (begin is None or f.end > begin)
             and (end is None or f.begin < end)
             and (begin_mod_time is None or f.mod_time >= begin_mod_time)
+            and all(
+                _stats_may_match(f.stats, col, op, value)
+                for col, op, value in where or []
+            )
         ]
         if not frags:
             raise ValueError(f"no fragments cover [{begin}, {end})")
@@ -387,21 +501,30 @@ class Journal:
             df = df.filter(F.col("_offset") >= begin)
         if end is not None:
             df = df.filter(F.col("_offset") < end)
+        import operator as _op
+
+        ops = {"=": _op.eq, "<": _op.lt, "<=": _op.le, ">": _op.gt, ">=": _op.ge}
+        for col, op, value in where or []:
+            # the same predicate the zone maps pruned on, applied
+            # exactly — and pushed into the surviving fragments' scan
+            df = df.filter(ops[op](F.col(col), F.lit(value)))
         return df.withColumn("_journal", F.lit(self.name))
 
     def fragments_df(self, spark: SparkSession) -> DataFrame:
-        """The fragment index as a DataFrame (ListFragments)."""
+        """The fragment index as a DataFrame (ListFragments); `stats`
+        carries the zone map as JSON for catalog-level inspection."""
         m = self.manifest()
         return spark.createDataFrame(
             [
                 (
                     self.name, f.seq, f.begin, f.end, f.n_records, f.path,
-                    f.mod_time, f.fmt,
+                    f.mod_time, f.fmt, json.dumps(f.stats, sort_keys=True),
                 )
                 for f in m.fragments
             ],
             "journal string, seq int, begin_off long, end_off long, "
-            "n_records long, path string, mod_time double, fmt string",
+            "n_records long, path string, mod_time double, fmt string, "
+            "stats string",
         )
 
     # ------------------------------------------------------------ compact
@@ -498,6 +621,7 @@ class Journal:
                 path=os.path.join("fragments", name),
                 mod_time=max(f.mod_time for f in run),
                 fmt="parquet",
+                stats=_footer_stats(final),
             )
             dropped.update(f.seq for f in run)
 
@@ -510,7 +634,7 @@ class Journal:
         merged = [
             Fragment(
                 seq=i, begin=f.begin, end=f.end, n_records=f.n_records,
-                path=f.path, mod_time=f.mod_time, fmt=f.fmt,
+                path=f.path, mod_time=f.mod_time, fmt=f.fmt, stats=f.stats,
             )
             for i, f in enumerate(merged)
         ]

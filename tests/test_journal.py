@@ -320,3 +320,79 @@ def test_time_travel_read_at_version(spark, journal):
 
     with _pt.raises(ValueError, match="no manifest at or before"):
         journal.manifest(at_version=0)
+
+
+# ------------------------------------------------------------- zone maps
+def test_zone_map_stats_harvested_at_append(spark, journal):
+    journal.append(_df(spark, 100, 200))
+    journal.append(_df(spark, 500, 600))
+    m = journal.manifest()
+    assert m.fragments[0].stats["v"] == [100, 199]
+    assert m.fragments[1].stats["v"] == [500, 599]
+    # _offset is stamped into the fragment, so it gets a map too
+    assert m.fragments[0].stats["_offset"] == [0, 99]
+
+
+def test_zone_map_prunes_fragments_before_listing(spark, journal):
+    journal.append(_df(spark, 100, 200))
+    journal.append(_df(spark, 500, 600))
+    journal.append(_df(spark, 900, 1000))
+    m = journal.manifest()
+
+    df = journal.read(spark, where=[("v", ">=", 500), ("v", "<", 600)])
+    scanned = df.inputFiles()
+    # only the covering fragment's files are even LISTED
+    assert all(m.fragments[0].path not in p for p in scanned)
+    assert all(m.fragments[2].path not in p for p in scanned)
+    assert any(m.fragments[1].path in p for p in scanned)
+    # and the predicate is applied exactly
+    assert sorted(r.v for r in df.collect()) == list(range(500, 600))
+
+    # equality prune
+    df2 = journal.read(spark, where=[("v", "=", 950)])
+    assert len(df2.inputFiles()) == 1
+    assert [r.v for r in df2.collect()] == [950]
+
+    # predicate matching nothing anywhere -> no covering fragments
+    with pytest.raises(ValueError, match="no fragments cover"):
+        journal.read(spark, where=[("v", ">", 10_000)])
+
+    # unknown column / non-numeric literal: conservative, no prune
+    df3 = journal.read(spark, where=[("v", ">=", 100)])
+    assert df3.count() == 300
+
+
+def test_zone_map_missing_stats_is_conservative(spark, journal):
+    """Fragments from a pre-stats manifest (or ORC) read as
+    unbounded — pruning must keep them."""
+    journal.append(_df(spark, 0, 50))
+    m = journal.manifest()
+    # simulate an old manifest: strip the stats and rewrite
+    for f in m.fragments:
+        f.stats = {}
+    from core_spark.sources.journal import Manifest as M
+
+    journal._commit_manifest(
+        M(version=m.version + 1, next_offset=m.next_offset,
+          fragments=m.fragments, registers=m.registers)
+    )
+    df = journal.read(spark, where=[("v", ">", 1_000_000)])
+    assert df.count() == 0  # kept the fragment, filter still exact
+
+
+def test_zone_map_bad_op_raises(spark, journal):
+    journal.append(_df(spark, 0, 5))
+    with pytest.raises(ValueError, match="unsupported zone-map op"):
+        journal.read(spark, where=[("v", "!=", 3)])
+
+
+def test_zone_map_survives_compaction(spark, journal):
+    for lo in (0, 10, 20, 30):
+        journal.append(_df(spark, lo, lo + 10))
+    assert journal.compact(spark, target_records=40) >= 2
+    m = journal.manifest()
+    merged = [f for f in m.fragments if "cmp" in f.path]
+    assert merged and merged[0].stats["v"] == [0, 39]
+    # pruning still works through the merged fragment
+    df = journal.read(spark, where=[("v", "<=", 5)])
+    assert df.count() == 6
