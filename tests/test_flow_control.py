@@ -119,6 +119,7 @@ def test_gateway_put_inherits_journal_cap(spark, tmp_path):
         return time.monotonic() - t0
 
     try:
+        put("api/warmup")  # absorb first-write JVM/parquet warm-up
         t_free = put("api/uncapped")
         t1 = put("api/capped")  # burst credit may cover the first
         t2 = put("api/capped")  # the second must pay the debt
