@@ -81,6 +81,10 @@ HEADLINE = [
     "q_dup_ingest",
     "q_dup_spans",
     "q_exact_quota",
+    "q_domain_mix",
+    "q_dsir",
+    "q_bpe_pairs",
+    "q_embed_semdedup",
 ]
 
 

@@ -377,6 +377,49 @@ def embed_near_dup(
     )
 
 
+def ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic coarse quantizer: the `n_cells` lowest-id corpus
+    vectors as designated centroids (module header: k-means averaging
+    is not engine-reproducible in floats; this keeps every IVF search
+    property while staying oracle-checkable)."""
+    return corpus.orderBy(id_col).limit(n_cells).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_v")
+    )
+
+
+def ivf_assign(
+    df: DataFrame, cents: DataFrame, vec: str, out_id: str, top_n: int
+) -> DataFrame:
+    """Nearest-centroid cell assignment as a broadcast argmax —
+    map-side over the vectors, never all-paired. Returns
+    (out_id, cell) with `top_n` cells per vector (multi-probe).
+    Rounded-cosine + cent_id tie-break keeps it engine-exact."""
+    sims = _with_pair_cosine(
+        df.join(F.broadcast(cents)),
+        vec,
+        "cent_v",
+        "csim",
+        [out_id, "cent_id"],
+    ).withColumn("csim", F.round("csim", 6))
+    if top_n == 1:
+        return sims.groupBy(out_id).agg(
+            F.max_by(
+                "cent_id", F.struct(F.col("csim"), -F.col("cent_id"))
+            ).alias("cell")
+        )
+    w = W.partitionBy(out_id).orderBy(F.desc("csim"), F.asc("cent_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_n)
+        .select(out_id, F.col("cent_id").alias("cell"))
+    )
+
+
 def ann_ivf(
     queries: DataFrame,
     corpus: DataFrame,
@@ -398,39 +441,16 @@ def ann_ivf(
     the candidate join shuffles on the cell id only.
 
     Output: (qid, vec_id, cell, sim)."""
-    cents = corpus.orderBy(id_col).limit(n_cells).select(
-        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_v")
-    )
-
-    def assign(df, out_id, top_n):
-        sims = _with_pair_cosine(
-            df.join(F.broadcast(cents)),
-            "_v",
-            "cent_v",
-            "csim",
-            [out_id, "cent_id"],
-        ).withColumn("csim", F.round("csim", 6))
-        if top_n == 1:
-            return sims.groupBy(out_id).agg(
-                F.max_by(
-                    "cent_id", F.struct(F.col("csim"), -F.col("cent_id"))
-                ).alias("cell")
-            )
-        w = W.partitionBy(out_id).orderBy(F.desc("csim"), F.asc("cent_id"))
-        return (
-            sims.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= top_n)
-            .select(out_id, F.col("cent_id").alias("cell"))
-        )
+    cents = ivf_centroids(corpus, n_cells, id_col, vec_col)
 
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
-    c_cells = assign(c, "vec_id", 1)
+    c_cells = ivf_assign(c, cents, "_v", "vec_id", 1)
     inverted = c.join(c_cells, "vec_id").select(
         "vec_id", F.col("_v").alias("cv"), "cell"
     )
 
     q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("_v"))
-    q_cells = assign(q, "qid", nprobe)
+    q_cells = ivf_assign(q, cents, "_v", "qid", nprobe)
     probes = q.join(q_cells, "qid").select("qid", F.col("_v").alias("qv"), "cell")
 
     pairs = _with_pair_cosine(
@@ -445,4 +465,88 @@ def ann_ivf(
         pairs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .drop("rn")
+    )
+
+
+SEMDEDUP_SENTINEL = -2.0  # max_prior for the first vector of its cell
+
+
+def semdedup(
+    corpus: DataFrame,
+    threshold: float = 0.3,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings and pruning within-cluster
+    near-duplicates. Each vector is assigned to its nearest
+    deterministic centroid (`ivf_assign` — the same coarse quantizer
+    as `ann_ivf`); within a cell, a vector is DROPPED when any
+    lower-id cellmate has cosine >= threshold with it (the paper
+    keeps one representative per epsilon-ball; lowest-id-wins is its
+    deterministic instance).
+
+    Complements `embed_near_dup`: LSH banding finds *pairs* globally;
+    SemDeDup's cluster-then-prune is the *survivor set* formulation —
+    O(sum cell²) instead of bucket-join, with cell size controlled by
+    n_cells (the paper uses n_cells ~ n/1000 at 100 TB scale, keeping
+    the per-cell gram matrix in one task's memory; the shuffle is
+    keyed on the cell id only).
+
+    Output: (vec_id, cell, max_prior, kept) — max_prior is the max
+    cosine to any lower-id cellmate, rounded to 6 decimals
+    (SEMDEDUP_SENTINEL for the cell's first vector), kept =
+    max_prior < threshold. Float discipline identical to
+    `embed_near_dup`: normalization and dots run dimension-major in
+    an Arrow kernel, bit-identical to the SQL fold; rounding happens
+    once, JVM-side."""
+    cents = ivf_centroids(corpus, n_cells, id_col, vec_col)
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
+    cells = ivf_assign(c, cents, "_v", "vec_id", 1)
+    assigned = c.join(cells, "vec_id")
+
+    def _cell_prior(pdf):
+        import numpy as np
+        import pandas as pd
+
+        n = len(pdf)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        raw = np.array(
+            [np.asarray(x, dtype=np.float64) for x in pdf["_v"]],
+            dtype=np.float64,
+        )[order]
+        ids = ids[order]
+        # Same sequential square fold + element division as
+        # embed_near_dup's kernel (bit-identical to the SQL twin).
+        acc = np.zeros(n, dtype=np.float64)
+        for i in range(raw.shape[1]):
+            acc += raw[:, i] * raw[:, i]
+        v = raw / np.sqrt(acc)[:, None]
+        s = np.zeros((n, n), dtype=np.float64)
+        for i in range(v.shape[1]):
+            col = v[:, i]
+            s += np.multiply.outer(col, col)
+        prior = np.full(n, SEMDEDUP_SENTINEL, dtype=np.float64)
+        for j in range(1, n):
+            prior[j] = s[:j, j].max()
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cell": pdf["cell"].iloc[0],
+                "max_prior": prior,
+            }
+        )
+
+    priors = assigned.groupBy("cell").applyInPandas(
+        _cell_prior, "vec_id long, cell long, max_prior double"
+    )
+    return priors.select(
+        "vec_id",
+        "cell",
+        F.round("max_prior", 6).alias("max_prior"),
+        (F.round("max_prior", 6) < F.lit(threshold).cast("double")).alias(
+            "kept"
+        ),
     )

@@ -757,6 +757,64 @@ def q_embed_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a_id", "b_id")
 
 
+# ------------------------------------------------------------- semdedup
+_SD_DOT = (
+    "list_sum(list_transform(range(1, len(a.vn) + 1), "
+    "i -> a.vn[i] * b.vn[i]))"
+)
+
+
+@query(
+    "q_embed_semdedup",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id,
+             list_transform(v, x -> x / sqrt(list_sum(
+               list_transform(v, y -> y * y)))) AS vn
+      FROM e
+    ),
+    cents AS (SELECT vec_id AS cent_id, v AS cent_v FROM e
+              ORDER BY vec_id LIMIT 16),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cent_id AS cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_duck_cos("e.v", "c.cent_v")} DESC, c.cent_id) AS rn
+        FROM e, cents c
+      ) WHERE rn = 1
+    ),
+    m AS (SELECT vec_id, vn, cell FROM n JOIN assign USING (vec_id)),
+    prior AS (
+      SELECT b.vec_id, MAX({_SD_DOT}) AS mp
+      FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      GROUP BY b.vec_id
+    )
+    SELECT m.vec_id, m.cell,
+           COALESCE(round(p.mp, 6), CAST(-2.0 AS DOUBLE)) AS max_prior,
+           (COALESCE(round(p.mp, 6), CAST(-2.0 AS DOUBLE))
+             < CAST(0.3 AS DOUBLE)) AS kept
+    FROM m LEFT JOIN prior p USING (vec_id)
+    ORDER BY vec_id
+    """,
+)
+def q_embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup cluster-then-prune semantic dedup (Abbas et al. 2023):
+    nearest-centroid cells (the ann_ivf quantizer), then within each
+    cell drop any vector whose max cosine to a lower-id cellmate
+    clears 0.3. The survivor-set twin of q_embed_dup's pair-set LSH
+    formulation — see operators/similarity.py:semdedup for the scale
+    shape (shuffle keyed on cell; per-cell gram in one Arrow task;
+    cell size controlled by n_cells ~ n/1000 at scale)."""
+    from core_spark.operators.similarity import semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup(emb, threshold=0.3, n_cells=16).orderBy("vec_id")
+
+
 # ---------------------------------------------------------------- lang id
 @query(
     "q_lang_id",

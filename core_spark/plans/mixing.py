@@ -1,0 +1,340 @@
+"""Corpus-composition operators: domain mixing weights, importance
+resampling, and tokenizer-training statistics.
+
+The third tier of the LLM-data superset (after cleaning in scrub.py /
+curation.py and retrieval in ranking.py): once a corpus is curated,
+a training run still needs (a) a *mixture* over domains hitting a
+global token budget (water-filling — the capped-proportional
+allocation used by data-mixing recipes), (b) *importance weights*
+against a target distribution (DSIR-style hashed-n-gram
+log-likelihood ratios; Xie et al. 2023, "Data Selection for Language
+Models via Importance Resampling"), and (c) the *pair statistics*
+a BPE tokenizer trainer consumes (Sennrich et al. 2016).
+
+All three are integer-exact: the water level is integer division over
+cumulative sums, the DSIR log-ratio uses the integer floor-log2
+`length(bin(x)) - 1` (identical in Spark and DuckDB — no float log
+whose last ulp could flip a rounding), and pair counts are plain
+sums. Every query is hash-checkable end to end.
+
+Reference parity: gazette/core has no corpus-composition tier; these
+extend the declared query set per the training-data-pipeline brief
+the same way operators/dedup.py extends it for near-duplicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from core_spark.io import load_table
+from core_spark.plans.registry import query
+
+# ------------------------------------------------------------ domain mix
+#
+# Water-filling: given per-domain token counts n_i and a budget
+# B = floor(3/5 * total), allocate alloc_i = min(n_i, L) where the
+# water level L is the largest integer with sum(min(n_i, L)) <= B,
+# then hand the remaining B - sum(min(n_i, L)) tokens, one each, to
+# the capped domains in (n, source) order. Small domains keep all
+# their tokens; large ones are capped at a common level — the
+# standard "no domain dominates the mixture" recipe.
+#
+# Found in closed form over the sorted domain table: with domains
+# sorted ascending and cum_k the cumulative sum, the unique boundary
+# row p satisfies n_{p-1} <= L_p < n_p for
+# L_p = (B - cum_{p-1}) // (d - p + 1); rows before p are fully
+# funded, rows from p on get L_p (+1 for the first `rem` of them).
+# Uniqueness + exactness are property-tested against an imperative
+# reference in tests/test_mixing.py.
+
+_MIX_NUM, _MIX_DEN = 3, 5  # budget = 3/5 of total tokens
+
+
+def waterfill_alloc(domains: DataFrame) -> DataFrame:
+    """Water-filling allocation over a (source, n_tokens) DataFrame.
+
+    Returns (source, n_tokens, alloc_tokens). Runs entirely on the
+    post-aggregation domain table — at 100 TB that table is one row
+    per domain (dozens), so the unpartitioned windows below scan a
+    frame that fits in one cache line-sized task; the corpus-sized
+    work is the upstream token count, which partial-aggregates
+    map-side."""
+    w = Window.orderBy("n_tokens", "source")
+    wg = Window.partitionBy()  # tiny post-agg frame; see docstring
+    o = domains.select(
+        "source",
+        "n_tokens",
+        F.row_number().over(w).alias("rk"),
+        F.sum("n_tokens")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+        F.lag("n_tokens").over(w).alias("prev_n"),
+        F.sum("n_tokens").over(wg).alias("total"),
+        F.count("*").over(wg).alias("d"),
+    )
+    lv = o.select(
+        "*",
+        F.expr(f"total * {_MIX_NUM} div {_MIX_DEN}").alias("b"),
+    ).select(
+        "*",
+        F.expr("(b - (cum - n_tokens)) div (d - rk + 1)").alias("lvl"),
+    )
+    valid = F.expr("(rk = 1 OR prev_n <= lvl) AND n_tokens > lvl")
+    picked = lv.select(
+        "*",
+        F.max(F.when(valid, F.col("rk"))).over(wg).alias("p_rk"),
+        F.max(F.when(valid, F.col("lvl"))).over(wg).alias("p_lvl"),
+        F.max(F.when(valid, F.col("cum") - F.col("n_tokens")))
+        .over(wg)
+        .alias("p_cum"),
+    )
+    rem = F.expr("b - p_cum - p_lvl * (d - p_rk + 1)")
+    alloc = (
+        F.when(F.col("p_rk").isNull(), F.col("n_tokens"))  # B >= total
+        .when(F.col("rk") < F.col("p_rk"), F.col("n_tokens"))
+        .otherwise(
+            F.col("p_lvl")
+            + F.when(F.col("rk") - F.col("p_rk") < rem, 1).otherwise(0)
+        )
+    )
+    return picked.select(
+        "source", "n_tokens", alloc.cast("long").alias("alloc_tokens")
+    )
+
+
+_DUCK_MIX = f"""
+    WITH s AS (
+      SELECT source,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    o AS (
+      SELECT source, n_tokens,
+             ROW_NUMBER() OVER (ORDER BY n_tokens, source) AS rk,
+             SUM(n_tokens) OVER (ORDER BY n_tokens, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             LAG(n_tokens) OVER (ORDER BY n_tokens, source) AS prev_n,
+             SUM(n_tokens) OVER () AS total,
+             COUNT(*) OVER () AS d
+      FROM s
+    ),
+    lv AS (
+      SELECT *,
+             (total * {_MIX_NUM} // {_MIX_DEN}) AS b,
+             ((total * {_MIX_NUM} // {_MIX_DEN}) - (cum - n_tokens))
+               // (d - rk + 1) AS lvl
+      FROM o
+    ),
+    picked AS (
+      SELECT *,
+        MAX(CASE WHEN (rk = 1 OR prev_n <= lvl) AND n_tokens > lvl
+                 THEN rk END) OVER () AS p_rk,
+        MAX(CASE WHEN (rk = 1 OR prev_n <= lvl) AND n_tokens > lvl
+                 THEN lvl END) OVER () AS p_lvl,
+        MAX(CASE WHEN (rk = 1 OR prev_n <= lvl) AND n_tokens > lvl
+                 THEN cum - n_tokens END) OVER () AS p_cum
+      FROM lv
+    )
+    SELECT source, n_tokens,
+      CAST(CASE WHEN p_rk IS NULL THEN n_tokens
+                WHEN rk < p_rk THEN n_tokens
+                ELSE p_lvl + (CASE WHEN rk - p_rk <
+                       b - p_cum - p_lvl * (d - p_rk + 1)
+                     THEN 1 ELSE 0 END)
+           END AS BIGINT) AS alloc_tokens
+    FROM picked ORDER BY source
+"""
+
+
+@query("q_domain_mix", oracle=_DUCK_MIX)
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing token allocation: per-source token counts →
+    water-filled allocation against a 60% global token budget. Small
+    sources keep everything; large ones are capped at the common
+    integer water level, leftovers distributed deterministically.
+
+    Scale shape: one map-side partial-aggregated count per source
+    (the only corpus-sized pass), then closed-form window arithmetic
+    over the domain table — no iteration, no collect, no join."""
+    docs = load_table(spark, sf_dir, "documents")
+    domains = (
+        docs.select(
+            "source",
+            F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("n"),
+        )
+        .groupBy("source")
+        .agg(F.sum("n").alias("n_tokens"))
+    )
+    return waterfill_alloc(domains).orderBy("source")
+
+
+# ------------------------------------------------------------------ dsir
+#
+# DSIR-style importance ranking: hash every word into one of 64
+# buckets; estimate target (lang = 'en') and raw unigram bucket
+# distributions with +1 smoothing; score each document by
+# sum_f cnt_doc(f) * llr2(f) where llr2 is the *integer* floor-log2
+# likelihood ratio
+#     llr2(f) = ilog2(cnt_t(f) * S_r) - ilog2(cnt_r(f) * S_t),
+#     ilog2(x) = length(bin(x)) - 1.
+# Cross-multiplying inside the logs keeps everything in int64
+# (cnt <= corpus words, S <= corpus words + 64 — the product stays
+# far below 2^63) and the floor-log2 is engine-exact, so the ranking
+# is hash-checkable where a float log's last ulp could flip it.
+
+_DSIR_BUCKETS = 64
+_DSIR_TOP = 30
+
+_SPARK_WB = (
+    f"CAST(conv(substring(md5(w), 1, 4), 16, 10) AS BIGINT) % {_DSIR_BUCKETS}"
+)
+_DUCK_WB = (
+    f"CAST('0x' || substr(md5(w), 1, 4) AS BIGINT) % {_DSIR_BUCKETS}"
+)
+
+
+@query(
+    "q_dsir",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, lang, w FROM (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        FROM documents
+      ) WHERE w <> ''
+    ),
+    docf AS (
+      SELECT doc_id, {_DUCK_WB} AS f,
+             CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS c_en
+      FROM words GROUP BY doc_id, {_DUCK_WB}
+    ),
+    buckets AS (
+      SELECT f, SUM(c) + 1 AS cr, SUM(c_en) + 1 AS ct FROM docf GROUP BY f
+    ),
+    llr AS (
+      SELECT f,
+             CAST(length(bin(ct * (SELECT SUM(cr) FROM buckets))) AS BIGINT)
+           - CAST(length(bin(cr * (SELECT SUM(ct) FROM buckets))) AS BIGINT)
+               AS w2
+      FROM buckets
+    ),
+    scored AS (
+      SELECT doc_id, CAST(SUM(c * w2) AS BIGINT) AS score
+      FROM docf JOIN llr USING (f) GROUP BY doc_id
+    )
+    SELECT doc_id, score FROM scored
+    ORDER BY score DESC, doc_id LIMIT {_DSIR_TOP}
+    """,
+)
+def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance ranking: top-30 documents by hashed-
+    unigram log-likelihood ratio against the target distribution
+    (lang = 'en'), in integer floor-log2 arithmetic (module header).
+
+    Scale shape: ONE pass over the exploded words — the (doc, bucket)
+    partial aggregate absorbs the explosion map-side; the 64-row
+    bucket/llr tables derive from it and broadcast back; the final
+    top-30 is a TakeOrderedAndProject (no global sort). The
+    ilog2-difference is within ±1 of the float log2 ratio — exactly
+    the fidelity DSIR needs for resampling, none of the float
+    nondeterminism."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split("text", " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    docf = (
+        words.select("doc_id", "lang", F.expr(_SPARK_WB).alias("f"))
+        .groupBy("doc_id", "f")
+        .agg(
+            F.count("*").alias("c"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias(
+                "c_en"
+            ),
+        )
+    )
+    buckets = docf.groupBy("f").agg(
+        (F.sum("c") + 1).alias("cr"), (F.sum("c_en") + 1).alias("ct")
+    )
+    wg = Window.partitionBy()  # <= 64-row frame
+    llr = buckets.select(
+        "f",
+        "cr",
+        "ct",
+        F.sum("cr").over(wg).alias("sr"),
+        F.sum("ct").over(wg).alias("st"),
+    ).select(
+        "f",
+        (
+            F.length(F.expr("bin(ct * sr)")).cast("long")
+            - F.length(F.expr("bin(cr * st)")).cast("long")
+        ).alias("w2"),
+    )
+    scored = (
+        docf.join(F.broadcast(llr), "f")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.col("w2")).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), "doc_id").limit(_DSIR_TOP)
+
+
+# ------------------------------------------------------------- bpe pairs
+_BPE_TOP = 20
+
+
+@query(
+    "q_bpe_pairs",
+    oracle=f"""
+    WITH vocab AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+      ) WHERE len(w) >= 2 GROUP BY w
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, len(w)),
+                    i -> substr(w, i, 2))) AS pair,
+             cnt
+      FROM vocab
+    )
+    SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n_merge
+    FROM pairs GROUP BY pair
+    ORDER BY n_merge DESC, pair LIMIT {_BPE_TOP}
+    """,
+)
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE trainer's first merge step: corpus-weighted adjacent
+    character-pair frequencies, top-20 merge candidates. The classic
+    formulation (Sennrich et al. 2016) iterates this count after each
+    merge; one round is the declared, oracle-checkable unit — the
+    loop re-runs the same plan on the re-segmented vocab.
+
+    Scale shape: the word-frequency aggregate collapses the corpus to
+    its vocabulary BEFORE the character explosion (pair rows scale
+    with |vocab| * word length, not corpus tokens); both aggregates
+    partial map-side; top-20 is a TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    pairs = vocab.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1), "
+                "i -> substring(w, i, 2))"
+            )
+        ).alias("pair"),
+        "cnt",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").alias("n_merge"))
+        .orderBy(F.desc("n_merge"), "pair")
+        .limit(_BPE_TOP)
+    )

@@ -1,0 +1,67 @@
+"""Water-filling allocation: the closed-form window formulation in
+plans/mixing.py must equal an imperative reference on arbitrary
+domain tables (the oracle shares the formulation, so test_oracle
+alone could not catch a shared derivation bug)."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from core_spark.plans.mixing import _MIX_DEN, _MIX_NUM, waterfill_alloc
+
+
+def reference_waterfill(tokens: list[int]) -> list[int]:
+    """Imperative water-filling: largest integer level L with
+    sum(min(n_i, L)) <= B, then +1 leftovers to the capped domains
+    in sorted order."""
+    total = sum(tokens)
+    budget = total * _MIX_NUM // _MIX_DEN
+    order = sorted(range(len(tokens)), key=lambda i: (tokens[i], i))
+    if budget >= total:
+        return list(tokens)
+    lo, hi = 0, max(tokens)
+    while lo < hi:  # binary-search the level
+        mid = (lo + hi + 1) // 2
+        if sum(min(n, mid) for n in tokens) <= budget:
+            lo = mid
+        else:
+            hi = mid - 1
+    level = lo
+    alloc = [min(n, level) for n in tokens]
+    rem = budget - sum(alloc)
+    for i in order:
+        if rem == 0:
+            break
+        if tokens[i] > level:
+            alloc[i] += 1
+            rem -= 1
+    assert rem == 0
+    return alloc
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=12)
+)
+def test_waterfill_matches_reference(spark, tokens):
+    rows = [(f"src{i:02d}", n) for i, n in enumerate(tokens)]
+    df = spark.createDataFrame(rows, "source string, n_tokens long")
+    got = {
+        r["source"]: r["alloc_tokens"]
+        for r in waterfill_alloc(df).collect()
+    }
+    want = reference_waterfill(tokens)
+    assert got == {f"src{i:02d}": a for i, a in enumerate(want)}
+
+
+def test_waterfill_caps_and_exhausts_budget(spark):
+    tokens = [5, 50, 500, 5000]
+    df = spark.createDataFrame(
+        [(f"s{i}", n) for i, n in enumerate(tokens)],
+        "source string, n_tokens long",
+    )
+    out = {r["source"]: r["alloc_tokens"] for r in waterfill_alloc(df).collect()}
+    budget = sum(tokens) * _MIX_NUM // _MIX_DEN
+    assert sum(out.values()) == budget
+    # small domains fully funded, the big one capped
+    assert out["s0"] == 5 and out["s1"] == 50 and out["s2"] == 500
+    assert out["s3"] < 5000

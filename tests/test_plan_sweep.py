@@ -26,6 +26,9 @@ ALLOWED = {
                     "(verification tier for the ANN operators)",
     "q_ann_ivf": "centroid argmax: each vector x broadcast n_cells "
                  "centroid rows IS the assignment work, map-side",
+    "q_embed_semdedup": "same centroid argmax as q_ann_ivf (shared "
+                        "ivf_assign): vector x broadcast n_cells rows, "
+                        "map-side",
 }
 
 # Building these executes real streaming jobs / journal writes — their

@@ -172,3 +172,31 @@ def test_kmv_estimate_within_error_bound(spark):
         else:
             rel = abs(r.est_distinct - r.exact_distinct) / r.exact_distinct
             assert rel < 0.5, (r.l_returnflag, r.est_distinct, r.exact_distinct)
+
+
+def test_semdedup_drops_planted_duplicates(spark):
+    """A planted exact copy of a corpus vector must share its cell and
+    be dropped (cos = 1 to a lower id); the copy's source must be
+    kept; every cell keeps its lowest-id member."""
+    import pyspark.sql.functions as F
+
+    from core_spark.io import load_table
+    from core_spark.operators.similarity import semdedup
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    base = semdedup(emb, threshold=0.3, n_cells=16).toPandas()
+    src = int(base.loc[base["kept"], "vec_id"].max())  # a surviving vector
+    clone = emb.filter(F.col("vec_id") == src).withColumn(
+        "vec_id", F.lit(100000).cast("long")
+    )
+    out = semdedup(emb.unionByName(clone), threshold=0.3, n_cells=16).toPandas()
+    byid = out.set_index("vec_id")
+    assert byid.loc[100000, "cell"] == byid.loc[src, "cell"]
+    assert not byid.loc[100000, "kept"]
+    assert byid.loc[100000, "max_prior"] == 1.0
+    assert byid.loc[src, "kept"]
+    # per-cell minimum id always survives (its max_prior is sentinel)
+    firsts = out.loc[out.groupby("cell")["vec_id"].idxmin()]
+    assert firsts["kept"].all()
+    assert (firsts["max_prior"] == -2.0).all()
