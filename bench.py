@@ -85,6 +85,7 @@ HEADLINE = [
     "q_dsir",
     "q_bpe_pairs",
     "q_embed_semdedup",
+    "q_doc_lm",
 ]
 
 
@@ -111,12 +112,22 @@ def main() -> None:
         # measured mid-session drift 1.5-2x against their isolated
         # cost (measured r4: q_curate 5.0->8.0s across back-to-back
         # trials without GC, flat ~3.7s with).
-        spark.catalog.clearCache()
-        spark.sparkContext._jvm.System.gc()
-        t0 = time.perf_counter()
-        df = q.fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        # Min of two timed runs: this host is multi-tenant and a
+        # single timed run occasionally absorbs a neighbor's CPU burst
+        # (measured r4: q_dup_spans 9.4s vs 2.0s for identical code in
+        # back-to-back bench invocations). The min of two fresh-cache
+        # runs is the standard noise-robust estimator for a
+        # deterministic workload; each run still clears cache + GCs
+        # first, so neither inherits the other's state.
+        runs = []
+        for _ in range(2):
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+            t0 = time.perf_counter()
+            df = q.fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 4)
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)

@@ -338,3 +338,113 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_merge"), "pair")
         .limit(_BPE_TOP)
     )
+
+
+# ---------------------------------------------------------------- doc lm
+#
+# CCNet-style n-gram LM quality scoring: train an add-one-smoothed
+# bigram model ON the corpus, score every document by its average
+# negative log-likelihood, report the cleanest (lowest-perplexity)
+# documents — the head bucket a CCNet pipeline keeps. The same
+# integer floor-log2 as q_dsir keeps the score engine-exact:
+#   nll(a b) = ilog2(c1(a) + V) - ilog2(c2(a,b) + 1)
+# in whole bits, summed per document and scaled to milli-bits per
+# bigram with integer division.
+
+_LM_TOP = 30
+
+
+@query(
+    "q_doc_lm",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+                    i -> t[i] || ' ' || t[i + 1])) AS b
+      FROM toks
+    ),
+    docbg AS (
+      SELECT doc_id, b, split_part(b, ' ', 1) AS a,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM bg GROUP BY doc_id, b
+    ),
+    c2 AS (SELECT b, SUM(c) AS c2 FROM docbg GROUP BY b),
+    c1 AS (SELECT a, SUM(c) AS c1 FROM docbg GROUP BY a),
+    v AS (
+      SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+      ) WHERE w <> ''
+    ),
+    scored AS (
+      SELECT d.doc_id,
+             CAST(SUM(d.c) AS BIGINT) AS n_bigrams,
+             CAST(SUM(d.c * (length(bin(c1.c1 + v.v))
+                             - length(bin(c2.c2 + 1)))) AS BIGINT) AS nll
+      FROM docbg d JOIN c2 USING (b) JOIN c1 USING (a) CROSS JOIN v
+      GROUP BY d.doc_id
+    )
+    SELECT doc_id, n_bigrams, nll * 1000 // n_bigrams AS nll_milli
+    FROM scored ORDER BY nll_milli, doc_id LIMIT {_LM_TOP}
+    """,
+)
+def q_doc_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring (module comment): train on the
+    corpus, score every document by average negative log2-likelihood
+    in integer milli-bits, keep the 30 cleanest documents.
+
+    Scale shape: bigrams partial-aggregate to (doc, bigram) rows
+    map-side; the LM tables are equi-joined on their own keys (bigram,
+    context) — at 100 TB they'd be vocabulary-pruned to top-k terms,
+    which only drops smoothing mass; the vocab size V is the one
+    one-row broadcast global (allowlisted); top-30 is a
+    TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split("text", " ").alias("t")
+    ).filter(F.size("t") >= 2)
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+            )
+        ).alias("b"),
+    )
+    docbg = (
+        bg.select("doc_id", "b", F.split_part("b", F.lit(" "), F.lit(1)).alias("a"))
+        .groupBy("doc_id", "b", "a")
+        .agg(F.count("*").alias("c"))
+    )
+    c2 = docbg.groupBy("b").agg(F.sum("c").alias("c2"))
+    c1 = docbg.groupBy("a").agg(F.sum("c").alias("c1"))
+    v = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    scored = (
+        docbg.join(c2, "b")
+        .join(c1, "a")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.sum(
+                F.col("c")
+                * (
+                    F.length(F.expr("bin(c1 + v)"))
+                    - F.length(F.expr("bin(c2 + 1)"))
+                )
+            ).alias("nll"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        F.expr("nll * 1000 div n_bigrams").alias("nll_milli"),
+    ).orderBy("nll_milli", "doc_id").limit(_LM_TOP)

@@ -29,6 +29,7 @@ ALLOWED = {
     "q_embed_semdedup": "same centroid argmax as q_ann_ivf (shared "
                         "ivf_assign): vector x broadcast n_cells rows, "
                         "map-side",
+    "q_doc_lm": "vocab size V is a broadcast ONE-ROW global",
 }
 
 # Building these executes real streaming jobs / journal writes — their
