@@ -176,13 +176,18 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # buckets; estimate target (lang = 'en') and raw unigram bucket
 # distributions with +1 smoothing; score each document by
 # sum_f cnt_doc(f) * llr2(f) where llr2 is the *integer* floor-log2
-# likelihood ratio
-#     llr2(f) = ilog2(cnt_t(f) * S_r) - ilog2(cnt_r(f) * S_t),
+# likelihood ratio, evaluated term by term:
+#     llr2(f) = (ilog2(cnt_t(f)) + ilog2(S_r))
+#             - (ilog2(cnt_r(f)) + ilog2(S_t)),
 #     ilog2(x) = length(bin(x)) - 1.
-# Cross-multiplying inside the logs keeps everything in int64
-# (cnt <= corpus words, S <= corpus words + 64 — the product stays
-# far below 2^63) and the floor-log2 is engine-exact, so the ranking
-# is hash-checkable where a float log's last ulp could flip it.
+# Per-term logs never overflow — every bin() argument is at most the
+# corpus word count, where the cross-multiplied form cnt*S would wrap
+# int64 at ~3e9 words (W² > 2^63). The cost is one extra bit of
+# slack: ilog2(a) + ilog2(b) is within 1 below ilog2(a*b), so llr2
+# sits within ±2 bits of the float log2 ratio — still exactly the
+# fidelity DSIR resampling needs, with none of the float
+# nondeterminism (engine-exact where a float log's last ulp could
+# flip a ranking).
 
 _DSIR_BUCKETS = 64
 _DSIR_TOP = 30
@@ -216,9 +221,9 @@ _DUCK_WB = (
     ),
     llr AS (
       SELECT f,
-             CAST(length(bin(ct * (SELECT SUM(cr) FROM buckets))) AS BIGINT)
-           - CAST(length(bin(cr * (SELECT SUM(ct) FROM buckets))) AS BIGINT)
-               AS w2
+             CAST(length(bin(ct)) + length(bin((SELECT SUM(cr) FROM buckets)))
+           - length(bin(cr)) - length(bin((SELECT SUM(ct) FROM buckets)))
+               AS BIGINT) AS w2
       FROM buckets
     ),
     scored AS (
@@ -234,12 +239,14 @@ def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram log-likelihood ratio against the target distribution
     (lang = 'en'), in integer floor-log2 arithmetic (module header).
 
-    Scale shape: ONE pass over the exploded words — the (doc, bucket)
+    Scale shape: one pass over the exploded words — the (doc, bucket)
     partial aggregate absorbs the explosion map-side; the 64-row
-    bucket/llr tables derive from it and broadcast back; the final
-    top-30 is a TakeOrderedAndProject (no global sort). The
-    ilog2-difference is within ±1 of the float log2 ratio — exactly
-    the fidelity DSIR needs for resampling, none of the float
+    bucket/llr tables derive from it and broadcast back; the doc
+    score is a second (64-rows-per-doc) aggregate shuffle; the final
+    top-30 is a TakeOrderedAndProject (no global sort). The per-term
+    ilog2 sum is within ±2 bits of the float log2 ratio and
+    overflow-free at any corpus size (module comment) — exactly the
+    fidelity DSIR needs for resampling, none of the float
     nondeterminism."""
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(
@@ -269,9 +276,9 @@ def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ct").over(wg).alias("st"),
     ).select(
         "f",
-        (
-            F.length(F.expr("bin(ct * sr)")).cast("long")
-            - F.length(F.expr("bin(cr * st)")).cast("long")
+        F.expr(
+            "CAST(length(bin(ct)) + length(bin(sr)) "
+            "- length(bin(cr)) - length(bin(st)) AS BIGINT)"
         ).alias("w2"),
     )
     scored = (
