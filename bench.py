@@ -86,6 +86,7 @@ HEADLINE = [
     "q_bpe_pairs",
     "q_embed_semdedup",
     "q_doc_lm",
+    "q_graph_triangles",
 ]
 
 

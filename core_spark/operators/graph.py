@@ -132,3 +132,67 @@ def _cc_loop(edges: DataFrame, max_iter: int) -> DataFrame:
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
     )
+
+
+def triangle_counts(
+    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b"
+) -> DataFrame:
+    """Per-node triangle counts over an undirected pair graph — the
+    forward/degree-ordered algorithm (Schank & Wagner 2005).
+
+    Each undirected edge is oriented from its (degree, id)-smaller to
+    its (degree, id)-larger endpoint; a wedge is two out-edges of one
+    node; a triangle is a wedge whose far endpoints are themselves an
+    oriented edge. The orientation makes every out-degree at most
+    O(sqrt(m)) regardless of how skewed the raw degree distribution
+    is, so the wedge join — the only super-linear step — is bounded by
+    sum(out_deg²) <= O(m^1.5), the arboricity bound. Orienting by raw
+    id instead would let one hub node (a viral duplicate) generate
+    deg² wedges.
+
+    For dedup QA: near-dup components SHOULD be clique-ish (pair
+    generators emit transitive sets); a node with high component
+    membership but few triangles flags a chain — two unrelated docs
+    bridged through a middle one, exactly what threshold tuning wants
+    to see.
+
+    Output: (doc_id, n_tri) for every node in at least one triangle;
+    each triangle credits all three corners. All shuffles are keyed
+    equi-joins (endpoint ids); the degree table is node-sized.
+    """
+    fwd = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    deg = (
+        fwd.select(F.col("a").alias("node"))
+        .unionByName(fwd.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    da, db = F.col("da"), F.col("db")
+    keyed = (
+        fwd.join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db"), "b")
+    )
+    a_first = (da < db) | ((da == db) & (F.col("a") < F.col("b")))
+    eo = keyed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, db).otherwise(da).alias("dv"),
+    )
+    e1, e2 = eo.alias("e1"), eo.alias("e2")
+    lt = (F.col("e1.dv") < F.col("e2.dv")) | (
+        (F.col("e1.dv") == F.col("e2.dv")) & (F.col("e1.v") < F.col("e2.v"))
+    )
+    wedges = e1.join(e2, (F.col("e1.u") == F.col("e2.u")) & lt).select(
+        F.col("e1.u").alias("w0"),
+        F.col("e1.v").alias("w1"),
+        F.col("e2.v").alias("w2"),
+    )
+    closing = eo.select(F.col("u").alias("w1"), F.col("v").alias("w2"))
+    tris = wedges.join(closing, ["w1", "w2"])
+    return (
+        tris.select(
+            F.explode(F.array("w0", "w1", "w2")).alias("doc_id")
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tri"))
+    )

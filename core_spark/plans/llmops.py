@@ -196,6 +196,61 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, shuffle_partitions=16).orderBy("doc_id")
 
 
+# --------------------------------------------------------- dup triangles
+@query(
+    "q_graph_triangles",
+    oracle=f"""
+    WITH {DUCK_MINHASH_CTES},
+    pairs AS ({DUCK_MINHASH_PAIR_SELECT}),
+    deg AS (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT doc_a AS node FROM pairs
+        UNION ALL SELECT doc_b FROM pairs
+      ) GROUP BY node
+    ),
+    eo AS (
+      SELECT CASE WHEN (da.deg < db.deg)
+                    OR (da.deg = db.deg AND p.doc_a < p.doc_b)
+                  THEN p.doc_a ELSE p.doc_b END AS u,
+             CASE WHEN (da.deg < db.deg)
+                    OR (da.deg = db.deg AND p.doc_a < p.doc_b)
+                  THEN p.doc_b ELSE p.doc_a END AS v,
+             CASE WHEN (da.deg < db.deg)
+                    OR (da.deg = db.deg AND p.doc_a < p.doc_b)
+                  THEN db.deg ELSE da.deg END AS dv
+      FROM pairs p
+      JOIN deg da ON da.node = p.doc_a
+      JOIN deg db ON db.node = p.doc_b
+    ),
+    tris AS (
+      SELECT e1.u AS w0, e1.v AS w1, e2.v AS w2
+      FROM eo e1 JOIN eo e2 ON e1.u = e2.u
+        AND ((e1.dv < e2.dv) OR (e1.dv = e2.dv AND e1.v < e2.v))
+      JOIN eo c ON c.u = e1.v AND c.v = e2.v
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tri
+    FROM (SELECT unnest([w0, w1, w2]) AS doc_id FROM tris)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle counts over the MinHash near-dup pair
+    graph — the dedup-QA transitivity probe (clusters should be
+    clique-ish; triangle-poor, chain-shaped components flag threshold
+    bleed). Degree-ordered forward algorithm: wedge work bounded by
+    the O(m^1.5) arboricity bound however skewed a viral duplicate's
+    degree gets — see operators/graph.py:triangle_counts."""
+    from core_spark.operators.graph import triangle_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, k=_MINHASH_K)
+    cand = lsh_candidates(sigs, bands=_BANDS, rows=_ROWS)
+    pairs = verify_jaccard(cand, docs).filter(
+        F.col("inter") * 10 >= F.col("uni") * 7
+    )
+    return triangle_counts(pairs).orderBy("doc_id")
+
+
 # ------------------------------------------------------------- dup ingest
 @query(
     "q_dup_ingest",

@@ -72,3 +72,58 @@ def test_cc_matches_union_find(spark, edges):
     orientations allowed): min-label propagation must agree with
     driver-side union-find on every node's component minimum."""
     assert _cc(spark, [(int(a), int(b)) for a, b in edges]) == _union_find(edges)
+
+
+# ------------------------------------------------------------- triangles
+def _brute_triangles(edges):
+    """Driver-side reference: per-node triangle counts by enumerating
+    all vertex triples over the adjacency set."""
+    from itertools import combinations
+
+    adj = {}
+    for u, v in edges:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    counts = {}
+    for a, b, c in combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for n in (a, b, c):
+                counts[n] = counts.get(n, 0) + 1
+    return counts
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_triangle_counts_match_bruteforce(spark, raw):
+    from core_spark.operators.graph import triangle_counts
+
+    edges = sorted({(min(u, v), max(u, v)) for u, v in raw if u != v})
+    if not edges:
+        return
+    pairs = spark.createDataFrame(edges, "doc_a BIGINT, doc_b BIGINT")
+    got = {
+        r["doc_id"]: r["n_tri"] for r in triangle_counts(pairs).collect()
+    }
+    assert got == _brute_triangles(edges)
+
+
+def test_triangle_counts_clique_and_chain(spark):
+    """K4 gives every corner C(3,2)=3 triangles; a chain gives none."""
+    from core_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    chain = [(10, 11), (11, 12), (12, 13)]
+    pairs = spark.createDataFrame(k4 + chain, "doc_a BIGINT, doc_b BIGINT")
+    got = {r["doc_id"]: r["n_tri"] for r in triangle_counts(pairs).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
