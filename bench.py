@@ -87,6 +87,8 @@ HEADLINE = [
     "q_embed_semdedup",
     "q_doc_lm",
     "q_graph_triangles",
+    "q_approx_quantile",
+    "q_domain_sample",
 ]
 
 

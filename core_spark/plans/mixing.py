@@ -104,8 +104,7 @@ def waterfill_alloc(domains: DataFrame) -> DataFrame:
     )
 
 
-_DUCK_MIX = f"""
-    WITH s AS (
+_DUCK_MIX_CTES = f"""s AS (
       SELECT source,
              CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
       FROM documents GROUP BY source
@@ -136,15 +135,21 @@ _DUCK_MIX = f"""
         MAX(CASE WHEN (rk = 1 OR prev_n <= lvl) AND n_tokens > lvl
                  THEN cum - n_tokens END) OVER () AS p_cum
       FROM lv
-    )
-    SELECT source, n_tokens,
-      CAST(CASE WHEN p_rk IS NULL THEN n_tokens
-                WHEN rk < p_rk THEN n_tokens
-                ELSE p_lvl + (CASE WHEN rk - p_rk <
-                       b - p_cum - p_lvl * (d - p_rk + 1)
-                     THEN 1 ELSE 0 END)
-           END AS BIGINT) AS alloc_tokens
-    FROM picked ORDER BY source
+    ),
+    alloc AS (
+      SELECT source, n_tokens,
+        CAST(CASE WHEN p_rk IS NULL THEN n_tokens
+                  WHEN rk < p_rk THEN n_tokens
+                  ELSE p_lvl + (CASE WHEN rk - p_rk <
+                         b - p_cum - p_lvl * (d - p_rk + 1)
+                       THEN 1 ELSE 0 END)
+             END AS BIGINT) AS alloc_tokens
+      FROM picked
+    )"""
+
+_DUCK_MIX = f"""
+    WITH {_DUCK_MIX_CTES}
+    SELECT source, n_tokens, alloc_tokens FROM alloc ORDER BY source
 """
 
 
@@ -168,6 +173,67 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n").alias("n_tokens"))
     )
     return waterfill_alloc(domains).orderBy("source")
+
+
+# --------------------------------------------------------- domain sample
+_SPARK_MIXB = (
+    "CAST(conv(substring(md5(concat('mix:', CAST(doc_id AS STRING))), 1, 15), "
+    "16, 10) AS BIGINT) % 1000000"
+)
+_DUCK_MIXB = (
+    "CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15) "
+    "AS BIGINT) % 1000000"
+)
+
+
+@query(
+    "q_domain_sample",
+    oracle=f"""
+    WITH {_DUCK_MIX_CTES}
+    SELECT d.doc_id, d.source,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_doc_tokens
+    FROM documents d JOIN alloc a ON d.source = a.source
+    WHERE ({_DUCK_MIXB}) * a.n_tokens < a.alloc_tokens * 1000000
+    ORDER BY d.doc_id
+    """,
+)
+def q_domain_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The water-filled mixture MATERIALIZED: per-source Bernoulli
+    rate alloc/n via a salted md5 bucket, compared by integer
+    cross-multiplication (bucket * n < alloc * 10^6 — no float rate).
+    Fully-funded sources keep every document; capped ones sample at
+    their water-level rate. Membership is a pure projection off the
+    broadcast domain table — recomputable by any job, no stored
+    sample, the same contract as q_sample/q_datasplit.
+
+    Scale shape: the domain/alloc table is one row per source and
+    broadcast; the corpus-side pass is a map-side filter — the only
+    shuffle is q_domain_mix's tiny per-source aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    domains = (
+        docs.select(
+            "source",
+            F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("n"),
+        )
+        .groupBy("source")
+        .agg(F.sum("n").alias("n_tokens"))
+    )
+    alloc = waterfill_alloc(domains)
+    return (
+        docs.join(F.broadcast(alloc), "source")
+        .filter(
+            F.expr(_SPARK_MIXB) * F.col("n_tokens")
+            < F.col("alloc_tokens") * F.lit(1000000)
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias(
+                "n_doc_tokens"
+            ),
+        )
+        .orderBy("doc_id")
+    )
 
 
 # ------------------------------------------------------------------ dsir

@@ -731,3 +731,99 @@ def q_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("est_cnt"), "key")
         .limit(20)
     )
+
+
+# ------------------------------------------------------ quantile sketch
+#
+# Bottom-k-by-hash quantile sketch: the k rows with the smallest
+# portable 60-bit hashes of their stable row key form a uniform,
+# DETERMINISTIC, MERGEABLE sample of the group (merge = k smallest of
+# the union — the same property that makes KMV mergeable); quantile
+# estimates are nearest-rank order statistics OF THE SAMPLE. Like KMV
+# vs HLL: approximate in statistics (error O(1/sqrt(k)) per quantile),
+# exact in bytes — identical on any engine, so the approximation
+# itself is oracle-checked. Groups smaller than k are exact.
+# Completes the mergeable-summary family: KMV (distinct), CMS
+# (frequency), bottom-k (quantiles).
+_QK = 128
+
+
+@query(
+    "q_approx_quantile",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type, value,
+             {_DUCK_H60.format(x="event_id")} AS h, event_id
+      FROM events
+    ),
+    samp AS (
+      SELECT event_type, value, event_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                    ORDER BY h, event_id) AS rn
+        FROM h
+      ) WHERE rn <= {_QK}
+    ),
+    ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY value, event_id) AS vr,
+             COUNT(*) OVER (PARTITION BY event_type) AS m
+      FROM samp
+    )
+    SELECT event_type,
+           CAST(MAX(m) AS BIGINT) AS n_sample,
+           MAX(CASE WHEN vr = (m + 1) // 2 THEN value END) AS p50_est,
+           MAX(CASE WHEN vr = (9 * m + 9) // 10 THEN value END) AS p90_est
+    FROM ranked GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type p50/p90 from a bottom-k-by-hash sample (module
+    comment): deterministic and mergeable where t-digest/KLL are
+    engine-specific, so the approximation itself hash-checks.
+    Estimates are nearest-rank statistics of the k=128 sample;
+    accuracy vs the exact quantiles is bounds-asserted in
+    tests/test_plans.py.
+
+    Scale shape: same as KMV — the per-group bottom-k runs as a
+    window over the group key (parallel across groups); at 100 TB the
+    production variant is a per-partition keep-k-smallest aggregator
+    that shrinks the shuffle to k rows per partition per group,
+    declared here in window form because it stays whole-stage-codegen
+    end to end."""
+    events = load_table(spark, sf_dir, "events")
+    h = events.select(
+        "event_type",
+        "value",
+        F.expr(_SPARK_H60.format(x="event_id")).alias("h"),
+        "event_id",
+    )
+    wk = Window.partitionBy("event_type").orderBy("h", "event_id")
+    samp = (
+        h.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= _QK)
+        .drop("rn", "h")
+    )
+    wv = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wc = Window.partitionBy("event_type")
+    ranked = samp.select(
+        "event_type",
+        "value",
+        F.row_number().over(wv).alias("vr"),
+        F.count("*").over(wc).alias("m"),
+    )
+    p50 = F.floor((F.col("m") + 1) / 2)
+    p90 = F.floor((9 * F.col("m") + 9) / 10)
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max("m").alias("n_sample"),
+            F.max(F.when(F.col("vr") == p50, F.col("value"))).alias(
+                "p50_est"
+            ),
+            F.max(F.when(F.col("vr") == p90, F.col("value"))).alias(
+                "p90_est"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -264,3 +264,33 @@ def test_range_join_is_bucketized_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "_bkt" in plan  # the bucket equi-key carries the join
+
+
+def test_approx_quantile_estimates_near_exact(spark):
+    """The bottom-k sample is deterministic (oracle-checked); this
+    checks it is also a *good* sample: the exact CDF position of each
+    estimate sits within ~4 standard errors (sqrt(p(1-p)/k), k=128)
+    of its target quantile."""
+    from core_spark.io import load_table
+    from core_spark.plans.registry import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    est = {
+        r["event_type"]: r
+        for r in REGISTRY["q_approx_quantile"].fn(spark, SF_SMOKE).collect()
+    }
+    vals = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("event_type", "value")
+        .toPandas()
+        .groupby("event_type")["value"]
+    )
+    for etype, series in vals:
+        r = est[etype]
+        s = series.sort_values().to_numpy()
+        if r["n_sample"] >= len(s):  # group smaller than k: exact
+            continue
+        pos50 = (s <= r["p50_est"]).mean()
+        pos90 = (s <= r["p90_est"]).mean()
+        assert 0.30 <= pos50 <= 0.70, (etype, pos50)
+        assert 0.75 <= pos90 <= 1.00, (etype, pos90)
