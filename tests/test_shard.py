@@ -179,3 +179,68 @@ def test_await_offset_read_your_writes(spark, tmp_path):
             )
     finally:
         q.stop()
+
+
+def test_shard_streaming_bottomk_quantile_maintenance(spark, tmp_path):
+    """The bottom-k quantile sample (q_approx_quantile) maintained
+    through the shard runner: each micro-batch emits its OWN bottom-k
+    rows per group; the materialized sketch is bottom-k over the
+    journal union and equals the batch-built sketch EXACTLY — the
+    mergeability property (merge = k smallest of the union) across
+    the batch/stream boundary, like the CMS test above."""
+    from pyspark.sql.window import Window
+
+    K = 4
+    HEXPR = (
+        "CAST(conv(substring(md5(CAST(key AS STRING)), 1, 15), 16, 10) "
+        "AS BIGINT)"
+    )
+
+    def bottomk(df):
+        w = Window.partitionBy("grp").orderBy("h", "key")
+        return (
+            df.withColumn("h", F.expr(HEXPR))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= K)
+            .select("grp", "key", "value", "h")
+        )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rows = [("g1", i, float(i * 7 % 13)) for i in range(10)] + [
+        ("g2", 100 + i, float(i)) for i in range(3)
+    ]
+
+    def write(name, chunk):
+        spark.createDataFrame(
+            chunk, "grp string, key long, value double"
+        ).coalesce(1).write.parquet(os.path.join(src, name))
+
+    write("c0.parquet", rows[:5])
+    write("c1.parquet", rows[5:])
+
+    cfg = ShardConfig(
+        source_glob=src + "/*",
+        source_schema="grp string, key long, value double",
+        out_root=str(tmp_path / "out"),
+        out_journal="qsk/deltas",
+        shard_id="qsk-0",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    run_shard(spark, cfg, bottomk).awaitTermination(120)
+
+    j = Journal(str(tmp_path / "out"), "qsk/deltas")
+    streamed = {
+        (r.grp, r.key, r.value)
+        for r in bottomk(j.read(spark).drop("h")).collect()
+    }
+    batch = {
+        (r.grp, r.key, r.value)
+        for r in bottomk(
+            spark.createDataFrame(rows, "grp string, key long, value double")
+        ).collect()
+    }
+    assert streamed == batch
+    assert len({k for g, k, v in streamed if g == "g1"}) == K
+    assert len({k for g, k, v in streamed if g == "g2"}) == 3  # < K: exact
