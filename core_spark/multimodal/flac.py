@@ -137,6 +137,25 @@ def _read_utf8_number(r: _BitReader) -> int:
     return v
 
 
+def _write_utf8_number(w, fi: int) -> None:
+    """General n-byte (n <= 7, 36-bit) UTF-8-style frame number —
+    the encoder twin of `_read_utf8_number`. A fixed 3-byte cap
+    would corrupt the lead byte past frame 0x10000 (~101 minutes of
+    mono 44.1 kHz at block 4096): 0xE0 | (fi >> 12) overflows the
+    3-byte form's 4 payload bits."""
+    if fi < 0x80:
+        w.write(fi, 8)
+        return
+    n = 2
+    while n < 7 and fi >= (1 << (6 * (n - 1) + (7 - n))):
+        n += 1
+    if fi >= (1 << (6 * (n - 1) + (7 - n))):
+        raise ValueError("FLAC frame number exceeds the 36-bit limit")
+    w.write(((0xFF00 >> n) & 0xFF) | (fi >> (6 * (n - 1))), 8)
+    for i in range(n - 2, -1, -1):
+        w.write(0x80 | ((fi >> (6 * i)) & 0x3F), 8)
+
+
 def flac_meta(raw: bytes) -> tuple[int, int, int, int]:
     """(sample_rate, channels, bits_per_sample, total_samples) from
     STREAMINFO (no frame decode)."""
@@ -437,16 +456,7 @@ def flac_encode(
         w.write(nch - 1, 4)
         w.write(0, 3)  # bps from STREAMINFO
         w.write(0, 1)
-        # UTF-8 frame number
-        if fi < 0x80:
-            w.write(fi, 8)
-        elif fi < 0x800:
-            w.write(0xC0 | (fi >> 6), 8)
-            w.write(0x80 | (fi & 0x3F), 8)
-        else:
-            w.write(0xE0 | (fi >> 12), 8)
-            w.write(0x80 | ((fi >> 6) & 0x3F), 8)
-            w.write(0x80 | (fi & 0x3F), 8)
+        _write_utf8_number(w, fi)  # general n-byte frame number
         w.write(bs - 1, 16)
         w.align()
         hdr = w.bytes()

@@ -145,6 +145,41 @@ def _lzw_decode(data: bytes, min_code: int, n_pixels: int) -> list[int]:
 _INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
+def _parse_frame(
+    raw: bytes, i: int, gct: np.ndarray | None
+) -> tuple[int, int, np.ndarray, np.ndarray, int]:
+    """Parse one image-descriptor block (0x2C already seen at raw[i]):
+    local color table, LZW pixel decode, deinterlace, palette-bounds
+    check. Returns (left, top, idx, palette, next_i). Shared by the
+    first-frame decoder and the animation player so the two can never
+    drift on the bit-level frame format."""
+    left, top, fw, fh = struct.unpack_from("<HHHH", raw, i + 1)
+    lflags = raw[i + 9]
+    lct, i = _color_table(raw, i + 10, lflags)
+    palette = lct if lct is not None else gct
+    if palette is None:
+        raise ValueError("malformed GIF: frame has no color table")
+    min_code = raw[i]
+    data, i = _sub_blocks(raw, i + 1)
+    idx = np.array(
+        _lzw_decode(data, min_code, fw * fh), dtype=np.int32
+    ).reshape(fh, fw)
+    if lflags & 0x40:  # interlaced: 4-pass row order
+        rows = np.empty(fh, dtype=np.int64)
+        k = 0
+        for start, step in _INTERLACE:
+            for y in range(start, fh, step):
+                rows[y] = k
+                k += 1
+        idx = idx[rows]
+    if int(idx.max()) >= palette.shape[0]:
+        raise ValueError(
+            f"malformed GIF: pixel index {int(idx.max())} outside "
+            f"{palette.shape[0]}-entry palette"
+        )
+    return left, top, idx, palette, i
+
+
 def gif_decode(raw: bytes) -> np.ndarray:
     """Decode the FIRST frame to uint8 (h, w, 3) RGB — or (h, w, 4)
     RGBA when the frame declares a transparent index."""
@@ -165,30 +200,8 @@ def gif_decode(raw: bytes) -> np.ndarray:
             continue
         if b != 0x2C:
             raise ValueError(f"malformed GIF: unknown block 0x{b:02X}")
-        left, top, fw, fh = struct.unpack_from("<HHHH", raw, i + 1)
-        lflags = raw[i + 9]
-        lct, i = _color_table(raw, i + 10, lflags)
-        palette = lct if lct is not None else gct
-        if palette is None:
-            raise ValueError("malformed GIF: frame has no color table")
-        min_code = raw[i]
-        data, i = _sub_blocks(raw, i + 1)
-        idx = np.array(
-            _lzw_decode(data, min_code, fw * fh), dtype=np.int32
-        ).reshape(fh, fw)
-        if lflags & 0x40:  # interlaced: 4-pass row order
-            rows = np.empty(fh, dtype=np.int64)
-            k = 0
-            for start, step in _INTERLACE:
-                for y in range(start, fh, step):
-                    rows[y] = k
-                    k += 1
-            idx = idx[rows]
-        if int(idx.max()) >= palette.shape[0]:
-            raise ValueError(
-                f"malformed GIF: pixel index {int(idx.max())} outside "
-                f"{palette.shape[0]}-entry palette"
-            )
+        left, top, idx, palette, i = _parse_frame(raw, i, gct)
+        fh, fw = idx.shape
         # compose the frame onto the logical screen (frame 0 usually
         # covers it; smaller frames sit on the background color)
         base_idx = np.full((sh, sw), bg if gct is not None else 0, np.int32)
@@ -227,37 +240,7 @@ def gif_encode(arr: np.ndarray) -> bytes:
     out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
 
     min_code = bits
-    clear = 1 << min_code
-    eoi = clear + 1
-    width = min_code + 1
-    # literal codes with a CLEAR whenever the next literal would force
-    # a width bump: width stays min_code+1, decoder table churn is
-    # still exercised
-    acc = 0
-    nbits = 0
-    body = bytearray()
-
-    def emit(code: int):
-        nonlocal acc, nbits
-        acc |= code << nbits
-        nbits += width
-        while nbits >= 8:
-            body.append(acc & 0xFF)
-            acc >>= 8
-            nbits -= 8
-
-    emit(clear)
-    next_code = eoi + 1
-    for px in idx.reshape(-1):
-        if next_code >= (1 << width) - 1:
-            emit(clear)
-            next_code = eoi + 1
-        emit(int(px))
-        next_code += 1
-    emit(eoi)
-    if nbits:
-        body.append(acc & 0xFF)
-
+    body = _lzw_encode_literal(idx, min_code)
     out.append(min_code)
     for j in range(0, len(body), 255):
         chunk = body[j : j + 255]
@@ -307,30 +290,8 @@ def gif_frames(raw: bytes, max_frames: int | None = None):
             continue
         if b != 0x2C:
             raise ValueError(f"malformed GIF: unknown block 0x{b:02X}")
-        left, top, fw, fh = struct.unpack_from("<HHHH", raw, i + 1)
-        lflags = raw[i + 9]
-        lct, i = _color_table(raw, i + 10, lflags)
-        palette = lct if lct is not None else gct
-        if palette is None:
-            raise ValueError("malformed GIF: frame has no color table")
-        min_code = raw[i]
-        data, i = _sub_blocks(raw, i + 1)
-        idx = np.array(
-            _lzw_decode(data, min_code, fw * fh), dtype=np.int32
-        ).reshape(fh, fw)
-        if lflags & 0x40:
-            rows = np.empty(fh, dtype=np.int64)
-            k = 0
-            for start, step in _INTERLACE:
-                for y in range(start, fh, step):
-                    rows[y] = k
-                    k += 1
-            idx = idx[rows]
-        if int(idx.max()) >= palette.shape[0]:
-            raise ValueError(
-                f"malformed GIF: pixel index {int(idx.max())} outside "
-                f"{palette.shape[0]}-entry palette"
-            )
+        left, top, idx, palette, i = _parse_frame(raw, i, gct)
+        fh, fw = idx.shape
         rect = canvas[top : top + fh, left : left + fw]
         saved = rect.copy() if disposal == 3 else None
         rgb = palette[idx]

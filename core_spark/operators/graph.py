@@ -160,7 +160,19 @@ def triangle_counts(
     each triangle credits all three corners. All shuffles are keyed
     equi-joins (endpoint ids); the degree table is node-sized.
     """
-    fwd = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    from pyspark import StorageLevel
+
+    # The input pair pipeline (e.g. MinHash sigs -> LSH -> verify) is
+    # the expensive subtree and feeds four branches (two degree
+    # projections + the orientation join); the oriented edge list
+    # feeds three (both wedge sides + the closing-edge probe).
+    # Without persisting, Spark recomputes the whole pair pipeline
+    # once per branch (measured ~5.9s -> ~3.5s at sf0.1 for
+    # q_graph_triangles, where the single pair pipeline is ~2s of
+    # the remainder).
+    fwd = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     deg = (
         fwd.select(F.col("a").alias("node"))
         .unionByName(fwd.select(F.col("b").alias("node")))
@@ -177,7 +189,7 @@ def triangle_counts(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(a_first, db).otherwise(da).alias("dv"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     e1, e2 = eo.alias("e1"), eo.alias("e2")
     lt = (F.col("e1.dv") < F.col("e2.dv")) | (
         (F.col("e1.dv") == F.col("e2.dv")) & (F.col("e1.v") < F.col("e2.v"))

@@ -520,10 +520,17 @@ def semdedup(
         ids = ids[order]
         # Same sequential square fold + element division as
         # embed_near_dup's kernel (bit-identical to the SQL twin).
+        # Zero-norm guard: an all-zero embedding would normalize to a
+        # NaN row, and NaN poisons max() for every higher-id cellmate
+        # (silently dropping unrelated vectors). Dividing by 1 keeps
+        # the row zero — dot 0 with everything, i.e. maximally
+        # dissimilar, matching the oracle's CASE guard.
         acc = np.zeros(n, dtype=np.float64)
         for i in range(raw.shape[1]):
             acc += raw[:, i] * raw[:, i]
-        v = raw / np.sqrt(acc)[:, None]
+        norm = np.sqrt(acc)
+        norm[norm == 0.0] = 1.0
+        v = raw / norm[:, None]
         s = np.zeros((n, n), dtype=np.float64)
         for i in range(v.shape[1]):
             col = v[:, i]

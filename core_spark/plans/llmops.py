@@ -828,8 +828,9 @@ _SD_DOT = (
     ),
     n AS (
       SELECT vec_id,
-             list_transform(v, x -> x / sqrt(list_sum(
-               list_transform(v, y -> y * y)))) AS vn
+             list_transform(v, x -> x / (CASE
+               WHEN list_sum(list_transform(v, y -> y * y)) = 0 THEN 1
+               ELSE sqrt(list_sum(list_transform(v, y -> y * y))) END)) AS vn
       FROM e
     ),
     cents AS (SELECT vec_id AS cent_id, v AS cent_v FROM e

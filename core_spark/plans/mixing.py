@@ -193,14 +193,18 @@ _DUCK_MIXB = (
     SELECT d.doc_id, d.source,
            CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_doc_tokens
     FROM documents d JOIN alloc a ON d.source = a.source
-    WHERE ({_DUCK_MIXB}) * a.n_tokens < a.alloc_tokens * 1000000
+    WHERE CAST(({_DUCK_MIXB}) AS DECIMAL(38,0)) * a.n_tokens
+        < CAST(a.alloc_tokens AS DECIMAL(38,0)) * 1000000
     ORDER BY d.doc_id
     """,
 )
 def q_domain_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The water-filled mixture MATERIALIZED: per-source Bernoulli
     rate alloc/n via a salted md5 bucket, compared by integer
-    cross-multiplication (bucket * n < alloc * 10^6 — no float rate).
+    cross-multiplication (bucket * n < alloc * 10^6 — no float rate);
+    the products run in DECIMAL(38,0) because bucket * n_tokens wraps
+    int64 once a source passes ~9.2e12 tokens — inside the 100 TB
+    envelope.
     Fully-funded sources keep every document; capped ones sample at
     their water-level rate. Membership is a pure projection off the
     broadcast domain table — recomputable by any job, no stored
@@ -222,8 +226,8 @@ def q_domain_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.join(F.broadcast(alloc), "source")
         .filter(
-            F.expr(_SPARK_MIXB) * F.col("n_tokens")
-            < F.col("alloc_tokens") * F.lit(1000000)
+            F.expr(_SPARK_MIXB).cast("decimal(38,0)") * F.col("n_tokens")
+            < F.col("alloc_tokens").cast("decimal(38,0)") * F.lit(1000000)
         )
         .select(
             "doc_id",

@@ -518,9 +518,19 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     session_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
     try:
-        li_bytes = os.path.getsize(
-            os.path.join(sf_dir, "lineitem.parquet")
-        )
+        path = os.path.join(sf_dir, "lineitem.parquet")
+        if os.path.isdir(path):
+            # Spark-written tables are directories; getsize on one
+            # returns the inode size (~4 KiB), which would silently
+            # pin the loop at the minimum width. Sum the data files.
+            li_bytes = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _d, fs in os.walk(path)
+                for f in fs
+                if not f.startswith(("_", "."))
+            )
+        else:
+            li_bytes = os.path.getsize(path)
         width = min(session_width, max(4, li_bytes // 1_350_000))
     except OSError:
         width = min(session_width, max(4, (2 * li.count()) // 150_000))

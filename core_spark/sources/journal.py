@@ -45,34 +45,21 @@ from pyspark.sql import functions as F
 from core_spark.sources.stores import FSManifestStore, ManifestStore
 
 
-def _footer_row_count(path: str) -> int:
-    """Row count of a written fragment from file footers only — no
-    data pages are read, unlike a count() re-scan (which doubled
-    append I/O for large fragments). Parquet and ORC both carry the
-    count in their footer metadata."""
-    import pyarrow.parquet as pq
+def _footer_info(path: str) -> tuple[int, dict[str, list]]:
+    """Row count AND per-column [min, max] zone map of a written
+    fragment, from ONE walk opening each file footer once — no data
+    pages are read, unlike a count() re-scan (which doubled append
+    I/O for large fragments), and no second footer pass (append is
+    the hot path of a streaming sink committing one fragment per
+    micro-batch).
 
-    n = 0
-    for dirpath, _dirs, files in os.walk(path):
-        for fn in files:
-            if fn.endswith(".parquet"):
-                n += pq.ParquetFile(os.path.join(dirpath, fn)).metadata.num_rows
-            elif fn.endswith(".orc"):
-                from pyarrow import orc
-
-                n += orc.ORCFile(os.path.join(dirpath, fn)).nrows
-    return n
-
-
-def _footer_stats(path: str) -> dict[str, list]:
-    """Per-column [min, max] zone map of a written fragment, from the
-    SAME parquet footers the row count comes from — zero extra data
-    I/O at append time. NUMERIC AND BOOLEAN columns only: parquet
+    Zone maps cover NUMERIC AND BOOLEAN columns only: parquet
     writers may truncate binary/string min-max (Spark pads the upper
     bound), which would make string pruning unsound; numeric footer
     stats are exact. Columns with any stats-less row group (or absent
     from some file of a postfix tree) are dropped — a zone map must
-    bound EVERY row of the fragment or pruning on it is wrong.
+    bound EVERY row of the fragment or pruning on it is wrong. ORC
+    files contribute rows only (no zone map).
 
     This is the manifest-level data skipping of an Iceberg/Delta
     file-stats index, scoped to the fragment manifest: `Journal.read`
@@ -82,16 +69,23 @@ def _footer_stats(path: str) -> dict[str, list]:
     and never listing it."""
     import pyarrow.parquet as pq
 
+    n = 0
     merged: dict[str, list] = {}
     dropped: set[str] = set()
     n_files = 0
     seen_files: dict[str, int] = {}
     for dirpath, _dirs, files in os.walk(path):
         for fn in files:
+            if fn.endswith(".orc"):
+                from pyarrow import orc
+
+                n += orc.ORCFile(os.path.join(dirpath, fn)).nrows
+                continue
             if not fn.endswith(".parquet"):
                 continue
             n_files += 1
             meta = pq.ParquetFile(os.path.join(dirpath, fn)).metadata
+            n += meta.num_rows
             for rg in range(meta.num_row_groups):
                 row_group = meta.row_group(rg)
                 for ci in range(row_group.num_columns):
@@ -119,11 +113,25 @@ def _footer_stats(path: str) -> dict[str, list]:
                         seen_files[name] = seen_files.get(name, 0) + 1
     # a column absent from some file (postfix trees with varying
     # schemas) does not bound the whole fragment
-    return {
+    return n, {
         k: v
         for k, v in merged.items()
         if seen_files.get(k, 0) == n_files
     }
+
+
+def _dir_has_postfix(p: str) -> bool:
+    """Does this fragment directory carry a Hive path-postfix
+    (key=value subdirectory) tree? Shared by read()'s multi-path
+    discovery decision and compact()'s skip rule — the layout IS the
+    pruning index, so both must classify identically."""
+    try:
+        return any(
+            "=" in d and os.path.isdir(os.path.join(p, d))
+            for d in os.listdir(p)
+        )
+    except FileNotFoundError:
+        return False
 
 
 _ZONE_OPS = ("=", "<", "<=", ">", ">=")
@@ -136,6 +144,12 @@ def _stats_may_match(
     `col op value`? Missing stats → True (conservative)."""
     mm = stats.get(col)
     if mm is None or not isinstance(value, (int, float, bool)):
+        return True
+    if isinstance(value, float) and value != value:
+        # NaN literal: parquet footer min/max exclude NaNs, so a zone
+        # map cannot bound NaN rows — and Spark orders NaN above every
+        # double, so range comparisons against the map are meaningless.
+        # Never prune.
         return True
     lo, hi = mm
     if op == "=":
@@ -354,8 +368,7 @@ class Journal:
         if path_postfix:
             writer = writer.partitionBy(*path_postfix)
         getattr(writer, fmt)(tmp)
-        n = _footer_row_count(tmp)
-        stats = _footer_stats(tmp) if fmt == "parquet" else {}
+        n, stats = _footer_info(tmp)
 
         final = os.path.join(self.frag_dir, frag_name)
         os.rename(tmp, final)
@@ -447,35 +460,45 @@ class Journal:
                 raise ValueError(
                     f"unsupported zone-map op {op!r} (use one of {_ZONE_OPS})"
                 )
-        frags = [
+        covering = [
             f
             for f in m.fragments
             if (begin is None or f.end > begin)
             and (end is None or f.begin < end)
             and (begin_mod_time is None or f.mod_time >= begin_mod_time)
-            and all(
+        ]
+        if not covering:
+            raise ValueError(f"no fragments cover [{begin}, {end})")
+        frags = [
+            f
+            for f in covering
+            if all(
                 _stats_may_match(f.stats, col, op, value)
                 for col, op, value in where or []
             )
         ]
-        if not frags:
-            raise ValueError(f"no fragments cover [{begin}, {end})")
+        # Zone maps proving every covering fragment predicate-free is
+        # a legitimately EMPTY result, not a coverage error (a reader
+        # polling above a high-water mark must get zero rows, exactly
+        # as it would if the fragments lacked stats). Read one
+        # fragment's schema (footer only — limit 0 scans no data) so
+        # the empty frame matches a normal read's shape.
+        pruned_empty = not frags
+        if pruned_empty:
+            frags = covering[:1]
         paths = [os.path.join(self.root, f.path) for f in frags]
-
-        def _has_postfix(p: str) -> bool:
-            try:
-                return any(
-                    "=" in d and os.path.isdir(os.path.join(p, d))
-                    for d in os.listdir(p)
-                )
-            except FileNotFoundError:
-                return False
 
         def _load(fmt: str, *ps: str) -> DataFrame:
             return getattr(spark.read, fmt)(*ps)
 
         mixed_fmt = len({f.fmt for f in frags}) > 1
-        if len(paths) > 1 and (mixed_fmt or any(map(_has_postfix, paths))):
+        if len(paths) > 1 and (
+            mixed_fmt
+            or any(
+                _dir_has_postfix(os.path.join(self.root, f.path))
+                for f in frags
+            )
+        ):
             # Per-fragment discovery + union, needed when (a) fragments
             # carry Hive path-postfix key=value trees — Spark's
             # multi-path discovery rejects the non-partition frag-…
@@ -497,6 +520,8 @@ class Journal:
             )
         else:
             df = _load(frags[0].fmt, *paths)
+        if pruned_empty:
+            df = df.limit(0)
         if begin is not None:
             df = df.filter(F.col("_offset") >= begin)
         if end is not None:
@@ -570,14 +595,7 @@ class Journal:
 
         def _compactable(f: Fragment) -> bool:
             p = os.path.join(self.root, f.path)
-            try:
-                has_postfix = any(
-                    "=" in d and os.path.isdir(os.path.join(p, d))
-                    for d in os.listdir(p)
-                )
-            except FileNotFoundError:
-                return False
-            return not has_postfix
+            return os.path.isdir(p) and not _dir_has_postfix(p)
 
         runs: list[list[Fragment]] = []
         cur: list[Fragment] = []
@@ -621,7 +639,7 @@ class Journal:
                 path=os.path.join("fragments", name),
                 mod_time=max(f.mod_time for f in run),
                 fmt="parquet",
-                stats=_footer_stats(final),
+                stats=_footer_info(final)[1],
             )
             dropped.update(f.seq for f in run)
 

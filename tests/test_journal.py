@@ -353,9 +353,13 @@ def test_zone_map_prunes_fragments_before_listing(spark, journal):
     assert len(df2.inputFiles()) == 1
     assert [r.v for r in df2.collect()] == [950]
 
-    # predicate matching nothing anywhere -> no covering fragments
-    with pytest.raises(ValueError, match="no fragments cover"):
-        journal.read(spark, where=[("v", ">", 10_000)])
+    # predicate matching nothing anywhere -> EMPTY result (same as the
+    # stats-less path below), never a coverage error: a reader polling
+    # above a high-water mark must get zero rows. limit(0) on one
+    # fragment's schema keeps the frame's shape without scanning data.
+    df_none = journal.read(spark, where=[("v", ">", 10_000)])
+    assert df_none.count() == 0
+    assert "_journal" in df_none.columns and "v" in df_none.columns
 
     # unknown column / non-numeric literal: conservative, no prune
     df3 = journal.read(spark, where=[("v", ">=", 100)])
@@ -396,3 +400,16 @@ def test_zone_map_survives_compaction(spark, journal):
     # pruning still works through the merged fragment
     df = journal.read(spark, where=[("v", "<=", 5)])
     assert df.count() == 6
+
+
+def test_zone_map_nan_literal_never_prunes(spark, journal):
+    """Parquet footer min/max exclude NaNs, so a zone map cannot bound
+    NaN rows — a NaN literal must disable pruning, not prune
+    everything (every range comparison against NaN is false)."""
+    spark.createDataFrame(
+        [(0, 1.5), (1, float("nan"))], "k long, x double"
+    ).createOrReplaceTempView("nan_rows")
+    journal.append(spark.table("nan_rows"))
+    df = journal.read(spark, where=[("x", "=", float("nan"))])
+    # fragment kept; Spark's NaN = NaN semantics find the row
+    assert df.count() == 1

@@ -1064,3 +1064,29 @@ def test_sample_audio_frames_flac(spark):
         (1, 1000, 4000),
         (2, 2000, 4000),
     ]
+
+
+def test_flac_utf8_frame_number_roundtrip_all_widths():
+    """The encoder's general n-byte UTF-8 frame number must roundtrip
+    through the decoder at every width boundary — the fixed 3-byte
+    form corrupted the lead byte past frame 0x10000 (~101 min of
+    mono 44.1 kHz audio at block 4096)."""
+    import pytest as _pytest
+
+    from core_spark.multimodal.flac import (
+        _BitReader,
+        _BitWriter,
+        _read_utf8_number,
+        _write_utf8_number,
+    )
+
+    cases = [0, 1, 0x7F, 0x80, 0x7FF, 0x800, 0xFFFF, 0x10000,
+             0x1FFFFF, 0x200000, (1 << 26) - 1, 1 << 26, (1 << 31) - 1,
+             1 << 31, (1 << 36) - 1]
+    for fi in cases:
+        w = _BitWriter()
+        _write_utf8_number(w, fi)
+        assert _read_utf8_number(_BitReader(w.bytes())) == fi, hex(fi)
+    with _pytest.raises(ValueError, match="36-bit"):
+        w = _BitWriter()
+        _write_utf8_number(w, 1 << 36)

@@ -200,3 +200,33 @@ def test_semdedup_drops_planted_duplicates(spark):
     firsts = out.loc[out.groupby("cell")["vec_id"].idxmin()]
     assert firsts["kept"].all()
     assert (firsts["max_prior"] == -2.0).all()
+
+
+def test_semdedup_zero_vector_is_inert(spark):
+    """An all-zero embedding must not NaN-poison its cell: it keeps
+    itself (dot 0 with everything) and every other vector's verdict
+    is unchanged."""
+    import pyspark.sql.functions as F
+
+    from core_spark.io import load_table
+    from core_spark.operators.similarity import semdedup
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    base = semdedup(emb, threshold=0.3, n_cells=16).toPandas()
+    zero = emb.limit(1).select(
+        F.lit(200000).cast("long").alias("vec_id"),
+        F.expr("transform(embedding, x -> CAST(0.0 AS FLOAT))").alias(
+            "embedding"
+        ),
+        "label",
+    )
+    out = semdedup(
+        emb.unionByName(zero), threshold=0.3, n_cells=16
+    ).toPandas()
+    byid = out.set_index("vec_id")
+    assert byid.loc[200000, "kept"]  # dissimilar to everything
+    merged = out[out["vec_id"] != 200000].set_index("vec_id")
+    basei = base.set_index("vec_id")
+    assert (merged["kept"] == basei["kept"]).all()
+    assert (merged["max_prior"] == basei["max_prior"]).all()
