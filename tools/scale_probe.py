@@ -81,6 +81,9 @@ DEFAULT_QUERIES = [
     "q_doc_lm",
     "q_bpe_pairs",
     "q_domain_mix",
+    "q_domain_sample",
+    "q_graph_triangles",
+    "q_approx_quantile",
     "q_curate",
 ]
 
