@@ -89,6 +89,7 @@ HEADLINE = [
     "q_graph_triangles",
     "q_approx_quantile",
     "q_domain_sample",
+    "q_embed_ingest",
 ]
 
 

@@ -468,6 +468,108 @@ def ann_ivf(
     )
 
 
+def embed_ingest_classify(
+    batch: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.35,
+    bands: int = 8,
+    planes_per_band: int = 4,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental embedding-space dedup at ingest — the vector twin
+    of the MinHash `lsh_probe` flow (operators/dedup.py, q_dup_ingest):
+    classify a new batch against an already-deduped corpus without
+    ever pairing the corpus with itself.
+
+    Candidates come from probing the batch's SRP band buckets (the
+    same banded hyperplane family as `embed_near_dup`) against the
+    corpus's banded rows: the only corpus-wide cost is the
+    (band, bucket)-keyed join, candidates are |batch| x bucket-mates,
+    and verification is the exact cosine on survivors only. Batch
+    self-pairs use first-by-id-wins so the batch's own kept set is
+    deterministic. At 100 TB the corpus's banded rows are a persisted
+    index updated as batches commit, not recomputed.
+
+    Output per batch vector: (vec_id, n_corpus, n_prior, status) with
+    status in {dup_of_corpus, dup_within_batch, unique}."""
+    all_planes = [
+        hyperplanes(planes_per_band, dims, seed=f"nd:{b}") for b in range(bands)
+    ]
+
+    def banded(df):
+        c = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+        arr = F.array(
+            *[F.expr(bucket_expr("v", planes)) for planes in all_planes]
+        )
+        return c.select(
+            "vec_id", "v", F.posexplode(arr).alias("band", "bkt")
+        )
+
+    bb, bc = banded(batch), banded(corpus)
+    va = batch.select(F.col(id_col).alias("_a"), F.col(vec_col).alias("_va"))
+    vany = batch.unionByName(corpus).select(
+        F.col(id_col).alias("_b"), F.col(vec_col).alias("_vb")
+    )
+
+    def verified_counts(cand, key_out):
+        pairs = (
+            cand.join(va, cand["doc_a"] == va["_a"])
+            .join(vany, cand["doc_b"] == vany["_b"])
+        )
+        sims = _with_pair_cosine(
+            pairs, "_va", "_vb", "sim", ["doc_a", "doc_b"]
+        ).withColumn("sim", F.round("sim", 6))
+        return (
+            sims.filter(F.col("sim") >= F.lit(threshold).cast("double"))
+            .groupBy(key_out)
+            .agg(F.count("*").alias("n"))
+        )
+
+    cand_bc = (
+        bb.join(bc, ["band", "bkt"])
+        .select(bb["vec_id"].alias("doc_a"), bc["vec_id"].alias("doc_b"))
+        .distinct()
+    )
+    n_corpus = verified_counts(cand_bc, "doc_a").withColumnRenamed(
+        "doc_a", "vec_id"
+    )
+    a, b = bb.alias("a"), bb.alias("b")
+    # doc_a = the LATER id (the one flagged — first-by-id wins),
+    # doc_b = the earlier, keeper id; both are batch vectors.
+    cand_bb = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("b.vec_id").alias("doc_a"), F.col("a.vec_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    n_prior = verified_counts(cand_bb, "doc_a").withColumnRenamed(
+        "doc_a", "vec_id"
+    )
+    zero = F.lit(0).cast("bigint")
+    return (
+        batch.select(F.col(id_col).alias("vec_id"))
+        .join(n_corpus.withColumnRenamed("n", "n_corpus"), "vec_id", "left")
+        .join(n_prior.withColumnRenamed("n", "n_prior"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("n_corpus", zero).alias("n_corpus"),
+            F.coalesce("n_prior", zero).alias("n_prior"),
+            F.when(F.coalesce("n_corpus", zero) > 0, "dup_of_corpus")
+            .when(F.coalesce("n_prior", zero) > 0, "dup_within_batch")
+            .otherwise("unique")
+            .alias("status"),
+        )
+    )
+
+
 SEMDEDUP_SENTINEL = -2.0  # max_prior for the first vector of its cell
 
 

@@ -871,6 +871,82 @@ def q_embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(emb, threshold=0.3, n_cells=16).orderBy("vec_id")
 
 
+# ----------------------------------------------------------- embed ingest
+def _duck_banded_raw() -> str:
+    branches = [
+        f"SELECT vec_id, v, {b} AS band, "
+        f"{_duck_bucket('v', _ND_PLANES[b])} AS bkt FROM e"
+        for b in range(_ND_BANDS)
+    ]
+    return "\n      UNION ALL ".join(branches)
+
+
+@query(
+    "q_embed_ingest",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    banded AS (
+      {_duck_banded_raw()}
+    ),
+    bc AS (
+      SELECT n.vec_id AS doc_a, c.vec_id AS doc_b
+      FROM banded n JOIN banded c USING (band, bkt)
+      WHERE n.vec_id % 10 = 0 AND c.vec_id % 10 <> 0
+      GROUP BY 1, 2
+    ),
+    nc AS (
+      SELECT doc_a, CAST(COUNT(*) AS BIGINT) AS n_corpus
+      FROM bc JOIN e ea ON ea.vec_id = doc_a JOIN e eb ON eb.vec_id = doc_b
+      WHERE {_duck_cos("ea.v", "eb.v")} >= CAST(0.35 AS DOUBLE)
+      GROUP BY doc_a
+    ),
+    bb AS (
+      SELECT b.vec_id AS doc_a, a.vec_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+      WHERE a.vec_id % 10 = 0 AND b.vec_id % 10 = 0
+      GROUP BY 1, 2
+    ),
+    np AS (
+      SELECT doc_a, CAST(COUNT(*) AS BIGINT) AS n_prior
+      FROM bb JOIN e ea ON ea.vec_id = doc_a JOIN e eb ON eb.vec_id = doc_b
+      WHERE {_duck_cos("ea.v", "eb.v")} >= CAST(0.35 AS DOUBLE)
+      GROUP BY doc_a
+    )
+    SELECT em.vec_id,
+           CAST(COALESCE(nc.n_corpus, 0) AS BIGINT) AS n_corpus,
+           CAST(COALESCE(np.n_prior, 0) AS BIGINT) AS n_prior,
+           CASE WHEN COALESCE(nc.n_corpus, 0) > 0 THEN 'dup_of_corpus'
+                WHEN COALESCE(np.n_prior, 0) > 0 THEN 'dup_within_batch'
+                ELSE 'unique' END AS status
+    FROM embeddings em
+    LEFT JOIN nc ON em.vec_id = nc.doc_a
+    LEFT JOIN np ON em.vec_id = np.doc_a
+    WHERE em.vec_id % 10 = 0
+    ORDER BY em.vec_id
+    """,
+)
+def q_embed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental embedding-space dedup at ingest: classify a new
+    batch (vec_id %% 10 = 0) against the corpus by probing the
+    corpus's banded SRP index — the vector twin of q_dup_ingest's
+    MinHash flow, completing the incremental story for both dedup
+    families. See operators/similarity.py:embed_ingest_classify for
+    the scale shape (the only corpus-wide cost is the (band, bucket)
+    join; verification is exact cosine on survivors only)."""
+    from core_spark.operators.similarity import embed_ingest_classify
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    return embed_ingest_classify(
+        batch, corpus, threshold=0.35, bands=_ND_BANDS, planes_per_band=4
+    ).orderBy("vec_id")
+
+
 # ---------------------------------------------------------------- lang id
 @query(
     "q_lang_id",
