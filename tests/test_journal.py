@@ -413,3 +413,47 @@ def test_zone_map_nan_literal_never_prunes(spark, journal):
     df = journal.read(spark, where=[("x", "=", float("nan"))])
     # fragment kept; Spark's NaN = NaN semantics find the row
     assert df.count() == 1
+
+
+def test_zone_map_pruned_read_equals_filtered_read_fuzz(spark, tmp_path):
+    """Property: for ANY fragment layout and ANY supported predicate,
+    read(where=...) returns exactly the rows a full read + exact
+    filter returns — pruning may only skip fragments it can PROVE
+    empty. Deterministic fuzz over value layouts (sorted runs,
+    overlapping ranges, constants, negatives) x all five ops."""
+    import random
+
+    rng = random.Random(20260814)
+    j = Journal(str(tmp_path), "fuzz/zones")
+    all_vals = []
+    for _ in range(6):
+        kind = rng.choice(["run", "overlap", "const", "neg"])
+        if kind == "run":
+            lo = rng.randrange(0, 500)
+            vals = list(range(lo, lo + rng.randrange(5, 40)))
+        elif kind == "overlap":
+            vals = [rng.randrange(0, 100) for _ in range(rng.randrange(5, 30))]
+        elif kind == "const":
+            vals = [rng.randrange(0, 50)] * rng.randrange(3, 10)
+        else:
+            vals = [rng.randrange(-100, 10) for _ in range(rng.randrange(5, 20))]
+        j.append(
+            spark.createDataFrame([(v,) for v in vals], "v long")
+        )
+        all_vals.extend(vals)
+
+    probes = sorted({min(all_vals), max(all_vals), 0, 17, -63, 9999}
+                    | {rng.randrange(-120, 550) for _ in range(6)})
+    for op_name, fn in (
+        ("=", lambda v, x: v == x),
+        ("<", lambda v, x: v < x),
+        ("<=", lambda v, x: v <= x),
+        (">", lambda v, x: v > x),
+        (">=", lambda v, x: v >= x),
+    ):
+        for x in probes:
+            got = sorted(
+                r.v for r in j.read(spark, where=[("v", op_name, x)]).collect()
+            )
+            want = sorted(v for v in all_vals if fn(v, x))
+            assert got == want, (op_name, x, got[:5], want[:5])
