@@ -244,3 +244,91 @@ def test_shard_streaming_bottomk_quantile_maintenance(spark, tmp_path):
     assert streamed == batch
     assert len({k for g, k, v in streamed if g == "g1"}) == K
     assert len({k for g, k, v in streamed if g == "g2"}) == 3  # < K: exact
+
+
+def test_shard_maintains_lsh_index_journal(spark, tmp_path):
+    """The 'persisted index updated as batches commit' claim of
+    q_dup_ingest/q_incr_dedup, executable: the shard runner streams
+    document chunks and appends their banded MinHash signatures to a
+    journal; a new batch then probes the JOURNAL-READ index with
+    lsh_probe and flags its corpus near-dup — and the journal index
+    equals the direct batch computation over everything streamed."""
+    from core_spark.operators.dedup import (
+        banded_signatures,
+        lsh_probe,
+        minhash_signatures,
+        verify_jaccard,
+    )
+
+    text_a = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = [
+        (1, text_a),
+        (2, "completely different words about spark shuffles and joins"),
+        (3, "a third document with its own unrelated content stream"),
+        (4, "yet another unrelated piece of text for the index"),
+    ]
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def write(name, rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(os.path.join(src, name))
+
+    write("c0.parquet", corpus[:2])
+    write("c1.parquet", corpus[2:])
+
+    cfg = ShardConfig(
+        source_glob=src + "/*",
+        source_schema="doc_id long, text string",
+        out_root=str(tmp_path / "out"),
+        out_journal="lshidx/bands",
+        shard_id="lsh-0",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+
+    def index_deltas(df):
+        return banded_signatures(minhash_signatures(df, k=16), bands=4, rows=4)
+
+    run_shard(spark, cfg, index_deltas).awaitTermination(120)
+
+    j = Journal(str(tmp_path / "out"), "lshidx/bands")
+    index = j.read(spark).select("doc_id", "band", "sig")
+
+    # journal index == direct computation over everything streamed
+    direct = banded_signatures(
+        minhash_signatures(
+            spark.createDataFrame(corpus, "doc_id long, text string"), k=16
+        ),
+        bands=4,
+        rows=4,
+    )
+    assert {tuple(r) for r in index.collect()} == {
+        tuple(r) for r in direct.collect()
+    }
+
+    # probe a new batch against the journal index: the near-copy of
+    # doc 1 is flagged, the unique doc is not
+    batch = spark.createDataFrame(
+        [(100, text_a + " with one extra tail"), (101, "nothing like it at all")],
+        "doc_id long, text string",
+    )
+    banded_b = banded_signatures(minhash_signatures(batch, k=16), 4, 4)
+    cand = lsh_probe(banded_b, index)
+    everything = spark.createDataFrame(
+        corpus, "doc_id long, text string"
+    ).unionByName(batch)
+    hits = (
+        verify_jaccard(
+            cand.select(
+                F.col("doc_new").alias("doc_a"),
+                F.col("doc_idx").alias("doc_b"),
+            ),
+            everything,
+        )
+        .filter(F.col("inter") * 10 >= F.col("uni") * 7)
+        .collect()
+    )
+    assert {(r.doc_a, r.doc_b) for r in hits} == {(100, 1)}
