@@ -492,8 +492,19 @@ def q_doc_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     )
+    # Key representation: bigram and context fold to xxhash64 BIGINTs
+    # before the aggregation, so every shuffle and LM-table join
+    # compares 8-byte integers instead of ~13-byte bigram strings —
+    # the same discipline (and the same modulo-2^-64-collision
+    # epistemic status) as blocked_jaccard_pairs' shingle fold. The
+    # DuckDB oracle keys raw strings, so the equivalence stays
+    # hash-checked on real data every round.
     docbg = (
-        bg.select("doc_id", "b", F.split_part("b", F.lit(" "), F.lit(1)).alias("a"))
+        bg.select(
+            "doc_id",
+            F.xxhash64("b").alias("b"),
+            F.xxhash64(F.split_part("b", F.lit(" "), F.lit(1))).alias("a"),
+        )
         .groupBy("doc_id", "b", "a")
         .agg(F.count("*").alias("c"))
     )
