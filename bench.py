@@ -90,6 +90,7 @@ HEADLINE = [
     "q_approx_quantile",
     "q_domain_sample",
     "q_embed_ingest",
+    "q_curate2",
 ]
 
 

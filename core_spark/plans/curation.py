@@ -354,3 +354,128 @@ def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("test"))
         .alias("split"),
     ).orderBy("doc_id")
+
+
+# ------------------------------------------------------------- curate v2
+def _curate2_oracle() -> str:
+    from core_spark.plans.llmops import _SD_DOT, _duck_cos
+    from core_spark.plans.mixing import _DUCK_WB
+
+    return f"""
+    WITH canon AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    d1 AS (
+      SELECT d.doc_id, d.lang, d.text FROM documents d JOIN canon USING (doc_id)
+    ),
+    e AS (
+      SELECT em.vec_id,
+             list_transform(em.embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings em JOIN canon c ON em.vec_id = c.doc_id
+    ),
+    n AS (
+      SELECT vec_id,
+             list_transform(v, x -> x / (CASE
+               WHEN list_sum(list_transform(v, y -> y * y)) = 0 THEN 1
+               ELSE sqrt(list_sum(list_transform(v, y -> y * y))) END)) AS vn
+      FROM e
+    ),
+    cents AS (SELECT vec_id AS cent_id, v AS cent_v FROM e
+              ORDER BY vec_id LIMIT 16),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cent_id AS cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_duck_cos("e.v", "c.cent_v")} DESC, c.cent_id) AS rn
+        FROM e, cents c
+      ) WHERE rn = 1
+    ),
+    m AS (SELECT vec_id, vn, cell FROM n JOIN assign USING (vec_id)),
+    prior AS (
+      SELECT b.vec_id, MAX({_SD_DOT}) AS mp
+      FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      GROUP BY b.vec_id
+    ),
+    kept AS (
+      SELECT m.vec_id AS doc_id FROM m LEFT JOIN prior p USING (vec_id)
+      WHERE COALESCE(round(p.mp, 6), CAST(-2.0 AS DOUBLE))
+            < CAST(0.3 AS DOUBLE)
+    ),
+    d2 AS (SELECT d1.* FROM d1 JOIN kept USING (doc_id)),
+    words AS (
+      SELECT doc_id, lang, w FROM (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM d2
+      ) WHERE w <> ''
+    ),
+    docf AS (
+      SELECT doc_id, {_DUCK_WB} AS f,
+             CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS c_en
+      FROM words GROUP BY doc_id, {_DUCK_WB}
+    ),
+    buckets AS (
+      SELECT f, SUM(c) + 1 AS cr, SUM(c_en) + 1 AS ct FROM docf GROUP BY f
+    ),
+    llr AS (
+      SELECT f,
+             CAST(length(bin(ct)) + length(bin((SELECT SUM(cr) FROM buckets)))
+           - length(bin(cr)) - length(bin((SELECT SUM(ct) FROM buckets)))
+               AS BIGINT) AS w2
+      FROM buckets
+    ),
+    scored AS (
+      SELECT doc_id, CAST(SUM(c * w2) AS BIGINT) AS score
+      FROM docf JOIN llr USING (f) GROUP BY doc_id
+    )
+    SELECT doc_id, score,
+           CASE WHEN {_DUCK_BUCKET} < 80 THEN 'train'
+                WHEN {_DUCK_BUCKET} < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM scored ORDER BY doc_id
+    """
+
+
+@query("q_curate2", oracle=_curate2_oracle())
+def q_curate2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-4 curation composition: exact dedup (md5 canonical)
+    -> SemDeDup on the survivors' embeddings (cluster-then-prune,
+    operators/similarity.py:semdedup) -> DSIR importance scores over
+    the kept set (plans/mixing.py:dsir_scores) -> deterministic
+    train/val/test split. The embedding-space sibling of q_curate's
+    MinHash pipeline, proving the new tier composes end-to-end under
+    one hash-checked oracle.
+
+    Scale shape: each stage keeps its standalone query's plan — the
+    exact-dedup aggregate, the broadcast-argmax cell assignment +
+    per-cell Arrow gram, the one-pass DSIR aggregate with its 64-row
+    broadcast llr table, and the map-side salted split."""
+    from core_spark.operators.similarity import semdedup
+    from core_spark.plans.mixing import dsir_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    canon = (
+        docs.select("doc_id", F.md5("text").alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    d1 = docs.join(canon, "doc_id")
+    sub = emb.join(canon.withColumnRenamed("doc_id", "vec_id"), "vec_id")
+    kept = (
+        semdedup(sub, threshold=0.3, n_cells=16)
+        .filter(F.col("kept"))
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    d2 = d1.join(kept, "doc_id")
+    scores = dsir_scores(d2)
+    bucket = F.expr(_SPARK_BUCKET)
+    return scores.select(
+        "doc_id",
+        "score",
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    ).orderBy("doc_id")

@@ -319,6 +319,16 @@ def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     fidelity DSIR needs for resampling, none of the float
     nondeterminism."""
     docs = load_table(spark, sf_dir, "documents")
+    return dsir_scores(docs).orderBy(F.desc("score"), "doc_id").limit(
+        _DSIR_TOP
+    )
+
+
+def dsir_scores(docs: DataFrame) -> DataFrame:
+    """DSIR importance scores (doc_id, score) for every document of
+    `docs` (needs doc_id, lang, text) — the reusable core of q_dsir
+    (scale shape and integer-log discipline in its docstring), also
+    composed by q_curate2's importance gate."""
     words = docs.select(
         "doc_id",
         "lang",
@@ -351,12 +361,11 @@ def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
             "- length(bin(cr)) - length(bin(st)) AS BIGINT)"
         ).alias("w2"),
     )
-    scored = (
+    return (
         docf.join(F.broadcast(llr), "f")
         .groupBy("doc_id")
         .agg(F.sum(F.col("c") * F.col("w2")).alias("score"))
     )
-    return scored.orderBy(F.desc("score"), "doc_id").limit(_DSIR_TOP)
 
 
 # ------------------------------------------------------------- bpe pairs

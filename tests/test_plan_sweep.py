@@ -30,6 +30,8 @@ ALLOWED = {
                         "ivf_assign): vector x broadcast n_cells rows, "
                         "map-side",
     "q_doc_lm": "vocab size V is a broadcast ONE-ROW global",
+    "q_curate2": "inherits q_embed_semdedup's centroid argmax "
+                 "(vector x broadcast n_cells rows, map-side)",
 }
 
 # Building these executes real streaming jobs / journal writes — their
