@@ -497,26 +497,36 @@ def embed_ingest_classify(
     all_planes = [
         hyperplanes(planes_per_band, dims, seed=f"nd:{b}") for b in range(bands)
     ]
+    width = int(batch.sparkSession.conf.get("spark.sql.shuffle.partitions"))
 
     def banded(df):
+        # Round-robin exchange before the bucket folds, exactly as
+        # embed_near_dup does: the embeddings scan is narrow and the
+        # folds are interpreted higher-order functions — left on the
+        # scan stage they serialize onto a handful of tasks. Bands
+        # carry ids only; verification re-joins vectors by id.
         c = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
         arr = F.array(
             *[F.expr(bucket_expr("v", planes)) for planes in all_planes]
         )
-        return c.select(
-            "vec_id", "v", F.posexplode(arr).alias("band", "bkt")
+        return c.repartition(width).select(
+            "vec_id", F.posexplode(arr).alias("band", "bkt")
         )
 
     bb, bc = banded(batch), banded(corpus)
     va = batch.select(F.col(id_col).alias("_a"), F.col(vec_col).alias("_va"))
-    vany = batch.unionByName(corpus).select(
-        F.col(id_col).alias("_b"), F.col(vec_col).alias("_vb")
-    )
 
-    def verified_counts(cand, key_out):
+    def verified_counts(cand, b_side, key_out):
+        # b_side: only the table the candidate's doc_b can come from
+        # (corpus for batch x corpus pairs, batch for within-batch) —
+        # joining a batch∪corpus union would drag the whole corpus
+        # into the small within-batch verification join.
+        vb = b_side.select(
+            F.col(id_col).alias("_b"), F.col(vec_col).alias("_vb")
+        )
         pairs = (
             cand.join(va, cand["doc_a"] == va["_a"])
-            .join(vany, cand["doc_b"] == vany["_b"])
+            .join(vb, cand["doc_b"] == vb["_b"])
         )
         sims = _with_pair_cosine(
             pairs, "_va", "_vb", "sim", ["doc_a", "doc_b"]
@@ -532,7 +542,7 @@ def embed_ingest_classify(
         .select(bb["vec_id"].alias("doc_a"), bc["vec_id"].alias("doc_b"))
         .distinct()
     )
-    n_corpus = verified_counts(cand_bc, "doc_a").withColumnRenamed(
+    n_corpus = verified_counts(cand_bc, corpus, "doc_a").withColumnRenamed(
         "doc_a", "vec_id"
     )
     a, b = bb.alias("a"), bb.alias("b")
@@ -550,7 +560,7 @@ def embed_ingest_classify(
         )
         .distinct()
     )
-    n_prior = verified_counts(cand_bb, "doc_a").withColumnRenamed(
+    n_prior = verified_counts(cand_bb, batch, "doc_a").withColumnRenamed(
         "doc_a", "vec_id"
     )
     zero = F.lit(0).cast("bigint")
@@ -562,8 +572,13 @@ def embed_ingest_classify(
             "vec_id",
             F.coalesce("n_corpus", zero).alias("n_corpus"),
             F.coalesce("n_prior", zero).alias("n_prior"),
-            F.when(F.coalesce("n_corpus", zero) > 0, "dup_of_corpus")
-            .when(F.coalesce("n_prior", zero) > 0, "dup_within_batch")
+        )
+        .select(
+            "vec_id",
+            "n_corpus",
+            "n_prior",
+            F.when(F.col("n_corpus") > 0, "dup_of_corpus")
+            .when(F.col("n_prior") > 0, "dup_within_batch")
             .otherwise("unique")
             .alias("status"),
         )

@@ -761,10 +761,14 @@ _ND_PLANES = [
 ]
 
 
-def _duck_nd_banded() -> str:
+def _duck_nd_banded(col: str = "vn", src: str = "n") -> str:
+    """UNION-ALL banding over the shared _ND_PLANES family (buckets
+    always computed on the raw vector `v`; `col` is what the banded
+    rows carry). One generator for every oracle that bands — a
+    per-oracle copy could silently desynchronize the band family."""
     branches = [
-        f"SELECT vec_id, vn, {b} AS band, "
-        f"{_duck_bucket('v', _ND_PLANES[b])} AS bkt FROM n"
+        f"SELECT vec_id, {col}, {b} AS band, "
+        f"{_duck_bucket('v', _ND_PLANES[b])} AS bkt FROM {src}"
         for b in range(_ND_BANDS)
     ]
     return "\n      UNION ALL ".join(branches)
@@ -872,15 +876,6 @@ def q_embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------- embed ingest
-def _duck_banded_raw() -> str:
-    branches = [
-        f"SELECT vec_id, v, {b} AS band, "
-        f"{_duck_bucket('v', _ND_PLANES[b])} AS bkt FROM e"
-        for b in range(_ND_BANDS)
-    ]
-    return "\n      UNION ALL ".join(branches)
-
-
 @query(
     "q_embed_ingest",
     oracle=f"""
@@ -889,7 +884,7 @@ def _duck_banded_raw() -> str:
       FROM embeddings
     ),
     banded AS (
-      {_duck_banded_raw()}
+      {_duck_nd_banded(col="v", src="e")}
     ),
     bc AS (
       SELECT n.vec_id AS doc_a, c.vec_id AS doc_b
