@@ -91,6 +91,7 @@ HEADLINE = [
     "q_domain_sample",
     "q_embed_ingest",
     "q_curate2",
+    "q_bpe_train",
 ]
 
 

@@ -545,3 +545,132 @@ def q_doc_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bigrams",
         F.expr("nll * 1000 div n_bigrams").alias("nll_milli"),
     ).orderBy("nll_milli", "doc_id").limit(_LM_TOP)
+
+
+# ------------------------------------------------------------- bpe train
+#
+# Iterative BPE training (Sennrich et al. 2016), three merge rounds:
+# the q_bpe_pairs count re-run after APPLYING each round's winning
+# merge — the engine's third iterative declared algorithm (with CC
+# and PageRank), oracle-checked by unrolling the rounds as chained
+# CTEs. The winning pair merges leftmost-greedily; self-pairs
+# (p1 = p2) are excluded from candidacy so a merge's occurrences are
+# provably non-overlapping and its application stays a position-local
+# array expression (a run "aaa" would make position i's re-segmenting
+# depend on position i-1's — the one case that needs a sequential
+# fold). Tie-break: (count desc, p1, p2) — deterministic.
+_BPE_ROUNDS = 3
+
+_SPARK_MERGE_APPLY = """
+  filter(transform(sequence(1, size(s)), i -> CASE
+    WHEN i > 1 AND try_element_at(s, i-1) = p1 AND element_at(s, i) = p2
+      THEN NULL
+    WHEN element_at(s, i) = p1 AND try_element_at(s, i+1) = p2
+      THEN concat(p1, p2)
+    ELSE element_at(s, i) END), x -> x IS NOT NULL)
+"""
+
+
+def _duck_bpe_round(v_in: str, r: int) -> str:
+    """One unrolled oracle round: pair counts over v_in, winner t{r},
+    merged vocab v{r}."""
+    return f"""
+    pr{r} AS (
+      SELECT s[i] AS p1, s[i + 1] AS p2, cnt
+      FROM {v_in}, unnest(range(1, len(s))) u(i)
+    ),
+    t{r} AS (
+      SELECT p1, p2, CAST(SUM(cnt) AS BIGINT) AS n_merge
+      FROM pr{r} WHERE p1 <> p2
+      GROUP BY p1, p2 ORDER BY n_merge DESC, p1, p2 LIMIT 1
+    ),
+    v{r} AS (
+      SELECT w, cnt,
+        list_filter(
+          list_transform(range(1, len(s) + 1), i -> CASE
+            WHEN i > 1 AND s[i - 1] = t{r}.p1 AND s[i] = t{r}.p2 THEN NULL
+            WHEN s[i] = t{r}.p1 AND i < len(s) AND s[i + 1] = t{r}.p2
+              THEN t{r}.p1 || t{r}.p2
+            ELSE s[i] END),
+          x -> x IS NOT NULL) AS s
+      FROM {v_in}, t{r}
+    )"""
+
+
+@query(
+    "q_bpe_train",
+    oracle=f"""
+    WITH v0 AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt,
+             list_transform(range(1, len(w) + 1), i -> substr(w, i, 1)) AS s
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE len(w) >= 2 GROUP BY w
+    ),
+    {",".join(_duck_bpe_round(f"v{r - 1}", r) for r in range(1, _BPE_ROUNDS + 1))}
+    SELECT * FROM (
+      {" UNION ALL ".join(
+        f"SELECT {r} AS round, p1, p2, n_merge FROM t{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+      )}
+    ) ORDER BY round
+    """,
+)
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three BPE merge rounds over the corpus vocabulary (module
+    comment): each round counts corpus-weighted adjacent symbol pairs,
+    picks the winner, and re-segments the vocab by applying the merge
+    as a position-local array expression — the winner rides a ONE-ROW
+    broadcast into the next round's lambda, so the loop is fully
+    declarative (no collect; the same scalar-feedback shape as the CC
+    checksum). Output: (round, p1, p2, n_merge).
+
+    Scale shape: per round, the corpus-sized work is one partial-
+    aggregated pair count over the VOCAB (already collapsed from the
+    corpus, as q_bpe_pairs); the re-segmentation is map-side. Rounds
+    are sequential by nature (each merge changes the next counts) —
+    exactly the iterative discipline of the CC/PageRank loops."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    v = vocab.select(
+        "w",
+        "cnt",
+        F.expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+        ).alias("s"),
+    )
+    tops = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        pairs = (
+            v.filter(F.expr("size(s) >= 2"))
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(s) - 1), i -> "
+                        "struct(element_at(s, i) AS p1, "
+                        "element_at(s, i + 1) AS p2))"
+                    )
+                ).alias("p"),
+                "cnt",
+            )
+            .select("p.p1", "p.p2", "cnt")
+        )
+        top = (
+            pairs.filter(F.col("p1") != F.col("p2"))
+            .groupBy("p1", "p2")
+            .agg(F.sum("cnt").alias("n_merge"))
+            .orderBy(F.desc("n_merge"), "p1", "p2")
+            .limit(1)
+        )
+        tops.append(top.select(F.lit(r).alias("round"), "p1", "p2", "n_merge"))
+        if r < _BPE_ROUNDS:
+            v = v.crossJoin(F.broadcast(top.select("p1", "p2"))).select(
+                "w", "cnt", F.expr(_SPARK_MERGE_APPLY).alias("s")
+            )
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), tops).orderBy("round")

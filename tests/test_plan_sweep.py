@@ -32,6 +32,8 @@ ALLOWED = {
     "q_doc_lm": "vocab size V is a broadcast ONE-ROW global",
     "q_curate2": "inherits q_embed_semdedup's centroid argmax "
                  "(vector x broadcast n_cells rows, map-side)",
+    "q_bpe_train": "each round's winning merge rides a ONE-ROW "
+                   "broadcast into the next round's lambda",
 }
 
 # Building these executes real streaming jobs / journal writes — their
