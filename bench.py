@@ -92,6 +92,7 @@ HEADLINE = [
     "q_embed_ingest",
     "q_curate2",
     "q_bpe_train",
+    "q_fusion_rank",
 ]
 
 

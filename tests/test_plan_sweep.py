@@ -34,6 +34,9 @@ ALLOWED = {
                  "(vector x broadcast n_cells rows, map-side)",
     "q_bpe_train": "each round's winning merge rides a ONE-ROW "
                    "broadcast into the next round's lambda",
+    "q_fusion_rank": "inherits q_bm25's (S, N) one-row global; the "
+                     "query embedding is a ONE-ROW broadcast over the "
+                     "corpus scan",
 }
 
 # Building these executes real streaming jobs / journal writes — their
