@@ -795,22 +795,29 @@ def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     accuracy vs the exact quantiles is bounds-asserted in
     tests/test_plans.py.
 
-    Scale shape: same as KMV — the per-group bottom-k runs as a
-    window over the group key (parallel across groups); at 100 TB the
-    production variant is a per-partition keep-k-smallest aggregator
-    that shrinks the shuffle to k rows per partition per group,
-    declared here in window form because it stays whole-stage-codegen
-    end to end."""
+    Scale shape: the bottom-k selection is the same two-stage salted
+    top-K as q_exact_quota — stage 1 keeps k per (group, hash-salt
+    bucket) at uniform parallel width, stage 2 re-ranks only the
+    <= k*B survivors per group — so no task ever sorts a whole
+    group's rows, and the result equals the single group-wide window
+    (every group-wide bottom-k row is in its bucket's bottom-k). The
+    oracle IS the single window."""
     events = load_table(spark, sf_dir, "events")
     h = events.select(
         "event_type",
         "value",
         F.expr(_SPARK_H60.format(x="event_id")).alias("h"),
         "event_id",
+    ).withColumn("bkt", F.col("h") % 16)
+    w1 = Window.partitionBy("event_type", "bkt").orderBy("h", "event_id")
+    cand = (
+        h.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= _QK)
+        .drop("r1", "bkt")
     )
     wk = Window.partitionBy("event_type").orderBy("h", "event_id")
     samp = (
-        h.withColumn("rn", F.row_number().over(wk))
+        cand.withColumn("rn", F.row_number().over(wk))
         .filter(F.col("rn") <= _QK)
         .drop("rn", "h")
     )
