@@ -65,3 +65,71 @@ def test_waterfill_caps_and_exhausts_budget(spark):
     # small domains fully funded, the big one capped
     assert out["s0"] == 5 and out["s1"] == 50 and out["s2"] == 500
     assert out["s3"] < 5000
+
+
+# --------------------------------------------------------------- bpe train
+def _reference_bpe(words: list[str], rounds: int):
+    """Imperative reference for q_bpe_train's semantics: weighted
+    adjacent-pair counts over the vocab, winner by (count desc, pair
+    asc) among p1 != p2, leftmost-greedy merge application."""
+    from collections import Counter
+
+    vocab = Counter(w for w in words if len(w) >= 2)
+    segs = {w: [c for c in w] for w in vocab}
+    merges = []
+    for _ in range(rounds):
+        counts = Counter()
+        for w, cnt in vocab.items():
+            s = segs[w]
+            for i in range(len(s) - 1):
+                if s[i] != s[i + 1]:
+                    counts[(s[i], s[i + 1])] += cnt
+        if not counts:
+            break
+        n_max = max(counts.values())
+        p1, p2 = min(p for p, n in counts.items() if n == n_max)
+        merges.append((p1, p2, n_max))
+        for w, s in segs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == p1 and s[i + 1] == p2:
+                    out.append(p1 + p2)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            segs[w] = out
+    return merges
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcd", min_size=2, max_size=6),
+        min_size=3,
+        max_size=30,
+    )
+)
+def test_bpe_train_matches_imperative_reference(spark, words):
+    """The declarative merge rounds (position-local array expression +
+    one-row broadcast winner) must equal an imperative leftmost-greedy
+    BPE on arbitrary vocabularies — the Spark and DuckDB formulations
+    share the expression, so the oracle alone can't catch a shared
+    derivation bug. Exercises overlap-adjacent runs ('abab', 'aabb')
+    the corpus data may not."""
+    import os
+    import tempfile
+
+    from core_spark.plans.registry import REGISTRY
+
+    want = _reference_bpe(words, rounds=3)
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(0, " ".join(words), "en", "src0", len(words))],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        got = [
+            (r.p1, r.p2, r.n_merge)
+            for r in REGISTRY["q_bpe_train"].fn(spark, d).collect()
+        ]
+    assert got == want, (words, got, want)
