@@ -19,5 +19,7 @@ from core_spark.plans import sketches  # noqa: E402,F401
 from core_spark.plans import ranking  # noqa: E402,F401
 from core_spark.plans import queryable_state  # noqa: E402,F401
 from core_spark.plans import mixing  # noqa: E402,F401
+from core_spark.plans import clustering  # noqa: E402,F401
+from core_spark.plans import packing  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "query"]

@@ -643,8 +643,19 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
         ).alias("s"),
     )
+    tops, _v = _bpe_rounds(v, _BPE_ROUNDS, apply_last=False)
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), tops).orderBy("round")
+
+
+def _bpe_rounds(v, rounds: int, apply_last: bool):
+    """Run `rounds` BPE merge rounds over a segmented vocab
+    (w, cnt, s). Returns ([per-round winner DF], final vocab) —
+    the trainer reports the winners, the encoder wants the vocab
+    after every merge is applied."""
     tops = []
-    for r in range(1, _BPE_ROUNDS + 1):
+    for r in range(1, rounds + 1):
         pairs = (
             v.filter(F.expr("size(s) >= 2"))
             .select(
@@ -667,10 +678,63 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
         )
         tops.append(top.select(F.lit(r).alias("round"), "p1", "p2", "n_merge"))
-        if r < _BPE_ROUNDS:
+        if r < rounds or apply_last:
             v = v.crossJoin(F.broadcast(top.select("p1", "p2"))).select(
                 "w", "cnt", F.expr(_SPARK_MERGE_APPLY).alias("s")
             )
-    from functools import reduce
+    return tops, v
 
-    return reduce(lambda a, b: a.unionByName(b), tops).orderBy("round")
+
+@query(
+    "q_bpe_encode",
+    oracle=f"""
+    WITH v0 AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt,
+             list_transform(range(1, len(w) + 1), i -> substr(w, i, 1)) AS s
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE len(w) >= 1 GROUP BY w
+    ),
+    {",".join(_duck_bpe_round(f"v{r - 1}", r) for r in range(1, _BPE_ROUNDS + 1))}
+    SELECT tok, n_tokens FROM (
+      SELECT tok, CAST(SUM(cnt) AS BIGINT) AS n_tokens
+      FROM (SELECT unnest(s) AS tok, cnt FROM v{_BPE_ROUNDS})
+      GROUP BY tok
+    ) ORDER BY n_tokens DESC, tok LIMIT 30
+    """,
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the trained BPE merges: re-run the
+    q_bpe_train rounds (winners are identical — 1-char words
+    contribute no pairs, so including them changes nothing) but APPLY
+    all three merges, then read token frequencies straight off the
+    segmented vocabulary. Output: top-30 (tok, n_tokens).
+
+    This is the apply-side of the tokenizer: encoding is a
+    vocab-table lookup (the corpus collapses to its vocabulary
+    first), so the per-round cost is vocab-sized, and corpus-sized
+    work is the single word-count aggregate — the exact shape a
+    100 TB tokenization pass wants (the merged vocab is the broadcast
+    dictionary a mapInPandas encoder would consume; counting tokens
+    needs no per-document work at all)."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    v = vocab.select(
+        "w",
+        "cnt",
+        F.expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+        ).alias("s"),
+    )
+    _tops, v = _bpe_rounds(v, _BPE_ROUNDS, apply_last=True)
+    return (
+        v.select(F.explode("s").alias("tok"), "cnt")
+        .groupBy("tok")
+        .agg(F.sum("cnt").cast("long").alias("n_tokens"))
+        .orderBy(F.desc("n_tokens"), "tok")
+        .limit(30)
+    )

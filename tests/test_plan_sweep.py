@@ -34,9 +34,19 @@ ALLOWED = {
                  "(vector x broadcast n_cells rows, map-side)",
     "q_bpe_train": "each round's winning merge rides a ONE-ROW "
                    "broadcast into the next round's lambda",
+    "q_bpe_encode": "same ONE-ROW winner broadcast as q_bpe_train "
+                    "(shared _bpe_rounds loop)",
     "q_fusion_rank": "inherits q_bm25's (S, N) one-row global; the "
                      "query embedding is a ONE-ROW broadcast over the "
                      "corpus scan",
+    "q_kmeans": "Lloyd assignment: each vector x broadcast k centroid "
+                "rows IS the argmin work, map-side (k is a constant); "
+                "same shape as q_ann_ivf's ivf_assign",
+    "q_temp_mix": "the weight denominator is a broadcast ONE-ROW "
+                  "global over the rows-per-source weight table",
+    "q_overlap_matrix": "source<source pair join runs on ONE k-array "
+                        "sketch row per source — S² sketch pairs, "
+                        "corpus-size-independent",
 }
 
 # Building these executes real streaming jobs / journal writes — their

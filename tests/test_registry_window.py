@@ -23,7 +23,18 @@ _REPO = Path(__file__).resolve().parent.parent
 # coverage only — each must be called out in COVERAGE.md.
 # r4: q_sketch_cms was renamed q_cms_heavy INTO the window (the one
 # query that had zero driver rows); the set is empty again.
-PYTEST_ONLY: set[str] = set()
+# r5: new queries CANNOT enter the window this round — r4's driver
+# CORRECTNESS file never materialized, so every r4-new name in the
+# window is still waiting for its first row and must not be displaced.
+# These sort after the cutoff by construction and rotate into the r6
+# window once the r4 cohort holds rows (documented in COVERAGE.md).
+PYTEST_ONLY: set[str] = {
+    "q_bpe_encode",
+    "q_kmeans",
+    "q_seq_pack",
+    "q_temp_mix",
+    "q_overlap_matrix",
+}
 
 
 def _historical_rows() -> set[str]:
