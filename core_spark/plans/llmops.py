@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from core_spark.functions.text import (
     duck_fingerprint,
@@ -536,6 +537,183 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= _WIN_T)
         .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------- span scrubbing
+@query(
+    "q_span_scrub",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text, len(text) AS n FROM documents
+               WHERE len(text) >= {_WIN_K}),
+    posx AS (
+      SELECT doc_id, n, unnest(range(0, n - {_WIN_K} + 1)) AS pos FROM d
+    ),
+    pos AS (
+      SELECT p.doc_id, p.n, p.pos,
+             CAST('0x' || substr(md5(substr(d.text, p.pos + 1, {_WIN_K})),
+                  1, 10) AS BIGINT) * {_WIN_POS}
+               + p.pos % {_WIN_POS} AS key
+      FROM posx p JOIN d USING (doc_id)
+    ),
+    sel AS (
+      SELECT doc_id,
+             MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW
+                            AND {_WIN_W - 1} FOLLOWING) AS minkey
+      FROM pos
+      QUALIFY pos <= n - {_WIN_K} - {_WIN_W - 1}
+    ),
+    pr AS (
+      SELECT DISTINCT doc_id, minkey // {_WIN_POS} AS fph,
+             minkey % {_WIN_POS} AS pos
+      FROM sel
+    ),
+    dfq AS (
+      SELECT fph FROM (SELECT DISTINCT doc_id, fph FROM pr)
+      GROUP BY fph HAVING COUNT(*) BETWEEN 2 AND {_WIN_DF}
+    ),
+    iv AS (
+      SELECT pr.doc_id, pr.pos, pr.pos + {_WIN_K} AS e
+      FROM pr JOIN dfq USING (fph)
+    ),
+    fl AS (
+      SELECT doc_id, pos, e,
+             CASE WHEN pos > coalesce(
+                 MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), -1)
+               THEN 1 ELSE 0 END AS st
+      FROM iv
+    ),
+    isl AS (
+      SELECT doc_id, pos, e,
+             SUM(st) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING) AS g
+      FROM fl
+    ),
+    agg AS (
+      SELECT doc_id, g, MIN(pos) AS s0, MAX(e) AS e0, COUNT(*) AS npr
+      FROM isl GROUP BY doc_id, g
+    )
+    SELECT doc_id, CAST(SUM(npr) AS BIGINT) AS n_prints,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(e0 - s0) AS BIGINT) AS dup_chars
+    FROM agg GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-byte accounting per document — the scrub ledger the
+    exact-substring dedup pass (Lee et al. 2022) acts on: every
+    winnowing-selected print shared by 2..{_WIN_DF} documents marks
+    its {_WIN_K}-char gram as duplicated; per document the marked
+    [pos, pos+{_WIN_K}) intervals union (gaps-and-islands over a
+    doc-keyed window) into maximal spans. Output per affected doc:
+    selected dup prints, merged span count, and chars the scrub would
+    cut. The winnowing guarantee bounds the miss: any shared span of
+    {_WIN_K + _WIN_W - 1}+ chars contributes at least one print.
+
+    Same kernel-plus-inverted-index shape as q_dup_spans (selection
+    is the map-side Arrow kernel; the only corpus-wide shuffle keys
+    on the print hash with the df cap as skew guard); the interval
+    union is a per-document window — key-partitioned, never global.
+    Positions ride the selected key's low 20 bits, so docs beyond
+    2^20 chars wrap (the q_dup_spans tie-break contract); shard such
+    documents upstream (q_chunk) before scrubbing."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def winnow_pos(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        md5 = hashlib.md5
+        for pdf in batches:
+            ids: list[int] = []
+            keys_out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                n = len(text)
+                if n < _WIN_K + _WIN_W - 1:
+                    continue
+                raw = text.encode()
+                keys = np.empty(n - _WIN_K + 1, dtype=np.uint64)
+                if len(raw) == n:
+                    for p in range(n - _WIN_K + 1):
+                        keys[p] = int.from_bytes(
+                            md5(raw[p : p + _WIN_K]).digest()[:5], "big"
+                        ) * _WIN_POS + (p % _WIN_POS)
+                else:
+                    for p in range(n - _WIN_K + 1):
+                        keys[p] = int.from_bytes(
+                            md5(text[p : p + _WIN_K].encode()).digest()[:5],
+                            "big",
+                        ) * _WIN_POS + (p % _WIN_POS)
+                mins = np.unique(
+                    np.lib.stride_tricks.sliding_window_view(
+                        keys, _WIN_W
+                    ).min(axis=1)
+                )
+                ids.extend([int(doc_id)] * len(mins))
+                keys_out.append(mins)
+            allk = (
+                np.concatenate(keys_out)
+                if keys_out
+                else np.array([], dtype=np.uint64)
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.array(ids, dtype=np.int64),
+                    "fph": (allk >> 20).astype(np.int64),
+                    "pos": (allk % _WIN_POS).astype(np.int64),
+                }
+            )
+
+    d = docs.select("doc_id", "text")
+    target = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < target:
+        d = d.repartition(target)
+    pr = d.mapInPandas(winnow_pos, schema="doc_id long, fph long, pos long")
+    dfq = (
+        pr.select("doc_id", "fph")
+        .distinct()
+        .groupBy("fph")
+        .count()
+        .filter((F.col("count") >= 2) & (F.col("count") <= _WIN_DF))
+        .select("fph")
+    )
+    iv = pr.join(dfq, "fph").select(
+        "doc_id", "pos", (F.col("pos") + _WIN_K).alias("e")
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = iv.withColumn(
+        "st",
+        F.when(
+            F.col("pos") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)), 1
+        ).otherwise(0),
+    ).withColumn("g", F.sum("st").over(w_cum))
+    agg = isl.groupBy("doc_id", "g").agg(
+        F.min("pos").alias("s0"),
+        F.max("e").alias("e0"),
+        F.count(F.lit(1)).alias("npr"),
+    )
+    return (
+        agg.groupBy("doc_id")
+        .agg(
+            F.sum("npr").cast("long").alias("n_prints"),
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum(F.col("e0") - F.col("s0")).cast("long").alias("dup_chars"),
+        )
+        .orderBy("doc_id")
     )
 
 

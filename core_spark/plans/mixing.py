@@ -686,7 +686,7 @@ def _bpe_rounds(v, rounds: int, apply_last: bool):
 
 
 @query(
-    "q_bpe_encode",
+    "q_tokenize_bpe",
     oracle=f"""
     WITH v0 AS (
       SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt,
@@ -702,7 +702,7 @@ def _bpe_rounds(v, rounds: int, apply_last: bool):
     ) ORDER BY n_tokens DESC, tok LIMIT 30
     """,
 )
-def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize the corpus with the trained BPE merges: re-run the
     q_bpe_train rounds (winners are identical — 1-char words
     contribute no pairs, so including them changes nothing) but APPLY

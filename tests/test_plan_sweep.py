@@ -34,7 +34,7 @@ ALLOWED = {
                  "(vector x broadcast n_cells rows, map-side)",
     "q_bpe_train": "each round's winning merge rides a ONE-ROW "
                    "broadcast into the next round's lambda",
-    "q_bpe_encode": "same ONE-ROW winner broadcast as q_bpe_train "
+    "q_tokenize_bpe": "same ONE-ROW winner broadcast as q_bpe_train "
                     "(shared _bpe_rounds loop)",
     "q_fusion_rank": "inherits q_bm25's (S, N) one-row global; the "
                      "query embedding is a ONE-ROW broadcast over the "

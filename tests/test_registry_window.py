@@ -29,9 +29,10 @@ _REPO = Path(__file__).resolve().parent.parent
 # These sort after the cutoff by construction and rotate into the r6
 # window once the r4 cohort holds rows (documented in COVERAGE.md).
 PYTEST_ONLY: set[str] = {
-    "q_bpe_encode",
+    "q_tokenize_bpe",
     "q_kmeans",
     "q_seq_pack",
+    "q_span_scrub",
     "q_temp_mix",
     "q_overlap_matrix",
 }
