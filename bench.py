@@ -93,6 +93,12 @@ HEADLINE = [
     "q_curate2",
     "q_bpe_train",
     "q_fusion_rank",
+    "q_kmeans",
+    "q_seq_pack",
+    "q_temp_mix",
+    "q_overlap_matrix",
+    "q_span_scrub",
+    "q_tokenize_bpe",
 ]
 
 
