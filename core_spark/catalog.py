@@ -51,6 +51,15 @@ class JournalSpec:
     # bytes/second appenders may sustain; 0 = unlimited
     # (protocol.proto MaxAppendRate, broker/append_flow_control.go:11-43)
     max_append_rate: int = 0
+    # String columns to index with per-fragment bloom filters (the
+    # Delta/Iceberg opt-in bloom-index pattern): appends build a
+    # 2048-bit filter per listed column into the fragment manifest,
+    # and `Journal.read(where=[(col, '=', value)])` prunes fragments
+    # whose filter proves the value absent — equality data skipping
+    # for the string columns zone maps can't soundly cover (parquet
+    # writers truncate string min/max). Opt-in because it costs one
+    # column-pruned scan of each appended fragment.
+    bloom_columns: tuple[str, ...] = ()
 
 
 @dataclass(frozen=True)
@@ -278,6 +287,9 @@ def validate_spec(spec: JournalSpec) -> None:
         raise SpecValidation("replication must be >= 1")
     if spec.max_append_rate < 0:
         raise SpecValidation("max_append_rate must be >= 0 (0 = unlimited)")
+    for c in spec.bloom_columns:
+        if not c or not isinstance(c, str):
+            raise SpecValidation(f"invalid bloom column {c!r}")
 
 
 class CatalogStore:
@@ -322,6 +334,8 @@ class CatalogStore:
                 path_postfix=d["path_postfix"],
                 # absent in pre-r4 catalogs: unlimited
                 max_append_rate=int(d.get("max_append_rate", 0)),
+                # absent in pre-r5 catalogs: no bloom indexing
+                bloom_columns=tuple(d.get("bloom_columns", ())),
             )
             for d in raw
         )
@@ -356,6 +370,7 @@ class CatalogStore:
                     "stores": list(s.stores),
                     "path_postfix": s.path_postfix,
                     "max_append_rate": s.max_append_rate,
+                    "bloom_columns": list(s.bloom_columns),
                 }
                 for s in sorted(by_name.values(), key=lambda s: s.name)
             ]

@@ -97,17 +97,30 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = li.select(
         "l_returnflag", F.expr(_SPARK_H60.format(x="l_partkey")).alias("h")
     ).distinct()
-    w = Window.partitionBy("l_returnflag")
-    r = h.select(
-        "l_returnflag",
-        "h",
-        F.row_number().over(w.orderBy("h")).alias("rn"),
-        F.count("*").over(w).alias("n_exact"),
+    # Two-stage salted bottom-k (the q_approx_quantile selection): a
+    # single per-group window would put each group's whole distinct
+    # set in ONE task — the 100 TB skew-killer. Stage 1 keeps the k
+    # smallest per (group, salt bucket); the group-wide k-th smallest
+    # is necessarily among them, so the stage-2 window scans at most
+    # k x 32 rows per group. The exact count comes from a partial-
+    # aggregated groupBy, not a window.
+    w1 = Window.partitionBy("l_returnflag", F.pmod("h", F.lit(32))).orderBy(
+        "h"
     )
-    kth = r.filter(F.col("rn") == _KMV_K).select(
-        "l_returnflag", F.col("h").alias("kth_hash")
+    stage1 = (
+        h.withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= _KMV_K)
+        .drop("rn1")
     )
-    ex = r.groupBy("l_returnflag").agg(F.max("n_exact").alias("exact_distinct"))
+    w2 = Window.partitionBy("l_returnflag").orderBy("h")
+    kth = (
+        stage1.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == _KMV_K)
+        .select("l_returnflag", F.col("h").alias("kth_hash"))
+    )
+    ex = h.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("exact_distinct")
+    )
     est = F.floor(
         (_KMV_K - 1)
         * F.lit(1152921504606846976).cast("decimal(38,0)")

@@ -136,6 +136,82 @@ def _dir_has_postfix(p: str) -> bool:
 
 _ZONE_OPS = ("=", "<", "<=", ">", ">=")
 
+# ----------------------------------------------------- bloom fragment index
+# 2048-bit, 4-hash blooms over spec-listed STRING columns: the
+# equality-skipping sibling of the numeric zone maps (string min/max is
+# unsound to prune on — parquet writers truncate it — but set
+# membership is exact-or-conservative by construction). Hash family:
+# four 16-bit slices of md5(value) mod 2048, identical between the
+# Spark builder expression (conv(substring(md5(col), …), 16, 10)) and
+# the Python read-side probe, so a manifest written by any engine
+# prunes the same. With ~hundreds of distinct values per fragment the
+# fill stays low (k·n/m ≈ 0.2 at n=100) and the false-positive rate
+# ~0.2⁴; a false positive only costs reading a fragment that zone-map
+# pruning would also have read.
+_BLOOM_BITS = 2048
+_BLOOM_K = 4
+
+
+def _bloom_positions(value: str) -> list[int]:
+    import hashlib
+
+    h = hashlib.md5(value.encode("utf-8")).hexdigest()
+    return [int(h[i * 4 : (i + 1) * 4], 16) % _BLOOM_BITS for i in range(_BLOOM_K)]
+
+
+def _bloom_may_contain(hexmap: str, value) -> bool:
+    """False ONLY when the fragment provably holds no row equal to
+    `value`; anything unprobeable is a conservative True."""
+    if not isinstance(value, str) or not hexmap:
+        return True
+    m = bytes.fromhex(hexmap)
+    return all(m[p // 8] >> (p % 8) & 1 for p in _bloom_positions(value))
+
+
+def _bloom_may_match(blooms: dict, col: str, op: str, value) -> bool:
+    if op != "=" or col not in blooms:
+        return True
+    return _bloom_may_contain(blooms[col], value)
+
+
+def _build_blooms(spark: SparkSession, path: str, fmt: str, cols) -> dict:
+    """Per-column bloom hex maps for a written fragment. One
+    column-pruned scan of the fragment (only the listed string
+    columns are read); the distinct (col, bit) set is at most
+    _BLOOM_BITS rows per column, so the collect is bounded by the
+    filter geometry, not the data."""
+    from pyspark.sql import types as T
+
+    df = getattr(spark.read, fmt)(path)
+    scols = [
+        c
+        for c in cols
+        if c in df.columns and isinstance(df.schema[c].dataType, T.StringType)
+    ]
+    if not scols:
+        return {}
+    frames = []
+    for c in scols:
+        hs = [
+            F.expr(
+                f"CAST(conv(substring(md5(`{c}`), {i * 4 + 1}, 4), 16, 10) "
+                f"AS INT) % {_BLOOM_BITS}"
+            )
+            for i in range(_BLOOM_K)
+        ]
+        frames.append(
+            df.where(F.col(c).isNotNull())
+            .select(F.lit(c).alias("col"), F.explode(F.array(*hs)).alias("bit"))
+            .distinct()
+        )
+    from functools import reduce
+
+    rows = reduce(lambda a, b: a.unionByName(b), frames).collect()
+    maps = {c: bytearray(_BLOOM_BITS // 8) for c in scols}
+    for r in rows:
+        maps[r["col"]][r["bit"] // 8] |= 1 << (r["bit"] % 8)
+    return {c: bytes(m).hex() for c, m in maps.items()}
+
 
 def _stats_may_match(
     stats: dict[str, list], col: str, op: str, value
@@ -192,6 +268,10 @@ class Fragment:
     # Default keeps pre-stats manifests parsing; readers treat a
     # missing map as "may match anything".
     stats: dict = field(default_factory=dict)
+    # Bloom index: {column: hex bitmap} over the JournalSpec's
+    # bloom_columns (string equality skipping). Default keeps
+    # pre-bloom manifests parsing; a missing filter never prunes.
+    blooms: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -240,31 +320,35 @@ class Journal:
         os.makedirs(self.manifest_dir, exist_ok=True)
         os.makedirs(self.frag_dir, exist_ok=True)
         self.store = store if store is not None else FSManifestStore(self.manifest_dir)
-        self._rate_cache: tuple[int, int] = (-1, 0)  # (catalog version, rate)
+        self._spec_cache: tuple = (-1, None)  # (catalog version, spec)
 
     # -------------------------------------------------------- flow control
-    def _max_append_rate(self) -> int:
-        """The journal's JournalSpec max_append_rate (bytes/s; 0 =
-        unlimited), honored by append (broker/append_flow_control.go:
-        11-43). Looked up from the CatalogStore living under the same
-        journals root, cached by catalog version — one listdir per
-        append when unchanged. Journals without a catalog (or without
-        a spec) are unlimited."""
+    def _spec(self):
+        """This journal's JournalSpec from the CatalogStore living
+        under the same journals root, cached by catalog version — one
+        listdir per append when unchanged. Journals without a catalog
+        (or without a spec) return None."""
         cat_dir = os.path.join(self.journals_root, "_catalog")
         if not os.path.isdir(cat_dir):
-            return 0
+            return None
         from core_spark.catalog import CatalogStore
 
         store = CatalogStore(self.journals_root)
         v = store.version()
-        if v != self._rate_cache[0]:
-            rate = 0
+        if v != self._spec_cache[0]:
+            spec = None
             for s in store.specs():
                 if s.name == self.name:
-                    rate = s.max_append_rate
+                    spec = s
                     break
-            self._rate_cache = (v, rate)
-        return self._rate_cache[1]
+            self._spec_cache = (v, spec)
+        return self._spec_cache[1]
+
+    def _max_append_rate(self) -> int:
+        """The journal's max_append_rate (bytes/s; 0 = unlimited),
+        honored by append (broker/append_flow_control.go:11-43)."""
+        s = self._spec()
+        return s.max_append_rate if s is not None else 0
 
     # ----------------------------------------------------------- manifest
     def manifest(self, at_version: int | None = None) -> Manifest:
@@ -370,6 +454,16 @@ class Journal:
         getattr(writer, fmt)(tmp)
         n, stats = _footer_info(tmp)
 
+        # Bloom index over spec-listed string columns (opt-in; one
+        # column-pruned scan of the just-written fragment, so the
+        # cost scales with the batch and the listed columns only).
+        spec = self._spec()
+        blooms = (
+            _build_blooms(df.sparkSession, tmp, fmt, spec.bloom_columns)
+            if spec is not None and spec.bloom_columns
+            else {}
+        )
+
         final = os.path.join(self.frag_dir, frag_name)
         os.rename(tmp, final)
 
@@ -413,6 +507,7 @@ class Journal:
             mod_time=time.time(),
             fmt=fmt,
             stats=stats,
+            blooms=blooms,
         )
         new = Manifest(
             version=m.version + 1,
@@ -447,7 +542,9 @@ class Journal:
         `where`: a list of (column, op, literal) predicates with op in
         {=, <, <=, >, >=}. Each is BOTH applied to the result (exact
         semantics) and consulted against the fragments' manifest zone
-        maps to drop fragments that provably contain no matching row —
+        maps — and, for string equality on a spec-listed bloom column,
+        the fragments' bloom filters — to drop fragments that
+        provably contain no matching row —
         data skipping ABOVE Spark's file pruning: skipped fragments
         never reach the scan's file listing, so a selective predicate
         on a 10⁶-fragment journal lists only the covering few. Spark's
@@ -474,6 +571,7 @@ class Journal:
             for f in covering
             if all(
                 _stats_may_match(f.stats, col, op, value)
+                and _bloom_may_match(f.blooms, col, op, value)
                 for col, op, value in where or []
             )
         ]
@@ -615,6 +713,7 @@ class Journal:
         replaced: dict[int, Fragment] = {}  # first seq -> merged frag
         dropped: set[int] = set()
         new_dirs: list[str] = []
+        spec = self._spec()
         from functools import reduce
 
         for run in todo:
@@ -640,6 +739,18 @@ class Journal:
                 mod_time=max(f.mod_time for f in run),
                 fmt="parquet",
                 stats=_footer_info(final)[1],
+                # Merged blooms are REBUILT from the merged file (an
+                # OR of the run's filters would also be sound, but a
+                # rebuild resets accumulated fill) under the CURRENT
+                # spec — compaction is when an index catches up with
+                # a bloom_columns change.
+                blooms=(
+                    _build_blooms(
+                        spark, final, "parquet", spec.bloom_columns
+                    )
+                    if spec is not None and spec.bloom_columns
+                    else {}
+                ),
             )
             dropped.update(f.seq for f in run)
 
@@ -653,6 +764,7 @@ class Journal:
             Fragment(
                 seq=i, begin=f.begin, end=f.end, n_records=f.n_records,
                 path=f.path, mod_time=f.mod_time, fmt=f.fmt, stats=f.stats,
+                blooms=f.blooms,
             )
             for i, f in enumerate(merged)
         ]

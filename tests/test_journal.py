@@ -457,3 +457,111 @@ def test_zone_map_pruned_read_equals_filtered_read_fuzz(spark, tmp_path):
             )
             want = sorted(v for v in all_vals if fn(v, x))
             assert got == want, (op_name, x, got[:5], want[:5])
+
+
+# ---------------------------------------------------------- bloom filters
+def _bloom_setup(spark, tmp_path, langs_per_frag):
+    """Catalog with bloom_columns=['lang'], one fragment per lang set."""
+    from core_spark.catalog import CatalogStore, JournalSpec
+
+    CatalogStore(str(tmp_path)).apply(
+        upserts=(
+            JournalSpec(name="blm/j-0", bloom_columns=("lang",)),
+        )
+    )
+    j = Journal(str(tmp_path), "blm/j-0")
+    for i, langs in enumerate(langs_per_frag):
+        j.append(
+            spark.createDataFrame(
+                [(i * 100 + k, lang) for k, lang in enumerate(langs)],
+                "v long, lang string",
+            )
+        )
+    return j
+
+
+def test_bloom_built_at_append_and_prunes_reads(spark, tmp_path):
+    j = _bloom_setup(
+        spark, tmp_path, [["en", "fr"], ["de", "es"], ["en", "pt"]]
+    )
+    m = j.manifest()
+    assert all("lang" in f.blooms for f in m.fragments)
+
+    # value present only in fragments 0 and 2: fragment 1 is pruned
+    # from the scan's file listing (soundness of the probe is the
+    # "present value never pruned" half)
+    df = j.read(spark, where=[("lang", "=", "en")])
+    files = df.inputFiles()
+    assert any(m.fragments[0].path in p for p in files)
+    assert all(m.fragments[1].path not in p for p in files)
+    assert any(m.fragments[2].path in p for p in files)
+    assert sorted(r.v for r in df.collect()) == [0, 200]
+
+    # a value in no fragment: with 8 set bits of 2048 per filter, at
+    # least one of these candidates must miss every filter -> fully
+    # pruned empty read (and still a well-shaped frame)
+    pruned_all = False
+    for cand in (f"zz{i}" for i in range(64)):
+        from core_spark.sources.journal import _bloom_may_contain
+
+        if not any(
+            _bloom_may_contain(f.blooms["lang"], cand) for f in m.fragments
+        ):
+            df0 = j.read(spark, where=[("lang", "=", cand)])
+            assert df0.count() == 0 and "lang" in df0.columns
+            pruned_all = True
+            break
+    assert pruned_all
+
+
+def test_bloom_conservative_paths(spark, tmp_path):
+    j = _bloom_setup(spark, tmp_path, [["en"], ["fr"]])
+    # non-equality ops and non-bloom columns never consult the filter
+    assert j.read(spark, where=[("v", ">=", 0)]).count() == 2
+    # pre-bloom fragments (empty blooms dict) are never pruned
+    m = j.manifest()
+    for f in m.fragments:
+        f.blooms.clear()
+    j._commit_manifest(
+        type(m)(
+            version=m.version + 1,
+            next_offset=m.next_offset,
+            fragments=m.fragments,
+            registers=m.registers,
+        )
+    )
+    assert j.read(spark, where=[("lang", "=", "en")]).count() == 1
+
+
+def test_bloom_pruned_read_equals_filtered_read_fuzz(spark, tmp_path):
+    """Soundness fuzz (the zone-map discipline): bloom-pruned reads
+    must equal exact filtering for present AND absent values across
+    random fragment layouts."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"l{i}" for i in range(12)]
+    layout = [
+        rng.sample(vocab, rng.randint(1, 4))
+        for _ in range(rng.randint(2, 5))
+    ]
+    j = _bloom_setup(spark, tmp_path, layout)
+    flat = [(i * 100 + k, lang) for i, langs in enumerate(layout)
+            for k, lang in enumerate(langs)]
+    for value in vocab + ["absent-x", "absent-y"]:
+        got = sorted(
+            r.v for r in j.read(spark, where=[("lang", "=", value)]).collect()
+        )
+        want = sorted(v for v, lang in flat if lang == value)
+        assert got == want, (value, got, want)
+
+
+def test_bloom_rebuilt_on_compaction(spark, tmp_path):
+    j = _bloom_setup(spark, tmp_path, [["en"], ["fr"], ["de"]])
+    assert j.compact(spark, target_records=1000) == 2
+    m = j.manifest()
+    assert len(m.fragments) == 1 and "lang" in m.fragments[0].blooms
+    for value, want in (("en", [0]), ("fr", [100]), ("de", [200])):
+        assert [
+            r.v for r in j.read(spark, where=[("lang", "=", value)]).collect()
+        ] == want
