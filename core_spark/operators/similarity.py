@@ -588,6 +588,59 @@ def embed_ingest_classify(
 SEMDEDUP_SENTINEL = -2.0  # max_prior for the first vector of its cell
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    k: int = 2,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-example hard-negative mining for contrastive training:
+    for EVERY corpus vector, the k most-similar vectors carrying a
+    DIFFERENT label, searched within its IVF cell (the `ann_ivf`
+    quantizer) — the in-batch-negatives upgrade every embedding-model
+    pipeline runs over its full training set.
+
+    Scale shape: cell assignment is the broadcast argmax (map-side);
+    the candidate join is cell-keyed (never corpus x corpus); with C
+    cells the pair work is sum(|cell|²) ≈ n²/C — pick n_cells ~ n/1k
+    at 100 TB as ann_ivf prescribes. Rounded-cosine + id tie-break
+    keeps the top-k engine-exact.
+
+    Output: (qid, vec_id, neg_label, sim)."""
+    cents = ivf_centroids(corpus, n_cells, id_col, vec_col)
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_v"),
+        F.col(label_col).alias("_lbl"),
+    )
+    cells = ivf_assign(c, cents, "_v", "vec_id", 1)
+    inv = c.join(cells, "vec_id")
+    a = inv.select(
+        F.col("vec_id").alias("qid"),
+        F.col("_v").alias("qv"),
+        F.col("_lbl").alias("qlbl"),
+        "cell",
+    )
+    pairs = _with_pair_cosine(
+        a.join(inv, "cell").filter(
+            (F.col("qid") != F.col("vec_id"))
+            & (F.col("qlbl") != F.col("_lbl"))
+        ),
+        "qv",
+        "_v",
+        "sim",
+        ["qid", "vec_id", "_lbl"],
+    ).withColumn("sim", F.round("sim", 6))
+    w = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id", F.col("_lbl").alias("neg_label"), "sim")
+    )
+
+
 def semdedup(
     corpus: DataFrame,
     threshold: float = 0.3,

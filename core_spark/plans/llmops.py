@@ -932,6 +932,54 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------- hard negatives
+@query(
+    "q_hard_negatives",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cent_id, v AS cent_v FROM e
+              ORDER BY vec_id LIMIT 16),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cent_id AS cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_duck_cos("e.v", "c.cent_v")} DESC, c.cent_id) AS rn
+        FROM e, cents c
+      ) WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT q.vec_id AS qid, c.vec_id, ce.label AS neg_label,
+             {_duck_cos("qe.v", "ce.v")} AS sim
+      FROM assign q
+      JOIN e qe ON qe.vec_id = q.vec_id
+      JOIN assign c ON c.cell = q.cell
+      JOIN e ce ON ce.vec_id = c.vec_id
+      WHERE q.vec_id <> c.vec_id AND qe.label <> ce.label
+    )
+    SELECT qid, vec_id, neg_label, sim FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+      FROM pairs
+    ) WHERE rn <= 2 ORDER BY qid, vec_id
+    """,
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: for every vector, the 2 most-similar
+    DIFFERENT-label vectors within its IVF cell — the contrastive-
+    training pair generator, run over the full set (not a 10-query
+    sample) because that is the realistic shape; see
+    operators/similarity.py:hard_negatives for the n²/C cell-keyed
+    bound."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from core_spark.operators.similarity import hard_negatives
+
+    return hard_negatives(emb, k=2, n_cells=16).orderBy("qid", "vec_id")
+
+
 # -------------------------------------------------- embedding near-dup
 _ND_BANDS = 8
 _ND_PLANES = [

@@ -29,6 +29,9 @@ ALLOWED = {
     "q_embed_semdedup": "same centroid argmax as q_ann_ivf (shared "
                         "ivf_assign): vector x broadcast n_cells rows, "
                         "map-side",
+    "q_hard_negatives": "same centroid argmax as q_ann_ivf (shared "
+                        "ivf_assign); the candidate join itself is "
+                        "cell-keyed",
     "q_doc_lm": "vocab size V is a broadcast ONE-ROW global",
     "q_curate2": "inherits q_embed_semdedup's centroid argmax "
                  "(vector x broadcast n_cells rows, map-side)",

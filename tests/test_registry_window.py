@@ -30,6 +30,7 @@ _REPO = Path(__file__).resolve().parent.parent
 # window once the r4 cohort holds rows (documented in COVERAGE.md).
 PYTEST_ONLY: set[str] = {
     "q_tokenize_bpe",
+    "q_hard_negatives",
     "q_kmeans",
     "q_seq_pack",
     "q_span_scrub",
