@@ -132,3 +132,34 @@ def test_shards_stat_and_await(spark, tmp_path, capsys):
             "--shard", "s1", "--source", "src/a", "--offset", "999",
             "--timeout", "0.3",
         ])
+
+
+def test_read_where_predicates(spark, tmp_path, capsys):
+    """--where predicates apply exactly and ride the manifest pruning
+    path (zone maps for numerics, blooms for spec-listed strings)."""
+    from core_spark.catalog import CatalogStore, JournalSpec
+    from core_spark.sources.journal import Journal
+
+    root = str(tmp_path / "j")
+    CatalogStore(root).apply(
+        upserts=(JournalSpec(name="demo/w", bloom_columns=("n_name",)),)
+    )
+    j = Journal(root, "demo/w")
+    df = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    j.append(df.filter("n_regionkey <= 2"))
+    j.append(df.filter("n_regionkey > 2"))
+
+    assert main([
+        "journals-read", "--root", root, "--journal", "demo/w",
+        "--where", "n_regionkey>=3", "--where", "n_name=NATION_4",
+    ]) == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert [r["n_name"] for r in rows] == ["NATION_4"]
+
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main([
+            "journals-read", "--root", root, "--journal", "demo/w",
+            "--where", "garbage",
+        ])

@@ -332,3 +332,51 @@ def test_shard_maintains_lsh_index_journal(spark, tmp_path):
         .collect()
     )
     assert {(r.doc_a, r.doc_b) for r in hits} == {(100, 1)}
+
+
+def test_shard_maintains_bloom_index(spark, tmp_path):
+    """A streaming materialization whose out-journal spec lists
+    bloom_columns gets per-fragment bloom filters with NO sink code:
+    the fenced append builds them like any append. Equality reads on
+    the materialization then prune micro-batch fragments that
+    provably lack the value — data skipping over streaming output."""
+    from core_spark.catalog import CatalogStore, JournalSpec
+    from core_spark.sources.journal import _bloom_may_contain
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_chunk(spark, src, "c0.parquet", ["alpha", "beta"])
+    _write_chunk(spark, src, "c1.parquet", ["gamma", "delta"])
+
+    out_root = str(tmp_path / "out")
+    CatalogStore(out_root).apply(
+        upserts=(JournalSpec(name="blm/stream", bloom_columns=("word",)),)
+    )
+    cfg = ShardConfig(
+        source_glob=src + "/*",
+        source_schema="word string",
+        out_root=out_root,
+        out_journal="blm/stream",
+        shard_id="blm-0",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    run_shard(spark, cfg, lambda df: df).awaitTermination(120)
+
+    j = Journal(out_root, "blm/stream")
+    m = j.manifest()
+    data_frags = [f for f in m.fragments if f.n_records > 0]
+    assert len(data_frags) >= 2
+    assert all("word" in f.blooms for f in data_frags)
+    # each batch's filter holds its own words, not the other batch's
+    hits = [
+        [
+            _bloom_may_contain(f.blooms["word"], w)
+            for f in data_frags
+        ]
+        for w in ("alpha", "gamma")
+    ]
+    assert all(any(h) for h in hits)
+    # pruned equality read returns exactly the matching rows
+    got = j.read(spark, where=[("word", "=", "gamma")]).collect()
+    assert [r.word for r in got] == ["gamma"]
