@@ -50,42 +50,21 @@ def _emit(df, output: str | None) -> None:
             print(json.dumps(row.asDict(), default=str))
 
 
-def _parse_where(exprs: list[str]) -> list[tuple]:
-    """`--where 'col=val'` / `'col>=3'` → (col, op, literal) triples
-    for Journal.read's manifest pruning (zone maps + blooms). Numeric
-    literals parse as int/float so zone maps can prune; anything else
-    stays a string for the bloom probe."""
-    out = []
-    for e in exprs or []:
-        for op in (">=", "<=", ">", "<", "="):  # two-char ops first
-            if op in e:
-                col, _, raw = e.partition(op)
-                v: object = raw
-                try:
-                    v = int(raw)
-                except ValueError:
-                    try:
-                        v = float(raw)
-                    except ValueError:
-                        pass
-                out.append((col.strip(), op, v))
-                break
-        else:
-            raise SystemExit(f"bad --where {e!r} (want col<op>value)")
-    return out
-
-
 def cmd_read(args) -> int:
-    from core_spark.sources.journal import Journal
+    from core_spark.sources.journal import Journal, parse_where
 
     spark = get_spark("engine-cli")
     j = Journal(args.root, args.journal)
+    try:
+        where = parse_where(args.where)
+    except ValueError as e:
+        raise SystemExit(str(e)) from e
     df = j.read(
         spark,
         begin=args.offset,
         end=args.end_offset,
         begin_mod_time=args.begin_mod_time,
-        where=_parse_where(args.where),
+        where=where,
     )
     _emit(df if args.output else df.orderBy("_offset"), args.output)
     return 0

@@ -41,7 +41,7 @@ from urllib.parse import parse_qs, urlparse
 
 from pyspark.sql import SparkSession
 
-from core_spark.sources.journal import Journal, RegisterMismatch
+from core_spark.sources.journal import Journal, RegisterMismatch, parse_where
 
 
 class JournalGateway:
@@ -93,8 +93,18 @@ class JournalGateway:
                 qs = parse_qs(url.query)
                 begin = int(qs["begin"][0]) if "begin" in qs else None
                 end = int(qs["end"][0]) if "end" in qs else None
+                # repeatable ?where=col<op>value — the CLI's predicate
+                # syntax over HTTP, riding the same manifest pruning
+                # (zone maps + blooms) inside Journal.read
                 try:
-                    body, next_off, truncated = gw.read_ndjson(name, begin, end)
+                    where = parse_where(qs.get("where", []))
+                except ValueError as e:
+                    self._error(400, str(e))
+                    return
+                try:
+                    body, next_off, truncated = gw.read_ndjson(
+                        name, begin, end, where=where
+                    )
                 except ValueError as e:
                     self._error(416, str(e))  # no covering fragments
                     return
@@ -154,7 +164,13 @@ class JournalGateway:
         )
         return Journal(self.root, name).append(df)
 
-    def read_ndjson(self, name: str, begin: int | None, end: int | None):
+    def read_ndjson(
+        self,
+        name: str,
+        begin: int | None,
+        end: int | None,
+        where: list[tuple] | None = None,
+    ):
         """Serve at most `max_read_rows` rows of the range; returns
         (body, next_offset, truncated). The cap rides a limit() so the
         plan is TakeOrderedAndProject — the driver holds one page, never
@@ -170,7 +186,9 @@ class JournalGateway:
         from pyspark.sql import functions as F
 
         j = Journal(self.root, name)
-        df = j.read(self.spark, begin=begin, end=end).orderBy("_offset")
+        df = j.read(self.spark, begin=begin, end=end, where=where).orderBy(
+            "_offset"
+        )
         cap = self.max_read_rows
         page = df.select(
             F.col("_offset").alias("__off"),

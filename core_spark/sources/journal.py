@@ -136,6 +136,34 @@ def _dir_has_postfix(p: str) -> bool:
 
 _ZONE_OPS = ("=", "<", "<=", ">", ">=")
 
+
+def parse_where(exprs: list[str]) -> list[tuple]:
+    """`col<op>value` strings → (col, op, literal) triples for
+    `Journal.read(where=…)` — the shared predicate grammar of the CLI
+    `--where` flag and the gateway `?where=` param. Numeric literals
+    parse as int/float so zone maps can prune; everything else stays
+    a string for the bloom probe. Raises ValueError on malformed
+    input (callers surface their own exit code / 400)."""
+    out = []
+    for e in exprs or []:
+        for op in (">=", "<=", ">", "<", "="):  # two-char ops first
+            if op in e:
+                col, _, raw = e.partition(op)
+                v: object = raw
+                try:
+                    v = int(raw)
+                except ValueError:
+                    try:
+                        v = float(raw)
+                    except ValueError:
+                        pass
+                out.append((col.strip(), op, v))
+                break
+        else:
+            raise ValueError(f"bad where {e!r} (want col<op>value)")
+    return out
+
+
 # ----------------------------------------------------- bloom fragment index
 # 2048-bit, 4-hash blooms over spec-listed STRING columns: the
 # equality-skipping sibling of the numeric zone maps (string min/max is

@@ -100,3 +100,41 @@ def test_read_is_paged_under_row_cap(spark, tmp_path):
         assert pages == 4  # 8+8+8+6
     finally:
         g.stop()
+
+
+def test_get_where_predicates_prune_and_filter(gw, spark):
+    """?where=col<op>value applies exactly over HTTP and rides the
+    manifest pruning (zone maps; blooms when the spec lists the
+    column). Malformed input is a 400, not a silent full read."""
+    import urllib.error
+    import urllib.parse
+
+    from core_spark.catalog import CatalogStore, JournalSpec
+
+    g, base = gw
+    CatalogStore(g.root).apply(
+        upserts=(JournalSpec(name="api/where", bloom_columns=("tag",)),)
+    )
+    _put(base, "api/where", "\n".join(
+        json.dumps({"k": i, "tag": "lo"}) for i in range(5)
+    ))
+    _put(base, "api/where", "\n".join(
+        json.dumps({"k": 100 + i, "tag": "hi"}) for i in range(5)
+    ))
+
+    q = urllib.parse.quote("tag=hi") + "&where=" + urllib.parse.quote("k>=103")
+    body, headers, status = _get(base, f"/jnl/api/where?where={q}")
+    assert status == 200
+    rows = [json.loads(ln) for ln in body.splitlines()]
+    assert [r["k"] for r in rows] == [103, 104]
+    assert all(r["tag"] == "hi" for r in rows)
+
+    # bloom-pruned-to-empty is an empty 200, not an error
+    body0, _h, s0 = _get(
+        base, "/jnl/api/where?where=" + urllib.parse.quote("tag=absent-zz1")
+    )
+    assert s0 == 200 and body0 == ""
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(base, "/jnl/api/where?where=garbage")
+    assert ei.value.code == 400
