@@ -99,6 +99,7 @@ HEADLINE = [
     "q_overlap_matrix",
     "q_span_scrub",
     "q_tokenize_bpe",
+    "q_hard_negatives",
 ]
 
 

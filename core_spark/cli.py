@@ -171,6 +171,65 @@ def cmd_list(args) -> int:
     return 0
 
 
+def cmd_apply(args) -> int:
+    """journals apply (gazctl journals apply / ApplyJournals RPC):
+    upsert/delete JournalSpecs in one catalog CAS. Specs are JSON
+    (inline or @file) in the catalog's own serialization; validation
+    failures and lost CAS races exit 1 with the reason — no Spark
+    session needed (DDL is metadata-only)."""
+    from core_spark.catalog import (
+        ApplyConflict,
+        CatalogStore,
+        JournalSpec,
+        Label,
+        SpecValidation,
+    )
+
+    specs = []
+    for raw in args.spec or []:
+        if raw.startswith("@"):
+            with open(raw[1:]) as fh:
+                raw = fh.read()
+        d = json.loads(raw)
+        specs.append(
+            JournalSpec(
+                name=d["name"],
+                labels=tuple(Label(*l) for l in d.get("labels", [])),
+                replication=int(d.get("replication", 1)),
+                fragment_length=int(d.get("fragment_length", 1 << 29)),
+                codec=d.get("codec", "ZSTD"),
+                stores=tuple(d.get("stores", ())),
+                path_postfix=d.get("path_postfix", ""),
+                max_append_rate=int(d.get("max_append_rate", 0)),
+                bloom_columns=tuple(d.get("bloom_columns", ())),
+            )
+        )
+    try:
+        v = CatalogStore(args.root).apply(
+            upserts=tuple(specs),
+            deletions=tuple(args.delete or []),
+            expect_version=args.expect_version,
+        )
+    except (SpecValidation, ApplyConflict) as e:
+        print(json.dumps({"error": str(e)}))
+        return 1
+    print(json.dumps({"version": v}))
+    return 0
+
+
+def cmd_specs(args) -> int:
+    """Dump the catalog's current JournalSpecs as JSON lines."""
+    from dataclasses import asdict
+
+    from core_spark.catalog import CatalogStore
+
+    for s in CatalogStore(args.root).specs():
+        d = asdict(s)
+        d["labels"] = [[lb["name"], lb["value"]] for lb in d["labels"]]
+        print(json.dumps(d))
+    return 0
+
+
 def cmd_attach_uuids(args) -> int:
     from core_spark.streaming.publisher import attach_uuids
     from pyspark.sql import functions as F
@@ -275,6 +334,21 @@ def build_parser() -> argparse.ArgumentParser:
         help="label selector: name=v1,v2 or !name=v (repeatable)",
     )
     jl.set_defaults(fn=cmd_list)
+
+    jap = sub.add_parser("journals-apply")
+    jap.add_argument("--root", required=True)
+    jap.add_argument(
+        "--spec", action="append",
+        help="JournalSpec JSON, inline or @file (repeatable upsert)",
+    )
+    jap.add_argument("--delete", action="append",
+                     help="journal name to delete (repeatable)")
+    jap.add_argument("--expect-version", type=int, default=None)
+    jap.set_defaults(fn=cmd_apply)
+
+    jsp = sub.add_parser("journals-specs")
+    jsp.add_argument("--root", required=True)
+    jsp.set_defaults(fn=cmd_specs)
 
     js = sub.add_parser("journals-sql")
     js.add_argument("--root", required=True)

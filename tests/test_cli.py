@@ -163,3 +163,45 @@ def test_read_where_predicates(spark, tmp_path, capsys):
             "journals-read", "--root", root, "--journal", "demo/w",
             "--where", "garbage",
         ])
+
+
+def test_apply_and_specs(spark, tmp_path, capsys):
+    """journals-apply / journals-specs: the gazctl DDL face — CAS'd
+    upserts with validation, no Spark session involved."""
+    root = str(tmp_path / "cat")
+    assert main([
+        "journals-apply", "--root", root,
+        "--spec", json.dumps({
+            "name": "topic/p0",
+            "labels": [["app", "demo"]],
+            "bloom_columns": ["lang"],
+            "max_append_rate": 1024,
+        }),
+    ]) == 0
+    assert json.loads(capsys.readouterr().out.strip())["version"] == 1
+
+    assert main(["journals-specs", "--root", root]) == 0
+    specs = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert [s["name"] for s in specs] == ["topic/p0"]
+    assert specs[0]["bloom_columns"] == ["lang"]
+    assert specs[0]["labels"] == [["app", "demo"]]
+
+    # invalid spec -> exit 1 with the reason, catalog unchanged
+    assert main([
+        "journals-apply", "--root", root,
+        "--spec", json.dumps({"name": "bad//name"}),
+    ]) == 1
+    assert "error" in json.loads(capsys.readouterr().out.strip())
+
+    # CAS: stale expected version loses
+    assert main([
+        "journals-apply", "--root", root, "--delete", "topic/p0",
+        "--expect-version", "0",
+    ]) == 1
+
+    # the applied spec DRIVES appends: bloom index + rate policy live
+    from core_spark.sources.journal import Journal
+
+    j = Journal(root, "topic/p0")
+    j.append(spark.createDataFrame([(1, "en")], "v long, lang string"))
+    assert "lang" in j.manifest().fragments[0].blooms
