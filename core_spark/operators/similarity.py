@@ -602,11 +602,19 @@ def hard_negatives(
     quantizer) — the in-batch-negatives upgrade every embedding-model
     pipeline runs over its full training set.
 
-    Scale shape: cell assignment is the broadcast argmax (map-side);
-    the candidate join is cell-keyed (never corpus x corpus); with C
-    cells the pair work is sum(|cell|²) ≈ n²/C — pick n_cells ~ n/1k
-    at 100 TB as ann_ivf prescribes. Rounded-cosine + id tie-break
-    keeps the top-k engine-exact.
+    Scale shape — the `semdedup` per-cell-kernel discipline, NOT a
+    pair join: the corpus shuffles ONCE keyed on the cell id and each
+    cell's candidate scoring + top-k selection runs inside one Arrow
+    task as a numpy gram (a v1 pair-join formulation shuffled
+    sum(|cell|²) candidate ROWS each carrying two 64-dim vectors and
+    probed exponent 1.25 in the 10x scale probe; in-kernel the pair
+    work is vectorized flops on rows that never leave the task).
+    Cell size is the memory/work knob — n_cells ~ n/1000 at 100 TB,
+    the SemDeDup paper's own bound.
+
+    Float discipline identical to `semdedup`: normalize-then-dot,
+    dimension-major sequential folds (bit-identical to the SQL twin),
+    selection by RAW sim with id tie-break, rounding once JVM-side.
 
     Output: (qid, vec_id, neg_label, sim)."""
     cents = ivf_centroids(corpus, n_cells, id_col, vec_col)
@@ -616,29 +624,59 @@ def hard_negatives(
         F.col(label_col).alias("_lbl"),
     )
     cells = ivf_assign(c, cents, "_v", "vec_id", 1)
-    inv = c.join(cells, "vec_id")
-    a = inv.select(
-        F.col("vec_id").alias("qid"),
-        F.col("_v").alias("qv"),
-        F.col("_lbl").alias("qlbl"),
-        "cell",
+    assigned = c.join(cells, "vec_id")
+
+    def _cell_topk(pdf):
+        import numpy as np
+        import pandas as pd
+
+        n = len(pdf)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        labs = pdf["_lbl"].to_numpy()[order]
+        raw = np.array(
+            [np.asarray(x, dtype=np.float64) for x in pdf["_v"]],
+            dtype=np.float64,
+        )[order]
+        ids = ids[order]
+        acc = np.zeros(n, dtype=np.float64)
+        for i in range(raw.shape[1]):
+            acc += raw[:, i] * raw[:, i]
+        norm = np.sqrt(acc)
+        norm[norm == 0.0] = 1.0  # semdedup's zero-norm guard
+        v = raw / norm[:, None]
+        s = np.zeros((n, n), dtype=np.float64)
+        for i in range(v.shape[1]):
+            col = v[:, i]
+            s += np.multiply.outer(col, col)
+        out_q: list = []
+        out_v: list = []
+        out_l: list = []
+        out_s: list = []
+        for q in range(n):
+            cand = np.flatnonzero(labs != labs[q])
+            if cand.size == 0:
+                continue
+            # primary: sim desc (raw — bit-identical to the SQL
+            # fold, so no rounding ambiguity); secondary: id asc
+            sel = cand[np.lexsort((ids[cand], -s[q, cand]))[:k]]
+            out_q.extend([int(ids[q])] * len(sel))
+            out_v.extend(int(x) for x in ids[sel])
+            out_l.extend(int(x) for x in labs[sel])
+            out_s.extend(float(x) for x in s[q, sel])
+        return pd.DataFrame(
+            {
+                "qid": np.array(out_q, dtype=np.int64),
+                "vec_id": np.array(out_v, dtype=np.int64),
+                "neg_label": np.array(out_l, dtype=np.int32),
+                "sim": np.array(out_s, dtype=np.float64),
+            }
+        )
+
+    out = assigned.groupBy("cell").applyInPandas(
+        _cell_topk, schema="qid long, vec_id long, neg_label int, sim double"
     )
-    pairs = _with_pair_cosine(
-        a.join(inv, "cell").filter(
-            (F.col("qid") != F.col("vec_id"))
-            & (F.col("qlbl") != F.col("_lbl"))
-        ),
-        "qv",
-        "_v",
-        "sim",
-        ["qid", "vec_id", "_lbl"],
-    ).withColumn("sim", F.round("sim", 6))
-    w = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
-    return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("qid", "vec_id", F.col("_lbl").alias("neg_label"), "sim")
-    )
+    return out.withColumn("sim", F.round("sim", 6))
 
 
 def semdedup(

@@ -941,6 +941,13 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
     ),
+    nv AS (
+      SELECT vec_id,
+             list_transform(v, x -> x / (CASE
+               WHEN list_sum(list_transform(v, y -> y * y)) = 0 THEN 1
+               ELSE sqrt(list_sum(list_transform(v, y -> y * y))) END)) AS vn
+      FROM e
+    ),
     cents AS (SELECT vec_id AS cent_id, v AS cent_v FROM e
               ORDER BY vec_id LIMIT 16),
     assign AS (
@@ -951,16 +958,18 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM e, cents c
       ) WHERE rn = 1
     ),
+    m AS (
+      SELECT nv.vec_id, nv.vn, a.cell, e.label
+      FROM nv JOIN assign a USING (vec_id) JOIN e USING (vec_id)
+    ),
     pairs AS (
-      SELECT q.vec_id AS qid, c.vec_id, ce.label AS neg_label,
-             {_duck_cos("qe.v", "ce.v")} AS sim
-      FROM assign q
-      JOIN e qe ON qe.vec_id = q.vec_id
-      JOIN assign c ON c.cell = q.cell
-      JOIN e ce ON ce.vec_id = c.vec_id
-      WHERE q.vec_id <> c.vec_id AND qe.label <> ce.label
+      SELECT q.vec_id AS qid, c.vec_id, c.label AS neg_label,
+             list_sum(list_transform(range(1, len(q.vn) + 1),
+               i -> q.vn[i] * c.vn[i])) AS sim
+      FROM m q JOIN m c ON q.cell = c.cell
+        AND q.vec_id <> c.vec_id AND q.label <> c.label
     )
-    SELECT qid, vec_id, neg_label, sim FROM (
+    SELECT qid, vec_id, neg_label, round(sim, 6) AS sim FROM (
       SELECT *, ROW_NUMBER() OVER (
         PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
       FROM pairs
@@ -972,8 +981,9 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     DIFFERENT-label vectors within its IVF cell — the contrastive-
     training pair generator, run over the full set (not a 10-query
     sample) because that is the realistic shape; see
-    operators/similarity.py:hard_negatives for the n²/C cell-keyed
-    bound."""
+    operators/similarity.py:hard_negatives for the per-cell-kernel
+    scale shape (one cell-keyed shuffle; in-task numpy gram; the
+    pair-join formulation it replaces probed exponent 1.25)."""
     emb = load_table(spark, sf_dir, "embeddings")
     from core_spark.operators.similarity import hard_negatives
 
