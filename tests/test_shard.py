@@ -380,3 +380,64 @@ def test_shard_maintains_bloom_index(spark, tmp_path):
     # pruned equality read returns exactly the matching rows
     got = j.read(spark, where=[("word", "=", "gamma")]).collect()
     assert [r.word for r in got] == ["gamma"]
+
+
+def test_shard_streaming_centroid_maintenance(spark, tmp_path):
+    """Streaming class-centroid maintenance: per-batch (label, dim)
+    integer-micro sums flow into the out-journal; the materialized
+    groupBy-sum equals the batch centroid sums EXACTLY (summation-
+    order-proof integers — the q_label_centroid discipline), so a
+    nearest-class-mean model can be served incrementally."""
+    micro = (
+        "CAST(FLOOR(CAST(val AS DOUBLE) * 1000000) AS BIGINT)"
+    )
+
+    def chunk(name, rows):
+        spark.createDataFrame(
+            rows, "label int, embedding array<float>"
+        ).coalesce(1).write.parquet(os.path.join(src, name))
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    chunk("c0.parquet", [(0, [0.5, 1.5]), (1, [2.0, -1.0])])
+    chunk("c1.parquet", [(0, [1.0, 0.25]), (1, [0.125, 3.0]), (0, [2.0, 2.0])])
+
+    def deltas(df):
+        return (
+            df.select("label", F.posexplode("embedding").alias("dim", "val"))
+            .select("label", "dim", F.expr(micro).alias("m"))
+            .groupBy("label", "dim")
+            .agg(F.sum("m").alias("sum_micro"), F.count("*").alias("n"))
+        )
+
+    cfg = ShardConfig(
+        source_glob=src + "/*",
+        source_schema="label int, embedding array<float>",
+        out_root=str(tmp_path / "out"),
+        out_journal="centroids/deltas",
+        shard_id="cent-0",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    run_shard(spark, cfg, deltas).awaitTermination(120)
+
+    j = Journal(str(tmp_path / "out"), "centroids/deltas")
+    streamed = {
+        (r.label, r.dim): (r.s, r.n)
+        for r in j.read(spark)
+        .groupBy("label", "dim")
+        .agg(F.sum("sum_micro").alias("s"), F.sum("n").alias("n"))
+        .collect()
+    }
+    batch = {
+        (r.label, r.dim): (r.s, r.n)
+        for r in deltas(spark.read.parquet(src + "/*"))
+        .groupBy("label", "dim")
+        .agg(F.sum("sum_micro").alias("s"), F.sum("n").alias("n"))
+        .collect()
+    }
+    assert streamed == batch
+    # the served centroid (floor mean) for label 0, dim 0:
+    # floor((500000 + 1000000 + 2000000) / 3) micros
+    s, n = streamed[(0, 0)]
+    assert (s - ((s % n) + n) % n) // n == 1_166_666
