@@ -148,7 +148,9 @@ def cmd_compact(args) -> int:
 
     spark = get_spark("engine-cli")
     n = Journal(args.root, args.journal).compact(
-        spark, target_records=args.target_records
+        spark,
+        target_records=args.target_records,
+        cluster_by=args.cluster_by,
     )
     print(json.dumps({"compacted": n}))
     return 0
@@ -312,6 +314,11 @@ def build_parser() -> argparse.ArgumentParser:
     jc.add_argument("--root", required=True)
     jc.add_argument("--journal", required=True)
     jc.add_argument("--target-records", type=int, default=512_000)
+    jc.add_argument(
+        "--cluster-by", action="append",
+        help="sort merged fragments by this column (repeatable) — "
+             "the OPTIMIZE ZORDER analog; offsets are preserved",
+    )
     jc.set_defaults(fn=cmd_compact)
 
     st = sub.add_parser("shards-stat")

@@ -684,10 +684,22 @@ class Journal:
         spark: SparkSession,
         target_records: int = 512_000,
         delete_source: bool = True,
+        cluster_by: list[str] | None = None,
     ) -> int:
         """Merge runs of ADJACENT small fragments into single
         fragments of up to `target_records` rows. Returns the number
         of fragments eliminated.
+
+        `cluster_by`: sort the merged fragment's rows by these columns
+        before writing — the Delta `OPTIMIZE ZORDER` analog under the
+        journal contract (pair with q_cluster_zorder's Morton keys for
+        two-dimensional locality). Row ORDER inside a fragment is not
+        semantically meaningful (every row keeps its stamped
+        `_offset`, and ordered consumers sort on it), but parquet
+        row-group statistics follow physical order, so clustering
+        makes Spark's row-group pruning selective inside the merged
+        fragment — the within-fragment complement of the manifest
+        zone maps, which still describe the fragment as a whole.
 
         Why this exists: streaming sinks commit one fragment per
         micro-batch, so a long-lived materialization accumulates
@@ -754,7 +766,10 @@ class Journal:
                     for f in run
                 ),
             )
-            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            out = df.coalesce(1)
+            if cluster_by:
+                out = out.sortWithinPartitions(*cluster_by)
+            out.write.mode("overwrite").parquet(tmp)
             final = os.path.join(self.frag_dir, name)
             os.rename(tmp, final)
             new_dirs.append(final)

@@ -565,3 +565,41 @@ def test_bloom_rebuilt_on_compaction(spark, tmp_path):
         assert [
             r.v for r in j.read(spark, where=[("lang", "=", value)]).collect()
         ] == want
+
+
+def test_clustered_compaction_sorts_and_preserves_offsets(spark, journal):
+    """compact(cluster_by=...) rewrites the merged fragment sorted by
+    the cluster key (parquet row-group stats follow physical order, so
+    within-fragment pruning turns selective) while offsets, bounded
+    reads, and zone maps stay exact."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    # interleaved values so append order != cluster order
+    for lo in (300, 100, 200):
+        journal.append(_df(spark, lo, lo + 50))
+    assert journal.compact(spark, target_records=1000, cluster_by=["v"]) == 2
+    m = journal.manifest()
+    assert len(m.fragments) == 1
+    # fragment-level zone map unchanged in coverage
+    assert m.fragments[0].stats["v"] == [100, 349]
+    assert (m.fragments[0].begin, m.fragments[0].end) == (0, 150)
+
+    # physical row order is the cluster order...
+    frag_dir = os.path.join(journal.root, m.fragments[0].path)
+    pf = [
+        os.path.join(dp, f)
+        for dp, _d, fs in os.walk(frag_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    vals = pq.read_table(pf[0], columns=["v"])["v"].to_pylist()
+    assert vals == sorted(vals)
+
+    # ...and the offset contract is untouched: bounded reads still
+    # address the original append order
+    got = sorted(
+        (r["_offset"], r.v) for r in journal.read(spark, begin=0, end=50).collect()
+    )
+    assert got == [(i, 300 + i) for i in range(50)]
