@@ -102,6 +102,37 @@ def update(vecs: DataFrame, assigned: DataFrame) -> DataFrame:
     ).select(F.col("cluster").alias("cidx"), "cv")
 
 
+def lloyd_centroids(
+    df: DataFrame,
+    k: int = 8,
+    rounds: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The trained quantizer itself: (cidx, cv) after `rounds` Lloyd
+    iterations over the quantized vectors."""
+    vecs = quantize_vectors(df, id_col, vec_col)
+    cents = seed_centroids(vecs, k)
+    for _ in range(rounds):
+        cents = update(vecs, assign(vecs, cents))
+    return cents
+
+
+def assign_topn(vecs: DataFrame, cents: DataFrame, n: int) -> DataFrame:
+    """Multi-probe assignment: each vector's `n` nearest centroids by
+    (dist, cidx) — (vid, cidx, dist_sq) rows. Same broadcast shape as
+    `assign`; the per-vector window frame is k rows."""
+    from pyspark.sql.window import Window
+
+    scored = vecs.join(F.broadcast(cents)).withColumn("dist", F.expr(_DIST))
+    w = Window.partitionBy("vid").orderBy("dist", "cidx")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n)
+        .select("vid", "cidx", F.col("dist").alias("dist_sq"))
+    )
+
+
 def lloyd_kmeans(
     df: DataFrame,
     k: int = 8,
@@ -112,7 +143,4 @@ def lloyd_kmeans(
     """`rounds` Lloyd iterations; returns the final assignment
     (vid, cluster, dist_sq) against the round-`rounds` centroids."""
     vecs = quantize_vectors(df, id_col, vec_col)
-    cents = seed_centroids(vecs, k)
-    for _ in range(rounds):
-        cents = update(vecs, assign(vecs, cents))
-    return assign(vecs, cents)
+    return assign(vecs, lloyd_centroids(df, k, rounds, id_col, vec_col))

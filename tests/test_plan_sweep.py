@@ -45,6 +45,9 @@ ALLOWED = {
     "q_kmeans": "Lloyd assignment: each vector x broadcast k centroid "
                 "rows IS the argmin work, map-side (k is a constant); "
                 "same shape as q_ann_ivf's ivf_assign",
+    "q_ivf_kmeans": "inherits q_kmeans' broadcast-k argmin for index "
+                    "build and query probes; the search join itself "
+                    "is cell-keyed",
     "q_temp_mix": "the weight denominator is a broadcast ONE-ROW "
                   "global over the rows-per-source weight table",
     "q_overlap_matrix": "source<source pair join runs on ONE k-array "

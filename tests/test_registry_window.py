@@ -31,6 +31,7 @@ _REPO = Path(__file__).resolve().parent.parent
 PYTEST_ONLY: set[str] = {
     "q_tokenize_bpe",
     "q_hard_negatives",
+    "q_ivf_kmeans",
     "q_kmeans",
     "q_seq_pack",
     "q_span_scrub",
