@@ -100,6 +100,8 @@ HEADLINE = [
     "q_span_scrub",
     "q_tokenize_bpe",
     "q_hard_negatives",
+    "q_ivf_kmeans",
+    "q_train_order",
 ]
 
 

@@ -290,3 +290,75 @@ def q_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard_micro"
         ),
     ).orderBy("source_a", "source_b")
+
+
+# ----------------------------------------------- epoch training order
+_N_EPOCHS = 2
+
+
+@query(
+    "q_train_order",
+    oracle=f"""
+    WITH t AS (
+      SELECT e.epoch, d.doc_id,
+             {_DUCK_H60.format(
+                 x="'epoch' || CAST(e.epoch AS VARCHAR) || ':' "
+                   "|| CAST(d.doc_id AS VARCHAR)")} AS h
+      FROM documents d,
+           (SELECT unnest(range({_N_EPOCHS})) AS epoch) e
+    )
+    SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
+           CAST(row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id)
+                - 1 AS BIGINT) AS pos
+    FROM t ORDER BY epoch, pos
+    """,
+)
+def q_train_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training order: each epoch is an
+    independent salted-hash permutation of the corpus, materialized
+    as a DENSE global position (epoch, doc_id, pos) — the
+    reproducible "global shuffle each epoch" every training run
+    needs, recomputable from (epoch, doc_id) alone.
+
+    The dense rank is the two-pass prefix-sum generalized from sums
+    to ranks: per-(epoch, bucket) row_numbers plus exclusive
+    bucket-count offsets (the only single-task step scans
+    {_N_EPOCHS}x{_PACK_BKT} count rows) — never a corpus-wide
+    single-partition window. The oracle is the collapsed per-epoch
+    window form."""
+    docs = load_table(spark, sf_dir, "documents")
+    epochs = spark.range(_N_EPOCHS).select(F.col("id").alias("epoch"))
+    salted = "concat('epoch', CAST(epoch AS STRING), ':', CAST(doc_id AS STRING))"
+    t = (
+        docs.select("doc_id")
+        .crossJoin(F.broadcast(epochs))
+        .select("epoch", "doc_id", F.expr(_SPARK_H60.format(x=salted)).alias("h"))
+        .withColumn("bkt", F.expr(f"CAST(h DIV {2**60 // _PACK_BKT} AS INT)"))
+    )
+    offsets = (
+        t.groupBy("epoch", "bkt")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "epoch",
+            "bkt",
+            F.sum("n")
+            .over(
+                Window.partitionBy("epoch")
+                .orderBy("bkt")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            )
+            .alias("off"),
+        )
+        .na.fill({"off": 0})
+    )
+    w = Window.partitionBy("epoch", "bkt").orderBy("h", "doc_id")
+    return (
+        t.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(offsets), ["epoch", "bkt"])
+        .select(
+            F.col("epoch").cast("long").alias("epoch"),
+            "doc_id",
+            (F.col("off") + F.col("rn") - 1).cast("long").alias("pos"),
+        )
+        .orderBy("epoch", "pos")
+    )

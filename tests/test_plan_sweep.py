@@ -53,6 +53,8 @@ ALLOWED = {
     "q_overlap_matrix": "source<source pair join runs on ONE k-array "
                         "sketch row per source — S² sketch pairs, "
                         "corpus-size-independent",
+    "q_train_order": "the epoch fan-out is a TWO-ROW broadcast "
+                     "(constant epoch count) over the doc-id scan",
 }
 
 # Building these executes real streaming jobs / journal writes — their

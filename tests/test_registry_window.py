@@ -36,6 +36,7 @@ PYTEST_ONLY: set[str] = {
     "q_seq_pack",
     "q_span_scrub",
     "q_temp_mix",
+    "q_train_order",
     "q_overlap_matrix",
 }
 
