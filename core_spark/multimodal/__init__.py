@@ -5,6 +5,7 @@ from core_spark.multimodal.columns import (
     attach_payload,
     decode_image_meta,
     resize_images,
+    audio_frame_features,
     sample_audio_frames,
     sample_video_frames,
 )
@@ -13,6 +14,7 @@ __all__ = [
     "attach_payload",
     "decode_image_meta",
     "resize_images",
+    "audio_frame_features",
     "sample_audio_frames",
     "sample_video_frames",
 ]

@@ -400,6 +400,90 @@ def sample_audio_frames(
     )
 
 
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id long, frame_idx long, offset_ms long, n_samples long,"
+    " energy long"
+)
+
+
+def audio_frame_features(
+    df: DataFrame, payload_col: str = "payload", frame_ms: int = 1000
+) -> DataFrame:
+    """Per-frame audio FEATURES (real mode only): integer energy
+    (sum of squared PCM samples across channels) per fixed-interval
+    slice — the audio analog of video frame sampling's mean_luma,
+    and the feature-extraction step an audio-curation pipeline runs
+    (silence/clipping detection, loudness filtering). Integer
+    arithmetic end to end: 16-bit samples square to <= 2^30, a 1 s
+    48 kHz stereo slice sums < 2^47 — engine-exact, no float audio
+    path anywhere. Decodes RIFF/WAV PCM (8-bit unsigned is centered
+    at 128 first, per the WAV spec) and FLAC (multimodal/flac.py);
+    other containers raise, naming the library."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        def pcm_of(raw: bytes):
+            if raw[:4] == b"fLaC":
+                from core_spark.multimodal.flac import flac_decode
+
+                pcm, fr = flac_decode(raw)
+                return pcm.astype(np.int64), fr
+            if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+                raise NotImplementedError(
+                    f"STUB: audio container with magic {raw[:4]!r} "
+                    "requires libsndfile/pyav; pure-python real mode "
+                    "covers RIFF/WAV PCM and FLAC"
+                )
+            with wave.open(io.BytesIO(raw)) as wf:
+                nch, sw, fr = (
+                    wf.getnchannels(),
+                    wf.getsampwidth(),
+                    wf.getframerate(),
+                )
+                frames = wf.readframes(wf.getnframes())
+            if sw == 2:
+                a = np.frombuffer(frames, dtype="<i2").astype(np.int64)
+            elif sw == 1:
+                a = np.frombuffer(frames, dtype=np.uint8).astype(np.int64) - 128
+            else:
+                raise NotImplementedError(
+                    f"STUB: {sw * 8}-bit WAV needs libsndfile"
+                )
+            return a.reshape(-1, nch), fr
+
+        for pdf in batches:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf[payload_col]):
+                pcm, fr = pcm_of(bytes(b))
+                nf = pcm.shape[0]
+                per = max(1, (fr * frame_ms) // 1000)
+                for i in range(max(1, -(-nf // per))):
+                    sl = pcm[i * per : (i + 1) * per]
+                    rows.append(
+                        (
+                            int(doc_id),
+                            i,
+                            i * frame_ms,
+                            int(sl.shape[0]),
+                            int((sl * sl).sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "offset_ms", "n_samples", "energy",
+                ],
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(
+        feats, schema=AUDIO_FEATURE_SCHEMA
+    )
+
+
 VIDEO_FRAME_SCHEMA = (
     "doc_id long, frame_idx long, t_ms long, width long, height long,"
     " mean_luma double"

@@ -1090,3 +1090,50 @@ def test_flac_utf8_frame_number_roundtrip_all_widths():
     with _pytest.raises(ValueError, match="36-bit"):
         w = _BitWriter()
         _write_utf8_number(w, 1 << 36)
+
+
+def test_audio_frame_features_wav_and_flac(spark):
+    """Integer per-frame energy over real decoded PCM: a WAV whose
+    samples are known constants and a FLAC round-trip of a ramp both
+    produce exactly-computable energies; slicing covers every sample
+    exactly once."""
+    import numpy as np
+
+    from core_spark.multimodal.columns import audio_frame_features
+    from core_spark.multimodal.flac import flac_encode
+
+    # 1.5 s of mono 8 kHz: sample value 0x0201 = 513 everywhere
+    wav = _wav(12000, rate=8000)
+    # FLAC: 1 ch ramp 0..9999 at 8 kHz -> 1.25 s
+    ramp = np.arange(10000, dtype=np.int64).reshape(-1, 1) % 1000
+    flac = flac_encode(ramp.astype(np.int32), sample_rate=8000, bps=16)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(flac))],
+        "doc_id long, payload binary",
+    )
+    out = {
+        (r.doc_id, r.frame_idx): (r.offset_ms, r.n_samples, r.energy)
+        for r in audio_frame_features(df).collect()
+    }
+    # WAV doc: frames of 8000 + 4000 samples, energy = n * 513^2
+    assert out[(1, 0)] == (0, 8000, 8000 * 513 * 513)
+    assert out[(1, 1)] == (1000, 4000, 4000 * 513 * 513)
+    # FLAC doc: ramp energies computed straight from the array
+    e0 = int((ramp[:8000] ** 2).sum())
+    e1 = int((ramp[8000:] ** 2).sum())
+    assert out[(2, 0)] == (0, 8000, e0)
+    assert out[(2, 1)] == (1000, 2000, e1)
+    assert set(out) == {(1, 0), (1, 1), (2, 0), (2, 1)}
+
+
+def test_audio_frame_features_unknown_codec_named(spark):
+    import pytest as _pytest
+
+    from core_spark.multimodal.columns import audio_frame_features
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"ID3\x04 not a wav"))], "doc_id long, payload binary"
+    )
+    with _pytest.raises(Exception, match="libsndfile|pyav"):
+        audio_frame_features(df).collect()
