@@ -63,3 +63,41 @@ def test_bike_share_pipeline(spark):
 
     cyc = {r.bike_id: r.has_cycle for r in detect_cycles(spark, rides).collect()}
     assert cyc[1] == 1 and cyc[2] == 0
+
+
+def test_curation_stream_end_to_end(spark, tmp_path):
+    """The LLM-curation example: streamed chunks are scored, gated,
+    deduplicated in-batch AND against the materialized corpus, and
+    the clean journal serves per-language reads through its bloom
+    index."""
+    import os
+
+    from core_spark.examples.curation_stream import (
+        clean_read,
+        corpus_stats,
+        run_curation,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    good_en = "the quick brown fox jumps over the lazy dog"
+    good_en2 = "a different sentence with the usual english words and form"
+    short = "too short"
+    rows0 = [(1, good_en), (2, short), (3, good_en)]  # 3 dups 1 in-batch
+    rows1 = [(4, good_en), (5, good_en2)]  # 4 dups the corpus
+    for name, rows in (("c0.parquet", rows0), ("c1.parquet", rows1)):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(os.path.join(src, name))
+
+    out = str(tmp_path / "out")
+    run_curation(spark, src + "/*", out, str(tmp_path / "ckpt"))
+
+    stats = {r.lang: (r.n_docs, r.n_tokens) for r in corpus_stats(spark, out).collect()}
+    # kept: doc 1 (first of the dup set) and doc 5; doc 2 gated short,
+    # doc 3 in-batch dup, doc 4 corpus dup
+    assert sum(n for n, _t in stats.values()) == 2
+    clean = clean_read(spark, out, "en")
+    kept = sorted(r.doc_id for r in clean.collect())
+    assert kept == [1, 5]
+    assert set(clean.columns) >= {"doc_id", "text", "lang", "n_tokens", "h"}
