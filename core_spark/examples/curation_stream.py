@@ -61,7 +61,11 @@ def curate_batch(out_root: str):
         firsts = gated.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
         uniq = gated.join(firsts, ["h", "doc_id"])
         # vs the materialized corpus (read-your-own-journal): the
-        # clean journal's content hashes are the incremental index
+        # clean journal's content hashes are the incremental index.
+        # At 100 TB the anti-join probes a dedicated hash-index
+        # journal (32B/doc — the lshidx pattern of test_shard.py)
+        # instead of re-scanning the corpus; column pruning already
+        # keeps this read to the one h column.
         j = Journal(out_root, CLEAN_JOURNAL)
         try:
             seen = j.read(spark).select("h").distinct()
