@@ -232,6 +232,36 @@ def cmd_specs(args) -> int:
     return 0
 
 
+def cmd_registers(args) -> int:
+    """journals registers: dump and/or update a journal's registers
+    (the zero-content register-op Append). No Spark session —
+    registers are manifest metadata."""
+    from core_spark.sources.journal import Journal, RegisterMismatch
+
+    def kv(items):
+        out = {}
+        for e in items or []:
+            k, _, v = e.partition("=")
+            out[k] = v
+        return out
+
+    j = Journal(args.root, args.journal)
+    if args.set or args.clear or args.check:
+        try:
+            regs = j.update_registers(
+                check_registers=kv(args.check) or None,
+                set_registers=kv(args.set) or None,
+                clear_registers=tuple(args.clear or []),
+            )
+        except RegisterMismatch as e:
+            print(json.dumps({"error": str(e)}))
+            return 1
+    else:
+        regs = j.manifest().registers
+    print(json.dumps(regs, sort_keys=True))
+    return 0
+
+
 def cmd_attach_uuids(args) -> int:
     from core_spark.streaming.publisher import attach_uuids
     from pyspark.sql import functions as F
@@ -356,6 +386,15 @@ def build_parser() -> argparse.ArgumentParser:
     jsp = sub.add_parser("journals-specs")
     jsp.add_argument("--root", required=True)
     jsp.set_defaults(fn=cmd_specs)
+
+    jrg = sub.add_parser("journals-registers")
+    jrg.add_argument("--root", required=True)
+    jrg.add_argument("--journal", required=True)
+    jrg.add_argument("--set", action="append", help="k=v (repeatable)")
+    jrg.add_argument("--clear", action="append", help="key (repeatable)")
+    jrg.add_argument("--check", action="append",
+                     help="k=v precondition (repeatable)")
+    jrg.set_defaults(fn=cmd_registers)
 
     js = sub.add_parser("journals-sql")
     js.add_argument("--root", required=True)

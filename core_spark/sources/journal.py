@@ -405,6 +405,42 @@ class Journal:
                 f"manifest v{m.version} already committed by a concurrent appender"
             )
 
+    # ---------------------------------------------------------- registers
+    def update_registers(
+        self,
+        check_registers: dict[str, str] | None = None,
+        set_registers: dict[str, str] | None = None,
+        clear_registers: tuple[str, ...] = (),
+    ) -> dict[str, str]:
+        """Register-only append: the reference's zero-content Append
+        RPC carrying register check/union/subtract ops
+        (broker/append_fsm.go register handling) — a manifest CAS
+        with NO fragment written, so offsets and the fragment index
+        are untouched. Returns the registers after the commit.
+
+        `check_registers` gates like Journal.append's; `set_registers`
+        merges (union); `clear_registers` removes keys (subtract).
+        Loses to a concurrent CAS with AppendConflict — retry like
+        any append."""
+        m = self.manifest()
+        for k, v in (check_registers or {}).items():
+            if m.registers.get(k) != v:
+                raise RegisterMismatch(
+                    f"register {k!r}: want {v!r}, have {m.registers.get(k)!r}"
+                )
+        regs = {**m.registers, **(set_registers or {})}
+        for k in clear_registers:
+            regs.pop(k, None)
+        self._commit_manifest(
+            Manifest(
+                version=m.version + 1,
+                next_offset=m.next_offset,
+                fragments=m.fragments,
+                registers=regs,
+            )
+        )
+        return regs
+
     # -------------------------------------------------------------- fence
     def acquire_fence(self, shard: str, max_attempts: int = 64) -> int:
         """Store-assigned unique, monotonically-increasing fence for a

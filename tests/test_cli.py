@@ -205,3 +205,42 @@ def test_apply_and_specs(spark, tmp_path, capsys):
     j = Journal(root, "topic/p0")
     j.append(spark.createDataFrame([(1, "en")], "v long, lang string"))
     assert "lang" in j.manifest().fragments[0].blooms
+
+
+def test_registers_roundtrip(spark, tmp_path, capsys):
+    """journals-registers: zero-content register ops — set/check/clear
+    ride a manifest CAS with no fragment written."""
+    from core_spark.sources.journal import Journal
+
+    root = str(tmp_path / "jr")
+    j = Journal(root, "reg/j0")
+    j.append(spark.range(3).withColumnRenamed("id", "v"))
+    n_frags = len(j.manifest().fragments)
+
+    assert main([
+        "journals-registers", "--root", root, "--journal", "reg/j0",
+        "--set", "owner=w1", "--set", "epoch=5",
+    ]) == 0
+    assert json.loads(capsys.readouterr().out.strip()) == {
+        "owner": "w1", "epoch": "5"
+    }
+
+    # failed precondition: exit 1, registers unchanged
+    assert main([
+        "journals-registers", "--root", root, "--journal", "reg/j0",
+        "--check", "owner=w2", "--set", "owner=w3",
+    ]) == 1
+    capsys.readouterr()
+
+    # passing precondition + clear
+    assert main([
+        "journals-registers", "--root", root, "--journal", "reg/j0",
+        "--check", "owner=w1", "--clear", "epoch",
+    ]) == 0
+    assert json.loads(capsys.readouterr().out.strip()) == {"owner": "w1"}
+
+    m = j.manifest()
+    assert len(m.fragments) == n_frags  # no fragment was written
+    assert m.registers == {"owner": "w1"}
+    # offsets untouched: data reads unaffected
+    assert j.read(spark).count() == 3
