@@ -189,11 +189,19 @@ def _bloom_positions(value: str) -> list[int]:
 
 def _bloom_may_contain(hexmap: str, value) -> bool:
     """False ONLY when the fragment provably holds no row equal to
-    `value`; anything unprobeable is a conservative True."""
+    `value`; anything unprobeable — including a corrupt or
+    wrong-width hex map in a hand-edited manifest — is a
+    conservative True (pruning is an optimization; it must never
+    turn a bad index entry into a wrong answer)."""
     if not isinstance(value, str) or not hexmap:
         return True
-    m = bytes.fromhex(hexmap)
-    return all(m[p // 8] >> (p % 8) & 1 for p in _bloom_positions(value))
+    try:
+        m = bytes.fromhex(hexmap)
+        if len(m) != _BLOOM_BITS // 8:
+            return True
+        return all(m[p // 8] >> (p % 8) & 1 for p in _bloom_positions(value))
+    except ValueError:
+        return True
 
 
 def _bloom_may_match(blooms: dict, col: str, op: str, value) -> bool:

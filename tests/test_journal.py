@@ -603,3 +603,26 @@ def test_clustered_compaction_sorts_and_preserves_offsets(spark, journal):
         (r["_offset"], r.v) for r in journal.read(spark, begin=0, end=50).collect()
     )
     assert got == [(i, 300 + i) for i in range(50)]
+
+
+def test_bloom_corrupt_hex_is_conservative(spark, tmp_path):
+    """A corrupt/truncated bloom entry in a hand-edited manifest must
+    degrade to 'may match' — never crash the read or prune wrongly."""
+    from core_spark.sources.journal import _bloom_may_contain
+
+    j = _bloom_setup(spark, tmp_path, [["en"], ["fr"]])
+    m = j.manifest()
+    m.fragments[0].blooms["lang"] = "zz-not-hex"
+    m.fragments[1].blooms["lang"] = "abcd"  # wrong width
+    j._commit_manifest(
+        type(m)(
+            version=m.version + 1,
+            next_offset=m.next_offset,
+            fragments=m.fragments,
+            registers=m.registers,
+        )
+    )
+    assert _bloom_may_contain("zz-not-hex", "en") is True
+    assert _bloom_may_contain("abcd", "en") is True
+    got = sorted(r.v for r in j.read(spark, where=[("lang", "=", "fr")]).collect())
+    assert got == [100]
