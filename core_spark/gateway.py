@@ -51,10 +51,18 @@ class JournalGateway:
     DEFAULT_MAX_READ_ROWS = 65536
 
     def __init__(self, spark: SparkSession, root: str, host: str = "127.0.0.1",
-                 port: int = 0, max_read_rows: int = DEFAULT_MAX_READ_ROWS):
+                 port: int = 0, max_read_rows: int = DEFAULT_MAX_READ_ROWS,
+                 auth=None):
         self.spark = spark
         self.root = root
         self.max_read_rows = max_read_rows
+        # Authorization (auth.py KeyedAuth): verbs map to capability
+        # bits — GET /jnl READ, PUT /jnl APPEND, /journals LIST — and
+        # selector-scoped claims gate individual journals by name.
+        # None = NoopAuth (open gateway, the reference's default).
+        from core_spark.auth import NoopAuth
+
+        self.auth = auth if auth is not None else NoopAuth()
         self._host, self._port = host, port
         self._server: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
@@ -81,15 +89,50 @@ class JournalGateway:
             def _error(self, code: int, msg: str):
                 self._send(code, json.dumps({"error": msg}).encode())
 
+            def _claims(self, require: int):
+                """Verify the Authorization header for `require`;
+                answers 401 and returns None on failure."""
+                from core_spark.auth import AuthError
+
+                hdr = self.headers.get("Authorization")
+                bearer = None
+                if hdr is not None:
+                    if not hdr.startswith("Bearer "):
+                        self._error(
+                            401,
+                            "invalid or unsupported Authorization header "
+                            "(expected 'Bearer')",
+                        )
+                        return None
+                    bearer = hdr[len("Bearer "):]
+                try:
+                    return gw.auth.verify(bearer, require)
+                except AuthError as e:
+                    self._error(401, str(e))
+                    return None
+
             def do_GET(self):
+                from core_spark import auth as _auth
+
                 url = urlparse(self.path)
                 if url.path == "/journals":
+                    claims = self._claims(_auth.LIST)
+                    if claims is None:
+                        return
                     self._send(200, json.dumps(gw.list_journals()).encode())
                     return
                 if not url.path.startswith("/jnl/"):
                     self._error(404, f"unknown path {url.path}")
                     return
                 name = url.path[len("/jnl/"):]
+                claims = self._claims(_auth.READ)
+                if claims is None:
+                    return
+                if not claims.allows_journal(name):
+                    self._error(
+                        403, f"claims selector does not match journal {name!r}"
+                    )
+                    return
                 qs = parse_qs(url.query)
                 begin = int(qs["begin"][0]) if "begin" in qs else None
                 end = int(qs["end"][0]) if "end" in qs else None
@@ -122,11 +165,21 @@ class JournalGateway:
                 )
 
             def do_PUT(self):
+                from core_spark import auth as _auth
+
                 url = urlparse(self.path)
                 if not url.path.startswith("/jnl/"):
                     self._error(404, f"unknown path {url.path}")
                     return
                 name = url.path[len("/jnl/"):]
+                claims = self._claims(_auth.APPEND)
+                if claims is None:
+                    return
+                if not claims.allows_journal(name):
+                    self._error(
+                        403, f"claims selector does not match journal {name!r}"
+                    )
+                    return
                 length = int(self.headers.get("Content-Length", "0"))
                 raw = self.rfile.read(length)
                 try:
