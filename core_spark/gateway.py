@@ -115,6 +115,16 @@ class JournalGateway:
                 from core_spark import auth as _auth
 
                 url = urlparse(self.path)
+                if url.path == "/healthz":
+                    # FragmentStoreHealth analog (broker/
+                    # fragment_store_health_api.go): an ACTIVE probe —
+                    # exclusive-create + read back + remove under the
+                    # journals root — not just a liveness ping, so a
+                    # read-only or full volume reports unhealthy.
+                    # Unauthenticated by design (health checks run
+                    # before credentials exist).
+                    self._send(200, json.dumps(gw.store_health()).encode())
+                    return
                 if url.path == "/journals":
                     claims = self._claims(_auth.LIST)
                     if claims is None:
@@ -261,6 +271,32 @@ class JournalGateway:
             next_off = end if end is not None else (begin or 0)
         body = "\n".join(r["__js"] for r in page)
         return (body + "\n" if body else "").encode("utf-8"), next_off, truncated
+
+    def store_health(self) -> dict:
+        """Active store probe: exclusive-create a sentinel under the
+        root, read it back, remove it. Returns {"ok", "probe_ms"} or
+        {"ok": False, "error"} — the write-path check a fragment
+        store health API performs."""
+        import time as _t
+        import uuid as _uuid
+
+        probe = os.path.join(self.root, f"_health-{_uuid.uuid4().hex}")
+        t0 = _t.perf_counter()
+        try:
+            os.makedirs(self.root, exist_ok=True)
+            fd = os.open(probe, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as fh:
+                fh.write("ok")
+            with open(probe) as fh:
+                ok = fh.read() == "ok"
+            os.remove(probe)
+            return {
+                "ok": ok,
+                "root": self.root,
+                "probe_ms": round((_t.perf_counter() - t0) * 1000, 3),
+            }
+        except OSError as e:
+            return {"ok": False, "root": self.root, "error": str(e)}
 
     def list_journals(self) -> list[dict]:
         out = []

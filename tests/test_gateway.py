@@ -138,3 +138,16 @@ def test_get_where_predicates_prune_and_filter(gw, spark):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _get(base, "/jnl/api/where?where=garbage")
     assert ei.value.code == 400
+
+
+def test_healthz_active_probe(gw):
+    """/healthz performs a real write-read-remove probe (the
+    FragmentStoreHealth shape) and needs no credentials."""
+    g, base = gw
+    body, _h, status = _get(base, "/healthz")
+    d = json.loads(body)
+    assert status == 200 and d["ok"] is True and d["probe_ms"] >= 0
+    # the probe cleaned up after itself
+    import os
+
+    assert not [p for p in os.listdir(g.root) if p.startswith("_health-")]
