@@ -102,6 +102,7 @@ HEADLINE = [
     "q_hard_negatives",
     "q_ivf_kmeans",
     "q_train_order",
+    "q_scrub_decontam",
 ]
 
 

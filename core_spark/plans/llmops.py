@@ -621,6 +621,26 @@ def q_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     2^20 chars wrap (the q_dup_spans tie-break contract); shard such
     documents upstream (q_chunk) before scrubbing."""
     docs = load_table(spark, sf_dir, "documents")
+    pr = _winnow_prints(spark, docs)
+    dfq = (
+        pr.select("doc_id", "fph")
+        .distinct()
+        .groupBy("fph")
+        .count()
+        .filter((F.col("count") >= 2) & (F.col("count") <= _WIN_DF))
+        .select("fph")
+    )
+    iv = pr.join(dfq, "fph").select(
+        "doc_id", "pos", (F.col("pos") + _WIN_K).alias("e")
+    )
+    return _interval_ledger(iv)
+
+
+def _winnow_prints(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """(doc_id, fph, pos) winnowing-selected prints with their
+    positions — the shared selection stage of q_span_scrub and
+    q_scrub_decontam (see q_span_scrub's docstring for the kernel
+    rationale and the 2^20-position contract)."""
 
     def winnow_pos(batches):
         import hashlib
@@ -673,18 +693,13 @@ def q_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = spark.sparkContext.defaultParallelism
     if d.rdd.getNumPartitions() < target:
         d = d.repartition(target)
-    pr = d.mapInPandas(winnow_pos, schema="doc_id long, fph long, pos long")
-    dfq = (
-        pr.select("doc_id", "fph")
-        .distinct()
-        .groupBy("fph")
-        .count()
-        .filter((F.col("count") >= 2) & (F.col("count") <= _WIN_DF))
-        .select("fph")
-    )
-    iv = pr.join(dfq, "fph").select(
-        "doc_id", "pos", (F.col("pos") + _WIN_K).alias("e")
-    )
+    return d.mapInPandas(winnow_pos, schema="doc_id long, fph long, pos long")
+
+
+def _interval_ledger(iv: DataFrame) -> DataFrame:
+    """Union overlapping/adjacent [pos, e) intervals per doc
+    (gaps-and-islands over a doc-keyed window) and account them:
+    (doc_id, n_prints, n_spans, dup_chars)."""
     w_prev = (
         Window.partitionBy("doc_id")
         .orderBy("pos")
@@ -715,6 +730,93 @@ def q_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ----------------------------------------------------- decontam scrubbing
+@query(
+    "q_scrub_decontam",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text, len(text) AS n FROM documents
+               WHERE len(text) >= {_WIN_K}),
+    posx AS (
+      SELECT doc_id, n, unnest(range(0, n - {_WIN_K} + 1)) AS pos FROM d
+    ),
+    pos AS (
+      SELECT p.doc_id, p.n, p.pos,
+             CAST('0x' || substr(md5(substr(d.text, p.pos + 1, {_WIN_K})),
+                  1, 10) AS BIGINT) * {_WIN_POS}
+               + p.pos % {_WIN_POS} AS key
+      FROM posx p JOIN d USING (doc_id)
+    ),
+    sel AS (
+      SELECT doc_id,
+             MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW
+                            AND {_WIN_W - 1} FOLLOWING) AS minkey
+      FROM pos
+      QUALIFY pos <= n - {_WIN_K} - {_WIN_W - 1}
+    ),
+    pr AS (
+      SELECT DISTINCT doc_id, minkey // {_WIN_POS} AS fph,
+             minkey % {_WIN_POS} AS pos
+      FROM sel
+    ),
+    bench AS (SELECT DISTINCT fph FROM pr WHERE doc_id % 97 = 0),
+    iv AS (
+      SELECT pr.doc_id, pr.pos, pr.pos + {_WIN_K} AS e
+      FROM pr JOIN bench USING (fph)
+      WHERE pr.doc_id % 97 <> 0
+    ),
+    fl AS (
+      SELECT doc_id, pos, e,
+             CASE WHEN pos > coalesce(
+                 MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), -1)
+               THEN 1 ELSE 0 END AS st
+      FROM iv
+    ),
+    isl AS (
+      SELECT doc_id, pos, e,
+             SUM(st) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING) AS g
+      FROM fl
+    ),
+    agg AS (
+      SELECT doc_id, g, MIN(pos) AS s0, MAX(e) AS e0, COUNT(*) AS npr
+      FROM isl GROUP BY doc_id, g
+    )
+    SELECT doc_id, CAST(SUM(npr) AS BIGINT) AS n_prints,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(e0 - s0) AS BIGINT) AS dup_chars
+    FROM agg GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_scrub_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level benchmark decontamination — the surgical form of
+    q_decontam's doc-level overlap score: winnowing-selected prints
+    of the HELD-OUT set (doc_id % 97 = 0, the q_decontam convention)
+    mark the training-side spans that verbatim-copy benchmark text;
+    per training doc the marked intervals union into the scrub
+    ledger (prints / merged spans / chars to cut). This is the
+    actually-run mitigation (cut the benchmark text, keep the doc)
+    where q_decontam's score can only drop whole documents.
+
+    Scale shape: selection is the q_span_scrub Arrow kernel; the
+    BENCHMARK print set is eval-suite-sized and joined by print hash
+    (at 100 TB it broadcasts — the q_decontam disposition); interval
+    union is per-document windows."""
+    docs = load_table(spark, sf_dir, "documents")
+    pr = _winnow_prints(spark, docs)
+    bench = (
+        pr.filter(F.col("doc_id") % 97 == 0).select("fph").distinct()
+    )
+    iv = (
+        pr.filter(F.col("doc_id") % 97 != 0)
+        .join(bench, "fph")
+        .select("doc_id", "pos", (F.col("pos") + _WIN_K).alias("e"))
+    )
+    return _interval_ledger(iv)
 
 
 # -------------------------------------------------------- blocked jaccard
