@@ -148,6 +148,19 @@ class KeyedAuth:
             sig = _unb64u(sig_b64)
         except (ValueError, json.JSONDecodeError) as e:
             raise AuthError(f"verifying Authorization: {e}") from e
+        # Attacker-controlled JSON: ANY malformed shape (non-dict
+        # segments, non-numeric exp/iat/cap) must be an AuthError the
+        # gateway turns into 401, never an AttributeError/ValueError
+        # that aborts the handler thread mid-connection.
+        if not isinstance(header, dict) or not isinstance(claims, dict):
+            raise AuthError("verifying Authorization: malformed token")
+        for k in ("exp", "iat", "cap"):
+            if k in claims and not isinstance(claims[k], (int, float)):
+                raise AuthError(
+                    f"verifying Authorization: claim {k!r} is not numeric"
+                )
+        if "sel" in claims and not isinstance(claims["sel"], dict):
+            raise AuthError("verifying Authorization: claim 'sel' is malformed")
         if header.get("alg") not in ("HS256",):
             raise AuthError(
                 f"verifying Authorization: alg {header.get('alg')!r} not allowed"
@@ -175,7 +188,10 @@ class KeyedAuth:
                 "authorization is missing required capability "
                 f"(have {actual:b}, but require {require:b})"
             )
-        sel = _sel_from_json(claims["sel"]) if "sel" in claims else None
+        try:
+            sel = _sel_from_json(claims["sel"]) if "sel" in claims else None
+        except (TypeError, AttributeError) as e:
+            raise AuthError("verifying Authorization: claim 'sel' is malformed") from e
         return Claims(
             capability=actual,
             selector=sel,

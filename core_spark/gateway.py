@@ -129,7 +129,16 @@ class JournalGateway:
                     claims = self._claims(_auth.LIST)
                     if claims is None:
                         return
-                    self._send(200, json.dumps(gw.list_journals()).encode())
+                    # selector-scoped claims bound LISTINGS too — a
+                    # token scoped to api/ must not enumerate other
+                    # journals' names/offsets (the reference
+                    # intersects claims.Selector into List results)
+                    out = [
+                        j
+                        for j in gw.list_journals()
+                        if claims.allows_journal(j["name"])
+                    ]
+                    self._send(200, json.dumps(out).encode())
                     return
                 if not url.path.startswith("/jnl/"):
                     self._error(404, f"unknown path {url.path}")
@@ -144,12 +153,16 @@ class JournalGateway:
                     )
                     return
                 qs = parse_qs(url.query)
-                begin = int(qs["begin"][0]) if "begin" in qs else None
-                end = int(qs["end"][0]) if "end" in qs else None
-                # repeatable ?where=col<op>value — the CLI's predicate
-                # syntax over HTTP, riding the same manifest pruning
-                # (zone maps + blooms) inside Journal.read
+                # Every request-shaped failure — non-integer offsets,
+                # malformed predicates, predicates naming a column the
+                # journal lacks (Spark AnalysisException) — must be a
+                # clean 400, never an aborted connection.
                 try:
+                    begin = int(qs["begin"][0]) if "begin" in qs else None
+                    end = int(qs["end"][0]) if "end" in qs else None
+                    # repeatable ?where=col<op>value — the CLI's
+                    # predicate syntax over HTTP, riding the same
+                    # manifest pruning (zone maps + blooms)
                     where = parse_where(qs.get("where", []))
                 except ValueError as e:
                     self._error(400, str(e))
@@ -160,6 +173,9 @@ class JournalGateway:
                     )
                 except ValueError as e:
                     self._error(416, str(e))  # no covering fragments
+                    return
+                except Exception as e:  # unresolved column etc.
+                    self._error(400, str(e)[:300])
                     return
                 # A capped page is 206 Partial Content, NOT 200: a
                 # client unaware of the paging headers must fail loudly
@@ -289,7 +305,6 @@ class JournalGateway:
                 fh.write("ok")
             with open(probe) as fh:
                 ok = fh.read() == "ok"
-            os.remove(probe)
             return {
                 "ok": ok,
                 "root": self.root,
@@ -297,6 +312,13 @@ class JournalGateway:
             }
         except OSError as e:
             return {"ok": False, "root": self.root, "error": str(e)}
+        finally:
+            # a probe failing between create and read must not leave
+            # its sentinel behind — the probe advertises cleanliness
+            try:
+                os.remove(probe)
+            except OSError:
+                pass
 
     def list_journals(self) -> list[dict]:
         out = []

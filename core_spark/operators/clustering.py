@@ -111,11 +111,11 @@ def lloyd_centroids(
 ) -> DataFrame:
     """The trained quantizer itself: (cidx, cv) after `rounds` Lloyd
     iterations over the quantized vectors."""
-    vecs = _persisted(quantize_vectors(df, id_col, vec_col))
-    return _train(vecs, k, rounds)
+    vecs = persisted_quantized(quantize_vectors(df, id_col, vec_col))
+    return train_centroids(vecs, k, rounds)
 
 
-def _persisted(vecs: DataFrame) -> DataFrame:
+def persisted_quantized(vecs: DataFrame) -> DataFrame:
     """Iterative-input cache: every round reads the quantized corpus
     twice (assignment and update) and each centroid broadcast is its
     own job, so the unpersisted loop re-scans + re-quantizes ~2x per
@@ -129,7 +129,7 @@ def _persisted(vecs: DataFrame) -> DataFrame:
     return vecs.persist(StorageLevel.MEMORY_AND_DISK)
 
 
-def _train(vecs: DataFrame, k: int, rounds: int) -> DataFrame:
+def train_centroids(vecs: DataFrame, k: int, rounds: int) -> DataFrame:
     cents = seed_centroids(vecs, k)
     for _ in range(rounds):
         cents = update(vecs, assign(vecs, cents))
@@ -162,5 +162,5 @@ def lloyd_kmeans(
     (vid, cluster, dist_sq) against the round-`rounds` centroids.
     Training and the final assignment share one persisted quantized
     corpus."""
-    vecs = _persisted(quantize_vectors(df, id_col, vec_col))
-    return assign(vecs, _train(vecs, k, rounds))
+    vecs = persisted_quantized(quantize_vectors(df, id_col, vec_col))
+    return assign(vecs, train_centroids(vecs, k, rounds))

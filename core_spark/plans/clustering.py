@@ -16,9 +16,10 @@ from core_spark.io import load_table
 from core_spark.operators.clustering import (
     assign,
     assign_topn,
-    lloyd_centroids,
     lloyd_kmeans,
+    persisted_quantized,
     quantize_vectors,
+    train_centroids,
 )
 from core_spark.plans.registry import query
 
@@ -130,8 +131,11 @@ def q_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     emb = load_table(spark, sf_dir, "embeddings")
-    vecs = quantize_vectors(emb)
-    cents = lloyd_centroids(emb, k=_K, rounds=_ROUNDS).persist()
+    # ONE persisted quantized corpus must feed training, corpus
+    # assignment, query probes AND both sides of the distance join —
+    # each consumer would otherwise re-scan and re-quantize.
+    vecs = persisted_quantized(quantize_vectors(emb))
+    cents = train_centroids(vecs, _K, _ROUNDS).persist()
     corpus_cells = assign(vecs, cents)
     probes = (
         assign_topn(vecs.filter(F.col("vid") < 10), cents, 2)

@@ -142,21 +142,32 @@ def parse_where(exprs: list[str]) -> list[tuple]:
     `Journal.read(where=…)` — the shared predicate grammar of the CLI
     `--where` flag and the gateway `?where=` param. Numeric literals
     parse as int/float so zone maps can prune; everything else stays
-    a string for the bloom probe. Raises ValueError on malformed
-    input (callers surface their own exit code / 400)."""
+    a string for the bloom probe. QUOTING forces a string: `code='0123'`
+    (single or double quotes) keeps a numeric-looking literal textual —
+    without it the int coercion would both skip the bloom probe and
+    change equality semantics on a string column (Spark casts the
+    column to int, matching '0123' AND '123'). Raises ValueError on
+    malformed input (callers surface their own exit code / 400)."""
     out = []
     for e in exprs or []:
         for op in (">=", "<=", ">", "<", "="):  # two-char ops first
             if op in e:
                 col, _, raw = e.partition(op)
                 v: object = raw
-                try:
-                    v = int(raw)
-                except ValueError:
+                if (
+                    len(raw) >= 2
+                    and raw[0] == raw[-1]
+                    and raw[0] in ("'", '"')
+                ):
+                    v = raw[1:-1]  # explicit string literal
+                else:
                     try:
-                        v = float(raw)
+                        v = int(raw)
                     except ValueError:
-                        pass
+                        try:
+                            v = float(raw)
+                        except ValueError:
+                            pass
                 out.append((col.strip(), op, v))
                 break
         else:
@@ -429,13 +440,17 @@ class Journal:
         `check_registers` gates like Journal.append's; `set_registers`
         merges (union); `clear_registers` removes keys (subtract).
         Loses to a concurrent CAS with AppendConflict — retry like
-        any append."""
+        any append. A pure check (no set/clear) validates and returns
+        WITHOUT committing: a no-op must not grow the version history
+        or race concurrent appenders off their CAS."""
         m = self.manifest()
         for k, v in (check_registers or {}).items():
             if m.registers.get(k) != v:
                 raise RegisterMismatch(
                     f"register {k!r}: want {v!r}, have {m.registers.get(k)!r}"
                 )
+        if not set_registers and not clear_registers:
+            return dict(m.registers)
         regs = {**m.registers, **(set_registers or {})}
         for k in clear_registers:
             regs.pop(k, None)

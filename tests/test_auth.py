@@ -130,3 +130,55 @@ def test_gateway_enforces_verb_capabilities(authed_gw):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _req(base, "/jnl/other/x", token=scoped)
     assert ei.value.code == 403
+
+
+def test_malformed_token_shapes_are_auth_errors_not_crashes():
+    """Attacker-controlled JSON in any segment must raise AuthError
+    (the gateway's 401), never AttributeError/TypeError."""
+    ka = A.KeyedAuth(K1)
+    arr = A._b64u(b"[]")
+    obj = A._b64u(b"{}")
+    for tok in (
+        f"{arr}.{obj}.AA",                      # header not a dict
+        f"{obj}.{arr}.AA",                      # claims not a dict
+        "only-two.parts",
+        "..",
+        A._b64u(b'{"alg":"HS256"}') + "." + A._b64u(b'{"exp":"soon"}') + ".AA",
+    ):
+        with pytest.raises(A.AuthError):
+            ka.verify(tok, A.READ, now=1000)
+    # malformed sel claim on a correctly-signed token
+    import json as _json
+
+    now = 1000
+    claims = {"cap": A.READ, "iat": now, "exp": now + 60, "sel": {"include": 7}}
+    h = A._b64u(_json.dumps({"alg": "HS256", "typ": "JWT"}).encode())
+    p = A._b64u(_json.dumps(claims, sort_keys=True).encode())
+    sig = A._b64u(A._sign(ka.keys[0], f"{h}.{p}".encode()))
+    with pytest.raises(A.AuthError, match="sel"):
+        ka.verify(f"{h}.{p}.{sig}", A.READ, now=now)
+
+
+def test_gateway_listing_respects_selector_and_bad_requests_are_400(authed_gw):
+    ka, base = authed_gw
+    w = ka.authorize(A.APPEND)
+    _req(base, "/jnl/api/x", token=w, method="PUT", data=json.dumps({"a": 1}))
+    _req(base, "/jnl/other/y", token=w, method="PUT", data=json.dumps({"b": 2}))
+
+    scoped = ka.authorize(
+        A.READ | A.LIST,
+        selector=LabelSelector(prefix_includes={"prefix": ("api/",)}),
+    )
+    s, body = _req(base, "/journals", token=scoped)
+    assert [j["name"] for j in json.loads(body)] == ["api/x"]
+
+    # request-shaped failures are clean 400s, not dropped connections
+    r = ka.authorize(A.READ)
+    for path in (
+        "/jnl/api/x?where=nosuchcol=1",
+        "/jnl/api/x?begin=notanint",
+        "/jnl/api/x?where=garbage",
+    ):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _req(base, path, token=r)
+        assert ei.value.code == 400, path

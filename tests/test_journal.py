@@ -626,3 +626,36 @@ def test_bloom_corrupt_hex_is_conservative(spark, tmp_path):
     assert _bloom_may_contain("abcd", "en") is True
     got = sorted(r.v for r in j.read(spark, where=[("lang", "=", "fr")]).collect())
     assert got == [100]
+
+
+def test_register_check_only_does_not_commit(spark, journal):
+    """A pure precondition probe must not grow the version history or
+    race concurrent appenders off their CAS."""
+    journal.append(_df(spark, 0, 3))
+    journal.update_registers(set_registers={"owner": "w1"})
+    v = journal.manifest().version
+    got = journal.update_registers(check_registers={"owner": "w1"})
+    assert got == {"owner": "w1"}
+    assert journal.manifest().version == v  # no new version
+
+
+def test_parse_where_quoting_forces_string(spark, tmp_path):
+    """code='0123' keeps a numeric-looking literal textual: the bloom
+    probe applies and equality stays string equality ('123' does not
+    match)."""
+    from core_spark.catalog import CatalogStore, JournalSpec
+    from core_spark.sources.journal import Journal, parse_where
+
+    assert parse_where(["code='0123'"]) == [("code", "=", "0123")]
+    assert parse_where(['code="0123"']) == [("code", "=", "0123")]
+    assert parse_where(["v>=3"]) == [("v", ">=", 3)]
+
+    CatalogStore(str(tmp_path)).apply(
+        upserts=(JournalSpec(name="q/j0", bloom_columns=("code",)),)
+    )
+    j = Journal(str(tmp_path), "q/j0")
+    j.append(
+        spark.createDataFrame([(1, "0123"), (2, "123")], "v long, code string")
+    )
+    got = j.read(spark, where=parse_where(["code='0123'"])).collect()
+    assert [r.v for r in got] == [1]
