@@ -232,6 +232,39 @@ def cmd_specs(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """serve: run the HTTP gateway as a process (the `gazette serve`
+    face). --keys enables KeyedAuth (base64, comma/space separated;
+    first signs, any verifies, `AA==` allows missing during rollout);
+    omitted = open gateway. Blocks until interrupted; prints one JSON
+    line with the bound address first so wrappers can scrape it."""
+    from core_spark.auth import KeyedAuth
+    from core_spark.gateway import JournalGateway
+
+    spark = get_spark("engine-gateway")
+    auth = KeyedAuth(args.keys) if args.keys else None
+    gw = JournalGateway(
+        spark,
+        args.root,
+        host=args.host,
+        port=args.port,
+        auth=auth,
+    )
+    host, port = gw.start()
+    print(json.dumps({"host": host, "port": port, "root": args.root}),
+          flush=True)
+    import threading
+
+    stop = threading.Event()
+    try:
+        stop.wait()  # serve until interrupted
+    except KeyboardInterrupt:
+        pass
+    finally:
+        gw.stop()
+    return 0
+
+
 def cmd_registers(args) -> int:
     """journals registers: dump and/or update a journal's registers
     (the zero-content register-op Append). No Spark session —
@@ -386,6 +419,15 @@ def build_parser() -> argparse.ArgumentParser:
     jsp = sub.add_parser("journals-specs")
     jsp.add_argument("--root", required=True)
     jsp.set_defaults(fn=cmd_specs)
+
+    sv = sub.add_parser("serve")
+    sv.add_argument("--root", required=True)
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=0)
+    sv.add_argument("--keys", default=None,
+                    help="base64 pre-shared keys for KeyedAuth; "
+                         "omit for an open gateway")
+    sv.set_defaults(fn=cmd_serve)
 
     jrg = sub.add_parser("journals-registers")
     jrg.add_argument("--root", required=True)

@@ -244,3 +244,50 @@ def test_registers_roundtrip(spark, tmp_path, capsys):
     assert m.registers == {"owner": "w1"}
     # offsets untouched: data reads unaffected
     assert j.read(spark).count() == 3
+
+
+def test_serve_subprocess_healthz_and_auth(tmp_path):
+    """`serve` runs the gateway as a real process: bound address on
+    stdout, /healthz open, data verbs gated by --keys."""
+    import base64
+    import signal
+    import subprocess
+    import sys
+    import urllib.error
+    import urllib.request
+
+    key = base64.b64encode(b"serve-test-key").decode()
+    proc = subprocess.Popen(
+        [
+            sys.executable, "-m", "core_spark.cli", "serve",
+            "--root", str(tmp_path / "j"), "--keys", key,
+        ],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+        cwd="/root/repo",
+    )
+    try:
+        addr = json.loads(proc.stdout.readline())
+        base = f"http://{addr['host']}:{addr['port']}"
+        with urllib.request.urlopen(f"{base}/healthz", timeout=10) as r:
+            assert json.loads(r.read())["ok"] is True
+        try:
+            urllib.request.urlopen(f"{base}/journals", timeout=10)
+            raise AssertionError("unauthenticated /journals must 401")
+        except urllib.error.HTTPError as e:
+            assert e.code == 401
+        from core_spark.auth import LIST, KeyedAuth
+
+        tok = KeyedAuth(key).authorize(LIST)
+        req = urllib.request.Request(
+            f"{base}/journals", headers={"Authorization": f"Bearer {tok}"}
+        )
+        with urllib.request.urlopen(req, timeout=10) as r:
+            assert r.status == 200
+    finally:
+        proc.send_signal(signal.SIGINT)
+        try:
+            proc.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            proc.kill()
