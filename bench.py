@@ -103,6 +103,7 @@ HEADLINE = [
     "q_ivf_kmeans",
     "q_train_order",
     "q_scrub_decontam",
+    "q_recall_ann",
 ]
 
 

@@ -978,6 +978,84 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------- recall
+@query(
+    "q_recall_ann",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+    brute AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, c.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                 ORDER BY {_duck_cos("q.qv", "c.v")} DESC, c.vec_id) AS rn
+        FROM q JOIN e c ON q.qid <> c.vec_id
+      ) WHERE rn <= 3
+    ),
+    bucketed AS (SELECT vec_id, v, {_duck_bucket("v")} AS bucket FROM e),
+    qb AS (SELECT vec_id AS qid, v AS qv, bucket FROM bucketed
+           WHERE vec_id < 10),
+    lsh AS (
+      SELECT qid, vec_id FROM (
+        SELECT qb.qid, c.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qb.qid
+                 ORDER BY {_duck_cos("qb.qv", "c.v")} DESC, c.vec_id) AS rn
+        FROM qb JOIN bucketed c USING (bucket)
+        WHERE qb.qid <> c.vec_id
+      ) WHERE rn <= 3
+    ),
+    hits AS (
+      SELECT b.qid, COUNT(*) AS n_hits
+      FROM brute b JOIN lsh USING (qid, vec_id)
+      GROUP BY b.qid
+    )
+    SELECT q.qid, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(h.n_hits, 0) * 1000 // 3 AS BIGINT) AS recall_milli
+    FROM q LEFT JOIN hits h USING (qid)
+    ORDER BY qid
+    """,
+)
+def q_recall_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality as first-class data: per-query recall@3 of the
+    hyperplane-LSH index against the exact top-3 — the index-tuning
+    measurement (planes/bands vs recall) a 100 TB ANN deployment
+    monitors continuously, not just in tests. Deterministic (both
+    rankings use the rounded-cosine + id tie-break), so the recall
+    itself hash-checks.
+
+    Scale shape: the LSH side is the production path (bucket-keyed);
+    the brute side is the verification tier over the QUERY SAMPLE
+    only (10 vectors × corpus — the labeled exception knn_bruteforce
+    documents), which is exactly how recall is audited at scale:
+    sample queries, never corpus × corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    brute = knn_bruteforce(queries, emb, k=3).select("qid", "vec_id")
+    lsh = ann_lsh(queries, emb, k=3, n_planes=8, dims=64).select(
+        "qid", "vec_id"
+    )
+    hits = (
+        brute.join(lsh, ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        queries.select(F.col("vec_id").alias("qid"))
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.expr("CAST(coalesce(n_hits, 0) * 1000 DIV 3 AS BIGINT)").alias(
+                "recall_milli"
+            ),
+        )
+        .orderBy("qid")
+    )
+
+
 # ---------------------------------------------------------------- ann-ivf
 @query(
     "q_ann_ivf",

@@ -24,6 +24,9 @@ ALLOWED = {
     "q_h22": "TPC-H Q22 global avg balance: broadcast one-row aggregate",
     "q_knn_cosine": "brute-force baseline, labeled NOT the scale path "
                     "(verification tier for the ANN operators)",
+    "q_recall_ann": "recall audit: brute side runs over the 10-query "
+                    "SAMPLE x corpus (the verification tier), the LSH "
+                    "side is bucket-keyed",
     "q_ann_ivf": "centroid argmax: each vector x broadcast n_cells "
                  "centroid rows IS the assignment work, map-side",
     "q_embed_semdedup": "same centroid argmax as q_ann_ivf (shared "

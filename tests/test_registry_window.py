@@ -33,6 +33,7 @@ PYTEST_ONLY: set[str] = {
     "q_hard_negatives",
     "q_ivf_kmeans",
     "q_kmeans",
+    "q_recall_ann",
     "q_scrub_decontam",
     "q_seq_pack",
     "q_span_scrub",
