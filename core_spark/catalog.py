@@ -434,3 +434,153 @@ class WatchedList:
 
     def names(self) -> tuple[str, ...]:
         return self._names
+
+
+# --------------------------------------------------------------- shards
+@dataclass(frozen=True)
+class ShardSpec:
+    """Consumer shard definition (consumer/protocol/protocol.proto
+    ShardSpec): the declarative half of a shard — sources, sinks,
+    trigger policy, labels. The transform is CODE, resolved by the
+    application at start (the reference's consumer module does the
+    same: specs name sources/stores, the app supplies callbacks)."""
+
+    id: str
+    out_root: str
+    out_journal: str
+    checkpoint_dir: str
+    source_glob: str | None = None
+    source_schema: str | None = None
+    source_root: str | None = None
+    source_journal: str | None = None
+    max_files_per_trigger: int = 8
+    trigger_seconds: float | None = None
+    labels: tuple[Label, ...] = ()
+
+    def to_config(self):
+        """The runtime ShardConfig for run_shard."""
+        from core_spark.streaming.shard import ShardConfig
+
+        return ShardConfig(
+            source_glob=self.source_glob,
+            source_schema=self.source_schema,
+            out_root=self.out_root,
+            out_journal=self.out_journal,
+            shard_id=self.id,
+            checkpoint_dir=self.checkpoint_dir,
+            max_files_per_trigger=self.max_files_per_trigger,
+            trigger_seconds=self.trigger_seconds,
+            source_root=self.source_root,
+            source_journal=self.source_journal,
+        )
+
+
+def validate_shard_spec(spec: ShardSpec) -> None:
+    if not spec.id or "/" in spec.id:
+        raise SpecValidation(f"invalid shard id {spec.id!r}")
+    if not spec.out_journal or not spec.out_root:
+        raise SpecValidation("out_root and out_journal are required")
+    if not spec.checkpoint_dir:
+        raise SpecValidation("checkpoint_dir is required")
+    has_glob = spec.source_glob is not None
+    has_journal = spec.source_journal is not None
+    if has_glob == has_journal:
+        raise SpecValidation(
+            "exactly one of source_glob or source_journal is required"
+        )
+    if has_glob and not spec.source_schema:
+        raise SpecValidation("source_glob requires source_schema")
+    if spec.max_files_per_trigger < 1:
+        raise SpecValidation("max_files_per_trigger must be >= 1")
+
+
+class ShardCatalog:
+    """ShardSpec catalog with the same version-CAS Apply protocol as
+    CatalogStore (consumer Apply RPC, consumer/shard_api.go List/
+    Apply), stored under `<root>/_shards`."""
+
+    def __init__(self, root: str):
+        import json as _json
+        import os as _os
+
+        self._json = _json
+        self._os = _os
+        self.dir = _os.path.join(root, "_shards")
+        _os.makedirs(self.dir, exist_ok=True)
+
+    def version(self) -> int:
+        vs = [
+            int(f[1:-5])
+            for f in self._os.listdir(self.dir)
+            if f.startswith("v") and f.endswith(".json")
+        ]
+        return max(vs, default=0)
+
+    def specs(self) -> tuple[ShardSpec, ...]:
+        v = self.version()
+        if v == 0:
+            return ()
+        with open(self._os.path.join(self.dir, f"v{v}.json")) as fh:
+            raw = self._json.load(fh)
+        return tuple(
+            ShardSpec(
+                id=d["id"],
+                out_root=d["out_root"],
+                out_journal=d["out_journal"],
+                checkpoint_dir=d["checkpoint_dir"],
+                source_glob=d.get("source_glob"),
+                source_schema=d.get("source_schema"),
+                source_root=d.get("source_root"),
+                source_journal=d.get("source_journal"),
+                max_files_per_trigger=int(d.get("max_files_per_trigger", 8)),
+                trigger_seconds=d.get("trigger_seconds"),
+                labels=tuple(Label(*lb) for lb in d.get("labels", [])),
+            )
+            for d in raw
+        )
+
+    def apply(
+        self,
+        upserts: tuple[ShardSpec, ...] = (),
+        deletions: tuple[str, ...] = (),
+        expect_version: int | None = None,
+    ) -> int:
+        for s in upserts:
+            validate_shard_spec(s)
+        cur = self.version()
+        if expect_version is not None and expect_version != cur:
+            raise ApplyConflict(f"version {expect_version} != current {cur}")
+        by_id = {s.id: s for s in self.specs()}
+        for sid in deletions:
+            by_id.pop(sid, None)
+        for s in upserts:
+            by_id[s.id] = s
+        new_v = cur + 1
+        path = self._os.path.join(self.dir, f"v{new_v}.json")
+        payload = self._json.dumps(
+            [
+                {
+                    "id": s.id,
+                    "out_root": s.out_root,
+                    "out_journal": s.out_journal,
+                    "checkpoint_dir": s.checkpoint_dir,
+                    "source_glob": s.source_glob,
+                    "source_schema": s.source_schema,
+                    "source_root": s.source_root,
+                    "source_journal": s.source_journal,
+                    "max_files_per_trigger": s.max_files_per_trigger,
+                    "trigger_seconds": s.trigger_seconds,
+                    "labels": [[lb.name, lb.value] for lb in s.labels],
+                }
+                for s in sorted(by_id.values(), key=lambda s: s.id)
+            ]
+        )
+        try:
+            fd = self._os.open(
+                path, self._os.O_CREAT | self._os.O_EXCL | self._os.O_WRONLY
+            )
+        except FileExistsError as e:
+            raise ApplyConflict(f"shard catalog v{new_v} concurrently applied") from e
+        with self._os.fdopen(fd, "w") as fh:
+            fh.write(payload)
+        return new_v

@@ -232,6 +232,64 @@ def cmd_specs(args) -> int:
     return 0
 
 
+def cmd_shards_apply(args) -> int:
+    """shards apply: upsert/delete ShardSpecs with a version CAS —
+    the consumer Apply RPC's DDL face (specs are the declarative
+    half; the transform is app code resolved at start)."""
+    from core_spark.catalog import (
+        ApplyConflict,
+        Label,
+        ShardCatalog,
+        ShardSpec,
+        SpecValidation,
+    )
+
+    specs = []
+    for raw in args.spec or []:
+        if raw.startswith("@"):
+            with open(raw[1:]) as fh:
+                raw = fh.read()
+        d = json.loads(raw)
+        specs.append(
+            ShardSpec(
+                id=d["id"],
+                out_root=d["out_root"],
+                out_journal=d["out_journal"],
+                checkpoint_dir=d["checkpoint_dir"],
+                source_glob=d.get("source_glob"),
+                source_schema=d.get("source_schema"),
+                source_root=d.get("source_root"),
+                source_journal=d.get("source_journal"),
+                max_files_per_trigger=int(d.get("max_files_per_trigger", 8)),
+                trigger_seconds=d.get("trigger_seconds"),
+                labels=tuple(Label(*lb) for lb in d.get("labels", [])),
+            )
+        )
+    try:
+        v = ShardCatalog(args.root).apply(
+            upserts=tuple(specs),
+            deletions=tuple(args.delete or []),
+            expect_version=args.expect_version,
+        )
+    except (SpecValidation, ApplyConflict) as e:
+        print(json.dumps({"error": str(e)}))
+        return 1
+    print(json.dumps({"version": v}))
+    return 0
+
+
+def cmd_shards_specs(args) -> int:
+    from dataclasses import asdict
+
+    from core_spark.catalog import ShardCatalog
+
+    for s in ShardCatalog(args.root).specs():
+        d = asdict(s)
+        d["labels"] = [[lb["name"], lb["value"]] for lb in d["labels"]]
+        print(json.dumps(d))
+    return 0
+
+
 def cmd_serve(args) -> int:
     """serve: run the HTTP gateway as a process (the `gazette serve`
     face). --keys enables KeyedAuth (base64, comma/space separated;
@@ -419,6 +477,19 @@ def build_parser() -> argparse.ArgumentParser:
     jsp = sub.add_parser("journals-specs")
     jsp.add_argument("--root", required=True)
     jsp.set_defaults(fn=cmd_specs)
+
+    sap = sub.add_parser("shards-apply")
+    sap.add_argument("--root", required=True)
+    sap.add_argument("--spec", action="append",
+                     help="ShardSpec JSON, inline or @file (repeatable)")
+    sap.add_argument("--delete", action="append",
+                     help="shard id to delete (repeatable)")
+    sap.add_argument("--expect-version", type=int, default=None)
+    sap.set_defaults(fn=cmd_shards_apply)
+
+    ssp = sub.add_parser("shards-specs")
+    ssp.add_argument("--root", required=True)
+    ssp.set_defaults(fn=cmd_shards_specs)
 
     sv = sub.add_parser("serve")
     sv.add_argument("--root", required=True)

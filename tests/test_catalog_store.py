@@ -61,3 +61,66 @@ def test_validation(tmp_path):
         cs.apply(upserts=(_spec("demo/x", codec="LZ4"),))
     with pytest.raises(SpecValidation, match="name"):
         cs.apply(upserts=(_spec(""),))
+
+
+def test_shard_catalog_apply_validate_and_run(spark, tmp_path):
+    """ShardSpec catalog: CAS'd apply/list, validation, and a spec
+    pulled from the catalog actually DRIVING run_shard."""
+    import os
+
+    import pytest
+
+    from core_spark.catalog import (
+        ApplyConflict,
+        ShardCatalog,
+        ShardSpec,
+        SpecValidation,
+    )
+    from pyspark.sql import functions as F
+
+    from core_spark.sources.journal import Journal
+    from core_spark.streaming.shard import run_shard
+
+    root = str(tmp_path)
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    spark.createDataFrame([("a",), ("b",), ("a",)], "word string").coalesce(
+        1
+    ).write.parquet(os.path.join(src, "c0.parquet"))
+
+    cat = ShardCatalog(root)
+    spec = ShardSpec(
+        id="wc-0",
+        out_root=os.path.join(root, "out"),
+        out_journal="wc/deltas",
+        checkpoint_dir=os.path.join(root, "ckpt"),
+        source_glob=src + "/*",
+        source_schema="word string",
+        max_files_per_trigger=1,
+    )
+    assert cat.apply(upserts=(spec,)) == 1
+    assert [s.id for s in cat.specs()] == ["wc-0"]
+
+    # validation: both sources / neither source / bad id
+    with pytest.raises(SpecValidation):
+        cat.apply(upserts=(ShardSpec(
+            id="bad", out_root="r", out_journal="j", checkpoint_dir="c",
+        ),))
+    with pytest.raises(ApplyConflict):
+        cat.apply(deletions=("wc-0",), expect_version=0)
+
+    # the stored spec drives a real shard run
+    cfg = cat.specs()[0].to_config()
+    run_shard(
+        spark, cfg,
+        lambda df: df.groupBy("word").count(),
+    ).awaitTermination(120)
+    out = {
+        r.word: r.total
+        for r in Journal(cfg.out_root, cfg.out_journal)
+        .read(spark)
+        .groupBy("word")
+        .agg(F.sum("count").alias("total"))
+        .collect()
+    }
+    assert out == {"a": 2, "b": 1}
