@@ -61,6 +61,35 @@ class JournalSpec:
     # column-pruned scan of each appended fragment.
     bloom_columns: tuple[str, ...] = ()
 
+    def to_dict(self) -> dict:
+        return {
+            "name": self.name,
+            "labels": [[lb.name, lb.value] for lb in self.labels],
+            "replication": self.replication,
+            "fragment_length": self.fragment_length,
+            "codec": self.codec,
+            "stores": list(self.stores),
+            "path_postfix": self.path_postfix,
+            "max_append_rate": self.max_append_rate,
+            "bloom_columns": list(self.bloom_columns),
+        }
+
+    @staticmethod
+    def from_dict(d: dict) -> "JournalSpec":
+        return JournalSpec(
+            name=d["name"],
+            labels=tuple(Label(*lb) for lb in d.get("labels", [])),
+            replication=int(d.get("replication", 1)),
+            fragment_length=int(d.get("fragment_length", 1 << 29)),
+            codec=d.get("codec", "ZSTD"),
+            stores=tuple(d.get("stores", ())),
+            path_postfix=d.get("path_postfix", ""),
+            # absent in pre-r4 catalogs: unlimited
+            max_append_rate=int(d.get("max_append_rate", 0)),
+            # absent in pre-r5 catalogs: no bloom indexing
+            bloom_columns=tuple(d.get("bloom_columns", ())),
+        )
+
 
 @dataclass(frozen=True)
 class LabelSelector:
@@ -292,6 +321,59 @@ def validate_spec(spec: JournalSpec) -> None:
             raise SpecValidation(f"invalid bloom column {c!r}")
 
 
+
+class _VersionedCAS:
+    """Shared versioned-JSON CAS store: v{N}.json files, O_EXCL
+    create (conditional PUT on object stores). One implementation for
+    both spec catalogs, so protocol hardening lands once."""
+
+    def __init__(self, root: str, subdir: str, conflict_what: str):
+        import json as _json
+        import os as _os
+
+        self._json = _json
+        self._os = _os
+        self._what = conflict_what
+        self.dir = _os.path.join(root, subdir)
+        _os.makedirs(self.dir, exist_ok=True)
+
+    def version(self) -> int:
+        # tolerate stray files (editor backups, v.json): only a pure
+        # digit run between 'v' and '.json' is a version
+        vs = [
+            int(f[1:-5])
+            for f in self._os.listdir(self.dir)
+            if f.startswith("v") and f.endswith(".json") and f[1:-5].isdigit()
+        ]
+        return max(vs, default=0)
+
+    def read_latest(self):
+        v = self.version()
+        if v == 0:
+            return []
+        with open(self._os.path.join(self.dir, f"v{v}.json")) as fh:
+            return self._json.load(fh)
+
+    def commit(self, expect_version, payload_obj) -> int:
+        cur = self.version()
+        if expect_version is not None and expect_version != cur:
+            raise ApplyConflict(f"version {expect_version} != current {cur}")
+        new_v = cur + 1
+        path = self._os.path.join(self.dir, f"v{new_v}.json")
+        payload = self._json.dumps(payload_obj)
+        try:
+            fd = self._os.open(
+                path, self._os.O_CREAT | self._os.O_EXCL | self._os.O_WRONLY
+            )
+        except FileExistsError as e:
+            raise ApplyConflict(
+                f"{self._what} v{new_v} concurrently applied"
+            ) from e
+        with self._os.fdopen(fd, "w") as fh:
+            fh.write(payload)
+        return new_v
+
+
 class CatalogStore:
     """Persistent spec catalog with check-and-set Apply — the engine's
     metastore, replacing the reference's Etcd keyspace + Apply RPC
@@ -301,43 +383,15 @@ class CatalogStore:
     stores)."""
 
     def __init__(self, root: str):
-        import json as _json
-        import os as _os
-
-        self._json = _json
-        self._os = _os
-        self.dir = _os.path.join(root, "_catalog")
-        _os.makedirs(self.dir, exist_ok=True)
+        self._cas = _VersionedCAS(root, "_catalog", "catalog")
+        self.dir = self._cas.dir
 
     def _version(self) -> int:
-        vs = [
-            int(f[1:-5])
-            for f in self._os.listdir(self.dir)
-            if f.startswith("v") and f.endswith(".json")
-        ]
-        return max(vs, default=0)
+        return self._cas.version()
 
     def specs(self) -> tuple[JournalSpec, ...]:
-        v = self._version()
-        if v == 0:
-            return ()
-        with open(self._os.path.join(self.dir, f"v{v}.json")) as fh:
-            raw = self._json.load(fh)
         return tuple(
-            JournalSpec(
-                name=d["name"],
-                labels=tuple(Label(*l) for l in d["labels"]),
-                replication=d["replication"],
-                fragment_length=d["fragment_length"],
-                codec=d["codec"],
-                stores=tuple(d["stores"]),
-                path_postfix=d["path_postfix"],
-                # absent in pre-r4 catalogs: unlimited
-                max_append_rate=int(d.get("max_append_rate", 0)),
-                # absent in pre-r5 catalogs: no bloom indexing
-                bloom_columns=tuple(d.get("bloom_columns", ())),
-            )
-            for d in raw
+            JournalSpec.from_dict(d) for d in self._cas.read_latest()
         )
 
     def apply(
@@ -349,41 +403,15 @@ class CatalogStore:
         """Upsert/delete specs atomically; CAS on catalog version."""
         for s in upserts:
             validate_spec(s)
-        cur = self._version()
-        if expect_version is not None and expect_version != cur:
-            raise ApplyConflict(f"version {expect_version} != current {cur}")
         by_name = {s.name: s for s in self.specs()}
         for name in deletions:
             by_name.pop(name, None)
         for s in upserts:
             by_name[s.name] = s
-        new_v = cur + 1
-        path = self._os.path.join(self.dir, f"v{new_v}.json")
-        payload = self._json.dumps(
-            [
-                {
-                    "name": s.name,
-                    "labels": [[l.name, l.value] for l in s.labels],
-                    "replication": s.replication,
-                    "fragment_length": s.fragment_length,
-                    "codec": s.codec,
-                    "stores": list(s.stores),
-                    "path_postfix": s.path_postfix,
-                    "max_append_rate": s.max_append_rate,
-                    "bloom_columns": list(s.bloom_columns),
-                }
-                for s in sorted(by_name.values(), key=lambda s: s.name)
-            ]
+        return self._cas.commit(
+            expect_version,
+            [s.to_dict() for s in sorted(by_name.values(), key=lambda s: s.name)],
         )
-        try:
-            fd = self._os.open(
-                path, self._os.O_CREAT | self._os.O_EXCL | self._os.O_WRONLY
-            )
-        except FileExistsError as e:
-            raise ApplyConflict(f"catalog v{new_v} concurrently applied") from e
-        with self._os.fdopen(fd, "w") as fh:
-            fh.write(payload)
-        return new_v
 
     def resolve(self, spark: SparkSession, selector: LabelSelector) -> DataFrame:
         return resolve(spark, selector, self.specs())
@@ -457,6 +485,37 @@ class ShardSpec:
     trigger_seconds: float | None = None
     labels: tuple[Label, ...] = ()
 
+    def to_dict(self) -> dict:
+        return {
+            "id": self.id,
+            "out_root": self.out_root,
+            "out_journal": self.out_journal,
+            "checkpoint_dir": self.checkpoint_dir,
+            "source_glob": self.source_glob,
+            "source_schema": self.source_schema,
+            "source_root": self.source_root,
+            "source_journal": self.source_journal,
+            "max_files_per_trigger": self.max_files_per_trigger,
+            "trigger_seconds": self.trigger_seconds,
+            "labels": [[lb.name, lb.value] for lb in self.labels],
+        }
+
+    @staticmethod
+    def from_dict(d: dict) -> "ShardSpec":
+        return ShardSpec(
+            id=d["id"],
+            out_root=d["out_root"],
+            out_journal=d["out_journal"],
+            checkpoint_dir=d["checkpoint_dir"],
+            source_glob=d.get("source_glob"),
+            source_schema=d.get("source_schema"),
+            source_root=d.get("source_root"),
+            source_journal=d.get("source_journal"),
+            max_files_per_trigger=int(d.get("max_files_per_trigger", 8)),
+            trigger_seconds=d.get("trigger_seconds"),
+            labels=tuple(Label(*lb) for lb in d.get("labels", [])),
+        )
+
     def to_config(self):
         """The runtime ShardConfig for run_shard."""
         from core_spark.streaming.shard import ShardConfig
@@ -490,6 +549,8 @@ def validate_shard_spec(spec: ShardSpec) -> None:
         )
     if has_glob and not spec.source_schema:
         raise SpecValidation("source_glob requires source_schema")
+    if has_journal and not spec.source_root:
+        raise SpecValidation("source_journal requires source_root")
     if spec.max_files_per_trigger < 1:
         raise SpecValidation("max_files_per_trigger must be >= 1")
 
@@ -500,44 +561,14 @@ class ShardCatalog:
     Apply), stored under `<root>/_shards`."""
 
     def __init__(self, root: str):
-        import json as _json
-        import os as _os
-
-        self._json = _json
-        self._os = _os
-        self.dir = _os.path.join(root, "_shards")
-        _os.makedirs(self.dir, exist_ok=True)
+        self._cas = _VersionedCAS(root, "_shards", "shard catalog")
+        self.dir = self._cas.dir
 
     def version(self) -> int:
-        vs = [
-            int(f[1:-5])
-            for f in self._os.listdir(self.dir)
-            if f.startswith("v") and f.endswith(".json")
-        ]
-        return max(vs, default=0)
+        return self._cas.version()
 
     def specs(self) -> tuple[ShardSpec, ...]:
-        v = self.version()
-        if v == 0:
-            return ()
-        with open(self._os.path.join(self.dir, f"v{v}.json")) as fh:
-            raw = self._json.load(fh)
-        return tuple(
-            ShardSpec(
-                id=d["id"],
-                out_root=d["out_root"],
-                out_journal=d["out_journal"],
-                checkpoint_dir=d["checkpoint_dir"],
-                source_glob=d.get("source_glob"),
-                source_schema=d.get("source_schema"),
-                source_root=d.get("source_root"),
-                source_journal=d.get("source_journal"),
-                max_files_per_trigger=int(d.get("max_files_per_trigger", 8)),
-                trigger_seconds=d.get("trigger_seconds"),
-                labels=tuple(Label(*lb) for lb in d.get("labels", [])),
-            )
-            for d in raw
-        )
+        return tuple(ShardSpec.from_dict(d) for d in self._cas.read_latest())
 
     def apply(
         self,
@@ -547,40 +578,12 @@ class ShardCatalog:
     ) -> int:
         for s in upserts:
             validate_shard_spec(s)
-        cur = self.version()
-        if expect_version is not None and expect_version != cur:
-            raise ApplyConflict(f"version {expect_version} != current {cur}")
         by_id = {s.id: s for s in self.specs()}
         for sid in deletions:
             by_id.pop(sid, None)
         for s in upserts:
             by_id[s.id] = s
-        new_v = cur + 1
-        path = self._os.path.join(self.dir, f"v{new_v}.json")
-        payload = self._json.dumps(
-            [
-                {
-                    "id": s.id,
-                    "out_root": s.out_root,
-                    "out_journal": s.out_journal,
-                    "checkpoint_dir": s.checkpoint_dir,
-                    "source_glob": s.source_glob,
-                    "source_schema": s.source_schema,
-                    "source_root": s.source_root,
-                    "source_journal": s.source_journal,
-                    "max_files_per_trigger": s.max_files_per_trigger,
-                    "trigger_seconds": s.trigger_seconds,
-                    "labels": [[lb.name, lb.value] for lb in s.labels],
-                }
-                for s in sorted(by_id.values(), key=lambda s: s.id)
-            ]
+        return self._cas.commit(
+            expect_version,
+            [s.to_dict() for s in sorted(by_id.values(), key=lambda s: s.id)],
         )
-        try:
-            fd = self._os.open(
-                path, self._os.O_CREAT | self._os.O_EXCL | self._os.O_WRONLY
-            )
-        except FileExistsError as e:
-            raise ApplyConflict(f"shard catalog v{new_v} concurrently applied") from e
-        with self._os.fdopen(fd, "w") as fh:
-            fh.write(payload)
-        return new_v

@@ -183,7 +183,6 @@ def cmd_apply(args) -> int:
         ApplyConflict,
         CatalogStore,
         JournalSpec,
-        Label,
         SpecValidation,
     )
 
@@ -192,20 +191,7 @@ def cmd_apply(args) -> int:
         if raw.startswith("@"):
             with open(raw[1:]) as fh:
                 raw = fh.read()
-        d = json.loads(raw)
-        specs.append(
-            JournalSpec(
-                name=d["name"],
-                labels=tuple(Label(*l) for l in d.get("labels", [])),
-                replication=int(d.get("replication", 1)),
-                fragment_length=int(d.get("fragment_length", 1 << 29)),
-                codec=d.get("codec", "ZSTD"),
-                stores=tuple(d.get("stores", ())),
-                path_postfix=d.get("path_postfix", ""),
-                max_append_rate=int(d.get("max_append_rate", 0)),
-                bloom_columns=tuple(d.get("bloom_columns", ())),
-            )
-        )
+        specs.append(JournalSpec.from_dict(json.loads(raw)))
     try:
         v = CatalogStore(args.root).apply(
             upserts=tuple(specs),
@@ -238,7 +224,6 @@ def cmd_shards_apply(args) -> int:
     half; the transform is app code resolved at start)."""
     from core_spark.catalog import (
         ApplyConflict,
-        Label,
         ShardCatalog,
         ShardSpec,
         SpecValidation,
@@ -249,22 +234,7 @@ def cmd_shards_apply(args) -> int:
         if raw.startswith("@"):
             with open(raw[1:]) as fh:
                 raw = fh.read()
-        d = json.loads(raw)
-        specs.append(
-            ShardSpec(
-                id=d["id"],
-                out_root=d["out_root"],
-                out_journal=d["out_journal"],
-                checkpoint_dir=d["checkpoint_dir"],
-                source_glob=d.get("source_glob"),
-                source_schema=d.get("source_schema"),
-                source_root=d.get("source_root"),
-                source_journal=d.get("source_journal"),
-                max_files_per_trigger=int(d.get("max_files_per_trigger", 8)),
-                trigger_seconds=d.get("trigger_seconds"),
-                labels=tuple(Label(*lb) for lb in d.get("labels", [])),
-            )
-        )
+        specs.append(ShardSpec.from_dict(json.loads(raw)))
     try:
         v = ShardCatalog(args.root).apply(
             upserts=tuple(specs),
@@ -296,11 +266,17 @@ def cmd_serve(args) -> int:
     first signs, any verifies, `AA==` allows missing during rollout);
     omitted = open gateway. Blocks until interrupted; prints one JSON
     line with the bound address first so wrappers can scrape it."""
+    import binascii
+
     from core_spark.auth import KeyedAuth
     from core_spark.gateway import JournalGateway
 
+    try:
+        auth = KeyedAuth(args.keys) if args.keys else None
+    except (ValueError, binascii.Error) as e:
+        print(json.dumps({"error": f"bad --keys: {e}"}))
+        return 1
     spark = get_spark("engine-gateway")
-    auth = KeyedAuth(args.keys) if args.keys else None
     gw = JournalGateway(
         spark,
         args.root,

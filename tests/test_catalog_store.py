@@ -101,11 +101,34 @@ def test_shard_catalog_apply_validate_and_run(spark, tmp_path):
     assert cat.apply(upserts=(spec,)) == 1
     assert [s.id for s in cat.specs()] == ["wc-0"]
 
-    # validation: both sources / neither source / bad id
+    # validation: neither source / both sources / journal source
+    # without a root / bad id
     with pytest.raises(SpecValidation):
         cat.apply(upserts=(ShardSpec(
             id="bad", out_root="r", out_journal="j", checkpoint_dir="c",
         ),))
+    with pytest.raises(SpecValidation):
+        cat.apply(upserts=(ShardSpec(
+            id="bad", out_root="r", out_journal="j", checkpoint_dir="c",
+            source_glob="g/*", source_schema="a int",
+            source_journal="in/j", source_root="r",
+        ),))
+    with pytest.raises(SpecValidation, match="source_root"):
+        cat.apply(upserts=(ShardSpec(
+            id="bad", out_root="r", out_journal="j", checkpoint_dir="c",
+            source_journal="in/j",
+        ),))
+    with pytest.raises(SpecValidation, match="shard id"):
+        cat.apply(upserts=(ShardSpec(
+            id="a/b", out_root="r", out_journal="j", checkpoint_dir="c",
+            source_glob="g/*", source_schema="a int",
+        ),))
+    # stray files in the catalog dir never brick version parsing
+    import os as _os
+
+    open(_os.path.join(cat.dir, "v.json"), "w").write("junk")
+    open(_os.path.join(cat.dir, "vold.json"), "w").write("junk")
+    assert cat.version() == 1
     with pytest.raises(ApplyConflict):
         cat.apply(deletions=("wc-0",), expect_version=0)
 

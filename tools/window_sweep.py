@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import argparse
 import importlib.util
+import os
 import sys
 
 TABLES = (
@@ -27,9 +28,10 @@ def main() -> int:
     ap.add_argument("--names", default=None)
     args = ap.parse_args()
 
-    spec = importlib.util.spec_from_file_location(
-        "__spark_entry__", "/root/repo/__spark_entry__.py"
+    entry = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "__spark_entry__.py"
     )
+    spec = importlib.util.spec_from_file_location("__spark_entry__", entry)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
 
