@@ -64,6 +64,7 @@ def cmd_read(args) -> int:
         begin=args.offset,
         end=args.end_offset,
         begin_mod_time=args.begin_mod_time,
+        at_version=args.at_version,
         where=where,
     )
     _emit(df if args.output else df.orderBy("_offset"), args.output)
@@ -380,6 +381,8 @@ def build_parser() -> argparse.ArgumentParser:
     jr.add_argument("--offset", type=int, default=None)
     jr.add_argument("--end-offset", type=int, default=None)
     jr.add_argument("--begin-mod-time", type=float, default=None)
+    # time travel: read AS OF a past manifest version (CAS history)
+    jr.add_argument("--at-version", type=int, default=None)
     # repeatable col<op>value predicate: applied exactly AND pruned
     # against manifest zone maps / bloom filters before listing
     jr.add_argument("--where", action="append", default=[])

@@ -160,6 +160,7 @@ class JournalGateway:
                 try:
                     begin = int(qs["begin"][0]) if "begin" in qs else None
                     end = int(qs["end"][0]) if "end" in qs else None
+                    at = int(qs["at"][0]) if "at" in qs else None
                     # repeatable ?where=col<op>value — the CLI's
                     # predicate syntax over HTTP, riding the same
                     # manifest pruning (zone maps + blooms)
@@ -169,7 +170,7 @@ class JournalGateway:
                     return
                 try:
                     body, next_off, truncated = gw.read_ndjson(
-                        name, begin, end, where=where
+                        name, begin, end, where=where, at_version=at
                     )
                 except ValueError as e:
                     self._error(416, str(e))  # no covering fragments
@@ -249,6 +250,7 @@ class JournalGateway:
         begin: int | None,
         end: int | None,
         where: list[tuple] | None = None,
+        at_version: int | None = None,
     ):
         """Serve at most `max_read_rows` rows of the range; returns
         (body, next_offset, truncated). The cap rides a limit() so the
@@ -265,9 +267,10 @@ class JournalGateway:
         from pyspark.sql import functions as F
 
         j = Journal(self.root, name)
-        df = j.read(self.spark, begin=begin, end=end, where=where).orderBy(
-            "_offset"
-        )
+        df = j.read(
+            self.spark, begin=begin, end=end, where=where,
+            at_version=at_version,
+        ).orderBy("_offset")
         cap = self.max_read_rows
         page = df.select(
             F.col("_offset").alias("__off"),

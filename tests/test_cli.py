@@ -291,3 +291,20 @@ def test_serve_subprocess_healthz_and_auth(tmp_path):
             proc.wait(timeout=30)
         except subprocess.TimeoutExpired:
             proc.kill()
+
+
+def test_read_at_version(spark, tmp_path, capsys):
+    from core_spark.sources.journal import Journal
+
+    root = str(tmp_path / "tt")
+    j = Journal(root, "t/j0")
+    j.append(spark.range(2).withColumnRenamed("id", "v"))
+    v1 = j.manifest().version
+    j.append(spark.range(2, 5).withColumnRenamed("id", "v"))
+
+    assert main([
+        "journals-read", "--root", root, "--journal", "t/j0",
+        "--at-version", str(v1),
+    ]) == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert [r["v"] for r in rows] == [0, 1]

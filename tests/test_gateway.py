@@ -151,3 +151,19 @@ def test_healthz_active_probe(gw):
     import os
 
     assert not [p for p in os.listdir(g.root) if p.startswith("_health-")]
+
+
+def test_time_travel_reads_over_http(gw):
+    """?at=<version> reads the journal AS OF a past manifest version
+    (the CAS history is the snapshot index)."""
+    from core_spark.sources.journal import Journal
+
+    g, base = gw
+    _put(base, "api/tt", json.dumps({"k": 1}))
+    v1 = Journal(g.root, "api/tt").manifest().version
+    _put(base, "api/tt", json.dumps({"k": 2}))
+
+    body, _h, _s = _get(base, f"/jnl/api/tt?at={v1}")
+    assert [json.loads(ln)["k"] for ln in body.splitlines()] == [1]
+    body, _h, _s = _get(base, "/jnl/api/tt")
+    assert [json.loads(ln)["k"] for ln in body.splitlines()] == [1, 2]
