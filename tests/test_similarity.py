@@ -230,3 +230,63 @@ def test_semdedup_zero_vector_is_inert(spark):
     basei = base.set_index("vec_id")
     assert (merged["kept"] == basei["kept"]).all()
     assert (merged["max_prior"] == basei["max_prior"]).all()
+
+
+def test_hard_negatives_matches_bruteforce_within_cell(spark):
+    """The per-cell kernel's different-label top-k must equal an
+    independent numpy brute force over the same cell assignment —
+    including distance ties broken by id and labels with no
+    negatives available (singleton-label cells emit nothing for
+    queries whose cell holds only their own label)."""
+    import numpy as np
+
+    from core_spark.operators.similarity import (
+        hard_negatives,
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    rng = np.random.default_rng(11)
+    n, dim = 40, 8
+    vecs = rng.integers(-999, 999, size=(n, dim)) / 1000.0
+    vecs[5] = vecs[9]  # exact duplicate -> guaranteed cosine tie
+    labels = [i % 3 for i in range(n)]
+    df = spark.createDataFrame(
+        [
+            (i, [float(np.float32(x)) for x in vecs[i]], labels[i])
+            for i in range(n)
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+
+    got = {
+        (r.qid, r.vec_id): (r.neg_label, r.sim)
+        for r in hard_negatives(df, k=2, n_cells=4).collect()
+    }
+
+    # independent reference: reuse the engine's cell assignment (the
+    # quantizer is not under test here), then numpy-normalize + dot
+    c = df.selectExpr("vec_id", "embedding as _v")
+    cells = {
+        r.vec_id: r.cell
+        for r in ivf_assign(
+            c, ivf_centroids(df, 4), "_v", "vec_id", 1
+        ).collect()
+    }
+    norm = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+    want = {}
+    for q in range(n):
+        cand = [
+            j
+            for j in range(n)
+            if j != q and cells[j] == cells[q] and labels[j] != labels[q]
+        ]
+        scored = sorted(
+            ((-(norm[q] @ norm[j]).round(9), j) for j in cand)
+        )[:2]
+        for negd, j in scored:
+            want[(q, j)] = labels[j]
+    assert set(got) == set(want)
+    for key, (neg_label, sim) in got.items():
+        assert neg_label == want[key]
+        assert -1.000001 <= sim <= 1.000001
