@@ -94,3 +94,17 @@ def test_span_scrub_flags_planted_duplicate_span(spark, tmp_path):
         assert r.dup_chars >= 16, r  # at least one shared selected gram
         assert r.dup_chars <= len(text)
         assert r.n_spans >= 1 and r.n_prints >= 1
+
+
+def test_train_order_is_a_dense_permutation_per_epoch(spark):
+    """Each epoch's positions are exactly 0..n-1 (dense, gap-free)
+    and the two epochs are genuinely different permutations."""
+    out = REGISTRY["q_train_order"].fn(spark, SF_SMOKE).collect()
+    by_epoch: dict = {}
+    for r in out:
+        by_epoch.setdefault(r.epoch, {})[r.doc_id] = r.pos
+    assert set(by_epoch) == {0, 1}
+    n = len(by_epoch[0])
+    for e, m in by_epoch.items():
+        assert sorted(m.values()) == list(range(n)), e
+    assert by_epoch[0] != by_epoch[1]  # independent salted shuffles
