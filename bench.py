@@ -93,17 +93,17 @@ HEADLINE = [
     "q_curate2",
     "q_bpe_train",
     "q_fusion_rank",
-    "q_kmeans",
-    "q_seq_pack",
-    "q_temp_mix",
-    "q_overlap_matrix",
-    "q_span_scrub",
-    "q_tokenize_bpe",
-    "q_hard_negatives",
-    "q_ivf_kmeans",
-    "q_train_order",
-    "q_scrub_decontam",
-    "q_recall_ann",
+    "q_cluster_kmeans",
+    "q_doc_pack",
+    "q_domain_temp_mix",
+    "q_corpus_overlap",
+    "q_doc_span_scrub",
+    "q_bpe_encode",
+    "q_ann_hard_negatives",
+    "q_ann_ivf_kmeans",
+    "q_curriculum_order",
+    "q_decontam_scrub",
+    "q_ann_recall",
 ]
 
 

@@ -1,6 +1,6 @@
 """Clustering-tier declared queries (LLM-pipeline superset).
 
-`q_kmeans` is the fourth fully-declarative iterative algorithm beside
+`q_cluster_kmeans` is the fourth fully-declarative iterative algorithm beside
 connected components, PageRank and BPE training: Lloyd k-means whose
 every round is engine-exact integer arithmetic, so the oracle (the
 same rounds unrolled as chained CTEs) hash-matches the assignments —
@@ -90,7 +90,7 @@ _L2 = (
 
 
 @query(
-    "q_ivf_kmeans",
+    "q_ann_ivf_kmeans",
     oracle=f"""
     WITH {_kmeans_ctes()},
     q AS (SELECT vid, qv FROM v WHERE vid < 10),
@@ -117,14 +117,14 @@ _L2 = (
     ) WHERE rn <= 3 ORDER BY qid, vec_id
     """,
 )
-def q_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF search over the TRAINED quantizer: the q_kmeans centroids
+def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search over the TRAINED quantizer: the q_cluster_kmeans centroids
     replace ann_ivf's designated vectors (the quality upgrade a real
     IVF index ships), and because the whole pipeline — training,
     assignment, 2-probe search, top-3 ranking — runs in quantized
     int64 micros, there is no float anywhere: distances are exact and
     the full composition hash-checks. Scale shape: the index build is
-    q_kmeans (constant-width shuffles); search joins candidates on
+    q_cluster_kmeans (constant-width shuffles); search joins candidates on
     the cell id only (never corpus x corpus); the 8-row centroid
     frame is persisted so the corpus assignment and the query probes
     share one trained DAG."""
@@ -169,8 +169,8 @@ def q_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_kmeans", oracle=_kmeans_oracle())
-def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q_cluster_kmeans", oracle=_kmeans_oracle())
+def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd k-means (k=8, 3 rounds) over the embeddings in integer
     micros — the training loop behind an IVF coarse quantizer, fully
     declarative and engine-exact (see operators/clustering.py for the

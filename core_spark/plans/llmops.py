@@ -542,7 +542,7 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------- span scrubbing
 @query(
-    "q_span_scrub",
+    "q_doc_span_scrub",
     oracle=f"""
     WITH d AS (SELECT doc_id, text, len(text) AS n FROM documents
                WHERE len(text) >= {_WIN_K}),
@@ -602,7 +602,7 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM agg GROUP BY doc_id ORDER BY doc_id
     """,
 )
-def q_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_doc_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicated-byte accounting per document — the scrub ledger the
     exact-substring dedup pass (Lee et al. 2022) acts on: every
     winnowing-selected print shared by 2..{_WIN_DF} documents marks
@@ -638,8 +638,8 @@ def q_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _winnow_prints(spark: SparkSession, docs: DataFrame) -> DataFrame:
     """(doc_id, fph, pos) winnowing-selected prints with their
-    positions — the shared selection stage of q_span_scrub and
-    q_scrub_decontam (see q_span_scrub's docstring for the kernel
+    positions — the shared selection stage of q_doc_span_scrub and
+    q_decontam_scrub (see q_doc_span_scrub's docstring for the kernel
     rationale and the 2^20-position contract)."""
 
     def winnow_pos(batches):
@@ -734,7 +734,7 @@ def _interval_ledger(iv: DataFrame) -> DataFrame:
 
 # ----------------------------------------------------- decontam scrubbing
 @query(
-    "q_scrub_decontam",
+    "q_decontam_scrub",
     oracle=f"""
     WITH d AS (SELECT doc_id, text, len(text) AS n FROM documents
                WHERE len(text) >= {_WIN_K}),
@@ -792,7 +792,7 @@ def _interval_ledger(iv: DataFrame) -> DataFrame:
     FROM agg GROUP BY doc_id ORDER BY doc_id
     """,
 )
-def q_scrub_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_decontam_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level benchmark decontamination — the surgical form of
     q_decontam's doc-level overlap score: winnowing-selected prints
     of the HELD-OUT set (doc_id % 97 = 0, the q_decontam convention)
@@ -802,7 +802,7 @@ def q_scrub_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     actually-run mitigation (cut the benchmark text, keep the doc)
     where q_decontam's score can only drop whole documents.
 
-    Scale shape: selection is the q_span_scrub Arrow kernel; the
+    Scale shape: selection is the q_doc_span_scrub Arrow kernel; the
     BENCHMARK print set is eval-suite-sized and joined by print hash
     (at 100 TB it broadcasts — the q_decontam disposition); interval
     union is per-document windows."""
@@ -980,7 +980,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------- recall
 @query(
-    "q_recall_ann",
+    "q_ann_recall",
     oracle=f"""
     WITH e AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1018,7 +1018,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY qid
     """,
 )
-def q_recall_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality as first-class data: per-query recall@3 of the
     hyperplane-LSH index against the exact top-3 — the index-tuning
     measurement (planes/bands vs recall) a 100 TB ANN deployment
@@ -1114,7 +1114,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------- hard negatives
 @query(
-    "q_hard_negatives",
+    "q_ann_hard_negatives",
     oracle=f"""
     WITH e AS (
       SELECT vec_id, label,
@@ -1156,7 +1156,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rn <= 2 ORDER BY qid, vec_id
     """,
 )
-def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining: for every vector, the 2 most-similar
     DIFFERENT-label vectors within its IVF cell — the contrastive-
     training pair generator, run over the full set (not a 10-query

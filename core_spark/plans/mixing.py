@@ -659,7 +659,7 @@ def _bpe_rounds(v, rounds: int, apply_last: bool):
     unpersisted loop recomputes the corpus-collapsing vocab aggregate
     2^rounds times through the lineage; persisting the vocab-sized
     frame per round pins that to once per round (measured 4.5s →
-    ~1.5s for q_tokenize_bpe at sf0.1)."""
+    ~1.5s for q_bpe_encode at sf0.1)."""
     from pyspark import StorageLevel
 
     tops = []
@@ -695,7 +695,7 @@ def _bpe_rounds(v, rounds: int, apply_last: bool):
 
 
 @query(
-    "q_tokenize_bpe",
+    "q_bpe_encode",
     oracle=f"""
     WITH v0 AS (
       SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt,
@@ -711,7 +711,7 @@ def _bpe_rounds(v, rounds: int, apply_last: bool):
     ) ORDER BY n_tokens DESC, tok LIMIT 30
     """,
 )
-def q_tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize the corpus with the trained BPE merges: re-run the
     q_bpe_train rounds (winners are identical — 1-char words
     contribute no pairs, so including them changes nothing) but APPLY

@@ -1,13 +1,13 @@
 """Training-example packing + corpus-composition audit queries
 (LLM-pipeline superset).
 
-- `q_seq_pack`: contiguous sequence packing — the pretraining "concat
+- `q_doc_pack`: contiguous sequence packing — the pretraining "concat
   then chunk at CAP tokens" layout — as a distributed prefix sum plus
   a per-sequence audit aggregate (fill, doc count, boundary count).
-- `q_temp_mix`: temperature-weighted (alpha=0.5) domain sampling
+- `q_domain_temp_mix`: temperature-weighted (alpha=0.5) domain sampling
   allocation, the multinomial-smoothing sibling of q_domain_mix's
   water-filling.
-- `q_overlap_matrix`: pairwise source-overlap estimates from per-source
+- `q_corpus_overlap`: pairwise source-overlap estimates from per-source
   KMV sketches — the cross-source contamination audit, computed on
   k-sized sketches, never on doc×doc pairs.
 """
@@ -28,7 +28,7 @@ _PACK_BKT = 64  # prefix-sum buckets (top 6 bits of the 60-bit hash)
 
 
 @query(
-    "q_seq_pack",
+    "q_doc_pack",
     oracle=f"""
     WITH t AS (
       SELECT doc_id,
@@ -57,7 +57,7 @@ _PACK_BKT = 64  # prefix-sum buckets (top 6 bits of the 60-bit hash)
     FROM e GROUP BY seq ORDER BY seq_id
     """,
 )
-def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contiguous sequence packing at CAP=256 tokens: documents are
     laid out in salted-hash order, token offsets come from a prefix
     sum, and each doc is charged to the training sequences its
@@ -132,7 +132,7 @@ _MIX_BUDGET = 50_000  # tokens
 
 
 @query(
-    "q_temp_mix",
+    "q_domain_temp_mix",
     oracle=f"""
     WITH s AS (
       SELECT source,
@@ -152,7 +152,7 @@ _MIX_BUDGET = 50_000  # tokens
     FROM w ORDER BY source
     """,
 )
-def q_temp_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_domain_temp_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-weighted domain allocation: each source's share of
     a {_MIX_BUDGET}-token budget is proportional to tokens^alpha with
     alpha=1/2 (the multilingual-pretraining smoothing rule) — the
@@ -199,7 +199,7 @@ _OVL_SALT = 16
 
 
 @query(
-    "q_overlap_matrix",
+    "q_corpus_overlap",
     oracle=f"""
     WITH t AS (
       SELECT DISTINCT source,
@@ -232,7 +232,7 @@ _OVL_SALT = 16
     FROM est ORDER BY source_a, source_b
     """,
 )
-def q_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise source-overlap audit from per-source KMV sketches:
     bottom-{_OVL_K} distinct content hashes per source, pairwise
     Jaccard estimated on the merged sketch (the standard KMV
@@ -297,7 +297,7 @@ _N_EPOCHS = 2
 
 
 @query(
-    "q_train_order",
+    "q_curriculum_order",
     oracle=f"""
     WITH t AS (
       SELECT e.epoch, d.doc_id,
@@ -313,7 +313,7 @@ _N_EPOCHS = 2
     FROM t ORDER BY epoch, pos
     """,
 )
-def q_train_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-epoch training order: each epoch is an
     independent salted-hash permutation of the corpus, materialized
     as a DENSE global position (epoch, doc_id, pos) — the

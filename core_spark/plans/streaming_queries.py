@@ -139,7 +139,7 @@ from core_spark.plans.message import DUCK_MESSAGE_VIEW
 
 
 @query(
-    "q_stream_dedup",
+    "q_dedup_stream",
     # The streaming sequencer agrees bit-for-bit with the batch window
     # formulation (asserted in tests/test_streaming.py), so the batch
     # DuckDB twin IS this query's oracle — the streaming path gets the
@@ -151,7 +151,7 @@ from core_spark.plans.message import DUCK_MESSAGE_VIEW
     )
     + " ORDER BY off",
 )
-def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming read-committed view (keyed-state sequencer; see
     core_spark/streaming/read_committed.py for backend selection).
 
@@ -167,7 +167,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     msgs = message_view(events).select(
         "event_id", "user_id", "value", "off", "producer", "clock", "flags"
     )
-    work = tempfile.mkdtemp(prefix="q_stream_dedup_")
+    work = tempfile.mkdtemp(prefix="q_dedup_stream_")
     src = os.path.join(work, "src")
     os.makedirs(src)
     # Three offset-ordered chunks cut at approximate terciles — pure
@@ -184,7 +184,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             chunk = chunk.filter(F.col("off") < hi)
         chunk.coalesce(1).write.parquet(os.path.join(src, f"chunk-{i}.parquet"))
 
-    name = "q_stream_dedup_" + py_uuid.uuid4().hex[:8]
+    name = "q_dedup_stream_" + py_uuid.uuid4().hex[:8]
     stream = (
         spark.readStream.schema(MESSAGE_SCHEMA)
         .option("maxFilesPerTrigger", 1)

@@ -12,7 +12,7 @@ def test_seq_pack_conservation_and_fill(spark):
     """Packing must conserve tokens exactly: per-sequence fills sum to
     the corpus token count, every sequence except the last is full to
     CAP, and doc starts across sequences count every document once."""
-    out = REGISTRY["q_seq_pack"].fn(spark, SF_SMOKE).collect()
+    out = REGISTRY["q_doc_pack"].fn(spark, SF_SMOKE).collect()
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
     total = docs.select(
         F.sum(F.size(F.split("text", " "))).alias("n")
@@ -53,7 +53,7 @@ def test_overlap_matrix_estimates_track_exact_jaccard(spark, tmp_path):
 
     out = {
         (r.source_a, r.source_b): r.jaccard_micro
-        for r in REGISTRY["q_overlap_matrix"].fn(spark, d).collect()
+        for r in REGISTRY["q_corpus_overlap"].fn(spark, d).collect()
     }
     # true J(s0, s1) = 40 / 120 = 0.333; disjoint pairs = 0
     est = out[("s0", "s1")] / 1e6
@@ -64,7 +64,7 @@ def test_overlap_matrix_estimates_track_exact_jaccard(spark, tmp_path):
     # k_used respects the sketch bound
     ks = {
         (r.source_a, r.source_b): r.k_used
-        for r in REGISTRY["q_overlap_matrix"].fn(spark, d).collect()
+        for r in REGISTRY["q_corpus_overlap"].fn(spark, d).collect()
     }
     assert all(k <= _OVL_K for k in ks.values())
 
@@ -87,7 +87,7 @@ def test_span_scrub_flags_planted_duplicate_span(spark, tmp_path):
         rows, "doc_id long, text string, lang string, source string, n_chars long"
     ).write.parquet(os.path.join(d, "documents.parquet"))
 
-    out = {r.doc_id: r for r in REGISTRY["q_span_scrub"].fn(spark, d).collect()}
+    out = {r.doc_id: r for r in REGISTRY["q_doc_span_scrub"].fn(spark, d).collect()}
     assert 0 in out and 1 in out and 2 not in out
     for doc_id, text in ((0, rows[0][1]), (1, rows[1][1])):
         r = out[doc_id]
@@ -99,7 +99,7 @@ def test_span_scrub_flags_planted_duplicate_span(spark, tmp_path):
 def test_train_order_is_a_dense_permutation_per_epoch(spark):
     """Each epoch's positions are exactly 0..n-1 (dense, gap-free)
     and the two epochs are genuinely different permutations."""
-    out = REGISTRY["q_train_order"].fn(spark, SF_SMOKE).collect()
+    out = REGISTRY["q_curriculum_order"].fn(spark, SF_SMOKE).collect()
     by_epoch: dict = {}
     for r in out:
         by_epoch.setdefault(r.epoch, {})[r.doc_id] = r.pos

@@ -24,7 +24,7 @@ ALLOWED = {
     "q_h22": "TPC-H Q22 global avg balance: broadcast one-row aggregate",
     "q_knn_cosine": "brute-force baseline, labeled NOT the scale path "
                     "(verification tier for the ANN operators)",
-    "q_recall_ann": "recall audit: brute side runs over the 10-query "
+    "q_ann_recall": "recall audit: brute side runs over the 10-query "
                     "SAMPLE x corpus (the verification tier), the LSH "
                     "side is bucket-keyed",
     "q_ann_ivf": "centroid argmax: each vector x broadcast n_cells "
@@ -32,7 +32,7 @@ ALLOWED = {
     "q_embed_semdedup": "same centroid argmax as q_ann_ivf (shared "
                         "ivf_assign): vector x broadcast n_cells rows, "
                         "map-side",
-    "q_hard_negatives": "same centroid argmax as q_ann_ivf (shared "
+    "q_ann_hard_negatives": "same centroid argmax as q_ann_ivf (shared "
                         "ivf_assign); the candidate join itself is "
                         "cell-keyed",
     "q_doc_lm": "vocab size V is a broadcast ONE-ROW global",
@@ -40,23 +40,23 @@ ALLOWED = {
                  "(vector x broadcast n_cells rows, map-side)",
     "q_bpe_train": "each round's winning merge rides a ONE-ROW "
                    "broadcast into the next round's lambda",
-    "q_tokenize_bpe": "same ONE-ROW winner broadcast as q_bpe_train "
+    "q_bpe_encode": "same ONE-ROW winner broadcast as q_bpe_train "
                     "(shared _bpe_rounds loop)",
     "q_fusion_rank": "inherits q_bm25's (S, N) one-row global; the "
                      "query embedding is a ONE-ROW broadcast over the "
                      "corpus scan",
-    "q_kmeans": "Lloyd assignment: each vector x broadcast k centroid "
+    "q_cluster_kmeans": "Lloyd assignment: each vector x broadcast k centroid "
                 "rows IS the argmin work, map-side (k is a constant); "
                 "same shape as q_ann_ivf's ivf_assign",
-    "q_ivf_kmeans": "inherits q_kmeans' broadcast-k argmin for index "
+    "q_ann_ivf_kmeans": "inherits q_cluster_kmeans' broadcast-k argmin for index "
                     "build and query probes; the search join itself "
                     "is cell-keyed",
-    "q_temp_mix": "the weight denominator is a broadcast ONE-ROW "
+    "q_domain_temp_mix": "the weight denominator is a broadcast ONE-ROW "
                   "global over the rows-per-source weight table",
-    "q_overlap_matrix": "source<source pair join runs on ONE k-array "
+    "q_corpus_overlap": "source<source pair join runs on ONE k-array "
                         "sketch row per source — S² sketch pairs, "
                         "corpus-size-independent",
-    "q_train_order": "the epoch fan-out is a TWO-ROW broadcast "
+    "q_curriculum_order": "the epoch fan-out is a TWO-ROW broadcast "
                      "(constant epoch count) over the doc-id scan",
 }
 

@@ -23,24 +23,19 @@ _REPO = Path(__file__).resolve().parent.parent
 # coverage only — each must be called out in COVERAGE.md.
 # r4: q_sketch_cms was renamed q_cms_heavy INTO the window (the one
 # query that had zero driver rows); the set is empty again.
-# r5: new queries CANNOT enter the window this round — r4's driver
-# CORRECTNESS file never materialized, so every r4-new name in the
-# window is still waiting for its first row and must not be displaced.
-# These sort after the cutoff by construction and rotate into the r6
-# window once the r4 cohort holds rows (documented in COVERAGE.md).
-PYTEST_ONLY: set[str] = {
-    "q_tokenize_bpe",
-    "q_hard_negatives",
-    "q_ivf_kmeans",
-    "q_kmeans",
-    "q_recall_ann",
-    "q_scrub_decontam",
-    "q_seq_pack",
-    "q_span_scrub",
-    "q_temp_mix",
-    "q_train_order",
-    "q_overlap_matrix",
-}
+# r5: 11 new queries were deliberately named after the cutoff because
+# the r4 cohort was still waiting for its first driver row.
+# r6: CORRECTNESS_r05.json landed (50/50 green), so the r5 cohort plus
+# q_stream_dedup (whose only driver row predated its oracle) rotated
+# INTO the window via renames — q_kmeans→q_cluster_kmeans,
+# q_ivf_kmeans→q_ann_ivf_kmeans, q_hard_negatives→q_ann_hard_negatives,
+# q_recall_ann→q_ann_recall, q_tokenize_bpe→q_bpe_encode,
+# q_seq_pack→q_doc_pack, q_temp_mix→q_domain_temp_mix,
+# q_overlap_matrix→q_corpus_overlap, q_span_scrub→q_doc_span_scrub,
+# q_scrub_decontam→q_decontam_scrub, q_train_order→q_curriculum_order,
+# q_stream_dedup→q_dedup_stream. The 12 names they displaced all hold
+# green r5 rows. The set is empty again.
+PYTEST_ONLY: set[str] = set()
 
 
 def _historical_rows() -> set[str]:
