@@ -120,6 +120,38 @@ def _footer_info(path: str) -> tuple[int, dict[str, list]]:
     }
 
 
+def _content_hash(path: str) -> str:
+    """SHA-1 over the fragment's payload bytes — the content half of
+    the reference's ``begin-end-sha1sum`` fragment names
+    (broker/protocol/protocol.proto:383-411; broker/fragment/spool.go
+    computes the sum while spooling). Each data file is hashed, then
+    the SORTED (partition-dir, file-sha) pairs are hashed together, so
+    the name is independent of Spark's random part-file basenames:
+    the same rows written twice produce the same name. That makes a
+    retried upload idempotent (the CAS loser's file IS the winner's
+    file, not an orphan) and gives free integrity checking. Cost: one
+    sequential read of the just-written local batch — bounded by the
+    micro-batch, not the journal."""
+    import hashlib
+
+    entries: list[str] = []
+    for dirpath, _dirs, files in os.walk(path):
+        rel = os.path.relpath(dirpath, path)
+        for fn in files:
+            if fn.startswith(("_", ".")) or not fn.endswith(
+                (".parquet", ".orc")
+            ):
+                continue
+            h = hashlib.sha1()
+            with open(os.path.join(dirpath, fn), "rb") as fh:
+                for chunk in iter(lambda: fh.read(1 << 20), b""):
+                    h.update(chunk)
+            entries.append(
+                ("" if rel == "." else rel) + ":" + h.hexdigest()
+            )
+    return hashlib.sha1("\n".join(sorted(entries)).encode()).hexdigest()[:16]
+
+
 def _dir_has_postfix(p: str) -> bool:
     """Does this fragment directory carry a Hive path-postfix
     (key=value subdirectory) tree? Shared by read()'s multi-path
@@ -526,8 +558,9 @@ class Journal:
                 )
 
         begin = m.next_offset
-        frag_name = f"frag-{begin:020d}-{py_uuid.uuid4().hex[:8]}"
-        tmp = os.path.join(self.frag_dir, "_tmp-" + frag_name)
+        tmp = os.path.join(
+            self.frag_dir, "_tmp-" + py_uuid.uuid4().hex[:8]
+        )
         # Stamp durable per-row offsets: single partition => row order
         # is the append order (per-journal serialization contract).
         stamped = df.coalesce(1).withColumn(
@@ -551,8 +584,18 @@ class Journal:
             else {}
         )
 
+        # Content-addressed name, the reference's begin-end-sha1sum
+        # (protocol.proto:383-411): identical retried content maps to
+        # the identical name, so a re-upload after a lost CAS race or
+        # a crash is a no-op reuse, never an orphan.
+        frag_name = (
+            f"frag-{begin:020d}-{begin + n:020d}-{_content_hash(tmp)}"
+        )
         final = os.path.join(self.frag_dir, frag_name)
-        os.rename(tmp, final)
+        if os.path.isdir(final):
+            shutil.rmtree(tmp, ignore_errors=True)  # idempotent reuse
+        else:
+            os.rename(tmp, final)
 
         # Append-path flow control (token bucket over the fragment's
         # real bytes): a capped journal's writers sleep off their debt
@@ -570,6 +613,17 @@ class Journal:
             )
             bucket_for(self.root, rate).throttle(n_bytes)
 
+        rel_path = os.path.join("fragments", frag_name)
+
+        def _rollback() -> None:
+            # With content addressing the loser of a CAS race may
+            # share its NAME with the winner (identical bytes at the
+            # same offset) — in that case the file is the winner's
+            # committed data, and rollback must leave it alone.
+            cur = self.manifest()
+            if all(f.path != rel_path for f in cur.fragments):
+                shutil.rmtree(final, ignore_errors=True)
+
         if post_write_registers is not None:
             # the fragment write above is the action that resolves any
             # Observation riding the batch; merge its registers into
@@ -582,7 +636,7 @@ class Journal:
                     **post_write_registers(),
                 }
             except Exception:
-                shutil.rmtree(final, ignore_errors=True)  # rollback
+                _rollback()
                 raise
 
         frag = Fragment(
@@ -590,7 +644,7 @@ class Journal:
             begin=begin,
             end=begin + n,
             n_records=n,
-            path=os.path.join("fragments", frag_name),
+            path=rel_path,
             mod_time=time.time(),
             fmt=fmt,
             stats=stats,
@@ -605,7 +659,7 @@ class Journal:
         try:
             self._commit_manifest(new)
         except AppendConflict:
-            shutil.rmtree(final, ignore_errors=True)  # rollback
+            _rollback()
             raise
         return frag
 
@@ -816,8 +870,9 @@ class Journal:
         from functools import reduce
 
         for run in todo:
-            name = f"frag-{run[0].begin:020d}-cmp-{py_uuid.uuid4().hex[:8]}"
-            tmp = os.path.join(self.frag_dir, "_tmp-" + name)
+            tmp = os.path.join(
+                self.frag_dir, "_tmp-" + py_uuid.uuid4().hex[:8]
+            )
             df = reduce(
                 lambda a, b: a.unionByName(b),
                 (
@@ -829,8 +884,17 @@ class Journal:
             if cluster_by:
                 out = out.sortWithinPartitions(*cluster_by)
             out.write.mode("overwrite").parquet(tmp)
+            # content-addressed like append: a retried compaction of
+            # the same run produces the same name, never an orphan
+            name = (
+                f"frag-{run[0].begin:020d}-{run[-1].end:020d}"
+                f"-{_content_hash(tmp)}"
+            )
             final = os.path.join(self.frag_dir, name)
-            os.rename(tmp, final)
+            if os.path.isdir(final):
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                os.rename(tmp, final)
             new_dirs.append(final)
             replaced[run[0].seq] = Fragment(
                 seq=run[0].seq,
@@ -880,8 +944,11 @@ class Journal:
                 )
             )
         except AppendConflict:
+            cur = self.manifest()
+            live = {os.path.join(self.root, f.path) for f in cur.fragments}
             for d in new_dirs:
-                shutil.rmtree(d, ignore_errors=True)  # rollback
+                if d not in live:  # a same-content winner keeps it
+                    shutil.rmtree(d, ignore_errors=True)  # rollback
             raise
         if delete_source:
             for run in todo:

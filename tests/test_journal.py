@@ -395,7 +395,7 @@ def test_zone_map_survives_compaction(spark, journal):
         journal.append(_df(spark, lo, lo + 10))
     assert journal.compact(spark, target_records=40) >= 2
     m = journal.manifest()
-    merged = [f for f in m.fragments if "cmp" in f.path]
+    merged = [f for f in m.fragments if f.end - f.begin > 10]
     assert merged and merged[0].stats["v"] == [0, 39]
     # pruning still works through the merged fragment
     df = journal.read(spark, where=[("v", "<=", 5)])
@@ -659,3 +659,70 @@ def test_parse_where_quoting_forces_string(spark, tmp_path):
     )
     got = j.read(spark, where=parse_where(["code='0123'"])).collect()
     assert [r.v for r in got] == [1]
+
+
+def test_fragment_names_are_content_addressed(spark, journal):
+    """Fragments are named frag-begin-end-sha1[:16]
+    (protocol.proto:383-411): the suffix must be the SHA-1 of the
+    payload actually on disk — free integrity checking."""
+    import os
+    import re
+
+    from core_spark.sources.journal import _content_hash
+
+    frag = journal.append(_df(spark, 0, 10))
+    name = os.path.basename(frag.path)
+    m = re.fullmatch(r"frag-(\d{20})-(\d{20})-([0-9a-f]{16})", name)
+    assert m, name
+    assert int(m.group(1)) == frag.begin and int(m.group(2)) == frag.end
+    assert _content_hash(os.path.join(journal.root, frag.path)) == m.group(3)
+
+
+def test_content_addressing_is_deterministic_across_writes(spark, tmp_path):
+    """The same rows appended at the same offset hash to the same
+    fragment name regardless of Spark's random part-file basenames —
+    the property that makes retried uploads idempotent."""
+    import os
+
+    a = Journal(str(tmp_path / "a"), "t/j")
+    b = Journal(str(tmp_path / "b"), "t/j")
+    fa = a.append(_df(spark, 0, 25))
+    fb = b.append(_df(spark, 0, 25))
+    assert os.path.basename(fa.path) == os.path.basename(fb.path)
+
+
+def test_identical_content_cas_loser_keeps_winners_file(
+    spark, journal, monkeypatch
+):
+    """Two appenders race the same batch at the same offset: with
+    content addressing the loser's fragment IS the winner's fragment
+    (same name), so the loser's rollback must leave it on disk — the
+    idempotent-retry contract (broker/fragment/spool.go's sha1sum
+    names), not an orphan delete that corrupts the winner."""
+    import os
+
+    real = Journal._commit_manifest
+    fired = []
+
+    def race(self, new):
+        if not fired:
+            fired.append(1)
+            real(self, new)  # identical winner commits first…
+            raise AppendConflict("…then our CAS loses")
+        return real(self, new)
+
+    monkeypatch.setattr(Journal, "_commit_manifest", race)
+    with pytest.raises(AppendConflict):
+        journal.append(_df(spark, 0, 7))
+    monkeypatch.undo()
+
+    m = journal.manifest()
+    assert len(m.fragments) == 1
+    frag = m.fragments[0]
+    assert os.path.isdir(os.path.join(journal.root, frag.path))
+    got = sorted(r.v for r in journal.read(spark).collect())
+    assert got == list(range(7))
+    # and no temp or orphan dirs survive the race
+    assert sorted(os.listdir(journal.frag_dir)) == [
+        os.path.basename(frag.path)
+    ]
