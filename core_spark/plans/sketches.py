@@ -94,32 +94,59 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     prescribes. Division runs in DECIMAL(38) and is floored before
     the BIGINT cast (DuckDB rounds, Spark truncates)."""
     li = load_table(spark, sf_dir, "lineitem")
-    h = li.select(
+    pairs = li.select(
         "l_returnflag", F.expr(_SPARK_H60.format(x="l_partkey")).alias("h")
-    ).distinct()
-    # Two-stage salted bottom-k (the q_approx_quantile selection): a
-    # single per-group window would put each group's whole distinct
-    # set in ONE task — the 100 TB skew-killer. Stage 1 keeps the k
-    # smallest per (group, salt bucket); the group-wide k-th smallest
-    # is necessarily among them, so the stage-2 window scans at most
-    # k x 32 rows per group. The exact count comes from a partial-
-    # aggregated groupBy, not a window.
-    w1 = Window.partitionBy("l_returnflag", F.pmod("h", F.lit(32))).orderBy(
-        "h"
     )
-    stage1 = (
-        h.withColumn("rn1", F.row_number().over(w1))
-        .filter(F.col("rn1") <= _KMV_K)
-        .drop("rn1")
-    )
+    # Map-side partial bottom-k (r5 probe follow-up: the previous
+    # two-stage salted window still shuffled AND sorted every distinct
+    # hash — SCALE_r05 exponent 0.77, the fleet max). The group-wide
+    # k-th smallest distinct hash is necessarily inside the union of
+    # each input partition's k smallest distinct hashes, so an Arrow
+    # kernel reduces every partition to <= groups x k candidate rows
+    # BEFORE any exchange: the k-th selection now shuffles O(P·G·k)
+    # rows, not the corpus's distinct set. Rows-vs-flops (DESIGN
+    # §5.1): the np.unique over each batch is in-kernel flops; the
+    # candidate rows are the only shuffle cost left on this path.
+    def _bottomk(batches):
+        import numpy as np
+        import pandas as pd
+
+        best: dict[str, "np.ndarray"] = {}
+        for pdf in batches:
+            for g, sub in pdf.groupby("l_returnflag", sort=False):
+                cand = sub["h"].to_numpy(np.int64)
+                prev = best.get(g)
+                merged = np.unique(
+                    cand if prev is None else np.concatenate([prev, cand])
+                )
+                best[g] = merged[:_KMV_K]  # np.unique sorts ascending
+        if best:
+            yield pd.DataFrame(
+                {
+                    "l_returnflag": np.repeat(
+                        list(best), [len(v) for v in best.values()]
+                    ),
+                    "h": np.concatenate(list(best.values())),
+                }
+            )
+
+    cand = pairs.mapInPandas(_bottomk, "l_returnflag string, h long")
+    # distinct first: partitions overlap in values, and row_number
+    # must rank DISTINCT hashes; the input is tiny (<= P x G x k).
     w2 = Window.partitionBy("l_returnflag").orderBy("h")
     kth = (
-        stage1.withColumn("rn", F.row_number().over(w2))
+        cand.distinct()
+        .withColumn("rn", F.row_number().over(w2))
         .filter(F.col("rn") == _KMV_K)
         .select("l_returnflag", F.col("h").alias("kth_hash"))
     )
-    ex = h.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("exact_distinct")
+    # Exact distinct count: a two-phase distinct aggregate — map-side
+    # partial dedup per partition, then one exchange of the surviving
+    # (group, hash) pairs. This is the inherently linear half of the
+    # query (the contract reports the exact count next to the
+    # estimate) and sets the query's scaling floor.
+    ex = pairs.groupBy("l_returnflag").agg(
+        F.countDistinct("h").alias("exact_distinct")
     )
     est = F.floor(
         (_KMV_K - 1)
