@@ -16,6 +16,12 @@ Endpoints:
                                      X-Journal-Next-Offset carries the
                                      read-through offset (the
                                      Content-Range analog)
+  GET /jnl/<name>?begin=&block=true&deadline=S
+                                     blocking tail read: long-polls
+                                     until data past `begin` commits;
+                                     206 + empty body + resume offset
+                                     on deadline (ReadRequest.block,
+                                     protocol.proto:420-439)
   GET /journals                      manifest summary of every journal
                                      under the root
 
@@ -161,6 +167,12 @@ class JournalGateway:
                     begin = int(qs["begin"][0]) if "begin" in qs else None
                     end = int(qs["end"][0]) if "end" in qs else None
                     at = int(qs["at"][0]) if "at" in qs else None
+                    block = qs.get("block", ["false"])[0].lower() in (
+                        "true", "1",
+                    )
+                    deadline = (
+                        float(qs["deadline"][0]) if "deadline" in qs else None
+                    )
                     # repeatable ?where=col<op>value — the CLI's
                     # predicate syntax over HTTP, riding the same
                     # manifest pruning (zone maps + blooms)
@@ -168,6 +180,29 @@ class JournalGateway:
                 except ValueError as e:
                     self._error(400, str(e))
                     return
+                if block and at is not None:
+                    self._error(400, "?block with ?at is contradictory: a "
+                                     "pinned snapshot never grows")
+                    return
+                if block:
+                    # Blocking tail read (protocol.proto:420-439
+                    # ReadRequest.block; served broker/read_api.go:
+                    # 17-204): long-poll the manifest until data past
+                    # `begin` commits or the deadline lapses. On
+                    # timeout: 206, empty body, resume offset = begin
+                    # — the OFFSET_NOT_YET_AVAILABLE analog, and the
+                    # client simply re-issues the same GET.
+                    want = begin if begin is not None else 0
+                    if not gw.wait_for_offset(name, want, deadline):
+                        self._send(
+                            206, b"", ctype="application/x-ndjson",
+                            headers={
+                                "X-Journal-Next-Offset": str(want),
+                                "X-Journal-Truncated": "true",
+                                "X-Journal-Block-Timeout": "true",
+                            },
+                        )
+                        return
                 try:
                     body, next_off, truncated = gw.read_ndjson(
                         name, begin, end, where=where, at_version=at
@@ -290,6 +325,40 @@ class JournalGateway:
             next_off = end if end is not None else (begin or 0)
         body = "\n".join(r["__js"] for r in page)
         return (body + "\n" if body else "").encode("utf-8"), next_off, truncated
+
+    # Long-poll bounds: a missing ?deadline= gets DEFAULT, anything
+    # larger is clamped to MAX — a blocked GET must never pin one of
+    # the server's threads indefinitely (the reference bounds blocked
+    # reads with the request context's deadline the same way).
+    DEFAULT_BLOCK_DEADLINE = 10.0
+    MAX_BLOCK_DEADLINE = 60.0
+    _BLOCK_POLL_S = 0.05
+
+    def wait_for_offset(
+        self, name: str, offset: int, deadline: float | None
+    ) -> bool:
+        """Block until the journal's next_offset exceeds `offset` or
+        the deadline lapses; True iff data is available. Polls the
+        manifest store rather than an in-process condition variable
+        because appenders are not necessarily in this process (CLI,
+        another gateway, a Spark sink) — the manifest IS the
+        cross-process commit signal, and one small-JSON read per poll
+        tick is the cost. In-process appends still wake within one
+        tick, which the reference's fragment-index signal bounds only
+        a little tighter (read_api.go blocks on index updates)."""
+        import time as _t
+
+        if deadline is None:
+            deadline = self.DEFAULT_BLOCK_DEADLINE
+        deadline = max(0.0, min(deadline, self.MAX_BLOCK_DEADLINE))
+        j = Journal(self.root, name)
+        t_end = _t.monotonic() + deadline
+        while True:
+            if j.manifest().next_offset > offset:
+                return True
+            if _t.monotonic() >= t_end:
+                return False
+            _t.sleep(min(self._BLOCK_POLL_S, max(0.0, t_end - _t.monotonic())))
 
     def store_health(self) -> dict:
         """Active store probe: exclusive-create a sentinel under the

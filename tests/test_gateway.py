@@ -167,3 +167,66 @@ def test_time_travel_reads_over_http(gw):
     assert [json.loads(ln)["k"] for ln in body.splitlines()] == [1]
     body, _h, _s = _get(base, "/jnl/api/tt")
     assert [json.loads(ln)["k"] for ln in body.splitlines()] == [1, 2]
+
+
+def test_blocking_tail_read_woken_by_concurrent_append(gw, spark):
+    """?block=true long-polls until data past `begin` commits
+    (ReadRequest.block, broker/read_api.go:17-204): a concurrent
+    append must wake the blocked GET well inside the deadline and the
+    response must carry exactly the new rows."""
+    import threading
+    import time
+
+    g, base = gw
+    _put(base, "api/tail", json.dumps({"k": 0}))
+
+    result = {}
+
+    def blocked_get():
+        t0 = time.monotonic()
+        body, headers, status = _get(
+            base, "/jnl/api/tail?begin=1&block=true&deadline=30"
+        )
+        result.update(
+            body=body, headers=headers, status=status,
+            waited=time.monotonic() - t0,
+        )
+
+    t = threading.Thread(target=blocked_get)
+    t.start()
+    time.sleep(0.4)  # let the GET actually block
+    assert not result, "GET returned before any data existed"
+    _put(base, "api/tail", json.dumps({"k": 1}))
+    t.join(timeout=20)
+    assert result, "blocked GET never woke"
+    assert result["status"] == 200
+    rows = [json.loads(ln) for ln in result["body"].splitlines()]
+    assert [r["k"] for r in rows] == [1]
+    assert result["waited"] < 20  # woke on the append, not the deadline
+
+
+def test_blocking_tail_read_deadline_is_206_with_resume_offset(gw):
+    """Deadline lapse = 206, empty body, resume offset unchanged —
+    the OFFSET_NOT_YET_AVAILABLE analog; the client re-issues the
+    same GET."""
+    import time
+
+    _, base = gw
+    _put(base, "api/tail2", json.dumps({"k": 0}))
+    t0 = time.monotonic()
+    body, headers, status = _get(
+        base, "/jnl/api/tail2?begin=1&block=true&deadline=0.3"
+    )
+    assert status == 206
+    assert body == ""
+    assert headers["X-Journal-Next-Offset"] == "1"
+    assert headers["X-Journal-Block-Timeout"] == "true"
+    assert 0.2 <= time.monotonic() - t0 < 5
+
+
+def test_blocking_read_with_snapshot_pin_is_400(gw):
+    _, base = gw
+    _put(base, "api/tail3", json.dumps({"k": 0}))
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(base, "/jnl/api/tail3?begin=1&block=true&at=0")
+    assert ei.value.code == 400
