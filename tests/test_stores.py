@@ -11,12 +11,26 @@ from core_spark.sources.journal import AppendConflict, Journal, Manifest
 from core_spark.sources.stores import FSManifestStore, MemoryCASStore
 
 
-@pytest.fixture(params=["fs", "mem"])
+@pytest.fixture(params=["fs", "mem", "http"])
 def make_store(request, tmp_path):
     if request.param == "fs":
-        return lambda: FSManifestStore(str(tmp_path / "m"))
-    shared = MemoryCASStore()
-    return lambda: shared
+        yield lambda: FSManifestStore(str(tmp_path / "m"))
+        return
+    if request.param == "mem":
+        shared = MemoryCASStore()
+        yield lambda: shared
+        return
+    # http: the CAS evaluated by an actual conditional-PUT protocol
+    # exchange (If-None-Match: * -> 2xx/412), over a real socket
+    from core_spark.sources.http_store import (
+        HTTPManifestStore,
+        ObjectStoreServer,
+    )
+
+    srv = ObjectStoreServer()
+    host, port = srv.start()
+    yield lambda: HTTPManifestStore(f"http://{host}:{port}", "bucket/m")
+    srv.stop()
 
 
 def test_put_if_absent_admits_exactly_one(make_store):
@@ -82,3 +96,79 @@ def test_fence_acquisition_unique_under_threads(tmp_path, make_store):
 
     assert sorted(fences) == list(range(1, 9))  # unique, dense, increasing
     assert int(j.manifest().registers["fence:s0"]) == 8
+
+
+# ------------------------------------------------------- http protocol
+@pytest.fixture()
+def bucket():
+    from core_spark.sources.http_store import ObjectStoreServer
+
+    srv = ObjectStoreServer()
+    host, port = srv.start()
+    yield f"http://{host}:{port}"
+    srv.stop()
+
+
+def _put(url, data: bytes, headers=None):
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(
+        url, data=data, method="PUT", headers=headers or {}
+    )
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, dict(resp.headers)
+    except urllib.error.HTTPError as e:
+        return e.code, dict(e.headers)
+
+
+def test_http_if_none_match_create_only(bucket):
+    """`PUT If-None-Match: *` admits exactly one creator — the wire
+    form of the manifest CAS (S3 conditional write / GCS
+    x-goog-if-generation-match: 0)."""
+    code1, _ = _put(f"{bucket}/k", b"first", {"If-None-Match": "*"})
+    code2, _ = _put(f"{bucket}/k", b"second", {"If-None-Match": "*"})
+    assert (code1, code2) == (200, 412)
+    import urllib.request
+
+    with urllib.request.urlopen(f"{bucket}/k") as resp:
+        assert resp.read() == b"first"
+
+
+def test_http_if_match_replace_guard(bucket):
+    """`If-Match: <etag>` replaces only the version the writer read —
+    stale writers get 412, absent keys 404."""
+    _, h = _put(f"{bucket}/k", b"v1")
+    etag = h["ETag"]
+    code, h2 = _put(f"{bucket}/k", b"v2", {"If-Match": etag})
+    assert code == 200
+    # the first ETag is now stale
+    code, _ = _put(f"{bucket}/k", b"v3", {"If-Match": etag})
+    assert code == 412
+    code, _ = _put(f"{bucket}/missing", b"x", {"If-Match": etag})
+    assert code == 404
+
+
+def test_http_conditional_put_race_admits_one(bucket):
+    """16 threads race `If-None-Match: *` on one key over the wire:
+    exactly one 2xx."""
+    import threading
+
+    codes = []
+    lock = threading.Lock()
+
+    def racer(i):
+        code, _ = _put(
+            f"{bucket}/race", f"writer-{i}".encode(), {"If-None-Match": "*"}
+        )
+        with lock:
+            codes.append(code)
+
+    ts = [threading.Thread(target=racer, args=(i,)) for i in range(16)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert sorted(codes).count(200) == 1
+    assert sorted(codes).count(412) == 15
