@@ -101,3 +101,156 @@ def test_ack_resent_after_crash_between_commit_and_ack(spark, tmp_path):
     sink(batch, 0)  # re-delivery: data must not duplicate, ACK must re-send
     assert Journal(root, "out/r").read(spark).count() == 10
     assert ack.exists()
+
+
+# ---------------------------------------------------------------------
+# Recovery-time bound: the reference's chunker escalates through a
+# deadline sequence while waiting for each expected sum and calls
+# log.Fatal at the final one (examples/stream-sum/stream_sum.go:
+# 393-418 — lease detection + client backoff + headroom = fatal at
+# 40s). The analog below force-kills a live shard mid-stream
+# (SIGKILL, no cleanup), restarts it against the same checkpoint, and
+# requires the full expected result to ARRIVE within an escalating
+# deadline scaled to this harness (subprocess JVM startup ~10-15s +
+# checkpoint restore + trigger interval) — a failing-on-stall
+# liveness assertion, not just eventual equality.
+
+CHAOS_SHARD_SCRIPT = r"""
+import sys
+sys.path.insert(0, {repo!r})
+import os
+from pyspark.sql import SparkSession, functions as F
+from core_spark.streaming.shard import ShardConfig, run_shard
+
+work = {work!r}
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+def agg(df):
+    return df.groupBy("key").agg(
+        F.count("*").alias("cnt"), F.sum("v").alias("s"))
+
+cfg = ShardConfig(
+    source_glob=os.path.join(work, "src", "*"),
+    source_schema="key long, v long",
+    out_root=os.path.join(work, "out"), out_journal="sum/results",
+    shard_id="s0", checkpoint_dir=os.path.join(work, "ckpt"),
+    trigger_seconds=0.5, max_files_per_trigger=2,
+)
+q = run_shard(spark, cfg, agg)
+print("SHARD-RUNNING", flush=True)
+q.awaitTermination()
+"""
+
+# deadline escalation, seconds from recovery launch; final = fatal
+RECOVERY_DEADLINES = [10, 15, 20, 30, 45, 60, 90, 120]
+
+
+def _await_within_deadlines(check, seq, what):
+    """Poll `check` under the reference's escalating-deadline shape:
+    warn as each deadline lapses, fail the test hard at the final one.
+    Returns the arrival delay in seconds."""
+    import time
+
+    start = time.monotonic()
+    missed = []
+    for d in seq:
+        while time.monotonic() - start < d:
+            if check():
+                return time.monotonic() - start
+            time.sleep(0.5)
+        missed.append(d)
+        print(f"WARN: {what} delayed past {d}s", flush=True)
+    raise AssertionError(
+        f"{what} did not arrive within {seq[-1]}s "
+        f"(deadlines missed: {missed}) — recovery stalled"
+    )
+
+
+def test_recovery_bound_after_mid_stream_kill(spark, tmp_path):
+    import os
+    import signal
+    import time
+
+    from pyspark.sql import functions as F
+
+    work = tmp_path / "w"
+    src = work / "src"
+    os.makedirs(src)
+
+    def write_chunk(i):
+        spark.range(i * 100, (i + 1) * 100).select(
+            (F.col("id") % 7).alias("key"), F.col("id").alias("v")
+        ).coalesce(1).write.parquet(str(src / f"c{i}.parquet"))
+
+    for i in range(5):
+        write_chunk(i)
+
+    script = CHAOS_SHARD_SCRIPT.format(repo=str(REPO), work=str(work))
+    env = {**os.environ, "PYTHONUNBUFFERED": "1"}
+
+    proc_a = subprocess.Popen(
+        [sys.executable, "-c", script], stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL, text=True, env=env,
+    )
+    try:
+        # wait for the first committed fragment, then kill WITHOUT
+        # any cleanup — the pod-crash, not a graceful stop
+        j = Journal(str(work / "out"), "sum/results")
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline:
+            if len(j.manifest().fragments) >= 1:
+                break
+            time.sleep(0.25)
+        else:
+            raise AssertionError("shard never committed a first batch")
+        proc_a.send_signal(signal.SIGKILL)
+        proc_a.wait(timeout=30)
+    finally:
+        if proc_a.poll() is None:
+            proc_a.kill()
+
+    # new data lands while the shard is dead
+    for i in range(5, 10):
+        write_chunk(i)
+
+    expect = {}
+    for i in range(1000):
+        k = i % 7
+        c, s = expect.get(k, (0, 0))
+        expect[k] = (c + 1, s + i)
+
+    def caught_up():
+        try:
+            rows = (
+                j.read(spark)
+                .groupBy("key")
+                .agg(F.sum("cnt").alias("c"), F.sum("s").alias("s"))
+                .collect()
+            )
+        except Exception:
+            return False
+        return {r.key: (r.c, r.s) for r in rows} == expect
+
+    proc_b = subprocess.Popen(
+        [sys.executable, "-c", script], stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL, env=env,
+    )
+    try:
+        delay = _await_within_deadlines(
+            caught_up, RECOVERY_DEADLINES, "post-kill expected sum"
+        )
+        print(f"recovered in {delay:.1f}s", flush=True)
+    finally:
+        proc_b.terminate()
+        try:
+            proc_b.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            proc_b.kill()
+
+    # and exactly-once held across the kill: equality was the arrival
+    # condition, so any duplicated redelivery would have parked the
+    # sums PAST the expectation and tripped the deadline instead
+    assert caught_up()
