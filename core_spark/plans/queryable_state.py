@@ -92,3 +92,98 @@ def q_bike_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _cms_serve_oracle() -> str:
+    from core_spark.plans.sketches import _cms_oracle
+
+    return _cms_oracle()
+
+
+@query("q_cms_serve", oracle=_cms_serve_oracle())
+def q_cms_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sketch maintenance served from its journal
+    materialization, end-to-end under the driver's hash check: the
+    event stream is tailed by a REAL shard run (run_shard →
+    FencedJournalSink), each micro-batch appends its partial Count-Min
+    deltas as a fragment, and the heavy-hitter answer is served by
+    summing the JOURNAL's counters — never by re-sketching the source.
+    Because the counters are integers under a portable seeded-md5
+    family, streaming maintenance ≡ batch exactly, so the DuckDB
+    oracle (the same SQL as q_cms_heavy, straight off the parquet)
+    hash-checks the whole materialize→serve path: a lost batch, a
+    duplicated delta, or a fence violation all change the counters and
+    fail the match. Reference: the materialized word-count pattern
+    (examples/word-count/word_count.go:109-153) + the consumer
+    transaction loop (consumer/transaction.go:22-113).
+
+    100 TB shape: deltas are d×w = 1024 rows per micro-batch no matter
+    the batch size (the mergeable fixed-memory summary); the serve
+    side reads only the delta journal, so query cost scales with
+    batches, and compaction (Journal.compact) folds history."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from pyspark.sql import functions as _F
+
+    from core_spark.plans.sketches import _cms_pairs
+    from core_spark.sources.journal import Journal
+    from core_spark.streaming.shard import ShardConfig, run_shard
+
+    work = _tf.mkdtemp(prefix="cms_serve_")
+    try:
+        src = os.path.join(work, "src")
+        load_table(spark, sf_dir, "events").select("user_id").repartition(
+            4
+        ).write.parquet(src)
+
+        cfg = ShardConfig(
+            source_glob=os.path.join(src, "*.parquet"),
+            source_schema="user_id bigint",
+            out_root=os.path.join(work, "out"),
+            out_journal="cms/deltas",
+            shard_id="cms-serve-0",
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            max_files_per_trigger=2,  # >1 fragment => merge is exercised
+        )
+
+        def cms_deltas(df):
+            return (
+                df.select(_F.col("user_id").cast("string").alias("key"))
+                .select(_F.explode(_cms_pairs(_F.col("key"))).alias("p"))
+                .groupBy("p.r", "p.c")
+                .agg(_F.count("*").cast("bigint").alias("cnt"))
+            )
+
+        run_shard(spark, cfg, cms_deltas).awaitTermination(300)
+
+        # serve FROM the journal: counters = sum of committed deltas
+        j = Journal(os.path.join(work, "out"), "cms/deltas")
+        counters = (
+            j.read(spark)
+            .groupBy("r", "c")
+            .agg(_F.sum("cnt").cast("bigint").alias("cnt"))
+        )
+
+        keyed = load_table(spark, sf_dir, "events").select(
+            _F.col("user_id").cast("string").alias("key")
+        )
+        keys = keyed.groupBy("key").agg(
+            _F.count("*").cast("bigint").alias("exact_cnt")
+        )
+        kp = keys.select(
+            "key", "exact_cnt", _F.explode(_cms_pairs(_F.col("key"))).alias("p")
+        ).select("key", "exact_cnt", "p.r", "p.c")
+        out = (
+            kp.join(_F.broadcast(counters), ["r", "c"])
+            .groupBy("key", "exact_cnt")
+            .agg(_F.min("cnt").alias("est_cnt"))
+            .orderBy(_F.desc("est_cnt"), "key")
+            .limit(20)
+        )
+        # the journal read is lazy: materialize before the temp dir
+        # holding the fragments disappears
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        _sh.rmtree(work, ignore_errors=True)
