@@ -30,8 +30,10 @@ Two modes:
   frame sampler, RIFF/WAV framing via the stdlib `wave` module,
   and FLAC decode/encode (multimodal/flac.py: fixed + LPC
   prediction, Rice residuals incl. escapes, stereo decorrelation,
-  CRC-verified). The remaining codecs (progressive/multi-scan
-  JPEG, WEBP/TIFF, MP3/AAC, MP4/WEBM…) raise NotImplementedError
+  CRC-verified). JPEG covers baseline (interleaved and
+  non-interleaved multi-scan) AND progressive (T.81 Annex G). The
+  remaining codecs (WEBP/TIFF, MP3/AAC, MP4/WEBM…) raise
+  NotImplementedError
   naming the library a cluster image would add (PIL / libsndfile /
   pyav); the Spark-side contract is identical either way.
 
@@ -210,8 +212,7 @@ def resize_images(
             w, h, _nc = jpeg_meta(raw)
             if max(w, h) <= max_side:
                 return raw
-            data = jpeg_decode(raw)  # raises NotImplementedError on
-            #                          progressive, naming PIL
+            data = jpeg_decode(raw)  # baseline or progressive
             scale = max(w, h) / max_side
             nw, nh = max(1, round(w / scale)), max(1, round(h / scale))
             ys = np.minimum((np.arange(nh) * (h / nh)).astype(int), h - 1)

@@ -2,19 +2,28 @@
 mode — extends the PNG work (VERDICT r3 ask #8) to the other
 ubiquitous image format, in a container without PIL.
 
-Scope: baseline sequential DCT (SOF0), 8-bit samples, Huffman
-entropy coding, grayscale or 3-component YCbCr with any JFIF
-sampling factors (4:4:4, 4:2:0, 4:2:2 all exercised in tests),
-restart intervals (DRI/RSTn). Progressive (SOF2), arithmetic coding,
-12-bit precision and CMYK raise NotImplementedError naming PIL —
-the loud-stub policy every other codec follows. `jpeg_meta` parses
-dimensions from ANY SOFn frame (including progressive) without
-entropy-decoding.
+Scope: baseline sequential DCT (SOF0, interleaved or one-SOS-per-
+component non-interleaved) AND progressive DCT (SOF2: spectral
+selection, successive approximation, DC/AC first + refinement
+scans, EOB runs — ITU T.81 Annex G), 8-bit samples, Huffman entropy
+coding, grayscale or 3-component YCbCr with any JFIF sampling
+factors (4:4:4, 4:2:0, 4:2:2 all exercised in tests), restart
+intervals (DRI/RSTn). Arithmetic coding, lossless/hierarchical
+modes, 12-bit precision and CMYK raise NotImplementedError naming
+PIL — the loud-stub policy every other codec follows. `jpeg_meta`
+parses dimensions from ANY SOFn frame without entropy-decoding.
 
-The encoder (Annex-K quantization at quality 50 scaled, Annex-K
-Huffman tables, optional 2x2 chroma subsampling) exists so the
-decode path is testable end-to-end without fixtures from a real
-image library, and so decode→resize→re-encode round-trips inside
+Both modes decode through one coefficient-accumulation path: every
+scan deposits bits into per-component coefficient grids;
+dequantization + a vectorized IDCT run once at the end.
+
+The encoders (baseline: Annex-K quantization at quality 50 scaled,
+Annex-K Huffman tables, optional 2x2 chroma subsampling;
+progressive: the same quantized coefficients re-emitted as an
+8-scan script) exist so the decode paths are testable end-to-end
+without fixtures from a real image library — progressive decode is
+pinned pixel-exact against baseline decode of identical
+coefficients — and so decode→resize→re-encode round-trips inside
 the resize kernel.
 
 Numerics: the DCT runs as an orthonormal matrix sandwich
@@ -115,8 +124,9 @@ def _dct_matrix() -> np.ndarray:
 _C = _dct_matrix()
 
 _SOF_BASELINE = {0xC0, 0xC1}
+# 0xC2 (progressive) is SUPPORTED — decoded via the Annex-G
+# coefficient-accumulation path in jpeg_decode/_decode_scan.
 _SOF_UNSUPPORTED = {
-    0xC2: "progressive JPEG (SOF2) — needs PIL/libjpeg",
     0xC3: "lossless JPEG (SOF3) — needs PIL/libjpeg",
     0xC5: "differential sequential JPEG — needs PIL/libjpeg",
     0xC6: "differential progressive JPEG — needs PIL/libjpeg",
@@ -125,7 +135,9 @@ _SOF_UNSUPPORTED = {
     0xCA: "arithmetic progressive JPEG — needs PIL/libjpeg",
     0xCB: "arithmetic lossless JPEG — needs PIL/libjpeg",
 }
-_ALL_SOF = _SOF_BASELINE | set(_SOF_UNSUPPORTED) | {0xCD, 0xCE, 0xCF}
+_ALL_SOF = (
+    _SOF_BASELINE | {0xC2} | set(_SOF_UNSUPPORTED) | {0xCD, 0xCE, 0xCF}
+)
 
 
 def _segments(raw: bytes):
@@ -264,18 +276,49 @@ def _extend(v: int, t: int) -> int:
 
 
 def jpeg_decode(raw: bytes) -> np.ndarray:
-    """Decode a baseline JPEG to uint8 (h, w) grayscale or (h, w, 3)
-    RGB array."""
+    """Decode a baseline OR progressive JPEG to uint8 (h, w)
+    grayscale or (h, w, 3) RGB.
+
+    Both modes flow through one coefficient-accumulation path
+    (ITU T.81 Annex G): every scan — a full baseline scan, a
+    non-interleaved baseline scan (one SOS per component), a
+    progressive DC/AC first scan, or a successive-approximation
+    refinement — deposits bits into per-component coefficient grids;
+    dequantization and the IDCT run once at the end, vectorized over
+    all blocks of each plane."""
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     frame = None
-    scan = None
+    progressive = False
     restart = 0
-    scan_pos = None
-    for m, data, off in _segments(raw):
+    coeffs: list[np.ndarray] | None = None
+    scans_done = 0
+
+    if raw[:2] != SOI:
+        raise ValueError("malformed JPEG: missing SOI")
+    i = 2
+    while True:
+        if i + 2 > len(raw):
+            raise ValueError("malformed JPEG: ran out of data before EOI")
+        if raw[i] != 0xFF:
+            raise ValueError(f"malformed JPEG: expected marker at {i}")
+        m = raw[i + 1]
+        if m == 0xD9:  # EOI
+            break
+        if m == 0x01 or 0xD0 <= m <= 0xD7:  # standalone
+            i += 2
+            continue
+        if i + 4 > len(raw):
+            raise ValueError("malformed JPEG: ran out of data before EOI")
+        (ln,) = struct.unpack(">H", raw[i + 2 : i + 4])
+        if i + 2 + ln > len(raw):
+            raise ValueError(f"malformed JPEG: segment 0x{m:02X} truncated")
+        data = raw[i + 4 : i + 2 + ln]
+        seg_end = i + 2 + ln
         if m in _SOF_UNSUPPORTED:
             raise NotImplementedError(_SOF_UNSUPPORTED[m])
-        if m in _SOF_BASELINE:
+        if m in _SOF_BASELINE or m == 0xC2:
+            progressive = m == 0xC2
             prec, h, w, nc = struct.unpack(">BHHB", data[:6])
             if prec != 8:
                 raise NotImplementedError(
@@ -293,99 +336,91 @@ def jpeg_decode(raw: bytes) -> np.ndarray:
                 )
             frame = {"w": w, "h": h, "comps": comps}
         elif m == 0xDB:  # DQT
-            i = 0
-            while i < len(data):
-                pq, tq = data[i] >> 4, data[i] & 15
-                i += 1
+            j = 0
+            while j < len(data):
+                pq, tq = data[j] >> 4, data[j] & 15
+                j += 1
                 if pq:
                     vals = np.frombuffer(
-                        data[i : i + 128], dtype=">u2"
+                        data[j : j + 128], dtype=">u2"
                     ).astype(np.int32)
-                    i += 128
+                    j += 128
                 else:
                     vals = np.frombuffer(
-                        data[i : i + 64], dtype=np.uint8
+                        data[j : j + 64], dtype=np.uint8
                     ).astype(np.int32)
-                    i += 64
+                    j += 64
                 z = np.zeros(64, dtype=np.int32)
                 z[_ZZ] = vals
                 qt[tq] = z.reshape(8, 8)
         elif m == 0xC4:  # DHT
-            i = 0
-            while i < len(data):
-                tc, th = data[i] >> 4, data[i] & 15
-                bits = list(data[i + 1 : i + 17])
+            j = 0
+            while j < len(data):
+                tc, th = data[j] >> 4, data[j] & 15
+                bits = list(data[j + 1 : j + 17])
                 n = sum(bits)
-                vals = list(data[i + 17 : i + 17 + n])
+                vals = list(data[j + 17 : j + 17 + n])
                 huff[(tc, th)] = _build_huffman(bits, vals)
-                i += 17 + n
+                j += 17 + n
         elif m == 0xDD:  # DRI
             (restart,) = struct.unpack(">H", data[:2])
         elif m == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("malformed JPEG: SOS before SOF")
             ns = data[0]
             scan = []
             for c in range(ns):
                 cs, tdta = data[1 + 2 * c], data[2 + 2 * c]
                 scan.append({"cs": cs, "td": tdta >> 4, "ta": tdta & 15})
-            scan_pos = off + len(data)
-    if frame is None or scan is None:
+            # Ss/Se/AhAl trail every SOS; baseline fixes them 0/63/0
+            ss_, se_, ahal = data[1 + 2 * ns], data[2 + 2 * ns], data[
+                3 + 2 * ns
+            ]
+            ah, al = ahal >> 4, ahal & 15
+            if not progressive:
+                ss_, se_, ah, al = 0, 63, 0, 0
+            if coeffs is None:
+                comps = frame["comps"]
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+                mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+                coeffs = [
+                    np.zeros(
+                        (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64
+                    )
+                    for c in comps
+                ]
+            i = _decode_scan(
+                raw, seg_end, frame, scan, huff, restart, coeffs,
+                ss_, se_, ah, al, progressive,
+            )
+            scans_done += 1
+            continue
+        i = seg_end
+
+    if frame is None or scans_done == 0:
         raise ValueError("malformed JPEG: missing SOF or SOS")
-    if len(scan) != len(frame["comps"]):
-        # a baseline file may legally carry one SOS per component
-        # (non-interleaved scans); decoding only the first would
-        # return silently corrupt pixels, so refuse loudly instead
-        raise NotImplementedError(
-            "multi-scan (non-interleaved) baseline JPEG — needs "
-            "PIL/libjpeg"
-        )
 
     comps = frame["comps"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
-    planes = [
-        np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
-        for c in comps
-    ]
-    by_id = {c["id"]: i for i, c in enumerate(comps)}
-    order = [by_id[s["cs"]] for s in scan]
-
-    r = _BitReader(raw, scan_pos)
-    pred = [0] * len(comps)
-    mcu_i = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart and mcu_i and mcu_i % restart == 0:
-                r.align_restart()
-                pred = [0] * len(comps)
-            mcu_i += 1
-            for si, ci in enumerate(order):
-                comp = comps[ci]
-                q = qt[comp["tq"]]
-                dc_t = huff[(0, scan[si]["td"])]
-                ac_t = huff[(1, scan[si]["ta"])]
-                for v in range(comp["v"]):
-                    for hh in range(comp["h"]):
-                        try:
-                            blk = _decode_block(r, dc_t, ac_t)
-                        except _RestartMarker:
-                            raise ValueError(
-                                "malformed JPEG: restart inside block"
-                            ) from None
-                        pred[ci] += blk[0]
-                        blk[0] = pred[ci]
-                        z = np.zeros(64, dtype=np.float64)
-                        z[_ZZ] = blk
-                        block = z.reshape(8, 8) * q
-                        pix = _C.T @ block @ _C + 128.0
-                        y0 = (my * comp["v"] + v) * 8
-                        x0 = (mx * comp["h"] + hh) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix
-
     out = []
-    for i, comp in enumerate(comps):
-        p = planes[i]
+    for ci, comp in enumerate(comps):
+        q = qt.get(comp["tq"])
+        if q is None:
+            raise ValueError(
+                f"malformed JPEG: missing quantization table {comp['tq']}"
+            )
+        by, bx = coeffs[ci].shape[:2]
+        zz = coeffs[ci].reshape(-1, 64).astype(np.float64)
+        nat = np.zeros_like(zz)
+        nat[:, _ZZ] = zz
+        blocks = nat.reshape(-1, 8, 8) * q
+        pix = np.einsum("ij,njk,kl->nil", _C.T, blocks, _C) + 128.0
+        p = pix.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(
+            by * 8, bx * 8
+        )
         if comp["h"] != hmax or comp["v"] != vmax:
             p = np.repeat(
                 np.repeat(p, vmax // comp["v"], axis=0),
@@ -404,15 +439,124 @@ def jpeg_decode(raw: bytes) -> np.ndarray:
     ).astype(np.uint8)
 
 
-def _decode_block(r: _BitReader, dc_t, ac_t) -> np.ndarray:
-    blk = np.zeros(64, dtype=np.int64)
+def _decode_scan(
+    raw, pos, frame, scan, huff, restart, coeffs, ss_, se_, ah, al,
+    progressive,
+) -> int:
+    """Entropy-decode one scan into the coefficient grids; returns
+    the byte offset of the next marker after the scan's data.
+
+    Dispatch (T.81 G.2): baseline scans decode full blocks; a
+    progressive scan is either DC (Ss=0, interleaving allowed) or AC
+    (Ss>0, exactly one component, the component's OWN block grid in
+    raster order), and either first (Ah=0, magnitudes shifted left by
+    Al) or refinement (Ah>0, one correction bit per coefficient)."""
+    comps = frame["comps"]
+    by_id = {c["id"]: idx for idx, c in enumerate(comps)}
+    order = [by_id[s["cs"]] for s in scan]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+
+    if progressive:
+        if ss_ == 0 and se_ != 0:
+            raise ValueError("malformed JPEG: DC scan with Se != 0")
+        if ss_ > 0 and len(scan) != 1:
+            raise ValueError(
+                "malformed JPEG: progressive AC scan must be "
+                "non-interleaved"
+            )
+
+    r = _BitReader(raw, pos)
+    state = {"eobrun": 0}
+
+    def decode_into(blk, si):
+        s = scan[si]
+        if not progressive:
+            dc_t = huff[(0, s["td"])]
+            ac_t = huff[(1, s["ta"])]
+            _decode_block(r, dc_t, ac_t, blk, pred, order[si])
+        elif ss_ == 0:
+            if ah == 0:
+                t = _decode_huff(r, huff[(0, s["td"])])
+                pred[order[si]] += _extend(r.bits(t), t)
+                blk[0] = pred[order[si]] << al
+            else:
+                # DC refinement: the next lower bit of every DC value
+                if r.bit():
+                    blk[0] |= 1 << al
+        else:
+            ac_t = huff[(1, s["ta"])]
+            if ah == 0:
+                _first_ac(r, ac_t, blk, ss_, se_, al, state)
+            else:
+                _refine_ac(r, ac_t, blk, ss_, se_, al, state)
+
+    try:
+        if len(scan) == 1 and (progressive and ss_ > 0 or len(comps) > 1):
+            # non-interleaved: the single component's own block grid
+            ci = order[0]
+            comp = comps[ci]
+            cw = (frame["w"] * comp["h"] + hmax - 1) // hmax
+            ch = (frame["h"] * comp["v"] + vmax - 1) // vmax
+            bw, bh = (cw + 7) // 8, (ch + 7) // 8
+            pred = [0] * len(comps)
+            blk_i = 0
+            for byy in range(bh):
+                for bxx in range(bw):
+                    if restart and blk_i and blk_i % restart == 0:
+                        r.align_restart()
+                        pred = [0] * len(comps)
+                        state["eobrun"] = 0
+                    blk_i += 1
+                    decode_into(coeffs[ci][byy, bxx], 0)
+        else:
+            pred = [0] * len(comps)
+            mcu_i = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart and mcu_i and mcu_i % restart == 0:
+                        r.align_restart()
+                        pred = [0] * len(comps)
+                        state["eobrun"] = 0
+                    mcu_i += 1
+                    for si, ci in enumerate(order):
+                        comp = comps[ci]
+                        for v in range(comp["v"]):
+                            for hh in range(comp["h"]):
+                                decode_into(
+                                    coeffs[ci][
+                                        my * comp["v"] + v,
+                                        mx * comp["h"] + hh,
+                                    ],
+                                    si,
+                                )
+    except _RestartMarker:
+        raise ValueError("malformed JPEG: restart inside block") from None
+
+    # the scan's entropy data ends at the next true marker (stuffed
+    # 0xFF00 and stray RSTn are data, not boundaries)
+    p = r.pos
+    while p + 1 < len(raw):
+        if raw[p] == 0xFF and raw[p + 1] != 0x00 and not (
+            0xD0 <= raw[p + 1] <= 0xD7
+        ):
+            return p
+        p += 1
+    raise ValueError("malformed JPEG: ran out of data before EOI")
+
+
+def _decode_block(r: _BitReader, dc_t, ac_t, blk, pred, ci) -> None:
+    """Full baseline block (DC diff + AC run-lengths) into `blk`."""
     t = _decode_huff(r, dc_t)
-    blk[0] = _extend(r.bits(t), t)
+    pred[ci] += _extend(r.bits(t), t)
+    blk[0] = pred[ci]
     k = 1
     while k < 64:
         rs = _decode_huff(r, ac_t)
-        rr, ss = rs >> 4, rs & 15
-        if ss == 0:
+        rr, sz = rs >> 4, rs & 15
+        if sz == 0:
             if rr == 15:  # ZRL
                 k += 16
                 continue
@@ -420,9 +564,85 @@ def _decode_block(r: _BitReader, dc_t, ac_t) -> np.ndarray:
         k += rr
         if k > 63:
             raise ValueError("malformed JPEG: AC run past block end")
-        blk[k] = _extend(r.bits(ss), ss)
+        blk[k] = _extend(r.bits(sz), sz)
         k += 1
-    return blk
+
+
+def _first_ac(r: _BitReader, ac_t, blk, ss_, se_, al, state) -> None:
+    """Progressive AC first scan (T.81 G.1.2.2): run-length coded
+    magnitudes shifted left by Al, plus EOBn codes carrying a run of
+    all-further-zero blocks."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss_
+    while k <= se_:
+        rs = _decode_huff(r, ac_t)
+        rr, sz = rs >> 4, rs & 15
+        if sz == 0:
+            if rr == 15:  # ZRL: 16 zeros
+                k += 16
+                continue
+            state["eobrun"] = (1 << rr) - 1
+            if rr:
+                state["eobrun"] += r.bits(rr)
+            break
+        k += rr
+        if k > se_:
+            raise ValueError("malformed JPEG: AC run past band end")
+        blk[k] = _extend(r.bits(sz), sz) << al
+        k += 1
+
+
+def _refine_ac(r: _BitReader, ac_t, blk, ss_, se_, al, state) -> None:
+    """Progressive AC refinement (T.81 G.1.2.3): one correction bit
+    for each already-nonzero coefficient in the band; zero-history
+    positions receive new ±1<<Al coefficients via run-length codes.
+    Two's-complement `& p1` equals the magnitude-bit test because
+    history coefficients are multiples of 1<<Al."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss_
+    if state["eobrun"] == 0:
+        while k <= se_:
+            rs = _decode_huff(r, ac_t)
+            rr, sz = rs >> 4, rs & 15
+            newval = 0
+            if sz == 0:
+                if rr != 15:
+                    state["eobrun"] = 1 << rr
+                    if rr:
+                        state["eobrun"] += r.bits(rr)
+                    break
+                # rr == 15: skip 16 zero-history coefficients
+            else:
+                if sz != 1:
+                    raise ValueError(
+                        "malformed JPEG: AC refinement magnitude != 1"
+                    )
+                newval = p1 if r.bit() else m1
+            # advance over `rr` zero-history positions, refining any
+            # nonzero-history coefficient passed along the way
+            while k <= se_:
+                if blk[k] != 0:
+                    if r.bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if rr == 0:
+                        break
+                    rr -= 1
+                k += 1
+            if newval and k <= se_:
+                blk[k] = newval
+            k += 1
+    if state["eobrun"] > 0:
+        # inside an EOB run: zero-history stays zero, but nonzero
+        # coefficients still receive their correction bits
+        while k <= se_:
+            if blk[k] != 0 and r.bit() and (blk[k] & p1) == 0:
+                blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        state["eobrun"] -= 1
 
 
 # ------------------------------------------------------------- encoder
@@ -614,3 +834,284 @@ def jpeg_encode(
     bw.flush()
     out += bw.out + b"\xff\xd9"
     return bytes(out)
+
+
+# -------------------------------------------------- progressive encoder
+#
+# Exists for the same reason as the baseline encoder: so the decode
+# path is testable end-to-end without fixtures from a real image
+# library. It re-emits the EXACT quantized coefficients the baseline
+# encoder produces (same per-block DCT expression, same rounding) as
+# a progressive scan script — DC first/refine, spectral-selection AC
+# bands, one successive-approximation refinement — so
+# jpeg_decode(progressive bytes) must equal jpeg_decode(baseline
+# bytes) pixel-for-pixel. Huffman tables are fixed-length canonical
+# tables (DC: 12 symbols x 4 bits; AC: 256 symbols x 9 bits, both
+# leaving the all-ones code unassigned per Annex C) — valid, if not
+# minimal, so no frequency pass is needed.
+
+
+def _quantized_coeffs(arr: np.ndarray, subsample: bool):
+    """Per-component zigzag quantized coefficient grids, computed with
+    the baseline encoder's exact per-block arithmetic."""
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    if gray:
+        planes = [arr.astype(np.float64)]
+        samp = [(1, 1)]
+        qids = [0]
+    else:
+        a = arr.astype(np.float64)
+        y = 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+        cb = (
+            128.0 - 0.168736 * a[..., 0] - 0.331264 * a[..., 1]
+            + 0.5 * a[..., 2]
+        )
+        cr = (
+            128.0 + 0.5 * a[..., 0] - 0.418688 * a[..., 1]
+            - 0.081312 * a[..., 2]
+        )
+        if subsample:
+            he, we = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+            cbp = np.pad(cb, ((0, he - h), (0, we - w)), mode="edge")
+            crp = np.pad(cr, ((0, he - h), (0, we - w)), mode="edge")
+            cb = cbp.reshape(he // 2, 2, we // 2, 2).mean(axis=(1, 3))
+            cr = crp.reshape(he // 2, 2, we // 2, 2).mean(axis=(1, 3))
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+        qids = [0, 1, 1]
+
+    qzz = {0: _QL, 1: _QC}
+    qmats = {}
+    for tq, zzvals in qzz.items():
+        z = np.zeros(64, dtype=np.int32)
+        z[_ZZ] = zzvals
+        qmats[tq] = z.reshape(8, 8).astype(np.float64)
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    coeffs = []
+    for i, p in enumerate(planes):
+        by, bx = mcuy * samp[i][1], mcux * samp[i][0]
+        pp = np.pad(
+            p, ((0, by * 8 - p.shape[0]), (0, bx * 8 - p.shape[1])),
+            mode="edge",
+        )
+        q = qmats[qids[i]]
+        grid = np.zeros((by, bx, 64), dtype=np.int64)
+        for yy in range(by):
+            for xx in range(bx):
+                blk = pp[yy * 8 : yy * 8 + 8, xx * 8 : xx * 8 + 8]
+                coef = _C @ (blk - 128.0) @ _C.T
+                qz = np.sign(coef) * np.floor(np.abs(coef) / q + 0.5)
+                grid[yy, xx] = qz.reshape(-1)[_ZZ].astype(np.int64)
+        coeffs.append(grid)
+    return gray, h, w, samp, qids, coeffs, mcux, mcuy
+
+
+# flat canonical tables (all-ones codeword unassigned per Annex C;
+# a DHT count byte maxes at 255, so the AC table is 255 nine-bit
+# codes plus one ten-bit)
+_P_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_P_DC_VALS = list(range(12))
+_P_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0]
+_P_AC_VALS = list(range(256))
+_P_DC_MAP = _enc_table(_P_DC_BITS, _P_DC_VALS)
+_P_AC_MAP = _enc_table(_P_AC_BITS, _P_AC_VALS)
+
+
+def _emit_eobrun(bw: "_BitWriter", st: dict) -> None:
+    if st["eobrun"] > 0:
+        eb = st["eobrun"]
+        rr = eb.bit_length() - 1
+        c, ln = _P_AC_MAP[rr << 4]
+        bw.write(c, ln)
+        if rr:
+            bw.write(eb - (1 << rr), rr)
+        for b in st["be"]:
+            bw.write(b, 1)
+        st["eobrun"] = 0
+        st["be"] = []
+
+
+def _enc_ac_first_block(bw, band, al, st) -> None:
+    t = [
+        (1 if v > 0 else -1) * (abs(int(v)) >> al) if v else 0
+        for v in band
+    ]
+    nz = [k for k, v in enumerate(t) if v]
+    if not nz:
+        st["eobrun"] += 1
+        if st["eobrun"] == 0x7FFF:
+            _emit_eobrun(bw, st)
+        return
+    run = 0
+    for k, v in enumerate(t):
+        if v == 0:
+            run += 1
+            continue
+        _emit_eobrun(bw, st)
+        while run > 15:
+            c, ln = _P_AC_MAP[0xF0]
+            bw.write(c, ln)
+            run -= 16
+        sz, mv = _mag(v)
+        c, ln = _P_AC_MAP[(run << 4) | sz]
+        bw.write(c, ln)
+        bw.write(mv, sz)
+        run = 0
+    if run > 0:
+        st["eobrun"] += 1
+        if st["eobrun"] == 0x7FFF:
+            _emit_eobrun(bw, st)
+
+
+def _enc_ac_refine_block(bw, band, al, st) -> None:
+    absv = [abs(int(v)) >> al for v in band]
+    eobpos = max((k for k, a in enumerate(absv) if a == 1), default=-1)
+    run = 0
+    br: list[int] = []
+    for k, a in enumerate(absv):
+        if a == 0:
+            run += 1
+            continue
+        # the ZRL resolution runs at EVERY nonzero (history included)
+        # — that ordering is what keeps the decoder's positional
+        # correction-bit reads aligned with the flushed buffer
+        while run > 15 and k <= eobpos:
+            _emit_eobrun(bw, st)
+            c, ln = _P_AC_MAP[0xF0]
+            bw.write(c, ln)
+            run -= 16
+            for b in br:
+                bw.write(b, 1)
+            br = []
+        if a > 1:
+            br.append(a & 1)
+            continue
+        _emit_eobrun(bw, st)
+        c, ln = _P_AC_MAP[(run << 4) | 1]
+        bw.write(c, ln)
+        bw.write(1 if band[k] > 0 else 0, 1)
+        for b in br:
+            bw.write(b, 1)
+        br = []
+        run = 0
+    if run > 0 or br:
+        st["eobrun"] += 1
+        st["be"].extend(br)
+        if st["eobrun"] == 0x7FFF:
+            _emit_eobrun(bw, st)
+
+
+def jpeg_encode_progressive(
+    arr: np.ndarray, subsample: bool = False
+) -> bytes:
+    """Encode uint8 grayscale/RGB as a progressive JPEG (SOF2) whose
+    quantized coefficients exactly equal the baseline encoder's."""
+    gray, h, w, samp, qids, coeffs, mcux, mcuy = _quantized_coeffs(
+        arr, subsample
+    )
+    nc = len(coeffs)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+
+    out = bytearray(SOI)
+    for tq, zzvals in ((0, _QL), (1, _QC)):
+        if gray and tq == 1:
+            continue
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tq) + bytes(
+            int(v) for v in zzvals
+        )
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for i in range(nc):
+        sof += struct.pack(
+            ">BBB", i + 1, (samp[i][0] << 4) | samp[i][1], qids[i]
+        )
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    out += b"\xff\xc4" + struct.pack(
+        ">HB", 2 + 1 + 16 + len(_P_DC_VALS), 0x00
+    ) + bytes(_P_DC_BITS) + bytes(_P_DC_VALS)
+    out += b"\xff\xc4" + struct.pack(
+        ">HB", 2 + 1 + 16 + len(_P_AC_VALS), 0x10
+    ) + bytes(_P_AC_BITS) + bytes(_P_AC_VALS)
+
+    def sos_header(comp_ids, ss_, se_, ah, al):
+        b = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            b += bytes([cid + 1, 0x00])
+        b += bytes([ss_, se_, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(b)) + b
+
+    def mcu_blocks():
+        """(ci, blk) in interleaved MCU order over ALL components."""
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(nc):
+                    sh, sv = samp[ci]
+                    for v in range(sv):
+                        for hh in range(sh):
+                            yield ci, coeffs[ci][my * sv + v, mx * sh + hh]
+
+    def comp_blocks(ci):
+        """The component's OWN grid in raster order (non-interleaved:
+        padding blocks outside it are never coded)."""
+        cw = (w * samp[ci][0] + hmax - 1) // hmax
+        ch = (h * samp[ci][1] + vmax - 1) // vmax
+        bw_, bh_ = (cw + 7) // 8, (ch + 7) // 8
+        for byy in range(bh_):
+            for bxx in range(bw_):
+                yield coeffs[ci][byy, bxx]
+
+    # --- scan 1: DC first, interleaved, Al=1
+    bw = _BitWriter()
+    pred = [0] * nc
+    for ci, blk in mcu_blocks():
+        dcv = int(blk[0]) >> 1
+        diff = dcv - pred[ci]
+        pred[ci] = dcv
+        sz, mv = _mag(diff)
+        c, ln = _P_DC_MAP[sz]
+        bw.write(c, ln)
+        if sz:
+            bw.write(mv, sz)
+    bw.flush()
+    out += sos_header(list(range(nc)), 0, 0, 0, 1) + bw.out
+
+    # --- AC first scans, Al=1: luma split into two spectral bands
+    ac_bands = [(0, 1, 5)] if nc > 1 else [(0, 1, 5)]
+    if nc > 1:
+        ac_bands += [(1, 1, 63), (2, 1, 63), (0, 6, 63)]
+    else:
+        ac_bands += [(0, 6, 63)]
+    for ci, ss_, se_ in ac_bands:
+        bw = _BitWriter()
+        st = {"eobrun": 0, "be": []}
+        for blk in comp_blocks(ci):
+            _enc_ac_first_block(bw, blk[ss_ : se_ + 1], 1, st)
+        _emit_eobrun(bw, st)
+        bw.flush()
+        out += sos_header([ci], ss_, se_, 0, 1) + bw.out
+
+    # --- DC refine, interleaved, Ah=1 Al=0: one raw bit per block
+    bw = _BitWriter()
+    for ci, blk in mcu_blocks():
+        bw.write(int(blk[0]) & 1, 1)
+    bw.flush()
+    out += sos_header(list(range(nc)), 0, 0, 1, 0) + bw.out
+
+    # --- AC refine scans, Ah=1 Al=0
+    for ci in range(nc):
+        bw = _BitWriter()
+        st = {"eobrun": 0, "be": []}
+        for blk in comp_blocks(ci):
+            _enc_ac_refine_block(bw, blk[1:64], 0, st)
+        _emit_eobrun(bw, st)
+        bw.flush()
+        out += sos_header([ci], 1, 63, 1, 0) + bw.out
+
+    return bytes(out + b"\xff\xd9")

@@ -397,10 +397,11 @@ def test_jpeg_unsupported_variants_stay_loudly_stubbed():
             + struct.pack(">H", 2 + len(sof)) + sof
         )
 
-    # progressive: meta parses dimensions, full decode raises by name
+    # progressive (SOF2) is now DECODED, not stubbed; a frame with no
+    # scan data is malformed, not unsupported
     prog = frame(0xC2)
     assert jpeg_meta(prog) == (10, 10, 3)
-    with _pt.raises(NotImplementedError, match="progressive.*PIL"):
+    with _pt.raises(ValueError, match="missing SOF or SOS"):
         jpeg_decode(prog + b"\xff\xd9")
     with _pt.raises(NotImplementedError, match="arithmetic.*PIL"):
         jpeg_decode(frame(0xC9) + b"\xff\xd9")
@@ -474,16 +475,103 @@ def test_jpeg_malformed_and_multiscan_are_named():
     # truncated entropy data: named ValueError, never a bare IndexError
     with _pt.raises(ValueError, match="truncated entropy"):
         jpeg_decode(raw[:-10])
-    # multi-scan baseline (SOS listing fewer components than SOF):
-    # refuse loudly rather than return silently corrupt pixels
-    i = raw.index(b"\xff\xda")
-    (ln,) = struct.unpack(">H", raw[i + 2 : i + 4])
-    one_comp_sos = b"\xff\xda" + struct.pack(">H", 8) + bytes(
-        [1, 1, 0x00, 0, 63, 0]
+    del struct  # truncation is the only malformed case left here
+
+
+def test_noninterleaved_baseline_multi_scan_decodes():
+    """A baseline file may legally carry one SOS per component
+    (non-interleaved scans). Build one from the SAME quantized
+    coefficients as the interleaved encoding and require identical
+    pixels — the r5 'multi-scan baseline' loud stub is now a real
+    decode path."""
+    import struct
+
+    import numpy as np
+
+    from core_spark.multimodal.jpeg import (
+        _BitWriter,
+        _mag,
+        _P_AC_BITS,
+        _P_AC_MAP,
+        _P_AC_VALS,
+        _P_DC_BITS,
+        _P_DC_MAP,
+        _P_DC_VALS,
+        _QC,
+        _QL,
+        _quantized_coeffs,
+        SOI,
+        jpeg_decode,
+        jpeg_encode,
     )
-    hacked = raw[:i] + one_comp_sos + raw[i + 2 + ln :]
-    with _pt.raises(NotImplementedError, match="multi-scan"):
-        jpeg_decode(hacked)
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (24, 21, 3), dtype=np.uint8)
+    gray, h, w, samp, qids, coeffs, mcux, mcuy = _quantized_coeffs(
+        img, False
+    )
+
+    out = bytearray(SOI)
+    for tq, zzvals in ((0, _QL), (1, _QC)):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tq) + bytes(
+            int(v) for v in zzvals
+        )
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for i in range(3):
+        sof += struct.pack(
+            ">BBB", i + 1, (samp[i][0] << 4) | samp[i][1], qids[i]
+        )
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    out += b"\xff\xc4" + struct.pack(
+        ">HB", 2 + 17 + len(_P_DC_VALS), 0x00
+    ) + bytes(_P_DC_BITS) + bytes(_P_DC_VALS)
+    out += b"\xff\xc4" + struct.pack(
+        ">HB", 2 + 17 + len(_P_AC_VALS), 0x10
+    ) + bytes(_P_AC_BITS) + bytes(_P_AC_VALS)
+
+    # one scan per component over the component's own block grid
+    for ci in range(3):
+        bw = _BitWriter()
+        pred = 0
+        by, bx = coeffs[ci].shape[:2]
+        for yy in range(by):
+            for xx in range(bx):
+                z = coeffs[ci][yy, xx]
+                t, mv = _mag(int(z[0]) - pred)
+                pred = int(z[0])
+                c, ln = _P_DC_MAP[t]
+                bw.write(c, ln)
+                if t:
+                    bw.write(mv, t)
+                run = 0
+                last = 63
+                while last > 0 and z[last] == 0:
+                    last -= 1
+                for k in range(1, last + 1):
+                    if z[k] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        c, ln = _P_AC_MAP[0xF0]
+                        bw.write(c, ln)
+                        run -= 16
+                    t, mv = _mag(int(z[k]))
+                    c, ln = _P_AC_MAP[(run << 4) | t]
+                    bw.write(c, ln)
+                    bw.write(mv, t)
+                    run = 0
+                if last < 63:
+                    c, ln = _P_AC_MAP[0x00]
+                    bw.write(c, ln)
+        bw.flush()
+        sos = bytes([1, ci + 1, 0x00, 0, 63, 0])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        out += bw.out
+    out += b"\xff\xd9"
+
+    want = jpeg_decode(jpeg_encode(img))
+    got = jpeg_decode(bytes(out))
+    assert np.array_equal(want, got)
 
 
 def test_jpeg_entropy_cost_is_linear():
@@ -1137,3 +1225,62 @@ def test_audio_frame_features_unknown_codec_named(spark):
     )
     with _pytest.raises(Exception, match="libsndfile|pyav"):
         audio_frame_features(df).collect()
+
+
+def test_progressive_jpeg_decodes_exactly_as_baseline():
+    """Progressive decode (T.81 Annex G: DC first/refine, spectral
+    selection, successive approximation, EOB runs) must reproduce the
+    EXACT pixels of the baseline decode of the same quantized
+    coefficients — the progressive encoder re-emits the baseline
+    encoder's coefficient grids as an 8-scan script, so any
+    first/refinement bookkeeping error shows as a pixel diff."""
+    import numpy as np
+
+    from core_spark.multimodal.jpeg import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_encode_progressive,
+        jpeg_meta,
+    )
+
+    rng = np.random.default_rng(7)
+    xx, yy = np.meshgrid(np.arange(50), np.arange(42))
+    cases = [
+        # odd sizes force cropped padding blocks; noise forces dense
+        # AC bands (ZRL + refinement correction bits); flat forces
+        # long EOB runs (EOBn with rr > 0)
+        ((np.linspace(0, 255, 37 * 29).reshape(37, 29)
+          + rng.integers(0, 30, (37, 29))).clip(0, 255).astype(np.uint8),
+         False),
+        (np.full((64, 48), 130, np.uint8), False),
+        (rng.integers(0, 256, (33, 47, 3)).astype(np.uint8), False),
+        (np.stack([(xx * 3) % 256, (yy * 5) % 256, ((xx + yy) * 2) % 256],
+                  -1).astype(np.uint8), True),
+        (rng.integers(0, 256, (24, 40, 3)).astype(np.uint8), True),
+    ]
+    for arr, sub in cases:
+        prog = jpeg_encode_progressive(arr, subsample=sub)
+        # it really is a progressive file
+        assert b"\xff\xc2" in prog[:200]
+        w, h = arr.shape[1], arr.shape[0]
+        assert jpeg_meta(prog)[:2] == (w, h)
+        base = jpeg_decode(jpeg_encode(arr, subsample=sub))
+        got = jpeg_decode(prog)
+        assert np.array_equal(base, got), (arr.shape, sub)
+
+
+def test_progressive_jpeg_inside_multimodal_kernels():
+    """The decode-bearing column kernels accept progressive payloads
+    transparently (same bytes-in contract)."""
+    import numpy as np
+
+    from core_spark.multimodal.jpeg import (
+        jpeg_decode,
+        jpeg_encode_progressive,
+    )
+
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    raw = jpeg_encode_progressive(arr)
+    out = jpeg_decode(raw)
+    assert out.shape == (16, 16, 3)
