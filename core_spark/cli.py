@@ -104,6 +104,16 @@ def cmd_prune(args) -> int:
     return 0
 
 
+def cmd_vacuum(args) -> int:
+    from core_spark.sources.journal import Journal
+
+    n = Journal(args.root, args.journal).vacuum(
+        grace_seconds=args.grace_seconds
+    )
+    print(json.dumps({"vacuumed": n}))
+    return 0
+
+
 def cmd_shards_stat(args) -> int:
     """Stat: per-shard committed batch, fence, and read-through
     offsets, parsed from the output journal's registers — the Stat
@@ -409,6 +419,16 @@ def build_parser() -> argparse.ArgumentParser:
     jp.add_argument("--journal", required=True)
     jp.add_argument("--keep-after", type=float, required=True)
     jp.set_defaults(fn=cmd_prune)
+
+    jv = sub.add_parser("journals-vacuum")
+    jv.add_argument("--root", required=True)
+    jv.add_argument("--journal", required=True)
+    jv.add_argument(
+        "--grace-seconds", type=float, default=86400.0,
+        help="only unreferenced dirs older than this are removed "
+             "(protects in-flight appends)",
+    )
+    jv.set_defaults(fn=cmd_vacuum)
 
     jc = sub.add_parser("journals-compact")
     jc.add_argument("--root", required=True)

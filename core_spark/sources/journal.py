@@ -672,6 +672,7 @@ class Journal:
         begin_mod_time: float | None = None,
         at_version: int | None = None,
         where: list[tuple] | None = None,
+        merge_schema: bool = False,
     ) -> DataFrame:
         """Read the journal from `begin` (inclusive) to `end`
         (exclusive), pruning non-covering fragments before the scan
@@ -691,6 +692,15 @@ class Journal:
         on a 10⁶-fragment journal lists only the covering few. Spark's
         own parquet row-group pruning still applies inside the
         survivors (the same predicate is pushed to the scan).
+
+        `merge_schema`: read each fragment under its OWN schema and
+        union by name (absent columns null) — schema-on-read for
+        journals whose producers evolved their columns mid-history,
+        exactly the freedom the reference's byte-opaque journals give
+        producers (message/interfaces.go:121-124: journals carry "only
+        raw serializations"; schema lives with the reader). Default
+        off: a uniform journal reads through Spark's multi-path scan,
+        which is cheaper than a per-fragment union.
         """
         m = self.manifest(at_version=at_version)
         for col, op, value in where or []:
@@ -732,7 +742,8 @@ class Journal:
 
         mixed_fmt = len({f.fmt for f in frags}) > 1
         if len(paths) > 1 and (
-            mixed_fmt
+            merge_schema
+            or mixed_fmt
             or any(
                 _dir_has_postfix(os.path.join(self.root, f.path))
                 for f in frags
@@ -978,3 +989,48 @@ class Journal:
         for f in dropped:
             shutil.rmtree(os.path.join(self.root, f.path), ignore_errors=True)
         return len(dropped)
+
+    # ------------------------------------------------------------- vacuum
+    def vacuum(self, grace_seconds: float = 86400.0) -> int:
+        """Remove fragment directories referenced by NO manifest
+        version, plus stale write-temp dirs — the storage GC that
+        complements `prune` (which retires *referenced* history).
+        Returns the number of directories removed.
+
+        Orphans arise from crashes in the append window: a fragment
+        renamed into place whose CAS commit never ran (and whose
+        rollback therefore never ran either), a `_tmp-` spool whose
+        writer died mid-write, or compaction sources kept by
+        `delete_source=False`. The reference's broker persists spools
+        and retries until the fragment is durably indexed
+        (broker/fragment/persister.go); here the manifest IS the
+        index, so anything on disk outside the whole CAS history is
+        garbage by definition. Time travel is safe: every fragment
+        referenced by ANY version — current or past — is kept.
+
+        `grace_seconds` protects the race with a live appender whose
+        fragment is renamed but not yet committed: only dirs whose
+        mod-time is older than the grace are eligible. Run with the
+        default (1 day) from a scheduled job; tests use ~0."""
+        referenced = {
+            os.path.basename(f.path)
+            for v in self.store.list_versions()
+            for f in Manifest.from_json(self.store.read(v)).fragments
+        }
+        removed = 0
+        now = time.time()
+        try:
+            entries = os.listdir(self.frag_dir)
+        except FileNotFoundError:
+            return 0
+        for name in entries:
+            p = os.path.join(self.frag_dir, name)
+            if not os.path.isdir(p) or name in referenced:
+                continue
+            if not (name.startswith("frag-") or name.startswith("_tmp-")):
+                continue  # never touch anything this module didn't write
+            if now - os.path.getmtime(p) < grace_seconds:
+                continue
+            shutil.rmtree(p, ignore_errors=True)
+            removed += 1
+        return removed

@@ -726,3 +726,62 @@ def test_identical_content_cas_loser_keeps_winners_file(
     assert sorted(os.listdir(journal.frag_dir)) == [
         os.path.basename(frag.path)
     ]
+
+
+def test_vacuum_removes_only_unreferenced_dirs(spark, journal):
+    """Vacuum is the storage GC for crash leftovers: orphan fragment
+    dirs (renamed but never committed) and stale write temps go;
+    anything referenced by ANY manifest version — current or past
+    (time travel) — stays."""
+    import os
+    import shutil
+
+    journal.append(_df(spark, 0, 5))
+    journal.append(_df(spark, 5, 9))
+    live = {os.path.basename(f.path) for f in journal.manifest().fragments}
+
+    # fabricate an orphan by copying a live fragment under an
+    # unreferenced content-addressed name, plus a stale write temp
+    src = os.path.join(journal.frag_dir, next(iter(live)))
+    orphan = os.path.join(
+        journal.frag_dir, "frag-" + "9" * 20 + "-" + "8" * 20 + "-" + "ab" * 8
+    )
+    shutil.copytree(src, orphan)
+    tmp = os.path.join(journal.frag_dir, "_tmp-deadbeef")
+    os.makedirs(tmp)
+    # a foreign dir must never be touched
+    foreign = os.path.join(journal.frag_dir, "not-ours")
+    os.makedirs(foreign)
+
+    # inside the grace window nothing is eligible
+    assert journal.vacuum(grace_seconds=3600) == 0
+    assert os.path.isdir(orphan) and os.path.isdir(tmp)
+
+    assert journal.vacuum(grace_seconds=0.0) == 2
+    assert not os.path.exists(orphan) and not os.path.exists(tmp)
+    assert os.path.isdir(foreign)
+    on_disk = {
+        d for d in os.listdir(journal.frag_dir) if d.startswith("frag-")
+    }
+    assert on_disk == live
+    # and the journal still reads
+    assert journal.read(spark).count() == 9
+
+
+def test_read_merge_schema_unions_evolved_columns(spark, journal):
+    """merge_schema=True serves a journal whose producer evolved its
+    columns mid-history: each fragment reads under its own schema,
+    absent columns are null (schema-on-read, the byte-opaque journal
+    contract)."""
+    journal.append(_df(spark, 0, 3))  # columns: v
+    journal.append(
+        spark.createDataFrame(
+            [(100, "x"), (101, "y")], "v long, tag string"
+        )
+    )
+    df = journal.read(spark, merge_schema=True).orderBy("_offset")
+    assert set(df.columns) >= {"v", "tag", "_offset"}
+    rows = df.select("v", "tag").collect()
+    assert [(r.v, r.tag) for r in rows] == [
+        (0, None), (1, None), (2, None), (100, "x"), (101, "y"),
+    ]
