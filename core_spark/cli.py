@@ -66,6 +66,7 @@ def cmd_read(args) -> int:
         begin_mod_time=args.begin_mod_time,
         at_version=args.at_version,
         where=where,
+        merge_schema=args.merge_schema,
     )
     _emit(df if args.output else df.orderBy("_offset"), args.output)
     return 0
@@ -396,6 +397,8 @@ def build_parser() -> argparse.ArgumentParser:
     # repeatable col<op>value predicate: applied exactly AND pruned
     # against manifest zone maps / bloom filters before listing
     jr.add_argument("--where", action="append", default=[])
+    # schema-on-read for journals whose producers evolved columns
+    jr.add_argument("--merge-schema", action="store_true")
     jr.add_argument("--output", default=None)
     jr.set_defaults(fn=cmd_read)
 
