@@ -1284,3 +1284,53 @@ def test_progressive_jpeg_inside_multimodal_kernels():
     raw = jpeg_encode_progressive(arr)
     out = jpeg_decode(raw)
     assert out.shape == (16, 16, 3)
+
+
+def test_progressive_jpeg_fuzz_property():
+    """Property fuzz over shapes/content/subsampling: progressive
+    decode == baseline decode of the same coefficients, for ANY
+    uint8 image. Complements the fixed cases with generated ones."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from core_spark.multimodal.jpeg import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_encode_progressive,
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        h=st.integers(8, 56),
+        w=st.integers(8, 56),
+        color=st.booleans(),
+        sub=st.booleans(),
+        seed=st.integers(0, 2**31 - 1),
+        mode=st.sampled_from(["noise", "smooth", "flat", "blocky"]),
+    )
+    def check(h, w, color, sub, seed, mode):
+        rng = np.random.default_rng(seed)
+        shape = (h, w, 3) if color else (h, w)
+        if mode == "noise":
+            arr = rng.integers(0, 256, shape, dtype=np.uint8)
+        elif mode == "flat":
+            arr = np.full(shape, int(rng.integers(0, 256)), np.uint8)
+        elif mode == "smooth":
+            yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+            g = (yy * 3 + xx * 5) % 256
+            arr = (
+                np.stack([g, (g * 2) % 256, (g * 3) % 256], -1)
+                if color else g
+            ).astype(np.uint8)
+        else:  # blocky: flat 8x8 tiles — sparse AC, dense DC diffs
+            th, tw = (h + 7) // 8, (w + 7) // 8
+            tiles = rng.integers(0, 256, (th, tw), dtype=np.uint8)
+            g = np.repeat(np.repeat(tiles, 8, 0), 8, 1)[:h, :w]
+            arr = (np.stack([g, g, g], -1) if color else g).astype(np.uint8)
+        if sub and not color:
+            sub = False
+        base = jpeg_decode(jpeg_encode(arr, subsample=sub))
+        prog = jpeg_decode(jpeg_encode_progressive(arr, subsample=sub))
+        assert np.array_equal(base, prog)
+
+    check()
