@@ -243,10 +243,11 @@ def embed_near_dup(
     corpus: DataFrame,
     threshold: float = 0.35,
     bands: int = 8,
-    planes_per_band: int = 4,
+    planes_per_band: int | str = 4,
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_bucket: int = 256,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via banded SRP-LSH.
 
@@ -272,14 +273,38 @@ def embed_near_dup(
     in a per-bucket Arrow kernel (see inline comment: bit-identical
     to the SQL fold, survivors-only output); band copies of a pair
     carry identical sims, so a final `min(sim)` groupBy dedups
-    exactly. Bucket population — and so the kernel's O(n^2) tile —
-    is controlled by planes_per_band; at a realistic threshold the
-    bands are fine (8+ planes) and buckets stay small.
+    exactly.
+
+    SCALE: bucket population is n / 2^planes_per_band in expectation,
+    so FIXED band width makes buckets — and the per-bucket pair
+    count — grow LINEARLY with the corpus, i.e. total candidate work
+    is Θ(n²/2^planes): fine at demo scale, quadratic at 100×. The
+    r6 100× probe caught exactly this (q_embed_dup: 6.6s at 10×,
+    >25 min at 100× before the run was killed). The scale path is
+    `planes_per_band="auto"`: width = max(4, ⌈log₂(n /
+    target_bucket)⌉) computed from one corpus count, holding
+    expected bucket occupancy at `target_bucket` rows — candidate
+    work becomes Θ(bands · n · target_bucket), linear in the corpus
+    (the standard LSH band-width-tracks-corpus-size tuning; recall
+    at a given threshold is then governed by `bands`, which the
+    caller scales independently). The registered q_embed_dup query
+    keeps FIXED width because its DuckDB oracle hash-checks the
+    exact bucketization — its parameters are demo-scale by
+    declaration (DESIGN §5.1 records both measurements). The kernel
+    itself enumerates pairs in bounded tiles, so even a
+    pathologically popular bucket costs time, never executor memory.
 
     Reference parity: gazette/core has no vector tier; this extends
     the dedup family (operators/dedup.py) the same way ann_lsh
     extends search, per the training-data-pipeline brief.
     """
+    if planes_per_band == "auto":
+        import math as _math
+
+        n_corpus = corpus.count()  # one narrow agg over the id column
+        planes_per_band = max(
+            4, _math.ceil(_math.log2(max(2.0, n_corpus / target_bucket)))
+        )
     all_planes = [
         hyperplanes(planes_per_band, dims, seed=f"nd:{b}") for b in range(bands)
     ]
@@ -353,16 +378,43 @@ def embed_near_dup(
         for i in range(raw.shape[1]):
             acc += raw[:, i] * raw[:, i]
         v = raw / np.sqrt(acc)[:, None]
-        s = np.zeros((n, n), dtype=np.float64)
-        for i in range(v.shape[1]):
-            c = v[:, i]
-            s += np.multiply.outer(c, c)
-        iu, ju = np.triu_indices(n, k=1)
-        a, b = ids[iu], ids[ju]
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
-        dots = s[iu, ju]
-        m = dots >= guard
-        return pd.DataFrame({"a_id": lo[m], "b_id": hi[m], "dot": dots[m]})
+        # Blocked upper-triangle enumeration: memory is bounded by
+        # one T x T tile however large the bucket, so a popular
+        # bucket costs time, never an executor OOM. Each tile
+        # accumulates dimension-major — per pair, the identical
+        # IEEE-double op sequence as the single-matrix path and the
+        # SQL fold, so dots stay bit-identical.
+        T = 2048
+        outs = []
+        for ti in range(0, n, T):
+            vi = v[ti : ti + T]
+            for tj in range(ti, n, T):
+                vj = v[tj : tj + T]
+                s = np.zeros((vi.shape[0], vj.shape[0]), dtype=np.float64)
+                for i in range(v.shape[1]):
+                    s += np.multiply.outer(vi[:, i], vj[:, i])
+                if ti == tj:
+                    iu, ju = np.triu_indices(vi.shape[0], k=1)
+                else:
+                    iu, ju = np.indices(s.shape).reshape(2, -1)
+                dots = s[iu, ju]
+                m = dots >= guard
+                if not m.any():
+                    continue
+                a = ids[ti + iu[m]]
+                b = ids[tj + ju[m]]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "a_id": np.minimum(a, b),
+                            "b_id": np.maximum(a, b),
+                            "dot": dots[m],
+                        }
+                    )
+                )
+        if not outs:
+            return empty
+        return pd.concat(outs, ignore_index=True)
 
     pairs = banded.groupBy("band", "bkt").applyInPandas(
         _bucket_pairs, "a_id long, b_id long, dot double"

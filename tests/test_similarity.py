@@ -290,3 +290,93 @@ def test_hard_negatives_matches_bruteforce_within_cell(spark):
     for key, (neg_label, sim) in got.items():
         assert neg_label == want[key]
         assert -1.000001 <= sim <= 1.000001
+
+
+def test_embed_near_dup_auto_width_tracks_corpus(spark):
+    """planes_per_band="auto" holds expected bucket occupancy
+    constant: small corpora degrade to the default width (identical
+    results), and the width grows as log2(n/target) — the property
+    that keeps candidate work linear at 100x (the r6 probe caught
+    the fixed-width kernel going quadratic there)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from core_spark.operators.similarity import embed_near_dup
+
+    # deterministic little corpus: md5-derived vectors
+    n = 400
+    vecs = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 15), i -> "
+            "CAST((CAST(conv(substring(md5(concat(CAST(id AS STRING), ':',"
+            " CAST(i AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2000 - 1000)"
+            " / 1000.0 AS FLOAT))"
+        ).alias("embedding"),
+    )
+    fixed = embed_near_dup(
+        vecs, threshold=0.3, dims=16, planes_per_band=4
+    ).collect()
+    auto = embed_near_dup(
+        vecs, threshold=0.3, dims=16, planes_per_band="auto"
+    ).collect()
+    # n=400 < 16*256 so auto resolves to the same 4-plane bands
+    assert sorted(map(tuple, auto)) == sorted(map(tuple, fixed))
+
+    # the width formula itself
+    for n_c, want in [(100, 4), (4096, 4), (16 * 256 + 1, 5),
+                      (200_000, 10), (10**9, 22)]:
+        got = max(4, math.ceil(math.log2(max(2.0, n_c / 256))))
+        assert got == want, (n_c, got)
+
+
+def test_embed_near_dup_tiled_kernel_equals_untiled(spark):
+    """A bucket larger than one tile must produce the identical pair
+    set (the blocked enumeration is a memory bound, not a semantic
+    change): force everything into few buckets with 1-plane bands and
+    compare against brute force."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from core_spark.operators.similarity import embed_near_dup
+
+    n, dims = 300, 8
+    rng = np.random.default_rng(3)
+    data = [(i, [float(x) for x in rng.uniform(-1, 1, dims)])
+            for i in range(n)]
+    vecs = spark.createDataFrame(
+        data, "vec_id long, embedding array<float>"
+    )
+    got = {
+        (r.a_id, r.b_id): r.sim
+        for r in embed_near_dup(
+            vecs, threshold=0.5, dims=dims, bands=2, planes_per_band=1
+        ).collect()
+    }
+    # brute force over float32-cast vectors (the Spark side reads
+    # array<float>), rounded like the operator
+    import itertools
+
+    v = np.array([np.array(e, dtype=np.float32).astype(np.float64)
+                  for _i, e in data])
+    v = v / np.linalg.norm(v, axis=1, keepdims=True)
+    # 1-plane bands: pair candidates = same sign bucket in either band
+    from core_spark.operators.similarity import hyperplanes
+
+    planes = [hyperplanes(1, dims, seed=f"nd:{b}") for b in range(2)]
+    raw = np.array([np.array(e, dtype=np.float32).astype(np.float64)
+                    for _i, e in data])
+    expect = {}
+    for i, j in itertools.combinations(range(n), 2):
+        cand = any(
+            (raw[i] @ np.array(p[0]) >= 0) == (raw[j] @ np.array(p[0]) >= 0)
+            for p in planes
+        )
+        if not cand:
+            continue
+        sim = round(float(v[i] @ v[j]), 6)
+        if sim >= 0.5:
+            expect[(i, j)] = sim
+    assert set(got) == set(expect)
