@@ -525,10 +525,11 @@ def embed_ingest_classify(
     corpus: DataFrame,
     threshold: float = 0.35,
     bands: int = 8,
-    planes_per_band: int = 4,
+    planes_per_band: int | str = 4,
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_bucket: int = 256,
 ) -> DataFrame:
     """Incremental embedding-space dedup at ingest — the vector twin
     of the MinHash `lsh_probe` flow (operators/dedup.py, q_dup_ingest):
@@ -545,7 +546,23 @@ def embed_ingest_classify(
     index updated as batches commit, not recomputed.
 
     Output per batch vector: (vec_id, n_corpus, n_prior, status) with
-    status in {dup_of_corpus, dup_within_batch, unique}."""
+    status in {dup_of_corpus, dup_within_batch, unique}.
+
+    SCALE: `planes_per_band="auto"` sizes the band width from the
+    CORPUS count exactly as embed_near_dup does (constant expected
+    bucket occupancy), so per-batch-row candidates stay
+    O(bands · target_bucket) however large the index grows; fixed
+    width is the oracle-checkable demo configuration (DESIGN §5.1).
+    At deployment the banded corpus index is persisted, so the width
+    is fixed at index-build time and rebuilt on decade growth."""
+    if planes_per_band == "auto":
+        import math as _math
+
+        n_corpus_rows = corpus.count()
+        planes_per_band = max(
+            4,
+            _math.ceil(_math.log2(max(2.0, n_corpus_rows / target_bucket))),
+        )
     all_planes = [
         hyperplanes(planes_per_band, dims, seed=f"nd:{b}") for b in range(bands)
     ]
@@ -734,9 +751,10 @@ def hard_negatives(
 def semdedup(
     corpus: DataFrame,
     threshold: float = 0.3,
-    n_cells: int = 16,
+    n_cells: int | str = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_cell: int = 1024,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by clustering embeddings and pruning within-cluster
@@ -760,7 +778,19 @@ def semdedup(
     max_prior < threshold. Float discipline identical to
     `embed_near_dup`: normalization and dots run dimension-major in
     an Arrow kernel, bit-identical to the SQL fold; rounding happens
-    once, JVM-side."""
+    once, JVM-side.
+
+    SCALE: `n_cells="auto"` sets n_cells = max(16, n // target_cell)
+    from one corpus count — the paper's n_cells ~ n/1000 prescription
+    made executable, holding expected cell occupancy (and so the
+    per-cell gram work) constant as the corpus grows; FIXED n_cells
+    is the oracle-checkable demo configuration, quadratic by
+    construction at 100× (the same bucket-saturation shape the r6
+    100× probe caught in embed_near_dup, DESIGN §5.1). The prior
+    kernel runs in bounded tiles either way, so an oversized cell
+    costs time, never executor memory."""
+    if n_cells == "auto":
+        n_cells = max(16, int(corpus.count()) // target_cell)
     cents = ivf_centroids(corpus, n_cells, id_col, vec_col)
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
     cells = ivf_assign(c, cents, "_v", "vec_id", 1)
@@ -791,13 +821,27 @@ def semdedup(
         norm = np.sqrt(acc)
         norm[norm == 0.0] = 1.0
         v = raw / norm[:, None]
-        s = np.zeros((n, n), dtype=np.float64)
-        for i in range(v.shape[1]):
-            col = v[:, i]
-            s += np.multiply.outer(col, col)
+        # Blocked prior: max-over-lower-ids is order-independent, so
+        # tiling changes nothing semantically while bounding memory
+        # to one T x T gram however large the cell. Each tile's dots
+        # use the same dimension-major fold (bit-identical).
+        T = 2048
         prior = np.full(n, SEMDEDUP_SENTINEL, dtype=np.float64)
-        for j in range(1, n):
-            prior[j] = s[:j, j].max()
+        for tj in range(0, n, T):
+            vj = v[tj : tj + T]
+            nj = vj.shape[0]
+            best = np.full(nj, -np.inf)
+            for ti in range(0, tj + nj, T):
+                vi = v[ti : ti + T]
+                s = np.zeros((vi.shape[0], nj), dtype=np.float64)
+                for i in range(v.shape[1]):
+                    s += np.multiply.outer(vi[:, i], vj[:, i])
+                gi = ti + np.arange(vi.shape[0])[:, None]
+                gj = tj + np.arange(nj)[None, :]
+                s[gi >= gj] = -np.inf
+                best = np.maximum(best, s.max(axis=0))
+            got = best != -np.inf
+            prior[tj : tj + nj][got] = best[got]
         return pd.DataFrame(
             {
                 "vec_id": ids,

@@ -380,3 +380,41 @@ def test_embed_near_dup_tiled_kernel_equals_untiled(spark):
         if sim >= 0.5:
             expect[(i, j)] = sim
     assert set(got) == set(expect)
+
+
+def test_semdedup_tiled_prior_multi_tile_and_auto(spark):
+    """Force one cell larger than a kernel tile (n > 2048) and check
+    the blocked prior against an untiled numpy reference; also pin
+    that n_cells="auto" floors to the default at demo scale."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from core_spark.operators.similarity import SEMDEDUP_SENTINEL, semdedup
+
+    n, dims = 2200, 8
+    rng = np.random.default_rng(9)
+    mat = rng.uniform(-1, 1, (n, dims))
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    # n_cells=1: every vector in one cell -> the kernel must tile
+    got = {
+        r.vec_id: r.max_prior
+        for r in semdedup(vecs, threshold=0.9, n_cells=1).collect()
+    }
+    v = np.array([np.array([np.float32(x) for x in mat[i]], dtype=np.float64)
+                  for i in range(n)])
+    nrm = np.linalg.norm(v, axis=1)
+    nrm[nrm == 0] = 1.0
+    v = v / nrm[:, None]
+    s = v @ v.T
+    for j in range(n):
+        want = SEMDEDUP_SENTINEL if j == 0 else round(float(s[:j, j].max()), 6)
+        assert abs(got[j] - want) < 2e-6, (j, got[j], want)
+
+    small = vecs.limit(200)
+    a = sorted(map(tuple, semdedup(small, n_cells="auto").collect()))
+    b = sorted(map(tuple, semdedup(small, n_cells=16).collect()))
+    assert a == b
