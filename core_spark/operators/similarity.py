@@ -472,6 +472,84 @@ def ivf_assign(
     )
 
 
+def ivf_assign_kernel(
+    df: DataFrame, cents: DataFrame, vec: str, out_id: str
+) -> DataFrame:
+    """Nearest-centroid assignment as an Arrow argmax kernel — the
+    scale twin of `ivf_assign` (top_n=1). The join formulation
+    explodes n×C candidate ROWS through the plan; with C scaled to
+    the corpus (SemDeDup's C ~ n/1000, or the classic √n balance)
+    that row count is quadratic-ish and dominated the r6 semdedup
+    100× measurement (231 s, exponent 1.3). Here the centroid matrix
+    rides the closure, each input row stays ONE row, and the n×C
+    similarity surface is in-kernel flops, accumulated
+    dimension-major over bounded centroid tiles — per entry the same
+    IEEE fold as the SQL twin, with the identical rounded-cosine +
+    lowest-cent_id tie-break, so fixed-C results agree exactly
+    (test-pinned). Memory is one batch × tile block. Driver-side
+    centroid collect is C·d doubles — C ≤ ~10⁶ is fine; beyond that
+    a hierarchical (two-level) quantizer is the right structure."""
+    rows = sorted(cents.collect(), key=lambda r: r["cent_id"])
+    cent_ids = [int(r["cent_id"]) for r in rows]
+    cent_vecs = [list(map(float, r["cent_v"])) for r in rows]
+
+    def _argmax(batches):
+        import numpy as np
+        import pandas as pd
+
+        cids = np.array(cent_ids, dtype=np.int64)
+        cm_raw = np.array(cent_vecs, dtype=np.float64)  # C x d
+        acc = np.zeros(len(cids), dtype=np.float64)
+        for i in range(cm_raw.shape[1]):
+            acc += cm_raw[:, i] * cm_raw[:, i]
+        nrm = np.sqrt(acc)
+        nrm[nrm == 0.0] = 1.0
+        cm = cm_raw / nrm[:, None]
+        T = 4096
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            ids = pdf[out_id].to_numpy(dtype=np.int64)
+            raw = np.array(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec]],
+                dtype=np.float64,
+            )
+            a2 = np.zeros(n, dtype=np.float64)
+            for i in range(raw.shape[1]):
+                a2 += raw[:, i] * raw[:, i]
+            vn = np.sqrt(a2)
+            vn[vn == 0.0] = 1.0
+            v = raw / vn[:, None]
+            best_sim = np.full(n, -np.inf)
+            best_id = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+            for t0 in range(0, len(cids), T):
+                ct = cm[t0 : t0 + T]
+                s = np.zeros((n, ct.shape[0]), dtype=np.float64)
+                for i in range(v.shape[1]):
+                    s += np.multiply.outer(v[:, i], ct[:, i])
+                s = np.round(s, 6)  # the JVM rounds half-up; ties at
+                # the 6th decimal between half-up and half-even need a
+                # .x5 exact boundary — measure-zero for real dots, and
+                # the fixed-C agreement test pins the practical claim
+                tid = cids[t0 : t0 + T]
+                # cent_ids ascend (ivf_centroids orders by id), so
+                # argmax's first-max rule IS the lowest-id tie-break
+                j = np.argmax(s, axis=1)
+                t_sim = s[np.arange(n), j]
+                t_id = tid[j]
+                better = (t_sim > best_sim) | (
+                    (t_sim == best_sim) & (t_id < best_id)
+                )
+                best_sim[better] = t_sim[better]
+                best_id[better] = t_id[better]
+            yield pd.DataFrame({out_id: ids, "cell": best_id})
+
+    return df.select(out_id, vec).mapInPandas(
+        _argmax, f"{out_id} long, cell long"
+    )
+
+
 def ann_ivf(
     queries: DataFrame,
     corpus: DataFrame,
@@ -789,11 +867,19 @@ def semdedup(
     100× probe caught in embed_near_dup, DESIGN §5.1). The prior
     kernel runs in bounded tiles either way, so an oversized cell
     costs time, never executor memory."""
-    if n_cells == "auto":
+    auto = n_cells == "auto"
+    if auto:
         n_cells = max(16, int(corpus.count()) // target_cell)
     cents = ivf_centroids(corpus, n_cells, id_col, vec_col)
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
-    cells = ivf_assign(c, cents, "_v", "vec_id", 1)
+    # auto mode assigns through the Arrow argmax kernel: the join
+    # formulation's n×C candidate rows are what made scaled-C
+    # assignment quadratic-ish (ivf_assign_kernel docstring); the
+    # fixed-C demo path keeps the join form its oracle pins.
+    assign = ivf_assign_kernel if auto else (
+        lambda d, ce, vec, out: ivf_assign(d, ce, vec, out, 1)
+    )
+    cells = assign(c, cents, "_v", "vec_id")
     assigned = c.join(cells, "vec_id")
 
     def _cell_prior(pdf):

@@ -418,3 +418,39 @@ def test_semdedup_tiled_prior_multi_tile_and_auto(spark):
     a = sorted(map(tuple, semdedup(small, n_cells="auto").collect()))
     b = sorted(map(tuple, semdedup(small, n_cells=16).collect()))
     assert a == b
+
+
+def test_ivf_assign_kernel_agrees_with_join_form(spark):
+    """The Arrow argmax kernel (scale path: rows stay linear, the
+    n x C surface is in-kernel flops) must assign every vector to the
+    same cell as the oracle-pinned join formulation — same
+    dimension-major fold, same rounded-cosine + lowest-cent_id
+    tie-break."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from core_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_kernel,
+        ivf_centroids,
+    )
+
+    n, dims = 700, 16
+    rng = np.random.default_rng(21)
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in rng.uniform(-1, 1, dims)])
+         for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    c = vecs.select("vec_id", F.col("embedding").alias("_v"))
+    cents = ivf_centroids(vecs, 24)
+    join_form = {
+        r.vec_id: r.cell
+        for r in ivf_assign(c, cents, "_v", "vec_id", 1).collect()
+    }
+    kernel = {
+        r.vec_id: r.cell
+        for r in ivf_assign_kernel(c, cents, "_v", "vec_id").collect()
+    }
+    assert kernel == join_form
