@@ -738,10 +738,11 @@ SEMDEDUP_SENTINEL = -2.0  # max_prior for the first vector of its cell
 def hard_negatives(
     corpus: DataFrame,
     k: int = 2,
-    n_cells: int = 16,
+    n_cells: int | str = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    target_cell: int = 1024,
 ) -> DataFrame:
     """Per-example hard-negative mining for contrastive training:
     for EVERY corpus vector, the k most-similar vectors carrying a
@@ -763,14 +764,29 @@ def hard_negatives(
     dimension-major sequential folds (bit-identical to the SQL twin),
     selection by RAW sim with id tie-break, rounding once JVM-side.
 
-    Output: (qid, vec_id, neg_label, sim)."""
+    Output: (qid, vec_id, neg_label, sim).
+
+    SCALE: `n_cells="auto"` = max(16, n // target_cell) with
+    assignment through `ivf_assign_kernel` (rows stay linear), the
+    same treatment as semdedup — fixed n_cells saturates cells and
+    makes the in-cell work quadratic (the registered query's
+    oracle-pinned demo configuration; DESIGN §5.1). The kernel
+    scores in bounded query-row blocks, so memory is block × cell
+    regardless of cell size."""
+    auto = n_cells == "auto"
+    if auto:
+        n_cells = max(16, int(corpus.count()) // target_cell)
     cents = ivf_centroids(corpus, n_cells, id_col, vec_col)
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("_v"),
         F.col(label_col).alias("_lbl"),
     )
-    cells = ivf_assign(c, cents, "_v", "vec_id", 1)
+    cells = (
+        ivf_assign_kernel(c, cents, "_v", "vec_id")
+        if auto
+        else ivf_assign(c, cents, "_v", "vec_id", 1)
+    )
     assigned = c.join(cells, "vec_id")
 
     def _cell_topk(pdf):
@@ -792,25 +808,31 @@ def hard_negatives(
         norm = np.sqrt(acc)
         norm[norm == 0.0] = 1.0  # semdedup's zero-norm guard
         v = raw / norm[:, None]
-        s = np.zeros((n, n), dtype=np.float64)
-        for i in range(v.shape[1]):
-            col = v[:, i]
-            s += np.multiply.outer(col, col)
         out_q: list = []
         out_v: list = []
         out_l: list = []
         out_s: list = []
-        for q in range(n):
-            cand = np.flatnonzero(labs != labs[q])
-            if cand.size == 0:
-                continue
-            # primary: sim desc (raw — bit-identical to the SQL
-            # fold, so no rounding ambiguity); secondary: id asc
-            sel = cand[np.lexsort((ids[cand], -s[q, cand]))[:k]]
-            out_q.extend([int(ids[q])] * len(sel))
-            out_v.extend(int(x) for x in ids[sel])
-            out_l.extend(int(x) for x in labs[sel])
-            out_s.extend(float(x) for x in s[q, sel])
+        # Blocked scoring: one B x cell similarity strip at a time —
+        # memory bounded however large the cell; per entry the same
+        # dimension-major fold as the full-gram form (bit-identical).
+        B = 512
+        for q0 in range(0, n, B):
+            vb = v[q0 : q0 + B]
+            s = np.zeros((vb.shape[0], n), dtype=np.float64)
+            for i in range(v.shape[1]):
+                s += np.multiply.outer(vb[:, i], v[:, i])
+            for qi in range(vb.shape[0]):
+                q = q0 + qi
+                cand = np.flatnonzero(labs != labs[q])
+                if cand.size == 0:
+                    continue
+                # primary: sim desc (raw — bit-identical to the SQL
+                # fold, so no rounding ambiguity); secondary: id asc
+                sel = cand[np.lexsort((ids[cand], -s[qi, cand]))[:k]]
+                out_q.extend([int(ids[q])] * len(sel))
+                out_v.extend(int(x) for x in ids[sel])
+                out_l.extend(int(x) for x in labs[sel])
+                out_s.extend(float(x) for x in s[qi, sel])
         return pd.DataFrame(
             {
                 "qid": np.array(out_q, dtype=np.int64),
