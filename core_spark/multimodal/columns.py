@@ -27,12 +27,16 @@ Two modes:
   (multimodal/gif.py: LZW, interlace, transparency), nearest-neighbor
   resize for PPM/PNG/JPEG/GIF, animated-GIF playback with disposal
   compositing (multimodal/gif.py gif_frames) behind the video
-  frame sampler, RIFF/WAV framing via the stdlib `wave` module,
-  and FLAC decode/encode (multimodal/flac.py: fixed + LPC
-  prediction, Rice residuals incl. escapes, stereo decorrelation,
-  CRC-verified). JPEG covers baseline (interleaved and
-  non-interleaved multi-scan) AND progressive (T.81 Annex G). The
-  remaining codecs (WEBP/TIFF, MP3/AAC, MP4/WEBM…) raise
+  frame sampler, RIFF/WAV decode across PCM 8/16/24/32, IEEE
+  float, G.711 mu-law/A-law, IMA + MS ADPCM and
+  WAVE_FORMAT_EXTENSIBLE plus AIFF/AIFF-C (multimodal/wav.py),
+  MP3 stream metadata (frame-header walk: rate/channels/duration/
+  bitrate, Xing VBR count — no audio decode), and FLAC
+  decode/encode (multimodal/flac.py: fixed + LPC prediction, Rice
+  residuals incl. escapes, stereo decorrelation, CRC-verified).
+  JPEG covers baseline (interleaved and non-interleaved
+  multi-scan) AND progressive (T.81 Annex G). The remaining codecs
+  (WEBP/TIFF, MP3/AAC PCM decode, MP4/WEBM…) raise
   NotImplementedError
   naming the library a cluster image would add (PIL / libsndfile /
   pyav); the Spark-side contract is identical either way.
@@ -329,52 +333,65 @@ def sample_audio_frames(
 ) -> DataFrame:
     """Explode audio payloads into fixed-interval frames (1 row per
     frame — the fan-out shape of frame sampling). Real mode frames
-    RIFF/WAV via the stdlib `wave` module and FLAC via the pure-
-    stdlib decoder (multimodal/flac.py: fixed/LPC prediction, Rice
-    residuals, stereo decorrelation, CRC-checked) — PCM frames per
-    slice × channels × sample width = n_bytes; other containers
-    raise, naming pyav. Fake mode treats every 100 bytes as one
+    RIFF/WAV (all multimodal/wav.py codecs: PCM widths, float,
+    G.711, IMA/MS ADPCM, EXTENSIBLE), AIFF/AIFF-C, FLAC
+    (multimodal/flac.py, CRC-checked) and MP3 (exact frame count ×
+    samples-per-frame from the header walk — no audio decode
+    needed to frame by time) — decoded-PCM bytes per slice ×
+    channels × sample width = n_bytes; other containers raise,
+    naming pyav. Fake mode treats every 100 bytes as one
     frame_ms."""
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import io
-        import wave
-
-        def flac_frames(doc_id: int, raw: bytes):
-            from core_spark.multimodal.flac import flac_decode, flac_meta
-
-            _rate, nch, bps, _total = flac_meta(raw)
-            pcm, fr = flac_decode(raw)
-            nf = pcm.shape[0]
-            sw = (bps + 7) // 8
+        def slices(doc_id: int, nch: int, sw: int, fr: int, nf: int):
             per_slice = max(1, (fr * frame_ms) // 1000)
-            n_slices = max(1, -(-nf // per_slice))
+            n_slices = max(1, -(-nf // per_slice))  # ceil
             for i in range(n_slices):
                 got = min(per_slice, nf - i * per_slice)
                 yield (doc_id, i, i * frame_ms, got * nch * sw)
 
         def wav_frames(doc_id: int, raw: bytes):
             if raw[:4] == b"fLaC":
-                yield from flac_frames(doc_id, raw)
+                from core_spark.multimodal.flac import flac_meta
+
+                rate, nch, bps, total = flac_meta(raw)
+                yield from slices(doc_id, nch, (bps + 7) // 8, rate, total)
                 return
-            if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
-                raise NotImplementedError(
-                    f"STUB: audio container with magic {raw[:4]!r} "
-                    "requires libsndfile/pyav; pure-python real mode "
-                    "covers RIFF/WAV PCM and FLAC"
+            if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+                from core_spark.multimodal.wav import wav_meta
+
+                rate, nch, bits, total, _codec = wav_meta(raw)
+                # framing reports decoded-PCM bytes: compressed
+                # codecs (G.711/ADPCM/float) land at 16-bit scale
+                sw = (bits + 7) // 8 if _codec == "pcm" else 2
+                yield from slices(doc_id, nch, sw, rate, total)
+                return
+            if raw[:4] == b"FORM" and raw[8:12] in (b"AIFF", b"AIFC"):
+                from core_spark.multimodal.wav import aiff_meta
+
+                rate, nch, bits, total, comp = aiff_meta(raw)
+                sw = (bits + 7) // 8 if comp in ("NONE", "twos") else 2
+                yield from slices(doc_id, nch, sw, rate, total)
+                return
+            if raw[:3] == b"ID3" or (
+                len(raw) >= 2 and raw[0] == 0xFF and raw[1] & 0xE0 == 0xE0
+            ):
+                # MP3: the header walk yields exact frame counts and
+                # rate without decoding audio (multimodal/wav.py)
+                from core_spark.multimodal.wav import mp3_meta
+
+                m = mp3_meta(raw)
+                total = m["n_frames"] * m["samples_per_frame"]
+                yield from slices(
+                    doc_id, m["channels"], 2, m["rate"], total
                 )
-            with wave.open(io.BytesIO(raw)) as wf:
-                nch, sw, fr, nf = (
-                    wf.getnchannels(),
-                    wf.getsampwidth(),
-                    wf.getframerate(),
-                    wf.getnframes(),
-                )
-            per_slice = max(1, (fr * frame_ms) // 1000)
-            n_slices = max(1, -(-nf // per_slice))  # ceil
-            for i in range(n_slices):
-                got = min(per_slice, nf - i * per_slice)
-                yield (doc_id, i, i * frame_ms, got * nch * sw)
+                return
+            raise NotImplementedError(
+                f"STUB: audio container with magic {raw[:4]!r} "
+                "requires libsndfile/pyav; pure-python real mode "
+                "covers RIFF/WAV (PCM/float/G.711/ADPCM), AIFF/AIFF-C, "
+                "FLAC, and MP3 stream metadata"
+            )
 
         for pdf in batches:
             rows = []
@@ -417,44 +434,43 @@ def audio_frame_features(
     (silence/clipping detection, loudness filtering). Integer
     arithmetic end to end: 16-bit samples square to <= 2^30, a 1 s
     48 kHz stereo slice sums < 2^47 — engine-exact, no float audio
-    path anywhere. Decodes RIFF/WAV PCM (8-bit unsigned is centered
-    at 128 first, per the WAV spec) and FLAC (multimodal/flac.py);
+    path anywhere (wider-than-16-bit sources are shifted down to the
+    16-bit scale first to keep that bound). Decodes RIFF/WAV (PCM
+    widths, float, G.711 mu-law/A-law, IMA + MS ADPCM, EXTENSIBLE),
+    AIFF/AIFF-C and FLAC (multimodal/wav.py, multimodal/flac.py);
     other containers raise, naming the library."""
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import io
-        import wave
-
         import numpy as np
 
         def pcm_of(raw: bytes):
             if raw[:4] == b"fLaC":
-                from core_spark.multimodal.flac import flac_decode
+                from core_spark.multimodal.flac import flac_decode, flac_meta
 
+                _rate, _nch, bits, _total = flac_meta(raw)
                 pcm, fr = flac_decode(raw)
-                return pcm.astype(np.int64), fr
-            if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
-                raise NotImplementedError(
-                    f"STUB: audio container with magic {raw[:4]!r} "
-                    "requires libsndfile/pyav; pure-python real mode "
-                    "covers RIFF/WAV PCM and FLAC"
-                )
-            with wave.open(io.BytesIO(raw)) as wf:
-                nch, sw, fr = (
-                    wf.getnchannels(),
-                    wf.getsampwidth(),
-                    wf.getframerate(),
-                )
-                frames = wf.readframes(wf.getnframes())
-            if sw == 2:
-                a = np.frombuffer(frames, dtype="<i2").astype(np.int64)
-            elif sw == 1:
-                a = np.frombuffer(frames, dtype=np.uint8).astype(np.int64) - 128
+                pcm = pcm.astype(np.int64)
+            elif raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+                from core_spark.multimodal.wav import wav_decode
+
+                pcm, fr, bits = wav_decode(raw)
+            elif raw[:4] == b"FORM" and raw[8:12] in (b"AIFF", b"AIFC"):
+                from core_spark.multimodal.wav import aiff_decode
+
+                pcm, fr, bits = aiff_decode(raw)
             else:
                 raise NotImplementedError(
-                    f"STUB: {sw * 8}-bit WAV needs libsndfile"
+                    f"STUB: audio container with magic {raw[:4]!r} "
+                    "requires libsndfile/pyav (MP3 gets metadata only "
+                    "— PCM needs an MDCT decoder); pure-python real "
+                    "mode covers RIFF/WAV (PCM/float/G.711/ADPCM), "
+                    "AIFF/AIFF-C, and FLAC"
                 )
-            return a.reshape(-1, nch), fr
+            if bits > 16:
+                # shift to 16-bit scale so a 1 s 48 kHz stereo slice's
+                # energy stays exactly inside int64 (docstring bound)
+                pcm = pcm >> (bits - 16)
+            return pcm, fr
 
         for pdf in batches:
             rows = []
