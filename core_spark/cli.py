@@ -59,6 +59,35 @@ def cmd_read(args) -> int:
         where = parse_where(args.where)
     except ValueError as e:
         raise SystemExit(str(e)) from e
+    if args.block:
+        # Blocking tail (gazctl `journals read -block`; ReadRequest.
+        # block, protocol.proto:420-439): poll the manifest — the
+        # cross-process commit signal — until data past --offset
+        # commits or the deadline lapses. Deadline-bounded rather
+        # than forever so a scripted caller can't hang unbounded;
+        # on timeout: no rows, exit 0, a status line on stderr (the
+        # OFFSET_NOT_YET_AVAILABLE analog — re-run to keep tailing).
+        if args.at_version is not None:
+            raise SystemExit(
+                "--block with --at-version is contradictory: a pinned "
+                "snapshot never grows"
+            )
+        import sys
+        import time as _t
+
+        want = args.offset if args.offset is not None else 0
+        t_end = _t.monotonic() + max(0.0, args.block_deadline)
+        while j.manifest().next_offset <= want:
+            if _t.monotonic() >= t_end:
+                print(
+                    json.dumps(
+                        {"blocked": True, "resume_offset": want,
+                         "timeout_s": args.block_deadline}
+                    ),
+                    file=sys.stderr,
+                )
+                return 0
+            _t.sleep(min(0.1, max(0.0, t_end - _t.monotonic())))
     df = j.read(
         spark,
         begin=args.offset,
@@ -399,6 +428,9 @@ def build_parser() -> argparse.ArgumentParser:
     jr.add_argument("--where", action="append", default=[])
     # schema-on-read for journals whose producers evolved columns
     jr.add_argument("--merge-schema", action="store_true")
+    # blocking tail: wait for data past --offset (gazctl -block)
+    jr.add_argument("--block", action="store_true")
+    jr.add_argument("--block-deadline", type=float, default=10.0)
     jr.add_argument("--output", default=None)
     jr.set_defaults(fn=cmd_read)
 

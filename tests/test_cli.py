@@ -308,3 +308,59 @@ def test_read_at_version(spark, tmp_path, capsys):
     ]) == 0
     rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert [r["v"] for r in rows] == [0, 1]
+
+
+def test_read_block_wakes_on_concurrent_append(spark, tmp_path, capsys):
+    """gazctl `journals read -block` parity: a blocked read returns
+    rows once a concurrent appender commits past --offset, and a
+    deadline lapse with no data exits 0 with no rows (the
+    OFFSET_NOT_YET_AVAILABLE analog)."""
+    import threading
+    import time
+
+    root = str(tmp_path / "jb")
+    assert main([
+        "journals-append", "--root", root, "--journal", "demo/b",
+        "--input", "/root/testdata/sf0.001/nation.parquet",
+    ]) == 0
+    capsys.readouterr()
+
+    # deadline lapse: offset 25 not yet available -> no rows, exit 0
+    t0 = time.monotonic()
+    assert main([
+        "journals-read", "--root", root, "--journal", "demo/b",
+        "--offset", "25", "--block", "--block-deadline", "0.5",
+    ]) == 0
+    out = capsys.readouterr()
+    assert out.out.strip() == ""
+    assert json.loads(out.err.strip())["resume_offset"] == 25
+    assert time.monotonic() - t0 >= 0.5
+
+    # concurrent append wakes the blocked read within the deadline
+    def appender():
+        time.sleep(0.6)
+        main([
+            "journals-append", "--root", root, "--journal", "demo/b",
+            "--input", "/root/testdata/sf0.001/region.parquet",
+        ])
+
+    th = threading.Thread(target=appender)
+    th.start()
+    assert main([
+        "journals-read", "--root", root, "--journal", "demo/b",
+        "--offset", "25", "--block", "--block-deadline", "15",
+    ]) == 0
+    th.join()
+    text = capsys.readouterr().out.strip().splitlines()
+    rows = [json.loads(l) for l in text if l.startswith("{")]
+    offs = [r["_offset"] for r in rows if "_offset" in r]
+    assert offs and min(offs) == 25  # the second append's rows
+
+    # --block with --at-version is contradictory
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="contradictory"):
+        main([
+            "journals-read", "--root", root, "--journal", "demo/b",
+            "--block", "--at-version", "1",
+        ])
