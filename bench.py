@@ -104,6 +104,7 @@ HEADLINE = [
     "q_curriculum_order",
     "q_decontam_scrub",
     "q_ann_recall",
+    "q_chunk_cdc",
 ]
 
 

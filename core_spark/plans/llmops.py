@@ -540,6 +540,162 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- content-defined chunks
+_CDC_W = 8  # rolling-hash window (chars)
+_CDC_B = 31  # polynomial base
+_CDC_M = 1_000_003  # modulus (prime)
+_CDC_D = 16  # boundary divisor: ~1/16 positions cut, mean chunk ~16
+_CDC_MIN = 8  # report duplicated chunks at least this long
+_CDC_TOP = 100
+
+_CDC_POWS = [_CDC_B**k for k in range(_CDC_W)]
+_CDC_HEXPR = " + ".join(
+    f"CAST(ascii(substr(d.text, p.i+{k}, 1)) AS BIGINT) * {_CDC_POWS[k]}"
+    for k in range(_CDC_W)
+)
+
+
+@query(
+    "q_chunk_cdc",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text, len(text) AS n FROM documents),
+    posx AS (
+      SELECT doc_id, n, unnest(range(1, n - {_CDC_W - 2})) AS i
+      FROM d WHERE n >= {_CDC_W}
+    ),
+    h AS (
+      SELECT p.doc_id, p.i + {_CDC_W - 1} AS cut
+      FROM posx p JOIN d USING (doc_id)
+      WHERE ({_CDC_HEXPR}) % {_CDC_M} % {_CDC_D} = 0
+    ),
+    cuts AS (
+      SELECT DISTINCT doc_id, cut FROM (
+        SELECT doc_id, cut FROM h
+        UNION ALL SELECT doc_id, n AS cut FROM d WHERE n > 0)
+    ),
+    spans AS (
+      SELECT doc_id,
+             COALESCE(LAG(cut) OVER (PARTITION BY doc_id ORDER BY cut),
+                      0) AS s,
+             cut AS e
+      FROM cuts
+    ),
+    chunks AS (
+      SELECT c.doc_id,
+             md5(substr(d.text, c.s + 1, c.e - c.s)) AS chunk_hash,
+             c.e - c.s AS len
+      FROM spans c JOIN d USING (doc_id)
+      WHERE c.e - c.s >= {_CDC_MIN}
+    )
+    SELECT chunk_hash, COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT doc_id) AS n_docs, MIN(len) AS chunk_len
+    FROM chunks GROUP BY chunk_hash HAVING COUNT(*) > 1
+    ORDER BY n_occurrences DESC, chunk_hash LIMIT {_CDC_TOP}
+    """,
+)
+def q_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (the LBFS/rsync family —
+    Muthitacharoen et al. SOSP'01; the storage-dedup counterpart to
+    q_dup_spans' winnowing): slide a {_CDC_W}-char polynomial
+    rolling hash over each document and cut a chunk boundary
+    wherever hash % {_CDC_D} == 0, so boundaries are functions of
+    CONTENT, not position — an insertion early in a document shifts
+    every byte offset but leaves all downstream chunk boundaries
+    (and therefore chunk hashes) intact, which is exactly why CDC
+    survives the alignment problem that defeats fixed-stride
+    shingling. Chunks are md5-keyed and duplicated chunks (>= 2
+    occurrences, >= {_CDC_MIN} chars) are reported with occurrence
+    and document counts — the chunk-level duplication census a
+    corpus store runs before chunk-sharing compression.
+
+    Shape at 100 TB: boundary detection and chunk hashing are one
+    map-side Arrow kernel (numpy strided polynomial hash, hashlib
+    per chunk — ~n/{_CDC_D} chunks per doc); only (chunk_hash,
+    doc_id, len) rows reach the single partial-agg shuffle, and the
+    top-{_CDC_TOP} is a TakeOrdered over the aggregated groups —
+    never a corpus-wide sort. No pairwise joins anywhere: dedup is
+    group-by-hash, O(total chunks).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+
+    def chunk(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        md5 = hashlib.md5
+        pows = np.array(_CDC_POWS, dtype=np.int64)
+        for pdf in batches:
+            ids: list[int] = []
+            hashes: list[str] = []
+            lens: list[int] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                n = len(text)
+                if n == 0:
+                    continue
+                raw = text.encode()
+                ascii_ = len(raw) == n
+                if n >= _CDC_W:
+                    a = (
+                        np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+                        if ascii_
+                        else np.fromiter(
+                            map(ord, text), dtype=np.int64, count=n
+                        )
+                    )
+                    m = n - _CDC_W + 1
+                    H = np.zeros(m, dtype=np.int64)
+                    for k in range(_CDC_W):
+                        H += a[k : k + m] * pows[k]
+                    H %= _CDC_M
+                    cuts = np.flatnonzero(H % _CDC_D == 0) + _CDC_W
+                else:
+                    cuts = np.array([], dtype=np.int64)
+                prev = 0
+                for e in [*map(int, cuts), n]:
+                    if e <= prev:
+                        continue  # final cut may coincide with a hash cut
+                    if e - prev >= _CDC_MIN:
+                        piece = (
+                            raw[prev:e] if ascii_
+                            else text[prev:e].encode()
+                        )
+                        ids.append(int(doc_id))
+                        hashes.append(md5(piece).hexdigest())
+                        lens.append(e - prev)
+                    prev = e
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "chunk_hash": pd.array(hashes, dtype="object"),
+                    "len": pd.array(lens, dtype="int64"),
+                }
+            )
+
+    d = docs.select("doc_id", "text")
+    # single-file sf parquet -> widen to session parallelism so the
+    # kernel isn't serialized; a no-op at cluster scale (see
+    # q_dup_spans for the rationale)
+    target = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < target:
+        d = d.repartition(target)
+    chunks = d.mapInPandas(
+        chunk, schema="doc_id long, chunk_hash string, len long"
+    )
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("len").alias("chunk_len"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+        .orderBy(F.desc("n_occurrences"), "chunk_hash")
+        .limit(_CDC_TOP)
+    )
+
+
 # --------------------------------------------------------- span scrubbing
 @query(
     "q_doc_span_scrub",
