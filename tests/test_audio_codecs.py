@@ -447,3 +447,73 @@ def test_spark_audio_features_24bit_shifted_to_16(spark):
     rows = audio_frame_features(df).collect()
     expect = pcm24 >> 8
     assert rows[0].energy == int((expect * expect).sum())
+
+
+# ------------------------------------------------------ property fuzz
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(1, 3).map(lambda c: c),
+    st.lists(st.integers(-32768, 32767), min_size=1, max_size=400),
+    st.sampled_from([8000, 22050, 44100]),
+)
+def test_pcm16_container_round_trip_property(nch, vals, rate):
+    n = (len(vals) // nch) * nch or nch
+    pcm = np.asarray((vals * nch)[:n], dtype=np.int64).reshape(-1, nch)
+    raw = W.build_wav(W.WAVE_PCM, rate, nch, 16, pcm.astype("<i2").tobytes())
+    dec, got_rate, bits = W.wav_decode(raw)
+    assert got_rate == rate and bits == 16 and (dec == pcm).all()
+    assert W.wav_meta(raw)[3] == pcm.shape[0]
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(-32768, 32767), min_size=16, max_size=600))
+def test_g711_round_trip_monotone_bounded_property(vals):
+    samples = np.asarray(vals, dtype=np.int64)
+    for enc, dec in (
+        (W.ulaw_encode, W.ulaw_decode),
+        (W.alaw_encode, W.alaw_decode),
+    ):
+        rt = dec(enc(samples))
+        # error bounded by the largest segment's step, sign preserved
+        assert np.abs(rt - samples).max() <= 1024
+        assert ((rt >= 0) == (samples >= 0))[np.abs(samples) > 64].all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=512))
+def test_random_bytes_never_hang_or_misparse(raw):
+    """Arbitrary payloads must raise a NAMED error (ValueError /
+    NotImplementedError / struct.error) or return a well-formed
+    result — never hang, never crash with an opaque internal error."""
+    for fn in (W.wav_meta, W.wav_decode, W.aiff_meta, W.aiff_decode,
+               W.mp3_meta):
+        try:
+            fn(raw)
+        except (ValueError, NotImplementedError, struct.error):
+            pass
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.binary(min_size=0, max_size=64),
+    st.integers(1, 6),
+    st.sampled_from([32, 64, 96, 128]),
+)
+def test_mp3_walk_with_garbage_prefix_property(prefix, n_frames, kbps):
+    frames = b"".join(W.build_mp3_frame(kbps=kbps) for _ in range(n_frames))
+    # a prefix that happens to contain a parseable sync could
+    # legitimately change the count; only assert on sync-free prefixes
+    has_sync = any(
+        prefix[i] == 0xFF and i + 1 < len(prefix)
+        and prefix[i + 1] & 0xE0 == 0xE0
+        for i in range(len(prefix))
+    )
+    if has_sync:
+        return
+    m = W.mp3_meta(prefix + frames)
+    assert m["n_frames"] == n_frames and m["bitrate_kbps"] == kbps
