@@ -233,12 +233,7 @@ def resize_images(
             w, h, _frames = gif_meta(raw)
             if max(w, h) <= max_side:
                 return raw
-            data = gif_decode(raw)
-            if data.shape[-1] == 4:
-                raise NotImplementedError(
-                    "STUB: resizing a transparent GIF requires PIL "
-                    "(pillow); pure-python re-encode is RGB-only"
-                )
+            data = gif_decode(raw)  # RGB, or RGBA when transparent
             scale = max(w, h) / max_side
             nw, nh = max(1, round(w / scale)), max(1, round(h / scale))
             ys = np.minimum((np.arange(nh) * (h / nh)).astype(int), h - 1)

@@ -215,21 +215,51 @@ def gif_decode(raw: bytes) -> np.ndarray:
 
 
 def gif_encode(arr: np.ndarray) -> bytes:
-    """Encode uint8 (h, w, 3) RGB (or (h, w) palette-index grayscale)
-    as a single-frame GIF89a. Distinct colors must fit a 256-entry
-    palette — quantization is out of scope (PIL's job)."""
+    """Encode uint8 (h, w, 3) RGB, (h, w, 4) RGBA, or (h, w)
+    palette-index grayscale as a single-frame GIF89a. RGBA maps to
+    binary GIF transparency (alpha < 128 -> the frame's transparent
+    index, carried in a graphic-control extension — the format has
+    no partial alpha), so `gif_decode(gif_encode(rgba))` round-trips
+    the alpha mask exactly. Distinct colors must fit the 256-entry
+    palette (255 with transparency) — quantization is out of scope
+    (PIL's job)."""
     if arr.ndim == 2:
         arr = np.stack([arr] * 3, axis=-1)
     h, w = arr.shape[:2]
+    trans_mask = None
+    if arr.shape[-1] == 4:
+        trans_mask = arr[..., 3].reshape(-1) < 128
+        arr = arr[..., :3]
+        if not trans_mask.any():
+            trans_mask = None
     flat = arr.reshape(-1, 3)
-    colors, idx = np.unique(flat, axis=0, return_inverse=True)
-    if colors.shape[0] > 256:
-        raise ValueError(
-            f"{colors.shape[0]} distinct colors exceed GIF's 256-entry "
-            "palette; quantize first (PIL)"
-        )
+    if trans_mask is not None:
+        # palette from OPAQUE pixels only + one reserved slot
+        colors_all, inv = np.unique(flat, axis=0, return_inverse=True)
+        used = np.unique(inv[~trans_mask])
+        if used.size > 255:
+            raise ValueError(
+                f"{used.size} distinct colors plus a transparent "
+                "slot exceed GIF's 256-entry palette; quantize first (PIL)"
+            )
+        remap = np.zeros(colors_all.shape[0], dtype=np.int32)
+        remap[used] = np.arange(used.size, dtype=np.int32)
+        colors = colors_all[used]
+        idx = remap[inv]
+        trans_idx = int(used.size)
+        idx[trans_mask] = trans_idx
+        n_colors = used.size + 1
+    else:
+        colors, idx = np.unique(flat, axis=0, return_inverse=True)
+        if colors.shape[0] > 256:
+            raise ValueError(
+                f"{colors.shape[0]} distinct colors exceed GIF's "
+                "256-entry palette; quantize first (PIL)"
+            )
+        trans_idx = None
+        n_colors = colors.shape[0]
     # palette size: power of two >= max(2, n)
-    bits = max(2, int(np.ceil(np.log2(max(2, colors.shape[0])))))
+    bits = max(2, int(np.ceil(np.log2(max(2, n_colors)))))
     n_pal = 1 << bits
     pal = np.zeros((n_pal, 3), dtype=np.uint8)
     pal[: colors.shape[0]] = colors
@@ -237,6 +267,9 @@ def gif_encode(arr: np.ndarray) -> bytes:
     out = bytearray(b"GIF89a")
     out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
     out += pal.tobytes()
+    if trans_idx is not None:
+        # graphic-control extension: transparency flag + index
+        out += b"\x21\xf9\x04" + bytes([0x01, 0, 0, trans_idx]) + b"\x00"
     out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
 
     min_code = bits

@@ -688,6 +688,36 @@ def test_gif_real_meta_resize_and_malformed(spark):
         gif_encode(many)
 
 
+def test_gif_transparent_resize_preserves_alpha(spark):
+    """RGBA GIF resize (late r6 — formerly a stub): the transparent
+    index survives the decode -> nearest-neighbor -> re-encode trip,
+    and the resampled alpha equals resampling the original alpha."""
+    import numpy as np
+
+    from core_spark.multimodal.columns import resize_images
+    from core_spark.multimodal.gif import gif_decode, gif_encode
+
+    h, w = 150, 300
+    yy, xx = np.mgrid[0:h, 0:w]
+    rgb = np.stack([((xx // 40) % 5 * 50).astype(np.uint8)] * 3, axis=-1)
+    alpha = np.where((xx + yy) % 5 == 0, 0, 255).astype(np.uint8)
+    rgba = np.dstack([rgb, alpha])
+    raw = gif_encode(rgba)
+    assert gif_decode(raw).shape == (h, w, 4)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(raw))], "doc_id long, payload binary"
+    )
+    out = resize_images(df, max_side=64, fake=False).first()
+    small = gif_decode(bytes(out.payload))
+    assert small.shape == (32, 64, 4)
+    ys = np.minimum((np.arange(32) * (h / 32)).astype(int), h - 1)
+    xs = np.minimum((np.arange(64) * (w / 64)).astype(int), w - 1)
+    assert np.array_equal(small[..., 3], alpha[ys][:, xs])
+    keep = small[..., 3] == 255
+    assert np.array_equal(small[..., :3][keep], rgb[ys][:, xs][keep])
+
+
 def test_png_sub_byte_depths_and_adam7():
     """1/2/4-bit grayscale + palette, and Adam7 interlace for 8-bit
     RGB — fixtures built with an independent test-side packer."""
