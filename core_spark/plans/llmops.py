@@ -197,6 +197,96 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, shuffle_partitions=16).orderBy("doc_id")
 
 
+# ------------------------------------------------------- dup canonicals
+@query(
+    "q_dup_canonical",
+    oracle=f"""
+    WITH RECURSIVE {DUCK_MINHASH_CTES},
+    pairs AS ({DUCK_MINHASH_PAIR_SELECT}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.v, r.lbl FROM reach r JOIN edges e ON r.node = e.u
+    ),
+    members AS (
+      SELECT node AS doc_id, MIN(lbl) AS cluster_id
+      FROM reach GROUP BY node
+    ),
+    scored AS (
+      SELECT m.cluster_id, m.doc_id, d.n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY m.cluster_id
+               ORDER BY d.n_chars DESC, m.doc_id
+             ) AS rk
+      FROM members m JOIN documents d USING (doc_id)
+    )
+    SELECT cluster_id,
+           MAX(CASE WHEN rk = 1 THEN doc_id END) AS kept_doc,
+           COUNT(*) AS n_members,
+           COUNT(*) - 1 AS n_dropped,
+           CAST(SUM(CASE WHEN rk > 1 THEN n_chars ELSE 0 END)
+                AS BIGINT) AS dropped_chars
+    FROM scored GROUP BY cluster_id ORDER BY cluster_id
+    """,
+)
+def q_dup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-survivor selection — the RETENTION step after
+    cluster resolution: q_dup_clusters says which documents are the
+    same; this says which single copy the corpus keeps (longest
+    document, ties to the smallest doc_id — the deterministic
+    keep-best policy a dedup pipeline applies) and what it costs
+    (documents and characters dropped per cluster). Together the
+    pair → cluster → canonical chain is the full near-dedup
+    pipeline a training corpus runs.
+
+    Shape at 100 TB: reuses the banded MinHash pair pipeline and the
+    min-label CC (shuffles unchanged); the survivor pick is one
+    row_number window PARTITIONED BY cluster_id — cluster-sized
+    partitions (dup clusters are small by construction; a massive
+    cluster means the threshold is wrong, which q_graph_triangles
+    flags), never a global window — and the census is a partial-agg
+    groupBy on the same key.
+    """
+    from core_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, k=_MINHASH_K)
+    cand = lsh_candidates(sigs, bands=_BANDS, rows=_ROWS)
+    pairs = verify_jaccard(cand, docs).filter(
+        F.col("inter") * 10 >= F.col("uni") * 7
+    )
+    members = connected_components(pairs, shuffle_partitions=16)
+    scored = members.join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("cluster_id").orderBy(
+                F.desc("n_chars"), F.asc("doc_id")
+            )
+        ),
+    )
+    return (
+        scored.groupBy("cluster_id")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).alias(
+                "kept_doc"
+            ),
+            F.count("*").alias("n_members"),
+            (F.count("*") - F.lit(1)).alias("n_dropped"),
+            F.sum(
+                F.when(F.col("rk") > 1, F.col("n_chars")).otherwise(0)
+            ).alias("dropped_chars"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 # --------------------------------------------------------- dup triangles
 @query(
     "q_graph_triangles",
