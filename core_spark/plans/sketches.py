@@ -300,6 +300,136 @@ def q_incr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# ---------------------------------------------------------- bloom ingest
+_BLOOM_M = 65536  # bits; sized for the sf0.1 corpus (~4.5k docs ->
+#                   kn/m ~ 0.2, FP ~ 3e-4). Fixed because the DuckDB
+#                   oracle pins the exact bit positions; the 100 TB
+#                   path sizes m from the corpus count (see docstring)
+_BLOOM_K = 3
+
+
+def _bloom_positions(h: Column) -> list[Column]:
+    """k bit positions from non-overlapping 32-bit slices of the md5
+    hex — independent uniform hashes, identical arithmetic in SQL."""
+    return [
+        F.conv(F.substring(h, 1 + 8 * j, 8), 16, 10).cast("long")
+        % _BLOOM_M
+        for j in range(_BLOOM_K)
+    ]
+
+
+@query(
+    "q_bloom_ingest",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 <> 9
+    ),
+    cpos AS (
+      SELECT DISTINCT unnest([
+        CAST('0x' || substr(h, 1, 8) AS BIGINT) % {_BLOOM_M},
+        CAST('0x' || substr(h, 9, 8) AS BIGINT) % {_BLOOM_M},
+        CAST('0x' || substr(h, 17, 8) AS BIGINT) % {_BLOOM_M}
+      ]) AS pos FROM corpus
+    ),
+    batch AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 = 9
+    ),
+    bpos AS (
+      SELECT doc_id, h, unnest([
+        CAST('0x' || substr(h, 1, 8) AS BIGINT) % {_BLOOM_M},
+        CAST('0x' || substr(h, 9, 8) AS BIGINT) % {_BLOOM_M},
+        CAST('0x' || substr(h, 17, 8) AS BIGINT) % {_BLOOM_M}
+      ]) AS pos FROM batch
+    ),
+    hits AS (
+      SELECT b.doc_id, b.h,
+             COUNT(DISTINCT b.pos) AS npos,
+             COUNT(DISTINCT CASE WHEN c.pos IS NOT NULL THEN b.pos END)
+               AS nhit
+      FROM bpos b LEFT JOIN cpos c USING (pos)
+      GROUP BY b.doc_id, b.h
+    )
+    SELECT h.doc_id,
+           CASE WHEN h.nhit < h.npos THEN 'unique'
+                WHEN c.h IS NOT NULL THEN 'dup_corpus'
+                ELSE 'false_positive' END AS verdict
+    FROM hits h LEFT JOIN corpus c USING (h)
+    ORDER BY doc_id
+    """,
+)
+def q_bloom_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership gate at ingest: classify a new batch
+    (doc_id%10=9) against the corpus WITHOUT joining the corpus hash
+    set — the batch probes a {_BLOOM_M}-bit / k={_BLOOM_K} Bloom
+    filter of corpus content hashes, and only Bloom POSITIVES pay
+    the exact verify join (Bloom has no false negatives, so misses
+    are 'unique' with certainty; positives split into 'dup_corpus'
+    and 'false_positive' by the survivors-only exact check). This is
+    the q_incr_dedup contract bought at broadcast cost: the filter's
+    distinct bit positions (<= {_BLOOM_M} rows regardless of corpus
+    size) broadcast to every executor, so the corpus-sized side
+    never shuffles against the batch.
+
+    Shape at 100 TB: the corpus pass is one distinct + a map-side
+    position explode collapsed to <= m rows; the batch probe is a
+    broadcast join + per-doc partial agg; the exact-verify join runs
+    on Bloom survivors only. The registered m is fixed (the oracle
+    pins exact bit positions — demo-scale by declaration, the
+    q_embed_dup convention); production sizes m ~ 16 bits/key from
+    one corpus count so FP stays ~3e-4 at any scale, and the
+    broadcast stays small (2^40 keys x 16 bits = 2 TB would shard
+    the filter by hash prefix — the same partition-pruned probe).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_h = (
+        docs.filter(F.col("doc_id") % 10 != 9)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+    )
+    cpos = (
+        corpus_h.select(
+            F.explode(F.array(*_bloom_positions(F.col("h")))).alias("pos")
+        )
+        .distinct()
+        .withColumn("present", F.lit(1))
+    )
+    batch = docs.filter(F.col("doc_id") % 10 == 9).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    bpos = batch.select(
+        "doc_id", "h",
+        F.explode(F.array(*_bloom_positions(F.col("h")))).alias("pos"),
+    )
+    hits = (
+        bpos.join(F.broadcast(cpos), "pos", "left")
+        .groupBy("doc_id", "h")
+        .agg(
+            F.countDistinct("pos").alias("npos"),
+            F.countDistinct(
+                F.when(F.col("present") == 1, F.col("pos"))
+            ).alias("nhit"),
+        )
+    )
+    # Bloom discipline: only positives pay the exact verify join
+    positives = hits.filter(F.col("nhit") == F.col("npos")).join(
+        corpus_h.withColumn("in_corpus", F.lit(1)), "h", "left"
+    )
+    return (
+        positives.select(
+            "doc_id",
+            F.when(F.col("in_corpus") == 1, F.lit("dup_corpus"))
+            .otherwise(F.lit("false_positive"))
+            .alias("verdict"),
+        )
+        .unionByName(
+            hits.filter(F.col("nhit") < F.col("npos")).select(
+                "doc_id", F.lit("unique").alias("verdict")
+            )
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --------------------------------------------------------- embed quantize
 @query(
     "q_embed_quant",
