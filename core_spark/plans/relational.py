@@ -1095,7 +1095,12 @@ def q_coloc_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from core_spark.sources.bucketed import co_located_join, write_bucketed
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # tag includes the PID: the table registration is per-session
+    # anyway (a new process ALWAYS rewrites), so sharing the on-disk
+    # path across processes bought nothing and let a concurrent
+    # process overwrite files this one was mid-read on (observed as
+    # a FILE_NOT_EXIST flake when two suites ran side by side)
+    tag = hashlib.md5(f"{sf_dir}:{os.getpid()}".encode()).hexdigest()[:8]
     root = os.path.join(tempfile.gettempdir(), "core_spark_bucketed", tag)
 
     # Bucketing is a WRITE-TIME layout: materialize once per
