@@ -186,6 +186,100 @@ _DUCK_MIXB = (
 )
 
 
+# ------------------------------------------------------ priority sample
+_PS_K = 100  # sample size
+_PS_DEN = 1152921504606846976.0  # 2^60: 15 md5 hex digits -> u in (0,1]
+
+
+@query(
+    "q_corpus_sample",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, n_chars AS weight,
+             CAST('0x' || substr(
+               md5('ps:' || CAST(doc_id AS VARCHAR)), 1, 15
+             ) AS BIGINT) AS h
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, weight,
+             CAST(weight AS DOUBLE)
+               / ((CAST(h AS DOUBLE) + 1) / {_PS_DEN}) AS pri
+      FROM w
+    ),
+    top AS (
+      SELECT * FROM q ORDER BY pri DESC, doc_id LIMIT {_PS_K + 1}
+    ),
+    tau AS (SELECT MIN(pri) AS tau FROM top),
+    kept AS (
+      SELECT * FROM top ORDER BY pri DESC, doc_id LIMIT {_PS_K}
+    )
+    SELECT k.doc_id, k.weight,
+           CAST(FLOOR(GREATEST(CAST(k.weight AS DOUBLE), t.tau)
+                      * 1000000) AS BIGINT) AS est_micro
+    FROM kept k, tau t ORDER BY k.doc_id
+    """,
+)
+def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted priority sampling (Duffield–Lund–Thorup, JACM 2007):
+    each document draws priority w/u (u a deterministic md5-derived
+    uniform in (0,1], weight = n_chars), the k={_PS_K} largest
+    priorities are kept, and tau — the (k+1)-th priority — yields
+    the UNBIASED per-item weight estimator max(w, tau): any
+    subset-sum over the sample estimates the corpus-wide subset sum
+    without bias, which is what makes a {_PS_K}-doc sample usable
+    for corpus statistics (token budgets, domain shares) instead of
+    only for eyeballing. Distinct from q_sample (uniform Bernoulli),
+    q_exact_quota (per-stratum exact counts) and q_domain_sample
+    (rate-matched mixture): this one is weight-proportional without
+    replacement, with an estimator.
+
+    Engine-independence: u and the priority involve only IEEE-754
+    divisions (correctly rounded by spec — unlike ln/pow they are
+    bit-identical across the JVM and DuckDB), and ordering ties
+    break on doc_id, so the kept set and the floored-micro estimator
+    hash-match exactly.
+
+    Shape at 100 TB: priorities are a projection; the top-(k+1) is a
+    TakeOrdered (per-partition heaps + one k-sized reduce — never a
+    global sort); tau is one broadcast scalar.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ps:"), F.col("doc_id").cast("string"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(_PS_DEN)
+    q = docs.select(
+        "doc_id",
+        F.col("n_chars").alias("weight"),
+        (F.col("n_chars").cast("double") / u).alias("pri"),
+    )
+    top = q.orderBy(F.desc("pri"), "doc_id").limit(_PS_K + 1)
+    top = top.persist()
+    tau = top.agg(F.min("pri").alias("tau"))
+    kept = top.orderBy(F.desc("pri"), "doc_id").limit(_PS_K)
+    return (
+        kept.crossJoin(F.broadcast(tau))  # one-row global scalar
+        .select(
+            "doc_id",
+            "weight",
+            F.floor(
+                F.greatest(F.col("weight").cast("double"), F.col("tau"))
+                * 1000000
+            )
+            .cast("long")
+            .alias("est_micro"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @query(
     "q_domain_sample",
     oracle=f"""
