@@ -22,6 +22,12 @@ Commands (each wraps a batch DataFrame job):
                       over materialized state, examples/bike-share/
                       api.go): materialized journals ARE the state,
                       Spark SQL is the query surface
+  journals reset-head — trim the manifest to the durable contiguous
+                      fragment prefix and resume appends after store
+                      data loss (journals_reset_head.go)
+  journals store-health — active write/read/remove store probe
+                      (journals_store_health.go; the gateway's
+                      /healthz as a batch command)
 """
 
 from __future__ import annotations
@@ -142,6 +148,27 @@ def cmd_vacuum(args) -> int:
     )
     print(json.dumps({"vacuumed": n}))
     return 0
+
+
+def cmd_reset_head(args) -> int:
+    """gazctl `journals reset-head`: trim the manifest to the
+    longest contiguous durable fragment prefix and reset the append
+    head there (recovery after store data loss)."""
+    from core_spark.sources.journal import Journal
+
+    print(json.dumps(Journal(args.root, args.journal).reset_head()))
+    return 0
+
+
+def cmd_store_health(args) -> int:
+    """gazctl `journals store-health`: active write/read/remove
+    probe under the store root (the gateway's /healthz check, as a
+    batch command)."""
+    from core_spark.sources.stores import probe_store
+
+    health = probe_store(args.root)
+    print(json.dumps(health))
+    return 0 if health["ok"] else 1
 
 
 def cmd_shards_stat(args) -> int:
@@ -454,6 +481,15 @@ def build_parser() -> argparse.ArgumentParser:
     jp.add_argument("--journal", required=True)
     jp.add_argument("--keep-after", type=float, required=True)
     jp.set_defaults(fn=cmd_prune)
+
+    jrh = sub.add_parser("journals-reset-head")
+    jrh.add_argument("--root", required=True)
+    jrh.add_argument("--journal", required=True)
+    jrh.set_defaults(fn=cmd_reset_head)
+
+    jsh = sub.add_parser("journals-store-health")
+    jsh.add_argument("--root", required=True)
+    jsh.set_defaults(fn=cmd_store_health)
 
     jv = sub.add_parser("journals-vacuum")
     jv.add_argument("--root", required=True)

@@ -364,33 +364,11 @@ class JournalGateway:
         """Active store probe: exclusive-create a sentinel under the
         root, read it back, remove it. Returns {"ok", "probe_ms"} or
         {"ok": False, "error"} — the write-path check a fragment
-        store health API performs."""
-        import time as _t
-        import uuid as _uuid
+        store health API performs (shared with the CLI's
+        journals-store-health; sources/stores.py)."""
+        from core_spark.sources.stores import probe_store
 
-        probe = os.path.join(self.root, f"_health-{_uuid.uuid4().hex}")
-        t0 = _t.perf_counter()
-        try:
-            os.makedirs(self.root, exist_ok=True)
-            fd = os.open(probe, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            with os.fdopen(fd, "w") as fh:
-                fh.write("ok")
-            with open(probe) as fh:
-                ok = fh.read() == "ok"
-            return {
-                "ok": ok,
-                "root": self.root,
-                "probe_ms": round((_t.perf_counter() - t0) * 1000, 3),
-            }
-        except OSError as e:
-            return {"ok": False, "root": self.root, "error": str(e)}
-        finally:
-            # a probe failing between create and read must not leave
-            # its sentinel behind — the probe advertises cleanliness
-            try:
-                os.remove(probe)
-            except OSError:
-                pass
+        return probe_store(self.root)
 
     def list_journals(self) -> list[dict]:
         out = []

@@ -969,6 +969,56 @@ class Journal:
                     )
         return sum(len(r) for r in todo) - len(todo)
 
+    # --------------------------------------------------------- reset-head
+    def reset_head(self) -> dict:
+        """Recover a journal whose store lost fragment data — the
+        `gazctl journals reset-head` analog (cmd/gazctl/gazctlcmd/
+        journals_reset_head.go: after broker/store failure, reset the
+        append head to the maximum durable offset so writes can
+        resume). Here the manifest is the commit record, so the
+        failure mode is inverted — a fragment can vanish UNDER a
+        committed manifest (bucket data loss, manual deletion, a
+        partially-restored store): scan each manifest fragment for
+        durable presence, trim to the longest contiguous durable
+        PREFIX, reset next_offset to its end, and commit through the
+        normal version CAS (a concurrent appender loses cleanly).
+        Fragments after the first missing one are dropped even when
+        their own files survive: offsets are contiguous by contract
+        and a hole would break read-committed consumers; surviving
+        post-hole files stay on disk for forensics until `vacuum`.
+        Idempotent: a journal whose fragments are all durable is a
+        no-op ({"reset": False})."""
+        m = self.manifest()
+        keep: list[Fragment] = []
+        dropped = 0
+        for f in sorted(m.fragments, key=lambda fr: (fr.begin, fr.seq)):
+            p = os.path.join(self.root, f.path)
+            durable = os.path.isfile(p) or (
+                os.path.isdir(p)
+                and any(not e.startswith("_") for e in os.listdir(p))
+            )
+            if dropped or not durable:
+                dropped += 1
+                continue
+            keep.append(f)
+        new_end = keep[-1].end if keep else 0
+        if dropped == 0 and m.next_offset == new_end:
+            return {
+                "reset": False, "next_offset": m.next_offset,
+                "dropped": 0, "version": m.version,
+            }
+        new = Manifest(
+            version=m.version + 1,
+            next_offset=new_end,
+            fragments=keep,
+            registers=m.registers,
+        )
+        self._commit_manifest(new)
+        return {
+            "reset": True, "next_offset": new_end,
+            "dropped": dropped, "version": new.version,
+        }
+
     # -------------------------------------------------------------- prune
     def prune(self, keep_mod_time_after: float) -> int:
         """Retention: drop fragments wholly older than the horizon

@@ -113,3 +113,37 @@ class MemoryCASStore(ManifestStore):
                 return False
             self._blobs[version] = data
             return True
+
+
+def probe_store(root: str) -> dict:
+    """Active store health probe: exclusive-create a sentinel under
+    `root`, read it back, remove it — the write-path check the
+    reference's fragment-store health API performs (gazctl
+    `journals store-health`, broker store health checks). Shared by
+    the gateway's /healthz and the CLI `journals-store-health`."""
+    import time as _t
+    import uuid as _uuid
+
+    probe = os.path.join(root, f"_health-{_uuid.uuid4().hex}")
+    t0 = _t.perf_counter()
+    try:
+        os.makedirs(root, exist_ok=True)
+        fd = os.open(probe, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "w") as fh:
+            fh.write("ok")
+        with open(probe) as fh:
+            ok = fh.read() == "ok"
+        return {
+            "ok": ok,
+            "root": root,
+            "probe_ms": round((_t.perf_counter() - t0) * 1000, 3),
+        }
+    except OSError as e:
+        return {"ok": False, "root": root, "error": str(e)}
+    finally:
+        # a probe failing between create and read must not leave its
+        # sentinel behind — the probe advertises cleanliness
+        try:
+            os.remove(probe)
+        except OSError:
+            pass

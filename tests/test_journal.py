@@ -785,3 +785,69 @@ def test_read_merge_schema_unions_evolved_columns(spark, journal):
     assert [(r.v, r.tag) for r in rows] == [
         (0, None), (1, None), (2, None), (100, "x"), (101, "y"),
     ]
+
+
+def test_reset_head_recovers_after_store_data_loss(spark, journal):
+    """gazctl journals reset-head analog: a fragment vanishing UNDER
+    a committed manifest (store data loss) breaks reads; reset-head
+    trims to the durable contiguous prefix, resets next_offset, and
+    appends resume from the new head. Durable post-hole fragments
+    are dropped too (offsets are contiguous by contract)."""
+    import os
+    import shutil
+
+    journal.append(_df(spark, 0, 10))
+    journal.append(_df(spark, 10, 15))
+    journal.append(_df(spark, 15, 30))
+    m = journal.manifest()
+    assert m.next_offset == 30 and len(m.fragments) == 3
+
+    # all durable: no-op
+    r = journal.reset_head()
+    assert r == {
+        "reset": False, "next_offset": 30, "dropped": 0,
+        "version": m.version,
+    }
+
+    # lose the MIDDLE fragment's data out from under the manifest
+    middle = sorted(m.fragments, key=lambda f: f.begin)[1]
+    shutil.rmtree(os.path.join(journal.root, middle.path))
+    with pytest.raises(Exception):
+        journal.read(spark).count()  # loud failure, not silent holes
+
+    r = journal.reset_head()
+    assert r["reset"] and r["next_offset"] == 10
+    # the durable third fragment is dropped too: contiguity wins
+    assert r["dropped"] == 2
+    m2 = journal.manifest()
+    assert m2.next_offset == 10 and len(m2.fragments) == 1
+
+    # reads serve the durable prefix; appends resume from offset 10
+    assert journal.read(spark).count() == 10
+    frag = journal.append(_df(spark, 100, 105))
+    assert (frag.begin, frag.end) == (10, 15)
+    assert journal.read(spark).count() == 15
+    # idempotent after recovery
+    assert journal.reset_head()["reset"] is False
+
+
+def test_reset_head_cli_and_store_health_cli(spark, tmp_path, capsys):
+    import json as _json
+
+    from core_spark.cli import main
+
+    root = str(tmp_path / "jr")
+    assert main([
+        "journals-append", "--root", root, "--journal", "demo/r",
+        "--input", "/root/testdata/sf0.001/region.parquet",
+    ]) == 0
+    capsys.readouterr()
+    assert main([
+        "journals-reset-head", "--root", root, "--journal", "demo/r",
+    ]) == 0
+    out = _json.loads(capsys.readouterr().out.strip())
+    assert out["reset"] is False and out["next_offset"] == 5
+
+    assert main(["journals-store-health", "--root", root]) == 0
+    health = _json.loads(capsys.readouterr().out.strip())
+    assert health["ok"] is True and health["probe_ms"] >= 0
