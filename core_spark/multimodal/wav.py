@@ -88,54 +88,68 @@ _ULAW_SEG_END = [0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF]
 _ALAW_SEG_END = [0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF]
 
 
+def _ulaw_encode_one(s: int) -> int:
+    """Exact Sun g711.c segment search in the 14-bit domain
+    (bit-identical to the CCITT reference encoder)."""
+    v = s >> 2  # 16- to 14-bit domain
+    if v < 0:
+        v = -v
+        mask = 0x7F
+    else:
+        mask = 0xFF
+    v = min(v, 8159) + (_ULAW_BIAS >> 2)
+    for i, end in enumerate(_ULAW_SEG_END):
+        if v <= end:
+            return ((i << 4) | ((v >> (i + 1)) & 0xF)) ^ mask
+    return 0x7F ^ mask
+
+
+def _alaw_encode_one(s: int) -> int:
+    """Exact Sun g711.c segment search in the 13-bit domain."""
+    v = s >> 3  # 16- to 13-bit domain
+    if v >= 0:
+        mask = 0xD5  # sign bit set (positive) + even-bit toggle
+    else:
+        mask = 0x55
+        v = -v - 1
+    for i, end in enumerate(_ALAW_SEG_END):
+        if v <= end:
+            aval = i << 4
+            aval |= (v >> 1) & 0xF if i < 2 else (v >> i) & 0xF
+            return aval ^ mask
+    return 0x7F ^ mask
+
+
+_ENC_LUTS: dict[str, np.ndarray] = {}
+
+
+def _enc_lut(codec: str) -> np.ndarray:
+    """Lazily built 65536-entry encode LUT (indexed by s + 32768) so
+    bulk encodes are one numpy gather instead of a Python loop; the
+    scalar reference above stays the definition the LUT is built
+    from (and the tests compare against audioop either way)."""
+    lut = _ENC_LUTS.get(codec)
+    if lut is None:
+        one = _ulaw_encode_one if codec == "ulaw" else _alaw_encode_one
+        lut = np.array(
+            [one(s) for s in range(-32768, 32768)], dtype=np.uint8
+        )
+        _ENC_LUTS[codec] = lut
+    return lut
+
+
 def ulaw_encode(samples: np.ndarray) -> bytes:
-    """int16 samples -> mu-law bytes, the exact Sun g711.c
-    segment-search algorithm in the 14-bit domain (bit-identical to
-    the CCITT reference encoder)."""
-    out = bytearray()
-    for s in np.asarray(samples, dtype=np.int64):
-        v = int(s) >> 2  # 16- to 14-bit domain
-        if v < 0:
-            v = -v
-            mask = 0x7F
-        else:
-            mask = 0xFF
-        v = min(v, 8159) + (_ULAW_BIAS >> 2)
-        seg = 8
-        for i, end in enumerate(_ULAW_SEG_END):
-            if v <= end:
-                seg = i
-                break
-        if seg >= 8:
-            out.append(0x7F ^ mask)
-        else:
-            out.append(((seg << 4) | ((v >> (seg + 1)) & 0xF)) ^ mask)
-    return bytes(out)
+    """int16 samples -> mu-law bytes (bit-identical to the CCITT
+    reference encoder; LUT-vectorized)."""
+    idx = np.asarray(samples, dtype=np.int64) + 32768
+    return _enc_lut("ulaw")[idx].tobytes()
 
 
 def alaw_encode(samples: np.ndarray) -> bytes:
-    """int16 samples -> A-law bytes, the exact Sun g711.c
-    segment-search algorithm in the 13-bit domain."""
-    out = bytearray()
-    for s in np.asarray(samples, dtype=np.int64):
-        v = int(s) >> 3  # 16- to 13-bit domain
-        if v >= 0:
-            mask = 0xD5  # sign bit set (positive) + even-bit toggle
-        else:
-            mask = 0x55
-            v = -v - 1
-        seg = 8
-        for i, end in enumerate(_ALAW_SEG_END):
-            if v <= end:
-                seg = i
-                break
-        if seg >= 8:
-            out.append(0x7F ^ mask)
-        else:
-            aval = seg << 4
-            aval |= (v >> 1) & 0xF if seg < 2 else (v >> seg) & 0xF
-            out.append(aval ^ mask)
-    return bytes(out)
+    """int16 samples -> A-law bytes (bit-identical to the CCITT
+    reference encoder; LUT-vectorized)."""
+    idx = np.asarray(samples, dtype=np.int64) + 32768
+    return _enc_lut("alaw")[idx].tobytes()
 
 
 # ------------------------------------------------------------ IMA ADPCM
