@@ -105,6 +105,10 @@ HEADLINE = [
     "q_decontam_scrub",
     "q_ann_recall",
     "q_chunk_cdc",
+    "q_bloom_ingest",
+    "q_corpus_sample",
+    # q_dup_canonical is intentionally absent: its dominant cost is
+    # the same pair+CC pipeline q_dup_clusters already times
 ]
 
 

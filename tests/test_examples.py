@@ -101,3 +101,82 @@ def test_curation_stream_end_to_end(spark, tmp_path):
     kept = sorted(r.doc_id for r in clean.collect())
     assert kept == [1, 5]
     assert set(clean.columns) >= {"doc_id", "text", "lang", "n_tokens", "h"}
+
+
+def test_media_pipeline_end_to_end(spark, tmp_path):
+    """media-pipeline: real-codec decode -> gates -> bloom-indexed
+    journal -> per-format pruned serving. Payload mix exercises PNG,
+    GIF, BMP, WAV (PCM + ulaw + IMA ADPCM), AIFF, FLAC and MP3 (the
+    NULL-energy edge); a tiny image, a sub-second clip and a silent
+    clip are rejected with named verdicts."""
+    import struct
+
+    import numpy as np
+
+    from core_spark.examples.media_pipeline import (
+        media_read,
+        media_stats,
+        run_media_curation,
+    )
+    from core_spark.multimodal import wav as W
+    from core_spark.multimodal.bmp import bmp_encode
+    from core_spark.multimodal.flac import flac_encode
+    from core_spark.multimodal.gif import gif_encode
+    from core_spark.multimodal.png import png_encode
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 5, (80, 120, 3), dtype=np.uint8) * 50
+    tiny = img[:20, :20]
+    tone = (
+        9000 * np.sin(2 * np.pi * 440 * np.arange(16000) / 8000)
+    ).astype(np.int64).reshape(-1, 1)
+    silent = np.zeros((8000, 1), dtype=np.int64)
+    short = tone[:800]
+    ima, ba = W.ima_adpcm_encode(tone, 1, samples_per_block=505)
+
+    payloads = [
+        (1, png_encode(img)),                              # kept
+        (2, gif_encode(img)),                              # kept
+        (3, bmp_encode(img)),                              # kept
+        (4, png_encode(tiny)),                             # rejected_small
+        (5, W.build_wav(W.WAVE_PCM, 8000, 1, 16,
+                        tone.astype("<i2").tobytes())),    # kept
+        (6, W.build_wav(W.WAVE_ULAW, 8000, 1, 8,
+                        W.ulaw_encode(tone[:, 0]),
+                        block_align=1)),                   # kept
+        (7, W.build_wav(W.WAVE_IMA_ADPCM, 8000, 1, 4, ima,
+                        block_align=ba,
+                        extra=struct.pack("<H", 505),
+                        fact_frames=16000)),               # kept
+        (8, W.build_wav(W.WAVE_PCM, 8000, 1, 16,
+                        silent.astype("<i2").tobytes())),  # rejected_silent
+        (9, W.build_wav(W.WAVE_PCM, 8000, 1, 16,
+                        short.astype("<i2").tobytes())),   # rejected_short
+        (10, W.build_aiff(8000, 1, 16, 16000,
+                          tone.astype(">i2").tobytes())),  # kept
+        (11, flac_encode(tone.astype(np.int32), 8000)),    # kept
+        (12, b"".join(W.build_mp3_frame(kbps=128)
+                      for _ in range(40))),                # kept_no_energy
+    ]
+    media = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in payloads],
+        "doc_id long, payload binary",
+    )
+    out_root = str(tmp_path / "media")
+    ledger = run_media_curation(spark, media, out_root)
+    verdicts = {r.doc_id: r.verdict for r in ledger.collect()}
+    assert verdicts[4] == "rejected_small"
+    assert verdicts[8] == "rejected_silent"
+    assert verdicts[9] == "rejected_short"
+    assert verdicts[12] == "kept_no_energy"
+    kept = {d for d, v in verdicts.items() if v.startswith("kept")}
+    assert kept == {1, 2, 3, 5, 6, 7, 10, 11, 12}
+
+    stats = {r.mime: r.n_assets for r in media_stats(spark, out_root).collect()}
+    assert stats["image/png"] == 1 and stats["audio/wav"] == 3
+    assert stats["audio/mpeg"] == 1
+
+    wavs = media_read(spark, out_root, "audio/wav").collect()
+    assert sorted(r.doc_id for r in wavs) == [5, 6, 7]
+    # ADPCM/ulaw energy came from real decode, not container math
+    assert all(r.mean_energy > _e for r in wavs for _e in [10])
