@@ -16,12 +16,15 @@ consumes — the schema DSL and compiled descriptors are two front-ends
 to one decoder.
 
 Supported field types (the set the wire decoder speaks): double,
-float, all non-zigzag varints (int32/64, uint32/64, bool, enum),
-fixed32/64 + signed, string, bytes, nested messages, repeated
-varint-class fields (packed or not). sint32/64 (zigzag), groups,
-repeated non-varint fields, and recursive message types raise
-NotImplementedError by name — decode would be silently wrong
-otherwise.
+float, every varint class incl. sint32/64 (zigzag), fixed32/64 +
+signed, string, bytes, nested messages, repeated varint/zigzag
+fields (packed or not), repeated string/bytes (array<string>/
+array<binary>), and repeated messages (array<struct<...>>) — which
+makes proto map<k,v> fields work as-is, since protoc compiles them
+to repeated MapEntry{key=1, value=2} nested messages. Groups,
+repeated double/float/fixed fields, scalar unsigned fixed64, and
+recursive message types raise NotImplementedError by name — decode
+would be silently wrong otherwise.
 """
 
 from __future__ import annotations
@@ -137,18 +140,16 @@ def _to_spec(msg_raw: bytes, msgs: dict, seen: tuple) -> dict:
                     f"recursive message type {type_name} is not decodable "
                     "into a flat struct schema"
                 )
-            if label == _LABEL_REPEATED:
-                raise NotImplementedError(
-                    f"repeated message field {name!r}: the wire decoder "
-                    "keeps the last occurrence only"
-                )
+            sub = _to_spec(msgs[type_name], msgs, seen + (type_name,))
+            # repeated message -> array<struct>; maps arrive here too
+            # (protoc compiles map<k,v> to repeated MapEntry)
             spec[number] = (
-                name,
-                _to_spec(msgs[type_name], msgs, seen + (type_name,)),
+                name, [sub] if label == _LABEL_REPEATED else sub
             )
         elif ftype in (_T_SINT32, _T_SINT64):
-            raise NotImplementedError(
-                f"field {name!r}: sint zigzag decode is not implemented"
+            spec[number] = (
+                name,
+                "packed_zigzag" if label == _LABEL_REPEATED else "zigzag",
             )
         elif ftype == _T_FIXED64:
             raise NotImplementedError(
@@ -158,14 +159,20 @@ def _to_spec(msg_raw: bytes, msgs: dict, seen: tuple) -> dict:
         elif ftype == _T_GROUP:
             raise NotImplementedError(f"field {name!r}: proto2 groups")
         elif label == _LABEL_REPEATED:
-            if ftype not in _VARINT_TYPES:
+            if ftype == _T_STRING:
+                spec[number] = (name, "rep_str")
+            elif ftype == _T_BYTES:
+                spec[number] = (name, "rep_bytes")
+            elif ftype not in _VARINT_TYPES:
                 raise NotImplementedError(
                     f"repeated field {name!r} of non-varint type {ftype}"
                 )
-            signed = ftype in (_T_INT32, _T_INT64, _T_ENUM)
-            spec[number] = (
-                name, "packed_varint2c" if signed else "packed_varint"
-            )
+            else:
+                signed = ftype in (_T_INT32, _T_INT64, _T_ENUM)
+                spec[number] = (
+                    name,
+                    "packed_varint2c" if signed else "packed_varint",
+                )
         else:
             spec[number] = (name, _SCALAR_KIND[ftype])
     return spec

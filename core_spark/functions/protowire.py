@@ -19,7 +19,14 @@ Field kinds (proto wire types in parens):
 - 'double' (1), 'float' (5), 'fixed64' (1, signed), 'fixed32'
   (5, signed), 'ufixed32' (5, unsigned)
 - 'packed_varint' / 'packed_varint2c' (2, or repeated 0) → array<long>
+- 'zigzag' (0) → long (sint32/sint64: (v >> 1) ^ -(v & 1))
+- 'packed_zigzag' (2, or repeated 0) → array<long>
+- 'rep_str' / 'rep_bytes' (repeated 2) → array<string> / array<binary>
 - a nested {field_no: (name, kind)} dict (2) → struct<...>, recursive
+- a ONE-ELEMENT LIST [subspec] (repeated 2) → array<struct<...>> —
+  repeated messages; proto map<k,v> fields compile to exactly this
+  (repeated MapEntry{key=1, value=2}), so maps decode as
+  array<struct<key, value>> with no special casing
 
 Unknown fields are skipped per proto semantics (including wire types
 1/5, whose width is known without a schema).
@@ -41,16 +48,25 @@ _KIND_DDL = {
     "ufixed32": "long",
     "packed_varint": "array<bigint>",
     "packed_varint2c": "array<bigint>",
+    "zigzag": "long",
+    "packed_zigzag": "array<bigint>",
+    "rep_str": "array<string>",
+    "rep_bytes": "array<binary>",
 }
+
+_LIST_KINDS = ("packed_varint", "packed_varint2c", "packed_zigzag",
+               "rep_str", "rep_bytes")
 
 
 def schema_of(spec: dict) -> str:
     """DDL schema for a {field_no: (name, kind)} spec (kind may be a
-    nested spec dict)."""
+    nested spec dict, or [subspec] for repeated messages)."""
     parts = []
     for name, kind in spec.values():
         if isinstance(kind, dict):
             parts.append(f"{name} struct<{schema_of(kind)}>")
+        elif isinstance(kind, list):
+            parts.append(f"{name} array<struct<{schema_of(kind[0])}>>")
         else:
             parts.append(f"{name} {_KIND_DDL[kind]}")
     return ", ".join(parts)
@@ -90,12 +106,17 @@ def decode_proto(
                     return val, i
                 shift += 7
 
+        list_kinds = (
+            "packed_varint", "packed_varint2c", "packed_zigzag",
+            "rep_str", "rep_bytes",
+        )
+
         def decode_one(raw: bytes, sp: dict) -> dict:
             out = {}
             for name, kind in sp.values():
                 out[name] = (
                     []
-                    if kind in ("packed_varint", "packed_varint2c")
+                    if kind in list_kinds or isinstance(kind, list)
                     else None
                 )
             i = 0
@@ -121,8 +142,14 @@ def decode_proto(
                 name, kind = sp[field_no]
                 if isinstance(kind, dict):
                     out[name] = decode_one(bytes(val), kind)
-                elif kind in ("packed_varint", "packed_varint2c"):
+                elif isinstance(kind, list):  # repeated message / map
+                    out[name].append(decode_one(bytes(val), kind[0]))
+                elif kind in (
+                    "packed_varint", "packed_varint2c", "packed_zigzag"
+                ):
                     def _fold(v, _k=kind):
+                        if _k == "packed_zigzag":
+                            return (v >> 1) ^ -(v & 1)
                         if _k == "packed_varint2c" and v >= 1 << 63:
                             return v - (1 << 64)
                         return v
@@ -134,6 +161,12 @@ def decode_proto(
                         while j < len(val):
                             v, j = read_varint(val, j)
                             out[name].append(_fold(v))
+                elif kind == "rep_str":
+                    out[name].append(bytes(val).decode("utf-8"))
+                elif kind == "rep_bytes":
+                    out[name].append(bytes(val))
+                elif kind == "zigzag":
+                    out[name] = (val >> 1) ^ -(val & 1)
                 elif kind == "str":
                     out[name] = bytes(val).decode("utf-8")
                 elif kind == "double":
@@ -189,11 +222,47 @@ def encode_message(values: dict, spec: dict) -> bytes:
         if isinstance(kind, dict):
             sub = encode_message(value, kind)
             body += encode_varint(no << 3 | 2) + encode_varint(len(sub)) + sub
+        elif isinstance(kind, list):  # repeated message / map entries
+            for item in value:
+                sub = encode_message(item, kind[0])
+                body += (
+                    encode_varint(no << 3 | 2)
+                    + encode_varint(len(sub))
+                    + sub
+                )
         elif kind in ("packed_varint", "packed_varint2c"):
             packed = b"".join(
                 encode_varint(v & ((1 << 64) - 1)) for v in value
             )
             body += encode_varint(no << 3 | 2) + encode_varint(len(packed)) + packed
+        elif kind == "zigzag":
+            body += encode_varint(no << 3 | 0) + encode_varint(
+                (value << 1) ^ (value >> 63)
+            )
+        elif kind == "packed_zigzag":
+            packed = b"".join(
+                encode_varint((v << 1) ^ (v >> 63)) for v in value
+            )
+            body += (
+                encode_varint(no << 3 | 2)
+                + encode_varint(len(packed))
+                + packed
+            )
+        elif kind == "rep_str":
+            for s in value:
+                raw = s.encode("utf-8")
+                body += (
+                    encode_varint(no << 3 | 2)
+                    + encode_varint(len(raw))
+                    + raw
+                )
+        elif kind == "rep_bytes":
+            for raw in value:
+                body += (
+                    encode_varint(no << 3 | 2)
+                    + encode_varint(len(raw))
+                    + raw
+                )
         elif kind == "str":
             raw = value.encode("utf-8")
             body += encode_varint(no << 3 | 2) + encode_varint(len(raw)) + raw

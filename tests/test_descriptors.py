@@ -101,12 +101,80 @@ def test_descriptor_resolves_to_spec(fds):
 def test_unknown_message_and_unsupported_types(fds):
     with pytest.raises(KeyError, match="not in descriptor set"):
         descriptor_set_to_spec(fds, "examples.word_count.Missing")
+    # sint32/64 map to zigzag kinds (scalar + repeated)
     sint = _sub(
         1,
-        _file("p", _message("S", _field("z", 1, 17))),  # TYPE_SINT32
+        _file("p", _message(
+            "S",
+            _field("z", 1, 17),            # TYPE_SINT32
+            _field("zs", 2, 18, label=3),  # repeated TYPE_SINT64
+        )),
     )
-    with pytest.raises(NotImplementedError, match="zigzag"):
-        descriptor_set_to_spec(sint, "p.S")
+    assert descriptor_set_to_spec(sint, "p.S") == {
+        1: ("z", "zigzag"), 2: ("zs", "packed_zigzag"),
+    }
+    # repeated double remains unsupported by name
+    rd = _sub(
+        1, _file("p", _message("R", _field("d", 1, 1, label=3)))
+    )
+    with pytest.raises(NotImplementedError, match="repeated field"):
+        descriptor_set_to_spec(rd, "p.R")
+
+
+def test_zigzag_repeated_and_map_round_trip(spark):
+    """sint zigzag (scalar + packed), repeated string, repeated
+    nested message, and a proto map (compiled form: repeated
+    MapEntry{key=1, value=2}) — encode with the test-side encoder,
+    decode through descriptor-driven framing, recover everything."""
+    from core_spark.functions.framing import _fixed_framing_spec
+    from core_spark.functions.protowire import schema_of
+
+    entry = _message(
+        "CountsEntry", _field("key", 1, 9), _field("value", 2, 3)
+    )
+    inner = _message("Tag", _field("name", 1, 9), _field("w", 2, 17))
+    m = (
+        _message(
+            "M",
+            _field("delta", 1, 18),                 # sint64
+            _field("steps", 2, 17, label=3),        # repeated sint32
+            _field("labels", 3, 9, label=3),        # repeated string
+            _field("tags", 4, 11, label=3, type_name=".p.M.Tag"),
+            _field("counts", 5, 11, label=3,
+                   type_name=".p.M.CountsEntry"),   # map<string,int64>
+        )
+        + _sub(3, inner)   # DescriptorProto.nested_type = 3
+        + _sub(3, entry)
+    )
+    spec = descriptor_set_to_spec(_sub(1, _file("p", m)), "p.M")
+    assert spec[1] == ("delta", "zigzag")
+    assert spec[2] == ("steps", "packed_zigzag")
+    assert spec[3] == ("labels", "rep_str")
+    assert spec[4][1] == [{1: ("name", "str"), 2: ("w", "zigzag")}]
+    assert spec[5][1] == [{1: ("key", "str"), 2: ("value", "varint2c")}]
+    assert "array<struct<name string, w long>>" in schema_of(spec)
+
+    body = encode_message(
+        {
+            "delta": -(2**40) - 3,
+            "steps": [-1, 0, 7, -(2**31 - 1)],
+            "labels": ["alpha", "βήτα", ""],
+            "tags": [{"name": "x", "w": -9}, {"name": "y", "w": 4}],
+            "counts": [
+                {"key": "a", "value": 1}, {"key": "b", "value": -2},
+            ],
+        },
+        spec,
+    )
+    df = spark.createDataFrame([(body,)], "payload binary").withColumn(
+        "payload", encode_fixed_frame(F.col("payload"))
+    )
+    r = _fixed_framing_spec(df, "payload", spec).select("_msg.*").first()
+    assert r.delta == -(2**40) - 3
+    assert r.steps == [-1, 0, 7, -(2**31 - 1)]
+    assert r.labels == ["alpha", "βήτα", ""]
+    assert [(t.name, t.w) for t in r.tags] == [("x", -9), ("y", 4)]
+    assert {e.key: e.value for e in r.counts} == {"a": 1, "b": -2}
 
 
 def test_framed_roundtrip_via_descriptor(spark, fds):
