@@ -19,12 +19,14 @@ Supported field types (the set the wire decoder speaks): double,
 float, every varint class incl. sint32/64 (zigzag), fixed32/64 +
 signed, string, bytes, nested messages, repeated varint/zigzag
 fields (packed or not), repeated string/bytes (array<string>/
-array<binary>), and repeated messages (array<struct<...>>) — which
-makes proto map<k,v> fields work as-is, since protoc compiles them
-to repeated MapEntry{key=1, value=2} nested messages. Groups,
-repeated double/float/fixed fields, scalar unsigned fixed64, and
-recursive message types raise NotImplementedError by name — decode
-would be silently wrong otherwise.
+array<binary>), repeated float/double (array<float>/array<double> —
+the proto embedding-vector shape), and repeated messages
+(array<struct<...>>) — which makes proto map<k,v> fields work
+as-is, since protoc compiles them to repeated MapEntry{key=1,
+value=2} nested messages. Groups, repeated fixed-width int fields,
+scalar unsigned fixed64, and recursive message types raise
+NotImplementedError by name — decode would be silently wrong
+otherwise.
 """
 
 from __future__ import annotations
@@ -163,6 +165,10 @@ def _to_spec(msg_raw: bytes, msgs: dict, seen: tuple) -> dict:
                 spec[number] = (name, "rep_str")
             elif ftype == _T_BYTES:
                 spec[number] = (name, "rep_bytes")
+            elif ftype == _T_FLOAT:
+                spec[number] = (name, "packed_float")
+            elif ftype == _T_DOUBLE:
+                spec[number] = (name, "packed_double")
             elif ftype not in _VARINT_TYPES:
                 raise NotImplementedError(
                     f"repeated field {name!r} of non-varint type {ftype}"

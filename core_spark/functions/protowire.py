@@ -52,6 +52,10 @@ _KIND_DDL = {
     "packed_zigzag": "array<bigint>",
     "rep_str": "array<string>",
     "rep_bytes": "array<binary>",
+    # repeated float/double — the proto embedding-vector shape
+    # (packed wire-2 by default; unpacked 5/1 occurrences accepted)
+    "packed_float": "array<float>",
+    "packed_double": "array<double>",
 }
 
 _LIST_KINDS = ("packed_varint", "packed_varint2c", "packed_zigzag",
@@ -108,7 +112,7 @@ def decode_proto(
 
         list_kinds = (
             "packed_varint", "packed_varint2c", "packed_zigzag",
-            "rep_str", "rep_bytes",
+            "rep_str", "rep_bytes", "packed_float", "packed_double",
         )
 
         def decode_one(raw: bytes, sp: dict) -> dict:
@@ -165,6 +169,17 @@ def decode_proto(
                     out[name].append(bytes(val).decode("utf-8"))
                 elif kind == "rep_bytes":
                     out[name].append(bytes(val))
+                elif kind in ("packed_float", "packed_double"):
+                    fmt, width = (
+                        ("<f", 4) if kind == "packed_float" else ("<d", 8)
+                    )
+                    if wire == 2:  # packed: len/width elements
+                        out[name].extend(
+                            v[0]
+                            for v in _struct.iter_unpack(fmt, bytes(val))
+                        )
+                    else:  # unpacked wire 5/1 occurrence
+                        out[name].append(_struct.unpack(fmt, val)[0])
                 elif kind == "zigzag":
                     out[name] = (val >> 1) ^ -(val & 1)
                 elif kind == "str":
@@ -243,6 +258,16 @@ def encode_message(values: dict, spec: dict) -> bytes:
             packed = b"".join(
                 encode_varint((v << 1) ^ (v >> 63)) for v in value
             )
+            body += (
+                encode_varint(no << 3 | 2)
+                + encode_varint(len(packed))
+                + packed
+            )
+        elif kind in ("packed_float", "packed_double"):
+            import struct as _s
+
+            fmt = "<f" if kind == "packed_float" else "<d"
+            packed = b"".join(_s.pack(fmt, v) for v in value)
             body += (
                 encode_varint(no << 3 | 2)
                 + encode_varint(len(packed))

@@ -113,12 +113,12 @@ def test_unknown_message_and_unsupported_types(fds):
     assert descriptor_set_to_spec(sint, "p.S") == {
         1: ("z", "zigzag"), 2: ("zs", "packed_zigzag"),
     }
-    # repeated double remains unsupported by name
-    rd = _sub(
-        1, _file("p", _message("R", _field("d", 1, 1, label=3)))
+    # repeated sfixed32 remains unsupported by name
+    rf = _sub(
+        1, _file("p", _message("R", _field("d", 1, 15, label=3)))
     )
     with pytest.raises(NotImplementedError, match="repeated field"):
-        descriptor_set_to_spec(rd, "p.R")
+        descriptor_set_to_spec(rf, "p.R")
 
 
 def test_zigzag_repeated_and_map_round_trip(spark):
@@ -175,6 +175,39 @@ def test_zigzag_repeated_and_map_round_trip(spark):
     assert r.labels == ["alpha", "βήτα", ""]
     assert [(t.name, t.w) for t in r.tags] == [("x", -9), ("y", 4)]
     assert {e.key: e.value for e in r.counts} == {"a": 1, "b": -2}
+
+
+def test_repeated_float_embedding_round_trip(spark):
+    """repeated float/double — the proto embedding-vector shape —
+    decodes to array<float>/array<double> from the packed wire form."""
+    import math
+
+    from core_spark.functions.framing import _fixed_framing_spec
+
+    m = _message(
+        "Vec",
+        _field("id", 1, 3),                 # int64
+        _field("embedding", 2, 2, label=3),  # repeated float
+        _field("scores", 3, 1, label=3),     # repeated double
+    )
+    spec = descriptor_set_to_spec(_sub(1, _file("p", m)), "p.Vec")
+    assert spec[2] == ("embedding", "packed_float")
+    assert spec[3] == ("scores", "packed_double")
+
+    vec = [0.25, -1.5, 3.0, 0.0]
+    scores = [1.0 / 3.0, -2.5e300, 0.0]
+    body = encode_message(
+        {"id": 7, "embedding": vec, "scores": scores}, spec
+    )
+    df = spark.createDataFrame([(body,)], "payload binary").withColumn(
+        "payload", encode_fixed_frame(F.col("payload"))
+    )
+    r = _fixed_framing_spec(df, "payload", spec).select("_msg.*").first()
+    assert r.id == 7
+    assert r.embedding == vec  # exactly representable in float32
+    assert all(
+        math.isclose(a, b, rel_tol=0) for a, b in zip(r.scores, scores)
+    )
 
 
 def test_framed_roundtrip_via_descriptor(spark, fds):
