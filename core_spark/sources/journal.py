@@ -362,13 +362,23 @@ class Manifest:
 
     @staticmethod
     def from_json(raw: str) -> "Manifest":
-        d = json.loads(raw)
-        return Manifest(
-            version=d["version"],
-            next_offset=d["next_offset"],
-            fragments=[Fragment(**f) for f in d["fragments"]],
-            registers=d.get("registers", {}),
-        )
+        # a corrupt manifest must name itself, not surface as an
+        # executor-opaque JSONDecodeError/KeyError/TypeError — the
+        # operator's next move (reset-head / restore the store) is
+        # different from a code bug's
+        try:
+            d = json.loads(raw)
+            return Manifest(
+                version=d["version"],
+                next_offset=d["next_offset"],
+                fragments=[Fragment(**f) for f in d["fragments"]],
+                registers=d.get("registers", {}),
+            )
+        except (json.JSONDecodeError, KeyError, TypeError) as e:
+            raise ValueError(
+                f"corrupt journal manifest: {e} (first bytes: "
+                f"{raw[:80]!r})"
+            ) from e
 
     def to_json(self) -> str:
         return json.dumps(

@@ -851,3 +851,20 @@ def test_reset_head_cli_and_store_health_cli(spark, tmp_path, capsys):
     assert main(["journals-store-health", "--root", root]) == 0
     health = _json.loads(capsys.readouterr().out.strip())
     assert health["ok"] is True and health["probe_ms"] >= 0
+
+
+def test_corrupt_manifest_raises_named_error(spark, journal):
+    """A corrupt manifest blob (truncated JSON, wrong shape, missing
+    keys) must raise a named 'corrupt journal manifest' ValueError —
+    the operator's next move (reset-head / restore the store) differs
+    from a code bug's — never an opaque JSONDecodeError/KeyError."""
+    import os
+
+    journal.append(_df(spark, 0, 5))
+    latest = max(journal.store.list_versions())
+    path = os.path.join(journal.manifest_dir, f"v{latest}.json")
+    for bad in ('{"version": 1', '{"wrong": "shape"}', "[]", ""):
+        with open(path, "w") as fh:
+            fh.write(bad)
+        with pytest.raises(ValueError, match="corrupt journal manifest"):
+            journal.manifest()
