@@ -58,8 +58,12 @@ _KIND_DDL = {
     "packed_double": "array<double>",
 }
 
-_LIST_KINDS = ("packed_varint", "packed_varint2c", "packed_zigzag",
-               "rep_str", "rep_bytes")
+# kinds whose column is an array (absent field -> [] not null);
+# decode_proto captures this into its worker closure by value
+_LIST_KINDS = (
+    "packed_varint", "packed_varint2c", "packed_zigzag",
+    "rep_str", "rep_bytes", "packed_float", "packed_double",
+)
 
 
 def schema_of(spec: dict) -> str:
@@ -86,6 +90,7 @@ def decode_proto(
     Output: one column per field (missing fields → null), plus
     `keep_cols` passed through unchanged."""
     spec = dict(fields)  # capture a plain dict in the closure
+    list_kinds = _LIST_KINDS  # captured by VALUE: workers need no import
     keep = list(keep_cols or [])
     out_schema = schema_of(spec)
     if keep:
@@ -109,11 +114,6 @@ def decode_proto(
                 if not byte & 0x80:
                     return val, i
                 shift += 7
-
-        list_kinds = (
-            "packed_varint", "packed_varint2c", "packed_zigzag",
-            "rep_str", "rep_bytes", "packed_float", "packed_double",
-        )
 
         def decode_one(raw: bytes, sp: dict) -> dict:
             out = {}
@@ -144,6 +144,25 @@ def decode_proto(
                 if field_no not in sp:
                     continue  # unknown field: skipped, width consumed
                 name, kind = sp[field_no]
+                # fixed-wire kinds must arrive on their wire type: a
+                # corrupt tag pairing a length-delimited kind with
+                # wire 0 would otherwise hit bytes(varint_int) —
+                # fabricated NUL data for a small varint, a giant
+                # allocation for a large one — and a fixed-width kind
+                # would unpack a mis-sized buffer
+                if isinstance(kind, (dict, list)):
+                    required = 2
+                else:
+                    required = {
+                        "str": 2, "bytes": 2, "rep_str": 2,
+                        "rep_bytes": 2, "double": 1, "fixed64": 1,
+                        "float": 5, "fixed32": 5, "ufixed32": 5,
+                    }.get(kind)
+                if required is not None and wire != required:
+                    raise ValueError(
+                        f"field {name!r}: kind requires wire type "
+                        f"{required}, payload has {wire}"
+                    )
                 if isinstance(kind, dict):
                     out[name] = decode_one(bytes(val), kind)
                 elif isinstance(kind, list):  # repeated message / map

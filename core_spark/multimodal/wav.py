@@ -333,8 +333,9 @@ def ms_adpcm_encode(
     """int16 (frames, nch) -> MS ADPCM blocks using coefficient
     pair 0 (pure first-order) and a greedy quantizer; returns
     (data, block_align). Lossy round-trip for tests/writer use."""
-    if samples_per_block < 2 or (samples_per_block - 2) % (8 // min(nch, 2)):
-        pass  # nibbles pad with zeros below
+    if samples_per_block < 2:
+        raise ValueError("MS ADPCM needs samples_per_block >= 2 "
+                         "(two history samples live in the header)")
     codes_per_block = samples_per_block - 2
     block_align = 7 * nch + (codes_per_block * nch + 1) // 2
     out = bytearray()
@@ -450,6 +451,11 @@ def wav_meta(raw: bytes) -> tuple[int, int, int, int, str]:
     if fmt is None:
         raise ValueError("RIFF/WAVE payload without a fmt chunk")
     tag, nch, bits = fmt["tag"], fmt["nch"], fmt["bits"]
+    if tag == WAVE_FLOAT and bits not in (32, 64):
+        raise ValueError(
+            f"malformed WAV: IEEE-float format with {bits} bits "
+            "per sample (32 or 64 required)"
+        )
     if tag in (WAVE_PCM, WAVE_FLOAT):
         frames = data_len // max(1, nch * (bits // 8))
     elif tag in (WAVE_ALAW, WAVE_ULAW):
@@ -460,7 +466,12 @@ def wav_meta(raw: bytes) -> tuple[int, int, int, int, str]:
         frames = (data_len // max(1, ba)) * spb
         tail = data_len % max(1, ba)
         if tail > 4 * nch:
-            frames += (tail - 4 * nch) * 2 // nch + 1
+            # word-granular to match the decoder: data decodes in
+            # whole 4-byte words, nch words per 8-frame group, and
+            # a leftover sub-group is truncated by the per-channel
+            # min-length stack
+            tail_words = (tail - 4 * nch) // 4
+            frames += 1 + (tail_words // max(1, nch)) * 8
     elif tag == WAVE_MS_ADPCM:
         ba = fmt["block_align"]
         spb = fmt["samples_per_block"] or (
@@ -518,6 +529,11 @@ def wav_decode(raw: bytes) -> tuple[np.ndarray, int, int]:
             )
         out_bits = bits
     elif tag == WAVE_FLOAT:
+        if bits not in (32, 64):
+            raise ValueError(
+                f"malformed WAV: IEEE-float format with {bits} bits "
+                "per sample (32 or 64 required)"
+            )
         dt = "<f4" if bits == 32 else "<f8"
         f = np.frombuffer(data, dtype=dt).astype(np.float64)
         a = np.clip(np.rint(f * 32767.0), -32768, 32767).astype(np.int64)
@@ -598,13 +614,22 @@ def build_wav(
 
 
 def _read_extended(b: bytes) -> float:
-    """IEEE 754 80-bit extended float (AIFF COMM sample rate)."""
+    """IEEE 754 80-bit extended float (AIFF COMM sample rate).
+    Inf/NaN encodings (exp 0x7FFF) and exponents past the float64
+    range raise a NAMED error — a sample rate is a small positive
+    number, anything else is a malformed COMM chunk."""
     (se,) = struct.unpack_from(">H", b, 0)
     (mant,) = struct.unpack_from(">Q", b, 2)
     sign = -1.0 if se & 0x8000 else 1.0
     exp = se & 0x7FFF
     if exp == 0 and mant == 0:
         return 0.0
+    # float64's range ends near 2^1024; rates are < 2^32
+    if exp >= 0x7FFF or exp - 16383 - 63 > 960:
+        raise ValueError(
+            "malformed AIFF: COMM sample rate is non-finite or "
+            f"out of range (exponent field 0x{exp:04x})"
+        )
     return sign * mant * 2.0 ** (exp - 16383 - 63)
 
 
@@ -687,7 +712,7 @@ def aiff_decode(raw: bytes) -> tuple[np.ndarray, int, int]:
     elif comp in ("alaw", "ALAW"):
         a = alaw_decode(ssnd)
         out_bits = 16
-    elif comp in ("fl32", "FL32", "fl64"):
+    elif comp in ("fl32", "FL32", "fl64", "FL64"):
         dt = ">f4" if comp.lower() == "fl32" else ">f8"
         f = np.frombuffer(ssnd, dtype=dt).astype(np.float64)
         a = np.clip(np.rint(f * 32767.0), -32768, 32767).astype(np.int64)

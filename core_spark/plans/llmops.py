@@ -149,12 +149,20 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale path for near-dedup at 100 TB — all-pairs never happens.
     """
     docs = load_table(spark, sf_dir, "documents")
+    return _minhash_dup_pairs(docs).orderBy("doc_a", "doc_b")
+
+
+def _minhash_dup_pairs(docs: DataFrame) -> DataFrame:
+    """The shared verified near-dup pair pipeline: shingle -> k
+    minhashes -> banded LSH candidates -> exact-Jaccard verify at
+    0.7 (integer cross-multiplication). ONE definition so its four
+    consumers (q_minhash_lsh / q_dup_clusters / q_dup_canonical /
+    q_graph_triangles) and their DUCK_MINHASH_PAIR_SELECT oracle
+    twin can never silently diverge on k/bands/threshold."""
     sigs = minhash_signatures(docs, k=_MINHASH_K)
     cand = lsh_candidates(sigs, bands=_BANDS, rows=_ROWS)
-    return (
-        verify_jaccard(cand, docs)
-        .filter(F.col("inter") * 10 >= F.col("uni") * 7)
-        .orderBy("doc_a", "doc_b")
+    return verify_jaccard(cand, docs).filter(
+        F.col("inter") * 10 >= F.col("uni") * 7
     )
 
 
@@ -189,11 +197,7 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from core_spark.operators.graph import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, k=_MINHASH_K)
-    cand = lsh_candidates(sigs, bands=_BANDS, rows=_ROWS)
-    pairs = verify_jaccard(cand, docs).filter(
-        F.col("inter") * 10 >= F.col("uni") * 7
-    )
+    pairs = _minhash_dup_pairs(docs)
     return connected_components(pairs, shuffle_partitions=16).orderBy("doc_id")
 
 
@@ -255,11 +259,7 @@ def q_dup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from core_spark.operators.graph import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, k=_MINHASH_K)
-    cand = lsh_candidates(sigs, bands=_BANDS, rows=_ROWS)
-    pairs = verify_jaccard(cand, docs).filter(
-        F.col("inter") * 10 >= F.col("uni") * 7
-    )
+    pairs = _minhash_dup_pairs(docs)
     members = connected_components(pairs, shuffle_partitions=16)
     scored = members.join(
         docs.select("doc_id", "n_chars"), "doc_id"
@@ -334,12 +334,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from core_spark.operators.graph import triangle_counts
 
     docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, k=_MINHASH_K)
-    cand = lsh_candidates(sigs, bands=_BANDS, rows=_ROWS)
-    pairs = verify_jaccard(cand, docs).filter(
-        F.col("inter") * 10 >= F.col("uni") * 7
-    )
-    return triangle_counts(pairs).orderBy("doc_id")
+    return triangle_counts(_minhash_dup_pairs(docs)).orderBy("doc_id")
 
 
 # ------------------------------------------------------------- dup ingest

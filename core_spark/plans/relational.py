@@ -1099,9 +1099,16 @@ def q_coloc_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # anyway (a new process ALWAYS rewrites), so sharing the on-disk
     # path across processes bought nothing and let a concurrent
     # process overwrite files this one was mid-read on (observed as
-    # a FILE_NOT_EXIST flake when two suites ran side by side)
+    # a FILE_NOT_EXIST flake when two suites ran side by side).
+    # Per-PID also means per-process garbage — an atexit rmtree
+    # keeps /tmp bounded across repeated runs.
+    import atexit
+    import shutil
+
     tag = hashlib.md5(f"{sf_dir}:{os.getpid()}".encode()).hexdigest()[:8]
     root = os.path.join(tempfile.gettempdir(), "core_spark_bucketed", tag)
+    if not os.path.isdir(root):
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
 
     # Bucketing is a WRITE-TIME layout: materialize once per
     # (session, sf_dir) and serve every later call from the bucketed

@@ -996,12 +996,19 @@ class Journal:
         their own files survive: offsets are contiguous by contract
         and a hole would break read-committed consumers; surviving
         post-hole files stay on disk for forensics until `vacuum`.
-        Idempotent: a journal whose fragments are all durable is a
-        no-op ({"reset": False})."""
+        Idempotent — and STRICTLY a data-loss repair: when every
+        manifest fragment is durable it is a no-op even if
+        next_offset sits past the last fragment (retention `prune`
+        legitimately leaves that gap — rewinding there would re-issue
+        consumed offsets to new content and break offset-keyed
+        consumers). On total loss the head resumes at the FIRST
+        manifest fragment's begin, never 0: offsets below it were
+        pruned by policy, not lost, and stay retired."""
         m = self.manifest()
+        frags = sorted(m.fragments, key=lambda fr: (fr.begin, fr.seq))
         keep: list[Fragment] = []
         dropped = 0
-        for f in sorted(m.fragments, key=lambda fr: (fr.begin, fr.seq)):
+        for f in frags:
             p = os.path.join(self.root, f.path)
             durable = os.path.isfile(p) or (
                 os.path.isdir(p)
@@ -1011,12 +1018,12 @@ class Journal:
                 dropped += 1
                 continue
             keep.append(f)
-        new_end = keep[-1].end if keep else 0
-        if dropped == 0 and m.next_offset == new_end:
+        if dropped == 0:
             return {
                 "reset": False, "next_offset": m.next_offset,
                 "dropped": 0, "version": m.version,
             }
+        new_end = keep[-1].end if keep else frags[0].begin
         new = Manifest(
             version=m.version + 1,
             next_offset=new_end,

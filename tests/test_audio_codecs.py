@@ -517,3 +517,54 @@ def test_mp3_walk_with_garbage_prefix_property(prefix, n_frames, kbps):
         return
     m = W.mp3_meta(prefix + frames)
     assert m["n_frames"] == n_frames and m["bitrate_kbps"] == kbps
+
+
+# ----------------------------------------------- review-pass fixes
+
+
+def test_float_wav_invalid_bits_raises_named():
+    raw = W.build_wav(W.WAVE_FLOAT, 8000, 1, 16, b"\x00" * 64)
+    with pytest.raises(ValueError, match="IEEE-float"):
+        W.wav_meta(raw)
+    with pytest.raises(ValueError, match="IEEE-float"):
+        W.wav_decode(raw)
+
+
+def test_aifc_fl64_uppercase_accepted():
+    pcm = _stereo(200)
+    raw = W.build_aiff(
+        8000, 2, 64, 200, (pcm / 32767.0).astype(">f8").tobytes(),
+        comp=b"FL64",
+    )
+    assert np.abs(W.aiff_decode(raw)[0] - pcm).max() <= 1
+
+
+def test_extended_float_inf_nan_raises_named():
+    # exp = 0x7FFF encodes inf/NaN in 80-bit extended
+    bad = struct.pack(">HQ", 0x7FFF, 1 << 63)
+    with pytest.raises(ValueError, match="COMM sample rate"):
+        W._read_extended(bad)
+    raw = W.build_aiff(8000, 1, 16, 4, b"\x00" * 8)
+    comm_at = raw.index(b"COMM")
+    patched = bytearray(raw)
+    patched[comm_at + 8 + 8 : comm_at + 8 + 18] = bad
+    with pytest.raises(ValueError, match="COMM sample rate"):
+        W.aiff_meta(bytes(patched))
+
+
+def test_ima_truncated_tail_meta_matches_decode():
+    """wav_meta's frame count must equal what wav_decode actually
+    produces on a truncated IMA payload (word-granular tails)."""
+    pcm = _stereo(1200)[:, :1]
+    enc, ba = W.ima_adpcm_encode(pcm, 1, samples_per_block=505)
+    for cut in (ba + 4 + 6, ba + 4 + 9, ba + 4, len(enc)):
+        raw = W.build_wav(
+            W.WAVE_IMA_ADPCM, 8000, 1, 4, enc[:cut], block_align=ba,
+            extra=struct.pack("<H", 505),
+        )
+        assert W.wav_meta(raw)[3] == W.wav_decode(raw)[0].shape[0], cut
+
+
+def test_ms_adpcm_encode_bad_block_size_raises():
+    with pytest.raises(ValueError, match="samples_per_block"):
+        W.ms_adpcm_encode(_stereo(10), 2, samples_per_block=1)

@@ -868,3 +868,42 @@ def test_corrupt_manifest_raises_named_error(spark, journal):
             fh.write(bad)
         with pytest.raises(ValueError, match="corrupt journal manifest"):
             journal.manifest()
+
+
+def test_reset_head_is_noop_after_prune(spark, journal):
+    """reset-head is STRICTLY a data-loss repair: after retention
+    prune() empties (or trims) the manifest, next_offset legitimately
+    sits past the last fragment — rewinding there would re-issue
+    consumed offsets to new content. No fragment missing -> no-op."""
+    journal.append(_df(spark, 0, 10))
+    journal.append(_df(spark, 10, 20))
+    journal.prune(keep_mod_time_after=float("inf"))  # drop everything
+    m = journal.manifest()
+    assert m.fragments == [] and m.next_offset == 20
+    r = journal.reset_head()
+    assert r["reset"] is False and r["next_offset"] == 20
+    frag = journal.append(_df(spark, 0, 5))
+    assert (frag.begin, frag.end) == (20, 25)  # offsets never reused
+
+
+def test_reset_head_total_loss_resumes_at_first_fragment(spark, journal):
+    """All manifest fragments lost: the head resumes at the FIRST
+    manifest fragment's begin (offsets below were pruned by policy,
+    not lost, and stay retired) — never at 0."""
+    import os
+    import shutil
+
+    journal.append(_df(spark, 0, 10))
+    journal.append(_df(spark, 10, 20))
+    journal.prune(keep_mod_time_after=0.0)  # keeps both (no-op)
+    # retire the first fragment by retention, then lose the second
+    m = journal.manifest()
+    first = sorted(m.fragments, key=lambda f: f.begin)[0]
+    journal.prune(keep_mod_time_after=first.mod_time + 1e-6)
+    m2 = journal.manifest()
+    assert [f.begin for f in m2.fragments] == [10]
+    shutil.rmtree(os.path.join(journal.root, m2.fragments[0].path))
+    r = journal.reset_head()
+    assert r["reset"] and r["next_offset"] == 10  # not 0
+    frag = journal.append(_df(spark, 0, 3))
+    assert (frag.begin, frag.end) == (10, 13)

@@ -118,3 +118,26 @@ def test_proto_framing_registry_end_to_end(spark):
     assert len(rows) == 10  # junk frame dropped by the magic check
     assert {r["name"] for r in rows} == {f"g{i}" for i in range(10)}
     assert all(r["meta"]["slot"] == 1 for r in rows)
+
+
+def test_wire_type_mismatch_raises_named(spark):
+    """A corrupt tag pairing a length-delimited or fixed-width kind
+    with the wrong wire type must raise a named error — never
+    fabricate data (bytes(varint) NULs) or unpack a mis-sized
+    buffer."""
+    import pytest
+
+    from core_spark.functions.framing import _fixed_framing_spec
+    from core_spark.functions.protowire import encode_varint
+
+    spec = {1: ("s", "rep_str"), 2: ("d", "double")}
+    # field 1 declared rep_str but sent as wire 0 varint
+    bad1 = encode_varint(1 << 3 | 0) + encode_varint(5)
+    # field 2 declared double but sent as wire 5 (4 bytes)
+    bad2 = encode_varint(2 << 3 | 5) + b"\x00" * 4
+    for body in (bad1, bad2):
+        df = spark.createDataFrame([(body,)], "payload binary").withColumn(
+            "payload", encode_fixed_frame(F.col("payload"))
+        )
+        with pytest.raises(Exception, match="wire type"):
+            _fixed_framing_spec(df, "payload", spec).collect()
