@@ -144,7 +144,8 @@ def cmd_vacuum(args) -> int:
     from core_spark.sources.journal import Journal
 
     n = Journal(args.root, args.journal).vacuum(
-        grace_seconds=args.grace_seconds
+        grace_seconds=args.grace_seconds,
+        from_version=args.from_version,
     )
     print(json.dumps({"vacuumed": n}))
     return 0
@@ -498,6 +499,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--grace-seconds", type=float, default=86400.0,
         help="only unreferenced dirs older than this are removed "
              "(protects in-flight appends)",
+    )
+    jv.add_argument(
+        "--from-version", type=int, default=None,
+        help="scope the referenced set to manifest versions >= this: "
+             "fragments held only by older history (reset-head drops) "
+             "become reclaimable; time travel below it breaks",
     )
     jv.set_defaults(fn=cmd_vacuum)
 

@@ -151,17 +151,23 @@ def decode_proto(
                 # allocation for a large one — and a fixed-width kind
                 # would unpack a mis-sized buffer
                 if isinstance(kind, (dict, list)):
-                    required = 2
+                    allowed = (2,)
                 else:
-                    required = {
-                        "str": 2, "bytes": 2, "rep_str": 2,
-                        "rep_bytes": 2, "double": 1, "fixed64": 1,
-                        "float": 5, "fixed32": 5, "ufixed32": 5,
+                    allowed = {
+                        "str": (2,), "bytes": (2,), "rep_str": (2,),
+                        "rep_bytes": (2,), "double": (1,), "fixed64": (1,),
+                        "float": (5,), "fixed32": (5,), "ufixed32": (5,),
+                        "varint": (0,), "varint2c": (0,), "zigzag": (0,),
+                        # packed repeats also accept one unpacked
+                        # occurrence on the scalar's own wire type
+                        "packed_varint": (0, 2), "packed_varint2c": (0, 2),
+                        "packed_zigzag": (0, 2),
+                        "packed_float": (2, 5), "packed_double": (2, 1),
                     }.get(kind)
-                if required is not None and wire != required:
+                if allowed is not None and wire not in allowed:
                     raise ValueError(
-                        f"field {name!r}: kind requires wire type "
-                        f"{required}, payload has {wire}"
+                        f"field {name!r}: kind accepts wire type(s) "
+                        f"{allowed}, payload has {wire}"
                     )
                 if isinstance(kind, dict):
                     out[name] = decode_one(bytes(val), kind)

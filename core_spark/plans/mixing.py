@@ -242,7 +242,8 @@ def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape at 100 TB: priorities are a projection; the top-(k+1) is a
     TakeOrdered (per-partition heaps + one k-sized reduce — never a
-    global sort); tau is one broadcast scalar.
+    global sort); tau and the kept-k cut are windows over the bounded
+    (k+1)-row result.
     """
     docs = load_table(spark, sf_dir, "documents")
     u = (
@@ -261,11 +262,20 @@ def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars").cast("double") / u).alias("pri"),
     )
     top = q.orderBy(F.desc("pri"), "doc_id").limit(_PS_K + 1)
-    top = top.persist()
-    tau = top.agg(F.min("pri").alias("tau"))
-    kept = top.orderBy(F.desc("pri"), "doc_id").limit(_PS_K)
+    # tau and the kept-k cut are single-partition windows over the
+    # (k+1)-row TakeOrdered result — one reference, nothing cached (a
+    # persist here leaked a cached DataFrame per invocation) and no
+    # crossJoin; the single partition is bounded by k, so it is the
+    # point, not a scale hazard
+    w_rank = Window.orderBy(F.desc("pri"), "doc_id")
+    kept = top.select(
+        "doc_id",
+        "weight",
+        F.row_number().over(w_rank).alias("rn"),
+        F.min("pri").over(Window.partitionBy()).alias("tau"),
+    ).filter(F.col("rn") <= _PS_K)
     return (
-        kept.crossJoin(F.broadcast(tau))  # one-row global scalar
+        kept
         .select(
             "doc_id",
             "weight",

@@ -625,29 +625,28 @@ class Journal:
 
         rel_path = os.path.join("fragments", frag_name)
 
-        def _rollback() -> None:
-            # With content addressing the loser of a CAS race may
-            # share its NAME with the winner (identical bytes at the
-            # same offset) — in that case the file is the winner's
-            # committed data, and rollback must leave it alone.
-            cur = self.manifest()
-            if all(f.path != rel_path for f in cur.fragments):
-                shutil.rmtree(final, ignore_errors=True)
-
+        # Failure discipline from here on (resolver raise, CAS loss):
+        # NEVER delete `final`. Content addressing means a CONCURRENT
+        # appender with identical bytes at the same offset shares the
+        # name and may be about to commit a manifest referencing it —
+        # a manifest re-check here cannot see that not-yet-committed
+        # reuser (the reuse path discards its own tmp on sight of
+        # `final`), so an inline delete could leave a committed
+        # manifest pointing at missing data. An uncommitted orphan is
+        # harmless to readers (read() is manifest-driven, never a
+        # directory glob) and is reclaimed by vacuum() after its grace
+        # window — the standard content-addressed-store discipline:
+        # immutable names + deferred GC, never inline deletes.
         if post_write_registers is not None:
             # the fragment write above is the action that resolves any
             # Observation riding the batch; merge its registers into
-            # the same CAS commit. A raising resolver must roll the
-            # already-renamed fragment back like a CAS conflict does —
-            # otherwise glob-tailing readers observe uncommitted rows.
-            try:
-                set_registers = {
-                    **(set_registers or {}),
-                    **post_write_registers(),
-                }
-            except Exception:
-                _rollback()
-                raise
+            # the same CAS commit — a raising resolver aborts before
+            # the manifest ever references the fragment, so readers
+            # never observe the rows
+            set_registers = {
+                **(set_registers or {}),
+                **post_write_registers(),
+            }
 
         frag = Fragment(
             seq=len(m.fragments),
@@ -666,11 +665,11 @@ class Journal:
             fragments=[*m.fragments, frag],
             registers={**m.registers, **(set_registers or {})},
         )
-        try:
-            self._commit_manifest(new)
-        except AppendConflict:
-            _rollback()
-            raise
+        # AppendConflict propagates with `final` left in place (see
+        # the failure-discipline comment above): the loser's fragment
+        # is either the winner's identical-content data or a vacuum-
+        # reclaimable orphan.
+        self._commit_manifest(new)
         return frag
 
     # --------------------------------------------------------------- read
@@ -995,7 +994,10 @@ class Journal:
         Fragments after the first missing one are dropped even when
         their own files survive: offsets are contiguous by contract
         and a hole would break read-committed consumers; surviving
-        post-hole files stay on disk for forensics until `vacuum`.
+        post-hole files stay on disk for forensics — still referenced
+        by pre-reset manifest versions, so a default `vacuum` keeps
+        them forever (time travel); reclaim them deliberately with
+        `vacuum(from_version=<post-reset version>)`.
         Idempotent — and STRICTLY a data-loss repair: when every
         manifest fragment is durable it is a no-op even if
         next_offset sits past the last fragment (retention `prune`
@@ -1010,9 +1012,14 @@ class Journal:
         dropped = 0
         for f in frags:
             p = os.path.join(self.root, f.path)
+            # dot-files excluded too: Hadoop's local ChecksumFileSystem
+            # leaves `.part-*.crc` siblings, so a fragment whose
+            # parquet was lost but whose .crc survived must still
+            # classify as LOST or the repair no-ops in exactly the
+            # manual-deletion scenario this tool exists for
             durable = os.path.isfile(p) or (
                 os.path.isdir(p)
-                and any(not e.startswith("_") for e in os.listdir(p))
+                and any(not e.startswith(("_", ".")) for e in os.listdir(p))
             )
             if dropped or not durable:
                 dropped += 1
@@ -1058,11 +1065,22 @@ class Journal:
         return len(dropped)
 
     # ------------------------------------------------------------- vacuum
-    def vacuum(self, grace_seconds: float = 86400.0) -> int:
+    def vacuum(
+        self,
+        grace_seconds: float = 86400.0,
+        from_version: int | None = None,
+    ) -> int:
         """Remove fragment directories referenced by NO manifest
         version, plus stale write-temp dirs — the storage GC that
         complements `prune` (which retires *referenced* history).
         Returns the number of directories removed.
+
+        `from_version`: when set, only manifest versions >= it
+        contribute to the referenced set — fragments referenced
+        SOLELY by older history (reset_head drops, pruned fragments
+        whose rmtree was lost) become reclaimable, at the documented
+        cost that time travel below `from_version` breaks. Default
+        None keeps every version's fragments (time-travel-safe).
 
         Orphans arise from crashes in the append window: a fragment
         renamed into place whose CAS commit never ran (and whose
@@ -1082,6 +1100,7 @@ class Journal:
         referenced = {
             os.path.basename(f.path)
             for v in self.store.list_versions()
+            if from_version is None or v >= from_version
             for f in Manifest.from_json(self.store.read(v)).fragments
         }
         removed = 0

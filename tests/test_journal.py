@@ -193,12 +193,13 @@ def test_rangejoin_validates_column_names(spark):
         )
 
 
-def test_post_write_registers_failure_rolls_back_fragment(spark, journal):
-    """A raising post-write register resolver must roll back the
-    already-renamed fragment like a CAS conflict does; otherwise
-    glob-tailing readers observe rows no manifest committed."""
-    import os
-
+def test_post_write_registers_failure_aborts_before_commit(spark, journal):
+    """A raising post-write register resolver must abort the append
+    BEFORE any manifest references the fragment — readers (which are
+    manifest-driven, never a directory glob) see nothing. The renamed
+    fragment dir deliberately stays on disk: an inline delete races a
+    concurrent identical-content appender sharing the name (see
+    test_failed_append_leaves_fragment_for_vacuum); vacuum owns it."""
     journal.append(_df(spark, 0, 5))
     before = journal.manifest()
 
@@ -211,11 +212,7 @@ def test_post_write_registers_failure_rolls_back_fragment(spark, journal):
     after = journal.manifest()
     assert after.version == before.version
     assert len(after.fragments) == len(before.fragments)
-    on_disk = sorted(os.listdir(journal.frag_dir))
-    committed = sorted(
-        os.path.basename(f.path) for f in after.fragments
-    )
-    assert on_disk == committed  # no orphaned fragment dirs
+    assert journal.read(spark).count() == 5  # readers unaffected
 
     # the successful post-write path still merges its registers
     journal.append(
@@ -907,3 +904,111 @@ def test_reset_head_total_loss_resumes_at_first_fragment(spark, journal):
     assert r["reset"] and r["next_offset"] == 10  # not 0
     frag = journal.append(_df(spark, 0, 3))
     assert (frag.begin, frag.end) == (10, 13)
+
+
+def test_failed_append_leaves_fragment_for_vacuum(spark, journal):
+    """An append that fails AFTER the fragment rename (raising
+    register resolver, lost CAS) must NOT delete the fragment dir:
+    with content addressing a concurrent identical-content appender
+    may share the name and be about to commit a manifest referencing
+    it — an inline delete could leave that committed manifest
+    pointing at missing data. The orphan is invisible to readers
+    (manifest-driven) and is vacuum's job."""
+    import os
+
+    journal.append(_df(spark, 0, 5))
+
+    def boom():
+        raise RuntimeError("resolver failed")
+
+    with pytest.raises(RuntimeError, match="resolver failed"):
+        journal.append(_df(spark, 5, 9), post_write_registers=boom)
+
+    # the renamed fragment survives the failure...
+    frags = [
+        d for d in os.listdir(journal.frag_dir) if d.startswith("frag-")
+    ]
+    assert len(frags) == 2  # committed + orphan
+    # ...readers never see it (manifest has one fragment)...
+    assert journal.read(spark).count() == 5
+    # ...an identical-content retry reuses the orphan idempotently...
+    frag = journal.append(_df(spark, 5, 9), post_write_registers=None)
+    assert journal.read(spark).count() == 9
+    assert os.path.basename(frag.path) in frags
+    # ...and nothing is left for vacuum (the retry committed it)
+    assert journal.vacuum(grace_seconds=0.0) == 0
+
+
+def test_failed_append_orphan_is_vacuumed(spark, journal):
+    """When no retry ever commits the failed append's fragment, it is
+    an orphan: default vacuum reclaims it after the grace window."""
+    import os
+
+    journal.append(_df(spark, 0, 5))
+
+    def boom():
+        raise RuntimeError("x")
+
+    with pytest.raises(RuntimeError):
+        journal.append(_df(spark, 5, 9), post_write_registers=boom)
+    assert journal.vacuum(grace_seconds=0.0) == 1
+    live = {os.path.basename(f.path) for f in journal.manifest().fragments}
+    on_disk = {
+        d for d in os.listdir(journal.frag_dir) if d.startswith("frag-")
+    }
+    assert on_disk == live
+    assert journal.read(spark).count() == 5
+
+
+def test_reset_head_crc_only_fragment_is_lost(spark, journal):
+    """Hadoop's local ChecksumFileSystem leaves `.part-*.crc`
+    dot-files beside the data. A fragment dir whose parquet was lost
+    but whose .crc survived must classify as LOST — counting the .crc
+    as data would no-op the repair in exactly the manual-deletion
+    scenario reset-head exists for."""
+    import os
+
+    journal.append(_df(spark, 0, 10))
+    journal.append(_df(spark, 10, 15))
+    m = journal.manifest()
+    second = sorted(m.fragments, key=lambda f: f.begin)[1]
+    p = os.path.join(journal.root, second.path)
+    for dp, _dirs, files in os.walk(p):
+        for f in files:
+            os.remove(os.path.join(dp, f))
+    with open(os.path.join(p, ".part-0.crc"), "wb") as fh:
+        fh.write(b"\x00" * 8)
+    r = journal.reset_head()
+    assert r["reset"] is True and r["next_offset"] == 10
+    assert journal.read(spark).count() == 10
+
+
+def test_vacuum_from_version_reclaims_reset_head_drops(spark, journal):
+    """Fragments dropped by reset-head stay referenced by pre-reset
+    manifest versions, so a default vacuum keeps them forever (time
+    travel). `from_version` scopes the referenced set so the operator
+    can deliberately reclaim them once forensics are done."""
+    import os
+    import shutil
+
+    journal.append(_df(spark, 0, 10))
+    journal.append(_df(spark, 10, 20))
+    journal.append(_df(spark, 20, 30))
+    m = journal.manifest()
+    frags = sorted(m.fragments, key=lambda f: f.begin)
+    # lose the middle fragment; the post-hole third survives on disk
+    shutil.rmtree(os.path.join(journal.root, frags[1].path))
+    r = journal.reset_head()
+    assert r["reset"] and r["dropped"] == 2
+    post_reset = journal.manifest().version
+    third = os.path.join(journal.root, frags[2].path)
+    assert os.path.isdir(third)
+
+    # default vacuum: time-travel-safe, keeps the post-hole fragment
+    assert journal.vacuum(grace_seconds=0.0) == 0
+    assert os.path.isdir(third)
+
+    # scoped vacuum: pre-reset references no longer pin it
+    assert journal.vacuum(grace_seconds=0.0, from_version=post_reset) == 1
+    assert not os.path.exists(third)
+    assert journal.read(spark).count() == 10

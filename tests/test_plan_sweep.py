@@ -58,8 +58,6 @@ ALLOWED = {
                         "corpus-size-independent",
     "q_curriculum_order": "the epoch fan-out is a TWO-ROW broadcast "
                      "(constant epoch count) over the doc-id scan",
-    "q_corpus_sample": "tau (the (k+1)-th priority) is a broadcast "
-                       "ONE-ROW global over the k-row kept sample",
 }
 
 # Building these executes real streaming jobs / journal writes — their

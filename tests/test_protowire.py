@@ -141,3 +141,60 @@ def test_wire_type_mismatch_raises_named(spark):
         )
         with pytest.raises(Exception, match="wire type"):
             _fixed_framing_spec(df, "payload", spec).collect()
+
+
+def test_wire_type_guard_covers_scalar_zigzag_and_packed_floats(spark):
+    """The guard must also name corrupt tags for kinds whose decode
+    would otherwise crash un-named (or fabricate): scalar zigzag on
+    wire 2 (memoryview >> int), packed_float on wire 0 (struct over
+    an int), packed_double on wire 5 (mis-sized buffer), and plain
+    varint on wire 2 (bytes assigned to an int field)."""
+    import pytest
+
+    from core_spark.functions.framing import _fixed_framing_spec
+    from core_spark.functions.protowire import encode_varint
+
+    cases = [
+        ({1: ("z", "zigzag")},
+         encode_varint(1 << 3 | 2) + encode_varint(2) + b"\x01\x02"),
+        ({1: ("f", "packed_float")},
+         encode_varint(1 << 3 | 0) + encode_varint(5)),
+        ({1: ("d", "packed_double")},
+         encode_varint(1 << 3 | 5) + b"\x00" * 4),
+        ({1: ("v", "varint")},
+         encode_varint(1 << 3 | 2) + encode_varint(2) + b"\x01\x02"),
+    ]
+    for spec, body in cases:
+        df = spark.createDataFrame([(body,)], "payload binary").withColumn(
+            "payload", encode_fixed_frame(F.col("payload"))
+        )
+        with pytest.raises(Exception, match="wire type"):
+            _fixed_framing_spec(df, "payload", spec).collect()
+
+
+def test_packed_scalars_still_accept_unpacked_occurrences(spark):
+    """The widened guard must not reject LEGAL encodings: a packed
+    field may arrive as repeated unpacked occurrences on the scalar's
+    own wire type (proto3 parsers must accept both)."""
+    import struct
+
+    from core_spark.functions.framing import _fixed_framing_spec
+    from core_spark.functions.protowire import encode_varint
+
+    body = (
+        encode_varint(1 << 3 | 0) + encode_varint(7)      # unpacked varint
+        + encode_varint(2 << 3 | 5) + struct.pack("<f", 1.5)  # unpacked float
+        + encode_varint(3 << 3 | 1) + struct.pack("<d", 2.5)  # unpacked double
+    )
+    spec = {
+        1: ("v", "packed_varint"),
+        2: ("f", "packed_float"),
+        3: ("d", "packed_double"),
+    }
+    df = spark.createDataFrame([(body,)], "payload binary").withColumn(
+        "payload", encode_fixed_frame(F.col("payload"))
+    )
+    row = _fixed_framing_spec(df, "payload", spec).collect()[0]["_msg"]
+    assert list(row["v"]) == [7]
+    assert list(row["f"]) == [1.5]
+    assert list(row["d"]) == [2.5]
