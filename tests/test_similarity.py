@@ -454,3 +454,94 @@ def test_ivf_assign_kernel_agrees_with_join_form(spark):
         for r in ivf_assign_kernel(c, cents, "_v", "vec_id").collect()
     }
     assert kernel == join_form
+
+
+def test_auto_width_formula_matches_duckdb_across_decades():
+    """The scale-safe queries hash-check only if Python's auto band
+    width / cell count (similarity.py) and the oracle's scalar CTE
+    (llmops.py) agree at EVERY corpus size — pin the two formulas
+    against each other across the decades the engine targets."""
+    import math
+
+    import duckdb
+
+    from core_spark.plans.llmops import _DUCK_CELLS, _DUCK_ND_W
+
+    sizes = [
+        1, 2, 255, 256, 257, 511, 512, 513, 1023, 1024, 1025, 2048,
+        4096, 4097, 5000, 65536, 65537, 200_000, 1_000_000,
+        10_000_000, 4_294_967_296,
+    ]
+    for n in sizes:
+        py_w = max(4, math.ceil(math.log2(max(2.0, n / 256))))
+        py_c = max(16, n // 1024)
+        got = duckdb.sql(
+            f"SELECT {_DUCK_ND_W} AS w, {_DUCK_CELLS} AS c "
+            f"FROM (SELECT unnest(range({n})))"
+            if n <= 1_000_000
+            else "SELECT "
+            + _DUCK_ND_W.replace("COUNT(*)", str(n))
+            + " AS w, "
+            + _DUCK_CELLS.replace("COUNT(*)", str(n))
+            + " AS c"
+        ).fetchone()
+        assert (got[0], got[1]) == (py_w, py_c), (
+            f"n={n}: duck=({got[0]}, {got[1]}) py=({py_w}, {py_c})"
+        )
+
+
+def test_dedup_embed_auto_oracle_holds_in_dynamic_width_region(spark):
+    """At driver scales the auto width resolves to the demo value
+    (4); this is the cross-engine check IN the dynamic region: a 5000
+    -vector corpus (width 5, 19 cells) run through the registered
+    q_dedup_embed_auto / q_dedup_semantic Spark paths AND their
+    DuckDB oracles — the hash-exactness claim the queries make at
+    scale, exercised where fixed and auto genuinely diverge."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import duckdb
+
+    from core_spark.plans.registry import REGISTRY
+    from tests.oracle_check import _normalize
+
+    n, dims = 5000, 64
+    assert max(4, math.ceil(math.log2(max(2.0, n / 256)))) == 5
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((n, dims)).astype(np.float32)
+    # plant near-dups so the pair set is non-trivial
+    for i in range(0, 400, 2):
+        base[i + 1] = base[i] + 0.05 * rng.standard_normal(dims).astype(
+            np.float32
+        )
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": [r for r in base],
+            "label": (np.arange(n) % 7).astype(np.int32),
+        }
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        con = duckdb.connect()
+        con.register("pdf", pdf)
+        con.execute(
+            "COPY (SELECT vec_id, CAST(embedding AS FLOAT[]) AS embedding,"
+            " label FROM pdf) TO "
+            f"'{os.path.join(td, 'embeddings.parquet')}' (FORMAT PARQUET)"
+        )
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"'{os.path.join(td, 'embeddings.parquet')}'"
+        )
+        for name in ("q_dedup_embed_auto", "q_dedup_semantic"):
+            q = REGISTRY[name]
+            got = _normalize(q.fn(spark, td).toPandas())
+            want = _normalize(con.execute(q.oracle).df())
+            assert len(got) == len(want), (
+                f"{name}: rows {len(got)} vs {len(want)}"
+            )
+            assert got.equals(want), f"{name}: value mismatch in auto region"
+        con.close()
