@@ -167,6 +167,114 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_distinct_kmv",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT l_returnflag,
+             {_DUCK_H60.format(x="l_partkey")} AS h
+      FROM lineitem
+    ),
+    r AS (
+      SELECT l_returnflag, h,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS nd
+      FROM h
+    ),
+    kth AS (
+      SELECT l_returnflag, h AS kth_hash FROM r WHERE rn = {_KMV_K}
+    ),
+    g AS (SELECT l_returnflag, MAX(nd) AS nd FROM r GROUP BY l_returnflag)
+    SELECT g.l_returnflag,
+           coalesce(kth.kth_hash, -1) AS kth_hash,
+           CAST(coalesce(
+             FLOOR(({_KMV_K} - 1) * CAST(1152921504606846976 AS DECIMAL(38,0))
+                   / kth.kth_hash),
+             g.nd) AS BIGINT) AS est_distinct
+    FROM g LEFT JOIN kth USING (l_returnflag)
+    ORDER BY g.l_returnflag
+    """,
+)
+def q_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimate-only KMV: q_kmv_distinct WITHOUT the exact_distinct
+    contract column. That column is the measured linear floor of the
+    paired query (the full distinct exchange probes ~0.8 alone,
+    DESIGN §5.1); dropping it leaves only the sketch's true cost —
+    each partition reduces to <= groups x k candidate rows in the
+    map-side bottom-k kernel BEFORE any exchange, so the one shuffle
+    moves O(P*G*k) rows however large the corpus. The under-k
+    fallback needs no exact count: a group with fewer than k distinct
+    hashes has ALL of them inside the candidate union, so the
+    sketch's own row count IS the exact count there."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        "l_returnflag", F.expr(_SPARK_H60.format(x="l_partkey")).alias("h")
+    )
+
+    def _bottomk(batches):
+        import numpy as np
+        import pandas as pd
+
+        best: dict[str, "np.ndarray"] = {}
+        for pdf in batches:
+            for g, sub in pdf.groupby("l_returnflag", sort=False):
+                cand = sub["h"].to_numpy(np.int64)
+                prev = best.get(g)
+                merged = np.unique(
+                    cand if prev is None else np.concatenate([prev, cand])
+                )
+                best[g] = merged[:_KMV_K]
+        if best:
+            yield pd.DataFrame(
+                {
+                    "l_returnflag": np.repeat(
+                        list(best), [len(v) for v in best.values()]
+                    ),
+                    "h": np.concatenate(list(best.values())),
+                }
+            )
+
+    cand = pairs.mapInPandas(_bottomk, "l_returnflag string, h long")
+    w2 = Window.partitionBy("l_returnflag").orderBy("h")
+    sk = (
+        cand.distinct()
+        .select(
+            "l_returnflag",
+            "h",
+            F.row_number().over(w2).alias("rn"),
+            F.count("*").over(Window.partitionBy("l_returnflag")).alias(
+                "n_cand"
+            ),
+        )
+        .filter(F.col("rn") <= _KMV_K)
+    )
+    est = F.floor(
+        (_KMV_K - 1)
+        * F.lit(1152921504606846976).cast("decimal(38,0)")
+        / F.col("h")
+    )
+    return (
+        sk.groupBy("l_returnflag")
+        .agg(
+            F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias(
+                "kth_hash_raw"
+            ),
+            F.max(
+                F.when(F.col("rn") == _KMV_K, est.cast("bigint"))
+            ).alias("est_raw"),
+            F.max("n_cand").alias("n_cand"),
+        )
+        .select(
+            "l_returnflag",
+            F.coalesce("kth_hash_raw", F.lit(-1)).alias("kth_hash"),
+            F.coalesce(F.col("est_raw"), F.col("n_cand"))
+            .cast("bigint")
+            .alias("est_distinct"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # ---------------------------------------------------------- token budget
 _BUDGET = 20_000  # tokens
 _N_BKT = 64  # priority-hash top bits — must divide the hash range
@@ -411,6 +519,140 @@ def q_bloom_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # Bloom discipline: only positives pay the exact verify join
+    positives = hits.filter(F.col("nhit") == F.col("npos")).join(
+        corpus_h.withColumn("in_corpus", F.lit(1)), "h", "left"
+    )
+    return (
+        positives.select(
+            "doc_id",
+            F.when(F.col("in_corpus") == 1, F.lit("dup_corpus"))
+            .otherwise(F.lit("false_positive"))
+            .alias("verdict"),
+        )
+        .unionByName(
+            hits.filter(F.col("nhit") < F.col("npos")).select(
+                "doc_id", F.lit("unique").alias("verdict")
+            )
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ------------------------------------------------------- bloom auto-size
+# m = max(2^16, 2^ceil(log2(16 * n_corpus))) — the docstring's
+# ~16 bits/key prescription made executable: FP stays ~3e-4 at any
+# scale and the broadcast tracks the corpus instead of saturating
+# (SCALE_r06 caught the fixed-m filter stopping filtering at 100×:
+# most probes positive, every batch row paying the verify join).
+# Power-of-two + integer-exact ceil-log2 so Spark (Python ints) and
+# the oracle (scalar CTE) derive bit-identical m from the same count.
+_BLOOM_BITS_PER_KEY = 16
+_DUCK_BLOOM_M = (
+    "GREATEST(65536, CAST(1 AS BIGINT) << CAST(CEIL(LOG2("
+    f"{_BLOOM_BITS_PER_KEY} * COUNT(*))) AS INT))"
+)
+
+
+def _bloom_auto_m(n_corpus: int) -> int:
+    return max(
+        65536, 1 << max(1, (_BLOOM_BITS_PER_KEY * n_corpus - 1).bit_length())
+    )
+
+
+def _bloom_positions_m(h: Column, m: int) -> list[Column]:
+    return [
+        F.conv(F.substring(h, 1 + 8 * j, 8), 16, 10).cast("long") % m
+        for j in range(_BLOOM_K)
+    ]
+
+
+@query(
+    "q_bloom_auto",
+    oracle=f"""
+    WITH params AS (
+      SELECT {_DUCK_BLOOM_M} AS m FROM documents WHERE doc_id % 10 <> 9
+    ),
+    corpus AS (
+      SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 <> 9
+    ),
+    cpos AS (
+      SELECT DISTINCT unnest([
+        CAST('0x' || substr(h, 1, 8) AS BIGINT) % params.m,
+        CAST('0x' || substr(h, 9, 8) AS BIGINT) % params.m,
+        CAST('0x' || substr(h, 17, 8) AS BIGINT) % params.m
+      ]) AS pos FROM corpus, params
+    ),
+    batch AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 = 9
+    ),
+    bpos AS (
+      SELECT doc_id, h, unnest([
+        CAST('0x' || substr(h, 1, 8) AS BIGINT) % params.m,
+        CAST('0x' || substr(h, 9, 8) AS BIGINT) % params.m,
+        CAST('0x' || substr(h, 17, 8) AS BIGINT) % params.m
+      ]) AS pos FROM batch, params
+    ),
+    hits AS (
+      SELECT b.doc_id, b.h,
+             COUNT(DISTINCT b.pos) AS npos,
+             COUNT(DISTINCT CASE WHEN c.pos IS NOT NULL THEN b.pos END)
+               AS nhit
+      FROM bpos b LEFT JOIN cpos c USING (pos)
+      GROUP BY b.doc_id, b.h
+    )
+    SELECT h.doc_id,
+           CASE WHEN h.nhit < h.npos THEN 'unique'
+                WHEN c.h IS NOT NULL THEN 'dup_corpus'
+                ELSE 'false_positive' END AS verdict
+    FROM hits h LEFT JOIN corpus c USING (h)
+    ORDER BY doc_id
+    """,
+)
+def q_bloom_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom ingest gate under the SCALE-SAFE filter size:
+    m = max(2^16, 2^ceil(log2(16 * corpus_rows))) from one corpus
+    count, so bits-per-key — and with it the false-positive rate and
+    the fraction of the batch paying the exact verify join — stays
+    constant as the corpus grows (the fixed-m q_bloom_ingest is the
+    demo-pinned form; its filter saturates once kn/m approaches 1 and
+    every probe turns positive). The oracle derives the identical m
+    in a scalar CTE feeding the bit-position arithmetic, so the hash
+    check holds at every scale — m already differs from the fixed
+    form at sf0.1 (131072 vs 65536), putting the dynamic sizing on
+    the driver's own gate. Sized from raw corpus rows, not distinct
+    hashes: counting rows is a narrow scan while the distinct count
+    is the exact-dedup exchange this gate exists to avoid, and rows
+    >= distinct only over-provisions."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 9)
+    m = _bloom_auto_m(corpus.count())
+    corpus_h = corpus.select(F.md5("text").alias("h")).distinct()
+    cpos = (
+        corpus_h.select(
+            F.explode(
+                F.array(*_bloom_positions_m(F.col("h"), m))
+            ).alias("pos")
+        )
+        .distinct()
+        .withColumn("present", F.lit(1))
+    )
+    batch = docs.filter(F.col("doc_id") % 10 == 9).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    bpos = batch.select(
+        "doc_id", "h",
+        F.explode(F.array(*_bloom_positions_m(F.col("h"), m))).alias("pos"),
+    )
+    hits = (
+        bpos.join(F.broadcast(cpos), "pos", "left")
+        .groupBy("doc_id", "h")
+        .agg(
+            F.countDistinct("pos").alias("npos"),
+            F.countDistinct(
+                F.when(F.col("present") == 1, F.col("pos"))
+            ).alias("nhit"),
+        )
+    )
     positives = hits.filter(F.col("nhit") == F.col("npos")).join(
         corpus_h.withColumn("in_corpus", F.lit(1)), "h", "left"
     )

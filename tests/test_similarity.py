@@ -472,21 +472,20 @@ def test_auto_width_formula_matches_duckdb_across_decades():
         4096, 4097, 5000, 65536, 65537, 200_000, 1_000_000,
         10_000_000, 4_294_967_296,
     ]
+    from core_spark.plans.sketches import _DUCK_BLOOM_M, _bloom_auto_m
+
     for n in sizes:
         py_w = max(4, math.ceil(math.log2(max(2.0, n / 256))))
         py_c = max(16, n // 1024)
+        py_m = _bloom_auto_m(n)
+        exprs = f"{_DUCK_ND_W} AS w, {_DUCK_CELLS} AS c, {_DUCK_BLOOM_M} AS m"
         got = duckdb.sql(
-            f"SELECT {_DUCK_ND_W} AS w, {_DUCK_CELLS} AS c "
-            f"FROM (SELECT unnest(range({n})))"
+            f"SELECT {exprs} FROM (SELECT unnest(range({n})))"
             if n <= 1_000_000
-            else "SELECT "
-            + _DUCK_ND_W.replace("COUNT(*)", str(n))
-            + " AS w, "
-            + _DUCK_CELLS.replace("COUNT(*)", str(n))
-            + " AS c"
+            else "SELECT " + exprs.replace("COUNT(*)", str(n))
         ).fetchone()
-        assert (got[0], got[1]) == (py_w, py_c), (
-            f"n={n}: duck=({got[0]}, {got[1]}) py=({py_w}, {py_c})"
+        assert got == (py_w, py_c, py_m), (
+            f"n={n}: duck={got} py=({py_w}, {py_c}, {py_m})"
         )
 
 
