@@ -15,11 +15,18 @@ opaque serializations only (message/interfaces.go:121-124), and the
 curation index POINTS at them — the 100 TB shape, where media blobs
 live in object storage and only doc_id-keyed metadata shuffles.
 
-MP3 is the deliberate edge: the header walk yields an exact
-duration without MDCT decode, so it passes the duration gate but
-reports NULL energy and the verdict `kept_no_energy` — an honest
-"decode on the cluster with a real codec lib" marker rather than a
-fake number.
+MP3 and MP4 are the deliberate edges: their header/box walks yield
+exact duration (and, for MP4, track dimensions) without MDCT/frame
+decode, so they pass the duration and dimension gates but report
+NULL energy and the verdict `kept_no_energy` — an honest "decode on
+the cluster with a real codec lib" marker rather than a fake number.
+This is the PERMANENT disposition, not a TODO: a pure-python
+layer-III/H.264 decoder would be three orders of magnitude slower
+than the codec libraries every real cluster image carries (mpg123 /
+pyav), so the right production move is installing the named library
+— columns.py's stub discipline — and `kept_no_energy` is precisely
+the row a downstream decode pass would re-queue. COVERAGE.md §mm
+records the disposition.
 """
 
 from __future__ import annotations
@@ -76,6 +83,18 @@ def media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             if img is not None:
                 mime, w, h = img
                 return (doc_id, mime, w, h, None, None, None, len(raw))
+
+            if len(raw) >= 12 and raw[4:8] == b"ftyp":
+                from core_spark.multimodal.mp4 import mp4_meta
+
+                m = mp4_meta(raw)
+                # full gate metadata from the box walk alone — the
+                # video twin of the MP3 header scan below; frame
+                # decode (energy/luma) stays behind the pyav stub
+                return (
+                    doc_id, "video/mp4", m["width"], m["height"],
+                    None, m["duration_ms"], None, len(raw),
+                )
 
             if raw[:3] == b"ID3" or (
                 len(raw) >= 2
@@ -145,10 +164,11 @@ def curate_media(meta: DataFrame) -> DataFrame:
     their reason (the scrub ledger shape); `kept`/`kept_no_energy`
     rows are what reaches the journal."""
     is_img = F.col("mime").startswith("image/")
+    is_vid = F.col("mime").startswith("video/")
     return meta.withColumn(
         "verdict",
         F.when(
-            is_img & (F.least("width", "height") < _MIN_SIDE),
+            (is_img | is_vid) & (F.least("width", "height") < _MIN_SIDE),
             F.lit("rejected_small"),
         )
         .when(is_img, F.lit("kept"))

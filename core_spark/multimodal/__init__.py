@@ -2,7 +2,9 @@
 metadata, with Arrow-batched decode/transform plumbing."""
 
 from core_spark.multimodal.columns import (
+    attach_mp4_payload,
     attach_payload,
+    decode_av_meta,
     decode_image_meta,
     resize_images,
     audio_frame_features,
@@ -11,7 +13,9 @@ from core_spark.multimodal.columns import (
 )
 
 __all__ = [
+    "attach_mp4_payload",
     "attach_payload",
+    "decode_av_meta",
     "decode_image_meta",
     "resize_images",
     "audio_frame_features",

@@ -502,6 +502,81 @@ VIDEO_FRAME_SCHEMA = (
 )
 
 
+AV_META_SCHEMA = (
+    "doc_id long, brand string, duration_ms long, width long,"
+    " height long, n_tracks long, video_codec string,"
+    " audio_codec string"
+)
+
+
+def attach_mp4_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Materialize a REAL ISO-BMFF payload per document: movie
+    parameters (duration, track dimensions) derive from md5(text) so
+    a SQL oracle can recompute them, but the bytes are a genuine
+    ftyp+moov+mdat container built by multimodal/mp4.py — the decode
+    stage downstream walks actual boxes, not a fake."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from core_spark.multimodal.mp4 import build_mp4
+
+        def one(text: str) -> bytes:
+            h = hashlib.md5(text.encode("utf-8")).hexdigest()
+            dur = 500 + int(h[0:8], 16) % 600000
+            w = 16 * (4 + int(h[8:12], 16) % 117)
+            ht = 16 * (3 + int(h[12:16], 16) % 65)
+            return build_mp4(
+                dur, video=(w, ht, "avc1"), audio="mp4a",
+                mdat=text.encode("utf-8")[:64],
+            )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [one(t) for t in pdf[text_col]],
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        build, "doc_id long, payload binary"
+    )
+
+
+def decode_av_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Walk ISO-BMFF payloads to curation metadata (AV_META_SCHEMA)
+    via multimodal/mp4.py — brand, movie duration, first-video-track
+    dimensions, per-modality codec fourcc. The video twin of the MP3
+    header scan: every gate field without decoding a frame."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from core_spark.multimodal.mp4 import mp4_meta
+
+        for pdf in batches:
+            rows = []
+            for d, raw in zip(pdf["doc_id"], pdf[payload_col]):
+                m = mp4_meta(bytes(raw))
+                rows.append(
+                    (
+                        int(d), m["brand"], m["duration_ms"], m["width"],
+                        m["height"], m["n_tracks"], m["video_codec"],
+                        m["audio_codec"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "brand", "duration_ms", "width", "height",
+                    "n_tracks", "video_codec", "audio_codec",
+                ],
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(
+        decode, schema=AV_META_SCHEMA
+    )
+
+
 def sample_video_frames(
     df: DataFrame, payload_col: str = "payload", every_ms: int = 1000,
     fake: bool = True,

@@ -1,0 +1,300 @@
+"""MP4 / ISO-BMFF container metadata — the video sibling of wav.py's
+`mp3_meta`: a box walk yielding the fields a video-curation pipeline
+gates on (duration, track dimensions, codec fourcc, brand) WITHOUT
+decoding any frame. Structure per the public ISO/IEC 14496-12 spec:
+
+- box = u32 size + 4-char type; size==1 -> u64 largesize follows;
+  size==0 -> box extends to the end of its enclosure.
+- `ftyp` carries the major brand; `moov` is the metadata container:
+  `mvhd` (movie timescale + duration), per-`trak` `tkhd` (16.16
+  fixed-point width/height), `mdia/hdlr` (handler: 'vide'/'soun'),
+  `mdia/minf/stbl/stsd` (sample-entry codec fourcc, e.g. avc1/hvc1/
+  mp4a).
+
+Frame decode (H.264/HEVC/AAC) stays behind the columns.py stub
+discipline naming the real library (pyav); the walk here is complete
+for curation gates — it is what lets `examples/media_pipeline.py`
+route an mp4 corpus through its duration/dimension gates exactly as
+the MP3 header walk does for audio.
+
+Corrupt-input discipline (the codec-suite rule, property-fuzzed in
+tests): any malformed size/offset raises a named ValueError — never a
+hang, never a giant allocation, never fabricated fields.
+
+Reference parity: gazette/core moves opaque serializations only
+(message/interfaces.go:121-124); container parsing happens in
+executor-side Arrow kernels, never in the engine.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts"}
+# A sane box is at least its own header; caps below guard against
+# corrupt sizes demanding absurd recursion or allocation.
+_MAX_DEPTH = 8
+
+
+class Mp4Error(ValueError):
+    """Named parse failure: corrupt or non-BMFF input."""
+
+
+def _boxes(raw: memoryview, start: int, end: int, depth: int = 0):
+    """Yield (type, body_start, body_end) for each box in [start,
+    end) — bounds-checked so corrupt sizes raise instead of scanning
+    past the buffer or looping forever."""
+    if depth > _MAX_DEPTH:
+        raise Mp4Error("box nesting exceeds ISO-BMFF sanity depth")
+    off = start
+    while off < end:
+        if off + 8 > end:
+            raise Mp4Error(f"truncated box header at {off}")
+        size = struct.unpack_from(">I", raw, off)[0]
+        btype = bytes(raw[off + 4 : off + 8])
+        body = off + 8
+        if size == 1:
+            if off + 16 > end:
+                raise Mp4Error(f"truncated largesize at {off}")
+            size = struct.unpack_from(">Q", raw, off + 8)[0]
+            body = off + 16
+        elif size == 0:
+            size = end - off  # extends to the end of the enclosure
+        if size < body - off or off + size > end:
+            raise Mp4Error(
+                f"box {btype!r} size {size} escapes [{off}, {end})"
+            )
+        yield btype, body, off + size
+        off += size
+
+
+def _full_box(raw: memoryview, start: int) -> tuple[int, int]:
+    """FullBox header: (version, body offset past version+flags)."""
+    return raw[start], start + 4
+
+
+def _fixed_16_16(raw: memoryview, off: int) -> int:
+    return struct.unpack_from(">I", raw, off)[0] >> 16
+
+
+def _parse_mvhd(raw: memoryview, start: int, end: int) -> tuple[int, int]:
+    v, off = _full_box(raw, start)
+    if v == 1:
+        if off + 28 > end:
+            raise Mp4Error("truncated mvhd v1")
+        timescale = struct.unpack_from(">I", raw, off + 16)[0]
+        duration = struct.unpack_from(">Q", raw, off + 20)[0]
+    else:
+        if off + 16 > end:
+            raise Mp4Error("truncated mvhd v0")
+        timescale = struct.unpack_from(">I", raw, off + 8)[0]
+        duration = struct.unpack_from(">I", raw, off + 12)[0]
+    if timescale == 0:
+        raise Mp4Error("mvhd timescale 0")
+    return timescale, duration
+
+
+def _parse_tkhd(raw: memoryview, start: int, end: int) -> tuple[int, int]:
+    v, off = _full_box(raw, start)
+    # v0: creation+modification+track_ID+reserved+duration = 20;
+    # v1 widens creation/modification/duration to u64 -> 32. Then
+    # reserved u32[2], layer/alt-group/volume/reserved i16[4],
+    # matrix[36]; width/height sit at the tail.
+    tail = off + (20 if v == 0 else 32) + 8 + 2 + 2 + 2 + 2 + 36
+    if tail + 8 > end:
+        raise Mp4Error("truncated tkhd")
+    return _fixed_16_16(raw, tail), _fixed_16_16(raw, tail + 4)
+
+
+def _parse_hdlr(raw: memoryview, start: int, end: int) -> bytes:
+    _v, off = _full_box(raw, start)
+    if off + 8 > end:
+        raise Mp4Error("truncated hdlr")
+    return bytes(raw[off + 4 : off + 8])
+
+
+def _parse_stsd_fourcc(raw: memoryview, start: int, end: int) -> str | None:
+    _v, off = _full_box(raw, start)
+    if off + 4 > end:
+        raise Mp4Error("truncated stsd")
+    n = struct.unpack_from(">I", raw, off)[0]
+    if n == 0:
+        return None
+    if off + 12 > end:
+        raise Mp4Error("truncated stsd entry")
+    return bytes(raw[off + 8 : off + 12]).decode("latin-1")
+
+
+def mp4_meta(raw: bytes) -> dict:
+    """Walk an ISO-BMFF stream -> metadata dict: {brand, timescale,
+    duration_ms, n_tracks, width, height, video_codec, audio_codec}.
+    width/height/video_codec come from the first video ('vide')
+    track; audio_codec from the first 'soun' track; either may be
+    None when the movie lacks that modality."""
+    mv = memoryview(raw)
+    brand = None
+    timescale = duration = None
+    n_tracks = 0
+    width = height = None
+    video_codec = audio_codec = None
+    saw_moov = False
+
+    def walk_trak(body: int, bend: int) -> None:
+        nonlocal width, height, video_codec, audio_codec
+        handler = None
+        dims = None
+        fourcc = None
+
+        def walk(b0: int, b1: int, depth: int) -> None:
+            nonlocal handler, dims, fourcc
+            for t, s, e in _boxes(mv, b0, b1, depth):
+                if t == b"tkhd":
+                    w, h = _parse_tkhd(mv, s, e)
+                    if dims is None:
+                        dims = (w, h)
+                elif t == b"hdlr":
+                    handler = _parse_hdlr(mv, s, e)
+                elif t == b"stsd":
+                    fc = _parse_stsd_fourcc(mv, s, e)
+                    if fourcc is None:
+                        fourcc = fc
+                elif t in _CONTAINERS:
+                    walk(s, e, depth + 1)
+
+        walk(body, bend, 2)
+        if handler == b"vide":
+            if video_codec is None:
+                video_codec = fourcc
+            if width is None and dims is not None:
+                width, height = dims
+        elif handler == b"soun" and audio_codec is None:
+            audio_codec = fourcc
+
+    for btype, body, bend in _boxes(mv, 0, len(raw)):
+        if btype == b"ftyp":
+            if body + 4 > bend:
+                raise Mp4Error("truncated ftyp")
+            brand = bytes(mv[body : body + 4]).decode("latin-1")
+        elif btype == b"moov":
+            saw_moov = True
+            for t, s, e in _boxes(mv, body, bend, 1):
+                if t == b"mvhd":
+                    timescale, duration = _parse_mvhd(mv, s, e)
+                elif t == b"trak":
+                    n_tracks += 1
+                    walk_trak(s, e)
+    if brand is None and not saw_moov:
+        raise Mp4Error("no ftyp or moov box: not ISO-BMFF")
+    if timescale is None:
+        raise Mp4Error("moov without mvhd")
+    return {
+        "brand": brand,
+        "timescale": timescale,
+        "duration_ms": duration * 1000 // timescale,
+        "n_tracks": n_tracks,
+        "width": width,
+        "height": height,
+        "video_codec": video_codec,
+        "audio_codec": audio_codec,
+    }
+
+
+# ------------------------------------------------------------- builder
+
+
+def _box(btype: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def _full(btype: bytes, version: int, body: bytes) -> bytes:
+    return _box(btype, struct.pack(">B", version) + b"\x00\x00\x00" + body)
+
+
+_UNITY_MATRIX = struct.pack(
+    ">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+)
+
+
+def build_mp4(
+    duration_ms: int,
+    timescale: int = 1000,
+    video: tuple[int, int, str] | None = None,
+    audio: str | None = None,
+    brand: str = "isom",
+    mdat: bytes = b"",
+) -> bytes:
+    """Deterministic minimal ISO-BMFF: ftyp + moov(mvhd, trak per
+    modality) + mdat. `video` = (width, height, fourcc); `audio` =
+    fourcc. Sample tables are empty (metadata-only fixture — exactly
+    what the walk reads); durations use v1 (64-bit) boxes when they
+    overflow u32, exercising both parser paths."""
+    dur = duration_ms * timescale // 1000
+    v = 1 if dur > 0xFFFFFFFF else 0
+    if v:
+        mvhd_body = (
+            struct.pack(">QQIQ", 0, 0, timescale, dur)
+            + struct.pack(">ihhq", 0x10000, 0x0100, 0, 0)
+            + _UNITY_MATRIX
+            + b"\x00" * 24
+            + struct.pack(">I", 99)
+        )
+    else:
+        mvhd_body = (
+            struct.pack(">IIII", 0, 0, timescale, dur)
+            + struct.pack(">ihhq", 0x10000, 0x0100, 0, 0)
+            + _UNITY_MATRIX
+            + b"\x00" * 24
+            + struct.pack(">I", 99)
+        )
+    traks = []
+
+    def trak(handler: bytes, fourcc: str, w: int, h: int) -> bytes:
+        if v:
+            tkhd_body = (
+                struct.pack(">QQIIQ", 0, 0, len(traks) + 1, 0, dur)
+                + b"\x00" * 8
+                + struct.pack(">hhhh", 0, 0, 0, 0)
+                + _UNITY_MATRIX
+                + struct.pack(">II", w << 16, h << 16)
+            )
+        else:
+            tkhd_body = (
+                struct.pack(">IIIII", 0, 0, len(traks) + 1, 0, dur)
+                + b"\x00" * 8
+                + struct.pack(">hhhh", 0, 0, 0, 0)
+                + _UNITY_MATRIX
+                + struct.pack(">II", w << 16, h << 16)
+            )
+        entry = (
+            struct.pack(">I", 16)
+            + fourcc.encode("latin-1")
+            + b"\x00" * 6
+            + struct.pack(">H", 1)
+        )
+        stsd = _full(b"stsd", 0, struct.pack(">I", 1) + entry)
+        stbl = _box(b"stbl", stsd)
+        minf = _box(b"minf", stbl)
+        mdhd = _full(
+            b"mdhd",
+            0,
+            struct.pack(">IIII", 0, 0, timescale, min(dur, 0xFFFFFFFF))
+            + struct.pack(">HH", 0x55C4, 0),  # language 'und'
+        )
+        hdlr = _full(
+            b"hdlr",
+            0,
+            struct.pack(">I", 0) + handler + b"\x00" * 12 + b"\x00",
+        )
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        return _box(b"trak", _full(b"tkhd", v, tkhd_body) + mdia)
+
+    if video is not None:
+        w, h, fc = video
+        traks.append(trak(b"vide", fc, w, h))
+    if audio is not None:
+        traks.append(trak(b"soun", audio, 0, 0))
+    moov = _box(b"moov", _full(b"mvhd", v, mvhd_body) + b"".join(traks))
+    ftyp = _box(
+        b"ftyp", brand.encode("latin-1") + struct.pack(">I", 0) + b"isom"
+    )
+    return ftyp + moov + _box(b"mdat", mdat)

@@ -7,8 +7,45 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from core_spark.io import load_table
-from core_spark.multimodal import attach_payload, decode_image_meta
+from core_spark.multimodal import (
+    attach_mp4_payload,
+    attach_payload,
+    decode_av_meta,
+    decode_image_meta,
+)
 from core_spark.plans.registry import query
+
+
+@query(
+    "q_av_meta",
+    oracle="""
+    SELECT doc_id,
+           'isom' AS brand,
+           500 + CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 600000
+             AS duration_ms,
+           16 * (4 + CAST('0x' || substr(md5(text), 9, 4) AS BIGINT) % 117)
+             AS width,
+           16 * (3 + CAST('0x' || substr(md5(text), 13, 4) AS BIGINT) % 65)
+             AS height,
+           CAST(2 AS BIGINT) AS n_tracks,
+           'avc1' AS video_codec,
+           'mp4a' AS audio_codec
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_av_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-container metadata walk (multimodal/mp4.py): each
+    document becomes a REAL ISO-BMFF payload (ftyp + moov with mvhd/
+    tkhd/hdlr/stsd + mdat, parameters md5-derived so the oracle can
+    recompute them), crosses an Arrow boundary as opaque binary, and
+    a second kernel walks the actual boxes back to duration / track
+    dimensions / codec fourcc — the gate fields a video curation
+    pass filters on, no frame decode (the MP3-header-walk convention
+    for the video modality; frame decode stays behind the pyav
+    stub). Payload bytes never reach the JVM plan: both stages are
+    executor-side mapInPandas."""
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_av_meta(attach_mp4_payload(docs)).orderBy("doc_id")
 
 
 @query(

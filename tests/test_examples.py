@@ -122,6 +122,7 @@ def test_media_pipeline_end_to_end(spark, tmp_path):
     from core_spark.multimodal.bmp import bmp_encode
     from core_spark.multimodal.flac import flac_encode
     from core_spark.multimodal.gif import gif_encode
+    from core_spark.multimodal.mp4 import build_mp4
     from core_spark.multimodal.png import png_encode
 
     rng = np.random.default_rng(11)
@@ -157,6 +158,10 @@ def test_media_pipeline_end_to_end(spark, tmp_path):
         (11, flac_encode(tone.astype(np.int32), 8000)),    # kept
         (12, b"".join(W.build_mp3_frame(kbps=128)
                       for _ in range(40))),                # kept_no_energy
+        (13, build_mp4(4000, video=(1280, 720, "avc1"),
+                       audio="mp4a")),                     # kept_no_energy
+        (14, build_mp4(4000, video=(48, 32, "avc1"))),     # rejected_small
+        (15, build_mp4(200, video=(640, 360, "hvc1"))),    # rejected_short
     ]
     media = spark.createDataFrame(
         [(i, bytearray(p)) for i, p in payloads],
@@ -169,12 +174,16 @@ def test_media_pipeline_end_to_end(spark, tmp_path):
     assert verdicts[8] == "rejected_silent"
     assert verdicts[9] == "rejected_short"
     assert verdicts[12] == "kept_no_energy"
+    assert verdicts[13] == "kept_no_energy"  # mp4: box walk, no frame decode
+    assert verdicts[14] == "rejected_small"
+    assert verdicts[15] == "rejected_short"
     kept = {d for d, v in verdicts.items() if v.startswith("kept")}
-    assert kept == {1, 2, 3, 5, 6, 7, 10, 11, 12}
+    assert kept == {1, 2, 3, 5, 6, 7, 10, 11, 12, 13}
 
     stats = {r.mime: r.n_assets for r in media_stats(spark, out_root).collect()}
     assert stats["image/png"] == 1 and stats["audio/wav"] == 3
     assert stats["audio/mpeg"] == 1
+    assert stats["video/mp4"] == 1
 
     wavs = media_read(spark, out_root, "audio/wav").collect()
     assert sorted(r.doc_id for r in wavs) == [5, 6, 7]

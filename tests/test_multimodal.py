@@ -1364,3 +1364,87 @@ def test_progressive_jpeg_fuzz_property():
         assert np.array_equal(base, prog)
 
     check()
+
+
+def test_mp4_box_walk_roundtrip():
+    """build_mp4 -> mp4_meta recovers every gate field exactly, in
+    both the v0 and the v1 (64-bit duration) box layouts, for
+    video+audio / video-only / audio-only movies."""
+    from core_spark.multimodal.mp4 import build_mp4, mp4_meta
+
+    m = mp4_meta(
+        build_mp4(12345, video=(640, 360, "avc1"), audio="mp4a",
+                  mdat=b"payload")
+    )
+    assert m == {
+        "brand": "isom", "timescale": 1000, "duration_ms": 12345,
+        "n_tracks": 2, "width": 640, "height": 360,
+        "video_codec": "avc1", "audio_codec": "mp4a",
+    }
+    big = mp4_meta(build_mp4(5_000_000_000, video=(1920, 1080, "hvc1")))
+    assert big["duration_ms"] == 5_000_000_000  # v1 64-bit path
+    assert (big["width"], big["video_codec"]) == (1920, "hvc1")
+    assert big["audio_codec"] is None and big["n_tracks"] == 1
+    aud = mp4_meta(build_mp4(700, audio="mp4a", brand="M4A "))
+    assert aud["brand"] == "M4A " and aud["video_codec"] is None
+    assert aud["width"] is None and aud["audio_codec"] == "mp4a"
+
+
+def test_mp4_corrupt_input_raises_named_never_hangs():
+    """The codec-suite discipline: random bytes and truncations of a
+    valid file either parse or raise the named Mp4Error — never an
+    opaque struct/index error, a hang, or a giant allocation (a
+    corrupt size field claiming 2^60 bytes must be caught by bounds
+    checks, not attempted)."""
+    import random
+
+    from core_spark.multimodal.mp4 import Mp4Error, build_mp4, mp4_meta
+
+    rnd = random.Random(3)
+    for _ in range(4000):
+        junk = bytes(
+            rnd.randrange(256) for _ in range(rnd.randrange(0, 80))
+        )
+        try:
+            mp4_meta(junk)
+        except Mp4Error:
+            pass
+    raw = build_mp4(9000, video=(320, 240, "avc1"), audio="mp4a")
+    for cut in range(0, len(raw)):
+        try:
+            mp4_meta(raw[:cut])
+        except Mp4Error:
+            pass
+    # absurd declared size: bounded error, not an allocation attempt
+    evil = b"\xff\xff\xff\xf0ftyp" + b"\x00" * 8
+    try:
+        mp4_meta(evil)
+    except Mp4Error:
+        pass
+
+
+def test_av_meta_kernels_build_and_walk_real_boxes(spark):
+    """attach_mp4_payload emits genuine ISO-BMFF bytes (independent
+    re-parse agrees with the md5 derivation) and decode_av_meta
+    recovers the fields across the Arrow boundary."""
+    import hashlib
+
+    from core_spark.multimodal import attach_mp4_payload, decode_av_meta
+    from core_spark.multimodal.mp4 import mp4_meta
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "a much longer text payload here")],
+        "doc_id long, text string",
+    )
+    with_payload = attach_mp4_payload(docs)
+    rows = {r.doc_id: bytes(r.payload) for r in with_payload.collect()}
+    for did, text in ((1, "hello world"), (2, "a much longer text payload here")):
+        h = hashlib.md5(text.encode()).hexdigest()
+        m = mp4_meta(rows[did])
+        assert m["duration_ms"] == 500 + int(h[0:8], 16) % 600000
+        assert m["width"] == 16 * (4 + int(h[8:12], 16) % 117)
+        assert m["height"] == 16 * (3 + int(h[12:16], 16) % 65)
+        assert (m["video_codec"], m["audio_codec"]) == ("avc1", "mp4a")
+    out = {r.doc_id: r for r in decode_av_meta(with_payload).collect()}
+    assert out[1].duration_ms == mp4_meta(rows[1])["duration_ms"]
+    assert out[2].width == mp4_meta(rows[2])["width"]
