@@ -187,3 +187,141 @@ def q_cms_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         _sh.rmtree(work, ignore_errors=True)
+
+
+def _dedup_index_serve_oracle() -> str:
+    from core_spark.plans.llmops import DUCK_MINHASH_CTES
+
+    return f"""
+    WITH {DUCK_MINHASH_CTES},
+    bc AS (
+      SELECT n.doc_id AS doc_new, ix.doc_id AS doc_idx
+      FROM bands n JOIN bands ix
+        ON n.b = ix.b AND n.sig = ix.sig
+       AND n.doc_id % 10 = 0 AND ix.doc_id % 10 <> 0
+      GROUP BY n.doc_id, ix.doc_id
+    ),
+    vbc AS (
+      SELECT c.doc_new FROM bc c
+      JOIN sh sa ON c.doc_new = sa.doc_id
+      JOIN sh sb ON c.doc_idx = sb.doc_id
+      WHERE len(list_intersect(sa.sh, sb.sh)) * 10
+        >= (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) * 7
+    ),
+    nc AS (SELECT doc_new, COUNT(*) AS n_corpus FROM vbc GROUP BY doc_new)
+    SELECT d.doc_id,
+           CAST(COALESCE(nc.n_corpus, 0) AS BIGINT) AS n_corpus,
+           CASE WHEN COALESCE(nc.n_corpus, 0) > 0 THEN 'dup_of_corpus'
+                ELSE 'unique' END AS status
+    FROM documents d LEFT JOIN nc ON d.doc_id = nc.doc_new
+    WHERE d.doc_id % 10 = 0
+    ORDER BY d.doc_id
+    """
+
+
+@query("q_dedup_index_serve", oracle=_dedup_index_serve_oracle())
+def q_dedup_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup INDEX maintenance served from its journal
+    materialization — the third storage-backed streaming query beside
+    q_bike_cycles (SQL store) and q_cms_serve (sketch journal), and
+    the executable form of the claim q_dup_ingest's docstring makes
+    ("at 100 TB the corpus's banded rows are a persisted index
+    updated as batches commit, not recomputed"): the corpus
+    (doc_id%10<>0) streams through a REAL shard run (run_shard →
+    FencedJournalSink) that appends each micro-batch's banded MinHash
+    signatures to an `lshidx/bands` journal; a probe batch
+    (doc_id%10=0) then classifies itself against the JOURNAL-READ
+    index via lsh_probe + exact-Jaccard verify. Banded signatures are
+    deterministic per document, so streaming maintenance ≡ direct
+    batch banding and the DuckDB oracle (the q_dup_ingest corpus tier
+    straight off the parquet) hash-checks the whole
+    maintain→serve path — a batch lost to a fence violation or a
+    missed fragment drops candidates and flips verdicts.
+
+    100 TB shape: the index journal carries (doc_id, band, sig) rows
+    only — bounded per doc by the band count, compacted by
+    Journal.compact, bloom-indexable on sig; probes touch the index
+    via the (band, sig) bucket join, never the corpus text."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from core_spark.operators.dedup import (
+        banded_signatures,
+        lsh_probe,
+        minhash_signatures,
+        verify_jaccard,
+    )
+    from core_spark.plans.llmops import _BANDS, _MINHASH_K, _ROWS
+    from core_spark.sources.journal import Journal
+    from core_spark.streaming.shard import ShardConfig, run_shard
+
+    docs = load_table(spark, sf_dir, "documents")
+    work = _tf.mkdtemp(prefix="lsh_serve_")
+    try:
+        src = os.path.join(work, "src")
+        docs.filter(F.col("doc_id") % 10 != 0).select(
+            "doc_id", "text"
+        ).repartition(4).write.parquet(src)
+
+        cfg = ShardConfig(
+            source_glob=os.path.join(src, "*.parquet"),
+            source_schema="doc_id long, text string",
+            out_root=os.path.join(work, "out"),
+            out_journal="lshidx/bands",
+            shard_id="lsh-serve-0",
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            max_files_per_trigger=2,  # >1 batch => incremental upkeep
+        )
+
+        def index_deltas(df):
+            return banded_signatures(
+                minhash_signatures(df, k=_MINHASH_K),
+                bands=_BANDS,
+                rows=_ROWS,
+            )
+
+        run_shard(spark, cfg, index_deltas).awaitTermination(300)
+
+        # serve FROM the journal: the probe never re-bands the corpus
+        j = Journal(os.path.join(work, "out"), "lshidx/bands")
+        index = j.read(spark).select("doc_id", "band", "sig")
+
+        batch = docs.filter(F.col("doc_id") % 10 == 0)
+        banded_b = banded_signatures(
+            minhash_signatures(batch, k=_MINHASH_K),
+            bands=_BANDS,
+            rows=_ROWS,
+        )
+        cand = lsh_probe(banded_b, index).select(
+            F.col("doc_new").alias("doc_a"),
+            F.col("doc_idx").alias("doc_b"),
+        )
+        thr = F.col("inter") * 10 >= F.col("uni") * 7
+        n_corpus = (
+            verify_jaccard(cand, docs)
+            .filter(thr)
+            .groupBy("doc_a")
+            .agg(F.count("*").alias("n_corpus"))
+        )
+        out = (
+            batch.select("doc_id")
+            .join(n_corpus, batch.doc_id == n_corpus.doc_a, "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_corpus", F.lit(0))
+                .cast("bigint")
+                .alias("n_corpus"),
+                F.when(
+                    F.coalesce("n_corpus", F.lit(0)) > 0,
+                    F.lit("dup_of_corpus"),
+                )
+                .otherwise(F.lit("unique"))
+                .alias("status"),
+            )
+            .orderBy("doc_id")
+        )
+        # journal read is lazy: materialize before the temp dir goes
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        _sh.rmtree(work, ignore_errors=True)
