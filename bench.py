@@ -107,8 +107,16 @@ HEADLINE = [
     "q_chunk_cdc",
     "q_bloom_ingest",
     "q_corpus_sample",
+    "q_dedup_embed_auto",
+    "q_dedup_semantic",
+    "q_ann_negatives",
+    "q_distinct_kmv",
+    "q_bloom_auto",
+    "q_av_meta",
     # q_dup_canonical is intentionally absent: its dominant cost is
-    # the same pair+CC pipeline q_dup_clusters already times
+    # the same pair+CC pipeline q_dup_clusters already times;
+    # q_dedup_index_serve (streaming materialize->serve) follows the
+    # q_cms_serve/q_bike_cycles convention of not being benched here
 ]
 
 
