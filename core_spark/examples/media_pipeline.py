@@ -90,9 +90,18 @@ def media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                 m = mp4_meta(raw)
                 # full gate metadata from the box walk alone — the
                 # video twin of the MP3 header scan below; frame
-                # decode (energy/luma) stays behind the pyav stub
+                # decode (energy/luma) stays behind the pyav stub.
+                # mime follows the handler tracks, not the container:
+                # an audio-only M4A is audio/mp4, never a NULL-dims
+                # "video" that slips the dimension gate.
+                if m["has_video"]:
+                    mime = "video/mp4"
+                elif m["has_audio"]:
+                    mime = "audio/mp4"
+                else:
+                    mime = "application/mp4"
                 return (
-                    doc_id, "video/mp4", m["width"], m["height"],
+                    doc_id, mime, m["width"], m["height"],
                     None, m["duration_ms"], None, len(raw),
                 )
 
@@ -173,6 +182,15 @@ def curate_media(meta: DataFrame) -> DataFrame:
         )
         .when(is_img, F.lit("kept"))
         .when(F.col("duration_ms") < _MIN_MS, F.lit("rejected_short"))
+        # A video whose tkhd never appeared (NULL dims) or a
+        # fragmented movie with unknown duration can't be judged by
+        # these gates — mark it explicitly rather than letting the
+        # NULL comparison wave it through as an ordinary keep.
+        .when(
+            is_vid
+            & (F.col("width").isNull() | F.col("duration_ms").isNull()),
+            F.lit("kept_unverified"),
+        )
         .when(
             F.col("mean_energy").isNotNull()
             & (F.col("mean_energy") < _MIN_ENERGY),

@@ -68,8 +68,10 @@ def _boxes(raw: memoryview, start: int, end: int, depth: int = 0):
         off += size
 
 
-def _full_box(raw: memoryview, start: int) -> tuple[int, int]:
+def _full_box(raw: memoryview, start: int, end: int) -> tuple[int, int]:
     """FullBox header: (version, body offset past version+flags)."""
+    if start + 4 > end:
+        raise Mp4Error("truncated FullBox header")
     return raw[start], start + 4
 
 
@@ -77,25 +79,30 @@ def _fixed_16_16(raw: memoryview, off: int) -> int:
     return struct.unpack_from(">I", raw, off)[0] >> 16
 
 
-def _parse_mvhd(raw: memoryview, start: int, end: int) -> tuple[int, int]:
-    v, off = _full_box(raw, start)
+def _parse_mvhd(
+    raw: memoryview, start: int, end: int
+) -> tuple[int, int | None]:
+    v, off = _full_box(raw, start, end)
     if v == 1:
         if off + 28 > end:
             raise Mp4Error("truncated mvhd v1")
         timescale = struct.unpack_from(">I", raw, off + 16)[0]
         duration = struct.unpack_from(">Q", raw, off + 20)[0]
+        unknown = duration == 0xFFFFFFFFFFFFFFFF
     else:
         if off + 16 > end:
             raise Mp4Error("truncated mvhd v0")
         timescale = struct.unpack_from(">I", raw, off + 8)[0]
         duration = struct.unpack_from(">I", raw, off + 12)[0]
+        unknown = duration == 0xFFFFFFFF
     if timescale == 0:
         raise Mp4Error("mvhd timescale 0")
-    return timescale, duration
+    # All-ones duration is ISO 14496-12's "unknown" sentinel.
+    return timescale, (None if unknown else duration)
 
 
 def _parse_tkhd(raw: memoryview, start: int, end: int) -> tuple[int, int]:
-    v, off = _full_box(raw, start)
+    v, off = _full_box(raw, start, end)
     # v0: creation+modification+track_ID+reserved+duration = 20;
     # v1 widens creation/modification/duration to u64 -> 32. Then
     # reserved u32[2], layer/alt-group/volume/reserved i16[4],
@@ -107,14 +114,14 @@ def _parse_tkhd(raw: memoryview, start: int, end: int) -> tuple[int, int]:
 
 
 def _parse_hdlr(raw: memoryview, start: int, end: int) -> bytes:
-    _v, off = _full_box(raw, start)
+    _v, off = _full_box(raw, start, end)
     if off + 8 > end:
         raise Mp4Error("truncated hdlr")
     return bytes(raw[off + 4 : off + 8])
 
 
 def _parse_stsd_fourcc(raw: memoryview, start: int, end: int) -> str | None:
-    _v, off = _full_box(raw, start)
+    _v, off = _full_box(raw, start, end)
     if off + 4 > end:
         raise Mp4Error("truncated stsd")
     n = struct.unpack_from(">I", raw, off)[0]
@@ -130,7 +137,11 @@ def mp4_meta(raw: bytes) -> dict:
     duration_ms, n_tracks, width, height, video_codec, audio_codec}.
     width/height/video_codec come from the first video ('vide')
     track; audio_codec from the first 'soun' track; either may be
-    None when the movie lacks that modality."""
+    None when the movie lacks that modality. has_video/has_audio
+    report handler presence even when the track's tkhd/stsd are
+    absent; duration_ms is None when the container declares it
+    unknown (all-ones sentinel, or a fragmented movie's mvhd 0 +
+    mvex)."""
     mv = memoryview(raw)
     brand = None
     timescale = duration = None
@@ -138,9 +149,12 @@ def mp4_meta(raw: bytes) -> dict:
     width = height = None
     video_codec = audio_codec = None
     saw_moov = False
+    saw_mvex = False
+    has_video = has_audio = False
 
     def walk_trak(body: int, bend: int) -> None:
         nonlocal width, height, video_codec, audio_codec
+        nonlocal has_video, has_audio
         handler = None
         dims = None
         fourcc = None
@@ -163,12 +177,15 @@ def mp4_meta(raw: bytes) -> dict:
 
         walk(body, bend, 2)
         if handler == b"vide":
+            has_video = True
             if video_codec is None:
                 video_codec = fourcc
             if width is None and dims is not None:
                 width, height = dims
-        elif handler == b"soun" and audio_codec is None:
-            audio_codec = fourcc
+        elif handler == b"soun":
+            has_audio = True
+            if audio_codec is None:
+                audio_codec = fourcc
 
     for btype, body, bend in _boxes(mv, 0, len(raw)):
         if btype == b"ftyp":
@@ -183,19 +200,32 @@ def mp4_meta(raw: bytes) -> dict:
                 elif t == b"trak":
                     n_tracks += 1
                     walk_trak(s, e)
+                elif t == b"mvex":
+                    saw_mvex = True
     if brand is None and not saw_moov:
         raise Mp4Error("no ftyp or moov box: not ISO-BMFF")
     if timescale is None:
         raise Mp4Error("moov without mvhd")
+    # Fragmented MP4 (DASH/streaming packaging): mvhd carries duration
+    # 0 and the real samples live in moof fragments signalled by mvex.
+    # Report duration as unknown (None) rather than a false 0 — the
+    # media pipeline's gates treat NULL as "can't judge", the same
+    # honest-NULL convention as kept_no_energy.
+    if duration == 0 and saw_mvex:
+        duration = None
     return {
         "brand": brand,
         "timescale": timescale,
-        "duration_ms": duration * 1000 // timescale,
+        "duration_ms": (
+            None if duration is None else duration * 1000 // timescale
+        ),
         "n_tracks": n_tracks,
         "width": width,
         "height": height,
         "video_codec": video_codec,
         "audio_codec": audio_codec,
+        "has_video": has_video,
+        "has_audio": has_audio,
     }
 
 
@@ -222,13 +252,16 @@ def build_mp4(
     audio: str | None = None,
     brand: str = "isom",
     mdat: bytes = b"",
+    fragmented: bool = False,
 ) -> bytes:
     """Deterministic minimal ISO-BMFF: ftyp + moov(mvhd, trak per
     modality) + mdat. `video` = (width, height, fourcc); `audio` =
     fourcc. Sample tables are empty (metadata-only fixture — exactly
     what the walk reads); durations use v1 (64-bit) boxes when they
-    overflow u32, exercising both parser paths."""
-    dur = duration_ms * timescale // 1000
+    overflow u32, exercising both parser paths. `fragmented` writes
+    the DASH/streaming shape — mvhd duration 0 plus an mvex box —
+    where the walk must report duration as unknown, not 0."""
+    dur = 0 if fragmented else duration_ms * timescale // 1000
     v = 1 if dur > 0xFFFFFFFF else 0
     if v:
         mvhd_body = (
@@ -293,7 +326,10 @@ def build_mp4(
         traks.append(trak(b"vide", fc, w, h))
     if audio is not None:
         traks.append(trak(b"soun", audio, 0, 0))
-    moov = _box(b"moov", _full(b"mvhd", v, mvhd_body) + b"".join(traks))
+    mvex = _box(b"mvex", b"") if fragmented else b""
+    moov = _box(
+        b"moov", _full(b"mvhd", v, mvhd_body) + b"".join(traks) + mvex
+    )
     ftyp = _box(
         b"ftyp", brand.encode("latin-1") + struct.pack(">I", 0) + b"isom"
     )

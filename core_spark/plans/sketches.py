@@ -53,6 +53,53 @@ _SPARK_H60 = (
 _DUCK_H60 = "CAST('0x' || substr(md5(CAST({x} AS VARCHAR)), 1, 15) AS BIGINT)"
 
 
+def _kmv_candidates(pairs: DataFrame) -> DataFrame:
+    """Map-side partial bottom-k shared by q_kmv_distinct and
+    q_distinct_kmv: the group-wide k-th smallest distinct hash is
+    necessarily inside the union of each input partition's k smallest
+    distinct hashes, so an Arrow kernel reduces every partition to
+    <= groups x k candidate (group, hash) rows BEFORE any exchange —
+    the k-th selection then shuffles O(P·G·k) rows, not the corpus's
+    distinct set. Rows-vs-flops (DESIGN §5.1): the np.unique over
+    each batch is in-kernel flops; the candidate rows are the only
+    shuffle cost left on this path."""
+
+    def _bottomk(batches):
+        import numpy as np
+        import pandas as pd
+
+        best: dict[str, "np.ndarray"] = {}
+        for pdf in batches:
+            for g, sub in pdf.groupby("l_returnflag", sort=False):
+                cand = sub["h"].to_numpy(np.int64)
+                prev = best.get(g)
+                merged = np.unique(
+                    cand if prev is None else np.concatenate([prev, cand])
+                )
+                best[g] = merged[:_KMV_K]  # np.unique sorts ascending
+        if best:
+            yield pd.DataFrame(
+                {
+                    "l_returnflag": np.repeat(
+                        list(best), [len(v) for v in best.values()]
+                    ),
+                    "h": np.concatenate(list(best.values())),
+                }
+            )
+
+    return pairs.mapInPandas(_bottomk, "l_returnflag string, h long")
+
+
+def _kmv_estimate(kth_hash: Column) -> Column:
+    """(k-1) * 2^60 / h_k in DECIMAL(38), floored before the BIGINT
+    cast (DuckDB rounds, Spark truncates — floor is portable)."""
+    return F.floor(
+        (_KMV_K - 1)
+        * F.lit(1152921504606846976).cast("decimal(38,0)")
+        / kth_hash
+    )
+
+
 @query(
     "q_kmv_distinct",
     oracle=f"""
@@ -99,38 +146,9 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Map-side partial bottom-k (r5 probe follow-up: the previous
     # two-stage salted window still shuffled AND sorted every distinct
-    # hash — SCALE_r05 exponent 0.77, the fleet max). The group-wide
-    # k-th smallest distinct hash is necessarily inside the union of
-    # each input partition's k smallest distinct hashes, so an Arrow
-    # kernel reduces every partition to <= groups x k candidate rows
-    # BEFORE any exchange: the k-th selection now shuffles O(P·G·k)
-    # rows, not the corpus's distinct set. Rows-vs-flops (DESIGN
-    # §5.1): the np.unique over each batch is in-kernel flops; the
-    # candidate rows are the only shuffle cost left on this path.
-    def _bottomk(batches):
-        import numpy as np
-        import pandas as pd
-
-        best: dict[str, "np.ndarray"] = {}
-        for pdf in batches:
-            for g, sub in pdf.groupby("l_returnflag", sort=False):
-                cand = sub["h"].to_numpy(np.int64)
-                prev = best.get(g)
-                merged = np.unique(
-                    cand if prev is None else np.concatenate([prev, cand])
-                )
-                best[g] = merged[:_KMV_K]  # np.unique sorts ascending
-        if best:
-            yield pd.DataFrame(
-                {
-                    "l_returnflag": np.repeat(
-                        list(best), [len(v) for v in best.values()]
-                    ),
-                    "h": np.concatenate(list(best.values())),
-                }
-            )
-
-    cand = pairs.mapInPandas(_bottomk, "l_returnflag string, h long")
+    # hash — SCALE_r05 exponent 0.77, the fleet max); kernel shared
+    # with q_distinct_kmv via _kmv_candidates.
+    cand = _kmv_candidates(pairs)
     # distinct first: partitions overlap in values, and row_number
     # must rank DISTINCT hashes; the input is tiny (<= P x G x k).
     w2 = Window.partitionBy("l_returnflag").orderBy("h")
@@ -148,11 +166,7 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = pairs.groupBy("l_returnflag").agg(
         F.countDistinct("h").alias("exact_distinct")
     )
-    est = F.floor(
-        (_KMV_K - 1)
-        * F.lit(1152921504606846976).cast("decimal(38,0)")
-        / F.col("kth_hash")
-    )
+    est = _kmv_estimate(F.col("kth_hash"))
     return (
         ex.join(kth, "l_returnflag", "left")
         .select(
@@ -211,30 +225,7 @@ def q_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag", F.expr(_SPARK_H60.format(x="l_partkey")).alias("h")
     )
 
-    def _bottomk(batches):
-        import numpy as np
-        import pandas as pd
-
-        best: dict[str, "np.ndarray"] = {}
-        for pdf in batches:
-            for g, sub in pdf.groupby("l_returnflag", sort=False):
-                cand = sub["h"].to_numpy(np.int64)
-                prev = best.get(g)
-                merged = np.unique(
-                    cand if prev is None else np.concatenate([prev, cand])
-                )
-                best[g] = merged[:_KMV_K]
-        if best:
-            yield pd.DataFrame(
-                {
-                    "l_returnflag": np.repeat(
-                        list(best), [len(v) for v in best.values()]
-                    ),
-                    "h": np.concatenate(list(best.values())),
-                }
-            )
-
-    cand = pairs.mapInPandas(_bottomk, "l_returnflag string, h long")
+    cand = _kmv_candidates(pairs)
     w2 = Window.partitionBy("l_returnflag").orderBy("h")
     sk = (
         cand.distinct()
@@ -248,11 +239,7 @@ def q_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= _KMV_K)
     )
-    est = F.floor(
-        (_KMV_K - 1)
-        * F.lit(1152921504606846976).cast("decimal(38,0)")
-        / F.col("h")
-    )
+    est = _kmv_estimate(F.col("h"))
     return (
         sk.groupBy("l_returnflag")
         .agg(
@@ -416,12 +403,13 @@ _BLOOM_M = 65536  # bits; sized for the sf0.1 corpus (~4.5k docs ->
 _BLOOM_K = 3
 
 
-def _bloom_positions(h: Column) -> list[Column]:
+def _bloom_positions(h: Column, m: int = _BLOOM_M) -> list[Column]:
     """k bit positions from non-overlapping 32-bit slices of the md5
-    hex — independent uniform hashes, identical arithmetic in SQL."""
+    hex — independent uniform hashes, identical arithmetic in SQL.
+    `m` defaults to the fixed demo filter; q_bloom_auto passes its
+    corpus-sized value."""
     return [
-        F.conv(F.substring(h, 1 + 8 * j, 8), 16, 10).cast("long")
-        % _BLOOM_M
+        F.conv(F.substring(h, 1 + 8 * j, 8), 16, 10).cast("long") % m
         for j in range(_BLOOM_K)
     ]
 
@@ -559,13 +547,6 @@ def _bloom_auto_m(n_corpus: int) -> int:
     )
 
 
-def _bloom_positions_m(h: Column, m: int) -> list[Column]:
-    return [
-        F.conv(F.substring(h, 1 + 8 * j, 8), 16, 10).cast("long") % m
-        for j in range(_BLOOM_K)
-    ]
-
-
 @query(
     "q_bloom_auto",
     oracle=f"""
@@ -630,7 +611,7 @@ def q_bloom_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     cpos = (
         corpus_h.select(
             F.explode(
-                F.array(*_bloom_positions_m(F.col("h"), m))
+                F.array(*_bloom_positions(F.col("h"), m))
             ).alias("pos")
         )
         .distinct()
@@ -641,7 +622,7 @@ def q_bloom_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bpos = batch.select(
         "doc_id", "h",
-        F.explode(F.array(*_bloom_positions_m(F.col("h"), m))).alias("pos"),
+        F.explode(F.array(*_bloom_positions(F.col("h"), m))).alias("pos"),
     )
     hits = (
         bpos.join(F.broadcast(cpos), "pos", "left")

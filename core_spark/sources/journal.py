@@ -1097,9 +1097,19 @@ class Journal:
         fragment is renamed but not yet committed: only dirs whose
         mod-time is older than the grace are eligible. Run with the
         default (1 day) from a scheduled job; tests use ~0."""
+        versions = self.store.list_versions()
+        if from_version is not None and versions and from_version > max(versions):
+            # A from_version beyond the latest manifest would empty the
+            # referenced set and delete LIVE fragments the current
+            # manifest points at — refuse, like read()'s at_version does.
+            raise ValueError(
+                f"vacuum from_version={from_version} is beyond the latest "
+                f"manifest version {max(versions)}; refusing to treat the "
+                "entire committed history as unreferenced"
+            )
         referenced = {
             os.path.basename(f.path)
-            for v in self.store.list_versions()
+            for v in versions
             if from_version is None or v >= from_version
             for f in Manifest.from_json(self.store.read(v)).fragments
         }

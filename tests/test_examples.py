@@ -162,6 +162,10 @@ def test_media_pipeline_end_to_end(spark, tmp_path):
                        audio="mp4a")),                     # kept_no_energy
         (14, build_mp4(4000, video=(48, 32, "avc1"))),     # rejected_small
         (15, build_mp4(200, video=(640, 360, "hvc1"))),    # rejected_short
+        (16, build_mp4(4000, audio="mp4a",
+                       brand="M4A ")),                     # audio/mp4
+        (17, build_mp4(4000, video=(1280, 720, "avc1"),
+                       fragmented=True)),                  # kept_unverified
     ]
     media = spark.createDataFrame(
         [(i, bytearray(p)) for i, p in payloads],
@@ -177,13 +181,19 @@ def test_media_pipeline_end_to_end(spark, tmp_path):
     assert verdicts[13] == "kept_no_energy"  # mp4: box walk, no frame decode
     assert verdicts[14] == "rejected_small"
     assert verdicts[15] == "rejected_short"
+    # audio-only ISO-BMFF routes by handler track, never "video" with
+    # NULL dims slipping the dimension gate (r7 review regression)
+    assert verdicts[16] == "kept_no_energy"
+    # fragmented movie: duration unknown -> explicitly unverified, not
+    # silently kept or falsely rejected_short
+    assert verdicts[17] == "kept_unverified"
     kept = {d for d, v in verdicts.items() if v.startswith("kept")}
-    assert kept == {1, 2, 3, 5, 6, 7, 10, 11, 12, 13}
+    assert kept == {1, 2, 3, 5, 6, 7, 10, 11, 12, 13, 16, 17}
 
     stats = {r.mime: r.n_assets for r in media_stats(spark, out_root).collect()}
     assert stats["image/png"] == 1 and stats["audio/wav"] == 3
     assert stats["audio/mpeg"] == 1
-    assert stats["video/mp4"] == 1
+    assert stats["audio/mp4"] == 1 and stats["video/mp4"] == 2
 
     wavs = media_read(spark, out_root, "audio/wav").collect()
     assert sorted(r.doc_id for r in wavs) == [5, 6, 7]

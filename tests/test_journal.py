@@ -906,6 +906,31 @@ def test_reset_head_total_loss_resumes_at_first_fragment(spark, journal):
     assert (frag.begin, frag.end) == (10, 13)
 
 
+def test_vacuum_refuses_from_version_beyond_latest(spark, journal):
+    """A from_version past the newest manifest would classify every
+    committed fragment as unreferenced and delete LIVE data — the
+    typo/stale-version case must raise, not destroy (r7 review
+    regression)."""
+    import os
+
+    import pytest
+
+    journal.append(_df(spark, 0, 5))
+    journal.append(_df(spark, 5, 9))
+    latest = max(journal.store.list_versions())
+    with pytest.raises(ValueError, match="beyond the latest"):
+        journal.vacuum(grace_seconds=0.0, from_version=latest + 1)
+    # every committed fragment is still on disk and readable
+    for f in journal.manifest().fragments:
+        assert os.path.isdir(
+            os.path.join(journal.frag_dir, os.path.basename(f.path))
+        )
+    assert journal.read(spark).count() == 9
+    # the boundary value (exactly the latest version) remains legal
+    journal.vacuum(grace_seconds=0.0, from_version=latest)
+    assert journal.read(spark).count() == 9
+
+
 def test_failed_append_leaves_fragment_for_vacuum(spark, journal):
     """An append that fails AFTER the fragment rename (raising
     register resolver, lost CAS) must NOT delete the fragment dir:

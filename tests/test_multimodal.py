@@ -1380,6 +1380,7 @@ def test_mp4_box_walk_roundtrip():
         "brand": "isom", "timescale": 1000, "duration_ms": 12345,
         "n_tracks": 2, "width": 640, "height": 360,
         "video_codec": "avc1", "audio_codec": "mp4a",
+        "has_video": True, "has_audio": True,
     }
     big = mp4_meta(build_mp4(5_000_000_000, video=(1920, 1080, "hvc1")))
     assert big["duration_ms"] == 5_000_000_000  # v1 64-bit path
@@ -1421,6 +1422,50 @@ def test_mp4_corrupt_input_raises_named_never_hangs():
         mp4_meta(evil)
     except Mp4Error:
         pass
+    # empty FullBox body landing exactly at end-of-buffer: must be the
+    # named error, not a bare IndexError (r7 review regression)
+    import struct as st
+
+    stub = st.pack(">I", 16) + b"moov" + st.pack(">I", 8) + b"mvhd"
+    with pytest.raises(Mp4Error):
+        mp4_meta(stub)
+
+
+def test_mp4_unknown_duration_and_track_modality():
+    """ISO 14496-12 honesty: a fragmented movie (mvhd duration 0 +
+    mvex) and the all-ones 'unknown' sentinel both report duration_ms
+    as None — never a false 0 that a duration gate would reject — and
+    handler presence is reported even for audio-only containers."""
+    import struct as st
+
+    from core_spark.multimodal import mp4 as M
+
+    frag = M.mp4_meta(
+        M.build_mp4(4000, video=(640, 360, "avc1"), fragmented=True)
+    )
+    assert frag["duration_ms"] is None
+    assert frag["has_video"] and not frag["has_audio"]
+    assert frag["width"] == 640
+
+    # hand-build an mvhd v0 carrying the all-ones unknown sentinel
+    mvhd_body = (
+        st.pack(">IIII", 0, 0, 1000, 0xFFFFFFFF)
+        + st.pack(">ihhq", 0x10000, 0x0100, 0, 0)
+        + M._UNITY_MATRIX
+        + b"\x00" * 24
+        + st.pack(">I", 99)
+    )
+    moov = M._box(b"moov", M._full(b"mvhd", 0, mvhd_body))
+    ones = M.mp4_meta(
+        M._box(b"ftyp", b"isom" + st.pack(">I", 0) + b"isom") + moov
+    )
+    assert ones["duration_ms"] is None
+
+    aud = M.mp4_meta(M.build_mp4(700, audio="mp4a", brand="M4A "))
+    assert not aud["has_video"] and aud["has_audio"]
+    # a normal movie still reports exact duration
+    vid = M.mp4_meta(M.build_mp4(4000, video=(640, 360, "avc1")))
+    assert vid["duration_ms"] == 4000 and vid["has_video"]
 
 
 def test_av_meta_kernels_build_and_walk_real_boxes(spark):

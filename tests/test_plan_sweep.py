@@ -60,12 +60,15 @@ ALLOWED = {
                      "(constant epoch count) over the doc-id scan",
 }
 
-# Building these executes real streaming jobs / journal writes — their
-# plan shapes are pinned individually where it matters.
-EXECUTING = {n for n in REGISTRY if "stream" in n} | {
+# Building these executes real streaming jobs / journal writes /
+# store materializations — their plan shapes are pinned individually
+# where it matters, and the DataFrame they return is a local
+# serve-side relation whose plan the sweep would learn nothing from.
+EXECUTING = {n for n in REGISTRY if "stream" in n or "serve" in n} | {
     "q_journal_roundtrip",
     "q_framed_journal",
     "q_frag",
+    "q_bike_cycles",  # SQL-store materialize -> serve runs at build
 }
 
 SWEEP = sorted(n for n in REGISTRY if n not in EXECUTING)
