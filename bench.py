@@ -113,6 +113,7 @@ HEADLINE = [
     "q_distinct_kmv",
     "q_bloom_auto",
     "q_av_meta",
+    "q_av_keyframes",
     # q_dup_canonical is intentionally absent: its dominant cost is
     # the same pair+CC pipeline q_dup_clusters already times;
     # q_dedup_index_serve (streaming materialize->serve) follows the

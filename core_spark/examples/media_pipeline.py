@@ -20,6 +20,10 @@ exact duration (and, for MP4, track dimensions) without MDCT/frame
 decode, so they pass the duration and dimension gates but report
 NULL energy and the verdict `kept_no_energy` — an honest "decode on
 the cluster with a real codec lib" marker rather than a fake number.
+The downstream decode pass those rows queue for doesn't stream whole
+movies either: `multimodal/mp4.py mp4_keyframes` (q_av_keyframes)
+turns the sample tables into the keyframe ranged-GET plan, so even
+the real-codec stage fetches only sync-frame bytes.
 This is the PERMANENT disposition, not a TODO: a pure-python
 layer-III/H.264 decoder would be three orders of magnitude slower
 than the codec libraries every real cluster image carries (mpg123 /

@@ -3,8 +3,10 @@ metadata, with Arrow-batched decode/transform plumbing."""
 
 from core_spark.multimodal.columns import (
     attach_mp4_payload,
+    attach_mp4_stream_payload,
     attach_payload,
     decode_av_meta,
+    plan_video_fetch,
     decode_image_meta,
     resize_images,
     audio_frame_features,
@@ -14,8 +16,10 @@ from core_spark.multimodal.columns import (
 
 __all__ = [
     "attach_mp4_payload",
+    "attach_mp4_stream_payload",
     "attach_payload",
     "decode_av_meta",
+    "plan_video_fetch",
     "decode_image_meta",
     "resize_images",
     "audio_frame_features",

@@ -544,6 +544,90 @@ def attach_mp4_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+AV_KEYFRAME_SCHEMA = (
+    "doc_id long, kf_idx long, sample_idx long, t_ms long, off long,"
+    " size long"
+)
+
+
+def attach_mp4_stream_payload(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Materialize a REAL ISO-BMFF payload WITH sample tables per
+    document: frame count / sync cadence / frame timing / per-sample
+    sizes derive from md5(text) so a SQL oracle can recompute the
+    fetch plan, but the bytes are a genuine container whose
+    stts/stss/stsc/stsz/stco boxes the downstream walk actually
+    parses (and whose mdat really holds the samples at the planned
+    offsets — pinned by slicing in tests)."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from core_spark.multimodal.mp4 import build_mp4
+
+        def one(text: str) -> bytes:
+            h = hashlib.md5(text.encode("utf-8")).hexdigest()
+            n = 8 + int(h[0:4], 16) % 25
+            ks = 1 + int(h[4:6], 16) % 5
+            delta = 20 + int(h[6:8], 16) % 60
+            s0 = int(h[8:12], 16)
+            sizes = [64 + (s0 + 37 * i) % 191 for i in range(n)]
+            return build_mp4(
+                n * delta, video=(640, 360, "avc1"),
+                samples=(sizes, delta, ks),
+            )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [one(t) for t in pdf[text_col]],
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        build, "doc_id long, payload binary"
+    )
+
+
+def plan_video_fetch(
+    df: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """Walk each container's sample tables into a keyframe fetch
+    plan (AV_KEYFRAME_SCHEMA): one row per sync sample with its
+    absolute byte offset and size — the ranged-GET list a 100 TB
+    video pipeline hands to object storage so decode touches ONLY
+    keyframe bytes. The payload column never reaches the JVM plan;
+    the fan-out happens executor-side, exactly like frame
+    sampling."""
+
+    def plan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from core_spark.multimodal.mp4 import mp4_keyframes
+
+        for pdf in batches:
+            rows = []
+            for d, raw in zip(pdf["doc_id"], pdf[payload_col]):
+                for j, kf in enumerate(mp4_keyframes(bytes(raw))):
+                    rows.append(
+                        (
+                            int(d), j, kf["sample_idx"], kf["t_ms"],
+                            kf["off"], kf["size"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "kf_idx", "sample_idx", "t_ms", "off",
+                    "size",
+                ],
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(
+        plan, schema=AV_KEYFRAME_SCHEMA
+    )
+
+
 def decode_av_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Walk ISO-BMFF payloads to curation metadata (AV_META_SCHEMA)
     via multimodal/mp4.py — brand, movie duration, first-video-track

@@ -229,6 +229,198 @@ def mp4_meta(raw: bytes) -> dict:
     }
 
 
+# ----------------------------------------------------- sample tables
+
+
+def _parse_mdhd_timescale(raw: memoryview, start: int, end: int) -> int:
+    v, off = _full_box(raw, start, end)
+    pos = off + (16 if v == 1 else 8)
+    if pos + 4 > end:
+        raise Mp4Error("truncated mdhd")
+    ts = struct.unpack_from(">I", raw, pos)[0]
+    if ts == 0:
+        raise Mp4Error("mdhd timescale 0")
+    return ts
+
+
+def _entry_count(raw: memoryview, off: int, end: int, width: int) -> int:
+    """Read a sample-table entry count and verify the declared
+    entries actually fit inside the box — a corrupt count can demand
+    at most O(box) work, never a giant allocation."""
+    if off + 4 > end:
+        raise Mp4Error("truncated sample-table count")
+    n = struct.unpack_from(">I", raw, off)[0]
+    if off + 4 + width * n > end:
+        raise Mp4Error(
+            f"sample table declares {n} entries beyond its box"
+        )
+    return n
+
+
+def _parse_stts(raw: memoryview, s: int, e: int) -> list[tuple[int, int]]:
+    _v, off = _full_box(raw, s, e)
+    n = _entry_count(raw, off, e, 8)
+    return [
+        struct.unpack_from(">II", raw, off + 4 + 8 * i) for i in range(n)
+    ]
+
+
+def _parse_u32_table(raw: memoryview, s: int, e: int) -> list[int]:
+    _v, off = _full_box(raw, s, e)
+    n = _entry_count(raw, off, e, 4)
+    return list(struct.unpack_from(f">{n}I", raw, off + 4)) if n else []
+
+
+def _parse_stsz(raw: memoryview, s: int, e: int) -> list[int]:
+    _v, off = _full_box(raw, s, e)
+    if off + 8 > e:
+        raise Mp4Error("truncated stsz")
+    uniform, n = struct.unpack_from(">II", raw, off)
+    if uniform:
+        if n > (e - s) * 4096:  # still bound fabricated counts
+            raise Mp4Error("stsz uniform count implausible")
+        return [uniform] * n
+    if off + 8 + 4 * n > e:
+        raise Mp4Error(f"stsz declares {n} sizes beyond its box")
+    return list(struct.unpack_from(f">{n}I", raw, off + 8)) if n else []
+
+
+def _parse_stsc(
+    raw: memoryview, s: int, e: int
+) -> list[tuple[int, int, int]]:
+    _v, off = _full_box(raw, s, e)
+    n = _entry_count(raw, off, e, 12)
+    return [
+        struct.unpack_from(">III", raw, off + 4 + 12 * i)
+        for i in range(n)
+    ]
+
+
+def _parse_co(raw: memoryview, s: int, e: int, wide: bool) -> list[int]:
+    _v, off = _full_box(raw, s, e)
+    width = 8 if wide else 4
+    n = _entry_count(raw, off, e, width)
+    fmt = f">{n}Q" if wide else f">{n}I"
+    return list(struct.unpack_from(fmt, raw, off + 4)) if n else []
+
+
+def mp4_keyframes(raw: bytes) -> list[dict]:
+    """Keyframe fetch plan for the first video track: one dict per
+    sync sample — {sample_idx (0-based), t_ms, off (absolute byte
+    offset of the sample in the file), size, chunk_off (its chunk's
+    base)}. This is the 100 TB video-curation move the sample tables
+    exist for: decide WHICH byte ranges to fetch (ranged GETs against
+    object storage) without touching a single frame — stts gives each
+    sample's timestamp, stss marks the sync samples, stsc/stco place
+    samples in chunks, stsz sizes them. A movie without sample tables
+    (fragmented, audio-only, metadata-only) yields [] — nothing to
+    plan — while corrupt tables raise the named Mp4Error.
+
+    Reference parity: the engine moves opaque serializations only
+    (message/interfaces.go:121-124); planning which bytes to fetch
+    from a container is executor-side kernel work."""
+    mv = memoryview(raw)
+    tables: dict[bytes, tuple[int, int]] = {}
+    media_ts = None
+    found = False
+
+    for btype, body, bend in _boxes(mv, 0, len(raw)):
+        if btype != b"moov" or found:
+            continue
+        for t, s, e in _boxes(mv, body, bend, 1):
+            if t != b"trak" or found:
+                continue
+            cur: dict[bytes, tuple[int, int]] = {}
+            handler = None
+            ts = None
+
+            def walk(b0: int, b1: int, depth: int) -> None:
+                nonlocal handler, ts
+                for tt, ss, ee in _boxes(mv, b0, b1, depth):
+                    if tt == b"hdlr":
+                        handler = _parse_hdlr(mv, ss, ee)
+                    elif tt == b"mdhd":
+                        ts = _parse_mdhd_timescale(mv, ss, ee)
+                    elif tt in (
+                        b"stts", b"stss", b"stsz", b"stsc", b"stco",
+                        b"co64",
+                    ):
+                        cur[tt] = (ss, ee)
+                    elif tt in _CONTAINERS:
+                        walk(ss, ee, depth + 1)
+
+            walk(s, e, 2)
+            if handler == b"vide":
+                tables, media_ts, found = cur, ts, True
+
+    if not found or media_ts is None:
+        return []
+    needed = (b"stts", b"stsz", b"stsc")
+    if any(k not in tables for k in needed) or (
+        b"stco" not in tables and b"co64" not in tables
+    ):
+        return []  # valid but sample-less (e.g. fragmented) movie
+
+    stts = _parse_stts(mv, *tables[b"stts"])
+    sizes = _parse_stsz(mv, *tables[b"stsz"])
+    stsc = _parse_stsc(mv, *tables[b"stsc"])
+    offsets = (
+        _parse_co(mv, *tables[b"co64"], wide=True)
+        if b"co64" in tables
+        else _parse_co(mv, *tables[b"stco"], wide=False)
+    )
+    n = len(sizes)
+    if sum(c for c, _d in stts) != n:
+        raise Mp4Error("stts/stsz sample count mismatch")
+    # absent stss means every sample is a sync sample (ISO 14496-12)
+    sync = (
+        set(_parse_u32_table(mv, *tables[b"stss"]))
+        if b"stss" in tables
+        else None
+    )
+
+    # per-sample start times from the stts run-lengths
+    t_ticks = []
+    t = 0
+    for count, delta in stts:
+        for _ in range(count):
+            t_ticks.append(t)
+            t += delta
+
+    # expand stsc runs over the stco chunk list; the last run extends
+    # to the final chunk, and a table that strands samples is corrupt
+    plan: list[dict] = []
+    si = 0
+    n_chunks = len(offsets)
+    for ei, (first, per_chunk, _desc) in enumerate(stsc):
+        last = (
+            stsc[ei + 1][0] - 1 if ei + 1 < len(stsc) else n_chunks
+        )
+        if first < 1 or last > n_chunks:
+            raise Mp4Error("stsc chunk range escapes stco")
+        for chunk in range(first, last + 1):
+            base = offsets[chunk - 1]
+            within = 0
+            for _ in range(per_chunk):
+                if si >= n:
+                    break
+                if sync is None or (si + 1) in sync:
+                    plan.append(
+                        {
+                            "sample_idx": si,
+                            "t_ms": t_ticks[si] * 1000 // media_ts,
+                            "off": base + within,
+                            "size": sizes[si],
+                            "chunk_off": base,
+                        }
+                    )
+                within += sizes[si]
+                si += 1
+    if si < n:
+        raise Mp4Error("sample-to-chunk table strands samples")
+    return plan
+
+
 # ------------------------------------------------------------- builder
 
 
@@ -253,14 +445,19 @@ def build_mp4(
     brand: str = "isom",
     mdat: bytes = b"",
     fragmented: bool = False,
+    samples: tuple[list[int], int, int] | None = None,
 ) -> bytes:
     """Deterministic minimal ISO-BMFF: ftyp + moov(mvhd, trak per
     modality) + mdat. `video` = (width, height, fourcc); `audio` =
     fourcc. Sample tables are empty (metadata-only fixture — exactly
-    what the walk reads); durations use v1 (64-bit) boxes when they
-    overflow u32, exercising both parser paths. `fragmented` writes
-    the DASH/streaming shape — mvhd duration 0 plus an mvex box —
-    where the walk must report duration as unknown, not 0."""
+    what the walk reads) unless `samples` = (sizes, delta_ticks,
+    sync_every) populates the video track's stts/stss/stsc/stsz/stco
+    with one chunk holding every sample — sample i's mdat bytes are
+    the fill byte (i*7+13)%256 so a fetch plan can be verified by
+    slicing; durations use v1 (64-bit) boxes when they overflow u32,
+    exercising both parser paths. `fragmented` writes the DASH/
+    streaming shape — mvhd duration 0 plus an mvex box — where the
+    walk must report duration as unknown, not 0."""
     dur = 0 if fragmented else duration_ms * timescale // 1000
     v = 1 if dur > 0xFFFFFFFF else 0
     if v:
@@ -279,12 +476,13 @@ def build_mp4(
             + b"\x00" * 24
             + struct.pack(">I", 99)
         )
-    traks = []
-
-    def trak(handler: bytes, fourcc: str, w: int, h: int) -> bytes:
+    def trak(
+        idx: int, handler: bytes, fourcc: str, w: int, h: int,
+        stco_off: int = 0,
+    ) -> bytes:
         if v:
             tkhd_body = (
-                struct.pack(">QQIIQ", 0, 0, len(traks) + 1, 0, dur)
+                struct.pack(">QQIIQ", 0, 0, idx, 0, dur)
                 + b"\x00" * 8
                 + struct.pack(">hhhh", 0, 0, 0, 0)
                 + _UNITY_MATRIX
@@ -292,7 +490,7 @@ def build_mp4(
             )
         else:
             tkhd_body = (
-                struct.pack(">IIIII", 0, 0, len(traks) + 1, 0, dur)
+                struct.pack(">IIIII", 0, 0, idx, 0, dur)
                 + b"\x00" * 8
                 + struct.pack(">hhhh", 0, 0, 0, 0)
                 + _UNITY_MATRIX
@@ -305,7 +503,33 @@ def build_mp4(
             + struct.pack(">H", 1)
         )
         stsd = _full(b"stsd", 0, struct.pack(">I", 1) + entry)
-        stbl = _box(b"stbl", stsd)
+        stbl_body = stsd
+        if handler == b"vide" and samples is not None:
+            sizes, delta, sync_every = samples
+            n = len(sizes)
+            syncs = list(range(1, n + 1, max(1, sync_every)))
+            stbl_body += _full(
+                b"stts", 0, struct.pack(">III", 1, n, delta)
+            )
+            stbl_body += _full(
+                b"stss",
+                0,
+                struct.pack(">I", len(syncs))
+                + struct.pack(f">{len(syncs)}I", *syncs),
+            )
+            stbl_body += _full(
+                b"stsc", 0, struct.pack(">IIII", 1, 1, n, 1)
+            )
+            stbl_body += _full(
+                b"stsz",
+                0,
+                struct.pack(">II", 0, n)
+                + struct.pack(f">{n}I", *sizes),
+            )
+            stbl_body += _full(
+                b"stco", 0, struct.pack(">II", 1, stco_off)
+            )
+        stbl = _box(b"stbl", stbl_body)
         minf = _box(b"minf", stbl)
         mdhd = _full(
             b"mdhd",
@@ -321,16 +545,30 @@ def build_mp4(
         mdia = _box(b"mdia", mdhd + hdlr + minf)
         return _box(b"trak", _full(b"tkhd", v, tkhd_body) + mdia)
 
-    if video is not None:
-        w, h, fc = video
-        traks.append(trak(b"vide", fc, w, h))
-    if audio is not None:
-        traks.append(trak(b"soun", audio, 0, 0))
-    mvex = _box(b"mvex", b"") if fragmented else b""
-    moov = _box(
-        b"moov", _full(b"mvhd", v, mvhd_body) + b"".join(traks) + mvex
-    )
+    def make_moov(stco_off: int) -> bytes:
+        traks = []
+        if video is not None:
+            w, h, fc = video
+            traks.append(
+                trak(len(traks) + 1, b"vide", fc, w, h, stco_off)
+            )
+        if audio is not None:
+            traks.append(trak(len(traks) + 1, b"soun", audio, 0, 0))
+        mvex = _box(b"mvex", b"") if fragmented else b""
+        return _box(
+            b"moov", _full(b"mvhd", v, mvhd_body) + b"".join(traks) + mvex
+        )
+
     ftyp = _box(
         b"ftyp", brand.encode("latin-1") + struct.pack(">I", 0) + b"isom"
     )
-    return ftyp + moov + _box(b"mdat", mdat)
+    if samples is not None:
+        sizes = samples[0]
+        mdat = b"".join(
+            bytes([(i * 7 + 13) % 256]) * sz for i, sz in enumerate(sizes)
+        )
+    # stco needs the absolute mdat body position, which depends on
+    # moov's own length — build once with a placeholder, then rebuild
+    # with the real offset (the u32 field keeps the length identical).
+    mdat_off = len(ftyp) + len(make_moov(0)) + 8
+    return ftyp + make_moov(mdat_off) + _box(b"mdat", mdat)

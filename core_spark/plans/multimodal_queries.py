@@ -9,9 +9,11 @@ from pyspark.sql import DataFrame, SparkSession
 from core_spark.io import load_table
 from core_spark.multimodal import (
     attach_mp4_payload,
+    attach_mp4_stream_payload,
     attach_payload,
     decode_av_meta,
     decode_image_meta,
+    plan_video_fetch,
 )
 from core_spark.plans.registry import query
 
@@ -46,6 +48,69 @@ def q_av_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     executor-side mapInPandas."""
     docs = load_table(spark, sf_dir, "documents")
     return decode_av_meta(attach_mp4_payload(docs)).orderBy("doc_id")
+
+
+# Fixed v0 video-only container header size up to the chunk base:
+# chunk_off = _KF_HEADER + 4*n (stsz entries) + 4*ceil(n/ks) (stss
+# entries). Pinned against the builder's real stco in
+# tests/test_multimodal.py::test_mp4_keyframe_plan_roundtrip.
+_KF_HEADER = 473
+
+
+@query(
+    "q_av_keyframes",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id,
+             8 + CAST('0x' || substr(md5(text), 1, 4) AS BIGINT) % 25 AS n,
+             1 + CAST('0x' || substr(md5(text), 5, 2) AS BIGINT) % 5 AS ks,
+             20 + CAST('0x' || substr(md5(text), 7, 2) AS BIGINT) % 60
+               AS delta,
+             CAST('0x' || substr(md5(text), 9, 4) AS BIGINT) AS s0
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n, ks, delta, s0,
+             unnest(range(n)) AS i
+      FROM p
+    ),
+    z AS (
+      SELECT doc_id, n, ks, delta, i,
+             64 + (s0 + 37 * i) % 191 AS sz,
+             SUM(64 + (s0 + 37 * i) % 191)
+               OVER (PARTITION BY doc_id ORDER BY i
+                     ROWS UNBOUNDED PRECEDING)
+               - (64 + (s0 + 37 * i) % 191) AS rel_off
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(i // ks AS BIGINT) AS kf_idx,
+           CAST(i AS BIGINT) AS sample_idx,
+           CAST(i * delta AS BIGINT) AS t_ms,
+           CAST({_KF_HEADER} + 4 * n + 4 * ((n + ks - 1) // ks)
+                + rel_off AS BIGINT) AS off,
+           CAST(sz AS BIGINT) AS size
+    FROM z WHERE i % ks = 0
+    ORDER BY doc_id, kf_idx
+    """,
+)
+def q_av_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe fetch planning from real sample tables — the
+    100 TB-video move: each document becomes a genuine ISO-BMFF
+    container whose stts/stss/stsc/stsz/stco boxes are populated
+    (frame count / sync cadence / timing / sizes md5-derived so the
+    oracle recomputes the whole plan), and the walk kernel
+    (multimodal/mp4.py mp4_keyframes) turns the tables into the
+    ranged-GET list — absolute byte offset + size per sync sample —
+    that lets a curation pass decode ONLY keyframes out of object
+    storage instead of streaming whole movies. Both stages are
+    executor-side mapInPandas; the oracle reproduces every offset
+    including the container header arithmetic, and tests pin the
+    offsets against the actual bytes by slicing the mdat."""
+    docs = load_table(spark, sf_dir, "documents")
+    return plan_video_fetch(attach_mp4_stream_payload(docs)).orderBy(
+        "doc_id", "kf_idx"
+    )
 
 
 @query(

@@ -1431,6 +1431,204 @@ def test_mp4_corrupt_input_raises_named_never_hangs():
         mp4_meta(stub)
 
 
+def test_mp4_keyframe_plan_roundtrip():
+    """build_mp4(samples=...) -> mp4_keyframes recovers the exact
+    fetch plan, and the plan is REAL: slicing the file at each
+    planned (off, size) yields exactly that sample's fill bytes. Also
+    pins the q_av_keyframes oracle's header constant (473 + 4n +
+    4*ceil(n/ks)) against the builder's actual stco, and the
+    sample-less/audio-only/fragmented '[] — nothing to plan'
+    contract."""
+    from core_spark.multimodal.mp4 import build_mp4, mp4_keyframes
+    from core_spark.plans.multimodal_queries import _KF_HEADER
+
+    for n, ks, delta in [(10, 3, 40), (8, 1, 20), (32, 5, 79)]:
+        sizes = [64 + (7 + 37 * i) % 191 for i in range(n)]
+        raw = build_mp4(
+            n * delta, video=(640, 360, "avc1"),
+            samples=(sizes, delta, ks),
+        )
+        plan = mp4_keyframes(raw)
+        nsync = (n + ks - 1) // ks
+        assert [p["sample_idx"] for p in plan] == list(range(0, n, ks))
+        assert all(p["t_ms"] == p["sample_idx"] * delta for p in plan)
+        # oracle header arithmetic == the builder's actual chunk base
+        assert plan[0]["chunk_off"] == _KF_HEADER + 4 * n + 4 * nsync
+        for p in plan:
+            i = p["sample_idx"]
+            assert p["size"] == sizes[i]
+            assert (
+                p["off"] - p["chunk_off"] == sum(sizes[:i])
+            )
+            seg = raw[p["off"] : p["off"] + p["size"]]
+            assert len(seg) == sizes[i]
+            assert set(seg) == {(i * 7 + 13) % 256}
+
+    # valid movies with nothing to plan yield [], never an error
+    assert mp4_keyframes(build_mp4(700, audio="mp4a")) == []
+    assert mp4_keyframes(build_mp4(4000, video=(64, 64, "avc1"))) == []
+    assert (
+        mp4_keyframes(
+            build_mp4(4000, video=(64, 64, "avc1"), fragmented=True)
+        )
+        == []
+    )
+
+
+def test_mp4_keyframes_multichunk_and_co64():
+    """The general sample-to-chunk layout (multiple stsc runs over
+    several chunks, with a partially-filled last chunk) and the co64
+    wide-offset path — shapes real muxers emit that the single-chunk
+    builder fixture never exercises. Offsets are hand-computed from
+    the spec's layout rules."""
+    import struct as st
+
+    from core_spark.multimodal import mp4 as M
+
+    sizes = [10, 11, 12, 13, 14, 15, 16, 17]
+    n = len(sizes)
+    # chunks: run1 (chunks 1-2, 2 samples each), run2 (chunk 3+,
+    # 3 samples) -> c1:[0,1] c2:[2,3] c3:[4,5,6] c4:[7]
+    chunk_offsets = [1000, 2000, 3000, 4000]
+    syncs = [1, 4, 7]  # 1-based sample numbers
+
+    def stbl(co_box: bytes) -> bytes:
+        entry = st.pack(">I", 16) + b"avc1" + b"\x00" * 6 + st.pack(">H", 1)
+        return M._box(
+            b"stbl",
+            M._full(b"stsd", 0, st.pack(">I", 1) + entry)
+            + M._full(b"stts", 0, st.pack(">III", 1, n, 40))
+            + M._full(
+                b"stss",
+                0,
+                st.pack(">I", len(syncs))
+                + st.pack(f">{len(syncs)}I", *syncs),
+            )
+            + M._full(
+                b"stsc",
+                0,
+                st.pack(">I", 2)
+                + st.pack(">III", 1, 2, 1)
+                + st.pack(">III", 3, 3, 1),
+            )
+            + M._full(
+                b"stsz",
+                0,
+                st.pack(">II", 0, n) + st.pack(f">{n}I", *sizes),
+            )
+            + co_box,
+        )
+
+    def movie(co_box: bytes) -> bytes:
+        mdhd = M._full(
+            b"mdhd",
+            0,
+            st.pack(">IIII", 0, 0, 1000, 320) + st.pack(">HH", 0x55C4, 0),
+        )
+        hdlr = M._full(
+            b"hdlr", 0, st.pack(">I", 0) + b"vide" + b"\x00" * 13
+        )
+        mdia = M._box(b"mdia", mdhd + hdlr + M._box(b"minf", stbl(co_box)))
+        tkhd_body = (
+            st.pack(">IIIII", 0, 0, 1, 0, 320)
+            + b"\x00" * 8
+            + st.pack(">hhhh", 0, 0, 0, 0)
+            + M._UNITY_MATRIX
+            + st.pack(">II", 640 << 16, 360 << 16)
+        )
+        trak = M._box(b"trak", M._full(b"tkhd", 0, tkhd_body) + mdia)
+        mvhd_body = (
+            st.pack(">IIII", 0, 0, 1000, 320)
+            + st.pack(">ihhq", 0x10000, 0x0100, 0, 0)
+            + M._UNITY_MATRIX
+            + b"\x00" * 24
+            + st.pack(">I", 99)
+        )
+        moov = M._box(b"moov", M._full(b"mvhd", 0, mvhd_body) + trak)
+        ftyp = M._box(b"ftyp", b"isom" + st.pack(">I", 0) + b"isom")
+        return ftyp + moov
+
+    expected = {  # sample -> (chunk base, offset within chunk)
+        0: (1000, 0), 3: (2000, 12), 6: (3000, 14 + 15),
+    }
+    stco = M._full(
+        b"stco",
+        0,
+        st.pack(">I", 4) + st.pack(">4I", *chunk_offsets),
+    )
+    co64 = M._full(
+        b"co64",
+        0,
+        st.pack(">I", 4) + st.pack(">4Q", *chunk_offsets),
+    )
+    for co_box in (stco, co64):
+        plan = M.mp4_keyframes(movie(co_box))
+        assert [p["sample_idx"] for p in plan] == [0, 3, 6]
+        for p in plan:
+            base, within = expected[p["sample_idx"]]
+            assert (p["chunk_off"], p["off"]) == (base, base + within)
+            assert p["size"] == sizes[p["sample_idx"]]
+            assert p["t_ms"] == p["sample_idx"] * 40
+
+    # a chunk table that strands samples is corrupt: only 2 chunks
+    # for 8 samples under run1's 2-per-chunk
+    short = M._full(
+        b"stco", 0, st.pack(">I", 2) + st.pack(">2I", 1000, 2000)
+    )
+    try:
+        M.mp4_keyframes(movie(short))
+        raise AssertionError("stranded samples did not raise")
+    except M.Mp4Error:
+        pass
+
+
+def test_mp4_keyframes_corrupt_tables_raise_named():
+    """Sample-table corruption discipline: truncations and random
+    junk either plan or raise Mp4Error — and a table whose declared
+    entry count escapes its box is an error, not an allocation."""
+    import random
+    import struct as st
+
+    from core_spark.multimodal.mp4 import Mp4Error, build_mp4, mp4_keyframes
+
+    sizes = [100] * 12
+    raw = build_mp4(480, video=(640, 360, "avc1"), samples=(sizes, 40, 4))
+    for cut in range(0, len(raw)):
+        try:
+            mp4_keyframes(raw[:cut])
+        except Mp4Error:
+            pass
+    rnd = random.Random(11)
+    for _ in range(2000):
+        junk = bytes(
+            rnd.randrange(256) for _ in range(rnd.randrange(0, 100))
+        )
+        try:
+            mp4_keyframes(junk)
+        except Mp4Error:
+            pass
+    # flip bytes inside the sample tables of a valid file
+    ba = bytearray(raw)
+    for _ in range(800):
+        pos = rnd.randrange(len(ba))
+        old = ba[pos]
+        ba[pos] = rnd.randrange(256)
+        try:
+            mp4_keyframes(bytes(ba))
+        except Mp4Error:
+            pass
+        ba[pos] = old
+    # a count field claiming entries beyond the box must raise
+    stsz_at = raw.find(b"stsz")
+    evil = bytearray(raw)
+    st.pack_into(">I", evil, stsz_at + 12, 1 << 30)  # sample count
+    try:
+        mp4_keyframes(bytes(evil))
+        raise AssertionError("oversized stsz count did not raise")
+    except Mp4Error:
+        pass
+
+
 def test_mp4_unknown_duration_and_track_modality():
     """ISO 14496-12 honesty: a fragmented movie (mvhd duration 0 +
     mvex) and the all-ones 'unknown' sentinel both report duration_ms
