@@ -544,6 +544,87 @@ def attach_mp4_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+AUDIO_SEGMENT_SCHEMA = (
+    "doc_id long, seg_idx long, t_ms long, off long, n_bytes long,"
+    " n_frames long"
+)
+_MP3_FIXTURE_KBPS = (96, 112, 128, 160, 192)
+
+
+def attach_mp3_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Materialize a REAL MP3 stream per document: frame count and
+    the per-frame bitrate sequence derive from md5(text) so a SQL
+    oracle can recompute the byte layout, but the bytes are genuine
+    MPEG1 Layer III frames (wav.py build_mp3_frame) whose headers
+    the downstream walk actually parses — a VBR stream, so the
+    segment plan must track real frame sizes, not extrapolate from
+    the first header."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from core_spark.multimodal.wav import build_mp3_frame
+
+        def one(text: str) -> bytes:
+            h = hashlib.md5(text.encode("utf-8")).hexdigest()
+            n = 60 + int(h[0:4], 16) % 120
+            s0 = int(h[4:8], 16)
+            return b"".join(
+                build_mp3_frame(
+                    kbps=_MP3_FIXTURE_KBPS[(s0 + 7 * i) % 5],
+                    fill=i % 256,
+                )
+                for i in range(n)
+            )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [one(t) for t in pdf[text_col]],
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        build, "doc_id long, payload binary"
+    )
+
+
+def plan_audio_fetch(
+    df: DataFrame, payload_col: str = "payload", every_ms: int = 1000
+) -> DataFrame:
+    """Walk each MP3 stream's frame headers into a segment fetch
+    plan (AUDIO_SEGMENT_SCHEMA): one row per `every_ms` of audio
+    with the absolute byte offset and span holding those frames —
+    the audio twin of the keyframe ranged-GET plan. Executor-side
+    mapInPandas fan-out; payload bytes never reach the JVM plan."""
+
+    def plan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from core_spark.multimodal.wav import mp3_segments
+
+        for pdf in batches:
+            rows = []
+            for d, raw in zip(pdf["doc_id"], pdf[payload_col]):
+                for s in mp3_segments(bytes(raw), every_ms):
+                    rows.append(
+                        (
+                            int(d), s["seg_idx"], s["t_ms"], s["off"],
+                            s["n_bytes"], s["n_frames"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "seg_idx", "t_ms", "off", "n_bytes",
+                    "n_frames",
+                ],
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(
+        plan, schema=AUDIO_SEGMENT_SCHEMA
+    )
+
+
 AV_KEYFRAME_SCHEMA = (
     "doc_id long, kf_idx long, sample_idx long, t_ms long, off long,"
     " size long"

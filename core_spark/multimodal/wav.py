@@ -883,6 +883,65 @@ def mp3_meta(raw: bytes) -> dict:
     }
 
 
+def mp3_segments(raw: bytes, every_ms: int = 1000) -> list[dict]:
+    """Segment fetch plan: walk the frame headers and group frames
+    into `every_ms` windows of audio time — one dict per non-empty
+    window: {seg_idx, t_ms (window start), off (absolute byte offset
+    of its first frame), n_bytes, n_frames}. The audio twin of
+    mp4_keyframes' ranged-GET planning: serving "the 10 s clip at
+    t=42 s" out of object storage needs exactly this byte range, and
+    because every frame header is walked (not extrapolated from the
+    first), the plan is correct for VBR streams where frame sizes
+    change mid-file. No audio is decoded; ID3v2 is skipped the same
+    way mp3_meta does."""
+    if every_ms <= 0:
+        raise ValueError("every_ms must be positive")
+    off = 0
+    if raw[:3] == b"ID3" and len(raw) >= 10:
+        size = 0
+        for b in raw[6:10]:
+            size = (size << 7) | (b & 0x7F)
+        off = 10 + size + (10 if raw[5] & 0x10 else 0)
+    end = len(raw)
+    if raw[-128:-125] == b"TAG":
+        end -= 128
+    while off < end:
+        if _mp3_frame(raw, off) is not None:
+            break
+        off += 1
+    else:
+        raise ValueError("no MP3 frame sync found")
+
+    segs: list[dict] = []
+    t_num = 0  # elapsed samples*1000 (exact; avoids per-frame floor drift)
+    rate0 = None
+    p = off
+    while p + 4 <= end:
+        hdr = _mp3_frame(raw, p)
+        if hdr is None:
+            break
+        fsize, frate, _kbps, _ch, fspf = hdr
+        if rate0 is None:
+            rate0 = frate
+        t_ms = t_num * 1000 // rate0  # elapsed samples -> ms
+        seg = t_ms // every_ms
+        if not segs or segs[-1]["seg_idx"] != seg:
+            segs.append(
+                {
+                    "seg_idx": seg,
+                    "t_ms": seg * every_ms,
+                    "off": p,
+                    "n_bytes": 0,
+                    "n_frames": 0,
+                }
+            )
+        segs[-1]["n_bytes"] += fsize
+        segs[-1]["n_frames"] += 1
+        t_num += fspf
+        p += max(4, fsize)
+    return segs
+
+
 def build_mp3_frame(
     kbps: int = 128, rate: int = 44100, channels: int = 2,
     fill: int = 0,

@@ -8,11 +8,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 from core_spark.io import load_table
 from core_spark.multimodal import (
+    attach_mp3_payload,
     attach_mp4_payload,
     attach_mp4_stream_payload,
     attach_payload,
     decode_av_meta,
     decode_image_meta,
+    plan_audio_fetch,
     plan_video_fetch,
 )
 from core_spark.plans.registry import query
@@ -48,6 +50,64 @@ def q_av_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     executor-side mapInPandas."""
     docs = load_table(spark, sf_dir, "documents")
     return decode_av_meta(attach_mp4_payload(docs)).orderBy("doc_id")
+
+
+@query(
+    "q_audio_segments",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             60 + CAST('0x' || substr(md5(text), 1, 4) AS BIGINT) % 120
+               AS n,
+             CAST('0x' || substr(md5(text), 5, 4) AS BIGINT) AS s0
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, n, s0, unnest(range(n)) AS i FROM p
+    ),
+    z AS (
+      SELECT doc_id, i,
+             CASE (s0 + 7 * i) % 5
+               WHEN 0 THEN 96 WHEN 1 THEN 112 WHEN 2 THEN 128
+               WHEN 3 THEN 160 ELSE 192 END AS kbps,
+             (i * 1152 * 1000) // 44100 AS t_ms
+      FROM f
+    ),
+    w AS (
+      SELECT doc_id, i, t_ms // 1000 AS seg,
+             144 * kbps * 1000 // 44100 AS sz,
+             SUM(144 * kbps * 1000 // 44100)
+               OVER (PARTITION BY doc_id ORDER BY i
+                     ROWS UNBOUNDED PRECEDING)
+               - 144 * kbps * 1000 // 44100 AS rel_off
+      FROM z
+    )
+    SELECT doc_id,
+           CAST(seg AS BIGINT) AS seg_idx,
+           CAST(seg * 1000 AS BIGINT) AS t_ms,
+           CAST(MIN(rel_off) AS BIGINT) AS off,
+           CAST(SUM(sz) AS BIGINT) AS n_bytes,
+           COUNT(*) AS n_frames
+    FROM w GROUP BY doc_id, seg
+    ORDER BY doc_id, seg_idx
+    """,
+)
+def q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio segment fetch planning — the MP3 twin of
+    q_av_keyframes: each document becomes a genuine VBR MPEG1
+    Layer III stream (frame count and per-frame bitrate sequence
+    md5-derived so the oracle recomputes the byte layout), and the
+    walk kernel (multimodal/wav.py mp3_segments) groups real frame
+    headers into per-second byte ranges — the ranged-GET list that
+    serves \"the clip at t=Ns\" out of object storage without
+    streaming whole files. Because the stream is VBR, a correct plan
+    must walk every header rather than extrapolate the first frame's
+    size; the oracle's prefix-sum over the varying sizes checks
+    exactly that. Both stages are executor-side mapInPandas."""
+    docs = load_table(spark, sf_dir, "documents")
+    return plan_audio_fetch(attach_mp3_payload(docs)).orderBy(
+        "doc_id", "seg_idx"
+    )
 
 
 # Fixed v0 video-only container header size up to the chunk base:

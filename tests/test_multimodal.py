@@ -1431,6 +1431,66 @@ def test_mp4_corrupt_input_raises_named_never_hangs():
         mp4_meta(stub)
 
 
+def test_mp3_segment_plan_vbr_roundtrip():
+    """mp3_segments over a genuinely VBR stream: per-window byte
+    ranges must track the real (varying) frame sizes — hand-computed
+    from the same header arithmetic — and each planned offset must
+    land exactly on a frame sync. ID3v2 prefixes shift every offset
+    by the tag size; a fetch plan that ignored them would slice
+    garbage."""
+    import itertools
+
+    from core_spark.multimodal.wav import build_mp3_frame, mp3_segments
+
+    kbps_seq = [96, 192, 128, 160, 112]
+    n = 50
+    frames = [
+        build_mp3_frame(kbps=kbps_seq[(3 + 7 * i) % 5], fill=i % 256)
+        for i in range(n)
+    ]
+    raw = b"".join(frames)
+    sizes = [144 * kbps_seq[(3 + 7 * i) % 5] * 1000 // 44100
+             for i in range(n)]
+    pref = [0] + list(itertools.accumulate(sizes))
+    expected: dict[int, dict] = {}
+    for i in range(n):
+        seg = (i * 1152 * 1000 // 44100) // 1000
+        e = expected.setdefault(
+            seg,
+            {"seg_idx": seg, "t_ms": seg * 1000, "off": pref[i],
+             "n_bytes": 0, "n_frames": 0},
+        )
+        e["n_bytes"] += sizes[i]
+        e["n_frames"] += 1
+    plan = mp3_segments(raw, 1000)
+    assert plan == list(expected.values())
+    for s in plan:
+        assert raw[s["off"]] == 0xFF  # frame sync at every offset
+        assert raw[s["off"] + 1] & 0xE0 == 0xE0
+    # contiguity: each segment starts where the previous ended
+    for a, b in zip(plan, plan[1:]):
+        assert b["off"] == a["off"] + a["n_bytes"]
+
+    # ID3v2 prefix shifts every offset by the (syncsafe) tag size
+    tag = b"ID3\x03\x00\x00" + bytes([0, 0, 1, 4]) + b"\x00" * 132
+    shifted = mp3_segments(tag + raw, 1000)
+    assert [s["off"] for s in shifted] == [
+        s["off"] + len(tag) for s in plan
+    ]
+    # fuzz: random bytes either plan or raise the named error
+    import random
+
+    rnd = random.Random(17)
+    for _ in range(2000):
+        junk = bytes(
+            rnd.randrange(256) for _ in range(rnd.randrange(0, 120))
+        )
+        try:
+            mp3_segments(junk)
+        except ValueError:
+            pass
+
+
 def test_mp4_keyframe_plan_roundtrip():
     """build_mp4(samples=...) -> mp4_keyframes recovers the exact
     fetch plan, and the plan is REAL: slicing the file at each
