@@ -114,6 +114,7 @@ HEADLINE = [
     "q_bloom_auto",
     "q_av_meta",
     "q_av_keyframes",
+    "q_av_fmp4",
     "q_audio_segments",
     # q_dup_canonical is intentionally absent: its dominant cost is
     # the same pair+CC pipeline q_dup_clusters already times;

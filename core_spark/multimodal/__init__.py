@@ -2,12 +2,14 @@
 metadata, with Arrow-batched decode/transform plumbing."""
 
 from core_spark.multimodal.columns import (
+    attach_fmp4_payload,
     attach_mp3_payload,
     attach_mp4_payload,
     attach_mp4_stream_payload,
     attach_payload,
     decode_av_meta,
     plan_audio_fetch,
+    plan_fragment_fetch,
     plan_video_fetch,
     decode_image_meta,
     resize_images,
@@ -17,12 +19,14 @@ from core_spark.multimodal.columns import (
 )
 
 __all__ = [
+    "attach_fmp4_payload",
     "attach_mp3_payload",
     "attach_mp4_payload",
     "attach_mp4_stream_payload",
     "attach_payload",
     "decode_av_meta",
     "plan_audio_fetch",
+    "plan_fragment_fetch",
     "plan_video_fetch",
     "decode_image_meta",
     "resize_images",

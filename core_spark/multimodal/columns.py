@@ -672,6 +672,93 @@ def attach_mp4_stream_payload(
     )
 
 
+AV_FRAGMENT_SCHEMA = (
+    "doc_id long, frag_seq long, sample_idx long, t_ms long, off long,"
+    " size long"
+)
+
+
+def attach_fmp4_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Materialize a REAL fragmented ISO-BMFF payload (CMAF shape)
+    per document: fragment count / per-fragment sample counts /
+    per-sample sizes / frame timing derive from md5(text) so a SQL
+    oracle can recompute the whole byte layout, but the bytes are a
+    genuine ftyp+moov+mvex container followed by moof/mdat pairs
+    whose tfhd/tfdt/trun boxes the downstream walk actually parses —
+    and whose mdat really holds the samples at the planned offsets
+    (pinned by slicing in tests)."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from core_spark.multimodal.mp4 import build_fmp4
+
+        def one(text: str) -> bytes:
+            h = hashlib.md5(text.encode("utf-8")).hexdigest()
+            nf = 2 + int(h[0:2], 16) % 4
+            delta = 20 + int(h[2:4], 16) % 60
+            s0 = int(h[4:8], 16)
+            s1 = int(h[8:10], 16)
+            frags = []
+            g = 0
+            for j in range(nf):
+                k = 4 + (s1 + 11 * j) % 13
+                frags.append(
+                    [64 + (s0 + 37 * (g + i)) % 191 for i in range(k)]
+                )
+                g += k
+            return build_fmp4(frags, delta=delta)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [one(t) for t in pdf[text_col]],
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        build, "doc_id long, payload binary"
+    )
+
+
+def plan_fragment_fetch(
+    df: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """Walk each FRAGMENTED container's moof/traf/trun boxes into a
+    keyframe fetch plan (AV_FRAGMENT_SCHEMA): one row per sync sample
+    with its absolute byte offset and size — the ranged-GET list for
+    streaming-packaged (DASH/CMAF) video, where sample placement is
+    relative to each moof so the plan must carry fragment positions
+    through. Executor-side mapInPandas; payload bytes never reach
+    the JVM plan."""
+
+    def plan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from core_spark.multimodal.mp4 import mp4_fragment_keyframes
+
+        for pdf in batches:
+            rows = []
+            for d, raw in zip(pdf["doc_id"], pdf[payload_col]):
+                for kf in mp4_fragment_keyframes(bytes(raw)):
+                    rows.append(
+                        (
+                            int(d), kf["frag_seq"], kf["sample_idx"],
+                            kf["t_ms"], kf["off"], kf["size"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frag_seq", "sample_idx", "t_ms", "off",
+                    "size",
+                ],
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(
+        plan, schema=AV_FRAGMENT_SCHEMA
+    )
+
+
 def plan_video_fetch(
     df: DataFrame, payload_col: str = "payload"
 ) -> DataFrame:

@@ -421,6 +421,310 @@ def mp4_keyframes(raw: bytes) -> list[dict]:
     return plan
 
 
+# ----------------------------------------------- movie fragments (fMP4)
+
+
+def _boxes4(raw: memoryview, start: int, end: int, depth: int = 0):
+    """Like _boxes but also yields the box's own start offset —
+    fragment walking needs it because default-base-is-moof anchors
+    sample data to the enclosing moof's first byte."""
+    if depth > _MAX_DEPTH:
+        raise Mp4Error("box nesting exceeds ISO-BMFF sanity depth")
+    off = start
+    while off < end:
+        if off + 8 > end:
+            raise Mp4Error(f"truncated box header at {off}")
+        size = struct.unpack_from(">I", raw, off)[0]
+        btype = bytes(raw[off + 4 : off + 8])
+        body = off + 8
+        if size == 1:
+            if off + 16 > end:
+                raise Mp4Error(f"truncated largesize at {off}")
+            size = struct.unpack_from(">Q", raw, off + 8)[0]
+            body = off + 16
+        elif size == 0:
+            size = end - off
+        if size < body - off or off + size > end:
+            raise Mp4Error(
+                f"box {btype!r} size {size} escapes [{off}, {end})"
+            )
+        yield btype, off, body, off + size
+        off += size
+
+
+def _flags_box(raw: memoryview, start: int, end: int) -> tuple[int, int, int]:
+    """FullBox header returning (version, 24-bit flags, body offset) —
+    tfhd/trun semantics live in the flag bits, not just the version."""
+    if start + 4 > end:
+        raise Mp4Error("truncated FullBox header")
+    flags = (raw[start + 1] << 16) | (raw[start + 2] << 8) | raw[start + 3]
+    return raw[start], flags, start + 4
+
+
+_NON_SYNC_BIT = 0x00010000  # sample_is_non_sync_sample (14496-12 8.8.3)
+
+
+def _parse_trex(
+    raw: memoryview, start: int, end: int
+) -> tuple[int, int, int, int]:
+    _v, off = _full_box(raw, start, end)
+    if off + 20 > end:
+        raise Mp4Error("truncated trex")
+    track_id, _desc, dur, size, flags = struct.unpack_from(
+        ">IIIII", raw, off
+    )
+    return track_id, dur, size, flags
+
+
+def _parse_tkhd_track_id(raw: memoryview, start: int, end: int) -> int:
+    v, off = _full_box(raw, start, end)
+    pos = off + (16 if v == 1 else 8)
+    if pos + 4 > end:
+        raise Mp4Error("truncated tkhd track_ID")
+    return struct.unpack_from(">I", raw, pos)[0]
+
+
+def mp4_fragment_keyframes(raw: bytes) -> list[dict]:
+    """Keyframe fetch plan for a FRAGMENTED movie (the CMAF/DASH
+    packaging mp4_keyframes honestly declines): walk every top-level
+    `moof` — mfhd sequence, per-traf tfhd (defaults +
+    default-base-is-moof), tfdt (base decode time), trun (data
+    offset, per-sample sizes/durations/flags) — and emit one dict per
+    SYNC sample of the first video track: {frag_seq, sample_idx
+    (global, 0-based), t_ms, off (absolute file offset), size}.
+    Streaming-packaged video is the dominant shape of a real video
+    corpus, and its fetch planning is strictly harder than the stbl
+    walk: sample placement is relative to each fragment, so the plan
+    must carry the moof positions through. Sync detection follows the
+    flag cascade of 14496-12 8.8.8: per-sample flags, else trun
+    first-sample-flags (sample 0), else tfhd default, else trex
+    default. A movie with no moof yields []; corrupt tables, runs
+    escaping their box, plans pointing outside the file, or samples
+    whose duration/size/flags are underivable raise the named
+    Mp4Error. Reference parity: the engine moves opaque
+    serializations only (message/interfaces.go:121-124); byte-range
+    planning is executor-side kernel work."""
+    mv = memoryview(raw)
+    video_track = None
+    media_ts = None
+    trex: dict[int, tuple[int, int, int]] = {}
+
+    for btype, _bs, body, bend in _boxes4(mv, 0, len(raw)):
+        if btype != b"moov":
+            continue
+        for t, _s0, s, e in _boxes4(mv, body, bend, 1):
+            if t == b"trak":
+                track_id = None
+                handler = None
+                ts = None
+
+                def walk(b0: int, b1: int, depth: int) -> None:
+                    nonlocal track_id, handler, ts
+                    for tt, _ts0, ss, ee in _boxes4(mv, b0, b1, depth):
+                        if tt == b"tkhd":
+                            track_id = _parse_tkhd_track_id(mv, ss, ee)
+                        elif tt == b"hdlr":
+                            handler = _parse_hdlr(mv, ss, ee)
+                        elif tt == b"mdhd":
+                            ts = _parse_mdhd_timescale(mv, ss, ee)
+                        elif tt in _CONTAINERS:
+                            walk(ss, ee, depth + 1)
+
+                walk(s, e, 2)
+                if handler == b"vide" and video_track is None:
+                    video_track, media_ts = track_id, ts
+            elif t == b"mvex":
+                for tt, _ts0, ss, ee in _boxes4(mv, s, e, 2):
+                    if tt == b"trex":
+                        tid, ddur, dsize, dflags = _parse_trex(mv, ss, ee)
+                        trex[tid] = (ddur, dsize, dflags)
+
+    if video_track is None or media_ts is None:
+        return []
+
+    plan: list[dict] = []
+    sample_idx = 0
+    decode_time = 0  # running track time when tfdt is absent
+    for btype, box_start, body, bend in _boxes4(mv, 0, len(raw)):
+        if btype != b"moof":
+            continue
+        seq = None
+        prev_traf_end = None
+        boxes = list(_boxes4(mv, body, bend, 1))
+        for t, _ts0, s, e in boxes:
+            if t == b"mfhd":
+                _v, off = _full_box(mv, s, e)
+                if off + 4 > e:
+                    raise Mp4Error("truncated mfhd")
+                seq = struct.unpack_from(">I", mv, off)[0]
+                break
+        if seq is None:
+            raise Mp4Error("moof without mfhd")
+        for t, _ts0, s, e in boxes:
+            if t != b"traf":
+                continue
+            # ---- tfhd
+            tfhd = None
+            tfdt_time = None
+            truns = []
+            for tt, _tt0, ss, ee in _boxes4(mv, s, e, 2):
+                if tt == b"tfhd":
+                    v_fl = _flags_box(mv, ss, ee)
+                    _v, flags, off = v_fl
+                    if off + 4 > ee:
+                        raise Mp4Error("truncated tfhd")
+                    tid = struct.unpack_from(">I", mv, off)[0]
+                    off += 4
+                    base = None
+                    if flags & 0x000001:  # base-data-offset
+                        if off + 8 > ee:
+                            raise Mp4Error("truncated tfhd base offset")
+                        base = struct.unpack_from(">Q", mv, off)[0]
+                        off += 8
+                    if flags & 0x000002:  # sample-description-index
+                        off += 4
+                    d_dur = d_size = d_flags = None
+                    if flags & 0x000008:
+                        if off + 4 > ee:
+                            raise Mp4Error("truncated tfhd defaults")
+                        d_dur = struct.unpack_from(">I", mv, off)[0]
+                        off += 4
+                    if flags & 0x000010:
+                        if off + 4 > ee:
+                            raise Mp4Error("truncated tfhd defaults")
+                        d_size = struct.unpack_from(">I", mv, off)[0]
+                        off += 4
+                    if flags & 0x000020:
+                        if off + 4 > ee:
+                            raise Mp4Error("truncated tfhd defaults")
+                        d_flags = struct.unpack_from(">I", mv, off)[0]
+                        off += 4
+                    tfhd = {
+                        "track": tid,
+                        "base": base,
+                        "base_is_moof": bool(flags & 0x020000),
+                        "dur": d_dur,
+                        "size": d_size,
+                        "flags": d_flags,
+                    }
+                elif tt == b"tfdt":
+                    v, _fl, off = _flags_box(mv, ss, ee)
+                    w = 8 if v == 1 else 4
+                    if off + w > ee:
+                        raise Mp4Error("truncated tfdt")
+                    tfdt_time = struct.unpack_from(
+                        ">Q" if v == 1 else ">I", mv, off
+                    )[0]
+                elif tt == b"trun":
+                    truns.append((ss, ee))
+            if tfhd is None:
+                raise Mp4Error("traf without tfhd")
+            is_video = tfhd["track"] == video_track
+            tx = trex.get(tfhd["track"], (None, None, None))
+            d_dur = tfhd["dur"] if tfhd["dur"] is not None else tx[0]
+            d_size = tfhd["size"] if tfhd["size"] is not None else tx[1]
+            d_flags = tfhd["flags"] if tfhd["flags"] is not None else tx[2]
+            # base-data-offset cascade (8.8.7.1): explicit, else moof
+            # start when default-base-is-moof, else first traf anchors
+            # at moof start and later trafs continue where the
+            # previous one's data ended.
+            if tfhd["base"] is not None:
+                base = tfhd["base"]
+            elif tfhd["base_is_moof"] or prev_traf_end is None:
+                base = box_start
+            else:
+                base = prev_traf_end
+            if is_video and tfdt_time is not None:
+                decode_time = tfdt_time
+            cur = base
+            t_ticks = decode_time
+            for ss, ee in truns:
+                v, flags, off = _flags_box(mv, ss, ee)
+                if off + 4 > ee:
+                    raise Mp4Error("truncated trun")
+                count = struct.unpack_from(">I", mv, off)[0]
+                off += 4
+                if flags & 0x000001:
+                    if off + 4 > ee:
+                        raise Mp4Error("truncated trun data offset")
+                    cur = base + struct.unpack_from(">i", mv, off)[0]
+                    off += 4
+                first_flags = None
+                if flags & 0x000004:
+                    if off + 4 > ee:
+                        raise Mp4Error("truncated trun first flags")
+                    first_flags = struct.unpack_from(">I", mv, off)[0]
+                    off += 4
+                per = (
+                    (4 if flags & 0x000100 else 0)
+                    + (4 if flags & 0x000200 else 0)
+                    + (4 if flags & 0x000400 else 0)
+                    + (4 if flags & 0x000800 else 0)
+                )
+                if off + per * count > ee:
+                    raise Mp4Error(
+                        f"trun declares {count} samples beyond its box"
+                    )
+                if per == 0 and count > max(1, len(raw)) * 16:
+                    # all-defaults trun: entries cost no box bytes, so
+                    # bound fabricated counts the way stsz does
+                    raise Mp4Error("trun sample count implausible")
+                for i in range(count):
+                    dur = size = sflags = None
+                    if flags & 0x000100:
+                        dur = struct.unpack_from(">I", mv, off)[0]
+                        off += 4
+                    if flags & 0x000200:
+                        size = struct.unpack_from(">I", mv, off)[0]
+                        off += 4
+                    if flags & 0x000400:
+                        sflags = struct.unpack_from(">I", mv, off)[0]
+                        off += 4
+                    if flags & 0x000800:
+                        off += 4  # composition offset: not needed
+                    if dur is None:
+                        dur = d_dur
+                    if size is None:
+                        size = d_size
+                    if sflags is None:
+                        sflags = (
+                            first_flags
+                            if i == 0 and first_flags is not None
+                            else d_flags
+                        )
+                    if dur is None or size is None:
+                        raise Mp4Error(
+                            "sample duration/size underivable (no trun "
+                            "entry, tfhd default, or trex default)"
+                        )
+                    if is_video:
+                        if sflags is None:
+                            raise Mp4Error(
+                                "sample sync flags underivable"
+                            )
+                        if not sflags & _NON_SYNC_BIT:
+                            if cur + size > len(raw):
+                                raise Mp4Error(
+                                    "fragment sample escapes the file"
+                                )
+                            plan.append(
+                                {
+                                    "frag_seq": seq,
+                                    "sample_idx": sample_idx,
+                                    "t_ms": t_ticks * 1000 // media_ts,
+                                    "off": cur,
+                                    "size": size,
+                                }
+                            )
+                        sample_idx += 1
+                        t_ticks += dur
+                    cur += size
+            prev_traf_end = cur
+            if is_video:
+                decode_time = t_ticks
+    return plan
+
+
 # ------------------------------------------------------------- builder
 
 
@@ -572,3 +876,109 @@ def build_mp4(
     # with the real offset (the u32 field keeps the length identical).
     mdat_off = len(ftyp) + len(make_moov(0)) + 8
     return ftyp + make_moov(mdat_off) + _box(b"mdat", mdat)
+
+
+def build_fmp4(
+    frag_sizes: list[list[int]],
+    delta: int,
+    timescale: int = 1000,
+    video: tuple[int, int, str] = (640, 360, "avc1"),
+    brand: str = "cmfc",
+) -> bytes:
+    """Deterministic minimal FRAGMENTED ISO-BMFF in the CMAF shape:
+    ftyp + moov(mvhd dur 0, video trak with empty stbl, mvex/trex)
+    then per fragment moof(mfhd, traf(tfhd default-base-is-moof,
+    tfdt v1, trun data-offset + first-sample-flags + per-sample
+    sizes)) + mdat actually holding the samples. Each fragment is one
+    GOP: its first sample is sync (trun first_sample_flags clears the
+    non-sync bit), the rest inherit trex's non-sync default — so the
+    keyframe plan is exactly the fragment heads. Sample i's mdat
+    bytes are the fill byte (i*7+13)%256 (global i) so a fetch plan
+    is verifiable by slicing. Every sample lasts `delta` ticks via
+    trex default_sample_duration; tfdt carries the accumulated decode
+    time. Layout is closed-form — moof_j = 92 + 4*k_j bytes — so a
+    SQL oracle can prefix-sum the exact byte positions."""
+    w, h, fourcc = video
+    mvhd_body = (
+        struct.pack(">IIII", 0, 0, timescale, 0)
+        + struct.pack(">ihhq", 0x10000, 0x0100, 0, 0)
+        + _UNITY_MATRIX
+        + b"\x00" * 24
+        + struct.pack(">I", 99)
+    )
+    tkhd_body = (
+        struct.pack(">IIIII", 0, 0, 1, 0, 0)
+        + b"\x00" * 8
+        + struct.pack(">hhhh", 0, 0, 0, 0)
+        + _UNITY_MATRIX
+        + struct.pack(">II", w << 16, h << 16)
+    )
+    entry = (
+        struct.pack(">I", 16)
+        + fourcc.encode("latin-1")
+        + b"\x00" * 6
+        + struct.pack(">H", 1)
+    )
+    stsd = _full(b"stsd", 0, struct.pack(">I", 1) + entry)
+    # empty sample tables: the legal fragmented-movie stbl
+    stbl = _box(b"stbl", stsd)
+    minf = _box(b"minf", stbl)
+    mdhd = _full(
+        b"mdhd",
+        0,
+        struct.pack(">IIII", 0, 0, timescale, 0)
+        + struct.pack(">HH", 0x55C4, 0),
+    )
+    hdlr = _full(
+        b"hdlr", 0, struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"\x00"
+    )
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", _full(b"tkhd", 0, tkhd_body) + mdia)
+    # trex: track 1, desc 1, default duration = delta, size 0,
+    # default flags = non-sync (0x010000) — fragment heads override
+    # via trun first_sample_flags.
+    trex = _full(
+        b"trex", 0, struct.pack(">IIIII", 1, 1, delta, 0, _NON_SYNC_BIT)
+    )
+    moov = _box(b"moov", _full(b"mvhd", 0, mvhd_body) + trak + _box(b"mvex", trex))
+    ftyp = _box(
+        b"ftyp", brand.encode("latin-1") + struct.pack(">I", 0) + b"isom"
+    )
+    out = [ftyp, moov]
+    g = 0  # global sample index
+    t = 0  # decode time in ticks
+    for j, sizes in enumerate(frag_sizes):
+        k = len(sizes)
+        mfhd = _full(b"mfhd", 0, struct.pack(">I", j + 1))
+        tfhd = _box(
+            b"tfhd",
+            struct.pack(">B", 0) + b"\x02\x00\x00" + struct.pack(">I", 1),
+        )  # flags 0x020000 default-base-is-moof, track 1
+        tfdt = _full(b"tfdt", 1, struct.pack(">Q", t))
+        # trun flags: 0x000001 data-offset | 0x000004 first-sample-
+        # flags | 0x000200 per-sample size
+        trun_body = (
+            struct.pack(">I", k)
+            + struct.pack(">i", 100 + 4 * k)  # data offset: see below
+            + struct.pack(">I", 0x02000000)  # sync: non-sync bit clear
+            + struct.pack(f">{k}I", *sizes)
+        )
+        trun = _box(
+            b"trun", struct.pack(">B", 0) + b"\x00\x02\x05" + trun_body
+        )
+        traf = _box(b"traf", tfhd + tfdt + trun)
+        moof = _box(b"moof", mfhd + traf)
+        # data offset points at the first mdat payload byte, relative
+        # to moof start: len(moof) + 8. Closed form 100 + 4k, pinned
+        # here so the oracle's arithmetic can never drift from the
+        # real builder.
+        assert len(moof) + 8 == 100 + 4 * k, len(moof)
+        mdat = b"".join(
+            bytes([((g + i) * 7 + 13) % 256]) * sz
+            for i, sz in enumerate(sizes)
+        )
+        out.append(moof)
+        out.append(_box(b"mdat", mdat))
+        g += k
+        t += k * delta
+    return b"".join(out)

@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from core_spark.io import load_table
 from core_spark.multimodal import (
+    attach_fmp4_payload,
     attach_mp3_payload,
     attach_mp4_payload,
     attach_mp4_stream_payload,
@@ -15,6 +16,7 @@ from core_spark.multimodal import (
     decode_av_meta,
     decode_image_meta,
     plan_audio_fetch,
+    plan_fragment_fetch,
     plan_video_fetch,
 )
 from core_spark.plans.registry import query
@@ -107,6 +109,86 @@ def q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return plan_audio_fetch(attach_mp3_payload(docs)).orderBy(
         "doc_id", "seg_idx"
+    )
+
+
+# Fixed fragmented-container header size (ftyp + moov incl. mvex):
+# the first moof starts here. Pinned against the builder's real
+# bytes in tests/test_multimodal.py::test_fmp4_fragment_plan_roundtrip.
+_FMP4_HEADER = 397
+
+
+@query(
+    "q_av_fmp4",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id,
+             2 + CAST('0x' || substr(md5(text), 1, 2) AS BIGINT) % 4 AS nf,
+             20 + CAST('0x' || substr(md5(text), 3, 2) AS BIGINT) % 60
+               AS delta,
+             CAST('0x' || substr(md5(text), 5, 4) AS BIGINT) AS s0,
+             CAST('0x' || substr(md5(text), 9, 2) AS BIGINT) AS s1
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, delta, s0, s1, unnest(range(nf)) AS j FROM p
+    ),
+    k AS (
+      SELECT doc_id, delta, s0, j, 4 + (s1 + 11 * j) % 13 AS k FROM f
+    ),
+    w AS (
+      SELECT doc_id, delta, s0, j, k,
+             SUM(k) OVER (PARTITION BY doc_id ORDER BY j
+                          ROWS UNBOUNDED PRECEDING) - k AS g0
+      FROM k
+    ),
+    z AS (
+      SELECT doc_id, j, s0, g0, unnest(range(k)) AS i FROM w
+    ),
+    b AS (
+      SELECT doc_id, j,
+             SUM(64 + (s0 + 37 * (g0 + i)) % 191) AS frag_bytes
+      FROM z GROUP BY doc_id, j
+    ),
+    m AS (
+      SELECT w.doc_id, w.j, w.k, w.g0, w.delta, w.s0,
+             SUM(92 + 4 * w.k + 8 + b.frag_bytes)
+               OVER (PARTITION BY w.doc_id ORDER BY w.j
+                     ROWS UNBOUNDED PRECEDING)
+               - (92 + 4 * w.k + 8 + b.frag_bytes) AS rel
+      FROM w JOIN b ON w.doc_id = b.doc_id AND w.j = b.j
+    )
+    SELECT doc_id,
+           CAST(j + 1 AS BIGINT) AS frag_seq,
+           CAST(g0 AS BIGINT) AS sample_idx,
+           CAST(g0 * delta AS BIGINT) AS t_ms,
+           CAST({_FMP4_HEADER} + rel + 100 + 4 * k AS BIGINT) AS off,
+           CAST(64 + (s0 + 37 * g0) % 191 AS BIGINT) AS size
+    FROM m ORDER BY doc_id, frag_seq
+    """,
+)
+def q_av_fmp4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe fetch planning for FRAGMENTED (CMAF/DASH) movies —
+    the streaming-packaged shape that dominates a real video corpus
+    and that the stbl walk (q_av_keyframes) honestly declines: each
+    document becomes a genuine fragmented container (fragment count,
+    per-fragment sample counts, per-sample sizes and timing all
+    md5-derived so the oracle recomputes the byte layout), and the
+    walk kernel (multimodal/mp4.py mp4_fragment_keyframes) parses the
+    moof/traf boxes — tfhd defaults + default-base-is-moof, tfdt
+    decode time, trun data offsets and per-sample sizes/flags — into
+    the ranged-GET list of sync samples. Unlike the stbl plan,
+    sample placement here is relative to each moof, so the plan must
+    carry every fragment's file position through; the oracle's
+    prefix-sum over moof+mdat extents checks exactly that. Both
+    stages are executor-side mapInPandas; tests pin the offsets
+    against the actual bytes by slicing each fragment's mdat.
+    Reference parity: gazette moves opaque serializations only
+    (message/interfaces.go:121-124); container parsing is
+    executor-side kernel work."""
+    docs = load_table(spark, sf_dir, "documents")
+    return plan_fragment_fetch(attach_fmp4_payload(docs)).orderBy(
+        "doc_id", "frag_seq"
     )
 
 

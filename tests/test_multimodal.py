@@ -1491,6 +1491,164 @@ def test_mp3_segment_plan_vbr_roundtrip():
             pass
 
 
+def test_fmp4_fragment_plan_roundtrip():
+    """build_fmp4 -> mp4_fragment_keyframes recovers the exact
+    keyframe plan for the CMAF shape (fragment heads sync, rest
+    non-sync via trex default), the plan is REAL (slicing the file
+    at each planned (off, size) yields that sample's fill bytes),
+    and the q_av_fmp4 oracle's header constant and moof closed form
+    (92 + 4k) are pinned against the builder's actual bytes."""
+    from core_spark.multimodal.mp4 import (
+        build_fmp4, mp4_fragment_keyframes,
+    )
+    from core_spark.plans.multimodal_queries import _FMP4_HEADER
+
+    frags = [[70, 80, 90], [100, 110], [64, 65, 66, 67]]
+    delta = 40
+    raw = build_fmp4(frags, delta=delta)
+    assert raw.index(b"moof") - 4 == _FMP4_HEADER
+    plan = mp4_fragment_keyframes(raw)
+    assert [p["frag_seq"] for p in plan] == [1, 2, 3]
+    g_starts = [0, 3, 5]
+    assert [p["sample_idx"] for p in plan] == g_starts
+    assert [p["t_ms"] for p in plan] == [g * delta for g in g_starts]
+    # closed-form offsets: prefix-sum of moof+mdat extents
+    rel = 0
+    for p, sizes in zip(plan, frags):
+        k = len(sizes)
+        assert p["off"] == _FMP4_HEADER + rel + 100 + 4 * k
+        assert p["size"] == sizes[0]
+        seg = raw[p["off"] : p["off"] + p["size"]]
+        assert set(seg) == {(p["sample_idx"] * 7 + 13) % 256}
+        rel += 92 + 4 * k + 8 + sum(sizes)
+
+    # a non-fragmented movie yields [] (nothing to plan), and the
+    # stbl walk conversely declines the fragmented one
+    from core_spark.multimodal.mp4 import build_mp4, mp4_keyframes
+
+    plain = build_mp4(
+        1000, video=(64, 64, "avc1"), samples=([100, 100], 40, 1)
+    )
+    assert mp4_fragment_keyframes(plain) == []
+    assert mp4_keyframes(raw) == []
+
+
+def test_fmp4_per_sample_flags_and_defaults():
+    """The general trun shapes beyond the CMAF fixture: per-sample
+    flags marking arbitrary sync samples, per-sample durations
+    overriding the trex default, absolute tfhd base-data-offset, and
+    multiple truns per traf continuing the byte cursor. Offsets are
+    hand-computed from the spec's layout rules."""
+    import struct as st
+
+    from core_spark.multimodal import mp4 as M
+
+    NON_SYNC = 0x00010000
+    # moov: video track 1, timescale 1000, trex defaults dur=10
+    hdr = M.build_fmp4([], delta=10)  # ftyp+moov only (no fragments)
+
+    def full(btype, version, flags, body):
+        return (
+            st.pack(">I", 8 + 4 + len(body)) + btype
+            + st.pack(">B", version)
+            + st.pack(">I", flags)[1:]
+            + body
+        )
+
+    def box(btype, body):
+        return st.pack(">I", 8 + len(body)) + btype + body
+
+    sizes = [20, 30, 40, 50]
+    durs = [5, 7, 9, 11]
+    sflags = [0, NON_SYNC, 0, NON_SYNC]  # samples 0 and 2 sync
+    mdat_body = b"".join(
+        bytes([0xA0 + i]) * sz for i, sz in enumerate(sizes)
+    )
+    # split samples across TWO truns; only the first carries a data
+    # offset, the second continues from the cursor
+    def trun_of(idx):
+        per = b"".join(
+            st.pack(">III", durs[i], sizes[i], sflags[i]) for i in idx
+        )
+        fl = 0x100 | 0x200 | 0x400 | (0x1 if idx[0] == 0 else 0)
+        body = st.pack(">I", len(idx))
+        if idx[0] == 0:
+            body += st.pack(">i", 0)  # patched below
+        return full(b"trun", 0, fl, body + per)
+
+    tfhd = full(b"tfhd", 0, 0x000001, st.pack(">IQ", 1, 0))  # abs base
+    tfdt = full(b"tfdt", 1, 0, st.pack(">Q", 1000))
+    t1, t2 = trun_of([0, 1]), trun_of([2, 3])
+    traf = box(b"traf", tfhd + tfdt + t1 + t2)
+    mfhd = full(b"mfhd", 0, 0, st.pack(">I", 7))
+    moof = box(b"moof", mfhd + traf)
+    # patch tfhd base-data-offset to mdat body, trun1 offset 0
+    mdat_off = len(hdr) + len(moof) + 8
+    tfhd_fixed = full(b"tfhd", 0, 0x000001, st.pack(">IQ", 1, mdat_off))
+    traf = box(b"traf", tfhd_fixed + tfdt + t1 + t2)
+    moof = box(b"moof", mfhd + traf)
+    raw = hdr + moof + box(b"mdat", mdat_body)
+
+    plan = M.mp4_fragment_keyframes(raw)
+    assert [p["sample_idx"] for p in plan] == [0, 2]
+    assert [p["frag_seq"] for p in plan] == [7, 7]
+    # tfdt base 1000 ticks @1000 -> 1000 ms; sample 2 starts after
+    # durs[0]+durs[1] more ticks
+    assert [p["t_ms"] for p in plan] == [1000, 1012]
+    assert plan[0]["off"] == mdat_off
+    assert plan[1]["off"] == mdat_off + sizes[0] + sizes[1]
+    assert [p["size"] for p in plan] == [20, 40]
+    for p in plan:
+        seg = raw[p["off"] : p["off"] + p["size"]]
+        assert set(seg) == {0xA0 + p["sample_idx"]}
+
+
+def test_fmp4_corrupt_inputs_raise_named():
+    """Corrupt fragmented containers raise Mp4Error, never hang or
+    fabricate: trun counts escaping the box, samples escaping the
+    file, traf without tfhd, moof without mfhd — plus random-bytes
+    fuzz over real fixtures."""
+    import random
+    import struct as st
+
+    import pytest as pt
+
+    from core_spark.multimodal import mp4 as M
+
+    raw = bytearray(M.build_fmp4([[50, 60], [70]], delta=25))
+    # inflate the first trun's sample count: declared entries escape
+    ti = bytes(raw).index(b"trun")
+    cnt_off = ti + 8  # version+flags(4) then count
+    st.pack_into(">I", raw, cnt_off, 1000)
+    with pt.raises(M.Mp4Error):
+        M.mp4_fragment_keyframes(bytes(raw))
+
+    # sample pointing outside the file: truncate the final mdat
+    good = M.build_fmp4([[50, 60], [70]], delta=25)
+    with pt.raises(M.Mp4Error):
+        M.mp4_fragment_keyframes(good[:-40])
+
+    # fuzz: bit-flips over a real fixture either plan or raise named
+    rnd = random.Random(23)
+    for _ in range(300):
+        b = bytearray(good)
+        for _k in range(rnd.randrange(1, 6)):
+            b[rnd.randrange(len(b))] ^= 1 << rnd.randrange(8)
+        try:
+            M.mp4_fragment_keyframes(bytes(b))
+        except M.Mp4Error:
+            pass
+    # random junk never hangs and only raises the named error
+    for _ in range(500):
+        junk = bytes(
+            rnd.randrange(256) for _ in range(rnd.randrange(0, 200))
+        )
+        try:
+            M.mp4_fragment_keyframes(junk)
+        except M.Mp4Error:
+            pass
+
+
 def test_mp4_keyframe_plan_roundtrip():
     """build_mp4(samples=...) -> mp4_keyframes recovers the exact
     fetch plan, and the plan is REAL: slicing the file at each
