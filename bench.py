@@ -116,6 +116,7 @@ HEADLINE = [
     "q_av_keyframes",
     "q_av_fmp4",
     "q_audio_segments",
+    "q_clean_html",
     # q_dup_canonical is intentionally absent: its dominant cost is
     # the same pair+CC pipeline q_dup_clusters already times;
     # q_dedup_index_serve (streaming materialize->serve) follows the

@@ -1904,6 +1904,77 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------ html clean
+@query(
+    "q_clean_html",
+    oracle="""
+    SELECT doc_id,
+           'Doc ' || substr(md5(text), 1, 8) AS title,
+           text AS clean_text,
+           CAST(5 + CAST('0x' || substr(md5(text), 1, 2) AS BIGINT) % 7
+                AS BIGINT) AS n_links,
+           CAST(CEIL(len(string_split(text, ' ')) / 20.0) AS BIGINT)
+             AS blocks_kept,
+           CAST(2 AS BIGINT) AS blocks_dropped
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_clean_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction with link-density boilerplate removal
+    (functions/html.py; jusText-lite, Pomikálek 2011) — the
+    C4/RefinedWeb/FineWeb-style cleanup a web-scale corpus runs
+    before every other gate. Each document is wrapped in a REAL page
+    (escaped 20-word <p> blocks plus the genuine boilerplate shapes:
+    head/title/style/script, an md5-sized <nav> link bar, a footer)
+    and the extraction kernel must parse actual HTML — skip
+    script/style subtrees, unescape entities, segment blocks, drop
+    the two link-dense blocks — to recover the original text
+    verbatim, which is what the oracle checks. Build and extract are
+    one Arrow stage each, map-side only: at 100 TB this is pure
+    fixed-core linear CPU with zero shuffles (the fixture build half
+    is generation cost a production corpus would not pay)."""
+    from core_spark.functions.html import build_html_fixture, html_to_text
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def clean(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                digest = hashlib.md5(text.encode("utf-8")).hexdigest()
+                out = html_to_text(build_html_fixture(text, digest))
+                rows.append(
+                    (
+                        int(doc_id), out["title"], out["text"],
+                        out["n_links"], out["blocks_kept"],
+                        out["blocks_dropped"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "title", "clean_text", "n_links",
+                    "blocks_kept", "blocks_dropped",
+                ],
+            )
+
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(
+            clean,
+            schema=(
+                "doc_id long, title string, clean_text string,"
+                " n_links long, blocks_kept long, blocks_dropped long"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ----------------------------------------------------------------- tokens
 @query(
     "q_tokens",
