@@ -110,13 +110,14 @@ HEADLINE = [
     "q_dedup_embed_auto",
     "q_dedup_semantic",
     "q_ann_negatives",
-    "q_distinct_kmv",
+    "q_count_kmv",
     "q_bloom_auto",
     "q_av_meta",
     "q_av_keyframes",
     "q_av_fmp4",
     "q_audio_segments",
     "q_clean_html",
+    "q_av_captions",
     # q_dup_canonical is intentionally absent: its dominant cost is
     # the same pair+CC pipeline q_dup_clusters already times;
     # q_dedup_index_serve (streaming materialize->serve) follows the

@@ -672,6 +672,77 @@ def attach_mp4_stream_payload(
     )
 
 
+CAPTION_SCHEMA = (
+    "doc_id long, cue_idx long, t0_ms long, t1_ms long,"
+    " cue_text string"
+)
+
+
+def attach_vtt_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Materialize a REAL WebVTT caption file per document: the
+    document's words tiled 8 per cue with md5-derived timing, plus
+    the decorations a parser must strip (identifiers, settings,
+    inline <b> tags, a NOTE block) — built by multimodal/vtt.py so
+    a SQL oracle recomputes cue boundaries and timestamps."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from core_spark.multimodal.vtt import build_vtt_fixture
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        build_vtt_fixture(
+                            t,
+                            hashlib.md5(t.encode("utf-8")).hexdigest(),
+                        )
+                        for t in pdf[text_col]
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        build, "doc_id long, payload string"
+    )
+
+
+def extract_captions(
+    df: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """Parse each WebVTT payload into cue rows (CAPTION_SCHEMA):
+    the transcript-mining fan-out that turns a video corpus into
+    (clip time range, text) training pairs. Executor-side
+    mapInPandas; invalid blocks are skipped per the WebVTT spec,
+    non-VTT payloads raise the named VttError."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from core_spark.multimodal.vtt import vtt_cues
+
+        for pdf in batches:
+            rows = []
+            for d, raw in zip(pdf["doc_id"], pdf[payload_col]):
+                for c in vtt_cues(raw):
+                    rows.append(
+                        (
+                            int(d), c["cue_idx"], c["t0_ms"],
+                            c["t1_ms"], c["text"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "cue_idx", "t0_ms", "t1_ms", "cue_text",
+                ],
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(
+        parse, schema=CAPTION_SCHEMA
+    )
+
+
 AV_FRAGMENT_SCHEMA = (
     "doc_id long, frag_seq long, sample_idx long, t_ms long, off long,"
     " size long"

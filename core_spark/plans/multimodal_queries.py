@@ -112,6 +112,50 @@ def q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_av_captions",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, string_split(text, ' ') AS words,
+             1800 + CAST('0x' || substr(md5(text), 1, 4) AS BIGINT)
+               % 1700 AS dur
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, words, dur,
+             unnest(range((len(words) + 7) // 8)) AS i
+      FROM p
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS cue_idx,
+           CAST(i * dur AS BIGINT) AS t0_ms,
+           CAST((i + 1) * dur AS BIGINT) AS t1_ms,
+           array_to_string(list_slice(words, i * 8 + 1, i * 8 + 8), ' ')
+             AS cue_text
+    FROM f ORDER BY doc_id, cue_idx
+    """,
+)
+def q_av_captions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebVTT caption extraction — the transcript-mining step that
+    turns a video corpus into (clip time range, text) training
+    pairs: each document becomes a genuine WebVTT file (words tiled
+    8 per cue, md5-derived timing, plus the decorations a parser
+    must handle: cue identifiers, settings, inline <b> markup, NOTE
+    blocks), and the parse kernel (multimodal/vtt.py) walks the
+    real format per the W3C spec — signature check, block
+    segmentation, HH:MM:SS.mmm timing lines, markup stripping —
+    into cue rows whose boundaries and timestamps the oracle
+    recomputes. Both stages are executor-side mapInPandas fan-out;
+    invalid blocks are skipped per spec, non-VTT payloads raise the
+    named VttError."""
+    docs = load_table(spark, sf_dir, "documents")
+    from core_spark.multimodal import attach_vtt_payload, extract_captions
+
+    return extract_captions(attach_vtt_payload(docs)).orderBy(
+        "doc_id", "cue_idx"
+    )
+
+
 # Fixed fragmented-container header size (ftyp + moov incl. mvex):
 # the first moof starts here. Pinned against the builder's real
 # bytes in tests/test_multimodal.py::test_fmp4_fragment_plan_roundtrip.

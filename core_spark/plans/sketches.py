@@ -55,7 +55,7 @@ _DUCK_H60 = "CAST('0x' || substr(md5(CAST({x} AS VARCHAR)), 1, 15) AS BIGINT)"
 
 def _kmv_candidates(pairs: DataFrame) -> DataFrame:
     """Map-side partial bottom-k shared by q_kmv_distinct and
-    q_distinct_kmv: the group-wide k-th smallest distinct hash is
+    q_count_kmv: the group-wide k-th smallest distinct hash is
     necessarily inside the union of each input partition's k smallest
     distinct hashes, so an Arrow kernel reduces every partition to
     <= groups x k candidate (group, hash) rows BEFORE any exchange —
@@ -147,7 +147,7 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Map-side partial bottom-k (r5 probe follow-up: the previous
     # two-stage salted window still shuffled AND sorted every distinct
     # hash — SCALE_r05 exponent 0.77, the fleet max); kernel shared
-    # with q_distinct_kmv via _kmv_candidates.
+    # with q_count_kmv via _kmv_candidates.
     cand = _kmv_candidates(pairs)
     # distinct first: partitions overlap in values, and row_number
     # must rank DISTINCT hashes; the input is tiny (<= P x G x k).
@@ -182,7 +182,7 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q_distinct_kmv",
+    "q_count_kmv",
     oracle=f"""
     WITH h AS (
       SELECT DISTINCT l_returnflag,
@@ -209,7 +209,7 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY g.l_returnflag
     """,
 )
-def q_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_count_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Estimate-only KMV: q_kmv_distinct WITHOUT the exact_distinct
     contract column. That column is the measured linear floor of the
     paired query (the full distinct exchange probes ~0.8 alone,

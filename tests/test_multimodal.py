@@ -1491,6 +1491,64 @@ def test_mp3_segment_plan_vbr_roundtrip():
             pass
 
 
+def test_vtt_fixture_roundtrip_and_edges():
+    """build_vtt_fixture -> vtt_cues recovers the exact cue list
+    (boundaries, md5-derived timing, markup-stripped text equal to
+    the source words), and the parser honors the spec's skip-invalid
+    contract plus the named-error contract for non-VTT input."""
+    import hashlib
+
+    from core_spark.multimodal.vtt import (
+        VttError, build_vtt_fixture, vtt_cues,
+    )
+
+    text = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    ).strip()
+    d = hashlib.md5(text.encode()).hexdigest()
+    cues = vtt_cues(build_vtt_fixture(text, d))
+    words = text.split(" ")
+    dur = 1800 + int(d[0:4], 16) % 1700
+    assert len(cues) == (len(words) + 7) // 8
+    for i, c in enumerate(cues):
+        assert c["cue_idx"] == i
+        assert (c["t0_ms"], c["t1_ms"]) == (i * dur, (i + 1) * dur)
+        assert c["text"] == " ".join(words[i * 8 : i * 8 + 8])
+    assert " ".join(c["text"] for c in cues) == text
+
+    # invalid blocks are skipped per spec; valid neighbors survive
+    mixed = (
+        "WEBVTT\n\nno timing line here\n\n"
+        "00:00:01.000 --> 00:00:02.000\nok cue\n\n"
+        "XX:00 --> 00:00:03.000\nbad timing\n\n"
+        "00:00:05.000 --> 00:00:04.000\nend before start\n"
+    )
+    cs = vtt_cues(mixed)
+    assert [c["text"] for c in cs] == ["ok cue"]
+    # hours field, voice/italic tags, NOTE/STYLE blocks
+    h = vtt_cues(
+        "WEBVTT\n\nSTYLE\n::cue { color: red }\n\n"
+        "01:02:03.456 --> 01:02:04.000\n<v Speaker>hi <i>there</i>\n"
+    )
+    assert h[0]["t0_ms"] == 3723456 and h[0]["text"] == "hi there"
+    # not VTT at all -> named error
+    import pytest as pt
+
+    with pt.raises(VttError):
+        vtt_cues("plain text, no signature")
+    # fuzz: printable junk with a signature never raises or hangs
+    import random
+    import string
+
+    rnd = random.Random(41)
+    for _ in range(500):
+        junk = "".join(
+            rnd.choice(string.printable)
+            for _ in range(rnd.randrange(0, 300))
+        )
+        vtt_cues("WEBVTT\n" + junk)
+
+
 def test_fmp4_fragment_plan_roundtrip():
     """build_fmp4 -> mp4_fragment_keyframes recovers the exact
     keyframe plan for the CMAF shape (fragment heads sync, rest
