@@ -107,8 +107,8 @@ HEADLINE = [
     "q_chunk_cdc",
     "q_bloom_ingest",
     "q_corpus_sample",
-    "q_dedup_embed_auto",
-    "q_dedup_semantic",
+    "q_auto_embed_dedup",
+    "q_cell_semdedup",
     "q_ann_negatives",
     "q_count_kmv",
     "q_bloom_auto",
@@ -118,9 +118,10 @@ HEADLINE = [
     "q_audio_segments",
     "q_clean_html",
     "q_av_captions",
+    "q_crawl_extract",
     # q_dup_canonical is intentionally absent: its dominant cost is
     # the same pair+CC pipeline q_dup_clusters already times;
-    # q_dedup_index_serve (streaming materialize->serve) follows the
+    # q_bands_serve (streaming materialize->serve) follows the
     # q_cms_serve/q_bike_cycles convention of not being benched here
 ]
 

@@ -1,0 +1,160 @@
+"""WARC (Web ARChive, ISO 28500) record walking — the container
+format Common Crawl ships, i.e. the literal first parse of a
+100 TB web-corpus pass: WARC record walk → HTTP payload slice →
+HTML extraction (functions/html.py) → gates/dedup. Pure stdlib.
+
+Format per the public ISO 28500 / WARC 1.0-1.1 spec: a WARC file is
+a sequence of records, each
+
+    WARC/1.0\r\n
+    <header-name>: <value>\r\n ...
+    \r\n
+    <Content-Length octets of block>
+    \r\n\r\n
+
+Response records carry an HTTP message as their block; the HTTP
+payload starts after the first CRLFCRLF inside the block. The walk
+yields per-record metadata plus the ABSOLUTE byte range of the
+payload — the same ranged-GET planning discipline as the media
+walks: a curation pass can slice exactly the HTML bytes out of
+object storage without re-streaming whole archives.
+
+Corrupt-input discipline (the codec-suite rule): malformed version
+lines, unparseable Content-Length, or blocks escaping the buffer
+raise the named WarcError — never a hang, never fabricated records.
+
+Reference parity: gazette/core moves opaque serializations only
+(message/interfaces.go:121-124); container parsing happens in
+executor-side Arrow kernels.
+"""
+
+from __future__ import annotations
+
+
+class WarcError(ValueError):
+    """Named parse failure: corrupt or non-WARC input."""
+
+
+_CRLF = b"\r\n"
+
+
+def warc_records(raw: bytes) -> list[dict]:
+    """Walk a WARC file into records: one dict per record —
+    {rec_idx, rec_type, target_uri, rec_off (absolute offset of the
+    record's version line), block_off, block_len (the record block),
+    payload_off, payload_len (for blocks containing an HTTP message:
+    the bytes after its header CRLFCRLF; equal to the block
+    otherwise)}. Empty input yields []; a stream that is not WARC
+    raises WarcError, as does any record whose declared
+    Content-Length escapes the buffer."""
+    out: list[dict] = []
+    off = 0
+    n = len(raw)
+    while off < n:
+        # skip inter-record CRLFs
+        while raw[off : off + 2] == _CRLF:
+            off += 2
+        if off >= n:
+            break
+        rec_off = off
+        eol = raw.find(_CRLF, off)
+        if eol < 0:
+            raise WarcError(f"unterminated version line at {off}")
+        version = raw[off:eol]
+        if not version.startswith(b"WARC/"):
+            raise WarcError(
+                f"expected WARC/ version line at {off}, got "
+                f"{version[:20]!r}"
+            )
+        off = eol + 2
+        # headers until blank line
+        headers: dict[bytes, bytes] = {}
+        while True:
+            eol = raw.find(_CRLF, off)
+            if eol < 0:
+                raise WarcError(f"unterminated header at {off}")
+            line = raw[off:eol]
+            off = eol + 2
+            if line == b"":
+                break
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower()] = v.strip()
+        try:
+            clen = int(headers[b"content-length"])
+        except (KeyError, ValueError):
+            raise WarcError(f"record at {rec_off} lacks Content-Length")
+        if clen < 0 or off + clen > n:
+            raise WarcError(
+                f"record block at {off} (+{clen}) escapes the buffer"
+            )
+        block_off, block_len = off, clen
+        block = raw[off : off + clen]
+        # HTTP-message blocks: payload starts after CRLFCRLF
+        p = block.find(b"\r\n\r\n")
+        if block[:5] in (b"HTTP/", b"GET /", b"POST ") and p >= 0:
+            payload_off = block_off + p + 4
+            payload_len = block_len - (p + 4)
+        else:
+            payload_off, payload_len = block_off, block_len
+        out.append(
+            {
+                "rec_idx": len(out),
+                "rec_type": headers.get(b"warc-type", b"").decode(
+                    "latin-1"
+                ),
+                "target_uri": headers.get(
+                    b"warc-target-uri", b""
+                ).decode("latin-1"),
+                "rec_off": rec_off,
+                "block_off": block_off,
+                "block_len": block_len,
+                "payload_off": payload_off,
+                "payload_len": payload_len,
+            }
+        )
+        off += clen
+    return out
+
+
+def build_warc_fixture(text: str, digest: str) -> bytes:
+    """Deterministic WARC fixture: a warcinfo record, then
+    `2 + digest%3` response records each carrying an HTTP/1.1
+    message whose body is an HTML page built from the document text
+    (functions/html.py build_html_fixture) — so the full
+    Common-Crawl-shaped chain (WARC walk → payload slice → HTML
+    extract) is exercisable on real bytes. `digest` is
+    md5(text).hexdigest(); record count and URIs derive from it so a
+    SQL oracle can recompute the walk."""
+    from core_spark.functions.html import build_html_fixture
+
+    nrec = 2 + int(digest[0:2], 16) % 3
+    page = build_html_fixture(text, digest).encode("utf-8")
+
+    def record(rtype: str, uri: str, block: bytes) -> bytes:
+        hdr = [
+            b"WARC/1.0",
+            b"WARC-Type: " + rtype.encode(),
+            b"WARC-Record-ID: <urn:uuid:" + digest.encode() + b">",
+        ]
+        if uri:
+            hdr.append(b"WARC-Target-URI: " + uri.encode())
+        hdr.append(b"Content-Length: " + str(len(block)).encode())
+        return (
+            b"\r\n".join(hdr) + b"\r\n\r\n" + block + b"\r\n\r\n"
+        )
+
+    info = record("warcinfo", "", b"software: core-spark-fixture\r\n")
+    out = [info]
+    for i in range(nrec):
+        http = (
+            b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: text/html\r\n"
+            b"Content-Length: " + str(len(page)).encode() + b"\r\n"
+            b"\r\n" + page
+        )
+        out.append(
+            record(
+                "response", f"https://example.com/{digest[:8]}/{i}", http
+            )
+        )
+    return b"".join(out)

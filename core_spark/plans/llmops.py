@@ -1658,7 +1658,7 @@ _DUCK_CENTS_AUTO = """
 
 
 @query(
-    "q_dedup_embed_auto",
+    "q_auto_embed_dedup",
     oracle=f"""
     WITH e AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1708,7 +1708,7 @@ _DUCK_CENTS_AUTO = """
     ORDER BY a_id, b_id
     """,
 )
-def q_dedup_embed_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_auto_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs under the SCALE-SAFE
     band width: planes_per_band="auto" sizes the band from one corpus
     count (width = max(4, ceil(log2(n/256)))), holding expected
@@ -1729,7 +1729,7 @@ def q_dedup_embed_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q_dedup_semantic",
+    "q_cell_semdedup",
     oracle=f"""
     WITH e AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1765,7 +1765,7 @@ def q_dedup_embed_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY vec_id
     """,
 )
-def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_cell_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup under the SCALE-SAFE cell count: n_cells="auto" is
     the paper's n_cells ~ n/1000 prescription made executable
     (max(16, n // 1024) from one corpus count), with assignment
@@ -1972,6 +1972,97 @@ def q_clean_html(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("doc_id")
+    )
+
+
+# ------------------------------------------------------------ warc chain
+@query(
+    "q_crawl_extract",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, text,
+             2 + CAST('0x' || substr(md5(text), 1, 2) AS BIGINT) % 3
+               AS nrec,
+             substr(md5(text), 1, 8) AS d8,
+             5 + CAST('0x' || substr(md5(text), 1, 2) AS BIGINT) % 7
+               AS n_links
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, text, d8, n_links, unnest(range(nrec)) AS i
+      FROM p
+    )
+    SELECT doc_id,
+           CAST(i + 1 AS BIGINT) AS rec_idx,
+           'https://example.com/' || d8 || '/' || CAST(i AS VARCHAR)
+             AS target_uri,
+           CAST(n_links AS BIGINT) AS n_links,
+           text AS page_text
+    FROM f ORDER BY doc_id, rec_idx
+    """,
+)
+def q_crawl_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Common-Crawl-shaped chain, end to end on real bytes: each
+    document becomes a genuine WARC file (functions/warc.py — a
+    warcinfo record plus md5-many HTTP response records whose bodies
+    are real HTML pages), and the kernel walks the ISO 28500 record
+    structure, slices each response's HTTP payload AT THE WALKED BYTE
+    OFFSETS, and runs link-density boilerplate removal
+    (functions/html.py) on the sliced bytes — recovering the original
+    text verbatim, which is what the oracle checks (a wrong offset
+    garbles the slice and fails the hash). This is the first parse of
+    a 100 TB web-corpus pass; everything is one Arrow map stage with
+    zero shuffles, and at production scale the walk's byte ranges
+    become ranged GETs against object storage (the media-walk
+    discipline). Byte-range fields are additionally pinned by slicing
+    in tests/test_warc.py."""
+    from core_spark.functions.html import html_to_text
+    from core_spark.functions.warc import build_warc_fixture, warc_records
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def chain(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                digest = hashlib.md5(text.encode("utf-8")).hexdigest()
+                raw = build_warc_fixture(text, digest)
+                for r in warc_records(raw):
+                    if r["rec_type"] != "response":
+                        continue
+                    page = raw[
+                        r["payload_off"] : r["payload_off"]
+                        + r["payload_len"]
+                    ].decode("utf-8")
+                    out = html_to_text(page)
+                    rows.append(
+                        (
+                            int(doc_id), r["rec_idx"], r["target_uri"],
+                            out["n_links"], out["text"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "rec_idx", "target_uri", "n_links",
+                    "page_text",
+                ],
+            )
+
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(
+            chain,
+            schema=(
+                "doc_id long, rec_idx long, target_uri string,"
+                " n_links long, page_text string"
+            ),
+        )
+        .orderBy("doc_id", "rec_idx")
     )
 
 

@@ -219,8 +219,8 @@ def _dedup_index_serve_oracle() -> str:
     """
 
 
-@query("q_dedup_index_serve", oracle=_dedup_index_serve_oracle())
-def q_dedup_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q_bands_serve", oracle=_dedup_index_serve_oracle())
+def q_bands_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming near-dup INDEX maintenance served from its journal
     materialization — the third storage-backed streaming query beside
     q_bike_cycles (SQL store) and q_cms_serve (sketch journal), and

@@ -493,7 +493,7 @@ def test_dedup_embed_auto_oracle_holds_in_dynamic_width_region(spark):
     """At driver scales the auto width resolves to the demo value
     (4); this is the cross-engine check IN the dynamic region: a 5000
     -vector corpus (width 5, 19 cells) run through the registered
-    q_dedup_embed_auto / q_dedup_semantic Spark paths AND their
+    q_auto_embed_dedup / q_cell_semdedup Spark paths AND their
     DuckDB oracles — the hash-exactness claim the queries make at
     scale, exercised where fixed and auto genuinely diverge."""
     import math
@@ -535,7 +535,7 @@ def test_dedup_embed_auto_oracle_holds_in_dynamic_width_region(spark):
             "CREATE VIEW embeddings AS SELECT * FROM "
             f"'{os.path.join(td, 'embeddings.parquet')}'"
         )
-        for name in ("q_dedup_embed_auto", "q_dedup_semantic"):
+        for name in ("q_auto_embed_dedup", "q_cell_semdedup"):
             q = REGISTRY[name]
             got = _normalize(q.fn(spark, td).toPandas())
             want = _normalize(con.execute(q.oracle).df())
