@@ -119,6 +119,7 @@ HEADLINE = [
     "q_clean_html",
     "q_av_captions",
     "q_crawl_extract",
+    "q_canon_urls",
     # q_dup_canonical is intentionally absent: its dominant cost is
     # the same pair+CC pipeline q_dup_clusters already times;
     # q_bands_serve (streaming materialize->serve) follows the

@@ -1975,6 +1975,87 @@ def q_clean_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------- url canon
+@query(
+    "q_canon_urls",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             substr(md5(text), 1, 2) AS h0,
+             substr(md5(text), 3, 4) AS h1,
+             CAST('0x' || substr(md5(text), 7, 1) AS BIGINT) % 2
+               AS std_port,
+             CAST('0x' || substr(md5(text), 8, 2) AS BIGINT) AS a,
+             CAST('0x' || substr(md5(text), 10, 2) AS BIGINT) AS b
+      FROM documents
+    )
+    SELECT doc_id,
+           'HTTPS://WWW.Example' || h0 || '.COM.'
+             || CASE WHEN std_port = 1 THEN ':443' ELSE ':8080' END
+             || '/Docs/' || h1
+             || '?b=' || CAST(b AS VARCHAR)
+             || '&utm_source=feed&gclid=zz&a=' || CAST(a AS VARCHAR)
+             || '#sec' AS url,
+           'https://www.example' || h0 || '.com'
+             || CASE WHEN std_port = 1 THEN '' ELSE ':8080' END
+             || '/Docs/' || h1
+             || '?a=' || CAST(a AS VARCHAR)
+             || '&b=' || CAST(b AS VARCHAR) AS canon,
+           'www.example' || h0 || '.com' AS host
+    FROM p ORDER BY doc_id
+    """,
+)
+def q_canon_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (functions/urls.py) — the crawl-dedup
+    normalization between the WARC walk and URL-keyed exact dedup:
+    RFC 3986 case/port/fragment rules plus tracking-parameter strip
+    and query-order sort. Each document derives a deterministically
+    messy URL (upper-case host with trailing dot, default-or-odd
+    port, out-of-order query with utm/gclid junk, fragment) and the
+    kernel must genuinely parse and reassemble it — the oracle
+    recomputes both the messy input and the canonical output by
+    string arithmetic. Map-side only; at 100 TB this keys the
+    crawl-wide exact dedup whose groupBy is the next stage."""
+    from core_spark.functions.urls import canonical_url
+    from urllib.parse import urlsplit
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def canon(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                h = hashlib.md5(text.encode("utf-8")).hexdigest()
+                std = int(h[6], 16) % 2
+                a, b = int(h[7:9], 16), int(h[9:11], 16)
+                url = (
+                    f"HTTPS://WWW.Example{h[0:2]}.COM."
+                    f"{':443' if std else ':8080'}"
+                    f"/Docs/{h[2:6]}"
+                    f"?b={b}&utm_source=feed&gclid=zz&a={a}#sec"
+                )
+                cu = canonical_url(url)
+                rows.append(
+                    (int(doc_id), url, cu, urlsplit(cu).hostname)
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "url", "canon", "host"]
+            )
+
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(
+            canon,
+            schema="doc_id long, url string, canon string, host string",
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ------------------------------------------------------------ warc chain
 @query(
     "q_crawl_extract",
