@@ -89,7 +89,9 @@ def media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                 return (doc_id, mime, w, h, None, None, None, len(raw))
 
             if len(raw) >= 12 and raw[4:8] == b"ftyp":
-                from core_spark.multimodal.mp4 import mp4_meta
+                from core_spark.multimodal.mp4 import (
+                    fmp4_duration_ms, mp4_meta,
+                )
 
                 m = mp4_meta(raw)
                 # full gate metadata from the box walk alone — the
@@ -104,9 +106,17 @@ def media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                     mime = "audio/mp4"
                 else:
                     mime = "application/mp4"
+                dur = m["duration_ms"]
+                if dur is None and m["has_video"]:
+                    # fragmented (CMAF/DASH) movie: mvhd declares
+                    # unknown, but summing trun sample durations
+                    # across the moofs gives the exact figure — the
+                    # duration gate judges streaming-packaged video
+                    # instead of passing NULL
+                    dur = fmp4_duration_ms(raw)
                 return (
                     doc_id, mime, m["width"], m["height"],
-                    None, m["duration_ms"], None, len(raw),
+                    None, dur, None, len(raw),
                 )
 
             if raw[:3] == b"ID3" or (

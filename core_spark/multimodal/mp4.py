@@ -725,6 +725,127 @@ def mp4_fragment_keyframes(raw: bytes) -> list[dict]:
     return plan
 
 
+def fmp4_duration_ms(raw: bytes) -> int | None:
+    """Exact duration of a FRAGMENTED movie's first video track by
+    summing trun sample durations across every moof — the number
+    mvhd cannot carry (a streaming-packaged movie declares duration
+    0/unknown up front because fragments arrive over time). Lets a
+    curation duration gate judge CMAF/DASH content instead of
+    passing NULL. Returns None when there is no video track or no
+    moof (nothing to sum); corrupt boxes raise Mp4Error. Much
+    lighter than the keyframe walk: no offset/size/flag resolution,
+    just the duration cascade (trun per-sample → tfhd default →
+    trex default)."""
+    mv = memoryview(raw)
+    video_track = None
+    media_ts = None
+    trex_dur: dict[int, int] = {}
+
+    for btype, _bs, body, bend in _boxes4(mv, 0, len(raw)):
+        if btype != b"moov":
+            continue
+        for t, _s0, s, e in _boxes4(mv, body, bend, 1):
+            if t == b"trak":
+                track_id = handler = ts = None
+
+                def walk(b0: int, b1: int, depth: int) -> None:
+                    nonlocal track_id, handler, ts
+                    for tt, _t0, ss, ee in _boxes4(mv, b0, b1, depth):
+                        if tt == b"tkhd":
+                            track_id = _parse_tkhd_track_id(mv, ss, ee)
+                        elif tt == b"hdlr":
+                            handler = _parse_hdlr(mv, ss, ee)
+                        elif tt == b"mdhd":
+                            ts = _parse_mdhd_timescale(mv, ss, ee)
+                        elif tt in _CONTAINERS:
+                            walk(ss, ee, depth + 1)
+
+                walk(s, e, 2)
+                if handler == b"vide" and video_track is None:
+                    video_track, media_ts = track_id, ts
+            elif t == b"mvex":
+                for tt, _t0, ss, ee in _boxes4(mv, s, e, 2):
+                    if tt == b"trex":
+                        tid, ddur, _dsz, _dfl = _parse_trex(mv, ss, ee)
+                        trex_dur[tid] = ddur
+
+    if video_track is None or media_ts is None:
+        return None
+
+    total = 0
+    saw_moof = False
+    for btype, _bs, body, bend in _boxes4(mv, 0, len(raw)):
+        if btype != b"moof":
+            continue
+        saw_moof = True
+        for t, _s0, s, e in _boxes4(mv, body, bend, 1):
+            if t != b"traf":
+                continue
+            tid = None
+            tfhd_dur = None
+            truns = []
+            for tt, _t0, ss, ee in _boxes4(mv, s, e, 2):
+                if tt == b"tfhd":
+                    _v, flags, off = _flags_box(mv, ss, ee)
+                    if off + 4 > ee:
+                        raise Mp4Error("truncated tfhd")
+                    tid = struct.unpack_from(">I", mv, off)[0]
+                    off += 4
+                    if flags & 0x000001:
+                        off += 8
+                    if flags & 0x000002:
+                        off += 4
+                    if flags & 0x000008:
+                        if off + 4 > ee:
+                            raise Mp4Error("truncated tfhd defaults")
+                        tfhd_dur = struct.unpack_from(">I", mv, off)[0]
+                elif tt == b"trun":
+                    truns.append((ss, ee))
+            if tid != video_track:
+                continue
+            default = (
+                tfhd_dur
+                if tfhd_dur is not None
+                else trex_dur.get(tid)
+            )
+            for ss, ee in truns:
+                _v, flags, off = _flags_box(mv, ss, ee)
+                if off + 4 > ee:
+                    raise Mp4Error("truncated trun")
+                count = struct.unpack_from(">I", mv, off)[0]
+                off += 4
+                if flags & 0x000001:
+                    off += 4
+                if flags & 0x000004:
+                    off += 4
+                per = (
+                    (4 if flags & 0x000100 else 0)
+                    + (4 if flags & 0x000200 else 0)
+                    + (4 if flags & 0x000400 else 0)
+                    + (4 if flags & 0x000800 else 0)
+                )
+                if off + per * count > ee:
+                    raise Mp4Error(
+                        f"trun declares {count} samples beyond its box"
+                    )
+                if flags & 0x000100:
+                    for _i in range(count):
+                        total += struct.unpack_from(">I", mv, off)[0]
+                        off += per
+                else:
+                    if default is None:
+                        raise Mp4Error(
+                            "sample duration underivable (no trun "
+                            "entry, tfhd default, or trex default)"
+                        )
+                    if per == 0 and count > max(1, len(raw)) * 16:
+                        raise Mp4Error("trun sample count implausible")
+                    total += count * default
+    if not saw_moof:
+        return None
+    return total * 1000 // media_ts
+
+
 # ------------------------------------------------------------- builder
 
 

@@ -122,7 +122,7 @@ def test_media_pipeline_end_to_end(spark, tmp_path):
     from core_spark.multimodal.bmp import bmp_encode
     from core_spark.multimodal.flac import flac_encode
     from core_spark.multimodal.gif import gif_encode
-    from core_spark.multimodal.mp4 import build_mp4
+    from core_spark.multimodal.mp4 import build_fmp4, build_mp4
     from core_spark.multimodal.png import png_encode
 
     rng = np.random.default_rng(11)
@@ -166,6 +166,12 @@ def test_media_pipeline_end_to_end(spark, tmp_path):
                        brand="M4A ")),                     # audio/mp4
         (17, build_mp4(4000, video=(1280, 720, "avc1"),
                        fragmented=True)),                  # kept_unverified
+        # REAL fragmented movies (moof/trun): duration now comes from
+        # summing trun sample durations, so the gate judges CMAF
+        # content — long one kept, short one rejected (previously
+        # both would have been unverified NULLs)
+        (18, build_fmp4([[100] * 5] * 3, delta=40)),       # 600ms kept
+        (19, build_fmp4([[100] * 4], delta=40)),           # 160ms short
     ]
     media = spark.createDataFrame(
         [(i, bytearray(p)) for i, p in payloads],
@@ -184,16 +190,20 @@ def test_media_pipeline_end_to_end(spark, tmp_path):
     # audio-only ISO-BMFF routes by handler track, never "video" with
     # NULL dims slipping the dimension gate (r7 review regression)
     assert verdicts[16] == "kept_no_energy"
-    # fragmented movie: duration unknown -> explicitly unverified, not
-    # silently kept or falsely rejected_short
+    # fragment-less fragmented shell (mvex, no moof): duration still
+    # unknown -> explicitly unverified, not silently kept or falsely
+    # rejected_short
     assert verdicts[17] == "kept_unverified"
+    # real CMAF fragments: trun-summed duration drives the gate
+    assert verdicts[18] == "kept_no_energy"
+    assert verdicts[19] == "rejected_short"
     kept = {d for d, v in verdicts.items() if v.startswith("kept")}
-    assert kept == {1, 2, 3, 5, 6, 7, 10, 11, 12, 13, 16, 17}
+    assert kept == {1, 2, 3, 5, 6, 7, 10, 11, 12, 13, 16, 17, 18}
 
     stats = {r.mime: r.n_assets for r in media_stats(spark, out_root).collect()}
     assert stats["image/png"] == 1 and stats["audio/wav"] == 3
     assert stats["audio/mpeg"] == 1
-    assert stats["audio/mp4"] == 1 and stats["video/mp4"] == 2
+    assert stats["audio/mp4"] == 1 and stats["video/mp4"] == 3
 
     wavs = media_read(spark, out_root, "audio/wav").collect()
     assert sorted(r.doc_id for r in wavs) == [5, 6, 7]

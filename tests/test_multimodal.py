@@ -1582,13 +1582,19 @@ def test_fmp4_fragment_plan_roundtrip():
 
     # a non-fragmented movie yields [] (nothing to plan), and the
     # stbl walk conversely declines the fragmented one
-    from core_spark.multimodal.mp4 import build_mp4, mp4_keyframes
+    from core_spark.multimodal.mp4 import (
+        build_mp4, fmp4_duration_ms, mp4_keyframes,
+    )
 
     plain = build_mp4(
         1000, video=(64, 64, "avc1"), samples=([100, 100], 40, 1)
     )
     assert mp4_fragment_keyframes(plain) == []
     assert mp4_keyframes(raw) == []
+    # trun-summed duration: 9 samples x 40 ticks @ timescale 1000
+    assert fmp4_duration_ms(raw) == 9 * 40
+    assert fmp4_duration_ms(plain) is None  # no moof: nothing to sum
+    assert fmp4_duration_ms(build_mp4(700, audio="mp4a")) is None
 
 
 def test_fmp4_per_sample_flags_and_defaults():
