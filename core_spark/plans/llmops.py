@@ -2261,3 +2261,100 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(fp, bits=32, bands=4, max_hamming=3).orderBy(
         "doc_a", "doc_b"
     )
+
+
+# -------------------------------------------------------- paragraph dedup
+@query(
+    "q_chunk_para",
+    oracle="""
+    WITH arr AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, w,
+             unnest(range(CAST(CEIL(len(w) / 8.0) AS BIGINT))) AS i
+      FROM arr
+    ),
+    paras AS (
+      SELECT doc_id, i AS pidx,
+             array_to_string(w[(i*8+1):(i*8+8)], ' ') AS para
+      FROM idx
+    ),
+    freq AS (
+      SELECT md5(para) AS h, COUNT(DISTINCT doc_id) AS pdf
+      FROM paras GROUP BY 1
+    ),
+    j AS (
+      SELECT p.doc_id, p.pidx, p.para, f.pdf
+      FROM paras p JOIN freq f ON md5(p.para) = f.h
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(para, ' ' ORDER BY pidx)
+                      FILTER (WHERE pdf < 2), '') AS clean_text,
+           COUNT(*) AS n_paras,
+           CAST(COALESCE(SUM(CASE WHEN pdf >= 2 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_dropped
+    FROM j GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_chunk_para(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level dedup (CCNet, Wenzek 2020; also the C4 "three-
+    sentence span" rule): chunk each document into fixed 8-word
+    paragraphs, count each paragraph's document frequency corpus-wide,
+    drop every paragraph that appears in >= 2 distinct documents
+    (boilerplate by definition), and reassemble the survivors in
+    order. Finer-grained than whole-doc dedup (q_dedup_exact) and
+    cheaper than winnowing spans (q_dup_spans) — the workhorse pass
+    that strips nav bars, footers and license blurbs from a crawl.
+
+    Scale shape: paragraph construction is pure array ops (no
+    explode until the frequency count); the document-frequency count
+    is one partial-agg shuffle on md5(para) — identical paragraphs
+    collapse map-side; the join back is a hash join on the same md5
+    key (narrow, 32-char) rather than the paragraph text; reassembly
+    is one groupBy doc_id with an in-memory sort of that doc's
+    paragraph structs. Everything is linear in corpus size — no pair
+    joins anywhere. Reference scope: gazette ships bytes
+    (message/interfaces.go:121-124); content-level passes like this
+    live in consumer pipelines, here as first-class declared queries.
+    """
+    p = 8
+    docs = load_table(spark, sf_dir, "documents")
+    paras = (
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, int(ceil(size(w)/{p}.0))-1),"
+                    f" i -> array_join(slice(w, i*{p}+1, {p}), ' '))"
+                )
+            ).alias("pidx", "para"),
+        )
+        .withColumn("h", F.md5("para"))
+    )
+    freq = paras.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("pdf")
+    )
+    lst = F.sort_array(F.collect_list(F.struct("pidx", "para", "pdf")))
+    return (
+        paras.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        F.filter(lst, lambda x: x["pdf"] < 2),
+                        lambda x: x["para"],
+                    ),
+                    " ",
+                ),
+                F.lit(""),
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_paras"),
+            F.size(F.filter(lst, lambda x: x["pdf"] >= 2))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+        .orderBy("doc_id")
+    )
