@@ -2358,3 +2358,321 @@ def q_chunk_para(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------- date extract
+_MONTHS = (
+    "January February March April May June July August"
+    " September October November December"
+).split()
+
+
+@query(
+    "q_crawl_dates",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             2015 + CAST('0x' || substr(md5(text), 1, 2) AS BIGINT) % 10
+               AS y,
+             1 + CAST('0x' || substr(md5(text), 3, 2) AS BIGINT) % 12
+               AS m,
+             1 + CAST('0x' || substr(md5(text), 5, 2) AS BIGINT) % 28
+               AS d,
+             CAST('0x' || substr(md5(text), 7, 1) AS BIGINT) % 3 AS fmt
+      FROM documents
+    ),
+    dd AS (
+      SELECT doc_id, fmt,
+             make_date(CAST(y AS INT), CAST(m AS INT), CAST(d AS INT))
+               AS pub
+      FROM p
+    )
+    SELECT doc_id,
+           strftime(pub, '%Y-%m-%d') AS pub_date,
+           strftime(pub, '%Y-%m') AS ym,
+           CAST(DATE '2026-01-01' - pub AS BIGINT) AS age_days,
+           CAST(fmt AS BIGINT) AS fmt
+    FROM dd ORDER BY doc_id
+    """,
+)
+def q_crawl_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Publish-date extraction + freshness bucketing — the temporal
+    metadata pass a crawl corpus needs before any recency-weighted
+    mix (q_domain_temp_mix) or cutoff filter (knowledge-cutoff
+    decontamination). Each document embeds a deterministically messy
+    date in one of the three shapes crawls actually carry (ISO
+    2021-07-04, RFC-822-ish "4 Jul 2021", prose "July 4, 2021");
+    the extractor must find it in running text with per-format
+    regexps and parse it with per-format date patterns, coalescing
+    the first hit. The oracle recomputes the expected date by pure
+    integer arithmetic from the same md5 — an independent derivation
+    that never sees the messy string.
+
+    Scale shape: 100% JVM-native — regexp_extract + try_to_date in
+    whole-stage codegen, zero Python, zero shuffles (the final
+    orderBy is presentation-only). At 100 TB this runs at scan
+    speed; the fixture-build half is generation cost a production
+    corpus would not pay."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5("text")
+
+    def hx(start: int, length: int):
+        return F.conv(F.substring(h, start, length), 16, 10).cast("long")
+
+    y = (F.lit(2015) + hx(1, 2) % 10).cast("int")
+    m = (F.lit(1) + hx(3, 2) % 12).cast("int")
+    d = (F.lit(1) + hx(5, 2) % 28).cast("int")
+    fmt = (hx(7, 1) % 3).cast("long")
+    mname = F.element_at(F.array(*[F.lit(x) for x in _MONTHS]), m)
+    raw = (
+        F.when(fmt == 0, F.format_string("%04d-%02d-%02d", y, m, d))
+        .when(
+            fmt == 1,
+            F.format_string("%d %s %d", d, F.substring(mname, 1, 3), y),
+        )
+        .otherwise(F.format_string("%s %d, %d", mname, d, y))
+    )
+    page = F.concat(F.lit("posted "), raw, F.lit(" | "), F.col("text"))
+
+    withp = docs.select("doc_id", fmt.alias("fmt"), page.alias("page"))
+    iso = F.expr(
+        r"try_to_date(nullif(regexp_extract(page,"
+        r" '(\\d{4}-\\d{2}-\\d{2})', 1), ''), 'yyyy-MM-dd')"
+    )
+    med = F.expr(
+        r"try_to_date(nullif(regexp_extract(page,"
+        r" '(\\d{1,2} [A-Z][a-z]{2} \\d{4})', 1), ''), 'd MMM yyyy')"
+    )
+    lng = F.expr(
+        r"try_to_date(nullif(regexp_extract(page,"
+        r" '([A-Z][a-z]+ \\d{1,2}, \\d{4})', 1), ''), 'MMMM d, yyyy')"
+    )
+    pub = F.coalesce(iso, med, lng)
+    return (
+        withp.select(
+            "doc_id",
+            F.date_format(pub, "yyyy-MM-dd").alias("pub_date"),
+            F.date_format(pub, "yyyy-MM").alias("ym"),
+            F.datediff(F.lit("2026-01-01").cast("date"), pub)
+            .cast("long")
+            .alias("age_days"),
+            "fmt",
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ------------------------------------------------------ code vs prose
+@query(
+    "q_code_detect",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS nw,
+             CAST('0x' || substr(md5(text), 1, 1) AS BIGINT) % 2 AS fmt
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, fmt, nw,
+             CAST(nw // 4 AS BIGINT) AS fg,
+             nw % 4 AS lo
+      FROM p
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN fmt = 1 THEN fg * 6 ELSE 0 END AS BIGINT)
+             AS n_sym,
+           CAST(CASE WHEN fmt = 1
+                     THEN fg + CASE WHEN lo > 0 THEN 1 ELSE 0 END
+                     ELSE 1 END AS BIGINT) AS n_lines,
+           CAST((CASE WHEN fmt = 1 THEN fg * 6 ELSE 0 END) * 10000
+                // (CASE WHEN fmt = 1
+                         THEN fg + CASE WHEN lo > 0 THEN 1 ELSE 0 END
+                         ELSE 1 END) AS BIGINT) AS spl_bp,
+           CASE WHEN fmt = 1 AND fg * 6 >= 4 THEN 'code' ELSE 'prose'
+             END AS label
+    FROM m ORDER BY doc_id
+    """,
+)
+def q_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose routing — the source-type classifier a mixed
+    crawl runs before language-specific pipelines (code goes to a
+    dedup-by-AST-ish path, prose to the CCNet path). Half the corpus
+    (md5 parity) is deterministically rendered as code — 4-word
+    groups become `a = b(c, "d");` statements, the word remainder a
+    `// comment` line — and the classifier must measure the REAL
+    rendered string: symbol density via a regexp strip, line count
+    via newline split, integer basis-point symbols-per-line, and a
+    threshold verdict. The oracle never sees the rendered text: it
+    derives every expected count by integer arithmetic from the word
+    count alone, an independent check that the string-side
+    measurement is exact.
+
+    Scale shape: rendering and measurement are array/string ops in
+    whole-stage codegen — zero Python, zero shuffles, scan-speed at
+    100 TB (the rendering half is fixture generation a real corpus
+    would not pay)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    fg = (F.size(w) / 4).cast("long")
+    lo = F.size(w) % 4
+    fmt = F.conv(F.substring(F.md5("text"), 1, 1), 16, 10).cast("long") % 2
+
+    stmt_lines = F.when(fg == 0, F.array().cast("array<string>")).otherwise(
+        F.expr(
+            "transform(sequence(0, int(size(split(text,' '))/4)-1), i ->"
+            " concat(element_at(split(text,' '), i*4+1), ' = ',"
+            " element_at(split(text,' '), i*4+2), '(',"
+            " element_at(split(text,' '), i*4+3), ', \"',"
+            " element_at(split(text,' '), i*4+4), '\");'))"
+        )
+    )
+    tail = F.when(lo > 0, F.array(F.concat(
+        F.lit("// "),
+        F.array_join(F.slice(w, (fg * 4 + 1).cast("int"), lo), " "),
+    ))).otherwise(F.array().cast("array<string>"))
+    rendered = F.when(
+        fmt == 1, F.array_join(F.concat(stmt_lines, tail), "\n")
+    ).otherwise(F.col("text"))
+
+    r = docs.select("doc_id", rendered.alias("r"))
+    n_sym = (
+        F.length("r") - F.length(F.regexp_replace("r", '[=();"]', ""))
+    ).cast("long")
+    n_lines = F.size(F.split("r", "\n")).cast("long")
+    return (
+        r.select(
+            "doc_id",
+            n_sym.alias("n_sym"),
+            n_lines.alias("n_lines"),
+        )
+        .withColumn(
+            "spl_bp", F.expr("CAST((n_sym*10000) DIV n_lines AS BIGINT)")
+        )
+        .withColumn(
+            "label",
+            F.when(F.col("n_sym") >= 4, F.lit("code")).otherwise(
+                F.lit("prose")
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ------------------------------------------------------ robots.txt gate
+@query(
+    "q_crawl_robots",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             'example' || substr(md5(text), 1, 2) || '.com' AS host,
+             CAST('0x' || substr(md5(text), 3, 1) AS BIGINT) % 4 AS pb,
+             substr(md5(text), 4, 4) AS sfx
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, host, pb, sfx,
+             CAST('0x' || substr(md5(host), 1, 1) AS BIGINT) AS ha
+      FROM p
+    )
+    SELECT doc_id, host,
+           CASE pb WHEN 0 THEN '/private/pub/' || sfx
+                   WHEN 1 THEN '/private/' || sfx
+                   WHEN 2 THEN '/tmp/' || sfx
+                   ELSE '/docs/' || sfx END AS path,
+           CASE WHEN pb = 0 AND ha % 2 = 1 THEN 'fetch'
+                WHEN pb = 0 THEN 'skip'
+                WHEN pb = 1 THEN 'skip'
+                WHEN pb = 2 AND ha % 3 = 0 THEN 'skip'
+                ELSE 'fetch' END AS verdict,
+           CASE WHEN pb = 0 AND ha % 2 = 1 THEN '/private/pub'
+                WHEN pb IN (0, 1) THEN '/private'
+                WHEN pb = 2 AND ha % 3 = 0 THEN '/tmp'
+                ELSE '' END AS rule,
+           CAST(1 + ha % 5 AS BIGINT) AS delay_s
+    FROM h ORDER BY doc_id
+    """,
+)
+def q_crawl_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt politeness gate (functions/robots.py; REP/RFC 9309
+    longest-match semantics) — the fetch-frontier filter between URL
+    canonicalization (q_canon_urls) and the WARC walk
+    (q_crawl_extract). Each document derives a host and a candidate
+    path; the host's robots.txt is built as a REAL file — comments,
+    a BadBot group that must be ignored, a conditional
+    Allow/Disallow set, a Crawl-delay — and the kernel must parse
+    groups, resolve the `*` group, and run longest-path-wins (tie →
+    Allow) to produce the verdict, the winning rule, and the delay.
+    The oracle recomputes every verdict by integer arithmetic from
+    the same md5 bits without ever seeing the robots text.
+
+    Scale shape: map-side only — at 100 TB the per-host policy table
+    is tiny (one robots.txt per host) and would broadcast; here the
+    parse rides along with each row, which is the same zero-shuffle
+    plan with a repeated constant-cost parse."""
+    from core_spark.functions.robots import parse_robots
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def gate(batches):
+        import hashlib
+
+        import pandas as pd
+
+        def h(s: str) -> str:
+            return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                hd = h(text)
+                host = f"example{hd[0:2]}.com"
+                ha = int(h(host)[0], 16)
+                pb = int(hd[2], 16) % 4
+                sfx = hd[3:7]
+                path = [
+                    f"/private/pub/{sfx}",
+                    f"/private/{sfx}",
+                    f"/tmp/{sfx}",
+                    f"/docs/{sfx}",
+                ][pb]
+                lines = [
+                    f"# robots for {host}",
+                    "User-agent: BadBot",
+                    "Disallow: /",
+                    "",
+                    "User-agent: *",
+                    "Disallow: /private   # members area",
+                ]
+                if ha % 2 == 1:
+                    lines.append("Allow: /private/pub")
+                if ha % 3 == 0:
+                    lines.append("Disallow: /tmp")
+                lines.append(f"Crawl-delay: {1 + ha % 5}")
+                pol = parse_robots("\n".join(lines))
+                ok, rule = pol.decide(path)
+                rows.append(
+                    (
+                        int(doc_id), host, path,
+                        "fetch" if ok else "skip", rule,
+                        int(pol.crawl_delay or 0),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "host", "path", "verdict", "rule",
+                    "delay_s",
+                ],
+            )
+
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(
+            gate,
+            schema=(
+                "doc_id long, host string, path string, verdict string,"
+                " rule string, delay_s long"
+            ),
+        )
+        .orderBy("doc_id")
+    )
