@@ -120,6 +120,12 @@ HEADLINE = [
     "q_av_captions",
     "q_crawl_extract",
     "q_canon_urls",
+    "q_chunk_para",
+    "q_crawl_dates",
+    "q_crawl_robots",
+    "q_code_detect",
+    "q_audio_flac",
+    "q_anchor_links",
     # q_dup_canonical is intentionally absent: its dominant cost is
     # the same pair+CC pipeline q_dup_clusters already times;
     # q_bands_serve (streaming materialize->serve) follows the

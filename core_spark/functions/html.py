@@ -150,3 +150,64 @@ def build_html_fixture(text: str, digest: str) -> str:
         '<a href="/contact">contact</a></footer>'
         "</body></html>"
     )
+
+
+class _LinkExtractor(HTMLParser):
+    """Collect (href, anchor_text) pairs, skipping script/style
+    subtrees, collapsing anchor whitespace, unescaping entities via
+    convert_charrefs."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.links: list[tuple[str, str]] = []
+        self._skip = 0
+        self._href: str | None = None
+        self._text: list[str] = []
+
+    def handle_starttag(self, tag, attrs):  # noqa: D102
+        if tag in _SKIP:
+            self._skip += 1
+            return
+        if tag == "a" and self._skip == 0:
+            self._href = dict(attrs).get("href") or ""
+            self._text = []
+
+    def handle_endtag(self, tag):  # noqa: D102
+        if tag in _SKIP:
+            self._skip = max(0, self._skip - 1)
+            return
+        if tag == "a" and self._href is not None:
+            self.links.append(
+                (self._href, " ".join("".join(self._text).split()))
+            )
+            self._href = None
+
+    def handle_data(self, data):  # noqa: D102
+        if self._href is not None and self._skip == 0:
+            self._text.append(data)
+
+
+def extract_links(raw: str) -> list[tuple[str, str]]:
+    """All (href, anchor_text) pairs in document order — the edge
+    emitter for crawl link-graph construction."""
+    p = _LinkExtractor()
+    p.feed(raw)
+    p.close()
+    return p.links
+
+
+def build_link_fixture(text: str, digest: str) -> str:
+    """Page fixture for the link-graph query: the nav/footer internal
+    links of build_html_fixture plus `2 + digest[3]%3` external
+    content links whose target hosts and anchor words are md5-derived
+    so a SQL oracle recomputes the exact edge list."""
+    words = text.split(" ")
+    m = 2 + int(digest[3], 16) % 3
+    ext = " ".join(
+        f'<a href="https://example{digest[4 + 2 * j:6 + 2 * j]}.org'
+        f'/p{j}">{_html.escape(words[j] if j < len(words) else "x")}</a>'
+        f" {_html.escape(' '.join(words[j * 5:j * 5 + 4]))}"
+        for j in range(m)
+    )
+    base = build_html_fixture(text, digest)
+    return base.replace("</main>", f"<p>{ext}</p></main>")

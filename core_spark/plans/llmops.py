@@ -2676,3 +2676,198 @@ def q_crawl_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------------------- flac roundtrip
+@query(
+    "q_audio_flac",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             256 + CAST('0x' || substr(md5(text), 1, 3) AS BIGINT) % 512
+               AS n,
+             CAST('0x' || substr(md5(text), 4, 1) AS BIGINT) % 4 AS ri,
+             1 + CAST('0x' || substr(md5(text), 5, 1) AS BIGINT) % 2
+               AS nch,
+             1 + CAST('0x' || substr(md5(text), 6, 2) AS BIGINT) AS a,
+             CAST('0x' || substr(md5(text), 8, 2) AS BIGINT) AS b,
+             CAST('0x' || substr(md5(text), 10, 2) AS BIGINT) AS c
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, n, ri, nch, a, b, c, unnest(range(n)) AS i FROM p
+    ),
+    sv AS (
+      SELECT doc_id, n, ri, nch,
+             ((a*i*i + b*i + c) % 4096) - 2048 AS v
+      FROM idx
+    )
+    SELECT doc_id,
+           CAST(CASE ri WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                        WHEN 2 THEN 22050 ELSE 44100 END AS BIGINT)
+             AS rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(nch AS BIGINT) AS channels,
+           CAST(SUM(v*v) // n AS BIGINT) AS energy,
+           CAST(MAX(ABS(v)) AS BIGINT) AS peak
+    FROM sv GROUP BY doc_id, n, ri, nch ORDER BY doc_id
+    """,
+)
+def q_audio_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC codec round-trip as a driver-checked query — each
+    document derives a deterministic int16 waveform (a quadratic
+    recurrence mod 4096, mono or stereo, 1-3 frames at block_size
+    256), encodes it with the pure-stdlib FLAC encoder
+    (multimodal/flac.py), then walks STREAMINFO and DECODES the
+    frames back to PCM, reporting rate/length/channels from the
+    container and energy/peak from the decoded samples. Because
+    FLAC is lossless, the DuckDB oracle can recompute energy and
+    peak by pure integer arithmetic from the same md5-derived
+    recurrence — a full-strength hash check over the encoder, the
+    bit reader, Rice residuals, FIXED prediction and channel
+    deinterleave at once (the stereo half plants channel 2 as the
+    reversal of channel 1, so a deinterleave bug changes nothing
+    in the sums but a prediction bug changes everything).
+
+    Scale shape: map-side Arrow kernel, zero shuffles; codec work is
+    per-batch executor CPU exactly like the image codecs — a real
+    cluster image swaps in libFLAC behind the same column contract
+    (columns.py stub discipline)."""
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents")
+    rates = (8000, 16000, 22050, 44100)
+
+    def roundtrip(batches):
+        import hashlib
+
+        import pandas as pd
+
+        from core_spark.multimodal.flac import (
+            flac_decode,
+            flac_encode,
+            flac_meta,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                h = hashlib.md5(text.encode("utf-8")).hexdigest()
+                n = 256 + int(h[0:3], 16) % 512
+                rate = rates[int(h[3], 16) % 4]
+                nch = 1 + int(h[4], 16) % 2
+                a, b, c = 1 + int(h[5:7], 16), int(h[7:9], 16), int(h[9:11], 16)
+                i = np.arange(n, dtype=np.int64)
+                v = (a * i * i + b * i + c) % 4096 - 2048
+                pcm_in = np.column_stack([v, v[::-1]]) if nch == 2 else v
+                blob = flac_encode(
+                    pcm_in, sample_rate=rate, bps=16, block_size=256
+                )
+                m_rate, m_nch, m_bps, m_total = flac_meta(blob)
+                pcm, _ = flac_decode(blob)
+                nf, ch = pcm.shape
+                energy = int(
+                    (pcm.astype(np.int64) ** 2).sum() // (nf * ch)
+                )
+                peak = int(np.abs(pcm).max())
+                rows.append(
+                    (int(doc_id), m_rate, m_total, m_nch, energy, peak)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "rate", "n_samples", "channels",
+                    "energy", "peak",
+                ],
+            )
+
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(
+            roundtrip,
+            schema=(
+                "doc_id long, rate long, n_samples long,"
+                " channels long, energy long, peak long"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------- link graph
+@query(
+    "q_anchor_links",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, md5(text) AS h, string_split(text, ' ') AS w,
+             2 + CAST('0x' || substr(md5(text), 4, 1) AS BIGINT) % 3
+               AS m
+      FROM documents
+    ),
+    j AS (SELECT doc_id, h, w, unnest(range(m)) AS i FROM p),
+    e AS (
+      SELECT doc_id,
+             'example' || substr(h, 5 + 2*i, 2) || '.org' AS target_host,
+             w[i + 1] AS anchor
+      FROM j
+    )
+    SELECT target_host,
+           CAST(COUNT(*) AS BIGINT) AS in_degree,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_src_docs,
+           CAST(COUNT(DISTINCT anchor) AS BIGINT) AS n_anchors
+    FROM e GROUP BY target_host ORDER BY target_host
+    """,
+)
+def q_anchor_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl link-graph construction — the anchor-text / out-link
+    pass that feeds host-level PageRank (q_graph_pagerank) and
+    anchor-text retrieval corpora. Each document renders as a REAL
+    page (functions/html.py build_link_fixture: nav/footer internal
+    links plus md5-derived external content links), the kernel
+    parses it with a genuine HTMLParser walk (script/style subtrees
+    skipped, entities unescaped, anchor whitespace collapsed),
+    external .org edges explode into (source doc, target host,
+    anchor) and aggregate into per-host in-degree / distinct-source
+    / distinct-anchor counts. The oracle recomputes the exact edge
+    list by string arithmetic from the same md5.
+
+    Scale shape: parse + edge emission is one map-side Arrow stage;
+    the aggregate is one partial-agg shuffle keyed by target host —
+    at 100 TB host cardinality is millions (tiny next to edges) and
+    hot hosts collapse map-side before the exchange. No joins, no
+    pairs."""
+    from core_spark.functions.html import build_link_fixture, extract_links
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def edges(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                digest = hashlib.md5(text.encode("utf-8")).hexdigest()
+                page = build_link_fixture(text, digest)
+                for href, anchor in extract_links(page):
+                    if href.startswith("https://") and ".org/" in href:
+                        host = href[len("https://"):].split("/", 1)[0]
+                        rows.append((int(doc_id), host, anchor))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "target_host", "anchor"]
+            )
+
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(
+            edges, schema="doc_id long, target_host string, anchor string"
+        )
+        .groupBy("target_host")
+        .agg(
+            F.count(F.lit(1)).alias("in_degree"),
+            F.countDistinct("doc_id").alias("n_src_docs"),
+            F.countDistinct("anchor").alias("n_anchors"),
+        )
+        .orderBy("target_host")
+    )

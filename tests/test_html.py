@@ -77,3 +77,39 @@ def test_malformed_html_never_raises():
             rnd.choice(alphabet) for _ in range(rnd.randrange(0, 200))
         )
         html_to_text(s)  # fuzz: recovering tokenizer, no exceptions
+
+
+# ----------------------------------------------------- link extraction
+def test_extract_links_pairs_and_skip_subtrees():
+    from core_spark.functions.html import extract_links
+
+    page = (
+        "<html><body><p><a href='/a'>one  two</a> and "
+        "<a href='https://x.org/p'>Out &amp; About</a></p>"
+        "<script>var a = '<a href=\"/fake\">no</a>';</script>"
+        "<a>no href</a></body></html>"
+    )
+    links = extract_links(page)
+    assert ("/a", "one two") in links
+    assert ("https://x.org/p", "Out & About") in links
+    assert all("fake" not in h for h, _ in links)
+    # anchor with no href records empty href, never crashes
+    assert ("", "no href") in links
+
+
+def test_link_fixture_edges_match_md5_derivation():
+    from core_spark.functions.html import build_link_fixture, extract_links
+    import hashlib
+
+    text = " ".join(f"w{i}" for i in range(30))
+    d = hashlib.md5(text.encode()).hexdigest()
+    ext = [
+        (h, a)
+        for h, a in extract_links(build_link_fixture(text, d))
+        if h.startswith("https://")
+    ]
+    m = 2 + int(d[3], 16) % 3
+    assert len(ext) == m
+    for j, (href, anchor) in enumerate(ext):
+        assert href == f"https://example{d[4+2*j:6+2*j]}.org/p{j}"
+        assert anchor == f"w{j}"
