@@ -71,3 +71,20 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view (idempotent)."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin the rows across the session's cores before a
+    per-row-expensive Python (Arrow) kernel.
+
+    The local fixture tables arrive as ONE parquet file, so Spark
+    hands the whole table to one task and a codec kernel (FLAC
+    encode, WARC walk, HTML parse) runs single-threaded — a local
+    artifact, not the production shape: a 100 TB corpus arrives in
+    thousands of fragments and parallelizes by input split. The
+    round-robin exchange ships only the projected columns and is
+    priced far below the kernel it feeds; on a real multi-fragment
+    corpus it would be unnecessary (and a no-op cost-wise next to
+    the kernel)."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)

@@ -25,7 +25,7 @@ from core_spark.functions.text import (
     spark_lang_pred,
     spark_stopword_ratio,
 )
-from core_spark.io import load_table
+from core_spark.io import load_table, spread
 from core_spark.operators.dedup import (
     MAX_SHINGLE_DF,
     MINHASH_P,
@@ -1935,7 +1935,7 @@ def q_clean_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     is generation cost a production corpus would not pay)."""
     from core_spark.functions.html import build_html_fixture, html_to_text
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
 
     def clean(batches):
         import hashlib
@@ -2019,7 +2019,7 @@ def q_canon_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     from core_spark.functions.urls import canonical_url
     from urllib.parse import urlsplit
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
 
     def canon(batches):
         import hashlib
@@ -2100,7 +2100,7 @@ def q_crawl_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from core_spark.functions.html import html_to_text
     from core_spark.functions.warc import build_warc_fixture, warc_records
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
 
     def chain(batches):
         import hashlib
@@ -2611,7 +2611,7 @@ def q_crawl_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan with a repeated constant-cost parse."""
     from core_spark.functions.robots import parse_robots
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
 
     def gate(batches):
         import hashlib
@@ -2684,7 +2684,7 @@ def q_crawl_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH p AS (
       SELECT doc_id,
-             256 + CAST('0x' || substr(md5(text), 1, 3) AS BIGINT) % 512
+             128 + CAST('0x' || substr(md5(text), 1, 3) AS BIGINT) % 256
                AS n,
              CAST('0x' || substr(md5(text), 4, 1) AS BIGINT) % 4 AS ri,
              1 + CAST('0x' || substr(md5(text), 5, 1) AS BIGINT) % 2
@@ -2717,7 +2717,7 @@ def q_audio_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLAC codec round-trip as a driver-checked query — each
     document derives a deterministic int16 waveform (a quadratic
     recurrence mod 4096, mono or stereo, 1-3 frames at block_size
-    256), encodes it with the pure-stdlib FLAC encoder
+    128), encodes it with the pure-stdlib FLAC encoder
     (multimodal/flac.py), then walks STREAMINFO and DECODES the
     frames back to PCM, reporting rate/length/channels from the
     container and energy/peak from the decoded samples. Because
@@ -2735,7 +2735,7 @@ def q_audio_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
     (columns.py stub discipline)."""
     import numpy as np
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     rates = (8000, 16000, 22050, 44100)
 
     def roundtrip(batches):
@@ -2753,7 +2753,7 @@ def q_audio_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 h = hashlib.md5(text.encode("utf-8")).hexdigest()
-                n = 256 + int(h[0:3], 16) % 512
+                n = 128 + int(h[0:3], 16) % 256
                 rate = rates[int(h[3], 16) % 4]
                 nch = 1 + int(h[4], 16) % 2
                 a, b, c = 1 + int(h[5:7], 16), int(h[7:9], 16), int(h[9:11], 16)
@@ -2761,7 +2761,7 @@ def q_audio_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
                 v = (a * i * i + b * i + c) % 4096 - 2048
                 pcm_in = np.column_stack([v, v[::-1]]) if nch == 2 else v
                 blob = flac_encode(
-                    pcm_in, sample_rate=rate, bps=16, block_size=256
+                    pcm_in, sample_rate=rate, bps=16, block_size=128
                 )
                 m_rate, m_nch, m_bps, m_total = flac_meta(blob)
                 pcm, _ = flac_decode(blob)
@@ -2838,7 +2838,7 @@ def q_anchor_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs."""
     from core_spark.functions.html import build_link_fixture, extract_links
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
 
     def edges(batches):
         import hashlib

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from core_spark.io import load_table
+from core_spark.io import load_table, spread
 from core_spark.multimodal import (
     attach_fmp4_payload,
     attach_mp3_payload,
@@ -50,7 +50,7 @@ def q_av_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the video modality; frame decode stays behind the pyav
     stub). Payload bytes never reach the JVM plan: both stages are
     executor-side mapInPandas."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return decode_av_meta(attach_mp4_payload(docs)).orderBy("doc_id")
 
 
@@ -106,7 +106,7 @@ def q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     must walk every header rather than extrapolate the first frame's
     size; the oracle's prefix-sum over the varying sizes checks
     exactly that. Both stages are executor-side mapInPandas."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return plan_audio_fetch(attach_mp3_payload(docs)).orderBy(
         "doc_id", "seg_idx"
     )
@@ -148,7 +148,7 @@ def q_av_captions(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes. Both stages are executor-side mapInPandas fan-out;
     invalid blocks are skipped per spec, non-VTT payloads raise the
     named VttError."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     from core_spark.multimodal import attach_vtt_payload, extract_captions
 
     return extract_captions(attach_vtt_payload(docs)).orderBy(
@@ -230,7 +230,7 @@ def q_av_fmp4(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: gazette moves opaque serializations only
     (message/interfaces.go:121-124); container parsing is
     executor-side kernel work."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return plan_fragment_fetch(attach_fmp4_payload(docs)).orderBy(
         "doc_id", "frag_seq"
     )
@@ -293,7 +293,7 @@ def q_av_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
     executor-side mapInPandas; the oracle reproduces every offset
     including the container header arithmetic, and tests pin the
     offsets against the actual bytes by slicing the mdat."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return plan_video_fetch(attach_mp4_stream_payload(docs)).orderBy(
         "doc_id", "kf_idx"
     )
@@ -317,7 +317,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     container); the decode derivation is md5-based, so the oracle
     reproduces it byte-for-byte — proving the plumbing (schema, batch
     shape, worker self-containment) rather than a codec."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return decode_image_meta(attach_payload(docs)).orderBy("doc_id")
 
 
@@ -346,7 +346,7 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic from the text length."""
     from core_spark.multimodal import sample_audio_frames
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return sample_audio_frames(attach_payload(docs)).orderBy(
         "doc_id", "frame_idx"
     )
@@ -372,7 +372,7 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle recomputes the downstream md5 on the truncated text."""
     from core_spark.multimodal import resize_images
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     resized = resize_images(attach_payload(docs), max_side=256)
     return decode_image_meta(resized).orderBy("doc_id")
 
@@ -411,7 +411,7 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema/batching/fan-out plumbing on text payloads."""
     from core_spark.multimodal import sample_video_frames
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return sample_video_frames(attach_payload(docs)).orderBy(
         "doc_id", "frame_idx"
     )
