@@ -126,6 +126,10 @@ HEADLINE = [
     "q_code_detect",
     "q_audio_flac",
     "q_anchor_links",
+    "q_pdf_extract",
+    "q_quality_nb",
+    "q_vec_pq",
+    "q_warc_gz",
     # q_dup_canonical is intentionally absent: its dominant cost is
     # the same pair+CC pipeline q_dup_clusters already times;
     # q_bands_serve (streaming materialize->serve) follows the

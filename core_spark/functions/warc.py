@@ -116,15 +116,13 @@ def warc_records(raw: bytes) -> list[dict]:
     return out
 
 
-def build_warc_fixture(text: str, digest: str) -> bytes:
-    """Deterministic WARC fixture: a warcinfo record, then
-    `2 + digest%3` response records each carrying an HTTP/1.1
-    message whose body is an HTML page built from the document text
-    (functions/html.py build_html_fixture) — so the full
-    Common-Crawl-shaped chain (WARC walk → payload slice → HTML
-    extract) is exercisable on real bytes. `digest` is
-    md5(text).hexdigest(); record count and URIs derive from it so a
-    SQL oracle can recompute the walk."""
+def _fixture_records(text: str, digest: str) -> list[bytes]:
+    """The shared record list behind both fixture builders: a
+    warcinfo record, then `2 + digest%3` response records each
+    carrying an HTTP/1.1 message whose body is an HTML page built
+    from the document text (functions/html.py build_html_fixture).
+    `digest` is md5(text).hexdigest(); record count and URIs derive
+    from it so a SQL oracle can recompute the walk."""
     from core_spark.functions.html import build_html_fixture
 
     nrec = 2 + int(digest[0:2], 16) % 3
@@ -143,8 +141,7 @@ def build_warc_fixture(text: str, digest: str) -> bytes:
             b"\r\n".join(hdr) + b"\r\n\r\n" + block + b"\r\n\r\n"
         )
 
-    info = record("warcinfo", "", b"software: core-spark-fixture\r\n")
-    out = [info]
+    out = [record("warcinfo", "", b"software: core-spark-fixture\r\n")]
     for i in range(nrec):
         http = (
             b"HTTP/1.1 200 OK\r\n"
@@ -157,4 +154,62 @@ def build_warc_fixture(text: str, digest: str) -> bytes:
                 "response", f"https://example.com/{digest[:8]}/{i}", http
             )
         )
-    return b"".join(out)
+    return out
+
+
+def build_warc_fixture(text: str, digest: str) -> bytes:
+    """Deterministic plain (uncompressed) WARC fixture — the full
+    Common-Crawl-shaped chain (WARC walk → payload slice → HTML
+    extract) on real bytes."""
+    return b"".join(_fixture_records(text, digest))
+
+
+def build_warc_gz_fixture(text: str, digest: str) -> bytes:
+    """The same records as build_warc_fixture, packaged the way
+    Common Crawl actually ships them: one gzip MEMBER per record,
+    concatenated (the WARC 1.1 Annex D / .warc.gz convention).
+    mtime is pinned to 0 so the bytes are deterministic."""
+    import gzip
+
+    return b"".join(
+        gzip.compress(r, mtime=0) for r in _fixture_records(text, digest)
+    )
+
+
+def warc_gz_members(raw: bytes) -> list[dict]:
+    """Split a .warc.gz into its gzip members: one dict per member —
+    {member_idx, member_off, member_len, data (decompressed bytes)}.
+    member_off/member_len are the ranged-GET unit of a compressed
+    crawl archive (what the Common Crawl index points at: a reader
+    must fetch and inflate a whole member to reach its record).
+    Not-gzip input, a truncated final member, or garbage between
+    members raise the named WarcError."""
+    import zlib
+
+    out: list[dict] = []
+    off = 0
+    n = len(raw)
+    while off < n:
+        if raw[off : off + 2] != b"\x1f\x8b":
+            raise WarcError(
+                f"expected gzip member magic at {off}, got "
+                f"{raw[off : off + 2]!r}"
+            )
+        d = zlib.decompressobj(wbits=31)
+        try:
+            data = d.decompress(raw[off:])
+        except zlib.error as e:
+            raise WarcError(f"corrupt gzip member at {off}: {e}")
+        if not d.eof:
+            raise WarcError(f"truncated gzip member at {off}")
+        consumed = (n - off) - len(d.unused_data)
+        out.append(
+            {
+                "member_idx": len(out),
+                "member_off": off,
+                "member_len": consumed,
+                "data": data,
+            }
+        )
+        off += consumed
+    return out

@@ -3,6 +3,8 @@ metadata, with Arrow-batched decode/transform plumbing."""
 
 from core_spark.multimodal.columns import (
     attach_fmp4_payload,
+    attach_pdf_payload,
+    extract_pdf_pages,
     attach_vtt_payload,
     extract_captions,
     attach_mp3_payload,
@@ -22,6 +24,8 @@ from core_spark.multimodal.columns import (
 
 __all__ = [
     "attach_fmp4_payload",
+    "attach_pdf_payload",
+    "extract_pdf_pages",
     "attach_vtt_payload",
     "extract_captions",
     "attach_mp3_payload",

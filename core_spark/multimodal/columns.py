@@ -60,6 +60,36 @@ IMAGE_META_SCHEMA = (
 )
 AUDIO_FRAME_SCHEMA = "doc_id long, frame_idx long, offset_ms long, n_bytes long"
 
+# Arrow record batches the payload builders hand back to the JVM are
+# serialized one batch per yielded DataFrame — the bytes-per-batch
+# session cap (session.py maxBytesPerBatch) bounds JVM→Python input
+# slicing but canNOT re-slice Python→JVM output. A 10k-row input
+# batch of ~50 KB media blobs therefore became one ~500 MB output
+# batch, and 32 concurrent tasks exhausted the JVM's direct-memory
+# pool at the 100x scale probe. Builders yield through
+# _payload_frames so output batches stay under the same cap.
+_PAYLOAD_FRAME_BYTES = 32 << 20
+
+
+def _payload_frames(doc_ids, payloads) -> Iterator[pd.DataFrame]:
+    """Yield (doc_id, payload) frames in byte-bounded slices.
+
+    `payloads` may be a generator: builds stream through a ≤cap
+    buffer instead of materializing the whole input batch's blobs
+    (10k x 50 KB would hold ~500 MB of Python heap per task)."""
+    ids_buf: list = []
+    pl_buf: list = []
+    cur = 0
+    for d, p in zip(doc_ids, payloads):
+        ids_buf.append(d)
+        pl_buf.append(p)
+        cur += len(p) if p is not None else 0
+        if cur >= _PAYLOAD_FRAME_BYTES:
+            yield pd.DataFrame({"doc_id": ids_buf, "payload": pl_buf})
+            ids_buf, pl_buf, cur = [], [], 0
+    if ids_buf:
+        yield pd.DataFrame({"doc_id": ids_buf, "payload": pl_buf})
+
 
 def attach_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Materialize an opaque binary payload column (UTF-8 bytes of the
@@ -532,11 +562,8 @@ def attach_mp4_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
             )
 
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "payload": [one(t) for t in pdf[text_col]],
-                }
+            yield from _payload_frames(
+                pdf["doc_id"], (one(t) for t in pdf[text_col])
             )
 
     return docs.select("doc_id", text_col).mapInPandas(
@@ -578,11 +605,8 @@ def attach_mp3_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
             )
 
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "payload": [one(t) for t in pdf[text_col]],
-                }
+            yield from _payload_frames(
+                pdf["doc_id"], (one(t) for t in pdf[text_col])
             )
 
     return docs.select("doc_id", text_col).mapInPandas(
@@ -660,11 +684,8 @@ def attach_mp4_stream_payload(
             )
 
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "payload": [one(t) for t in pdf[text_col]],
-                }
+            yield from _payload_frames(
+                pdf["doc_id"], (one(t) for t in pdf[text_col])
             )
 
     return docs.select("doc_id", text_col).mapInPandas(
@@ -691,17 +712,14 @@ def attach_vtt_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
         from core_spark.multimodal.vtt import build_vtt_fixture
 
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "payload": [
-                        build_vtt_fixture(
-                            t,
-                            hashlib.md5(t.encode("utf-8")).hexdigest(),
-                        )
-                        for t in pdf[text_col]
-                    ],
-                }
+            yield from _payload_frames(
+                pdf["doc_id"],
+                (
+                    build_vtt_fixture(
+                        t, hashlib.md5(t.encode("utf-8")).hexdigest()
+                    )
+                    for t in pdf[text_col]
+                ),
             )
 
     return docs.select("doc_id", text_col).mapInPandas(
@@ -781,11 +799,8 @@ def attach_fmp4_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
             return build_fmp4(frags, delta=delta)
 
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "payload": [one(t) for t in pdf[text_col]],
-                }
+            yield from _payload_frames(
+                pdf["doc_id"], (one(t) for t in pdf[text_col])
             )
 
     return docs.select("doc_id", text_col).mapInPandas(
@@ -991,4 +1006,77 @@ def sample_video_frames(
 
     return df.select("doc_id", payload_col).mapInPandas(
         sample, schema=VIDEO_FRAME_SCHEMA
+    )
+
+
+PDF_PAGE_SCHEMA = (
+    "doc_id long, page_idx long, page_count long, page_text string,"
+    " created string"
+)
+
+
+def attach_pdf_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Materialize a REAL PDF 1.4 file per document: the document's
+    words tiled `5 + md5[0]%4` per page, even pages as one `(…) Tj`
+    run and odd pages as a kerned `[(w) -120 (w) …] TJ` array,
+    content streams genuinely FlateDecode-compressed, an exact xref
+    table, and an /Info dict with an md5-derived CreationDate — built
+    by multimodal/pdf.py so a SQL oracle recomputes page boundaries
+    and text."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from core_spark.multimodal.pdf import build_pdf_fixture
+
+        for pdf in batches:
+            yield from _payload_frames(
+                pdf["doc_id"],
+                (
+                    build_pdf_fixture(
+                        t, hashlib.md5(t.encode("utf-8")).hexdigest()
+                    )
+                    for t in pdf[text_col]
+                ),
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        build, "doc_id long, payload binary"
+    )
+
+
+def extract_pdf_pages(
+    df: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """Walk each PDF payload — xref → catalog → pages tree →
+    FlateDecode → Tj/TJ tokenizer — into per-page text rows
+    (PDF_PAGE_SCHEMA), carrying page_count and the /Info
+    CreationDate so a curation gate can filter on both. Executor-side
+    mapInPandas; non-PDF payloads raise the named PdfError."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from core_spark.multimodal.pdf import pdf_meta, pdf_pages_text
+
+        for pdf in batches:
+            rows = []
+            for d, b in zip(pdf["doc_id"], pdf[payload_col]):
+                raw = bytes(b)
+                meta = pdf_meta(raw)
+                pages = pdf_pages_text(raw)
+                for i, pg in enumerate(pages):
+                    rows.append(
+                        (
+                            int(d), i, len(pages), pg, meta["created"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "page_idx", "page_count", "page_text",
+                    "created",
+                ],
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(
+        parse, schema=PDF_PAGE_SCHEMA
     )

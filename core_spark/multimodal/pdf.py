@@ -1,0 +1,479 @@
+"""PDF document walk — the text-mining step that turns a PDF corpus
+into per-page training text. Pure stdlib, per the public ISO 32000
+(PDF 1.4+) format: a `%PDF-1.x` header, numbered indirect objects,
+content streams (FlateDecode via zlib — real compression, not a
+stub), a cross-reference table of byte offsets, and a trailer naming
+the catalog. The parser is a real file walk — `startxref` → xref
+table → trailer → /Root → /Pages tree → per-page /Contents → inflate
+→ content-stream tokenizer for the Tj/TJ text-showing operators —
+not a regex over the raw bytes, so it reads exactly the PDFs the
+builder (or any conforming writer) produces and fails loudly on
+anything else.
+
+Corrupt-input discipline (the magic-routing contract the other
+codecs follow): a payload that does not start `%PDF-` raises the
+named PdfError, as does a broken xref/object graph; a page whose
+content stream fails to inflate is skipped (reported as empty), the
+way batch text extractors quarantine single bad pages rather than
+dropping whole documents.
+
+Text-run semantics: each Tj string is one run; inside a TJ array,
+kerning adjustments ≤ -100 (thousandths of an em — the conventional
+word-space threshold public extractors use) break words, smaller
+ones don't. Separate text-showing operators on one page are joined
+by single spaces.
+
+Reference parity: gazette/core ships opaque serializations only
+(message/interfaces.go:121-124); document parsing happens in
+executor-side Arrow kernels downstream of the journal read.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+_HEADER = re.compile(rb"^%PDF-(\d)\.(\d)")
+_OBJ_AT = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_NAME = re.compile(rb"([A-Za-z0-9.#_-]+)")  # matched after the '/'
+_NUM = re.compile(rb"[+-]?\d+(?:\.\d+)?")
+_REF = re.compile(rb"(\d+)\s+(\d+)\s+R\b")
+_STARTXREF = re.compile(rb"startxref\s+(\d+)\s+%%EOF\s*$")
+
+# PDF "word-space" kerning threshold in TJ arrays, thousandths of em.
+TJ_SPACE_THRESHOLD = -100
+
+
+class PdfError(ValueError):
+    """Named parse failure: not a (readable) PDF stream."""
+
+
+# --------------------------------------------------------------- lexer
+def _skip_ws(raw: bytes, i: int) -> int:
+    n = len(raw)
+    while i < n:
+        c = raw[i]
+        if c in b" \t\r\n\x00\x0c":
+            i += 1
+        elif c == 0x25:  # '%' comment runs to EOL
+            while i < n and raw[i] not in b"\r\n":
+                i += 1
+        else:
+            break
+    return i
+
+
+def _parse_string(raw: bytes, i: int) -> tuple[bytes, int]:
+    """Literal string at raw[i] == '(' → (decoded bytes, next idx)."""
+    assert raw[i : i + 1] == b"("
+    out = bytearray()
+    depth = 1
+    i += 1
+    n = len(raw)
+    while i < n and depth:
+        c = raw[i]
+        if c == 0x5C:  # backslash escape
+            i += 1
+            if i >= n:
+                break
+            e = raw[i]
+            if e in b"nrtbf":
+                out.append(
+                    {0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12}[e]
+                )
+                i += 1
+            elif e in b"()\\":
+                out.append(e)
+                i += 1
+            elif 0x30 <= e <= 0x37:  # up to 3 octal digits
+                oct_s = bytearray()
+                while i < n and len(oct_s) < 3 and 0x30 <= raw[i] <= 0x37:
+                    oct_s.append(raw[i])
+                    i += 1
+                out.append(int(oct_s, 8) & 0xFF)
+            elif e in b"\r\n":  # line continuation
+                i += 1
+                if e == 0x0D and i < n and raw[i] == 0x0A:
+                    i += 1
+            else:
+                out.append(e)
+                i += 1
+        elif c == 0x28:
+            depth += 1
+            out.append(c)
+            i += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth:
+                out.append(c)
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    if depth:
+        raise PdfError("unterminated string literal")
+    return bytes(out), i
+
+
+def _parse_value(raw: bytes, i: int, depth: int = 0):
+    """Parse one object value at i → (value, next idx). Dicts become
+    python dicts keyed by name (latest wins), references become
+    ('ref', num), names '/X' become ('name', 'X'). Nesting is capped
+    so a crafted [[[[…]]]] can't blow the recursion limit."""
+    if depth > 48:
+        raise PdfError("value nesting too deep")
+    i = _skip_ws(raw, i)
+    if raw[i : i + 2] == b"<<":
+        d: dict = {}
+        i += 2
+        while True:
+            i = _skip_ws(raw, i)
+            if raw[i : i + 2] == b">>":
+                return d, i + 2
+            if raw[i : i + 1] != b"/":
+                raise PdfError("dict key is not a name")
+            m = _NAME.match(raw, i + 1)
+            if not m:
+                raise PdfError("empty dict key")
+            key = m.group(1).decode("latin-1")
+            val, i = _parse_value(raw, m.end(), depth + 1)
+            d[key] = val
+    if raw[i : i + 1] == b"[":
+        arr = []
+        i += 1
+        while True:
+            i = _skip_ws(raw, i)
+            if raw[i : i + 1] == b"]":
+                return arr, i + 1
+            v, i = _parse_value(raw, i, depth + 1)
+            arr.append(v)
+    if raw[i : i + 1] == b"/":
+        m = _NAME.match(raw, i + 1)
+        if not m:
+            raise PdfError("empty name")
+        return ("name", m.group(1).decode("latin-1")), m.end()
+    if raw[i : i + 1] == b"(":
+        s, i = _parse_string(raw, i)
+        return ("str", s), i
+    if raw[i : i + 1] == b"<":  # hex string
+        j = raw.index(b">", i)
+        hexs = re.sub(rb"\s", b"", raw[i + 1 : j])
+        if len(hexs) % 2:
+            hexs += b"0"
+        return ("str", bytes.fromhex(hexs.decode("ascii"))), j + 1
+    m = _REF.match(raw, i)
+    if m:
+        return ("ref", int(m.group(1))), m.end()
+    m = _NUM.match(raw, i)
+    if m:
+        t = m.group(0)
+        return (
+            float(t) if b"." in t else int(t)
+        ), m.end()
+    for lit, val in ((b"true", True), (b"false", False), (b"null", None)):
+        if raw[i : i + len(lit)] == lit:
+            return val, i + len(lit)
+    raise PdfError(f"unparseable value at byte {i}")
+
+
+# ------------------------------------------------------------ document
+def _xref_offsets(raw: bytes) -> tuple[dict[int, int], dict]:
+    """startxref → classic xref table → ({obj num: byte offset},
+    trailer dict). Subsections and free entries handled; xref
+    streams (PDF 1.5 compressed xref) are out of scope and raise."""
+    m = _STARTXREF.search(raw[-256:])
+    if not m:
+        raise PdfError("missing startxref/%%EOF")
+    pos = int(m.group(1))
+    if pos >= len(raw):
+        raise PdfError("startxref beyond EOF")
+    i = _skip_ws(raw, pos)
+    if raw[i : i + 4] != b"xref":
+        raise PdfError("xref streams are not supported (classic only)")
+    i += 4
+    offsets: dict[int, int] = {}
+    while True:
+        i = _skip_ws(raw, i)
+        if raw[i : i + 7] == b"trailer":
+            trailer, _ = _parse_value(raw, i + 7)
+            return offsets, trailer
+        m2 = re.match(rb"(\d+)\s+(\d+)", raw[i:])
+        if not m2:
+            raise PdfError("malformed xref subsection header")
+        first, count = int(m2.group(1)), int(m2.group(2))
+        i += m2.end()
+        i = _skip_ws(raw, i)
+        for k in range(count):
+            ent = raw[i : i + 20]
+            if len(ent) < 18:
+                raise PdfError("truncated xref entry")
+            if ent[17:18] == b"n":
+                offsets[first + k] = int(ent[0:10])
+            i += 20
+
+
+def _load_object(raw: bytes, off: int):
+    """Indirect object at byte `off` → (value, stream bytes | None)."""
+    m = _OBJ_AT.match(raw, _skip_ws(raw, off))
+    if not m:
+        raise PdfError(f"no object at xref offset {off}")
+    val, i = _parse_value(raw, m.end())
+    i = _skip_ws(raw, i)
+    if raw[i : i + 6] == b"stream":
+        i += 6
+        if raw[i : i + 2] == b"\r\n":
+            i += 2
+        elif raw[i : i + 1] == b"\n":
+            i += 1
+        if not isinstance(val, dict) or not isinstance(
+            val.get("Length"), int
+        ):
+            raise PdfError("stream without integer /Length")
+        data = raw[i : i + val["Length"]]
+        return val, data
+    return val, None
+
+
+class _Doc:
+    def __init__(self, raw: bytes):
+        if not _HEADER.match(raw):
+            raise PdfError("missing %PDF- header")
+        self.raw = raw
+        self.version = raw[5:8].decode("latin-1")
+        self.offsets, self.trailer = _xref_offsets(raw)
+        if not isinstance(self.trailer, dict):
+            raise PdfError("trailer is not a dictionary")
+
+    def obj(self, num: int):
+        off = self.offsets.get(num)
+        if off is None:
+            raise PdfError(f"object {num} not in xref")
+        return _load_object(self.raw, off)
+
+    def deref(self, v):
+        hops = 0
+        while isinstance(v, tuple) and v and v[0] == "ref":
+            hops += 1
+            if hops > 32:  # a crafted 1 0 R -> 2 0 R -> 1 0 R cycle
+                raise PdfError("reference chain too long")
+            v, _ = self.obj(v[1])
+        return v
+
+    def pages(self) -> list[dict]:
+        """Flatten the /Pages tree depth-first (document order)."""
+        root = self.deref(self.trailer.get("Root"))
+        if not isinstance(root, dict):
+            raise PdfError("trailer /Root is not a dictionary")
+        out: list[dict] = []
+
+        def walk(node, depth: int) -> None:
+            if depth > 64:
+                raise PdfError("pages tree too deep")
+            node = self.deref(node)
+            if not isinstance(node, dict):
+                raise PdfError("pages tree node is not a dictionary")
+            t = node.get("Type")
+            if t == ("name", "Pages"):
+                for kid in self.deref(node.get("Kids")) or []:
+                    walk(kid, depth + 1)
+            elif t == ("name", "Page"):
+                out.append(node)
+            else:
+                raise PdfError("pages tree node of unknown /Type")
+
+        walk(root.get("Pages"), 0)
+        return out
+
+    def page_content(self, page: dict) -> bytes | None:
+        """Concatenated, decoded content stream(s) of one page;
+        None if a stream fails to inflate (quarantine, don't lie)."""
+        contents = page.get("Contents")
+        refs = contents if isinstance(contents, list) else [contents]
+        parts: list[bytes] = []
+        for r in refs:
+            if not (isinstance(r, tuple) and r and r[0] == "ref"):
+                return None
+            sd, data = self.obj(r[1])
+            if data is None or not isinstance(sd, dict):
+                return None
+            filt = sd.get("Filter")
+            try:
+                if filt == ("name", "FlateDecode"):
+                    parts.append(zlib.decompress(data))
+                elif filt is None:
+                    parts.append(bytes(data))
+                else:
+                    return None  # unsupported filter: quarantine
+            except zlib.error:
+                return None
+        return b"\n".join(parts)
+
+
+# ------------------------------------------------------ text extraction
+def _content_text(content: bytes) -> str:
+    """Tj/TJ walk over one page's content stream. Each Tj string is a
+    run; TJ kerning ≤ TJ_SPACE_THRESHOLD breaks words; runs joined
+    by single spaces, whitespace collapsed."""
+    i, n = 0, len(content)
+    runs: list[str] = []
+    stack: list = []  # operand stack, as the content-stream model has
+    while i < n:
+        i = _skip_ws(content, i)
+        if i >= n:
+            break
+        c = content[i : i + 1]
+        if c == b"(":
+            s, i = _parse_string(content, i)
+            stack.append(("str", s))
+        elif c == b"[":
+            v, i = _parse_value(content, i)
+            stack.append(v)
+        elif c == b"/":
+            m = _NAME.match(content, i + 1)
+            if not m:
+                raise PdfError("bad name in content stream")
+            stack.append(("name", m.group(1).decode("latin-1")))
+            i = m.end()
+        elif _NUM.match(content, i):
+            m = _NUM.match(content, i)
+            t = m.group(0)
+            stack.append(float(t) if b"." in t else int(t))
+            i = m.end()
+        else:  # operator keyword
+            m = re.match(rb"[A-Za-z'\"*]+", content[i:])
+            if not m:
+                raise PdfError(
+                    f"unparseable content token at byte {i}"
+                )
+            op = m.group(0)
+            i += m.end()
+            if op == b"Tj" and stack:
+                v = stack[-1]
+                if isinstance(v, tuple) and v[0] == "str":
+                    runs.append(v[1].decode("latin-1"))
+            elif op == b"TJ" and stack:
+                v = stack[-1]
+                if isinstance(v, list):
+                    words: list[str] = [""]
+                    for item in v:
+                        if isinstance(item, tuple) and item[0] == "str":
+                            words[-1] += item[1].decode("latin-1")
+                        elif isinstance(item, (int, float)):
+                            if item <= TJ_SPACE_THRESHOLD:
+                                words.append("")
+                    runs.append(" ".join(w for w in words if w))
+            # every operator consumes its operands (content-stream
+            # execution model) — Tf/Td/BT/ET operands included
+            stack.clear()
+    return " ".join(" ".join(runs).split())
+
+
+def pdf_meta(raw: bytes) -> dict:
+    """Header + trailer walk → {version, page_count, producer,
+    created} (producer/created None when there is no /Info)."""
+    doc = _Doc(raw)
+    producer = created = None
+    info = doc.deref(doc.trailer.get("Info"))
+    if isinstance(info, dict):
+        p = info.get("Producer")
+        if isinstance(p, tuple) and p[0] == "str":
+            producer = p[1].decode("latin-1")
+        d = info.get("CreationDate")
+        if isinstance(d, tuple) and d[0] == "str":
+            created = d[1].decode("latin-1")
+    return {
+        "version": doc.version,
+        "page_count": len(doc.pages()),
+        "producer": producer,
+        "created": created,
+    }
+
+
+def pdf_pages_text(raw: bytes) -> list[str]:
+    """Per-page extracted text, document order. A page whose content
+    stream cannot be decoded yields ''."""
+    doc = _Doc(raw)
+    out = []
+    for page in doc.pages():
+        content = doc.page_content(page)
+        out.append("" if content is None else _content_text(content))
+    return out
+
+
+# -------------------------------------------------------------- builder
+def _esc(s: str) -> bytes:
+    return (
+        s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+    ).encode("latin-1")
+
+
+def build_pdf_fixture(text: str, digest: str) -> bytes:
+    """Deterministic PDF 1.4 fixture: the document's words tiled
+    `5 + digest[0]%4` per page; even pages show their words as one
+    `(…) Tj` run, odd pages as a kerned `[(w) -120 (w) …] TJ` array
+    (both shapes a real extractor must handle); content streams are
+    genuinely FlateDecode-compressed; the xref table carries exact
+    byte offsets; /Info holds a Producer and an md5-derived
+    CreationDate. `digest` is md5(text).hexdigest() so a SQL oracle
+    recomputes page boundaries, page count and per-page text."""
+    words = text.split(" ")
+    wpp = 5 + int(digest[0], 16) % 4
+    n_pages = max(1, (len(words) + wpp - 1) // wpp)
+    yy = 2000 + int(digest[1:3], 16) % 26
+    mm = 1 + int(digest[3], 16) % 12
+    dd = 1 + int(digest[4], 16) % 28
+    created = f"D:{yy:04d}{mm:02d}{dd:02d}120000Z"
+
+    # object numbering: 1 catalog, 2 pages root, 3 info, 4 font,
+    # page k at 5+2k with its content stream at 6+2k.
+    objs: dict[int, bytes] = {}
+    kids = b" ".join(b"%d 0 R" % (5 + 2 * k) for k in range(n_pages))
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[2] = (
+        b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n_pages
+    )
+    objs[3] = (
+        b"<< /Producer (core_spark pdf builder)"
+        b" /CreationDate (" + created.encode("latin-1") + b") >>"
+    )
+    objs[4] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    for k in range(n_pages):
+        chunk = words[k * wpp : (k + 1) * wpp]
+        if k % 2 == 0:
+            shown = b"(" + _esc(" ".join(chunk)) + b") Tj"
+        else:
+            shown = (
+                b"[ "
+                + b" -120 ".join(b"(" + _esc(w) + b")" for w in chunk)
+                + b" ] TJ"
+            )
+        body = zlib.compress(b"BT /F1 12 Tf 72 720 Td " + shown + b" ET")
+        objs[5 + 2 * k] = (
+            b"<< /Type /Page /Parent 2 0 R"
+            b" /MediaBox [0 0 612 792]"
+            b" /Resources << /Font << /F1 4 0 R >> >>"
+            b" /Contents %d 0 R >>" % (6 + 2 * k)
+        )
+        objs[6 + 2 * k] = (
+            b"<< /Length %d /Filter /FlateDecode >>\nstream\n"
+            % len(body)
+            + body
+            + b"\nendstream"
+        )
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    xref_at = len(out)
+    maxnum = max(objs)
+    out += b"xref\n0 %d\n" % (maxnum + 1)
+    out += b"0000000000 65535 f \n"
+    for num in range(1, maxnum + 1):
+        out += b"%010d 00000 n \n" % offsets[num]
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R /Info 3 0 R >>\n"
+        b"startxref\n%d\n%%%%EOF\n" % (maxnum + 1, xref_at)
+    )
+    return bytes(out)

@@ -183,3 +183,171 @@ def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster").cast("long").alias("cluster"),
         F.col("dist_sq"),
     ).orderBy("vec_id")
+
+
+# --------------------------------------------------------- product quant
+_PQ_M = 4        # subspaces
+_PQ_D = _DIMS // _PQ_M
+_PQ_K = 4        # codewords per subspace
+_PQ_ROUNDS = 2
+_PQ_NQ = 5       # query vectors: vid < _PQ_NQ
+_PQ_TOPK = 10
+
+
+def _pq_sub_ctes(m: int) -> str:
+    """One subspace's codebook training as chained CTEs (the
+    _kmeans_ctes discipline on a sliced vector), prefix `m{m}`:
+    ends with m{m}c{_PQ_ROUNDS} (codebook) and m{m}sF (codes)."""
+    p = f"m{m}"
+    lo = m * _PQ_D + 1
+    hi = m * _PQ_D + _PQ_D
+    parts = [
+        f"""
+    {p}v AS (SELECT vid, list_slice(qv, {lo}, {hi}) AS qv FROM v),
+    {p}c0 AS (
+      SELECT row_number() OVER (ORDER BY vid) - 1 AS cidx, qv AS cv
+      FROM (SELECT vid, qv FROM {p}v ORDER BY vid LIMIT {_PQ_K}))"""
+    ]
+
+    def assign_cte(tag: str, cents: str) -> str:
+        return f"""
+    {p}a{tag} AS (
+      SELECT s.vid, c.cidx,
+             CAST(list_sum(list_transform(list_zip(s.qv, c.cv),
+                  q -> (q[1] - q[2]) * (q[1] - q[2]))) AS BIGINT) AS dist
+      FROM {p}v s, {cents} c),
+    {p}s{tag} AS (
+      SELECT vid, cidx AS cluster, dist
+      FROM {p}a{tag}
+      QUALIFY row_number() OVER (PARTITION BY vid ORDER BY dist, cidx) = 1)"""
+
+    for r in range(1, _PQ_ROUNDS + 1):
+        parts.append(assign_cte(str(r), f"{p}c{r - 1}"))
+        parts.append(f"""
+    {p}u{r} AS (
+      SELECT {p}s{r}.cluster, d.pos,
+             SUM({p}v.qv[d.pos + 1]) AS s, COUNT(*) AS c
+      FROM {p}s{r} JOIN {p}v USING (vid),
+           (SELECT unnest(range({_PQ_D})) AS pos) d
+      GROUP BY {p}s{r}.cluster, d.pos),
+    {p}c{r} AS (
+      SELECT cluster AS cidx,
+             list(CAST((s - ((s % c) + c) % c) // c AS BIGINT)
+                  ORDER BY pos) AS cv
+      FROM {p}u{r} GROUP BY cluster)""")
+    parts.append(assign_cte("F", f"{p}c{_PQ_ROUNDS}"))
+    return ",".join(parts)
+
+
+def _pq_oracle() -> str:
+    subs = ",".join(_pq_sub_ctes(m) for m in range(_PQ_M))
+    # per-subspace ADC tables: query subvector x trained codebook
+    tables = ",".join(
+        f"""
+    m{m}t AS (
+      SELECT q.vid AS qid, c.cidx,
+             CAST(list_sum(list_transform(list_zip(q.qv, c.cv),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS qd
+      FROM (SELECT vid, qv FROM m{m}v WHERE vid < {_PQ_NQ}) q,
+           m{m}c{_PQ_ROUNDS} c)"""
+        for m in range(_PQ_M)
+    )
+    lookups = " + ".join(
+        f"(SELECT qd FROM m{m}t t WHERE t.qid = q.qid"
+        f" AND t.cidx = m{m}sF.cluster)"
+        for m in range(_PQ_M)
+    )
+    joins = " ".join(
+        f"JOIN m{m}sF ON m{m}sF.vid = x.vid" for m in range(_PQ_M)
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id AS vid,
+             list_transform(embedding,
+               e -> CAST(round(CAST(e AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+      FROM embeddings),
+    {subs},
+    {tables},
+    q AS (SELECT DISTINCT vid AS qid FROM v WHERE vid < {_PQ_NQ}),
+    adc AS (
+      SELECT q.qid, x.vid AS vec_id, {lookups} AS adist
+      FROM q, (SELECT vid FROM v) x {joins}
+      WHERE x.vid <> q.qid)
+    SELECT qid, vec_id, adist FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY qid ORDER BY adist, vec_id) AS rn
+      FROM adc
+    ) WHERE rn <= {_PQ_TOPK} ORDER BY qid, vec_id
+    """
+
+
+@query("q_vec_pq", oracle=_pq_oracle())
+def q_vec_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization ANN (Jegou et al. 2011, public): the
+    64-dim embeddings split into 4 subspaces, each trained to a
+    4-codeword codebook by the SAME integer-micro Lloyd rounds as
+    q_cluster_kmeans (operators/clustering.py), every vector encoded
+    to 4 one-byte codes, and search runs by Asymmetric Distance
+    Computation — the query's per-subspace distance TABLE (a 4x4-row
+    broadcast) replaces all full-width distance math, which is
+    exactly why PQ scales: at 100 TB the corpus is touched only
+    through its codes (M bytes/vector instead of 4*dims), distances
+    become M table lookups joined on (subspace, code), and no
+    corpus-x-corpus or corpus-x-query full-width pair ever forms.
+    Fully integer, so codebooks, codes and ADC ranks hash-match the
+    unrolled-CTE oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = persisted_quantized(quantize_vectors(emb))
+
+    enc_parts = []
+    table_parts = []
+    for m in range(_PQ_M):
+        sv = vecs.select(
+            "vid", F.expr(f"slice(qv, {m * _PQ_D + 1}, {_PQ_D})").alias("qv")
+        )
+        cents = train_centroids(sv, _PQ_K, _PQ_ROUNDS)
+        enc_parts.append(
+            assign(sv, cents).select(
+                "vid", F.lit(m).alias("m"), F.col("cluster").alias("code")
+            )
+        )
+        qsub = sv.filter(F.col("vid") < _PQ_NQ).select(
+            F.col("vid").alias("qid"), F.col("qv").alias("qqv")
+        )
+        table_parts.append(
+            qsub.crossJoin(F.broadcast(cents)).select(
+                "qid",
+                F.lit(m).alias("m"),
+                "cidx",
+                F.expr(
+                    "CAST(aggregate(zip_with(qqv, cv, (x, y) ->"
+                    " (x - y) * (x - y)), CAST(0 AS BIGINT),"
+                    " (acc, d) -> acc + d) AS BIGINT)"
+                ).alias("qd"),
+            )
+        )
+    enc = enc_parts[0]
+    for e in enc_parts[1:]:
+        enc = enc.unionByName(e)
+    tables = table_parts[0]
+    for t in table_parts[1:]:
+        tables = tables.unionByName(t)
+
+    from pyspark.sql.window import Window as W
+
+    adc = (
+        enc.join(
+            F.broadcast(tables),
+            (enc.m == tables.m) & (enc.code == tables.cidx),
+        )
+        .filter(F.col("vid") != F.col("qid"))
+        .groupBy("qid", "vid")
+        .agg(F.sum("qd").alias("adist"))
+    )
+    w = W.partitionBy("qid").orderBy("adist", "vid")
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _PQ_TOPK)
+        .select("qid", F.col("vid").alias("vec_id"), "adist")
+        .orderBy("qid", "vec_id")
+    )

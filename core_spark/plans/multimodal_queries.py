@@ -415,3 +415,61 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_video_frames(attach_payload(docs)).orderBy(
         "doc_id", "frame_idx"
     )
+
+
+@query(
+    "q_pdf_extract",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, string_split(text, ' ') AS w,
+             5 + CAST('0x' || substr(md5(text), 1, 1) AS BIGINT) % 4
+               AS wpp,
+             2000 + CAST('0x' || substr(md5(text), 2, 2) AS BIGINT) % 26
+               AS yy,
+             1 + CAST('0x' || substr(md5(text), 4, 1) AS BIGINT) % 12
+               AS mm,
+             1 + CAST('0x' || substr(md5(text), 5, 1) AS BIGINT) % 28
+               AS dd
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, w, wpp, yy, mm, dd,
+             greatest(1, (len(w) + wpp - 1) // wpp) AS np,
+             unnest(range(greatest(1, (len(w) + wpp - 1) // wpp))) AS i
+      FROM p
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS page_idx,
+           CAST(np AS BIGINT) AS page_count,
+           array_to_string(list_slice(w, i * wpp + 1, i * wpp + wpp), ' ')
+             AS page_text,
+           'D:' || printf('%04d%02d%02d', yy, mm, dd) || '120000Z'
+             AS created
+    FROM f ORDER BY doc_id, page_idx
+    """,
+)
+def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF text mining (multimodal/pdf.py): each document becomes a
+    REAL PDF 1.4 file — FlateDecode-compressed content streams, an
+    exact xref table, an /Info dict — and the extraction kernel
+    performs the genuine file walk (startxref → xref → catalog →
+    pages tree → inflate → Tj/TJ content-stream tokenizer) back to
+    per-page text plus page_count and the md5-derived CreationDate,
+    the fields a document-corpus curation gate filters on. Page
+    word-tiling is md5-derived so the DuckDB oracle recomputes every
+    page boundary; even pages exercise the single-string Tj path and
+    odd pages the kerned TJ-array path (word breaks at kerning <=
+    -100 thousandths of an em). Payload bytes never reach the JVM
+    plan: both stages are executor-side mapInPandas, and the Arrow
+    hop between them is bytes-bounded by
+    spark.sql.execution.arrow.maxBytesPerBatch (session.py).
+
+    Scale shape: map-side only, zero shuffles before the final
+    presentation sort — per-doc codec CPU that scales out with
+    executors exactly like q_av_meta/q_crawl_extract."""
+    from core_spark.multimodal import attach_pdf_payload, extract_pdf_pages
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return extract_pdf_pages(attach_pdf_payload(docs)).orderBy(
+        "doc_id", "page_idx"
+    )

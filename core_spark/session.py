@@ -11,6 +11,15 @@ bench) and on a large cluster (the 100 TB target):
 - shuffle.partitions is only the *initial* number; AQE coalesces. On a
   real cluster this should be ~2-3x total cores; we default to the
   local CPU budget.
+- Arrow batches are BYTES-bounded, not just row-bounded: media
+  operators carry ~50 KB binary payloads per row (MP3/MP4/FLAC
+  blobs), so the default 10k-rows-per-batch slicing produces ~500 MB
+  ArrowRecordBatches — 32 concurrent tasks then exhaust the JVM's
+  direct-memory pool (measured: the 100x scale probe died allocating
+  a 537 MB netty buffer). maxBytesPerBatch=32m keeps per-task Arrow
+  footprint constant no matter how wide the payload column is; for
+  the common narrow-column kernels the rows cap still binds first,
+  so their batching is unchanged.
 """
 
 from __future__ import annotations
@@ -43,6 +52,7 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", "33554432")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))

@@ -1973,3 +1973,101 @@ def test_av_meta_kernels_build_and_walk_real_boxes(spark):
     out = {r.doc_id: r for r in decode_av_meta(with_payload).collect()}
     assert out[1].duration_ms == mp4_meta(rows[1])["duration_ms"]
     assert out[2].width == mp4_meta(rows[2])["width"]
+
+
+def test_pdf_fixture_roundtrip_and_discipline():
+    """build_pdf_fixture -> pdf_pages_text/pdf_meta recovers the exact
+    word tiling, page count and md5-derived CreationDate through a
+    REAL file walk (xref offsets, FlateDecode, Tj and kerned-TJ
+    tokenization); string-escape torture round-trips; corrupt input
+    follows the named-error contract (PdfError, never a hang or a
+    fabricated page)."""
+    import hashlib
+    import random
+
+    from core_spark.multimodal.pdf import (
+        PdfError,
+        build_pdf_fixture,
+        pdf_meta,
+        pdf_pages_text,
+    )
+
+    text = (
+        "the fast key order sort table scan merge part window small"
+        " hash scan join order batch"
+    )
+    dig = hashlib.md5(text.encode()).hexdigest()
+    blob = build_pdf_fixture(text, dig)
+    assert blob.startswith(b"%PDF-1.4")
+
+    words = text.split(" ")
+    wpp = 5 + int(dig[0], 16) % 4
+    n_pages = (len(words) + wpp - 1) // wpp
+    expect = [
+        " ".join(words[k * wpp : (k + 1) * wpp]) for k in range(n_pages)
+    ]
+    assert pdf_pages_text(blob) == expect
+
+    m = pdf_meta(blob)
+    assert m["page_count"] == n_pages
+    assert m["producer"] == "core_spark pdf builder"
+    yy = 2000 + int(dig[1:3], 16) % 26
+    mm = 1 + int(dig[3], 16) % 12
+    dd = 1 + int(dig[4], 16) % 28
+    assert m["created"] == f"D:{yy:04d}{mm:02d}{dd:02d}120000Z"
+
+    # escape torture: parens and backslashes survive the () literal
+    t2 = "par(en) back\\slash close)paren ((deep))"
+    b2 = build_pdf_fixture(t2, hashlib.md5(t2.encode()).hexdigest())
+    assert " ".join(pdf_pages_text(b2)) == t2
+
+    # single-word and two-word degenerate tilings
+    for t in ("word", "a b"):
+        d = hashlib.md5(t.encode()).hexdigest()
+        assert " ".join(pdf_pages_text(build_pdf_fixture(t, d))) == t
+
+    # named-error contract
+    for junk in (b"", b"GIF89a123", blob[: len(blob) // 2]):
+        try:
+            pdf_pages_text(junk)
+            raise AssertionError("corrupt PDF accepted")
+        except PdfError:
+            pass
+
+    # crafted hostile inputs: nesting bomb stays a named error, not a
+    # RecursionError
+    bomb = (
+        b"%PDF-1.4\nxref\n0 1\n0000000000 65535 f \ntrailer\n<< /X "
+        + b"[" * 500 + b"]" * 500 + b" >>\nstartxref\n9\n%%EOF\n"
+    )
+    try:
+        pdf_meta(bomb)
+        raise AssertionError("nesting bomb accepted")
+    except PdfError:
+        pass
+
+    # fuzz: random bytes / signature-prefixed junk / bit-flips over a
+    # real fixture either parse or raise ValueError (PdfError is one)
+    rnd = random.Random(23)
+    for mode in range(3):
+        for _ in range(400):
+            if mode == 0:
+                junk = bytes(
+                    rnd.randrange(256)
+                    for _ in range(rnd.randrange(0, 200))
+                )
+            elif mode == 1:
+                junk = b"%PDF-1.4\n" + bytes(
+                    rnd.randrange(256)
+                    for _ in range(rnd.randrange(0, 300))
+                )
+            else:
+                ba = bytearray(blob)
+                for _k in range(rnd.randrange(1, 5)):
+                    ba[rnd.randrange(len(ba))] ^= 1 << rnd.randrange(8)
+                junk = bytes(ba)
+            for fn in (pdf_meta, pdf_pages_text):
+                try:
+                    fn(junk)
+                except ValueError:
+                    pass

@@ -36,6 +36,12 @@ ALLOWED = {
                         "ivf_assign); the candidate join itself is "
                         "cell-keyed",
     "q_doc_lm": "vocab size V is a broadcast ONE-ROW global",
+    "q_quality_nb": "class totals (tot1, tot0, V) and priors (n1, n0) "
+                    "are two broadcast ONE-ROW globals over the "
+                    "token-count table",
+    "q_vec_pq": "ADC tables: 5 query subvectors x broadcast "
+                "4-codeword codebooks (constant rows) — the lookup "
+                "tables that REPLACE full-width distance math",
     "q_curate2": "inherits q_embed_semdedup's centroid argmax "
                  "(vector x broadcast n_cells rows, map-side)",
     "q_bpe_train": "each round's winning merge rides a ONE-ROW "

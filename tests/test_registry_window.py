@@ -25,6 +25,9 @@ _REPO = Path(__file__).resolve().parent.parent
 # query that had zero driver rows); the set is empty again.
 # r5: 11 new queries were deliberately named after the cutoff because
 # the r4 cohort was still waiting for its first driver row.
+# r7: the window is saturated with 20 first-time r7 names (none may
+# be displaced), so the late-r7 additions are deliberately named
+# after the cutoff for r8 rotation — the same protocol as r5.
 # r6: CORRECTNESS_r05.json landed (50/50 green), so the r5 cohort plus
 # q_stream_dedup (whose only driver row predated its oracle) rotated
 # INTO the window via renames — q_kmeans→q_cluster_kmeans,
@@ -35,7 +38,15 @@ _REPO = Path(__file__).resolve().parent.parent
 # q_scrub_decontam→q_decontam_scrub, q_train_order→q_curriculum_order,
 # q_stream_dedup→q_dedup_stream. The 12 names they displaced all hold
 # green r5 rows. The set is empty again.
-PYTEST_ONLY: set[str] = set()
+PYTEST_ONLY: set[str] = {
+    # r7 late additions; oracle-checked in test_oracle, named after
+    # the cutoff for r8 rotation (the window holds 20 first-time r7
+    # names that must keep their slots)
+    "q_pdf_extract",
+    "q_quality_nb",
+    "q_vec_pq",
+    "q_warc_gz",
+}
 
 
 def _historical_rows() -> set[str]:

@@ -90,3 +90,47 @@ def test_warc_corrupt_inputs_raise_named():
             warc_records(junk)
         except WarcError:
             pass
+
+
+def test_warc_gz_members_slice_and_reinflate():
+    """.warc.gz discipline: one gzip member per record, member
+    offsets slice out of the file and re-inflate independently (the
+    Common Crawl index contract), concatenated member data equals
+    the plain fixture, bytes are deterministic (mtime pinned), and
+    corrupt/truncated/garbage-joined input raises the named error."""
+    import gzip
+    import hashlib
+
+    from core_spark.functions.warc import (
+        WarcError,
+        build_warc_fixture,
+        build_warc_gz_fixture,
+        warc_gz_members,
+        warc_records,
+    )
+
+    text = "the fast key order sort table scan merge part window"
+    dig = hashlib.md5(text.encode()).hexdigest()
+    gz = build_warc_gz_fixture(text, dig)
+    plain = build_warc_fixture(text, dig)
+
+    members = warc_gz_members(gz)
+    assert len(members) == len(warc_records(plain))
+    assert b"".join(m["data"] for m in members) == plain
+    for m in members:
+        sliced = gz[m["member_off"] : m["member_off"] + m["member_len"]]
+        assert gzip.decompress(sliced) == m["data"]
+        assert len(warc_records(m["data"])) == 1  # one record/member
+    assert build_warc_gz_fixture(text, dig) == gz  # deterministic
+
+    for junk in (
+        b"\x00\x01",                 # not gzip
+        gz[: len(gz) // 2],          # truncated member
+        gz + b"garbage",             # trailing non-member bytes
+        gz[:10],                     # header-only
+    ):
+        try:
+            warc_gz_members(junk)
+            raise AssertionError(f"corrupt gz accepted: {junk[:8]!r}")
+        except WarcError:
+            pass
