@@ -130,6 +130,7 @@ HEADLINE = [
     "q_quality_nb",
     "q_vec_pq",
     "q_warc_gz",
+    "q_webdataset",
     # q_dup_canonical is intentionally absent: its dominant cost is
     # the same pair+CC pipeline q_dup_clusters already times;
     # q_bands_serve (streaming materialize->serve) follows the

@@ -2241,6 +2241,122 @@ def q_warc_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------ webdataset shards
+@query(
+    "q_webdataset",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, string_split(text, ' ') AS w, md5(text) AS h,
+             2 + CAST('0x' || substr(md5(text), 1, 2) AS BIGINT) % 3
+               AS ns
+      FROM documents
+    ),
+    f AS (SELECT doc_id, w, h, ns, unnest(range(ns)) AS i FROM p),
+    s AS (
+      SELECT doc_id, i, h,
+             array_to_string(list_transform(range(8),
+               k -> w[((i * 8 + k) % len(w)) + 1]), ' ') AS txt
+      FROM f
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS sample_idx,
+           substr(h, 1, 8) || '-' || CAST(i AS VARCHAR) AS key,
+           CAST((CAST('0x' || substr(h, 1, 2) AS BIGINT) + i) % 10
+                AS BIGINT) AS cls_label,
+           CAST(512 + i * 2048 AS BIGINT) AS txt_off,
+           CAST(length(txt) AS BIGINT) AS txt_len,
+           txt AS sample_text
+    FROM s ORDER BY doc_id, sample_idx
+    """,
+)
+def q_webdataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset shard ingestion — the tar-shard convention
+    large-scale multimodal training corpora actually ship in: each
+    document becomes a genuine POSIX ustar shard (functions/tar.py)
+    whose members group into samples by key (`<key>.txt` +
+    `<key>.cls`), and the kernel walks the REAL 512-byte header
+    blocks (magic, octal fields, verified checksums), pairs members
+    into samples, slices label and text at the walked data offsets,
+    and emits the (key, label, text, byte-range) rows a loader's
+    ranged-GET plan is built from. The fixture layout is pure
+    arithmetic (every .txt under one block ⇒ member stride 2048), so
+    the oracle recomputes member offsets from the ustar spec alone —
+    a wrong offset slices garbage and fails the hash. The walk is
+    additionally cross-checked against the stdlib tarfile reader in
+    tests/test_tar.py; corrupt headers raise the named TarError.
+
+    Scale shape: one Arrow map stage, zero shuffles before the
+    presentation sort; at 100 TB the shards live in object storage
+    and this plan is the index pass that lets every training epoch
+    fetch sample bytes directly.
+
+    PYTEST_ONLY naming (after the window cutoff) — rotates into the
+    driver window in r8."""
+    from core_spark.functions.tar import (
+        build_webdataset_fixture,
+        tar_members,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+
+    def chain(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                digest = hashlib.md5(text.encode("utf-8")).hexdigest()
+                blob = build_webdataset_fixture(text, digest)
+                members = tar_members(blob)
+                by_key: dict[str, dict[str, dict]] = {}
+                order: list[str] = []
+                for m in members:
+                    key, _, ext = m["name"].rpartition(".")
+                    if key not in by_key:
+                        by_key[key] = {}
+                        order.append(key)
+                    by_key[key][ext] = m
+                for idx, key in enumerate(order):
+                    t = by_key[key].get("txt")
+                    c = by_key[key].get("cls")
+                    if t is None or c is None:
+                        continue  # incomplete sample: skip, don't lie
+                    txt = blob[
+                        t["data_off"] : t["data_off"] + t["size"]
+                    ].decode("utf-8")
+                    cls = int(
+                        blob[c["data_off"] : c["data_off"] + c["size"]]
+                    )
+                    rows.append(
+                        (
+                            int(doc_id), idx, key, cls,
+                            t["data_off"], t["size"], txt,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_idx", "key", "cls_label",
+                    "txt_off", "txt_len", "sample_text",
+                ],
+            )
+
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(
+            chain,
+            schema=(
+                "doc_id long, sample_idx long, key string,"
+                " cls_label long, txt_off long, txt_len long,"
+                " sample_text string"
+            ),
+        )
+        .orderBy("doc_id", "sample_idx")
+    )
+
+
 # ----------------------------------------------------------------- tokens
 @query(
     "q_tokens",

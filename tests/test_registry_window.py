@@ -46,6 +46,7 @@ PYTEST_ONLY: set[str] = {
     "q_quality_nb",
     "q_vec_pq",
     "q_warc_gz",
+    "q_webdataset",
 }
 
 
