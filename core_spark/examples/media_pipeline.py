@@ -196,13 +196,15 @@ def curate_media(meta: DataFrame) -> DataFrame:
         )
         .when(is_img, F.lit("kept"))
         .when(F.col("duration_ms") < _MIN_MS, F.lit("rejected_short"))
-        # A video whose tkhd never appeared (NULL dims) or a
-        # fragmented movie with unknown duration can't be judged by
-        # these gates — mark it explicitly rather than letting the
-        # NULL comparison wave it through as an ordinary keep.
+        # Any timed asset (video OR audio) whose duration is unknown
+        # — a tkhd that never appeared, a fragmented movie, an
+        # audio-only fragmented M4A where the fmp4 fallback is
+        # video-gated — cannot be judged by the duration gate: mark
+        # it explicitly rather than letting the NULL comparison wave
+        # it through as an ordinary keep.
         .when(
-            is_vid
-            & (F.col("width").isNull() | F.col("duration_ms").isNull()),
+            F.col("duration_ms").isNull()
+            | (is_vid & F.col("width").isNull()),
             F.lit("kept_unverified"),
         )
         .when(

@@ -6,13 +6,22 @@ Implements the Google/RFC semantics a production crawler uses:
 
 - records are grouped by ``User-agent`` lines; a group applies to us
   if it names ``*`` or our agent token (case-insensitive); multiple
-  consecutive ``User-agent`` lines share one rule group;
+  consecutive ``User-agent`` lines share one rule group; when MORE
+  THAN ONE group matches, their rules are combined into one group
+  (RFC 9309 §2.2.1 — appended/concatenated robots files are common);
+  specific-agent groups take precedence over ``*`` groups and the
+  two tiers are never mixed;
 - only ``Allow`` / ``Disallow`` / ``Crawl-delay`` directives are
-  read; unknown directives, comments (``#`` to end of line) and
-  blank lines are skipped;
+  read; unknown directives, comments (``#`` to end of line), blank
+  lines and junk delay values are skipped;
 - an empty ``Disallow:`` value means "allow everything";
-- matching is longest-path-wins across Allow and Disallow together;
-  on a length tie Allow wins; no matching rule means allowed.
+- rules support the ``*`` (any character run) and trailing ``$``
+  (end anchor) special characters crawlers MUST honor
+  (RFC 9309 §2.2.3); a ``$`` anywhere else is literal;
+- matching is longest-rule-wins across Allow and Disallow together
+  (rule length in characters, wildcards counted — the public
+  google/robotstxt ranking); on a length tie Allow wins; no matching
+  rule means allowed.
 
 Reference scope: gazette moves opaque bytes (message/
 interfaces.go:121-124); crawl-policy logic like this lives in
@@ -23,7 +32,25 @@ by integer arithmetic.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
+from functools import lru_cache
+
+
+@lru_cache(maxsize=4096)
+def _rule_rx(rule: str) -> re.Pattern:
+    """Compile one rule to a start-anchored regex: ``*`` → ``.*``,
+    one trailing ``$`` → end anchor, everything else literal."""
+    anchored = rule.endswith("$")
+    core = rule[:-1] if anchored else rule
+    pat = ".*".join(re.escape(seg) for seg in core.split("*"))
+    return re.compile(pat + ("$" if anchored else ""))
+
+
+def _rule_matches(rule: str, path: str) -> bool:
+    if "*" not in rule and not rule.endswith("$"):
+        return path.startswith(rule)  # fast path: literal prefix
+    return _rule_rx(rule).match(path) is not None
 
 
 @dataclass
@@ -35,23 +62,35 @@ class RobotsPolicy:
     crawl_delay: int | None = None
 
     def decide(self, path: str) -> tuple[bool, str]:
-        """(allowed, winning_rule_path). Longest match wins; ties go
+        """(allowed, winning_rule_path). Longest rule wins; ties go
         to Allow; no match allows."""
         best_len = -1
         allowed = True
         rule = ""
         for p in self.disallows:
-            if p and path.startswith(p) and len(p) > best_len:
+            if p and len(p) > best_len and _rule_matches(p, path):
                 best_len, allowed, rule = len(p), False, p
         for p in self.allows:
-            if p and path.startswith(p) and len(p) >= best_len:
+            if p and len(p) >= best_len and _rule_matches(p, path):
                 best_len, allowed, rule = len(p), True, p
         return allowed, rule
 
+    def _merge(self, other: "RobotsPolicy") -> None:
+        self.allows.extend(other.allows)
+        self.disallows.extend(other.disallows)
+        if other.crawl_delay is not None:
+            self.crawl_delay = (
+                other.crawl_delay
+                if self.crawl_delay is None
+                else min(self.crawl_delay, other.crawl_delay)
+            )
+
 
 def parse_robots(text: str, agent: str = "*") -> RobotsPolicy:
-    """Parse robots.txt, returning the policy for ``agent`` (falling
-    back to the ``*`` group when no specific group matches)."""
+    """Parse robots.txt, returning the policy for ``agent``. ALL
+    groups naming the agent merge into one policy (falling back to
+    the merged ``*`` groups when no specific group matches); on
+    merged Crawl-delays the minimum — the politest — wins."""
     agent = agent.lower()
     groups: list[tuple[list[str], RobotsPolicy]] = []
     cur_agents: list[str] = []
@@ -84,16 +123,23 @@ def parse_robots(text: str, agent: str = "*") -> RobotsPolicy:
             elif key == "crawl-delay":
                 try:
                     cur.crawl_delay = int(float(val))
-                except ValueError:
-                    pass
+                except (ValueError, OverflowError):
+                    pass  # junk delay ("soon", "inf"): ignore
     if cur is not None:
         groups.append((cur_agents, cur))
 
-    specific = None
-    star = None
+    specific = RobotsPolicy()
+    star = RobotsPolicy()
+    any_specific = any_star = False
     for agents, pol in groups:
-        if agent != "*" and agent in agents and specific is None:
-            specific = pol
-        if "*" in agents and star is None:
-            star = pol
-    return specific or star or RobotsPolicy()
+        if agent != "*" and agent in agents:
+            specific._merge(pol)
+            any_specific = True
+        if "*" in agents:
+            star._merge(pol)
+            any_star = True
+    if any_specific:
+        return specific
+    if any_star:
+        return star
+    return RobotsPolicy()

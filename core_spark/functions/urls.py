@@ -16,7 +16,9 @@ dedup purposes):
   semantically irrelevant but breaks byte equality
 - duplicate-preserving: repeated keys survive, sorted stably
 - empty path normalized to "/"
-- percent-encoding case normalized via parse/unparse round trip
+- percent-encoding case normalized: %XX hex uppercased in the path
+  (RFC 3986 §6.2.2.1); the query is normalized by its parse/unparse
+  round trip
 
 Reference parity: gazette/core ships opaque serializations only
 (message/interfaces.go:121-124); normalization is executor-side
@@ -25,10 +27,12 @@ kernel work.
 
 from __future__ import annotations
 
+import re
 from urllib.parse import parse_qsl, urlencode, urlsplit, urlunsplit
 
 _DEFAULT_PORTS = {"http": "80", "https": "443"}
 _TRACKING = {"gclid", "fbclid", "ref", "mc_cid", "mc_eid", "igshid"}
+_PCT = re.compile(r"%[0-9a-fA-F]{2}")
 
 
 def canonical_url(url: str) -> str:
@@ -49,7 +53,11 @@ def canonical_url(url: str) -> str:
                 f":{parts.password}" if parts.password else ""
             )
             netloc = f"{cred}@{netloc}"
-        path = parts.path or "/"
+        # RFC 3986 §6.2.2.1 case normalization: percent-escape hex
+        # digits uppercase in the PATH too (the query is normalized
+        # by its parse/unparse round trip below) — '/a%2fb' and
+        # '/a%2Fb' are the same page and must dedup together.
+        path = _PCT.sub(lambda m: m.group(0).upper(), parts.path) or "/"
         q = [
             (k, v)
             for k, v in parse_qsl(parts.query, keep_blank_values=True)

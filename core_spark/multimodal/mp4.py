@@ -484,6 +484,48 @@ def _parse_tkhd_track_id(raw: memoryview, start: int, end: int) -> int:
     return struct.unpack_from(">I", raw, pos)[0]
 
 
+def _first_video_track_and_trex(
+    mv: memoryview, n: int
+) -> tuple[int | None, int | None, dict[int, tuple[int, int, int]]]:
+    """moov prelude shared by the two fragment walks: the first
+    video track's (track_id, media timescale) plus the mvex/trex
+    defaults {track_id: (dur, size, flags)}. One definition so the
+    track-selection tie-break and container recursion can't drift
+    between the keyframe and duration walks (they had already
+    become byte-identical twins)."""
+    video_track = None
+    media_ts = None
+    trex: dict[int, tuple[int, int, int]] = {}
+    for btype, _bs, body, bend in _boxes4(mv, 0, n):
+        if btype != b"moov":
+            continue
+        for t, _s0, s, e in _boxes4(mv, body, bend, 1):
+            if t == b"trak":
+                track_id = handler = ts = None
+
+                def walk(b0: int, b1: int, depth: int) -> None:
+                    nonlocal track_id, handler, ts
+                    for tt, _t0, ss, ee in _boxes4(mv, b0, b1, depth):
+                        if tt == b"tkhd":
+                            track_id = _parse_tkhd_track_id(mv, ss, ee)
+                        elif tt == b"hdlr":
+                            handler = _parse_hdlr(mv, ss, ee)
+                        elif tt == b"mdhd":
+                            ts = _parse_mdhd_timescale(mv, ss, ee)
+                        elif tt in _CONTAINERS:
+                            walk(ss, ee, depth + 1)
+
+                walk(s, e, 2)
+                if handler == b"vide" and video_track is None:
+                    video_track, media_ts = track_id, ts
+            elif t == b"mvex":
+                for tt, _t0, ss, ee in _boxes4(mv, s, e, 2):
+                    if tt == b"trex":
+                        tid, ddur, dsize, dflags = _parse_trex(mv, ss, ee)
+                        trex[tid] = (ddur, dsize, dflags)
+    return video_track, media_ts, trex
+
+
 def mp4_fragment_keyframes(raw: bytes) -> list[dict]:
     """Keyframe fetch plan for a FRAGMENTED movie (the CMAF/DASH
     packaging mp4_keyframes honestly declines): walk every top-level
@@ -505,40 +547,9 @@ def mp4_fragment_keyframes(raw: bytes) -> list[dict]:
     serializations only (message/interfaces.go:121-124); byte-range
     planning is executor-side kernel work."""
     mv = memoryview(raw)
-    video_track = None
-    media_ts = None
-    trex: dict[int, tuple[int, int, int]] = {}
-
-    for btype, _bs, body, bend in _boxes4(mv, 0, len(raw)):
-        if btype != b"moov":
-            continue
-        for t, _s0, s, e in _boxes4(mv, body, bend, 1):
-            if t == b"trak":
-                track_id = None
-                handler = None
-                ts = None
-
-                def walk(b0: int, b1: int, depth: int) -> None:
-                    nonlocal track_id, handler, ts
-                    for tt, _ts0, ss, ee in _boxes4(mv, b0, b1, depth):
-                        if tt == b"tkhd":
-                            track_id = _parse_tkhd_track_id(mv, ss, ee)
-                        elif tt == b"hdlr":
-                            handler = _parse_hdlr(mv, ss, ee)
-                        elif tt == b"mdhd":
-                            ts = _parse_mdhd_timescale(mv, ss, ee)
-                        elif tt in _CONTAINERS:
-                            walk(ss, ee, depth + 1)
-
-                walk(s, e, 2)
-                if handler == b"vide" and video_track is None:
-                    video_track, media_ts = track_id, ts
-            elif t == b"mvex":
-                for tt, _ts0, ss, ee in _boxes4(mv, s, e, 2):
-                    if tt == b"trex":
-                        tid, ddur, dsize, dflags = _parse_trex(mv, ss, ee)
-                        trex[tid] = (ddur, dsize, dflags)
-
+    video_track, media_ts, trex = _first_video_track_and_trex(
+        mv, len(raw)
+    )
     if video_track is None or media_ts is None:
         return []
 
@@ -737,38 +748,10 @@ def fmp4_duration_ms(raw: bytes) -> int | None:
     just the duration cascade (trun per-sample → tfhd default →
     trex default)."""
     mv = memoryview(raw)
-    video_track = None
-    media_ts = None
-    trex_dur: dict[int, int] = {}
-
-    for btype, _bs, body, bend in _boxes4(mv, 0, len(raw)):
-        if btype != b"moov":
-            continue
-        for t, _s0, s, e in _boxes4(mv, body, bend, 1):
-            if t == b"trak":
-                track_id = handler = ts = None
-
-                def walk(b0: int, b1: int, depth: int) -> None:
-                    nonlocal track_id, handler, ts
-                    for tt, _t0, ss, ee in _boxes4(mv, b0, b1, depth):
-                        if tt == b"tkhd":
-                            track_id = _parse_tkhd_track_id(mv, ss, ee)
-                        elif tt == b"hdlr":
-                            handler = _parse_hdlr(mv, ss, ee)
-                        elif tt == b"mdhd":
-                            ts = _parse_mdhd_timescale(mv, ss, ee)
-                        elif tt in _CONTAINERS:
-                            walk(ss, ee, depth + 1)
-
-                walk(s, e, 2)
-                if handler == b"vide" and video_track is None:
-                    video_track, media_ts = track_id, ts
-            elif t == b"mvex":
-                for tt, _t0, ss, ee in _boxes4(mv, s, e, 2):
-                    if tt == b"trex":
-                        tid, ddur, _dsz, _dfl = _parse_trex(mv, ss, ee)
-                        trex_dur[tid] = ddur
-
+    video_track, media_ts, trex = _first_video_track_and_trex(
+        mv, len(raw)
+    )
+    trex_dur = {tid: t3[0] for tid, t3 in trex.items()}
     if video_track is None or media_ts is None:
         return None
 

@@ -156,11 +156,16 @@ def _parse_value(raw: bytes, i: int, depth: int = 0):
         s, i = _parse_string(raw, i)
         return ("str", s), i
     if raw[i : i + 1] == b"<":  # hex string
-        j = raw.index(b">", i)
+        j = raw.find(b">", i)
+        if j < 0:
+            raise PdfError("unterminated hex string")
         hexs = re.sub(rb"\s", b"", raw[i + 1 : j])
         if len(hexs) % 2:
             hexs += b"0"
-        return ("str", bytes.fromhex(hexs.decode("ascii"))), j + 1
+        try:
+            return ("str", bytes.fromhex(hexs.decode("ascii"))), j + 1
+        except (ValueError, UnicodeDecodeError):
+            raise PdfError("non-hex digits in hex string")
     m = _REF.match(raw, i)
     if m:
         return ("ref", int(m.group(1))), m.end()

@@ -28,7 +28,14 @@ _TS = re.compile(
     r"^(?:(\d+):)?([0-5]\d):([0-5]\d)\.(\d{3})$"
 )
 _TAG = re.compile(r"<[^>]*>")
-_ARROW = " --> "
+# Cue timings per the W3C grammar: start, one-or-more SPACE/TAB,
+# "-->", one-or-more SPACE/TAB, end [settings]. A single-space
+# literal match would silently drop tab-separated cues — data loss,
+# not an error — so the separator is matched structurally.
+_ARROW = "-->"
+_TIMING = re.compile(
+    r"^(\S+)[ \t]+-->[ \t]+(\S+)(?:[ \t]+.*)?$"
+)
 
 
 class VttError(ValueError):
@@ -83,11 +90,11 @@ def vtt_cues(raw: str) -> list[dict]:
         )
         if ti is None:
             continue  # invalid block: skip per spec
-        timing = blk[ti]
-        left, _, rest = timing.partition(_ARROW)
-        end = rest.split()[0] if rest.split() else ""
-        t0 = _parse_ts(left.strip())
-        t1 = _parse_ts(end)
+        timing = _TIMING.match(blk[ti])
+        if timing is None:
+            continue  # malformed timing line: skip per spec
+        t0 = _parse_ts(timing.group(1))
+        t1 = _parse_ts(timing.group(2))
         if t0 is None or t1 is None or t1 < t0:
             continue  # invalid timing: skip per spec
         payload = " ".join(blk[ti + 1 :])

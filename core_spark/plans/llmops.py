@@ -2257,16 +2257,30 @@ def q_warc_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
              array_to_string(list_transform(range(8),
                k -> w[((i * 8 + k) % len(w)) + 1]), ' ') AS txt
       FROM f
+    ),
+    -- member data offset from the ustar layout arithmetic alone:
+    -- per sample j, the .txt member occupies 512 (header) +
+    -- ceil(bytes/512)*512 (padded data) and the 1-byte .cls member
+    -- a further 512 + 512; strlen() is DuckDB's BYTE length, the
+    -- unit tar sizes are declared in
+    o AS (
+      SELECT *,
+             512 + COALESCE(SUM(
+               512 + ((strlen(txt) + 511) // 512) * 512 + 1024
+             ) OVER (PARTITION BY doc_id ORDER BY i
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS off
+      FROM s
     )
     SELECT doc_id,
            CAST(i AS BIGINT) AS sample_idx,
            substr(h, 1, 8) || '-' || CAST(i AS VARCHAR) AS key,
            CAST((CAST('0x' || substr(h, 1, 2) AS BIGINT) + i) % 10
                 AS BIGINT) AS cls_label,
-           CAST(512 + i * 2048 AS BIGINT) AS txt_off,
-           CAST(length(txt) AS BIGINT) AS txt_len,
+           CAST(off AS BIGINT) AS txt_off,
+           CAST(strlen(txt) AS BIGINT) AS txt_len,
            txt AS sample_text
-    FROM s ORDER BY doc_id, sample_idx
+    FROM o ORDER BY doc_id, sample_idx
     """,
 )
 def q_webdataset(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2279,9 +2293,11 @@ def q_webdataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     into samples, slices label and text at the walked data offsets,
     and emits the (key, label, text, byte-range) rows a loader's
     ranged-GET plan is built from. The fixture layout is pure
-    arithmetic (every .txt under one block ⇒ member stride 2048), so
-    the oracle recomputes member offsets from the ustar spec alone —
-    a wrong offset slices garbage and fails the hash. The walk is
+    arithmetic, so the oracle recomputes every member's data offset
+    from the ustar spec alone — a prefix sum of 512-byte headers and
+    block-padded BYTE lengths (strlen), correct even when a sample's
+    text spans multiple blocks — and a wrong offset slices garbage
+    and fails the hash. The walk is
     additionally cross-checked against the stdlib tarfile reader in
     tests/test_tar.py; corrupt headers raise the named TarError.
 

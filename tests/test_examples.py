@@ -172,6 +172,8 @@ def test_media_pipeline_end_to_end(spark, tmp_path):
         # both would have been unverified NULLs)
         (18, build_fmp4([[100] * 5] * 3, delta=40)),       # 600ms kept
         (19, build_fmp4([[100] * 4], delta=40)),           # 160ms short
+        (20, build_mp4(700, audio="mp4a",
+                       fragmented=True)),   # audio, unknown duration
     ]
     media = spark.createDataFrame(
         [(i, bytearray(p)) for i, p in payloads],
@@ -197,13 +199,18 @@ def test_media_pipeline_end_to_end(spark, tmp_path):
     # real CMAF fragments: trun-summed duration drives the gate
     assert verdicts[18] == "kept_no_energy"
     assert verdicts[19] == "rejected_short"
+    # fragmented AUDIO-only M4A: mvhd unknown and the fmp4 fallback
+    # is video-gated, so duration stays NULL — must be flagged
+    # unverified, not waved through the duration gate as an ordinary
+    # keep (r7 review regression: the guard was video-scoped)
+    assert verdicts[20] == "kept_unverified"
     kept = {d for d, v in verdicts.items() if v.startswith("kept")}
-    assert kept == {1, 2, 3, 5, 6, 7, 10, 11, 12, 13, 16, 17, 18}
+    assert kept == {1, 2, 3, 5, 6, 7, 10, 11, 12, 13, 16, 17, 18, 20}
 
     stats = {r.mime: r.n_assets for r in media_stats(spark, out_root).collect()}
     assert stats["image/png"] == 1 and stats["audio/wav"] == 3
     assert stats["audio/mpeg"] == 1
-    assert stats["audio/mp4"] == 1 and stats["video/mp4"] == 3
+    assert stats["audio/mp4"] == 2 and stats["video/mp4"] == 3
 
     wavs = media_read(spark, out_root, "audio/wav").collect()
     assert sorted(r.doc_id for r in wavs) == [5, 6, 7]

@@ -1525,6 +1525,14 @@ def test_vtt_fixture_roundtrip_and_edges():
     )
     cs = vtt_cues(mixed)
     assert [c["text"] for c in cs] == ["ok cue"]
+    # tab separators around --> are spec-valid (one-or-more SPACE or
+    # TAB per the cue-timings grammar); no-whitespace is not
+    tabbed = (
+        "WEBVTT\n\n00:00:01.000\t-->\t00:00:02.000\ntabbed\n\n"
+        "00:00:03.000 \t--> \t00:00:04.000\nmixed ws\n\n"
+        "00:00:05.000-->00:00:06.000\nglued: invalid\n"
+    )
+    assert [c["text"] for c in vtt_cues(tabbed)] == ["tabbed", "mixed ws"]
     # hours field, voice/italic tags, NOTE/STYLE blocks
     h = vtt_cues(
         "WEBVTT\n\nSTYLE\n::cue { color: red }\n\n"

@@ -60,3 +60,45 @@ def test_directive_before_any_group_ignored():
 def test_bad_crawl_delay_ignored():
     pol = parse_robots("User-agent: *\nCrawl-delay: soon\n")
     assert pol.crawl_delay is None
+
+
+def test_matching_groups_merge_rfc_2_2_1():
+    """Multiple groups naming the same agent combine into one policy
+    (the appended-robots-files shape); Crawl-delay merges to the
+    politest (minimum)."""
+    pol = parse_robots(
+        "User-agent: *\nDisallow: /a\nCrawl-delay: 7\n\n"
+        "User-agent: *\nDisallow: /b\nCrawl-delay: 3\n"
+    )
+    assert pol.decide("/a/x") == (False, "/a")
+    assert pol.decide("/b/x") == (False, "/b")
+    assert pol.crawl_delay == 3
+    # specific groups never mix with * groups
+    pol = parse_robots(
+        "User-agent: gbot\nDisallow: /g\n\nUser-agent: *\nDisallow: /s\n",
+        agent="gbot",
+    )
+    assert pol.decide("/s/x")[0] is True
+    assert pol.decide("/g/x")[0] is False
+
+
+def test_wildcard_and_anchor_rules_rfc_2_2_3():
+    """'*' spans any character run, one trailing '$' anchors the end;
+    rule length (wildcards counted) still ranks; ties go to Allow."""
+    pol = parse_robots("User-agent: *\nDisallow: /*.pdf$\n")
+    assert pol.decide("/report.pdf") == (False, "/*.pdf$")
+    assert pol.decide("/report.pdfx")[0] is True  # anchor honored
+    pol = parse_robots("User-agent: *\nDisallow: /private*/data\n")
+    assert pol.decide("/private2024/data/x")[0] is False
+    assert pol.decide("/private2024/info")[0] is True
+    pol = parse_robots("User-agent: *\nDisallow: /p\nAllow: /p$\n")
+    assert pol.decide("/p") == (True, "/p$")
+    assert pol.decide("/pq")[0] is False
+
+
+def test_crawl_delay_inf_ignored():
+    """int(float('inf')) raises OverflowError, not ValueError — junk
+    delays of every shape are ignored, never a task-killing raise."""
+    for bad in ("inf", "Infinity", "-inf", "nan"):
+        pol = parse_robots(f"User-agent: *\nCrawl-delay: {bad}\n")
+        assert pol.crawl_delay is None

@@ -80,3 +80,28 @@ def test_tar_corrupt_inputs_raise_named():
             tar_members(bytes(b))
         except ValueError:
             pass
+
+
+def test_tar_multiblock_member_offsets():
+    """A sample whose text exceeds one 512-byte block shifts every
+    subsequent member by whole blocks — the walked offsets (and the
+    oracle's prefix-sum arithmetic) must track real padded sizes,
+    not a fixed stride."""
+    long_text = " ".join("w" * 80 for _ in range(16))  # 8 words > 512B
+    dig = hashlib.md5(long_text.encode()).hexdigest()
+    blob = build_webdataset_fixture(long_text, dig)
+    members = tar_members(blob)
+    tf = tarfile.open(fileobj=io.BytesIO(blob))
+    assert [(ti.name, ti.size, ti.offset_data) for ti in tf.getmembers()] \
+        == [(m["name"], m["size"], m["data_off"]) for m in members]
+    # txt members are 648 bytes -> padded to 1024: stride is 2560,
+    # not the single-block 2048
+    assert members[0]["size"] > 512
+    stride = members[2]["data_off"] - members[0]["data_off"]
+    assert stride == 512 + 1024 + 512 + 512
+    # the oracle's prefix-sum form reproduces every txt offset
+    off = 512
+    for i in range(0, len(members), 2):
+        assert members[i]["data_off"] == off
+        t = members[i]["size"]
+        off += 512 + ((t + 511) // 512) * 512 + 1024

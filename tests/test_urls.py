@@ -45,3 +45,16 @@ def test_malformed_never_raises():
         "a b c", "https://h.com:notaport/x",
     ):
         canonical_url(junk)  # must not raise
+
+
+def test_path_percent_escape_case_collapses():
+    """RFC 3986 §6.2.2.1: %XX hex case in the PATH is normalized
+    (uppercase), so escape-case variants of one page dedup together;
+    malformed %-sequences pass through untouched."""
+    assert canonical_url("https://h.com/a%2Fb") == canonical_url(
+        "https://h.com/a%2fb"
+    )
+    assert canonical_url("https://h.com/a%2fb") == "https://h.com/a%2Fb"
+    assert canonical_url("https://h.com/a%zz") == "https://h.com/a%zz"
+    u = canonical_url("https://h.com/x%2fy%0A?b=1&a=2")
+    assert canonical_url(u) == u
