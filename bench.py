@@ -129,6 +129,7 @@ HEADLINE = [
     "q_pdf_extract",
     "q_quality_nb",
     "q_vec_pq",
+    "q_pq_recall",
     "q_warc_gz",
     "q_webdataset",
     # q_dup_canonical is intentionally absent: its dominant cost is

@@ -239,7 +239,10 @@ def _pq_sub_ctes(m: int) -> str:
     return ",".join(parts)
 
 
-def _pq_oracle() -> str:
+def _pq_body_ctes() -> str:
+    """Everything up to the ranked-ADC CTE `pqt` — shared by
+    q_vec_pq's oracle and q_pq_recall's (which joins `pqt` against
+    an exact-top-k CTE)."""
     subs = ",".join(_pq_sub_ctes(m) for m in range(_PQ_M))
     # per-subspace ADC tables: query subvector x trained codebook
     tables = ",".join(
@@ -261,7 +264,7 @@ def _pq_oracle() -> str:
         f"JOIN m{m}sF ON m{m}sF.vid = x.vid" for m in range(_PQ_M)
     )
     return f"""
-    WITH v AS (
+    v AS (
       SELECT vec_id AS vid,
              list_transform(embedding,
                e -> CAST(round(CAST(e AS DOUBLE) * 1000000) AS BIGINT)) AS qv
@@ -272,33 +275,26 @@ def _pq_oracle() -> str:
     adc AS (
       SELECT q.qid, x.vid AS vec_id, {lookups} AS adist
       FROM q, (SELECT vid FROM v) x {joins}
-      WHERE x.vid <> q.qid)
-    SELECT qid, vec_id, adist FROM (
-      SELECT *, row_number() OVER (
-        PARTITION BY qid ORDER BY adist, vec_id) AS rn
-      FROM adc
-    ) WHERE rn <= {_PQ_TOPK} ORDER BY qid, vec_id
+      WHERE x.vid <> q.qid),
+    pqt AS (
+      SELECT qid, vec_id, adist FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY qid ORDER BY adist, vec_id) AS rn
+        FROM adc
+      ) WHERE rn <= {_PQ_TOPK})"""
+
+
+def _pq_oracle() -> str:
+    return f"""
+    WITH {_pq_body_ctes()}
+    SELECT qid, vec_id, adist FROM pqt ORDER BY qid, vec_id
     """
 
 
-@query("q_vec_pq", oracle=_pq_oracle())
-def q_vec_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product quantization ANN (Jegou et al. 2011, public): the
-    64-dim embeddings split into 4 subspaces, each trained to a
-    4-codeword codebook by the SAME integer-micro Lloyd rounds as
-    q_cluster_kmeans (operators/clustering.py), every vector encoded
-    to 4 one-byte codes, and search runs by Asymmetric Distance
-    Computation — the query's per-subspace distance TABLE (a 4x4-row
-    broadcast) replaces all full-width distance math, which is
-    exactly why PQ scales: at 100 TB the corpus is touched only
-    through its codes (M bytes/vector instead of 4*dims), distances
-    become M table lookups joined on (subspace, code), and no
-    corpus-x-corpus or corpus-x-query full-width pair ever forms.
-    Fully integer, so codebooks, codes and ADC ranks hash-match the
-    unrolled-CTE oracle."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    vecs = persisted_quantized(quantize_vectors(emb))
-
+def _pq_adc_topk(vecs: DataFrame) -> DataFrame:
+    """(qid, vec_id, adist): the ADC top-k over a persisted
+    quantized corpus — the shared engine behind q_vec_pq and the
+    q_pq_recall audit."""
     enc_parts = []
     table_parts = []
     for m in range(_PQ_M):
@@ -349,5 +345,96 @@ def q_vec_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         adc.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _PQ_TOPK)
         .select("qid", F.col("vid").alias("vec_id"), "adist")
-        .orderBy("qid", "vec_id")
+    )
+
+
+@query("q_vec_pq", oracle=_pq_oracle())
+def q_vec_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization ANN (Jegou et al. 2011, public): the
+    64-dim embeddings split into 4 subspaces, each trained to a
+    4-codeword codebook by the SAME integer-micro Lloyd rounds as
+    q_cluster_kmeans (operators/clustering.py), every vector encoded
+    to 4 one-byte codes, and search runs by Asymmetric Distance
+    Computation — the query's per-subspace distance TABLE (a 4x4-row
+    broadcast) replaces all full-width distance math, which is
+    exactly why PQ scales: at 100 TB the corpus is touched only
+    through its codes (M bytes/vector instead of 4*dims), distances
+    become M table lookups joined on (subspace, code), and no
+    corpus-x-corpus or corpus-x-query full-width pair ever forms.
+    Fully integer, so codebooks, codes and ADC ranks hash-match the
+    unrolled-CTE oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = persisted_quantized(quantize_vectors(emb))
+    return _pq_adc_topk(vecs).orderBy("qid", "vec_id")
+
+
+@query(
+    "q_pq_recall",
+    oracle=f"""
+    WITH {_pq_body_ctes()},
+    ex AS (
+      SELECT q.vid AS qid, x.vid AS vec_id,
+             CAST(list_sum(list_transform(list_zip(q.qv, x.qv),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)
+               AS dist
+      FROM (SELECT vid, qv FROM v WHERE vid < {_PQ_NQ}) q, v x
+      WHERE x.vid <> q.vid),
+    ext AS (
+      SELECT qid, vec_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY qid ORDER BY dist, vec_id) AS rn
+        FROM ex
+      ) WHERE rn <= {_PQ_TOPK})
+    SELECT ext.qid,
+           CAST({_PQ_TOPK} AS BIGINT) AS n_exact,
+           CAST(COUNT(pqt.vec_id) AS BIGINT) AS n_overlap,
+           CAST(COUNT(pqt.vec_id) * 10000 // {_PQ_TOPK} AS BIGINT)
+             AS recall_bp
+    FROM ext LEFT JOIN pqt USING (qid, vec_id)
+    GROUP BY ext.qid ORDER BY ext.qid
+    """,
+)
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit for the PQ index — the verification tier every
+    ANN variant here carries (q_ann_recall's convention): exact
+    integer-L2 top-{k} per query vector (brute force over the
+    corpus — the small-sample x corpus comparison side, NOT the
+    scale path) against the ADC top-{k}, reported as integer
+    basis-point recall. Fully integer on both sides, so the audit
+    itself hash-matches the oracle; a PQ quantization or ADC lookup
+    bug shows up as a recall drop the driver catches."""
+    from pyspark.sql.window import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = persisted_quantized(quantize_vectors(emb))
+    pq = _pq_adc_topk(vecs)
+
+    qv = vecs.filter(F.col("vid") < _PQ_NQ).select(
+        F.col("vid").alias("qid"), F.col("qv").alias("qqv")
+    )
+    dist = (
+        "CAST(aggregate(zip_with(qqv, qv, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS BIGINT), (acc, d) -> acc + d) AS BIGINT)"
+    )
+    ex = (
+        vecs.crossJoin(F.broadcast(qv))
+        .filter(F.col("vid") != F.col("qid"))
+        .withColumn("dist", F.expr(dist))
+    )
+    w = W.partitionBy("qid").orderBy("dist", "vid")
+    ext = (
+        ex.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _PQ_TOPK)
+        .select("qid", F.col("vid").alias("vec_id"))
+    )
+    return (
+        ext.join(pq.select("qid", "vec_id", "adist"), ["qid", "vec_id"], "left")
+        .groupBy("qid")
+        .agg(
+            F.lit(_PQ_TOPK).cast("long").alias("n_exact"),
+            F.count("adist").alias("n_overlap"),
+            F.expr(f"CAST(count(adist) * 10000 DIV {_PQ_TOPK} AS BIGINT)")
+            .alias("recall_bp"),
+        )
+        .orderBy("qid")
     )

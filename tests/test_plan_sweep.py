@@ -42,6 +42,10 @@ ALLOWED = {
     "q_vec_pq": "ADC tables: 5 query subvectors x broadcast "
                 "4-codeword codebooks (constant rows) — the lookup "
                 "tables that REPLACE full-width distance math",
+    "q_pq_recall": "inherits q_vec_pq's ADC-table broadcasts; the "
+                   "exact side is the 5-query SAMPLE x corpus "
+                   "verification tier (q_ann_recall's convention), "
+                   "NOT the scale path",
     "q_curate2": "inherits q_embed_semdedup's centroid argmax "
                  "(vector x broadcast n_cells rows, map-side)",
     "q_bpe_train": "each round's winning merge rides a ONE-ROW "

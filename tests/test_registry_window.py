@@ -43,6 +43,7 @@ PYTEST_ONLY: set[str] = {
     # the cutoff for r8 rotation (the window holds 20 first-time r7
     # names that must keep their slots)
     "q_pdf_extract",
+    "q_pq_recall",
     "q_quality_nb",
     "q_vec_pq",
     "q_warc_gz",
