@@ -5,7 +5,11 @@ Shape (batch; curation-stream shows the same machinery streaming):
 one Arrow `mapInPandas` pass classifies every payload by magic and
 decodes the family-appropriate metadata — images (PNG/GIF/BMP/JPEG/
 PPM) to dimensions, audio (WAV incl. G.711/ADPCM/float, AIFF, FLAC,
-MP3 headers) to rate/duration plus a decoded-PCM mean energy — then
+MP3 headers) to rate/duration plus a decoded-PCM mean energy,
+documents (PDF) to page count and extracted-text size via the real
+xref/FlateDecode/Tj walk (multimodal/pdf.py; a scan-only PDF with
+zero extractable chars is rejected_no_text — the OCR-queue row, not
+a text-corpus row) — then
 DECLARATIVE gates drop what a training corpus drops (tiny images,
 sub-second clips, digital silence), and the accepted metadata rows
 append exactly-once to a `media/clean` journal bloom-indexed on
@@ -47,7 +51,8 @@ from core_spark.sources.journal import Journal
 MEDIA_JOURNAL = "media/clean"
 MEDIA_META_SCHEMA = (
     "doc_id long, mime string, width long, height long, rate long,"
-    " duration_ms long, mean_energy long, n_bytes long"
+    " duration_ms long, mean_energy long, n_pages long,"
+    " text_chars long, n_bytes long"
 )
 _MIN_SIDE = 64  # image gate: smallest usable training thumbnail
 _MIN_MS = 500  # audio gate: sub-second clips are noise
@@ -86,7 +91,22 @@ def media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                 img = ("image/jpeg", w, h)
             if img is not None:
                 mime, w, h = img
-                return (doc_id, mime, w, h, None, None, None, len(raw))
+                return (
+                    doc_id, mime, w, h, None, None, None, None, None,
+                    len(raw),
+                )
+
+            if raw[:5] == b"%PDF-":
+                from core_spark.multimodal.pdf import (
+                    pdf_meta, pdf_pages_text,
+                )
+
+                pm = pdf_meta(raw)
+                chars = sum(len(p) for p in pdf_pages_text(raw))
+                return (
+                    doc_id, "application/pdf", None, None, None,
+                    None, None, pm["page_count"], chars, len(raw),
+                )
 
             if len(raw) >= 12 and raw[4:8] == b"ftyp":
                 from core_spark.multimodal.mp4 import (
@@ -116,7 +136,7 @@ def media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                     dur = fmp4_duration_ms(raw)
                 return (
                     doc_id, mime, m["width"], m["height"],
-                    None, dur, None, len(raw),
+                    None, dur, None, None, None, len(raw),
                 )
 
             if raw[:3] == b"ID3" or (
@@ -132,7 +152,7 @@ def media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                 # decoder the container lacks — NULL, never a fake
                 return (
                     doc_id, "audio/mpeg", None, None, m["rate"],
-                    m["duration_ms"], None, len(raw),
+                    m["duration_ms"], None, None, None, len(raw),
                 )
 
             if raw[:4] == b"fLaC":
@@ -162,7 +182,10 @@ def media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             nf = pcm.shape[0]
             dur = nf * 1000 // max(1, rate)
             energy = int((pcm.astype(np.int64) ** 2).sum() // max(1, nf * pcm.shape[1]))
-            return (doc_id, mime, None, None, rate, dur, energy, len(raw))
+            return (
+                doc_id, mime, None, None, rate, dur, energy, None,
+                None, len(raw),
+            )
 
         for pdf in batches:
             rows = [
@@ -173,7 +196,8 @@ def media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                 rows,
                 columns=[
                     "doc_id", "mime", "width", "height", "rate",
-                    "duration_ms", "mean_energy", "n_bytes",
+                    "duration_ms", "mean_energy", "n_pages",
+                    "text_chars", "n_bytes",
                 ],
             )
 
@@ -188,6 +212,7 @@ def curate_media(meta: DataFrame) -> DataFrame:
     rows are what reaches the journal."""
     is_img = F.col("mime").startswith("image/")
     is_vid = F.col("mime").startswith("video/")
+    is_doc = F.col("mime") == "application/pdf"
     return meta.withColumn(
         "verdict",
         F.when(
@@ -195,6 +220,12 @@ def curate_media(meta: DataFrame) -> DataFrame:
             F.lit("rejected_small"),
         )
         .when(is_img, F.lit("kept"))
+        # documents: a PDF whose pages yield no extractable text is
+        # the scan-only/image-PDF case a text corpus drops (it needs
+        # OCR, a different pipeline) — the page walk is real
+        # (multimodal/pdf.py), so zero chars is a measured verdict
+        .when(is_doc & (F.col("text_chars") == 0), F.lit("rejected_no_text"))
+        .when(is_doc, F.lit("kept"))
         .when(F.col("duration_ms") < _MIN_MS, F.lit("rejected_short"))
         # Any timed asset (video OR audio) whose duration is unknown
         # — a tkhd that never appeared, a fragmented movie, an

@@ -412,7 +412,9 @@ def _esc(s: str) -> bytes:
     ).encode("latin-1")
 
 
-def build_pdf_fixture(text: str, digest: str) -> bytes:
+def build_pdf_fixture(
+    text: str, digest: str, graphics_only: bool = False
+) -> bytes:
     """Deterministic PDF 1.4 fixture: the document's words tiled
     `5 + digest[0]%4` per page; even pages show their words as one
     `(…) Tj` run, odd pages as a kerned `[(w) -120 (w) …] TJ` array
@@ -420,7 +422,12 @@ def build_pdf_fixture(text: str, digest: str) -> bytes:
     genuinely FlateDecode-compressed; the xref table carries exact
     byte offsets; /Info holds a Producer and an md5-derived
     CreationDate. `digest` is md5(text).hexdigest() so a SQL oracle
-    recomputes page boundaries, page count and per-page text."""
+    recomputes page boundaries, page count and per-page text.
+
+    graphics_only=True keeps the same page structure but every
+    content stream draws paths instead of showing text — the
+    scan-only/image-PDF shape whose extraction honestly yields ''
+    per page (what a curation gate routes to OCR)."""
     words = text.split(" ")
     wpp = 5 + int(digest[0], 16) % 4
     n_pages = max(1, (len(words) + wpp - 1) // wpp)
@@ -444,15 +451,24 @@ def build_pdf_fixture(text: str, digest: str) -> bytes:
     objs[4] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
     for k in range(n_pages):
         chunk = words[k * wpp : (k + 1) * wpp]
-        if k % 2 == 0:
-            shown = b"(" + _esc(" ".join(chunk)) + b") Tj"
-        else:
-            shown = (
-                b"[ "
-                + b" -120 ".join(b"(" + _esc(w) + b")" for w in chunk)
-                + b" ] TJ"
+        if graphics_only:
+            body = zlib.compress(
+                b"72 720 m 540 720 l 540 %d l S" % (100 + 10 * k)
             )
-        body = zlib.compress(b"BT /F1 12 Tf 72 720 Td " + shown + b" ET")
+        else:
+            if k % 2 == 0:
+                shown = b"(" + _esc(" ".join(chunk)) + b") Tj"
+            else:
+                shown = (
+                    b"[ "
+                    + b" -120 ".join(
+                        b"(" + _esc(w) + b")" for w in chunk
+                    )
+                    + b" ] TJ"
+                )
+            body = zlib.compress(
+                b"BT /F1 12 Tf 72 720 Td " + shown + b" ET"
+            )
         objs[5 + 2 * k] = (
             b"<< /Type /Page /Parent 2 0 R"
             b" /MediaBox [0 0 612 792]"

@@ -1,5 +1,6 @@
 """The three reference example apps, end-to-end on the engine."""
 
+import hashlib
 import os
 
 from pyspark.sql import functions as F
@@ -123,6 +124,7 @@ def test_media_pipeline_end_to_end(spark, tmp_path):
     from core_spark.multimodal.flac import flac_encode
     from core_spark.multimodal.gif import gif_encode
     from core_spark.multimodal.mp4 import build_fmp4, build_mp4
+    from core_spark.multimodal.pdf import build_pdf_fixture
     from core_spark.multimodal.png import png_encode
 
     rng = np.random.default_rng(11)
@@ -174,6 +176,17 @@ def test_media_pipeline_end_to_end(spark, tmp_path):
         (19, build_fmp4([[100] * 4], delta=40)),           # 160ms short
         (20, build_mp4(700, audio="mp4a",
                        fragmented=True)),   # audio, unknown duration
+        (21, build_pdf_fixture(
+            "alpha bravo charlie delta echo foxtrot golf hotel",
+            hashlib.md5(
+                b"alpha bravo charlie delta echo foxtrot golf hotel"
+            ).hexdigest())),                                # kept (text)
+        (22, build_pdf_fixture(
+            "india juliet kilo lima mike november oscar papa",
+            hashlib.md5(
+                b"india juliet kilo lima mike november oscar papa"
+            ).hexdigest(),
+            graphics_only=True)),           # rejected_no_text (scan-only)
     ]
     media = spark.createDataFrame(
         [(i, bytearray(p)) for i, p in payloads],
@@ -204,13 +217,18 @@ def test_media_pipeline_end_to_end(spark, tmp_path):
     # unverified, not waved through the duration gate as an ordinary
     # keep (r7 review regression: the guard was video-scoped)
     assert verdicts[20] == "kept_unverified"
+    # documents: text PDF kept, scan-only (graphics-only streams,
+    # zero extractable chars) routed to OCR, not the text corpus
+    assert verdicts[21] == "kept"
+    assert verdicts[22] == "rejected_no_text"
     kept = {d for d, v in verdicts.items() if v.startswith("kept")}
-    assert kept == {1, 2, 3, 5, 6, 7, 10, 11, 12, 13, 16, 17, 18, 20}
+    assert kept == {1, 2, 3, 5, 6, 7, 10, 11, 12, 13, 16, 17, 18, 20, 21}
 
     stats = {r.mime: r.n_assets for r in media_stats(spark, out_root).collect()}
     assert stats["image/png"] == 1 and stats["audio/wav"] == 3
     assert stats["audio/mpeg"] == 1
     assert stats["audio/mp4"] == 2 and stats["video/mp4"] == 3
+    assert stats["application/pdf"] == 1
 
     wavs = media_read(spark, out_root, "audio/wav").collect()
     assert sorted(r.doc_id for r in wavs) == [5, 6, 7]
