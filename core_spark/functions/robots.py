@@ -127,6 +127,11 @@ def parse_robots(text: str, agent: str = "*") -> RobotsPolicy:
                     pass  # junk delay ("soon", "inf"): ignore
     if cur is not None:
         groups.append((cur_agents, cur))
+    elif cur_agents:
+        # Trailing rule-less group at EOF: RFC 9309 §2.2.1 — a group
+        # that matches but carries no rules means allow-all for that
+        # agent (it must NOT fall through to the ``*`` tier).
+        groups.append((cur_agents, RobotsPolicy()))
 
     specific = RobotsPolicy()
     star = RobotsPolicy()

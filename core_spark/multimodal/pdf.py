@@ -355,14 +355,14 @@ def _content_text(content: bytes) -> str:
             if op == b"Tj" and stack:
                 v = stack[-1]
                 if isinstance(v, tuple) and v[0] == "str":
-                    runs.append(v[1].decode("latin-1"))
+                    runs.append(_text_str(v[1]))
             elif op == b"TJ" and stack:
                 v = stack[-1]
                 if isinstance(v, list):
                     words: list[str] = [""]
                     for item in v:
                         if isinstance(item, tuple) and item[0] == "str":
-                            words[-1] += item[1].decode("latin-1")
+                            words[-1] += _text_str(item[1])
                         elif isinstance(item, (int, float)):
                             if item <= TJ_SPACE_THRESHOLD:
                                 words.append("")
@@ -382,10 +382,10 @@ def pdf_meta(raw: bytes) -> dict:
     if isinstance(info, dict):
         p = info.get("Producer")
         if isinstance(p, tuple) and p[0] == "str":
-            producer = p[1].decode("latin-1")
+            producer = _text_str(p[1])
         d = info.get("CreationDate")
         if isinstance(d, tuple) and d[0] == "str":
-            created = d[1].decode("latin-1")
+            created = _text_str(d[1])
     return {
         "version": doc.version,
         "page_count": len(doc.pages()),
@@ -405,11 +405,29 @@ def pdf_pages_text(raw: bytes) -> list[str]:
     return out
 
 
+def _text_str(b: bytes) -> str:
+    """PDF "text string" decode (spec §7.9.2.2): a BOM-prefixed
+    string is UTF-16BE; anything else is PDFDocEncoding, which is
+    latin-1 for every code point fixtures emit."""
+    if b.startswith(b"\xfe\xff"):
+        return b[2:].decode("utf-16-be", errors="replace")
+    return b.decode("latin-1")
+
+
 # -------------------------------------------------------------- builder
 def _esc(s: str) -> bytes:
+    """String-literal bytes for `s`: latin-1 when it fits, else a
+    BOM-prefixed UTF-16BE text string (spec §7.9.2.2) so non-latin-1
+    corpora (CJK, Greek) build and round-trip instead of raising.
+    Escapes run on the encoded BYTES — UTF-16 code units can contain
+    0x28/0x29/0x5C."""
+    try:
+        raw = s.encode("latin-1")
+    except UnicodeEncodeError:
+        raw = b"\xfe\xff" + s.encode("utf-16-be")
     return (
-        s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
-    ).encode("latin-1")
+        raw.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
+    )
 
 
 def build_pdf_fixture(

@@ -2183,7 +2183,9 @@ def q_warc_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
     check proves text recovery through gzip + WARC + HTTP + HTML at
     once. Compressed member offsets are zlib-dependent and therefore
     pinned by slicing in tests/test_warc.py rather than by the SQL
-    oracle. Zero shuffles before the presentation sort.
+    oracle. One round-robin exchange (spread, a local single-file
+    fixture artifact — see io.spread's docstring) feeds the Arrow map
+    stage; no other shuffle before the presentation sort.
 
     PYTEST_ONLY naming (after the window cutoff) — rotates into the
     driver window in r8."""
@@ -2301,8 +2303,10 @@ def q_webdataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     additionally cross-checked against the stdlib tarfile reader in
     tests/test_tar.py; corrupt headers raise the named TarError.
 
-    Scale shape: one Arrow map stage, zero shuffles before the
-    presentation sort; at 100 TB the shards live in object storage
+    Scale shape: one round-robin exchange (spread, a local
+    single-file fixture artifact — see io.spread's docstring) into
+    one Arrow map stage; no other shuffle before the presentation
+    sort. At 100 TB the shards live in object storage
     and this plan is the index pass that lets every training epoch
     fetch sample bytes directly.
 
@@ -2630,9 +2634,13 @@ def q_crawl_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     2021-07-04, RFC-822-ish "4 Jul 2021", prose "July 4, 2021");
     the extractor must find it in running text with per-format
     regexps and parse it with per-format date patterns, coalescing
-    the first hit. The oracle recomputes the expected date by pure
-    integer arithmetic from the same md5 — an independent derivation
-    that never sees the messy string.
+    the first hit. Extraction is anchored to the "posted " publish
+    marker (the trafilatura-style heuristic: dates are trusted near
+    a byline/posted marker, not anywhere in body text) — so a
+    document whose own text happens to contain a date-shaped string
+    cannot shadow the publish date. The oracle recomputes the
+    expected date by pure integer arithmetic from the same md5 — an
+    independent derivation that never sees the messy string.
 
     Scale shape: 100% JVM-native — regexp_extract + try_to_date in
     whole-stage codegen, zero Python, zero shuffles (the final
@@ -2663,15 +2671,17 @@ def q_crawl_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     withp = docs.select("doc_id", fmt.alias("fmt"), page.alias("page"))
     iso = F.expr(
         r"try_to_date(nullif(regexp_extract(page,"
-        r" '(\\d{4}-\\d{2}-\\d{2})', 1), ''), 'yyyy-MM-dd')"
+        r" 'posted (\\d{4}-\\d{2}-\\d{2})', 1), ''), 'yyyy-MM-dd')"
     )
     med = F.expr(
         r"try_to_date(nullif(regexp_extract(page,"
-        r" '(\\d{1,2} [A-Z][a-z]{2} \\d{4})', 1), ''), 'd MMM yyyy')"
+        r" 'posted (\\d{1,2} [A-Z][a-z]{2} \\d{4})', 1), ''),"
+        r" 'd MMM yyyy')"
     )
     lng = F.expr(
         r"try_to_date(nullif(regexp_extract(page,"
-        r" '([A-Z][a-z]+ \\d{1,2}, \\d{4})', 1), ''), 'MMMM d, yyyy')"
+        r" 'posted ([A-Z][a-z]+ \\d{1,2}, \\d{4})', 1), ''),"
+        r" 'MMMM d, yyyy')"
     )
     pub = F.coalesce(iso, med, lng)
     return (

@@ -2079,3 +2079,29 @@ def test_pdf_fixture_roundtrip_and_discipline():
                     fn(junk)
                 except ValueError:
                     pass
+
+
+def test_pdf_unicode_text_strings_roundtrip():
+    """Non-latin-1 document text builds (BOM-prefixed UTF-16BE text
+    strings, spec 7.9.2.2) and extracts back byte-exact — a unicode
+    corpus must not crash the attach kernel (ADVICE r7)."""
+    import hashlib
+
+    from core_spark.multimodal.pdf import (
+        build_pdf_fixture,
+        pdf_meta,
+        pdf_pages_text,
+    )
+
+    for text in (
+        "héllo wörld ünïcode",
+        "汉字文本 ελληνικά κείμενο mixed ascii 漢字 " * 4,
+        "paren (escape) test \\ backslash ünder utf16 (汉)",
+    ):
+        digest = hashlib.md5(text.encode("utf-8")).hexdigest()
+        raw = build_pdf_fixture(text, digest)
+        got = " ".join(
+            " ".join(p.split()) for p in pdf_pages_text(raw)
+        ).strip()
+        assert got == " ".join(text.split())
+        assert pdf_meta(raw)["page_count"] >= 1

@@ -102,3 +102,16 @@ def test_crawl_delay_inf_ignored():
     for bad in ("inf", "Infinity", "-inf", "nan"):
         pol = parse_robots(f"User-agent: *\nCrawl-delay: {bad}\n")
         assert pol.crawl_delay is None
+
+
+def test_trailing_ruleless_group_allows_all_rfc_2_2_1():
+    """A matching group with no rules means allow-all for that agent
+    (RFC 9309 §2.2.1) even at EOF — it must not fall back to '*'."""
+    txt = "User-agent: *\nDisallow: /\n\nUser-agent: mybot"
+    assert parse_robots(txt, agent="mybot").decide("/x")[0] is True
+    assert parse_robots(txt, agent="other").decide("/x")[0] is False
+    # mid-file the same lines are NOT a rule-less group: consecutive
+    # user-agent lines with no rules between them share one group
+    # (RFC 9309 §2.2.1), so mybot joins the '*' rules here
+    txt2 = "User-agent: mybot\n\nUser-agent: *\nDisallow: /\n"
+    assert parse_robots(txt2, agent="mybot").decide("/x")[0] is False
