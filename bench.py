@@ -126,12 +126,12 @@ HEADLINE = [
     "q_code_detect",
     "q_audio_flac",
     "q_anchor_links",
-    "q_pdf_extract",
-    "q_quality_nb",
-    "q_vec_pq",
-    "q_pq_recall",
-    "q_warc_gz",
-    "q_webdataset",
+    "q_cc_pdf",
+    "q_bayes_quality",
+    "q_ann_pq",
+    "q_ann_pq_recall",
+    "q_cc_warc_gz",
+    "q_bundle_tar",
     # q_dup_canonical is intentionally absent: its dominant cost is
     # the same pair+CC pipeline q_dup_clusters already times;
     # q_bands_serve (streaming materialize->serve) follows the

@@ -241,7 +241,7 @@ def _pq_sub_ctes(m: int) -> str:
 
 def _pq_body_ctes() -> str:
     """Everything up to the ranked-ADC CTE `pqt` — shared by
-    q_vec_pq's oracle and q_pq_recall's (which joins `pqt` against
+    q_ann_pq's oracle and q_ann_pq_recall's (which joins `pqt` against
     an exact-top-k CTE)."""
     subs = ",".join(_pq_sub_ctes(m) for m in range(_PQ_M))
     # per-subspace ADC tables: query subvector x trained codebook
@@ -293,8 +293,8 @@ def _pq_oracle() -> str:
 
 def _pq_adc_topk(vecs: DataFrame) -> DataFrame:
     """(qid, vec_id, adist): the ADC top-k over a persisted
-    quantized corpus — the shared engine behind q_vec_pq and the
-    q_pq_recall audit."""
+    quantized corpus — the shared engine behind q_ann_pq and the
+    q_ann_pq_recall audit."""
     enc_parts = []
     table_parts = []
     for m in range(_PQ_M):
@@ -348,8 +348,8 @@ def _pq_adc_topk(vecs: DataFrame) -> DataFrame:
     )
 
 
-@query("q_vec_pq", oracle=_pq_oracle())
-def q_vec_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q_ann_pq", oracle=_pq_oracle())
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization ANN (Jegou et al. 2011, public): the
     64-dim embeddings split into 4 subspaces, each trained to a
     4-codeword codebook by the SAME integer-micro Lloyd rounds as
@@ -369,7 +369,7 @@ def q_vec_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q_pq_recall",
+    "q_ann_pq_recall",
     oracle=f"""
     WITH {_pq_body_ctes()},
     ex AS (
@@ -394,7 +394,7 @@ def q_vec_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY ext.qid ORDER BY ext.qid
     """,
 )
-def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall audit for the PQ index — the verification tier every
     ANN variant here carries (q_ann_recall's convention): exact
     integer-L2 top-{k} per query vector (brute force over the

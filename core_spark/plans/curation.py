@@ -483,7 +483,7 @@ def q_curate2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ----------------------------------------------------------- quality NB
 @query(
-    "q_quality_nb",
+    "q_bayes_quality",
     oracle="""
     WITH lab AS (
       SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label_en,
@@ -527,7 +527,7 @@ def q_curate2(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM scored s CROSS JOIN nd ORDER BY doc_id
     """,
 )
-def q_quality_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_bayes_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based corpus filter: a multinomial Naive Bayes
     classifier TRAINED AND SCORED in one distributed pass — the
     CCNet/fastText language-filter shape (weak label: the corpus's

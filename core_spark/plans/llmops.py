@@ -2149,7 +2149,7 @@ def q_crawl_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------- warc.gz chain
 @query(
-    "q_warc_gz",
+    "q_cc_warc_gz",
     oracle="""
     WITH p AS (
       SELECT doc_id, text,
@@ -2169,7 +2169,7 @@ def q_crawl_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM f ORDER BY doc_id, member_idx
     """,
 )
-def q_warc_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_cc_warc_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q_crawl_extract through the COMPRESSED container Common Crawl
     actually ships: each document becomes a .warc.gz — one gzip
     member per record, concatenated (WARC 1.1 Annex D) — and the
@@ -2187,8 +2187,8 @@ def q_warc_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture artifact — see io.spread's docstring) feeds the Arrow map
     stage; no other shuffle before the presentation sort.
 
-    PYTEST_ONLY naming (after the window cutoff) — rotates into the
-    driver window in r8."""
+    Rotated into the driver window in r8 (renamed from its
+    PYTEST_ONLY r7 name per the window protocol)."""
     from core_spark.functions.html import html_to_text
     from core_spark.functions.warc import (
         build_warc_gz_fixture,
@@ -2245,7 +2245,7 @@ def q_warc_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------ webdataset shards
 @query(
-    "q_webdataset",
+    "q_bundle_tar",
     oracle="""
     WITH p AS (
       SELECT doc_id, string_split(text, ' ') AS w, md5(text) AS h,
@@ -2285,7 +2285,7 @@ def q_warc_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM o ORDER BY doc_id, sample_idx
     """,
 )
-def q_webdataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_bundle_tar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebDataset shard ingestion — the tar-shard convention
     large-scale multimodal training corpora actually ship in: each
     document becomes a genuine POSIX ustar shard (functions/tar.py)
@@ -2310,8 +2310,8 @@ def q_webdataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     and this plan is the index pass that lets every training epoch
     fetch sample bytes directly.
 
-    PYTEST_ONLY naming (after the window cutoff) — rotates into the
-    driver window in r8."""
+    Rotated into the driver window in r8 (renamed from its
+    PYTEST_ONLY r7 name per the window protocol)."""
     from core_spark.functions.tar import (
         build_webdataset_fixture,
         tar_members,

@@ -418,7 +418,7 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q_pdf_extract",
+    "q_cc_pdf",
     oracle="""
     WITH p AS (
       SELECT doc_id, string_split(text, ' ') AS w,
@@ -448,7 +448,7 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM f ORDER BY doc_id, page_idx
     """,
 )
-def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_cc_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF text mining (multimodal/pdf.py): each document becomes a
     REAL PDF 1.4 file — FlateDecode-compressed content streams, an
     exact xref table, an /Info dict — and the extraction kernel

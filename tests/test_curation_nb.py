@@ -1,4 +1,4 @@
-"""q_quality_nb learns when there is something to learn.
+"""q_bayes_quality learns when there is something to learn.
 
 The registered query trains on the synthetic corpus, whose languages
 all draw from one shared vocabulary — real-valued NB collapses to the
@@ -68,7 +68,7 @@ def vocab_sf(tmp_path_factory):
 
 
 def test_nb_separates_distinct_vocabularies(spark, vocab_sf):
-    q = REGISTRY["q_quality_nb"]
+    q = REGISTRY["q_bayes_quality"]
     out = {r.doc_id: r for r in q.fn(spark, vocab_sf).collect()}
     assert len(out) == 120
     correct = sum(

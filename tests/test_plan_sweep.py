@@ -36,13 +36,13 @@ ALLOWED = {
                         "ivf_assign); the candidate join itself is "
                         "cell-keyed",
     "q_doc_lm": "vocab size V is a broadcast ONE-ROW global",
-    "q_quality_nb": "class totals (tot1, tot0, V) and priors (n1, n0) "
+    "q_bayes_quality": "class totals (tot1, tot0, V) and priors (n1, n0) "
                     "are two broadcast ONE-ROW globals over the "
                     "token-count table",
-    "q_vec_pq": "ADC tables: 5 query subvectors x broadcast "
+    "q_ann_pq": "ADC tables: 5 query subvectors x broadcast "
                 "4-codeword codebooks (constant rows) — the lookup "
                 "tables that REPLACE full-width distance math",
-    "q_pq_recall": "inherits q_vec_pq's ADC-table broadcasts; the "
+    "q_ann_pq_recall": "inherits q_ann_pq's ADC-table broadcasts; the "
                    "exact side is the 5-query SAMPLE x corpus "
                    "verification tier (q_ann_recall's convention), "
                    "NOT the scale path",

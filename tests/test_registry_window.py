@@ -38,17 +38,13 @@ _REPO = Path(__file__).resolve().parent.parent
 # q_scrub_decontam→q_decontam_scrub, q_train_order→q_curriculum_order,
 # q_stream_dedup→q_dedup_stream. The 12 names they displaced all hold
 # green r5 rows. The set is empty again.
-PYTEST_ONLY: set[str] = {
-    # r7 late additions; oracle-checked in test_oracle, named after
-    # the cutoff for r8 rotation (the window holds 20 first-time r7
-    # names that must keep their slots)
-    "q_pdf_extract",
-    "q_pq_recall",
-    "q_quality_nb",
-    "q_vec_pq",
-    "q_warc_gz",
-    "q_webdataset",
-}
+# r8: CORRECTNESS_r07.json landed (50/50 green), so the six late-r7
+# names rotated INTO the window via renames — q_vec_pq→q_ann_pq,
+# q_pq_recall→q_ann_pq_recall, q_quality_nb→q_bayes_quality,
+# q_webdataset→q_bundle_tar, q_warc_gz→q_cc_warc_gz,
+# q_pdf_extract→q_cc_pdf. Every name they displaced holds a green
+# r7-or-earlier row. The set is empty again.
+PYTEST_ONLY: set[str] = set()
 
 
 def _historical_rows() -> set[str]:
