@@ -2056,6 +2056,115 @@ def q_canon_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------- text canon
+# cp1252 mojibake repair table — the high-frequency rows of the public
+# ftfy/WHATWG table: UTF-8 bytes of an accented char or curly-punct
+# codepoint misdecoded as cp1252 yield these printable 2-3 char runs.
+# Longest-first so shared 'â€' prefixes never partially rewrite.
+_MOJI = [
+    ("â€™", "’"),
+    ("â€œ", "“"),
+    ("â€”", "—"),
+    ("Ã©", "é"),
+    ("Ã¨", "è"),
+    ("Ã¼", "ü"),
+    ("Ã±", "ñ"),
+    ("Ã§", "ç"),
+    ("Ã´", "ô"),
+]
+# post-repair unicode punctuation → ASCII (C4-style normalization)
+_PUNCT = [("’", "'"), ("“", '"'), ("”", '"'), ("—", "-")]
+_ACCENT_MOJI = _MOJI[3:]  # the single-accent rows fixtures pick from
+
+
+@query(
+    "q_canon_text",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, text,
+             CAST('0x' || substr(md5(text), 1, 1) AS BIGINT) % 6 AS i1
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, text,
+             ['é','è','ü','ñ','ç','ô'][CAST(i1 AS INT) + 1] AS r1
+      FROM p
+    )
+    SELECT doc_id,
+           'caf' || r1 || ' "don''t- ' || text AS clean,
+           CAST(4 AS BIGINT) AS n_fix,
+           CAST(length(text) + length(r1) + 12 AS BIGINT) AS clean_len
+    FROM m ORDER BY doc_id
+    """,
+)
+def q_canon_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text canonicalization — the ftfy/C4-style repair pass between
+    HTML extraction (q_clean_html) and every downstream hash: fix
+    cp1252 mojibake (table-driven, the high-frequency rows of the
+    public WHATWG/ftfy mapping), normalize curly quotes and em-dash
+    to ASCII, map NBSP to space, strip zero-width space and BOM, and
+    collapse whitespace. Without this pass the SAME sentence hashes
+    differently depending on which encoder bug produced it, so exact
+    dedup silently under-merges. Each document builds a
+    deterministically corrupted page (one hash-picked accent
+    mojibake + curly-quote/em-dash mojibake + NBSP + ZWSP planted
+    around the text) and the repair chain must recover the clean
+    form; the oracle reconstructs the clean form directly from clean
+    components — an independent derivation that never sees the
+    corrupted page. n_fix pins the mojibake count (4 planted;
+    assumes the synthetic corpus text itself is mojibake-free, the
+    same corpus-purity note as q_code_detect).
+
+    Scale shape: 100% JVM-native — a replace/translate chain in
+    whole-stage codegen, zero Python, zero shuffles (the final
+    orderBy is presentation-only). At 100 TB this runs at scan
+    speed; fixture build is generation cost a production corpus
+    would not pay."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5("text")
+    i1 = F.conv(F.substring(h, 1, 1), 16, 10).cast("long") % 6
+    m1 = F.element_at(
+        F.array(*[F.lit(m) for m, _ in _ACCENT_MOJI]), (i1 + 1).cast("int")
+    )
+    nbsp, zwsp = " ", "​"
+    page = F.concat(
+        F.lit("caf"),
+        m1,
+        F.lit(nbsp),
+        F.lit("â€œdon"),
+        F.lit("â€™t"),
+        F.lit(zwsp),
+        F.lit("â€”"),
+        F.lit(" "),
+        F.col("text"),
+    )
+    df = docs.select("doc_id", page.alias("page"))
+
+    # mojibake repairs counted BEFORE rewriting (codepoint lengths)
+    n_fix = F.lit(0).cast("long")
+    for moji, _ in _MOJI:
+        n_fix = n_fix + (
+            F.length("page") - F.length(F.replace("page", F.lit(moji)))
+        ).cast("long") / F.lit(len(moji))
+    clean = F.col("page")
+    for moji, fixed in _MOJI:
+        clean = F.replace(clean, F.lit(moji), F.lit(fixed))
+    for uni, asc in _PUNCT:
+        clean = F.replace(clean, F.lit(uni), F.lit(asc))
+    # NBSP → space; ZWSP / BOM deleted (translate drops unmapped)
+    clean = F.translate(clean, nbsp + zwsp + "﻿", " ")
+    clean = F.trim(F.regexp_replace(clean, r"\s+", " "))
+    return (
+        df.select(
+            "doc_id",
+            clean.alias("clean"),
+            n_fix.cast("long").alias("n_fix"),
+            F.length(clean).cast("long").alias("clean_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ------------------------------------------------------------ warc chain
 @query(
     "q_crawl_extract",
