@@ -2352,6 +2352,120 @@ def q_cc_warc_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------- sitemap frontier
+@query(
+    "q_cc_sitemap",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             substr(md5(text), 1, 2) AS h2,
+             CAST('0x' || substr(md5(text), 1, 1) AS BIGINT) % 3 AS e0,
+             CAST('0x' || substr(md5(text), 2, 1) AS BIGINT) % 3 AS e1,
+             2020 + CAST('0x' || substr(md5(text), 3, 1) AS BIGINT) % 6
+               AS y,
+             CAST('0x' || substr(md5(text), 4, 1) AS BIGINT) AS d3,
+             CAST('0x' || substr(md5(text), 5, 1) AS BIGINT) AS d4,
+             CAST('0x' || substr(md5(text), 6, 1) AS BIGINT) AS d5,
+             CAST('0x' || substr(md5(text), 7, 1) AS BIGINT) AS d6
+      FROM documents
+    ),
+    c AS (
+      SELECT *, unnest([0, 1]) AS ch FROM p
+    ),
+    n AS (
+      SELECT *, 2 + CASE WHEN ch = 0 THEN e0 ELSE e1 END AS nurl
+      FROM c
+    ),
+    u AS (
+      SELECT *, unnest(range(nurl)) AS i FROM n
+    )
+    SELECT doc_id,
+           'https://ex' || h2 || '.com/s' || CAST(ch AS VARCHAR)
+             || '/p' || CAST(i AS VARCHAR) AS url,
+           CASE WHEN ch = 1 AND i = nurl - 1 THEN NULL
+                ELSE strftime(make_date(CAST(y AS INT),
+                       CAST(1 + (d3 + i) % 12 AS INT),
+                       CAST(1 + (d4 + 2 * i + ch) % 28 AS INT)),
+                     '%Y-%m-%d')
+           END AS lastmod,
+           ['daily','weekly','monthly'][CAST((d5 + i) % 3 AS INT) + 1]
+             AS changefreq,
+           CAST(1 + (d6 + i) % 9 AS BIGINT) AS prio_tenths
+    FROM u ORDER BY doc_id, url
+    """,
+)
+def q_cc_sitemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-protocol frontier construction (functions/sitemap.py;
+    sitemaps.org 0.9) — the crawl-discovery step paired with the
+    robots gate (q_crawl_robots): each document derives a
+    deterministic two-level sitemap tree (a namespaced sitemapindex
+    with extension elements the parser must ignore, naming two child
+    urlsets whose entries carry whitespace-padded <loc>, W3C
+    datetime <lastmod> — omitted on one url, exercising the
+    optional-field path — <changefreq> and <priority>), and the
+    kernel walks index → child fetch → urlset into frontier rows
+    with priorities held in float-free tenths. The oracle recomputes
+    every row by integer arithmetic from the same md5, never seeing
+    the XML.
+
+    Scale shape: map-side Arrow kernel, zero shuffles (the orderBy
+    is presentation-only); at 100 TB sitemap documents are a
+    small-file corpus keyed by host — the expensive side is the
+    fetch frontier this feeds, which exact-dedups on canonical URL
+    (q_canon_urls) before any page is fetched."""
+    from core_spark.functions.sitemap import (
+        build_sitemap_fixture,
+        parse_sitemap,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+
+    def walk(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                digest = hashlib.md5(text.encode("utf-8")).hexdigest()
+                index, children = build_sitemap_fixture(digest)
+                idx = parse_sitemap(index)
+                assert idx["kind"] == "index"
+                for loc in idx["sitemaps"]:
+                    child = parse_sitemap(children[loc])
+                    assert child["kind"] == "urlset"
+                    for u in child["urls"]:
+                        rows.append(
+                            (
+                                int(doc_id),
+                                u["loc"],
+                                u["lastmod"],
+                                u["changefreq"],
+                                u["priority_tenths"],
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "url", "lastmod", "changefreq",
+                    "prio_tenths",
+                ],
+            )
+
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(
+            walk,
+            schema=(
+                "doc_id long, url string, lastmod string,"
+                " changefreq string, prio_tenths long"
+            ),
+        )
+        .orderBy("doc_id", "url")
+    )
+
+
 # ------------------------------------------------------ webdataset shards
 @query(
     "q_bundle_tar",
