@@ -55,6 +55,177 @@ def q_av_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_audio_vad",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             2 + CAST('0x' || substr(md5(text), 1, 1) AS BIGINT) % 3
+               AS runlen,
+             20 + CAST('0x' || substr(md5(text), 2, 1) AS BIGINT) % 10
+               AS nframes,
+             2000 + CAST('0x' || substr(md5(text), 3, 1) AS BIGINT) * 100
+               AS amp,
+             3 + CAST('0x' || substr(md5(text), 4, 1) AS BIGINT) % 5
+               AS k
+      FROM documents
+    ),
+    f AS (SELECT *, unnest(range(nframes)) AS fr FROM p),
+    s AS (SELECT *, unnest(range(160)) AS smp FROM f),
+    e AS (
+      SELECT doc_id, fr,
+             SUM(x * x) AS energy
+      FROM (
+        SELECT doc_id, fr,
+               CASE WHEN (fr // runlen) % 2 = 0
+                    THEN ((fr * 160 + smp) * k) % (2 * amp) - amp
+                    ELSE ((fr * 160 + smp) * 7) % 21 - 10
+               END AS x
+        FROM s
+      ) GROUP BY doc_id, fr
+    ),
+    v AS (
+      SELECT doc_id, fr, energy,
+             energy > 1000000 OR coalesce(
+               lag(energy > 1000000) OVER (
+                 PARTITION BY doc_id ORDER BY fr), false) AS sp
+      FROM e
+    ),
+    isl AS (
+      SELECT doc_id, fr, energy,
+             fr - row_number() OVER (
+               PARTITION BY doc_id ORDER BY fr) AS grp
+      FROM v WHERE sp
+    ),
+    seg AS (
+      SELECT doc_id, grp,
+             min(fr) AS seg_start, max(fr) AS seg_end,
+             count(*) AS n_frames, SUM(energy) AS seg_energy
+      FROM isl GROUP BY doc_id, grp
+    )
+    SELECT doc_id,
+           row_number() OVER (
+             PARTITION BY doc_id ORDER BY seg_start) AS seg_idx,
+           CAST(seg_start AS BIGINT) AS seg_start,
+           CAST(seg_end AS BIGINT) AS seg_end,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(seg_energy AS BIGINT) AS seg_energy
+    FROM seg ORDER BY doc_id, seg_start
+    """,
+)
+def q_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-based voice-activity detection — the silence-trimming
+    gate an audio-corpus curation pass runs before transcription
+    (only speech segments are worth ASR compute). Each document
+    builds a REAL RIFF/WAVE payload (PCM16 mono 8 kHz; an md5-picked
+    alternation of sawtooth "speech" bursts and near-silence noise
+    floor), crosses Arrow as opaque binary, and the decode kernel
+    plays it back through wav_decode into per-20 ms-frame integer
+    energies. Everything after the codec is JVM-side: threshold,
+    one-frame hangover (speech extends one frame past the last hot
+    frame — the standard VAD release), gaps-and-islands
+    segmentation with window functions, per-segment aggregates. The
+    oracle recomputes frame energies by pure integer arithmetic from
+    the same md5 — it never sees the WAV bytes — and runs the same
+    islands SQL, so the hash check pins codec round-trip, energy
+    math and segment merge at once.
+
+    Scale shape: codec work is per-doc Arrow-kernel CPU (scales out
+    with executors); one hash exchange on doc_id serves BOTH the
+    hangover window and the segment aggregate (plan-verified: the
+    (doc_id, grp) clustering is satisfied by the doc_id
+    partitioning), over frame rows that are tiny next to the payload
+    bytes, which never move. At 100 TB the segments table IS the ASR
+    work queue: byte ranges of speech, fetched directly."""
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+
+    def attach(batches):
+        import hashlib
+
+        import numpy as np
+
+        from core_spark.multimodal.wav import WAVE_PCM, build_wav
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                h = hashlib.md5(text.encode("utf-8")).hexdigest()
+                runlen = 2 + int(h[0], 16) % 3
+                nframes = 20 + int(h[1], 16) % 10
+                amp = 2000 + int(h[2], 16) * 100
+                k = 3 + int(h[3], 16) % 5
+                i = np.arange(nframes * 160, dtype=np.int64)
+                fr = i // 160
+                voiced = (fr // runlen) % 2 == 0
+                x = np.where(
+                    voiced,
+                    (i * k) % (2 * amp) - amp,
+                    (i * 7) % 21 - 10,
+                )
+                raw = build_wav(
+                    WAVE_PCM, 8000, 1, 16,
+                    x.astype("<i2").tobytes(),
+                )
+                rows.append((int(doc_id), raw))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    def energies(batches):
+        from core_spark.multimodal.wav import wav_decode
+
+        for pdf in batches:
+            out_doc, out_fr, out_en = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                pcm, rate, bits = wav_decode(bytes(payload))
+                assert rate == 8000 and bits == 16
+                frames = pcm[:, 0].reshape(-1, 160)
+                en = (frames * frames).sum(axis=1)
+                n = len(en)
+                out_doc.extend([int(doc_id)] * n)
+                out_fr.extend(range(n))
+                out_en.extend(int(v) for v in en)
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "fr": out_fr, "energy": out_en}
+            )
+
+    wav = docs.select("doc_id", "text").mapInPandas(
+        attach, schema="doc_id long, payload binary"
+    )
+    per_frame = wav.mapInPandas(
+        energies, schema="doc_id long, fr long, energy long"
+    )
+
+    w = Window.partitionBy("doc_id").orderBy("fr")
+    hot = F.col("energy") > 1_000_000
+    sp = hot | F.coalesce(F.lag(hot).over(w), F.lit(False))
+    speech = (
+        per_frame.withColumn("sp", sp)
+        .where("sp")
+        .withColumn("grp", F.col("fr") - F.row_number().over(w))
+    )
+    seg = speech.groupBy("doc_id", "grp").agg(
+        F.min("fr").alias("seg_start"),
+        F.max("fr").alias("seg_end"),
+        F.count("*").alias("n_frames"),
+        F.sum("energy").alias("seg_energy"),
+    )
+    wseg = Window.partitionBy("doc_id").orderBy("seg_start")
+    return (
+        seg.select(
+            "doc_id",
+            F.row_number().over(wseg).cast("long").alias("seg_idx"),
+            "seg_start",
+            "seg_end",
+            "n_frames",
+            "seg_energy",
+        )
+        .orderBy("doc_id", "seg_start")
+    )
+
+
+@query(
     "q_audio_segments",
     oracle="""
     WITH p AS (
