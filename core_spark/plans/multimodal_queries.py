@@ -55,6 +55,198 @@ def q_av_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_bitmap_phash",
+    oracle="""
+    WITH cnt AS (
+      SELECT greatest(64, count(*) // 8) AS G FROM documents
+    ),
+    d AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(text), 1, 6) AS BIGINT)
+               % (SELECT G FROM cnt) AS g,
+             CAST('0x' || substr(md5(text), 7, 1) AS BIGINT) % 4 = 0
+               AS pert,
+             CAST('0x' || substr(md5(text), 8, 1) AS BIGINT) % 16 AS r0,
+             CAST('0x' || substr(md5(text), 9, 2) AS BIGINT) % 18 AS c0
+      FROM documents
+    ),
+    rows_ AS (SELECT *, unnest(range(16)) AS r FROM d),
+    cols_ AS (SELECT *, unnest(range(18)) AS c FROM rows_),
+    px AS (
+      SELECT doc_id, r, c,
+             ((((g+1) * (r*18 + c + 1)) % 65521)
+               * (((g+1) * (r*18 + c + 1)) % 65521) % 251
+              + CASE WHEN pert AND r = r0 AND c = c0
+                     THEN 40 ELSE 0 END) % 256 AS v
+      FROM cols_
+    ),
+    pool AS (
+      SELECT doc_id, r // 2 AS pr, c // 2 AS pc, SUM(v) // 4 AS pv
+      FROM px GROUP BY doc_id, r // 2, c // 2
+    ),
+    bit AS (
+      SELECT doc_id, pr, pc,
+             CASE WHEN lead(pv) OVER (
+                    PARTITION BY doc_id, pr ORDER BY pc) > pv
+                  THEN 1 ELSE 0 END AS b
+      FROM pool
+    ),
+    band AS (
+      SELECT doc_id, (pr*8 + pc) // 16 AS bi,
+             SUM(b * (1 << ((pr*8 + pc) % 16))) AS bv
+      FROM bit WHERE pc < 8 GROUP BY doc_id, (pr*8 + pc) // 16
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM band x JOIN band y
+        ON x.bi = y.bi AND x.bv = y.bv AND x.doc_id < y.doc_id
+    ),
+    ham AS (
+      SELECT c.a, c.b,
+             SUM(bit_count(xor(xa.bv, xb.bv))) AS hamming
+      FROM cand c
+      JOIN band xa ON xa.doc_id = c.a
+      JOIN band xb ON xb.doc_id = c.b AND xb.bi = xa.bi
+      GROUP BY c.a, c.b
+    )
+    SELECT a, b, CAST(hamming AS BIGINT) AS hamming
+    FROM ham WHERE hamming <= 6 ORDER BY a, b
+    """,
+)
+def q_bitmap_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup pairs — the LAION-style visual
+    dedup tier: every image corpus carries resized re-encodes and
+    watermark/crop variants that byte-level dedup (q_dedup_exact on
+    payload md5) can never merge. Each document builds a REAL 16x18
+    grayscale PNG (encode → Arrow boundary as opaque binary →
+    png_decode — the full codec round-trip), the hash kernel
+    average-pools 2x2 to 8x9 and emits the 64-bit difference hash
+    (dHash: bit = right neighbor brighter) as four 16-bit bands; the
+    JVM side then runs exactly the MinHash-LSH shape on Hamming
+    space — band-equality join for candidates (any shared band),
+    bit_count(XOR) verification, hamming <= 6 survivors only.
+
+    SCALE: the fixture's image-group count G = max(64, n // 8) is
+    corpus-derived (one narrow count), so bucket occupancy — and
+    with it candidate volume — stays constant as the corpus grows;
+    the oracle computes the same G by scalar subquery and recomputes
+    every pooled pixel, hash bit and band by integer arithmetic,
+    never seeing the PNG bytes. A perturbed minority (one pixel +40,
+    hash-picked position) keeps near-but-not-equal pairs in play so
+    the Hamming verify is load-bearing.
+
+    Scale shape: codec + hash are per-doc Arrow CPU (payload bytes
+    never shuffle — only 4 band ints per image move); the candidate
+    join shuffles on (band_idx, band_value) with constant occupancy;
+    verification is pairs-only. At 100 TB this is the standard
+    image-dedup plan: hashes are ~10^-6 of payload bytes."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_corpus = docs.count()  # one narrow agg, house auto-knob norm
+    G = max(64, n_corpus // 8)
+
+    def attach(batches):
+        import hashlib
+
+        import numpy as np
+
+        from core_spark.multimodal.png import png_encode
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                h = hashlib.md5(text.encode("utf-8")).hexdigest()
+                g = int(h[0:6], 16) % G
+                r = np.arange(16, dtype=np.int64)[:, None]
+                c = np.arange(18, dtype=np.int64)[None, :]
+                a = ((g + 1) * (r * 18 + c + 1)) % 65521
+                img = (a * a) % 251
+                if int(h[6], 16) % 4 == 0:
+                    r0 = int(h[7], 16) % 16
+                    c0 = int(h[8:10], 16) % 18
+                    img[r0, c0] = (img[r0, c0] + 40) % 256
+                rows.append(
+                    (int(doc_id), png_encode(img.astype(np.uint8)))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    def dhash(batches):
+        import numpy as np
+
+        from core_spark.multimodal.png import png_decode
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = png_decode(bytes(payload))[:, :, 0].astype(
+                    np.int64
+                )
+                pool = (
+                    img[0::2, 0::2] + img[0::2, 1::2]
+                    + img[1::2, 0::2] + img[1::2, 1::2]
+                ) // 4  # (8, 9)
+                bits = (pool[:, 1:] > pool[:, :-1]).astype(np.int64)
+                k = np.arange(64).reshape(8, 8)
+                bands = [
+                    int(np.sum(bits.reshape(64)[16 * b : 16 * b + 16]
+                               << (k.reshape(64)[16 * b : 16 * b + 16]
+                                   % 16)))
+                    for b in range(4)
+                ]
+                rows.append((int(doc_id), *bands))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "b0", "b1", "b2", "b3"]
+            )
+
+    hashes = (
+        spread(docs.select("doc_id", "text"))
+        .mapInPandas(attach, schema="doc_id long, payload binary")
+        .mapInPandas(
+            dhash,
+            schema="doc_id long, b0 long, b1 long, b2 long, b3 long",
+        )
+    )
+    bands = hashes.select(
+        "doc_id",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("bi", "bv"),
+    )
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.bi") == F.col("y.bi"))
+            & (F.col("x.bv") == F.col("y.bv"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
+        )
+        .distinct()
+    )
+    ha = hashes.select(
+        F.col("doc_id").alias("a"),
+        *[F.col(f"b{i}").alias(f"xa{i}") for i in range(4)],
+    )
+    hb = hashes.select(
+        F.col("doc_id").alias("b"),
+        *[F.col(f"b{i}").alias(f"xb{i}") for i in range(4)],
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"xa{i}").bitwiseXOR(F.col(f"xb{i}")))
+        for i in range(4)
+    ).cast("long")
+    return (
+        cand.join(ha, "a")
+        .join(hb, "b")
+        .select("a", "b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= 6)
+        .orderBy("a", "b")
+    )
+
+
+@query(
     "q_audio_vad",
     oracle="""
     WITH p AS (
