@@ -2352,6 +2352,168 @@ def q_cc_warc_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------ cdx index
+@query(
+    "q_cc_cdx",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, text, md5(text) AS d,
+             2 + CAST('0x' || substr(md5(text), 1, 2) AS BIGINT) % 3
+               AS nrec,
+             3 + CAST('0x' || substr(md5(text), 1, 2) AS BIGINT) % 7
+               AS k,
+             CAST('0x' || substr(md5(text), 3, 4) AS BIGINT) AS track,
+             len(string_split(text, ' ')) AS nw
+      FROM documents
+    ),
+    geom AS (
+      SELECT *,
+             (nw + 19) // 20 AS npara,
+             257 + 12 + length(CAST(track AS VARCHAR)) + 21*k + (k-1)
+               + length(text) + 6 * ((nw + 19) // 20) + 1 AS plen
+      FROM p
+    ),
+    sizes AS (
+      SELECT *,
+             62 + length(CAST(plen AS VARCHAR)) + plen AS http_len
+      FROM geom
+    ),
+    nav AS (
+      SELECT doc_id,
+             string_agg('<a href="/' || CAST(i AS VARCHAR) || '">lnk'
+                        || CAST(i AS VARCHAR) || '</a>', ' '
+                        ORDER BY i) AS nav_html
+      FROM (SELECT doc_id, unnest(range(k)) AS i FROM sizes)
+      GROUP BY doc_id
+    ),
+    body AS (
+      SELECT doc_id,
+             string_agg(
+               '<p>' || array_to_string(
+                 (string_split(text, ' '))[(j*20+1):(j*20+20)], ' ')
+               || '</p>', '' ORDER BY j) AS body_html
+      FROM (SELECT doc_id, text, unnest(range(npara)) AS j FROM sizes)
+      GROUP BY doc_id
+    ),
+    page AS (
+      SELECT s.doc_id, s.d, s.nrec, s.plen, s.http_len,
+             '<!DOCTYPE html><html><head><title>Doc '
+             || substr(s.d, 1, 8)
+             || '</title><style>body{margin:0;font:16px serif}</style>'
+             || '<script>var track=' || CAST(s.track AS VARCHAR)
+             || ';</script></head><body><header><nav>'
+             || n.nav_html || '</nav></header><main>' || b.body_html
+             || '</main><footer><a href="/about">about</a> '
+             || '<a href="/contact">contact</a></footer></body></html>'
+               AS page_html
+      FROM sizes s JOIN nav n USING (doc_id) JOIN body b USING (doc_id)
+    ),
+    recs AS (
+      SELECT doc_id, d, plen, http_len, page_html,
+             unnest(range(nrec)) AS i
+      FROM page
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS response_idx,
+           'https://example.com/' || substr(d, 1, 8) || '/'
+             || CAST(i AS VARCHAR) AS target_uri,
+           CAST(148 + i * (165 + length(CAST(http_len AS VARCHAR))
+                           + http_len) AS BIGINT) AS rec_off,
+           CAST(165 + length(CAST(http_len AS VARCHAR)) + http_len
+             AS BIGINT) AS rec_len,
+           CAST(148 + i * (165 + length(CAST(http_len AS VARCHAR))
+                           + http_len)
+                + 161 + length(CAST(http_len AS VARCHAR))
+                + 62 + length(CAST(plen AS VARCHAR)) AS BIGINT)
+             AS payload_off,
+           CAST(plen AS BIGINT) AS payload_len,
+           sha256(page_html) AS sha_hex
+    FROM recs ORDER BY doc_id, response_idx
+    """,
+)
+def q_cc_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX-style capture index over plain WARC archives — the lookup
+    artifact that makes a crawl archive randomly accessible: one row
+    per response capture with its target URI, the ABSOLUTE record
+    and payload byte ranges, and a payload content digest (sha256
+    here — the portable twin of CDX's sha1-b32 column; the
+    compressed-member variant of this fetch planning is q_cc_warc_gz,
+    whose zlib-dependent offsets are pinned by slicing tests
+    instead). The kernel builds each document's WARC, REALLY walks
+    the records (functions/warc.py), slices each payload at the
+    walked offsets and hashes the sliced bytes — so a wrong offset
+    hashes garbage and fails the driver check. The oracle recomputes
+    every offset by pure byte arithmetic from the fixture geometry
+    (header line lengths, Content-Length digit counts, the HTML
+    page-length formula) and reconstructs the page string in SQL to
+    hash it — the q_bundle_tar offset-oracle discipline applied to
+    WARC. Corpus-purity note: the page-length formula and SQL
+    reconstruction assume single-spaced ASCII text with no &<>" (the
+    synthetic corpus; same note as q_code_detect).
+
+    Scale shape: map-side Arrow kernel, zero shuffles before the
+    presentation sort; at 100 TB the CDX table is ~10^-4 of archive
+    bytes and is exactly what a training-fetch scheduler joins
+    against (by canonical URL, q_canon_urls) to plan ranged GETs."""
+    from core_spark.functions.warc import build_warc_fixture, warc_records
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+
+    def cdx(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                digest = hashlib.md5(text.encode("utf-8")).hexdigest()
+                raw = build_warc_fixture(text, digest)
+                recs = warc_records(raw)
+                bounds = [r["rec_off"] for r in recs] + [len(raw)]
+                ridx = 0
+                for j, r in enumerate(recs):
+                    if r["rec_type"] != "response":
+                        continue
+                    payload = raw[
+                        r["payload_off"]: r["payload_off"]
+                        + r["payload_len"]
+                    ]
+                    rows.append(
+                        (
+                            int(doc_id),
+                            ridx,
+                            r["target_uri"],
+                            r["rec_off"],
+                            bounds[j + 1] - r["rec_off"],
+                            r["payload_off"],
+                            r["payload_len"],
+                            hashlib.sha256(payload).hexdigest(),
+                        )
+                    )
+                    ridx += 1
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "response_idx", "target_uri", "rec_off",
+                    "rec_len", "payload_off", "payload_len", "sha_hex",
+                ],
+            )
+
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(
+            cdx,
+            schema=(
+                "doc_id long, response_idx long, target_uri string,"
+                " rec_off long, rec_len long, payload_off long,"
+                " payload_len long, sha_hex string"
+            ),
+        )
+        .orderBy("doc_id", "response_idx")
+    )
+
+
 # ------------------------------------------------------- sitemap frontier
 @query(
     "q_cc_sitemap",
