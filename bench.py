@@ -137,6 +137,7 @@ HEADLINE = [
     "q_audio_vad",
     "q_bitmap_phash",
     "q_cc_cdx",
+    "q_avro_blocks",
     # q_dup_canonical is intentionally absent: its dominant cost is
     # the same pair+CC pipeline q_dup_clusters already times;
     # q_bands_serve (streaming materialize->serve) follows the

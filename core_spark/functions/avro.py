@@ -1,0 +1,258 @@
+"""Avro Object Container File (OCF) walking — the row-major
+serialization format a large share of warehouse-exported training
+data ships in (the public Apache Avro 1.11 spec). Pure stdlib.
+
+An OCF is: the 4-byte magic ``Obj\\x01``; a file-metadata MAP
+(avro.schema JSON, avro.codec) in Avro binary map encoding; a
+16-byte sync marker; then data blocks, each ``<count long>
+<byte-size long> <serialized records> <sync marker>``. Longs are
+zigzag-encoded base-128 varints (the same wire varint as protobuf,
+functions/protowire.py, with Avro's zigzag applied to every long);
+strings are length-prefixed UTF-8. The ``deflate`` codec is raw
+DEFLATE (RFC 1951, no zlib header) per the spec; ``null`` is
+uncompressed.
+
+The block layout is what makes OCF object-storage friendly — the
+same ranged-GET discipline as the media walks: a reader seeks by
+sync marker, fetches whole blocks, and decodes records only inside
+the blocks it needs. ``avro_blocks`` returns that fetch plan
+(absolute data offsets); ``avro_block_records`` decodes one
+fetched block.
+
+Corrupt-input discipline (the codec-suite rule): a wrong magic,
+a metadata map that escapes the buffer, a sync-marker mismatch, or
+a varint running past EOF raises the named AvroError — never a
+hang, never fabricated records.
+
+Reference parity: gazette/core moves opaque serializations only
+(message/interfaces.go:121-124); container parsing happens in
+executor-side Arrow kernels.
+"""
+
+from __future__ import annotations
+
+import json
+import zlib
+
+MAGIC = b"Obj\x01"
+MAX_VARINT_BYTES = 10
+MAX_BLOCK_RECORDS = 1_000_000
+
+
+class AvroError(ValueError):
+    """Named parse failure: corrupt or non-Avro input."""
+
+
+# ------------------------------------------------------------ primitives
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63) if n < 0 else n << 1
+
+
+def _unzigzag(u: int) -> int:
+    return (u >> 1) ^ -(u & 1)
+
+
+def write_long(n: int) -> bytes:
+    """Avro long: zigzag then base-128 little-endian varint."""
+    u = _zigzag(n)
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def read_long(raw: bytes, i: int) -> tuple[int, int]:
+    """→ (value, next index). Raises AvroError on truncation or an
+    over-long varint (a crafted stream can't force a huge shift)."""
+    u = shift = 0
+    for k in range(MAX_VARINT_BYTES):
+        if i + k >= len(raw):
+            raise AvroError("varint runs past EOF")
+        b = raw[i + k]
+        u |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return _unzigzag(u), i + k + 1
+        shift += 7
+    raise AvroError("varint longer than 10 bytes")
+
+
+def write_string(s: str) -> bytes:
+    b = s.encode("utf-8")
+    return write_long(len(b)) + b
+
+
+def read_string(raw: bytes, i: int) -> tuple[str, int]:
+    n, i = read_long(raw, i)
+    if n < 0 or i + n > len(raw):
+        raise AvroError("string length escapes the buffer")
+    try:
+        return raw[i : i + n].decode("utf-8"), i + n
+    except UnicodeDecodeError as e:
+        raise AvroError(f"string is not UTF-8: {e}") from None
+
+
+def read_bytes(raw: bytes, i: int) -> tuple[bytes, int]:
+    n, i = read_long(raw, i)
+    if n < 0 or i + n > len(raw):
+        raise AvroError("bytes length escapes the buffer")
+    return raw[i : i + n], i + n
+
+
+# --------------------------------------------------------------- header
+def _read_meta_map(raw: bytes, i: int) -> tuple[dict[str, bytes], int]:
+    """Avro map<string, bytes>: blocks of (count, pairs...) until a
+    zero count; a negative count is followed by a byte size (spec:
+    skippable blocks) — we read the pairs either way."""
+    meta: dict[str, bytes] = {}
+    while True:
+        count, i = read_long(raw, i)
+        if count == 0:
+            return meta, i
+        if count < 0:
+            count = -count
+            _, i = read_long(raw, i)  # block byte size: unused here
+        if count > MAX_BLOCK_RECORDS:
+            raise AvroError("metadata map count is implausible")
+        for _ in range(count):
+            k, i = read_string(raw, i)
+            v, i = read_bytes(raw, i)
+            meta[k] = v
+
+
+def avro_ocf_meta(raw: bytes) -> dict:
+    """Header walk → {schema (parsed JSON), codec, sync (hex),
+    data_start (absolute offset of the first block)}."""
+    if raw[:4] != MAGIC:
+        raise AvroError("bad OCF magic")
+    meta, i = _read_meta_map(raw, 4)
+    if "avro.schema" not in meta:
+        raise AvroError("missing avro.schema")
+    try:
+        schema = json.loads(meta["avro.schema"])
+    except ValueError:
+        raise AvroError("avro.schema is not JSON") from None
+    codec = meta.get("avro.codec", b"null").decode("ascii")
+    if codec not in ("null", "deflate"):
+        raise AvroError(f"unsupported codec {codec!r}")
+    if i + 16 > len(raw):
+        raise AvroError("truncated sync marker")
+    sync = raw[i : i + 16]
+    return {
+        "schema": schema,
+        "codec": codec,
+        "sync": sync.hex(),
+        "data_start": i + 16,
+    }
+
+
+def avro_blocks(raw: bytes) -> list[dict]:
+    """Block walk → fetch plan: [{block_idx, n_records, data_off,
+    data_len}] with ABSOLUTE offsets of each block's (possibly
+    compressed) record bytes. Verifies every trailing sync marker."""
+    hdr = avro_ocf_meta(raw)
+    sync = bytes.fromhex(hdr["sync"])
+    i, out = hdr["data_start"], []
+    while i < len(raw):
+        count, i = read_long(raw, i)
+        if count <= 0 or count > MAX_BLOCK_RECORDS:
+            raise AvroError("implausible block record count")
+        size, i = read_long(raw, i)
+        if size < 0 or i + size + 16 > len(raw):
+            raise AvroError("block escapes the buffer")
+        out.append(
+            {
+                "block_idx": len(out),
+                "n_records": count,
+                "data_off": i,
+                "data_len": size,
+            }
+        )
+        i += size
+        if raw[i : i + 16] != sync:
+            raise AvroError("sync marker mismatch")
+        i += 16
+    return out
+
+
+def avro_block_records(
+    data: bytes, codec: str, fields: list[tuple[str, str]], n: int
+) -> list[dict]:
+    """Decode one fetched block's record bytes: `fields` is the
+    flat record layout [(name, 'long'|'string'), ...] (the subset
+    the fixtures use; nested schemas stay behind the documented
+    fastavro stub in multimodal/columns.py's spirit)."""
+    if codec == "deflate":
+        try:
+            data = zlib.decompress(data, wbits=-15)  # raw DEFLATE
+        except zlib.error as e:
+            raise AvroError(f"deflate block: {e}") from None
+    i, out = 0, []
+    for _ in range(n):
+        rec = {}
+        for name, typ in fields:
+            if typ == "long":
+                rec[name], i = read_long(data, i)
+            elif typ == "string":
+                rec[name], i = read_string(data, i)
+            else:
+                raise AvroError(f"unsupported field type {typ!r}")
+        out.append(rec)
+    if i != len(data):
+        raise AvroError("trailing bytes after the declared records")
+    return out
+
+
+# -------------------------------------------------------------- builder
+_FIELDS = [("seq", "long"), ("tag", "string"), ("score", "long")]
+_SCHEMA = {
+    "type": "record",
+    "name": "doc_stat",
+    "fields": [
+        {"name": "seq", "type": "long"},
+        {"name": "tag", "type": "string"},
+        {"name": "score", "type": "long"},
+    ],
+}
+
+
+def build_avro_fixture(digest: str) -> bytes:
+    """Deterministic OCF from an md5 digest: codec alternates
+    null/deflate by digest[2] (both paths exercised corpus-wide),
+    ``2 + digest[0]%2`` blocks of ``2 + digest[1]%3`` records; record
+    (b, i) carries seq = 100b + i, tag = digest[:6]-b-i and a SIGNED
+    score ``digest[3:5] - 128 + 7i - 3b`` (negatives exercise the
+    zigzag sign path). The sync marker is the digest's own 16 bytes,
+    so the walk's marker verification is exercised on every doc."""
+    codec = "deflate" if int(digest[2], 16) % 2 else "null"
+    nblocks = 2 + int(digest[0], 16) % 2
+    nrec = 2 + int(digest[1], 16) % 3
+    sync = bytes.fromhex(digest)
+    meta = (
+        write_long(2)
+        + write_string("avro.schema")
+        + (lambda b: write_long(len(b)) + b)(
+            json.dumps(_SCHEMA, separators=(",", ":")).encode()
+        )
+        + write_string("avro.codec")
+        + (lambda b: write_long(len(b)) + b)(codec.encode())
+        + write_long(0)
+    )
+    out = bytearray(MAGIC + meta + sync)
+    base = int(digest[3:5], 16) - 128
+    for b in range(nblocks):
+        body = bytearray()
+        for i in range(nrec):
+            body += write_long(100 * b + i)
+            body += write_string(f"{digest[:6]}-{b}-{i}")
+            body += write_long(base + 7 * i - 3 * b)
+        data = bytes(body)
+        if codec == "deflate":
+            co = zlib.compressobj(6, zlib.DEFLATED, -15)
+            data = co.compress(data) + co.flush()
+        out += write_long(nrec) + write_long(len(data)) + data + sync
+    return bytes(out)

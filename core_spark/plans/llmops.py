@@ -2352,6 +2352,124 @@ def q_cc_warc_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------ avro ocf
+@query(
+    "q_avro_blocks",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             substr(md5(text), 1, 6) AS d6,
+             2 + CAST('0x' || substr(md5(text), 1, 1) AS BIGINT) % 2
+               AS nblocks,
+             2 + CAST('0x' || substr(md5(text), 2, 1) AS BIGINT) % 3
+               AS nrec,
+             CASE WHEN CAST('0x' || substr(md5(text), 3, 1) AS BIGINT)
+                       % 2 = 1
+                  THEN 'deflate' ELSE 'null' END AS codec,
+             CAST('0x' || substr(md5(text), 4, 2) AS BIGINT) - 128
+               AS base
+      FROM documents
+    ),
+    b AS (SELECT *, unnest(range(nblocks)) AS blk FROM p),
+    r AS (SELECT *, unnest(range(nrec)) AS i FROM b)
+    SELECT doc_id,
+           CAST(blk AS BIGINT) AS block_idx,
+           CAST(i AS BIGINT) AS rec_idx,
+           CAST(100 * blk + i AS BIGINT) AS seq,
+           d6 || '-' || CAST(blk AS VARCHAR) || '-'
+              || CAST(i AS VARCHAR) AS tag,
+           CAST(base + 7 * i - 3 * blk AS BIGINT) AS score,
+           codec
+    FROM r ORDER BY doc_id, block_idx, rec_idx
+    """,
+)
+def q_avro_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro Object Container File ingestion (functions/avro.py; the
+    public Apache Avro 1.11 spec) — the row-major warehouse-export
+    format sitting beside tar shards (q_bundle_tar) and WARC
+    (q_cc_cdx) in the source tier. Each document becomes a REAL OCF
+    (metadata map with embedded JSON schema, digest-derived 16-byte
+    sync markers verified on every block, codec alternating
+    null/raw-DEFLATE by hash so BOTH paths run corpus-wide) and the
+    kernel walks header → block fetch plan → per-block record decode
+    (zigzag base-128 varints with a signed score exercising the sign
+    path, length-prefixed UTF-8 strings). The oracle recomputes
+    every record field by integer arithmetic from the same md5 —
+    it never sees the container bytes — so a wrong varint width,
+    zigzag sign or block boundary fails the hash.
+
+    Scale shape: map-side Arrow kernel, zero shuffles before the
+    presentation sort. At 100 TB the block walk IS the split plan:
+    sync-delimited blocks are the ranged-GET unit, and the
+    fetch-plan offsets (pinned by slicing in tests/test_avro.py —
+    deflate offsets are zlib-dependent, the q_cc_warc_gz convention)
+    let one executor decode one block without touching the rest of
+    the file."""
+    from core_spark.functions.avro import (
+        avro_block_records,
+        avro_blocks,
+        avro_ocf_meta,
+        build_avro_fixture,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    fields = [("seq", "long"), ("tag", "string"), ("score", "long")]
+
+    def walk(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                digest = hashlib.md5(text.encode("utf-8")).hexdigest()
+                raw = build_avro_fixture(digest)
+                meta = avro_ocf_meta(raw)
+                assert meta["schema"]["name"] == "doc_stat"
+                for blk in avro_blocks(raw):
+                    recs = avro_block_records(
+                        raw[
+                            blk["data_off"]: blk["data_off"]
+                            + blk["data_len"]
+                        ],
+                        meta["codec"],
+                        fields,
+                        blk["n_records"],
+                    )
+                    for i, rec in enumerate(recs):
+                        rows.append(
+                            (
+                                int(doc_id),
+                                blk["block_idx"],
+                                i,
+                                rec["seq"],
+                                rec["tag"],
+                                rec["score"],
+                                meta["codec"],
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "block_idx", "rec_idx", "seq", "tag",
+                    "score", "codec",
+                ],
+            )
+
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(
+            walk,
+            schema=(
+                "doc_id long, block_idx long, rec_idx long, seq long,"
+                " tag string, score long, codec string"
+            ),
+        )
+        .orderBy("doc_id", "block_idx", "rec_idx")
+    )
+
+
 # ------------------------------------------------------------ cdx index
 @query(
     "q_cc_cdx",

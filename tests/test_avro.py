@@ -1,0 +1,135 @@
+"""Avro OCF walk discipline (functions/avro.py)."""
+
+import hashlib
+import json
+import zlib
+
+import pytest
+
+from core_spark.functions.avro import (
+    MAGIC,
+    AvroError,
+    avro_block_records,
+    avro_blocks,
+    avro_ocf_meta,
+    build_avro_fixture,
+    read_long,
+    write_long,
+    write_string,
+)
+
+FIELDS = [("seq", "long"), ("tag", "string"), ("score", "long")]
+
+
+def test_long_zigzag_roundtrip_all_shapes():
+    for n in (0, 1, -1, 63, -64, 64, 2**31, -(2**31), 2**62,
+              -(2**62), 2**63 - 1, -(2**63)):
+        raw = write_long(n)
+        got, i = read_long(raw, 0)
+        assert got == n and i == len(raw)
+    # canonical small encodings (Avro spec examples)
+    assert write_long(0) == b"\x00"
+    assert write_long(-1) == b"\x01"
+    assert write_long(1) == b"\x02"
+    assert write_long(-64) == b"\x7f"
+    assert write_long(64) == b"\x80\x01"
+
+
+def test_fixture_block_offsets_slice_exactly():
+    """The fetch plan's absolute offsets must slice bytes that decode
+    standalone — the ranged-GET contract."""
+    d = hashlib.md5(b"offset slicing doc").hexdigest()
+    raw = build_avro_fixture(d)
+    meta = avro_ocf_meta(raw)
+    assert meta["sync"] == d
+    blocks = avro_blocks(raw)
+    assert len(blocks) == 2 + int(d[0], 16) % 2
+    base = int(d[3:5], 16) - 128
+    for blk in blocks:
+        data = raw[blk["data_off"]: blk["data_off"] + blk["data_len"]]
+        recs = avro_block_records(
+            data, meta["codec"], FIELDS, blk["n_records"]
+        )
+        b = blk["block_idx"]
+        for i, r in enumerate(recs):
+            assert r["seq"] == 100 * b + i
+            assert r["tag"] == f"{d[:6]}-{b}-{i}"
+            assert r["score"] == base + 7 * i - 3 * b
+
+
+def test_both_codecs_appear_and_deflate_is_raw():
+    seen = set()
+    for k in range(16):
+        d = f"{k:x}" * 32
+        raw = build_avro_fixture(d[:32])
+        meta = avro_ocf_meta(raw)
+        seen.add(meta["codec"])
+        if meta["codec"] == "deflate":
+            blk = avro_blocks(raw)[0]
+            data = raw[blk["data_off"]: blk["data_off"] + blk["data_len"]]
+            # raw DEFLATE (RFC 1951): zlib-wrapped inflate must fail,
+            # wbits=-15 must succeed
+            with pytest.raises(zlib.error):
+                zlib.decompress(data)
+            zlib.decompress(data, wbits=-15)
+    assert seen == {"null", "deflate"}
+
+
+def test_corrupt_inputs_raise_named_error():
+    d = hashlib.md5(b"x").hexdigest()
+    good = build_avro_fixture(d)
+    bad_magic = b"Obj\x02" + good[4:]
+    flipped_sync = bytearray(good)
+    flipped_sync[-1] ^= 0xFF  # trailing sync marker
+    truncated = good[:-10]
+    for bad in (b"", bad_magic, bytes(flipped_sync), truncated):
+        with pytest.raises(AvroError):
+            avro_blocks(bad)
+    # declared record count larger than the block holds
+    blk = avro_blocks(good)[0]
+    meta = avro_ocf_meta(good)
+    data = good[blk["data_off"]: blk["data_off"] + blk["data_len"]]
+    with pytest.raises(AvroError):
+        avro_block_records(
+            data, meta["codec"], FIELDS, blk["n_records"] + 1
+        )
+    # trailing garbage after the declared records
+    plain = (
+        zlib.decompress(data, wbits=-15)
+        if meta["codec"] == "deflate"
+        else data
+    )
+    with pytest.raises(AvroError):
+        avro_block_records(
+            plain + b"\x00junk", "null", FIELDS, blk["n_records"]
+        )
+
+
+def test_header_metadata_is_real_avro_map():
+    """The metadata map must parse as the spec's map encoding —
+    including a negative-count (sized) block, which real writers
+    emit."""
+    schema = json.dumps(
+        {"type": "record", "name": "t",
+         "fields": [{"name": "seq", "type": "long"}]}
+    ).encode()
+    meta = (
+        write_long(-1)                      # negative count: 1 pair
+        + write_long(len(write_string("avro.schema")) + 2 + len(schema))
+        + write_string("avro.schema")
+        + write_long(len(schema)) + schema
+        + write_long(0)
+    )
+    raw = MAGIC + meta + b"\x00" * 16
+    got = avro_ocf_meta(raw)
+    assert got["schema"]["name"] == "t" and got["codec"] == "null"
+
+
+def test_random_bytes_never_hang_or_fabricate():
+    import random
+
+    rng = random.Random(8)
+    for _ in range(200):
+        blob = bytes(rng.randrange(256) for _ in range(rng.randrange(64)))
+        with pytest.raises(AvroError):
+            avro_blocks(MAGIC + blob)
