@@ -55,6 +55,156 @@ def q_av_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_bitmap_exif",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, md5(text) AS h FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             CASE WHEN CAST('0x' || substr(h, 1, 1) AS BIGINT) % 2 = 0
+                  THEN 'II' ELSE 'MM' END AS byte_order,
+             640 + CAST('0x' || substr(h, 2, 2) AS BIGINT) AS width,
+             480 + CAST('0x' || substr(h, 4, 2) AS BIGINT) AS height,
+             1 + CAST('0x' || substr(h, 6, 1) AS BIGINT) % 8
+               AS orientation,
+             'Cam' || substr(h, 7, 2) AS make,
+             'M-' || substr(h, 9, 2) AS model,
+             2018 + CAST('0x' || substr(h, 11, 1) AS BIGINT) % 8 AS y,
+             1 + CAST('0x' || substr(h, 12, 1) AS BIGINT) % 12 AS mo,
+             1 + CAST('0x' || substr(h, 13, 1) AS BIGINT) % 28 AS d,
+             CAST('0x' || substr(h, 14, 1) AS BIGINT) % 24 AS hh,
+             CAST('0x' || substr(h, 15, 2) AS BIGINT) % 60 AS mi,
+             CAST('0x' || substr(h, 17, 2) AS BIGINT) % 60 AS ss,
+             30 + CAST('0x' || substr(h, 19, 2) AS BIGINT) AS exp_den,
+             100 * (1 + CAST('0x' || substr(h, 21, 1) AS BIGINT) % 16)
+               AS iso
+      FROM p
+    )
+    SELECT doc_id, byte_order, width, height, orientation, make, model,
+           CAST(y AS VARCHAR) || ':' || lpad(CAST(mo AS VARCHAR),2,'0')
+             || ':' || lpad(CAST(d AS VARCHAR),2,'0') || ' '
+             || lpad(CAST(hh AS VARCHAR),2,'0') || ':'
+             || lpad(CAST(mi AS VARCHAR),2,'0') || ':'
+             || lpad(CAST(ss AS VARCHAR),2,'0') AS dt,
+           exp_den, iso,
+           orientation >= 5 AS needs_transpose
+    FROM f ORDER BY doc_id
+    """,
+)
+def q_bitmap_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF capture-metadata walk (multimodal/exif.py; TIFF 6.0 +
+    EXIF 2.3x) — the no-pixel-decode gate an image curation pass
+    runs first: orientation (the needs_transpose flag is what a
+    resize stage consumes), capture timestamp for temporal
+    bucketing, camera make/model for source stats, exposure/ISO
+    from the Exif SubIFD whose pointer the walk must really chase.
+    Each document builds a REAL baseline JPEG (jpeg_encode, pixels
+    hash-derived) with an APP1 ``Exif\\0\\0`` TIFF stream spliced
+    where cameras write it; byte order alternates II/MM by hash so
+    BOTH endiannesses run corpus-wide; all offsets are
+    TIFF-relative, exactly the trap naive parsers fall into. The
+    payload crosses Arrow as opaque binary and a second kernel walks
+    JPEG segments → APP1 → IFD0 → SubIFD back to typed fields. The
+    oracle recomputes every field by integer/string arithmetic from
+    the same md5, never seeing the bytes.
+
+    Scale shape: map-side Arrow kernels, zero shuffles before the
+    presentation sort; payload bytes never move. At 100 TB this is
+    the metadata extraction that runs at fetch time and writes the
+    typed-metadata journal the gates then filter JVM-side."""
+    import pandas as pd
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+
+    def attach(batches):
+        import hashlib
+
+        import numpy as np
+
+        from core_spark.multimodal.exif import (
+            attach_exif_app1,
+            build_tiff_exif,
+        )
+        from core_spark.multimodal.jpeg import jpeg_encode
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                h = hashlib.md5(text.encode("utf-8")).hexdigest()
+                px0 = int(h[21:23], 16)
+                img = ((np.arange(64).reshape(8, 8) * 5 + px0) % 256)
+                jp = jpeg_encode(img.astype(np.uint8))
+                dt = (
+                    f"{2018 + int(h[10], 16) % 8:04d}:"
+                    f"{1 + int(h[11], 16) % 12:02d}:"
+                    f"{1 + int(h[12], 16) % 28:02d} "
+                    f"{int(h[13], 16) % 24:02d}:"
+                    f"{int(h[14:16], 16) % 60:02d}:"
+                    f"{int(h[16:18], 16) % 60:02d}"
+                )
+                tiff = build_tiff_exif(
+                    "II" if int(h[0], 16) % 2 == 0 else "MM",
+                    640 + int(h[1:3], 16),
+                    480 + int(h[3:5], 16),
+                    1 + int(h[5], 16) % 8,
+                    "Cam" + h[6:8],
+                    "M-" + h[8:10],
+                    dt,
+                    (1, 30 + int(h[18:20], 16)),
+                    100 * (1 + int(h[20], 16) % 16),
+                )
+                rows.append((int(doc_id), attach_exif_app1(jp, tiff)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    def walk(batches):
+        from core_spark.multimodal.exif import exif_from_jpeg
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                m = exif_from_jpeg(bytes(payload))
+                rows.append(
+                    (
+                        int(doc_id),
+                        m["byte_order"],
+                        m["width"],
+                        m["height"],
+                        m["orientation"],
+                        m["make"],
+                        m["model"],
+                        m["datetime"],
+                        m["exposure"][1],
+                        m["iso"],
+                        m["orientation"] >= 5,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "byte_order", "width", "height",
+                    "orientation", "make", "model", "dt", "exp_den",
+                    "iso", "needs_transpose",
+                ],
+            )
+
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(attach, schema="doc_id long, payload binary")
+        .mapInPandas(
+            walk,
+            schema=(
+                "doc_id long, byte_order string, width long,"
+                " height long, orientation long, make string,"
+                " model string, dt string, exp_den long, iso long,"
+                " needs_transpose boolean"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "q_bitmap_phash",
     oracle="""
     WITH cnt AS (
