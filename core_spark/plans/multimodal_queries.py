@@ -205,6 +205,159 @@ def q_bitmap_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_bitmap_audit",
+    oracle="""
+    WITH cnt AS (
+      SELECT greatest(64, count(*) // 8) AS G FROM documents
+    ),
+    d AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(text), 1, 6) AS BIGINT)
+               % (SELECT G FROM cnt) AS g,
+             CAST('0x' || substr(md5(text), 7, 1) AS BIGINT) % 4 AS cls,
+             CAST('0x' || substr(md5(text), 8, 1) AS BIGINT) % 16 AS r0,
+             CAST('0x' || substr(md5(text), 9, 2) AS BIGINT) % 18 AS c0
+      FROM documents
+    ),
+    pl AS (
+      SELECT doc_id, r0 AS rp, c0 AS cp, 40 AS delta
+      FROM d WHERE cls = 0
+      UNION ALL
+      SELECT doc_id, (r0 + 2*p) % 16 AS rp, (c0 + 5*p) % 18 AS cp,
+             100 AS delta
+      FROM (SELECT doc_id, r0, c0, unnest(range(8)) AS p
+            FROM d WHERE cls = 1)
+    ),
+    rows_ AS (SELECT doc_id, g, unnest(range(16)) AS r FROM d),
+    cols_ AS (SELECT *, unnest(range(18)) AS c FROM rows_),
+    px AS (
+      SELECT x.doc_id, x.r, x.c,
+             ((((x.g+1) * (x.r*18 + x.c + 1)) % 65521)
+               * (((x.g+1) * (x.r*18 + x.c + 1)) % 65521) % 251
+              + SUM(coalesce(pl.delta, 0))) % 256 AS v
+      FROM cols_ x LEFT JOIN pl
+        ON pl.doc_id = x.doc_id AND pl.rp = x.r AND pl.cp = x.c
+      GROUP BY x.doc_id, x.g, x.r, x.c
+    ),
+    pool AS (
+      SELECT doc_id, r // 2 AS pr, c // 2 AS pc, SUM(v) // 4 AS pv
+      FROM px GROUP BY doc_id, r // 2, c // 2
+    ),
+    bit AS (
+      SELECT doc_id, pr, pc,
+             CASE WHEN lead(pv) OVER (
+                    PARTITION BY doc_id, pr ORDER BY pc) > pv
+                  THEN 1 ELSE 0 END AS b
+      FROM pool
+    ),
+    band AS (
+      SELECT doc_id, (pr*8 + pc) // 16 AS bi,
+             SUM(b * (1 << ((pr*8 + pc) % 16))) AS bv
+      FROM bit WHERE pc < 8 GROUP BY doc_id, (pr*8 + pc) // 16
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM band x JOIN band y
+        ON x.bi = y.bi AND x.bv = y.bv AND x.doc_id < y.doc_id
+    ),
+    ham AS (
+      SELECT c.a, c.b,
+             SUM(bit_count(xor(xa.bv, xb.bv))) AS hamming
+      FROM cand c
+      JOIN band xa ON xa.doc_id = c.a
+      JOIN band xb ON xb.doc_id = c.b AND xb.bi = xa.bi
+      GROUP BY c.a, c.b
+    ),
+    grp AS (
+      SELECT g, count(*) AS n_docs FROM d
+      GROUP BY g HAVING count(*) >= 2
+    ),
+    found AS (
+      SELECT ta.g, count(*) AS n_found
+      FROM ham h
+      JOIN d ta ON ta.doc_id = h.a
+      JOIN d tb ON tb.doc_id = h.b AND tb.g = ta.g
+      WHERE h.hamming <= 6
+      GROUP BY ta.g
+    )
+    SELECT g,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_docs * (n_docs - 1) // 2 AS BIGINT) AS n_true,
+           CAST(coalesce(n_found, 0) AS BIGINT) AS n_found,
+           CAST(10000 * coalesce(n_found, 0)
+                // (n_docs * (n_docs - 1) // 2) AS BIGINT) AS recall_bp
+    FROM grp LEFT JOIN found USING (g) ORDER BY g
+    """,
+)
+def q_bitmap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit for the visual-dedup tier (the q_ann_recall /
+    q_pq_recall discipline applied to q_bitmap_phash): per image
+    group, how many of the planted duplicate pairs did LSH banding +
+    Hamming verification actually find? The audit corpus adds an
+    adversarial distortion class the production query's fixture
+    doesn't carry — eight scattered +100 pixels at row stride 2,
+    touching every pooled row and flipping up to 16 hash bits across
+    all four bands — so BOTH miss modes are live: candidate misses (no shared band
+    survives) and verify rejections (hamming > 6). Ground truth is
+    the generator's own group key; output is per-group
+    (n_docs, n_true, n_found, recall_bp) with recall in float-free
+    basis points. The oracle recomputes the full hash pipeline AND
+    the truth join by integer arithmetic.
+
+    Scale shape: identical to q_bitmap_phash (constant band
+    occupancy via corpus-derived G) plus one partial-agg exchange on
+    the group key for the truth counts; the audit output is one row
+    per group — the dashboard table a dedup operator actually
+    watches. At 100 TB you run this on a sampled stratum, exactly
+    like q_pq_recall's sampled brute-force side."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_corpus = docs.count()
+    G = max(64, n_corpus // 8)
+
+    hashes = _phash_hashes(spark, sf_dir, heavy=True)
+    pairs = _phash_pairs(hashes)
+
+    truth = docs.select(
+        "doc_id",
+        (F.conv(F.substring(F.md5("text"), 1, 6), 16, 10).cast("long")
+         % F.lit(G)).alias("g"),
+    )
+    grp = (
+        truth.groupBy("g")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+    )
+    found = (
+        pairs.join(
+            truth.select(F.col("doc_id").alias("a"),
+                         F.col("g").alias("ga")), "a")
+        .join(truth.select(F.col("doc_id").alias("b"),
+                           F.col("g").alias("gb")), "b")
+        .where(F.col("ga") == F.col("gb"))
+        .groupBy(F.col("ga").alias("g"))
+        .agg(F.count("*").alias("n_found"))
+    )
+    return (
+        grp.join(found, "g", "left")
+        .na.fill({"n_found": 0})
+        .select(
+            "g",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            # integer `div` throughout: the oracle floors with `//`,
+            # and double division can round up across the boundary
+            F.expr("(n_docs * (n_docs - 1)) div 2").alias("n_true"),
+            F.col("n_found").cast("long").alias("n_found"),
+            F.expr(
+                "(10000 * n_found) div ((n_docs * (n_docs - 1)) div 2)"
+            ).alias("recall_bp"),
+        )
+        .orderBy("g")
+    )
+
+
+@query(
     "q_bitmap_phash",
     oracle="""
     WITH cnt AS (
@@ -290,8 +443,23 @@ def q_bitmap_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     join shuffles on (band_idx, band_value) with constant occupancy;
     verification is pairs-only. At 100 TB this is the standard
     image-dedup plan: hashes are ~10^-6 of payload bytes."""
+    hashes = _phash_hashes(spark, sf_dir, heavy=False)
+    pairs = _phash_pairs(hashes)
+    return pairs.orderBy("a", "b")
+
+
+def _phash_hashes(spark, sf_dir: str, heavy: bool):
+    """dHash tier shared by q_bitmap_phash and q_bitmap_audit:
+    deterministic 16x18 PNG per doc (group pattern g = md5[0:6] %
+    G, G = max(64, n//8) corpus-derived), REAL png encode/decode
+    across an Arrow boundary, 2x2 average pool, 64-bit dHash as four
+    16-bit bands. Distortion classes by md5[6]%4: class 0 = one
+    pixel +40 (2 adjacent gradient bits, always caught); with
+    heavy=True class 1 = eight scattered pixels +100 at row stride
+    2, touching EVERY pooled row — up to 16 flipped bits across all
+    four bands, so banding AND the hamming<=6 verify can genuinely
+    miss (the audit's subject)."""
     import pandas as pd
-    from pyspark.sql import functions as F
 
     docs = load_table(spark, sf_dir, "documents")
     n_corpus = docs.count()  # one narrow agg, house auto-knob norm
@@ -313,10 +481,15 @@ def q_bitmap_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 c = np.arange(18, dtype=np.int64)[None, :]
                 a = ((g + 1) * (r * 18 + c + 1)) % 65521
                 img = (a * a) % 251
-                if int(h[6], 16) % 4 == 0:
-                    r0 = int(h[7], 16) % 16
-                    c0 = int(h[8:10], 16) % 18
+                cls = int(h[6], 16) % 4
+                r0 = int(h[7], 16) % 16
+                c0 = int(h[8:10], 16) % 18
+                if cls == 0:
                     img[r0, c0] = (img[r0, c0] + 40) % 256
+                elif cls == 1 and heavy:
+                    for p in range(8):
+                        rp, cp = (r0 + 2 * p) % 16, (c0 + 5 * p) % 18
+                        img[rp, cp] = (img[rp, cp] + 100) % 256
                 rows.append(
                     (int(doc_id), png_encode(img.astype(np.uint8)))
                 )
@@ -350,7 +523,7 @@ def q_bitmap_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["doc_id", "b0", "b1", "b2", "b3"]
             )
 
-    hashes = (
+    return (
         spread(docs.select("doc_id", "text"))
         .mapInPandas(attach, schema="doc_id long, payload binary")
         .mapInPandas(
@@ -358,6 +531,13 @@ def q_bitmap_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema="doc_id long, b0 long, b1 long, b2 long, b3 long",
         )
     )
+
+
+def _phash_pairs(hashes):
+    """LSH-banded near-dup pairs over dHash bands: band-equality
+    candidates, bit_count(XOR) Hamming verify, <=6 survivors."""
+    from pyspark.sql import functions as F
+
     bands = hashes.select(
         "doc_id",
         F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("bi", "bv"),
@@ -392,7 +572,6 @@ def q_bitmap_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(hb, "b")
         .select("a", "b", hamming.alias("hamming"))
         .where(F.col("hamming") <= 6)
-        .orderBy("a", "b")
     )
 
 
