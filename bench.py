@@ -140,6 +140,7 @@ HEADLINE = [
     "q_avro_blocks",
     "q_bitmap_exif",
     "q_bitmap_audit",
+    "q_wiki_dump",
     # q_dup_canonical is intentionally absent: its dominant cost is
     # the same pair+CC pipeline q_dup_clusters already times;
     # q_bands_serve (streaming materialize->serve) follows the

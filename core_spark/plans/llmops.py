@@ -2352,6 +2352,116 @@ def q_cc_warc_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------- wiki multistream
+@query(
+    "q_wiki_dump",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, string_split(text, ' ') AS w,
+             substr(md5(text), 1, 6) AS d6,
+             6 + CAST('0x' || substr(md5(text), 1, 1) AS BIGINT) % 5
+               AS wpp
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, w, wpp, d6,
+             unnest(range(greatest(1, (len(w) + wpp - 1) // wpp))) AS i
+      FROM p
+    )
+    SELECT doc_id,
+           CAST(i // 2 AS BIGINT) AS stream_idx,
+           CAST(i AS BIGINT) AS page_idx,
+           CAST(1000 + i AS BIGINT) AS page_id,
+           'Page ' || d6 || '-' || CAST(i AS VARCHAR) AS title,
+           CAST(0 AS BIGINT) AS ns,
+           array_to_string(list_slice(w, i * wpp + 1, i * wpp + wpp),
+                           ' ') AS page_text
+    FROM f ORDER BY doc_id, page_idx
+    """,
+)
+def q_wiki_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multistream-bz2 dump ingestion (functions/wikidump.py) — the
+    distribution format the large public encyclopedia corpora ship
+    in, i.e. the first parse of the highest-quality slice of most
+    LLM training mixes. Each document becomes a real multistream
+    file (pages tiled ``6 + md5[0]%5`` words each, packed 2 per bz2
+    STREAM — the real format packs 100, same structure); the kernel
+    splits the streams with an incremental BZ2Decompressor
+    (boundaries from unused_data — the index-build step that makes
+    the dump randomly accessible), inflates each stream
+    independently at its walked byte range, and parses the bare
+    <page> fragment XML back to (title, ns, id, revision text) with
+    a decoy <sha1> element exercised on every page. The oracle
+    recomputes every page row by word-slice arithmetic from the same
+    md5; stream byte offsets are bz2-dependent and pinned by slicing
+    in tests/test_wikidump.py (the q_cc_warc_gz convention).
+    Corpus-purity note: page bodies embed text verbatim, so the
+    fixture assumes no &<> in the synthetic corpus (the q_cc_cdx
+    note).
+
+    Scale shape: map-side Arrow kernel, zero shuffles before the
+    presentation sort; at dump scale (~20 GB compressed, ~100k
+    streams) the stream table IS the split plan — one executor
+    inflates one stream, never the whole file.
+
+    PYTEST_ONLY naming (after the window cutoff) — rotates into the
+    driver window in r9 (the window holds 14 first-time r8 names)."""
+    from core_spark.functions.wikidump import (
+        build_wikidump_fixture,
+        wikidump_pages,
+        wikidump_streams,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+
+    def walk(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                digest = hashlib.md5(text.encode("utf-8")).hexdigest()
+                raw = build_wikidump_fixture(text, digest)
+                page_idx = 0
+                for s in wikidump_streams(raw):
+                    chunk = raw[s["off"]: s["off"] + s["length"]]
+                    for pg in wikidump_pages(chunk):
+                        rows.append(
+                            (
+                                int(doc_id),
+                                s["stream_idx"],
+                                page_idx,
+                                pg["page_id"],
+                                pg["title"],
+                                pg["ns"],
+                                pg["text"],
+                            )
+                        )
+                        page_idx += 1
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "stream_idx", "page_idx", "page_id",
+                    "title", "ns", "page_text",
+                ],
+            )
+
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(
+            walk,
+            schema=(
+                "doc_id long, stream_idx long, page_idx long,"
+                " page_id long, title string, ns long,"
+                " page_text string"
+            ),
+        )
+        .orderBy("doc_id", "page_idx")
+    )
+
+
 # ------------------------------------------------------------ avro ocf
 @query(
     "q_avro_blocks",
