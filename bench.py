@@ -141,6 +141,8 @@ HEADLINE = [
     "q_bitmap_exif",
     "q_bitmap_audit",
     "q_wiki_dump",
+    "q_license_scan",
+    "q_ndjson_gate",
     # q_dup_canonical is intentionally absent: its dominant cost is
     # the same pair+CC pipeline q_dup_clusters already times;
     # q_bands_serve (streaming materialize->serve) follows the

@@ -2352,6 +2352,196 @@ def q_cc_warc_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------------- ndjson gate
+@query(
+    "q_ndjson_gate",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(text), 2, 1) AS BIGINT) % 5 = 0
+               AS corrupt,
+             ['en','de','fr','ja'][
+               CAST(CAST('0x' || substr(md5(text), 1, 1) AS BIGINT) % 4
+                    AS INT) + 1] AS lang,
+             CAST('0x' || substr(md5(text), 3, 2) AS BIGINT) AS score
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN corrupt THEN NULL ELSE doc_id END AS rec_id,
+           CASE WHEN corrupt THEN NULL ELSE lang END AS rec_lang,
+           CASE WHEN corrupt THEN NULL ELSE score END AS rec_score,
+           corrupt AS is_corrupt
+    FROM p ORDER BY doc_id
+    """,
+)
+def q_ndjson_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read NDJSON ingestion with corrupt-record
+    quarantine — the metadata-sidecar reader (WAT files, exported
+    event logs, model-output JSONL) that must NEVER drop a batch
+    because one line is broken: `from_json` in PERMISSIVE mode with
+    a `_corrupt_record` column, so malformed lines surface as typed
+    NULLs plus a quarantine flag instead of an exception or a
+    silently skipped row. Each document renders a JSON line
+    (id/lang/score, hash-derived); a hash-picked fifth of them is
+    truncated mid-object, and the reader must yield NULL fields +
+    is_corrupt=true for exactly those. The oracle derives every
+    field and flag from the hash alone — it never parses JSON — so
+    both the parse values and the quarantine routing are
+    driver-checked.
+
+    Scale shape: 100% JVM — format_string fixture + from_json in
+    whole-stage codegen, zero Python, zero shuffles. At 100 TB this
+    is the standard sidecar scan; the is_corrupt flag feeds the
+    quarantine journal, the same ledger discipline as q_pii_redact.
+
+    PYTEST_ONLY naming (after the window cutoff) — rotates into the
+    driver window in r9."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5("text")
+    lang = F.element_at(
+        F.array(*[F.lit(x) for x in ("en", "de", "fr", "ja")]),
+        (F.conv(F.substring(h, 1, 1), 16, 10).cast("int") % 4) + 1,
+    )
+    corrupt = F.conv(F.substring(h, 2, 1), 16, 10).cast("long") % 5 == 0
+    score = F.conv(F.substring(h, 3, 2), 16, 10).cast("long")
+    line = F.format_string(
+        '{"id": %d, "lang": "%s", "score": %d}',
+        F.col("doc_id"), lang, score,
+    )
+    line = F.when(
+        corrupt, F.substring(line, 1, F.length(line) - 5)
+    ).otherwise(line)
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("lang", StringType()),
+            StructField("score", LongType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    rec = F.from_json(
+        line,
+        schema,
+        {"mode": "PERMISSIVE",
+         "columnNameOfCorruptRecord": "_corrupt_record"},
+    )
+    return (
+        docs.select("doc_id", rec.alias("rec"))
+        .select(
+            "doc_id",
+            F.col("rec.id").alias("rec_id"),
+            F.col("rec.lang").alias("rec_lang"),
+            F.col("rec.score").alias("rec_score"),
+            F.col("rec._corrupt_record").isNotNull().alias("is_corrupt"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------- license scan
+@query(
+    "q_license_scan",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(text), 1, 1) AS BIGINT) % 6 AS sh
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE sh WHEN 0 THEN 'MIT' WHEN 1 THEN 'Apache-2.0'
+                   WHEN 2 THEN 'Apache-2.0' WHEN 3 THEN 'GPL-3.0-only'
+                   WHEN 4 THEN 'MIT' ELSE 'unknown' END AS license,
+           CASE WHEN sh <= 1 THEN 'spdx'
+                WHEN sh <= 4 THEN 'phrase' ELSE 'none' END AS method,
+           sh IN (0, 1, 2, 4) AS allowed
+    FROM p ORDER BY doc_id
+    """,
+)
+def q_license_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License-header routing — the filter every code-training
+    pipeline runs before ingesting source files (permissive in,
+    copyleft quarantined, unknown to review): an SPDX tag when
+    present (machine-readable, exact), else the canonical license
+    phrases (the scancode-style fallback — Apache boilerplate, the
+    MIT "Permission is hereby granted" grant, the GPL freedom
+    preamble), else unknown. Each document renders as a source file
+    whose hash-picked header carries one of six shapes (SPDX MIT /
+    SPDX Apache / Apache phrase / GPL phrase / MIT phrase / no
+    license), and the detector must read it back from the rendered
+    text; the oracle derives every verdict from the hash alone,
+    never seeing the header — so a regexp that over- or
+    under-matches fails the driver check. (Corpus-purity note: the
+    no-license branch assumes the synthetic text's first ~400 chars
+    don't contain the canonical phrases — the q_code_detect class of
+    assumption.)
+
+    Scale shape: 100% JVM — regexp_extract over a bounded header
+    prefix (substring, not the whole file) in whole-stage codegen,
+    zero Python, zero shuffles. At 100 TB this is a scan-speed gate
+    like q_crawl_dates; the license column then feeds the mix
+    planner (q_domain_mix) and the attribution ledger.
+
+    PYTEST_ONLY naming (after the window cutoff) — rotates into the
+    driver window in r9."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5("text")
+    sh = (F.conv(F.substring(h, 1, 1), 16, 10).cast("long") % 6)
+    header = (
+        F.when(sh == 0, F.lit("// SPDX-License-Identifier: MIT"))
+        .when(sh == 1, F.lit("# SPDX-License-Identifier: Apache-2.0"))
+        .when(sh == 2, F.lit(
+            "/* Licensed under the Apache License, Version 2.0"
+            " (the \"License\") */"))
+        .when(sh == 3, F.lit(
+            "# This program is free software: you can redistribute it"
+            " under the terms of the GNU General Public License"))
+        .when(sh == 4, F.lit(
+            "// Permission is hereby granted, free of charge, to any"
+            " person obtaining a copy of this software"))
+        .otherwise(F.lit("// source file"))
+    )
+    src = F.concat(header, F.lit("\n"), F.col("text"))
+    # detector reads a bounded prefix — headers live at the top of
+    # real source files; scanning the whole blob is scan-cost noise
+    head = F.substring(src, 1, 400)
+    spdx = F.regexp_extract(
+        head, r"SPDX-License-Identifier:\s*([A-Za-z0-9.+-]+)", 1
+    )
+    apache = head.contains("Apache License")
+    gpl = head.contains("GNU General Public License")
+    mit = head.contains("Permission is hereby granted")
+    license_ = (
+        F.when(spdx != "", spdx)
+        .when(apache, F.lit("Apache-2.0"))
+        .when(gpl, F.lit("GPL-3.0-only"))
+        .when(mit, F.lit("MIT"))
+        .otherwise(F.lit("unknown"))
+    )
+    method = (
+        F.when(spdx != "", F.lit("spdx"))
+        .when(apache | gpl | mit, F.lit("phrase"))
+        .otherwise(F.lit("none"))
+    )
+    return (
+        docs.select(
+            "doc_id",
+            license_.alias("license"),
+            method.alias("method"),
+            license_.isin("MIT", "Apache-2.0", "BSD-3-Clause").alias(
+                "allowed"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ------------------------------------------------------- wiki multistream
 @query(
     "q_wiki_dump",

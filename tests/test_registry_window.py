@@ -47,6 +47,8 @@ _REPO = Path(__file__).resolve().parent.parent
 # the cutoff for r9 rotation (the window holds 14 first-time r8
 # names that must keep their slots) — the r5/r7 protocol.
 PYTEST_ONLY: set[str] = {
+    "q_license_scan",
+    "q_ndjson_gate",
     "q_wiki_dump",
 }
 
