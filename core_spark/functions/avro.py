@@ -136,7 +136,10 @@ def avro_ocf_meta(raw: bytes) -> dict:
         schema = json.loads(meta["avro.schema"])
     except ValueError:
         raise AvroError("avro.schema is not JSON") from None
-    codec = meta.get("avro.codec", b"null").decode("ascii")
+    try:
+        codec = meta.get("avro.codec", b"null").decode("ascii")
+    except UnicodeDecodeError:
+        raise AvroError("avro.codec is not ASCII") from None
     if codec not in ("null", "deflate"):
         raise AvroError(f"unsupported codec {codec!r}")
     if i + 16 > len(raw):

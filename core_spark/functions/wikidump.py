@@ -89,10 +89,14 @@ def wikidump_pages(stream: bytes) -> list[dict]:
             page_id = int(pid)
         except ValueError:
             continue
+        try:
+            ns = int(page.findtext("ns", "0") or 0)
+        except ValueError:
+            ns = 0  # junk ns is tolerated metadata, not identity
         out.append(
             {
                 "page_id": page_id,
-                "ns": int(page.findtext("ns", "0") or 0),
+                "ns": ns,
                 "title": title,
                 "text": page.findtext("revision/text", "") or "",
             }

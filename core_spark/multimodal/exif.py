@@ -18,7 +18,9 @@ Corrupt-input discipline (the codec-suite rule): a wrong byte-order
 mark or magic, an IFD or value escaping the buffer, or a missing
 APP1 raises the named ExifError — never a hang, never fabricated
 fields. Unknown tags are skipped (the spec requires readers to
-tolerate them); unsupported value types within known tags raise.
+tolerate them), and so is any entry whose value TYPE is outside the
+supported set (ASCII/SHORT/LONG/RATIONAL) — an oddly-typed known
+tag reads as absent rather than aborting the walk.
 
 Reference parity: gazette/core moves opaque serializations only
 (message/interfaces.go:121-124); metadata parsing happens in
@@ -209,5 +211,9 @@ def attach_exif_app1(jpeg: bytes, tiff: bytes) -> bytes:
     if jpeg[:2] != b"\xff\xd8":
         raise ExifError("not a JPEG (missing SOI)")
     payload = PREAMBLE + tiff
+    if len(payload) + 2 > 0xFFFF:
+        # a JPEG segment length field is 16-bit; real cameras split
+        # oversized EXIF across segments — out of scope here
+        raise ExifError("EXIF block exceeds the 65533-byte APP1 limit")
     seg = b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
     return jpeg[:2] + seg + jpeg[2:]

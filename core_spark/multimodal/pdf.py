@@ -425,6 +425,12 @@ def _esc(s: str) -> bytes:
         raw = s.encode("latin-1")
     except UnicodeEncodeError:
         raw = b"\xfe\xff" + s.encode("utf-16-be")
+    else:
+        if raw.startswith(b"\xfe\xff"):
+            # latin-1 text beginning "þÿ" would read back as a
+            # UTF-16BE BOM — route it through the UTF-16 branch so
+            # the round-trip stays exact
+            raw = b"\xfe\xff" + s.encode("utf-16-be")
     return (
         raw.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
     )

@@ -313,10 +313,7 @@ def q_bitmap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     docs = load_table(spark, sf_dir, "documents")
-    n_corpus = docs.count()
-    G = max(64, n_corpus // 8)
-
-    hashes = _phash_hashes(spark, sf_dir, heavy=True)
+    hashes, G = _phash_hashes(spark, sf_dir, heavy=True)
     pairs = _phash_pairs(hashes)
 
     truth = docs.select(
@@ -443,13 +440,16 @@ def q_bitmap_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     join shuffles on (band_idx, band_value) with constant occupancy;
     verification is pairs-only. At 100 TB this is the standard
     image-dedup plan: hashes are ~10^-6 of payload bytes."""
-    hashes = _phash_hashes(spark, sf_dir, heavy=False)
+    hashes, _g = _phash_hashes(spark, sf_dir, heavy=False)
     pairs = _phash_pairs(hashes)
     return pairs.orderBy("a", "b")
 
 
 def _phash_hashes(spark, sf_dir: str, heavy: bool):
-    """dHash tier shared by q_bitmap_phash and q_bitmap_audit:
+    """dHash tier shared by q_bitmap_phash and q_bitmap_audit —
+    returns (hashes DF, G) so the corpus-derived group count has ONE
+    owner and the audit's truth join can never drift from the
+    fixture generator:
     deterministic 16x18 PNG per doc (group pattern g = md5[0:6] %
     G, G = max(64, n//8) corpus-derived), REAL png encode/decode
     across an Arrow boundary, 2x2 average pool, 64-bit dHash as four
@@ -523,7 +523,7 @@ def _phash_hashes(spark, sf_dir: str, heavy: bool):
                 rows, columns=["doc_id", "b0", "b1", "b2", "b3"]
             )
 
-    return (
+    hashes = (
         spread(docs.select("doc_id", "text"))
         .mapInPandas(attach, schema="doc_id long, payload binary")
         .mapInPandas(
@@ -531,6 +531,7 @@ def _phash_hashes(spark, sf_dir: str, heavy: bool):
             schema="doc_id long, b0 long, b1 long, b2 long, b3 long",
         )
     )
+    return hashes, G
 
 
 def _phash_pairs(hashes):

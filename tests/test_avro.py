@@ -133,3 +133,21 @@ def test_random_bytes_never_hang_or_fabricate():
         blob = bytes(rng.randrange(256) for _ in range(rng.randrange(64)))
         with pytest.raises(AvroError):
             avro_blocks(MAGIC + blob)
+
+
+def test_non_ascii_codec_raises_named_error():
+    """Corrupt metadata must stay inside the AvroError contract
+    (review finding r8)."""
+    schema = json.dumps({"type": "record", "name": "t",
+                         "fields": []}).encode()
+    meta = (
+        write_long(2)
+        + write_string("avro.schema")
+        + write_long(len(schema)) + schema
+        + write_string("avro.codec")
+        + write_long(2) + b"\xff\xfe"
+        + write_long(0)
+    )
+    from core_spark.functions.avro import avro_ocf_meta
+    with pytest.raises(AvroError):
+        avro_ocf_meta(MAGIC + meta + b"\x00" * 16)

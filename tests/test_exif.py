@@ -105,3 +105,10 @@ def test_value_escaping_buffer_raises():
     raw = b"II" + struct.pack(e + "HI", 42, 8) + ifd
     with pytest.raises(ExifError):
         parse_tiff_exif(raw)
+
+
+def test_oversized_exif_block_raises_named_error():
+    """A JPEG segment length field is 16-bit; an oversized TIFF block
+    must raise ExifError, not struct.error (review finding r8)."""
+    with pytest.raises(ExifError):
+        attach_exif_app1(_jpeg(), b"II" + b"\x00" * 70_000)

@@ -2105,3 +2105,18 @@ def test_pdf_unicode_text_strings_roundtrip():
         ).strip()
         assert got == " ".join(text.split())
         assert pdf_meta(raw)["page_count"] >= 1
+
+
+def test_pdf_latin1_text_starting_with_bom_bytes_roundtrips():
+    """latin-1 text beginning 'þÿ' encodes to FE FF — the UTF-16BE
+    BOM — so the builder must route it through the UTF-16 branch or
+    extraction returns mojibake (review finding r8)."""
+    import hashlib
+
+    from core_spark.multimodal.pdf import build_pdf_fixture, pdf_pages_text
+
+    text = "þÿhello world this is latin-1 text"
+    digest = hashlib.md5(text.encode("utf-8")).hexdigest()
+    raw = build_pdf_fixture(text, digest)
+    got = " ".join(" ".join(p.split()) for p in pdf_pages_text(raw)).strip()
+    assert got == text

@@ -68,3 +68,15 @@ def test_partial_pages_skipped_and_decoys_ignored():
     assert pages == [
         {"page_id": 7, "ns": 2, "title": "ok", "text": "body"}
     ]
+
+
+def test_junk_ns_tolerated_as_zero():
+    """ns is metadata, not identity: junk ns must not abort the
+    stream parse (review finding r8)."""
+    frag = (
+        b"<page><title>t</title><ns>junk</ns><id>3</id>"
+        b"<revision><text>x</text></revision></page>"
+    )
+    assert wikidump_pages(frag) == [
+        {"page_id": 3, "ns": 0, "title": "t", "text": "x"}
+    ]
