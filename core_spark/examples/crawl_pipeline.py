@@ -1,0 +1,156 @@
+"""crawl-pipeline: the crawl-planning tier composed end to end —
+the discovery-side sibling of media_pipeline (which curates fetched
+bytes; this plans which bytes to fetch).
+
+Shape: one Arrow `mapInPandas` pass per document builds and walks
+that document's discovery surface — a real two-level sitemap tree
+(functions/sitemap.py) and the host's real robots.txt
+(functions/robots.py) — emitting one candidate row per discovered
+URL with its politeness verdict and crawl delay. Everything after
+the parse is JVM-declarative, the way a 100 TB frontier actually
+runs:
+
+1. discovered URLs arrive MESSY (tracking params, fragments) and are
+   canonicalized (functions/urls.py) — the dedup key;
+2. exact dedup on the canonical URL (groupBy min, the q_dedup_exact
+   shape) — a frontier must never fetch the same resource twice;
+3. the robots verdict drops disallowed paths (here: one of the
+   host's two sitemap subtrees, hash-picked per host, so the gate is
+   structurally load-bearing, not a random sprinkle);
+4. per-host politeness scheduling: fetch_at = (position - 1) x
+   crawl_delay over a host-partitioned window — one hash exchange on
+   host, the only shuffle besides the dedup.
+
+The output IS the fetch schedule: (host, url, lastmod, pos,
+fetch_at_s), freshest-first within each host. Feed it to the WARC
+writer (q_cc_cdx is the index it produces) and the loop closes.
+
+Reference parity: gazette consumers would run this as a shard
+pipeline over a `frontier` topic; here it is the batch form with the
+same operators (catalog selectors route, journals carry the
+frontier; see examples/curation_stream.py for the streaming shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from core_spark.io import load_table, spread
+
+AGENT = "core-spark-bot"
+
+
+def plan_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents → deduplicated, robots-gated, politeness-scheduled
+    fetch plan."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+
+    def discover(batches):
+        import hashlib
+
+        import pandas as pd
+
+        from core_spark.functions.robots import parse_robots
+        from core_spark.functions.sitemap import (
+            build_sitemap_fixture,
+            parse_sitemap,
+        )
+
+        for pdf in batches:
+            rows = []
+            for text in pdf["text"]:
+                digest = hashlib.md5(text.encode("utf-8")).hexdigest()
+                index, children = build_sitemap_fixture(digest)
+                host = f"ex{digest[0:2]}.com"
+                hh = int(hashlib.md5(host.encode()).hexdigest()[0], 16)
+                delay = 1 + int(digest[1], 16) % 4
+                # per-host policy: even-hash hosts fence /s1, odd
+                # fence /s0 — so BOTH sitemap subtrees (and the
+                # lastmod-less url child 1 carries) survive somewhere
+                robots = (
+                    f"# robots for {host}\n"
+                    "User-agent: *\n"
+                    f"Disallow: /s{hh % 2}\n"
+                    f"Crawl-delay: {delay}\n"
+                )
+                pol = parse_robots(robots, agent=AGENT)
+                idx = parse_sitemap(index)
+                for loc in idx["sitemaps"]:
+                    for u in parse_sitemap(children[loc])["urls"]:
+                        # discovered URLs arrive messy: session junk
+                        # a canonicalizer must strip
+                        messy = (
+                            u["loc"]
+                            + "?utm_source=sitemap&gclid=x#frag"
+                        )
+                        path = u["loc"].split(host, 1)[1]
+                        ok, _rule = pol.decide(path)
+                        rows.append(
+                            (
+                                host,
+                                messy,
+                                u["lastmod"],
+                                bool(ok),
+                                pol.crawl_delay or 0,
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "host", "url", "lastmod", "allowed", "delay_s",
+                ],
+            )
+
+    cand = docs.select("text").mapInPandas(
+        discover,
+        schema=(
+            "host string, url string, lastmod string,"
+            " allowed boolean, delay_s long"
+        ),
+    )
+
+    def canon(batches):
+        import pandas as pd
+
+        from core_spark.functions.urls import canonical_url
+
+        for pdf in batches:
+            pdf = pdf.assign(canon=[canonical_url(u) for u in pdf["url"]])
+            yield pdf
+
+    with_canon = cand.mapInPandas(
+        canon,
+        schema=(
+            "host string, url string, lastmod string,"
+            " allowed boolean, delay_s long, canon string"
+        ),
+    )
+
+    # exact frontier dedup on the canonical key, keeping the freshest
+    # lastmod a duplicate discovery carried
+    deduped = with_canon.groupBy("host", "canon").agg(
+        F.max("lastmod").alias("lastmod"),
+        F.min(F.col("allowed").cast("int")).cast("boolean").alias(
+            "allowed"
+        ),
+        F.max("delay_s").alias("delay_s"),
+    )
+
+    gated = deduped.where("allowed")
+    w = Window.partitionBy("host").orderBy(
+        F.col("lastmod").desc_nulls_last(), F.col("canon")
+    )
+    return (
+        gated.select(
+            "host",
+            F.col("canon").alias("url"),
+            "lastmod",
+            F.row_number().over(w).cast("long").alias("pos"),
+            ((F.row_number().over(w) - 1) * F.col("delay_s"))
+            .cast("long")
+            .alias("fetch_at_s"),
+        )
+        .orderBy("host", "pos")
+    )

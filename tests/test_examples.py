@@ -234,3 +234,46 @@ def test_media_pipeline_end_to_end(spark, tmp_path):
     assert sorted(r.doc_id for r in wavs) == [5, 6, 7]
     # ADPCM/ulaw energy came from real decode, not container math
     assert all(r.mean_energy > _e for r in wavs for _e in [10])
+
+
+def test_crawl_pipeline_end_to_end(spark):
+    """The crawl-planning tier composed: messy discovery →
+    canonical dedup → robots gate → per-host politeness schedule."""
+    from core_spark.examples.crawl_pipeline import plan_crawl
+
+    sf = "/root/testdata/sf0.001"
+    plan = plan_crawl(spark, sf).toPandas()
+    assert len(plan) > 0
+    # the gate is structural: each host fences exactly one of its
+    # two sitemap subtrees, so no host carries both
+    import hashlib as _h
+
+    per_host = plan.groupby("host")["url"].apply(
+        lambda u: set(p.split("/")[-2] for p in u)
+    )
+    assert set().union(*per_host) == {"s0", "s1"}  # both survive somewhere
+    for host, subtrees in per_host.items():
+        fenced = f"s{int(_h.md5(host.encode()).hexdigest()[0], 16) % 2}"
+        assert fenced not in subtrees and len(subtrees) == 1
+    # canonicalization stripped the session junk and the fragment
+    assert not plan["url"].str.contains("utm_source|#", regex=True).any()
+    # frontier dedup: one row per canonical URL
+    assert plan["url"].is_unique
+    # politeness: within a host, fetch_at = (pos-1) * a constant
+    # delay — monotone, evenly spaced
+    for host, grp in plan.groupby("host"):
+        grp = grp.sort_values("pos")
+        assert list(grp["pos"]) == list(range(1, len(grp) + 1))
+        diffs = grp["fetch_at_s"].diff().dropna().unique()
+        assert len(diffs) <= 1  # constant per-host spacing
+        assert grp["fetch_at_s"].iloc[0] == 0
+    # freshest-first within each host (NULL lastmod sorts last)
+    for host, grp in plan.groupby("host"):
+        lm = grp.sort_values("pos")["lastmod"].tolist()
+        non_null = [x for x in lm if x is not None]
+        assert non_null == sorted(non_null, reverse=True)
+        if None in lm:
+            assert lm.index(None) >= len(non_null)
+    # the lastmod-less url (sitemap child 1's last entry) survives on
+    # hosts that fence /s0 — the NULL ordering branch is genuinely hit
+    assert plan["lastmod"].isna().any()
