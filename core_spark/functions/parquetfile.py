@@ -1,0 +1,297 @@
+"""Parquet footer walking WITHOUT a parquet library — the
+fetch-planning step for the format every data lake ships: a reader
+that can parse the FileMetaData footer (Apache Thrift COMPACT
+protocol, per the public parquet-format spec) can plan ranged GETs
+per row group / column chunk, prune on min/max statistics, and
+schedule splits — all from the last few KB of a multi-GB file,
+no JVM and no pyarrow on the planning path.
+
+Layout per the spec: the file ends ``<footer bytes> <4-byte LE
+footer length> PAR1`` (and begins with the same magic). The footer
+is a thrift-compact ``FileMetaData``:
+
+  1: i32 version          2: list<SchemaElement> schema
+  3: i64 num_rows         4: list<RowGroup> row_groups
+  6: string created_by
+
+  RowGroup      = 1: list<ColumnChunk>, 2: i64 total_byte_size,
+                  3: i64 num_rows
+  ColumnChunk   = 2: i64 file_offset, 3: ColumnMetaData
+  ColumnMetaData= 1: type, 3: path_in_schema, 4: codec,
+                  5: num_values, 7: total_compressed_size,
+                  9: data_page_offset, 11: dictionary_page_offset,
+                  12: Statistics (5: max_value, 6: min_value)
+
+Thrift compact protocol (public spec): field headers pack a 4-bit
+id delta and a 4-bit type; ints are zigzag ULEB128 varints; lists
+pack size and element type in one byte (size 15 ⇒ varint follows);
+strings/binary are varint-length-prefixed; nested structs recurse
+until a 0x00 stop byte. The walker keeps a bounded recursion depth
+and SKIPS every field it doesn't model — forward compatibility is
+the protocol's whole point — so new parquet-format releases don't
+break the plan.
+
+Corrupt-input discipline: missing magic, a footer length escaping
+the buffer, an unknown wire type, or truncation inside a varint
+raises the named ParquetError — never a hang or fabricated plans.
+
+INT64 statistics decode as 8-byte little-endian two's complement
+(the spec's plain encoding) — enough for the integer min/max
+pruning the journal's zone maps (sources/journal.py) do at the
+fragment level; this walker is the same idea one level down, inside
+a fragment.
+
+Reference parity: gazette fragments are opaque files in object
+storage (fragment index in the broker); planning reads like this
+one live in consumers. Cited: SURVEY.md §2.1 fragment listing.
+"""
+
+from __future__ import annotations
+
+import struct
+
+MAGIC = b"PAR1"
+MAX_DEPTH = 24
+
+# thrift compact wire types
+_STOP, _TRUE, _FALSE, _BYTE, _I16, _I32, _I64 = 0, 1, 2, 3, 4, 5, 6
+_DOUBLE, _BINARY, _LIST, _SET, _MAP, _STRUCT = 7, 8, 9, 10, 11, 12
+_INT_TYPES = (_BYTE, _I16, _I32, _I64)
+
+
+class ParquetError(ValueError):
+    """Named parse failure: corrupt or non-parquet input."""
+
+
+class _Reader:
+    __slots__ = ("raw", "i")
+
+    def __init__(self, raw: bytes, i: int = 0) -> None:
+        self.raw, self.i = raw, i
+
+    def u8(self) -> int:
+        if self.i >= len(self.raw):
+            raise ParquetError("truncated footer")
+        b = self.raw[self.i]
+        self.i += 1
+        return b
+
+    def varint(self) -> int:
+        u = shift = 0
+        for _ in range(10):
+            b = self.u8()
+            u |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return u
+            shift += 7
+        raise ParquetError("varint longer than 10 bytes")
+
+    def zigzag(self) -> int:
+        u = self.varint()
+        return (u >> 1) ^ -(u & 1)
+
+    def binary(self) -> bytes:
+        n = self.varint()
+        if self.i + n > len(self.raw):
+            raise ParquetError("binary field escapes the footer")
+        out = self.raw[self.i : self.i + n]
+        self.i += n
+        return out
+
+    def skip(self, wtype: int, depth: int) -> None:
+        if depth > MAX_DEPTH:
+            raise ParquetError("footer nesting too deep")
+        if wtype in (_TRUE, _FALSE):
+            return
+        if wtype in _INT_TYPES:
+            self.varint()
+        elif wtype == _DOUBLE:
+            self.i += 8
+        elif wtype == _BINARY:
+            self.binary()
+        elif wtype in (_LIST, _SET):
+            size, etype = self.list_header()
+            # bool elements occupy ZERO bytes — looping would let a
+            # crafted size spin for 2^k no-ops; there is nothing to
+            # consume, so skip the loop entirely
+            if etype not in (_TRUE, _FALSE):
+                for _ in range(size):
+                    self.skip(etype, depth + 1)
+        elif wtype == _MAP:
+            size = self.varint()
+            if size > 1_000_000:
+                raise ParquetError("implausible thrift map size")
+            if size:
+                kv = self.u8()
+                kt, vt = kv >> 4, kv & 0xF
+                if kt not in (_TRUE, _FALSE) or vt not in (
+                    _TRUE, _FALSE
+                ):
+                    for _ in range(size):
+                        self.skip(kt, depth + 1)
+                        self.skip(vt, depth + 1)
+        elif wtype == _STRUCT:
+            self.skip_struct(depth + 1)
+        else:
+            raise ParquetError(f"unknown thrift wire type {wtype}")
+
+    def skip_struct(self, depth: int) -> None:
+        fid = 0
+        while True:
+            hdr = self.u8()
+            if hdr == _STOP:
+                return
+            delta, wtype = hdr >> 4, hdr & 0xF
+            fid = fid + delta if delta else self.zigzag()
+            self.skip(wtype, depth)
+
+    def list_header(self) -> tuple[int, int]:
+        hdr = self.u8()
+        size, etype = hdr >> 4, hdr & 0xF
+        if size == 15:
+            size = self.varint()
+        if size > 1_000_000:
+            raise ParquetError("implausible thrift list size")
+        return size, etype
+
+    def fields(self, depth: int = 0):
+        """Iterate a struct's (field id, wire type); the caller
+        consumes the value or calls skip()."""
+        if depth > MAX_DEPTH:
+            raise ParquetError("footer nesting too deep")
+        fid = 0
+        while True:
+            hdr = self.u8()
+            if hdr == _STOP:
+                return
+            delta, wtype = hdr >> 4, hdr & 0xF
+            fid = fid + delta if delta else self.zigzag()
+            yield fid, wtype
+
+
+def _int64_stat(b: bytes) -> int | None:
+    """INT64 plain-encoded statistics value (8-byte LE two's
+    complement); other widths are out of this walker's scope."""
+    if len(b) != 8:
+        return None
+    return struct.unpack("<q", b)[0]
+
+
+def _parse_statistics(r: _Reader, depth: int) -> dict:
+    out: dict = {}
+    for fid, wt in r.fields(depth):
+        if fid == 5 and wt == _BINARY:
+            out["max"] = _int64_stat(r.binary())
+        elif fid == 6 and wt == _BINARY:
+            out["min"] = _int64_stat(r.binary())
+        elif fid == 3 and wt in _INT_TYPES:
+            out["null_count"] = r.zigzag()
+        else:
+            r.skip(wt, depth)
+    return out
+
+
+def _parse_column_meta(r: _Reader, depth: int) -> dict:
+    out: dict = {"stats": {}}
+    for fid, wt in r.fields(depth):
+        if fid == 3 and wt == _LIST:
+            size, etype = r.list_header()
+            if etype != _BINARY:
+                raise ParquetError("path_in_schema is not strings")
+            out["path"] = ".".join(
+                r.binary().decode("utf-8", "replace")
+                for _ in range(size)
+            )
+        elif fid == 4 and wt in _INT_TYPES:
+            out["codec"] = r.zigzag()
+        elif fid == 5 and wt in _INT_TYPES:
+            out["num_values"] = r.zigzag()
+        elif fid == 7 and wt in _INT_TYPES:
+            out["total_compressed_size"] = r.zigzag()
+        elif fid == 9 and wt in _INT_TYPES:
+            out["data_page_offset"] = r.zigzag()
+        elif fid == 11 and wt in _INT_TYPES:
+            out["dictionary_page_offset"] = r.zigzag()
+        elif fid == 12 and wt == _STRUCT:
+            out["stats"] = _parse_statistics(r, depth + 1)
+        else:
+            r.skip(wt, depth)
+    return out
+
+
+def _parse_column_chunk(r: _Reader, depth: int) -> dict:
+    out: dict = {}
+    for fid, wt in r.fields(depth):
+        if fid == 2 and wt in _INT_TYPES:
+            out["file_offset"] = r.zigzag()
+        elif fid == 3 and wt == _STRUCT:
+            out.update(_parse_column_meta(r, depth + 1))
+        else:
+            r.skip(wt, depth)
+    return out
+
+
+def _parse_row_group(r: _Reader, depth: int) -> dict:
+    out: dict = {"columns": []}
+    for fid, wt in r.fields(depth):
+        if fid == 1 and wt == _LIST:
+            size, etype = r.list_header()
+            if etype != _STRUCT:
+                raise ParquetError("row-group columns are not structs")
+            out["columns"] = [
+                _parse_column_chunk(r, depth + 1) for _ in range(size)
+            ]
+        elif fid == 2 and wt in _INT_TYPES:
+            out["total_byte_size"] = r.zigzag()
+        elif fid == 3 and wt in _INT_TYPES:
+            out["num_rows"] = r.zigzag()
+        else:
+            r.skip(wt, depth)
+    return out
+
+
+def parse_parquet_footer(raw: bytes) -> dict:
+    """Whole-file bytes → {version, num_rows, created_by,
+    schema (column names, root excluded), row_groups: [{num_rows,
+    total_byte_size, columns: [{path, codec, num_values,
+    data_page_offset, dictionary_page_offset,
+    total_compressed_size, file_offset?, stats {min,max,
+    null_count}}]}]} — the split/prune plan."""
+    if len(raw) < 12 or raw[:4] != MAGIC or raw[-4:] != MAGIC:
+        raise ParquetError("missing PAR1 magic")
+    (flen,) = struct.unpack("<I", raw[-8:-4])
+    if flen + 8 > len(raw):
+        raise ParquetError("footer length escapes the file")
+    r = _Reader(raw, len(raw) - 8 - flen)
+    out: dict = {"schema": [], "row_groups": []}
+    for fid, wt in r.fields():
+        if fid == 1 and wt in _INT_TYPES:
+            out["version"] = r.zigzag()
+        elif fid == 2 and wt == _LIST:
+            size, etype = r.list_header()
+            if etype != _STRUCT:
+                raise ParquetError("schema elements are not structs")
+            names = []
+            for _ in range(size):
+                name = None
+                for sfid, swt in r.fields(1):
+                    if sfid == 4 and swt == _BINARY:
+                        name = r.binary().decode("utf-8", "replace")
+                    else:
+                        r.skip(swt, 1)
+                names.append(name)
+            out["schema"] = names[1:]  # drop the root element
+        elif fid == 3 and wt in _INT_TYPES:
+            out["num_rows"] = r.zigzag()
+        elif fid == 4 and wt == _LIST:
+            size, etype = r.list_header()
+            if etype != _STRUCT:
+                raise ParquetError("row groups are not structs")
+            out["row_groups"] = [
+                _parse_row_group(r, 1) for _ in range(size)
+            ]
+        elif fid == 6 and wt == _BINARY:
+            out["created_by"] = r.binary().decode("utf-8", "replace")
+        else:
+            r.skip(wt, 0)
+    return out

@@ -2352,6 +2352,124 @@ def q_cc_warc_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------- parquet meta
+@query(
+    "q_parquet_meta",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             3 + CAST('0x' || substr(md5(text), 1, 1) AS BIGINT) % 5
+               AS n,
+             CAST('0x' || substr(md5(text), 3, 2) AS BIGINT) - 128
+               AS base
+      FROM documents
+    ),
+    g AS (SELECT *, unnest([0, 1]) AS rg FROM p)
+    SELECT doc_id,
+           CAST(rg AS BIGINT) AS rg,
+           CAST(n AS BIGINT) AS n_rows,
+           CAST(base - 5 * rg AS BIGINT) AS v_min,
+           CAST(base + 7 * (n - 1) - 5 * rg AS BIGINT) AS v_max,
+           CAST(2 AS BIGINT) AS n_cols,
+           CAST(2 * n AS BIGINT) AS file_rows
+    FROM g ORDER BY doc_id, rg
+    """,
+)
+def q_parquet_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet footer walk WITHOUT a parquet library
+    (functions/parquetfile.py) — the fetch-planning step for the
+    format every lake ships: parse the Thrift-compact FileMetaData
+    from the tail bytes, get row-group split boundaries and INT64
+    min/max statistics for pruning, never touching the data pages.
+    This is the journal's zone-map discipline
+    (sources/journal.py) applied one level down, INSIDE a fragment.
+    Each document writes a REAL two-row-group parquet file (pyarrow
+    writer — the bytes a production lake actually contains, not a
+    hand-rolled imitation) with a signed int64 column whose
+    per-group min/max the oracle recomputes by arithmetic; the
+    kernel walks the footer with the pure-stdlib thrift reader, so
+    a wrong varint, zigzag sign, field id or list header fails the
+    hash. Offsets and pyarrow-metadata agreement are pinned in
+    tests/test_parquetfile.py; unknown thrift fields are SKIPPED
+    (forward compatibility — the protocol's whole point).
+
+    Scale shape: map-side Arrow kernel, zero shuffles; at 100 TB the
+    footer is the last ~KB of each multi-GB file — ranged-GET the
+    tail, plan every split and prune row groups before any data
+    byte moves.
+
+    PYTEST_ONLY naming (after the window cutoff) — rotates into the
+    driver window in r9."""
+    from core_spark.functions.parquetfile import parse_parquet_footer
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+
+    def walk(batches):
+        import hashlib
+        import io
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                h = hashlib.md5(text.encode("utf-8")).hexdigest()
+                n = 3 + int(h[0], 16) % 5
+                base = int(h[2:4], 16) - 128
+                v = [
+                    base + 7 * i - 5 * g
+                    for g in (0, 1)
+                    for i in range(n)
+                ]
+                tag = [f"{h[:4]}-{j}" for j in range(2 * n)]
+                buf = io.BytesIO()
+                pq.write_table(
+                    pa.table(
+                        {"v": pa.array(v, type=pa.int64()),
+                         "tag": pa.array(tag)}
+                    ),
+                    buf,
+                    row_group_size=n,
+                )
+                meta = parse_parquet_footer(buf.getvalue())
+                assert meta["schema"] == ["v", "tag"]
+                for rg_idx, rg in enumerate(meta["row_groups"]):
+                    vcol = rg["columns"][0]
+                    assert vcol["path"] == "v"
+                    rows.append(
+                        (
+                            int(doc_id),
+                            rg_idx,
+                            rg["num_rows"],
+                            vcol["stats"]["min"],
+                            vcol["stats"]["max"],
+                            len(rg["columns"]),
+                            meta["num_rows"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "rg", "n_rows", "v_min", "v_max",
+                    "n_cols", "file_rows",
+                ],
+            )
+
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(
+            walk,
+            schema=(
+                "doc_id long, rg long, n_rows long, v_min long,"
+                " v_max long, n_cols long, file_rows long"
+            ),
+        )
+        .orderBy("doc_id", "rg")
+    )
+
+
 # ----------------------------------------------------------- ndjson gate
 @query(
     "q_ndjson_gate",

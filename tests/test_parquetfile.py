@@ -1,0 +1,137 @@
+"""Parquet footer walk discipline (functions/parquetfile.py) —
+cross-checked against pyarrow's own metadata reader on bytes the
+pyarrow WRITER produced, so the thrift walk is pinned to the real
+wire format, not to our own assumptions."""
+
+import io
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from core_spark.functions.parquetfile import (
+    ParquetError,
+    parse_parquet_footer,
+)
+
+
+def _file(vals, row_group_size, compression="snappy") -> bytes:
+    t = pa.table(
+        {"v": pa.array(vals, type=pa.int64()),
+         "s": pa.array([f"s{i}" for i in range(len(vals))])}
+    )
+    buf = io.BytesIO()
+    pq.write_table(
+        t, buf, row_group_size=row_group_size, compression=compression
+    )
+    return buf.getvalue()
+
+
+def test_agrees_with_pyarrow_metadata_field_by_field():
+    raw = _file([5, -3, 17, 9, 2, 11, -64, 0], 3)
+    got = parse_parquet_footer(raw)
+    md = pq.ParquetFile(io.BytesIO(raw)).metadata
+    assert got["num_rows"] == md.num_rows == 8
+    assert got["schema"] == ["v", "s"]
+    assert len(got["row_groups"]) == md.num_row_groups == 3
+    for gi in range(md.num_row_groups):
+        rg, mine = md.row_group(gi), got["row_groups"][gi]
+        assert mine["num_rows"] == rg.num_rows
+        assert mine["total_byte_size"] == rg.total_byte_size
+        for ci in range(rg.num_columns):
+            col, mc = rg.column(ci), mine["columns"][ci]
+            assert mc["path"] == col.path_in_schema
+            assert mc["num_values"] == col.num_values
+            assert mc["data_page_offset"] == col.data_page_offset
+            assert (
+                mc["total_compressed_size"] == col.total_compressed_size
+            )
+            if col.path_in_schema == "v":
+                assert mc["stats"]["min"] == col.statistics.min
+                assert mc["stats"]["max"] == col.statistics.max
+                assert (
+                    mc["stats"]["null_count"]
+                    == col.statistics.null_count
+                )
+
+
+def test_signed_stats_and_uncompressed_codec():
+    raw = _file([-(2**40), 2**40, -1], 3, compression="none")
+    got = parse_parquet_footer(raw)
+    st = got["row_groups"][0]["columns"][0]["stats"]
+    assert st["min"] == -(2**40) and st["max"] == 2**40
+
+
+def test_data_page_offset_points_at_real_pages():
+    """The plan's offsets must land inside the file, strictly
+    increasing across row groups — the ranged-GET sanity a split
+    planner relies on."""
+    raw = _file(list(range(50)), 10)
+    got = parse_parquet_footer(raw)
+    offs = [
+        c["data_page_offset"]
+        for g in got["row_groups"]
+        for c in g["columns"]
+    ]
+    assert all(4 <= o < len(raw) - 8 for o in offs)
+    assert offs == sorted(offs)
+
+
+def test_corrupt_inputs_raise_named_error():
+    raw = _file([1, 2, 3], 3)
+    for bad in (
+        b"",
+        b"PAR1",
+        raw[:-4] + b"XXXX",                      # wrong tail magic
+        b"XXXX" + raw[4:],                       # wrong head magic
+        raw[:4] + raw[-8:],                      # footer len escapes
+        raw[: len(raw) // 2] + raw[-8:],         # truncated footer
+    ):
+        with pytest.raises(ParquetError):
+            parse_parquet_footer(bad)
+
+
+def test_random_tail_bytes_never_hang_or_fabricate():
+    import random
+
+    rng = random.Random(88)
+    for _ in range(200):
+        blob = bytes(
+            rng.randrange(256) for _ in range(rng.randrange(40))
+        )
+        candidate = (
+            b"PAR1" + blob
+            + len(blob).to_bytes(4, "little") + b"PAR1"
+        )
+        try:
+            parse_parquet_footer(candidate)
+        except ParquetError:
+            pass  # the only acceptable failure shape
+
+
+def test_giant_bool_collections_cannot_spin():
+    """Adversarial footer: bool list/map elements occupy zero bytes,
+    so a crafted huge size must not buy 2^k no-op iterations
+    (review: the r8 fuzz run surfaced multi-second spins)."""
+    import struct as _s
+    import time
+
+    # struct { field 1: LIST } with header (size=15|etype=bool) and a
+    # varint size of 2^40, then STOP
+    body = bytes([0x19, 0xF1]) + b"\x80\x80\x80\x80\x80\x80\x01" + b"\x00"
+    raw = b"PAR1" + body + _s.pack("<I", len(body)) + b"PAR1"
+    t0 = time.perf_counter()
+    try:
+        parse_parquet_footer(raw)  # O(1): size cap raises immediately
+    except ParquetError:
+        pass
+    assert time.perf_counter() - t0 < 0.5
+    # same shape as a MAP of bool->bool
+    body = bytes([0x1B]) + b"\x80\x80\x80\x40" + bytes([0x11, 0x00])
+    raw = b"PAR1" + body + _s.pack("<I", len(body)) + b"PAR1"
+    t0 = time.perf_counter()
+    try:
+        parse_parquet_footer(raw)
+    except ParquetError:
+        pass
+    assert time.perf_counter() - t0 < 0.5
