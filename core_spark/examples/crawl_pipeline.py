@@ -57,6 +57,7 @@ def plan_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
             build_sitemap_fixture,
             parse_sitemap,
         )
+        from core_spark.functions.urls import canonical_url
 
         for pdf in batches:
             rows = []
@@ -91,6 +92,7 @@ def plan_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
                             (
                                 host,
                                 messy,
+                                canonical_url(messy),
                                 u["lastmod"],
                                 bool(ok),
                                 pol.crawl_delay or 0,
@@ -99,32 +101,16 @@ def plan_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "host", "url", "lastmod", "allowed", "delay_s",
+                    "host", "url", "canon", "lastmod", "allowed",
+                    "delay_s",
                 ],
             )
 
-    cand = docs.select("text").mapInPandas(
+    with_canon = docs.select("text").mapInPandas(
         discover,
         schema=(
-            "host string, url string, lastmod string,"
+            "host string, url string, canon string, lastmod string,"
             " allowed boolean, delay_s long"
-        ),
-    )
-
-    def canon(batches):
-        import pandas as pd
-
-        from core_spark.functions.urls import canonical_url
-
-        for pdf in batches:
-            pdf = pdf.assign(canon=[canonical_url(u) for u in pdf["url"]])
-            yield pdf
-
-    with_canon = cand.mapInPandas(
-        canon,
-        schema=(
-            "host string, url string, lastmod string,"
-            " allowed boolean, delay_s long, canon string"
         ),
     )
 

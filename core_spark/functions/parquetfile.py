@@ -98,7 +98,16 @@ class _Reader:
         self.i += n
         return out
 
+    def consume(self, n: int) -> None:
+        if self.i + n > len(self.raw):
+            raise ParquetError("fixed-width run escapes the footer")
+        self.i += n
+
     def skip(self, wtype: int, depth: int) -> None:
+        """Skip one FIELD value. Field-level bools are zero-width
+        (the value rides in the field-header type nibble); inside
+        collections bools are one byte each — _skip_elem handles
+        that case."""
         if depth > MAX_DEPTH:
             raise ParquetError("footer nesting too deep")
         if wtype in (_TRUE, _FALSE):
@@ -106,15 +115,17 @@ class _Reader:
         if wtype in _INT_TYPES:
             self.varint()
         elif wtype == _DOUBLE:
-            self.i += 8
+            self.consume(8)
         elif wtype == _BINARY:
             self.binary()
         elif wtype in (_LIST, _SET):
             size, etype = self.list_header()
-            # bool elements occupy ZERO bytes — looping would let a
-            # crafted size spin for 2^k no-ops; there is nothing to
-            # consume, so skip the loop entirely
-            if etype not in (_TRUE, _FALSE):
+            if etype in (_TRUE, _FALSE):
+                # collection bools are ONE BYTE each (compact spec);
+                # consume them in one bounds-checked O(1) step so a
+                # crafted size can neither spin nor desync the walk
+                self.consume(size)
+            else:
                 for _ in range(size):
                     self.skip(etype, depth + 1)
         elif wtype == _MAP:
@@ -124,16 +135,21 @@ class _Reader:
             if size:
                 kv = self.u8()
                 kt, vt = kv >> 4, kv & 0xF
-                if kt not in (_TRUE, _FALSE) or vt not in (
-                    _TRUE, _FALSE
-                ):
-                    for _ in range(size):
-                        self.skip(kt, depth + 1)
-                        self.skip(vt, depth + 1)
+                for _ in range(size):
+                    self._skip_elem(kt, depth + 1)
+                    self._skip_elem(vt, depth + 1)
         elif wtype == _STRUCT:
             self.skip_struct(depth + 1)
         else:
             raise ParquetError(f"unknown thrift wire type {wtype}")
+
+    def _skip_elem(self, etype: int, depth: int) -> None:
+        """Skip one COLLECTION element — bools occupy one byte here,
+        unlike field-level bools."""
+        if etype in (_TRUE, _FALSE):
+            self.consume(1)
+        else:
+            self.skip(etype, depth)
 
     def skip_struct(self, depth: int) -> None:
         fid = 0
@@ -260,9 +276,14 @@ def parse_parquet_footer(raw: bytes) -> dict:
     if len(raw) < 12 or raw[:4] != MAGIC or raw[-4:] != MAGIC:
         raise ParquetError("missing PAR1 magic")
     (flen,) = struct.unpack("<I", raw[-8:-4])
-    if flen + 8 > len(raw):
+    # the footer must fit BETWEEN the 4-byte head magic and the
+    # 8-byte tail (length + magic)
+    if flen + 12 > len(raw):
         raise ParquetError("footer length escapes the file")
-    r = _Reader(raw, len(raw) - 8 - flen)
+    # clamp the walk to exactly the footer bytes: a truncated or
+    # crafted footer must raise, never read the tail length/magic
+    # (or anything before the footer) as thrift data
+    r = _Reader(raw[len(raw) - 8 - flen : len(raw) - 8])
     out: dict = {"schema": [], "row_groups": []}
     for fid, wt in r.fields():
         if fid == 1 and wt in _INT_TYPES:

@@ -135,3 +135,35 @@ def test_giant_bool_collections_cannot_spin():
     except ParquetError:
         pass
     assert time.perf_counter() - t0 < 0.5
+
+
+def test_unknown_bool_list_field_does_not_desync():
+    """Thrift compact encodes collection bools as ONE BYTE each; an
+    unknown list<bool> field must be skipped by exactly that many
+    bytes or later fields silently vanish (review finding r8)."""
+    import struct as _s
+
+    body = (
+        bytes([0x15]) + b"\x02"          # field 1: I32 version = 1
+        + bytes([0x49, 0x31])            # field 5 (+4): LIST, 3 x bool
+        + b"\x01\x01\x02"                # the three element BYTES
+        + bytes([0x18, 0x02]) + b"hi"    # field 6 (+1): created_by
+        + b"\x00"
+    )
+    raw = b"PAR1" + body + _s.pack("<I", len(body)) + b"PAR1"
+    got = parse_parquet_footer(raw)
+    assert got.get("version") == 1
+    # the field AFTER the skipped bool list must still be seen — a
+    # zero-width skip desyncs and silently drops it
+    assert got.get("created_by") == "hi"
+    # and a footer whose thrift runs INTO the tail bytes must raise
+    body2 = bytes([0x18, 0x20])          # BINARY claiming 32 bytes
+    raw2 = b"PAR1" + body2 + _s.pack("<I", len(body2)) + b"PAR1"
+    with pytest.raises(ParquetError):
+        parse_parquet_footer(raw2)
+    # flen overlapping the head magic must raise, not walk the magic
+    raw3 = _file([1, 2, 3], 3)
+    flen_bad = len(raw3) - 8  # would start inside 'PAR1'
+    raw3 = raw3[:-8] + _s.pack("<I", flen_bad) + b"PAR1"
+    with pytest.raises(ParquetError):
+        parse_parquet_footer(raw3)
