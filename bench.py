@@ -144,6 +144,7 @@ HEADLINE = [
     "q_license_scan",
     "q_ndjson_gate",
     "q_parquet_meta",
+    "q_rank_ndcg",
     # q_dup_canonical is intentionally absent: its dominant cost is
     # the same pair+CC pipeline q_dup_clusters already times;
     # q_bands_serve (streaming materialize->serve) follows the

@@ -2352,6 +2352,122 @@ def q_cc_warc_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------ rank ndcg
+# integer milli-weights floor(1000 / log2(i + 1)) for positions 1..10
+# — hardcoded identically on both sides so no engine evaluates a
+# transcendental; IDCG@10 for gains (10..1) is then the constant
+# sum over positions of (11 - pos) * W[pos] = 29944 milli.
+_NDCG_W = [1000, 630, 500, 430, 386, 356, 333, 315, 301, 289]
+_NDCG_IDEAL = sum((10 - i) * w for i, w in enumerate(_NDCG_W, start=0))
+
+
+@query(
+    "q_rank_ndcg",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+    brute AS (
+      SELECT qid, vec_id, rn AS true_rank FROM (
+        SELECT q.qid, c.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                 ORDER BY {_duck_cos("q.qv", "c.v")} DESC, c.vec_id) AS rn
+        FROM q JOIN e c ON q.qid <> c.vec_id
+      ) WHERE rn <= 10
+    ),
+    bucketed AS (SELECT vec_id, v, {_duck_bucket("v")} AS bucket FROM e),
+    qb AS (SELECT vec_id AS qid, v AS qv, bucket FROM bucketed
+           WHERE vec_id < 10),
+    lsh AS (
+      SELECT qid, vec_id, rn AS pos FROM (
+        SELECT qb.qid, c.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qb.qid
+                 ORDER BY {_duck_cos("qb.qv", "c.v")} DESC, c.vec_id) AS rn
+        FROM qb JOIN bucketed c USING (bucket)
+        WHERE qb.qid <> c.vec_id
+      ) WHERE rn <= 10
+    ),
+    w AS (
+      SELECT unnest(range(1, 11)) AS pos,
+             unnest([{", ".join(str(x) for x in _NDCG_W)}]) AS wt
+    ),
+    dcg AS (
+      SELECT l.qid,
+             SUM((11 - b.true_rank) * w.wt) AS dcg_milli
+      FROM lsh l
+      JOIN brute b USING (qid, vec_id)
+      JOIN w USING (pos)
+      GROUP BY l.qid
+    )
+    SELECT q.qid,
+           CAST(coalesce(d.dcg_milli, 0) AS BIGINT) AS dcg_milli,
+           CAST(1000000 * coalesce(d.dcg_milli, 0) // {_NDCG_IDEAL}
+             AS BIGINT) AS ndcg_micro
+    FROM q LEFT JOIN dcg d USING (qid)
+    ORDER BY qid
+    """,
+)
+def q_rank_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-AWARE retrieval audit (nDCG@10) — the metric that
+    separates "found the right vectors" (q_ann_recall) from "put
+    them in the right ORDER", which is what a retrieval-augmented
+    consumer actually pays for. Graded relevance comes from the
+    exact ranking itself (gain of the true rank-r vector = 11 - r
+    for r <= 10), the ANN side is the production hyperplane-LSH
+    path, and the discount weights are a fixed integer milli-table
+    floor(1000/log2(pos+1)) hardcoded IDENTICALLY in both engines —
+    no transcendental is ever evaluated at query time, so nDCG
+    hash-checks exactly like the recall audits. IDCG@10 is then a
+    compile-time constant (29944 milli).
+
+    Scale shape: the LSH side is bucket-keyed production work; the
+    brute side is the verification tier over the 10-query sample
+    only — sample queries, never corpus x corpus (the q_ann_recall
+    convention).
+
+    PYTEST_ONLY naming (after the window cutoff) — rotates into the
+    driver window in r9."""
+    from pyspark.sql.window import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    wq = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    brute = (
+        knn_bruteforce(queries, emb, k=10)
+        .withColumn("true_rank", F.row_number().over(wq))
+        .select("qid", "vec_id", "true_rank")
+    )
+    lsh = (
+        ann_lsh(queries, emb, k=10, n_planes=8, dims=64)
+        .withColumn("pos", F.row_number().over(wq))
+        .select("qid", "vec_id", "pos")
+    )
+    wt = F.element_at(
+        F.array(*[F.lit(x) for x in _NDCG_W]), F.col("pos").cast("int")
+    )
+    dcg = (
+        lsh.join(brute, ["qid", "vec_id"])
+        .select("qid", ((11 - F.col("true_rank")) * wt).alias("g"))
+        .groupBy("qid")
+        .agg(F.sum("g").alias("dcg_milli"))
+    )
+    return (
+        queries.select(F.col("vec_id").alias("qid"))
+        .join(dcg, "qid", "left")
+        .na.fill({"dcg_milli": 0})
+        .select(
+            "qid",
+            F.col("dcg_milli").cast("long").alias("dcg_milli"),
+            F.expr(
+                f"CAST(1000000 * dcg_milli DIV {_NDCG_IDEAL} AS BIGINT)"
+            ).alias("ndcg_micro"),
+        )
+        .orderBy("qid")
+    )
+
+
 # ---------------------------------------------------------- parquet meta
 @query(
     "q_parquet_meta",

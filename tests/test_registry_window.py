@@ -50,6 +50,7 @@ PYTEST_ONLY: set[str] = {
     "q_license_scan",
     "q_ndjson_gate",
     "q_parquet_meta",
+    "q_rank_ndcg",
     "q_wiki_dump",
 }
 
