@@ -11,9 +11,12 @@ Implements the Google/RFC semantics a production crawler uses:
   (RFC 9309 §2.2.1 — appended/concatenated robots files are common);
   specific-agent groups take precedence over ``*`` groups and the
   two tiers are never mixed;
-- only ``Allow`` / ``Disallow`` / ``Crawl-delay`` directives are
-  read; unknown directives, comments (``#`` to end of line), blank
-  lines and junk delay values are skipped;
+- ``Allow`` / ``Disallow`` / ``Crawl-delay`` directives are read per
+  group; ``Sitemap`` lines are collected GLOBALLY (they are
+  group-independent per the sitemaps.org extension and never open,
+  extend, or terminate a rule group) as discovery seeds for
+  functions/sitemap.py; unknown directives, comments (``#`` to end
+  of line), blank lines and junk delay values are skipped;
 - an empty ``Disallow:`` value means "allow everything";
 - rules support the ``*`` (any character run) and trailing ``$``
   (end anchor) special characters crawlers MUST honor
@@ -60,6 +63,10 @@ class RobotsPolicy:
     allows: list[str] = field(default_factory=list)
     disallows: list[str] = field(default_factory=list)
     crawl_delay: int | None = None
+    # Sitemap lines are GLOBAL (outside any group, RFC 9309 §2.3 /
+    # the sitemaps.org extension every crawler honors) — discovery
+    # seeds for functions/sitemap.py
+    sitemaps: list[str] = field(default_factory=list)
 
     def decide(self, path: str) -> tuple[bool, str]:
         """(allowed, winning_rule_path). Longest rule wins; ties go
@@ -78,6 +85,7 @@ class RobotsPolicy:
     def _merge(self, other: "RobotsPolicy") -> None:
         self.allows.extend(other.allows)
         self.disallows.extend(other.disallows)
+        self.sitemaps.extend(other.sitemaps)
         if other.crawl_delay is not None:
             self.crawl_delay = (
                 other.crawl_delay
@@ -93,6 +101,7 @@ def parse_robots(text: str, agent: str = "*") -> RobotsPolicy:
     merged Crawl-delays the minimum — the politest — wins."""
     agent = agent.lower()
     groups: list[tuple[list[str], RobotsPolicy]] = []
+    sitemaps: list[str] = []
     cur_agents: list[str] = []
     cur: RobotsPolicy | None = None
     for raw in text.splitlines():
@@ -104,6 +113,12 @@ def parse_robots(text: str, agent: str = "*") -> RobotsPolicy:
         key, _, val = line.partition(":")
         key = key.strip().lower()
         val = val.strip()
+        if key == "sitemap":
+            # group-independent: applies regardless of User-agent and
+            # must not open or extend a rule group
+            if val:
+                sitemaps.append(val)
+            continue
         if key == "user-agent":
             if cur is not None:
                 groups.append((cur_agents, cur))
@@ -144,7 +159,9 @@ def parse_robots(text: str, agent: str = "*") -> RobotsPolicy:
             star._merge(pol)
             any_star = True
     if any_specific:
+        specific.sitemaps = list(sitemaps)
         return specific
     if any_star:
+        star.sitemaps = list(sitemaps)
         return star
-    return RobotsPolicy()
+    return RobotsPolicy(sitemaps=list(sitemaps))

@@ -115,3 +115,22 @@ def test_trailing_ruleless_group_allows_all_rfc_2_2_1():
     # (RFC 9309 §2.2.1), so mybot joins the '*' rules here
     txt2 = "User-agent: mybot\n\nUser-agent: *\nDisallow: /\n"
     assert parse_robots(txt2, agent="mybot").decide("/x")[0] is False
+
+
+def test_sitemap_directive_is_global_and_group_neutral():
+    """Sitemap lines are group-independent discovery seeds: every
+    agent sees them all, and a Sitemap between two User-agent lines
+    must not terminate the shared group."""
+    txt = (
+        "Sitemap: https://a.com/s1.xml\n"
+        "User-agent: *\nDisallow: /x\n"
+        "Sitemap: https://a.com/s2.xml\n\n"
+        "User-agent: bot\nAllow: /\n"
+    )
+    for agent in ("*", "bot", "other"):
+        assert parse_robots(txt, agent).sitemaps == [
+            "https://a.com/s1.xml", "https://a.com/s2.xml"
+        ]
+    txt2 = "User-agent: a\nSitemap: https://s\nUser-agent: b\nDisallow: /p\n"
+    assert parse_robots(txt2, "a").decide("/p/x")[0] is False
+    assert parse_robots(txt2, "b").decide("/p/x")[0] is False
