@@ -145,6 +145,7 @@ HEADLINE = [
     "q_ndjson_gate",
     "q_parquet_meta",
     "q_rank_ndcg",
+    "q_sent_split",
     # q_dup_canonical is intentionally absent: its dominant cost is
     # the same pair+CC pipeline q_dup_clusters already times;
     # q_bands_serve (streaming materialize->serve) follows the

@@ -2352,6 +2352,129 @@ def q_cc_warc_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------ sentence split
+_ABBREVS = ["e.g.", "Dr.", "No."]
+
+
+@query(
+    "q_sent_split",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, string_split(text, ' ') AS w,
+             4 + CAST('0x' || substr(md5(text), 1, 1) AS BIGINT) % 6
+               AS slen,
+             CAST('0x' || substr(md5(text), 2, 1) AS BIGINT) AS h1,
+             CAST('0x' || substr(md5(text), 3, 1) AS BIGINT) AS h2,
+             CAST('0x' || substr(md5(text), 4, 1) AS BIGINT) AS h3
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, w, slen, h1, h2, h3,
+             unnest(range(greatest(1, (len(w) + slen - 1) // slen)))
+               AS j
+      FROM p
+    ),
+    built AS (
+      SELECT doc_id, j,
+             least(slen, len(w) - j * slen) AS sl,
+             (h1 + j) % 3 = 0
+               AND least(slen, len(w) - j * slen) >= 2 AS abbr_in,
+             ['e.g.','Dr.','No.'][CAST((h2 + j) % 3 AS INT) + 1]
+               AS abbr,
+             ['.','!','?'][CAST((h3 + j) % 3 AS INT) + 1] AS term,
+             w[j * slen + 1] AS w1,
+             array_to_string(
+               w[(j * slen + 2):(j * slen + slen)], ' ') AS rest,
+             array_to_string(
+               w[(j * slen + 1):(j * slen + slen)], ' ') AS base
+      FROM f
+    )
+    SELECT doc_id,
+           CAST(j AS BIGINT) AS sent_idx,
+           CASE WHEN abbr_in
+                THEN w1 || ' ' || abbr || ' ' || rest || term
+                ELSE base || term END AS sentence,
+           CAST(sl + CASE WHEN abbr_in THEN 1 ELSE 0 END AS BIGINT)
+             AS n_tokens
+    FROM built ORDER BY doc_id, sent_idx
+    """,
+)
+def q_sent_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Abbreviation-aware sentence segmentation (punkt-lite) — the
+    boundary detector between paragraph dedup (q_chunk_para) and
+    token-budget chunking (q_chunk): RAG corpora and packing
+    pipelines split on sentences, and a naive period-split shreds
+    every "e.g." and "Dr." into garbage fragments. Each document
+    builds a page of hash-length sentences with hash-picked
+    terminators (. ! ?) and a planted mid-sentence abbreviation in
+    every third sentence; the splitter — one Java regex in
+    whole-stage codegen, terminator-lookbehind with fixed-width
+    abbreviation guards — must recover every boundary exactly. The
+    oracle reconstructs the expected sentences by word-slice
+    arithmetic, never running a splitter, so an over- OR under-split
+    fails the hash. (Corpus-purity note: assumes corpus words don't
+    end in the abbreviation strings — the q_code_detect class.)
+
+    Scale shape: 100% JVM — array build + one split + posexplode,
+    zero Python, zero shuffles before the presentation sort; at
+    100 TB this runs at scan speed like q_crawl_dates."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5("text")
+
+    def hx(pos: int) -> F.Column:
+        return F.conv(F.substring(h, pos, 1), 16, 10).cast("long")
+
+    slen = (F.lit(4) + hx(1) % 6).cast("int")
+    words = F.split(F.col("text"), " ")
+    nw = F.size(words)
+    nsent = F.greatest(F.lit(1), F.ceil(nw / slen)).cast("int")
+    abbrs = F.array(*[F.lit(a) for a in _ABBREVS])
+    terms = F.array(*[F.lit(t) for t in (".", "!", "?")])
+    h1, h2, h3 = hx(2), hx(3), hx(4)
+
+    def build(j):
+        sl = F.least(slen.cast("long"), nw - j * slen)
+        abbr_in = ((h1 + j) % 3 == 0) & (sl >= 2)
+        abbr = F.element_at(abbrs, ((h2 + j) % 3 + 1).cast("int"))
+        term = F.element_at(terms, ((h3 + j) % 3 + 1).cast("int"))
+        w1 = F.element_at(words, (j * slen + 1).cast("int"))
+        rest = F.array_join(
+            F.slice(words, (j * slen + 2).cast("int"), slen - 1), " "
+        )
+        base = F.array_join(
+            F.slice(words, (j * slen + 1).cast("int"), slen), " "
+        )
+        return F.when(
+            abbr_in,
+            F.concat(w1, F.lit(" "), abbr, F.lit(" "), rest, term),
+        ).otherwise(F.concat(base, term))
+
+    page = F.array_join(
+        F.transform(F.sequence(F.lit(0), nsent - 1), build), " "
+    )
+    # the operator under test: terminator split with fixed-width
+    # abbreviation lookbehind guards (Java regex, codegen'd) — the
+    # guards see the space-preceded abbreviation, so "w1 e.g. w2"
+    # never splits while "w1 w2." + " " does
+    split_rx = (
+        r"(?<=[.!?])(?<! e\.g\.)(?<! Dr\.)(?<! No\.)\s+"
+    )
+    sentences = F.split(page, split_rx)
+    return (
+        docs.select("doc_id", F.posexplode(sentences).alias(
+            "sent_idx", "sentence"))
+        .select(
+            "doc_id",
+            F.col("sent_idx").cast("long").alias("sent_idx"),
+            "sentence",
+            F.size(F.split("sentence", " ")).cast("long").alias(
+                "n_tokens"
+            ),
+        )
+        .orderBy("doc_id", "sent_idx")
+    )
+
+
 # ------------------------------------------------------------ rank ndcg
 # integer milli-weights floor(1000 / log2(i + 1)) for positions 1..10
 # — hardcoded identically on both sides so no engine evaluates a

@@ -51,6 +51,7 @@ PYTEST_ONLY: set[str] = {
     "q_ndjson_gate",
     "q_parquet_meta",
     "q_rank_ndcg",
+    "q_sent_split",
     "q_wiki_dump",
 }
 
