@@ -27,6 +27,9 @@ ALLOWED = {
     "q_ann_recall": "recall audit: brute side runs over the 10-query "
                     "SAMPLE x corpus (the verification tier), the LSH "
                     "side is bucket-keyed",
+    "q_rank_ndcg": "nDCG audit: same brute 10-query SAMPLE x corpus "
+                   "verification tier as q_ann_recall; the LSH side "
+                   "is bucket-keyed and the DCG join is equi-keyed",
     "q_ann_ivf": "centroid argmax: each vector x broadcast n_cells "
                  "centroid rows IS the assignment work, map-side",
     "q_embed_semdedup": "same centroid argmax as q_ann_ivf (shared "
