@@ -2352,6 +2352,136 @@ def q_cc_warc_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------- binary quantization
+@query(
+    "q_ann_bq",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    codes AS (
+      SELECT vec_id, v,
+             list_sum(list_transform(range(1, 33),
+               i -> CASE WHEN v[i] > 0 THEN 1 << (i - 1)
+                         ELSE 0 END)) AS b0,
+             list_sum(list_transform(range(33, 65),
+               i -> CASE WHEN v[i] > 0 THEN 1 << (i - 33)
+                         ELSE 0 END)) AS b1
+      FROM e
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv, b0 AS qb0, b1 AS qb1
+          FROM codes WHERE vec_id < 10),
+    scan AS (
+      SELECT q.qid, c.vec_id, c.v,
+             bit_count(xor(q.qb0, c.b0))
+               + bit_count(xor(q.qb1, c.b1)) AS hamming
+      FROM q JOIN codes c ON q.qid <> c.vec_id
+    ),
+    shortlist AS (
+      SELECT qid, vec_id, v, hamming FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+          ORDER BY hamming, vec_id) AS hrn
+        FROM scan
+      ) WHERE hrn <= 20
+    ),
+    rerank AS (
+      SELECT s.qid, s.vec_id, s.hamming,
+             {_duck_cos("q.qv", "s.v")} AS sim
+      FROM shortlist s JOIN q ON q.qid = s.qid
+    )
+    SELECT qid, vec_id,
+           CAST(rn AS BIGINT) AS rank,
+           CAST(hamming AS BIGINT) AS hamming,
+           sim
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+        ORDER BY sim DESC, vec_id) AS rn
+      FROM rerank
+    ) WHERE rn <= 5 ORDER BY qid, rank
+    """,
+)
+def q_ann_bq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization ANN with exact rerank — the third member
+    of the quantization family (int8 storage = q_embed_quant,
+    product codes = q_ann_pq): every vector collapses to its 64 SIGN
+    BITS packed as two 32-bit words, candidate generation is a
+    Hamming scan over those 8-byte codes (the popcount-scan shape
+    modern vector stores run — the corpus is touched only through
+    codes that are ~10^-5 of payload bytes), and the top-20
+    shortlist is reranked by exact cosine to emit top-5. Bits are
+    packed as two int32 halves rather than one int64 so neither
+    engine ever shifts into the sign bit; Hamming and ranking are
+    pure integer, so the whole pipeline hash-checks.
+
+    Scale shape: the code table build is one map-side pass; the scan
+    is sample-queries x 8-byte codes (the labeled audit/serve
+    convention of q_knn_cosine — at production scale the code scan
+    batches queries against a code column that fits in memory where
+    the raw vectors never could); exact rerank touches 20 full
+    vectors per query, never the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def half(lo: int) -> F.Column:
+        return F.expr(
+            "aggregate(transform(sequence(0, 31), i -> CASE WHEN "
+            f"element_at(embedding, i + {lo}) > 0 THEN "
+            "shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) "
+            "END), CAST(0 AS BIGINT), (a, x) -> a + x)"
+        )
+
+    codes = emb.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        half(1).alias("b0"),
+        half(33).alias("b1"),
+    )
+    q = codes.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("b0").alias("qb0"),
+        F.col("b1").alias("qb1"),
+    )
+    scan = q.join(
+        F.broadcast(codes), F.col("qid") != F.col("vec_id")
+    ).select(
+        "qid",
+        "vec_id",
+        "v",
+        "qv",
+        (
+            F.bit_count(F.col("qb0").bitwiseXOR(F.col("b0")))
+            + F.bit_count(F.col("qb1").bitwiseXOR(F.col("b1")))
+        ).alias("hamming"),
+    )
+    wh = Window.partitionBy("qid").orderBy("hamming", "vec_id")
+    shortlist = (
+        scan.withColumn("hrn", F.row_number().over(wh))
+        .filter(F.col("hrn") <= 20)
+        .drop("hrn")
+    )
+    from core_spark.operators.similarity import _with_pair_cosine
+
+    rerank = _with_pair_cosine(
+        shortlist, "qv", "v", "sim", ["qid", "vec_id", "hamming"]
+    ).withColumn("sim", F.round("sim", 6))
+    wr = Window.partitionBy("qid").orderBy(
+        F.desc("sim"), F.asc("vec_id")
+    )
+    return (
+        rerank.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "qid",
+            "vec_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("hamming").cast("long").alias("hamming"),
+            "sim",
+        )
+        .orderBy("qid", "rank")
+    )
+
+
 # ------------------------------------------------------ sentence split
 _ABBREVS = ["e.g.", "Dr.", "No."]
 
