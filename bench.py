@@ -147,6 +147,7 @@ HEADLINE = [
     "q_rank_ndcg",
     "q_sent_split",
     "q_ann_bq",
+    "q_orc_meta",
     # q_dup_canonical is intentionally absent: its dominant cost is
     # the same pair+CC pipeline q_dup_clusters already times;
     # q_bands_serve (streaming materialize->serve) follows the

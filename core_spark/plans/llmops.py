@@ -2352,6 +2352,115 @@ def q_cc_warc_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------- orc tail walk
+@query(
+    "q_orc_meta",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             3 + CAST('0x' || substr(md5(text), 1, 1) AS BIGINT) % 5
+               AS n,
+             CAST('0x' || substr(md5(text), 3, 2) AS BIGINT) - 128
+               AS base,
+             CASE WHEN CAST('0x' || substr(md5(text), 5, 1) AS BIGINT)
+                       % 2 = 1
+                  THEN 'zlib' ELSE 'none' END AS compression
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(2 * n AS BIGINT) AS n_rows,
+           CAST(2 * n AS BIGINT) AS stripe_rows,
+           CAST(base AS BIGINT) AS v_min,
+           CAST(base + 7 * (2 * n - 1) AS BIGINT) AS v_max,
+           CAST(2 * n * base + 7 * n * (2 * n - 1) AS BIGINT) AS v_sum,
+           compression
+    FROM p ORDER BY doc_id
+    """,
+)
+def q_orc_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC tail walk WITHOUT an ORC library
+    (functions/orcfile.py) — the fetch-planning sibling of
+    q_parquet_meta for the other columnar format the journal writes
+    (sources/journal.py per-fragment ORC): postscript → footer →
+    stripe boundaries / row counts / column types / signed-int
+    min/max/sum statistics, all protobuf wire parsed by hand from
+    the tail bytes. Compression alternates none/ZLIB by hash so the
+    block-deframing path (3-byte LE headers + raw DEFLATE) runs
+    corpus-wide; SNAPPY/ZSTD raise naming the codec library. Each
+    document writes a REAL ORC file (pyarrow writer) whose int64
+    column stats the oracle recomputes by arithmetic — a wrong
+    varint, zigzag sign, field id or deframe fails the hash.
+    Multi-stripe offsets are pinned against pyarrow's reader in
+    tests/test_orcfile.py (the q_parquet_meta convention).
+
+    Scale shape: map-side Arrow kernel, zero shuffles; at 100 TB the
+    tail is one ranged GET per file and stripes are the split unit.
+
+    PYTEST_ONLY naming (after the window cutoff) — rotates into the
+    driver window in r9."""
+    from core_spark.functions.orcfile import parse_orc_tail
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+
+    def walk(batches):
+        import hashlib
+        import io
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.orc as orc
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                h = hashlib.md5(text.encode("utf-8")).hexdigest()
+                n = 3 + int(h[0], 16) % 5
+                base = int(h[2:4], 16) - 128
+                comp = "zlib" if int(h[4], 16) % 2 else "uncompressed"
+                v = [base + 7 * i for i in range(2 * n)]
+                buf = io.BytesIO()
+                orc.write_table(
+                    pa.table({"v": pa.array(v, type=pa.int64())}),
+                    buf,
+                    compression=comp,
+                )
+                meta = parse_orc_tail(buf.getvalue())
+                assert meta["types"][1]["kind"] == "long"
+                (stripe,) = meta["stripes"]
+                st = meta["stats"][1]["int"]
+                rows.append(
+                    (
+                        int(doc_id),
+                        meta["n_rows"],
+                        stripe["n_rows"],
+                        st["min"],
+                        st["max"],
+                        st["sum"],
+                        meta["compression"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_rows", "stripe_rows", "v_min",
+                    "v_max", "v_sum", "compression",
+                ],
+            )
+
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(
+            walk,
+            schema=(
+                "doc_id long, n_rows long, stripe_rows long,"
+                " v_min long, v_max long, v_sum long,"
+                " compression string"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --------------------------------------------------- binary quantization
 @query(
     "q_ann_bq",

@@ -49,6 +49,7 @@ _REPO = Path(__file__).resolve().parent.parent
 PYTEST_ONLY: set[str] = {
     "q_license_scan",
     "q_ndjson_gate",
+    "q_orc_meta",
     "q_parquet_meta",
     "q_rank_ndcg",
     "q_sent_split",
