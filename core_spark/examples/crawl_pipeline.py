@@ -3,10 +3,12 @@ the discovery-side sibling of media_pipeline (which curates fetched
 bytes; this plans which bytes to fetch).
 
 Shape: one Arrow `mapInPandas` pass per document builds and walks
-that document's discovery surface — a real two-level sitemap tree
-(functions/sitemap.py) and the host's real robots.txt
-(functions/robots.py) — emitting one candidate row per discovered
-URL with its politeness verdict and crawl delay. Everything after
+that document's discovery surface — the host's real robots.txt
+(functions/robots.py) whose global ``Sitemap:`` line seeds
+discovery, then the two-level sitemap tree it names
+(functions/sitemap.py) — emitting one candidate row per discovered
+URL with its politeness verdict and crawl delay, in the order a
+real crawler works: robots first, sitemaps second. Everything after
 the parse is JVM-declarative, the way a 100 TB frontier actually
 runs:
 
@@ -70,14 +72,21 @@ def plan_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # per-host policy: even-hash hosts fence /s1, odd
                 # fence /s0 — so BOTH sitemap subtrees (and the
                 # lastmod-less url child 1 carries) survive somewhere
+                index_url = f"https://{host}/sitemap_index.xml"
                 robots = (
                     f"# robots for {host}\n"
+                    f"Sitemap: {index_url}\n"
                     "User-agent: *\n"
                     f"Disallow: /s{hh % 2}\n"
                     f"Crawl-delay: {delay}\n"
                 )
                 pol = parse_robots(robots, agent=AGENT)
-                idx = parse_sitemap(index)
+                # discovery starts FROM robots.txt: its global
+                # Sitemap line names the index (the real crawl
+                # order: robots first, sitemaps second)
+                fetched = {index_url: index, **children}
+                (seed,) = pol.sitemaps
+                idx = parse_sitemap(fetched[seed])
                 for loc in idx["sitemaps"]:
                     for u in parse_sitemap(children[loc])["urls"]:
                         # discovered URLs arrive messy: session junk
