@@ -140,14 +140,14 @@ HEADLINE = [
     "q_avro_blocks",
     "q_bitmap_exif",
     "q_bitmap_audit",
-    "q_wiki_dump",
-    "q_license_scan",
-    "q_ndjson_gate",
-    "q_parquet_meta",
-    "q_rank_ndcg",
-    "q_sent_split",
+    "q_bundle_wiki",
+    "q_audit_license",
+    "q_bundle_ndjson",
+    "q_blocks_parquet",
+    "q_ann_ndcg",
+    "q_canon_sent",
     "q_ann_bq",
-    "q_orc_meta",
+    "q_blocks_orc",
     # q_dup_canonical is intentionally absent: its dominant cost is
     # the same pair+CC pipeline q_dup_clusters already times;
     # q_bands_serve (streaming materialize->serve) follows the

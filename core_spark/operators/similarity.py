@@ -3,12 +3,15 @@
 Two tiers, mirroring what a 100 TB training-data pipeline needs:
 
 - `knn_bruteforce`: exact cosine top-k — the correctness baseline.
-  Query set broadcast against the corpus; per-pair cosines run in an
-  Arrow kernel that is bit-identical to the SQL `aggregate`/`zip_with`
-  fold (see `_with_pair_cosine`: Spark's higher-order functions are
-  interpreted per element, not codegen'd — the kernel is the fast
-  path, the expression form remains as `cosine_sim_expr` for oracles).
-  Cost O(|Q| x |corpus|): only for small query sets / verification.
+  Query set broadcast against the STREAMED corpus (the corpus is
+  never the broadcast side); per-pair cosines run in an Arrow kernel
+  that is bit-identical to the SQL `aggregate`/`zip_with` fold (see
+  `_with_pair_cosine`: Spark's higher-order functions are interpreted
+  per element, not codegen'd — the kernel is the fast path, the
+  expression form remains as `cosine_sim_expr` for oracles); a
+  per-batch partial top-k (see `partial_topk`) reduces map-side
+  before the per-qid window. Cost O(|Q| x |corpus|): only for small
+  query sets / verification.
 
 - `ann_lsh`: random-hyperplane LSH (sign-random-projection). Each
   vector gets a `bucket` = packed signs of `n_planes` fixed ±1
@@ -158,6 +161,39 @@ def _with_srp_bucket(
     return df.mapInPandas(fn, schema)
 
 
+def partial_topk(
+    df: DataFrame,
+    key: list[str],
+    by: list[str],
+    ascending: list[bool],
+    k: int,
+) -> DataFrame:
+    """Map-side partial top-k: keep at most k rows per key per Arrow
+    batch — a superset of the global per-key top-k (any global winner
+    is also a winner inside its own batch), so a per-key window over
+    the survivors returns exactly the global answer. This is the
+    top-k analogue of partial aggregation: it bounds the rows that
+    reach the final per-key exchange to k x keys x batches instead of
+    the full pair scan, and removes the few-reducer skew of a window
+    partitioned by a handful of query ids. Requires `by` to rank
+    deterministically (callers pass a unique id as the tie-break
+    column, mirroring their window's ORDER BY)."""
+    schema = df.schema
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield (
+                    pdf.sort_values(by, ascending=ascending)
+                    .groupby(key, sort=False)
+                    .head(k)
+                )
+            else:
+                yield pdf
+
+    return df.mapInPandas(fn, schema=schema)
+
+
 def knn_bruteforce(
     queries: DataFrame,
     corpus: DataFrame,
@@ -165,7 +201,13 @@ def knn_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact cosine top-k: (qid, vec_id, sim), self-pairs excluded."""
+    """Exact cosine top-k: (qid, vec_id, sim), self-pairs excluded.
+
+    Orientation: the (small, bounded) QUERY set is broadcast and the
+    corpus streams — never the reverse: a corpus-side broadcast would
+    both cap the corpus at driver memory and serialize the scan into
+    the query side's partitioning. Per-batch partial top-k bounds the
+    final per-qid window's input to k x |Q| x batches rows."""
     q = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
     )
@@ -173,12 +215,15 @@ def knn_bruteforce(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
     )
     pairs = _with_pair_cosine(
-        q.join(F.broadcast(c), F.col("qid") != F.col("vec_id")),
+        c.join(F.broadcast(q), F.col("qid") != F.col("vec_id")),
         "qv",
         "cv",
         "sim",
         ["qid", "vec_id"],
     ).withColumn("sim", F.round("sim", 6))
+    pairs = partial_topk(
+        pairs, ["qid"], ["sim", "vec_id"], [False, True], k
+    )
     w = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
         pairs.withColumn("rn", F.row_number().over(w))

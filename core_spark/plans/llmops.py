@@ -2354,7 +2354,7 @@ def q_cc_warc_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------- orc tail walk
 @query(
-    "q_orc_meta",
+    "q_blocks_orc",
     oracle="""
     WITH p AS (
       SELECT doc_id,
@@ -2377,10 +2377,10 @@ def q_cc_warc_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM p ORDER BY doc_id
     """,
 )
-def q_orc_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_blocks_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC tail walk WITHOUT an ORC library
     (functions/orcfile.py) — the fetch-planning sibling of
-    q_parquet_meta for the other columnar format the journal writes
+    q_blocks_parquet for the other columnar format the journal writes
     (sources/journal.py per-fragment ORC): postscript → footer →
     stripe boundaries / row counts / column types / signed-int
     min/max/sum statistics, all protobuf wire parsed by hand from
@@ -2391,13 +2391,13 @@ def q_orc_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     column stats the oracle recomputes by arithmetic — a wrong
     varint, zigzag sign, field id or deframe fails the hash.
     Multi-stripe offsets are pinned against pyarrow's reader in
-    tests/test_orcfile.py (the q_parquet_meta convention).
+    tests/test_orcfile.py (the q_blocks_parquet convention).
 
     Scale shape: map-side Arrow kernel, zero shuffles; at 100 TB the
     tail is one ranged GET per file and stripes are the split unit.
 
-    PYTEST_ONLY naming (after the window cutoff) — rotates into the
-    driver window in r9."""
+    Late-r8 PYTEST_ONLY name, window-rotated r9 per the r5/r7
+    protocol; content unchanged."""
     from core_spark.functions.orcfile import parse_orc_tail
 
     docs = spread(load_table(spark, sf_dir, "documents"))
@@ -2524,11 +2524,15 @@ def q_ann_bq(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure integer, so the whole pipeline hash-checks.
 
     Scale shape: the code table build is one map-side pass; the scan
-    is sample-queries x 8-byte codes (the labeled audit/serve
-    convention of q_knn_cosine — at production scale the code scan
-    batches queries against a code column that fits in memory where
-    the raw vectors never could); exact rerank touches 20 full
-    vectors per query, never the corpus."""
+    BROADCASTS the constant-size query sample and STREAMS the code
+    table (r8 verdict fix — the codes are ~80 GB at 10^10 vectors,
+    never broadcastable, and a corpus-side broadcast would also
+    serialize the scan into the query side's partitioning); the scan
+    carries only (qid, vec_id, hamming) int triples — never vectors —
+    and a per-batch partial top-k (operators/similarity.partial_topk)
+    reduces map-side before the 10-key shortlist window; exact rerank
+    fetches the 20 full vectors per query by broadcasting the 200-row
+    shortlist against the streamed corpus, never the reverse."""
     emb = load_table(spark, sf_dir, "embeddings")
 
     def half(lo: int) -> F.Column:
@@ -2551,17 +2555,23 @@ def q_ann_bq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b0").alias("qb0"),
         F.col("b1").alias("qb1"),
     )
-    scan = q.join(
-        F.broadcast(codes), F.col("qid") != F.col("vec_id")
+    from core_spark.operators.similarity import (
+        _with_pair_cosine,
+        partial_topk,
+    )
+
+    scan = codes.drop("v").join(
+        F.broadcast(q.drop("qv")), F.col("qid") != F.col("vec_id")
     ).select(
         "qid",
         "vec_id",
-        "v",
-        "qv",
         (
             F.bit_count(F.col("qb0").bitwiseXOR(F.col("b0")))
             + F.bit_count(F.col("qb1").bitwiseXOR(F.col("b1")))
         ).alias("hamming"),
+    )
+    scan = partial_topk(
+        scan, ["qid"], ["hamming", "vec_id"], [True, True], 20
     )
     wh = Window.partitionBy("qid").orderBy("hamming", "vec_id")
     shortlist = (
@@ -2569,10 +2579,13 @@ def q_ann_bq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hrn") <= 20)
         .drop("hrn")
     )
-    from core_spark.operators.similarity import _with_pair_cosine
-
+    pairs = (
+        codes.select("vec_id", "v")
+        .join(F.broadcast(shortlist), "vec_id")
+        .join(F.broadcast(q.select("qid", "qv")), "qid")
+    )
     rerank = _with_pair_cosine(
-        shortlist, "qv", "v", "sim", ["qid", "vec_id", "hamming"]
+        pairs, "qv", "v", "sim", ["qid", "vec_id", "hamming"]
     ).withColumn("sim", F.round("sim", 6))
     wr = Window.partitionBy("qid").orderBy(
         F.desc("sim"), F.asc("vec_id")
@@ -2596,7 +2609,7 @@ _ABBREVS = ["e.g.", "Dr.", "No."]
 
 
 @query(
-    "q_sent_split",
+    "q_canon_sent",
     oracle="""
     WITH p AS (
       SELECT doc_id, string_split(text, ' ') AS w,
@@ -2638,7 +2651,7 @@ _ABBREVS = ["e.g.", "Dr.", "No."]
     FROM built ORDER BY doc_id, sent_idx
     """,
 )
-def q_sent_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_canon_sent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Abbreviation-aware sentence segmentation (punkt-lite) — the
     boundary detector between paragraph dedup (q_chunk_para) and
     token-budget chunking (q_chunk): RAG corpora and packing
@@ -2724,7 +2737,7 @@ _NDCG_IDEAL = sum((10 - i) * w for i, w in enumerate(_NDCG_W, start=0))
 
 
 @query(
-    "q_rank_ndcg",
+    "q_ann_ndcg",
     oracle=f"""
     WITH e AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -2771,7 +2784,7 @@ _NDCG_IDEAL = sum((10 - i) * w for i, w in enumerate(_NDCG_W, start=0))
     ORDER BY qid
     """,
 )
-def q_rank_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-AWARE retrieval audit (nDCG@10) — the metric that
     separates "found the right vectors" (q_ann_recall) from "put
     them in the right ORDER", which is what a retrieval-augmented
@@ -2789,8 +2802,8 @@ def q_rank_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     only — sample queries, never corpus x corpus (the q_ann_recall
     convention).
 
-    PYTEST_ONLY naming (after the window cutoff) — rotates into the
-    driver window in r9."""
+    Late-r8 PYTEST_ONLY name, window-rotated r9 per the r5/r7
+    protocol; content unchanged."""
     from pyspark.sql.window import Window as W
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2832,7 +2845,7 @@ def q_rank_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------- parquet meta
 @query(
-    "q_parquet_meta",
+    "q_blocks_parquet",
     oracle="""
     WITH p AS (
       SELECT doc_id,
@@ -2853,7 +2866,7 @@ def q_rank_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM g ORDER BY doc_id, rg
     """,
 )
-def q_parquet_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_blocks_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parquet footer walk WITHOUT a parquet library
     (functions/parquetfile.py) — the fetch-planning step for the
     format every lake ships: parse the Thrift-compact FileMetaData
@@ -2876,8 +2889,8 @@ def q_parquet_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     tail, plan every split and prune row groups before any data
     byte moves.
 
-    PYTEST_ONLY naming (after the window cutoff) — rotates into the
-    driver window in r9."""
+    Late-r8 PYTEST_ONLY name, window-rotated r9 per the r5/r7
+    protocol; content unchanged."""
     from core_spark.functions.parquetfile import parse_parquet_footer
 
     docs = spread(load_table(spark, sf_dir, "documents"))
@@ -2950,7 +2963,7 @@ def q_parquet_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ----------------------------------------------------------- ndjson gate
 @query(
-    "q_ndjson_gate",
+    "q_bundle_ndjson",
     oracle="""
     WITH p AS (
       SELECT doc_id,
@@ -2970,7 +2983,7 @@ def q_parquet_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM p ORDER BY doc_id
     """,
 )
-def q_ndjson_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_bundle_ndjson(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-on-read NDJSON ingestion with corrupt-record
     quarantine — the metadata-sidecar reader (WAT files, exported
     event logs, model-output JSONL) that must NEVER drop a batch
@@ -2990,8 +3003,8 @@ def q_ndjson_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the standard sidecar scan; the is_corrupt flag feeds the
     quarantine journal, the same ledger discipline as q_pii_redact.
 
-    PYTEST_ONLY naming (after the window cutoff) — rotates into the
-    driver window in r9."""
+    Late-r8 PYTEST_ONLY name, window-rotated r9 per the r5/r7
+    protocol; content unchanged."""
     from pyspark.sql.types import (
         LongType,
         StringType,
@@ -3043,7 +3056,7 @@ def q_ndjson_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------- license scan
 @query(
-    "q_license_scan",
+    "q_audit_license",
     oracle="""
     WITH p AS (
       SELECT doc_id,
@@ -3060,7 +3073,7 @@ def q_ndjson_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM p ORDER BY doc_id
     """,
 )
-def q_license_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_audit_license(spark: SparkSession, sf_dir: str) -> DataFrame:
     """License-header routing — the filter every code-training
     pipeline runs before ingesting source files (permissive in,
     copyleft quarantined, unknown to review): an SPDX tag when
@@ -3084,8 +3097,8 @@ def q_license_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     like q_crawl_dates; the license column then feeds the mix
     planner (q_domain_mix) and the attribution ledger.
 
-    PYTEST_ONLY naming (after the window cutoff) — rotates into the
-    driver window in r9."""
+    Late-r8 PYTEST_ONLY name, window-rotated r9 per the r5/r7
+    protocol; content unchanged."""
     docs = load_table(spark, sf_dir, "documents")
     h = F.md5("text")
     sh = (F.conv(F.substring(h, 1, 1), 16, 10).cast("long") % 6)
@@ -3140,7 +3153,7 @@ def q_license_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------- wiki multistream
 @query(
-    "q_wiki_dump",
+    "q_bundle_wiki",
     oracle="""
     WITH p AS (
       SELECT doc_id, string_split(text, ' ') AS w,
@@ -3165,7 +3178,7 @@ def q_license_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM f ORDER BY doc_id, page_idx
     """,
 )
-def q_wiki_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_bundle_wiki(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multistream-bz2 dump ingestion (functions/wikidump.py) — the
     distribution format the large public encyclopedia corpora ship
     in, i.e. the first parse of the highest-quality slice of most
@@ -3190,8 +3203,8 @@ def q_wiki_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
     streams) the stream table IS the split plan — one executor
     inflates one stream, never the whole file.
 
-    PYTEST_ONLY naming (after the window cutoff) — rotates into the
-    driver window in r9 (the window holds 14 first-time r8 names)."""
+    Late-r8 PYTEST_ONLY name (q_wiki_dump), window-rotated r9 per the
+    r5/r7 protocol; content unchanged."""
     from core_spark.functions.wikidump import (
         build_wikidump_fixture,
         wikidump_pages,

@@ -27,13 +27,15 @@ ALLOWED = {
     "q_ann_recall": "recall audit: brute side runs over the 10-query "
                     "SAMPLE x corpus (the verification tier), the LSH "
                     "side is bucket-keyed",
-    "q_rank_ndcg": "nDCG audit: same brute 10-query SAMPLE x corpus "
+    "q_ann_ndcg": "nDCG audit: same brute 10-query SAMPLE x corpus "
                    "verification tier as q_ann_recall; the LSH side "
                    "is bucket-keyed and the DCG join is equi-keyed",
-    "q_ann_bq": "binary-quantization scan: 10 sample queries x 8-byte "
-                "codes (the popcount-scan production shape — codes "
-                "are ~1e-5 of payload); exact rerank touches 20 full "
-                "vectors per query, never corpus x corpus",
+    "q_ann_bq": "binary-quantization scan: the BROADCAST side is the "
+                "constant 10-row query sample, streamed against the "
+                "8-byte code table (codes never broadcast — ~80 GB at "
+                "10^10 vectors), with map-side partial top-k; exact "
+                "rerank broadcasts the 200-row shortlist against the "
+                "streamed corpus, never corpus x corpus",
     "q_ann_ivf": "centroid argmax: each vector x broadcast n_cells "
                  "centroid rows IS the assignment work, map-side",
     "q_embed_semdedup": "same centroid argmax as q_ann_ivf (shared "

@@ -43,18 +43,18 @@ _REPO = Path(__file__).resolve().parent.parent
 # q_pq_recall→q_ann_pq_recall, q_quality_nb→q_bayes_quality,
 # q_webdataset→q_bundle_tar, q_warc_gz→q_cc_warc_gz,
 # q_pdf_extract→q_cc_pdf. Every name they displaced holds a green
-# r7-or-earlier row. Late-r8 additions are deliberately named after
-# the cutoff for r9 rotation (the window holds 14 first-time r8
-# names that must keep their slots) — the r5/r7 protocol.
-PYTEST_ONLY: set[str] = {
-    "q_license_scan",
-    "q_ndjson_gate",
-    "q_orc_meta",
-    "q_parquet_meta",
-    "q_rank_ndcg",
-    "q_sent_split",
-    "q_wiki_dump",
-}
+# r7-or-earlier row. Late-r8 additions were deliberately named after
+# the cutoff for r9 rotation (the window held 15 first-time r8
+# names that had to keep their slots) — the r5/r7 protocol.
+# r9: CORRECTNESS_r08.json landed (50/50 green — every window name
+# now holds a green row), so the seven late-r8 names rotated INTO the
+# window via renames — q_license_scan→q_audit_license,
+# q_ndjson_gate→q_bundle_ndjson, q_orc_meta→q_blocks_orc,
+# q_parquet_meta→q_blocks_parquet, q_rank_ndcg→q_ann_ndcg,
+# q_sent_split→q_canon_sent, q_wiki_dump→q_bundle_wiki. Every name they
+# displaced holds a green r8 row. The set is empty again; late-r9
+# additions (if any) follow the same protocol.
+PYTEST_ONLY: set[str] = set()
 
 
 def _historical_rows() -> set[str]:
