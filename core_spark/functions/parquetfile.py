@@ -112,7 +112,13 @@ class _Reader:
             raise ParquetError("footer nesting too deep")
         if wtype in (_TRUE, _FALSE):
             return
-        if wtype in _INT_TYPES:
+        if wtype == _BYTE:
+            # compact encodes i8 as ONE RAW byte, not a varint — a
+            # high-bit byte routed through varint() would desync the
+            # walk (forward-compat skip path; FileMetaData itself has
+            # no i8 fields today)
+            self.consume(1)
+        elif wtype in _INT_TYPES:
             self.varint()
         elif wtype == _DOUBLE:
             self.consume(8)

@@ -69,6 +69,13 @@ def _read_ifd(raw: bytes, off: int, e: str) -> dict[int, object]:
         voff = off + 2 + 12 * k + 8
         if typ not in _TYPES:
             continue  # unknown value type on an unknown tag: skip
+        if cnt == 0:
+            # a zero-count entry has size 0, which would pass the
+            # bounds check below while RATIONAL still unpacks 8 raw
+            # bytes — a crafted entry near the buffer end would raise
+            # struct.error, escaping the ExifError contract; spec-less
+            # empty values carry no data, so skip the tag
+            continue
         code, unit = _TYPES[typ]
         size = unit * cnt
         if size > 4:

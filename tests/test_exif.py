@@ -112,3 +112,24 @@ def test_oversized_exif_block_raises_named_error():
     must raise ExifError, not struct.error (review finding r8)."""
     with pytest.raises(ExifError):
         attach_exif_app1(_jpeg(), b"II" + b"\x00" * 70_000)
+
+
+def test_zero_count_rational_near_eof_does_not_escape_contract():
+    """A RATIONAL entry with count=0 has size 0 — the bounds check
+    passes while the unpack still reads 8 raw bytes; placed at the
+    buffer end it must not raise struct.error (ADVICE r8). Zero-count
+    entries carry no data and are skipped."""
+    e = "<"
+    ifd = struct.pack(e + "H", 2)
+    # entry 1: ExposureTime as RATIONAL with count=0 (inline "value"
+    # is the last 4 bytes of the buffer once next-IFD is appended)
+    ifd += struct.pack(e + "HHI", 0x829A, 5, 0) + struct.pack(e + "I", 22)
+    # entry 2: Orientation, so the walk provably continues past it
+    ifd += struct.pack(e + "HHI", 0x0112, 3, 1) + struct.pack(
+        e + "H", 7
+    ).ljust(4, b"\x00")
+    ifd += struct.pack(e + "I", 0)
+    raw = b"II" + struct.pack(e + "HI", 42, 8) + ifd
+    got = parse_tiff_exif(raw)
+    assert got["orientation"] == 7
+    assert got["exposure"] is None

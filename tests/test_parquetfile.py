@@ -167,3 +167,22 @@ def test_unknown_bool_list_field_does_not_desync():
     raw3 = raw3[:-8] + _s.pack("<I", flen_bad) + b"PAR1"
     with pytest.raises(ParquetError):
         parse_parquet_footer(raw3)
+
+
+def test_unknown_i8_field_skips_one_raw_byte():
+    """Thrift compact encodes i8 field values as ONE RAW BYTE, not a
+    varint; an unknown i8 whose byte has the high bit set must not
+    desync the walk (ADVICE r8 — forward-compat skip path)."""
+    import struct as _s
+
+    body = (
+        bytes([0x15]) + b"\x02"          # field 1: I32 version = 1
+        + bytes([0x43]) + b"\x80"        # field 5 (+4): BYTE, raw 0x80
+        + bytes([0x18, 0x02]) + b"hi"    # field 6 (+1): created_by
+        + b"\x00"
+    )
+    raw = b"PAR1" + body + _s.pack("<I", len(body)) + b"PAR1"
+    got = parse_parquet_footer(raw)
+    assert got.get("version") == 1
+    # a varint-routed skip would eat the created_by header byte too
+    assert got.get("created_by") == "hi"

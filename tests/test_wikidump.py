@@ -80,3 +80,28 @@ def test_junk_ns_tolerated_as_zero():
     assert wikidump_pages(frag) == [
         {"page_id": 3, "ns": 0, "title": "t", "text": "x"}
     ]
+
+
+def test_index_build_is_single_pass_over_each_stream():
+    """The splitter feeds the decompressor bounded chunks and discards
+    output incrementally (ADVICE r8): splitting many streams must cost
+    O(total), not O(streams x total). Guarded behaviorally — offsets
+    and lengths must be identical to the per-stream compressed sizes —
+    and with a coarse time bound on a many-stream file."""
+    import bz2 as _bz2
+    import time
+
+    streams = [
+        _bz2.compress(("<page><title>t%d</title><id>%d</id>"
+                       "<revision><text>x</text></revision></page>"
+                       % (i, i)).encode() * 3)
+        for i in range(200)
+    ]
+    blob = b"".join(streams)
+    t0 = time.perf_counter()
+    idx = wikidump_streams(blob)
+    dt = time.perf_counter() - t0
+    assert [s["length"] for s in idx] == [len(s) for s in streams]
+    offs = [s["off"] for s in idx]
+    assert offs == [sum(len(x) for x in streams[:i]) for i in range(200)]
+    assert dt < 5.0
