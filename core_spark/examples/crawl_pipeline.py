@@ -28,9 +28,12 @@ fetch_at_s), freshest-first within each host. Feed it to the WARC
 writer (q_cc_cdx is the index it produces) and the loop closes.
 
 Reference parity: gazette consumers would run this as a shard
-pipeline over a `frontier` topic; here it is the batch form with the
-same operators (catalog selectors route, journals carry the
-frontier; see examples/curation_stream.py for the streaming shape).
+pipeline over a `frontier` topic; this module is the batch form, and
+plans/queryable_state.q_bfs_frontier is the streaming form — the
+SAME two stages (discover_candidates as the shard transform, its
+candidate rows appended to a `frontier/candidates` journal;
+schedule_frontier served over the journal read), so streaming
+maintenance ≡ batch by construction and the driver hash-checks it.
 """
 
 from __future__ import annotations
@@ -44,10 +47,13 @@ from core_spark.io import load_table, spread
 AGENT = "core-spark-bot"
 
 
-def plan_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Documents → deduplicated, robots-gated, politeness-scheduled
-    fetch plan."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+def discover_candidates(docs: DataFrame) -> DataFrame:
+    """Discovery stage: documents → one MESSY candidate row per
+    discovered URL (host, url, canon, lastmod, allowed, delay_s),
+    robots-seeded, sitemap-walked, canonicalized — the map-side Arrow
+    pass shared by the batch plan (plan_crawl) and the streaming
+    frontier shard (plans/queryable_state.q_bfs_frontier), so
+    streaming maintenance is provably the same discovery as batch."""
 
     def discover(batches):
         import hashlib
@@ -115,7 +121,7 @@ def plan_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    with_canon = docs.select("text").mapInPandas(
+    return docs.select("text").mapInPandas(
         discover,
         schema=(
             "host string, url string, canon string, lastmod string,"
@@ -123,6 +129,14 @@ def plan_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
+
+def schedule_frontier(with_canon: DataFrame) -> DataFrame:
+    """Scheduling stage: candidate rows → deduplicated, robots-gated,
+    politeness-scheduled fetch plan (host, url, lastmod, pos,
+    fetch_at_s). Order-independent over its input (groupBy dedup +
+    deterministic per-host window), so it serves identically from a
+    batch discovery pass or from a journal of streamed candidate
+    deltas."""
     # exact frontier dedup on the canonical key, keeping the freshest
     # lastmod a duplicate discovery carried
     deduped = with_canon.groupBy("host", "canon").agg(
@@ -149,3 +163,10 @@ def plan_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("host", "pos")
     )
+
+
+def plan_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents → deduplicated, robots-gated, politeness-scheduled
+    fetch plan (the batch composition of the two stages above)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return schedule_frontier(discover_candidates(docs))

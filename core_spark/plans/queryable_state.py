@@ -189,6 +189,135 @@ def q_cms_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sh.rmtree(work, ignore_errors=True)
 
 
+_FRONTIER_ORACLE = """
+    WITH p AS (
+      SELECT doc_id,
+             substr(md5(text), 1, 2) AS h2,
+             CAST('0x' || substr(md5(text), 1, 1) AS BIGINT) % 3 AS e0,
+             CAST('0x' || substr(md5(text), 2, 1) AS BIGINT) % 3 AS e1,
+             2020 + CAST('0x' || substr(md5(text), 3, 1) AS BIGINT) % 6
+               AS y,
+             CAST('0x' || substr(md5(text), 4, 1) AS BIGINT) AS d3,
+             CAST('0x' || substr(md5(text), 5, 1) AS BIGINT) AS d4,
+             1 + CAST('0x' || substr(md5(text), 2, 1) AS BIGINT) % 4
+               AS delay_s
+      FROM documents
+    ),
+    c AS (SELECT *, unnest([0, 1]) AS ch FROM p),
+    n AS (
+      SELECT *, 2 + CASE WHEN ch = 0 THEN e0 ELSE e1 END AS nurl
+      FROM c
+    ),
+    u AS (SELECT *, unnest(range(nurl)) AS i FROM n),
+    cand AS (
+      SELECT 'ex' || h2 || '.com' AS host,
+             'https://ex' || h2 || '.com/s' || CAST(ch AS VARCHAR)
+               || '/p' || CAST(i AS VARCHAR) AS canon,
+             CASE WHEN ch = 1 AND i = nurl - 1 THEN NULL
+                  ELSE strftime(make_date(CAST(y AS INT),
+                         CAST(1 + (d3 + i) % 12 AS INT),
+                         CAST(1 + (d4 + 2 * i + ch) % 28 AS INT)),
+                       '%Y-%m-%d')
+             END AS lastmod,
+             ch <> CAST('0x' || substr(md5('ex' || h2 || '.com'), 1, 1)
+                        AS BIGINT) % 2 AS allowed,
+             delay_s
+      FROM u
+    ),
+    ded AS (
+      SELECT host, canon, max(lastmod) AS lastmod,
+             CAST(min(CAST(allowed AS INT)) AS BOOLEAN) AS allowed,
+             max(delay_s) AS delay_s
+      FROM cand GROUP BY host, canon
+    ),
+    w AS (
+      SELECT host, canon AS url, lastmod, delay_s,
+             ROW_NUMBER() OVER (PARTITION BY host
+               ORDER BY lastmod DESC NULLS LAST, canon) AS pos
+      FROM ded WHERE allowed
+    )
+    SELECT host, url, lastmod, CAST(pos AS BIGINT) AS pos,
+           CAST((pos - 1) * delay_s AS BIGINT) AS fetch_at_s
+    FROM w ORDER BY host, pos
+"""
+
+
+@query("q_bfs_frontier", oracle=_FRONTIER_ORACLE)
+def q_bfs_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming crawl FRONTIER maintained as a shard and served from
+    its journal — the fourth storage-backed streaming query beside
+    q_bike_cycles (SQL store), q_cms_serve (sketch journal) and
+    q_bands_serve (LSH index journal), and the streaming form of
+    examples/crawl_pipeline.plan_crawl: documents stream through a
+    REAL shard run (run_shard → FencedJournalSink) whose transform is
+    the SAME discovery kernel the batch plan uses
+    (discover_candidates: robots-seeded sitemap walk → messy URL →
+    canonical key), each micro-batch appending its candidate rows to
+    a `frontier/candidates` journal; the fetch schedule is then
+    served by running the SAME scheduling stage (schedule_frontier:
+    canonical-key dedup → robots gate → per-host politeness window)
+    over the JOURNAL READ — never by re-discovering the source.
+    Discovery rows are deterministic per document and scheduling is
+    order-independent, so streaming maintenance ≡ batch plan_crawl
+    exactly, and the DuckDB oracle (the fixture arithmetic straight
+    off the parquet — md5-derived hosts, sitemap url enumeration,
+    per-host robots fence ch <> md5(host)%2, politeness delay) hash
+    -checks the whole maintain→serve path: a lost batch drops URLs
+    and shifts every politeness slot after it.
+
+    Reference parity: the frontier-as-shard is the gazette consumer
+    shape (ShardSpec = streaming query instance,
+    consumer/protocol/protocol.proto:55-233) — discovered URLs land
+    in a journal topic, the scheduler is a read-committed consumer of
+    it.
+
+    100 TB shape: the journal carries one bounded row per discovered
+    URL (never page bytes); dedup and the politeness window shuffle
+    on host — the natural crawl partitioning — and compaction folds
+    re-discoveries; serve cost scales with the frontier, not the
+    crawl history."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from core_spark.examples.crawl_pipeline import (
+        discover_candidates,
+        schedule_frontier,
+    )
+    from core_spark.sources.journal import Journal
+    from core_spark.streaming.shard import ShardConfig, run_shard
+
+    docs = load_table(spark, sf_dir, "documents")
+    work = _tf.mkdtemp(prefix="frontier_serve_")
+    try:
+        src = os.path.join(work, "src")
+        docs.select("doc_id", "text").repartition(4).write.parquet(src)
+
+        cfg = ShardConfig(
+            source_glob=os.path.join(src, "*.parquet"),
+            source_schema="doc_id long, text string",
+            out_root=os.path.join(work, "out"),
+            out_journal="frontier/candidates",
+            shard_id="frontier-0",
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            max_files_per_trigger=2,  # >1 batch => incremental upkeep
+        )
+
+        run_shard(spark, cfg, discover_candidates).awaitTermination(300)
+
+        # serve FROM the journal: the scheduler never re-discovers
+        j = Journal(os.path.join(work, "out"), "frontier/candidates")
+        cands = j.read(spark).select(
+            "host", "url", "canon", "lastmod", "allowed", "delay_s"
+        )
+        out = schedule_frontier(cands)
+        # the journal read is lazy: materialize before the temp dir
+        # holding the fragments disappears
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        _sh.rmtree(work, ignore_errors=True)
+
+
 def _dedup_index_serve_oracle() -> str:
     from core_spark.plans.llmops import DUCK_MINHASH_CTES
 

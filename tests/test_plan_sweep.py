@@ -88,6 +88,7 @@ EXECUTING = {n for n in REGISTRY if "stream" in n or "serve" in n} | {
     "q_framed_journal",
     "q_frag",
     "q_bike_cycles",  # SQL-store materialize -> serve runs at build
+    "q_bfs_frontier",  # frontier shard run + journal serve at build
 }
 
 SWEEP = sorted(n for n in REGISTRY if n not in EXECUTING)
