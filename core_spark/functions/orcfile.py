@@ -17,9 +17,10 @@ submessages; IntegerStatistics min/max are ``sint64`` (zigzag).
 
 Compression: the postscript is ALWAYS uncompressed; the footer is
 compressed when the postscript says so, as a sequence of blocks
-each headed by 3 LE bytes ``(length << 1) | is_original``. NONE and
-ZLIB (raw DEFLATE, stdlib) are fully supported — the two kinds the
-journal writer emits; SNAPPY/ZSTD/LZ4 raise the named error naming
+each headed by 3 LE bytes ``(length << 1) | is_original``. NONE,
+ZLIB (raw DEFLATE, stdlib) and SNAPPY (the ecosystem default —
+from-spec decoder, functions/snappy.py, pinned against pyarrow's
+codec) are fully supported; ZSTD/LZ4 raise the named error naming
 the public codec library to install (columns.py's stub discipline).
 
 Corrupt-input discipline: missing magic, a postscript or footer
@@ -34,6 +35,8 @@ from __future__ import annotations
 
 import struct
 import zlib
+
+from core_spark.functions.snappy import SnappyError, snappy_decompress
 
 MAGIC = b"ORC"
 MAX_VARINT_BYTES = 10
@@ -110,11 +113,11 @@ def _deframe(raw: bytes, kind: str) -> bytes:
     DEFLATE."""
     if kind == "none":
         return raw
-    if kind != "zlib":
+    if kind not in ("zlib", "snappy"):
         raise OrcError(
             f"compression kind {kind!r} needs the {kind} codec "
-            "library (python-snappy/zstandard/lz4) — install it or "
-            "rewrite the fragment with zlib/none"
+            "library (zstandard/lz4) — install it or rewrite the "
+            "fragment with zlib/snappy/none"
         )
     out = bytearray()
     i, n = 0, len(raw)
@@ -130,6 +133,11 @@ def _deframe(raw: bytes, kind: str) -> bytes:
         i += length
         if original:
             out += block
+        elif kind == "snappy":
+            try:
+                out += snappy_decompress(block)
+            except SnappyError as e:
+                raise OrcError(f"snappy block: {e}") from None
         else:
             try:
                 out += zlib.decompress(block, wbits=-15)
