@@ -35,11 +35,14 @@ Corrupt-input discipline: missing magic, a footer length escaping
 the buffer, an unknown wire type, or truncation inside a varint
 raises the named ParquetError — never a hang or fabricated plans.
 
-INT64 statistics decode as 8-byte little-endian two's complement
-(the spec's plain encoding) — enough for the integer min/max
-pruning the journal's zone maps (sources/journal.py) do at the
-fragment level; this walker is the same idea one level down, inside
-a fragment.
+Statistics decode by the column's physical type (the spec's plain
+encoding): INT32/INT64 little-endian two's complement, FLOAT/DOUBLE
+IEEE LE, BOOLEAN one byte, BYTE_ARRAY/FIXED as UTF-8 prefix bounds
+(writers truncate long values — still safe for range pruning);
+INT96 (deprecated) and width mismatches decode to None, and
+prune-on-None means don't prune. This is the min/max pruning the
+journal's zone maps (sources/journal.py) do at the fragment level,
+one level down, inside a fragment.
 
 Reference parity: gazette fragments are opaque files in object
 storage (fragment index in the broker); planning reads like this
@@ -191,21 +194,42 @@ class _Reader:
             yield fid, wtype
 
 
-def _int64_stat(b: bytes) -> int | None:
-    """INT64 plain-encoded statistics value (8-byte LE two's
-    complement); other widths are out of this walker's scope."""
-    if len(b) != 8:
+# SchemaElement physical-type enum (parquet.thrift Type)
+_PT_BOOLEAN, _PT_INT32, _PT_INT64, _PT_INT96 = 0, 1, 2, 3
+_PT_FLOAT, _PT_DOUBLE, _PT_BYTE_ARRAY, _PT_FIXED = 4, 5, 6, 7
+
+
+def _stat_value(b: bytes | None, ptype: int | None):
+    """Plain-encoded statistics value by the column's physical type
+    (min_value/max_value carry the PLAIN encoding of one value).
+    Widths that disagree with the type, INT96 (deprecated), and
+    unknown types decode to None — prune on None means don't prune."""
+    if b is None or ptype is None:
         return None
-    return struct.unpack("<q", b)[0]
+    if ptype == _PT_INT64 and len(b) == 8:
+        return struct.unpack("<q", b)[0]
+    if ptype == _PT_INT32 and len(b) == 4:
+        return struct.unpack("<i", b)[0]
+    if ptype == _PT_DOUBLE and len(b) == 8:
+        return struct.unpack("<d", b)[0]
+    if ptype == _PT_FLOAT and len(b) == 4:
+        return struct.unpack("<f", b)[0]
+    if ptype == _PT_BOOLEAN and len(b) == 1:
+        return bool(b[0])
+    if ptype in (_PT_BYTE_ARRAY, _PT_FIXED):
+        # string zone maps: writers truncate long values, so these
+        # are PREFIX bounds — still safe for range pruning
+        return b.decode("utf-8", "replace")
+    return None
 
 
 def _parse_statistics(r: _Reader, depth: int) -> dict:
     out: dict = {}
     for fid, wt in r.fields(depth):
         if fid == 5 and wt == _BINARY:
-            out["max"] = _int64_stat(r.binary())
+            out["max_raw"] = r.binary()
         elif fid == 6 and wt == _BINARY:
-            out["min"] = _int64_stat(r.binary())
+            out["min_raw"] = r.binary()
         elif fid == 3 and wt in _INT_TYPES:
             out["null_count"] = r.zigzag()
         else:
@@ -299,15 +323,21 @@ def parse_parquet_footer(raw: bytes) -> dict:
             if etype != _STRUCT:
                 raise ParquetError("schema elements are not structs")
             names = []
+            types: dict = {}
             for _ in range(size):
-                name = None
+                name, ptype = None, None
                 for sfid, swt in r.fields(1):
-                    if sfid == 4 and swt == _BINARY:
+                    if sfid == 1 and swt in _INT_TYPES:
+                        ptype = r.zigzag()  # physical type enum
+                    elif sfid == 4 and swt == _BINARY:
                         name = r.binary().decode("utf-8", "replace")
                     else:
                         r.skip(swt, 1)
                 names.append(name)
+                if name is not None:
+                    types[name] = ptype  # group nodes carry None
             out["schema"] = names[1:]  # drop the root element
+            out["schema_types"] = types
         elif fid == 3 and wt in _INT_TYPES:
             out["num_rows"] = r.zigzag()
         elif fid == 4 and wt == _LIST:
@@ -321,4 +351,15 @@ def parse_parquet_footer(raw: bytes) -> dict:
             out["created_by"] = r.binary().decode("utf-8", "replace")
         else:
             r.skip(wt, 0)
+    # decode min/max by the column's physical type (flat paths only:
+    # a nested path's bounds stay raw-None, prune-on-None is safe)
+    types = out.get("schema_types", {})
+    for rg in out["row_groups"]:
+        for col in rg["columns"]:
+            st = col.get("stats")
+            if st is None:
+                continue
+            ptype = types.get(col.get("path"))
+            st["max"] = _stat_value(st.pop("max_raw", None), ptype)
+            st["min"] = _stat_value(st.pop("min_raw", None), ptype)
     return out

@@ -186,3 +186,33 @@ def test_unknown_i8_field_skips_one_raw_byte():
     assert got.get("version") == 1
     # a varint-routed skip would eat the created_by header byte too
     assert got.get("created_by") == "hi"
+
+
+def test_typed_stats_agree_with_pyarrow_all_widths():
+    """min/max decode by physical type (INT32/INT64/FLOAT/DOUBLE/
+    BOOLEAN/BYTE_ARRAY), pinned against pyarrow's own statistics on
+    bytes the pyarrow writer produced (r9: widened from INT64-only)."""
+    table = pa.table(
+        {
+            "i32": pa.array([7, -9, 3], pa.int32()),
+            "i64": pa.array([-(2**40), 5, 2**33], pa.int64()),
+            "f32": pa.array([1.5, -2.25, 0.75], pa.float32()),
+            "f64": pa.array([3.125, -8.5, 99.0], pa.float64()),
+            "b": pa.array([True, False, True], pa.bool_()),
+            "s": pa.array(["pear", "apple", "quince"], pa.string()),
+        }
+    )
+    buf = io.BytesIO()
+    pq.write_table(table, buf)
+    raw = buf.getvalue()
+    got = parse_parquet_footer(raw)
+    md = pq.ParquetFile(io.BytesIO(raw)).metadata
+    rg, mine = md.row_group(0), got["row_groups"][0]
+    for ci in range(rg.num_columns):
+        col, mc = rg.column(ci), mine["columns"][ci]
+        assert mc["stats"]["min"] == col.statistics.min, col.path_in_schema
+        assert mc["stats"]["max"] == col.statistics.max, col.path_in_schema
+    # physical types surfaced for planners (leaf columns only —
+    # the root group's name varies by writer and carries None)
+    leaf = {k: v for k, v in got["schema_types"].items() if v is not None}
+    assert leaf == {"i32": 1, "i64": 2, "f32": 4, "f64": 5, "b": 0, "s": 6}
