@@ -148,6 +148,7 @@ HEADLINE = [
     "q_canon_sent",
     "q_ann_bq",
     "q_blocks_orc",
+    "q_zstd_frames",
     # q_dup_canonical is intentionally absent: its dominant cost is
     # the same pair+CC pipeline q_dup_clusters already times;
     # q_bands_serve (streaming materialize->serve) follows the

@@ -52,9 +52,13 @@ _REPO = Path(__file__).resolve().parent.parent
 # q_ndjson_gate→q_bundle_ndjson, q_orc_meta→q_blocks_orc,
 # q_parquet_meta→q_blocks_parquet, q_rank_ndcg→q_ann_ndcg,
 # q_sent_split→q_canon_sent, q_wiki_dump→q_bundle_wiki. Every name they
-# displaced holds a green r8 row. The set is empty again; late-r9
-# additions (if any) follow the same protocol.
-PYTEST_ONLY: set[str] = set()
+# displaced holds a green r8 row. Late-r9 additions are deliberately
+# named after the cutoff for r10 rotation (the window holds 8
+# first-time r9 names that must keep their slots) — the r5/r7/r8
+# protocol.
+PYTEST_ONLY: set[str] = {
+    "q_zstd_frames",
+}
 
 
 def _historical_rows() -> set[str]:
