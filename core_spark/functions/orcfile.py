@@ -18,10 +18,11 @@ submessages; IntegerStatistics min/max are ``sint64`` (zigzag).
 Compression: the postscript is ALWAYS uncompressed; the footer is
 compressed when the postscript says so, as a sequence of blocks
 each headed by 3 LE bytes ``(length << 1) | is_original``. NONE,
-ZLIB (raw DEFLATE, stdlib) and SNAPPY (the ecosystem default —
-from-spec decoder, functions/snappy.py, pinned against pyarrow's
-codec) are fully supported; ZSTD/LZ4 raise the named error naming
-the public codec library to install (columns.py's stub discipline).
+ZLIB (raw DEFLATE, stdlib), SNAPPY and LZ4 (from-spec decoders,
+functions/snappy.py and functions/lz4.py, each pinned against
+pyarrow's codec) are fully supported; ZSTD raises the named error
+naming the public codec library to install (columns.py's stub
+discipline).
 
 Corrupt-input discipline: missing magic, a postscript or footer
 escaping the buffer, an unknown wire type, or a varint running past
@@ -36,6 +37,7 @@ from __future__ import annotations
 import struct
 import zlib
 
+from core_spark.functions.lz4 import Lz4Error, lz4_block_decompress
 from core_spark.functions.snappy import SnappyError, snappy_decompress
 
 MAGIC = b"ORC"
@@ -113,11 +115,11 @@ def _deframe(raw: bytes, kind: str) -> bytes:
     DEFLATE."""
     if kind == "none":
         return raw
-    if kind not in ("zlib", "snappy"):
+    if kind not in ("zlib", "snappy", "lz4"):
         raise OrcError(
             f"compression kind {kind!r} needs the {kind} codec "
-            "library (zstandard/lz4) — install it or rewrite the "
-            "fragment with zlib/snappy/none"
+            "library (zstandard) — install it or rewrite the "
+            "fragment with zlib/snappy/lz4/none"
         )
     out = bytearray()
     i, n = 0, len(raw)
@@ -133,6 +135,11 @@ def _deframe(raw: bytes, kind: str) -> bytes:
         i += length
         if original:
             out += block
+        elif kind == "lz4":
+            try:
+                out += lz4_block_decompress(block)
+            except Lz4Error as e:
+                raise OrcError(f"lz4 block: {e}") from None
         elif kind == "snappy":
             try:
                 out += snappy_decompress(block)

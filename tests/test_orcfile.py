@@ -21,7 +21,7 @@ def _file(vals, compression="uncompressed", **kw) -> bytes:
 
 
 def test_agrees_with_pyarrow_both_compressions():
-    for comp in ("uncompressed", "zlib", "snappy"):
+    for comp in ("uncompressed", "zlib", "snappy", "lz4"):
         raw = _file([5, -3, 17, 9, 2, -64], compression=comp)
         got = parse_orc_tail(raw)
         f = orc.ORCFile(io.BytesIO(raw))
