@@ -234,3 +234,82 @@ def build_skippable(payload: bytes, nibble: int = 0) -> bytes:
         + struct.pack("<I", len(payload))
         + payload
     )
+
+
+# ----------------------------------------------------- seekable format
+# The public zstd "seekable format" (zstd contrib): regular frames
+# followed by ONE skippable frame (magic nibble 0xE) whose payload is
+# a seek table — per-frame (compressed_size, decompressed_size[,
+# checksum]) entries and a 9-byte footer (u32 frame count, u8
+# descriptor, u32 seekable magic). A reader fetches the TAIL, not the
+# body: the seek table alone turns one multi-GB .zst into ranged-GET
+# splits with per-split decompressed offsets.
+SEEKABLE_MAGIC = 0x8F92EAB1
+SEEK_NIBBLE = 0xE
+
+
+def zstd_seek_table(raw: bytes) -> list[dict]:
+    """Parse the seekable-format seek table from the file TAIL:
+    [{frame_idx, c_off, c_size, d_off, d_size}] with cumulative
+    compressed/decompressed offsets — the split plan. Raises
+    ZstdError on a missing/corrupt table."""
+    n = len(raw)
+    if n < 17:
+        raise ZstdError("too short for a seekable footer")
+    if _u32(raw, n - 4) != SEEKABLE_MAGIC:
+        raise ZstdError("missing seekable magic")
+    desc = raw[n - 5]
+    if desc & 0x7F:
+        raise ZstdError("reserved seek-descriptor bits set")
+    has_checksum = bool(desc & 0x80)
+    nf = _u32(raw, n - 9)
+    entry = 12 if has_checksum else 8
+    payload = nf * entry + 9
+    skip_off = n - payload - 8
+    if skip_off < 0:
+        raise ZstdError("seek table escapes the buffer")
+    magic = _u32(raw, skip_off)
+    if magic != (SKIP_MAGIC_LO | SEEK_NIBBLE):
+        raise ZstdError("seek table is not a skippable frame")
+    if _u32(raw, skip_off + 4) != payload:
+        raise ZstdError("seek-table size disagrees with the footer")
+    out: list[dict] = []
+    c_off = d_off = 0
+    i = skip_off + 8
+    for fi in range(nf):
+        c_size = _u32(raw, i)
+        d_size = _u32(raw, i + 4)
+        i += entry
+        out.append(
+            {
+                "frame_idx": fi,
+                "c_off": c_off,
+                "c_size": c_size,
+                "d_off": d_off,
+                "d_size": d_size,
+            }
+        )
+        c_off += c_size
+        d_off += d_size
+    if c_off != skip_off:
+        raise ZstdError(
+            "seek-table compressed sizes disagree with the body"
+        )
+    return out
+
+
+def build_seekable(content: bytes, k: int) -> bytes:
+    """``build_zstd_frames`` plus the seekable-format seek table —
+    a valid seekable .zst (no per-frame checksums)."""
+    body = build_zstd_frames(content, k)
+    frames = zstd_frames(body)
+    payload = bytearray()
+    for f in frames:
+        payload += struct.pack("<II", f["length"], f["content_size"])
+    payload += struct.pack("<IBI", len(frames), 0, SEEKABLE_MAGIC)
+    return (
+        body
+        + struct.pack("<I", SKIP_MAGIC_LO | SEEK_NIBBLE)
+        + struct.pack("<I", len(payload))
+        + bytes(payload)
+    )

@@ -109,3 +109,60 @@ def test_random_bytes_never_hang_or_fabricate():
             continue
         # anything that walks must consume exactly the buffer
         assert sum(f["length"] for f in frames) == len(blob)
+
+
+def test_seek_table_matches_frame_walk_and_reassembles():
+    """Seekable format: the tail-only seek table must agree with the
+    full frame walk, and its ranges must reassemble the content
+    through pyarrow's decompressor."""
+    from core_spark.functions.zstdfile import (
+        build_seekable,
+        zstd_seek_table,
+    )
+
+    content = b"seekable content for the walker " * 20
+    blob = build_seekable(content, 4)
+    tab = zstd_seek_table(blob)
+    frames = [f for f in zstd_frames(blob) if f["kind"] == "zstd"]
+    assert [(e["c_off"], e["c_size"]) for e in tab] == [
+        (f["off"], f["length"]) for f in frames
+    ]
+    got = b"".join(
+        CODEC.decompress(
+            blob[e["c_off"] : e["c_off"] + e["c_size"]],
+            decompressed_size=e["d_size"],
+            asbytes=True,
+        )
+        for e in tab
+    )
+    assert got == content
+    # decompressed offsets are the content prefix sums
+    assert [e["d_off"] for e in tab] == [
+        sum(x["d_size"] for x in tab[:i]) for i in range(len(tab))
+    ]
+
+
+def test_seek_table_corrupt_shapes_raise():
+    from core_spark.functions.zstdfile import (
+        ZstdError as ZE,
+        build_seekable,
+        zstd_seek_table,
+    )
+    import struct
+
+    blob = build_seekable(b"abc def ghi jkl mno", 2)
+    with pytest.raises(ZE):
+        zstd_seek_table(blob[:-1])          # magic gone
+    with pytest.raises(ZE):
+        zstd_seek_table(b"\x00" * 17)       # no magic at all
+    # stale table: patch a c_size so sizes no longer sum to the body
+    bad = bytearray(blob)
+    entry0 = len(blob) - 9 - 2 * 8
+    struct.pack_into("<I", bad, entry0, 999)
+    with pytest.raises(ZE):
+        zstd_seek_table(bytes(bad))
+    # reserved descriptor bits
+    bad = bytearray(blob)
+    bad[-5] |= 0x01
+    with pytest.raises(ZE):
+        zstd_seek_table(bytes(bad))
