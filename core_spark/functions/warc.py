@@ -105,6 +105,14 @@ def warc_records(raw: bytes) -> list[dict]:
                 "target_uri": headers.get(
                     b"warc-target-uri", b""
                 ).decode("latin-1"),
+                # revisit-record linkage (WARC 1.1 §6.7.2): present
+                # on revisit records, empty elsewhere
+                "refers_to": headers.get(
+                    b"warc-refers-to-target-uri", b""
+                ).decode("latin-1"),
+                "payload_digest": headers.get(
+                    b"warc-payload-digest", b""
+                ).decode("latin-1"),
                 "rec_off": rec_off,
                 "block_off": block_off,
                 "block_len": block_len,
@@ -162,6 +170,43 @@ def build_warc_fixture(text: str, digest: str) -> bytes:
     Common-Crawl-shaped chain (WARC walk → payload slice → HTML
     extract) on real bytes."""
     return b"".join(_fixture_records(text, digest))
+
+
+def build_warc_revisit_fixture(text: str, digest: str) -> bytes:
+    """build_warc_fixture's records plus one REVISIT record per
+    even-indexed response (WARC 1.1 §6.7.2, identical-payload-digest
+    profile): the crawler re-fetched the URL, found the payload
+    digest unchanged, and stored a bodyless pointer instead of the
+    payload — the storage-dedup convention Common Crawl and Heritrix
+    write. Each revisit carries WARC-Refers-To-Target-URI (the
+    original) and WARC-Payload-Digest (sha256 hex of the original's
+    payload; the public convention is sha1 base32 — the algorithm
+    prefix names ours) with an EMPTY block (real writers store the
+    headers-only truncation; empty keeps the fixture offsets
+    closed-form and changes nothing about the linkage semantics)."""
+    import hashlib as _hl
+
+    from core_spark.functions.html import build_html_fixture
+
+    recs = _fixture_records(text, digest)
+    nrec = 2 + int(digest[0:2], 16) % 3
+    page = build_html_fixture(text, digest).encode("utf-8")
+    sha = _hl.sha256(page).hexdigest()
+    for i in range(0, nrec, 2):
+        orig = f"https://example.com/{digest[:8]}/{i}"
+        hdr = [
+            b"WARC/1.0",
+            b"WARC-Type: revisit",
+            b"WARC-Record-ID: <urn:uuid:" + digest.encode() + b">",
+            b"WARC-Target-URI: " + f"{orig}?recheck".encode(),
+            b"WARC-Refers-To-Target-URI: " + orig.encode(),
+            b"WARC-Payload-Digest: sha256:" + sha.encode(),
+            b"WARC-Profile: http://netpreserve.org/warc/1.1/"
+            b"revisit/identical-payload-digest",
+            b"Content-Length: 0",
+        ]
+        recs.append(b"\r\n".join(hdr) + b"\r\n\r\n" + b"\r\n\r\n")
+    return b"".join(recs)
 
 
 def build_warc_gz_fixture(text: str, digest: str) -> bytes:

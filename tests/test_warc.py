@@ -134,3 +134,32 @@ def test_warc_gz_members_slice_and_reinflate():
             raise AssertionError(f"corrupt gz accepted: {junk[:8]!r}")
         except WarcError:
             pass
+
+
+def test_revisit_records_walk_and_link():
+    """Revisit fixture: revisit records surface refers_to and
+    payload_digest; the claimed digest verifies against the original
+    payload's sha256 (WARC 1.1 §6.7.2 identical-payload-digest)."""
+    import hashlib
+
+    from core_spark.functions.warc import build_warc_revisit_fixture
+
+    text = "alpha beta gamma delta " * 30
+    digest = hashlib.md5(text.encode()).hexdigest()
+    raw = build_warc_revisit_fixture(text, digest)
+    recs = warc_records(raw)
+    responses = {r["target_uri"]: r for r in recs if r["rec_type"] == "response"}
+    revisits = [r for r in recs if r["rec_type"] == "revisit"]
+    nrec = 2 + int(digest[0:2], 16) % 3
+    assert len(responses) == nrec
+    assert len(revisits) == (nrec + 1) // 2
+    for rv in revisits:
+        assert rv["target_uri"].endswith("?recheck")
+        orig = responses[rv["refers_to"]]
+        payload = raw[orig["payload_off"]: orig["payload_off"] + orig["payload_len"]]
+        algo, _, claimed = rv["payload_digest"].partition(":")
+        assert algo == "sha256"
+        assert hashlib.sha256(payload).hexdigest() == claimed
+        assert rv["block_len"] == 0  # bodyless pointer: the dedup
+    # non-revisit records carry empty linkage fields
+    assert all(r["refers_to"] == "" for r in recs if r["rec_type"] != "revisit")
