@@ -721,11 +721,61 @@ def _encode_plane_block(w, blk, q, dc_map, ac_map, pred):
     return int(z[0])
 
 
+def quant_scale(quality: int) -> int:
+    """The public IJG quality→scale mapping (jcparam.c): scale =
+    5000/Q below 50, 200−2Q at and above. Table value k becomes
+    clip((K_k*scale + 50) // 100, 1, 255); quality 50 is the Annex-K
+    table verbatim."""
+    if not 1 <= quality <= 100:
+        raise ValueError("quality out of [1, 100]")
+    return 5000 // quality if quality < 50 else 200 - 2 * quality
+
+
+def _scaled(zzvals: np.ndarray, quality: int) -> np.ndarray:
+    s = quant_scale(quality)
+    return np.clip((zzvals * s + 50) // 100, 1, 255).astype(np.int32)
+
+
+def jpeg_quant_tables(raw: bytes) -> dict[int, list[int]]:
+    """DQT walk: {table id: [64 zigzag-order values]} — the metadata
+    a recompression-quality estimator reads (no entropy decode)."""
+    out: dict[int, list[int]] = {}
+    for m, data, _ in _segments(raw):
+        if m != 0xDB:
+            continue
+        i = 0
+        while i < len(data):
+            pq, tq = data[i] >> 4, data[i] & 0xF
+            i += 1
+            if pq not in (0, 1):
+                raise ValueError(f"malformed JPEG: DQT precision {pq}")
+            n = 64 * (2 if pq else 1)
+            if i + n > len(data):
+                raise ValueError("malformed JPEG: truncated DQT")
+            if pq:
+                vals = [
+                    int.from_bytes(data[i + 2 * k : i + 2 * k + 2], "big")
+                    for k in range(64)
+                ]
+            else:
+                vals = [data[i + k] for k in range(64)]
+            out[tq] = vals
+            i += n
+    if not out:
+        raise ValueError("malformed JPEG: no DQT segment")
+    return out
+
+
 def jpeg_encode(
-    arr: np.ndarray, subsample: bool = False, restart_interval: int = 0
+    arr: np.ndarray,
+    subsample: bool = False,
+    restart_interval: int = 0,
+    quality: int = 50,
 ) -> bytes:
     """Encode uint8 (h, w) grayscale or (h, w, 3) RGB as baseline
-    JPEG (Annex-K tables; `subsample` switches chroma to 4:2:0;
+    JPEG (Annex-K tables scaled by `quality` per the IJG mapping —
+    the default 50 is the tables verbatim, byte-identical to the
+    pre-quality-knob encoder; `subsample` switches chroma to 4:2:0;
     `restart_interval` > 0 emits DRI + RSTn every N MCUs)."""
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
@@ -750,7 +800,7 @@ def jpeg_encode(
         planes = [y, cb, cr]
         qids = [0, 1, 1]
 
-    qzz = {0: _QL, 1: _QC}
+    qzz = {0: _scaled(_QL, quality), 1: _scaled(_QC, quality)}
     qmats = {}
     for tq, zzvals in qzz.items():
         z = np.zeros(64, dtype=np.int32)
