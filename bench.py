@@ -149,6 +149,10 @@ HEADLINE = [
     "q_ann_bq",
     "q_blocks_orc",
     "q_zstd_frames",
+    "q_zstd_seek",
+    "q_warc_revisit",
+    "q_mrl_recall",
+    "q_jpeg_quality",
     # q_dup_canonical is intentionally absent: its dominant cost is
     # the same pair+CC pipeline q_dup_clusters already times;
     # q_bands_serve (streaming materialize->serve) follows the

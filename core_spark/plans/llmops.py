@@ -2362,9 +2362,11 @@ def q_cc_warc_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS n,
              CAST('0x' || substr(md5(text), 3, 2) AS BIGINT) - 128
                AS base,
-             CASE WHEN CAST('0x' || substr(md5(text), 5, 1) AS BIGINT)
-                       % 2 = 1
-                  THEN 'zlib' ELSE 'none' END AS compression
+             CASE CAST('0x' || substr(md5(text), 5, 1) AS BIGINT) % 4
+                  WHEN 1 THEN 'zlib'
+                  WHEN 2 THEN 'snappy'
+                  WHEN 3 THEN 'lz4'
+                  ELSE 'none' END AS compression
       FROM documents
     )
     SELECT doc_id,
@@ -2384,9 +2386,11 @@ def q_blocks_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sources/journal.py per-fragment ORC): postscript → footer →
     stripe boundaries / row counts / column types / signed-int
     min/max/sum statistics, all protobuf wire parsed by hand from
-    the tail bytes. Compression alternates none/ZLIB by hash so the
-    block-deframing path (3-byte LE headers + raw DEFLATE) runs
-    corpus-wide; SNAPPY/ZSTD raise naming the codec library. Each
+    the tail bytes. Compression rotates none/ZLIB/SNAPPY/LZ4 by hash
+    so all three deframing codecs (3-byte LE headers + raw DEFLATE;
+    the r9 from-spec snappy and lz4-block decoders,
+    functions/snappy.py and functions/lz4.py) run corpus-wide under
+    the driver hash; ZSTD raises naming the codec library. Each
     document writes a REAL ORC file (pyarrow writer) whose int64
     column stats the oracle recomputes by arithmetic — a wrong
     varint, zigzag sign, field id or deframe fails the hash.
@@ -2416,7 +2420,9 @@ def q_blocks_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 h = hashlib.md5(text.encode("utf-8")).hexdigest()
                 n = 3 + int(h[0], 16) % 5
                 base = int(h[2:4], 16) - 128
-                comp = "zlib" if int(h[4], 16) % 2 else "uncompressed"
+                comp = ("uncompressed", "zlib", "snappy", "lz4")[
+                    int(h[4], 16) % 4
+                ]
                 v = [base + 7 * i for i in range(2 * n)]
                 buf = io.BytesIO()
                 orc.write_table(
@@ -4658,4 +4664,502 @@ def q_zstd_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("doc_id", "frame_idx")
+    )
+
+
+# --------------------------------------------------- warc revisit dedup
+@query(
+    "q_warc_revisit",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, text, md5(text) AS d,
+             2 + CAST('0x' || substr(md5(text), 1, 2) AS BIGINT) % 3
+               AS nrec,
+             3 + CAST('0x' || substr(md5(text), 1, 2) AS BIGINT) % 7
+               AS k,
+             CAST('0x' || substr(md5(text), 3, 4) AS BIGINT) AS track,
+             len(string_split(text, ' ')) AS nw
+      FROM documents
+    ),
+    geom AS (
+      SELECT *,
+             (nw + 19) // 20 AS npara,
+             257 + 12 + length(CAST(track AS VARCHAR)) + 21*k + (k-1)
+               + length(text) + 6 * ((nw + 19) // 20) + 1 AS plen
+      FROM p
+    ),
+    nav AS (
+      SELECT doc_id,
+             string_agg('<a href="/' || CAST(i AS VARCHAR) || '">lnk'
+                        || CAST(i AS VARCHAR) || '</a>', ' '
+                        ORDER BY i) AS nav_html
+      FROM (SELECT doc_id, unnest(range(k)) AS i FROM geom)
+      GROUP BY doc_id
+    ),
+    body AS (
+      SELECT doc_id,
+             string_agg(
+               '<p>' || array_to_string(
+                 (string_split(text, ' '))[(j*20+1):(j*20+20)], ' ')
+               || '</p>', '' ORDER BY j) AS body_html
+      FROM (SELECT doc_id, text, unnest(range(npara)) AS j FROM geom)
+      GROUP BY doc_id
+    ),
+    page AS (
+      SELECT g.doc_id, g.d, g.nrec, g.plen,
+             '<!DOCTYPE html><html><head><title>Doc '
+             || substr(g.d, 1, 8)
+             || '</title><style>body{margin:0;font:16px serif}</style>'
+             || '<script>var track=' || CAST(g.track AS VARCHAR)
+             || ';</script></head><body><header><nav>'
+             || n.nav_html || '</nav></header><main>' || b.body_html
+             || '</main><footer><a href="/about">about</a> '
+             || '<a href="/contact">contact</a></footer></body></html>'
+               AS page_html
+      FROM geom g JOIN nav n USING (doc_id) JOIN body b USING (doc_id)
+    ),
+    rev AS (
+      SELECT doc_id, d, plen, page_html,
+             unnest(range(0, nrec, 2)) AS i
+      FROM page
+    )
+    SELECT doc_id,
+           CAST(i // 2 AS BIGINT) AS revisit_idx,
+           'https://example.com/' || substr(d, 1, 8) || '/'
+             || CAST(i AS VARCHAR) || '?recheck' AS uri,
+           'https://example.com/' || substr(d, 1, 8) || '/'
+             || CAST(i AS VARCHAR) AS orig_uri,
+           CAST(plen AS BIGINT) AS saved_bytes,
+           sha256(page_html) AS digest_hex,
+           TRUE AS digest_ok
+    FROM rev ORDER BY doc_id, revisit_idx
+    """,
+)
+def q_warc_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revisit-record resolution (WARC 1.1 §6.7.2) — the STORAGE
+    dedup layer of a crawl archive, upstream of the content dedup
+    this repo's MinHash tier does: when a re-fetch's payload digest
+    matches an already-stored response, crawlers (Heritrix, Common
+    Crawl) write a bodyless `revisit` record pointing at the
+    original instead of storing the bytes again, and every replay
+    engine (pywb) must resolve that pointer back to the original's
+    payload range to serve the capture. Each document becomes a real
+    WARC with one revisit per even-indexed response
+    (functions/warc.py build_warc_revisit_fixture); the kernel walks
+    the records, indexes responses by target URI, resolves each
+    revisit via WARC-Refers-To-Target-URI, RECOMPUTES the original
+    payload's sha256 and verifies it against the revisit's claimed
+    WARC-Payload-Digest (digest_ok — trust nothing the pointer
+    says), and reports the bytes the dedup saved (the original's
+    payload length the revisit did not re-store). The oracle
+    reconstructs the page in SQL (the q_cc_cdx machinery) and
+    recomputes every row — URI arithmetic, saved bytes from the
+    page-length closed form, the sha256 itself.
+
+    Scale shape: map-side Arrow kernel per archive, zero shuffles
+    before the presentation sort; at crawl scale revisits resolve
+    within their archive segment (the Common Crawl convention keeps
+    the original in an earlier segment — that cross-file resolve is
+    the CDX join q_cc_cdx builds the index for).
+
+    Late-r9 PYTEST_ONLY naming (after the window cutoff) — rotates
+    into the driver window in r10 per the r5/r7/r9 protocol."""
+    from core_spark.functions.warc import (
+        build_warc_revisit_fixture,
+        warc_records,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+
+    def resolve(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                digest = hashlib.md5(text.encode("utf-8")).hexdigest()
+                raw = build_warc_revisit_fixture(text, digest)
+                recs = warc_records(raw)
+                by_uri = {
+                    r["target_uri"]: r
+                    for r in recs
+                    if r["rec_type"] == "response"
+                }
+                ridx = 0
+                for r in recs:
+                    if r["rec_type"] != "revisit":
+                        continue
+                    orig = by_uri.get(r["refers_to"])
+                    if orig is None:
+                        continue  # dangling pointer: not servable
+                    payload = raw[
+                        orig["payload_off"]: orig["payload_off"]
+                        + orig["payload_len"]
+                    ]
+                    sha = hashlib.sha256(payload).hexdigest()
+                    claimed = r["payload_digest"].split(":", 1)[-1]
+                    rows.append(
+                        (
+                            int(doc_id),
+                            ridx,
+                            r["target_uri"],
+                            r["refers_to"],
+                            orig["payload_len"],
+                            sha,
+                            sha == claimed,
+                        )
+                    )
+                    ridx += 1
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "revisit_idx", "uri", "orig_uri",
+                    "saved_bytes", "digest_hex", "digest_ok",
+                ],
+            )
+
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(
+            resolve,
+            schema=(
+                "doc_id long, revisit_idx long, uri string,"
+                " orig_uri string, saved_bytes long,"
+                " digest_hex string, digest_ok boolean"
+            ),
+        )
+        .orderBy("doc_id", "revisit_idx")
+    )
+
+
+# ----------------------------------------------------- zstd seek table
+@query(
+    "q_zstd_seek",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, strlen(text) AS n,
+             2 + CAST('0x' || substr(md5(text), 1, 1) AS BIGINT) % 3
+               AS k
+      FROM documents
+    ),
+    f AS (SELECT doc_id, n, k, unnest(range(k)) AS i FROM p),
+    s AS (
+      SELECT doc_id, i,
+             n // k + CASE WHEN i < n % k THEN 1 ELSE 0 END AS L
+      FROM f
+    ),
+    g AS (
+      SELECT doc_id, i, L,
+             9 + 3 * ((L + 63) // 64) + L AS flen
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS frame_idx,
+           CAST(COALESCE(SUM(flen) OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS c_off,
+           CAST(flen AS BIGINT) AS c_size,
+           CAST(COALESCE(SUM(L) OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS d_off,
+           CAST(L AS BIGINT) AS d_size
+    FROM g ORDER BY doc_id, frame_idx
+    """,
+)
+def q_zstd_seek(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seekable-zstd seek-table walk (functions/zstdfile.py; the
+    public zstd contrib seekable format) — the TAIL-ONLY split plan:
+    where q_zstd_frames walks every block header, a seekable .zst
+    carries its own index in a final skippable frame (per-frame
+    compressed/decompressed sizes + a 9-byte footer), so a planner
+    fetches KBs from the file tail and gets ranged-GET splits WITH
+    per-split decompressed offsets — the parquet-footer discipline
+    (q_blocks_parquet) applied to a compression container. Each
+    document becomes a real seekable file (build_seekable over the
+    q_zstd_frames raw-block frames — pyarrow reassembles the content
+    from the table's ranges in tests); the walker validates the
+    footer magic, reserved descriptor bits, the skippable envelope
+    AND that the table's compressed sizes sum exactly to the body
+    (a stale table must raise, never mis-split). The oracle
+    recomputes both cumulative offsets by the q_zstd_frames closed
+    form. Corpus-purity note: sizes are strlen(text) bytes (ASCII
+    corpus, the q_cc_cdx note).
+
+    Scale shape: map-side Arrow kernel; at lake scale the plan cost
+    is ONE tail ranged-GET per file regardless of body size — the
+    best possible split-planning shape.
+
+    Late-r9 PYTEST_ONLY naming (after the window cutoff) — rotates
+    into the driver window in r10 per the r5/r7/r9 protocol."""
+    from core_spark.functions.zstdfile import (
+        build_seekable,
+        zstd_seek_table,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+
+    def walk(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                content = text.encode("utf-8")
+                digest = hashlib.md5(content).hexdigest()
+                k = 2 + int(digest[0], 16) % 3
+                blob = build_seekable(content, k)
+                for e in zstd_seek_table(blob):
+                    rows.append(
+                        (
+                            int(doc_id),
+                            e["frame_idx"],
+                            e["c_off"],
+                            e["c_size"],
+                            e["d_off"],
+                            e["d_size"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "c_off", "c_size",
+                    "d_off", "d_size",
+                ],
+            )
+
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(
+            walk,
+            schema=(
+                "doc_id long, frame_idx long, c_off long,"
+                " c_size long, d_off long, d_size long"
+            ),
+        )
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+# -------------------------------------------------- matryoshka truncation
+@query(
+    "q_mrl_recall",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+    brute AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, c.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                 ORDER BY {_duck_cos("q.qv", "c.v")} DESC, c.vec_id) AS rn
+        FROM q JOIN e c ON q.qid <> c.vec_id
+      ) WHERE rn <= 10
+    ),
+    widths AS (SELECT unnest([16, 32]) AS m),
+    tq AS (
+      SELECT q.qid, m, list_slice(q.qv, 1, m) AS tv FROM q, widths
+    ),
+    tc AS (
+      SELECT vec_id, m, list_slice(v, 1, m) AS tv FROM e, widths
+    ),
+    trunc AS (
+      SELECT qid, m, vec_id FROM (
+        SELECT tq.qid, tq.m, tc.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY tq.qid, tq.m
+                 ORDER BY {_duck_cos("tq.tv", "tc.tv")} DESC,
+                          tc.vec_id) AS rn
+        FROM tq JOIN tc ON tq.m = tc.m AND tq.qid <> tc.vec_id
+      ) WHERE rn <= 10
+    ),
+    hits AS (
+      SELECT t.qid, t.m, COUNT(*) AS n_hits
+      FROM trunc t JOIN brute b ON t.qid = b.qid AND t.vec_id = b.vec_id
+      GROUP BY t.qid, t.m
+    )
+    SELECT tq0.qid AS qid, CAST(tq0.m AS BIGINT) AS m,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(h.n_hits, 0) * 100 AS BIGINT) AS recall_milli
+    FROM (SELECT DISTINCT qid, m FROM tq) tq0
+    LEFT JOIN hits h ON tq0.qid = h.qid AND tq0.m = h.m
+    ORDER BY tq0.qid, tq0.m
+    """,
+)
+def q_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation retrieval audit — the measurement behind
+    dimension-truncated (MRL-style) embeddings: rank by cosine over
+    only the FIRST m dims (m = 16, 32 of 64) and report recall@10
+    against the full-width exact top-10, per query and width. This is
+    the accuracy side of the storage ladder q_embed_quant (int8) /
+    q_ann_pq (product codes) / q_ann_bq (sign bits) measure the cost
+    side of: truncation is the one compression a vector store can
+    apply WITHOUT re-indexing, so the audit that says which prefix
+    width is safe runs continuously. On iid uniform synthetic
+    embeddings the prefix carries m/64 of the information, so recall
+    is honestly mid-range — exactly what the audit exists to report
+    (the q_ann_pq_recall convention). Deterministic: both rankings
+    use the rounded-cosine + vec_id tie-break discipline, so the
+    recall itself hash-checks.
+
+    Scale shape: both sides are the labeled sample-queries x corpus
+    verification tier (knn_bruteforce's streamed-corpus /
+    broadcast-sample orientation with map-side partial top-k); the
+    truncated side touches m/64 of the vector bytes — the production
+    benefit being measured."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    brute = knn_bruteforce(queries, emb, k=10).select("qid", "vec_id")
+    parts = []
+    for m in (16, 32):
+        tq = queries.select(
+            "vec_id", F.slice("embedding", 1, m).alias("embedding")
+        )
+        tc = emb.select(
+            "vec_id", F.slice("embedding", 1, m).alias("embedding")
+        )
+        parts.append(
+            knn_bruteforce(tq, tc, k=10)
+            .select("qid", "vec_id")
+            .withColumn("m", F.lit(m).cast("long"))
+        )
+    trunc = parts[0].unionByName(parts[1])
+    hits = (
+        trunc.join(brute, ["qid", "vec_id"])
+        .groupBy("qid", "m")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    grid = queries.select(F.col("vec_id").alias("qid")).crossJoin(
+        F.broadcast(
+            spark.createDataFrame([(16,), (32,)], "m long")
+        )
+    )
+    return (
+        grid.join(hits, ["qid", "m"], "left")
+        .select(
+            "qid",
+            "m",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) * 100)
+            .cast("long")
+            .alias("recall_milli"),
+        )
+        .orderBy("qid", "m")
+    )
+
+
+# ----------------------------------------------------- jpeg quality audit
+_ANNEX_K1 = (
+    "[16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,"
+    " 14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,"
+    " 18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113,"
+    " 92, 49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112,"
+    " 100, 103, 99]"
+)
+_ANNEX_K1_SUM = 3688
+
+
+@query(
+    "q_jpeg_quality",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id,
+             30 + CAST('0x' || substr(md5(text), 1, 2) AS BIGINT) % 60
+               AS q
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, q,
+             CASE WHEN q < 50 THEN 5000 // q ELSE 200 - 2 * q END AS sc
+      FROM p
+    ),
+    t AS (
+      SELECT doc_id, q,
+             list_sum(list_transform({_ANNEX_K1},
+               k -> greatest(1, least(255, (k * sc + 50) // 100))))
+               AS sum_t
+      FROM s
+    ),
+    e AS (
+      SELECT doc_id, q, sum_t,
+             (100000 * sum_t) // {_ANNEX_K1_SUM} AS sm
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(q AS BIGINT) AS q_true,
+           CAST(sum_t AS BIGINT) AS sum_t,
+           CAST(CASE WHEN sm <= 100000 THEN (200000 - sm) // 2000
+                     ELSE 5000000 // sm END AS BIGINT) AS est_q
+    FROM e ORDER BY doc_id
+    """,
+)
+def q_jpeg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG recompression-quality estimation from the DQT tables —
+    the image-pipeline gate that drops heavily recompressed
+    thumbnails before feature extraction (low encode quality is the
+    visual analogue of the mojibake/boilerplate text gates): every
+    document encodes a REAL baseline JPEG at an md5-planted quality
+    (30–89, exercising both branches of the public IJG quality→scale
+    mapping), the kernel walks the DQT segment back out of the bytes
+    (multimodal/jpeg.py jpeg_quant_tables — no entropy decode) and
+    inverts the mapping in pure integer arithmetic: the luminance
+    table sum is monotone in the scale, est_scale_milli =
+    100000·sum/K_sum against the Annex-K sum, then quality =
+    (200000−s)/2000 above the 50 knee, 5000000/s below. The oracle
+    recomputes the planted tables, their sum and the same integer
+    estimate without ever building a JPEG; tests additionally pin
+    |est − planted| ≤ 1 across the whole range (the floors bite at
+    most one quality step in the no-clip 30–89 band).
+
+    Scale shape: map-side Arrow kernel, zero shuffles before the
+    presentation sort; the estimator reads ~130 DQT bytes per image
+    — fetch-plan it with the EXIF/phash walks, never decode.
+
+    Late-r9 PYTEST_ONLY naming (after the window cutoff) — rotates
+    into the driver window in r10 per the r5/r7/r9 protocol."""
+    from core_spark.multimodal.jpeg import jpeg_encode, jpeg_quant_tables
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+
+    def audit(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        base_img = (np.arange(256).reshape(16, 16) * 7 % 256).astype(
+            np.uint8
+        )
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                h = hashlib.md5(text.encode("utf-8")).hexdigest()
+                q = 30 + int(h[0:2], 16) % 60
+                img = (base_img + int(h[2:4], 16)) % 256
+                raw = jpeg_encode(img.astype(np.uint8), quality=q)
+                sum_t = sum(jpeg_quant_tables(raw)[0])
+                sm = (100000 * sum_t) // 3688
+                est = (
+                    (200000 - sm) // 2000
+                    if sm <= 100000
+                    else 5000000 // sm
+                )
+                rows.append((int(doc_id), q, sum_t, est))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "q_true", "sum_t", "est_q"]
+            )
+
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(
+            audit,
+            schema=(
+                "doc_id long, q_true long, sum_t long, est_q long"
+            ),
+        )
+        .orderBy("doc_id")
     )

@@ -30,6 +30,10 @@ ALLOWED = {
     "q_ann_ndcg": "nDCG audit: same brute 10-query SAMPLE x corpus "
                    "verification tier as q_ann_recall; the LSH side "
                    "is bucket-keyed and the DCG join is equi-keyed",
+    "q_mrl_recall": "truncation audit: full-width and per-width "
+                    "truncated sides are all the brute 10-query "
+                    "SAMPLE x corpus verification tier; the width "
+                    "grid is a TWO-ROW broadcast",
     "q_ann_bq": "binary-quantization scan: the BROADCAST side is the "
                 "constant 10-row query sample, streamed against the "
                 "8-byte code table (codes never broadcast — ~80 GB at "

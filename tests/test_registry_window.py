@@ -57,7 +57,11 @@ _REPO = Path(__file__).resolve().parent.parent
 # first-time r9 names that must keep their slots) — the r5/r7/r8
 # protocol.
 PYTEST_ONLY: set[str] = {
+    "q_jpeg_quality",
+    "q_mrl_recall",
+    "q_warc_revisit",
     "q_zstd_frames",
+    "q_zstd_seek",
 }
 
 
