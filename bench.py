@@ -153,6 +153,7 @@ HEADLINE = [
     "q_warc_revisit",
     "q_mrl_recall",
     "q_jpeg_quality",
+    "q_parquet_pages",
     # q_dup_canonical is intentionally absent: its dominant cost is
     # the same pair+CC pipeline q_dup_clusters already times;
     # q_bands_serve (streaming materialize->serve) follows the

@@ -265,6 +265,127 @@ def _parse_column_meta(r: _Reader, depth: int) -> dict:
     return out
 
 
+def _parse_page_location(r: _Reader, depth: int) -> dict:
+    out: dict = {}
+    for fid, wt in r.fields(depth):
+        if fid == 1 and wt in _INT_TYPES:
+            out["offset"] = r.zigzag()
+        elif fid == 2 and wt in _INT_TYPES:
+            out["compressed_page_size"] = r.zigzag()
+        elif fid == 3 and wt in _INT_TYPES:
+            out["first_row_index"] = r.zigzag()
+        else:
+            r.skip(wt, depth)
+    return out
+
+
+def parse_offset_index(raw: bytes) -> list[dict]:
+    """OffsetIndex (the page-location half of the parquet page
+    index): [{offset, compressed_page_size, first_row_index}] — the
+    page-granular ranged-GET plan inside one column chunk.
+    first_row_index is relative to the row group."""
+    r = _Reader(raw)
+    pages: list[dict] = []
+    for fid, wt in r.fields():
+        if fid == 1 and wt == _LIST:
+            size, etype = r.list_header()
+            if etype != _STRUCT:
+                raise ParquetError("page_locations are not structs")
+            pages = [_parse_page_location(r, 1) for _ in range(size)]
+        else:
+            r.skip(wt, 0)
+    if not pages:
+        raise ParquetError("OffsetIndex has no page locations")
+    return pages
+
+
+def parse_column_index(
+    raw: bytes, ptype: int | None = None
+) -> list[dict]:
+    """ColumnIndex (the statistics half of the page index):
+    [{null_page, min, max, null_count}] per page, min/max decoded by
+    the column's physical type (the footer-stats plain encoding).
+    This is the finest pruning granularity parquet offers — a
+    predicate can skip PAGES inside a row group it must otherwise
+    read."""
+    r = _Reader(raw)
+    null_pages: list[bool] = []
+    mins: list[bytes] = []
+    maxs: list[bytes] = []
+    null_counts: list[int] = []
+    for fid, wt in r.fields():
+        if fid == 1 and wt == _LIST:
+            size, etype = r.list_header()
+            if etype not in (_TRUE, _FALSE):
+                raise ParquetError("null_pages are not bools")
+            # collection bools are one byte each (compact spec)
+            for _ in range(size):
+                if r.i >= len(r.raw):
+                    raise ParquetError("null_pages escape the index")
+                null_pages.append(r.raw[r.i] == 1)
+                r.i += 1
+        elif fid in (2, 3) and wt == _LIST:
+            size, etype = r.list_header()
+            if etype != _BINARY:
+                raise ParquetError("min/max values are not binary")
+            vals = [r.binary() for _ in range(size)]
+            if fid == 2:
+                mins = vals
+            else:
+                maxs = vals
+        elif fid == 5 and wt == _LIST:
+            size, etype = r.list_header()
+            if etype not in _INT_TYPES:
+                raise ParquetError("null_counts are not ints")
+            null_counts = [r.zigzag() for _ in range(size)]
+        else:
+            r.skip(wt, 0)
+    n = max(len(null_pages), len(mins), len(maxs))
+    if n == 0:
+        raise ParquetError("ColumnIndex has no pages")
+    out: list[dict] = []
+    for i in range(n):
+        np_ = null_pages[i] if i < len(null_pages) else False
+        out.append(
+            {
+                "null_page": np_,
+                "min": None
+                if np_ or i >= len(mins)
+                else _stat_value(mins[i], ptype),
+                "max": None
+                if np_ or i >= len(maxs)
+                else _stat_value(maxs[i], ptype),
+                "null_count": null_counts[i]
+                if i < len(null_counts)
+                else None,
+            }
+        )
+    return out
+
+
+def parse_page_index(raw: bytes, col: dict, ptype: int | None = None):
+    """Slice + parse one column chunk's page index from whole-file
+    bytes: (offset_index pages, column_index stats) — None for a
+    half the writer did not emit. ``col`` is a column dict from
+    parse_parquet_footer."""
+    oi = ci = None
+    o_off, o_len = col.get("offset_index_offset"), col.get(
+        "offset_index_length"
+    )
+    if o_off is not None and o_len is not None:
+        if o_off < 0 or o_off + o_len > len(raw):
+            raise ParquetError("OffsetIndex escapes the file")
+        oi = parse_offset_index(raw[o_off : o_off + o_len])
+    c_off, c_len = col.get("column_index_offset"), col.get(
+        "column_index_length"
+    )
+    if c_off is not None and c_len is not None:
+        if c_off < 0 or c_off + c_len > len(raw):
+            raise ParquetError("ColumnIndex escapes the file")
+        ci = parse_column_index(raw[c_off : c_off + c_len], ptype)
+    return oi, ci
+
+
 def _parse_column_chunk(r: _Reader, depth: int) -> dict:
     out: dict = {}
     for fid, wt in r.fields(depth):
@@ -272,6 +393,14 @@ def _parse_column_chunk(r: _Reader, depth: int) -> dict:
             out["file_offset"] = r.zigzag()
         elif fid == 3 and wt == _STRUCT:
             out.update(_parse_column_meta(r, depth + 1))
+        elif fid == 4 and wt in _INT_TYPES:
+            out["offset_index_offset"] = r.zigzag()
+        elif fid == 5 and wt in _INT_TYPES:
+            out["offset_index_length"] = r.zigzag()
+        elif fid == 6 and wt in _INT_TYPES:
+            out["column_index_offset"] = r.zigzag()
+        elif fid == 7 and wt in _INT_TYPES:
+            out["column_index_length"] = r.zigzag()
         else:
             r.skip(wt, depth)
     return out

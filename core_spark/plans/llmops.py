@@ -5163,3 +5163,147 @@ def q_jpeg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------- parquet page index
+@query(
+    "q_parquet_pages",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             24 + CAST('0x' || substr(md5(text), 1, 1) AS BIGINT) % 40
+               AS n,
+             CAST('0x' || substr(md5(text), 3, 2) AS BIGINT) - 128
+               AS base
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, n, base, unnest(range((n + 19) // 20)) AS rg
+      FROM p
+    ),
+    gr AS (
+      SELECT doc_id, n, base, rg,
+             least(20, n - 20 * rg) AS grows
+      FROM g
+    ),
+    pg AS (
+      SELECT doc_id, base, rg, grows,
+             unnest(range((grows + 7) // 8)) AS pidx
+      FROM gr
+    )
+    SELECT doc_id,
+           CAST(rg AS BIGINT) AS rg_idx,
+           CAST(pidx AS BIGINT) AS page_idx,
+           CAST(8 * pidx AS BIGINT) AS first_row,
+           CAST(base + 7 * (20 * rg + 8 * pidx) AS BIGINT) AS vmin,
+           CAST(base + 7 * (20 * rg + least(grows, 8 * pidx + 8) - 1)
+             AS BIGINT) AS vmax,
+           CAST(0 AS BIGINT) AS null_count
+    FROM pg ORDER BY doc_id, rg_idx, page_idx
+    """,
+)
+def q_parquet_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet PAGE-INDEX walk (functions/parquetfile.py
+    parse_offset_index / parse_column_index) — the pruning level
+    BELOW q_blocks_parquet's row-group stats: the page index
+    (OffsetIndex page locations + ColumnIndex per-page min/max) lets
+    a predicate skip PAGES inside a row group it must otherwise
+    read, the finest fetch granularity the format offers and the
+    one modern engines drive their ranged GETs from. Each document
+    writes a REAL parquet file (pyarrow, write_page_index=True)
+    whose page boundaries are forced deterministic (20-row groups,
+    8-row write batches, 1-byte data_page_size ⇒ a page per batch);
+    the kernel walks footer → ColumnChunk index offsets → both
+    thrift structs and emits one row per page with its first-row
+    index and typed min/max; kernel-side asserts pin the
+    writer-dependent half (page offsets strictly increasing and
+    in-file, OffsetIndex/ColumnIndex page counts equal). The oracle
+    recomputes rows-per-group/pages-per-group/min/max by pure
+    arithmetic. Physical offsets are additionally pinned against the
+    source data at the FILE's own boundaries in
+    tests/test_parquetfile.py (pages found where the writer put
+    them, stats matching value slices).
+
+    Scale shape: map-side Arrow kernel; at lake scale the page index
+    is a few KB fetched with the footer, and the emitted table IS
+    the page-granular ranged-GET plan.
+
+    Late-r9 PYTEST_ONLY naming (after the window cutoff) — rotates
+    into the driver window in r10 per the r5/r7/r9 protocol."""
+    from core_spark.functions.parquetfile import (
+        parse_page_index,
+        parse_parquet_footer,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+
+    def walk(batches):
+        import hashlib
+        import io
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                h = hashlib.md5(text.encode("utf-8")).hexdigest()
+                n = 24 + int(h[0], 16) % 40
+                base = int(h[2:4], 16) - 128
+                vals = [base + 7 * r for r in range(n)]
+                buf = io.BytesIO()
+                pq.write_table(
+                    pa.table({"v": pa.array(vals, pa.int64())}),
+                    buf,
+                    write_page_index=True,
+                    use_dictionary=False,
+                    data_page_size=1,
+                    write_batch_size=8,
+                    row_group_size=20,
+                )
+                raw = buf.getvalue()
+                meta = parse_parquet_footer(raw)
+                ptype = meta["schema_types"]["v"]
+                for gi, rg in enumerate(meta["row_groups"]):
+                    col = rg["columns"][0]
+                    oi, ci = parse_page_index(raw, col, ptype)
+                    assert oi is not None and ci is not None
+                    assert len(oi) == len(ci)
+                    offs = [pl["offset"] for pl in oi]
+                    assert offs == sorted(offs)
+                    assert all(
+                        0 < o < len(raw) for o in offs
+                    )
+                    for j, (pl, st) in enumerate(zip(oi, ci)):
+                        rows.append(
+                            (
+                                int(doc_id),
+                                gi,
+                                j,
+                                pl["first_row_index"],
+                                st["min"],
+                                st["max"],
+                                st["null_count"],
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "rg_idx", "page_idx", "first_row",
+                    "vmin", "vmax", "null_count",
+                ],
+            )
+
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(
+            walk,
+            schema=(
+                "doc_id long, rg_idx long, page_idx long,"
+                " first_row long, vmin long, vmax long,"
+                " null_count long"
+            ),
+        )
+        .orderBy("doc_id", "rg_idx", "page_idx")
+    )

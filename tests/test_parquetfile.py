@@ -216,3 +216,54 @@ def test_typed_stats_agree_with_pyarrow_all_widths():
     # the root group's name varies by writer and carries None)
     leaf = {k: v for k, v in got["schema_types"].items() if v is not None}
     assert leaf == {"i32": 1, "i64": 2, "f32": 4, "f64": 5, "b": 0, "s": 6}
+
+
+def test_page_index_pins_against_source_data():
+    """Page-index walk (OffsetIndex + ColumnIndex): pages are found
+    where the WRITER put them (first_row_index from the file), and
+    each page's min/max must equal the actual value slice at those
+    boundaries — a behavioral pin that trusts only the source table."""
+    from core_spark.functions.parquetfile import parse_page_index
+
+    vals = list(range(0, 700, 7))
+    t = pa.table({"v": pa.array(vals, pa.int64())})
+    buf = io.BytesIO()
+    pq.write_table(
+        t, buf, write_page_index=True, data_page_size=64,
+        use_dictionary=False, write_batch_size=10, row_group_size=60,
+    )
+    raw = buf.getvalue()
+    got = parse_parquet_footer(raw)
+    ptype = got["schema_types"]["v"]
+    base_row = 0
+    total_pages = 0
+    for rg in got["row_groups"]:
+        col = rg["columns"][0]
+        oi, ci = parse_page_index(raw, col, ptype)
+        assert len(oi) == len(ci) >= 2  # multi-page row groups
+        bounds = [p["first_row_index"] for p in oi] + [rg["num_rows"]]
+        for j, (p, s) in enumerate(zip(oi, ci)):
+            page_vals = vals[base_row + bounds[j]: base_row + bounds[j + 1]]
+            assert s["min"] == min(page_vals)
+            assert s["max"] == max(page_vals)
+            assert s["null_count"] == 0 and not s["null_page"]
+            assert 0 < p["offset"] < len(raw)
+            assert p["compressed_page_size"] > 0
+        offs = [p["offset"] for p in oi]
+        assert offs == sorted(offs) and len(set(offs)) == len(offs)
+        base_row += rg["num_rows"]
+        total_pages += len(oi)
+    assert total_pages >= 10
+    # a file written WITHOUT the page index carries no offsets
+    buf2 = io.BytesIO()
+    pq.write_table(t, buf2, write_page_index=False)
+    got2 = parse_parquet_footer(buf2.getvalue())
+    col2 = got2["row_groups"][0]["columns"][0]
+    oi2, ci2 = parse_page_index(buf2.getvalue(), col2, ptype)
+    assert oi2 is None and ci2 is None
+    # corrupt: an index range escaping the file raises
+    col_bad = dict(col2)
+    col_bad["offset_index_offset"] = len(buf2.getvalue())
+    col_bad["offset_index_length"] = 10
+    with pytest.raises(ParquetError):
+        parse_page_index(buf2.getvalue(), col_bad, ptype)

@@ -58,6 +58,7 @@ _REPO = Path(__file__).resolve().parent.parent
 # protocol.
 PYTEST_ONLY: set[str] = {
     "q_jpeg_quality",
+    "q_parquet_pages",
     "q_mrl_recall",
     "q_warc_revisit",
     "q_zstd_frames",
