@@ -18,11 +18,11 @@ submessages; IntegerStatistics min/max are ``sint64`` (zigzag).
 Compression: the postscript is ALWAYS uncompressed; the footer is
 compressed when the postscript says so, as a sequence of blocks
 each headed by 3 LE bytes ``(length << 1) | is_original``. NONE,
-ZLIB (raw DEFLATE, stdlib), SNAPPY and LZ4 (from-spec decoders,
-functions/snappy.py and functions/lz4.py, each pinned against
-pyarrow's codec) are fully supported; ZSTD raises the named error
-naming the public codec library to install (columns.py's stub
-discipline).
+ZLIB (raw DEFLATE, stdlib), SNAPPY, LZ4 and ZSTD (from-spec
+decoders, functions/snappy.py, lz4.py and zstd_decode.py, each
+pinned against pyarrow's codec) are fully supported — every codec
+an ORC writer defaults to in practice now deframes with no format
+library; only LZO still raises the named error.
 
 Corrupt-input discipline: missing magic, a postscript or footer
 escaping the buffer, an unknown wire type, or a varint running past
@@ -39,6 +39,7 @@ import zlib
 
 from core_spark.functions.lz4 import Lz4Error, lz4_block_decompress
 from core_spark.functions.snappy import SnappyError, snappy_decompress
+from core_spark.functions.zstd_decode import ZstdDecodeError, zstd_decompress
 
 MAGIC = b"ORC"
 MAX_VARINT_BYTES = 10
@@ -115,11 +116,11 @@ def _deframe(raw: bytes, kind: str) -> bytes:
     DEFLATE."""
     if kind == "none":
         return raw
-    if kind not in ("zlib", "snappy", "lz4"):
+    if kind not in ("zlib", "snappy", "lz4", "zstd"):
         raise OrcError(
             f"compression kind {kind!r} needs the {kind} codec "
-            "library (zstandard) — install it or rewrite the "
-            "fragment with zlib/snappy/lz4/none"
+            "library — install it or rewrite the fragment with "
+            "zstd/zlib/snappy/lz4/none"
         )
     out = bytearray()
     i, n = 0, len(raw)
@@ -135,6 +136,11 @@ def _deframe(raw: bytes, kind: str) -> bytes:
         i += length
         if original:
             out += block
+        elif kind == "zstd":
+            try:
+                out += zstd_decompress(block)
+            except ZstdDecodeError as e:
+                raise OrcError(f"zstd block: {e}") from None
         elif kind == "lz4":
             try:
                 out += lz4_block_decompress(block)

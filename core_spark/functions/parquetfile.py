@@ -453,11 +453,14 @@ def parse_parquet_footer(raw: bytes) -> dict:
                 raise ParquetError("schema elements are not structs")
             names = []
             types: dict = {}
+            reps: dict = {}
             for _ in range(size):
-                name, ptype = None, None
+                name, ptype, rep = None, None, None
                 for sfid, swt in r.fields(1):
                     if sfid == 1 and swt in _INT_TYPES:
                         ptype = r.zigzag()  # physical type enum
+                    elif sfid == 3 and swt in _INT_TYPES:
+                        rep = r.zigzag()  # repetition (0 req, 1 opt)
                     elif sfid == 4 and swt == _BINARY:
                         name = r.binary().decode("utf-8", "replace")
                     else:
@@ -465,8 +468,10 @@ def parse_parquet_footer(raw: bytes) -> dict:
                 names.append(name)
                 if name is not None:
                     types[name] = ptype  # group nodes carry None
+                    reps[name] = rep
             out["schema"] = names[1:]  # drop the root element
             out["schema_types"] = types
+            out["schema_reps"] = reps
         elif fid == 3 and wt in _INT_TYPES:
             out["num_rows"] = r.zigzag()
         elif fid == 4 and wt == _LIST:
@@ -491,4 +496,301 @@ def parse_parquet_footer(raw: bytes) -> dict:
             ptype = types.get(col.get("path"))
             st["max"] = _stat_value(st.pop("max_raw", None), ptype)
             st["min"] = _stat_value(st.pop("min_raw", None), ptype)
+    return out
+
+
+# ----------------------------------------------------- data-page decode
+# The step BELOW planning: actually reading the VALUES of a column
+# chunk with no parquet library — page headers (the same thrift
+# compact reader), page decompression through the repo's own
+# from-spec codecs (snappy.py, zstd_decode.py, lz4.py, stdlib zlib
+# for gzip), definition levels and dictionary indices via the spec's
+# RLE/bit-packed hybrid, and PLAIN / dictionary value decode for the
+# physical types a lake actually stores. V1 data pages (the format
+# every writer can produce and the pyarrow default); V2 raises the
+# named error. Scope fence: flat columns only (max repetition level
+# 0) — nested repetition raises, never mis-reassembles.
+
+# parquet.thrift CompressionCodec
+_CC_UNCOMPRESSED, _CC_SNAPPY, _CC_GZIP, _CC_LZO = 0, 1, 2, 3
+_CC_BROTLI, _CC_LZ4, _CC_ZSTD, _CC_LZ4_RAW = 4, 5, 6, 7
+# parquet.thrift PageType
+_PG_DATA, _PG_INDEX, _PG_DICTIONARY, _PG_DATA_V2 = 0, 1, 2, 3
+# parquet.thrift Encoding
+_ENC_PLAIN, _ENC_PLAIN_DICT, _ENC_RLE, _ENC_RLE_DICT = 0, 2, 3, 8
+
+
+def _parse_page_header(r: _Reader) -> dict:
+    """One thrift-compact PageHeader: {type, uncompressed_page_size,
+    compressed_page_size, num_values, encoding,
+    def_level_encoding}."""
+    out: dict = {}
+    for fid, wt in r.fields():
+        if fid == 1 and wt in _INT_TYPES:
+            out["type"] = r.zigzag()
+        elif fid == 2 and wt in _INT_TYPES:
+            out["uncompressed_page_size"] = r.zigzag()
+        elif fid == 3 and wt in _INT_TYPES:
+            out["compressed_page_size"] = r.zigzag()
+        elif fid in (5, 7) and wt == _STRUCT:
+            # DataPageHeader / DictionaryPageHeader share the two
+            # fields we need at the same ids
+            for sfid, swt in r.fields(1):
+                if sfid == 1 and swt in _INT_TYPES:
+                    out["num_values"] = r.zigzag()
+                elif sfid == 2 and swt in _INT_TYPES:
+                    out["encoding"] = r.zigzag()
+                elif sfid == 3 and swt in _INT_TYPES and fid == 5:
+                    out["def_level_encoding"] = r.zigzag()
+                else:
+                    r.skip(swt, 1)
+        else:
+            r.skip(wt, 0)
+    for need in ("type", "uncompressed_page_size", "compressed_page_size"):
+        if need not in out:
+            raise ParquetError(f"page header missing {need}")
+    return out
+
+
+def _inflate_page(block: bytes, codec: int, expect: int) -> bytes:
+    if codec == _CC_UNCOMPRESSED:
+        out = block
+    elif codec == _CC_SNAPPY:
+        from core_spark.functions.snappy import SnappyError, snappy_decompress
+
+        try:
+            out = snappy_decompress(block)
+        except SnappyError as e:
+            raise ParquetError(f"snappy page: {e}") from None
+    elif codec == _CC_GZIP:
+        import zlib
+
+        try:
+            out = zlib.decompress(block, wbits=31)
+        except zlib.error as e:
+            raise ParquetError(f"gzip page: {e}") from None
+    elif codec == _CC_ZSTD:
+        from core_spark.functions.zstd_decode import (
+            ZstdDecodeError,
+            zstd_decompress,
+        )
+
+        try:
+            out = zstd_decompress(block)
+        except ZstdDecodeError as e:
+            raise ParquetError(f"zstd page: {e}") from None
+    elif codec == _CC_LZ4_RAW:
+        from core_spark.functions.lz4 import Lz4Error, lz4_block_decompress
+
+        try:
+            out = lz4_block_decompress(block, expect)
+        except Lz4Error as e:
+            raise ParquetError(f"lz4_raw page: {e}") from None
+    else:
+        raise ParquetError(
+            f"page codec {codec} needs its library (LZO/BROTLI/legacy-LZ4"
+            " are not decoded here) — rewrite with"
+            " zstd/snappy/gzip/lz4_raw/none"
+        )
+    if len(out) != expect:
+        raise ParquetError(
+            f"page inflated to {len(out)} bytes, header says {expect}"
+        )
+    return out
+
+
+def _rle_hybrid(data: bytes, bit_width: int, count: int) -> list[int]:
+    """The spec's RLE/bit-packed hybrid: varint header, low bit 1 ⇒
+    (header>>1) GROUPS of 8 bit-packed values LSB-first, low bit 0 ⇒
+    (header>>1) repeats of one fixed-width LE value."""
+    if bit_width == 0:
+        return [0] * count
+    if bit_width > 32:
+        raise ParquetError(f"RLE bit width {bit_width} out of range")
+    vals: list[int] = []
+    r = _Reader(data)
+    mask = (1 << bit_width) - 1
+    byte_w = (bit_width + 7) // 8
+    while len(vals) < count:
+        header = r.varint()
+        if header & 1:
+            groups = header >> 1
+            n = groups * 8
+            nbytes = n * bit_width // 8
+            if r.i + nbytes > len(data):
+                raise ParquetError("bit-packed run escapes the page")
+            chunk = int.from_bytes(data[r.i : r.i + nbytes], "little")
+            r.i += nbytes
+            vals.extend((chunk >> (k * bit_width)) & mask for k in range(n))
+        else:
+            n = header >> 1
+            if n == 0:
+                raise ParquetError("zero-length RLE run")
+            if r.i + byte_w > len(data):
+                raise ParquetError("RLE run value escapes the page")
+            v = int.from_bytes(data[r.i : r.i + byte_w], "little")
+            r.i += byte_w
+            if len(vals) + n > count + 8:
+                raise ParquetError("RLE run overshoots the level count")
+            vals.extend([v] * n)
+    return vals[:count]
+
+
+def _plain_values(data: bytes, ptype: int, n: int) -> tuple[list, int]:
+    """PLAIN-encoded values → (values, bytes consumed)."""
+    out: list = []
+    i = 0
+    if ptype == _PT_INT32 or ptype == _PT_INT64:
+        w = 4 if ptype == _PT_INT32 else 8
+        if n * w > len(data):
+            raise ParquetError("plain int values escape the page")
+        out = [
+            int.from_bytes(data[k * w : (k + 1) * w], "little", signed=True)
+            for k in range(n)
+        ]
+        i = n * w
+    elif ptype == _PT_FLOAT or ptype == _PT_DOUBLE:
+        w, fmt = (4, "<f") if ptype == _PT_FLOAT else (8, "<d")
+        if n * w > len(data):
+            raise ParquetError("plain float values escape the page")
+        out = [struct.unpack_from(fmt, data, k * w)[0] for k in range(n)]
+        i = n * w
+    elif ptype == _PT_BYTE_ARRAY:
+        for _ in range(n):
+            if i + 4 > len(data):
+                raise ParquetError("byte-array length escapes the page")
+            (ln,) = struct.unpack_from("<I", data, i)
+            i += 4
+            if i + ln > len(data):
+                raise ParquetError("byte-array value escapes the page")
+            out.append(data[i : i + ln])
+            i += ln
+    elif ptype == _PT_BOOLEAN:
+        nbytes = (n + 7) // 8
+        if nbytes > len(data):
+            raise ParquetError("plain booleans escape the page")
+        out = [bool((data[k >> 3] >> (k & 7)) & 1) for k in range(n)]
+        i = nbytes
+    else:
+        raise ParquetError(
+            f"physical type {ptype} is not decoded here (INT96/FIXED)"
+        )
+    return out, i
+
+
+def read_column_chunk(
+    raw: bytes, col: dict, ptype: int, max_def: int
+) -> list:
+    """All values of one column chunk, in row order, None for nulls:
+    walk pages from the chunk's first offset, inflate each through
+    the from-spec codecs, decode v1 data pages (definition levels +
+    PLAIN or dictionary values). ``col`` is a parse_parquet_footer
+    column dict."""
+    total = col.get("num_values")
+    codec = col.get("codec", 0)
+    start = col.get("data_page_offset")
+    dict_off = col.get("dictionary_page_offset")
+    if start is None or total is None:
+        raise ParquetError("column chunk metadata lacks offsets")
+    if dict_off is not None and dict_off < start:
+        start = dict_off
+    i = start
+    dictionary: list | None = None
+    out: list = []
+    while len(out) < total:
+        r = _Reader(raw, i)
+        hdr = _parse_page_header(r)
+        body = raw[r.i : r.i + hdr["compressed_page_size"]]
+        if len(body) != hdr["compressed_page_size"]:
+            raise ParquetError("page body escapes the file")
+        i = r.i + hdr["compressed_page_size"]
+        if hdr["type"] == _PG_DICTIONARY:
+            plain = _inflate_page(body, codec, hdr["uncompressed_page_size"])
+            n = hdr.get("num_values")
+            if n is None:
+                raise ParquetError("dictionary page lacks num_values")
+            if hdr.get("encoding") not in (_ENC_PLAIN, _ENC_PLAIN_DICT):
+                raise ParquetError("dictionary page is not PLAIN")
+            dictionary, _ = _plain_values(plain, ptype, n)
+            continue
+        if hdr["type"] == _PG_DATA_V2:
+            raise ParquetError(
+                "v2 data pages are not decoded here — write"
+                " data_page_version='1.0'"
+            )
+        if hdr["type"] != _PG_DATA:
+            continue  # index or unknown page types: skip by size
+        plain = _inflate_page(body, codec, hdr["uncompressed_page_size"])
+        n = hdr.get("num_values")
+        if n is None:
+            raise ParquetError("data page lacks num_values")
+        pos = 0
+        defs = None
+        if max_def > 0:
+            if hdr.get("def_level_encoding") != _ENC_RLE:
+                raise ParquetError("definition levels are not RLE")
+            if pos + 4 > len(plain):
+                raise ParquetError("definition-level length escapes the page")
+            (dlen,) = struct.unpack_from("<I", plain, pos)
+            pos += 4
+            if pos + dlen > len(plain):
+                raise ParquetError("definition levels escape the page")
+            defs = _rle_hybrid(
+                plain[pos : pos + dlen], max_def.bit_length(), n
+            )
+            pos += dlen
+        n_present = n if defs is None else sum(
+            1 for d in defs if d == max_def
+        )
+        enc = hdr.get("encoding")
+        if enc == _ENC_PLAIN:
+            vals, _ = _plain_values(plain[pos:], ptype, n_present)
+        elif enc in (_ENC_PLAIN_DICT, _ENC_RLE_DICT):
+            if dictionary is None:
+                raise ParquetError("dictionary-encoded page before its page")
+            if pos >= len(plain):
+                raise ParquetError("missing dictionary bit width")
+            bw = plain[pos]
+            idxs = _rle_hybrid(plain[pos + 1 :], bw, n_present)
+            try:
+                vals = [dictionary[k] for k in idxs]
+            except IndexError:
+                raise ParquetError(
+                    "dictionary index out of range"
+                ) from None
+        else:
+            raise ParquetError(f"value encoding {enc} is not decoded here")
+        if defs is None:
+            out.extend(vals)
+        else:
+            it = iter(vals)
+            out.extend(next(it) if d == max_def else None for d in defs)
+    if len(out) != total:
+        raise ParquetError(
+            f"column chunk decoded {len(out)} values, footer says {total}"
+        )
+    return out
+
+
+def read_parquet_column(raw: bytes, path: str) -> list:
+    """Whole-file read of one flat column by name, across row
+    groups, with no parquet library — the existence proof that the
+    walker tier really understands the format end to end (and the
+    recovery path when no reader is installed). Strings decode as
+    UTF-8."""
+    footer = parse_parquet_footer(raw)
+    ptype = footer.get("schema_types", {}).get(path)
+    if ptype is None:
+        raise ParquetError(f"no flat column named {path!r}")
+    rep = footer.get("schema_reps", {}).get(path)
+    if rep not in (0, 1):
+        raise ParquetError(f"column {path!r} is repeated — not flat")
+    out: list = []
+    for rg in footer["row_groups"]:
+        col = next((c for c in rg["columns"] if c.get("path") == path), None)
+        if col is None:
+            raise ParquetError(f"row group lacks column {path!r}")
+        out.extend(read_column_chunk(raw, col, ptype, max_def=rep))
+    if ptype == _PT_BYTE_ARRAY:
+        out = [v.decode("utf-8") if v is not None else None for v in out]
     return out

@@ -77,10 +77,22 @@ def test_corrupt_inputs_raise_named_error():
         parse_orc_tail(bytes(evil))
 
 
-def test_unsupported_codec_raises_naming_library():
-    raw = _file([1, 2, 3], compression="zstd")
-    with pytest.raises(OrcError, match="zstd"):
-        parse_orc_tail(raw)
+def test_zstd_footer_deframes_with_the_from_spec_decoder():
+    # pyarrow's C zstd encoder writes the footer; our RFC 8878
+    # decoder (functions/zstd_decode.py) must read it back.
+    raw = _file(list(range(4000)), compression="zstd")
+    tail = parse_orc_tail(raw)
+    assert tail["compression"] == "zstd"
+    assert tail["n_rows"] == 4000
+    assert tail["stats"][1]["int"]["min"] == 0
+    assert tail["stats"][1]["int"]["max"] == 3999
+
+
+def test_unsupported_codec_raises_naming_kind():
+    from core_spark.functions.orcfile import _deframe
+
+    with pytest.raises(OrcError, match="lzo"):
+        _deframe(b"\x02\x00\x00xx", "lzo")
 
 
 def test_random_tails_never_hang_or_fabricate():

@@ -267,3 +267,73 @@ def test_page_index_pins_against_source_data():
     col_bad["offset_index_length"] = 10
     with pytest.raises(ParquetError):
         parse_page_index(buf2.getvalue(), col_bad, ptype)
+
+
+# ------------------------------------------------- data-page value decode
+def _typed_file(compression="zstd", row_group_size=300, n=1000,
+                use_dictionary=None, version="1.0"):
+    sch = pa.schema([
+        pa.field("i", pa.int64(), nullable=False),
+        pa.field("f", pa.float64(), nullable=False),
+        pa.field("b", pa.bool_(), nullable=False),
+        pa.field("word", pa.string(), nullable=False),
+        pa.field("score", pa.int64(), nullable=True),
+    ])
+    t = pa.table(
+        {
+            "i": list(range(n)),
+            "f": [k * 0.5 for k in range(n)],
+            "b": [k % 3 == 0 for k in range(n)],
+            "word": [f"w{k % 37}" for k in range(n)],
+            "score": [None if k % 5 == 0 else k * 3 for k in range(n)],
+        },
+        schema=sch,
+    )
+    buf = io.BytesIO()
+    pq.write_table(
+        t, buf, compression=compression, version=version,
+        use_dictionary=["word"] if use_dictionary is None else use_dictionary,
+        row_group_size=row_group_size,
+    )
+    return buf.getvalue(), t
+
+
+@pytest.mark.parametrize(
+    "compression", ["zstd", "snappy", "gzip", "none", "lz4"]
+)
+def test_read_column_pins_against_pyarrow_per_codec(compression):
+    from core_spark.functions.parquetfile import read_parquet_column
+
+    raw, t = _typed_file(compression=compression)
+    for name in ("i", "f", "b", "word", "score"):
+        assert read_parquet_column(raw, name) == t[name].to_pylist()
+
+
+def test_read_column_all_dictionary_and_all_plain():
+    from core_spark.functions.parquetfile import read_parquet_column
+
+    for use_dict in (True, False):
+        raw, t = _typed_file(use_dictionary=use_dict, row_group_size=64)
+        for name in ("i", "word", "score"):
+            assert read_parquet_column(raw, name) == t[name].to_pylist()
+
+
+def test_read_column_corrupt_shapes_raise():
+    from core_spark.functions.parquetfile import read_parquet_column
+
+    raw, _ = _typed_file()
+    with pytest.raises(ParquetError, match="no flat column"):
+        read_parquet_column(raw, "nope")
+    # v2 data pages are a named scope fence
+    raw2, _ = _typed_file(version="2.6")
+    buf = io.BytesIO()
+    sch = pa.schema([pa.field("i", pa.int64(), nullable=False)])
+    pq.write_table(
+        pa.table({"i": [1, 2, 3]}, schema=sch), buf,
+        data_page_version="2.0", version="2.6", compression="zstd",
+    )
+    with pytest.raises(ParquetError, match="v2 data pages"):
+        read_parquet_column(buf.getvalue(), "i")
+    # truncating the body must raise, never fabricate values
+    with pytest.raises(ParquetError):
+        read_parquet_column(raw[: len(raw) // 2] + raw[-8:], "i")

@@ -59,8 +59,10 @@ _REPO = Path(__file__).resolve().parent.parent
 PYTEST_ONLY: set[str] = {
     "q_jpeg_quality",
     "q_parquet_pages",
+    "q_parquet_read",
     "q_mrl_recall",
     "q_warc_revisit",
+    "q_zstd_decode",
     "q_zstd_frames",
     "q_zstd_seek",
 }
