@@ -505,11 +505,14 @@ def parse_parquet_footer(raw: bytes) -> dict:
 # compact reader), page decompression through the repo's own
 # from-spec codecs (snappy.py, zstd_decode.py, lz4.py, stdlib zlib
 # for gzip), definition levels and dictionary indices via the spec's
-# RLE/bit-packed hybrid, and PLAIN / dictionary value decode for the
-# physical types a lake actually stores. V1 data pages (the format
-# every writer can produce and the pyarrow default); V2 raises the
-# named error. Scope fence: flat columns only (max repetition level
-# 0) — nested repetition raises, never mis-reassembles.
+# RLE/bit-packed hybrid, and PLAIN / dictionary / delta value decode
+# for the physical types a lake actually stores. BOTH data-page
+# formats: v1 (levels u32-prefixed inside the compressed region) and
+# v2 (levels outside it with explicit byte lengths), plus the v2
+# value encodings DELTA_BINARY_PACKED, DELTA_LENGTH_BYTE_ARRAY and
+# DELTA_BYTE_ARRAY (front-coded strings). Scope fence: flat columns
+# only (max repetition level 0) — nested repetition raises, never
+# mis-reassembles; BYTE_STREAM_SPLIT raises named.
 
 # parquet.thrift CompressionCodec
 _CC_UNCOMPRESSED, _CC_SNAPPY, _CC_GZIP, _CC_LZO = 0, 1, 2, 3
@@ -518,6 +521,7 @@ _CC_BROTLI, _CC_LZ4, _CC_ZSTD, _CC_LZ4_RAW = 4, 5, 6, 7
 _PG_DATA, _PG_INDEX, _PG_DICTIONARY, _PG_DATA_V2 = 0, 1, 2, 3
 # parquet.thrift Encoding
 _ENC_PLAIN, _ENC_PLAIN_DICT, _ENC_RLE, _ENC_RLE_DICT = 0, 2, 3, 8
+_ENC_DELTA_BINARY, _ENC_DELTA_LENGTH, _ENC_DELTA_BYTE_ARRAY = 5, 6, 7
 
 
 def _parse_page_header(r: _Reader) -> dict:
@@ -542,6 +546,27 @@ def _parse_page_header(r: _Reader) -> dict:
                     out["encoding"] = r.zigzag()
                 elif sfid == 3 and swt in _INT_TYPES and fid == 5:
                     out["def_level_encoding"] = r.zigzag()
+                else:
+                    r.skip(swt, 1)
+        elif fid == 8 and wt == _STRUCT:
+            # DataPageHeaderV2: levels live OUTSIDE the compressed
+            # region, with explicit byte lengths; is_compressed is a
+            # field-level bool (value in the type nibble, zero-width)
+            out["v2"] = True
+            out["is_compressed"] = True
+            for sfid, swt in r.fields(1):
+                if sfid == 1 and swt in _INT_TYPES:
+                    out["num_values"] = r.zigzag()
+                elif sfid == 2 and swt in _INT_TYPES:
+                    out["num_nulls"] = r.zigzag()
+                elif sfid == 4 and swt in _INT_TYPES:
+                    out["encoding"] = r.zigzag()
+                elif sfid == 5 and swt in _INT_TYPES:
+                    out["def_levels_len"] = r.zigzag()
+                elif sfid == 6 and swt in _INT_TYPES:
+                    out["rep_levels_len"] = r.zigzag()
+                elif sfid == 7 and swt in (_TRUE, _FALSE):
+                    out["is_compressed"] = swt == _TRUE
                 else:
                     r.skip(swt, 1)
         else:
@@ -636,6 +661,83 @@ def _rle_hybrid(data: bytes, bit_width: int, count: int) -> list[int]:
     return vals[:count]
 
 
+def _delta_binary(r: _Reader, expect: int | None = None) -> list[int]:
+    """DELTA_BINARY_PACKED (the v2 int encoding): header (block
+    size, miniblocks/block, total count, first value), then blocks
+    of zigzag min-delta + per-miniblock bit widths + bit-packed
+    delta offsets. Consumes exactly the stream's bytes so callers
+    (DELTA_BYTE_ARRAY) can read what follows."""
+    block_size = r.varint()
+    mpb = r.varint()
+    total = r.varint()
+    if expect is not None and total != expect:
+        raise ParquetError(
+            f"delta stream count {total} != expected {expect}"
+        )
+    if mpb == 0 or block_size == 0 or block_size % mpb:
+        raise ParquetError("corrupt delta-binary block geometry")
+    vpm = block_size // mpb
+    if vpm % 8:
+        raise ParquetError("delta miniblock width not a multiple of 8")
+    first = r.zigzag()
+    if total == 0:
+        return []
+    out = [first]
+    remaining = total - 1
+    while remaining > 0:
+        min_delta = r.zigzag()
+        if r.i + mpb > len(r.raw):
+            raise ParquetError("delta bit widths escape the page")
+        widths = r.raw[r.i : r.i + mpb]
+        r.i += mpb
+        for w in widths:
+            if remaining <= 0:
+                break
+            if w > 64:
+                raise ParquetError(f"delta bit width {w} out of range")
+            nbytes = vpm * w // 8
+            if r.i + nbytes > len(r.raw):
+                raise ParquetError("delta miniblock escapes the page")
+            chunk = int.from_bytes(r.raw[r.i : r.i + nbytes], "little")
+            r.i += nbytes
+            take = min(vpm, remaining)
+            mask = (1 << w) - 1
+            prev = out[-1]
+            for k in range(take):
+                prev += min_delta + ((chunk >> (k * w)) & mask)
+                out.append(prev)
+            remaining -= take
+    return out
+
+
+def _delta_length_byte_array(r: _Reader, n: int) -> list[bytes]:
+    """DELTA_LENGTH_BYTE_ARRAY: delta-packed lengths, then the
+    concatenated value bytes."""
+    lengths = _delta_binary(r, n)
+    out = []
+    for ln in lengths:
+        if ln < 0 or r.i + ln > len(r.raw):
+            raise ParquetError("delta-length value escapes the page")
+        out.append(r.raw[r.i : r.i + ln])
+        r.i += ln
+    return out
+
+
+def _delta_byte_array(r: _Reader, n: int) -> list[bytes]:
+    """DELTA_BYTE_ARRAY (incremental/front-coded strings):
+    delta-packed shared-prefix lengths + delta-length suffixes."""
+    prefixes = _delta_binary(r, n)
+    suffixes = _delta_length_byte_array(r, n)
+    out: list[bytes] = []
+    prev = b""
+    for p, s in zip(prefixes, suffixes):
+        if p < 0 or p > len(prev):
+            raise ParquetError("front-coded prefix escapes previous value")
+        prev = prev[:p] + s
+        out.append(prev)
+    return out
+
+
 def _plain_values(data: bytes, ptype: int, n: int) -> tuple[list, int]:
     """PLAIN-encoded values → (values, bytes consumed)."""
     out: list = []
@@ -713,32 +815,52 @@ def read_column_chunk(
                 raise ParquetError("dictionary page is not PLAIN")
             dictionary, _ = _plain_values(plain, ptype, n)
             continue
-        if hdr["type"] == _PG_DATA_V2:
-            raise ParquetError(
-                "v2 data pages are not decoded here — write"
-                " data_page_version='1.0'"
-            )
-        if hdr["type"] != _PG_DATA:
+        if hdr["type"] not in (_PG_DATA, _PG_DATA_V2):
             continue  # index or unknown page types: skip by size
-        plain = _inflate_page(body, codec, hdr["uncompressed_page_size"])
         n = hdr.get("num_values")
         if n is None:
             raise ParquetError("data page lacks num_values")
-        pos = 0
         defs = None
-        if max_def > 0:
-            if hdr.get("def_level_encoding") != _ENC_RLE:
-                raise ParquetError("definition levels are not RLE")
-            if pos + 4 > len(plain):
-                raise ParquetError("definition-level length escapes the page")
-            (dlen,) = struct.unpack_from("<I", plain, pos)
-            pos += 4
-            if pos + dlen > len(plain):
-                raise ParquetError("definition levels escape the page")
-            defs = _rle_hybrid(
-                plain[pos : pos + dlen], max_def.bit_length(), n
-            )
-            pos += dlen
+        if hdr["type"] == _PG_DATA_V2:
+            # v2: levels sit OUTSIDE the compressed region, with
+            # explicit byte lengths and no u32 prefix
+            rlen = hdr.get("rep_levels_len", 0)
+            dlen = hdr.get("def_levels_len", 0)
+            if rlen:
+                raise ParquetError("repeated (nested) v2 page — not flat")
+            if rlen + dlen > len(body):
+                raise ParquetError("v2 levels escape the page")
+            if max_def > 0:
+                defs = _rle_hybrid(
+                    body[rlen : rlen + dlen], max_def.bit_length(), n
+                )
+            vals_raw = body[rlen + dlen :]
+            expect = hdr["uncompressed_page_size"] - rlen - dlen
+            if hdr.get("is_compressed", True):
+                plain = _inflate_page(vals_raw, codec, expect)
+            else:
+                plain = vals_raw
+                if len(plain) != expect:
+                    raise ParquetError("v2 uncompressed size mismatch")
+            pos = 0
+        else:
+            plain = _inflate_page(body, codec, hdr["uncompressed_page_size"])
+            pos = 0
+            if max_def > 0:
+                if hdr.get("def_level_encoding") != _ENC_RLE:
+                    raise ParquetError("definition levels are not RLE")
+                if pos + 4 > len(plain):
+                    raise ParquetError(
+                        "definition-level length escapes the page"
+                    )
+                (dlen,) = struct.unpack_from("<I", plain, pos)
+                pos += 4
+                if pos + dlen > len(plain):
+                    raise ParquetError("definition levels escape the page")
+                defs = _rle_hybrid(
+                    plain[pos : pos + dlen], max_def.bit_length(), n
+                )
+                pos += dlen
         n_present = n if defs is None else sum(
             1 for d in defs if d == max_def
         )
@@ -758,6 +880,20 @@ def read_column_chunk(
                 raise ParquetError(
                     "dictionary index out of range"
                 ) from None
+        elif enc == _ENC_DELTA_BINARY:
+            if ptype not in (_PT_INT32, _PT_INT64):
+                raise ParquetError("DELTA_BINARY_PACKED on a non-int column")
+            vals = _delta_binary(_Reader(plain, pos), n_present)
+        elif enc == _ENC_DELTA_LENGTH:
+            if ptype != _PT_BYTE_ARRAY:
+                raise ParquetError("DELTA_LENGTH on a non-byte-array column")
+            vals = _delta_length_byte_array(_Reader(plain, pos), n_present)
+        elif enc == _ENC_DELTA_BYTE_ARRAY:
+            if ptype != _PT_BYTE_ARRAY:
+                raise ParquetError(
+                    "DELTA_BYTE_ARRAY on a non-byte-array column"
+                )
+            vals = _delta_byte_array(_Reader(plain, pos), n_present)
         else:
             raise ParquetError(f"value encoding {enc} is not decoded here")
         if defs is None:

@@ -5105,13 +5105,16 @@ def q_parquet_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     headers through the same thrift-compact reader, page bodies
     inflated through the repo's own from-spec codecs (zstd here —
     functions/zstd_decode.py in its second real container), RLE/
-    bit-packed definition levels, PLAIN ints and dictionary-encoded
-    strings. Every document becomes a real pyarrow-WRITTEN file
-    (v1 pages, zstd, dictionary on the word column, 8-row groups so
-    multiple row groups and null-bearing def levels are all live),
-    and the emitted rows are what the from-spec reader got back out
-    — the oracle recomputes them from the raw text, so one wrong
-    varint, level, or dictionary index anywhere hash-fails.
+    bit-packed definition levels, PLAIN ints, dictionary-encoded
+    strings, and the v2 formats real engines write: DataPageV2
+    (levels outside the compressed region) with DELTA_BINARY_PACKED
+    ints and DELTA_BYTE_ARRAY front-coded strings. Every document
+    becomes a real pyarrow-WRITTEN file — even doc_ids as v1/zstd/
+    dictionary with 8-row groups, odd doc_ids as v2/snappy/delta —
+    and the emitted rows are what the from-spec reader got back out;
+    the oracle recomputes them from the raw text, so one wrong
+    varint, level, delta block, or dictionary index anywhere
+    hash-fails, on BOTH page formats in one run.
 
     Scale shape: map-side Arrow kernel, zero shuffles (the
     q_blocks_parquet class). Pure-Python value decode is the
@@ -5158,14 +5161,30 @@ def q_parquet_read(spark: SparkSession, sf_dir: str) -> DataFrame:
                     schema=schema,
                 )
                 buf = io.BytesIO()
-                pq.write_table(
-                    t,
-                    buf,
-                    compression="zstd",
-                    version="1.0",
-                    use_dictionary=["word"],
-                    row_group_size=8,
-                )
+                if int(doc_id) % 2 == 0:
+                    pq.write_table(
+                        t,
+                        buf,
+                        compression="zstd",
+                        version="1.0",
+                        use_dictionary=["word"],
+                        row_group_size=8,
+                    )
+                else:
+                    pq.write_table(
+                        t,
+                        buf,
+                        compression="snappy",
+                        version="2.6",
+                        data_page_version="2.0",
+                        use_dictionary=False,
+                        row_group_size=8,
+                        column_encoding={
+                            "idx": "DELTA_BINARY_PACKED",
+                            "word": "DELTA_BYTE_ARRAY",
+                            "score": "DELTA_BINARY_PACKED",
+                        },
+                    )
                 raw = buf.getvalue()
                 idxs = read_parquet_column(raw, "idx")
                 words = read_parquet_column(raw, "word")

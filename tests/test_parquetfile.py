@@ -324,16 +324,66 @@ def test_read_column_corrupt_shapes_raise():
     raw, _ = _typed_file()
     with pytest.raises(ParquetError, match="no flat column"):
         read_parquet_column(raw, "nope")
-    # v2 data pages are a named scope fence
-    raw2, _ = _typed_file(version="2.6")
-    buf = io.BytesIO()
-    sch = pa.schema([pa.field("i", pa.int64(), nullable=False)])
-    pq.write_table(
-        pa.table({"i": [1, 2, 3]}, schema=sch), buf,
-        data_page_version="2.0", version="2.6", compression="zstd",
-    )
-    with pytest.raises(ParquetError, match="v2 data pages"):
-        read_parquet_column(buf.getvalue(), "i")
     # truncating the body must raise, never fabricate values
     with pytest.raises(ParquetError):
         read_parquet_column(raw[: len(raw) // 2] + raw[-8:], "i")
+
+
+def _v2_file(column_encoding=None, compression="zstd", n=3000):
+    sch = pa.schema([
+        pa.field("i", pa.int64(), nullable=False),
+        pa.field("j", pa.int32(), nullable=False),
+        pa.field("word", pa.string(), nullable=False),
+        pa.field("score", pa.int64(), nullable=True),
+    ])
+    t = pa.table(
+        {
+            "i": [k * k - 7 * k for k in range(n)],
+            "j": pa.array([k % 211 - 100 for k in range(n)], pa.int32()),
+            "word": [f"prefix-{k % 37}-suffix{k % 11}" for k in range(n)],
+            "score": [None if k % 5 == 0 else k * 3 for k in range(n)],
+        },
+        schema=sch,
+    )
+    buf = io.BytesIO()
+    pq.write_table(
+        t, buf, compression=compression, version="2.6",
+        data_page_version="2.0", use_dictionary=False,
+        row_group_size=700, column_encoding=column_encoding,
+    )
+    return buf.getvalue(), t
+
+
+def test_read_column_v2_pages_plain():
+    from core_spark.functions.parquetfile import read_parquet_column
+
+    for comp in ("zstd", "snappy", "none"):
+        raw, t = _v2_file(compression=comp)
+        for name in ("i", "j", "word", "score"):
+            assert read_parquet_column(raw, name) == t[name].to_pylist()
+
+
+def test_read_column_v2_delta_encodings():
+    from core_spark.functions.parquetfile import read_parquet_column
+
+    raw, t = _v2_file(
+        column_encoding={
+            "i": "DELTA_BINARY_PACKED",
+            "j": "DELTA_BINARY_PACKED",
+            "word": "DELTA_BYTE_ARRAY",
+            "score": "DELTA_BINARY_PACKED",
+        }
+    )
+    # the writer really used the delta encodings
+    md = pq.ParquetFile(io.BytesIO(raw)).metadata.row_group(0)
+    encs = {md.column(c).path_in_schema: md.column(c).encodings
+            for c in range(md.num_columns)}
+    assert "DELTA_BINARY_PACKED" in encs["i"]
+    assert "DELTA_BYTE_ARRAY" in encs["word"]
+    for name in ("i", "j", "word", "score"):
+        assert read_parquet_column(raw, name) == t[name].to_pylist()
+    raw2, t2 = _v2_file(
+        column_encoding={"word": "DELTA_LENGTH_BYTE_ARRAY"},
+        compression="snappy",
+    )
+    assert read_parquet_column(raw2, "word") == t2["word"].to_pylist()
