@@ -150,6 +150,9 @@ HEADLINE = [
     "q_blocks_orc",
     "q_zstd_frames",
     "q_zstd_seek",
+    "q_zstd_decode",
+    "q_parquet_read",
+    "q_skew_audit",
     "q_warc_revisit",
     "q_mrl_recall",
     "q_jpeg_quality",

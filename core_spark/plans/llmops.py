@@ -5207,6 +5207,146 @@ def q_parquet_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_skew_audit",
+    oracle="""
+    WITH c1 AS (
+      SELECT CAST(user_id AS VARCHAR) AS k, COUNT(*) AS c
+      FROM events GROUP BY 1
+    ),
+    a1 AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(MAX(c) AS BIGINT) AS mx
+      FROM c1
+    ),
+    m1 AS (
+      SELECT c AS med FROM (
+        SELECT c, ROW_NUMBER() OVER (ORDER BY c, k) AS rn FROM c1
+      ), a1 WHERE rn = (n_keys + 1) // 2
+    ),
+    c2 AS (
+      SELECT CAST(source AS VARCHAR) AS k, COUNT(*) AS c
+      FROM documents GROUP BY 1
+    ),
+    a2 AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(MAX(c) AS BIGINT) AS mx
+      FROM c2
+    ),
+    m2 AS (
+      SELECT c AS med FROM (
+        SELECT c, ROW_NUMBER() OVER (ORDER BY c, k) AS rn FROM c2
+      ), a2 WHERE rn = (n_keys + 1) // 2
+    )
+    SELECT 'events.user_id' AS join_key, n_rows, n_keys,
+           mx AS max_key_rows,
+           mx * 10000 // n_rows AS top1_share_bp,
+           CAST(med AS BIGINT) AS median_key_rows,
+           mx * 1000 // med AS skew_ratio_milli,
+           LEAST(GREATEST((mx + (n_rows + 127) // 128 - 1)
+                 // ((n_rows + 127) // 128), 1), 32) AS salt
+    FROM a1, m1
+    UNION ALL
+    SELECT 'documents.source', n_rows, n_keys, mx,
+           mx * 10000 // n_rows,
+           CAST(med AS BIGINT),
+           mx * 1000 // med,
+           LEAST(GREATEST((mx + (n_rows + 127) // 128 - 1)
+                 // ((n_rows + 127) // 128), 1), 32)
+    FROM a2, m2
+    ORDER BY join_key
+    """,
+)
+def q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit — the diagnostic a planner runs BEFORE a
+    100 TB shuffle join, and the feeder for operators/skew.py's
+    salted_join: per candidate key, exact key-frequency shape
+    (row/key counts, hottest-key share in basis points, lower-median
+    key rows, max/median skew ratio in thousandths) and the salting
+    factor that would level the hottest key down to an even 128-task
+    share — all in pure integer arithmetic (ceil as (a+b-1)//b;
+    divisions stay exact in doubles below 2^53, far past lake-scale
+    counts). The salt factor is SHARE-based, not ratio-based: a key
+    table with fewer keys than tasks salts even when uniform
+    (documents.source: 20 even sources still need splitting to use
+    128 tasks), while a high-cardinality uniform key lands at
+    salt=1; skew_ratio_milli is the separate is-it-skewed signal.
+    Audits one high-cardinality key (events.user_id) and one heavy
+    categorical (documents.source) so both shapes hold driver rows.
+
+    Scale shape: ONE partial-agg shuffle per key table (groupBy on
+    the key, map-side combine); everything downstream — ranking for
+    the median, the one-row global join — runs on n_keys rows, not
+    n_rows. The one-row aggregate rides a broadcast (the q_h11
+    pattern, plan-sweep allowlisted); AQE handles execution-time
+    skew, but salting decisions at PLAN time need these statistics,
+    which is exactly what real engines' ANALYZE collects.
+
+    Late-r9 PYTEST_ONLY naming (after the window cutoff) — rotates
+    into the driver window in r10 per the r5/r7/r9 protocol."""
+
+    def audit(df: DataFrame, key_col: str, label: str) -> DataFrame:
+        counts = (
+            df.groupBy(F.col(key_col).cast("string").alias("k"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        g = counts.agg(
+            F.sum("c").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("c").alias("max_key_rows"),
+        )
+        ranked = counts.select(
+            "c",
+            F.row_number()
+            .over(Window.orderBy("c", "k"))
+            .alias("rn"),
+        )
+        med = ranked.join(
+            F.broadcast(g),
+            ranked["rn"]
+            == F.floor((g["n_keys"] + F.lit(1)) / F.lit(2)),
+        ).select(
+            F.lit(label).alias("join_key"),
+            "n_rows",
+            "n_keys",
+            "max_key_rows",
+            F.floor(F.col("max_key_rows") * 10000 / F.col("n_rows"))
+            .cast("long")
+            .alias("top1_share_bp"),
+            F.col("c").alias("median_key_rows"),
+            F.floor(
+                F.col("max_key_rows") * 1000 / F.col("c")
+            ).cast("long").alias("skew_ratio_milli"),
+            F.least(
+                F.greatest(
+                    F.floor(
+                        (
+                            F.col("max_key_rows")
+                            + F.floor(
+                                (F.col("n_rows") + 127) / 128
+                            )
+                            - 1
+                        )
+                        / F.floor((F.col("n_rows") + 127) / 128)
+                    ),
+                    F.lit(1),
+                ),
+                F.lit(32),
+            ).cast("long").alias("salt"),
+        )
+        return med
+
+    events = spread(load_table(spark, sf_dir, "events"))
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return (
+        audit(events, "user_id", "events.user_id")
+        .unionAll(audit(docs, "source", "documents.source"))
+        .orderBy("join_key")
+    )
+
+
 # -------------------------------------------------- matryoshka truncation
 @query(
     "q_mrl_recall",
