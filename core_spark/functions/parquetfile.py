@@ -510,9 +510,10 @@ def parse_parquet_footer(raw: bytes) -> dict:
 # formats: v1 (levels u32-prefixed inside the compressed region) and
 # v2 (levels outside it with explicit byte lengths), plus the v2
 # value encodings DELTA_BINARY_PACKED, DELTA_LENGTH_BYTE_ARRAY and
-# DELTA_BYTE_ARRAY (front-coded strings). Scope fence: flat columns
-# only (max repetition level 0) — nested repetition raises, never
-# mis-reassembles; BYTE_STREAM_SPLIT raises named.
+# DELTA_BYTE_ARRAY (front-coded strings) and BYTE_STREAM_SPLIT
+# (float streams re-interleaved). Scope fence: flat columns only
+# (max repetition level 0) — nested repetition raises, never
+# mis-reassembles.
 
 # parquet.thrift CompressionCodec
 _CC_UNCOMPRESSED, _CC_SNAPPY, _CC_GZIP, _CC_LZO = 0, 1, 2, 3
@@ -522,6 +523,7 @@ _PG_DATA, _PG_INDEX, _PG_DICTIONARY, _PG_DATA_V2 = 0, 1, 2, 3
 # parquet.thrift Encoding
 _ENC_PLAIN, _ENC_PLAIN_DICT, _ENC_RLE, _ENC_RLE_DICT = 0, 2, 3, 8
 _ENC_DELTA_BINARY, _ENC_DELTA_LENGTH, _ENC_DELTA_BYTE_ARRAY = 5, 6, 7
+_ENC_BYTE_STREAM_SPLIT = 9
 
 
 def _parse_page_header(r: _Reader) -> dict:
@@ -894,6 +896,21 @@ def read_column_chunk(
                     "DELTA_BYTE_ARRAY on a non-byte-array column"
                 )
             vals = _delta_byte_array(_Reader(plain, pos), n_present)
+        elif enc == _ENC_BYTE_STREAM_SPLIT:
+            # byte k of value i lives at stream k, position i —
+            # re-interleave, then decode as PLAIN
+            if ptype not in (_PT_FLOAT, _PT_DOUBLE, _PT_INT32, _PT_INT64):
+                raise ParquetError(
+                    "BYTE_STREAM_SPLIT on an unsupported physical type"
+                )
+            w = 4 if ptype in (_PT_FLOAT, _PT_INT32) else 8
+            data = plain[pos:]
+            if len(data) != n_present * w:
+                raise ParquetError("byte-stream-split size mismatch")
+            inter = bytearray(n_present * w)
+            for k in range(w):
+                inter[k::w] = data[k * n_present : (k + 1) * n_present]
+            vals, _ = _plain_values(bytes(inter), ptype, n_present)
         else:
             raise ParquetError(f"value encoding {enc} is not decoded here")
         if defs is None:

@@ -387,3 +387,31 @@ def test_read_column_v2_delta_encodings():
         compression="snappy",
     )
     assert read_parquet_column(raw2, "word") == t2["word"].to_pylist()
+
+
+def test_read_column_byte_stream_split():
+    from core_spark.functions.parquetfile import read_parquet_column
+
+    sch = pa.schema([
+        pa.field("f", pa.float64(), nullable=False),
+        pa.field("g", pa.float32(), nullable=False),
+    ])
+    n = 2000
+    t = pa.table(
+        {
+            "f": [k * 0.37 - 11.5 for k in range(n)],
+            "g": pa.array([float(k % 97) for k in range(n)], pa.float32()),
+        },
+        schema=sch,
+    )
+    buf = io.BytesIO()
+    pq.write_table(
+        t, buf, compression="zstd", version="2.6",
+        data_page_version="2.0", use_dictionary=False,
+        column_encoding={"f": "BYTE_STREAM_SPLIT", "g": "BYTE_STREAM_SPLIT"},
+    )
+    raw = buf.getvalue()
+    md = pq.ParquetFile(io.BytesIO(raw)).metadata.row_group(0)
+    assert "BYTE_STREAM_SPLIT" in md.column(0).encodings
+    for name in ("f", "g"):
+        assert read_parquet_column(raw, name) == t[name].to_pylist()
