@@ -153,6 +153,8 @@ HEADLINE = [
     "q_zstd_decode",
     "q_parquet_read",
     "q_skew_audit",
+    "q_fuzzy_pairs",
+    "q_canon_unicode",
     "q_warc_revisit",
     "q_mrl_recall",
     "q_jpeg_quality",

@@ -5347,6 +5347,209 @@ def q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_fuzzy_pairs",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             array_to_string(
+               list_slice(string_split(text, ' '), 1, 6), ' ') AS title
+      FROM documents
+    ),
+    u AS (
+      SELECT doc_id * 2 AS id, title AS s FROM t
+      UNION ALL
+      SELECT doc_id * 2 + 1,
+             substr(title, 1, doc_id % strlen(title))
+               || substr(title, doc_id % strlen(title) + 2)
+      FROM t
+    ),
+    k AS (
+      SELECT id, s, 'p' || left(s, 4) AS key FROM u
+      UNION ALL
+      SELECT id, s, 's' || right(s, 4) FROM u
+    ),
+    hot AS (
+      SELECT key FROM k GROUP BY key HAVING COUNT(DISTINCT id) > 64
+    ),
+    c AS (
+      SELECT DISTINCT a.id AS id1, a.s AS s1, b.id AS id2, b.s AS s2
+      FROM k a JOIN k b ON a.key = b.key AND a.id < b.id
+      WHERE a.key NOT IN (SELECT key FROM hot)
+    )
+    SELECT id1, id2, CAST(levenshtein(s1, s2) AS BIGINT) AS lev
+    FROM c WHERE levenshtein(s1, s2) <= 2
+    ORDER BY id1, id2
+    """,
+)
+def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-duplicate pairs — the record-linkage tier
+    the hash/shingle dedup family can't reach (one typo changes
+    every shingle of a short string): candidate generation by
+    MULTI-KEY blocking (prefix-4 AND suffix-4 — a single edit can
+    break one end of a string but never both), hot buckets dropped
+    at a fixed occupancy cap (the q_ngram_jaccard df-cap
+    discipline), then exact Levenshtein verify on candidates only —
+    JVM `levenshtein` inside whole-stage codegen, never all-pairs.
+    Each document contributes its 6-word title and a planted
+    one-deletion twin (char doc_id mod len removed — early deletions
+    break the prefix key, late ones the suffix key, so BOTH blocking
+    keys are load-bearing); corpus-planted exact-dup documents
+    surface as lev-0 pairs between distinct ids.
+
+    Scale shape: the pair join is bucket-keyed (blocking key
+    equality), candidates bounded by the occupancy cap per bucket;
+    verify cost is candidates × short-string DP, not corpus². The
+    oracle recomputes blocking, cap and distances with DuckDB's own
+    levenshtein — the two engines' edit-distance implementations
+    must agree exactly, pair for pair.
+
+    Corpus-purity note: titles are ASCII and single-spaced (the
+    q_cc_cdx note); `left`/`right` agree between engines on strings
+    shorter than 4.
+
+    Late-r9 PYTEST_ONLY naming (after the window cutoff) — rotates
+    into the driver window in r10 per the r5/r7/r9 protocol."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    t = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.slice(F.split(F.col("text"), " "), 1, 6)
+        ).alias("title"),
+    )
+    u = t.select(
+        (F.col("doc_id") * 2).alias("id"), F.col("title").alias("s")
+    ).unionAll(
+        t.select(
+            (F.col("doc_id") * 2 + 1).alias("id"),
+            F.concat(
+                F.expr("substring(title, 1, pmod(doc_id, length(title)))"),
+                F.expr(
+                    "substring(title, pmod(doc_id, length(title)) + 2,"
+                    " 2147483647)"
+                ),
+            ).alias("s"),
+        )
+    )
+    k = u.select(
+        "id", "s", F.concat(F.lit("p"), F.expr("left(s, 4)")).alias("key")
+    ).unionAll(
+        u.select(
+            "id", "s", F.concat(F.lit("s"), F.expr("right(s, 4)")).alias("key")
+        )
+    )
+    occupancy = k.groupBy("key").agg(
+        F.countDistinct("id").alias("n_ids")
+    )
+    cold = k.join(
+        occupancy.where(F.col("n_ids") <= 64).select("key"), "key"
+    )
+    a = cold.select(
+        F.col("key"),
+        F.col("id").alias("id1"),
+        F.col("s").alias("s1"),
+    )
+    b = cold.select(
+        F.col("key"),
+        F.col("id").alias("id2"),
+        F.col("s").alias("s2"),
+    )
+    pairs = (
+        a.join(b, "key")
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "s1", "id2", "s2")
+        .distinct()
+    )
+    return (
+        pairs.withColumn("lev", F.levenshtein("s1", "s2").cast("long"))
+        .where(F.col("lev") <= 2)
+        .select("id1", "id2", "lev")
+        .orderBy("id1", "id2")
+    )
+
+
+@query(
+    "q_canon_unicode",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             replace(
+               text,
+               list_extract(['a','e','i','o','u'],
+                            CAST(doc_id % 5 AS INTEGER) + 1),
+               list_extract(['a','e','i','o','u'],
+                            CAST(doc_id % 5 AS INTEGER) + 1) || chr(769)
+             ) AS wire
+      FROM documents
+    )
+    SELECT doc_id,
+           nfc_normalize(wire) AS norm_text,
+           CAST(length(wire) AS BIGINT) AS n_wire,
+           CAST(length(nfc_normalize(wire)) AS BIGINT) AS n_norm,
+           CAST(length(wire) - length(nfc_normalize(wire)) AS BIGINT)
+             AS n_composed
+    FROM w ORDER BY doc_id
+    """,
+)
+def q_canon_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonicalization — the OTHER half of dedup-key
+    canonicalization beside mojibake repair (q_canon_text): the same
+    visible text arrives both precomposed (é U+00E9) and decomposed
+    (e + U+0301) depending on the source's keyboard/OS/normalizer,
+    and the two forms hash differently, so exact dedup under-merges
+    until every key passes through one normal form. Each document
+    gets a deterministic decomposed wire form (its doc_id-picked
+    vowel replaced by vowel + combining acute), the kernel runs real
+    NFC (Python's unicodedata), and the full normalized text rides
+    the driver hash against DuckDB's utf8proc-backed nfc_normalize —
+    two INDEPENDENT Unicode implementations must agree byte for
+    byte, composition count included.
+
+    Scale shape: map-side Arrow kernel over the text column, zero
+    shuffles — the q_canon_text class. At the lake edge this sits in
+    the same pass as mojibake repair, before any hash is taken.
+
+    Late-r9 PYTEST_ONLY naming (after the window cutoff — note
+    q_canon_sent holds the cutoff slot awaiting its first row, which
+    is why this is not named q_canon_nfc) — rotates into the driver
+    window in r10 per the r5/r7/r9 protocol."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+
+    def kernel(batches):
+        import unicodedata
+
+        import pandas as pd
+
+        vowels = "aeiou"
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                v = vowels[int(doc_id) % 5]
+                wire = text.replace(v, v + "́")
+                norm = unicodedata.normalize("NFC", wire)
+                rows.append(
+                    (int(doc_id), norm, len(wire), len(norm),
+                     len(wire) - len(norm))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "norm_text", "n_wire", "n_norm",
+                         "n_composed"],
+            )
+
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(
+            kernel,
+            schema=(
+                "doc_id long, norm_text string, n_wire long,"
+                " n_norm long, n_composed long"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # -------------------------------------------------- matryoshka truncation
 @query(
     "q_mrl_recall",

@@ -57,6 +57,8 @@ _REPO = Path(__file__).resolve().parent.parent
 # first-time r9 names that must keep their slots) — the r5/r7/r8
 # protocol.
 PYTEST_ONLY: set[str] = {
+    "q_canon_unicode",
+    "q_fuzzy_pairs",
     "q_jpeg_quality",
     "q_parquet_pages",
     "q_parquet_read",
