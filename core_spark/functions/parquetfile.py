@@ -538,6 +538,8 @@ def _parse_page_header(r: _Reader) -> dict:
             out["uncompressed_page_size"] = r.zigzag()
         elif fid == 3 and wt in _INT_TYPES:
             out["compressed_page_size"] = r.zigzag()
+        elif fid == 4 and wt in _INT_TYPES:
+            out["crc"] = r.zigzag() & 0xFFFFFFFF
         elif fid in (5, 7) and wt == _STRUCT:
             # DataPageHeader / DictionaryPageHeader share the two
             # fields we need at the same ids
@@ -808,6 +810,17 @@ def read_column_chunk(
         if len(body) != hdr["compressed_page_size"]:
             raise ParquetError("page body escapes the file")
         i = r.i + hdr["compressed_page_size"]
+        if "crc" in hdr:
+            # page checksum (CRC-32 of the page bytes as stored) —
+            # verified, not skipped, when the writer emitted one
+            import zlib as _zlib
+
+            got_crc = _zlib.crc32(body)
+            if got_crc != hdr["crc"]:
+                raise ParquetError(
+                    f"page checksum mismatch: 0x{got_crc:08x} !="
+                    f" 0x{hdr['crc']:08x}"
+                )
         if hdr["type"] == _PG_DICTIONARY:
             plain = _inflate_page(body, codec, hdr["uncompressed_page_size"])
             n = hdr.get("num_values")

@@ -415,3 +415,41 @@ def test_read_column_byte_stream_split():
     assert "BYTE_STREAM_SPLIT" in md.column(0).encodings
     for name in ("f", "g"):
         assert read_parquet_column(raw, name) == t[name].to_pylist()
+
+
+def test_page_checksums_verified_not_skipped():
+    from core_spark.functions.parquetfile import (
+        _Reader,
+        _parse_page_header,
+        parse_parquet_footer,
+        read_parquet_column,
+    )
+
+    sch = pa.schema([
+        pa.field("i", pa.int64(), nullable=False),
+        pa.field("w", pa.string(), nullable=False),
+    ])
+    n = 1000
+    t = pa.table(
+        {"i": list(range(n)), "w": [f"w{k % 7}" for k in range(n)]},
+        schema=sch,
+    )
+    for v, dpv in (("1.0", "1.0"), ("2.6", "2.0")):
+        buf = io.BytesIO()
+        pq.write_table(
+            t, buf, compression="zstd", version=v, data_page_version=dpv,
+            write_page_checksum=True, row_group_size=300,
+        )
+        raw = buf.getvalue()
+        assert read_parquet_column(raw, "i") == list(range(n))
+        # a flipped byte inside the page body must fail the CRC, not
+        # decode to garbage
+        f = parse_parquet_footer(raw)
+        col = f["row_groups"][0]["columns"][0]
+        start = col.get("dictionary_page_offset") or col["data_page_offset"]
+        r = _Reader(raw, start)
+        _parse_page_header(r)
+        evil = bytearray(raw)
+        evil[r.i + 5] ^= 0xFF
+        with pytest.raises(ParquetError, match="checksum"):
+            read_parquet_column(bytes(evil), "i")
