@@ -152,6 +152,7 @@ HEADLINE = [
     "q_zstd_seek",
     "q_zstd_decode",
     "q_parquet_read",
+    "q_orc_read",
     "q_skew_audit",
     "q_fuzzy_pairs",
     "q_canon_unicode",

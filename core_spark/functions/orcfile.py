@@ -260,3 +260,346 @@ def parse_orc_tail(raw: bytes) -> dict:
         elif fid == 7 and wt == 2:
             out["stats"].append(_parse_col_stats(v))
     return out
+
+
+# --------------------------------------------------------- value decode
+# The step BELOW tail planning: reading the VALUES of a column with
+# no ORC library — stripe footers through the same protobuf walker,
+# stream regions inflated through the generic compression framing
+# (which already runs the repo's from-spec zstd/snappy/LZ4 codecs),
+# byte-RLE + bit-packed PRESENT streams, and full RLEv2 (all four
+# sub-encodings: short-repeat, direct, patched-base, delta) with
+# ORC's MSB-first bit packing and 5-bit width table. Covers the flat
+# column kinds a lake actually stores: boolean/byte/short/int/long,
+# float/double, string/varchar/char/binary in both DIRECT_V2 and
+# DICTIONARY_V2 encodings; timestamps/decimals/nested kinds raise
+# the named error. The recovery path when no reader is installed and
+# the existence proof that the walker tier understands the format —
+# the q_parquet_read discipline applied to ORC.
+
+_STREAM_PRESENT, _STREAM_DATA, _STREAM_LENGTH = 0, 1, 2
+_STREAM_DICT_DATA, _STREAM_SECONDARY, _STREAM_ROW_INDEX = 3, 5, 6
+
+# RLEv2 5-bit width table (ORC spec): 0-23 -> 1-24, then the wide rungs.
+_RLE_WIDTHS = list(range(1, 25)) + [26, 28, 30, 32, 40, 48, 56, 64]
+
+
+def _parse_stripe_footer(raw: bytes) -> tuple[list[dict], list[dict]]:
+    streams: list[dict] = []
+    encodings: list[dict] = []
+    for fid, wt, v in _fields(raw):
+        if fid == 1 and wt == 2:
+            s = {"kind": None, "column": 0, "length": 0}
+            for f2, w2, v2 in _fields(v):
+                if f2 == 1 and w2 == 0:
+                    s["kind"] = v2
+                elif f2 == 2 and w2 == 0:
+                    s["column"] = v2
+                elif f2 == 3 and w2 == 0:
+                    s["length"] = v2
+            streams.append(s)
+        elif fid == 2 and wt == 2:
+            e = {"kind": 0, "dict_size": 0}
+            for f2, w2, v2 in _fields(v):
+                if f2 == 1 and w2 == 0:
+                    e["kind"] = v2
+                elif f2 == 2 and w2 == 0:
+                    e["dict_size"] = v2
+            encodings.append(e)
+    return streams, encodings
+
+
+def _byte_rle(data: bytes) -> bytearray:
+    """ORC Byte-RLE: control < 128 ⇒ run of control+3 copies of the
+    next byte; control >= 128 ⇒ 256-control literal bytes."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        c = data[i]
+        i += 1
+        if c < 128:
+            if i >= n:
+                raise OrcError("byte-RLE run escapes the stream")
+            out += bytes([data[i]]) * (c + 3)
+            i += 1
+        else:
+            ln = 256 - c
+            if i + ln > n:
+                raise OrcError("byte-RLE literals escape the stream")
+            out += data[i : i + ln]
+            i += ln
+    return out
+
+
+def _bool_stream(data: bytes, count: int) -> list[int]:
+    """PRESENT/boolean stream: byte-RLE of bit-packed bytes, bits
+    MSB-first."""
+    bb = _byte_rle(data)
+    if len(bb) * 8 < count:
+        raise OrcError("boolean stream shorter than the row count")
+    return [(bb[k >> 3] >> (7 - (k & 7))) & 1 for k in range(count)]
+
+
+class _BitsMsb:
+    """MSB-first bit reader (ORC packs bits big-endian, the opposite
+    of parquet's hybrid)."""
+
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data, self.pos = data, pos * 8
+
+    def read(self, nbits: int) -> int:
+        end = self.pos + nbits
+        if end > len(self.data) * 8:
+            raise OrcError("bit-packed run escapes the stream")
+        v = 0
+        p = self.pos
+        while nbits > 0:
+            byte = self.data[p >> 3]
+            avail = 8 - (p & 7)
+            take = min(avail, nbits)
+            v = (v << take) | (
+                (byte >> (avail - take)) & ((1 << take) - 1)
+            )
+            p += take
+            nbits -= take
+        self.pos = p
+        return v
+
+    def byte_align(self) -> int:
+        return (self.pos + 7) >> 3
+
+
+def _rle_varint(data: bytes, i: int) -> tuple[int, int]:
+    u = shift = 0
+    for _ in range(10):
+        if i >= len(data):
+            raise OrcError("varint escapes the stream")
+        b = data[i]
+        i += 1
+        u |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return u, i
+        shift += 7
+    raise OrcError("varint longer than 10 bytes")
+
+
+def _rlev2(data: bytes, signed: bool) -> list[int]:
+    """Integer RLE version 2, all four sub-encodings."""
+    out: list[int] = []
+    i, n = 0, len(data)
+    while i < n:
+        hdr = data[i]
+        enc = hdr >> 6
+        if enc == 0:  # SHORT_REPEAT
+            w = ((hdr >> 3) & 7) + 1
+            rep = (hdr & 7) + 3
+            if i + 1 + w > n:
+                raise OrcError("short-repeat value escapes the stream")
+            v = int.from_bytes(data[i + 1 : i + 1 + w], "big")
+            if signed:
+                v = _unzigzag(v)
+            out.extend([v] * rep)
+            i += 1 + w
+        elif enc == 1:  # DIRECT
+            w = _RLE_WIDTHS[(hdr >> 1) & 31]
+            if i + 1 >= n:
+                raise OrcError("direct run header escapes the stream")
+            ln = ((hdr & 1) << 8 | data[i + 1]) + 1
+            br = _BitsMsb(data, i + 2)
+            for _ in range(ln):
+                v = br.read(w)
+                out.append(_unzigzag(v) if signed else v)
+            i = br.byte_align()
+        elif enc == 2:  # PATCHED_BASE
+            w = _RLE_WIDTHS[(hdr >> 1) & 31]
+            if i + 3 >= n:
+                raise OrcError("patched-base header escapes the stream")
+            ln = ((hdr & 1) << 8 | data[i + 1]) + 1
+            b3, b4 = data[i + 2], data[i + 3]
+            bw = ((b3 >> 5) & 7) + 1
+            pw = _RLE_WIDTHS[b3 & 31]
+            pgw = ((b4 >> 5) & 7) + 1
+            pl = b4 & 31
+            if i + 4 + bw > n:
+                raise OrcError("patched-base base escapes the stream")
+            base = int.from_bytes(data[i + 4 : i + 4 + bw], "big")
+            sign_bit = 1 << (bw * 8 - 1)
+            if base & sign_bit:  # sign-magnitude, not two's complement
+                base = -(base & (sign_bit - 1))
+            br = _BitsMsb(data, i + 4 + bw)
+            vals = [br.read(w) for _ in range(ln)]
+            idx = 0
+            for _ in range(pl):
+                entry = br.read(pgw + pw)
+                gap = entry >> pw
+                patch = entry & ((1 << pw) - 1)
+                idx += gap
+                if patch:
+                    if idx >= ln:
+                        raise OrcError("patch index escapes the run")
+                    vals[idx] |= patch << w
+            out.extend(base + v for v in vals)
+            i = br.byte_align()
+        else:  # DELTA
+            wenc = (hdr >> 1) & 31
+            w = 0 if wenc == 0 else _RLE_WIDTHS[wenc]
+            if i + 1 >= n:
+                raise OrcError("delta run header escapes the stream")
+            ln = ((hdr & 1) << 8 | data[i + 1]) + 1
+            u, j = _rle_varint(data, i + 2)
+            base = _unzigzag(u) if signed else u
+            out.append(base)
+            if ln > 1:
+                u, j = _rle_varint(data, j)
+                delta = _unzigzag(u)
+                prev = base + delta
+                out.append(prev)
+                if w == 0:
+                    for _ in range(ln - 2):
+                        prev += delta
+                        out.append(prev)
+                    i = j
+                else:
+                    br = _BitsMsb(data, j)
+                    step = 1 if delta >= 0 else -1
+                    for _ in range(ln - 2):
+                        d = br.read(w)
+                        prev += step * d
+                        out.append(prev)
+                    i = br.byte_align()
+            else:
+                i = j
+    return out
+
+
+def _stripe_column_streams(
+    raw: bytes, stripe: dict, col_id: int, comp: str
+) -> tuple[dict, dict]:
+    """Deframed streams of one column in one stripe, keyed by stream
+    kind, plus the column's encoding."""
+    foot_start = stripe["offset"] + stripe["index_len"] + stripe["data_len"]
+    sf_raw = raw[foot_start : foot_start + stripe["footer_len"]]
+    if len(sf_raw) != stripe["footer_len"]:
+        raise OrcError("stripe footer escapes the file")
+    streams, encodings = _parse_stripe_footer(_deframe(sf_raw, comp))
+    if col_id >= len(encodings):
+        raise OrcError("column id beyond the stripe's encodings")
+    pos = stripe["offset"]
+    found: dict = {}
+    for s in streams:
+        if s["kind"] is None:
+            raise OrcError("stream lacks a kind")
+        if s["column"] == col_id and s["kind"] in (
+            _STREAM_PRESENT,
+            _STREAM_DATA,
+            _STREAM_LENGTH,
+            _STREAM_DICT_DATA,
+        ):
+            blob = raw[pos : pos + s["length"]]
+            if len(blob) != s["length"]:
+                raise OrcError("stream escapes the file")
+            found[s["kind"]] = _deframe(blob, comp)
+        pos += s["length"]
+    return found, encodings[col_id]
+
+
+def _decode_strings(streams: dict, enc: dict, n_present: int) -> list:
+    if enc["kind"] in (1, 3):  # DICTIONARY / DICTIONARY_V2
+        lengths = _rlev2(streams.get(_STREAM_LENGTH, b""), signed=False)
+        if len(lengths) != enc["dict_size"]:
+            raise OrcError("dictionary length stream size mismatch")
+        blob = streams.get(_STREAM_DICT_DATA, b"")
+        words, off = [], 0
+        for ln in lengths:
+            if off + ln > len(blob):
+                raise OrcError("dictionary entry escapes its stream")
+            words.append(blob[off : off + ln])
+            off += ln
+        idxs = _rlev2(streams.get(_STREAM_DATA, b""), signed=False)
+        if len(idxs) < n_present:
+            raise OrcError("dictionary index stream shorter than rows")
+        try:
+            return [words[k] for k in idxs[:n_present]]
+        except IndexError:
+            raise OrcError("dictionary index out of range") from None
+    # DIRECT / DIRECT_V2
+    lengths = _rlev2(streams.get(_STREAM_LENGTH, b""), signed=False)
+    if len(lengths) < n_present:
+        raise OrcError("length stream shorter than rows")
+    blob = streams.get(_STREAM_DATA, b"")
+    out, off = [], 0
+    for ln in lengths[:n_present]:
+        if off + ln > len(blob):
+            raise OrcError("string value escapes its stream")
+        out.append(blob[off : off + ln])
+        off += ln
+    return out
+
+
+def read_orc_column(raw: bytes, name: str) -> list:
+    """Whole-file read of one flat column by name with no ORC
+    library, in row order, None for nulls. Strings decode as
+    UTF-8; binary stays bytes."""
+    tail = parse_orc_tail(raw)
+    if not tail["types"] or tail["types"][0]["kind"] != "struct":
+        raise OrcError("root type is not a flat struct")
+    fields = tail["types"][0]["field_names"]
+    if name not in fields:
+        raise OrcError(f"no column named {name!r}")
+    col_id = fields.index(name) + 1
+    if col_id >= len(tail["types"]):
+        raise OrcError("column id beyond the type list")
+    kind = tail["types"][col_id]["kind"]
+    comp = tail["compression"]
+    out: list = []
+    for stripe in tail["stripes"]:
+        if "n_rows" not in stripe:
+            raise OrcError("stripe lacks a row count")
+        n = stripe["n_rows"]
+        streams, enc = _stripe_column_streams(raw, stripe, col_id, comp)
+        present = None
+        n_present = n
+        if _STREAM_PRESENT in streams:
+            present = _bool_stream(streams[_STREAM_PRESENT], n)
+            n_present = sum(present)
+        if kind in ("byte",):
+            vals = list(_byte_rle(streams.get(_STREAM_DATA, b"")))
+            vals = [v - 256 if v >= 128 else v for v in vals]
+        elif kind in ("short", "int", "long", "date"):
+            vals = _rlev2(streams.get(_STREAM_DATA, b""), signed=True)
+        elif kind == "boolean":
+            vals = [
+                bool(b)
+                for b in _bool_stream(
+                    streams.get(_STREAM_DATA, b""), n_present
+                )
+            ]
+        elif kind in ("float", "double"):
+            w, fmt = (4, "<f") if kind == "float" else (8, "<d")
+            blob = streams.get(_STREAM_DATA, b"")
+            if len(blob) < n_present * w:
+                raise OrcError("float stream shorter than rows")
+            vals = [
+                struct.unpack_from(fmt, blob, k * w)[0]
+                for k in range(n_present)
+            ]
+        elif kind in ("string", "varchar", "char", "binary"):
+            vals = _decode_strings(streams, enc, n_present)
+            if kind != "binary":
+                vals = [v.decode("utf-8") for v in vals]
+        else:
+            raise OrcError(
+                f"column kind {kind!r} is not decoded here (timestamp/"
+                "decimal/nested need the ORC library)"
+            )
+        if len(vals) < n_present:
+            raise OrcError("value stream shorter than present rows")
+        vals = vals[:n_present]
+        if present is None:
+            out.extend(vals)
+        else:
+            it = iter(vals)
+            out.extend(next(it) if p else None for p in present)
+    return out

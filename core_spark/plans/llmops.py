@@ -5550,6 +5550,110 @@ def q_canon_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_orc_read",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    f AS (
+      SELECT doc_id, ws,
+             unnest(range(LEAST(len(ws), 32))) AS idx
+      FROM p
+    )
+    SELECT doc_id, CAST(idx AS BIGINT) AS idx,
+           ws[idx + 1] AS word,
+           CASE WHEN idx % 5 = 0 THEN NULL
+                ELSE CAST(idx * 7 + strlen(ws[idx + 1]) AS BIGINT)
+           END AS score
+    FROM f ORDER BY doc_id, idx
+    """,
+)
+def q_orc_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC VALUE decode with no ORC library
+    (functions/orcfile.py read_orc_column) — the q_parquet_read
+    discipline applied to the other columnar format: stripe footers
+    through the same protobuf walker, stream regions inflated
+    through the generic framing (running the repo's own from-spec
+    zstd decoder here), byte-RLE + bit-packed PRESENT streams for
+    the planted nulls, and full RLEv2 — short-repeat, direct,
+    patched-base and delta sub-encodings, each pinned in tests
+    against the Apache spec's own example byte vectors AND against
+    pyarrow-written files. Every document becomes a real
+    pyarrow-written ORC file (zstd, dictionary-encoded words, small
+    stripes) and the emitted rows are what the from-spec reader got
+    back; the oracle recomputes them from raw text — same layout as
+    q_parquet_read, so the two formats' readers sit under the SAME
+    ground truth.
+
+    Scale shape: map-side Arrow kernel, zero shuffles (the
+    q_blocks_orc class). Pure-Python value decode is the recovery/
+    verification tier; bulk reads stay on Spark's native scan.
+
+    Corpus-purity note: words are text.split(' ') — single-spaced
+    ASCII corpus (the q_cc_cdx note).
+
+    Late-r9 PYTEST_ONLY naming (after the window cutoff) — rotates
+    into the driver window in r10 per the r5/r7/r9 protocol."""
+    from core_spark.functions.orcfile import read_orc_column
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+
+    def walk(batches):
+        import io
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.orc as orc
+
+        schema = pa.schema(
+            [
+                pa.field("idx", pa.int64(), nullable=False),
+                pa.field("word", pa.string(), nullable=False),
+                pa.field("score", pa.int64(), nullable=True),
+            ]
+        )
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                ws = text.split(" ")[:32]
+                t = pa.table(
+                    {
+                        "idx": list(range(len(ws))),
+                        "word": ws,
+                        "score": [
+                            None if k % 5 == 0 else k * 7 + len(w)
+                            for k, w in enumerate(ws)
+                        ],
+                    },
+                    schema=schema,
+                )
+                buf = io.BytesIO()
+                orc.write_table(
+                    t, buf, compression="zstd", stripe_size=4096
+                )
+                raw = buf.getvalue()
+                idxs = read_orc_column(raw, "idx")
+                words = read_orc_column(raw, "word")
+                scores = read_orc_column(raw, "score")
+                rows.extend(
+                    (int(doc_id), i, w, s)
+                    for i, w, s in zip(idxs, words, scores)
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "idx", "word", "score"]
+            )
+
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(
+            walk,
+            schema="doc_id long, idx long, word string, score long",
+        )
+        .orderBy("doc_id", "idx")
+    )
+
+
 # -------------------------------------------------- matryoshka truncation
 @query(
     "q_mrl_recall",

@@ -105,3 +105,84 @@ def test_random_tails_never_hang_or_fabricate():
             parse_orc_tail(b"ORC" + blob + bytes([len(blob)]))
         except OrcError:
             pass  # the only acceptable failure shape
+
+
+# ----------------------------------------------------- value decode
+def test_rlev2_pins_against_the_spec_vectors():
+    """The four RLEv2 sub-encodings against the Apache ORC spec's
+    own example byte sequences."""
+    from core_spark.functions.orcfile import _rlev2
+
+    assert _rlev2(bytes([0x0A, 0x27, 0x10]), signed=False) == [10000] * 5
+    assert _rlev2(
+        bytes([0x5E, 0x03, 0x5C, 0xA1, 0xAB, 0x1E, 0xDE, 0xAD, 0xBE, 0xEF]),
+        signed=False,
+    ) == [23713, 43806, 57005, 48879]
+    assert _rlev2(
+        bytes([0xC6, 0x09, 0x02, 0x02, 0x22, 0x42, 0x42, 0x46]),
+        signed=False,
+    ) == [2, 3, 5, 7, 11, 13, 17, 19, 23, 29]
+    patched = bytes([
+        0x8E, 0x13, 0x2B, 0x21, 0x07, 0xD0, 0x1E, 0x00, 0x14, 0x70,
+        0x28, 0x32, 0x3C, 0x46, 0x50, 0x5A, 0x64, 0x6E, 0x78, 0x82,
+        0x8C, 0x96, 0xA0, 0xAA, 0xB4, 0xBE, 0xFC, 0xE8,
+    ])
+    assert _rlev2(patched, signed=False) == (
+        [2030, 2000, 2020, 1000000] + list(range(2040, 2200, 10))
+    )
+
+
+def _typed_orc(compression="zstd", n=5000, stripe_size=64 * 1024):
+    sch = pa.schema([
+        pa.field("i", pa.int64(), nullable=False),
+        pa.field("j", pa.int32(), nullable=False),
+        pa.field("b", pa.bool_(), nullable=False),
+        pa.field("f", pa.float64(), nullable=False),
+        pa.field("s", pa.string(), nullable=False),
+        pa.field("score", pa.int64(), nullable=True),
+    ])
+    t = pa.table(
+        {
+            "i": [k * k - 9000 * k for k in range(n)],
+            "j": pa.array([k % 97 for k in range(n)], pa.int32()),
+            "b": [k % 3 == 0 for k in range(n)],
+            "f": [k * 0.25 - 8.0 for k in range(n)],
+            "s": [f"w{k % 41}" for k in range(n)],
+            "score": [None if k % 5 == 0 else k for k in range(n)],
+        },
+        schema=sch,
+    )
+    buf = io.BytesIO()
+    orc.write_table(t, buf, compression=compression, stripe_size=stripe_size)
+    return buf.getvalue(), t
+
+
+@pytest.mark.parametrize(
+    "compression", ["zstd", "snappy", "zlib", "lz4", "uncompressed"]
+)
+def test_read_orc_column_pins_against_pyarrow(compression):
+    from core_spark.functions.orcfile import read_orc_column
+
+    raw, t = _typed_orc(compression=compression)
+    for name in ("i", "j", "b", "f", "s", "score"):
+        assert read_orc_column(raw, name) == t[name].to_pylist()
+
+
+def test_read_orc_column_outlier_and_corrupt_shapes():
+    from core_spark.functions.orcfile import read_orc_column
+
+    # outliers force PATCHED_BASE through a real writer
+    sch = pa.schema([pa.field("v", pa.int64(), nullable=False)])
+    vals = [2000 + k * 10 for k in range(512)]
+    vals[3] = 10**9
+    vals[200] = -(10**8)
+    t = pa.table({"v": vals}, schema=sch)
+    buf = io.BytesIO()
+    orc.write_table(t, buf, compression="zstd")
+    assert read_orc_column(buf.getvalue(), "v") == vals
+
+    raw, _ = _typed_orc()
+    with pytest.raises(OrcError, match="no column"):
+        read_orc_column(raw, "nope")
+    with pytest.raises(OrcError):
+        read_orc_column(raw[: len(raw) // 2] + raw[-200:], "i")

@@ -63,6 +63,7 @@ PYTEST_ONLY: set[str] = {
     "q_parquet_pages",
     "q_parquet_read",
     "q_mrl_recall",
+    "q_orc_read",
     "q_skew_audit",
     "q_warc_revisit",
     "q_zstd_decode",
