@@ -156,6 +156,7 @@ HEADLINE = [
     "q_skew_audit",
     "q_fuzzy_pairs",
     "q_canon_unicode",
+    "q_xz_streams",
     "q_warc_revisit",
     "q_mrl_recall",
     "q_jpeg_quality",

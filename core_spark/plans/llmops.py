@@ -5654,6 +5654,117 @@ def q_orc_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_xz_streams",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, text, strlen(text) AS n,
+             2 + CAST('0x' || substr(md5(text), 2, 1) AS BIGINT) % 3
+               AS k
+      FROM documents
+    ),
+    f AS (SELECT doc_id, text, n, k, unnest(range(k)) AS i FROM p),
+    s AS (
+      SELECT doc_id, text, n, i,
+             n // k + CASE WHEN i < n % k THEN 1 ELSE 0 END AS L,
+             CASE WHEN i = 0 THEN 0 ELSE
+               i * (n // k) + LEAST(i, n % k) END AS d_off
+      FROM f
+    )
+    SELECT doc_id, CAST(i AS BIGINT) AS stream_idx,
+           CAST(d_off AS BIGINT) AS d_off, CAST(L AS BIGINT) AS d_size,
+           substr(text, d_off + 1, L) AS chunk
+    FROM s
+    WHERE d_off <= n // 3 AND n // 3 < d_off + L
+    ORDER BY doc_id
+    """,
+)
+def q_xz_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XZ tail-only split planning + point lookup
+    (functions/xzfile.py) — the q_zstd_decode shape for the OTHER
+    container public dumps ship in: each document becomes a real
+    concatenated multi-stream .xz (every stream written by stdlib
+    lzma — an independent codec), the reader walks the whole file
+    BACKWARD from its tail (footer CRC → index CRC → block layout →
+    header magic, every integrity field verified), picks the ONE
+    stream whose uncompressed range covers the target byte (the
+    document's n//3 point), ranged-GETs exactly that stream and
+    inflates it with stdlib lzma. The decoded chunk rides the driver
+    hash against a substr oracle over the closed-form chunk layout.
+
+    Scale shape: map-side Arrow kernel, zero shuffles; plan cost is
+    one tail read per file regardless of body size, decode cost one
+    stream — the q_zstd_seek/q_zstd_decode class. Unlike zstd,
+    python SHIPS the xz codec, so this point-lookup path is
+    production-rate, not verification-tier.
+
+    Corpus-purity note: ASCII corpus, byte offsets equal character
+    offsets (the q_cc_cdx note).
+
+    Late-r9 PYTEST_ONLY naming (after the window cutoff) — rotates
+    into the driver window in r10 per the r5/r7/r9 protocol."""
+    from core_spark.functions.xzfile import xz_streams
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+
+    def walk(batches):
+        import hashlib
+        import lzma
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                content = text.encode("utf-8")
+                digest = hashlib.md5(content).hexdigest()
+                k = 2 + int(digest[1], 16) % 3
+                base, rem = divmod(len(content), k)
+                blob = bytearray()
+                pos = 0
+                for i in range(k):
+                    ln = base + (1 if i < rem else 0)
+                    blob += lzma.compress(content[pos : pos + ln])
+                    pos += ln
+                blob = bytes(blob)
+                target = len(content) // 3
+                d_off = 0
+                for s in xz_streams(blob):
+                    d_size = sum(b["d_size"] for b in s["blocks"])
+                    if d_off <= target < d_off + d_size:
+                        span = blob[s["off"] : s["off"] + s["length"]]
+                        chunk = lzma.decompress(span)
+                        if len(chunk) != d_size:
+                            raise ValueError("index/stream disagreement")
+                        rows.append(
+                            (
+                                int(doc_id),
+                                s["stream_idx"],
+                                d_off,
+                                d_size,
+                                chunk.decode("utf-8"),
+                            )
+                        )
+                        break
+                    d_off += d_size
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "stream_idx", "d_off", "d_size", "chunk"],
+            )
+
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(
+            walk,
+            schema=(
+                "doc_id long, stream_idx long, d_off long, d_size long,"
+                " chunk string"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # -------------------------------------------------- matryoshka truncation
 @query(
     "q_mrl_recall",

@@ -66,6 +66,7 @@ PYTEST_ONLY: set[str] = {
     "q_orc_read",
     "q_skew_audit",
     "q_warc_revisit",
+    "q_xz_streams",
     "q_zstd_decode",
     "q_zstd_frames",
     "q_zstd_seek",
