@@ -148,19 +148,19 @@ HEADLINE = [
     "q_canon_sent",
     "q_ann_bq",
     "q_blocks_orc",
-    "q_zstd_frames",
-    "q_zstd_seek",
-    "q_zstd_decode",
-    "q_parquet_read",
-    "q_orc_read",
-    "q_skew_audit",
-    "q_fuzzy_pairs",
-    "q_canon_unicode",
-    "q_xz_streams",
-    "q_warc_revisit",
-    "q_mrl_recall",
-    "q_jpeg_quality",
-    "q_parquet_pages",
+    "q_blocks_zstd",
+    "q_blocks_zstd_seek",
+    "q_bits_zstd",
+    "q_bits_parquet",
+    "q_bits_orc",
+    "q_audit_skew",
+    "q_block_fuzzy",
+    "q_audit_nfc",
+    "q_blocks_xz",
+    "q_blocks_warc",
+    "q_ann_mrl",
+    "q_bitmap_jpegq",
+    "q_bits_pages",
     # q_dup_canonical is intentionally absent: its dominant cost is
     # the same pair+CC pipeline q_dup_clusters already times;
     # q_bands_serve (streaming materialize->serve) follows the

@@ -275,7 +275,7 @@ def parse_orc_tail(raw: bytes) -> dict:
 # DICTIONARY_V2 encodings; timestamps/decimals/nested kinds raise
 # the named error. The recovery path when no reader is installed and
 # the existence proof that the walker tier understands the format —
-# the q_parquet_read discipline applied to ORC.
+# the q_bits_parquet discipline applied to ORC.
 
 _STREAM_PRESENT, _STREAM_DATA, _STREAM_LENGTH = 0, 1, 2
 _STREAM_DICT_DATA, _STREAM_SECONDARY, _STREAM_ROW_INDEX = 3, 5, 6

@@ -20,7 +20,7 @@ throughput is NOT the production story (install the public
 ``zstandard`` binding for bulk decode; columns.py's stub discipline)
 — the point is that planners and verifiers can open any zstd frame
 TODAY: ORC ZSTD footers deframe (orcfile.py), seekable-zstd members
-decode from their ranged-GET splits (q_zstd_decode), and checksummed
+decode from their ranged-GET splits (q_bits_zstd), and checksummed
 frames are actually verified, not skipped.
 
 Corrupt-input discipline: every desync raises the named

@@ -1161,8 +1161,9 @@ def _duck_cos(a: str, b: str) -> str:
 )
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for query vectors (vec_id < 10) —
-    the exact-similarity baseline. Corpus side broadcast; dot product
-    is a codegen'd aggregate/zip_with fold in double, rounded to 6dp
+    the exact-similarity baseline. The 10-row query sample is the
+    broadcast side (the corpus always streams); dot product is a
+    codegen'd aggregate/zip_with fold in double, rounded to 6dp
     before ranking so ordering is engine-stable."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
@@ -4542,7 +4543,7 @@ def q_anchor_links(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------- zstd frame index
 @query(
-    "q_zstd_frames",
+    "q_blocks_zstd",
     oracle="""
     WITH p AS (
       SELECT doc_id, strlen(text) AS n,
@@ -4587,7 +4588,7 @@ def q_anchor_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY doc_id, frame_idx
     """,
 )
-def q_zstd_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_blocks_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zstd frame-index construction (functions/zstdfile.py; RFC
     8878) — the split plan for the OTHER compressed container large
     text corpora ship in beside .gz (q_cc_warc_gz) and .bz2
@@ -4669,7 +4670,7 @@ def q_zstd_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------- warc revisit dedup
 @query(
-    "q_warc_revisit",
+    "q_blocks_warc",
     oracle="""
     WITH p AS (
       SELECT doc_id, text, md5(text) AS d,
@@ -4735,7 +4736,7 @@ def q_zstd_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM rev ORDER BY doc_id, revisit_idx
     """,
 )
-def q_warc_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_blocks_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revisit-record resolution (WARC 1.1 §6.7.2) — the STORAGE
     dedup layer of a crawl archive, upstream of the content dedup
     this repo's MinHash tier does: when a re-fetch's payload digest
@@ -4836,7 +4837,7 @@ def q_warc_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ----------------------------------------------------- zstd seek table
 @query(
-    "q_zstd_seek",
+    "q_blocks_zstd_seek",
     oracle="""
     WITH p AS (
       SELECT doc_id, strlen(text) AS n,
@@ -4868,22 +4869,22 @@ def q_warc_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM g ORDER BY doc_id, frame_idx
     """,
 )
-def q_zstd_seek(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_blocks_zstd_seek(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seekable-zstd seek-table walk (functions/zstdfile.py; the
     public zstd contrib seekable format) — the TAIL-ONLY split plan:
-    where q_zstd_frames walks every block header, a seekable .zst
+    where q_blocks_zstd walks every block header, a seekable .zst
     carries its own index in a final skippable frame (per-frame
     compressed/decompressed sizes + a 9-byte footer), so a planner
     fetches KBs from the file tail and gets ranged-GET splits WITH
     per-split decompressed offsets — the parquet-footer discipline
     (q_blocks_parquet) applied to a compression container. Each
     document becomes a real seekable file (build_seekable over the
-    q_zstd_frames raw-block frames — pyarrow reassembles the content
+    q_blocks_zstd raw-block frames — pyarrow reassembles the content
     from the table's ranges in tests); the walker validates the
     footer magic, reserved descriptor bits, the skippable envelope
     AND that the table's compressed sizes sum exactly to the body
     (a stale table must raise, never mis-split). The oracle
-    recomputes both cumulative offsets by the q_zstd_frames closed
+    recomputes both cumulative offsets by the q_blocks_zstd closed
     form. Corpus-purity note: sizes are strlen(text) bytes (ASCII
     corpus, the q_cc_cdx note).
 
@@ -4945,7 +4946,7 @@ def q_zstd_seek(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q_zstd_decode",
+    "q_bits_zstd",
     oracle="""
     WITH p AS (
       SELECT doc_id, text, strlen(text) AS n,
@@ -4969,14 +4970,14 @@ def q_zstd_seek(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY doc_id
     """,
 )
-def q_zstd_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_bits_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seekable-zstd POINT LOOKUP — the first query whose payload
     decode path is the from-spec RFC 8878 decoder
     (functions/zstd_decode.py): each document becomes a REAL
     compressed seekable .zst (every frame compressed by pyarrow's C
     zstd encoder — an independent implementation, not our own
     builder), and the reader does what a 100 TB archive reader does:
-    fetch the TAIL, walk the seek table (q_zstd_seek), ranged-GET
+    fetch the TAIL, walk the seek table (q_blocks_zstd_seek), ranged-GET
     the ONE frame whose decompressed range covers the target byte
     (the document midpoint), and inflate just that frame — FSE,
     Huffman, sequences and all — never touching the other frames.
@@ -5080,7 +5081,7 @@ def q_zstd_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q_parquet_read",
+    "q_bits_parquet",
     oracle="""
     WITH p AS (
       SELECT doc_id, string_split(text, ' ') AS ws FROM documents
@@ -5098,10 +5099,10 @@ def q_zstd_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM f ORDER BY doc_id, idx
     """,
 )
-def q_parquet_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_bits_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parquet VALUE decode with no parquet library
     (functions/parquetfile.py read_parquet_column) — the level below
-    q_blocks_parquet (footer) and q_parquet_pages (page index): page
+    q_blocks_parquet (footer) and q_bits_pages (page index): page
     headers through the same thrift-compact reader, page bodies
     inflated through the repo's own from-spec codecs (zstd here —
     functions/zstd_decode.py in its second real container), RLE/
@@ -5208,7 +5209,7 @@ def q_parquet_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q_skew_audit",
+    "q_audit_skew",
     oracle="""
     WITH c1 AS (
       SELECT CAST(user_id AS VARCHAR) AS k, COUNT(*) AS c
@@ -5259,7 +5260,7 @@ def q_parquet_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY join_key
     """,
 )
-def q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_audit_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew audit — the diagnostic a planner runs BEFORE a
     100 TB shuffle join, and the feeder for operators/skew.py's
     salted_join: per candidate key, exact key-frequency shape
@@ -5348,7 +5349,7 @@ def q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q_fuzzy_pairs",
+    "q_block_fuzzy",
     oracle="""
     WITH t AS (
       SELECT doc_id,
@@ -5382,7 +5383,7 @@ def q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY id1, id2
     """,
 )
-def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_block_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-duplicate pairs — the record-linkage tier
     the hash/shingle dedup family can't reach (one typo changes
     every shingle of a short string): candidate generation by
@@ -5469,7 +5470,7 @@ def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q_canon_unicode",
+    "q_audit_nfc",
     oracle="""
     WITH w AS (
       SELECT doc_id,
@@ -5491,7 +5492,7 @@ def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM w ORDER BY doc_id
     """,
 )
-def q_canon_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_audit_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC canonicalization — the OTHER half of dedup-key
     canonicalization beside mojibake repair (q_canon_text): the same
     visible text arrives both precomposed (é U+00E9) and decomposed
@@ -5511,7 +5512,7 @@ def q_canon_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Late-r9 PYTEST_ONLY naming (after the window cutoff — note
     q_canon_sent holds the cutoff slot awaiting its first row, which
-    is why this is not named q_canon_nfc) — rotates into the driver
+    is why this is not named q_audit_nfc) — rotates into the driver
     window in r10 per the r5/r7/r9 protocol."""
     docs = spread(load_table(spark, sf_dir, "documents"))
 
@@ -5551,7 +5552,7 @@ def q_canon_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q_orc_read",
+    "q_bits_orc",
     oracle="""
     WITH p AS (
       SELECT doc_id, string_split(text, ' ') AS ws FROM documents
@@ -5569,9 +5570,9 @@ def q_canon_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM f ORDER BY doc_id, idx
     """,
 )
-def q_orc_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_bits_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC VALUE decode with no ORC library
-    (functions/orcfile.py read_orc_column) — the q_parquet_read
+    (functions/orcfile.py read_orc_column) — the q_bits_parquet
     discipline applied to the other columnar format: stripe footers
     through the same protobuf walker, stream regions inflated
     through the generic framing (running the repo's own from-spec
@@ -5583,7 +5584,7 @@ def q_orc_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     pyarrow-written ORC file (zstd, dictionary-encoded words, small
     stripes) and the emitted rows are what the from-spec reader got
     back; the oracle recomputes them from raw text — same layout as
-    q_parquet_read, so the two formats' readers sit under the SAME
+    q_bits_parquet, so the two formats' readers sit under the SAME
     ground truth.
 
     Scale shape: map-side Arrow kernel, zero shuffles (the
@@ -5655,7 +5656,7 @@ def q_orc_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q_xz_streams",
+    "q_blocks_xz",
     oracle="""
     WITH p AS (
       SELECT doc_id, text, strlen(text) AS n,
@@ -5679,9 +5680,9 @@ def q_orc_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY doc_id
     """,
 )
-def q_xz_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_blocks_xz(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XZ tail-only split planning + point lookup
-    (functions/xzfile.py) — the q_zstd_decode shape for the OTHER
+    (functions/xzfile.py) — the q_bits_zstd shape for the OTHER
     container public dumps ship in: each document becomes a real
     concatenated multi-stream .xz (every stream written by stdlib
     lzma — an independent codec), the reader walks the whole file
@@ -5694,7 +5695,7 @@ def q_xz_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: map-side Arrow kernel, zero shuffles; plan cost is
     one tail read per file regardless of body size, decode cost one
-    stream — the q_zstd_seek/q_zstd_decode class. Unlike zstd,
+    stream — the q_blocks_zstd_seek/q_bits_zstd class. Unlike zstd,
     python SHIPS the xz codec, so this point-lookup path is
     production-rate, not verification-tier.
 
@@ -5767,7 +5768,7 @@ def q_xz_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -------------------------------------------------- matryoshka truncation
 @query(
-    "q_mrl_recall",
+    "q_ann_mrl",
     oracle=f"""
     WITH e AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -5811,7 +5812,7 @@ def q_xz_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY tq0.qid, tq0.m
     """,
 )
-def q_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ann_mrl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka-truncation retrieval audit — the measurement behind
     dimension-truncated (MRL-style) embeddings: rank by cosine over
     only the FIRST m dims (m = 16, 32 of 64) and report recall@10
@@ -5885,7 +5886,7 @@ _ANNEX_K1_SUM = 3688
 
 
 @query(
-    "q_jpeg_quality",
+    "q_bitmap_jpegq",
     oracle=f"""
     WITH p AS (
       SELECT doc_id,
@@ -5918,7 +5919,7 @@ _ANNEX_K1_SUM = 3688
     FROM e ORDER BY doc_id
     """,
 )
-def q_jpeg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_bitmap_jpegq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JPEG recompression-quality estimation from the DQT tables —
     the image-pipeline gate that drops heavily recompressed
     thumbnails before feature extraction (low encode quality is the
@@ -5988,7 +5989,7 @@ def q_jpeg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------- parquet page index
 @query(
-    "q_parquet_pages",
+    "q_bits_pages",
     oracle="""
     WITH p AS (
       SELECT doc_id,
@@ -6023,7 +6024,7 @@ def q_jpeg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM pg ORDER BY doc_id, rg_idx, page_idx
     """,
 )
-def q_parquet_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_bits_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parquet PAGE-INDEX walk (functions/parquetfile.py
     parse_offset_index / parse_column_index) — the pruning level
     BELOW q_blocks_parquet's row-group stats: the page index

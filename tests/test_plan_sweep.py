@@ -30,7 +30,7 @@ ALLOWED = {
     "q_ann_ndcg": "nDCG audit: same brute 10-query SAMPLE x corpus "
                    "verification tier as q_ann_recall; the LSH side "
                    "is bucket-keyed and the DCG join is equi-keyed",
-    "q_mrl_recall": "truncation audit: full-width and per-width "
+    "q_ann_mrl": "truncation audit: full-width and per-width "
                     "truncated sides are all the brute 10-query "
                     "SAMPLE x corpus verification tier; the width "
                     "grid is a TWO-ROW broadcast",

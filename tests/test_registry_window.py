@@ -52,25 +52,22 @@ _REPO = Path(__file__).resolve().parent.parent
 # q_ndjson_gate→q_bundle_ndjson, q_orc_meta→q_blocks_orc,
 # q_parquet_meta→q_blocks_parquet, q_rank_ndcg→q_ann_ndcg,
 # q_sent_split→q_canon_sent, q_wiki_dump→q_bundle_wiki. Every name they
-# displaced holds a green r8 row. Late-r9 additions are deliberately
-# named after the cutoff for r10 rotation (the window holds 8
-# first-time r9 names that must keep their slots) — the r5/r7/r8
+# displaced holds a green r8 row. Late-r9 additions were deliberately
+# named after the cutoff for r10 rotation (the window held 8
+# first-time r9 names that had to keep their slots) — the r5/r7/r8
 # protocol.
-PYTEST_ONLY: set[str] = {
-    "q_canon_unicode",
-    "q_fuzzy_pairs",
-    "q_jpeg_quality",
-    "q_parquet_pages",
-    "q_parquet_read",
-    "q_mrl_recall",
-    "q_orc_read",
-    "q_skew_audit",
-    "q_warc_revisit",
-    "q_xz_streams",
-    "q_zstd_decode",
-    "q_zstd_frames",
-    "q_zstd_seek",
-}
+# r10: CORRECTNESS_r09.json landed (50/50 green — every window name
+# holds a green row), so the thirteen late-r9 names rotated INTO the
+# window via renames — q_canon_unicode→q_audit_nfc,
+# q_fuzzy_pairs→q_block_fuzzy, q_jpeg_quality→q_bitmap_jpegq,
+# q_mrl_recall→q_ann_mrl, q_orc_read→q_bits_orc,
+# q_parquet_pages→q_bits_pages, q_parquet_read→q_bits_parquet,
+# q_skew_audit→q_audit_skew, q_warc_revisit→q_blocks_warc,
+# q_xz_streams→q_blocks_xz, q_zstd_decode→q_bits_zstd,
+# q_zstd_frames→q_blocks_zstd, q_zstd_seek→q_blocks_zstd_seek.
+# Every name they displaced (q_bm25 … q_canon_sent) holds a green
+# r8/r9 row. The set is empty again.
+PYTEST_ONLY: set[str] = set()
 
 
 def _historical_rows() -> set[str]:
