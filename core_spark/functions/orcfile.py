@@ -430,9 +430,23 @@ def _rlev2(data: bytes, signed: bool) -> list[int]:
                 base = -(base & (sign_bit - 1))
             br = _BitsMsb(data, i + 4 + bw)
             vals = [br.read(w) for _ in range(ln)]
+            # Patch entries are bit-packed at getClosestFixedBits(
+            # pgw + pw) — the width table's round-up, NOT the raw sum
+            # (orc-format spec; Java RunLengthIntegerReaderV2 and the
+            # C++ RleDecoderV2 both round). Reading the raw sum
+            # misaligns whenever pgw+pw is not itself a table entry
+            # (25, 27, 29, 31, 33-39, ...).
+            if pgw + pw > 64:
+                raise OrcError("patch entry wider than 64 bits")
+            ebits = next(x for x in _RLE_WIDTHS if x >= pgw + pw)
+            # The packed values and the patch list are SEPARATE
+            # writeInts calls in the writer, and each call flushes
+            # whole bytes — so the patch list starts at the next byte
+            # boundary, not at the values' last bit.
+            br = _BitsMsb(data, br.byte_align())
             idx = 0
             for _ in range(pl):
-                entry = br.read(pgw + pw)
+                entry = br.read(ebits)
                 gap = entry >> pw
                 patch = entry & ((1 << pw) - 1)
                 idx += gap
@@ -506,7 +520,16 @@ def _stripe_column_streams(
 
 
 def _decode_strings(streams: dict, enc: dict, n_present: int) -> list:
-    if enc["kind"] in (1, 3):  # DICTIONARY / DICTIONARY_V2
+    # Kinds 0/1 (DIRECT/DICTIONARY) carry RLE *v1* length/index
+    # streams — a different wire format this module does not parse.
+    # Fence them loudly instead of feeding v1 bytes to the v2 parser.
+    if enc["kind"] in (0, 1):
+        raise OrcError(
+            "string column uses RLEv1 encoding (DIRECT/DICTIONARY from "
+            "a pre-HIVE-4123 writer) — only DIRECT_V2/DICTIONARY_V2 "
+            "decode here; use the ORC library for RLEv1 files"
+        )
+    if enc["kind"] == 3:  # DICTIONARY_V2
         lengths = _rlev2(streams.get(_STREAM_LENGTH, b""), signed=False)
         if len(lengths) != enc["dict_size"]:
             raise OrcError("dictionary length stream size mismatch")
@@ -524,7 +547,7 @@ def _decode_strings(streams: dict, enc: dict, n_present: int) -> list:
             return [words[k] for k in idxs[:n_present]]
         except IndexError:
             raise OrcError("dictionary index out of range") from None
-    # DIRECT / DIRECT_V2
+    # DIRECT_V2 (kind 2): plain length stream in RLEv2
     lengths = _rlev2(streams.get(_STREAM_LENGTH, b""), signed=False)
     if len(lengths) < n_present:
         raise OrcError("length stream shorter than rows")
@@ -568,6 +591,14 @@ def read_orc_column(raw: bytes, name: str) -> list:
             vals = list(_byte_rle(streams.get(_STREAM_DATA, b"")))
             vals = [v - 256 if v >= 128 else v for v in vals]
         elif kind in ("short", "int", "long", "date"):
+            # DIRECT (kind 0) means the DATA stream is RLE *v1* —
+            # fence it rather than mis-decoding v1 bytes as v2.
+            if enc["kind"] != 2:
+                raise OrcError(
+                    "integer column uses RLEv1 encoding (DIRECT from a "
+                    "pre-HIVE-4123 writer) — only DIRECT_V2 decodes "
+                    "here; use the ORC library for RLEv1 files"
+                )
             vals = _rlev2(streams.get(_STREAM_DATA, b""), signed=True)
         elif kind == "boolean":
             vals = [

@@ -454,8 +454,10 @@ def parse_parquet_footer(raw: bytes) -> dict:
             names = []
             types: dict = {}
             reps: dict = {}
+            strings: dict = {}
             for _ in range(size):
                 name, ptype, rep = None, None, None
+                conv, logical = None, None
                 for sfid, swt in r.fields(1):
                     if sfid == 1 and swt in _INT_TYPES:
                         ptype = r.zigzag()  # physical type enum
@@ -463,15 +465,26 @@ def parse_parquet_footer(raw: bytes) -> dict:
                         rep = r.zigzag()  # repetition (0 req, 1 opt)
                     elif sfid == 4 and swt == _BINARY:
                         name = r.binary().decode("utf-8", "replace")
+                    elif sfid == 6 and swt in _INT_TYPES:
+                        conv = r.zigzag()  # ConvertedType (UTF8 = 0)
+                    elif sfid == 10 and swt == _STRUCT:
+                        # LogicalType union: the set member's field id
+                        # (STRING = 1) identifies the logical type
+                        for lfid, lwt in r.fields(2):
+                            if logical is None:
+                                logical = lfid
+                            r.skip(lwt, 2)
                     else:
                         r.skip(swt, 1)
                 names.append(name)
                 if name is not None:
                     types[name] = ptype  # group nodes carry None
                     reps[name] = rep
+                    strings[name] = conv == 0 or logical == 1
             out["schema"] = names[1:]  # drop the root element
             out["schema_types"] = types
             out["schema_reps"] = reps
+            out["schema_strings"] = strings
         elif fid == 3 and wt in _INT_TYPES:
             out["num_rows"] = r.zigzag()
         elif fid == 4 and wt == _LIST:
@@ -942,8 +955,11 @@ def read_parquet_column(raw: bytes, path: str) -> list:
     """Whole-file read of one flat column by name, across row
     groups, with no parquet library — the existence proof that the
     walker tier really understands the format end to end (and the
-    recovery path when no reader is installed). Strings decode as
-    UTF-8."""
+    recovery path when no reader is installed). BYTE_ARRAY columns
+    decode as UTF-8 str only when the schema says STRING (logical
+    type or the UTF8 converted type); plain binary columns stay
+    bytes, and a STRING column carrying invalid UTF-8 raises the
+    named ParquetError, never a raw UnicodeDecodeError."""
     footer = parse_parquet_footer(raw)
     ptype = footer.get("schema_types", {}).get(path)
     if ptype is None:
@@ -957,6 +973,13 @@ def read_parquet_column(raw: bytes, path: str) -> list:
         if col is None:
             raise ParquetError(f"row group lacks column {path!r}")
         out.extend(read_column_chunk(raw, col, ptype, max_def=rep))
-    if ptype == _PT_BYTE_ARRAY:
-        out = [v.decode("utf-8") if v is not None else None for v in out]
+    if ptype == _PT_BYTE_ARRAY and footer.get("schema_strings", {}).get(path):
+        try:
+            out = [
+                v.decode("utf-8") if v is not None else None for v in out
+            ]
+        except UnicodeDecodeError as e:
+            raise ParquetError(
+                f"STRING column {path!r} carries invalid UTF-8: {e}"
+            ) from None
     return out

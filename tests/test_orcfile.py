@@ -186,3 +186,88 @@ def test_read_orc_column_outlier_and_corrupt_shapes():
         read_orc_column(raw, "nope")
     with pytest.raises(OrcError):
         read_orc_column(raw[: len(raw) // 2] + raw[-200:], "i")
+
+
+def _pack_msb(bits_values):
+    """Bit-pack (width, value) pairs MSB-first into bytes."""
+    acc = nbits = 0
+    out = bytearray()
+    for w, v in bits_values:
+        acc = (acc << w) | (v & ((1 << w) - 1))
+        nbits += w
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def test_patched_base_entry_width_rounds_to_closest_fixed_bits():
+    """Spec pin for the r9 ADVICE defect: patch entries are packed at
+    getClosestFixedBits(pgw + pw) — here pgw=5, pw=20 so the raw sum
+    25 is NOT a fixed width and each entry occupies 26 bits. A reader
+    that consumes 25 bits per entry misaligns from the second entry
+    on (orc-format spec, RunLengthIntegerWriterV2.writePatchedBase-
+    Values / getClosestFixedBits)."""
+    from core_spark.functions.orcfile import _rlev2
+
+    w, ln, bw, pw, pgw, pl, base = 16, 10, 1, 20, 5, 2, 100
+    vals = [k * 1000 + 7 for k in range(ln)]
+    patches = {2: 0xABCDE, 9: 0x12345}  # 20-bit patch payloads
+    hdr = bytes([
+        (2 << 6) | (15 << 1) | ((ln - 1) >> 8),  # enc=2, w=16 (idx 15)
+        (ln - 1) & 0xFF,
+        ((bw - 1) << 5) | 19,                    # pw=20 (idx 19)
+        ((pgw - 1) << 5) | pl,
+        base,                                    # 1-byte base, positive
+    ])
+    entries = []
+    prev = 0
+    for idx in sorted(patches):
+        entries.append((26, ((idx - prev) << pw) | patches[idx]))
+        prev = idx
+    body = _pack_msb([(w, v) for v in vals] + entries)
+    got = _rlev2(hdr + body, signed=False)
+    want = [
+        base + (vals[k] | (patches[k] << w) if k in patches else vals[k])
+        for k in range(ln)
+    ]
+    assert got == want
+
+
+def test_patched_base_fuzz_skewed_int64_against_pyarrow():
+    """Deterministic sweep of skewed int64 columns through the REAL
+    pyarrow/liborc writer: outlier magnitudes walk the 17-40 extra-bit
+    band so pw+pgw crosses non-table widths (25, 27, 29, 31, 33-39)
+    — the shapes that misaligned before the width round-up fix."""
+    import random
+
+    from core_spark.functions.orcfile import read_orc_column
+
+    rng = random.Random(0xC0FFEE)
+    for trial in range(60):
+        n = rng.randrange(300, 1200)
+        base = rng.randrange(-(10**6), 10**6)
+        small_bits = rng.randrange(4, 20)
+        vals = [base + rng.getrandbits(small_bits) for _ in range(n)]
+        for _ in range(rng.randrange(1, 12)):
+            pos = rng.randrange(n)
+            extra = rng.randrange(17, 40)
+            vals[pos] = base + rng.getrandbits(small_bits + extra)
+        t = pa.table({"v": pa.array(vals, pa.int64())})
+        buf = io.BytesIO()
+        orc.write_table(t, buf, compression="uncompressed")
+        assert read_orc_column(buf.getvalue(), "v") == vals, f"trial {trial}"
+
+
+def test_rlev1_column_encodings_are_fenced():
+    """Encoding kinds 0/1 carry RLE v1 streams — the reader must
+    raise the named error, never feed v1 bytes to the v2 parser."""
+    from core_spark.functions.orcfile import _decode_strings
+
+    for kind in (0, 1):
+        with pytest.raises(OrcError, match="RLEv1"):
+            _decode_strings(
+                {}, {"kind": kind, "dict_size": 0}, n_present=1
+            )

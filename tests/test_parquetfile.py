@@ -453,3 +453,26 @@ def test_page_checksums_verified_not_skipped():
         evil[r.i + 5] ^= 0xFF
         with pytest.raises(ParquetError, match="checksum"):
             read_parquet_column(bytes(evil), "i")
+
+
+def test_byte_array_binary_column_stays_bytes():
+    """r9 ADVICE (low): a BYTE_ARRAY column without the STRING
+    logical type must come back as bytes — including non-UTF-8
+    payloads — while a STRING column still decodes to str."""
+    import pyarrow.parquet as pq
+
+    from core_spark.functions.parquetfile import read_parquet_column
+
+    blobs = [b"\xff\xfe\x00raw", b"", b"plain", bytes(range(256))]
+    strs = ["a", "élève", "", "z" * 40]
+    t = pa.table(
+        {
+            "blob": pa.array(blobs, pa.binary()),
+            "s": pa.array(strs, pa.string()),
+        }
+    )
+    buf = io.BytesIO()
+    pq.write_table(t, buf)
+    raw = buf.getvalue()
+    assert read_parquet_column(raw, "blob") == blobs
+    assert read_parquet_column(raw, "s") == strs
