@@ -32,6 +32,42 @@ from core_spark.io import load_table
 from core_spark.plans.registry import query
 from core_spark.streaming.store_sql import SQLStore
 
+def serve_pages(df: DataFrame, keys: list[str], page_size: int):
+    """Keyset-paginated serve over a materialized state DataFrame:
+    yields lists of Rows, each collected by a `LIMIT page_size`
+    request, with the continuation predicate `(k1,k2,..) > last`
+    (lexicographic on the key tuple) instead of OFFSET — so the next
+    page is a pushed-down range probe the storage layer can prune,
+    not a re-scan of an ever-growing prefix. The key tuple must be
+    non-null and unique per row (it IS the cursor).
+
+    Reference parity: gazette gateways page journal reads by offset
+    ranges per request (broker/protocol/protocol.proto ReadRequest
+    offset/endOffset); this is the relational twin — a serve tier
+    never materializes more than one page per request, whatever the
+    frontier/store size.
+    """
+    if page_size <= 0:
+        raise ValueError("page_size must be positive")
+    ordered = df.orderBy(*keys)
+    last = None
+    while True:
+        page = ordered
+        if last is not None:
+            after, eq = F.lit(False), F.lit(True)
+            for k, v in zip(keys, last):
+                after = after | (eq & (F.col(k) > F.lit(v)))
+                eq = eq & (F.col(k) == F.lit(v))
+            page = ordered.filter(after)
+        rows = page.limit(page_size).collect()
+        if not rows:
+            return
+        yield rows
+        if len(rows) < page_size:
+            return
+        last = [rows[-1][k] for k in keys]
+
+
 _CYCLES_SQL = """
 WITH r AS (
   SELECT user_id, station,
@@ -310,9 +346,15 @@ def q_bfs_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "host", "url", "canon", "lastmod", "allowed", "delay_s"
         )
         out = schedule_frontier(cands)
-        # the journal read is lazy: materialize before the temp dir
-        # holding the fragments disappears
-        rows = out.collect()
+        # the journal read is lazy: drain before the temp dir holding
+        # the fragments disappears — through the PAGED serve path
+        # ((host, pos) is the unique cursor), so no single request
+        # materializes more than one page however large the frontier.
+        rows = [
+            r
+            for pg in serve_pages(out, ["host", "pos"], page_size=256)
+            for r in pg
+        ]
         return spark.createDataFrame(rows, out.schema)
     finally:
         _sh.rmtree(work, ignore_errors=True)
