@@ -164,3 +164,66 @@ def q_framed_journal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ngram")
     )
+
+
+# ------------------------------------------------------ codec fragments
+@query(
+    "q_journal_codec",
+    # Offsets are event_id (sorted appends over dense ids), so the
+    # whole byte-stream round trip is oracle-checkable: DuckDB
+    # recomputes the bounded read's per-type aggregate straight off
+    # the parquet.
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           MIN(event_id) AS first_off,
+           MAX(event_id) AS last_off,
+           CAST(SUM(user_id) AS BIGINT) AS sum_user
+    FROM events WHERE event_id >= 300 AND event_id < 1700
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_journal_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-stream codec fragments end to end: three sorted appends
+    land events [0,2k) as a seekable-zstd fragment, a multi-stream
+    xz fragment, and another seekable-zstd fragment (a journal whose
+    codec migrated mid-history — gazette's codec-suffix fragment
+    files, broker/fragment/stores.go:124-139); the bounded read
+    [300, 1700) plans per-chunk splits from each container's TAIL
+    metadata only (sources/codec_fragments.py zst_split_plan /
+    xz_split_plan — the ranged-GET discipline), decodes chunks on
+    executors with the native codecs, restores rows via from_json
+    under the manifest-carried schema, and aggregates per event
+    type. Small codec_chunk_bytes forces multiple splits per
+    fragment so the parallel decode path is what actually runs.
+
+    100 TB shape: planning is tail KBs per fragment; decode
+    parallelism = chunk count; the aggregate is a partial-agg
+    shuffle on event_type. The from-spec walkers (functions/
+    zstdfile.py, xzfile.py) stay the verification tier for the same
+    bytes."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    root = tempfile.mkdtemp(prefix="q_journal_codec_")
+    j = Journal(root, "declared/codec-events")
+    for lo, fmt in ((0, "jsonl.zst"), (700, "jsonl.xz"), (1400, "jsonl.zst")):
+        hi = lo + 700
+        j.append(
+            events.filter(
+                (F.col("event_id") >= lo) & (F.col("event_id") < hi)
+            ).orderBy("event_id"),
+            fmt=fmt,
+            codec_chunk_bytes=8192,
+        )
+    return (
+        j.read(spark, begin=300, end=1700)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("_offset").alias("first_off"),
+            F.max("_offset").alias("last_off"),
+            F.sum("user_id").alias("sum_user"),
+        )
+        .orderBy("event_type")
+    )

@@ -134,6 +134,14 @@ def _content_hash(path: str) -> str:
     micro-batch, not the journal."""
     import hashlib
 
+    if os.path.isfile(path):
+        # codec fragments are single byte-stream files: hash the
+        # stream itself, exactly the reference's spooled sha1sum
+        h = hashlib.sha1()
+        with open(path, "rb") as fh:
+            for chunk in iter(lambda: fh.read(1 << 20), b""):
+                h.update(chunk)
+        return h.hexdigest()[:16]
     entries: list[str] = []
     for dirpath, _dirs, files in os.walk(path):
         rel = os.path.relpath(dirpath, path)
@@ -351,6 +359,13 @@ class Fragment:
     # bloom_columns (string equality skipping). Default keeps
     # pre-bloom manifests parsing; a missing filter never prunes.
     blooms: dict = field(default_factory=dict)
+    # Reader-side metadata for byte-opaque codec fragments
+    # (jsonl.zst / jsonl.xz): {"schema_json": <StructType json>}.
+    # Gazette journals carry "only raw serializations" with framing
+    # and schema belonging to the reader (message/interfaces.go:
+    # 121-124) — here the manifest IS the reader's schema carrier.
+    # Default keeps pre-codec manifests parsing.
+    meta: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -540,6 +555,7 @@ class Journal:
         path_postfix: tuple[str, ...] = (),
         fmt: str = "parquet",
         post_write_registers=None,
+        codec_chunk_bytes: int | None = None,
     ) -> Fragment:
         """Serializable atomic append of a batch as one fragment.
 
@@ -552,6 +568,13 @@ class Journal:
         metrics collected by the write job (e.g. the batch's max
         source offset) commit in the same manifest CAS without a
         second scan of the batch.
+
+        `fmt`: fragment file format — columnar `parquet`/`orc`, or a
+        byte-stream codec container `jsonl.zst` (zstd seekable) /
+        `jsonl.xz` (multi-stream xz) whose reader splits it from tail
+        metadata alone (sources/codec_fragments.py).
+        `codec_chunk_bytes`: line-aligned chunk (= split) size for
+        codec fragments; default 1 MiB decompressed.
 
         `path_postfix`: column names laid out Hive-style inside the
         fragment (`date=…/hour=…`) — the JournalSpec path-postfix
@@ -576,23 +599,62 @@ class Journal:
         stamped = df.coalesce(1).withColumn(
             "_offset", F.monotonically_increasing_id() + F.lit(begin)
         )
-        if fmt not in ("parquet", "orc"):
-            raise ValueError(f"unsupported fragment format {fmt!r}")
-        writer = stamped.write.mode("overwrite")
-        if path_postfix:
-            writer = writer.partitionBy(*path_postfix)
-        getattr(writer, fmt)(tmp)
-        n, stats = _footer_info(tmp)
+        from core_spark.sources.codec_fragments import CODEC_FMTS
 
-        # Bloom index over spec-listed string columns (opt-in; one
-        # column-pruned scan of the just-written fragment, so the
-        # cost scales with the batch and the listed columns only).
-        spec = self._spec()
-        blooms = (
-            _build_blooms(df.sparkSession, tmp, fmt, spec.bloom_columns)
-            if spec is not None and spec.bloom_columns
-            else {}
-        )
+        meta: dict = {}
+        if fmt in CODEC_FMTS:
+            # Byte-stream fragment in a random-access codec container
+            # (gazette's codec-suffixed fragment files,
+            # broker/fragment/stores.go:124-139): rows serialize to
+            # NDJSON via Spark's text writer, then the line stream is
+            # cut into line-aligned chunks — seekable-zstd frames or
+            # xz streams — so readers split it from tail metadata
+            # alone. The schema rides the manifest (byte-opaque
+            # journal, reader-side schema).
+            if path_postfix:
+                raise ValueError(
+                    "codec fragments are single byte streams — no "
+                    "Hive path postfix (use parquet/orc for that)"
+                )
+            from core_spark.sources.codec_fragments import (
+                write_jsonl_xz,
+                write_jsonl_zst,
+            )
+
+            txt = tmp + "-txt"
+            stamped.selectExpr("to_json(struct(*)) AS value").coalesce(
+                1
+            ).write.mode("overwrite").text(txt)
+            part = next(
+                os.path.join(txt, fn)
+                for fn in sorted(os.listdir(txt))
+                if fn.startswith("part-")
+            )
+            build = (
+                write_jsonl_zst if fmt == "jsonl.zst" else write_jsonl_xz
+            )
+            n = build(part, tmp, codec_chunk_bytes)
+            shutil.rmtree(txt, ignore_errors=True)
+            stats, blooms = {}, {}
+            meta = {"schema_json": stamped.schema.json()}
+        else:
+            if fmt not in ("parquet", "orc"):
+                raise ValueError(f"unsupported fragment format {fmt!r}")
+            writer = stamped.write.mode("overwrite")
+            if path_postfix:
+                writer = writer.partitionBy(*path_postfix)
+            getattr(writer, fmt)(tmp)
+            n, stats = _footer_info(tmp)
+
+            # Bloom index over spec-listed string columns (opt-in; one
+            # column-pruned scan of the just-written fragment, so the
+            # cost scales with the batch and the listed columns only).
+            spec = self._spec()
+            blooms = (
+                _build_blooms(df.sparkSession, tmp, fmt, spec.bloom_columns)
+                if spec is not None and spec.bloom_columns
+                else {}
+            )
 
         # Content-addressed name, the reference's begin-end-sha1sum
         # (protocol.proto:383-411): identical retried content maps to
@@ -601,9 +663,15 @@ class Journal:
         frag_name = (
             f"frag-{begin:020d}-{begin + n:020d}-{_content_hash(tmp)}"
         )
+        if fmt in CODEC_FMTS:
+            frag_name += "." + fmt  # gazette's codec-suffix naming
         final = os.path.join(self.frag_dir, frag_name)
-        if os.path.isdir(final):
-            shutil.rmtree(tmp, ignore_errors=True)  # idempotent reuse
+        if os.path.exists(final):
+            # idempotent reuse (file or directory fragment)
+            if os.path.isdir(tmp):
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                os.unlink(tmp)
         else:
             os.rename(tmp, final)
 
@@ -616,10 +684,14 @@ class Journal:
         if rate > 0:
             from core_spark.sources.flow_control import bucket_for
 
-            n_bytes = sum(
-                os.path.getsize(os.path.join(dp, f))
-                for dp, _dirs, files in os.walk(final)
-                for f in files
+            n_bytes = (
+                os.path.getsize(final)
+                if os.path.isfile(final)
+                else sum(
+                    os.path.getsize(os.path.join(dp, f))
+                    for dp, _dirs, files in os.walk(final)
+                    for f in files
+                )
             )
             bucket_for(self.root, rate).throttle(n_bytes)
 
@@ -658,6 +730,7 @@ class Journal:
             fmt=fmt,
             stats=stats,
             blooms=blooms,
+            meta=meta,
         )
         new = Manifest(
             version=m.version + 1,
@@ -746,13 +819,34 @@ class Journal:
             frags = covering[:1]
         paths = [os.path.join(self.root, f.path) for f in frags]
 
-        def _load(fmt: str, *ps: str) -> DataFrame:
+        from core_spark.sources.codec_fragments import (
+            CODEC_FMTS,
+            read_codec_fragment,
+        )
+
+        def _load(fmt: str, *ps: str, meta: dict | None = None) -> DataFrame:
+            if fmt in CODEC_FMTS:
+                # byte-stream fragment: tail-planned per-chunk splits,
+                # schema from the manifest (one file per fragment)
+                from functools import reduce as _red
+
+                return _red(
+                    DataFrame.unionByName,
+                    (
+                        read_codec_fragment(
+                            spark, p, fmt, (meta or {}).get("schema_json")
+                        )
+                        for p in ps
+                    ),
+                )
             return getattr(spark.read, fmt)(*ps)
 
+        any_codec = any(f.fmt in CODEC_FMTS for f in frags)
         mixed_fmt = len({f.fmt for f in frags}) > 1
         if len(paths) > 1 and (
             merge_schema
             or mixed_fmt
+            or any_codec
             or any(
                 _dir_has_postfix(os.path.join(self.root, f.path))
                 for f in frags
@@ -773,12 +867,16 @@ class Journal:
             df = reduce(
                 lambda a, b: a.unionByName(b, allowMissingColumns=True),
                 (
-                    _load(f.fmt, os.path.join(self.root, f.path))
+                    _load(
+                        f.fmt,
+                        os.path.join(self.root, f.path),
+                        meta=f.meta,
+                    )
                     for f in frags
                 ),
             )
         else:
-            df = _load(frags[0].fmt, *paths)
+            df = _load(frags[0].fmt, *paths, meta=frags[0].meta)
         if pruned_empty:
             df = df.limit(0)
         if begin is not None:
@@ -866,6 +964,8 @@ class Journal:
 
         def _compactable(f: Fragment) -> bool:
             p = os.path.join(self.root, f.path)
+            # codec fragments (single byte-stream files) never
+            # compact here — rewrite them via read()+append(parquet)
             return os.path.isdir(p) and not _dir_has_postfix(p)
 
         runs: list[list[Fragment]] = []
@@ -1061,7 +1161,14 @@ class Journal:
             )
         )
         for f in dropped:
-            shutil.rmtree(os.path.join(self.root, f.path), ignore_errors=True)
+            p = os.path.join(self.root, f.path)
+            if os.path.isfile(p):
+                try:
+                    os.unlink(p)  # codec fragments are single files
+                except OSError:
+                    pass
+            else:
+                shutil.rmtree(p, ignore_errors=True)
         return len(dropped)
 
     # ------------------------------------------------------------- vacuum
@@ -1121,12 +1228,18 @@ class Journal:
             return 0
         for name in entries:
             p = os.path.join(self.frag_dir, name)
-            if not os.path.isdir(p) or name in referenced:
+            if name in referenced:
                 continue
             if not (name.startswith("frag-") or name.startswith("_tmp-")):
                 continue  # never touch anything this module didn't write
             if now - os.path.getmtime(p) < grace_seconds:
                 continue
-            shutil.rmtree(p, ignore_errors=True)
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+            else:
+                try:
+                    os.unlink(p)  # codec fragment orphans are files
+                except OSError:
+                    continue
             removed += 1
         return removed

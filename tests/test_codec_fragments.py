@@ -1,0 +1,129 @@
+"""Byte-stream codec fragments (jsonl.zst seekable / jsonl.xz
+multi-stream): journal append/read roundtrip, tail-only split
+planning, corrupt-tail discipline, GC of file fragments."""
+
+import os
+
+import pytest
+
+import core_spark.sources.codec_fragments as cf
+from core_spark.sources.codec_fragments import (
+    read_codec_fragment,
+    xz_split_plan,
+    zst_split_plan,
+)
+from core_spark.sources.journal import Journal
+
+
+@pytest.fixture
+def journal(tmp_path):
+    return Journal(str(tmp_path), "codec/journal-0")
+
+
+@pytest.fixture
+def small_chunks(monkeypatch):
+    # force multi-chunk containers from small test batches
+    monkeypatch.setattr(cf, "DEFAULT_CHUNK_BYTES", 2048)
+
+
+def _df(spark, lo, hi):
+    from pyspark.sql import functions as F
+
+    return spark.range(lo, hi).select(
+        F.col("id").alias("v"),
+        F.concat(F.lit("payload-"), F.col("id")).alias("s"),
+    )
+
+
+@pytest.mark.parametrize("fmt", ["jsonl.zst", "jsonl.xz"])
+def test_roundtrip_and_offset_bounds(spark, journal, small_chunks, fmt):
+    journal.append(_df(spark, 0, 400), fmt=fmt)
+    journal.append(_df(spark, 400, 500), fmt=fmt)
+
+    frag = journal.manifest().fragments[0]
+    assert frag.path.endswith("." + fmt)  # codec-suffix naming
+    assert frag.meta.get("schema_json")  # reader-side schema rides manifest
+
+    df = journal.read(spark)
+    rows = sorted((r._offset, r.v, r.s) for r in df.collect())
+    assert [o for o, _, _ in rows] == list(range(500))
+    assert [v for _, v, _ in rows] == list(range(500))
+    assert rows[7][2] == "payload-7"
+
+    mid = journal.read(spark, begin=390, end=410)  # spans both fragments
+    assert sorted(r._offset for r in mid.collect()) == list(range(390, 410))
+
+
+@pytest.mark.parametrize("fmt", ["jsonl.zst", "jsonl.xz"])
+def test_split_plan_is_per_chunk_and_covers_file(
+    spark, journal, small_chunks, fmt
+):
+    journal.append(_df(spark, 0, 400), fmt=fmt)
+    frag = journal.manifest().fragments[0]
+    p = os.path.join(str(journal.root), frag.path)
+    plan = zst_split_plan(p) if fmt == "jsonl.zst" else xz_split_plan(p)
+    assert len(plan) > 1  # multiple independent splits
+    # splits tile the body contiguously
+    off = 0
+    for s in plan:
+        assert s["c_off"] == off
+        off += s["c_size"]
+    if fmt == "jsonl.zst":
+        assert off < os.path.getsize(p)  # seek table after the body
+    else:
+        assert off == os.path.getsize(p)
+
+
+def test_mixed_parquet_and_codec_history_reads(spark, journal, small_chunks):
+    journal.append(_df(spark, 0, 50), fmt="parquet")
+    journal.append(_df(spark, 50, 90), fmt="jsonl.zst")
+    journal.append(_df(spark, 90, 120), fmt="jsonl.xz")
+    df = journal.read(spark)
+    rows = sorted((r._offset, r.v) for r in df.collect())
+    assert [o for o, _ in rows] == list(range(120))
+    assert [v for _, v in rows] == list(range(120))
+
+
+def test_corrupt_tail_raises_never_missplits(spark, journal, small_chunks):
+    from core_spark.functions.zstdfile import ZstdError
+
+    journal.append(_df(spark, 0, 300), fmt="jsonl.zst")
+    frag = journal.manifest().fragments[0]
+    p = os.path.join(str(journal.root), frag.path)
+    raw = open(p, "rb").read()
+    open(p, "wb").write(raw[:-2] + b"\x00\x00")  # break seekable magic
+    with pytest.raises(ZstdError):
+        zst_split_plan(p)
+    open(p, "wb").write(raw[:-9] + b"\xff" + raw[-8:])  # lie about nf
+    with pytest.raises(ZstdError):
+        zst_split_plan(p)
+
+
+def test_missing_schema_raises_named_error(spark, tmp_path, small_chunks):
+    src = tmp_path / "x.jsonl"
+    src.write_bytes(b'{"a": 1}\n' * 10)
+    out = str(tmp_path / "x.jsonl.zst")
+    cf.write_jsonl_zst(str(src), out)
+    with pytest.raises(ValueError, match="schema"):
+        read_codec_fragment(spark, out, "jsonl.zst", None)
+
+
+def test_vacuum_reclaims_orphan_codec_file(spark, journal, small_chunks):
+    journal.append(_df(spark, 0, 40), fmt="jsonl.zst")
+    # fabricate an orphan codec fragment file (a lost CAS loser)
+    orphan = os.path.join(
+        journal.frag_dir, "frag-" + "9" * 20 + "-" + "9" * 20 + "-dead.jsonl.zst"
+    )
+    open(orphan, "wb").write(b"junk")
+    os.utime(orphan, (1, 1))
+    assert journal.vacuum(grace_seconds=0) == 1
+    assert not os.path.exists(orphan)
+    # the referenced fragment survives
+    assert journal.read(spark).count() == 40
+
+
+def test_postfix_rejected_for_codec_fragments(spark, journal):
+    with pytest.raises(ValueError, match="postfix"):
+        journal.append(
+            _df(spark, 0, 10), fmt="jsonl.zst", path_postfix=("v",)
+        )

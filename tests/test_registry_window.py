@@ -66,8 +66,13 @@ _REPO = Path(__file__).resolve().parent.parent
 # q_xz_streams→q_blocks_xz, q_zstd_decode→q_bits_zstd,
 # q_zstd_frames→q_blocks_zstd, q_zstd_seek→q_blocks_zstd_seek.
 # Every name they displaced (q_bm25 … q_canon_sent) holds a green
-# r8/r9 row. The set is empty again.
-PYTEST_ONLY: set[str] = set()
+# r8/r9 row.
+# Late-r10 additions are deliberately named after the cutoff for r11
+# rotation (the window holds 13 first-time r10 names that must keep
+# their slots) — the r5/r7/r8/r9 protocol, cohort kept small.
+PYTEST_ONLY: set[str] = {
+    "q_journal_codec",
+}
 
 
 def _historical_rows() -> set[str]:
