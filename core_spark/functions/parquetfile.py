@@ -44,6 +44,15 @@ prune-on-None means don't prune. This is the min/max pruning the
 journal's zone maps (sources/journal.py) do at the fragment level,
 one level down, inside a fragment.
 
+Value-decode scope (read_parquet_column): flat required/optional
+columns only — BOOLEAN (PLAIN bit-packed and v2 RLE), INT32/INT64,
+FLOAT/DOUBLE, BYTE_ARRAY (str for STRING columns, bytes otherwise),
+FIXED_LEN_BYTE_ARRAY (Decimal for DECIMAL columns, bytes otherwise),
+dictionary/delta/byte-stream-split encodings. REPEATED columns
+(repetition levels / nested lists) and INT96 timestamps raise the
+named error: nested shredding is the native reader's job, and this
+tier exists for planning, verification and recovery.
+
 Reference parity: gazette fragments are opaque files in object
 storage (fragment index in the broker); planning reads like this
 one live in consumers. Cited: SURVEY.md §2.1 fragment listing.
@@ -455,21 +464,30 @@ def parse_parquet_footer(raw: bytes) -> dict:
             types: dict = {}
             reps: dict = {}
             strings: dict = {}
+            fixed_lens: dict = {}
+            decimals: dict = {}
             for _ in range(size):
                 name, ptype, rep = None, None, None
-                conv, logical = None, None
+                conv, logical, tlen = None, None, None
+                scale, precision = None, None
                 for sfid, swt in r.fields(1):
                     if sfid == 1 and swt in _INT_TYPES:
                         ptype = r.zigzag()  # physical type enum
+                    elif sfid == 2 and swt in _INT_TYPES:
+                        tlen = r.zigzag()  # FIXED_LEN_BYTE_ARRAY width
                     elif sfid == 3 and swt in _INT_TYPES:
                         rep = r.zigzag()  # repetition (0 req, 1 opt)
                     elif sfid == 4 and swt == _BINARY:
                         name = r.binary().decode("utf-8", "replace")
                     elif sfid == 6 and swt in _INT_TYPES:
                         conv = r.zigzag()  # ConvertedType (UTF8 = 0)
+                    elif sfid == 7 and swt in _INT_TYPES:
+                        scale = r.zigzag()  # DECIMAL scale
+                    elif sfid == 8 and swt in _INT_TYPES:
+                        precision = r.zigzag()  # DECIMAL precision
                     elif sfid == 10 and swt == _STRUCT:
                         # LogicalType union: the set member's field id
-                        # (STRING = 1) identifies the logical type
+                        # (STRING = 1, DECIMAL = 5) identifies it
                         for lfid, lwt in r.fields(2):
                             if logical is None:
                                 logical = lfid
@@ -481,10 +499,18 @@ def parse_parquet_footer(raw: bytes) -> dict:
                     types[name] = ptype  # group nodes carry None
                     reps[name] = rep
                     strings[name] = conv == 0 or logical == 1
+                    fixed_lens[name] = tlen
+                    # ConvertedType DECIMAL = 5 / LogicalType union
+                    # field DECIMAL = 5; scale/precision ride the
+                    # SchemaElement either way
+                    if (conv == 5 or logical == 5) and scale is not None:
+                        decimals[name] = (scale, precision)
             out["schema"] = names[1:]  # drop the root element
             out["schema_types"] = types
             out["schema_reps"] = reps
             out["schema_strings"] = strings
+            out["schema_fixed_lens"] = fixed_lens
+            out["schema_decimals"] = decimals
         elif fid == 3 and wt in _INT_TYPES:
             out["num_rows"] = r.zigzag()
         elif fid == 4 and wt == _LIST:
@@ -755,10 +781,22 @@ def _delta_byte_array(r: _Reader, n: int) -> list[bytes]:
     return out
 
 
-def _plain_values(data: bytes, ptype: int, n: int) -> tuple[list, int]:
+def _plain_values(
+    data: bytes, ptype: int, n: int, type_len: int | None = None
+) -> tuple[list, int]:
     """PLAIN-encoded values → (values, bytes consumed)."""
     out: list = []
     i = 0
+    if ptype == _PT_FIXED:
+        if not type_len or type_len <= 0:
+            raise ParquetError(
+                "FIXED_LEN_BYTE_ARRAY column lacks its type_length"
+            )
+        if n * type_len > len(data):
+            raise ParquetError("fixed-len values escape the page")
+        return [
+            data[k * type_len : (k + 1) * type_len] for k in range(n)
+        ], n * type_len
     if ptype == _PT_INT32 or ptype == _PT_INT64:
         w = 4 if ptype == _PT_INT32 else 8
         if n * w > len(data):
@@ -792,13 +830,14 @@ def _plain_values(data: bytes, ptype: int, n: int) -> tuple[list, int]:
         i = nbytes
     else:
         raise ParquetError(
-            f"physical type {ptype} is not decoded here (INT96/FIXED)"
+            f"physical type {ptype} is not decoded here (INT96)"
         )
     return out, i
 
 
 def read_column_chunk(
-    raw: bytes, col: dict, ptype: int, max_def: int
+    raw: bytes, col: dict, ptype: int, max_def: int,
+    type_len: int | None = None,
 ) -> list:
     """All values of one column chunk, in row order, None for nulls:
     walk pages from the chunk's first offset, inflate each through
@@ -841,7 +880,7 @@ def read_column_chunk(
                 raise ParquetError("dictionary page lacks num_values")
             if hdr.get("encoding") not in (_ENC_PLAIN, _ENC_PLAIN_DICT):
                 raise ParquetError("dictionary page is not PLAIN")
-            dictionary, _ = _plain_values(plain, ptype, n)
+            dictionary, _ = _plain_values(plain, ptype, n, type_len)
             continue
         if hdr["type"] not in (_PG_DATA, _PG_DATA_V2):
             continue  # index or unknown page types: skip by size
@@ -894,7 +933,23 @@ def read_column_chunk(
         )
         enc = hdr.get("encoding")
         if enc == _ENC_PLAIN:
-            vals, _ = _plain_values(plain[pos:], ptype, n_present)
+            vals, _ = _plain_values(plain[pos:], ptype, n_present, type_len)
+        elif enc == _ENC_RLE:
+            # RLE as a VALUE encoding is booleans only (bit width 1,
+            # u32 length prefix) — the v2 writers' boolean default
+            if ptype != _PT_BOOLEAN:
+                raise ParquetError("RLE values on a non-boolean column")
+            if pos + 4 > len(plain):
+                raise ParquetError("boolean RLE length escapes the page")
+            (blen,) = struct.unpack_from("<I", plain, pos)
+            if pos + 4 + blen > len(plain):
+                raise ParquetError("boolean RLE values escape the page")
+            vals = [
+                bool(v)
+                for v in _rle_hybrid(
+                    plain[pos + 4 : pos + 4 + blen], 1, n_present
+                )
+            ]
         elif enc in (_ENC_PLAIN_DICT, _ENC_RLE_DICT):
             if dictionary is None:
                 raise ParquetError("dictionary-encoded page before its page")
@@ -968,12 +1023,39 @@ def read_parquet_column(raw: bytes, path: str) -> list:
     if rep not in (0, 1):
         raise ParquetError(f"column {path!r} is repeated — not flat")
     out: list = []
+    tlen = footer.get("schema_fixed_lens", {}).get(path)
     for rg in footer["row_groups"]:
         col = next((c for c in rg["columns"] if c.get("path") == path), None)
         if col is None:
             raise ParquetError(f"row group lacks column {path!r}")
-        out.extend(read_column_chunk(raw, col, ptype, max_def=rep))
-    if ptype == _PT_BYTE_ARRAY and footer.get("schema_strings", {}).get(path):
+        out.extend(
+            read_column_chunk(raw, col, ptype, max_def=rep, type_len=tlen)
+        )
+    dec = footer.get("schema_decimals", {}).get(path)
+    if dec is not None and ptype in (
+        _PT_FIXED,
+        _PT_BYTE_ARRAY,
+        _PT_INT32,
+        _PT_INT64,
+    ):
+        # DECIMAL: big-endian two's-complement unscaled value (FLBA /
+        # BYTE_ARRAY) or the int itself (INT32/INT64), scaled by
+        # 10^-scale — returned as decimal.Decimal, pyarrow's own
+        # mapping for decimal columns
+        from decimal import Decimal
+
+        scale = dec[0]
+        out = [
+            None
+            if v is None
+            else Decimal(
+                int.from_bytes(v, "big", signed=True)
+                if isinstance(v, bytes)
+                else v
+            ).scaleb(-scale)
+            for v in out
+        ]
+    elif ptype == _PT_BYTE_ARRAY and footer.get("schema_strings", {}).get(path):
         try:
             out = [
                 v.decode("utf-8") if v is not None else None for v in out

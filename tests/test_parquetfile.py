@@ -476,3 +476,49 @@ def test_byte_array_binary_column_stays_bytes():
     raw = buf.getvalue()
     assert read_parquet_column(raw, "blob") == blobs
     assert read_parquet_column(raw, "s") == strs
+
+
+def test_fixed_len_decimal_and_plain_fixed_columns():
+    """r9 ADVICE breadth: FIXED_LEN_BYTE_ARRAY — DECIMAL columns
+    come back as decimal.Decimal (pyarrow's mapping), plain FLBA as
+    bytes; INT32/INT64-backed decimals scale too."""
+    from decimal import Decimal
+
+    import pyarrow.parquet as _pq
+
+    from core_spark.functions.parquetfile import read_parquet_column
+
+    decs = [Decimal("1234.567"), Decimal("-0.001"), None, Decimal("0")]
+    small = [Decimal("9.99"), Decimal("-0.01"), Decimal("42.00"), None]
+    fixed = [b"abcde", b"\x00\x01\x02\x03\x04", b"zzzzz", b"12345"]
+    t = pa.table(
+        {
+            "d": pa.array(decs, pa.decimal128(12, 3)),
+            "ds": pa.array(small, pa.decimal32(4, 2))
+            if hasattr(pa, "decimal32")
+            else pa.array(small, pa.decimal128(4, 2)),
+            "fx": pa.array(fixed, pa.binary(5)),
+        }
+    )
+    buf = io.BytesIO()
+    _pq.write_table(t, buf)
+    raw = buf.getvalue()
+    assert read_parquet_column(raw, "d") == decs
+    assert read_parquet_column(raw, "ds") == small
+    assert read_parquet_column(raw, "fx") == fixed
+
+
+def test_boolean_rle_v2_pages_decode():
+    """v2 data pages encode booleans as RLE (bit width 1, u32 length
+    prefix) — pinned against pyarrow's v2 writer."""
+    import pyarrow.parquet as _pq
+
+    from core_spark.functions.parquetfile import read_parquet_column
+
+    vals = [(k * 7) % 3 == 1 for k in range(997)] + [None]
+    t = pa.table({"b": pa.array(vals, pa.bool_())})
+    buf = io.BytesIO()
+    _pq.write_table(
+        t, buf, data_page_version="2.0", use_dictionary=False
+    )
+    assert read_parquet_column(buf.getvalue(), "b") == vals
