@@ -491,8 +491,14 @@ def q_bands_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("doc_id")
         )
-        # journal read is lazy: materialize before the temp dir goes
-        rows = out.collect()
+        # journal read is lazy: drain before the temp dir goes —
+        # through the paged serve path (doc_id cursor): one row per
+        # queried doc, never more than a page per request
+        rows = [
+            r
+            for pg in serve_pages(out, ["doc_id"], page_size=256)
+            for r in pg
+        ]
         return spark.createDataFrame(rows, out.schema)
     finally:
         _sh.rmtree(work, ignore_errors=True)
