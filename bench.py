@@ -162,6 +162,8 @@ HEADLINE = [
     "q_bitmap_jpegq",
     "q_bits_pages",
     "q_journal_codec",
+    "q_sample_strat",
+    "q_split_leakage",
     # q_dup_canonical is intentionally absent: its dominant cost is
     # the same pair+CC pipeline q_dup_clusters already times;
     # q_bands_serve (streaming materialize->serve) follows the

@@ -628,3 +628,142 @@ def q_bayes_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------- split leakage
+@query(
+    "q_split_leakage",
+    oracle=None,  # set below: needs llmops' minhash CTEs at import time
+)
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test split LEAKAGE audit: verified near-dup pairs that
+    straddle a split boundary — the eval-integrity check a corpus
+    must pass before its held-out numbers mean anything (a test doc
+    whose near-twin sits in train is a leaked answer, not a held-out
+    example). Reuses the ONE shared pair pipeline
+    (llmops._minhash_dup_pairs: shingle → 16 minhashes → banded LSH
+    → exact-Jaccard ≥ 0.7) and the ONE split assignment
+    (q_datasplit's salted-md5 buckets), so this audit can never
+    drift from what the dedup tier detects or the split tier
+    assigns. Emits each cross-split pair with both splits and the
+    Jaccard in basis points, ordered.
+
+    100 TB shape: the pair pipeline's banded-bucket shuffle is the
+    only all-docs exchange (all-pairs never happens); the split
+    columns are map-side md5 projections joined onto the bounded
+    verified-pair set by doc id."""
+    from core_spark.plans.llmops import _minhash_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _minhash_dup_pairs(docs)
+    bucket = F.expr(_SPARK_BUCKET)
+    split = (
+        docs.select(
+            "doc_id",
+            F.when(bucket < 80, F.lit("train"))
+            .when(bucket < 90, F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+    )
+    sa = split.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    sb = split.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "split_a",
+            "split_b",
+            F.expr("(inter * 10000) div uni").alias("jaccard_bp"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _set_split_leakage_oracle() -> None:
+    from core_spark.plans.llmops import (
+        DUCK_MINHASH_CTES,
+        DUCK_MINHASH_PAIR_SELECT,
+    )
+    from core_spark.plans.registry import REGISTRY
+
+    REGISTRY["q_split_leakage"].oracle = f"""
+    WITH {DUCK_MINHASH_CTES},
+    pairs AS ({DUCK_MINHASH_PAIR_SELECT}),
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN {_DUCK_BUCKET} < 80 THEN 'train'
+                  WHEN {_DUCK_BUCKET} < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT p.doc_a, p.doc_b, a.split AS split_a, b.split AS split_b,
+           CAST((p.inter * 10000) // p.uni AS BIGINT) AS jaccard_bp
+    FROM pairs p
+    JOIN sp a ON p.doc_a = a.doc_id
+    JOIN sp b ON p.doc_b = b.doc_id
+    WHERE a.split <> b.split
+    ORDER BY p.doc_a, p.doc_b
+    """
+
+
+_set_split_leakage_oracle()
+
+
+# ----------------------------------------------------- stratified sample
+_SAMPLE_K = 20
+_SPARK_SAMPLE_H = "md5(concat('sample:', CAST(doc_id AS STRING)))"
+_DUCK_SAMPLE_H = "md5('sample:' || CAST(doc_id AS VARCHAR))"
+
+
+@query(
+    "q_sample_strat",
+    oracle=f"""
+    SELECT lang, doc_id, rank FROM (
+      SELECT lang, doc_id,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY {_DUCK_SAMPLE_H}, doc_id) AS BIGINT) AS rank
+      FROM documents
+    ) WHERE rank <= {_SAMPLE_K}
+    ORDER BY lang, rank
+    """,
+)
+def q_sample_strat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: exactly K docs per stratum
+    (lang), chosen by smallest salted md5 — the reproducible,
+    engine-independent 'random' sample every corpus audit and eval
+    set draws (same salt discipline as q_datasplit: the hash keys a
+    STABLE id, so the sample survives text re-processing, and the
+    salt decorrelates it from every other md5-keyed operator).
+
+    100 TB shape: partial_topk (the map-side top-k kernel ANN uses)
+    reduces each Arrow batch to ≤ K rows per stratum BEFORE the one
+    per-stratum exchange, so the final window ranks K x batches
+    candidate rows, not the corpus — per-stratum sampling without a
+    corpus-wide sort, whatever the stratum skew."""
+    from pyspark.sql import Window
+
+    from core_spark.operators.similarity import partial_topk
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", F.expr(_SPARK_SAMPLE_H).alias("h")
+    )
+    cand = partial_topk(
+        docs, key=["lang"], by=["h", "doc_id"],
+        ascending=[True, True], k=_SAMPLE_K,
+    )
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _SAMPLE_K)
+        .select("lang", "doc_id", "rank")
+        .orderBy("lang", "rank")
+    )

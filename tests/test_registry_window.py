@@ -72,6 +72,8 @@ _REPO = Path(__file__).resolve().parent.parent
 # their slots) — the r5/r7/r8/r9 protocol, cohort kept small.
 PYTEST_ONLY: set[str] = {
     "q_journal_codec",
+    "q_sample_strat",
+    "q_split_leakage",
 }
 
 
