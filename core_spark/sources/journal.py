@@ -745,6 +745,24 @@ class Journal:
         self._commit_manifest(new)
         return frag
 
+    def _load_fragment(self, spark: SparkSession, f: Fragment) -> DataFrame:
+        """One fragment -> DataFrame under ITS format: columnar
+        fragments through Spark's native reader, byte-stream codec
+        fragments through the tail-planned chunk reader with the
+        manifest-carried schema. Shared by read() and compact() so
+        the two paths can never diverge on codec handling."""
+        from core_spark.sources.codec_fragments import (
+            CODEC_FMTS,
+            read_codec_fragment,
+        )
+
+        p = os.path.join(self.root, f.path)
+        if f.fmt in CODEC_FMTS:
+            return read_codec_fragment(
+                spark, p, f.fmt, f.meta.get("schema_json")
+            )
+        return getattr(spark.read, f.fmt)(p)
+
     # --------------------------------------------------------------- read
     def read(
         self,
@@ -819,27 +837,7 @@ class Journal:
             frags = covering[:1]
         paths = [os.path.join(self.root, f.path) for f in frags]
 
-        from core_spark.sources.codec_fragments import (
-            CODEC_FMTS,
-            read_codec_fragment,
-        )
-
-        def _load(fmt: str, *ps: str, meta: dict | None = None) -> DataFrame:
-            if fmt in CODEC_FMTS:
-                # byte-stream fragment: tail-planned per-chunk splits,
-                # schema from the manifest (one file per fragment)
-                from functools import reduce as _red
-
-                return _red(
-                    DataFrame.unionByName,
-                    (
-                        read_codec_fragment(
-                            spark, p, fmt, (meta or {}).get("schema_json")
-                        )
-                        for p in ps
-                    ),
-                )
-            return getattr(spark.read, fmt)(*ps)
+        from core_spark.sources.codec_fragments import CODEC_FMTS
 
         any_codec = any(f.fmt in CODEC_FMTS for f in frags)
         mixed_fmt = len({f.fmt for f in frags}) > 1
@@ -866,17 +864,13 @@ class Journal:
             # partition columns read as null, as native discovery would
             df = reduce(
                 lambda a, b: a.unionByName(b, allowMissingColumns=True),
-                (
-                    _load(
-                        f.fmt,
-                        os.path.join(self.root, f.path),
-                        meta=f.meta,
-                    )
-                    for f in frags
-                ),
+                (self._load_fragment(spark, f) for f in frags),
             )
         else:
-            df = _load(frags[0].fmt, *paths, meta=frags[0].meta)
+            if len(frags) == 1:
+                df = self._load_fragment(spark, frags[0])
+            else:
+                df = getattr(spark.read, frags[0].fmt)(*paths)
         if pruned_empty:
             df = df.limit(0)
         if begin is not None:
@@ -964,8 +958,12 @@ class Journal:
 
         def _compactable(f: Fragment) -> bool:
             p = os.path.join(self.root, f.path)
-            # codec fragments (single byte-stream files) never
-            # compact here — rewrite them via read()+append(parquet)
+            if os.path.isfile(p):
+                # byte-stream codec fragments compact too — the
+                # merged fragment is parquet, so compaction doubles
+                # as the codec->columnar migration (a frontier's
+                # tiny .zst appends fold into scannable parquet)
+                return True
             return os.path.isdir(p) and not _dir_has_postfix(p)
 
         runs: list[list[Fragment]] = []
@@ -995,10 +993,7 @@ class Journal:
             )
             df = reduce(
                 lambda a, b: a.unionByName(b),
-                (
-                    getattr(spark.read, f.fmt)(os.path.join(self.root, f.path))
-                    for f in run
-                ),
+                (self._load_fragment(spark, f) for f in run),
             )
             out = df.coalesce(1)
             if cluster_by:
@@ -1050,7 +1045,7 @@ class Journal:
             Fragment(
                 seq=i, begin=f.begin, end=f.end, n_records=f.n_records,
                 path=f.path, mod_time=f.mod_time, fmt=f.fmt, stats=f.stats,
-                blooms=f.blooms,
+                blooms=f.blooms, meta=f.meta,
             )
             for i, f in enumerate(merged)
         ]
@@ -1073,9 +1068,14 @@ class Journal:
         if delete_source:
             for run in todo:
                 for f in run:
-                    shutil.rmtree(
-                        os.path.join(self.root, f.path), ignore_errors=True
-                    )
+                    p = os.path.join(self.root, f.path)
+                    if os.path.isfile(p):
+                        try:
+                            os.unlink(p)
+                        except OSError:
+                            pass
+                    else:
+                        shutil.rmtree(p, ignore_errors=True)
         return sum(len(r) for r in todo) - len(todo)
 
     # --------------------------------------------------------- reset-head

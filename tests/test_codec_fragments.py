@@ -5,6 +5,7 @@ planning, corrupt-tail discipline, GC of file fragments."""
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 import core_spark.sources.codec_fragments as cf
 from core_spark.sources.codec_fragments import (
@@ -27,8 +28,6 @@ def small_chunks(monkeypatch):
 
 
 def _df(spark, lo, hi):
-    from pyspark.sql import functions as F
-
     return spark.range(lo, hi).select(
         F.col("id").alias("v"),
         F.concat(F.lit("payload-"), F.col("id")).alias("s"),
@@ -127,3 +126,31 @@ def test_postfix_rejected_for_codec_fragments(spark, journal):
         journal.append(
             _df(spark, 0, 10), fmt="jsonl.zst", path_postfix=("v",)
         )
+
+
+def test_codec_fragments_compact_to_parquet(spark, journal, small_chunks):
+    """Compaction doubles as the codec->columnar migration: adjacent
+    codec fragments merge into ONE parquet fragment with offsets
+    preserved, and non-compacted codec fragments keep their manifest
+    schema (meta) through the seq renumbering."""
+    journal.append(_df(spark, 0, 60), fmt="jsonl.zst")
+    journal.append(_df(spark, 60, 120), fmt="jsonl.xz")
+    # a postfix fragment breaks the run so the later codec frag survives
+    journal.append(
+        _df(spark, 120, 150).withColumn("p", F.col("v") % 2),
+        fmt="parquet",
+        path_postfix=("p",),
+    )
+    journal.append(_df(spark, 150, 200), fmt="jsonl.zst")
+
+    assert journal.compact(spark) == 1  # zst+xz run merged
+    m = journal.manifest()
+    assert [f.fmt for f in m.fragments] == ["parquet", "parquet", "jsonl.zst"]
+    assert m.fragments[0].stats  # merged fragment regains zone maps
+    # the surviving codec fragment kept its reader-side schema
+    assert m.fragments[2].meta.get("schema_json")
+
+    rows = sorted((r._offset, r.v) for r in journal.read(spark).collect())
+    assert [o for o, _ in rows] == list(range(200))
+    assert [v for _, v in rows] == list(range(200))
+
