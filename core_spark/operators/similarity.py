@@ -232,6 +232,54 @@ def knn_bruteforce(
     )
 
 
+def knn_filtered(
+    queries: DataFrame,
+    corpus: DataFrame,
+    on: list[str],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Filtered exact top-k: cosine neighbors restricted to corpus
+    rows sharing the query's metadata column(s) `on` (per-tenant /
+    per-label vector search). The filter is not a post-scan WHERE —
+    it becomes the EQUI-JOIN key of the broadcast join, so Catalyst
+    plans a hash join on `on` and non-matching corpus rows never
+    produce a pair row at all. Orientation and bounding as in
+    knn_bruteforce: query side broadcast, corpus streams, per-batch
+    partial top-k before the final per-qid window.
+
+    Output: (qid, vec_id, sim) plus the `on` columns."""
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        *on,
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("cv"),
+        *on,
+    )
+    pairs = _with_pair_cosine(
+        c.join(F.broadcast(q), on=on).filter(
+            F.col("qid") != F.col("vec_id")
+        ),
+        "qv",
+        "cv",
+        "sim",
+        ["qid", "vec_id", *on],
+    ).withColumn("sim", F.round("sim", 6))
+    pairs = partial_topk(
+        pairs, ["qid"], ["sim", "vec_id"], [False, True], k
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def bucket_expr(vec_col: str, planes: list[list[int]]) -> str:
     """Spark SQL expr packing hyperplane signs into a bucket id."""
     terms = []

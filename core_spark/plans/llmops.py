@@ -1170,6 +1170,50 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_bruteforce(queries, emb, k=5).orderBy("qid", "vec_id")
 
 
+@query(
+    "q_ann_filtered",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, label, v AS qv FROM e WHERE vec_id < 10),
+    pairs AS (
+      SELECT q.qid, e.vec_id, q.label, {_duck_cos("qv", "v")} AS sim
+      FROM q JOIN e ON q.label = e.label AND q.qid <> e.vec_id
+    )
+    SELECT qid, vec_id, label, sim FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+      FROM pairs
+    ) WHERE rn <= 5 ORDER BY qid, vec_id
+    """,
+)
+def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search: exact cosine top-5 restricted to
+    corpus rows sharing the query's label — the per-tenant /
+    per-collection predicate every production vector store applies
+    with the search, not after it. The filter is not a post-scan
+    WHERE: operators/similarity.knn_filtered makes it the EQUI-JOIN
+    key of the broadcast join, so Catalyst plans a hash join on
+    label and non-matching corpus rows never produce a pair row.
+    Same discipline as q_knn_cosine: query sample broadcast, corpus
+    streams, per-batch partial top-k, 6dp rounding + vec_id
+    tie-break so ordering is engine-stable.
+
+    100 TB shape: pair rows are |corpus ∩ filter| x |Q|, not
+    |corpus| x |Q| — the selectivity of the filter is a multiplier
+    ON the scan, which is exactly why stores fuse the predicate."""
+    from core_spark.operators.similarity import knn_filtered
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return knn_filtered(queries, emb, on=["label"], k=5).select(
+        "qid", "vec_id", "label", "sim"
+    ).orderBy("qid", "vec_id")
+
+
 # ---------------------------------------------------------------- ann-lsh
 _PLANES = hyperplanes(8, 64)
 

@@ -544,3 +544,32 @@ def test_dedup_embed_auto_oracle_holds_in_dynamic_width_region(spark):
             )
             assert got.equals(want), f"{name}: value mismatch in auto region"
         con.close()
+
+
+def test_knn_filtered_equals_brute_force_within_label(spark):
+    """Filtered search == brute force over the label-filtered corpus,
+    per query — the equi-join predicate loses nothing."""
+    from pyspark.sql import functions as F
+
+    from core_spark.operators.similarity import knn_bruteforce, knn_filtered
+
+    emb = spark.createDataFrame(
+        [
+            (i, [float((i * 7 + d * 3) % 11 - 5) for d in range(8)], i % 3)
+            for i in range(60)
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    queries = emb.filter(F.col("vec_id") < 4)
+    got = {
+        (r.qid, r.vec_id, r.sim)
+        for r in knn_filtered(queries, emb, on=["label"], k=3).collect()
+    }
+    want = set()
+    for q in queries.collect():
+        sub = emb.filter(F.col("label") == q.label)
+        for r in knn_bruteforce(
+            queries.filter(F.col("vec_id") == q.vec_id), sub, k=3
+        ).collect():
+            want.add((r.qid, r.vec_id, r.sim))
+    assert got == want
