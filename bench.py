@@ -163,6 +163,7 @@ HEADLINE = [
     "q_bits_pages",
     "q_journal_codec",
     "q_ann_filtered",
+    "q_embed_audit",
     "q_sample_strat",
     "q_split_leakage",
     # q_dup_canonical is intentionally absent: its dominant cost is

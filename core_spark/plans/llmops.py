@@ -6173,3 +6173,96 @@ def q_bits_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "rg_idx", "page_idx")
     )
+
+
+# ------------------------------------------------------ embedding audit
+_EMBED_DIMS = 64
+
+
+@query(
+    "q_embed_audit",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    crafted AS (
+      SELECT vec_id, v FROM base WHERE vec_id >= 5
+      UNION ALL  -- planted anomalies from the first five vectors
+      SELECT -1, list_transform(v, x -> 0.0) FROM base WHERE vec_id = 0
+      UNION ALL
+      SELECT -2, list_append(v[2:], CAST('nan' AS DOUBLE))
+        FROM base WHERE vec_id = 1
+      UNION ALL
+      SELECT -3, v[1:32] FROM base WHERE vec_id = 2
+      UNION ALL
+      SELECT -4, list_append(v[2:], CAST('inf' AS DOUBLE))
+        FROM base WHERE vec_id = 3
+      UNION ALL
+      SELECT -5, []::DOUBLE[] FROM base WHERE vec_id = 4
+    )
+    SELECT vec_id,
+           CAST(len(v) AS BIGINT) AS dims,
+           CASE WHEN len(list_filter(v, x -> isnan(x) OR isinf(x))) > 0
+                THEN 'non_finite'
+                WHEN len(v) <> {_EMBED_DIMS} THEN 'dim_mismatch'
+                WHEN list_sum(list_transform(v, x -> x * x)) < 1e-12
+                     OR list_sum(list_transform(v, x -> x * x)) IS NULL
+                THEN 'zero_norm'
+                ELSE 'ok' END AS verdict,
+           CASE WHEN len(list_filter(v, x -> isnan(x) OR isinf(x))) > 0
+                     OR len(v) = 0
+                THEN NULL
+                ELSE round(sqrt(list_sum(list_transform(v, x -> x * x))), 6)
+           END AS norm
+    FROM crafted ORDER BY vec_id
+    """,
+)
+def q_embed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding INGEST GATE: per-vector dims / L2 norm / verdict —
+    the audit every ANN index build runs before trusting a new batch
+    (a zero vector poisons cosine with NaN, a non-finite coordinate
+    poisons every distance it touches, a wrong width breaks the
+    index layout). The corpus is clean by construction, so the gate
+    is exercised by five PLANTED anomalies derived deterministically
+    from the first five vectors (zeroed, NaN-injected, truncated to
+    32 dims, Inf-injected, empty) — each must land in its named
+    verdict while the real corpus reads 'ok', and the oracle builds
+    the SAME plant in DuckDB list arithmetic, so the flags and the
+    6dp norms hash-check end to end.
+
+    100 TB shape: one map-side projection over the corpus — array
+    expressions only, zero shuffles, zero Python; the verdict column
+    is what a quarantine filter pushes down."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+    )
+    first = {r["vec_id"]: r["v"] for r in emb.filter(F.col("vec_id") < 5).collect()}
+    crafted = spark.createDataFrame(
+        [
+            (-1, [0.0] * len(first[0])),
+            (-2, list(first[1][1:]) + [float("nan")]),
+            (-3, list(first[2][:32])),
+            (-4, list(first[3][1:]) + [float("inf")]),
+            (-5, []),
+        ],
+        "vec_id long, v array<double>",
+    )
+    allv = emb.filter(F.col("vec_id") >= 5).unionByName(crafted)
+    sq = "aggregate(v, 0.0D, (acc, x) -> acc + x * x)"
+    bad = "exists(v, x -> isnan(x) OR x = double('inf') OR x = double('-inf'))"
+    return allv.select(
+        "vec_id",
+        F.expr("CAST(size(v) AS BIGINT)").alias("dims"),
+        F.expr(
+            f"CASE WHEN {bad} THEN 'non_finite' "
+            f"WHEN size(v) <> {_EMBED_DIMS} THEN 'dim_mismatch' "
+            f"WHEN {sq} < 1e-12 OR {sq} IS NULL THEN 'zero_norm' "
+            "ELSE 'ok' END"
+        ).alias("verdict"),
+        F.expr(
+            f"CASE WHEN {bad} OR size(v) = 0 THEN NULL "
+            f"ELSE round(sqrt({sq}), 6) END"
+        ).alias("norm"),
+    ).orderBy("vec_id")

@@ -71,6 +71,7 @@ _REPO = Path(__file__).resolve().parent.parent
 # rotation (the window holds 13 first-time r10 names that must keep
 # their slots) — the r5/r7/r8/r9 protocol, cohort kept small.
 PYTEST_ONLY: set[str] = {
+    "q_embed_audit",
     "q_journal_codec",
     "q_sample_strat",
     "q_split_leakage",
