@@ -46,6 +46,11 @@ class ShardConfig:
     # override path; offsets/progress are journal offsets.
     source_root: str | None = None
     source_journal: str | None = None
+    # Fragment format each transaction commits (parquet/orc, or the
+    # byte-stream codec containers jsonl.zst / jsonl.xz — gazette
+    # consumers append compressed byte streams, and the codec suffix
+    # rides the fragment name; sources/codec_fragments.py).
+    out_fmt: str = "parquet"
 
 
 def run_shard(
@@ -73,7 +78,9 @@ def run_shard(
         )
     # fence is store-assigned at construction: each incarnation of the
     # shard gets a unique, larger fence via the journal's manifest CAS
-    sink = FencedJournalSink(cfg.out_root, cfg.out_journal, shard=cfg.shard_id)
+    sink = FencedJournalSink(
+        cfg.out_root, cfg.out_journal, shard=cfg.shard_id, fmt=cfg.out_fmt
+    )
 
     def process(df: DataFrame, batch_id: int) -> None:
         # Offset-granular progress (Stat RPC's ReadThrough): when the

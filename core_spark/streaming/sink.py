@@ -46,9 +46,12 @@ from core_spark.sources.journal import Journal, RegisterMismatch
 class FencedJournalSink:
     """foreachBatch target writing exactly-once into a Journal."""
 
-    def __init__(self, root: str, journal: str, shard: str):
+    def __init__(
+        self, root: str, journal: str, shard: str, fmt: str = "parquet"
+    ):
         self.journal = Journal(root, journal)
         self.shard = shard
+        self.fmt = fmt  # per-transaction fragment format (codec ok)
         # Store-assigned unique fence: newer incarnations bump it;
         # older writers then fail their register check / ack gate.
         self.fence = self.journal.acquire_fence(shard)
@@ -124,6 +127,7 @@ class FencedJournalSink:
         staged = df.withColumn("_batch", F.lit(batch_id))
         self.journal.append(
             staged,
+            fmt=self.fmt,
             # the append itself re-validates the fence against the
             # manifest it commits over — the CAS closes the
             # check-then-act window _check_fence alone would leave

@@ -154,3 +154,36 @@ def test_codec_fragments_compact_to_parquet(spark, journal, small_chunks):
     assert [o for o, _ in rows] == list(range(200))
     assert [v for _, v in rows] == list(range(200))
 
+
+
+def test_shard_commits_codec_fragments(spark, tmp_path, small_chunks):
+    """A streaming shard whose transactions commit jsonl.zst
+    fragments: every micro-batch appends one codec-suffixed byte
+    stream, the manifest carries each batch's schema, and the journal
+    read reassembles the full stream exactly-once."""
+    import os as _os
+
+    from core_spark.streaming.shard import ShardConfig, run_shard
+
+    src = str(tmp_path / "src")
+    _df(spark, 0, 200).repartition(4).write.parquet(src)
+    cfg = ShardConfig(
+        source_glob=_os.path.join(src, "*.parquet"),
+        source_schema="v long, s string",
+        out_root=str(tmp_path / "out"),
+        out_journal="codec/stream",
+        shard_id="codec-0",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=2,  # multiple transactions
+        out_fmt="jsonl.zst",
+    )
+    run_shard(spark, cfg, lambda df: df.select("v", "s")).awaitTermination(
+        300
+    )
+    j = Journal(str(tmp_path / "out"), "codec/stream")
+    m = j.manifest()
+    assert len(m.fragments) >= 2  # >1 transaction committed
+    assert all(f.path.endswith(".jsonl.zst") for f in m.fragments)
+    assert all(f.meta.get("schema_json") for f in m.fragments)
+    rows = j.read(spark).select("v", "s").collect()
+    assert sorted(r.v for r in rows) == list(range(200))
