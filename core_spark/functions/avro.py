@@ -9,8 +9,19 @@ An OCF is: the 4-byte magic ``Obj\\x01``; a file-metadata MAP
 zigzag-encoded base-128 varints (the same wire varint as protobuf,
 functions/protowire.py, with Avro's zigzag applied to every long);
 strings are length-prefixed UTF-8. The ``deflate`` codec is raw
-DEFLATE (RFC 1951, no zlib header) per the spec; ``null`` is
-uncompressed.
+DEFLATE (RFC 1951, no zlib header) per the spec; ``snappy`` is one
+raw snappy block (decoded by the repo's from-spec
+functions/snappy.py, pinned against pyarrow's independent C
+encoder) followed by a 4-byte BIG-endian CRC32 of the UNCOMPRESSED
+block data, VERIFIED; ``null`` is uncompressed.
+
+Value decode covers the full primitive set — null, boolean (one
+byte, anything but 0/1 is corrupt), int and long (zigzag varints),
+float and double (IEEE 754 little-endian), bytes and string
+(length-prefixed) — plus unions (zigzag branch index then the
+branch's value), which is how Avro spells nullable columns
+(``["null", T]``). Complex types (records-in-records, arrays,
+maps, enums, fixed) raise the named scope fence.
 
 The block layout is what makes OCF object-storage friendly — the
 same ranged-GET discipline as the media walks: a reader seeks by
@@ -32,6 +43,7 @@ executor-side Arrow kernels.
 from __future__ import annotations
 
 import json
+import struct
 import zlib
 
 MAGIC = b"Obj\x01"
@@ -140,7 +152,7 @@ def avro_ocf_meta(raw: bytes) -> dict:
         codec = meta.get("avro.codec", b"null").decode("ascii")
     except UnicodeDecodeError:
         raise AvroError("avro.codec is not ASCII") from None
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         raise AvroError(f"unsupported codec {codec!r}")
     if i + 16 > len(raw):
         raise AvroError("truncated sync marker")
@@ -182,28 +194,85 @@ def avro_blocks(raw: bytes) -> list[dict]:
     return out
 
 
-def avro_block_records(
-    data: bytes, codec: str, fields: list[tuple[str, str]], n: int
-) -> list[dict]:
-    """Decode one fetched block's record bytes: `fields` is the
-    flat record layout [(name, 'long'|'string'), ...] (the subset
-    the fixtures use; nested schemas stay behind the documented
-    fastavro stub in multimodal/columns.py's spirit)."""
+def _read_value(data: bytes, i: int, typ):
+    """One Avro value of primitive or union type → (value, next i).
+    ``typ`` is a type-name string or a union branch list."""
+    if isinstance(typ, list):  # union: zigzag branch index, then value
+        idx, i = read_long(data, i)
+        if not 0 <= idx < len(typ):
+            raise AvroError(f"union branch {idx} out of range")
+        return _read_value(data, i, typ[idx])
+    if typ in ("long", "int"):
+        v, i = read_long(data, i)
+        if typ == "int" and not -(1 << 31) <= v < 1 << 31:
+            raise AvroError(f"int value {v} overflows 32 bits")
+        return v, i
+    if typ == "string":
+        return read_string(data, i)
+    if typ == "bytes":
+        return read_bytes(data, i)
+    if typ == "boolean":
+        if i >= len(data):
+            raise AvroError("boolean runs past EOF")
+        b = data[i]
+        if b > 1:
+            raise AvroError(f"boolean byte {b:#04x} is neither 0 nor 1")
+        return bool(b), i + 1
+    if typ == "float":
+        if i + 4 > len(data):
+            raise AvroError("float runs past EOF")
+        return struct.unpack_from("<f", data, i)[0], i + 4
+    if typ == "double":
+        if i + 8 > len(data):
+            raise AvroError("double runs past EOF")
+        return struct.unpack_from("<d", data, i)[0], i + 8
+    if typ == "null":
+        return None, i
+    raise AvroError(f"unsupported field type {typ!r}")
+
+
+def _decode_block_bytes(data: bytes, codec: str) -> bytes:
+    """Inflate one block's bytes per avro.codec. The snappy codec's
+    trailing big-endian CRC32 (of the UNCOMPRESSED data, per the
+    spec) is verified, never skipped."""
     if codec == "deflate":
         try:
-            data = zlib.decompress(data, wbits=-15)  # raw DEFLATE
+            return zlib.decompress(data, wbits=-15)  # raw DEFLATE
         except zlib.error as e:
             raise AvroError(f"deflate block: {e}") from None
+    if codec == "snappy":
+        from core_spark.functions.snappy import SnappyError, snappy_decompress
+
+        if len(data) < 4:
+            raise AvroError("snappy block too short for its CRC32")
+        try:
+            out = snappy_decompress(data[:-4])
+        except SnappyError as e:
+            raise AvroError(f"snappy block: {e}") from None
+        (want,) = struct.unpack(">I", data[-4:])
+        got = zlib.crc32(out)
+        if want != got:
+            raise AvroError(
+                f"snappy block CRC32 mismatch "
+                f"(want {want:#010x}, got {got:#010x})"
+            )
+        return out
+    return data
+
+
+def avro_block_records(
+    data: bytes, codec: str, fields: list[tuple[str, object]], n: int
+) -> list[dict]:
+    """Decode one fetched block's record bytes: `fields` is the flat
+    record layout [(name, type), ...] where type is a primitive name
+    or a union list (e.g. ["null", "string"] — Avro's nullable).
+    Nested records/arrays/maps stay behind the named scope fence."""
+    data = _decode_block_bytes(data, codec)
     i, out = 0, []
     for _ in range(n):
         rec = {}
         for name, typ in fields:
-            if typ == "long":
-                rec[name], i = read_long(data, i)
-            elif typ == "string":
-                rec[name], i = read_string(data, i)
-            else:
-                raise AvroError(f"unsupported field type {typ!r}")
+            rec[name], i = _read_value(data, i, typ)
         out.append(rec)
     if i != len(data):
         raise AvroError("trailing bytes after the declared records")
@@ -221,6 +290,88 @@ _SCHEMA = {
         {"name": "score", "type": "long"},
     ],
 }
+
+
+_TYPED_FIELDS: list[tuple[str, object]] = [
+    ("seq", "int"),
+    ("flag", "boolean"),
+    ("ratio", "double"),
+    ("fval", "float"),
+    ("note", ["null", "string"]),
+    ("blob", "bytes"),
+]
+_TYPED_SCHEMA = {
+    "type": "record",
+    "name": "doc_typed",
+    "fields": [
+        {"name": "seq", "type": "int"},
+        {"name": "flag", "type": "boolean"},
+        {"name": "ratio", "type": "double"},
+        {"name": "fval", "type": "float"},
+        {"name": "note", "type": ["null", "string"]},
+        {"name": "blob", "type": "bytes"},
+    ],
+}
+
+
+def _write_bytes_v(b: bytes) -> bytes:
+    return write_long(len(b)) + b
+
+
+def build_avro_typed_fixture(digest: str) -> bytes:
+    """Deterministic full-primitive OCF from an md5 digest: codec
+    cycles null/deflate/snappy by digest[2] % 3 (the snappy path
+    carries its spec-mandated big-endian CRC32 of the uncompressed
+    block); ``2 + digest[0]%2`` blocks of ``2 + digest[1]%3``
+    records. With base = digest[3:5] as int, record (b, i) carries
+    seq = 100b + i (int), flag = (base+i) even (boolean),
+    ratio = (8*base + 7i - 3b)/32 (double, exact in binary),
+    fval = i - b (float, small ints exact), note = null when
+    (b+i)%3 == 0 else "digest[:6]-b-i" (the ["null","string"]
+    union — both branches exercised), blob = the digest's 16 bytes
+    repeated 1 + i%2 times. The sync marker is the digest itself."""
+    ci = int(digest[2], 16) % 3
+    codec = ("null", "deflate", "snappy")[ci]
+    nblocks = 2 + int(digest[0], 16) % 2
+    nrec = 2 + int(digest[1], 16) % 3
+    sync = bytes.fromhex(digest)
+    meta = (
+        write_long(2)
+        + write_string("avro.schema")
+        + _write_bytes_v(
+            json.dumps(_TYPED_SCHEMA, separators=(",", ":")).encode()
+        )
+        + write_string("avro.codec")
+        + _write_bytes_v(codec.encode())
+        + write_long(0)
+    )
+    out = bytearray(MAGIC + meta + sync)
+    base = int(digest[3:5], 16)
+    for b in range(nblocks):
+        body = bytearray()
+        for i in range(nrec):
+            body += write_long(100 * b + i)
+            body += bytes([(base + i) % 2 == 0])
+            body += struct.pack("<d", (8 * base + 7 * i - 3 * b) / 32.0)
+            body += struct.pack("<f", float(i - b))
+            if (b + i) % 3 == 0:
+                body += write_long(0)  # union branch: null
+            else:
+                body += write_long(1) + write_string(
+                    f"{digest[:6]}-{b}-{i}"
+                )
+            body += _write_bytes_v(sync * (1 + i % 2))
+        data = bytes(body)
+        if codec == "deflate":
+            co = zlib.compressobj(6, zlib.DEFLATED, -15)
+            data = co.compress(data) + co.flush()
+        elif codec == "snappy":
+            import pyarrow as pa  # independent C encoder pins the decoder
+
+            data = pa.Codec("snappy").compress(data, asbytes=True)
+            data += struct.pack(">I", zlib.crc32(bytes(body)))
+        out += write_long(nrec) + write_long(len(data)) + data + sync
+    return bytes(out)
 
 
 def build_avro_fixture(digest: str) -> bytes:

@@ -186,28 +186,31 @@ def q_framed_journal(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_journal_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-stream codec fragments end to end: three sorted appends
     land events [0,2k) as a seekable-zstd fragment, a multi-stream
-    xz fragment, and another seekable-zstd fragment (a journal whose
-    codec migrated mid-history — gazette's codec-suffix fragment
-    files, broker/fragment/stores.go:124-139); the bounded read
-    [300, 1700) plans per-chunk splits from each container's TAIL
-    metadata only (sources/codec_fragments.py zst_split_plan /
-    xz_split_plan — the ranged-GET discipline), decodes chunks on
-    executors with the native codecs, restores rows via from_json
-    under the manifest-carried schema, and aggregates per event
-    type. Small codec_chunk_bytes forces multiple splits per
-    fragment so the parallel decode path is what actually runs.
+    xz fragment, and a multi-member gzip fragment — gazette's
+    DEFAULT codec — (a journal whose codec migrated mid-history;
+    gazette's codec-suffix fragment files,
+    broker/fragment/stores.go:124-139); the bounded read [300, 1700)
+    plans per-chunk splits from each container's metadata only
+    (sources/codec_fragments.py zst_split_plan / xz_split_plan from
+    tail reads, gz_split_plan from the writer-planted SL member
+    lengths walked forward — the ranged-GET discipline either way),
+    decodes chunks on executors with the native codecs, restores
+    rows via from_json under the manifest-carried schema, and
+    aggregates per event type. Small codec_chunk_bytes forces
+    multiple splits per fragment so the parallel decode path is
+    what actually runs.
 
-    100 TB shape: planning is tail KBs per fragment; decode
+    100 TB shape: planning is metadata KBs per fragment; decode
     parallelism = chunk count; the aggregate is a partial-agg
     shuffle on event_type. The from-spec walkers (functions/
-    zstdfile.py, xzfile.py) stay the verification tier for the same
-    bytes."""
+    zstdfile.py, xzfile.py, gzipfile.py) stay the verification tier
+    for the same bytes."""
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type"
     )
     root = tempfile.mkdtemp(prefix="q_journal_codec_")
     j = Journal(root, "declared/codec-events")
-    for lo, fmt in ((0, "jsonl.zst"), (700, "jsonl.xz"), (1400, "jsonl.zst")):
+    for lo, fmt in ((0, "jsonl.zst"), (700, "jsonl.xz"), (1400, "jsonl.gz")):
         hi = lo + 700
         j.append(
             events.filter(

@@ -3430,6 +3430,128 @@ def q_avro_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_ocf_values",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             substr(md5(text), 1, 6) AS d6,
+             2 + CAST('0x' || substr(md5(text), 1, 1) AS BIGINT) % 2
+               AS nblocks,
+             2 + CAST('0x' || substr(md5(text), 2, 1) AS BIGINT) % 3
+               AS nrec,
+             CAST('0x' || substr(md5(text), 3, 1) AS BIGINT) % 3 AS ci,
+             CAST('0x' || substr(md5(text), 4, 2) AS BIGINT) AS base
+      FROM documents
+    ),
+    b AS (SELECT *, unnest(range(nblocks)) AS blk FROM p),
+    r AS (SELECT *, unnest(range(nrec)) AS i FROM b)
+    SELECT doc_id,
+           CAST(blk AS BIGINT) AS block_idx,
+           CAST(i AS BIGINT) AS rec_idx,
+           CAST(100 * blk + i AS BIGINT) AS seq,
+           ((base + i) % 2 = 0) AS flag,
+           CAST(8 * base + 7 * i - 3 * blk AS DOUBLE) / 32.0 AS ratio,
+           CAST(i - blk AS DOUBLE) AS fval,
+           CASE WHEN (blk + i) % 3 = 0 THEN NULL
+                ELSE d6 || '-' || CAST(blk AS VARCHAR) || '-'
+                     || CAST(i AS VARCHAR) END AS note,
+           CAST(16 * (1 + i % 2) AS BIGINT) AS blob_len,
+           CASE ci WHEN 0 THEN 'null' WHEN 1 THEN 'deflate'
+                ELSE 'snappy' END AS codec
+    FROM r ORDER BY doc_id, block_idx, rec_idx
+    """,
+)
+def q_ocf_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro OCF FULL-primitive value decode (functions/avro.py;
+    Apache Avro 1.11 spec) — the depth tier below q_avro_blocks'
+    long/string walk, completing the from-spec value-decode trio
+    (parquet q_bits_parquet, ORC q_bits_orc, Avro here). Each
+    document becomes a REAL typed OCF whose codec cycles
+    null/raw-DEFLATE/SNAPPY by hash — the snappy path decodes with
+    the repo's from-spec functions/snappy.py against pyarrow's
+    independent C encoder and VERIFIES the spec's big-endian CRC32
+    of the uncompressed block — and whose records carry int,
+    boolean, double, float, bytes and the ``["null","string"]``
+    union (Avro's nullable column; both branches exercised
+    corpus-wide). The oracle recomputes every field by integer
+    arithmetic from the same md5 and never sees the container
+    bytes, so a wrong zigzag width, union branch index, IEEE byte
+    order, boolean byte, or snappy copy op fails the hash —
+    doubles are chosen exactly representable (k/32) so the
+    hash-compare is exact, not approximate.
+
+    Scale shape: map-side Arrow kernel, zero shuffles before the
+    presentation sort; sync-delimited blocks stay the ranged-GET
+    split unit exactly as in q_avro_blocks."""
+    from core_spark.functions.avro import (
+        _TYPED_FIELDS,
+        avro_block_records,
+        avro_blocks,
+        avro_ocf_meta,
+        build_avro_typed_fixture,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+
+    def walk(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                digest = hashlib.md5(text.encode("utf-8")).hexdigest()
+                raw = build_avro_typed_fixture(digest)
+                meta = avro_ocf_meta(raw)
+                for blk in avro_blocks(raw):
+                    recs = avro_block_records(
+                        raw[
+                            blk["data_off"]: blk["data_off"]
+                            + blk["data_len"]
+                        ],
+                        meta["codec"],
+                        _TYPED_FIELDS,
+                        blk["n_records"],
+                    )
+                    for i, rec in enumerate(recs):
+                        rows.append(
+                            (
+                                int(doc_id),
+                                blk["block_idx"],
+                                i,
+                                rec["seq"],
+                                rec["flag"],
+                                rec["ratio"],
+                                float(rec["fval"]),
+                                rec["note"],
+                                len(rec["blob"]),
+                                meta["codec"],
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "block_idx", "rec_idx", "seq", "flag",
+                    "ratio", "fval", "note", "blob_len", "codec",
+                ],
+            )
+
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(
+            walk,
+            schema=(
+                "doc_id long, block_idx long, rec_idx long, seq long,"
+                " flag boolean, ratio double, fval double,"
+                " note string, blob_len long, codec string"
+            ),
+        )
+        .orderBy("doc_id", "block_idx", "rec_idx")
+    )
+
+
 # ------------------------------------------------------------ cdx index
 @query(
     "q_cc_cdx",

@@ -15,7 +15,15 @@ can split WITHOUT decoding it —
   documents the layout);
 - ``jsonl.xz``: a concatenated multi-stream .xz — one stream per
   line-aligned chunk, each stream tail carrying its own CRC-checked
-  block index (functions/xzfile.py).
+  block index (functions/xzfile.py);
+- ``jsonl.gz``: gazette's DEFAULT codec (stores.go lists ``.gz``
+  first) — a concatenated multi-member gzip, one member per
+  line-aligned chunk. Stock gzip has no index, so each member's
+  header carries the writer-planted ``SL`` FEXTRA subfield (u32
+  total member length; the BGZF mechanism, RFC 1952 §2.3.1.1 —
+  functions/gzipfile.py) and split planning walks headers FORWARD,
+  two bounded ranged reads per member. Any stock gzip reader still
+  streams the whole fragment: FEXTRA is skip-over data to it.
 
 Split planning touches TAIL metadata only, via bounded ranged reads
 (the local stand-in for object-store ranged GETs): the zstd plan is
@@ -50,7 +58,7 @@ from core_spark.functions.zstdfile import (
     ZstdError,
 )
 
-CODEC_FMTS = ("jsonl.zst", "jsonl.xz")
+CODEC_FMTS = ("jsonl.zst", "jsonl.xz", "jsonl.gz")
 
 # Decompressed chunk target. Chunks are the split unit: small enough
 # that one decodes comfortably in executor memory, large enough that
@@ -121,6 +129,25 @@ def write_jsonl_xz(
                     chunk, format=lzma.FORMAT_XZ, check=lzma.CHECK_CRC32
                 )
             )
+            total += n
+    return total
+
+
+def write_jsonl_gz(
+    src_path: str, out_path: str, chunk_bytes: int | None = None
+) -> int:
+    """NDJSON text file → concatenated multi-member .gz; returns the
+    line count. One member per line-aligned chunk, each header
+    carrying the ``SL`` split-length subfield (functions/gzipfile.py)
+    so gz_split_plan never inflates. MTIME=0: deterministic bytes,
+    so the content-addressed fragment name is retry-stable."""
+    from core_spark.functions.gzipfile import write_member
+
+    chunk_bytes = chunk_bytes or DEFAULT_CHUNK_BYTES
+    total = 0
+    with open(out_path, "wb") as out:
+        for chunk, n in _chunk_lines(src_path, chunk_bytes):
+            out.write(write_member(chunk))
             total += n
     return total
 
@@ -226,6 +253,37 @@ def xz_split_plan(path: str) -> list[dict]:
     return out
 
 
+def gz_split_plan(path: str) -> list[dict]:
+    """Multi-member .gz split plan walking members FORWARD, two
+    bounded ranged reads per member (a 64-byte header probe for the
+    ``SL`` member length; the 8-byte trailer for CRC32+ISIZE) —
+    never a payload byte. Returns [{c_off, c_size, d_size, crc32}]
+    in file order. A member without the SL subfield (a stock
+    writer's fragment) raises the named GzipError: such files are
+    stream-decode-only, the documented reason jsonl.zst is the
+    preferred scale path."""
+    from core_spark.functions.gzipfile import GzipError, gz_member_len
+
+    fsize = os.path.getsize(path)
+    out: list[dict] = []
+    off = 0
+    while off < fsize:
+        probe = _ranged(path, off, min(64, fsize - off))
+        c_size = gz_member_len(probe)
+        if off + c_size > fsize:
+            raise GzipError("SL member length escapes the file")
+        crc, isize = struct.unpack(
+            "<II", _ranged(path, off + c_size - 8, 8)
+        )
+        out.append(
+            {"c_off": off, "c_size": c_size, "d_size": isize, "crc32": crc}
+        )
+        off += c_size
+    # a zero-byte fragment (an empty append) plans to zero splits,
+    # matching the zst/xz planners
+    return out
+
+
 def read_codec_fragment(spark, path: str, fmt: str, schema_json: str):
     """One codec fragment → DataFrame: tail-planned splits fan out to
     executors; each split ranged-reads its chunk, decodes it with the
@@ -243,6 +301,11 @@ def read_codec_fragment(spark, path: str, fmt: str, schema_json: str):
             (p["c_off"], p["c_size"], p["d_size"])
             for p in xz_split_plan(path)
         ]
+    elif fmt == "jsonl.gz":
+        plan = [
+            (p["c_off"], p["c_size"], p["d_size"])
+            for p in gz_split_plan(path)
+        ]
     else:
         raise ValueError(f"unknown codec fragment format {fmt!r}")
     if not schema_json:
@@ -255,24 +318,26 @@ def read_codec_fragment(spark, path: str, fmt: str, schema_json: str):
         plan, "c_off long, c_size long, d_size long"
     ).repartition(max(1, min(len(plan), 64)))
 
-    is_zst = fmt == "jsonl.zst"
-
     def decode(batches):
+        import gzip as _gzip
         import lzma as _lzma
 
         import pandas as pd
         import pyarrow as _pa
 
-        codec = _pa.Codec("zstd") if is_zst else None
+        codec = _pa.Codec("zstd") if fmt == "jsonl.zst" else None
         for b in batches:
             for c_off, c_size, d_size in zip(
                 b["c_off"], b["c_size"], b["d_size"]
             ):
                 raw = _ranged(path, int(c_off), int(c_size))
-                if is_zst:
+                if fmt == "jsonl.zst":
                     data = codec.decompress(
                         raw, decompressed_size=int(d_size), asbytes=True
                     )
+                elif fmt == "jsonl.gz":
+                    # one whole member: stdlib verifies CRC32 + ISIZE
+                    data = _gzip.decompress(raw)
                 else:
                     data = _lzma.decompress(raw, format=_lzma.FORMAT_XZ)
                 if len(data) != int(d_size):

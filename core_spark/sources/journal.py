@@ -360,7 +360,7 @@ class Fragment:
     # pre-bloom manifests parsing; a missing filter never prunes.
     blooms: dict = field(default_factory=dict)
     # Reader-side metadata for byte-opaque codec fragments
-    # (jsonl.zst / jsonl.xz): {"schema_json": <StructType json>}.
+    # (jsonl.zst/.xz/.gz): {"schema_json": <StructType json>}.
     # Gazette journals carry "only raw serializations" with framing
     # and schema belonging to the reader (message/interfaces.go:
     # 121-124) — here the manifest IS the reader's schema carrier.
@@ -571,8 +571,10 @@ class Journal:
 
         `fmt`: fragment file format — columnar `parquet`/`orc`, or a
         byte-stream codec container `jsonl.zst` (zstd seekable) /
-        `jsonl.xz` (multi-stream xz) whose reader splits it from tail
-        metadata alone (sources/codec_fragments.py).
+        `jsonl.xz` (multi-stream xz) / `jsonl.gz` (multi-member gzip
+        with SL split lengths — gazette's default codec) whose
+        reader splits it from per-member/tail metadata alone
+        (sources/codec_fragments.py).
         `codec_chunk_bytes`: line-aligned chunk (= split) size for
         codec fragments; default 1 MiB decompressed.
 
@@ -617,6 +619,7 @@ class Journal:
                     "Hive path postfix (use parquet/orc for that)"
                 )
             from core_spark.sources.codec_fragments import (
+                write_jsonl_gz,
                 write_jsonl_xz,
                 write_jsonl_zst,
             )
@@ -630,9 +633,11 @@ class Journal:
                 for fn in sorted(os.listdir(txt))
                 if fn.startswith("part-")
             )
-            build = (
-                write_jsonl_zst if fmt == "jsonl.zst" else write_jsonl_xz
-            )
+            build = {
+                "jsonl.zst": write_jsonl_zst,
+                "jsonl.xz": write_jsonl_xz,
+                "jsonl.gz": write_jsonl_gz,
+            }[fmt]
             n = build(part, tmp, codec_chunk_bytes)
             shutil.rmtree(txt, ignore_errors=True)
             stats, blooms = {}, {}

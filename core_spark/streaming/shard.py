@@ -47,7 +47,7 @@ class ShardConfig:
     source_root: str | None = None
     source_journal: str | None = None
     # Fragment format each transaction commits (parquet/orc, or the
-    # byte-stream codec containers jsonl.zst / jsonl.xz — gazette
+    # byte-stream codec containers jsonl.zst/.xz/.gz — gazette
     # consumers append compressed byte streams, and the codec suffix
     # rides the fragment name; sources/codec_fragments.py).
     out_fmt: str = "parquet"

@@ -151,3 +151,111 @@ def test_non_ascii_codec_raises_named_error():
     from core_spark.functions.avro import avro_ocf_meta
     with pytest.raises(AvroError):
         avro_ocf_meta(MAGIC + meta + b"\x00" * 16)
+
+
+# ----------------------------------------------- typed value decode
+def test_typed_fixture_all_codecs_and_types_roundtrip():
+    """Full-primitive decode across null/deflate/snappy: every field
+    recomputed independently from the digest (the q_ocf_values
+    oracle's arithmetic, here in python)."""
+    import hashlib
+
+    from core_spark.functions.avro import (
+        _TYPED_FIELDS,
+        avro_block_records,
+        avro_blocks,
+        avro_ocf_meta,
+        build_avro_typed_fixture,
+    )
+
+    codecs = set()
+    for t in "abcdefghij":
+        d = hashlib.md5(t.encode()).hexdigest()
+        raw = build_avro_typed_fixture(d)
+        meta = avro_ocf_meta(raw)
+        codecs.add(meta["codec"])
+        base = int(d[3:5], 16)
+        for blk in avro_blocks(raw):
+            recs = avro_block_records(
+                raw[blk["data_off"]: blk["data_off"] + blk["data_len"]],
+                meta["codec"], _TYPED_FIELDS, blk["n_records"],
+            )
+            b = blk["block_idx"]
+            for i, r in enumerate(recs):
+                assert r["seq"] == 100 * b + i
+                assert r["flag"] is ((base + i) % 2 == 0)
+                assert r["ratio"] == (8 * base + 7 * i - 3 * b) / 32.0
+                assert r["fval"] == float(i - b)
+                assert r["note"] == (
+                    None if (b + i) % 3 == 0 else f"{d[:6]}-{b}-{i}"
+                )
+                assert r["blob"] == bytes.fromhex(d) * (1 + i % 2)
+    assert codecs == {"null", "deflate", "snappy"}
+
+
+def test_snappy_block_crc_is_verified():
+    import hashlib
+    import struct
+
+    import pytest as _pytest
+
+    from core_spark.functions.avro import (
+        _TYPED_FIELDS,
+        AvroError,
+        avro_block_records,
+        avro_blocks,
+        avro_ocf_meta,
+        build_avro_typed_fixture,
+    )
+
+    # find a snappy-codec fixture
+    for t in (f"doc{i}" for i in range(50)):
+        d = hashlib.md5(t.encode()).hexdigest()
+        raw = build_avro_typed_fixture(d)
+        if avro_ocf_meta(raw)["codec"] == "snappy":
+            break
+    blk = avro_blocks(raw)[0]
+    data = raw[blk["data_off"]: blk["data_off"] + blk["data_len"]]
+    ok = avro_block_records(data, "snappy", _TYPED_FIELDS, blk["n_records"])
+    assert len(ok) == blk["n_records"]
+    # flip one CRC byte -> named error, never silent garbage
+    bad = data[:-4] + struct.pack(
+        ">I", struct.unpack(">I", data[-4:])[0] ^ 1
+    )
+    with _pytest.raises(AvroError, match="CRC32"):
+        avro_block_records(bad, "snappy", _TYPED_FIELDS, blk["n_records"])
+    # a short block can't even hold its CRC
+    with _pytest.raises(AvroError, match="CRC32|short"):
+        avro_block_records(b"abc", "snappy", _TYPED_FIELDS, 1)
+
+
+def test_typed_corrupt_values_raise_named():
+    import pytest as _pytest
+
+    from core_spark.functions.avro import (
+        AvroError,
+        avro_block_records,
+        write_long,
+    )
+
+    # boolean byte that is neither 0 nor 1
+    with _pytest.raises(AvroError, match="boolean"):
+        avro_block_records(b"\x02", "null", [("f", "boolean")], 1)
+    # float/double running past EOF
+    with _pytest.raises(AvroError, match="float"):
+        avro_block_records(b"\x01\x02", "null", [("f", "float")], 1)
+    with _pytest.raises(AvroError, match="double"):
+        avro_block_records(b"\x01" * 6, "null", [("f", "double")], 1)
+    # int that overflows 32 bits
+    with _pytest.raises(AvroError, match="32 bits"):
+        avro_block_records(
+            write_long(1 << 40), "null", [("f", "int")], 1
+        )
+    # union branch index out of range
+    with _pytest.raises(AvroError, match="union branch"):
+        avro_block_records(
+            write_long(5), "null", [("f", ["null", "string"])], 1
+        )
+    # nested complex types are scope-fenced, not guessed
+    with _pytest.raises(AvroError, match="unsupported field type"):
+        avro_block_records(b"", "null", [("f", "array")], 1)

@@ -1,6 +1,7 @@
 """Byte-stream codec fragments (jsonl.zst seekable / jsonl.xz
-multi-stream): journal append/read roundtrip, tail-only split
-planning, corrupt-tail discipline, GC of file fragments."""
+multi-stream / jsonl.gz multi-member): journal append/read
+roundtrip, metadata-only split planning, corrupt-input discipline,
+GC of file fragments."""
 
 import os
 
@@ -9,6 +10,7 @@ from pyspark.sql import functions as F
 
 import core_spark.sources.codec_fragments as cf
 from core_spark.sources.codec_fragments import (
+    gz_split_plan,
     read_codec_fragment,
     xz_split_plan,
     zst_split_plan,
@@ -34,7 +36,7 @@ def _df(spark, lo, hi):
     )
 
 
-@pytest.mark.parametrize("fmt", ["jsonl.zst", "jsonl.xz"])
+@pytest.mark.parametrize("fmt", ["jsonl.zst", "jsonl.xz", "jsonl.gz"])
 def test_roundtrip_and_offset_bounds(spark, journal, small_chunks, fmt):
     journal.append(_df(spark, 0, 400), fmt=fmt)
     journal.append(_df(spark, 400, 500), fmt=fmt)
@@ -53,14 +55,18 @@ def test_roundtrip_and_offset_bounds(spark, journal, small_chunks, fmt):
     assert sorted(r._offset for r in mid.collect()) == list(range(390, 410))
 
 
-@pytest.mark.parametrize("fmt", ["jsonl.zst", "jsonl.xz"])
+@pytest.mark.parametrize("fmt", ["jsonl.zst", "jsonl.xz", "jsonl.gz"])
 def test_split_plan_is_per_chunk_and_covers_file(
     spark, journal, small_chunks, fmt
 ):
     journal.append(_df(spark, 0, 400), fmt=fmt)
     frag = journal.manifest().fragments[0]
     p = os.path.join(str(journal.root), frag.path)
-    plan = zst_split_plan(p) if fmt == "jsonl.zst" else xz_split_plan(p)
+    plan = {
+        "jsonl.zst": zst_split_plan,
+        "jsonl.xz": xz_split_plan,
+        "jsonl.gz": gz_split_plan,
+    }[fmt](p)
     assert len(plan) > 1  # multiple independent splits
     # splits tile the body contiguously
     off = 0
@@ -77,10 +83,60 @@ def test_mixed_parquet_and_codec_history_reads(spark, journal, small_chunks):
     journal.append(_df(spark, 0, 50), fmt="parquet")
     journal.append(_df(spark, 50, 90), fmt="jsonl.zst")
     journal.append(_df(spark, 90, 120), fmt="jsonl.xz")
+    journal.append(_df(spark, 120, 140), fmt="jsonl.gz")
     df = journal.read(spark)
     rows = sorted((r._offset, r.v) for r in df.collect())
-    assert [o for o, _ in rows] == list(range(120))
-    assert [v for _, v in rows] == list(range(120))
+    assert [o for o, _ in rows] == list(range(140))
+    assert [v for _, v in rows] == list(range(140))
+
+
+def test_gz_fragment_reads_with_stock_gzip(spark, journal, small_chunks):
+    """Interop both ways: the jsonl.gz fragment is a VALID stock
+    multi-member gzip file (stdlib reads all members, FEXTRA is
+    skip-over data to it), and the planner's per-member d_size/crc
+    agree with the verification walker's inflating walk."""
+    import gzip
+
+    from core_spark.functions.gzipfile import gzip_members
+
+    journal.append(_df(spark, 0, 400), fmt="jsonl.gz")
+    frag = journal.manifest().fragments[0]
+    p = os.path.join(str(journal.root), frag.path)
+    raw = open(p, "rb").read()
+    text = gzip.decompress(raw)  # stock reader: one pass, all members
+    assert text.count(b"\n") == 400
+    plan = gz_split_plan(p)
+    walk = gzip_members(raw)
+    assert [(s["c_off"], s["c_size"], s["d_size"], s["crc32"]) for s in plan] == [
+        (m["h_off"], m["c_size"], m["d_size"], m["crc32"]) for m in walk
+    ]
+    assert all(m["split_len"] == m["c_size"] for m in walk)
+
+
+def test_gz_plan_rejects_stock_writer_file(tmp_path):
+    """A stock gzip member carries no SL subfield: the planner raises
+    the named error (stream-decode-only file) instead of guessing
+    member boundaries."""
+    import gzip
+
+    from core_spark.functions.gzipfile import GzipError
+
+    p = str(tmp_path / "stock.jsonl.gz")
+    open(p, "wb").write(gzip.compress(b'{"v": 1}\n' * 50))
+    with pytest.raises(GzipError, match="SL"):
+        gz_split_plan(p)
+
+
+def test_gz_truncated_member_raises_never_missplits(spark, journal, small_chunks):
+    from core_spark.functions.gzipfile import GzipError
+
+    journal.append(_df(spark, 0, 300), fmt="jsonl.gz")
+    frag = journal.manifest().fragments[0]
+    p = os.path.join(str(journal.root), frag.path)
+    raw = open(p, "rb").read()
+    open(p, "wb").write(raw[:-10])  # cut into the last member
+    with pytest.raises(GzipError):
+        gz_split_plan(p)
 
 
 def test_corrupt_tail_raises_never_missplits(spark, journal, small_chunks):

@@ -73,6 +73,7 @@ _REPO = Path(__file__).resolve().parent.parent
 PYTEST_ONLY: set[str] = {
     "q_embed_audit",
     "q_journal_codec",
+    "q_ocf_values",
     "q_sample_strat",
     "q_split_leakage",
 }
