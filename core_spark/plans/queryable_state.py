@@ -106,11 +106,16 @@ def q_bike_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ride log into sqlite under the gazette_checkpoints fence, then
     serve "bikes that returned to their start station" from the TABLE
     (count of returns to the first-seen station per bike, bikes with
-    >= 1 return). The DuckDB oracle computes the same thing straight
-    from the events parquet — a hash match proves the materialization
-    is lossless AND the store-side SQL agrees with the declarative
-    form. Reference: QueryCycleStmt served from the SQLStore,
-    examples/bike-share/application.go:134-199."""
+    >= 1 return). The cycle aggregate snapshots into a store-side
+    serving table ONCE (SQLStore.snapshot) and reads drain it by
+    keyset-paginated requests (SQLStore.query_pages — LIMIT + a
+    key-range probe on the primary key, never OFFSET, never a whole-
+    table fetch), so the serve tier's memory is one page whatever
+    the store size. The DuckDB oracle computes the same thing
+    straight from the events parquet — a hash match proves the
+    materialization is lossless AND the store-side SQL agrees with
+    the declarative form. Reference: QueryCycleStmt served from the
+    SQLStore, examples/bike-share/application.go:134-199."""
     tmp = tempfile.mkdtemp(prefix="bike_store_")
     try:
         store = SQLStore(os.path.join(tmp, "state.db"), shard="cycles-0")
@@ -120,7 +125,14 @@ def q_bike_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").alias("station"),
         )
         store.materialize("rides", rides, batch_id=0, key_cols=("event_id",))
-        rows = store.query(_CYCLES_SQL)
+        store.snapshot("cycles", _CYCLES_SQL)
+        rows = [
+            r
+            for page in store.query_pages(
+                "cycles", keys=("user_id",), page_size=256
+            )
+            for r in page
+        ]
         store.close()
         return spark.createDataFrame(
             [(int(u), int(r), int(c)) for u, r, c in rows],

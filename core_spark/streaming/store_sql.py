@@ -251,12 +251,83 @@ class SQLStore:
 
         return write
 
+    def snapshot(self, table: str, sql: str) -> int:
+        """Materialize a derived serving snapshot: DROP + CREATE
+        ``table`` AS the given SELECT over this store's state, and
+        return its row count. The bike-share QueryCycleStmt pattern
+        with a paging-friendly twist — the aggregate runs ONCE
+        store-side, then reads drain it through query_pages instead
+        of re-running the aggregate per request or collecting it
+        whole."""
+        self._conn.execute(f"DROP TABLE IF EXISTS {table}")
+        self._conn.execute(f"CREATE TABLE {table} AS {sql}")
+        self._conn.commit()
+        return self._conn.execute(
+            f"SELECT COUNT(*) FROM {table}"
+        ).fetchone()[0]
+
     # -------------------------------------------------------------- reads
     def query(self, sql: str, params: Sequence = ()) -> list[tuple]:
         """Serve a read from the materialized state (the bike-share
         QueryCycleStmt pattern). Reads see only committed state —
         sqlite gives snapshot isolation per statement."""
         return list(self._conn.execute(sql, params))
+
+    def query_pages(
+        self,
+        table: str,
+        keys: Sequence[str],
+        page_size: int,
+        columns: Sequence[str] | None = None,
+    ):
+        """Keyset-paginated serve over a materialized table: yields
+        lists of rows, each fetched by ONE `LIMIT page_size` probe
+        with a `(k1,k2,..) > (v1,v2,..)` continuation predicate
+        (never OFFSET — sqlite row-value comparison walks the
+        primary-key b-tree range directly, so page N costs the same
+        as page 1 whatever the table size). The key tuple must be
+        unique per row: it IS the cursor, and yielded rows lead with
+        the key columns (the cursor slice is positional). The
+        relational twin of
+        gazette's offset-ranged journal reads
+        (broker/protocol/protocol.proto ReadRequest offset/
+        endOffset) — the serve tier never materializes more than one
+        page per request."""
+        if page_size <= 0:
+            raise ValueError("page_size must be positive")
+        if columns is None:
+            info = self._conn.execute(
+                f"PRAGMA table_info({table})"
+            ).fetchall()
+            columns = [r[1] for r in info]
+        missing = [k for k in keys if k not in columns]
+        if missing:
+            raise ValueError(f"cursor keys {missing} not in the page")
+        # keys lead the row so the cursor slice is positional-stable
+        columns = list(keys) + [c for c in columns if c not in keys]
+        cols = ", ".join(columns)
+        order = ", ".join(keys)
+        tup = "(" + ", ".join(keys) + ")"
+        ph = "(" + ", ".join("?" for _ in keys) + ")"
+        last: tuple | None = None
+        while True:
+            if last is None:
+                rows = list(self._conn.execute(
+                    f"SELECT {cols} FROM {table} ORDER BY {order}"
+                    f" LIMIT {int(page_size)}"
+                ))
+            else:
+                rows = list(self._conn.execute(
+                    f"SELECT {cols} FROM {table} WHERE {tup} > {ph}"
+                    f" ORDER BY {order} LIMIT {int(page_size)}",
+                    last,
+                ))
+            if not rows:
+                return
+            yield rows
+            if len(rows) < page_size:
+                return
+            last = tuple(rows[-1][: len(keys)])
 
     def close(self) -> None:
         self._conn.close()

@@ -190,7 +190,7 @@ def test_codec_fragments_compact_to_parquet(spark, journal, small_chunks):
     preserved, and non-compacted codec fragments keep their manifest
     schema (meta) through the seq renumbering."""
     journal.append(_df(spark, 0, 60), fmt="jsonl.zst")
-    journal.append(_df(spark, 60, 120), fmt="jsonl.xz")
+    journal.append(_df(spark, 60, 120), fmt="jsonl.gz")
     # a postfix fragment breaks the run so the later codec frag survives
     journal.append(
         _df(spark, 120, 150).withColumn("p", F.col("v") % 2),
