@@ -20,8 +20,14 @@ byte, anything but 0/1 is corrupt), int and long (zigzag varints),
 float and double (IEEE 754 little-endian), bytes and string
 (length-prefixed) — plus unions (zigzag branch index then the
 branch's value), which is how Avro spells nullable columns
-(``["null", T]``). Complex types (records-in-records, arrays,
-maps, enums, fixed) raise the named scope fence.
+(``["null", T]``), plus the common LOGICAL types (spec §Logical
+Types): ``decimal`` over bytes (big-endian two's-complement
+unscaled integer at the schema's scale → decimal.Decimal),
+``date`` over int (days since epoch → datetime.date) and
+``timestamp-micros`` over long (→ naive-UTC datetime), written as
+a dict field spec {"type": ..., "logicalType": ...}. Complex types
+(records-in-records, arrays, maps, enums, fixed) and other logical
+types raise the named scope fence.
 
 The block layout is what makes OCF object-storage friendly — the
 same ranged-GET discipline as the media walks: a reader seeks by
@@ -42,6 +48,8 @@ executor-side Arrow kernels.
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import json
 import struct
 import zlib
@@ -194,9 +202,38 @@ def avro_blocks(raw: bytes) -> list[dict]:
     return out
 
 
+_EPOCH_DATE = datetime.date(1970, 1, 1)
+_EPOCH_DT = datetime.datetime(1970, 1, 1)
+
+
 def _read_value(data: bytes, i: int, typ):
-    """One Avro value of primitive or union type → (value, next i).
-    ``typ`` is a type-name string or a union branch list."""
+    """One Avro value of primitive, union, or logical type →
+    (value, next i). ``typ`` is a type-name string, a union branch
+    list, or a dict spec {"type": ..., "logicalType": ...}."""
+    if isinstance(typ, dict):  # logical type over an underlying type
+        lt = typ.get("logicalType")
+        # fence BEFORE decoding: an unsupported shape must never
+        # consume bytes as if it were understood
+        if lt == "decimal" and typ["type"] != "bytes":
+            raise AvroError(
+                "decimal is only supported over bytes (fixed is "
+                "scope-fenced)"
+            )
+        if lt == "date" and typ["type"] != "int":
+            raise AvroError("date must annotate int")
+        if lt == "timestamp-micros" and typ["type"] != "long":
+            raise AvroError("timestamp-micros must annotate long")
+        if lt not in (None, "decimal", "date", "timestamp-micros"):
+            raise AvroError(f"unsupported logical type {lt!r}")
+        v, i = _read_value(data, i, typ["type"])
+        if lt == "decimal":
+            unscaled = int.from_bytes(v, "big", signed=True)
+            return decimal.Decimal(unscaled).scaleb(-typ["scale"]), i
+        if lt == "date":
+            return _EPOCH_DATE + datetime.timedelta(days=v), i
+        if lt == "timestamp-micros":
+            return _EPOCH_DT + datetime.timedelta(microseconds=v), i
+        return v, i
     if isinstance(typ, list):  # union: zigzag branch index, then value
         idx, i = read_long(data, i)
         if not 0 <= idx < len(typ):
@@ -299,6 +336,10 @@ _TYPED_FIELDS: list[tuple[str, object]] = [
     ("fval", "float"),
     ("note", ["null", "string"]),
     ("blob", "bytes"),
+    ("dec", {"type": "bytes", "logicalType": "decimal",
+             "precision": 12, "scale": 2}),
+    ("day", {"type": "int", "logicalType": "date"}),
+    ("ts", {"type": "long", "logicalType": "timestamp-micros"}),
 ]
 _TYPED_SCHEMA = {
     "type": "record",
@@ -310,8 +351,20 @@ _TYPED_SCHEMA = {
         {"name": "fval", "type": "float"},
         {"name": "note", "type": ["null", "string"]},
         {"name": "blob", "type": "bytes"},
+        {"name": "dec", "type": {"type": "bytes",
+                                 "logicalType": "decimal",
+                                 "precision": 12, "scale": 2}},
+        {"name": "day", "type": {"type": "int", "logicalType": "date"}},
+        {"name": "ts", "type": {"type": "long",
+                                "logicalType": "timestamp-micros"}},
     ],
 }
+
+
+def _signed_be(n: int) -> bytes:
+    """Minimal big-endian two's-complement — the decimal unscaled
+    encoding (spec: 'two's-complement … big-endian byte order')."""
+    return n.to_bytes(max(1, (n.bit_length() + 8) // 8), "big", signed=True)
 
 
 def _write_bytes_v(b: bytes) -> bytes:
@@ -329,7 +382,11 @@ def build_avro_typed_fixture(digest: str) -> bytes:
     fval = i - b (float, small ints exact), note = null when
     (b+i)%3 == 0 else "digest[:6]-b-i" (the ["null","string"]
     union — both branches exercised), blob = the digest's 16 bytes
-    repeated 1 + i%2 times. The sync marker is the digest itself."""
+    repeated 1 + i%2 times, dec = decimal(12,2) with unscaled
+    13i - 3b + base - 200 (negatives exercise the two's-complement
+    sign), day = epoch + (10*base + 31i + b) days,
+    ts = ((base%50)*86400 + 3661i + b) seconds + i microseconds
+    since epoch. The sync marker is the digest itself."""
     ci = int(digest[2], 16) % 3
     codec = ("null", "deflate", "snappy")[ci]
     nblocks = 2 + int(digest[0], 16) % 2
@@ -361,6 +418,11 @@ def build_avro_typed_fixture(digest: str) -> bytes:
                     f"{digest[:6]}-{b}-{i}"
                 )
             body += _write_bytes_v(sync * (1 + i % 2))
+            body += _write_bytes_v(_signed_be(13 * i - 3 * b + base - 200))
+            body += write_long(10 * base + 31 * i + b)
+            body += write_long(
+                ((base % 50) * 86400 + 3661 * i + b) * 1_000_000 + i
+            )
         data = bytes(body)
         if codec == "deflate":
             co = zlib.compressobj(6, zlib.DEFLATED, -15)

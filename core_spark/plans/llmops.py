@@ -3457,6 +3457,20 @@ def q_avro_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE d6 || '-' || CAST(blk AS VARCHAR) || '-'
                      || CAST(i AS VARCHAR) END AS note,
            CAST(16 * (1 + i % 2) AS BIGINT) AS blob_len,
+           CASE WHEN 13 * i - 3 * blk + base - 200 < 0 THEN '-'
+                ELSE '' END
+             || CAST(abs(13 * i - 3 * blk + base - 200) // 100
+                     AS VARCHAR)
+             || '.'
+             || lpad(CAST(abs(13 * i - 3 * blk + base - 200) % 100
+                          AS VARCHAR), 2, '0') AS dec,
+           strftime(DATE '1970-01-01'
+                    + CAST(10 * base + 31 * i + blk AS INT),
+                    '%Y-%m-%d') AS day,
+           strftime(make_timestamp(
+                      ((base % 50) * 86400 + 3661 * i + blk)
+                      * 1000000 + i),
+                    '%Y-%m-%d %H:%M:%S.%f') AS ts,
            CASE ci WHEN 0 THEN 'null' WHEN 1 THEN 'deflate'
                 ELSE 'snappy' END AS codec
     FROM r ORDER BY doc_id, block_idx, rec_idx
@@ -3474,12 +3488,17 @@ def q_ocf_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the uncompressed block — and whose records carry int,
     boolean, double, float, bytes and the ``["null","string"]``
     union (Avro's nullable column; both branches exercised
-    corpus-wide). The oracle recomputes every field by integer
-    arithmetic from the same md5 and never sees the container
-    bytes, so a wrong zigzag width, union branch index, IEEE byte
-    order, boolean byte, or snappy copy op fails the hash —
-    doubles are chosen exactly representable (k/32) so the
-    hash-compare is exact, not approximate.
+    corpus-wide), plus the common LOGICAL types: decimal(12,2) over
+    bytes (big-endian two's-complement unscaled, negatives
+    corpus-wide), date over int, timestamp-micros over long —
+    emitted as deterministic ISO strings so the hash compare is
+    format-stable across engines. The oracle recomputes every field
+    by integer arithmetic from the same md5 and never sees the
+    container bytes, so a wrong zigzag width, union branch index,
+    IEEE byte order, boolean byte, two's-complement sign, epoch
+    offset, or snappy copy op fails the hash — doubles are chosen
+    exactly representable (k/32) so the hash-compare is exact, not
+    approximate.
 
     Scale shape: map-side Arrow kernel, zero shuffles before the
     presentation sort; sync-delimited blocks stay the ranged-GET
@@ -3527,6 +3546,11 @@ def q_ocf_values(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 float(rec["fval"]),
                                 rec["note"],
                                 len(rec["blob"]),
+                                str(rec["dec"]),
+                                rec["day"].isoformat(),
+                                rec["ts"].strftime(
+                                    "%Y-%m-%d %H:%M:%S.%f"
+                                ),
                                 meta["codec"],
                             )
                         )
@@ -3534,7 +3558,8 @@ def q_ocf_values(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows,
                 columns=[
                     "doc_id", "block_idx", "rec_idx", "seq", "flag",
-                    "ratio", "fval", "note", "blob_len", "codec",
+                    "ratio", "fval", "note", "blob_len", "dec", "day",
+                    "ts", "codec",
                 ],
             )
 
@@ -3545,7 +3570,8 @@ def q_ocf_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema=(
                 "doc_id long, block_idx long, rec_idx long, seq long,"
                 " flag boolean, ratio double, fval double,"
-                " note string, blob_len long, codec string"
+                " note string, blob_len long, dec string, day string,"
+                " ts string, codec string"
             ),
         )
         .orderBy("doc_id", "block_idx", "rec_idx")

@@ -190,6 +190,18 @@ def test_typed_fixture_all_codecs_and_types_roundtrip():
                     None if (b + i) % 3 == 0 else f"{d[:6]}-{b}-{i}"
                 )
                 assert r["blob"] == bytes.fromhex(d) * (1 + i % 2)
+                import datetime as _dt
+                import decimal as _dec
+
+                u = 13 * i - 3 * b + base - 200
+                assert r["dec"] == _dec.Decimal(u).scaleb(-2)
+                assert r["day"] == _dt.date(1970, 1, 1) + _dt.timedelta(
+                    days=10 * base + 31 * i + b
+                )
+                assert r["ts"] == _dt.datetime(1970, 1, 1) + _dt.timedelta(
+                    microseconds=((base % 50) * 86400 + 3661 * i + b)
+                    * 1_000_000 + i
+                )
     assert codecs == {"null", "deflate", "snappy"}
 
 
@@ -259,3 +271,15 @@ def test_typed_corrupt_values_raise_named():
     # nested complex types are scope-fenced, not guessed
     with _pytest.raises(AvroError, match="unsupported field type"):
         avro_block_records(b"", "null", [("f", "array")], 1)
+    # unknown logical types and decimal-over-fixed are fenced too
+    with _pytest.raises(AvroError, match="logical type"):
+        avro_block_records(
+            b"\x00", "null",
+            [("f", {"type": "long", "logicalType": "duration"})], 1,
+        )
+    with _pytest.raises(AvroError, match="decimal"):
+        avro_block_records(
+            b"\x00", "null",
+            [("f", {"type": "fixed", "logicalType": "decimal",
+                    "scale": 2})], 1,
+        )

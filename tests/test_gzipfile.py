@@ -94,3 +94,54 @@ def test_header_crc_tamper_raises():
     m[4] ^= 1  # MTIME byte, covered by FHCRC
     with pytest.raises(GzipError, match="CRC16"):
         gzip_members(bytes(m))
+
+
+def test_random_bytes_never_hang_or_fabricate():
+    """Fuzz discipline: arbitrary bytes after the magic either parse
+    to verified members or raise GzipError — never hang, never
+    fabricate data."""
+    import random
+
+    rng = random.Random(1952)
+    for _ in range(300):
+        blob = b"\x1f\x8b" + bytes(
+            rng.randrange(256) for _ in range(rng.randrange(96))
+        )
+        try:
+            ms = gzip_members(blob)
+        except GzipError:
+            continue
+        # anything that parsed must re-verify through stdlib gzip
+        assert gzip.decompress(blob) == b"".join(
+            gzip.decompress(blob[m["h_off"]:m["h_off"] + m["c_size"]])
+            for m in ms
+        )
+
+
+def test_bitflip_fuzz_every_byte_is_caught_or_harmless():
+    """Flip every byte of a real two-member file: each flip either
+    raises GzipError or leaves a still-consistent parse whose
+    re-inflated content stdlib agrees with (flips inside FNAME or
+    the deflate stream's redundant bits can be semantically inert;
+    what must never happen is fabricated silent output)."""
+    base = write_member(b"alpha beta gamma\n" * 4, name="m0") + write_member(
+        b"delta epsilon\n" * 3
+    )
+    ok = gzip.decompress(base)
+    for i in range(len(base)):
+        for bit in (0x01, 0x80):
+            bad = bytearray(base)
+            bad[i] ^= bit
+            bad = bytes(bad)
+            try:
+                ms = gzip_members(bad)
+            except GzipError:
+                continue
+            got = b"".join(
+                gzip.decompress(bad[m["h_off"]:m["h_off"] + m["c_size"]])
+                for m in ms
+            )
+            # a surviving parse must agree with stdlib end-to-end
+            assert got == gzip.decompress(bad)
+            # and CRC-verified content can only be the original
+            assert got == ok
