@@ -162,6 +162,8 @@ HEADLINE = [
     "q_bitmap_jpegq",
     "q_bits_pages",
     "q_journal_codec",
+    "q_ocf_values",
+    "q_scan_audit",
     "q_ann_filtered",
     "q_embed_audit",
     "q_sample_strat",

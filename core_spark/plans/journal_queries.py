@@ -230,3 +230,95 @@ def q_journal_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_scan_audit",
+    # Appends are rank-sliced over (user_id, event_id) order, so each
+    # fragment's offset span AND its user_id zone map are pure
+    # arithmetic over the events parquet — DuckDB recomputes every
+    # pruning verdict without seeing a fragment byte.
+    oracle="""
+    WITH e AS (
+      SELECT user_id,
+             ROW_NUMBER() OVER (ORDER BY user_id, event_id) - 1 AS rn
+      FROM events WHERE event_id < 2800
+    ),
+    f AS (
+      SELECT rn // 700 AS seq,
+             CAST(min(rn) AS BIGINT) AS f_begin,
+             CAST(max(rn) + 1 AS BIGINT) AS f_end,
+             CAST(count(*) AS BIGINT) AS n_records,
+             min(user_id) AS u_min, max(user_id) AS u_max
+      FROM e GROUP BY rn // 700
+    )
+    SELECT CAST(seq AS BIGINT) AS seq, f_begin, f_end, n_records,
+           (f_end > 100 AND f_begin < 2100) AS covering,
+           (u_min <= 4 AND u_max >= 1) AS stats_ok,
+           TRUE AS bloom_ok,
+           (f_end > 100 AND f_begin < 2100
+            AND u_min <= 4 AND u_max >= 1) AS read
+    FROM f ORDER BY seq
+    """,
+)
+def q_scan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-pruning audit — the fragment-index query plus zone-map
+    skipping as a first-class ANALYZE (Journal.scan_audit, the
+    decision table read() itself consumes, so plan and explanation
+    cannot drift — the q_audit_skew discipline applied to data
+    skipping). Events sorted by (user_id, event_id) land in 700-row
+    fragments, clustering user_id so the parquet-footer zone maps
+    carry tight disjoint ranges (the reason sorted appends prune and
+    random appends don't); the audited read [100, 2100) with
+    ``user_id <= 4 AND user_id >= 1`` then reports, per fragment:
+    offset-overlap ``covering`` (broker/fragment/index.go:41-131),
+    zone-map ``stats_ok``, bloom ``bloom_ok`` (no bloom columns
+    listed here — blooms hold their own fixture tests), and the
+    conjunction ``read``. The oracle recomputes every verdict by
+    rank arithmetic straight off the parquet.
+
+    100 TB shape: this is the explanation surface for the claim that
+    a selective predicate on a 10^6-fragment journal lists only the
+    covering few — the audit costs one manifest read, zero scans,
+    and returns one row per fragment; the pruning it reports is
+    exactly what read() executes."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") < 2800
+    )
+    from pyspark.sql.window import Window
+
+    ranked = events.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.orderBy("user_id", "event_id")
+        ) - 1,
+    ).cache()
+    n = ranked.count()
+    root = tempfile.mkdtemp(prefix="q_scan_audit_")
+    j = Journal(root, "declared/audit-events")
+    for lo in range(0, n, 700):
+        j.append(
+            ranked.filter(
+                (F.col("rn") >= lo) & (F.col("rn") < lo + 700)
+            )
+            .orderBy("rn")
+            .drop("rn"),
+        )
+    ranked.unpersist()
+    audit = j.scan_audit(
+        begin=100,
+        end=2100,
+        where=[("user_id", "<=", 4), ("user_id", ">=", 1)],
+    )
+    return spark.createDataFrame(
+        [
+            (
+                r["seq"], r["f_begin"], r["f_end"], r["n_records"],
+                r["covering"], r["stats_ok"], r["bloom_ok"], r["read"],
+            )
+            for r in audit
+        ],
+        "seq long, f_begin long, f_end long, n_records long,"
+        " covering boolean, stats_ok boolean, bloom_ok boolean,"
+        " read boolean",
+    ).orderBy("seq")

@@ -769,6 +769,78 @@ class Journal:
         return getattr(spark.read, f.fmt)(p)
 
     # --------------------------------------------------------------- read
+    def _scan_audit(
+        self,
+        m: "Manifest",
+        begin: int | None,
+        end: int | None,
+        begin_mod_time: float | None,
+        where: list[tuple] | None,
+    ) -> list[dict]:
+        """Per-fragment pruning decisions for a prospective read —
+        one row per manifest fragment: ``covering`` (offset/mod-time
+        overlap, the fragment-index query of
+        broker/fragment/index.go:41-131), ``stats_ok`` (zone-map
+        verdict per `where`), ``bloom_ok`` (bloom verdict for string
+        equality on spec-listed columns), and ``read`` = the
+        conjunction — the fragments an actual read() scans. read()
+        CONSUMES this audit for its pruning, so the explanation can
+        never drift from the plan (the q_audit_skew discipline:
+        scale-critical decisions are first-class, inspectable
+        operators, not buried branches)."""
+        for col, op, value in where or []:
+            if op not in _ZONE_OPS:
+                raise ValueError(
+                    f"unsupported zone-map op {op!r} (use one of {_ZONE_OPS})"
+                )
+        out: list[dict] = []
+        for f in m.fragments:
+            covering = (
+                (begin is None or f.end > begin)
+                and (end is None or f.begin < end)
+                and (begin_mod_time is None or f.mod_time >= begin_mod_time)
+            )
+            stats_ok = all(
+                _stats_may_match(f.stats, col, op, value)
+                for col, op, value in where or []
+            )
+            bloom_ok = all(
+                _bloom_may_match(f.blooms, col, op, value)
+                for col, op, value in where or []
+            )
+            out.append(
+                {
+                    "seq": f.seq,
+                    "f_begin": f.begin,
+                    "f_end": f.end,
+                    "n_records": f.n_records,
+                    "fmt": f.fmt,
+                    "covering": covering,
+                    "stats_ok": stats_ok,
+                    "bloom_ok": bloom_ok,
+                    "read": covering and stats_ok and bloom_ok,
+                }
+            )
+        return out
+
+    def scan_audit(
+        self,
+        begin: int | None = None,
+        end: int | None = None,
+        begin_mod_time: float | None = None,
+        where: list[tuple] | None = None,
+        at_version: int | None = None,
+    ) -> list[dict]:
+        """Public ANALYZE twin of read(): the pruning decision table
+        for a prospective scan, without scanning anything."""
+        return self._scan_audit(
+            self.manifest(at_version=at_version),
+            begin,
+            end,
+            begin_mod_time,
+            where,
+        )
+
     def read(
         self,
         spark: SparkSession,
@@ -808,29 +880,13 @@ class Journal:
         which is cheaper than a per-fragment union.
         """
         m = self.manifest(at_version=at_version)
-        for col, op, value in where or []:
-            if op not in _ZONE_OPS:
-                raise ValueError(
-                    f"unsupported zone-map op {op!r} (use one of {_ZONE_OPS})"
-                )
+        audit = self._scan_audit(m, begin, end, begin_mod_time, where)
         covering = [
-            f
-            for f in m.fragments
-            if (begin is None or f.end > begin)
-            and (end is None or f.begin < end)
-            and (begin_mod_time is None or f.mod_time >= begin_mod_time)
+            f for f, r in zip(m.fragments, audit) if r["covering"]
         ]
         if not covering:
             raise ValueError(f"no fragments cover [{begin}, {end})")
-        frags = [
-            f
-            for f in covering
-            if all(
-                _stats_may_match(f.stats, col, op, value)
-                and _bloom_may_match(f.blooms, col, op, value)
-                for col, op, value in where or []
-            )
-        ]
+        frags = [f for f, r in zip(m.fragments, audit) if r["read"]]
         # Zone maps proving every covering fragment predicate-free is
         # a legitimately EMPTY result, not a coverage error (a reader
         # polling above a high-water mark must get zero rows, exactly

@@ -1037,3 +1037,41 @@ def test_vacuum_from_version_reclaims_reset_head_drops(spark, journal):
     assert journal.vacuum(grace_seconds=0.0, from_version=post_reset) == 1
     assert not os.path.exists(third)
     assert journal.read(spark).count() == 10
+
+
+def test_scan_audit_is_what_read_executes(spark, tmp_path):
+    """The audit's `read` column IS the set of fragments the actual
+    read() scans (read consumes _scan_audit, but pin the contract
+    from the outside via the scanned file list)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    j = Journal(str(tmp_path), "audit/consistency")
+    # three fragments clustering v: [0,100), [100,200), [200,300)
+    for lo in (0, 100, 200):
+        j.append(
+            spark.range(lo, lo + 100).select(F.col("id").alias("v"))
+            .orderBy("v")
+        )
+    where = [("v", ">=", 150)]
+    audit = j.scan_audit(where=where)
+    assert [r["read"] for r in audit] == [False, True, True]
+    assert [r["covering"] for r in audit] == [True, True, True]
+    assert [r["stats_ok"] for r in audit] == [False, True, True]
+    df = j.read(spark, where=where)
+    scanned = {
+        os.path.basename(os.path.dirname(p.replace("file:", "")))
+        if "/part-" in p else p
+        for p in df.inputFiles()
+    }
+    m = j.manifest()
+    want = {
+        os.path.basename(m.fragments[i].path) for i in (1, 2)
+    }
+    assert scanned == want
+    assert df.count() == 150
+    # offset bounds join the audit identically
+    audit2 = j.scan_audit(begin=0, end=150, where=where)
+    assert [r["read"] for r in audit2] == [False, True, False]
+    assert [r["covering"] for r in audit2] == [True, True, False]

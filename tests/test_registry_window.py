@@ -75,6 +75,7 @@ PYTEST_ONLY: set[str] = {
     "q_journal_codec",
     "q_ocf_values",
     "q_sample_strat",
+    "q_scan_audit",
     "q_split_leakage",
 }
 
