@@ -44,14 +44,19 @@ prune-on-None means don't prune. This is the min/max pruning the
 journal's zone maps (sources/journal.py) do at the fragment level,
 one level down, inside a fragment.
 
-Value-decode scope (read_parquet_column): flat required/optional
-columns only — BOOLEAN (PLAIN bit-packed and v2 RLE), INT32/INT64,
-FLOAT/DOUBLE, BYTE_ARRAY (str for STRING columns, bytes otherwise),
-FIXED_LEN_BYTE_ARRAY (Decimal for DECIMAL columns, bytes otherwise),
-dictionary/delta/byte-stream-split encodings. REPEATED columns
-(repetition levels / nested lists) and INT96 timestamps raise the
-named error: nested shredding is the native reader's job, and this
-tier exists for planning, verification and recovery.
+Value-decode scope (read_parquet_column / read_parquet_list_column):
+flat required/optional columns — BOOLEAN (PLAIN bit-packed and v2
+RLE), INT32/INT64, FLOAT/DOUBLE, BYTE_ARRAY (str for STRING columns,
+bytes otherwise), FIXED_LEN_BYTE_ARRAY (Decimal for DECIMAL columns,
+bytes otherwise), dictionary/delta/byte-stream-split encodings —
+plus ONE-level LIST columns (the standard 3-level annotation or a
+bare repeated leaf): repetition levels decode in both page formats
+and Dremel reassembly distinguishes null list / empty list / null
+element (schema_leaves carries each leaf's max_def/max_rep/d_rep
+from the num_children tree walk). Doubly-nested lists (max_rep > 1)
+and INT96 timestamps raise the named error: deeper shredding is the
+native reader's job, and this tier exists for planning,
+verification and recovery.
 
 Reference parity: gazette fragments are opaque files in object
 storage (fragment index in the broker); planning reads like this
@@ -434,6 +439,63 @@ def _parse_row_group(r: _Reader, depth: int) -> dict:
     return out
 
 
+def _schema_leaves(elements: list[dict]) -> dict:
+    """Flattened SchemaElement list → {dotted leaf path: {ptype,
+    max_def, max_rep, d_rep, tlen, string, decimal}} by the Dremel
+    level rules: an OPTIONAL node adds one definition level, a
+    REPEATED node adds one definition AND one repetition level
+    (REQUIRED adds neither); ``d_rep`` is the definition level AT the
+    innermost repeated node — the threshold that separates "has an
+    element slot" (def >= d_rep) from "empty list" (def == d_rep - 1)
+    from "null at an outer optional" (def < d_rep - 1). The walk
+    rebuilds the tree from each element's num_children (the thrift
+    flattening is preorder)."""
+    if not elements:
+        return {}
+    leaves: dict[str, dict] = {}
+    # stack of remaining-children counts; parallel path/level stacks
+    # (index 0 is the root)
+    stack = [elements[0]["nchild"]]
+    path: list[str] = []
+    defs = [0]
+    reps = [0]
+    d_rep = [0]
+    for el in elements[1:]:
+        if not stack:
+            raise ParquetError("schema elements outnumber the tree")
+        stack[-1] -= 1  # this element fills one slot of the open group
+        d, rp, dr = defs[-1], reps[-1], d_rep[-1]
+        if el["rep"] == 1:  # OPTIONAL
+            d += 1
+        elif el["rep"] == 2:  # REPEATED
+            d += 1
+            rp += 1
+            dr = d
+        if el["nchild"]:
+            stack.append(el["nchild"])
+            path.append(el["name"])
+            defs.append(d)
+            reps.append(rp)
+            d_rep.append(dr)
+        else:
+            leaves[".".join([*path, el["name"]])] = {
+                "ptype": el["ptype"],
+                "max_def": d,
+                "max_rep": rp,
+                "d_rep": dr,
+                "tlen": el["tlen"],
+                "string": el["string"],
+                "decimal": el["decimal"],
+            }
+        while len(stack) > 1 and stack[-1] == 0:
+            stack.pop()
+            path.pop()
+            defs.pop()
+            reps.pop()
+            d_rep.pop()
+    return leaves
+
+
 def parse_parquet_footer(raw: bytes) -> dict:
     """Whole-file bytes → {version, num_rows, created_by,
     schema (column names, root excluded), row_groups: [{num_rows,
@@ -466,19 +528,22 @@ def parse_parquet_footer(raw: bytes) -> dict:
             strings: dict = {}
             fixed_lens: dict = {}
             decimals: dict = {}
+            elements: list[dict] = []
             for _ in range(size):
                 name, ptype, rep = None, None, None
                 conv, logical, tlen = None, None, None
-                scale, precision = None, None
+                scale, precision, nchild = None, None, None
                 for sfid, swt in r.fields(1):
                     if sfid == 1 and swt in _INT_TYPES:
                         ptype = r.zigzag()  # physical type enum
                     elif sfid == 2 and swt in _INT_TYPES:
                         tlen = r.zigzag()  # FIXED_LEN_BYTE_ARRAY width
                     elif sfid == 3 and swt in _INT_TYPES:
-                        rep = r.zigzag()  # repetition (0 req, 1 opt)
+                        rep = r.zigzag()  # 0 req, 1 opt, 2 repeated
                     elif sfid == 4 and swt == _BINARY:
                         name = r.binary().decode("utf-8", "replace")
+                    elif sfid == 5 and swt in _INT_TYPES:
+                        nchild = r.zigzag()  # group arity (tree shape)
                     elif sfid == 6 and swt in _INT_TYPES:
                         conv = r.zigzag()  # ConvertedType (UTF8 = 0)
                     elif sfid == 7 and swt in _INT_TYPES:
@@ -495,6 +560,20 @@ def parse_parquet_footer(raw: bytes) -> dict:
                     else:
                         r.skip(swt, 1)
                 names.append(name)
+                elements.append(
+                    {
+                        "name": name,
+                        "ptype": ptype,
+                        "rep": rep,
+                        "nchild": nchild or 0,
+                        "tlen": tlen,
+                        "string": conv == 0 or logical == 1,
+                        "decimal": (scale, precision)
+                        if (conv == 5 or logical == 5)
+                        and scale is not None
+                        else None,
+                    }
+                )
                 if name is not None:
                     types[name] = ptype  # group nodes carry None
                     reps[name] = rep
@@ -511,6 +590,7 @@ def parse_parquet_footer(raw: bytes) -> dict:
             out["schema_strings"] = strings
             out["schema_fixed_lens"] = fixed_lens
             out["schema_decimals"] = decimals
+            out["schema_leaves"] = _schema_leaves(elements)
         elif fid == 3 and wt in _INT_TYPES:
             out["num_rows"] = r.zigzag()
         elif fid == 4 and wt == _LIST:
@@ -589,6 +669,8 @@ def _parse_page_header(r: _Reader) -> dict:
                     out["encoding"] = r.zigzag()
                 elif sfid == 3 and swt in _INT_TYPES and fid == 5:
                     out["def_level_encoding"] = r.zigzag()
+                elif sfid == 4 and swt in _INT_TYPES and fid == 5:
+                    out["rep_level_encoding"] = r.zigzag()
                 else:
                     r.skip(swt, 1)
         elif fid == 8 and wt == _STRUCT:
@@ -837,13 +919,15 @@ def _plain_values(
 
 def read_column_chunk(
     raw: bytes, col: dict, ptype: int, max_def: int,
-    type_len: int | None = None,
+    type_len: int | None = None, max_rep: int = 0,
 ) -> list:
     """All values of one column chunk, in row order, None for nulls:
     walk pages from the chunk's first offset, inflate each through
     the from-spec codecs, decode v1 data pages (definition levels +
     PLAIN or dictionary values). ``col`` is a parse_parquet_footer
-    column dict."""
+    column dict. With ``max_rep > 0`` (a repeated leaf) the return
+    is ``(slots, defs, reps)`` — the def-aligned value slots plus
+    both level streams, for Dremel record reassembly upstream."""
     total = col.get("num_values")
     codec = col.get("codec", 0)
     start = col.get("data_page_offset")
@@ -855,6 +939,8 @@ def read_column_chunk(
     i = start
     dictionary: list | None = None
     out: list = []
+    out_defs: list = []
+    out_reps: list = []
     while len(out) < total:
         r = _Reader(raw, i)
         hdr = _parse_page_header(r)
@@ -888,15 +974,18 @@ def read_column_chunk(
         if n is None:
             raise ParquetError("data page lacks num_values")
         defs = None
+        reps = None
         if hdr["type"] == _PG_DATA_V2:
             # v2: levels sit OUTSIDE the compressed region, with
             # explicit byte lengths and no u32 prefix
             rlen = hdr.get("rep_levels_len", 0)
             dlen = hdr.get("def_levels_len", 0)
-            if rlen:
+            if rlen and max_rep == 0:
                 raise ParquetError("repeated (nested) v2 page — not flat")
             if rlen + dlen > len(body):
                 raise ParquetError("v2 levels escape the page")
+            if max_rep > 0:
+                reps = _rle_hybrid(body[:rlen], max_rep.bit_length(), n)
             if max_def > 0:
                 defs = _rle_hybrid(
                     body[rlen : rlen + dlen], max_def.bit_length(), n
@@ -913,6 +1002,23 @@ def read_column_chunk(
         else:
             plain = _inflate_page(body, codec, hdr["uncompressed_page_size"])
             pos = 0
+            if max_rep > 0:
+                # v1: repetition levels precede definition levels,
+                # u32-length-prefixed RLE, inside the compressed region
+                if hdr.get("rep_level_encoding") != _ENC_RLE:
+                    raise ParquetError("repetition levels are not RLE")
+                if pos + 4 > len(plain):
+                    raise ParquetError(
+                        "repetition-level length escapes the page"
+                    )
+                (rlen,) = struct.unpack_from("<I", plain, pos)
+                pos += 4
+                if pos + rlen > len(plain):
+                    raise ParquetError("repetition levels escape the page")
+                reps = _rle_hybrid(
+                    plain[pos : pos + rlen], max_rep.bit_length(), n
+                )
+                pos += rlen
             if max_def > 0:
                 if hdr.get("def_level_encoding") != _ENC_RLE:
                     raise ParquetError("definition levels are not RLE")
@@ -999,14 +1105,121 @@ def read_column_chunk(
         else:
             it = iter(vals)
             out.extend(next(it) if d == max_def else None for d in defs)
+        if max_rep > 0:
+            out_defs.extend(defs if defs is not None else [max_def] * n)
+            out_reps.extend(reps if reps is not None else [0] * n)
     if len(out) != total:
         raise ParquetError(
             f"column chunk decoded {len(out)} values, footer says {total}"
         )
+    if max_rep > 0:
+        return out, out_defs, out_reps
     return out
 
 
-def read_parquet_column(raw: bytes, path: str) -> list:
+def read_parquet_list_column(
+    raw: bytes, name: str, row_groups: list[int] | None = None
+) -> list:
+    """Whole-file read of one LIST column by its outer name, across
+    row groups, with no parquet library — Dremel record reassembly
+    for the standard 3-level list annotation (``name.list.element``,
+    pyarrow/Spark's layout) and the bare repeated-leaf form. Per
+    slot: repetition 0 starts a new record; definition >= d_rep is
+    an element (null element when below max_def), d_rep - 1 is an
+    empty list, anything lower a null list. Doubly-nested lists
+    (max_rep > 1) raise the named scope fence — never a wrong
+    reassembly. ``row_groups`` selects row groups by index (records
+    never span row groups, so a row group is an independently
+    decodable split — the scan-parallelism unit)."""
+    footer = parse_parquet_footer(raw)
+    leaves = footer.get("schema_leaves", {})
+    hit = None
+    if name in leaves and leaves[name]["max_rep"] > 0:
+        hit = name
+    else:
+        pref = [
+            p for p in leaves
+            if p.startswith(name + ".") and leaves[p]["max_rep"] > 0
+        ]
+        if len(pref) > 1:
+            raise ParquetError(
+                f"{name!r} has multiple repeated leaves {sorted(pref)}"
+            )
+        if pref:
+            hit = pref[0]
+    if hit is None:
+        raise ParquetError(f"no repeated column under {name!r}")
+    leaf = leaves[hit]
+    if leaf["max_rep"] > 1:
+        raise ParquetError(
+            f"column {hit!r} is doubly nested (max_rep="
+            f"{leaf['max_rep']}) — one-level lists only"
+        )
+    slots: list = []
+    defs: list = []
+    reps: list = []
+    rgs = footer["row_groups"]
+    if row_groups is not None:
+        rgs = [rgs[k] for k in row_groups]
+    for rg in rgs:
+        col = next(
+            (c for c in rg["columns"] if c.get("path") == hit), None
+        )
+        if col is None:
+            raise ParquetError(f"row group lacks column {hit!r}")
+        s, d, r = read_column_chunk(
+            raw,
+            col,
+            leaf["ptype"],
+            max_def=leaf["max_def"],
+            type_len=leaf["tlen"],
+            max_rep=1,
+        )
+        slots.extend(s)
+        defs.extend(d)
+        reps.extend(r)
+
+    def convert(v):
+        if v is None:
+            return None
+        if leaf["decimal"] is not None:
+            from decimal import Decimal
+
+            return Decimal(
+                int.from_bytes(v, "big", signed=True)
+                if isinstance(v, bytes)
+                else v
+            ).scaleb(-leaf["decimal"][0])
+        if leaf["string"] and isinstance(v, bytes):
+            try:
+                return v.decode("utf-8")
+            except UnicodeDecodeError as e:
+                raise ParquetError(
+                    f"STRING column {hit!r} carries invalid UTF-8: {e}"
+                ) from None
+        return v
+
+    d_rep, max_def = leaf["d_rep"], leaf["max_def"]
+    out: list = []
+    for v, d, rp in zip(slots, defs, reps):
+        if rp == 0:
+            if d < d_rep - 1:
+                out.append(None)  # null list
+                continue
+            out.append([])
+            if d == d_rep - 1:
+                continue  # empty list: the slot carries no element
+        elif not out or out[-1] is None:
+            raise ParquetError(
+                "repetition level continues a record that never started"
+            )
+        out[-1].append(convert(v) if d == max_def else None)
+    return out
+
+
+def read_parquet_column(
+    raw: bytes, path: str, row_groups: list[int] | None = None
+) -> list:
     """Whole-file read of one flat column by name, across row
     groups, with no parquet library — the existence proof that the
     walker tier really understands the format end to end (and the
@@ -1024,7 +1237,10 @@ def read_parquet_column(raw: bytes, path: str) -> list:
         raise ParquetError(f"column {path!r} is repeated — not flat")
     out: list = []
     tlen = footer.get("schema_fixed_lens", {}).get(path)
-    for rg in footer["row_groups"]:
+    rgs = footer["row_groups"]
+    if row_groups is not None:
+        rgs = [rgs[k] for k in row_groups]
+    for rg in rgs:
         col = next((c for c in rg["columns"] if c.get("path") == path), None)
         if col is None:
             raise ParquetError(f"row group lacks column {path!r}")

@@ -5401,6 +5401,134 @@ def q_bits_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_parquet_lists",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             3 + CAST('0x' || substr(md5(text), 1, 1) AS BIGINT) % 3
+               AS nr,
+             CAST('0x' || substr(md5(text), 2, 1) AS BIGINT) AS d1,
+             CAST('0x' || substr(md5(text), 5, 2) AS BIGINT) AS base
+      FROM documents
+    ),
+    r AS (SELECT *, unnest(range(nr)) AS i FROM p),
+    c AS (
+      SELECT doc_id, i, (i + d1) % 4 AS shape, base + 5 * i AS k
+      FROM r
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS row_idx,
+           (shape = 0) AS is_null,
+           CASE shape WHEN 0 THEN NULL WHEN 1 THEN 0
+                WHEN 2 THEN 2 ELSE 3 END AS n_elems,
+           CASE shape WHEN 0 THEN NULL WHEN 1 THEN 0
+                WHEN 2 THEN k ELSE 4 * k + 7 END AS sum_elems,
+           CASE shape WHEN 0 THEN NULL WHEN 2 THEN 1
+                ELSE 0 END AS n_null_elems
+    FROM c ORDER BY doc_id, row_idx
+    """,
+)
+def q_parquet_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet LIST-column value decode with no parquet library
+    (functions/parquetfile.py read_parquet_list_column) — the
+    repeated tier above q_bits_parquet's flat columns: repetition
+    levels in BOTH page formats and Dremel reassembly of null list /
+    empty list / null element / values, the cases real lakes hit
+    (the engine's own embeddings table ships this exact 3-level
+    layout, pinned element-exact against pyarrow in
+    tests/test_parquetfile.py). Each document becomes a REAL
+    pyarrow-written file whose ``xs`` list<int64> rows cycle through
+    the four shapes by hash — null, empty, [k, NULL], [k, k+7, 2k]
+    — with codec cycling NONE/ZSTD/SNAPPY, page version cycling
+    v1/v2, and 2-row row groups (multiple groups per file, records
+    never spanning them). The oracle recomputes every row's
+    null-ness, length, element sum and null-element count by md5
+    arithmetic — a wrong repetition bit, definition threshold, or
+    slot-to-record boundary fails the hash.
+
+    Scale shape: map-side Arrow kernel, zero shuffles before the
+    presentation sort; the row group stays the split unit
+    (read_parquet_list_column's row_groups selector is the
+    per-split entry point at real scale)."""
+    from core_spark.functions.parquetfile import read_parquet_list_column
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+
+    def walk(batches):
+        import hashlib
+        import io
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = hashlib.md5(text.encode("utf-8")).hexdigest()
+                nr = 3 + int(d[0], 16) % 3
+                d1 = int(d[1], 16)
+                base = int(d[4:6], 16)
+                data = []
+                for i in range(nr):
+                    shape = (i + d1) % 4
+                    k = base + 5 * i
+                    data.append(
+                        [None, [], [k, None], [k, k + 7, 2 * k]][shape]
+                    )
+                buf = io.BytesIO()
+                pq.write_table(
+                    pa.table(
+                        {"xs": pa.array(data, type=pa.list_(pa.int64()))}
+                    ),
+                    buf,
+                    compression=("NONE", "ZSTD", "SNAPPY")[
+                        int(d[2], 16) % 3
+                    ],
+                    data_page_version="2.0"
+                    if int(d[3], 16) % 2
+                    else "1.0",
+                    row_group_size=2,
+                )
+                got = read_parquet_list_column(buf.getvalue(), "xs")
+                assert len(got) == nr
+                for i, v in enumerate(got):
+                    rows.append(
+                        (
+                            int(doc_id),
+                            i,
+                            v is None,
+                            None if v is None else len(v),
+                            None
+                            if v is None
+                            else sum(x for x in v if x is not None),
+                            None
+                            if v is None
+                            else sum(1 for x in v if x is None),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "row_idx", "is_null", "n_elems",
+                    "sum_elems", "n_null_elems",
+                ],
+            )
+
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(
+            walk,
+            schema=(
+                "doc_id long, row_idx long, is_null boolean,"
+                " n_elems long, sum_elems long, n_null_elems long"
+            ),
+        )
+        .orderBy("doc_id", "row_idx")
+    )
+
+
+@query(
     "q_audit_skew",
     oracle="""
     WITH c1 AS (
