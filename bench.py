@@ -163,6 +163,7 @@ HEADLINE = [
     "q_bits_pages",
     "q_journal_codec",
     "q_ocf_values",
+    "q_orc_lists",
     "q_parquet_lists",
     "q_scan_audit",
     "q_ann_filtered",

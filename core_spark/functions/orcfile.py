@@ -217,10 +217,18 @@ _TYPE_KINDS = {
 
 
 def _parse_type(raw: bytes) -> dict:
-    out = {"kind": None, "field_names": []}
+    out = {"kind": None, "field_names": [], "subtypes": []}
     for fid, wt, v in _fields(raw):
         if fid == 1 and wt == 0:
             out["kind"] = _TYPE_KINDS.get(v, f"unknown({v})")
+        elif fid == 2 and wt == 0:
+            out["subtypes"].append(v)  # child type id (unpacked form)
+        elif fid == 2 and wt == 2:
+            # child type ids, protobuf-PACKED varints (proto3 default)
+            i = 0
+            while i < len(v):
+                sub, i = _varint(v, i)
+                out["subtypes"].append(sub)
         elif fid == 3 and wt == 2:
             out["field_names"].append(v.decode("utf-8", "replace"))
     return out
@@ -561,20 +569,135 @@ def _decode_strings(streams: dict, enc: dict, n_present: int) -> list:
     return out
 
 
+def _stripe_primitive(
+    raw: bytes, stripe: dict, col_id: int, kind: str, comp: str, n: int
+) -> list:
+    """One stripe's worth of one primitive column, in slot order,
+    None for nulls — ``n`` is the column's slot count in this stripe
+    (the stripe row count for a top-level column; the summed list
+    lengths for a list's element column)."""
+    streams, enc = _stripe_column_streams(raw, stripe, col_id, comp)
+    present = None
+    n_present = n
+    if _STREAM_PRESENT in streams:
+        present = _bool_stream(streams[_STREAM_PRESENT], n)
+        n_present = sum(present)
+    if kind in ("byte",):
+        vals = list(_byte_rle(streams.get(_STREAM_DATA, b"")))
+        vals = [v - 256 if v >= 128 else v for v in vals]
+    elif kind in ("short", "int", "long", "date"):
+        # DIRECT (kind 0) means the DATA stream is RLE *v1* —
+        # fence it rather than mis-decoding v1 bytes as v2.
+        if enc["kind"] != 2:
+            raise OrcError(
+                "integer column uses RLEv1 encoding (DIRECT from a "
+                "pre-HIVE-4123 writer) — only DIRECT_V2 decodes "
+                "here; use the ORC library for RLEv1 files"
+            )
+        vals = _rlev2(streams.get(_STREAM_DATA, b""), signed=True)
+    elif kind == "boolean":
+        vals = [
+            bool(b)
+            for b in _bool_stream(
+                streams.get(_STREAM_DATA, b""), n_present
+            )
+        ]
+    elif kind in ("float", "double"):
+        w, fmt = (4, "<f") if kind == "float" else (8, "<d")
+        blob = streams.get(_STREAM_DATA, b"")
+        if len(blob) < n_present * w:
+            raise OrcError("float stream shorter than rows")
+        vals = [
+            struct.unpack_from(fmt, blob, k * w)[0]
+            for k in range(n_present)
+        ]
+    elif kind in ("string", "varchar", "char", "binary"):
+        vals = _decode_strings(streams, enc, n_present)
+        if kind != "binary":
+            vals = [v.decode("utf-8") for v in vals]
+    else:
+        raise OrcError(
+            f"column kind {kind!r} is not decoded here (timestamp/"
+            "decimal/nested need the ORC library)"
+        )
+    if len(vals) < n_present:
+        raise OrcError("value stream shorter than present rows")
+    vals = vals[:n_present]
+    if present is None:
+        return vals
+    it = iter(vals)
+    return [next(it) if p else None for p in present]
+
+
+def _root_col_id(tail: dict, name: str) -> int:
+    """Type id of a top-level field from the root struct's subtypes
+    (the ORC Type tree is preorder; the root lists its children's
+    ids explicitly, so nested columns don't shift their siblings)."""
+    if not tail["types"] or tail["types"][0]["kind"] != "struct":
+        raise OrcError("root type is not a struct")
+    root = tail["types"][0]
+    fields = root["field_names"]
+    if name not in fields:
+        raise OrcError(f"no column named {name!r}")
+    subs = root["subtypes"]
+    idx = fields.index(name)
+    col_id = subs[idx] if idx < len(subs) else idx + 1
+    if col_id >= len(tail["types"]):
+        raise OrcError("column id beyond the type list")
+    return col_id
+
+
 def read_orc_column(raw: bytes, name: str) -> list:
     """Whole-file read of one flat column by name with no ORC
     library, in row order, None for nulls. Strings decode as
     UTF-8; binary stays bytes."""
     tail = parse_orc_tail(raw)
-    if not tail["types"] or tail["types"][0]["kind"] != "struct":
-        raise OrcError("root type is not a flat struct")
-    fields = tail["types"][0]["field_names"]
-    if name not in fields:
-        raise OrcError(f"no column named {name!r}")
-    col_id = fields.index(name) + 1
-    if col_id >= len(tail["types"]):
-        raise OrcError("column id beyond the type list")
+    col_id = _root_col_id(tail, name)
     kind = tail["types"][col_id]["kind"]
+    if kind == "list":
+        raise OrcError(
+            f"column {name!r} is a list — use read_orc_list_column"
+        )
+    comp = tail["compression"]
+    out: list = []
+    for stripe in tail["stripes"]:
+        if "n_rows" not in stripe:
+            raise OrcError("stripe lacks a row count")
+        out.extend(
+            _stripe_primitive(
+                raw, stripe, col_id, kind, comp, stripe["n_rows"]
+            )
+        )
+    return out
+
+
+def read_orc_list_column(raw: bytes, name: str) -> list:
+    """Whole-file read of one LIST column by name with no ORC
+    library — the repeated tier above read_orc_column's flat kinds
+    (the parquet read_parquet_list_column twin, over ORC's stream
+    layout instead of Dremel levels): the list column carries a
+    PRESENT bit stream (null lists) and a LENGTH stream (RLEv2
+    unsigned element counts — an empty list is length 0), and the
+    child type holds the element slots with its OWN present stream
+    (null elements). Per stripe, child slot count = the summed
+    lengths, which is what aligns the element column's streams.
+    Doubly-nested lists raise the named scope fence."""
+    tail = parse_orc_tail(raw)
+    col_id = _root_col_id(tail, name)
+    if tail["types"][col_id]["kind"] != "list":
+        raise OrcError(f"column {name!r} is not a list")
+    subs = tail["types"][col_id]["subtypes"]
+    if len(subs) != 1:
+        raise OrcError("list type lacks its element type")
+    child_id = subs[0]
+    if child_id >= len(tail["types"]):
+        raise OrcError("element type id beyond the type list")
+    child_kind = tail["types"][child_id]["kind"]
+    if child_kind in ("list", "map", "struct", "union"):
+        raise OrcError(
+            f"column {name!r} elements are {child_kind} — one-level "
+            "lists of primitives only"
+        )
     comp = tail["compression"]
     out: list = []
     for stripe in tail["stripes"]:
@@ -582,55 +705,28 @@ def read_orc_column(raw: bytes, name: str) -> list:
             raise OrcError("stripe lacks a row count")
         n = stripe["n_rows"]
         streams, enc = _stripe_column_streams(raw, stripe, col_id, comp)
+        if enc["kind"] != 2:
+            raise OrcError(
+                "list column uses RLEv1 lengths (DIRECT from a "
+                "pre-HIVE-4123 writer) — only DIRECT_V2 decodes here"
+            )
         present = None
         n_present = n
         if _STREAM_PRESENT in streams:
             present = _bool_stream(streams[_STREAM_PRESENT], n)
             n_present = sum(present)
-        if kind in ("byte",):
-            vals = list(_byte_rle(streams.get(_STREAM_DATA, b"")))
-            vals = [v - 256 if v >= 128 else v for v in vals]
-        elif kind in ("short", "int", "long", "date"):
-            # DIRECT (kind 0) means the DATA stream is RLE *v1* —
-            # fence it rather than mis-decoding v1 bytes as v2.
-            if enc["kind"] != 2:
-                raise OrcError(
-                    "integer column uses RLEv1 encoding (DIRECT from a "
-                    "pre-HIVE-4123 writer) — only DIRECT_V2 decodes "
-                    "here; use the ORC library for RLEv1 files"
-                )
-            vals = _rlev2(streams.get(_STREAM_DATA, b""), signed=True)
-        elif kind == "boolean":
-            vals = [
-                bool(b)
-                for b in _bool_stream(
-                    streams.get(_STREAM_DATA, b""), n_present
-                )
-            ]
-        elif kind in ("float", "double"):
-            w, fmt = (4, "<f") if kind == "float" else (8, "<d")
-            blob = streams.get(_STREAM_DATA, b"")
-            if len(blob) < n_present * w:
-                raise OrcError("float stream shorter than rows")
-            vals = [
-                struct.unpack_from(fmt, blob, k * w)[0]
-                for k in range(n_present)
-            ]
-        elif kind in ("string", "varchar", "char", "binary"):
-            vals = _decode_strings(streams, enc, n_present)
-            if kind != "binary":
-                vals = [v.decode("utf-8") for v in vals]
-        else:
-            raise OrcError(
-                f"column kind {kind!r} is not decoded here (timestamp/"
-                "decimal/nested need the ORC library)"
-            )
-        if len(vals) < n_present:
-            raise OrcError("value stream shorter than present rows")
-        vals = vals[:n_present]
-        if present is None:
-            out.extend(vals)
-        else:
-            it = iter(vals)
-            out.extend(next(it) if p else None for p in present)
+        lengths = _rlev2(streams.get(_STREAM_LENGTH, b""), signed=False)
+        if len(lengths) < n_present:
+            raise OrcError("list length stream shorter than rows")
+        lengths = lengths[:n_present]
+        child = _stripe_primitive(
+            raw, stripe, child_id, child_kind, comp, sum(lengths)
+        )
+        it = iter(child)
+        li = iter(lengths)
+        for k in range(n):
+            if present is not None and not present[k]:
+                out.append(None)
+                continue
+            out.append([next(it) for _ in range(next(li))])
     return out

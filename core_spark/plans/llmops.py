@@ -5529,6 +5529,128 @@ def q_parquet_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_orc_lists",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             3 + CAST('0x' || substr(md5(text), 1, 1) AS BIGINT) % 3
+               AS nr,
+             CAST('0x' || substr(md5(text), 2, 1) AS BIGINT) AS d1,
+             CAST('0x' || substr(md5(text), 5, 2) AS BIGINT) AS base
+      FROM documents
+    ),
+    r AS (SELECT *, unnest(range(nr)) AS i FROM p),
+    c AS (
+      SELECT doc_id, i, (i + d1) % 4 AS shape, base + 5 * i AS k
+      FROM r
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS row_idx,
+           (shape = 0) AS is_null,
+           CASE shape WHEN 0 THEN NULL WHEN 1 THEN 0
+                WHEN 2 THEN 2 ELSE 3 END AS n_elems,
+           CASE shape WHEN 0 THEN NULL WHEN 1 THEN 0
+                WHEN 2 THEN k ELSE 4 * k + 7 END AS sum_elems,
+           CASE shape WHEN 0 THEN NULL WHEN 2 THEN 1
+                ELSE 0 END AS n_null_elems
+    FROM c ORDER BY doc_id, row_idx
+    """,
+)
+def q_orc_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC LIST-column value decode with no ORC library
+    (functions/orcfile.py read_orc_list_column) — q_parquet_lists'
+    twin over ORC's stream layout instead of Dremel levels: the
+    list column's PRESENT bit stream marks null lists, its RLEv2
+    LENGTH stream carries element counts (0 = empty), and the child
+    column's own PRESENT stream marks null elements, with per-stripe
+    child slot counts equal to the summed lengths. Same four row
+    shapes and md5 arithmetic as the parquet twin (deliberately the
+    SAME oracle: the two containers must reassemble to identical
+    records), codec cycling UNCOMPRESSED/ZLIB/ZSTD by hash through
+    the from-spec deframers. A wrong length decode, present bit, or
+    stripe slot alignment fails the hash; doubly-nested lists raise
+    the named scope fence (pinned in tests/test_orcfile.py along
+    with SNAPPY/LZ4 codecs and multi-stripe files).
+
+    Scale shape: map-side Arrow kernel, zero shuffles before the
+    presentation sort; the stripe is ORC's split unit and the
+    per-stripe decode is self-aligned, exactly as the native reader
+    parallelizes."""
+    from core_spark.functions.orcfile import read_orc_list_column
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+
+    def walk(batches):
+        import hashlib
+        import io
+
+        import pandas as pd
+        import pyarrow as pa
+        from pyarrow import orc as pa_orc
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = hashlib.md5(text.encode("utf-8")).hexdigest()
+                nr = 3 + int(d[0], 16) % 3
+                d1 = int(d[1], 16)
+                base = int(d[4:6], 16)
+                data = []
+                for i in range(nr):
+                    shape = (i + d1) % 4
+                    k = base + 5 * i
+                    data.append(
+                        [None, [], [k, None], [k, k + 7, 2 * k]][shape]
+                    )
+                buf = io.BytesIO()
+                pa_orc.write_table(
+                    pa.table(
+                        {"xs": pa.array(data, type=pa.list_(pa.int64()))}
+                    ),
+                    buf,
+                    compression=("UNCOMPRESSED", "ZLIB", "ZSTD")[
+                        int(d[2], 16) % 3
+                    ],
+                )
+                got = read_orc_list_column(buf.getvalue(), "xs")
+                assert len(got) == nr
+                for i, v in enumerate(got):
+                    rows.append(
+                        (
+                            int(doc_id),
+                            i,
+                            v is None,
+                            None if v is None else len(v),
+                            None
+                            if v is None
+                            else sum(x for x in v if x is not None),
+                            None
+                            if v is None
+                            else sum(1 for x in v if x is None),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "row_idx", "is_null", "n_elems",
+                    "sum_elems", "n_null_elems",
+                ],
+            )
+
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(
+            walk,
+            schema=(
+                "doc_id long, row_idx long, is_null boolean,"
+                " n_elems long, sum_elems long, n_null_elems long"
+            ),
+        )
+        .orderBy("doc_id", "row_idx")
+    )
+
+
+@query(
     "q_audit_skew",
     oracle="""
     WITH c1 AS (

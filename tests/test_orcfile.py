@@ -271,3 +271,72 @@ def test_rlev1_column_encodings_are_fenced():
             _decode_strings(
                 {}, {"kind": kind, "dict_size": 0}, n_present=1
             )
+
+
+# ----------------------------------------------------- list columns
+def test_list_column_roundtrip_all_codecs():
+    """ORC list decode pinned against pyarrow: null list / empty
+    list / null element across every codec the deframer speaks,
+    int64/string/double elements."""
+    import io
+
+    import pyarrow as pa
+    from pyarrow import orc as pa_orc
+
+    from core_spark.functions.orcfile import read_orc_list_column
+
+    data = [[1, 2, 3], None, [], [4, None, 5], [None], [6], None, [7, 8]]
+    sdata = [["a", "bb", None], [], None, ["ccc"], ["d"], [], ["e"], []]
+    fdata = [[1.5], None, [], [3.25, None], [4.0], [5.0], [], None]
+    t = pa.table(
+        {
+            "xs": pa.array(data, type=pa.list_(pa.int64())),
+            "ss": pa.array(sdata, type=pa.list_(pa.string())),
+            "fs": pa.array(fdata, type=pa.list_(pa.float64())),
+        }
+    )
+    for comp in ("UNCOMPRESSED", "ZLIB", "SNAPPY", "ZSTD", "LZ4"):
+        buf = io.BytesIO()
+        pa_orc.write_table(t, buf, compression=comp)
+        raw = buf.getvalue()
+        assert read_orc_list_column(raw, "xs") == data, comp
+        assert read_orc_list_column(raw, "ss") == sdata, comp
+        assert read_orc_list_column(raw, "fs") == fdata, comp
+
+
+def test_list_column_multi_stripe_and_fences():
+    import io
+
+    import pyarrow as pa
+    import pytest as _pytest
+    from pyarrow import orc as pa_orc
+
+    from core_spark.functions.orcfile import (
+        OrcError,
+        parse_orc_tail,
+        read_orc_column,
+        read_orc_list_column,
+    )
+
+    big = [[i, i + 1] if i % 3 else None for i in range(5000)]
+    t = pa.table({"xs": pa.array(big, type=pa.list_(pa.int64()))})
+    buf = io.BytesIO()
+    pa_orc.write_table(t, buf, stripe_size=64 * 1024)
+    raw = buf.getvalue()
+    assert len(parse_orc_tail(raw)["stripes"]) > 1  # really multi-stripe
+    assert read_orc_list_column(raw, "xs") == big
+
+    t3 = pa.table(
+        {"n": pa.array([[[1]]], type=pa.list_(pa.list_(pa.int64())))}
+    )
+    buf3 = io.BytesIO()
+    pa_orc.write_table(t3, buf3)
+    with _pytest.raises(OrcError, match="one-level"):
+        read_orc_list_column(buf3.getvalue(), "n")
+    with _pytest.raises(OrcError, match="use read_orc_list_column"):
+        read_orc_column(buf3.getvalue(), "n")
+    with _pytest.raises(OrcError, match="not a list"):
+        t4 = pa.table({"a": pa.array([1], type=pa.int64())})
+        buf4 = io.BytesIO()
+        pa_orc.write_table(t4, buf4)
+        read_orc_list_column(buf4.getvalue(), "a")

@@ -74,6 +74,7 @@ PYTEST_ONLY: set[str] = {
     "q_embed_audit",
     "q_journal_codec",
     "q_ocf_values",
+    "q_orc_lists",
     "q_parquet_lists",
     "q_sample_strat",
     "q_scan_audit",
