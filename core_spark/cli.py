@@ -9,6 +9,8 @@ Commands (each wraps a batch DataFrame job):
                       (journals_append.go:20-34)
   journals fragments— list the fragment index, optional time range
                       (journals_fragments.go:20-70)
+  journals scan-audit— per-fragment pruning verdicts for a
+                      prospective read (no scan, no Spark session)
   journals prune    — retention by mod-time horizon
                       (journals_prune.go)
   journals list     — resolve a label selector over the catalog
@@ -129,6 +131,26 @@ def cmd_fragments(args) -> int:
         df = df.filter(df.mod_time < args.to_time)
     for row in df.orderBy("begin_off").collect():
         print(json.dumps(row.asDict(), default=str))
+    return 0
+
+
+def cmd_scan_audit(args) -> int:
+    """Per-fragment pruning decision table for a prospective read
+    (Journal.scan_audit): covering / zone-map / bloom verdicts and
+    the conjunction read() would execute — one JSON line per
+    fragment, no scan, no Spark session (manifest arithmetic
+    only)."""
+    from core_spark.sources.journal import Journal, parse_where
+
+    audit = Journal(args.root, args.journal).scan_audit(
+        begin=args.offset,
+        end=args.end_offset,
+        begin_mod_time=args.begin_mod_time,
+        where=parse_where(args.where),
+        at_version=args.at_version,
+    )
+    for row in audit:
+        print(json.dumps(row, default=str))
     return 0
 
 
@@ -476,6 +498,16 @@ def build_parser() -> argparse.ArgumentParser:
     jf.add_argument("--from-time", type=float, default=None)
     jf.add_argument("--to-time", type=float, default=None)
     jf.set_defaults(fn=cmd_fragments)
+
+    jsa = sub.add_parser("journals-scan-audit")
+    jsa.add_argument("--root", required=True)
+    jsa.add_argument("--journal", required=True)
+    jsa.add_argument("--offset", type=int, default=None)
+    jsa.add_argument("--end-offset", type=int, default=None)
+    jsa.add_argument("--begin-mod-time", type=float, default=None)
+    jsa.add_argument("--at-version", type=int, default=None)
+    jsa.add_argument("--where", action="append", default=[])
+    jsa.set_defaults(fn=cmd_scan_audit)
 
     jp = sub.add_parser("journals-prune")
     jp.add_argument("--root", required=True)

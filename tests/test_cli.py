@@ -364,3 +364,34 @@ def test_read_block_wakes_on_concurrent_append(spark, tmp_path, capsys):
             "journals-read", "--root", root, "--journal", "demo/b",
             "--block", "--at-version", "1",
         ])
+
+
+def test_scan_audit_verb(spark, tmp_path, capsys):
+    """journals-scan-audit prints one pruning-verdict line per
+    fragment, with the same where-predicate syntax as journals-read,
+    and touches no data (works without building a session)."""
+    root = str(tmp_path / "j")
+    assert main([
+        "journals-append", "--root", root, "--journal", "demo/n",
+        "--input", "/root/testdata/sf0.001/nation.parquet",
+    ]) == 0
+    capsys.readouterr()
+    assert main([
+        "journals-scan-audit", "--root", root, "--journal", "demo/n",
+        "--offset", "5", "--where", "n_regionkey<2",
+    ]) == 0
+    rows = [
+        json.loads(l)
+        for l in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["covering"] is True and r["read"] is True
+    assert r["stats_ok"] is True and r["bloom_ok"] is True
+    # a provably-empty predicate flips the zone-map verdict
+    assert main([
+        "journals-scan-audit", "--root", root, "--journal", "demo/n",
+        "--where", "n_regionkey>99",
+    ]) == 0
+    r2 = json.loads(capsys.readouterr().out.strip())
+    assert r2["stats_ok"] is False and r2["read"] is False
