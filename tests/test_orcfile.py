@@ -340,3 +340,45 @@ def test_list_column_multi_stripe_and_fences():
         buf4 = io.BytesIO()
         pa_orc.write_table(t4, buf4)
         read_orc_list_column(buf4.getvalue(), "a")
+
+
+def test_list_column_property_fuzz():
+    """Hypothesis twin of the parquet list fuzz: any one-level
+    list<int64> shape, any codec, any stripe split, reassembles
+    exactly as pyarrow's ORC writer meant."""
+    import io
+
+    import pyarrow as pa
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyarrow import orc as pa_orc
+
+    from core_spark.functions.orcfile import read_orc_list_column
+
+    lists = st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.one_of(
+                    st.none(),
+                    st.integers(min_value=-(2**62), max_value=2**62),
+                ),
+                max_size=6,
+            ),
+        ),
+        min_size=1,
+        max_size=24,
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        data=lists,
+        codec=st.sampled_from(["UNCOMPRESSED", "ZLIB", "ZSTD"]),
+    )
+    def prop(data, codec):
+        t = pa.table({"xs": pa.array(data, type=pa.list_(pa.int64()))})
+        buf = io.BytesIO()
+        pa_orc.write_table(t, buf, compression=codec)
+        assert read_orc_list_column(buf.getvalue(), "xs") == data
+
+    prop()

@@ -597,3 +597,51 @@ def test_list_column_string_elements_and_fences():
     with _pytest.raises(ParquetError, match="no repeated column"):
         raw = open("/root/testdata/sf0.001/embeddings.parquet", "rb").read()
         read_parquet_list_column(raw, "vec_id")
+
+
+def test_list_column_property_fuzz():
+    """Hypothesis: ANY one-level list<int64> column — arbitrary mix
+    of null lists, empty lists, null elements, any codec, either
+    page format, any row-group size — reassembles exactly as pyarrow
+    wrote it."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from core_spark.functions.parquetfile import read_parquet_list_column
+
+    lists = st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.one_of(
+                    st.none(),
+                    st.integers(min_value=-(2**62), max_value=2**62),
+                ),
+                max_size=6,
+            ),
+        ),
+        min_size=1,
+        max_size=24,
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        data=lists,
+        codec=st.sampled_from(["NONE", "SNAPPY", "ZSTD"]),
+        v2=st.booleans(),
+        rg=st.integers(min_value=1, max_value=7),
+    )
+    def prop(data, codec, v2, rg):
+        t = pa.table({"xs": pa.array(data, type=pa.list_(pa.int64()))})
+        buf = io.BytesIO()
+        pq.write_table(
+            t, buf, compression=codec,
+            data_page_version="2.0" if v2 else "1.0", row_group_size=rg,
+        )
+        assert read_parquet_list_column(buf.getvalue(), "xs") == data
+
+    prop()
