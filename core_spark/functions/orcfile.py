@@ -231,6 +231,10 @@ def _parse_type(raw: bytes) -> dict:
                 out["subtypes"].append(sub)
         elif fid == 3 and wt == 2:
             out["field_names"].append(v.decode("utf-8", "replace"))
+        elif fid == 6 and wt == 0:
+            out["precision"] = v  # DECIMAL
+        elif fid == 7 and wt == 0:
+            out["scale"] = v
     return out
 
 
@@ -277,13 +281,19 @@ def parse_orc_tail(raw: bytes) -> dict:
 # (which already runs the repo's from-spec zstd/snappy/LZ4 codecs),
 # byte-RLE + bit-packed PRESENT streams, and full RLEv2 (all four
 # sub-encodings: short-repeat, direct, patched-base, delta) with
-# ORC's MSB-first bit packing and 5-bit width table. Covers the flat
+# ORC's MSB-first bit packing and 5-bit width table. Covers the
 # column kinds a lake actually stores: boolean/byte/short/int/long,
 # float/double, string/varchar/char/binary in both DIRECT_V2 and
-# DICTIONARY_V2 encodings; timestamps/decimals/nested kinds raise
-# the named error. The recovery path when no reader is installed and
-# the existence proof that the walker tier understands the format —
-# the q_bits_parquet discipline applied to ORC.
+# DICTIONARY_V2 encodings, decimal (unbounded zigzag-varint
+# mantissas + the SECONDARY scale stream, schema-scale fallback),
+# and one-level LISTs (read_orc_list_column: PRESENT + RLEv2 LENGTH
+# at the list node, the element column self-aligned per stripe).
+# Timestamps raise the named error — wall-clock values shift with
+# the writer timezone table, which this tier deliberately does not
+# model — as do maps/structs/unions. The recovery path when no
+# reader is installed and the existence proof that the walker tier
+# understands the format — the q_bits_parquet discipline applied to
+# ORC.
 
 _STREAM_PRESENT, _STREAM_DATA, _STREAM_LENGTH = 0, 1, 2
 _STREAM_DICT_DATA, _STREAM_SECONDARY, _STREAM_ROW_INDEX = 3, 5, 6
@@ -518,6 +528,7 @@ def _stripe_column_streams(
             _STREAM_DATA,
             _STREAM_LENGTH,
             _STREAM_DICT_DATA,
+            _STREAM_SECONDARY,
         ):
             blob = raw[pos : pos + s["length"]]
             if len(blob) != s["length"]:
@@ -570,12 +581,15 @@ def _decode_strings(streams: dict, enc: dict, n_present: int) -> list:
 
 
 def _stripe_primitive(
-    raw: bytes, stripe: dict, col_id: int, kind: str, comp: str, n: int
+    raw: bytes, stripe: dict, col_id: int, kind: str, comp: str, n: int,
+    type_scale: int | None = None,
 ) -> list:
     """One stripe's worth of one primitive column, in slot order,
     None for nulls — ``n`` is the column's slot count in this stripe
     (the stripe row count for a top-level column; the summed list
-    lengths for a list's element column)."""
+    lengths for a list's element column). ``type_scale`` is the
+    schema scale for decimal columns (the fallback when a writer
+    omits the per-value SECONDARY scale stream)."""
     streams, enc = _stripe_column_streams(raw, stripe, col_id, comp)
     present = None
     n_present = n
@@ -615,10 +629,41 @@ def _stripe_primitive(
         vals = _decode_strings(streams, enc, n_present)
         if kind != "binary":
             vals = [v.decode("utf-8") for v in vals]
+    elif kind == "decimal":
+        # ORCv1 decimal: DATA = unbounded base-128 zigzag varint
+        # mantissas (one per present value); SECONDARY = per-value
+        # scale as signed RLEv2, falling back to the schema scale
+        # when the writer omits the stream. Value = mantissa·10^-s.
+        from decimal import Decimal
+
+        blob = streams.get(_STREAM_DATA, b"")
+        mant: list[int] = []
+        i = 0
+        for _ in range(n_present):
+            if i >= len(blob):
+                raise OrcError("decimal mantissa stream truncated")
+            u, i = _varint(blob, i)
+            mant.append(_unzigzag(u))
+        if _STREAM_SECONDARY in streams:
+            scales = _rlev2(streams[_STREAM_SECONDARY], signed=True)
+            if len(scales) < n_present:
+                raise OrcError("decimal scale stream shorter than rows")
+            scales = scales[:n_present]
+        elif type_scale is not None:
+            scales = [type_scale] * n_present
+        else:
+            raise OrcError(
+                "decimal column lacks both a SECONDARY scale stream "
+                "and a schema scale"
+            )
+        vals = [
+            Decimal(m).scaleb(-s) for m, s in zip(mant, scales)
+        ]
     else:
         raise OrcError(
-            f"column kind {kind!r} is not decoded here (timestamp/"
-            "decimal/nested need the ORC library)"
+            f"column kind {kind!r} is not decoded here (timestamp "
+            "needs the ORC library: wall-clock values shift with the "
+            "writer timezone table, which this tier does not model)"
         )
     if len(vals) < n_present:
         raise OrcError("value stream shorter than present rows")
@@ -665,7 +710,8 @@ def read_orc_column(raw: bytes, name: str) -> list:
             raise OrcError("stripe lacks a row count")
         out.extend(
             _stripe_primitive(
-                raw, stripe, col_id, kind, comp, stripe["n_rows"]
+                raw, stripe, col_id, kind, comp, stripe["n_rows"],
+                type_scale=tail["types"][col_id].get("scale"),
             )
         )
     return out
@@ -720,7 +766,8 @@ def read_orc_list_column(raw: bytes, name: str) -> list:
             raise OrcError("list length stream shorter than rows")
         lengths = lengths[:n_present]
         child = _stripe_primitive(
-            raw, stripe, child_id, child_kind, comp, sum(lengths)
+            raw, stripe, child_id, child_kind, comp, sum(lengths),
+            type_scale=tail["types"][child_id].get("scale"),
         )
         it = iter(child)
         li = iter(lengths)

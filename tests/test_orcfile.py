@@ -382,3 +382,62 @@ def test_list_column_property_fuzz():
         assert read_orc_list_column(buf.getvalue(), "xs") == data
 
     prop()
+
+
+def test_decimal_column_roundtrip_and_scales():
+    """ORCv1 decimal: unbounded zigzag-varint mantissas + SECONDARY
+    scale stream, pinned against pyarrow incl. negatives, zero,
+    nulls, a high-precision fuzz, and list<decimal>."""
+    import decimal
+    import io
+    import random
+
+    import pyarrow as pa
+    from pyarrow import orc as pa_orc
+
+    from core_spark.functions.orcfile import (
+        read_orc_column,
+        read_orc_list_column,
+    )
+
+    D = decimal.Decimal
+    vals = [D("12.34"), None, D("-0.05"), D("99999.99"), D("0.00")]
+    t = pa.table({"d": pa.array(vals, type=pa.decimal128(12, 2))})
+    for comp in ("UNCOMPRESSED", "ZLIB", "ZSTD", "SNAPPY"):
+        buf = io.BytesIO()
+        pa_orc.write_table(t, buf, compression=comp)
+        assert read_orc_column(buf.getvalue(), "d") == vals, comp
+
+    rng = random.Random(7)
+    rv = [
+        None if rng.random() < 0.2
+        else D(rng.randrange(-10**17, 10**17)).scaleb(-4)
+        for _ in range(500)
+    ]
+    t2 = pa.table({"d": pa.array(rv, type=pa.decimal128(22, 4))})
+    buf = io.BytesIO()
+    pa_orc.write_table(t2, buf, stripe_size=64 * 1024)
+    assert read_orc_column(buf.getvalue(), "d") == rv
+
+    ld = [[D("1.50"), None], None, [], [D("-2.25")]]
+    t3 = pa.table({"xs": pa.array(ld, type=pa.list_(pa.decimal128(10, 2)))})
+    buf = io.BytesIO()
+    pa_orc.write_table(t3, buf)
+    assert read_orc_list_column(buf.getvalue(), "xs") == ld
+
+
+def test_timestamp_kind_stays_fenced():
+    import datetime
+    import io
+
+    import pyarrow as pa
+    import pytest as _pytest
+    from pyarrow import orc as pa_orc
+
+    from core_spark.functions.orcfile import OrcError, read_orc_column
+
+    t = pa.table({"ts": pa.array([datetime.datetime(2020, 1, 1)])})
+    buf = io.BytesIO()
+    pa_orc.write_table(t, buf)
+    with _pytest.raises(OrcError, match="timezone"):
+        read_orc_column(buf.getvalue(), "ts")
