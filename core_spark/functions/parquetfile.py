@@ -53,8 +53,10 @@ plus ONE-level LIST columns (the standard 3-level annotation or a
 bare repeated leaf): repetition levels decode in both page formats
 and Dremel reassembly distinguishes null list / empty list / null
 element (schema_leaves carries each leaf's max_def/max_rep/d_rep
-from the num_children tree walk). Doubly-nested lists (max_rep > 1)
-and INT96 timestamps raise the named error: deeper shredding is the
+from the num_children tree walk) — and legacy INT96 timestamps
+(Julian day + signed nanoseconds-of-day → epoch nanos as int, the
+precision python datetime cannot carry). Doubly-nested lists
+(max_rep > 1) raise the named error: deeper shredding is the
 native reader's job, and this tier exists for planning,
 verification and recovery.
 
@@ -910,10 +912,28 @@ def _plain_values(
             raise ParquetError("plain booleans escape the page")
         out = [bool((data[k >> 3] >> (k & 7)) & 1) for k in range(n)]
         i = nbytes
+    elif ptype == _PT_INT96:
+        # Legacy Impala/Hive timestamp: 8-byte LE nanoseconds-of-day
+        # followed by a 4-byte LE Julian day number. Decoded to epoch
+        # NANOSECONDS (int) — the sub-microsecond precision python
+        # datetime cannot carry; 2440588 is the Unix-epoch Julian day.
+        # The nanos field reads SIGNED: writers split pre-1970
+        # instants with truncation toward zero, leaving a negative
+        # remainder beside the day.
+        if n * 12 > len(data):
+            raise ParquetError("plain int96 values escape the page")
+        out = []
+        for k in range(n):
+            nanos = int.from_bytes(
+                data[k * 12 : k * 12 + 8], "little", signed=True
+            )
+            jday = int.from_bytes(
+                data[k * 12 + 8 : k * 12 + 12], "little", signed=False
+            )
+            out.append((jday - 2440588) * 86_400_000_000_000 + nanos)
+        i = n * 12
     else:
-        raise ParquetError(
-            f"physical type {ptype} is not decoded here (INT96)"
-        )
+        raise ParquetError(f"physical type {ptype} is not decoded here")
     return out, i
 
 

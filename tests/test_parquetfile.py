@@ -645,3 +645,45 @@ def test_list_column_property_fuzz():
         assert read_parquet_list_column(buf.getvalue(), "xs") == data
 
     prop()
+
+
+def test_int96_timestamps_decode_to_epoch_nanos():
+    """Legacy Impala/Hive INT96: Julian day + SIGNED nanos-of-day
+    (pre-1970 instants split with truncation toward zero) → epoch
+    nanos, pinned value-exact against pyarrow across codecs and
+    dictionary settings."""
+    import datetime
+    import io
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from core_spark.functions.parquetfile import read_parquet_column
+
+    rng = random.Random(3)
+    base = datetime.datetime(1995, 1, 1)
+    ts = [
+        None if rng.random() < 0.15 else
+        base + datetime.timedelta(
+            days=rng.randrange(-20000, 20000),
+            seconds=rng.randrange(86400),
+            microseconds=rng.randrange(10**6),
+        )
+        for _ in range(300)
+    ]
+    t = pa.table({"ts": pa.array(ts, type=pa.timestamp("ns"))})
+    for codec in ("NONE", "ZSTD", "SNAPPY"):
+        for dict_on in (True, False):
+            buf = io.BytesIO()
+            pq.write_table(
+                t, buf, use_deprecated_int96_timestamps=True,
+                compression=codec, use_dictionary=dict_on,
+                row_group_size=77,
+            )
+            got = read_parquet_column(buf.getvalue(), "ts")
+            col = pq.read_table(
+                io.BytesIO(buf.getvalue())
+            )["ts"].combine_chunks()
+            want = [None if not v.is_valid else v.value for v in col]
+            assert got == want, (codec, dict_on)
