@@ -441,3 +441,33 @@ def test_timestamp_kind_stays_fenced():
     pa_orc.write_table(t, buf)
     with _pytest.raises(OrcError, match="timezone"):
         read_orc_column(buf.getvalue(), "ts")
+
+
+def test_decimal_truncated_mantissa_raises_named():
+    import decimal
+    import io
+
+    import pyarrow as pa
+    import pytest as _pytest
+    from pyarrow import orc as pa_orc
+
+    from core_spark.functions.orcfile import (
+        OrcError,
+        parse_orc_tail,
+        read_orc_column,
+    )
+
+    t = pa.table(
+        {"d": pa.array([decimal.Decimal("1.23")] * 40,
+                       type=pa.decimal128(10, 2))}
+    )
+    buf = io.BytesIO()
+    pa_orc.write_table(t, buf, compression="UNCOMPRESSED")
+    raw = bytearray(buf.getvalue())
+    # blank the stripe data region: varints never complete
+    tail = parse_orc_tail(bytes(raw))
+    st = tail["stripes"][0]
+    for k in range(st["offset"], st["offset"] + st["data_len"]):
+        raw[k] = 0x80  # continuation bit forever
+    with _pytest.raises(OrcError):
+        read_orc_column(bytes(raw), "d")

@@ -687,3 +687,34 @@ def test_int96_timestamps_decode_to_epoch_nanos():
             )["ts"].combine_chunks()
             want = [None if not v.is_valid else v.value for v in col]
             assert got == want, (codec, dict_on)
+
+
+def test_list_column_reads_spark_written_files(spark, tmp_path):
+    """Interop with the engine's OWN writer: Spark's standard
+    3-level list layout AND the legacy 2-level layout
+    (spark.sql.parquet.writeLegacyFormat — the bare repeated leaf)
+    both reassemble exactly."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from core_spark.functions.parquetfile import read_parquet_list_column
+
+    df = spark.range(6).select(
+        F.when(
+            F.col("id") % 3 != 0,
+            F.array_remove(F.array(F.col("id"), F.col("id") * 2), -1),
+        ).alias("xs")
+    )
+    want = [None if i % 3 == 0 else [i, 2 * i] for i in range(6)]
+    for legacy in ("false", "true"):
+        spark.conf.set("spark.sql.parquet.writeLegacyFormat", legacy)
+        out = str(tmp_path / f"legacy_{legacy}")
+        try:
+            df.coalesce(1).write.mode("overwrite").parquet(out)
+        finally:
+            spark.conf.set("spark.sql.parquet.writeLegacyFormat", "false")
+        part = glob.glob(out + "/part-*.parquet")[0]
+        raw = open(part, "rb").read()
+        got = read_parquet_list_column(raw, "xs")
+        assert sorted(map(repr, got)) == sorted(map(repr, want)), legacy
