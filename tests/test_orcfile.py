@@ -471,3 +471,44 @@ def test_decimal_truncated_mantissa_raises_named():
         raw[k] = 0x80  # continuation bit forever
     with _pytest.raises(OrcError):
         read_orc_column(bytes(raw), "d")
+
+
+def test_reader_against_spark_java_orc_writer(spark, tmp_path):
+    """Interop with the OTHER major ORC encoder: Spark's Java writer
+    (different RLEv2 sub-encoding choices than pyarrow's C++) —
+    long, dictionary-able strings, list<long> and decimal columns
+    all reassemble to what Spark itself reads back."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from core_spark.functions.orcfile import (
+        read_orc_column,
+        read_orc_list_column,
+    )
+
+    out = str(tmp_path / "orc_java")
+    df = spark.range(2000).select(
+        F.col("id").alias("a"),
+        (F.col("id") * 37 % 1000).alias("skewed"),
+        F.concat(F.lit("w"), (F.col("id") % 50).cast("string")).alias("s"),
+        F.when(
+            F.col("id") % 5 != 0, F.array(F.col("id"), F.col("id") * 2)
+        ).alias("xs"),
+        (F.col("id").cast("decimal(12,2)") / 7).alias("d"),
+    )
+    df.coalesce(1).write.mode("overwrite").orc(out)
+    raw = open(glob.glob(out + "/part-*.orc")[0], "rb").read()
+    by_a = {r["a"]: r for r in df.collect()}
+    order = read_orc_column(raw, "a")
+    assert sorted(order) == list(range(2000))
+    sk = read_orc_column(raw, "skewed")
+    ss = read_orc_column(raw, "s")
+    xs = read_orc_list_column(raw, "xs")
+    dd = read_orc_column(raw, "d")
+    for i, a in enumerate(order):
+        r = by_a[a]
+        assert sk[i] == r["skewed"]
+        assert ss[i] == r["s"]
+        assert xs[i] == (list(r["xs"]) if r["xs"] is not None else None)
+        assert dd[i] == r["d"]
