@@ -25,9 +25,14 @@ Types): ``decimal`` over bytes (big-endian two's-complement
 unscaled integer at the schema's scale → decimal.Decimal),
 ``date`` over int (days since epoch → datetime.date) and
 ``timestamp-micros`` over long (→ naive-UTC datetime), written as
-a dict field spec {"type": ..., "logicalType": ...}. Complex types
-(records-in-records, arrays, maps, enums, fixed) and other logical
-types raise the named scope fence.
+a dict field spec {"type": ..., "logicalType": ...}, plus ONE-level
+ARRAYS of primitives or unions ({"type": "array", "items": ...} —
+zigzag-count blocks concatenated until the zero terminator,
+including the spec's skippable negative-count+byte-size form),
+completing list support across all three row formats beside
+parquet's and ORC's list readers. Deeper complex types
+(records-in-records, arrays of arrays, maps, enums, fixed) and
+other logical types raise the named scope fence.
 
 The block layout is what makes OCF object-storage friendly — the
 same ranged-GET discipline as the media walks: a reader seeks by
@@ -210,6 +215,30 @@ def _read_value(data: bytes, i: int, typ):
     """One Avro value of primitive, union, or logical type →
     (value, next i). ``typ`` is a type-name string, a union branch
     list, or a dict spec {"type": ..., "logicalType": ...}."""
+    if isinstance(typ, dict) and typ.get("type") == "array":
+        # Avro array: blocks of (zigzag count, items...) until a zero
+        # count; a negative count is followed by the block's byte
+        # size (spec: skippable blocks) and |count| items — the same
+        # shape as the file-metadata map. One level of primitives or
+        # unions; arrays-of-arrays raise the named scope fence.
+        items = typ.get("items")
+        if isinstance(items, dict) and items.get("type") == "array":
+            raise AvroError(
+                "array of arrays — one-level arrays of primitives only"
+            )
+        out_arr: list = []
+        while True:
+            count, i = read_long(data, i)
+            if count == 0:
+                return out_arr, i
+            if count < 0:
+                count = -count
+                _, i = read_long(data, i)  # block byte size: unused
+            if count > MAX_BLOCK_RECORDS:
+                raise AvroError("array block count is implausible")
+            for _ in range(count):
+                v, i = _read_value(data, i, items)
+                out_arr.append(v)
     if isinstance(typ, dict):  # logical type over an underlying type
         lt = typ.get("logicalType")
         # fence BEFORE decoding: an unsupported shape must never

@@ -283,3 +283,55 @@ def test_typed_corrupt_values_raise_named():
             [("f", {"type": "fixed", "logicalType": "decimal",
                     "scale": 2})], 1,
         )
+
+
+def test_array_values_decode_all_block_forms():
+    """Avro arrays: plain blocks, multiple blocks, the skippable
+    negative-count+size form, empty arrays, nullable union items,
+    and the array-of-arrays scope fence."""
+    from core_spark.functions.avro import (
+        AvroError,
+        _read_value,
+        write_long,
+        write_string,
+    )
+
+    spec = {"type": "array", "items": "long"}
+    # two blocks then terminator — readers must concatenate
+    data = (
+        write_long(2) + write_long(7) + write_long(-1)
+        + write_long(1) + write_long(100)
+        + write_long(0)
+    )
+    v, i = _read_value(data, 0, spec)
+    assert v == [7, -1, 100] and i == len(data)
+    # skippable form: negative count carries a byte size
+    data = (
+        write_long(-2) + write_long(99)
+        + write_long(2) + write_long(4) + write_long(0)
+    )
+    v, i = _read_value(data, 0, spec)
+    assert v == [2, 4] and i == len(data)
+    # empty
+    v, i = _read_value(write_long(0), 0, spec)
+    assert v == []
+    # nullable items through the union path
+    nspec = {"type": "array", "items": ["null", "string"]}
+    data = (
+        write_long(3)
+        + write_long(1) + write_string("a")
+        + write_long(0)
+        + write_long(1) + write_string("cc")
+        + write_long(0)
+    )
+    v, i = _read_value(data, 0, nspec)
+    assert v == ["a", None, "cc"]
+    # truncated block raises, never hangs
+    with pytest.raises(AvroError):
+        _read_value(write_long(3) + write_long(1), 0, spec)
+    # arrays of arrays are fenced
+    with pytest.raises(AvroError, match="one-level"):
+        _read_value(
+            b"\x00", 0,
+            {"type": "array", "items": {"type": "array", "items": "long"}},
+        )
