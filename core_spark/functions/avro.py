@@ -30,9 +30,11 @@ ARRAYS of primitives or unions ({"type": "array", "items": ...} —
 zigzag-count blocks concatenated until the zero terminator,
 including the spec's skippable negative-count+byte-size form),
 completing list support across all three row formats beside
-parquet's and ORC's list readers. Deeper complex types
-(records-in-records, arrays of arrays, maps, enums, fixed) and
-other logical types raise the named scope fence.
+parquet's and ORC's list readers — and ONE-level MAPS
+({"type": "map", "values": ...}: the same block shape with a
+length-prefixed UTF-8 key before each value). Deeper complex types
+(records-in-records, nested arrays/maps, enums, fixed) and other
+logical types raise the named scope fence.
 
 The block layout is what makes OCF object-storage friendly — the
 same ranged-GET discipline as the media walks: a reader seeks by
@@ -215,6 +217,28 @@ def _read_value(data: bytes, i: int, typ):
     """One Avro value of primitive, union, or logical type →
     (value, next i). ``typ`` is a type-name string, a union branch
     list, or a dict spec {"type": ..., "logicalType": ...}."""
+    if isinstance(typ, dict) and typ.get("type") == "map":
+        # Avro map: the array block shape with a length-prefixed
+        # UTF-8 key before each value (the file-metadata map's
+        # encoding, generalized to any value type). One level deep.
+        vtyp = typ.get("values")
+        if isinstance(vtyp, dict) and vtyp.get("type") in ("map", "array"):
+            raise AvroError(
+                "map of maps/arrays — one-level maps of primitives only"
+            )
+        out_map: dict = {}
+        while True:
+            count, i = read_long(data, i)
+            if count == 0:
+                return out_map, i
+            if count < 0:
+                count = -count
+                _, i = read_long(data, i)  # block byte size: unused
+            if count > MAX_BLOCK_RECORDS:
+                raise AvroError("map block count is implausible")
+            for _ in range(count):
+                k, i = read_string(data, i)
+                out_map[k], i = _read_value(data, i, vtyp)
     if isinstance(typ, dict) and typ.get("type") == "array":
         # Avro array: blocks of (zigzag count, items...) until a zero
         # count; a negative count is followed by the block's byte

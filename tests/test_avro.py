@@ -335,3 +335,54 @@ def test_array_values_decode_all_block_forms():
             b"\x00", 0,
             {"type": "array", "items": {"type": "array", "items": "long"}},
         )
+
+
+def test_map_values_decode():
+    """Avro maps: the array block shape with string keys — plain and
+    skippable block forms, nullable union values, empties, and the
+    one-level scope fence."""
+    from core_spark.functions.avro import (
+        AvroError,
+        _read_value,
+        write_long,
+        write_string,
+    )
+
+    spec = {"type": "map", "values": "long"}
+    data = (
+        write_long(2)
+        + write_string("a") + write_long(7)
+        + write_string("b") + write_long(-3)
+        + write_long(1)
+        + write_string("c") + write_long(100)
+        + write_long(0)
+    )
+    v, i = _read_value(data, 0, spec)
+    assert v == {"a": 7, "b": -3, "c": 100} and i == len(data)
+    v, i = _read_value(write_long(0), 0, spec)
+    assert v == {}
+    # skippable negative-count block
+    data = (
+        write_long(-1) + write_long(42)
+        + write_string("k") + write_long(5)
+        + write_long(0)
+    )
+    v, i = _read_value(data, 0, spec)
+    assert v == {"k": 5}
+    # nullable values through the union path
+    nspec = {"type": "map", "values": ["null", "string"]}
+    data = (
+        write_long(2)
+        + write_string("x") + write_long(1) + write_string("v")
+        + write_string("y") + write_long(0)
+        + write_long(0)
+    )
+    v, i = _read_value(data, 0, nspec)
+    assert v == {"x": "v", "y": None}
+    with pytest.raises(AvroError):
+        _read_value(write_long(2) + write_string("a"), 0, spec)
+    with pytest.raises(AvroError, match="one-level"):
+        _read_value(
+            b"\x00", 0,
+            {"type": "map", "values": {"type": "map", "values": "long"}},
+        )
