@@ -717,6 +717,78 @@ def read_orc_column(raw: bytes, name: str) -> list:
     return out
 
 
+def read_orc_map_column(raw: bytes, name: str) -> list:
+    """Whole-file read of one MAP column by name — the list layout
+    with TWO child columns: the map node carries PRESENT (null maps)
+    and RLEv2 LENGTH (entry counts; 0 = empty), and the key/value
+    child columns each hold one slot per entry, self-aligned per
+    stripe by the summed lengths. Values may be null via the value
+    child's own PRESENT stream; a null KEY is corrupt input and
+    raises. Nested maps/lists under the children raise the named
+    scope fence."""
+    tail = parse_orc_tail(raw)
+    col_id = _root_col_id(tail, name)
+    if tail["types"][col_id]["kind"] != "map":
+        raise OrcError(f"column {name!r} is not a map")
+    subs = tail["types"][col_id]["subtypes"]
+    if len(subs) != 2:
+        raise OrcError("map type lacks its key/value types")
+    kid, vid = subs
+    if max(kid, vid) >= len(tail["types"]):
+        raise OrcError("map child type id beyond the type list")
+    kkind = tail["types"][kid]["kind"]
+    vkind = tail["types"][vid]["kind"]
+    for ck in (kkind, vkind):
+        if ck in ("list", "map", "struct", "union"):
+            raise OrcError(
+                f"column {name!r} children are {ck} — one-level maps "
+                "of primitives only"
+            )
+    comp = tail["compression"]
+    out: list = []
+    for stripe in tail["stripes"]:
+        if "n_rows" not in stripe:
+            raise OrcError("stripe lacks a row count")
+        n = stripe["n_rows"]
+        streams, enc = _stripe_column_streams(raw, stripe, col_id, comp)
+        if enc["kind"] != 2:
+            raise OrcError(
+                "map column uses RLEv1 lengths (DIRECT from a "
+                "pre-HIVE-4123 writer) — only DIRECT_V2 decodes here"
+            )
+        present = None
+        n_present = n
+        if _STREAM_PRESENT in streams:
+            present = _bool_stream(streams[_STREAM_PRESENT], n)
+            n_present = sum(present)
+        lengths = _rlev2(streams.get(_STREAM_LENGTH, b""), signed=False)
+        if len(lengths) < n_present:
+            raise OrcError("map length stream shorter than rows")
+        lengths = lengths[:n_present]
+        total = sum(lengths)
+        keys = _stripe_primitive(
+            raw, stripe, kid, kkind, comp, total,
+            type_scale=tail["types"][kid].get("scale"),
+        )
+        vals = _stripe_primitive(
+            raw, stripe, vid, vkind, comp, total,
+            type_scale=tail["types"][vid].get("scale"),
+        )
+        ki, vi_, li = iter(keys), iter(vals), iter(lengths)
+        for k in range(n):
+            if present is not None and not present[k]:
+                out.append(None)
+                continue
+            entry = {}
+            for _ in range(next(li)):
+                key = next(ki)
+                if key is None:
+                    raise OrcError("map key is null — corrupt input")
+                entry[key] = next(vi_)
+            out.append(entry)
+    return out
+
+
 def read_orc_list_column(raw: bytes, name: str) -> list:
     """Whole-file read of one LIST column by name with no ORC
     library — the repeated tier above read_orc_column's flat kinds

@@ -50,10 +50,12 @@ RLE), INT32/INT64, FLOAT/DOUBLE, BYTE_ARRAY (str for STRING columns,
 bytes otherwise), FIXED_LEN_BYTE_ARRAY (Decimal for DECIMAL columns,
 bytes otherwise), dictionary/delta/byte-stream-split encodings —
 plus ONE-level LIST columns (the standard 3-level annotation or a
-bare repeated leaf): repetition levels decode in both page formats
-and Dremel reassembly distinguishes null list / empty list / null
-element (schema_leaves carries each leaf's max_def/max_rep/d_rep
-from the num_children tree walk) — and legacy INT96 timestamps
+bare repeated leaf) and MAP columns (the key_value pair of repeated
+leaves, zipped slot-for-slot by their shared levels): repetition
+levels decode in both page formats and Dremel reassembly
+distinguishes null list/map, empty list/map and null element/value
+(schema_leaves carries each leaf's max_def/max_rep/d_rep from the
+num_children tree walk) — and legacy INT96 timestamps
 (Julian day + signed nanoseconds-of-day → epoch nanos as int, the
 precision python datetime cannot carry). Doubly-nested lists
 (max_rep > 1) raise the named error: deeper shredding is the
@@ -1137,6 +1139,129 @@ def read_column_chunk(
     return out
 
 
+def _leaf_levels(
+    raw: bytes,
+    footer: dict,
+    hit: str,
+    leaf: dict,
+    row_groups: list[int] | None,
+) -> tuple[list, list, list]:
+    """All (slots, defs, reps) of one repeated leaf across the
+    selected row groups, concatenated in row order."""
+    slots: list = []
+    defs: list = []
+    reps: list = []
+    rgs = footer["row_groups"]
+    if row_groups is not None:
+        rgs = [rgs[k] for k in row_groups]
+    for rg in rgs:
+        col = next(
+            (c for c in rg["columns"] if c.get("path") == hit), None
+        )
+        if col is None:
+            raise ParquetError(f"row group lacks column {hit!r}")
+        s, d, r = read_column_chunk(
+            raw,
+            col,
+            leaf["ptype"],
+            max_def=leaf["max_def"],
+            type_len=leaf["tlen"],
+            max_rep=leaf["max_rep"],
+        )
+        slots.extend(s)
+        defs.extend(d)
+        reps.extend(r)
+    return slots, defs, reps
+
+
+def _leaf_converter(leaf: dict, hit: str):
+    """Logical-value converter for one leaf: DECIMAL unscaling and
+    STRING utf-8 with the named-error discipline."""
+
+    def convert(v):
+        if v is None:
+            return None
+        if leaf["decimal"] is not None:
+            from decimal import Decimal
+
+            return Decimal(
+                int.from_bytes(v, "big", signed=True)
+                if isinstance(v, bytes)
+                else v
+            ).scaleb(-leaf["decimal"][0])
+        if leaf["string"] and isinstance(v, bytes):
+            try:
+                return v.decode("utf-8")
+            except UnicodeDecodeError as e:
+                raise ParquetError(
+                    f"STRING column {hit!r} carries invalid UTF-8: {e}"
+                ) from None
+        return v
+
+    return convert
+
+
+def read_parquet_map_column(
+    raw: bytes, name: str, row_groups: list[int] | None = None
+) -> list:
+    """Whole-file read of one MAP column by its outer name — the
+    standard annotation's two repeated leaves (``…key_value.key``,
+    required, and ``…key_value.value``, optional) decode with their
+    shared repetition structure and zip slot-for-slot into dicts:
+    both leaves carry exactly one slot per key_value entry AND per
+    null/empty-map marker, so the key leaf's levels drive the
+    reassembly while the value leaf only contributes its payload
+    (null when its definition level stops short). Null map / empty
+    map / null value all distinguished; a null KEY is corrupt input
+    (the spec requires keys) and raises."""
+    footer = parse_parquet_footer(raw)
+    leaves = footer.get("schema_leaves", {})
+    kpath = [
+        p for p in leaves
+        if p.startswith(name + ".") and p.endswith(".key")
+        and leaves[p]["max_rep"] > 0
+    ]
+    vpath = [
+        p for p in leaves
+        if p.startswith(name + ".") and p.endswith(".value")
+        and leaves[p]["max_rep"] > 0
+    ]
+    if len(kpath) != 1 or len(vpath) != 1:
+        raise ParquetError(f"no map column under {name!r}")
+    kl, vl = leaves[kpath[0]], leaves[vpath[0]]
+    if kl["max_rep"] > 1:
+        raise ParquetError(
+            f"column {name!r} is nested inside another repeated "
+            "group — one-level maps only"
+        )
+    ks, kd, kr = _leaf_levels(raw, footer, kpath[0], kl, row_groups)
+    vs, vd, _vr = _leaf_levels(raw, footer, vpath[0], vl, row_groups)
+    if len(ks) != len(vs):
+        raise ParquetError("map key/value slot counts disagree")
+    kconv = _leaf_converter(kl, kpath[0])
+    vconv = _leaf_converter(vl, vpath[0])
+    d_rep, kmax, vmax = kl["d_rep"], kl["max_def"], vl["max_def"]
+    out: list = []
+    for idx, (v, d, rp) in enumerate(zip(ks, kd, kr)):
+        if rp == 0:
+            if d < d_rep - 1:
+                out.append(None)  # null map
+                continue
+            out.append({})
+            if d == d_rep - 1:
+                continue  # empty map: the slot carries no entry
+        elif not out or out[-1] is None:
+            raise ParquetError(
+                "repetition level continues a record that never started"
+            )
+        if d != kmax:
+            raise ParquetError("map key is null — corrupt input")
+        out[-1][kconv(v)] = (
+            vconv(vs[idx]) if vd[idx] == vmax else None
+        )
+    return out
+
+
 def read_parquet_list_column(
     raw: bytes, name: str, row_groups: list[int] | None = None
 ) -> list:
@@ -1175,50 +1300,8 @@ def read_parquet_list_column(
             f"column {hit!r} is doubly nested (max_rep="
             f"{leaf['max_rep']}) — one-level lists only"
         )
-    slots: list = []
-    defs: list = []
-    reps: list = []
-    rgs = footer["row_groups"]
-    if row_groups is not None:
-        rgs = [rgs[k] for k in row_groups]
-    for rg in rgs:
-        col = next(
-            (c for c in rg["columns"] if c.get("path") == hit), None
-        )
-        if col is None:
-            raise ParquetError(f"row group lacks column {hit!r}")
-        s, d, r = read_column_chunk(
-            raw,
-            col,
-            leaf["ptype"],
-            max_def=leaf["max_def"],
-            type_len=leaf["tlen"],
-            max_rep=1,
-        )
-        slots.extend(s)
-        defs.extend(d)
-        reps.extend(r)
-
-    def convert(v):
-        if v is None:
-            return None
-        if leaf["decimal"] is not None:
-            from decimal import Decimal
-
-            return Decimal(
-                int.from_bytes(v, "big", signed=True)
-                if isinstance(v, bytes)
-                else v
-            ).scaleb(-leaf["decimal"][0])
-        if leaf["string"] and isinstance(v, bytes):
-            try:
-                return v.decode("utf-8")
-            except UnicodeDecodeError as e:
-                raise ParquetError(
-                    f"STRING column {hit!r} carries invalid UTF-8: {e}"
-                ) from None
-        return v
-
+    slots, defs, reps = _leaf_levels(raw, footer, hit, leaf, row_groups)
+    convert = _leaf_converter(leaf, hit)
     d_rep, max_def = leaf["d_rep"], leaf["max_def"]
     out: list = []
     for v, d, rp in zip(slots, defs, reps):

@@ -512,3 +512,25 @@ def test_reader_against_spark_java_orc_writer(spark, tmp_path):
         assert ss[i] == r["s"]
         assert xs[i] == (list(r["xs"]) if r["xs"] is not None else None)
         assert dd[i] == r["d"]
+
+
+def test_map_column_roundtrip_all_codecs():
+    import io
+
+    import pyarrow as pa
+    import pytest as _pytest
+    from pyarrow import orc as pa_orc
+
+    from core_spark.functions.orcfile import OrcError, read_orc_map_column
+
+    md = [{"a": 1, "b": 2}, None, {}, {"c": None, "d": 4}, {"e": 5}]
+    t = pa.table({"m": pa.array(md, type=pa.map_(pa.string(), pa.int64()))})
+    for comp in ("UNCOMPRESSED", "ZLIB", "ZSTD", "SNAPPY"):
+        buf = io.BytesIO()
+        pa_orc.write_table(t, buf, compression=comp)
+        assert read_orc_map_column(buf.getvalue(), "m") == md, comp
+    with _pytest.raises(OrcError, match="not a map"):
+        t2 = pa.table({"a": pa.array([1])})
+        buf2 = io.BytesIO()
+        pa_orc.write_table(t2, buf2)
+        read_orc_map_column(buf2.getvalue(), "a")

@@ -718,3 +718,71 @@ def test_list_column_reads_spark_written_files(spark, tmp_path):
         raw = open(part, "rb").read()
         got = read_parquet_list_column(raw, "xs")
         assert sorted(map(repr, got)) == sorted(map(repr, want)), legacy
+
+
+def test_map_column_roundtrip_and_fences():
+    """Parquet MAP decode: two repeated leaves zipped by their shared
+    levels — null map / empty map / null value across codecs, page
+    versions and row-group splits; a map is not readable as a list."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from core_spark.functions.parquetfile import (
+        ParquetError,
+        read_parquet_list_column,
+        read_parquet_map_column,
+    )
+
+    md = [{"a": 1, "b": 2}, None, {}, {"c": None, "d": 4}, {"e": 5}]
+    t = pa.table({"m": pa.array(md, type=pa.map_(pa.string(), pa.int64()))})
+    for codec in ("NONE", "ZSTD", "SNAPPY"):
+        for v2 in (True, False):
+            buf = io.BytesIO()
+            pq.write_table(
+                t, buf, compression=codec,
+                data_page_version="2.0" if v2 else "1.0",
+                row_group_size=2,
+            )
+            assert read_parquet_map_column(buf.getvalue(), "m") == md
+    md2 = [{"k": "x"}, {"q": None, "r": "yy"}, {}]
+    t2 = pa.table(
+        {"m": pa.array(md2, type=pa.map_(pa.string(), pa.string()))}
+    )
+    buf = io.BytesIO()
+    pq.write_table(t2, buf)
+    assert read_parquet_map_column(buf.getvalue(), "m") == md2
+    buf = io.BytesIO()
+    pq.write_table(t, buf)
+    with _pytest.raises(ParquetError, match="multiple repeated"):
+        read_parquet_list_column(buf.getvalue(), "m")
+    with _pytest.raises(ParquetError, match="no map column"):
+        read_parquet_map_column(buf.getvalue(), "nope")
+
+
+def test_map_column_reads_spark_written_files(spark, tmp_path):
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from core_spark.functions.parquetfile import read_parquet_map_column
+
+    df = spark.range(5).select(
+        F.when(
+            F.col("id") % 4 != 0,
+            F.create_map(
+                F.lit("n"), F.col("id"),
+                F.lit("sq"), F.col("id") * F.col("id"),
+            ),
+        ).alias("m")
+    )
+    out = str(tmp_path / "maps")
+    df.coalesce(1).write.mode("overwrite").parquet(out)
+    raw = open(glob.glob(out + "/part-*.parquet")[0], "rb").read()
+    got = read_parquet_map_column(raw, "m")
+    want = [
+        None if r["m"] is None else dict(r["m"]) for r in df.collect()
+    ]
+    assert sorted(map(repr, got)) == sorted(map(repr, want))
