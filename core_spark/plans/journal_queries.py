@@ -281,7 +281,10 @@ def q_scan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     a selective predicate on a 10^6-fragment journal lists only the
     covering few — the audit costs one manifest read, zero scans,
     and returns one row per fragment; the pruning it reports is
-    exactly what read() executes."""
+    exactly what read() executes. (The fixture's global row_number
+    window runs over the FIXED event_id<2800 slice — bounded by
+    construction, not a corpus-sized sort; production appends are
+    already writer-ordered and need no ranking step.)"""
     events = load_table(spark, sf_dir, "events").filter(
         F.col("event_id") < 2800
     )
