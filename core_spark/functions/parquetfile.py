@@ -57,7 +57,8 @@ distinguishes null list/map, empty list/map and null element/value
 (schema_leaves carries each leaf's max_def/max_rep/d_rep from the
 num_children tree walk) — and legacy INT96 timestamps
 (Julian day + signed nanoseconds-of-day → epoch nanos as int, the
-precision python datetime cannot carry). Doubly-nested lists
+precision python datetime cannot carry). Flat STRUCT fields
+read by dotted path (flattened nulls). Doubly-nested lists
 (max_rep > 1) raise the named error: deeper shredding is the
 native reader's job, and this tier exists for planning,
 verification and recovery.
@@ -1330,16 +1331,29 @@ def read_parquet_column(
     decode as UTF-8 str only when the schema says STRING (logical
     type or the UTF8 converted type); plain binary columns stay
     bytes, and a STRING column carrying invalid UTF-8 raises the
-    named ParquetError, never a raw UnicodeDecodeError."""
+    named ParquetError, never a raw UnicodeDecodeError. A dotted
+    path addresses a field inside a non-repeated STRUCT (e.g.
+    ``meta.lang``): it reads as a flat column whose value is None
+    when the field OR any enclosing struct is null — the flattened
+    view a columnar scan serves without touching sibling fields."""
     footer = parse_parquet_footer(raw)
-    ptype = footer.get("schema_types", {}).get(path)
-    if ptype is None:
-        raise ParquetError(f"no flat column named {path!r}")
-    rep = footer.get("schema_reps", {}).get(path)
-    if rep not in (0, 1):
-        raise ParquetError(f"column {path!r} is repeated — not flat")
+    leaf = footer.get("schema_leaves", {}).get(path)
+    if leaf is not None and leaf["max_rep"] > 0:
+        raise ParquetError(
+            f"column {path!r} is repeated — use "
+            "read_parquet_list_column / read_parquet_map_column"
+        )
+    if leaf is not None:
+        ptype, rep, tlen = leaf["ptype"], leaf["max_def"], leaf["tlen"]
+    else:
+        ptype = footer.get("schema_types", {}).get(path)
+        if ptype is None:
+            raise ParquetError(f"no flat column named {path!r}")
+        rep = footer.get("schema_reps", {}).get(path)
+        if rep not in (0, 1):
+            raise ParquetError(f"column {path!r} is repeated — not flat")
+        tlen = footer.get("schema_fixed_lens", {}).get(path)
     out: list = []
-    tlen = footer.get("schema_fixed_lens", {}).get(path)
     rgs = footer["row_groups"]
     if row_groups is not None:
         rgs = [rgs[k] for k in row_groups]
@@ -1350,7 +1364,11 @@ def read_parquet_column(
         out.extend(
             read_column_chunk(raw, col, ptype, max_def=rep, type_len=tlen)
         )
-    dec = footer.get("schema_decimals", {}).get(path)
+    dec = (
+        leaf["decimal"]
+        if leaf is not None
+        else footer.get("schema_decimals", {}).get(path)
+    )
     if dec is not None and ptype in (
         _PT_FIXED,
         _PT_BYTE_ARRAY,
@@ -1374,7 +1392,11 @@ def read_parquet_column(
             ).scaleb(-scale)
             for v in out
         ]
-    elif ptype == _PT_BYTE_ARRAY and footer.get("schema_strings", {}).get(path):
+    elif ptype == _PT_BYTE_ARRAY and (
+        leaf["string"]
+        if leaf is not None
+        else footer.get("schema_strings", {}).get(path)
+    ):
         try:
             out = [
                 v.decode("utf-8") if v is not None else None for v in out

@@ -786,3 +786,55 @@ def test_map_column_reads_spark_written_files(spark, tmp_path):
         None if r["m"] is None else dict(r["m"]) for r in df.collect()
     ]
     assert sorted(map(repr, got)) == sorted(map(repr, want))
+
+
+def test_struct_fields_read_by_dotted_path():
+    """Flat STRUCT fields address by dotted path and read as
+    flattened columns: None whether the field or the enclosing
+    struct is null — nulls at both levels distinguished from values
+    by the tree's definition levels."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from core_spark.functions.parquetfile import (
+        ParquetError,
+        read_parquet_column,
+    )
+
+    rows = [
+        {"lang": "en", "score": 3},
+        None,
+        {"lang": None, "score": 7},
+        {"lang": "de", "score": None},
+    ]
+    t = pa.table(
+        {
+            "id": pa.array(range(4), type=pa.int64()),
+            "meta": pa.array(
+                rows,
+                type=pa.struct(
+                    [("lang", pa.string()), ("score", pa.int64())]
+                ),
+            ),
+        }
+    )
+    for v2 in (True, False):
+        buf = io.BytesIO()
+        pq.write_table(
+            t, buf, data_page_version="2.0" if v2 else "1.0"
+        )
+        raw = buf.getvalue()
+        assert read_parquet_column(raw, "id") == [0, 1, 2, 3]
+        assert read_parquet_column(raw, "meta.lang") == [
+            "en", None, None, "de",
+        ]
+        assert read_parquet_column(raw, "meta.score") == [3, None, 7, None]
+    # a repeated dotted leaf points at the list/map readers
+    lt = pa.table({"xs": pa.array([[1, 2]], type=pa.list_(pa.int64()))})
+    buf = io.BytesIO()
+    pq.write_table(lt, buf)
+    with _pytest.raises(ParquetError, match="repeated"):
+        read_parquet_column(buf.getvalue(), "xs.list.element")
