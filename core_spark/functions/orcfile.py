@@ -693,27 +693,72 @@ def _root_col_id(tail: dict, name: str) -> int:
 
 
 def read_orc_column(raw: bytes, name: str) -> list:
-    """Whole-file read of one flat column by name with no ORC
-    library, in row order, None for nulls. Strings decode as
-    UTF-8; binary stays bytes."""
+    """Whole-file read of one column by name with no ORC library, in
+    row order, None for nulls. Strings decode as UTF-8; binary stays
+    bytes. A dotted name (e.g. ``meta.lang``) addresses a field
+    inside non-repeated STRUCTs: ORC child columns carry one slot
+    per PRESENT parent row, so the read walks each struct level's
+    PRESENT stream inward and expands the leaf's values back out —
+    None whether the field or any enclosing struct is null (the
+    flattened view, matching the parquet reader's dotted paths)."""
     tail = parse_orc_tail(raw)
-    col_id = _root_col_id(tail, name)
+    parts = name.split(".")
+    chain = [_root_col_id(tail, parts[0])]
+    for part in parts[1:]:
+        node = tail["types"][chain[-1]]
+        if node["kind"] != "struct":
+            raise OrcError(
+                f"{'.'.join(parts[:len(chain)])!r} is not a struct — "
+                "dotted paths traverse structs only"
+            )
+        if part not in node["field_names"]:
+            raise OrcError(f"no field {part!r} under the struct")
+        idx = node["field_names"].index(part)
+        subs = node["subtypes"]
+        if idx >= len(subs):
+            raise OrcError("struct subtypes shorter than its fields")
+        chain.append(subs[idx])
+    col_id = chain[-1]
     kind = tail["types"][col_id]["kind"]
     if kind == "list":
         raise OrcError(
             f"column {name!r} is a list — use read_orc_list_column"
+        )
+    if kind == "map":
+        raise OrcError(
+            f"column {name!r} is a map — use read_orc_map_column"
+        )
+    if kind == "struct":
+        raise OrcError(
+            f"column {name!r} is a struct — address one of its "
+            f"fields: {tail['types'][col_id]['field_names']}"
         )
     comp = tail["compression"]
     out: list = []
     for stripe in tail["stripes"]:
         if "n_rows" not in stripe:
             raise OrcError("stripe lacks a row count")
-        out.extend(
-            _stripe_primitive(
-                raw, stripe, col_id, kind, comp, stripe["n_rows"],
-                type_scale=tail["types"][col_id].get("scale"),
+        cur_n = stripe["n_rows"]
+        masks: list = []
+        for struct_id in chain[:-1]:
+            streams, _enc = _stripe_column_streams(
+                raw, stripe, struct_id, comp
             )
+            present = None
+            if _STREAM_PRESENT in streams:
+                present = _bool_stream(streams[_STREAM_PRESENT], cur_n)
+                cur_n = sum(present)
+            masks.append(present)
+        vals = _stripe_primitive(
+            raw, stripe, col_id, kind, comp, cur_n,
+            type_scale=tail["types"][col_id].get("scale"),
         )
+        for present in reversed(masks):
+            if present is None:
+                continue
+            it = iter(vals)
+            vals = [next(it) if p else None for p in present]
+        out.extend(vals)
     return out
 
 

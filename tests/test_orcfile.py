@@ -534,3 +534,62 @@ def test_map_column_roundtrip_all_codecs():
         buf2 = io.BytesIO()
         pa_orc.write_table(t2, buf2)
         read_orc_map_column(buf2.getvalue(), "a")
+
+
+def test_struct_fields_read_by_dotted_path():
+    """ORC struct fields by dotted path: each struct level's PRESENT
+    stream compresses the child's slot count, and the read expands
+    back out — None whether the field or any enclosing struct is
+    null, incl. a two-level struct chain."""
+    import io
+
+    import pyarrow as pa
+    import pytest as _pytest
+    from pyarrow import orc as pa_orc
+
+    from core_spark.functions.orcfile import OrcError, read_orc_column
+
+    rows = [
+        {"lang": "en", "score": 3},
+        None,
+        {"lang": None, "score": 7},
+        {"lang": "de", "score": None},
+        None,
+    ]
+    t = pa.table(
+        {
+            "id": pa.array(range(5), type=pa.int64()),
+            "meta": pa.array(
+                rows,
+                type=pa.struct(
+                    [("lang", pa.string()), ("score", pa.int64())]
+                ),
+            ),
+        }
+    )
+    for comp in ("UNCOMPRESSED", "ZLIB", "ZSTD"):
+        buf = io.BytesIO()
+        pa_orc.write_table(t, buf, compression=comp)
+        raw = buf.getvalue()
+        assert read_orc_column(raw, "meta.lang") == [
+            "en", None, None, "de", None,
+        ]
+        assert read_orc_column(raw, "meta.score") == [3, None, 7, None, None]
+    rows2 = [{"inner": {"x": 1}}, {"inner": None}, None]
+    t2 = pa.table(
+        {
+            "outer": pa.array(
+                rows2,
+                type=pa.struct(
+                    [("inner", pa.struct([("x", pa.int64())]))]
+                ),
+            )
+        }
+    )
+    buf = io.BytesIO()
+    pa_orc.write_table(t2, buf)
+    assert read_orc_column(buf.getvalue(), "outer.inner.x") == [1, None, None]
+    with _pytest.raises(OrcError, match="is a struct"):
+        read_orc_column(buf.getvalue(), "outer")
+    with _pytest.raises(OrcError, match="no field"):
+        read_orc_column(buf.getvalue(), "outer.nope")
