@@ -1075,3 +1075,24 @@ def test_scan_audit_is_what_read_executes(spark, tmp_path):
     audit2 = j.scan_audit(begin=0, end=150, where=where)
     assert [r["read"] for r in audit2] == [False, True, False]
     assert [r["covering"] for r in audit2] == [True, True, False]
+
+
+def test_scan_audit_reports_bloom_verdicts(spark, tmp_path):
+    """The audit's bloom_ok column reflects the real bloom probes:
+    a value present only in some fragments marks the others
+    bloom-pruned, and the read column agrees with what read()
+    scans (the same _scan_audit table)."""
+    j = _bloom_setup(
+        spark, tmp_path, [["en", "fr"], ["de", "es"], ["en", "pt"]]
+    )
+    audit = j.scan_audit(where=[("lang", "=", "en")])
+    assert [r["covering"] for r in audit] == [True, True, True]
+    assert [r["stats_ok"] for r in audit] == [True, True, True]
+    # "en" lives in fragments 0 and 2; fragment 1's filter must miss
+    # (soundness: the present fragments can never be pruned)
+    assert audit[0]["bloom_ok"] is True
+    assert audit[1]["bloom_ok"] is False
+    assert audit[2]["bloom_ok"] is True
+    assert [r["read"] for r in audit] == [True, False, True]
+    df = j.read(spark, where=[("lang", "=", "en")])
+    assert sorted(r.v for r in df.collect()) == [0, 200]
