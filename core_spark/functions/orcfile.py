@@ -271,6 +271,8 @@ def parse_orc_tail(raw: bytes) -> dict:
             out["n_rows"] = v
         elif fid == 7 and wt == 2:
             out["stats"].append(_parse_col_stats(v))
+        elif fid == 8 and wt == 0:
+            out["row_index_stride"] = v
     return out
 
 
@@ -577,6 +579,101 @@ def _decode_strings(streams: dict, enc: dict, n_present: int) -> list:
             raise OrcError("string value escapes its stream")
         out.append(blob[off : off + ln])
         off += ln
+    return out
+
+
+def orc_row_index(raw: bytes, name: str) -> list[dict]:
+    """Sub-stripe pruning surface — the parquet page-index twin
+    (functions/parquetfile.py parquet_page_index): each stripe's
+    INDEX region carries, per column, a ROW_INDEX stream of
+    RowIndexEntry messages — one per row group (rowIndexStride rows,
+    default 10k) — holding stream-seek positions and per-group
+    min/max statistics. Returns [{stripe_idx, rg_idx, row_start,
+    n_rows, positions, min, max, n_values}] across stripes: enough
+    to answer "which 10k-row groups can hold value X" from index
+    bytes alone, before any DATA stream is fetched — two pruning
+    levels below the file (stripe stats) and one below the stripe."""
+    tail = parse_orc_tail(raw)
+    col_id = _root_col_id(tail, name)
+    comp = tail["compression"]
+    stride = tail.get("row_index_stride") or 10000
+    out: list[dict] = []
+    for si, stripe in enumerate(tail["stripes"]):
+        foot_start = (
+            stripe["offset"] + stripe["index_len"] + stripe["data_len"]
+        )
+        sf_raw = raw[foot_start : foot_start + stripe["footer_len"]]
+        if len(sf_raw) != stripe["footer_len"]:
+            raise OrcError("stripe footer escapes the file")
+        streams, _encs = _parse_stripe_footer(_deframe(sf_raw, comp))
+        pos = stripe["offset"]
+        blob = None
+        for s in streams:
+            if s["kind"] == _STREAM_ROW_INDEX and s["column"] == col_id:
+                b = raw[pos : pos + s["length"]]
+                if len(b) != s["length"]:
+                    raise OrcError("row-index stream escapes the file")
+                blob = _deframe(b, comp)
+            pos += s["length"]
+        if blob is None:
+            raise OrcError(
+                f"stripe {si} carries no ROW_INDEX stream for "
+                f"column {name!r}"
+            )
+        rg = 0
+        for fid, wt, v in _fields(blob):
+            if fid != 1 or wt != 2:
+                continue
+            positions: list[int] = []
+            stats: dict = {}
+            for f2, w2, v2 in _fields(v):
+                if f2 == 1 and w2 == 2:  # packed uint64 positions
+                    i = 0
+                    while i < len(v2):
+                        p, i = _varint(v2, i)
+                        positions.append(p)
+                elif f2 == 1 and w2 == 0:
+                    positions.append(v2)
+                elif f2 == 2 and w2 == 2:
+                    stats = _parse_col_stats(v2)
+            row_start = rg * stride
+            ints = stats.get("int") or {}
+            out.append(
+                {
+                    "stripe_idx": si,
+                    "rg_idx": rg,
+                    "row_start": row_start,
+                    "n_rows": min(stride, stripe["n_rows"] - row_start),
+                    "positions": positions,
+                    "min": ints.get("min"),
+                    "max": ints.get("max"),
+                    "n_values": stats.get("n_values"),
+                }
+            )
+            rg += 1
+    return out
+
+
+def orc_rowgroup_prune(
+    raw: bytes, name: str, op: str, value
+) -> list[dict]:
+    """Row-group pruning verdicts for ``name op value`` over the
+    row index: each entry gains ``may_match`` from its min/max (a
+    missing bound never prunes — the journal zone-map rule)."""
+    ops = {
+        "=": lambda lo, hi: lo <= value <= hi,
+        "<": lambda lo, hi: lo < value,
+        "<=": lambda lo, hi: lo <= value,
+        ">": lambda lo, hi: hi > value,
+        ">=": lambda lo, hi: hi >= value,
+    }
+    if op not in ops:
+        raise OrcError(f"unsupported prune op {op!r}")
+    out = []
+    for e in orc_row_index(raw, name):
+        lo, hi = e["min"], e["max"]
+        may = True if lo is None or hi is None else ops[op](lo, hi)
+        out.append({**e, "may_match": may})
     return out
 
 

@@ -593,3 +593,47 @@ def test_struct_fields_read_by_dotted_path():
         read_orc_column(buf.getvalue(), "outer")
     with _pytest.raises(OrcError, match="no field"):
         read_orc_column(buf.getvalue(), "outer.nope")
+
+
+def test_row_index_walk_and_rowgroup_pruning():
+    """The parquet page-index twin: per-10k-row-group positions and
+    min/max from the stripe INDEX region alone, with pruning
+    verdicts — exact group bounds on a sorted column across codecs
+    and a multi-stripe file covering every row exactly once."""
+    import io
+
+    import pyarrow as pa
+    from pyarrow import orc as pa_orc
+
+    from core_spark.functions.orcfile import (
+        orc_row_index,
+        orc_rowgroup_prune,
+    )
+
+    t = pa.table({"v": pa.array(range(25000), type=pa.int64())})
+    for comp in ("UNCOMPRESSED", "ZLIB", "ZSTD"):
+        buf = io.BytesIO()
+        pa_orc.write_table(t, buf, compression=comp)
+        raw = buf.getvalue()
+        idx = orc_row_index(raw, "v")
+        assert [
+            (e["rg_idx"], e["row_start"], e["n_rows"], e["min"], e["max"])
+            for e in idx
+        ] == [
+            (0, 0, 10000, 0, 9999),
+            (1, 10000, 10000, 10000, 19999),
+            (2, 20000, 5000, 20000, 24999),
+        ], comp
+        assert [
+            e["may_match"]
+            for e in orc_rowgroup_prune(raw, "v", "=", 15000)
+        ] == [False, True, False]
+        assert [
+            e["may_match"]
+            for e in orc_rowgroup_prune(raw, "v", "<", 5)
+        ] == [True, False, False]
+    buf = io.BytesIO()
+    pa_orc.write_table(t, buf, stripe_size=64 * 1024)
+    idx = orc_row_index(buf.getvalue(), "v")
+    assert len({e["stripe_idx"] for e in idx}) > 1
+    assert sum(e["n_rows"] for e in idx) == 25000
