@@ -161,15 +161,15 @@ HEADLINE = [
     "q_ann_mrl",
     "q_bitmap_jpegq",
     "q_bits_pages",
-    "q_journal_codec",
-    "q_ocf_values",
-    "q_orc_lists",
-    "q_parquet_lists",
-    "q_scan_audit",
+    "q_append_codec",
+    "q_bits_avro",
+    "q_bits_orc_lists",
+    "q_bits_parquet_lists",
+    "q_audit_scan",
     "q_ann_filtered",
-    "q_embed_audit",
-    "q_sample_strat",
-    "q_split_leakage",
+    "q_audit_embed",
+    "q_balance_strat",
+    "q_audit_leakage",
     # q_dup_canonical is intentionally absent: its dominant cost is
     # the same pair+CC pipeline q_dup_clusters already times;
     # q_bands_serve (streaming materialize->serve) follows the

@@ -632,10 +632,10 @@ def q_bayes_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------- split leakage
 @query(
-    "q_split_leakage",
+    "q_audit_leakage",
     oracle=None,  # set below: needs llmops' minhash CTEs at import time
 )
-def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_audit_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test split LEAKAGE audit: verified near-dup pairs that
     straddle a split boundary — the eval-integrity check a corpus
     must pass before its held-out numbers mean anything (a test doc
@@ -694,7 +694,7 @@ def _set_split_leakage_oracle() -> None:
     )
     from core_spark.plans.registry import REGISTRY
 
-    REGISTRY["q_split_leakage"].oracle = f"""
+    REGISTRY["q_audit_leakage"].oracle = f"""
     WITH {DUCK_MINHASH_CTES},
     pairs AS ({DUCK_MINHASH_PAIR_SELECT}),
     sp AS (
@@ -724,7 +724,7 @@ _DUCK_SAMPLE_H = "md5('sample:' || CAST(doc_id AS VARCHAR))"
 
 
 @query(
-    "q_sample_strat",
+    "q_balance_strat",
     oracle=f"""
     SELECT lang, doc_id, rank FROM (
       SELECT lang, doc_id,
@@ -736,7 +736,7 @@ _DUCK_SAMPLE_H = "md5('sample:' || CAST(doc_id AS VARCHAR))"
     ORDER BY lang, rank
     """,
 )
-def q_sample_strat(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_balance_strat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling: exactly K docs per stratum
     (lang), chosen by smallest salted md5 — the reproducible,
     engine-independent 'random' sample every corpus audit and eval

@@ -168,7 +168,7 @@ def q_framed_journal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------ codec fragments
 @query(
-    "q_journal_codec",
+    "q_append_codec",
     # Offsets are event_id (sorted appends over dense ids), so the
     # whole byte-stream round trip is oracle-checkable: DuckDB
     # recomputes the bounded read's per-type aggregate straight off
@@ -183,7 +183,7 @@ def q_framed_journal(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY event_type ORDER BY event_type
     """,
 )
-def q_journal_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_append_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-stream codec fragments end to end: three sorted appends
     land events [0,2k) as a seekable-zstd fragment, a multi-stream
     xz fragment, and a multi-member gzip fragment — gazette's
@@ -208,7 +208,7 @@ def q_journal_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type"
     )
-    root = tempfile.mkdtemp(prefix="q_journal_codec_")
+    root = tempfile.mkdtemp(prefix="q_append_codec_")
     j = Journal(root, "declared/codec-events")
     for lo, fmt in ((0, "jsonl.zst"), (700, "jsonl.xz"), (1400, "jsonl.gz")):
         hi = lo + 700
@@ -233,7 +233,7 @@ def q_journal_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q_scan_audit",
+    "q_audit_scan",
     # Appends are rank-sliced over (user_id, event_id) order, so each
     # fragment's offset span AND its user_id zone map are pure
     # arithmetic over the events parquet — DuckDB recomputes every
@@ -261,7 +261,7 @@ def q_journal_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM f ORDER BY seq
     """,
 )
-def q_scan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_audit_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scan-pruning audit — the fragment-index query plus zone-map
     skipping as a first-class ANALYZE (Journal.scan_audit, the
     decision table read() itself consumes, so plan and explanation
@@ -297,7 +297,7 @@ def q_scan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) - 1,
     ).cache()
     n = ranked.count()
-    root = tempfile.mkdtemp(prefix="q_scan_audit_")
+    root = tempfile.mkdtemp(prefix="q_audit_scan_")
     j = Journal(root, "declared/audit-events")
     for lo in range(0, n, 700):
         j.append(

@@ -3431,7 +3431,7 @@ def q_avro_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q_ocf_values",
+    "q_bits_avro",
     oracle="""
     WITH p AS (
       SELECT doc_id,
@@ -3476,7 +3476,7 @@ def q_avro_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM r ORDER BY doc_id, block_idx, rec_idx
     """,
 )
-def q_ocf_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_bits_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Avro OCF FULL-primitive value decode (functions/avro.py;
     Apache Avro 1.11 spec) — the depth tier below q_avro_blocks'
     long/string walk, completing the from-spec value-decode trio
@@ -5401,7 +5401,7 @@ def q_bits_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q_parquet_lists",
+    "q_bits_parquet_lists",
     oracle="""
     WITH p AS (
       SELECT doc_id,
@@ -5428,7 +5428,7 @@ def q_bits_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM c ORDER BY doc_id, row_idx
     """,
 )
-def q_parquet_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_bits_parquet_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parquet LIST-column value decode with no parquet library
     (functions/parquetfile.py read_parquet_list_column) — the
     repeated tier above q_bits_parquet's flat columns: repetition
@@ -5529,7 +5529,7 @@ def q_parquet_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q_orc_lists",
+    "q_bits_orc_lists",
     oracle="""
     WITH p AS (
       SELECT doc_id,
@@ -5556,9 +5556,9 @@ def q_parquet_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM c ORDER BY doc_id, row_idx
     """,
 )
-def q_orc_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_bits_orc_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC LIST-column value decode with no ORC library
-    (functions/orcfile.py read_orc_list_column) — q_parquet_lists'
+    (functions/orcfile.py read_orc_list_column) — q_bits_parquet_lists'
     twin over ORC's stream layout instead of Dremel levels: the
     list column's PRESENT bit stream marks null lists, its RLEv2
     LENGTH stream carries element counts (0 = empty), and the child
@@ -6578,7 +6578,7 @@ _EMBED_DIMS = 64
 
 
 @query(
-    "q_embed_audit",
+    "q_audit_embed",
     oracle=f"""
     WITH base AS (
       SELECT vec_id,
@@ -6617,7 +6617,7 @@ _EMBED_DIMS = 64
     FROM crafted ORDER BY vec_id
     """,
 )
-def q_embed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_audit_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding INGEST GATE: per-vector dims / L2 norm / verdict —
     the audit every ANN index build runs before trusting a new batch
     (a zero vector poisons cosine with NaN, a non-finite coordinate

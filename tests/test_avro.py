@@ -156,7 +156,7 @@ def test_non_ascii_codec_raises_named_error():
 # ----------------------------------------------- typed value decode
 def test_typed_fixture_all_codecs_and_types_roundtrip():
     """Full-primitive decode across null/deflate/snappy: every field
-    recomputed independently from the digest (the q_ocf_values
+    recomputed independently from the digest (the q_bits_avro
     oracle's arithmetic, here in python)."""
     import hashlib
 

@@ -70,16 +70,16 @@ _REPO = Path(__file__).resolve().parent.parent
 # Late-r10 additions are deliberately named after the cutoff for r11
 # rotation (the window holds 13 first-time r10 names that must keep
 # their slots) — the r5/r7/r8/r9 protocol, cohort kept small.
-PYTEST_ONLY: set[str] = {
-    "q_embed_audit",
-    "q_journal_codec",
-    "q_ocf_values",
-    "q_orc_lists",
-    "q_parquet_lists",
-    "q_sample_strat",
-    "q_scan_audit",
-    "q_split_leakage",
-}
+# r11: CORRECTNESS_r10.json landed (50/50 green — every window name
+# holds a green row), so the eight late-r10 names rotated INTO the
+# window via renames — q_embed_audit→q_audit_embed,
+# q_journal_codec→q_append_codec, q_ocf_values→q_bits_avro,
+# q_orc_lists→q_bits_orc_lists, q_parquet_lists→q_bits_parquet_lists,
+# q_sample_strat→q_balance_strat, q_scan_audit→q_audit_scan,
+# q_split_leakage→q_audit_leakage. The names they displaced
+# (q_block_fuzzy … q_bloom_auto) all hold green r10 rows. Late-r11
+# additions sort after the new cutoff (q_bits_zstd) for r12 rotation.
+PYTEST_ONLY: set[str] = set()
 
 
 def _historical_rows() -> set[str]:
