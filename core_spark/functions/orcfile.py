@@ -55,9 +55,11 @@ class OrcError(ValueError):
 
 
 # ------------------------------------------------------- protobuf wire
-def _varint(raw: bytes, i: int) -> tuple[int, int]:
+def _varint(
+    raw: bytes, i: int, max_bytes: int = MAX_VARINT_BYTES
+) -> tuple[int, int]:
     u = shift = 0
-    for k in range(MAX_VARINT_BYTES):
+    for k in range(max_bytes):
         if i + k >= len(raw):
             raise OrcError("varint runs past EOF")
         b = raw[i + k]
@@ -65,7 +67,7 @@ def _varint(raw: bytes, i: int) -> tuple[int, int]:
         if not b & 0x80:
             return u, i + k + 1
         shift += 7
-    raise OrcError("varint longer than 10 bytes")
+    raise OrcError(f"varint longer than {max_bytes} bytes")
 
 
 def _unzigzag(u: int) -> int:
@@ -739,9 +741,21 @@ def _stripe_primitive(
         for _ in range(n_present):
             if i >= len(blob):
                 raise OrcError("decimal mantissa stream truncated")
-            u, i = _varint(blob, i)
+            # decimal(38) mantissas reach 2^127 zigzagged: 19
+            # base-128 bytes, wider than the 10-byte protobuf wire.
+            u, i = _varint(blob, i, max_bytes=19)
             mant.append(_unzigzag(u))
         if _STREAM_SECONDARY in streams:
+            # The scale stream is RLEv2 like every other integer
+            # stream — fence RLEv1 (pre-HIVE-4123 DIRECT) rather
+            # than mis-decoding v1 bytes as v2 scales.
+            if enc["kind"] != 2:
+                raise OrcError(
+                    "decimal column uses RLEv1 scales (DIRECT from "
+                    "a pre-HIVE-4123 writer) — only DIRECT_V2 "
+                    "decodes here; use the ORC library for RLEv1 "
+                    "files"
+                )
             scales = _rlev2(streams[_STREAM_SECONDARY], signed=True)
             if len(scales) < n_present:
                 raise OrcError("decimal scale stream shorter than rows")
@@ -753,8 +767,14 @@ def _stripe_primitive(
                 "decimal column lacks both a SECONDARY scale stream "
                 "and a schema scale"
             )
+        # scaleb under the default 28-digit context ROUNDS
+        # decimal(38) mantissas; a 40-digit context keeps the
+        # construction exact for the full ORC precision range.
+        from decimal import Context
+
+        ctx = Context(prec=40)
         vals = [
-            Decimal(m).scaleb(-s) for m, s in zip(mant, scales)
+            Decimal(m).scaleb(-s, ctx) for m, s in zip(mant, scales)
         ]
     else:
         raise OrcError(

@@ -257,19 +257,34 @@ def gz_split_plan(path: str) -> list[dict]:
     """Multi-member .gz split plan walking members FORWARD, two
     bounded ranged reads per member (a 64-byte header probe for the
     ``SL`` member length; the 8-byte trailer for CRC32+ISIZE) —
-    never a payload byte. Returns [{c_off, c_size, d_size, crc32}]
-    in file order. A member without the SL subfield (a stock
-    writer's fragment) raises the named GzipError: such files are
-    stream-decode-only, the documented reason jsonl.zst is the
-    preferred scale path."""
+    never a payload byte. Headers longer than the probe (a long
+    FNAME/FCOMMENT from a foreign writer — RFC 1952 puts them AFTER
+    FEXTRA, so SL is present but the parser can't reach the body)
+    escalate to a 4 KiB then whole-remainder ranged read before the
+    error is treated as real corruption. Returns
+    [{c_off, c_size, d_size, crc32}] in file order. A member without
+    the SL subfield (a stock writer's fragment) raises the named
+    GzipError: such files are stream-decode-only, the documented
+    reason jsonl.zst is the preferred scale path."""
     from core_spark.functions.gzipfile import GzipError, gz_member_len
 
     fsize = os.path.getsize(path)
     out: list[dict] = []
     off = 0
     while off < fsize:
-        probe = _ranged(path, off, min(64, fsize - off))
-        c_size = gz_member_len(probe)
+        c_size = None
+        for probe_len in (64, 4096, fsize - off):
+            probe = _ranged(path, off, min(probe_len, fsize - off))
+            try:
+                c_size = gz_member_len(probe)
+                break
+            except GzipError:
+                # a short probe and a corrupt header raise the same
+                # named errors; only a probe covering the remainder
+                # proves corruption
+                if len(probe) >= fsize - off:
+                    raise
+        assert c_size is not None
         if off + c_size > fsize:
             raise GzipError("SL member length escapes the file")
         crc, isize = struct.unpack(

@@ -113,6 +113,41 @@ def test_gz_fragment_reads_with_stock_gzip(spark, journal, small_chunks):
     assert all(m["split_len"] == m["c_size"] for m in walk)
 
 
+def test_gz_plan_long_header_escalates_probe(tmp_path):
+    """RFC 1952 puts FNAME after FEXTRA, so a ~44+ char name pushes
+    the header past the 64-byte probe while SL stays in the first 20
+    bytes — the planner must escalate its ranged read, not fail a
+    valid plannable member (and must still raise on a genuinely
+    corrupt long header)."""
+    from core_spark.functions.gzipfile import (
+        GzipError,
+        gz_member_len,
+        write_member,
+    )
+
+    long_name = "a-very/long/object/key/name-" + "x" * 200
+    m1 = write_member(b'{"v": 1}\n' * 20, name=long_name, hcrc=True)
+    m2 = write_member(b'{"v": 2}\n' * 30, name="short")
+    # the defect scenario: header parsing escapes a 64-byte prefix
+    with pytest.raises(GzipError):
+        gz_member_len(m1[:64])
+    p = str(tmp_path / "long.jsonl.gz")
+    open(p, "wb").write(m1 + m2)
+    plan = gz_split_plan(p)
+    assert [(s["c_off"], s["c_size"]) for s in plan] == [
+        (0, len(m1)),
+        (len(m1), len(m2)),
+    ]
+    # corruption is still detected after escalation: break the name
+    # terminator so the header never completes at ANY probe size
+    raw = bytearray(m1 + m2)
+    zero = raw.index(b"\x00", 22)  # FNAME terminator (after FEXTRA)
+    raw[zero : len(m1) - 8] = b"\x01" * (len(m1) - 8 - zero)
+    open(p, "wb").write(bytes(raw))
+    with pytest.raises(GzipError):
+        gz_split_plan(p)
+
+
 def test_gz_plan_rejects_stock_writer_file(tmp_path):
     """A stock gzip member carries no SL subfield: the planner raises
     the named error (stream-decode-only file) instead of guessing

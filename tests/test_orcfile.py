@@ -273,6 +273,33 @@ def test_rlev1_column_encodings_are_fenced():
             )
 
 
+def test_rlev1_decimal_scale_stream_is_fenced(monkeypatch):
+    """A pre-HIVE-4123 decimal column (encoding kind 0) carries an
+    RLEv1 SECONDARY scale stream — the reader must raise the named
+    error instead of silently mis-decoding v1 bytes as v2 scales."""
+    import decimal
+
+    from core_spark.functions import orcfile as of
+
+    t = pa.table(
+        {"d": pa.array([decimal.Decimal("1.23")] * 4,
+                       type=pa.decimal128(10, 2))}
+    )
+    buf = io.BytesIO()
+    orc.write_table(t, buf, compression="uncompressed")
+    raw = buf.getvalue()
+
+    real = of._stripe_column_streams
+
+    def direct_v1(raw_, stripe, col_id, comp):
+        streams, enc = real(raw_, stripe, col_id, comp)
+        return streams, {**enc, "kind": 0}
+
+    monkeypatch.setattr(of, "_stripe_column_streams", direct_v1)
+    with pytest.raises(OrcError, match="RLEv1"):
+        of.read_orc_column(raw, "d")
+
+
 # ----------------------------------------------------- list columns
 def test_list_column_roundtrip_all_codecs():
     """ORC list decode pinned against pyarrow: null list / empty
@@ -424,6 +451,21 @@ def test_decimal_column_roundtrip_and_scales():
     buf = io.BytesIO()
     pa_orc.write_table(t3, buf)
     assert read_orc_list_column(buf.getvalue(), "xs") == ld
+
+    # decimal(38,2) with mantissas near 2^126: the varint runs to 19
+    # base-128 bytes, wider than the 10-byte protobuf wire (the r10
+    # reader capped at 10 and raised on this valid file).
+    big = [
+        D("999999999999999999999999999999999999.99"),
+        D("-999999999999999999999999999999999999.99"),
+        None,
+        D("0.01"),
+        D(rng.randrange(-(10**38) + 1, 10**38)).scaleb(-2),
+    ]
+    t4 = pa.table({"d": pa.array(big, type=pa.decimal128(38, 2))})
+    buf = io.BytesIO()
+    pa_orc.write_table(t4, buf, compression="UNCOMPRESSED")
+    assert read_orc_column(buf.getvalue(), "d") == big
 
 
 def test_timestamp_kind_stays_fenced():
