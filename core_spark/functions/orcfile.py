@@ -290,11 +290,13 @@ def parse_orc_tail(raw: bytes) -> dict:
 # float/double, string/varchar/char/binary in both DIRECT_V2 and
 # DICTIONARY_V2 encodings, decimal (unbounded zigzag-varint
 # mantissas + the SECONDARY scale stream, schema-scale fallback),
-# and one-level LISTs (read_orc_list_column: PRESENT + RLEv2 LENGTH
-# at the list node, the element column self-aligned per stripe).
+# and composite types at ANY depth (r11 — _stripe_value recursion):
+# LISTs (PRESENT + RLEv2 LENGTH at the list node, the element column
+# self-aligned per stripe), list-of-list, list-of-struct (dicts),
+# MAPs with composite values, structs by dotted path.
 # Timestamps raise the named error — wall-clock values shift with
 # the writer timezone table, which this tier deliberately does not
-# model — as do maps/structs/unions. The recovery path when no
+# model — as do unions. The recovery path when no
 # reader is installed and the existence proof that the walker tier
 # understands the format — the q_bits_parquet discipline applied to
 # ORC.
@@ -879,64 +881,74 @@ def read_orc_column(raw: bytes, name: str) -> list:
     return out
 
 
-def read_orc_map_column(raw: bytes, name: str) -> list:
-    """Whole-file read of one MAP column by name — the list layout
-    with TWO child columns: the map node carries PRESENT (null maps)
-    and RLEv2 LENGTH (entry counts; 0 = empty), and the key/value
-    child columns each hold one slot per entry, self-aligned per
-    stripe by the summed lengths. Values may be null via the value
-    child's own PRESENT stream; a null KEY is corrupt input and
-    raises. Nested maps/lists under the children raise the named
-    scope fence."""
-    tail = parse_orc_tail(raw)
-    col_id = _root_col_id(tail, name)
-    if tail["types"][col_id]["kind"] != "map":
-        raise OrcError(f"column {name!r} is not a map")
-    subs = tail["types"][col_id]["subtypes"]
-    if len(subs) != 2:
-        raise OrcError("map type lacks its key/value types")
-    kid, vid = subs
-    if max(kid, vid) >= len(tail["types"]):
-        raise OrcError("map child type id beyond the type list")
-    kkind = tail["types"][kid]["kind"]
-    vkind = tail["types"][vid]["kind"]
-    for ck in (kkind, vkind):
-        if ck in ("list", "map", "struct", "union"):
-            raise OrcError(
-                f"column {name!r} children are {ck} — one-level maps "
-                "of primitives only"
-            )
-    comp = tail["compression"]
-    out: list = []
-    for stripe in tail["stripes"]:
-        if "n_rows" not in stripe:
-            raise OrcError("stripe lacks a row count")
-        n = stripe["n_rows"]
-        streams, enc = _stripe_column_streams(raw, stripe, col_id, comp)
-        if enc["kind"] != 2:
-            raise OrcError(
-                "map column uses RLEv1 lengths (DIRECT from a "
-                "pre-HIVE-4123 writer) — only DIRECT_V2 decodes here"
-            )
-        present = None
-        n_present = n
-        if _STREAM_PRESENT in streams:
-            present = _bool_stream(streams[_STREAM_PRESENT], n)
-            n_present = sum(present)
-        lengths = _rlev2(streams.get(_STREAM_LENGTH, b""), signed=False)
-        if len(lengths) < n_present:
-            raise OrcError("map length stream shorter than rows")
-        lengths = lengths[:n_present]
+def _stripe_lengths(
+    raw: bytes, stripe: dict, col_id: int, comp: str, n: int, what: str
+) -> tuple[list | None, list[int]]:
+    """A list/map node's (present, lengths) for ``n`` slots — the
+    shared PRESENT + RLEv2 LENGTH plumbing, RLEv1 fenced."""
+    streams, enc = _stripe_column_streams(raw, stripe, col_id, comp)
+    if enc["kind"] != 2:
+        raise OrcError(
+            f"{what} column uses RLEv1 lengths (DIRECT from a "
+            "pre-HIVE-4123 writer) — only DIRECT_V2 decodes here"
+        )
+    present = None
+    n_present = n
+    if _STREAM_PRESENT in streams:
+        present = _bool_stream(streams[_STREAM_PRESENT], n)
+        n_present = sum(present)
+    lengths = _rlev2(streams.get(_STREAM_LENGTH, b""), signed=False)
+    if len(lengths) < n_present:
+        raise OrcError(f"{what} length stream shorter than rows")
+    return present, lengths[:n_present]
+
+
+def _stripe_value(
+    raw: bytes, stripe: dict, col_id: int, comp: str, n: int, tail: dict
+) -> list:
+    """``n`` slots of ANY supported type in one stripe, recursing
+    through the composite kinds (r11 — this is what lifted the
+    one-level fences): a LIST node carries PRESENT + LENGTH and its
+    element child holds sum(lengths) slots; a MAP node likewise with
+    key/value children; a STRUCT node carries only PRESENT and each
+    field child holds n_present slots (→ dicts, None for null
+    structs); everything else is _stripe_primitive. Unions stay
+    fenced there. Alignment is per stripe — child slot counts derive
+    from the parent's decoded lengths/present, never file offsets."""
+    if col_id >= len(tail["types"]):
+        raise OrcError("type id beyond the type list")
+    t = tail["types"][col_id]
+    kind = t["kind"]
+    if kind == "list":
+        subs = t["subtypes"]
+        if len(subs) != 1:
+            raise OrcError("list type lacks its element type")
+        present, lengths = _stripe_lengths(
+            raw, stripe, col_id, comp, n, "list"
+        )
+        child = _stripe_value(
+            raw, stripe, subs[0], comp, sum(lengths), tail
+        )
+        it, li = iter(child), iter(lengths)
+        out: list = []
+        for k in range(n):
+            if present is not None and not present[k]:
+                out.append(None)
+            else:
+                out.append([next(it) for _ in range(next(li))])
+        return out
+    if kind == "map":
+        subs = t["subtypes"]
+        if len(subs) != 2:
+            raise OrcError("map type lacks its key/value types")
+        present, lengths = _stripe_lengths(
+            raw, stripe, col_id, comp, n, "map"
+        )
         total = sum(lengths)
-        keys = _stripe_primitive(
-            raw, stripe, kid, kkind, comp, total,
-            type_scale=tail["types"][kid].get("scale"),
-        )
-        vals = _stripe_primitive(
-            raw, stripe, vid, vkind, comp, total,
-            type_scale=tail["types"][vid].get("scale"),
-        )
+        keys = _stripe_value(raw, stripe, subs[0], comp, total, tail)
+        vals = _stripe_value(raw, stripe, subs[1], comp, total, tail)
         ki, vi_, li = iter(keys), iter(vals), iter(lengths)
+        out = []
         for k in range(n):
             if present is not None and not present[k]:
                 out.append(None)
@@ -948,6 +960,55 @@ def read_orc_map_column(raw: bytes, name: str) -> list:
                     raise OrcError("map key is null — corrupt input")
                 entry[key] = next(vi_)
             out.append(entry)
+        return out
+    if kind == "struct":
+        streams, _enc = _stripe_column_streams(raw, stripe, col_id, comp)
+        present = None
+        n_present = n
+        if _STREAM_PRESENT in streams:
+            present = _bool_stream(streams[_STREAM_PRESENT], n)
+            n_present = sum(present)
+        names = t["field_names"]
+        subs = t["subtypes"]
+        if len(names) != len(subs):
+            raise OrcError("struct subtypes shorter than its fields")
+        cols = [
+            _stripe_value(raw, stripe, cid, comp, n_present, tail)
+            for cid in subs
+        ]
+        rows = [dict(zip(names, vs)) for vs in zip(*cols)] if subs else [
+            {} for _ in range(n_present)
+        ]
+        if present is None:
+            return rows
+        it = iter(rows)
+        return [next(it) if p else None for p in present]
+    return _stripe_primitive(
+        raw, stripe, col_id, kind, comp, n, type_scale=t.get("scale")
+    )
+
+
+def read_orc_map_column(raw: bytes, name: str) -> list:
+    """Whole-file read of one MAP column by name — the list layout
+    with TWO child columns: the map node carries PRESENT (null maps)
+    and RLEv2 LENGTH (entry counts; 0 = empty), and the key/value
+    child columns each hold one slot per entry, self-aligned per
+    stripe by the summed lengths. Values may be null via the value
+    child's own PRESENT stream; a null KEY is corrupt input and
+    raises. Children recurse through _stripe_value, so nested
+    list/struct/map values decode too (r11)."""
+    tail = parse_orc_tail(raw)
+    col_id = _root_col_id(tail, name)
+    if tail["types"][col_id]["kind"] != "map":
+        raise OrcError(f"column {name!r} is not a map")
+    comp = tail["compression"]
+    out: list = []
+    for stripe in tail["stripes"]:
+        if "n_rows" not in stripe:
+            raise OrcError("stripe lacks a row count")
+        out.extend(
+            _stripe_value(raw, stripe, col_id, comp, stripe["n_rows"], tail)
+        )
     return out
 
 
@@ -961,53 +1022,18 @@ def read_orc_list_column(raw: bytes, name: str) -> list:
     child type holds the element slots with its OWN present stream
     (null elements). Per stripe, child slot count = the summed
     lengths, which is what aligns the element column's streams.
-    Doubly-nested lists raise the named scope fence."""
+    Elements recurse through _stripe_value (r11): list-of-list,
+    list-of-struct (dicts) and list-of-map all reassemble."""
     tail = parse_orc_tail(raw)
     col_id = _root_col_id(tail, name)
     if tail["types"][col_id]["kind"] != "list":
         raise OrcError(f"column {name!r} is not a list")
-    subs = tail["types"][col_id]["subtypes"]
-    if len(subs) != 1:
-        raise OrcError("list type lacks its element type")
-    child_id = subs[0]
-    if child_id >= len(tail["types"]):
-        raise OrcError("element type id beyond the type list")
-    child_kind = tail["types"][child_id]["kind"]
-    if child_kind in ("list", "map", "struct", "union"):
-        raise OrcError(
-            f"column {name!r} elements are {child_kind} — one-level "
-            "lists of primitives only"
-        )
     comp = tail["compression"]
     out: list = []
     for stripe in tail["stripes"]:
         if "n_rows" not in stripe:
             raise OrcError("stripe lacks a row count")
-        n = stripe["n_rows"]
-        streams, enc = _stripe_column_streams(raw, stripe, col_id, comp)
-        if enc["kind"] != 2:
-            raise OrcError(
-                "list column uses RLEv1 lengths (DIRECT from a "
-                "pre-HIVE-4123 writer) — only DIRECT_V2 decodes here"
-            )
-        present = None
-        n_present = n
-        if _STREAM_PRESENT in streams:
-            present = _bool_stream(streams[_STREAM_PRESENT], n)
-            n_present = sum(present)
-        lengths = _rlev2(streams.get(_STREAM_LENGTH, b""), signed=False)
-        if len(lengths) < n_present:
-            raise OrcError("list length stream shorter than rows")
-        lengths = lengths[:n_present]
-        child = _stripe_primitive(
-            raw, stripe, child_id, child_kind, comp, sum(lengths),
-            type_scale=tail["types"][child_id].get("scale"),
+        out.extend(
+            _stripe_value(raw, stripe, col_id, comp, stripe["n_rows"], tail)
         )
-        it = iter(child)
-        li = iter(lengths)
-        for k in range(n):
-            if present is not None and not present[k]:
-                out.append(None)
-                continue
-            out.append([next(it) for _ in range(next(li))])
     return out

@@ -49,19 +49,20 @@ flat required/optional columns — BOOLEAN (PLAIN bit-packed and v2
 RLE), INT32/INT64, FLOAT/DOUBLE, BYTE_ARRAY (str for STRING columns,
 bytes otherwise), FIXED_LEN_BYTE_ARRAY (Decimal for DECIMAL columns,
 bytes otherwise), dictionary/delta/byte-stream-split encodings —
-plus ONE-level LIST columns (the standard 3-level annotation or a
-bare repeated leaf) and MAP columns (the key_value pair of repeated
-leaves, zipped slot-for-slot by their shared levels): repetition
-levels decode in both page formats and Dremel reassembly
-distinguishes null list/map, empty list/map and null element/value
-(schema_leaves carries each leaf's max_def/max_rep/d_rep from the
-num_children tree walk) — and legacy INT96 timestamps
+plus nested columns at ANY repetition depth (r11 lifted the
+max_rep > 1 fence): the standard 3-level LIST annotation or a bare
+repeated leaf, list-of-list, list-of-struct fields by user path
+(``events.x`` for ``events.list.element.x``), lists under optional
+structs — general Dremel record assembly (_assemble_records) driven
+by each leaf's ordered "o"/"r" ancestor levels, which schema_leaves
+derives from the num_children tree walk; MAP columns (the key_value
+pair of repeated leaves, zipped slot-for-slot by their shared
+levels); repetition levels decode in both page formats and
+reassembly distinguishes null list/map, empty list/map and null
+element/value at every depth — and legacy INT96 timestamps
 (Julian day + signed nanoseconds-of-day → epoch nanos as int, the
 precision python datetime cannot carry). Flat STRUCT fields
-read by dotted path (flattened nulls). Doubly-nested lists
-(max_rep > 1) raise the named error: deeper shredding is the
-native reader's job, and this tier exists for planning,
-verification and recovery.
+read by dotted path (flattened nulls).
 
 Reference parity: gazette fragments are opaque files in object
 storage (fragment index in the broker); planning reads like this
@@ -465,29 +466,37 @@ def _schema_leaves(elements: list[dict]) -> dict:
     defs = [0]
     reps = [0]
     d_rep = [0]
+    # per-node sequence of def-contributing ancestors, "o"/"r" in
+    # path order — entry d-1 names the node definition level d
+    # belongs to, which is all the general record assembly needs
+    lv: list[tuple[str, ...]] = [()]
     for el in elements[1:]:
         if not stack:
             raise ParquetError("schema elements outnumber the tree")
         stack[-1] -= 1  # this element fills one slot of the open group
-        d, rp, dr = defs[-1], reps[-1], d_rep[-1]
+        d, rp, dr, levels = defs[-1], reps[-1], d_rep[-1], lv[-1]
         if el["rep"] == 1:  # OPTIONAL
             d += 1
+            levels = (*levels, "o")
         elif el["rep"] == 2:  # REPEATED
             d += 1
             rp += 1
             dr = d
+            levels = (*levels, "r")
         if el["nchild"]:
             stack.append(el["nchild"])
             path.append(el["name"])
             defs.append(d)
             reps.append(rp)
             d_rep.append(dr)
+            lv.append(levels)
         else:
             leaves[".".join([*path, el["name"]])] = {
                 "ptype": el["ptype"],
                 "max_def": d,
                 "max_rep": rp,
                 "d_rep": dr,
+                "levels": levels,
                 "tlen": el["tlen"],
                 "string": el["string"],
                 "decimal": el["decimal"],
@@ -498,6 +507,7 @@ def _schema_leaves(elements: list[dict]) -> dict:
             defs.pop()
             reps.pop()
             d_rep.pop()
+            lv.pop()
     return leaves
 
 
@@ -1263,62 +1273,117 @@ def read_parquet_map_column(
     return out
 
 
+_ANNOTATION_GROUPS = frozenset({"list", "element", "item", "array", "bag"})
+
+
+def _user_path(leaf_path: str) -> str:
+    """Leaf path with the LIST annotation's synthetic group segments
+    dropped — the name a user addresses the column by (pyarrow and
+    Spark write ``name.list.element[.field…]``; parquet-mr's legacy
+    writers used ``array``/``bag``/``item``)."""
+    return ".".join(
+        s for s in leaf_path.split(".") if s not in _ANNOTATION_GROUPS
+    )
+
+
+def _assemble_records(
+    slots: list, defs: list, reps: list, levels: tuple, convert
+) -> list:
+    """General Dremel record assembly for ONE leaf at any nesting
+    depth (the Dremel paper §4.1 FSM, specialized to a single
+    column). ``levels`` names the leaf's def-contributing ancestors
+    in path order ("o" optional / "r" repeated): def level d means
+    the first d are defined, so the FIRST undefined node decides the
+    terminal — "o" places a None (a null record value when above
+    every repeated node, else a null element), "r" places an empty
+    list at that repetition level; a fully-defined slot places the
+    converted value. Repetition level r keeps the outermost r lists
+    open and starts fresh ones below — records never span slots with
+    r == 0."""
+    max_def = len(levels)
+    # def level of each repeated node, outermost first (1-based defs)
+    rep_defs = [d for d, t in enumerate(levels, 1) if t == "r"]
+    n_rep = len(rep_defs)
+    out: list = []
+    stack: list = []  # stack[k] = the open list at repetition level k+1
+
+    def place(val, k: int) -> None:
+        if k == 0:
+            out[-1] = val
+        else:
+            stack[k - 1].append(val)
+
+    for v, d, r in zip(slots, defs, reps):
+        if r == 0:
+            out.append(None)
+            stack = []
+        elif r > len(stack):
+            raise ParquetError(
+                "repetition level continues a record that never started"
+            )
+        else:
+            del stack[r:]
+        k = r
+        while k < n_rep and d >= rep_defs[k]:
+            new: list = []
+            place(new, k)
+            stack.append(new)
+            k += 1
+        if d == max_def:
+            place(convert(v), k)
+        elif levels[d] == "r":
+            place([], k)  # defined up to the list node: empty list
+        else:
+            place(None, k)  # null at an optional (record or element)
+    return out
+
+
 def read_parquet_list_column(
     raw: bytes, name: str, row_groups: list[int] | None = None
 ) -> list:
-    """Whole-file read of one LIST column by its outer name, across
-    row groups, with no parquet library — Dremel record reassembly
-    for the standard 3-level list annotation (``name.list.element``,
-    pyarrow/Spark's layout) and the bare repeated-leaf form. Per
-    slot: repetition 0 starts a new record; definition >= d_rep is
-    an element (null element when below max_def), d_rep - 1 is an
-    empty list, anything lower a null list. Doubly-nested lists
-    (max_rep > 1) raise the named scope fence — never a wrong
-    reassembly. ``row_groups`` selects row groups by index (records
-    never span row groups, so a row group is an independently
-    decodable split — the scan-parallelism unit)."""
+    """Whole-file read of one nested column by name, across row
+    groups, with no parquet library — general Dremel record
+    reassembly (_assemble_records) at ANY nesting depth: one-level
+    lists (the standard 3-level ``name.list.element`` annotation or
+    a bare repeated leaf), list-of-list, and list-of-struct fields
+    addressed by their user path (``name.field`` for
+    ``name.list.element.field`` — same flattened-null convention as
+    read_parquet_column's struct paths: a null struct element and a
+    null field both read None). A name matching several leaves
+    (asking for the struct itself) raises the named error listing
+    the field paths to pick from. ``row_groups`` selects row groups
+    by index (records never span row groups, so a row group is an
+    independently decodable split — the scan-parallelism unit)."""
     footer = parse_parquet_footer(raw)
     leaves = footer.get("schema_leaves", {})
     hit = None
     if name in leaves and leaves[name]["max_rep"] > 0:
         hit = name
     else:
-        pref = [
-            p for p in leaves
-            if p.startswith(name + ".") and leaves[p]["max_rep"] > 0
+        cand = [
+            p
+            for p in leaves
+            if leaves[p]["max_rep"] > 0
+            and (_user_path(p) == name or p.startswith(name + "."))
         ]
-        if len(pref) > 1:
-            raise ParquetError(
-                f"{name!r} has multiple repeated leaves {sorted(pref)}"
-            )
-        if pref:
-            hit = pref[0]
+        if len(cand) > 1:
+            exact = [p for p in cand if _user_path(p) == name]
+            if len(exact) == 1:
+                cand = exact
+            else:
+                raise ParquetError(
+                    f"{name!r} matches several repeated leaves — "
+                    f"address a field: {sorted(_user_path(p) for p in cand)}"
+                )
+        if cand:
+            hit = cand[0]
     if hit is None:
         raise ParquetError(f"no repeated column under {name!r}")
     leaf = leaves[hit]
-    if leaf["max_rep"] > 1:
-        raise ParquetError(
-            f"column {hit!r} is doubly nested (max_rep="
-            f"{leaf['max_rep']}) — one-level lists only"
-        )
     slots, defs, reps = _leaf_levels(raw, footer, hit, leaf, row_groups)
-    convert = _leaf_converter(leaf, hit)
-    d_rep, max_def = leaf["d_rep"], leaf["max_def"]
-    out: list = []
-    for v, d, rp in zip(slots, defs, reps):
-        if rp == 0:
-            if d < d_rep - 1:
-                out.append(None)  # null list
-                continue
-            out.append([])
-            if d == d_rep - 1:
-                continue  # empty list: the slot carries no element
-        elif not out or out[-1] is None:
-            raise ParquetError(
-                "repetition level continues a record that never started"
-            )
-        out[-1].append(convert(v) if d == max_def else None)
-    return out
+    return _assemble_records(
+        slots, defs, reps, leaf["levels"], _leaf_converter(leaf, hit)
+    )
 
 
 def read_parquet_column(

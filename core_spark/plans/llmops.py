@@ -5651,6 +5651,186 @@ def q_bits_orc_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_nested_values",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             3 + CAST('0x' || substr(md5(text), 1, 1) AS BIGINT) % 3
+               AS nr,
+             CAST('0x' || substr(md5(text), 2, 1) AS BIGINT) AS d1,
+             CAST('0x' || substr(md5(text), 5, 2) AS BIGINT) AS base
+      FROM documents
+    ),
+    r AS (SELECT *, unnest(range(nr)) AS i FROM p),
+    c AS (
+      SELECT doc_id, i, (i + d1) % 5 AS shape, base + 5 * i AS k
+      FROM r
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS row_idx,
+           (shape = 0) AS is_null,
+           CASE shape WHEN 0 THEN NULL WHEN 1 THEN 0 WHEN 2 THEN 1
+                WHEN 3 THEN 2 ELSE 1 END AS n_structs,
+           CASE shape WHEN 0 THEN NULL WHEN 2 THEN 1
+                ELSE 0 END AS n_null_structs,
+           CASE shape WHEN 0 THEN NULL WHEN 3 THEN k WHEN 4 THEN k
+                ELSE 0 END AS sum_x,
+           CASE shape WHEN 0 THEN NULL WHEN 4 THEN 2
+                ELSE 0 END AS n_tags,
+           CASE shape WHEN 0 THEN NULL WHEN 4 THEN 3 * k
+                ELSE 0 END AS sum_tags
+    FROM c ORDER BY doc_id, row_idx
+    """,
+)
+def q_nested_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEEP-nested value decode, both formats, cross-asserted (r11 —
+    the round that lifted the one-level fences): each document
+    becomes a REAL pyarrow-written parquet file AND ORC file holding
+    the same ``ev`` list<struct<x bigint, tags list<bigint>>> column
+    — list-of-struct with a second repetition level under the struct,
+    the commonest real-lake shape the r10 tier fenced. Rows cycle
+    five shapes by md5 arithmetic: null row, empty list, [null
+    struct], [{x:k, tags:null}, {x:null, tags:[]}], [{x:k, tags:[k,
+    null, 2k]}] — exercising null struct vs null field vs null inner
+    list vs empty inner list, the distinctions Dremel levels and ORC
+    PRESENT/LENGTH streams encode differently. The parquet side
+    reads each field by user path (read_parquet_list_column
+    ``ev.x`` / ``ev.tags`` — general _assemble_records); the ORC
+    side reads whole structs (read_orc_list_column via the recursive
+    _stripe_value); the kernel ASSERTS both decodes imply identical
+    aggregates, then the DuckDB oracle recomputes them from the same
+    md5 arithmetic — a wrong repetition threshold, PRESENT bit or
+    slot alignment in EITHER walker fails the hash. Codec cycling
+    NONE/ZSTD per format, page version v1/v2, 2-row row groups.
+
+    Scale shape: map-side Arrow kernel, zero shuffles before the
+    presentation sort (the q_bits_* discipline; pure-Python decode
+    scoped to the verification/recovery tier, bulk reads native)."""
+    from core_spark.functions.orcfile import read_orc_list_column
+    from core_spark.functions.parquetfile import read_parquet_list_column
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+
+    def walk(batches):
+        import hashlib
+        import io
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyarrow import orc as pa_orc
+
+        typ = pa.list_(
+            pa.struct([("x", pa.int64()), ("tags", pa.list_(pa.int64()))])
+        )
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = hashlib.md5(text.encode("utf-8")).hexdigest()
+                nr = 3 + int(d[0], 16) % 3
+                d1 = int(d[1], 16)
+                base = int(d[4:6], 16)
+                data = []
+                for i in range(nr):
+                    shape = (i + d1) % 5
+                    k = base + 5 * i
+                    data.append(
+                        [
+                            None,
+                            [],
+                            [None],
+                            [
+                                {"x": k, "tags": None},
+                                {"x": None, "tags": []},
+                            ],
+                            [{"x": k, "tags": [k, None, 2 * k]}],
+                        ][shape]
+                    )
+                arr = pa.table({"ev": pa.array(data, type=typ)})
+                pbuf = io.BytesIO()
+                pq.write_table(
+                    arr,
+                    pbuf,
+                    compression=("NONE", "ZSTD")[int(d[2], 16) % 2],
+                    data_page_version="2.0"
+                    if int(d[3], 16) % 2
+                    else "1.0",
+                    row_group_size=2,
+                )
+                obuf = io.BytesIO()
+                pa_orc.write_table(
+                    arr,
+                    obuf,
+                    compression=("UNCOMPRESSED", "ZSTD")[
+                        int(d[6], 16) % 2
+                    ],
+                )
+                xs = read_parquet_list_column(pbuf.getvalue(), "ev.x")
+                ts = read_parquet_list_column(pbuf.getvalue(), "ev.tags")
+                evs = read_orc_list_column(obuf.getvalue(), "ev")
+                assert len(xs) == len(ts) == len(evs) == nr
+                for i, (x_r, t_r, ev) in enumerate(zip(xs, ts, evs)):
+                    if ev is None:
+                        assert x_r is None and t_r is None
+                        rows.append(
+                            (int(doc_id), i, True, None, None, None,
+                             None, None)
+                        )
+                        continue
+                    # the two walkers must agree field-for-field
+                    assert x_r == [
+                        None if s is None else s["x"] for s in ev
+                    ]
+                    assert t_r == [
+                        None if s is None else s["tags"] for s in ev
+                    ]
+                    n_null = sum(
+                        1
+                        for xv, tv in zip(x_r, t_r)
+                        if xv is None and tv is None
+                    )
+                    tags_flat = [
+                        e
+                        for tv in t_r
+                        if tv is not None
+                        for e in tv
+                        if e is not None
+                    ]
+                    rows.append(
+                        (
+                            int(doc_id),
+                            i,
+                            False,
+                            len(ev),
+                            n_null,
+                            sum(x for x in x_r if x is not None),
+                            len(tags_flat),
+                            sum(tags_flat),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "row_idx", "is_null", "n_structs",
+                    "n_null_structs", "sum_x", "n_tags", "sum_tags",
+                ],
+            )
+
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(
+            walk,
+            schema=(
+                "doc_id long, row_idx long, is_null boolean,"
+                " n_structs long, n_null_structs long, sum_x long,"
+                " n_tags long, sum_tags long"
+            ),
+        )
+        .orderBy("doc_id", "row_idx")
+    )
+
+
+@query(
     "q_audit_skew",
     oracle="""
     WITH c1 AS (

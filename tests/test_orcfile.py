@@ -353,13 +353,14 @@ def test_list_column_multi_stripe_and_fences():
     assert len(parse_orc_tail(raw)["stripes"]) > 1  # really multi-stripe
     assert read_orc_list_column(raw, "xs") == big
 
+    # doubly-nested lists reassemble (r11 lifted the one-level fence)
+    nd = [[[1]], None, [], [None, [2, None], []]]
     t3 = pa.table(
-        {"n": pa.array([[[1]]], type=pa.list_(pa.list_(pa.int64())))}
+        {"n": pa.array(nd, type=pa.list_(pa.list_(pa.int64())))}
     )
     buf3 = io.BytesIO()
     pa_orc.write_table(t3, buf3)
-    with _pytest.raises(OrcError, match="one-level"):
-        read_orc_list_column(buf3.getvalue(), "n")
+    assert read_orc_list_column(buf3.getvalue(), "n") == nd
     with _pytest.raises(OrcError, match="use read_orc_list_column"):
         read_orc_column(buf3.getvalue(), "n")
     with _pytest.raises(OrcError, match="not a list"):
@@ -679,3 +680,107 @@ def test_row_index_walk_and_rowgroup_pruning():
     idx = orc_row_index(buf.getvalue(), "v")
     assert len({e["stripe_idx"] for e in idx}) > 1
     assert sum(e["n_rows"] for e in idx) == 25000
+
+
+# ------------------------------------------- deep nesting (r11)
+def test_struct_in_list_and_deep_composites():
+    """list<struct>, list<list>, map<string,list> — the recursive
+    _stripe_value tier, pinned against pyarrow across codecs and a
+    multi-stripe split."""
+    import io
+
+    import pyarrow as pa
+    from pyarrow import orc as pa_orc
+
+    from core_spark.functions.orcfile import (
+        read_orc_list_column,
+        read_orc_map_column,
+    )
+
+    rows = [
+        [{"x": 1, "y": "a"}, {"x": None, "y": "b"}],
+        None,
+        [],
+        [None, {"x": 3, "y": None}],
+    ]
+    typ = pa.list_(pa.struct([("x", pa.int64()), ("y", pa.string())]))
+    t = pa.table({"ev": pa.array(rows, type=typ)})
+    for comp in ("UNCOMPRESSED", "ZLIB", "ZSTD"):
+        buf = io.BytesIO()
+        pa_orc.write_table(t, buf, compression=comp)
+        assert read_orc_list_column(buf.getvalue(), "ev") == rows, comp
+
+    md = [
+        [("k1", [1, None]), ("k2", [])],
+        None,
+        [],
+        [("k3", None)],
+    ]
+    t2 = pa.table(
+        {"m": pa.array(md, type=pa.map_(pa.string(), pa.list_(pa.int64())))}
+    )
+    buf = io.BytesIO()
+    pa_orc.write_table(t2, buf)
+    want = [None if r is None else dict(r) for r in md]
+    assert read_orc_map_column(buf.getvalue(), "m") == want
+
+    # multi-stripe list<struct<pts: list<long>>>
+    big = [
+        None
+        if i % 11 == 0
+        else [
+            {"pts": None if (i + j) % 7 == 0 else list(range(j % 3))}
+            for j in range(i % 4)
+        ]
+        for i in range(4000)
+    ]
+    typ = pa.list_(pa.struct([("pts", pa.list_(pa.int64()))]))
+    t3 = pa.table({"seg": pa.array(big, type=typ)})
+    buf = io.BytesIO()
+    pa_orc.write_table(t3, buf, stripe_size=64 * 1024)
+    from core_spark.functions.orcfile import parse_orc_tail
+
+    raw = buf.getvalue()
+    assert len(parse_orc_tail(raw)["stripes"]) > 1
+    assert read_orc_list_column(raw, "seg") == big
+
+
+def test_nested_reader_against_spark_java_orc_writer(spark, tmp_path):
+    """Interop with the Java ORC encoder: array<struct<x,y>> and
+    array<array<double>> written by Spark reassemble to what Spark
+    itself reads back."""
+    import glob
+
+    from pyspark.sql import Row
+
+    from core_spark.functions.orcfile import (
+        read_orc_column,
+        read_orc_list_column,
+    )
+
+    rows = [
+        Row(id=0, m=[[1.5, None], []], ev=[Row(x=1, y="a"), None]),
+        Row(id=1, m=None, ev=None),
+        Row(id=2, m=[], ev=[]),
+        Row(id=3, m=[None, [2.25]], ev=[Row(x=None, y="c")]),
+    ]
+    df = spark.createDataFrame(
+        rows, "id int, m array<array<double>>, ev array<struct<x:int,y:string>>"
+    )
+    out = str(tmp_path / "nested_orc")
+    df.coalesce(1).write.mode("overwrite").orc(out)
+    (path,) = glob.glob(out + "/*.orc")
+    raw = open(path, "rb").read()
+    back = {r["id"]: r for r in spark.read.orc(out).collect()}
+    ids = read_orc_column(raw, "id")
+    ms = read_orc_list_column(raw, "m")
+    evs = read_orc_list_column(raw, "ev")
+    for k, rid in enumerate(ids):
+        want = back[rid]
+        assert ms[k] == want["m"]
+        wev = (
+            None
+            if want["ev"] is None
+            else [None if e is None else e.asDict() for e in want["ev"]]
+        )
+        assert evs[k] == wev

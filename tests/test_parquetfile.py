@@ -585,14 +585,14 @@ def test_list_column_string_elements_and_fences():
     buf = io.BytesIO()
     pq.write_table(t, buf)
     assert read_parquet_list_column(buf.getvalue(), "s") == sdata
-    # doubly nested lists are fenced, never mis-reassembled
+    # doubly nested lists reassemble (r11 lifted the max_rep>1 fence)
+    nd = [[[1]], None, [], [None, [2, None, 3], []], [[], [4]]]
     t3 = pa.table(
-        {"n": pa.array([[[1]]], type=pa.list_(pa.list_(pa.int64())))}
+        {"n": pa.array(nd, type=pa.list_(pa.list_(pa.int64())))}
     )
     buf3 = io.BytesIO()
     pq.write_table(t3, buf3)
-    with _pytest.raises(ParquetError, match="doubly nested"):
-        read_parquet_list_column(buf3.getvalue(), "n")
+    assert read_parquet_list_column(buf3.getvalue(), "n") == nd
     # a flat column has no repeated leaf
     with _pytest.raises(ParquetError, match="no repeated column"):
         raw = open("/root/testdata/sf0.001/embeddings.parquet", "rb").read()
@@ -756,7 +756,7 @@ def test_map_column_roundtrip_and_fences():
     assert read_parquet_map_column(buf.getvalue(), "m") == md2
     buf = io.BytesIO()
     pq.write_table(t, buf)
-    with _pytest.raises(ParquetError, match="multiple repeated"):
+    with _pytest.raises(ParquetError, match="several repeated"):
         read_parquet_list_column(buf.getvalue(), "m")
     with _pytest.raises(ParquetError, match="no map column"):
         read_parquet_map_column(buf.getvalue(), "nope")
@@ -838,3 +838,182 @@ def test_struct_fields_read_by_dotted_path():
     pq.write_table(lt, buf)
     with _pytest.raises(ParquetError, match="repeated"):
         read_parquet_column(buf.getvalue(), "xs.list.element")
+
+
+# ------------------------------------------- deep nesting (r11)
+def test_list_of_struct_fields_by_user_path():
+    """array<struct<x,y>> — each field reads by its user path with
+    the flattened-null convention (null struct element == null
+    field), in both page formats."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from core_spark.functions.parquetfile import (
+        ParquetError,
+        read_parquet_list_column,
+    )
+
+    rows = [
+        [{"x": 1, "y": "a"}, {"x": None, "y": "b"}],
+        None,
+        [],
+        [None, {"x": 3, "y": None}],
+    ]
+    typ = pa.list_(pa.struct([("x", pa.int64()), ("y", pa.string())]))
+    t = pa.table({"ev": pa.array(rows, type=typ)})
+    want_x = [[1, None], None, [], [None, 3]]
+    want_y = [["a", "b"], None, [], [None, None]]
+    for v2 in (True, False):
+        buf = io.BytesIO()
+        pq.write_table(t, buf, data_page_version="2.0" if v2 else "1.0")
+        raw = buf.getvalue()
+        assert read_parquet_list_column(raw, "ev.x") == want_x
+        assert read_parquet_list_column(raw, "ev.y") == want_y
+        with _pytest.raises(ParquetError, match="several repeated"):
+            read_parquet_list_column(raw, "ev")
+
+
+def test_triple_nested_list_and_list_in_struct():
+    """Three repetition levels, and a list living inside an optional
+    struct (annotation groups above AND below an 'o' node)."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from core_spark.functions.parquetfile import read_parquet_list_column
+
+    d3 = [
+        [[[1, None], []], None, [[2]]],
+        None,
+        [],
+        [[]],
+        [[[]], [[3, 4], [5]]],
+    ]
+    t = pa.table(
+        {"n3": pa.array(d3, type=pa.list_(pa.list_(pa.list_(pa.int64()))))}
+    )
+    buf = io.BytesIO()
+    pq.write_table(t, buf)
+    assert read_parquet_list_column(buf.getvalue(), "n3") == d3
+
+    # struct<tags: list<string>> — a repeated leaf under an optional
+    # struct: null struct flattens to a null list
+    rows = [
+        {"tags": ["a", None]},
+        None,
+        {"tags": None},
+        {"tags": []},
+        {"tags": ["b"]},
+    ]
+    typ = pa.struct([("tags", pa.list_(pa.string()))])
+    t2 = pa.table({"meta": pa.array(rows, type=typ)})
+    buf = io.BytesIO()
+    pq.write_table(t2, buf)
+    got = read_parquet_list_column(buf.getvalue(), "meta.tags")
+    assert got == [["a", None], None, None, [], ["b"]]
+
+    # list<struct<pts: list<long>>> — max_rep 2 through a struct
+    rows = [
+        [{"pts": [1, 2]}, {"pts": None}, None, {"pts": []}],
+        None,
+        [],
+    ]
+    typ = pa.list_(pa.struct([("pts", pa.list_(pa.int64()))]))
+    t3 = pa.table({"seg": pa.array(rows, type=typ)})
+    buf = io.BytesIO()
+    pq.write_table(t3, buf)
+    got = read_parquet_list_column(buf.getvalue(), "seg.pts")
+    assert got == [[[1, 2], None, None, []], None, []]
+
+
+def test_nested_reader_against_spark_parquet_writer(spark, tmp_path):
+    """Interop with the OTHER major parquet encoder: Spark's Java
+    writer — array<array<double>> and array<struct<x,y>> reassemble
+    to what Spark itself reads back."""
+    import glob
+
+    from pyspark.sql import Row
+
+    from core_spark.functions.parquetfile import read_parquet_list_column
+
+    rows = [
+        Row(id=0, m=[[1.5, None], []], ev=[Row(x=1, y="a"), Row(x=None, y=None)]),
+        Row(id=1, m=None, ev=None),
+        Row(id=2, m=[], ev=[]),
+        Row(id=3, m=[None, [2.25]], ev=[None, Row(x=3, y="c")]),
+    ]
+    df = spark.createDataFrame(
+        rows, "id int, m array<array<double>>, ev array<struct<x:int,y:string>>"
+    )
+    out = str(tmp_path / "nested")
+    df.coalesce(1).write.mode("overwrite").parquet(out)
+    (path,) = glob.glob(out + "/*.parquet")
+    raw = open(path, "rb").read()
+    back = {r["id"]: r for r in spark.read.parquet(out).collect()}
+    from core_spark.functions.parquetfile import read_parquet_column
+
+    ids = read_parquet_column(raw, "id")
+    ms = read_parquet_list_column(raw, "m")
+    xs = read_parquet_list_column(raw, "ev.x")
+    ys = read_parquet_list_column(raw, "ev.y")
+    for k, rid in enumerate(ids):
+        want = back[rid]
+        assert ms[k] == want["m"]
+        wx = None if want["ev"] is None else [
+            None if e is None else e["x"] for e in want["ev"]
+        ]
+        wy = None if want["ev"] is None else [
+            None if e is None else e["y"] for e in want["ev"]
+        ]
+        assert xs[k] == wx
+        assert ys[k] == wy
+
+
+def test_nested_list_fuzz_against_pyarrow():
+    """Hypothesis-style deterministic fuzz: random ragged
+    list<list<int64>> and list<struct> shapes through pyarrow, both
+    page formats, multiple row groups."""
+    import io
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from core_spark.functions.parquetfile import read_parquet_list_column
+
+    rng = random.Random(0xD2E3E1)
+    for trial in range(25):
+        n = rng.randrange(1, 120)
+
+        def inner():
+            return [
+                None if rng.random() < 0.15 else rng.randrange(-9999, 9999)
+                for _ in range(rng.randrange(0, 4))
+            ]
+
+        def outer():
+            r = rng.random()
+            if r < 0.12:
+                return None
+            return [
+                None if rng.random() < 0.1 else inner()
+                for _ in range(rng.randrange(0, 4))
+            ]
+
+        data = [outer() for _ in range(n)]
+        t = pa.table(
+            {"v": pa.array(data, type=pa.list_(pa.list_(pa.int64())))}
+        )
+        buf = io.BytesIO()
+        pq.write_table(
+            t,
+            buf,
+            data_page_version="2.0" if trial % 2 else "1.0",
+            row_group_size=max(1, n // 3),
+        )
+        got = read_parquet_list_column(buf.getvalue(), "v")
+        assert got == data, f"trial {trial}"
