@@ -214,7 +214,7 @@ _TYPE_KINDS = {
     0: "boolean", 1: "byte", 2: "short", 3: "int", 4: "long",
     5: "float", 6: "double", 7: "string", 8: "binary", 9: "timestamp",
     10: "list", 11: "map", 12: "struct", 13: "union", 14: "decimal",
-    15: "date", 16: "varchar", 17: "char",
+    15: "date", 16: "varchar", 17: "char", 18: "timestamp_instant",
 }
 
 
@@ -544,6 +544,75 @@ def _stripe_column_streams(
     return found, encodings[col_id]
 
 
+def _stripe_writer_timezone(raw: bytes, stripe: dict, comp: str) -> str:
+    """StripeFooter field 3 — the timezone the writer's base-2015
+    epoch is anchored in. Absent (ancient writers) defaults to UTC,
+    matching the Java reader."""
+    foot_start = stripe["offset"] + stripe["index_len"] + stripe["data_len"]
+    sf_raw = raw[foot_start : foot_start + stripe["footer_len"]]
+    if len(sf_raw) != stripe["footer_len"]:
+        raise OrcError("stripe footer escapes the file")
+    for fid, wt, v in _fields(_deframe(sf_raw, comp)):
+        if fid == 3 and wt == 2:
+            try:
+                return v.decode("utf-8")
+            except UnicodeDecodeError as e:
+                raise OrcError(f"writer timezone is not UTF-8: {e}") from None
+    return "UTC"
+
+
+_ORC_TS_BASE_UTC = 1420070400  # 2015-01-01 00:00:00 UTC, the spec base
+
+
+def _writer_tz_base_and_offset(tz_name: str):
+    """(base epoch seconds of 2015-01-01 00:00 wall clock in the
+    writer timezone, offset function instant→seconds). GMT/UTC short-
+    circuits; other zones resolve via zoneinfo and raise the named
+    error when the IANA name is unknown — never a silently shifted
+    value."""
+    if tz_name.upper() in ("UTC", "GMT", "ETC/UTC", "ETC/GMT", "Z"):
+        return _ORC_TS_BASE_UTC, lambda _instant: 0
+    try:
+        from zoneinfo import ZoneInfo
+
+        tz = ZoneInfo(tz_name)
+    except Exception:
+        raise OrcError(
+            f"writer timezone {tz_name!r} is not resolvable here — "
+            "wall-clock timestamps from this file need its IANA zone"
+        ) from None
+    import datetime as _dt
+
+    base = _dt.datetime(2015, 1, 1, tzinfo=tz).timestamp()
+
+    def off(instant: float) -> int:
+        d = _dt.datetime.fromtimestamp(instant, tz)
+        return int(d.utcoffset().total_seconds())
+
+    return int(base), off
+
+
+def _parse_ts_nanos(v: int) -> int:
+    """SECONDARY-stream nanos: the low 3 bits count removed trailing
+    zeros minus one (0 ⇒ none removed) — 1000 ns serializes as
+    (1 << 3) | 2. Interpreted as SIGNED int64: the C++ writer
+    (pyarrow) stores NEGATIVE nanos for pre-1970 fractions (with the
+    seconds truncated toward zero) where the Java writer stores the
+    floor second + positive nanos — a documented ecosystem
+    divergence (the Java reader refuses C++ pre-1970 files outright:
+    'nanos > 999999999 or < 0'). The arithmetic shift makes both
+    conventions decode to the instant their own readers produce."""
+    if v >= 1 << 63:
+        v -= 1 << 64
+    zeros = v & 7
+    n = v >> 3  # arithmetic shift: sign survives
+    if zeros:
+        n *= 10 ** (zeros + 1)
+    if not -1_000_000_000 < n < 1_000_000_000:
+        raise OrcError("timestamp nanos exceed a second")
+    return n
+
+
 def _decode_strings(streams: dict, enc: dict, n_present: int) -> list:
     # Kinds 0/1 (DIRECT/DICTIONARY) carry RLE *v1* length/index
     # streams — a different wire format this module does not parse.
@@ -778,11 +847,46 @@ def _stripe_primitive(
         vals = [
             Decimal(m).scaleb(-s, ctx) for m, s in zip(mant, scales)
         ]
+    elif kind in ("timestamp", "timestamp_instant"):
+        # Seconds relative to 2015-01-01 00:00:00 in the WRITER's
+        # timezone (stripe footer field 3; TIMESTAMP_INSTANT is
+        # always UTC), nanos in SECONDARY with trailing zeros packed
+        # into the low 3 bits (signed — see _parse_ts_nanos for the
+        # C++/Java pre-1970 divergence; seconds + nanos sum to the
+        # instant each ecosystem's own readers produce, verified by
+        # cross-reading both writers). Returned as epoch nanoseconds
+        # (int — the INT96 convention: precision datetime cannot
+        # carry); plain TIMESTAMP is wall-clock, rendered by shifting
+        # to the writer zone's local clock at each instant (r11 —
+        # decision over the r10 fence, pinned against pyarrow AND
+        # Spark's Java writer at GMT/UTC).
+        if enc["kind"] != 2:
+            raise OrcError(
+                "timestamp column uses RLEv1 encoding (DIRECT from "
+                "a pre-HIVE-4123 writer) — only DIRECT_V2 decodes "
+                "here; use the ORC library for RLEv1 files"
+            )
+        secs = _rlev2(streams.get(_STREAM_DATA, b""), signed=True)
+        nraw = _rlev2(streams.get(_STREAM_SECONDARY, b""), signed=False)
+        if len(secs) < n_present or len(nraw) < n_present:
+            raise OrcError("timestamp streams shorter than rows")
+        tz_name = (
+            "UTC"
+            if kind == "timestamp_instant"
+            else _stripe_writer_timezone(raw, stripe, comp)
+        )
+        base, off = _writer_tz_base_and_offset(tz_name)
+        vals = []
+        for s, nv in zip(secs[:n_present], nraw[:n_present]):
+            ns = _parse_ts_nanos(nv)
+            sec = s + base
+            if kind == "timestamp":
+                sec += off(sec)
+            vals.append(sec * 1_000_000_000 + ns)
     else:
         raise OrcError(
-            f"column kind {kind!r} is not decoded here (timestamp "
-            "needs the ORC library: wall-clock values shift with the "
-            "writer timezone table, which this tier does not model)"
+            f"column kind {kind!r} is not decoded here "
+            "(union needs the ORC library)"
         )
     if len(vals) < n_present:
         raise OrcError("value stream shorter than present rows")

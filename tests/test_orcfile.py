@@ -469,21 +469,111 @@ def test_decimal_column_roundtrip_and_scales():
     assert read_orc_column(buf.getvalue(), "d") == big
 
 
-def test_timestamp_kind_stays_fenced():
-    import datetime
+def _ns_to_dt(n):
+    import datetime as dt
+
+    if n is None:
+        return None
+    return dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=n // 1000)
+
+
+def test_timestamp_decode_pins_against_pyarrow():
+    """ORC TIMESTAMP (r11 — decision over the r10 fence): base-2015
+    seconds + trailing-zero-packed nanos, SIGNED per the C++ writer's
+    pre-1970 convention, epoch-nanos ints out. Pinned value-exact
+    against pyarrow incl. pre-1970, pre-2015, the 2015 base itself,
+    nulls, multi-stripe and every codec; TIMESTAMP_INSTANT (kind 18)
+    decodes as UTC."""
+    import datetime as dt
     import io
+    import random
 
-    import pyarrow as pa
-    import pytest as _pytest
-    from pyarrow import orc as pa_orc
+    from core_spark.functions.orcfile import read_orc_column
 
-    from core_spark.functions.orcfile import OrcError, read_orc_column
+    vals = [
+        dt.datetime(2020, 1, 1, 12, 34, 56, 789000),
+        dt.datetime(1969, 12, 31, 23, 59, 59, 500000),
+        dt.datetime(2015, 1, 1),
+        dt.datetime(1955, 6, 1, 0, 0, 0, 1),
+        None,
+        dt.datetime(1970, 1, 1),
+        dt.datetime(2038, 1, 19, 3, 14, 8, 999999),
+    ]
+    t = pa.table({"ts": pa.array(vals, type=pa.timestamp("us"))})
+    for comp in ("UNCOMPRESSED", "ZSTD", "ZLIB", "SNAPPY"):
+        buf = io.BytesIO()
+        orc.write_table(t, buf, compression=comp)
+        got = [_ns_to_dt(n) for n in read_orc_column(buf.getvalue(), "ts")]
+        assert got == vals, comp
 
-    t = pa.table({"ts": pa.array([datetime.datetime(2020, 1, 1)])})
+    # random fuzz across two centuries, multi-stripe
+    rng = random.Random(0x715)
+    fuzz = [
+        None
+        if rng.random() < 0.1
+        else dt.datetime(1970, 1, 1)
+        + dt.timedelta(
+            seconds=rng.randrange(-2_000_000_000, 2_000_000_000),
+            microseconds=rng.randrange(0, 1_000_000),
+        )
+        for _ in range(3000)
+    ]
+    t2 = pa.table({"ts": pa.array(fuzz, type=pa.timestamp("us"))})
     buf = io.BytesIO()
-    pa_orc.write_table(t, buf)
-    with _pytest.raises(OrcError, match="timezone"):
-        read_orc_column(buf.getvalue(), "ts")
+    orc.write_table(t2, buf, stripe_size=64 * 1024)
+    from core_spark.functions.orcfile import parse_orc_tail
+
+    assert len(parse_orc_tail(buf.getvalue())["stripes"]) > 1
+    got = [_ns_to_dt(n) for n in read_orc_column(buf.getvalue(), "ts")]
+    assert got == fuzz
+
+    # TIMESTAMP_INSTANT (timezone-aware arrow type)
+    iv = [dt.datetime(2020, 1, 1), None]
+    t3 = pa.table({"ts": pa.array(iv, type=pa.timestamp("us", tz="UTC"))})
+    buf = io.BytesIO()
+    orc.write_table(t3, buf)
+    assert [_ns_to_dt(n) for n in read_orc_column(buf.getvalue(), "ts")] == iv
+
+
+def test_timestamp_decode_pins_against_spark_java_orc_writer(
+    spark, tmp_path
+):
+    """The Java encoder's convention (floor seconds + positive nanos;
+    the boundary second 1969-12-31 23:59:59.x famously writes as
+    1970-01-01 00:00:00.x — a WRITER quirk both Spark and pyarrow
+    read back as such): our decode must match what Spark itself
+    reads back from its own file, value for value."""
+    import datetime as dt
+    import glob
+
+    from core_spark.functions.orcfile import read_orc_column
+
+    vals = [
+        dt.datetime(2020, 1, 1, 12, 34, 56, 789000),
+        dt.datetime(1969, 12, 31, 23, 59, 59, 500000),
+        dt.datetime(2015, 1, 1),
+        dt.datetime(1955, 6, 1, 0, 0, 0, 1),
+        None,
+        dt.datetime(1970, 1, 1),
+        dt.datetime(2038, 1, 19, 3, 14, 8, 999999),
+    ]
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "id int, ts timestamp"
+        )
+        out = str(tmp_path / "ts_orc")
+        df.coalesce(1).write.mode("overwrite").orc(out)
+        (path,) = glob.glob(out + "/*.orc")
+        raw = open(path, "rb").read()
+        back = {r["id"]: r["ts"] for r in spark.read.orc(out).collect()}
+        ids = read_orc_column(raw, "id")
+        tss = read_orc_column(raw, "ts")
+        for rid, n in zip(ids, tss):
+            assert _ns_to_dt(n) == back[rid]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
 
 
 def test_decimal_truncated_mantissa_raises_named():
@@ -784,3 +874,52 @@ def test_nested_reader_against_spark_java_orc_writer(spark, tmp_path):
             else [None if e is None else e.asDict() for e in want["ev"]]
         )
         assert evs[k] == wev
+
+
+def test_timestamp_writer_timezone_wall_clock(monkeypatch):
+    """A non-UTC writerTimezone anchors the base epoch AND renders
+    wall clock in that zone: a 2020-06-01 12:00 wall-clock written
+    in America/Los_Angeles must read back as the same wall clock
+    (self-consistency check — no independent non-UTC encoder exists
+    in this environment; the math is from the ORC spec's
+    writer-timezone contract). Unknown zones raise the named error,
+    never a silently shifted value."""
+    import datetime as dt
+    import io
+    from zoneinfo import ZoneInfo
+
+    from core_spark.functions import orcfile as of
+
+    tz = ZoneInfo("America/Los_Angeles")
+    wall = dt.datetime(2020, 6, 1, 12, 0, 0, 250000)  # PDT (-7)
+    wall2 = dt.datetime(2020, 1, 15, 8, 30)           # PST (-8): DST flip
+    # serialize AS a Los_Angeles writer would: seconds relative to
+    # the base wall clock, both interpreted in the writer zone
+    base = dt.datetime(2015, 1, 1, tzinfo=tz).timestamp()
+    stored = [
+        int(wall.replace(tzinfo=tz).timestamp() - base),
+        int(wall2.replace(tzinfo=tz).timestamp() - base),
+    ]
+    # write a GMT file with those stored seconds via pyarrow (same
+    # wire bytes), then present it as a Los_Angeles file
+    utc_vals = [
+        dt.datetime(1970, 1, 1) + dt.timedelta(seconds=s + 1420070400,
+                                               microseconds=250000 * (i == 0))
+        for i, s in enumerate(stored)
+    ]
+    t = pa.table({"ts": pa.array(utc_vals, type=pa.timestamp("us"))})
+    buf = io.BytesIO()
+    orc.write_table(t, buf, compression="UNCOMPRESSED")
+    monkeypatch.setattr(
+        of, "_stripe_writer_timezone",
+        lambda raw, stripe, comp: "America/Los_Angeles",
+    )
+    got = [_ns_to_dt(n) for n in of.read_orc_column(buf.getvalue(), "ts")]
+    assert got == [wall, wall2]
+
+    monkeypatch.setattr(
+        of, "_stripe_writer_timezone",
+        lambda raw, stripe, comp: "Not/AZone",
+    )
+    with pytest.raises(OrcError, match="Not/AZone"):
+        of.read_orc_column(buf.getvalue(), "ts")
