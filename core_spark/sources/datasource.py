@@ -17,6 +17,18 @@ Built on the Spark 4 Python Data Source API:
   read maps to Spark's trigger loop); partitions(start, end) prunes to
   fragments overlapping [start, end) and clamps rows by `_offset`, so
   a micro-batch reads only new data.
+- byte-stream codec fragments (jsonl.zst/.xz/.gz — gazette's
+  codec-suffixed files, .gz the default codec) serve through BOTH
+  paths (r11): the DRIVER plans each fragment's chunk splits from
+  tail/member metadata (core_spark importable there), executors
+  ranged-read + decode chunks with stdlib gzip/lzma or pyarrow's
+  zstd and type columns by the reader's fixed arrow schema — older
+  fragments serve typed NULLS for columns the journal gained later
+  (e.g. a shard's `_batch`). The schema rides the manifest
+  (byte-opaque journal), served all-nullable for exactly that
+  reason. This closes the gazette default-codec loop both ways: a
+  shard COMMITS gz fragments (ShardConfig.out_fmt) and a second
+  consumer TAILS them read-committed.
 
 Everything is defined inside the `journal_datasource()` factory so
 cloudpickle ships the classes BY VALUE — executors never import
@@ -70,13 +82,19 @@ def journal_datasource():
 
     _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
+    _CODEC_FMTS = ("jsonl.zst", "jsonl.xz", "jsonl.gz")
+
     def _fragment_files(journal_root: str, frag: dict) -> list[tuple]:
         """List a fragment's parquet files as (path, partition-values):
         `key=value` directory segments between the fragment base and
-        the file are the Hive path postfix, parsed back here."""
+        the file are the Hive path postfix, parsed back here. A
+        byte-stream codec fragment (jsonl.zst/.xz/.gz) IS its single
+        file — no postfix, by construction."""
         from urllib.parse import unquote
 
         base = os.path.join(journal_root, frag["path"])
+        if frag.get("fmt", "parquet") in _CODEC_FMTS:
+            return [(base, {})]
         out = []
         for dirpath, _dirs, files in os.walk(base):
             pvals = {}
@@ -158,11 +176,130 @@ def journal_datasource():
 
     class FragPartition(InputPartition):
         def __init__(self, files: list[tuple], begin: int, end: int,
-                     ptypes: dict[str, str]):
+                     ptypes: dict[str, str], fmt: str = "parquet",
+                     schema_json: str | None = None,
+                     chunks: list[tuple] | None = None):
             self.files = files  # [(path, {pcol: raw value}), ...]
             self.begin = begin  # clamp: serve _offset in [begin, end)
             self.end = end
             self.ptypes = ptypes
+            # byte-stream codec fragments: the container format, the
+            # manifest-carried schema, and the DRIVER-planned chunk
+            # list (c_off, c_size, d_size) — executors only ranged-
+            # read and decode, they never re-plan
+            self.fmt = fmt
+            self.schema_json = schema_json
+            self.chunks = chunks
+
+    def _frag_partition(journal_root, frag, begin, end, ptypes):
+        """Build one FragPartition; codec fragments get their split
+        plan here, on the DRIVER (core_spark importable), so the
+        executor-side read stays self-contained."""
+        files = _fragment_files(journal_root, frag)
+        fmt = frag.get("fmt", "parquet")
+        if fmt not in _CODEC_FMTS:
+            return FragPartition(files, begin, end, ptypes)
+        from core_spark.sources.codec_fragments import (
+            gz_split_plan,
+            xz_split_plan,
+            zst_split_plan,
+        )
+
+        plan_fn = {
+            "jsonl.zst": zst_split_plan,
+            "jsonl.xz": xz_split_plan,
+            "jsonl.gz": gz_split_plan,
+        }[fmt]
+        (path, _pv), = files
+        chunks = [
+            (p["c_off"], p["c_size"], p["d_size"]) for p in plan_fn(path)
+        ]
+        return FragPartition(
+            files, begin, end, ptypes, fmt=fmt,
+            schema_json=(frag.get("meta") or {}).get("schema_json"),
+            chunks=chunks,
+        )
+
+    # Spark scalar type names a codec fragment's JSON lines can carry
+    # losslessly; anything else (timestamps, nested) raises the named
+    # error — route those through parquet/orc fragments.
+    _JSON_PA_TYPES = {
+        "long": "int64", "integer": "int32", "short": "int16",
+        "byte": "int8", "double": "float64", "float": "float32",
+        "string": "string", "boolean": "bool_",
+    }
+
+    def _codec_partition_batches(part: FragPartition, field_names,
+                                 arrow_schema):
+        """Arrow batches out of one codec fragment's chunk plan:
+        ranged read → native codec decode → JSON lines → typed
+        columns, offset-clamped like the parquet path. Columns are
+        typed by the READER's fixed arrow schema (a journal may gain
+        columns mid-history — e.g. a shard's _batch — and an older
+        fragment must serve typed NULLS for them, not strings); the
+        fragment's manifest schema gates the scalar-only contract."""
+        import gzip as _gzip
+        import json as _json
+        import lzma as _lzma
+
+        import pyarrow as pa
+
+        if not part.schema_json:
+            raise ValueError(
+                "codec fragment lacks its manifest schema (byte-"
+                "opaque journal: the schema rides the manifest)"
+            )
+        for f in _json.loads(part.schema_json)["fields"]:
+            t = f["type"]
+            if not isinstance(t, str) or t not in _JSON_PA_TYPES:
+                raise ValueError(
+                    f"codec fragment column {f['name']!r} has type "
+                    f"{t!r} — the streaming journal source decodes "
+                    "JSON scalars only; use parquet/orc fragments "
+                    "for this schema"
+                )
+        types = {
+            n: arrow_schema.field(n).type
+            for n in field_names
+            if arrow_schema.get_field_index(n) >= 0
+        }
+        codec = pa.Codec("zstd") if part.fmt == "jsonl.zst" else None
+        (path, _pv), = part.files
+        with open(path, "rb") as fh:
+            for c_off, c_size, d_size in part.chunks:
+                fh.seek(c_off)
+                raw = fh.read(c_size)
+                if part.fmt == "jsonl.zst":
+                    data = codec.decompress(
+                        raw, decompressed_size=d_size, asbytes=True
+                    )
+                elif part.fmt == "jsonl.gz":
+                    data = _gzip.decompress(raw)
+                else:
+                    data = _lzma.decompress(raw, format=_lzma.FORMAT_XZ)
+                rows = [
+                    _json.loads(line)
+                    for line in data.decode("utf-8").splitlines()
+                ]
+                rows = [
+                    r for r in rows
+                    if part.begin <= r.get("_offset", -1) < part.end
+                ]
+                if not rows:
+                    continue
+                cols = [
+                    pa.array(
+                        [r.get(n) for r in rows],
+                        type=types.get(n) or pa.string(),
+                    )
+                    for n in field_names
+                ]
+                yield pa.RecordBatch.from_arrays(cols, names=field_names)
+
+    def _arrow_schema_of(schema):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        return to_arrow_schema(schema)
 
     def _read_table(path: str):
         """Read one fragment file by extension (parquet or ORC — the
@@ -175,10 +312,16 @@ def journal_datasource():
 
         return pq.read_table(path)
 
-    def _read_partition(part: FragPartition, field_names: list[str]):
+    def _read_partition(part: FragPartition, field_names: list[str],
+                        arrow_schema=None):
         import pyarrow as pa
         import pyarrow.compute as pc
 
+        if getattr(part, "fmt", "parquet") in _CODEC_FMTS:
+            yield from _codec_partition_batches(
+                part, field_names, arrow_schema
+            )
+            return
         for path, pvals in part.files:
             table = _read_table(path)
             mask = pc.and_(
@@ -211,24 +354,28 @@ def journal_datasource():
         def __init__(self, journal_root: str, schema):
             self.journal_root = journal_root
             self.field_names = [f.name for f in schema.fields]
+            self.arrow_schema = _arrow_schema_of(schema)
 
         def partitions(self):
             m = _latest_manifest(self.journal_root)
-            per_frag, ptypes = _all_files_and_ptypes(self.journal_root, m)
+            _, ptypes = _all_files_and_ptypes(self.journal_root, m)
             return [
-                FragPartition(
-                    per_frag[f["path"]], f["begin"], f["end"], ptypes
+                _frag_partition(
+                    self.journal_root, f, f["begin"], f["end"], ptypes
                 )
                 for f in m["fragments"]
             ]
 
         def read(self, partition: FragPartition):
-            yield from _read_partition(partition, self.field_names)
+            yield from _read_partition(
+                partition, self.field_names, self.arrow_schema
+            )
 
     class _StreamReader(DataSourceStreamReader):
         def __init__(self, journal_root: str, schema):
             self.journal_root = journal_root
             self.field_names = [f.name for f in schema.fields]
+            self.arrow_schema = _arrow_schema_of(schema)
             # Pin partition-column types ONCE, matching the stream
             # schema fixed at start — re-inferring per micro-batch
             # could flip the ladder (a later append writes
@@ -252,18 +399,18 @@ def journal_datasource():
             m = _latest_manifest(self.journal_root)
             # list files only for fragments this micro-batch touches
             return [
-                FragPartition(
-                    _fragment_files(self.journal_root, f),
-                    max(f["begin"], lo),
-                    min(f["end"], hi),
-                    self.ptypes,
+                _frag_partition(
+                    self.journal_root, f,
+                    max(f["begin"], lo), min(f["end"], hi), self.ptypes,
                 )
                 for f in m["fragments"]
                 if f["end"] > lo and f["begin"] < hi
             ]
 
         def read(self, partition: FragPartition):
-            yield from _read_partition(partition, self.field_names)
+            yield from _read_partition(
+                partition, self.field_names, self.arrow_schema
+            )
 
         def commit(self, end: dict) -> None:
             pass  # progress is durable in the query checkpoint
@@ -294,6 +441,25 @@ def journal_datasource():
             m = _latest_manifest(jroot)
             if not m["fragments"]:
                 raise ValueError(f"journal {jroot} has no fragments")
+            f0 = m["fragments"][0]
+            if f0.get("fmt", "parquet") in _CODEC_FMTS:
+                # byte-opaque fragment: the schema rides the manifest.
+                # Every field serves NULLABLE — a journal gains
+                # columns mid-history (a shard's _batch), and older
+                # fragments serve typed nulls for them.
+                import json as _json
+
+                from pyspark.sql.types import StructField, StructType
+
+                sj = (f0.get("meta") or {}).get("schema_json")
+                if not sj:
+                    raise ValueError(
+                        "codec fragment lacks its manifest schema"
+                    )
+                st = StructType.fromJson(_json.loads(sj))
+                return StructType(
+                    [StructField(f.name, f.dataType, True) for f in st]
+                )
             per_frag, ptypes = _all_files_and_ptypes(jroot, m)
             first = next(iter(per_frag.values()))[0][0]
             if first.endswith(".orc"):
