@@ -229,9 +229,15 @@ def q_cms_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(_F.desc("est_cnt"), "key")
             .limit(20)
         )
-        # the journal read is lazy: materialize before the temp dir
-        # holding the fragments disappears
-        rows = out.collect()
+        # the journal read is lazy: drain before the temp dir holding
+        # the fragments disappears — through the PAGED serve path
+        # like every other storage-backed serve (`key` is the unique
+        # cursor; the top-20 is bounded by construction, but the
+        # serve-tier invariant stays uniform: no request
+        # materializes more than one page).
+        rows = [
+            r for pg in serve_pages(out, ["key"], page_size=8) for r in pg
+        ]
         return spark.createDataFrame(rows, out.schema)
     finally:
         _sh.rmtree(work, ignore_errors=True)

@@ -134,3 +134,43 @@ def test_allowlist_entries_still_needed(spark):
             k in plan
             for k in ("CartesianProduct", "BroadcastNestedLoopJoin", "Join Cross")
         ), f"{name} no longer plans a nested loop — remove it from ALLOWED"
+
+
+def test_storage_backed_serves_page_never_bulk_collect():
+    """Serve-tier invariant (uniform as of r11): every storage-backed
+    serve drains through serve_pages / SQLStore.query_pages — the
+    ONLY .collect() in the serve module is the one inside
+    serve_pages' own LIMIT-page request, so no serve request
+    materializes more than one page."""
+    import pathlib
+
+    import core_spark.plans.queryable_state as qs
+
+    src = pathlib.Path(qs.__file__).read_text().splitlines()
+    hits = [
+        (i + 1, ln.strip())
+        for i, ln in enumerate(src)
+        if ".collect()" in ln
+    ]
+    assert len(hits) == 1 and "page.limit(page_size)" in hits[0][1], (
+        "storage-backed serve collects outside serve_pages: "
+        f"{hits}"
+    )
+
+    import ast
+
+    import core_spark.streaming.store_sql as ss
+
+    tree = ast.parse(pathlib.Path(ss.__file__).read_text())
+    sql_literals = [
+        n.value
+        for n in ast.walk(tree)
+        if isinstance(n, ast.Constant)
+        and isinstance(n.value, str)
+        and "SELECT" in n.value.upper()
+    ]
+    assert sql_literals, "expected SQL statements in the store"
+    bad = [s for s in sql_literals if "OFFSET" in s.upper()]
+    assert not bad, (
+        f"the SQL store must keyset-paginate, never OFFSET: {bad}"
+    )
