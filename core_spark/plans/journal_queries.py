@@ -236,8 +236,10 @@ def q_append_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_audit_scan",
     # Appends are rank-sliced over (user_id, event_id) order, so each
     # fragment's offset span AND its user_id zone map are pure
-    # arithmetic over the events parquet — DuckDB recomputes every
-    # pruning verdict without seeing a fragment byte.
+    # arithmetic over the events parquet — and the int-key bloom is
+    # the documented md5-bit construction, so DuckDB recomputes every
+    # pruning verdict (including bloom false positives, bit-exactly)
+    # without seeing a fragment byte.
     oracle="""
     WITH e AS (
       SELECT user_id,
@@ -251,14 +253,35 @@ def q_append_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(count(*) AS BIGINT) AS n_records,
              min(user_id) AS u_min, max(user_id) AS u_max
       FROM e GROUP BY rn // 700
+    ),
+    fb AS (
+      SELECT DISTINCT rn // 700 AS seq,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                 1 + 4 * j, 4) AS BIGINT) % 2048 AS bit
+      FROM e, (SELECT unnest(range(4)) AS j) js
+    ),
+    pv AS (
+      SELECT DISTINCT
+             CAST('0x' || substr(md5('3'), 1 + 4 * j, 4) AS BIGINT)
+               % 2048 AS bit
+      FROM (SELECT unnest(range(4)) AS j) js
+    ),
+    bok AS (
+      SELECT s.seq,
+             (SELECT count(*) FROM pv
+               WHERE pv.bit IN (SELECT bit FROM fb WHERE fb.seq = s.seq))
+             = (SELECT count(*) FROM pv) AS bloom_ok
+      FROM (SELECT DISTINCT seq FROM fb) s
     )
-    SELECT CAST(seq AS BIGINT) AS seq, f_begin, f_end, n_records,
+    SELECT CAST(f.seq AS BIGINT) AS seq, f_begin, f_end, n_records,
            (f_end > 100 AND f_begin < 2100) AS covering,
-           (u_min <= 4 AND u_max >= 1) AS stats_ok,
-           TRUE AS bloom_ok,
+           (u_min <= 4 AND u_max >= 1 AND u_min <= 3 AND u_max >= 3)
+             AS stats_ok,
+           bok.bloom_ok AS bloom_ok,
            (f_end > 100 AND f_begin < 2100
-            AND u_min <= 4 AND u_max >= 1) AS read
-    FROM f ORDER BY seq
+            AND u_min <= 4 AND u_max >= 1 AND u_min <= 3 AND u_max >= 3
+            AND bok.bloom_ok) AS read
+    FROM f JOIN bok ON bok.seq = f.seq ORDER BY seq
     """,
 )
 def q_audit_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -269,13 +292,18 @@ def q_audit_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     skipping). Events sorted by (user_id, event_id) land in 700-row
     fragments, clustering user_id so the parquet-footer zone maps
     carry tight disjoint ranges (the reason sorted appends prune and
-    random appends don't); the audited read [100, 2100) with
-    ``user_id <= 4 AND user_id >= 1`` then reports, per fragment:
-    offset-overlap ``covering`` (broker/fragment/index.go:41-131),
-    zone-map ``stats_ok``, bloom ``bloom_ok`` (no bloom columns
-    listed here — blooms hold their own fixture tests), and the
+    random appends don't); the journal's spec lists ``user_id`` as a
+    bloom column (an INTEGER key — the r11 typed `int:` blooms), and
+    the audited read [100, 2100) with ``user_id <= 4 AND user_id >=
+    1 AND user_id = 3`` then reports, per fragment: offset-overlap
+    ``covering`` (broker/fragment/index.go:41-131), zone-map
+    ``stats_ok``, bloom ``bloom_ok`` (the point-lookup verdict the
+    equality probe takes through the 2048-bit md5 map), and the
     conjunction ``read``. The oracle recomputes every verdict by
-    rank arithmetic straight off the parquet.
+    rank arithmetic straight off the parquet — INCLUDING the bloom
+    bits themselves (the md5-slice construction is engine-neutral by
+    design, so DuckDB rebuilds each fragment's bit set and probes it
+    exactly, false positives and all).
 
     100 TB shape: this is the explanation surface for the claim that
     a selective predicate on a 10^6-fragment journal lists only the
@@ -298,6 +326,15 @@ def q_audit_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cache()
     n = ranked.count()
     root = tempfile.mkdtemp(prefix="q_audit_scan_")
+    from core_spark.catalog import CatalogStore, JournalSpec
+
+    CatalogStore(root).apply(
+        upserts=(
+            JournalSpec(
+                name="declared/audit-events", bloom_columns=("user_id",)
+            ),
+        )
+    )
     j = Journal(root, "declared/audit-events")
     for lo in range(0, n, 700):
         j.append(
@@ -311,7 +348,11 @@ def q_audit_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit = j.scan_audit(
         begin=100,
         end=2100,
-        where=[("user_id", "<=", 4), ("user_id", ">=", 1)],
+        where=[
+            ("user_id", "<=", 4),
+            ("user_id", ">=", 1),
+            ("user_id", "=", 3),
+        ],
     )
     return spark.createDataFrame(
         [

@@ -216,12 +216,16 @@ def parse_where(exprs: list[str]) -> list[tuple]:
 
 
 # ----------------------------------------------------- bloom fragment index
-# 2048-bit, 4-hash blooms over spec-listed STRING columns: the
-# equality-skipping sibling of the numeric zone maps (string min/max is
-# unsound to prune on — parquet writers truncate it — but set
-# membership is exact-or-conservative by construction). Hash family:
-# four 16-bit slices of md5(value) mod 2048, identical between the
-# Spark builder expression (conv(substring(md5(col), …), 16, 10)) and
+# 2048-bit, 4-hash blooms over spec-listed STRING and INTEGER columns
+# (ints since r11 — the journal's natural point-lookup key class):
+# the equality-skipping sibling of the numeric zone maps (string
+# min/max is unsound to prune on — parquet writers truncate it — but
+# set membership is exact-or-conservative by construction; int zone
+# maps prune RANGES, blooms prune sparse point lookups zone maps
+# can't). Hash family: four 16-bit slices of md5(value) mod 2048 —
+# ints hashed via their canonical decimal CAST(.. AS STRING) and
+# stored with the `int:` type prefix — identical between the Spark
+# builder expression (conv(substring(md5(col), …), 16, 10)) and
 # the Python read-side probe, so a manifest written by any engine
 # prunes the same. With ~hundreds of distinct values per fragment the
 # fill stays low (k·n/m ≈ 0.2 at n=100) and the false-positive rate
@@ -243,14 +247,32 @@ def _bloom_may_contain(hexmap: str, value) -> bool:
     `value`; anything unprobeable — including a corrupt or
     wrong-width hex map in a hand-edited manifest — is a
     conservative True (pruning is an optimization; it must never
-    turn a bad index entry into a wrong answer)."""
-    if not isinstance(value, str) or not hexmap:
+    turn a bad index entry into a wrong answer).
+
+    Typed maps (r11): an integer column's map is stored with the
+    ``int:`` prefix and probes str(value) — the canonical decimal
+    rendering both Spark's CAST(.. AS STRING) builder and Python
+    agree on. The prefix keeps typed probes from crossing: an
+    UNQUOTED numeric literal on a string column (parse_where coerces
+    it to int, and Spark's equality then casts the column — '0123'
+    matches 123) must NOT probe the string bloom with '123' and
+    wrongly prune the '0123' fragment; type-mismatched probes stay
+    conservative True instead."""
+    if not hexmap:
+        return True
+    if hexmap.startswith("int:"):
+        if isinstance(value, bool) or not isinstance(value, int):
+            return True
+        probe, hexmap = str(value), hexmap[4:]
+    elif isinstance(value, str):
+        probe = value
+    else:
         return True
     try:
         m = bytes.fromhex(hexmap)
         if len(m) != _BLOOM_BITS // 8:
             return True
-        return all(m[p // 8] >> (p % 8) & 1 for p in _bloom_positions(value))
+        return all(m[p // 8] >> (p % 8) & 1 for p in _bloom_positions(probe))
     except ValueError:
         return True
 
@@ -263,25 +285,34 @@ def _bloom_may_match(blooms: dict, col: str, op: str, value) -> bool:
 
 def _build_blooms(spark: SparkSession, path: str, fmt: str, cols) -> dict:
     """Per-column bloom hex maps for a written fragment. One
-    column-pruned scan of the fragment (only the listed string
-    columns are read); the distinct (col, bit) set is at most
-    _BLOOM_BITS rows per column, so the collect is bounded by the
-    filter geometry, not the data."""
+    column-pruned scan of the fragment (only the listed columns are
+    read); the distinct (col, bit) set is at most _BLOOM_BITS rows
+    per column, so the collect is bounded by the filter geometry,
+    not the data. String columns hash their bytes; integer columns
+    (the journal's natural point-lookup key class, r11) hash their
+    canonical decimal rendering via CAST(.. AS STRING) and store the
+    map with the ``int:`` type prefix the probe keys on."""
     from pyspark.sql import types as T
 
+    _INT_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
     df = getattr(spark.read, fmt)(path)
-    scols = [
-        c
-        for c in cols
-        if c in df.columns and isinstance(df.schema[c].dataType, T.StringType)
-    ]
-    if not scols:
+    picked: list[tuple[str, bool]] = []  # (col, is_int)
+    for c in cols:
+        if c not in df.columns:
+            continue
+        dt = df.schema[c].dataType
+        if isinstance(dt, T.StringType):
+            picked.append((c, False))
+        elif isinstance(dt, _INT_TYPES):
+            picked.append((c, True))
+    if not picked:
         return {}
     frames = []
-    for c in scols:
+    for c, is_int in picked:
+        expr = f"CAST(`{c}` AS STRING)" if is_int else f"`{c}`"
         hs = [
             F.expr(
-                f"CAST(conv(substring(md5(`{c}`), {i * 4 + 1}, 4), 16, 10) "
+                f"CAST(conv(substring(md5({expr}), {i * 4 + 1}, 4), 16, 10) "
                 f"AS INT) % {_BLOOM_BITS}"
             )
             for i in range(_BLOOM_K)
@@ -294,10 +325,14 @@ def _build_blooms(spark: SparkSession, path: str, fmt: str, cols) -> dict:
     from functools import reduce
 
     rows = reduce(lambda a, b: a.unionByName(b), frames).collect()
-    maps = {c: bytearray(_BLOOM_BITS // 8) for c in scols}
+    maps = {c: bytearray(_BLOOM_BITS // 8) for c, _ in picked}
     for r in rows:
         maps[r["col"]][r["bit"] // 8] |= 1 << (r["bit"] % 8)
-    return {c: bytes(m).hex() for c, m in maps.items()}
+    kinds = dict(picked)
+    return {
+        c: ("int:" if kinds[c] else "") + bytes(m).hex()
+        for c, m in maps.items()
+    }
 
 
 def _stats_may_match(

@@ -1096,3 +1096,79 @@ def test_scan_audit_reports_bloom_verdicts(spark, tmp_path):
     assert [r["read"] for r in audit] == [True, False, True]
     df = j.read(spark, where=[("lang", "=", "en")])
     assert sorted(r.v for r in df.collect()) == [0, 200]
+
+
+def test_int_key_blooms_prune_point_lookups(spark, tmp_path):
+    """r11: integer columns (the journal's natural point-lookup key
+    class) carry typed ``int:`` blooms — `where=[("k", "=", n)]`
+    prunes fragments from the scan's file listing (inputFiles-
+    pinned), the scan_audit row shows the bloom verdict, and typed
+    probes never cross: an int literal stays conservative on a
+    string column's map and vice versa."""
+    from core_spark.catalog import CatalogStore, JournalSpec
+    from core_spark.sources.journal import _bloom_may_contain
+
+    CatalogStore(str(tmp_path)).apply(
+        upserts=(
+            JournalSpec(name="blm/ints", bloom_columns=("k", "lang")),
+        )
+    )
+    j = Journal(str(tmp_path), "blm/ints")
+    for i, ks in enumerate([[7, 1000], [42, 99], [7, 555]]):
+        j.append(
+            spark.createDataFrame(
+                [(k, f"l{i}") for k in ks], "k long, lang string"
+            )
+        )
+    m = j.manifest()
+    assert all(f.blooms["k"].startswith("int:") for f in m.fragments)
+    assert all(not f.blooms["lang"].startswith("int:") for f in m.fragments)
+
+    # k=7 lives in fragments 0 and 2 only: fragment 1 leaves the
+    # file listing before the scan
+    df = j.read(spark, where=[("k", "=", 7)])
+    files = df.inputFiles()
+    assert any(m.fragments[0].path in p for p in files)
+    assert all(m.fragments[1].path not in p for p in files)
+    assert any(m.fragments[2].path in p for p in files)
+    assert sorted((r.k, r.lang) for r in df.collect()) == [
+        (7, "l0"), (7, "l2")
+    ]
+
+    # the audit row shows the int-bloom verdict read() consumed
+    audit = j.scan_audit(where=[("k", "=", 42)])
+    assert [r["bloom_ok"] for r in audit] == [False, True, False]
+    assert [r["read"] for r in audit] == [False, True, False]
+
+    # absent key: at least one candidate fully pruned, still a
+    # well-shaped empty frame
+    pruned_all = False
+    for cand in range(2000, 2064):
+        if not any(
+            _bloom_may_contain(f.blooms["k"], cand) for f in m.fragments
+        ):
+            df0 = j.read(spark, where=[("k", "=", cand)])
+            assert df0.count() == 0 and "k" in df0.columns
+            pruned_all = True
+            break
+    assert pruned_all
+
+    # typed probes never cross (conservative True both ways)
+    f0 = m.fragments[0]
+    assert _bloom_may_contain(f0.blooms["k"], "7") is True
+    assert _bloom_may_contain(f0.blooms["lang"], 7) is True
+    assert _bloom_may_contain(f0.blooms["k"], True) is True
+
+    # soundness fuzz: pruned read == exact filter for present and
+    # absent int keys
+    for value in (7, 42, 99, 555, 1000, 12345):
+        got = sorted(
+            r.lang for r in j.read(spark, where=[("k", "=", value)]).collect()
+        )
+        want = sorted(
+            lang
+            for i, ks in enumerate([[7, 1000], [42, 99], [7, 555]])
+            for k, lang in ((k, f"l{i}") for k in ks)
+            if k == value
+        )
+        assert got == want, value
