@@ -30,11 +30,17 @@ ARRAYS of primitives or unions ({"type": "array", "items": ...} —
 zigzag-count blocks concatenated until the zero terminator,
 including the spec's skippable negative-count+byte-size form),
 completing list support across all three row formats beside
-parquet's and ORC's list readers — and ONE-level MAPS
+parquet's and ORC's list readers — MAPS
 ({"type": "map", "values": ...}: the same block shape with a
-length-prefixed UTF-8 key before each value). Deeper complex types
-(records-in-records, nested arrays/maps, enums, fixed) and other
-logical types raise the named scope fence.
+length-prefixed UTF-8 key before each value) — and, as of r11,
+NESTED complex types at any depth: records-in-records (decoded to
+dicts, fields by dotted path via ``record_path``), arrays of
+arrays/records, maps of maps — the recursion mirrors the parquet
+(_assemble_records) and ORC (_stripe_value) nested tiers, pinned
+against the JAVA Avro encoder (the avro-1.12 jar on Spark's own
+classpath, driven through its JsonDecoder so the independent
+library does all binary encoding). Enums, fixed, and other logical
+types still raise the named scope fence.
 
 The block layout is what makes OCF object-storage friendly — the
 same ranged-GET discipline as the media walks: a reader seeks by
@@ -217,15 +223,20 @@ def _read_value(data: bytes, i: int, typ):
     """One Avro value of primitive, union, or logical type →
     (value, next i). ``typ`` is a type-name string, a union branch
     list, or a dict spec {"type": ..., "logicalType": ...}."""
+    if isinstance(typ, dict) and typ.get("type") == "record":
+        # record-in-record (r11): fields decode in declaration order
+        # into a dict — the parquet/ORC STRUCT twin; address nested
+        # fields with record_path("a.b.c").
+        rec: dict = {}
+        for f in typ.get("fields", []):
+            rec[f["name"]], i = _read_value(data, i, f["type"])
+        return rec, i
     if isinstance(typ, dict) and typ.get("type") == "map":
         # Avro map: the array block shape with a length-prefixed
         # UTF-8 key before each value (the file-metadata map's
-        # encoding, generalized to any value type). One level deep.
+        # encoding, generalized to any value type), values at any
+        # depth via recursion (r11).
         vtyp = typ.get("values")
-        if isinstance(vtyp, dict) and vtyp.get("type") in ("map", "array"):
-            raise AvroError(
-                "map of maps/arrays — one-level maps of primitives only"
-            )
         out_map: dict = {}
         while True:
             count, i = read_long(data, i)
@@ -243,13 +254,9 @@ def _read_value(data: bytes, i: int, typ):
         # Avro array: blocks of (zigzag count, items...) until a zero
         # count; a negative count is followed by the block's byte
         # size (spec: skippable blocks) and |count| items — the same
-        # shape as the file-metadata map. One level of primitives or
-        # unions; arrays-of-arrays raise the named scope fence.
+        # shape as the file-metadata map. Items at any depth via
+        # recursion (r11): arrays of arrays/records/maps decode.
         items = typ.get("items")
-        if isinstance(items, dict) and items.get("type") == "array":
-            raise AvroError(
-                "array of arrays — one-level arrays of primitives only"
-            )
         out_arr: list = []
         while True:
             count, i = read_long(data, i)
@@ -350,13 +357,33 @@ def _decode_block_bytes(data: bytes, codec: str) -> bytes:
     return data
 
 
+def record_path(rec, path: str):
+    """Dotted-path field access over decoded (possibly nested)
+    records, with the same flattened-null convention as the parquet
+    and ORC struct paths: None when the field OR any enclosing
+    record is null; a missing field name raises the named error
+    (silent None would hide a typo)."""
+    cur = rec
+    for part in path.split("."):
+        if cur is None:
+            return None
+        if not isinstance(cur, dict):
+            raise AvroError(
+                f"path {path!r} descends into a non-record at {part!r}"
+            )
+        if part not in cur:
+            raise AvroError(f"no field {part!r} under the record")
+        cur = cur[part]
+    return cur
+
+
 def avro_block_records(
     data: bytes, codec: str, fields: list[tuple[str, object]], n: int
 ) -> list[dict]:
     """Decode one fetched block's record bytes: `fields` is the flat
-    record layout [(name, type), ...] where type is a primitive name
-    or a union list (e.g. ["null", "string"] — Avro's nullable).
-    Nested records/arrays/maps stay behind the named scope fence."""
+    record layout [(name, type), ...] where type is a primitive name,
+    a union list (e.g. ["null", "string"] — Avro's nullable), or a
+    nested record/array/map spec (r11 — decoded recursively)."""
     data = _decode_block_bytes(data, codec)
     i, out = 0, []
     for _ in range(n):

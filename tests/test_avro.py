@@ -329,18 +329,23 @@ def test_array_values_decode_all_block_forms():
     # truncated block raises, never hangs
     with pytest.raises(AvroError):
         _read_value(write_long(3) + write_long(1), 0, spec)
-    # arrays of arrays are fenced
-    with pytest.raises(AvroError, match="one-level"):
-        _read_value(
-            b"\x00", 0,
-            {"type": "array", "items": {"type": "array", "items": "long"}},
-        )
+    # arrays of arrays decode (r11 lifted the one-level fence):
+    # [[1, 2], []] — inner arrays are ordinary items
+    aa = {"type": "array", "items": {"type": "array", "items": "long"}}
+    data = (
+        write_long(2)
+        + (write_long(2) + write_long(1) + write_long(2) + write_long(0))
+        + write_long(0)  # inner []
+        + write_long(0)
+    )
+    v, i = _read_value(data, 0, aa)
+    assert v == [[1, 2], []] and i == len(data)
 
 
 def test_map_values_decode():
     """Avro maps: the array block shape with string keys — plain and
     skippable block forms, nullable union values, empties, and the
-    one-level scope fence."""
+    nested values."""
     from core_spark.functions.avro import (
         AvroError,
         _read_value,
@@ -381,8 +386,197 @@ def test_map_values_decode():
     assert v == {"x": "v", "y": None}
     with pytest.raises(AvroError):
         _read_value(write_long(2) + write_string("a"), 0, spec)
-    with pytest.raises(AvroError, match="one-level"):
-        _read_value(
-            b"\x00", 0,
-            {"type": "map", "values": {"type": "map", "values": "long"}},
+    # maps of maps decode (r11 lifted the one-level fence)
+    mm = {"type": "map", "values": {"type": "map", "values": "long"}}
+    data = (
+        write_long(1) + write_string("outer")
+        + (write_long(1) + write_string("inner") + write_long(9)
+           + write_long(0))
+        + write_long(0)
+    )
+    v, i = _read_value(data, 0, mm)
+    assert v == {"outer": {"inner": 9}} and i == len(data)
+
+
+def test_nested_records_pin_against_java_avro_writer(spark):
+    """Record-in-record, record-in-array, array-of-array and
+    map-of-record pinned against the JAVA Avro encoder (the
+    avro-1.12 jar on Spark's own classpath — a fully independent
+    implementation, driven through its JsonDecoder so the Java
+    library does all binary encoding), plus the record_path
+    dotted-path convention."""
+    import json
+    import tempfile
+
+    from core_spark.functions.avro import (
+        AvroError,
+        avro_block_records,
+        avro_blocks,
+        avro_ocf_meta,
+        record_path,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "meta", "type": ["null", {
+                "type": "record", "name": "m", "fields": [
+                    {"name": "x", "type": ["null", "long"]},
+                    {"name": "tags", "type": {
+                        "type": "array", "items": ["null", "string"]}},
+                    {"name": "geo", "type": {
+                        "type": "record", "name": "g", "fields": [
+                            {"name": "lat", "type": "double"},
+                            {"name": "lon", "type": "double"}]}},
+                ]}]},
+            {"name": "mat", "type": {
+                "type": "array",
+                "items": {"type": "array", "items": "long"}}},
+            {"name": "by_key", "type": {
+                "type": "map",
+                "values": ["null", {
+                    "type": "record", "name": "kv", "fields": [
+                        {"name": "n", "type": "long"}]}]}},
+        ],
+    }
+    rows_json = [
+        {"id": 1,
+         "meta": {"m": {"x": {"long": 7},
+                        "tags": [{"string": "a"}, None, {"string": "bb"}],
+                        "geo": {"lat": 1.5, "lon": -2.25}}},
+         "mat": [[1, 2], [], [3]],
+         "by_key": {"k1": {"kv": {"n": 9}}, "k2": None}},
+        {"id": 2, "meta": None, "mat": [], "by_key": {}},
+    ]
+    want = [
+        {"id": 1,
+         "meta": {"x": 7, "tags": ["a", None, "bb"],
+                  "geo": {"lat": 1.5, "lon": -2.25}},
+         "mat": [[1, 2], [], [3]],
+         "by_key": {"k1": {"n": 9}, "k2": None}},
+        {"id": 2, "meta": None, "mat": [], "by_key": {}},
+    ]
+
+    jvm = spark._jvm
+    jschema = jvm.org.apache.avro.Schema.Parser().parse(json.dumps(schema))
+    dw = jvm.org.apache.avro.generic.GenericDatumWriter(jschema)
+    w = jvm.org.apache.avro.file.DataFileWriter(dw)
+    path = tempfile.mkdtemp() + "/nested.avro"
+    w.create(jschema, jvm.java.io.File(path))
+    reader = jvm.org.apache.avro.generic.GenericDatumReader(jschema)
+    fac = jvm.org.apache.avro.io.DecoderFactory.get()
+    for r in rows_json:
+        w.append(reader.read(None, fac.jsonDecoder(jschema, json.dumps(r))))
+    w.close()
+
+    raw = open(path, "rb").read()
+    meta = avro_ocf_meta(raw)
+    fields = [(f["name"], f["type"]) for f in meta["schema"]["fields"]]
+    got = []
+    for b in avro_blocks(raw):
+        got.extend(
+            avro_block_records(
+                raw[b["data_off"] : b["data_off"] + b["data_len"]],
+                meta["codec"],
+                fields,
+                b["n_records"],
+            )
         )
+    assert got == want
+
+    # dotted paths flatten nulls like the parquet/ORC struct readers
+    assert record_path(got[0], "meta.geo.lat") == 1.5
+    assert record_path(got[0], "meta.x") == 7
+    assert record_path(got[1], "meta.geo.lat") is None  # null meta
+    with pytest.raises(AvroError, match="no field"):
+        record_path(got[0], "meta.nope")
+    with pytest.raises(AvroError, match="non-record"):
+        record_path(got[0], "id.x")
+
+
+def test_nested_fuzz_against_java_avro_writer(spark):
+    """Deterministic fuzz: random nested rows (nullable record,
+    ragged array-of-array, map of nullable records) through the Java
+    encoder across null and deflate codecs — every shape decodes to
+    the JSON the Java JsonDecoder consumed."""
+    import json
+    import random
+    import tempfile
+
+    from core_spark.functions.avro import (
+        avro_block_records,
+        avro_blocks,
+        avro_ocf_meta,
+    )
+
+    schema = {
+        "type": "record", "name": "r", "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "meta", "type": ["null", {
+                "type": "record", "name": "m", "fields": [
+                    {"name": "x", "type": ["null", "long"]},
+                    {"name": "tags", "type": {
+                        "type": "array", "items": ["null", "string"]}}]}]},
+            {"name": "mat", "type": {
+                "type": "array",
+                "items": {"type": "array", "items": "long"}}},
+        ],
+    }
+    rng = random.Random(0xAE0)
+    jvm = spark._jvm
+    jschema = jvm.org.apache.avro.Schema.Parser().parse(json.dumps(schema))
+    fac = jvm.org.apache.avro.io.DecoderFactory.get()
+    reader = jvm.org.apache.avro.generic.GenericDatumReader(jschema)
+    for codec in ("null", "deflate"):
+        rows_json, want = [], []
+        for k in range(60):
+            x = None if rng.random() < 0.3 else rng.randrange(-9999, 9999)
+            tags = [
+                None if rng.random() < 0.2 else f"t{rng.randrange(99)}"
+                for _ in range(rng.randrange(0, 4))
+            ]
+            meta_null = rng.random() < 0.25
+            mat = [
+                [rng.randrange(100) for _ in range(rng.randrange(0, 3))]
+                for _ in range(rng.randrange(0, 3))
+            ]
+            rows_json.append({
+                "id": k,
+                "meta": None if meta_null else {"m": {
+                    "x": None if x is None else {"long": x},
+                    "tags": [
+                        None if t is None else {"string": t} for t in tags
+                    ]}},
+                "mat": mat,
+            })
+            want.append({
+                "id": k,
+                "meta": None if meta_null else {"x": x, "tags": tags},
+                "mat": mat,
+            })
+        dw = jvm.org.apache.avro.generic.GenericDatumWriter(jschema)
+        w = jvm.org.apache.avro.file.DataFileWriter(dw)
+        if codec == "deflate":
+            w.setCodec(jvm.org.apache.avro.file.CodecFactory.deflateCodec(6))
+        path = tempfile.mkdtemp() + f"/fuzz-{codec}.avro"
+        w.create(jschema, jvm.java.io.File(path))
+        for r in rows_json:
+            w.append(
+                reader.read(None, fac.jsonDecoder(jschema, json.dumps(r)))
+            )
+        w.close()
+        raw = open(path, "rb").read()
+        meta = avro_ocf_meta(raw)
+        assert meta["codec"] == codec
+        fields = [(f["name"], f["type"]) for f in meta["schema"]["fields"]]
+        got = []
+        for b in avro_blocks(raw):
+            got.extend(
+                avro_block_records(
+                    raw[b["data_off"] : b["data_off"] + b["data_len"]],
+                    meta["codec"], fields, b["n_records"],
+                )
+            )
+        assert got == want, codec
