@@ -1216,60 +1216,66 @@ def read_parquet_map_column(
     raw: bytes, name: str, row_groups: list[int] | None = None
 ) -> list:
     """Whole-file read of one MAP column by its outer name — the
-    standard annotation's two repeated leaves (``…key_value.key``,
-    required, and ``…key_value.value``, optional) decode with their
-    shared repetition structure and zip slot-for-slot into dicts:
-    both leaves carry exactly one slot per key_value entry AND per
-    null/empty-map marker, so the key leaf's levels drive the
-    reassembly while the value leaf only contributes its payload
-    (null when its definition level stops short). Null map / empty
-    map / null value all distinguished; a null KEY is corrupt input
-    (the spec requires keys) and raises."""
+    annotation's repeated entry group (``key_value`` in the standard
+    layout; legacy writers used ``map``) holding a required ``key``
+    leaf and a ``value`` subtree. Both sides reassemble through the
+    general Dremel assembler (r11): per record the key leaf yields
+    the ordered key list and the value subtree yields the aligned
+    value list — so values may themselves be LISTS at any depth
+    (map<string, array<…>>), not just scalars. Null map / empty map
+    / null value / empty-list value all distinguished; a null KEY is
+    corrupt input (the spec requires keys) and raises. A map whose
+    value is a STRUCT (several value leaves) raises the named error
+    — address one field through read_parquet_list_column's dotted
+    path (``name.key_value.value.field``) instead."""
     footer = parse_parquet_footer(raw)
     leaves = footer.get("schema_leaves", {})
     kpath = [
         p for p in leaves
-        if p.startswith(name + ".") and p.endswith(".key")
+        if p.startswith(name + ".")
+        and p.endswith(".key")
+        and p.count(".") == name.count(".") + 2
         and leaves[p]["max_rep"] > 0
     ]
-    vpath = [
-        p for p in leaves
-        if p.startswith(name + ".") and p.endswith(".value")
-        and leaves[p]["max_rep"] > 0
-    ]
-    if len(kpath) != 1 or len(vpath) != 1:
+    if len(kpath) != 1:
         raise ParquetError(f"no map column under {name!r}")
+    vprefix = kpath[0][: -len(".key")] + ".value"
+    vpath = [
+        p for p in leaves if p == vprefix or p.startswith(vprefix + ".")
+    ]
+    if not vpath:
+        raise ParquetError(f"no map column under {name!r}")
+    if len(vpath) > 1:
+        raise ParquetError(
+            f"map {name!r} values are structs — address one field: "
+            f"{sorted(vpath)}"
+        )
     kl, vl = leaves[kpath[0]], leaves[vpath[0]]
     if kl["max_rep"] > 1:
         raise ParquetError(
             f"column {name!r} is nested inside another repeated "
-            "group — one-level maps only"
+            "group — address the inner map by its full path"
         )
     ks, kd, kr = _leaf_levels(raw, footer, kpath[0], kl, row_groups)
-    vs, vd, _vr = _leaf_levels(raw, footer, vpath[0], vl, row_groups)
-    if len(ks) != len(vs):
-        raise ParquetError("map key/value slot counts disagree")
-    kconv = _leaf_converter(kl, kpath[0])
-    vconv = _leaf_converter(vl, vpath[0])
-    d_rep, kmax, vmax = kl["d_rep"], kl["max_def"], vl["max_def"]
+    vs, vd, vr = _leaf_levels(raw, footer, vpath[0], vl, row_groups)
+    keys_per_rec = _assemble_records(
+        ks, kd, kr, kl["levels"], _leaf_converter(kl, kpath[0])
+    )
+    vals_per_rec = _assemble_records(
+        vs, vd, vr, vl["levels"], _leaf_converter(vl, vpath[0])
+    )
+    if len(keys_per_rec) != len(vals_per_rec):
+        raise ParquetError("map key/value record counts disagree")
     out: list = []
-    for idx, (v, d, rp) in enumerate(zip(ks, kd, kr)):
-        if rp == 0:
-            if d < d_rep - 1:
-                out.append(None)  # null map
-                continue
-            out.append({})
-            if d == d_rep - 1:
-                continue  # empty map: the slot carries no entry
-        elif not out or out[-1] is None:
-            raise ParquetError(
-                "repetition level continues a record that never started"
-            )
-        if d != kmax:
+    for krec, vrec in zip(keys_per_rec, vals_per_rec):
+        if krec is None:
+            out.append(None)
+            continue
+        if any(k is None for k in krec):
             raise ParquetError("map key is null — corrupt input")
-        out[-1][kconv(v)] = (
-            vconv(vs[idx]) if vd[idx] == vmax else None
-        )
+        if vrec is None or len(krec) != len(vrec):
+            raise ParquetError("map key/value entry counts disagree")
+        out.append(dict(zip(krec, vrec)))
     return out
 
 

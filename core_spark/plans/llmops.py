@@ -5831,6 +5831,126 @@ def q_nested_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_ts_values",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             3 + CAST('0x' || substr(md5(text), 1, 1) AS BIGINT) % 3
+               AS nr,
+             CAST('0x' || substr(md5(text), 2, 1) AS BIGINT) AS d1
+      FROM documents
+    ),
+    r AS (SELECT *, unnest(range(nr)) AS i FROM p),
+    c AS (
+      SELECT doc_id, i, (i + d1) % 4 = 0 AS nul,
+             (CAST('0x' || substr(md5(text || '-' || i), 1, 8) AS BIGINT)
+              % 4000000000 - 2000000000) * 1000000
+             + CAST('0x' || substr(md5(text || '-' || i), 9, 5) AS BIGINT)
+               % 1000000 AS us
+      FROM r JOIN documents USING (doc_id)
+    )
+    SELECT doc_id, CAST(i AS BIGINT) AS row_idx, nul AS is_null,
+           CASE WHEN nul THEN NULL ELSE us END AS epoch_us
+    FROM c ORDER BY doc_id, row_idx
+    """,
+)
+def q_ts_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP value decode, both formats, cross-asserted (r11 —
+    the round that decided the ORC timestamp fence): each document
+    becomes a REAL pyarrow-written ORC file (base-2015 seconds in
+    the stripe's writerTimezone + trailing-zero-packed SIGNED nanos,
+    the C++ writer's pre-1970 convention) AND a parquet file written
+    with use_deprecated_int96_timestamps (Julian day + signed
+    nanos-of-day — the legacy layout old Hive/Spark lakes still
+    carry). Timestamps span ±63 years around the epoch by md5
+    arithmetic (pre-1970 negative-nanos shapes included), with nulls
+    planted every fourth slot. The kernel decodes BOTH files with
+    the from-spec walkers, ASSERTS the two decoders agree
+    nanosecond-exactly, and emits epoch microseconds; the DuckDB
+    oracle recomputes them from the same md5 arithmetic — a wrong
+    base epoch, timezone anchor, nano sign, or Julian-day constant
+    in EITHER decoder fails the hash.
+
+    Scale shape: map-side Arrow kernel, zero shuffles before the
+    presentation sort (the q_bits_* discipline)."""
+    from core_spark.functions.orcfile import read_orc_column
+    from core_spark.functions.parquetfile import read_parquet_column
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+
+    def walk(batches):
+        import hashlib
+        import io
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyarrow import orc as pa_orc
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = hashlib.md5(text.encode("utf-8")).hexdigest()
+                nr = 3 + int(d[0], 16) % 3
+                d1 = int(d[1], 16)
+                vals = []
+                for i in range(nr):
+                    if (i + d1) % 4 == 0:
+                        vals.append(None)
+                        continue
+                    di = hashlib.md5(
+                        f"{text}-{i}".encode("utf-8")
+                    ).hexdigest()
+                    sec = int(di[0:8], 16) % 4_000_000_000 - 2_000_000_000
+                    us = int(di[8:13], 16) % 1_000_000
+                    vals.append(sec * 1_000_000 + us)
+                arr = pa.array(vals, type=pa.timestamp("us"))
+                obuf = io.BytesIO()
+                pa_orc.write_table(
+                    pa.table({"ts": arr}),
+                    obuf,
+                    compression=("UNCOMPRESSED", "ZSTD")[int(d[2], 16) % 2],
+                )
+                pbuf = io.BytesIO()
+                pq.write_table(
+                    pa.table({"ts": arr}),
+                    pbuf,
+                    use_deprecated_int96_timestamps=True,
+                    compression=("NONE", "ZSTD")[int(d[3], 16) % 2],
+                )
+                ons = read_orc_column(obuf.getvalue(), "ts")
+                pns = read_parquet_column(pbuf.getvalue(), "ts")
+                assert ons == pns and len(ons) == nr  # decoder parity
+                for i, n in enumerate(ons):
+                    want = vals[i]
+                    assert n is None if want is None else n == want * 1000
+                    rows.append(
+                        (
+                            int(doc_id),
+                            i,
+                            n is None,
+                            None if n is None else n // 1000,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "row_idx", "is_null", "epoch_us"],
+            )
+
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(
+            walk,
+            schema=(
+                "doc_id long, row_idx long, is_null boolean,"
+                " epoch_us long"
+            ),
+        )
+        .orderBy("doc_id", "row_idx")
+    )
+
+
+@query(
     "q_audit_skew",
     oracle="""
     WITH c1 AS (

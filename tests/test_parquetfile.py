@@ -1017,3 +1017,55 @@ def test_nested_list_fuzz_against_pyarrow():
         )
         got = read_parquet_list_column(buf.getvalue(), "v")
         assert got == data, f"trial {trial}"
+
+
+def test_map_with_nested_list_values():
+    """map<string, list<long>> (r11): map values reassemble through
+    the general Dremel assembler — null map / empty map / null value
+    / empty-list value / null element all distinguished, both page
+    formats; struct values raise the named error pointing at the
+    dotted-path reader."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from core_spark.functions.parquetfile import (
+        ParquetError,
+        read_parquet_list_column,
+        read_parquet_map_column,
+    )
+
+    md = [
+        [("a", [1, None]), ("b", [])],
+        None,
+        [],
+        [("c", None), ("d", [2, 3])],
+    ]
+    t = pa.table(
+        {"m": pa.array(md, type=pa.map_(pa.string(), pa.list_(pa.int64())))}
+    )
+    want = [None if r is None else dict(r) for r in md]
+    for v2 in (True, False):
+        buf = io.BytesIO()
+        pq.write_table(t, buf, data_page_version="2.0" if v2 else "1.0")
+        assert read_parquet_map_column(buf.getvalue(), "m") == want
+
+    # struct values: named error, and the dotted-path reader serves
+    # individual fields
+    sv = [
+        [("k1", {"x": 1, "y": "u"})],
+        None,
+        [("k2", None), ("k3", {"x": None, "y": "w"})],
+    ]
+    typ = pa.map_(
+        pa.string(), pa.struct([("x", pa.int64()), ("y", pa.string())])
+    )
+    t2 = pa.table({"ms": pa.array(sv, type=typ)})
+    buf = io.BytesIO()
+    pq.write_table(t2, buf)
+    with _pytest.raises(ParquetError, match="structs"):
+        read_parquet_map_column(buf.getvalue(), "ms")
+    xs = read_parquet_list_column(buf.getvalue(), "ms.key_value.value.x")
+    assert xs == [[1], None, [None, None]]

@@ -81,6 +81,7 @@ _REPO = Path(__file__).resolve().parent.parent
 # additions sort after the new cutoff (q_bits_zstd) for r12 rotation.
 PYTEST_ONLY: set[str] = {
     "q_nested_values",
+    "q_ts_values",
 }
 
 
