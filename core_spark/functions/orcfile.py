@@ -915,16 +915,10 @@ def _root_col_id(tail: dict, name: str) -> int:
     return col_id
 
 
-def read_orc_column(raw: bytes, name: str) -> list:
-    """Whole-file read of one column by name with no ORC library, in
-    row order, None for nulls. Strings decode as UTF-8; binary stays
-    bytes. A dotted name (e.g. ``meta.lang``) addresses a field
-    inside non-repeated STRUCTs: ORC child columns carry one slot
-    per PRESENT parent row, so the read walks each struct level's
-    PRESENT stream inward and expands the leaf's values back out —
-    None whether the field or any enclosing struct is null (the
-    flattened view, matching the parquet reader's dotted paths)."""
-    tail = parse_orc_tail(raw)
+def _path_chain(tail: dict, name: str) -> list[int]:
+    """Type-id chain for a dotted name: root field, then one id per
+    struct level traversed (dotted paths traverse structs only — a
+    list/map mid-chain has no per-field columns to walk into)."""
     parts = name.split(".")
     chain = [_root_col_id(tail, parts[0])]
     for part in parts[1:]:
@@ -941,22 +935,18 @@ def read_orc_column(raw: bytes, name: str) -> list:
         if idx >= len(subs):
             raise OrcError("struct subtypes shorter than its fields")
         chain.append(subs[idx])
-    col_id = chain[-1]
-    kind = tail["types"][col_id]["kind"]
-    if kind == "list":
-        raise OrcError(
-            f"column {name!r} is a list — use read_orc_list_column"
-        )
-    if kind == "map":
-        raise OrcError(
-            f"column {name!r} is a map — use read_orc_map_column"
-        )
-    if kind == "struct":
-        raise OrcError(
-            f"column {name!r} is a struct — address one of its "
-            f"fields: {tail['types'][col_id]['field_names']}"
-        )
+    return chain
+
+
+def _read_path_values(raw: bytes, tail: dict, chain: list[int]) -> list:
+    """Whole-file values of the chain's terminal node (ANY supported
+    kind, via _stripe_value): ORC child columns carry one slot per
+    PRESENT parent row, so the read walks each struct ancestor's
+    PRESENT stream inward and expands the terminal's values back out
+    — None whether the node or any enclosing struct is null (the
+    flattened view, matching the parquet reader's dotted paths)."""
     comp = tail["compression"]
+    col_id = chain[-1]
     out: list = []
     for stripe in tail["stripes"]:
         if "n_rows" not in stripe:
@@ -972,10 +962,7 @@ def read_orc_column(raw: bytes, name: str) -> list:
                 present = _bool_stream(streams[_STREAM_PRESENT], cur_n)
                 cur_n = sum(present)
             masks.append(present)
-        vals = _stripe_primitive(
-            raw, stripe, col_id, kind, comp, cur_n,
-            type_scale=tail["types"][col_id].get("scale"),
-        )
+        vals = _stripe_value(raw, stripe, col_id, comp, cur_n, tail)
         for present in reversed(masks):
             if present is None:
                 continue
@@ -983,6 +970,31 @@ def read_orc_column(raw: bytes, name: str) -> list:
             vals = [next(it) if p else None for p in present]
         out.extend(vals)
     return out
+
+
+def read_orc_column(raw: bytes, name: str) -> list:
+    """Whole-file read of one column by name with no ORC library, in
+    row order, None for nulls. Strings decode as UTF-8; binary stays
+    bytes. A dotted name (e.g. ``meta.lang``) addresses a field
+    inside non-repeated STRUCTs (flattened nulls — see
+    _read_path_values)."""
+    tail = parse_orc_tail(raw)
+    chain = _path_chain(tail, name)
+    kind = tail["types"][chain[-1]]["kind"]
+    if kind == "list":
+        raise OrcError(
+            f"column {name!r} is a list — use read_orc_list_column"
+        )
+    if kind == "map":
+        raise OrcError(
+            f"column {name!r} is a map — use read_orc_map_column"
+        )
+    if kind == "struct":
+        raise OrcError(
+            f"column {name!r} is a struct — address one of its "
+            f"fields: {tail['types'][chain[-1]]['field_names']}"
+        )
+    return _read_path_values(raw, tail, chain)
 
 
 def _stripe_lengths(
@@ -1100,20 +1112,14 @@ def read_orc_map_column(raw: bytes, name: str) -> list:
     stripe by the summed lengths. Values may be null via the value
     child's own PRESENT stream; a null KEY is corrupt input and
     raises. Children recurse through _stripe_value, so nested
-    list/struct/map values decode too (r11)."""
+    list/struct/map values decode too (r11), and a dotted name
+    addresses a map under non-repeated STRUCTs with the
+    flattened-null convention."""
     tail = parse_orc_tail(raw)
-    col_id = _root_col_id(tail, name)
-    if tail["types"][col_id]["kind"] != "map":
+    chain = _path_chain(tail, name)
+    if tail["types"][chain[-1]]["kind"] != "map":
         raise OrcError(f"column {name!r} is not a map")
-    comp = tail["compression"]
-    out: list = []
-    for stripe in tail["stripes"]:
-        if "n_rows" not in stripe:
-            raise OrcError("stripe lacks a row count")
-        out.extend(
-            _stripe_value(raw, stripe, col_id, comp, stripe["n_rows"], tail)
-        )
-    return out
+    return _read_path_values(raw, tail, chain)
 
 
 def read_orc_list_column(raw: bytes, name: str) -> list:
@@ -1127,17 +1133,11 @@ def read_orc_list_column(raw: bytes, name: str) -> list:
     (null elements). Per stripe, child slot count = the summed
     lengths, which is what aligns the element column's streams.
     Elements recurse through _stripe_value (r11): list-of-list,
-    list-of-struct (dicts) and list-of-map all reassemble."""
+    list-of-struct (dicts) and list-of-map all reassemble. A dotted
+    name addresses a list under non-repeated STRUCTs (``meta.tags``)
+    with the flattened-null convention."""
     tail = parse_orc_tail(raw)
-    col_id = _root_col_id(tail, name)
-    if tail["types"][col_id]["kind"] != "list":
+    chain = _path_chain(tail, name)
+    if tail["types"][chain[-1]]["kind"] != "list":
         raise OrcError(f"column {name!r} is not a list")
-    comp = tail["compression"]
-    out: list = []
-    for stripe in tail["stripes"]:
-        if "n_rows" not in stripe:
-            raise OrcError("stripe lacks a row count")
-        out.extend(
-            _stripe_value(raw, stripe, col_id, comp, stripe["n_rows"], tail)
-        )
-    return out
+    return _read_path_values(raw, tail, chain)

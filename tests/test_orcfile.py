@@ -923,3 +923,39 @@ def test_timestamp_writer_timezone_wall_clock(monkeypatch):
     )
     with pytest.raises(OrcError, match="Not/AZone"):
         of.read_orc_column(buf.getvalue(), "ts")
+
+
+def test_list_and_map_under_structs_by_dotted_path():
+    """r11: read_orc_list_column / read_orc_map_column accept dotted
+    paths through non-repeated structs (meta.tags), flattened-null
+    convention — the parquet dotted-path parity."""
+    import pyarrow as pa
+
+    from core_spark.functions.orcfile import (
+        read_orc_list_column,
+        read_orc_map_column,
+    )
+
+    rows = [
+        {"tags": ["a", None], "m": [("k", 1)]},
+        None,
+        {"tags": None, "m": None},
+        {"tags": [], "m": []},
+        {"tags": ["b"], "m": [("x", None), ("y", 2)]},
+    ]
+    typ = pa.struct([
+        ("tags", pa.list_(pa.string())),
+        ("m", pa.map_(pa.string(), pa.int64())),
+    ])
+    t = pa.table({"meta": pa.array(rows, type=typ)})
+    buf = io.BytesIO()
+    orc.write_table(t, buf)
+    raw = buf.getvalue()
+    assert read_orc_list_column(raw, "meta.tags") == [
+        ["a", None], None, None, [], ["b"]
+    ]
+    assert read_orc_map_column(raw, "meta.m") == [
+        {"k": 1}, None, None, {}, {"x": None, "y": 2}
+    ]
+    with pytest.raises(OrcError, match="not a list"):
+        read_orc_list_column(raw, "meta.m")
