@@ -62,7 +62,16 @@ reassembly distinguishes null list/map, empty list/map and null
 element/value at every depth — and legacy INT96 timestamps
 (Julian day + signed nanoseconds-of-day → epoch nanos as int, the
 precision python datetime cannot carry). Flat STRUCT fields
-read by dotted path (flattened nulls).
+read by dotted path (flattened nulls). Split-block BLOOM filters
+(parquet-format BloomFilter.md — r11): per-chunk SBBF headers +
+bitsets parse and probe with the from-spec XXH64
+(functions/xxhash.py, seed 0 over the plain encoding), giving
+row-group point-lookup verdicts below the journal manifest's
+fragment blooms; unknown algorithm/hash/compression branches refuse
+loudly, and chunks without a bloom verdict None (the dictionary
+already answers membership there). Pinned against Spark/parquet-mr
+files (parquet.bloom.filter.enabled#col) — present values always
+True, absent overwhelmingly False, per-row-group granularity.
 
 Reference parity: gazette fragments are opaque files in object
 storage (fragment index in the broker); planning reads like this
@@ -280,6 +289,10 @@ def _parse_column_meta(r: _Reader, depth: int) -> dict:
             out["dictionary_page_offset"] = r.zigzag()
         elif fid == 12 and wt == _STRUCT:
             out["stats"] = _parse_statistics(r, depth + 1)
+        elif fid == 14 and wt in _INT_TYPES:
+            out["bloom_filter_offset"] = r.zigzag()
+        elif fid == 15 and wt in _INT_TYPES:
+            out["bloom_filter_length"] = r.zigzag()
         else:
             r.skip(wt, depth)
     return out
@@ -1477,3 +1490,152 @@ def read_parquet_column(
                 f"STRING column {path!r} carries invalid UTF-8: {e}"
             ) from None
     return out
+
+
+# ------------------------------------------------- split-block blooms
+# parquet-format BloomFilter.md: per-column-chunk split-block bloom
+# filters (SBBF) for point-lookup skipping where dictionaries don't
+# cover and min/max can't help. numBytes bytes of 32-byte blocks
+# (8 u32 words); insert/probe hashes the value's PLAIN encoding
+# (BYTE_ARRAY without its length prefix) with XXH64 seed 0, picks
+# block ((h >> 32) * nblocks) >> 32, and sets/tests one bit per word
+# at (lo32 * SALT[i]) >> 27. Spark/parquet-mr writes these behind
+# parquet.bloom.filter.enabled#col — the independent encoder the
+# tests pin against.
+
+_SBBF_SALT = (
+    0x47B6137B, 0x44974D91, 0x8824AD5B, 0xA2B7289D,
+    0x705495C7, 0x2DF1424B, 0x9EFC4947, 0x5C6BFB31,
+)
+
+
+def _parse_bloom_header(r: _Reader) -> dict:
+    """BloomFilterHeader (thrift compact): {1: numBytes i32,
+    2: algorithm union, 3: hash union, 4: compression union} — the
+    unions carry one empty-struct branch each; the BRANCH ID is the
+    contract (BLOCK=1, XXHASH=1, UNCOMPRESSED=1), anything else is
+    a future algorithm this prober must refuse, not mis-probe."""
+    out = {"num_bytes": None, "algorithm": None, "hash": None,
+           "compression": None}
+    names = {2: "algorithm", 3: "hash", 4: "compression"}
+    for fid, wt in r.fields(0):
+        if fid == 1 and wt in _INT_TYPES:
+            out["num_bytes"] = r.zigzag()
+        elif fid in names and wt == _STRUCT:
+            branch = None
+            for f2, w2 in r.fields(1):
+                if branch is None:
+                    branch = f2
+                r.skip(w2, 1)
+            out[names[fid]] = branch
+        else:
+            r.skip(wt, 0)
+    if out["num_bytes"] is None or out["num_bytes"] <= 0:
+        raise ParquetError("bloom header lacks a positive numBytes")
+    if out["num_bytes"] % 32:
+        raise ParquetError("bloom bitset is not 32-byte blocked")
+    for k in ("algorithm", "hash", "compression"):
+        if out[k] != 1:  # BLOCK / XXHASH / UNCOMPRESSED
+            raise ParquetError(
+                f"bloom {k} branch {out[k]} is not the SBBF/XXH64/"
+                "UNCOMPRESSED contract — refusing to probe"
+            )
+    return out
+
+
+def _bloom_plain_bytes(value, ptype: int) -> bytes:
+    """The hash input: the value's PLAIN encoding, BYTE_ARRAY minus
+    its length prefix (BloomFilter.md 'hash the plain encoding')."""
+    if ptype == _PT_INT32:
+        return struct.pack("<i", value)
+    if ptype == _PT_INT64:
+        return struct.pack("<q", value)
+    if ptype == _PT_FLOAT:
+        return struct.pack("<f", value)
+    if ptype == _PT_DOUBLE:
+        return struct.pack("<d", value)
+    if ptype in (_PT_BYTE_ARRAY, _PT_FIXED):
+        return value.encode("utf-8") if isinstance(value, str) else value
+    raise ParquetError(
+        f"physical type {ptype} has no bloom plain encoding "
+        "(booleans and INT96 never carry blooms)"
+    )
+
+
+def read_parquet_bloom(
+    raw: bytes, path: str, row_groups: list[int] | None = None
+) -> list[dict | None]:
+    """Per-row-group bloom filter of one column: {num_bytes, bitset}
+    or None where the writer emitted none (e.g. a fully
+    dictionary-encoded chunk — the dictionary already answers
+    membership exactly)."""
+    footer = parse_parquet_footer(raw)
+    rgs = footer["row_groups"]
+    if row_groups is not None:
+        rgs = [rgs[k] for k in row_groups]
+    out: list[dict | None] = []
+    for rg in rgs:
+        col = next(
+            (c for c in rg["columns"] if c.get("path") == path), None
+        )
+        if col is None:
+            raise ParquetError(f"row group lacks column {path!r}")
+        off = col.get("bloom_filter_offset")
+        if off is None:
+            out.append(None)
+            continue
+        if not 0 <= off < len(raw):
+            raise ParquetError("bloom offset escapes the file")
+        r = _Reader(raw, off)
+        hdr = _parse_bloom_header(r)
+        bitset = raw[r.i : r.i + hdr["num_bytes"]]
+        if len(bitset) != hdr["num_bytes"]:
+            raise ParquetError("bloom bitset escapes the file")
+        blen = col.get("bloom_filter_length")
+        if blen is not None and (r.i - off) + hdr["num_bytes"] > blen:
+            raise ParquetError("bloom bitset escapes its declared length")
+        out.append({"num_bytes": hdr["num_bytes"], "bitset": bitset})
+    return out
+
+
+def _sbbf_may_contain(bloom: dict, data: bytes) -> bool:
+    from core_spark.functions.xxhash import xxh64
+
+    h = xxh64(data, 0)
+    nblocks = bloom["num_bytes"] // 32
+    block = ((h >> 32) * nblocks) >> 32
+    base = block * 32
+    lo = h & 0xFFFFFFFF
+    bitset = bloom["bitset"]
+    for i in range(8):
+        bit = ((lo * _SBBF_SALT[i]) & 0xFFFFFFFF) >> 27
+        (word,) = struct.unpack_from("<I", bitset, base + 4 * i)
+        if not (word >> bit) & 1:
+            return False
+    return True
+
+
+def parquet_bloom_may_contain(
+    raw: bytes, path: str, value, row_groups: list[int] | None = None
+) -> list[bool | None]:
+    """Per-row-group point-lookup verdict for ``value`` in column
+    ``path``: False ONLY when the chunk provably holds no equal row;
+    None where no bloom was written (no verdict — fall back to
+    stats/dictionary). The sub-fragment sibling of the journal
+    manifest's fragment blooms (sources/journal.py): a selective
+    point lookup prunes row groups here after fragment pruning
+    there, and both verdicts are conservative by construction."""
+    footer = parse_parquet_footer(raw)
+    leaf = footer.get("schema_leaves", {}).get(path)
+    ptype = (
+        leaf["ptype"]
+        if leaf is not None
+        else footer.get("schema_types", {}).get(path)
+    )
+    if ptype is None:
+        raise ParquetError(f"no column named {path!r}")
+    data = _bloom_plain_bytes(value, ptype)
+    return [
+        None if b is None else _sbbf_may_contain(b, data)
+        for b in read_parquet_bloom(raw, path, row_groups)
+    ]

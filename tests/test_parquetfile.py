@@ -1069,3 +1069,121 @@ def test_map_with_nested_list_values():
         read_parquet_map_column(buf.getvalue(), "ms")
     xs = read_parquet_list_column(buf.getvalue(), "ms.key_value.value.x")
     assert xs == [[1], None, [None, None]]
+
+
+# ---------------------------------------------- split-block blooms
+def test_sbbf_bloom_probe_pins_against_spark_writer(spark, tmp_path):
+    """Split-block bloom filters (parquet-format BloomFilter.md)
+    written by Spark/parquet-mr — the independent encoder — probed
+    by the from-spec XXH64+SBBF reader: every PRESENT value must
+    verdict True in its row group (soundness), absent values are
+    overwhelmingly False (the point of the filter), per-row-group
+    granularity holds, and dictionary-covered columns carry no bloom
+    (None — no verdict, never a guess)."""
+    import glob
+
+    from core_spark.functions.parquetfile import (
+        parquet_bloom_may_contain,
+        read_parquet_bloom,
+    )
+
+    out = str(tmp_path / "blooms")
+    (
+        spark.range(0, 6000)
+        .selectExpr(
+            "id",
+            "CAST(id AS INT) AS i32",
+            "CAST(id AS DOUBLE) * 0.5 AS d",
+            # high-cardinality strings: the dictionary page overflows,
+            # so parquet-mr falls back and KEEPS the bloom
+            "concat('user-', CAST(id * 2654435761 % 1000000007 AS STRING)) AS name",
+        )
+        .coalesce(1)
+        .sortWithinPartitions("id")
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#id", "true")
+        .option("parquet.bloom.filter.enabled#i32", "true")
+        .option("parquet.bloom.filter.enabled#d", "true")
+        .option("parquet.bloom.filter.enabled#name", "true")
+        .option("parquet.bloom.filter.expected.ndv#id", "6000")
+        .option("parquet.bloom.filter.expected.ndv#name", "6000")
+        .option("parquet.dictionary.page.size", "1024")
+        .option("parquet.block.size", "65536")  # multiple row groups
+        .parquet(out)
+    )
+    (path,) = glob.glob(out + "/*.parquet")
+    raw = open(path, "rb").read()
+
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    n_rg = md.num_row_groups
+    blooms = read_parquet_bloom(raw, "id")
+    assert len(blooms) == n_rg and all(b is not None for b in blooms)
+
+    # soundness: every present value verdicts True in its row group
+    starts = []
+    acc = 0
+    for g in range(n_rg):
+        starts.append(acc)
+        acc += md.row_group(g).num_rows
+    for v in (0, 1, 2999, 5999, 4096):
+        rg = max(g for g, s in enumerate(starts) if s <= v)
+        assert parquet_bloom_may_contain(raw, "id", v)[rg] is True
+        assert (
+            parquet_bloom_may_contain(raw, "i32", v)[rg] is True
+        )
+        assert (
+            parquet_bloom_may_contain(raw, "d", v * 0.5)[rg] is True
+        )
+        name = f"user-{v * 2654435761 % 1000000007}"
+        got = parquet_bloom_may_contain(raw, "name", name)[rg]
+        assert got is True or got is None  # None = dict-covered chunk
+
+    # absent values: overwhelmingly False (SBBF fpp at this fill is
+    # well under 1%; 200 probes catching >= 195 is a loose bound)
+    absent = [
+        parquet_bloom_may_contain(raw, "id", v)
+        for v in range(100000, 100200)
+    ]
+    n_false = sum(
+        1 for verdicts in absent if all(x is False for x in verdicts)
+    )
+    assert n_false >= 195, n_false
+
+    # a value present ONLY in one row group must be False elsewhere
+    if n_rg > 1:
+        v0 = parquet_bloom_may_contain(raw, "id", 0)
+        assert v0[0] is True and v0[-1] is False
+
+
+def test_sbbf_refuses_unknown_branches_and_bad_bitsets(spark, tmp_path):
+    """Future algorithm/hash/compression branches and out-of-range
+    bitsets raise the named error — the prober never guesses."""
+    import glob
+
+    from core_spark.functions.parquetfile import (
+        ParquetError,
+        parse_parquet_footer,
+        read_parquet_bloom,
+    )
+
+    out = str(tmp_path / "b2")
+    (
+        spark.range(0, 500)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#id", "true")
+        .parquet(out)
+    )
+    (path,) = glob.glob(out + "/*.parquet")
+    raw = bytearray(open(path, "rb").read())
+    f = parse_parquet_footer(bytes(raw))
+    off = f["row_groups"][0]["columns"][0]["bloom_filter_offset"]
+    assert read_parquet_bloom(bytes(raw), "id")[0] is not None
+    # flip the numBytes varint to a non-32-multiple: named error
+    evil = bytearray(raw)
+    # header starts at off: field 1 header byte then zigzag numBytes
+    evil[off + 1] ^= 0x02
+    with pytest.raises(ParquetError):
+        read_parquet_bloom(bytes(evil), "id")
