@@ -1141,3 +1141,185 @@ def read_orc_list_column(raw: bytes, name: str) -> list:
     if tail["types"][chain[-1]]["kind"] != "list":
         raise OrcError(f"column {name!r} is not a list")
     return _read_path_values(raw, tail, chain)
+
+
+# ------------------------------------------------- bloom filter streams
+# BLOOM_FILTER_UTF8 (stream kind 8, orc_proto BloomFilterIndex):
+# per row group (rowIndexStride rows), a classic k-hash Bloom filter
+# whose bitset rides the stripe INDEX region next to the ROW_INDEX
+# entries — the point-lookup companion to orc_row_index's min/max
+# pruning, two levels below the file. Hashing is the Java
+# implementation's contract (verified against the orc-core jar's
+# bytecode AND Spark-written files): strings/binary hash their bytes
+# with Murmur3 x64 hash64 at seed 104729; integers go through the
+# Thomas-Wang-style 64-bit mix with Java's SIGNED >> (so 0 hashes to
+# 0 — the arithmetic-shift detail an unsigned port gets wrong for
+# key 0 and negatives); doubles via doubleToLongBits then the long
+# path; probe i in 1..k sets position |int32(hash1 + i*hash2)| mod
+# numBits with Java int overflow + ~negation semantics. The
+# deprecated pre-ORC-101 BLOOM_FILTER (kind 7) hashed java
+# String.hashCode-adjacent forms and is refused by name.
+
+_STREAM_BLOOM_UTF8 = 8
+_ORC_MURMUR_SEED = 104729
+_MM_C1, _MM_C2 = 0x87C37B91114253D5, 0x4CF5AD432745937F
+_U64 = (1 << 64) - 1
+
+
+def _mm_rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _U64
+
+
+def _mm_fmix64(h: int) -> int:
+    h ^= h >> 33
+    h = (h * 0xFF51AFD7ED558CCD) & _U64
+    h ^= h >> 33
+    h = (h * 0xC4CEB9FE1A85EC53) & _U64
+    h ^= h >> 33
+    return h
+
+
+def orc_murmur3_hash64(data: bytes, seed: int = _ORC_MURMUR_SEED) -> int:
+    """org.apache.orc.util.Murmur3.hash64: the 64-bit lane of
+    murmur3 x64 over 8-byte blocks, default seed 104729."""
+    h = seed
+    nblocks = len(data) >> 3
+    for i in range(nblocks):
+        (k,) = struct.unpack_from("<Q", data, i * 8)
+        k = (k * _MM_C1) & _U64
+        k = _mm_rotl(k, 31)
+        k = (k * _MM_C2) & _U64
+        h ^= k
+        h = (_mm_rotl(h, 27) * 5 + 0x52DCE729) & _U64
+    t = nblocks * 8
+    rem = len(data) & 7
+    if rem:
+        k1 = 0
+        for j in range(rem - 1, -1, -1):
+            k1 ^= data[t + j] << (8 * j)
+        k1 = (k1 * _MM_C1) & _U64
+        k1 = _mm_rotl(k1, 31)
+        k1 = (k1 * _MM_C2) & _U64
+        h ^= k1
+    h ^= len(data)
+    return _mm_fmix64(h)
+
+
+def _s64(x: int) -> int:
+    x &= _U64
+    return x - (1 << 64) if x >= 1 << 63 else x
+
+
+def orc_long_hash(key: int) -> int:
+    """BloomFilter.getLongHash — Java SIGNED shifts throughout
+    (python ints are arithmetic-shift too, so signed-narrowing after
+    each op reproduces the JVM exactly; 0 maps to 0)."""
+    key = _s64((key ^ -1) + (key << 21))
+    key = _s64(key ^ (key >> 24))
+    key = _s64(key + (key << 3) + (key << 8))
+    key = _s64(key ^ (key >> 14))
+    key = _s64(key + (key << 2) + (key << 4))
+    key = _s64(key ^ (key >> 28))
+    key = _s64(key + (key << 31))
+    return key & _U64
+
+
+def orc_bloom_filters(raw: bytes, name: str) -> list[list[dict]]:
+    """Per stripe, per row group: {k, bits} from the column's
+    BLOOM_FILTER_UTF8 stream, [] for a stripe without one. A
+    deprecated kind-7 BLOOM_FILTER stream raises the named error
+    (pre-ORC-101 string hashing — a wrong probe, not a fence to
+    skip)."""
+    tail = parse_orc_tail(raw)
+    chain = _path_chain(tail, name)
+    col_id = chain[-1]
+    comp = tail["compression"]
+    out: list[list[dict]] = []
+    for si, stripe in enumerate(tail["stripes"]):
+        foot_start = (
+            stripe["offset"] + stripe["index_len"] + stripe["data_len"]
+        )
+        sf_raw = raw[foot_start : foot_start + stripe["footer_len"]]
+        if len(sf_raw) != stripe["footer_len"]:
+            raise OrcError("stripe footer escapes the file")
+        streams, _encs = _parse_stripe_footer(_deframe(sf_raw, comp))
+        pos = stripe["offset"]
+        blob = None
+        for s in streams:
+            if s["column"] == col_id and s["kind"] == 7:
+                raise OrcError(
+                    f"column {name!r} carries the deprecated "
+                    "BLOOM_FILTER stream (pre-ORC-101 hashing) — "
+                    "rewrite with a current writer for UTF8 blooms"
+                )
+            if s["kind"] == _STREAM_BLOOM_UTF8 and s["column"] == col_id:
+                b = raw[pos : pos + s["length"]]
+                if len(b) != s["length"]:
+                    raise OrcError("bloom stream escapes the file")
+                blob = _deframe(b, comp)
+            pos += s["length"]
+        per_rg: list[dict] = []
+        if blob is not None:
+            for fid, wt, v in _fields(blob):
+                if fid != 1 or wt != 2:
+                    continue
+                bf = {"k": None, "bits": None}
+                for f2, w2, v2 in _fields(v):
+                    if f2 == 1 and w2 == 0:
+                        bf["k"] = v2
+                    elif f2 == 3 and w2 == 2:
+                        bf["bits"] = v2
+                if not bf["k"] or not bf["bits"]:
+                    raise OrcError(
+                        "bloom filter lacks numHashFunctions or its "
+                        "utf8bitset"
+                    )
+                per_rg.append(bf)
+        out.append(per_rg)
+    return out
+
+
+def _orc_bloom_test(bf: dict, h64: int) -> bool:
+    bits = bf["bits"]
+    nbits = len(bits) * 8
+    hash1 = h64 & 0xFFFFFFFF
+    if hash1 >= 1 << 31:
+        hash1 -= 1 << 32
+    hash2 = (h64 >> 32) & 0xFFFFFFFF
+    if hash2 >= 1 << 31:
+        hash2 -= 1 << 32
+    for i in range(1, bf["k"] + 1):
+        c = (hash1 + i * hash2) & 0xFFFFFFFF
+        if c >= 1 << 31:
+            c -= 1 << 32
+        if c < 0:
+            c = ~c
+        p = c % nbits
+        if not (bits[p >> 3] >> (p & 7)) & 1:
+            return False
+    return True
+
+
+def orc_bloom_may_contain(raw: bytes, name: str, value) -> list[list[bool]]:
+    """Per stripe, per row group: False ONLY when that 10k-row group
+    provably holds no row equal to ``value`` — the ORC twin of
+    parquet_bloom_may_contain, one pruning level finer (row group vs
+    column chunk). Strings/bytes hash Murmur3-64; ints the signed
+    long mix; floats via their IEEE bits through the long path."""
+    if isinstance(value, bool):
+        raise OrcError("boolean columns carry no bloom filters")
+    if isinstance(value, str):
+        h = orc_murmur3_hash64(value.encode("utf-8"))
+    elif isinstance(value, bytes):
+        h = orc_murmur3_hash64(value)
+    elif isinstance(value, int):
+        h = orc_long_hash(value)
+    elif isinstance(value, float):
+        (as_long,) = struct.unpack("<q", struct.pack("<d", value))
+        h = orc_long_hash(as_long)
+    else:
+        raise OrcError(f"no bloom hash for {type(value).__name__}")
+    return [
+        [_orc_bloom_test(bf, h) for bf in per_stripe]
+        for per_stripe in orc_bloom_filters(raw, name)
+    ]

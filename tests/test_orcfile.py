@@ -959,3 +959,100 @@ def test_list_and_map_under_structs_by_dotted_path():
     ]
     with pytest.raises(OrcError, match="not a list"):
         read_orc_list_column(raw, "meta.m")
+
+
+# ------------------------------------------------- bloom streams (r11)
+def test_orc_bloom_probe_pins_against_spark_java_writer(spark, tmp_path):
+    """BLOOM_FILTER_UTF8 streams written by Spark's Java ORC writer
+    (orc.bloom.filter.columns) probed by the from-spec reader: every
+    present value True in its stripe (soundness — incl. id 0 and
+    negatives, the signed-shift long-hash edge the unsigned port
+    gets wrong), absent values overwhelmingly False, strings through
+    Murmur3-64, doubles through their IEEE bits, multi-stripe and
+    multi-row-group granularity."""
+    import glob
+
+    from core_spark.functions.orcfile import (
+        orc_bloom_filters,
+        orc_bloom_may_contain,
+    )
+
+    out = str(tmp_path / "ob")
+    (
+        spark.range(0, 30000)
+        .selectExpr(
+            "id - 15000 AS id",  # negatives AND zero through the mix
+            "CAST(id AS DOUBLE) * 0.25 AS d",
+            "concat('u', CAST(id * 2654435761 % 1000000007 AS STRING)) AS name",
+        )
+        .coalesce(1)
+        .sortWithinPartitions("id")
+        .write.mode("overwrite")
+        .option("orc.bloom.filter.columns", "id,d,name")
+        .option("orc.bloom.filter.fpp", "0.01")
+        .option("orc.stripe.size", "65536")  # multiple stripes
+        .option("orc.row.index.stride", "5000")  # multiple row groups
+        .orc(out)
+    )
+    (path,) = glob.glob(out + "/*.orc")
+    raw = open(path, "rb").read()
+
+    from core_spark.functions.orcfile import parse_orc_tail
+
+    tail = parse_orc_tail(raw)
+    n_stripes = len(tail["stripes"])
+    assert n_stripes > 1
+    filters = orc_bloom_filters(raw, "id")
+    assert len(filters) == n_stripes and all(len(f) >= 1 for f in filters)
+
+    # soundness: every present value verdicts True SOMEWHERE (and
+    # 0/negative keys exercise the signed-shift path)
+    for v in (-15000, -1, 0, 1, 7777, 14999):
+        vd = orc_bloom_may_contain(raw, "id", v)
+        assert any(x for s in vd for x in s), v
+        dd = orc_bloom_may_contain(raw, "d", (v + 15000) * 0.25)
+        assert any(x for s in dd for x in s), v
+        nm = orc_bloom_may_contain(
+            raw, "name", f"u{(v + 15000) * 2654435761 % 1000000007}"
+        )
+        assert any(x for s in nm for x in s), v
+
+    # sorted ids: a value must be False in every stripe but its own
+    v0 = orc_bloom_may_contain(raw, "id", -15000)
+    assert v0[0][0] is True
+    assert not any(x for s in v0[1:] for x in s)
+
+    # absent values: each ~1%-fpp row group is overwhelmingly False;
+    # with many row groups the per-VALUE all-False rate compounds to
+    # ~1 - n_rg/100, so bound the per-row-group rate tightly and the
+    # per-value rate loosely
+    verdicts = [
+        [x for s in orc_bloom_may_contain(raw, "id", v) for x in s]
+        for v in range(400000, 400200)
+    ]
+    n_rg_probes = sum(len(v) for v in verdicts)
+    n_rg_false = sum(sum(1 for x in v if not x) for v in verdicts)
+    assert n_rg_false >= 0.97 * n_rg_probes, (n_rg_false, n_rg_probes)
+    n_all_false = sum(1 for v in verdicts if not any(v))
+    assert n_all_false >= 170, n_all_false
+
+
+def test_orc_bloom_long_hash_matches_jvm_fingerprints(spark):
+    """orc_long_hash and the probe-position math pinned per-value
+    against the ACTUAL JVM BloomFilterUtf8 (single-value filters:
+    the set-bit fingerprint IS the position list)."""
+    from core_spark.functions.orcfile import _orc_bloom_test, orc_long_hash
+
+    jvm = spark._jvm
+    Lv = jvm.java.lang.Long.valueOf
+    for v in (0, 1, -1, -5, 7, 0x123456789, -(2**40), 2**62):
+        bf = jvm.org.apache.orc.util.BloomFilterUtf8(1000, 0.01)
+        bf.addLong(Lv(str(v)))
+        longs = list(bf.getBitSet())
+        bits = b"".join(
+            (w & 0xFFFFFFFFFFFFFFFF).to_bytes(8, "little") for w in longs
+        )
+        mine = {"k": bf.getNumHashFunctions(), "bits": bits}
+        assert _orc_bloom_test(mine, orc_long_hash(v)), v
+        # and a differently-hashed value must not trivially pass
+        assert not _orc_bloom_test(mine, orc_long_hash(v + 12345)), v
