@@ -680,7 +680,27 @@ class Journal:
         else:
             if fmt not in ("parquet", "orc"):
                 raise ValueError(f"unsupported fragment format {fmt!r}")
+            spec = self._spec()
             writer = stamped.write.mode("overwrite")
+            if spec is not None and spec.bloom_columns:
+                # Two-level point-lookup skipping (r11): besides the
+                # MANIFEST-level fragment blooms below, have the file
+                # writer plant its own per-row-group bloom filters
+                # for the same listed columns — parquet split-block
+                # SBBF / ORC BLOOM_FILTER_UTF8 — so the scan engine
+                # skips row groups INSIDE the fragments a point
+                # lookup still has to read. Absent columns are
+                # ignored by the writers; cost is per-batch.
+                if fmt == "parquet":
+                    for c in spec.bloom_columns:
+                        writer = writer.option(
+                            f"parquet.bloom.filter.enabled#{c}", "true"
+                        )
+                else:
+                    writer = writer.option(
+                        "orc.bloom.filter.columns",
+                        ",".join(spec.bloom_columns),
+                    )
             if path_postfix:
                 writer = writer.partitionBy(*path_postfix)
             getattr(writer, fmt)(tmp)
@@ -689,7 +709,6 @@ class Journal:
             # Bloom index over spec-listed string columns (opt-in; one
             # column-pruned scan of the just-written fragment, so the
             # cost scales with the batch and the listed columns only).
-            spec = self._spec()
             blooms = (
                 _build_blooms(df.sparkSession, tmp, fmt, spec.bloom_columns)
                 if spec is not None and spec.bloom_columns

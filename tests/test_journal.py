@@ -1172,3 +1172,59 @@ def test_int_key_blooms_prune_point_lookups(spark, tmp_path):
             if k == value
         )
         assert got == want, value
+
+
+def test_spec_bloom_columns_plant_file_level_blooms(spark, tmp_path):
+    """r11 two-level skipping: a journal whose spec lists bloom
+    columns writes fragments whose FILES carry writer-native bloom
+    filters too — parquet split-block SBBF (probed by the from-spec
+    walker) and ORC BLOOM_FILTER_UTF8 — so scans skip row groups
+    inside the fragments the manifest-level blooms can't prune."""
+    import glob
+    import os
+
+    from core_spark.catalog import CatalogStore, JournalSpec
+    from core_spark.functions.orcfile import orc_bloom_may_contain
+    from core_spark.functions.parquetfile import parquet_bloom_may_contain
+
+    CatalogStore(str(tmp_path)).apply(
+        upserts=(
+            JournalSpec(name="blm/files", bloom_columns=("k", "lang")),
+        )
+    )
+    j = Journal(str(tmp_path), "blm/files")
+    df = spark.range(0, 3000).selectExpr(
+        "id AS k",
+        "concat('w', CAST(id * 2654435761 % 1000000007 AS STRING)) AS lang",
+    )
+    j.append(df)
+    j.append(df.selectExpr("k + 100000 AS k", "lang"), fmt="orc")
+    m = j.manifest()
+
+    (pq_file,) = glob.glob(
+        os.path.join(str(j.root), m.fragments[0].path, "*.parquet")
+    )
+    raw = open(pq_file, "rb").read()
+    assert parquet_bloom_may_contain(raw, "k", 7) == [True]
+    absent = sum(
+        1
+        for v in range(900000, 900050)
+        if parquet_bloom_may_contain(raw, "k", v) == [False]
+    )
+    assert absent >= 45
+    assert parquet_bloom_may_contain(raw, "lang", "nope-x")[0] in (
+        False,
+        None,  # dictionary-covered chunk: no bloom written
+    )
+
+    (orc_file,) = glob.glob(
+        os.path.join(str(j.root), m.fragments[1].path, "*.orc")
+    )
+    raw = open(orc_file, "rb").read()
+    assert any(x for s in orc_bloom_may_contain(raw, "k", 100007) for x in s)
+    absent = sum(
+        1
+        for v in range(900000, 900050)
+        if not any(x for s in orc_bloom_may_contain(raw, "k", v) for x in s)
+    )
+    assert absent >= 45
