@@ -1113,7 +1113,16 @@ class Journal:
             out = df.coalesce(1)
             if cluster_by:
                 out = out.sortWithinPartitions(*cluster_by)
-            out.write.mode("overwrite").parquet(tmp)
+            writer = out.write.mode("overwrite")
+            if spec is not None and spec.bloom_columns:
+                # compaction keeps the file-level bloom contract the
+                # append path established (r11): merged fragments
+                # carry fresh per-row-group SBBF filters too
+                for c in spec.bloom_columns:
+                    writer = writer.option(
+                        f"parquet.bloom.filter.enabled#{c}", "true"
+                    )
+            writer.parquet(tmp)
             # content-addressed like append: a retried compaction of
             # the same run produces the same name, never an orphan
             name = (

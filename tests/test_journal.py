@@ -1228,3 +1228,40 @@ def test_spec_bloom_columns_plant_file_level_blooms(spark, tmp_path):
         if not any(x for s in orc_bloom_may_contain(raw, "k", v) for x in s)
     )
     assert absent >= 45
+
+
+def test_compaction_keeps_file_level_blooms(spark, tmp_path):
+    """Compacted fragments keep the file-level SBBF contract: the
+    merged parquet carries fresh bloom filters for the spec's
+    columns, probed by the from-spec walker."""
+    import glob
+    import os
+
+    from core_spark.catalog import CatalogStore, JournalSpec
+    from core_spark.functions.parquetfile import parquet_bloom_may_contain
+
+    CatalogStore(str(tmp_path)).apply(
+        upserts=(JournalSpec(name="blm/compact", bloom_columns=("k",)),)
+    )
+    j = Journal(str(tmp_path), "blm/compact")
+    for lo in (0, 1000, 2000):
+        j.append(
+            spark.range(lo, lo + 1000).selectExpr("id AS k")
+        )
+    assert j.compact(spark, target_records=10_000) == 2
+    m = j.manifest()
+    assert len(m.fragments) == 1
+    (f,) = glob.glob(
+        os.path.join(str(j.root), m.fragments[0].path, "*.parquet")
+    )
+    raw = open(f, "rb").read()
+    assert all(
+        all(v for v in parquet_bloom_may_contain(raw, "k", x))
+        for x in (0, 1500, 2999)
+    )
+    n_false = sum(
+        1
+        for x in range(50000, 50050)
+        if all(v is False for v in parquet_bloom_may_contain(raw, "k", x))
+    )
+    assert n_false >= 45
