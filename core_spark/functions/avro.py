@@ -39,8 +39,11 @@ arrays/records, maps of maps — the recursion mirrors the parquet
 (_assemble_records) and ORC (_stripe_value) nested tiers, pinned
 against the JAVA Avro encoder (the avro-1.12 jar on Spark's own
 classpath, driven through its JsonDecoder so the independent
-library does all binary encoding). Enums, fixed, and other logical
-types still raise the named scope fence.
+library does all binary encoding), ENUMS (zigzag symbol index ->
+the symbol string, out-of-range indices raise), and FIXED (exactly
+``size`` raw bytes; decimal-over-fixed unscales like
+decimal-over-bytes). Other logical types still raise the named
+scope fence.
 
 The block layout is what makes OCF object-storage friendly — the
 same ranged-GET discipline as the media walks: a reader seeks by
@@ -223,6 +226,28 @@ def _read_value(data: bytes, i: int, typ):
     """One Avro value of primitive, union, or logical type →
     (value, next i). ``typ`` is a type-name string, a union branch
     list, or a dict spec {"type": ..., "logicalType": ...}."""
+    if isinstance(typ, dict) and typ.get("type") == "enum":
+        # zigzag index into the declared symbol list; an index the
+        # schema doesn't name is corrupt input, never a blank
+        idx, i = read_long(data, i)
+        symbols = typ.get("symbols") or []
+        if not 0 <= idx < len(symbols):
+            raise AvroError(
+                f"enum index {idx} out of range for {len(symbols)} "
+                "symbols"
+            )
+        return symbols[idx], i
+    if isinstance(typ, dict) and typ.get("type") == "fixed":
+        size = typ.get("size")
+        if not isinstance(size, int) or size < 0:
+            raise AvroError("fixed type lacks a valid size")
+        if i + size > len(data):
+            raise AvroError("fixed value escapes the buffer")
+        v = data[i : i + size]
+        if typ.get("logicalType") == "decimal":
+            unscaled = int.from_bytes(v, "big", signed=True)
+            return decimal.Decimal(unscaled).scaleb(-typ["scale"]), i + size
+        return v, i + size
     if isinstance(typ, dict) and typ.get("type") == "record":
         # record-in-record (r11): fields decode in declaration order
         # into a dict — the parquet/ORC STRUCT twin; address nested
@@ -276,8 +301,8 @@ def _read_value(data: bytes, i: int, typ):
         # consume bytes as if it were understood
         if lt == "decimal" and typ["type"] != "bytes":
             raise AvroError(
-                "decimal is only supported over bytes (fixed is "
-                "scope-fenced)"
+                "decimal over this shape is not supported (bytes "
+                "and fixed decode; anything else is corrupt or new)"
             )
         if lt == "date" and typ["type"] != "int":
             raise AvroError("date must annotate int")

@@ -271,18 +271,21 @@ def test_typed_corrupt_values_raise_named():
     # nested complex types are scope-fenced, not guessed
     with _pytest.raises(AvroError, match="unsupported field type"):
         avro_block_records(b"", "null", [("f", "array")], 1)
-    # unknown logical types and decimal-over-fixed are fenced too
+    # unknown logical types are fenced too
     with _pytest.raises(AvroError, match="logical type"):
         avro_block_records(
             b"\x00", "null",
             [("f", {"type": "long", "logicalType": "duration"})], 1,
         )
-    with _pytest.raises(AvroError, match="decimal"):
-        avro_block_records(
-            b"\x00", "null",
-            [("f", {"type": "fixed", "logicalType": "decimal",
-                    "scale": 2})], 1,
-        )
+    # decimal-over-fixed decodes as of r11: 2 bytes, scale 2
+    got = avro_block_records(
+        b"\x30\x39", "null",
+        [("f", {"type": "fixed", "size": 2, "logicalType": "decimal",
+                "scale": 2})], 1,
+    )
+    import decimal as _dec
+
+    assert got == [{"f": _dec.Decimal("123.45")}]
 
 
 def test_array_values_decode_all_block_forms():
@@ -580,3 +583,77 @@ def test_nested_fuzz_against_java_avro_writer(spark):
                 )
             )
         assert got == want, codec
+
+
+def test_enum_fixed_and_decimal_over_fixed_pin_java(spark):
+    """Enums (symbol strings), fixed (raw bytes) and decimal-over-
+    fixed pinned against the Java Avro encoder (fixed values ride
+    the Avro-JSON latin-1 convention into the JsonDecoder)."""
+    import json
+    import tempfile
+    from decimal import Decimal
+
+    from core_spark.functions.avro import (
+        AvroError,
+        _read_value,
+        avro_block_records,
+        avro_blocks,
+        avro_ocf_meta,
+        write_long,
+    )
+
+    schema = {
+        "type": "record", "name": "r", "fields": [
+            {"name": "color", "type": {
+                "type": "enum", "name": "c",
+                "symbols": ["RED", "GREEN", "BLUE"]}},
+            {"name": "mac", "type": {
+                "type": "fixed", "name": "m6", "size": 6}},
+            {"name": "price", "type": {
+                "type": "fixed", "name": "d4", "size": 4,
+                "logicalType": "decimal", "precision": 9, "scale": 2}},
+        ],
+    }
+    mac0 = bytes([0, 1, 2, 3, 4, 0xFF])
+    price0 = (12345).to_bytes(4, "big")           # 123.45
+    mac1 = b"\xaa" * 6
+    price1 = b"\xff" * 4                          # -0.01
+    rows_json = [
+        {"color": "GREEN",
+         "mac": mac0.decode("latin-1"),
+         "price": price0.decode("latin-1")},
+        {"color": "RED",
+         "mac": mac1.decode("latin-1"),
+         "price": price1.decode("latin-1")},
+    ]
+    jvm = spark._jvm
+    jschema = jvm.org.apache.avro.Schema.Parser().parse(json.dumps(schema))
+    dw = jvm.org.apache.avro.generic.GenericDatumWriter(jschema)
+    w = jvm.org.apache.avro.file.DataFileWriter(dw)
+    path = tempfile.mkdtemp() + "/ef.avro"
+    w.create(jschema, jvm.java.io.File(path))
+    reader = jvm.org.apache.avro.generic.GenericDatumReader(jschema)
+    fac = jvm.org.apache.avro.io.DecoderFactory.get()
+    for r in rows_json:
+        w.append(reader.read(None, fac.jsonDecoder(jschema, json.dumps(r))))
+    w.close()
+    raw = open(path, "rb").read()
+    meta = avro_ocf_meta(raw)
+    fields = [(f["name"], f["type"]) for f in meta["schema"]["fields"]]
+    got = []
+    for b in avro_blocks(raw):
+        got.extend(
+            avro_block_records(
+                raw[b["data_off"] : b["data_off"] + b["data_len"]],
+                meta["codec"], fields, b["n_records"],
+            )
+        )
+    assert got == [
+        {"color": "GREEN", "mac": mac0, "price": Decimal("123.45")},
+        {"color": "RED", "mac": mac1, "price": Decimal("-0.01")},
+    ]
+
+    # corrupt enum index raises the named error
+    spec = {"type": "enum", "name": "e", "symbols": ["A"]}
+    with pytest.raises(AvroError, match="out of range"):
+        _read_value(write_long(5), 0, spec)
