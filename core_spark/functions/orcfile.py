@@ -613,18 +613,50 @@ def _parse_ts_nanos(v: int) -> int:
     return n
 
 
+def _rlev1(data: bytes, signed: bool) -> list[int]:
+    """ORC RLE v1 (pre-HIVE-4123 integer streams — spec "Run Length
+    Encoding version 1"): header < 128 is a RUN of header+3 values
+    from one base varint stepped by a SIGNED byte delta; header >=
+    128 is 256-header LITERAL varints. Decoded so old lakes read
+    (r11 — lifted the named fences), pinned against Spark's Java
+    writer at orc.write.format=0.11."""
+    out: list[int] = []
+    i, n = 0, len(data)
+    while i < n:
+        h = data[i]
+        i += 1
+        if h < 128:
+            run = h + 3
+            if i >= n:
+                raise OrcError("RLEv1 run escapes the stream")
+            delta = data[i]
+            i += 1
+            if delta >= 128:
+                delta -= 256
+            u, i = _rle_varint(data, i)
+            base = _unzigzag(u) if signed else u
+            out.extend(base + k * delta for k in range(run))
+        else:
+            for _ in range(256 - h):
+                u, i = _rle_varint(data, i)
+                out.append(_unzigzag(u) if signed else u)
+    return out
+
+
+def _int_run(data: bytes, enc_kind: int, signed: bool) -> list[int]:
+    """Integer-stream dispatch by column encoding: kinds 0/1
+    (DIRECT/DICTIONARY) are RLE v1, kinds 2/3 (…_V2) are RLE v2 —
+    the two wire formats must never cross-parse."""
+    if enc_kind in (0, 1):
+        return _rlev1(data, signed)
+    return _rlev2(data, signed)
+
+
 def _decode_strings(streams: dict, enc: dict, n_present: int) -> list:
-    # Kinds 0/1 (DIRECT/DICTIONARY) carry RLE *v1* length/index
-    # streams — a different wire format this module does not parse.
-    # Fence them loudly instead of feeding v1 bytes to the v2 parser.
-    if enc["kind"] in (0, 1):
-        raise OrcError(
-            "string column uses RLEv1 encoding (DIRECT/DICTIONARY from "
-            "a pre-HIVE-4123 writer) — only DIRECT_V2/DICTIONARY_V2 "
-            "decode here; use the ORC library for RLEv1 files"
+    if enc["kind"] in (1, 3):  # DICTIONARY / DICTIONARY_V2
+        lengths = _int_run(
+            streams.get(_STREAM_LENGTH, b""), enc["kind"], signed=False
         )
-    if enc["kind"] == 3:  # DICTIONARY_V2
-        lengths = _rlev2(streams.get(_STREAM_LENGTH, b""), signed=False)
         if len(lengths) != enc["dict_size"]:
             raise OrcError("dictionary length stream size mismatch")
         blob = streams.get(_STREAM_DICT_DATA, b"")
@@ -634,15 +666,19 @@ def _decode_strings(streams: dict, enc: dict, n_present: int) -> list:
                 raise OrcError("dictionary entry escapes its stream")
             words.append(blob[off : off + ln])
             off += ln
-        idxs = _rlev2(streams.get(_STREAM_DATA, b""), signed=False)
+        idxs = _int_run(
+            streams.get(_STREAM_DATA, b""), enc["kind"], signed=False
+        )
         if len(idxs) < n_present:
             raise OrcError("dictionary index stream shorter than rows")
         try:
             return [words[k] for k in idxs[:n_present]]
         except IndexError:
             raise OrcError("dictionary index out of range") from None
-    # DIRECT_V2 (kind 2): plain length stream in RLEv2
-    lengths = _rlev2(streams.get(_STREAM_LENGTH, b""), signed=False)
+    # DIRECT (kind 0, RLE v1) / DIRECT_V2 (kind 2): plain lengths
+    lengths = _int_run(
+        streams.get(_STREAM_LENGTH, b""), enc["kind"], signed=False
+    )
     if len(lengths) < n_present:
         raise OrcError("length stream shorter than rows")
     blob = streams.get(_STREAM_DATA, b"")
@@ -770,15 +806,9 @@ def _stripe_primitive(
         vals = list(_byte_rle(streams.get(_STREAM_DATA, b"")))
         vals = [v - 256 if v >= 128 else v for v in vals]
     elif kind in ("short", "int", "long", "date"):
-        # DIRECT (kind 0) means the DATA stream is RLE *v1* —
-        # fence it rather than mis-decoding v1 bytes as v2.
-        if enc["kind"] != 2:
-            raise OrcError(
-                "integer column uses RLEv1 encoding (DIRECT from a "
-                "pre-HIVE-4123 writer) — only DIRECT_V2 decodes "
-                "here; use the ORC library for RLEv1 files"
-            )
-        vals = _rlev2(streams.get(_STREAM_DATA, b""), signed=True)
+        vals = _int_run(
+            streams.get(_STREAM_DATA, b""), enc["kind"], signed=True
+        )
     elif kind == "boolean":
         vals = [
             bool(b)
@@ -817,17 +847,9 @@ def _stripe_primitive(
             u, i = _varint(blob, i, max_bytes=19)
             mant.append(_unzigzag(u))
         if _STREAM_SECONDARY in streams:
-            # The scale stream is RLEv2 like every other integer
-            # stream — fence RLEv1 (pre-HIVE-4123 DIRECT) rather
-            # than mis-decoding v1 bytes as v2 scales.
-            if enc["kind"] != 2:
-                raise OrcError(
-                    "decimal column uses RLEv1 scales (DIRECT from "
-                    "a pre-HIVE-4123 writer) — only DIRECT_V2 "
-                    "decodes here; use the ORC library for RLEv1 "
-                    "files"
-                )
-            scales = _rlev2(streams[_STREAM_SECONDARY], signed=True)
+            scales = _int_run(
+                streams[_STREAM_SECONDARY], enc["kind"], signed=True
+            )
             if len(scales) < n_present:
                 raise OrcError("decimal scale stream shorter than rows")
             scales = scales[:n_present]
@@ -860,14 +882,12 @@ def _stripe_primitive(
         # to the writer zone's local clock at each instant (r11 —
         # decision over the r10 fence, pinned against pyarrow AND
         # Spark's Java writer at GMT/UTC).
-        if enc["kind"] != 2:
-            raise OrcError(
-                "timestamp column uses RLEv1 encoding (DIRECT from "
-                "a pre-HIVE-4123 writer) — only DIRECT_V2 decodes "
-                "here; use the ORC library for RLEv1 files"
-            )
-        secs = _rlev2(streams.get(_STREAM_DATA, b""), signed=True)
-        nraw = _rlev2(streams.get(_STREAM_SECONDARY, b""), signed=False)
+        secs = _int_run(
+            streams.get(_STREAM_DATA, b""), enc["kind"], signed=True
+        )
+        nraw = _int_run(
+            streams.get(_STREAM_SECONDARY, b""), enc["kind"], signed=False
+        )
         if len(secs) < n_present or len(nraw) < n_present:
             raise OrcError("timestamp streams shorter than rows")
         tz_name = (
@@ -1001,19 +1021,16 @@ def _stripe_lengths(
     raw: bytes, stripe: dict, col_id: int, comp: str, n: int, what: str
 ) -> tuple[list | None, list[int]]:
     """A list/map node's (present, lengths) for ``n`` slots — the
-    shared PRESENT + RLEv2 LENGTH plumbing, RLEv1 fenced."""
+    shared PRESENT + LENGTH plumbing (RLE v1 or v2 by encoding)."""
     streams, enc = _stripe_column_streams(raw, stripe, col_id, comp)
-    if enc["kind"] != 2:
-        raise OrcError(
-            f"{what} column uses RLEv1 lengths (DIRECT from a "
-            "pre-HIVE-4123 writer) — only DIRECT_V2 decodes here"
-        )
     present = None
     n_present = n
     if _STREAM_PRESENT in streams:
         present = _bool_stream(streams[_STREAM_PRESENT], n)
         n_present = sum(present)
-    lengths = _rlev2(streams.get(_STREAM_LENGTH, b""), signed=False)
+    lengths = _int_run(
+        streams.get(_STREAM_LENGTH, b""), enc["kind"], signed=False
+    )
     if len(lengths) < n_present:
         raise OrcError(f"{what} length stream shorter than rows")
     return present, lengths[:n_present]

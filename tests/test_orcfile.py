@@ -261,43 +261,28 @@ def test_patched_base_fuzz_skewed_int64_against_pyarrow():
         assert read_orc_column(buf.getvalue(), "v") == vals, f"trial {trial}"
 
 
-def test_rlev1_column_encodings_are_fenced():
-    """Encoding kinds 0/1 carry RLE v1 streams — the reader must
-    raise the named error, never feed v1 bytes to the v2 parser."""
-    from core_spark.functions.orcfile import _decode_strings
+def test_rlev1_spec_shapes():
+    """RLE v1 unit shapes straight off the spec: runs with positive,
+    negative and zero deltas, literal groups, signed zigzag values,
+    and truncation raising the named error."""
+    from core_spark.functions.orcfile import _rlev1, OrcError as _E
 
-    for kind in (0, 1):
-        with pytest.raises(OrcError, match="RLEv1"):
-            _decode_strings(
-                {}, {"kind": kind, "dict_size": 0}, n_present=1
-            )
-
-
-def test_rlev1_decimal_scale_stream_is_fenced(monkeypatch):
-    """A pre-HIVE-4123 decimal column (encoding kind 0) carries an
-    RLEv1 SECONDARY scale stream — the reader must raise the named
-    error instead of silently mis-decoding v1 bytes as v2 scales."""
-    import decimal
-
-    from core_spark.functions import orcfile as of
-
-    t = pa.table(
-        {"d": pa.array([decimal.Decimal("1.23")] * 4,
-                       type=pa.decimal128(10, 2))}
-    )
-    buf = io.BytesIO()
-    orc.write_table(t, buf, compression="uncompressed")
-    raw = buf.getvalue()
-
-    real = of._stripe_column_streams
-
-    def direct_v1(raw_, stripe, col_id, comp):
-        streams, enc = real(raw_, stripe, col_id, comp)
-        return streams, {**enc, "kind": 0}
-
-    monkeypatch.setattr(of, "_stripe_column_streams", direct_v1)
-    with pytest.raises(OrcError, match="RLEv1"):
-        of.read_orc_column(raw, "d")
+    # run: header 2 => 5 values, delta +1, base 7 (unsigned varint)
+    assert _rlev1(bytes([2, 1, 7]), signed=False) == [7, 8, 9, 10, 11]
+    # run with negative delta: base 100, delta -2, 4 values
+    assert _rlev1(bytes([1, 0xFE, 100]), signed=False) == [100, 98, 96, 94]
+    # literals: header 0xFD => 3 varints; signed zigzag
+    assert _rlev1(
+        bytes([0xFD, 0x02, 0x01, 0x04]), signed=True
+    ) == [1, -1, 2]
+    # mixed run + literals
+    assert _rlev1(
+        bytes([0, 1, 5, 0xFF, 0x0A]), signed=False
+    ) == [5, 6, 7, 10]
+    with pytest.raises(_E):
+        _rlev1(bytes([2, 1]), signed=False)  # run escapes
+    with pytest.raises(_E):
+        _rlev1(bytes([0xFD, 0x02]), signed=True)  # literals escape
 
 
 # ----------------------------------------------------- list columns
@@ -1056,3 +1041,84 @@ def test_orc_bloom_long_hash_matches_jvm_fingerprints(spark):
         assert _orc_bloom_test(mine, orc_long_hash(v)), v
         # and a differently-hashed value must not trivially pass
         assert not _orc_bloom_test(mine, orc_long_hash(v + 12345)), v
+
+
+def test_rlev1_pins_against_spark_011_writer(spark, tmp_path):
+    """Pre-HIVE-4123 files (orc.write.format=0.11 — Spark's Java
+    writer emits genuine RLE v1 streams, encoding kinds 0/1) decode
+    end to end: integers with run/literal/delta mixes, direct AND
+    dictionary strings, dates, decimals with v1 scale streams,
+    timestamps, list lengths — all value-exact against what Spark
+    itself reads back."""
+    import datetime as dt
+    import glob
+    import random
+    from decimal import Decimal
+
+    from pyspark.sql import Row
+
+    from core_spark.functions.orcfile import (
+        read_orc_column,
+        read_orc_list_column,
+    )
+
+    rng = random.Random(0x011)
+    rows = []
+    for k in range(3000):
+        shape = k % 5
+        v = (
+            k if shape == 0                      # +1 runs
+            else 7 if shape == 1                 # repeats
+            else rng.randrange(-10**9, 10**9) if shape == 2   # literals
+            else 1000 - k * 3 if shape == 3      # negative delta runs
+            else -k
+        )
+        rows.append(Row(
+            id=k,
+            v=v,
+            s=f"dict{k % 13}",                   # dictionary-friendly
+            u=f"uniq-{k}-{rng.randrange(10**6)}",  # direct strings
+            d=dt.date(2000 + k % 40, 1 + k % 12, 1 + k % 28),
+            dec=Decimal(rng.randrange(-10**10, 10**10)).scaleb(-2),
+            ts=dt.datetime(1990, 1, 1)
+            + dt.timedelta(seconds=k * 977, microseconds=k % 1000),
+            xs=list(range(k % 4)),
+        ))
+    df = spark.createDataFrame(
+        rows,
+        "id long, v long, s string, u string, d date,"
+        " dec decimal(12,2), ts timestamp, xs array<long>",
+    )
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        out = str(tmp_path / "v011")
+        (df.coalesce(1).sortWithinPartitions("id")
+         .write.mode("overwrite")
+         .option("orc.write.format", "0.11").orc(out))
+        (path,) = glob.glob(out + "/*.orc")
+        raw = open(path, "rb").read()
+        back = {r["id"]: r for r in spark.read.orc(out).collect()}
+
+        ids = read_orc_column(raw, "id")
+        assert sorted(ids) == list(range(3000))
+        cols = {
+            "v": read_orc_column(raw, "v"),
+            "s": read_orc_column(raw, "s"),
+            "u": read_orc_column(raw, "u"),
+            "d": read_orc_column(raw, "d"),
+            "dec": read_orc_column(raw, "dec"),
+            "ts": read_orc_column(raw, "ts"),
+            "xs": read_orc_list_column(raw, "xs"),
+        }
+        for i, rid in enumerate(ids):
+            want = back[rid]
+            assert cols["v"][i] == want["v"]
+            assert cols["s"][i] == want["s"]
+            assert cols["u"][i] == want["u"]
+            assert cols["d"][i] == (want["d"] - dt.date(1970, 1, 1)).days
+            assert cols["dec"][i] == want["dec"]
+            assert _ns_to_dt(cols["ts"][i]) == want["ts"]
+            assert cols["xs"][i] == want["xs"]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
