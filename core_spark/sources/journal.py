@@ -836,7 +836,8 @@ class Journal:
         overlap, the fragment-index query of
         broker/fragment/index.go:41-131), ``stats_ok`` (zone-map
         verdict per `where`), ``bloom_ok`` (bloom verdict for string
-        equality on spec-listed columns), and ``read`` = the
+        or integer equality on spec-listed columns — typed maps,
+        r11), and ``read`` = the
         conjunction — the fragments an actual read() scans. read()
         CONSUMES this audit for its pruning, so the explanation can
         never drift from the plan (the q_audit_skew discipline:
