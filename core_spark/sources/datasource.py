@@ -191,6 +191,13 @@ def journal_datasource():
             self.schema_json = schema_json
             self.chunks = chunks
 
+    # Per-path split-plan memo: fragments are IMMUTABLE
+    # (content-addressed names), so a codec fragment's chunk plan
+    # never changes — without this a long-running tail would re-issue
+    # the plan's ranged metadata reads (O(members) for gz) for every
+    # still-overlapping fragment on every micro-batch.
+    _plan_cache: dict[str, list[tuple]] = {}
+
     def _frag_partition(journal_root, frag, begin, end, ptypes):
         """Build one FragPartition; codec fragments get their split
         plan here, on the DRIVER (core_spark importable), so the
@@ -199,21 +206,25 @@ def journal_datasource():
         fmt = frag.get("fmt", "parquet")
         if fmt not in _CODEC_FMTS:
             return FragPartition(files, begin, end, ptypes)
-        from core_spark.sources.codec_fragments import (
-            gz_split_plan,
-            xz_split_plan,
-            zst_split_plan,
-        )
-
-        plan_fn = {
-            "jsonl.zst": zst_split_plan,
-            "jsonl.xz": xz_split_plan,
-            "jsonl.gz": gz_split_plan,
-        }[fmt]
         (path, _pv), = files
-        chunks = [
-            (p["c_off"], p["c_size"], p["d_size"]) for p in plan_fn(path)
-        ]
+        chunks = _plan_cache.get(path)
+        if chunks is None:
+            from core_spark.sources.codec_fragments import (
+                gz_split_plan,
+                xz_split_plan,
+                zst_split_plan,
+            )
+
+            plan_fn = {
+                "jsonl.zst": zst_split_plan,
+                "jsonl.xz": xz_split_plan,
+                "jsonl.gz": gz_split_plan,
+            }[fmt]
+            chunks = [
+                (p["c_off"], p["c_size"], p["d_size"])
+                for p in plan_fn(path)
+            ]
+            _plan_cache[path] = chunks
         return FragPartition(
             files, begin, end, ptypes, fmt=fmt,
             schema_json=(frag.get("meta") or {}).get("schema_json"),
