@@ -23,8 +23,10 @@ branch's value), which is how Avro spells nullable columns
 (``["null", T]``), plus the common LOGICAL types (spec §Logical
 Types): ``decimal`` over bytes (big-endian two's-complement
 unscaled integer at the schema's scale → decimal.Decimal),
-``date`` over int (days since epoch → datetime.date) and
-``timestamp-micros`` over long (→ naive-UTC datetime), written as
+``date`` over int (days since epoch → datetime.date),
+``timestamp-micros``/``timestamp-millis`` over long (→ naive-UTC
+datetime), ``time-micros``/``time-millis`` (→ datetime.time) and
+``uuid`` over string (the annotated string), written as
 a dict field spec {"type": ..., "logicalType": ...}, plus ONE-level
 ARRAYS of primitives or unions ({"type": "array", "items": ...} —
 zigzag-count blocks concatenated until the zero terminator,
@@ -42,8 +44,8 @@ classpath, driven through its JsonDecoder so the independent
 library does all binary encoding), ENUMS (zigzag symbol index ->
 the symbol string, out-of-range indices raise), and FIXED (exactly
 ``size`` raw bytes; decimal-over-fixed unscales like
-decimal-over-bytes). Other logical types still raise the named
-scope fence.
+decimal-over-bytes). Exotic logical types (duration,
+local-timestamp-*) still raise the named scope fence.
 
 The block layout is what makes OCF object-storage friendly — the
 same ranged-GET discipline as the media walks: a reader seeks by
@@ -308,7 +310,18 @@ def _read_value(data: bytes, i: int, typ):
             raise AvroError("date must annotate int")
         if lt == "timestamp-micros" and typ["type"] != "long":
             raise AvroError("timestamp-micros must annotate long")
-        if lt not in (None, "decimal", "date", "timestamp-micros"):
+        if lt == "timestamp-millis" and typ["type"] != "long":
+            raise AvroError("timestamp-millis must annotate long")
+        if lt == "time-micros" and typ["type"] != "long":
+            raise AvroError("time-micros must annotate long")
+        if lt == "time-millis" and typ["type"] != "int":
+            raise AvroError("time-millis must annotate int")
+        if lt == "uuid" and typ["type"] != "string":
+            raise AvroError("uuid must annotate string")
+        if lt not in (
+            None, "decimal", "date", "timestamp-micros",
+            "timestamp-millis", "time-micros", "time-millis", "uuid",
+        ):
             raise AvroError(f"unsupported logical type {lt!r}")
         v, i = _read_value(data, i, typ["type"])
         if lt == "decimal":
@@ -318,6 +331,23 @@ def _read_value(data: bytes, i: int, typ):
             return _EPOCH_DATE + datetime.timedelta(days=v), i
         if lt == "timestamp-micros":
             return _EPOCH_DT + datetime.timedelta(microseconds=v), i
+        if lt == "timestamp-millis":
+            return _EPOCH_DT + datetime.timedelta(milliseconds=v), i
+        if lt == "time-micros":
+            return datetime.time(
+                v // 3_600_000_000,
+                v // 60_000_000 % 60,
+                v // 1_000_000 % 60,
+                v % 1_000_000,
+            ), i
+        if lt == "time-millis":
+            return datetime.time(
+                v // 3_600_000,
+                v // 60_000 % 60,
+                v // 1_000 % 60,
+                v % 1_000 * 1000,
+            ), i
+        # uuid: the annotated string IS the value
         return v, i
     if isinstance(typ, list):  # union: zigzag branch index, then value
         idx, i = read_long(data, i)

@@ -657,3 +657,62 @@ def test_enum_fixed_and_decimal_over_fixed_pin_java(spark):
     spec = {"type": "enum", "name": "e", "symbols": ["A"]}
     with pytest.raises(AvroError, match="out of range"):
         _read_value(write_long(5), 0, spec)
+
+
+def test_remaining_common_logical_types_pin_java(spark):
+    """timestamp-millis, time-micros/millis and uuid (the remaining
+    COMMON logical types) decode — pinned against the Java encoder;
+    truly exotic ones (duration…) still raise by name."""
+    import datetime as dt
+    import json
+    import tempfile
+
+    from core_spark.functions.avro import (
+        avro_block_records,
+        avro_blocks,
+        avro_ocf_meta,
+    )
+
+    schema = {
+        "type": "record", "name": "r", "fields": [
+            {"name": "tsm", "type": {
+                "type": "long", "logicalType": "timestamp-millis"}},
+            {"name": "tus", "type": {
+                "type": "long", "logicalType": "time-micros"}},
+            {"name": "tms", "type": {
+                "type": "int", "logicalType": "time-millis"}},
+            {"name": "u", "type": {
+                "type": "string", "logicalType": "uuid"}},
+        ],
+    }
+    rows_json = [
+        {"tsm": 1577882096789, "tus": 45296789123, "tms": 45296789,
+         "u": "123e4567-e89b-12d3-a456-426614174000"},
+        {"tsm": -1, "tus": 0, "tms": 0,
+         "u": "00000000-0000-0000-0000-000000000000"},
+    ]
+    jvm = spark._jvm
+    jschema = jvm.org.apache.avro.Schema.Parser().parse(json.dumps(schema))
+    dw = jvm.org.apache.avro.generic.GenericDatumWriter(jschema)
+    w = jvm.org.apache.avro.file.DataFileWriter(dw)
+    path = tempfile.mkdtemp() + "/lt.avro"
+    w.create(jschema, jvm.java.io.File(path))
+    reader = jvm.org.apache.avro.generic.GenericDatumReader(jschema)
+    fac = jvm.org.apache.avro.io.DecoderFactory.get()
+    for r in rows_json:
+        w.append(reader.read(None, fac.jsonDecoder(jschema, json.dumps(r))))
+    w.close()
+    raw = open(path, "rb").read()
+    meta = avro_ocf_meta(raw)
+    fields = [(f["name"], f["type"]) for f in meta["schema"]["fields"]]
+    got = []
+    for b in avro_blocks(raw):
+        got.extend(avro_block_records(
+            raw[b["data_off"] : b["data_off"] + b["data_len"]],
+            meta["codec"], fields, b["n_records"]))
+    assert got[0]["tsm"] == dt.datetime(2020, 1, 1, 12, 34, 56, 789000)
+    assert got[0]["tus"] == dt.time(12, 34, 56, 789123)
+    assert got[0]["tms"] == dt.time(12, 34, 56, 789000)
+    assert got[0]["u"] == "123e4567-e89b-12d3-a456-426614174000"
+    assert got[1]["tsm"] == dt.datetime(1969, 12, 31, 23, 59, 59, 999000)
+    assert got[1]["tus"] == dt.time(0, 0)
