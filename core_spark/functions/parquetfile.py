@@ -1545,17 +1545,32 @@ def _parse_bloom_header(r: _Reader) -> dict:
 
 def _bloom_plain_bytes(value, ptype: int) -> bytes:
     """The hash input: the value's PLAIN encoding, BYTE_ARRAY minus
-    its length prefix (BloomFilter.md 'hash the plain encoding')."""
-    if ptype == _PT_INT32:
-        return struct.pack("<i", value)
-    if ptype == _PT_INT64:
-        return struct.pack("<q", value)
-    if ptype == _PT_FLOAT:
-        return struct.pack("<f", value)
-    if ptype == _PT_DOUBLE:
-        return struct.pack("<d", value)
-    if ptype in (_PT_BYTE_ARRAY, _PT_FIXED):
-        return value.encode("utf-8") if isinstance(value, str) else value
+    its length prefix (BloomFilter.md 'hash the plain encoding'). A
+    value that cannot take the column's encoding (an out-of-range
+    int, a float for a string column) raises the named error —
+    probing garbage bytes would return a meaningless verdict."""
+    try:
+        if ptype == _PT_INT32:
+            return struct.pack("<i", value)
+        if ptype == _PT_INT64:
+            return struct.pack("<q", value)
+        if ptype == _PT_FLOAT:
+            return struct.pack("<f", value)
+        if ptype == _PT_DOUBLE:
+            return struct.pack("<d", value)
+        if ptype in (_PT_BYTE_ARRAY, _PT_FIXED):
+            if isinstance(value, str):
+                return value.encode("utf-8")
+            if isinstance(value, bytes):
+                return value
+            raise ParquetError(
+                f"a {type(value).__name__} cannot probe a binary column"
+            )
+    except (struct.error, TypeError) as e:
+        raise ParquetError(
+            f"value {value!r} cannot take the column's plain "
+            f"encoding: {e}"
+        ) from None
     raise ParquetError(
         f"physical type {ptype} has no bloom plain encoding "
         "(booleans and INT96 never carry blooms)"
