@@ -294,9 +294,9 @@ def parse_orc_tail(raw: bytes) -> dict:
 # LISTs (PRESENT + RLEv2 LENGTH at the list node, the element column
 # self-aligned per stripe), list-of-list, list-of-struct (dicts),
 # MAPs with composite values, structs by dotted path.
-# Timestamps raise the named error — wall-clock values shift with
-# the writer timezone table, which this tier deliberately does not
-# model — as do unions. The recovery path when no
+# timestamps (writer-timezone base-2015 + signed packed nanos) and
+# UNIONs (byte-RLE tags stitching per-branch children). The recovery
+# path when no
 # reader is installed and the existence proof that the walker tier
 # understands the format — the q_bits_parquet discipline applied to
 # ORC.
@@ -904,10 +904,7 @@ def _stripe_primitive(
                 sec += off(sec)
             vals.append(sec * 1_000_000_000 + ns)
     else:
-        raise OrcError(
-            f"column kind {kind!r} is not decoded here "
-            "(union needs the ORC library)"
-        )
+        raise OrcError(f"column kind {kind!r} is not decoded here")
     if len(vals) < n_present:
         raise OrcError("value stream shorter than present rows")
     vals = vals[:n_present]
@@ -1094,6 +1091,38 @@ def _stripe_value(
                 entry[key] = next(vi_)
             out.append(entry)
         return out
+    if kind == "union":
+        # DATA carries byte-RLE branch TAGS, one per present slot;
+        # each branch child holds slots only for its tagged rows —
+        # stitched back in tag order (the DIRECT union encoding;
+        # r11, pinned against pyarrow's writer). Values come back
+        # untagged, matching what pyarrow's own reader returns.
+        streams, _enc = _stripe_column_streams(raw, stripe, col_id, comp)
+        present = None
+        n_present = n
+        if _STREAM_PRESENT in streams:
+            present = _bool_stream(streams[_STREAM_PRESENT], n)
+            n_present = sum(present)
+        subs = t["subtypes"]
+        tags = list(_byte_rle(streams.get(_STREAM_DATA, b"")))[:n_present]
+        if len(tags) < n_present:
+            raise OrcError("union tag stream shorter than rows")
+        if any(not 0 <= tg < len(subs) for tg in tags):
+            raise OrcError("union tag out of range")
+        branch_vals = [
+            iter(
+                _stripe_value(
+                    raw, stripe, cid, comp, sum(1 for tg in tags if tg == b),
+                    tail,
+                )
+            )
+            for b, cid in enumerate(subs)
+        ]
+        vals = [next(branch_vals[tg]) for tg in tags]
+        if present is None:
+            return vals
+        it = iter(vals)
+        return [next(it) if p else None for p in present]
     if kind == "struct":
         streams, _enc = _stripe_column_streams(raw, stripe, col_id, comp)
         present = None
