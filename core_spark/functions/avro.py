@@ -224,10 +224,53 @@ _EPOCH_DATE = datetime.date(1970, 1, 1)
 _EPOCH_DT = datetime.datetime(1970, 1, 1)
 
 
-def _read_value(data: bytes, i: int, typ):
+_PRIMITIVES = (
+    "null", "boolean", "int", "long", "float", "double", "bytes",
+    "string",
+)
+
+
+def collect_named_types(typ, registry: dict | None = None) -> dict:
+    """Walk a schema collecting NAMED type definitions (record, enum,
+    fixed) by name AND fullname — Avro schemas reference an
+    already-defined type by its name string (e.g. a nullable enum is
+    ``["null", "c"]`` after ``c`` is defined once), and the reader
+    must resolve those references to decode."""
+    if registry is None:
+        registry = {}
+    if isinstance(typ, list):
+        for b in typ:
+            collect_named_types(b, registry)
+    elif isinstance(typ, dict):
+        t = typ.get("type")
+        if t in ("record", "enum", "fixed") and typ.get("name"):
+            registry[typ["name"]] = typ
+            ns = typ.get("namespace")
+            if ns:
+                registry[f"{ns}.{typ['name']}"] = typ
+        if t == "record":
+            for f in typ.get("fields", []):
+                collect_named_types(f.get("type"), registry)
+        elif t == "array":
+            collect_named_types(typ.get("items"), registry)
+        elif t == "map":
+            collect_named_types(typ.get("values"), registry)
+    return registry
+
+
+def _read_value(data: bytes, i: int, typ, named: dict | None = None):
     """One Avro value of primitive, union, or logical type →
     (value, next i). ``typ`` is a type-name string, a union branch
-    list, or a dict spec {"type": ..., "logicalType": ...}."""
+    list, or a dict spec {"type": ..., "logicalType": ...};
+    ``named`` resolves references to already-defined record/enum/
+    fixed types by name (collect_named_types)."""
+    if (
+        isinstance(typ, str)
+        and typ not in _PRIMITIVES
+        and named
+        and typ in named
+    ):
+        typ = named[typ]
     if isinstance(typ, dict) and typ.get("type") == "enum":
         # zigzag index into the declared symbol list; an index the
         # schema doesn't name is corrupt input, never a blank
@@ -256,7 +299,7 @@ def _read_value(data: bytes, i: int, typ):
         # fields with record_path("a.b.c").
         rec: dict = {}
         for f in typ.get("fields", []):
-            rec[f["name"]], i = _read_value(data, i, f["type"])
+            rec[f["name"]], i = _read_value(data, i, f["type"], named)
         return rec, i
     if isinstance(typ, dict) and typ.get("type") == "map":
         # Avro map: the array block shape with a length-prefixed
@@ -276,7 +319,7 @@ def _read_value(data: bytes, i: int, typ):
                 raise AvroError("map block count is implausible")
             for _ in range(count):
                 k, i = read_string(data, i)
-                out_map[k], i = _read_value(data, i, vtyp)
+                out_map[k], i = _read_value(data, i, vtyp, named)
     if isinstance(typ, dict) and typ.get("type") == "array":
         # Avro array: blocks of (zigzag count, items...) until a zero
         # count; a negative count is followed by the block's byte
@@ -295,7 +338,7 @@ def _read_value(data: bytes, i: int, typ):
             if count > MAX_BLOCK_RECORDS:
                 raise AvroError("array block count is implausible")
             for _ in range(count):
-                v, i = _read_value(data, i, items)
+                v, i = _read_value(data, i, items, named)
                 out_arr.append(v)
     if isinstance(typ, dict):  # logical type over an underlying type
         lt = typ.get("logicalType")
@@ -323,7 +366,7 @@ def _read_value(data: bytes, i: int, typ):
             "timestamp-millis", "time-micros", "time-millis", "uuid",
         ):
             raise AvroError(f"unsupported logical type {lt!r}")
-        v, i = _read_value(data, i, typ["type"])
+        v, i = _read_value(data, i, typ["type"], named)
         if lt == "decimal":
             unscaled = int.from_bytes(v, "big", signed=True)
             return decimal.Decimal(unscaled).scaleb(-typ["scale"]), i
@@ -353,7 +396,7 @@ def _read_value(data: bytes, i: int, typ):
         idx, i = read_long(data, i)
         if not 0 <= idx < len(typ):
             raise AvroError(f"union branch {idx} out of range")
-        return _read_value(data, i, typ[idx])
+        return _read_value(data, i, typ[idx], named)
     if typ in ("long", "int"):
         v, i = read_long(data, i)
         if typ == "int" and not -(1 << 31) <= v < 1 << 31:
@@ -433,18 +476,23 @@ def record_path(rec, path: str):
 
 
 def avro_block_records(
-    data: bytes, codec: str, fields: list[tuple[str, object]], n: int
+    data: bytes, codec: str, fields: list[tuple[str, object]], n: int,
+    named: dict | None = None,
 ) -> list[dict]:
     """Decode one fetched block's record bytes: `fields` is the flat
     record layout [(name, type), ...] where type is a primitive name,
-    a union list (e.g. ["null", "string"] — Avro's nullable), or a
-    nested record/array/map spec (r11 — decoded recursively)."""
+    a union list (e.g. ["null", "string"] — Avro's nullable), a
+    nested record/array/map spec (r11 — decoded recursively), or a
+    NAME referencing an earlier definition (resolve with ``named``
+    from collect_named_types; built from `fields` when omitted)."""
+    if named is None:
+        named = collect_named_types([t for _n, t in fields])
     data = _decode_block_bytes(data, codec)
     i, out = 0, []
     for _ in range(n):
         rec = {}
         for name, typ in fields:
-            rec[name], i = _read_value(data, i, typ)
+            rec[name], i = _read_value(data, i, typ, named)
         out.append(rec)
     if i != len(data):
         raise AvroError("trailing bytes after the declared records")

@@ -716,3 +716,63 @@ def test_remaining_common_logical_types_pin_java(spark):
     assert got[0]["u"] == "123e4567-e89b-12d3-a456-426614174000"
     assert got[1]["tsm"] == dt.datetime(1969, 12, 31, 23, 59, 59, 999000)
     assert got[1]["tus"] == dt.time(0, 0)
+
+
+def test_named_type_references_resolve(spark):
+    """A schema reusing a defined record/enum/fixed by NAME (the
+    ``["null", "c"]`` form) decodes — references resolve through
+    collect_named_types, pinned against the Java encoder."""
+    import json
+    import tempfile
+
+    from core_spark.functions.avro import (
+        avro_block_records,
+        avro_blocks,
+        avro_ocf_meta,
+    )
+
+    schema = {
+        "type": "record", "name": "r", "namespace": "ns", "fields": [
+            {"name": "a", "type": {
+                "type": "enum", "name": "col",
+                "symbols": ["RED", "BLUE"]}},
+            {"name": "b", "type": ["null", "col"]},     # bare name
+            {"name": "c", "type": ["null", "ns.col"]},  # fullname
+            {"name": "pt", "type": {
+                "type": "record", "name": "p", "fields": [
+                    {"name": "x", "type": "long"}]}},
+            {"name": "pts", "type": {
+                "type": "array", "items": "p"}},        # record by name
+        ],
+    }
+    rows_json = [
+        {"a": "RED", "b": {"ns.col": "BLUE"}, "c": None,
+         "pt": {"x": 1}, "pts": [{"x": 2}, {"x": 3}]},
+        {"a": "BLUE", "b": None, "c": {"ns.col": "RED"},
+         "pt": {"x": 9}, "pts": []},
+    ]
+    jvm = spark._jvm
+    jschema = jvm.org.apache.avro.Schema.Parser().parse(json.dumps(schema))
+    dw = jvm.org.apache.avro.generic.GenericDatumWriter(jschema)
+    w = jvm.org.apache.avro.file.DataFileWriter(dw)
+    path = tempfile.mkdtemp() + "/named.avro"
+    w.create(jschema, jvm.java.io.File(path))
+    reader = jvm.org.apache.avro.generic.GenericDatumReader(jschema)
+    fac = jvm.org.apache.avro.io.DecoderFactory.get()
+    for r in rows_json:
+        w.append(reader.read(None, fac.jsonDecoder(jschema, json.dumps(r))))
+    w.close()
+    raw = open(path, "rb").read()
+    meta = avro_ocf_meta(raw)
+    fields = [(f["name"], f["type"]) for f in meta["schema"]["fields"]]
+    got = []
+    for b in avro_blocks(raw):
+        got.extend(avro_block_records(
+            raw[b["data_off"] : b["data_off"] + b["data_len"]],
+            meta["codec"], fields, b["n_records"]))
+    assert got == [
+        {"a": "RED", "b": "BLUE", "c": None,
+         "pt": {"x": 1}, "pts": [{"x": 2}, {"x": 3}]},
+        {"a": "BLUE", "b": None, "c": "RED",
+         "pt": {"x": 9}, "pts": []},
+    ]
