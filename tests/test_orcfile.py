@@ -1205,3 +1205,56 @@ def test_union_columns_decode(spark=None):
     if ok:
         with pytest.raises(OrcError, match="tag"):
             read_orc_column(bytes(evil), "v")
+
+
+def test_rlev1_property_fuzz_against_test_encoder():
+    """Property fuzz: random run/literal mixes through a test-side
+    RLE v1 ENCODER (written from the spec independently of the
+    decoder) must round-trip exactly — both signednesses, delta
+    edges (-128/127), long runs (130), singleton literal groups."""
+    import random
+
+    from core_spark.functions.orcfile import _rlev1
+
+    def zigzag(n):
+        return (n << 1) ^ (n >> 63) if n < 0 else n << 1
+
+    def varint(u):
+        out = bytearray()
+        while True:
+            b = u & 0x7F
+            u >>= 7
+            out.append(b | (0x80 if u else 0))
+            if not u:
+                return bytes(out)
+
+    rng = random.Random(0x9E1)
+    for trial in range(120):
+        signed = trial % 2 == 0
+        buf = bytearray()
+        want: list[int] = []
+        for _ in range(rng.randrange(1, 12)):
+            if rng.random() < 0.5:
+                run = rng.choice([3, 4, 7, 50, 130])
+                delta = rng.choice([-128, -3, 0, 1, 5, 127])
+                base = (
+                    rng.randrange(-(10**9), 10**9)
+                    if signed
+                    else rng.randrange(0, 10**9)
+                )
+                buf.append(run - 3)
+                buf.append(delta & 0xFF)
+                buf += varint(zigzag(base) if signed else base)
+                want.extend(base + k * delta for k in range(run))
+            else:
+                lits = [
+                    rng.randrange(-(10**12), 10**12)
+                    if signed
+                    else rng.randrange(0, 10**12)
+                    for _ in range(rng.randrange(1, 128))
+                ]
+                buf.append(256 - len(lits))
+                for v in lits:
+                    buf += varint(zigzag(v) if signed else v)
+                want.extend(lits)
+        assert _rlev1(bytes(buf), signed=signed) == want, trial
