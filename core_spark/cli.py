@@ -11,6 +11,9 @@ Commands (each wraps a batch DataFrame job):
                       (journals_fragments.go:20-70)
   journals scan-audit— per-fragment pruning verdicts for a
                       prospective read (no scan, no Spark session)
+  fragments bloom-probe — row-group verdicts from a fragment file's
+                      writer-native bloom filters (SBBF / ORC
+                      BLOOM_FILTER_UTF8), the tier below scan-audit
   journals prune    — retention by mod-time horizon
                       (journals_prune.go)
   journals list     — resolve a label selector over the catalog
@@ -151,6 +154,62 @@ def cmd_scan_audit(args) -> int:
     )
     for row in audit:
         print(json.dumps(row, default=str))
+    return 0
+
+
+def cmd_bloom_probe(args) -> int:
+    """Row-group point-lookup verdicts from a fragment FILE's
+    writer-native bloom filters (parquet split-block SBBF via
+    from-spec XXH64 / ORC BLOOM_FILTER_UTF8 via Murmur3-64) — one
+    JSON line per file: the sub-fragment tier below
+    journals-scan-audit's manifest blooms, answering "which row
+    groups inside this fragment could hold value X" with two ranged
+    metadata reads and no Spark session. Values parse like --where
+    literals: quote to force a string ('0123'), bare numerics probe
+    typed maps."""
+    import glob as _glob
+    import os as _os
+
+    from core_spark.sources.journal import parse_where
+
+    ((col, op, value),) = [parse_where([f"{args.column}={args.value}"])[0]]
+    if op != "=":
+        raise SystemExit("bloom probes are equality-only")
+    paths = []
+    for pat in ("*.parquet", "*.orc"):
+        paths += _glob.glob(_os.path.join(args.path, pat))
+    if _os.path.isfile(args.path):
+        paths = [args.path]
+    if not paths:
+        print(json.dumps({"error": f"no data files under {args.path}"}))
+        return 1
+    for path in sorted(paths):
+        raw = open(path, "rb").read()
+        if path.endswith(".orc"):
+            from core_spark.functions.orcfile import orc_bloom_may_contain
+
+            verdicts = [
+                x for s_ in orc_bloom_may_contain(raw, col, value)
+                for x in s_
+            ]
+        else:
+            from core_spark.functions.parquetfile import (
+                parquet_bloom_may_contain,
+            )
+
+            verdicts = parquet_bloom_may_contain(raw, col, value)
+        print(
+            json.dumps(
+                {
+                    "file": path,
+                    "column": col,
+                    "value": value,
+                    "row_groups": verdicts,
+                    "may_contain": any(v for v in verdicts if v),
+                    "no_filter": all(v is None for v in verdicts),
+                }
+            )
+        )
     return 0
 
 
@@ -508,6 +567,13 @@ def build_parser() -> argparse.ArgumentParser:
     jsa.add_argument("--at-version", type=int, default=None)
     jsa.add_argument("--where", action="append", default=[])
     jsa.set_defaults(fn=cmd_scan_audit)
+
+    jbp = sub.add_parser("fragments-bloom-probe")
+    jbp.add_argument("--path", required=True,
+                     help="fragment dir or a single parquet/orc file")
+    jbp.add_argument("--column", required=True)
+    jbp.add_argument("--value", required=True)
+    jbp.set_defaults(fn=cmd_bloom_probe)
 
     jp = sub.add_parser("journals-prune")
     jp.add_argument("--root", required=True)

@@ -395,3 +395,40 @@ def test_scan_audit_verb(spark, tmp_path, capsys):
     ]) == 0
     r2 = json.loads(capsys.readouterr().out.strip())
     assert r2["stats_ok"] is False and r2["read"] is False
+
+
+def test_fragments_bloom_probe(spark, tmp_path, capsys):
+    """fragments-bloom-probe: row-group verdicts off a fragment
+    file's writer-native blooms — present values may-contain,
+    absent values prune, no-filter files say so."""
+    from core_spark.catalog import CatalogStore, JournalSpec
+    from core_spark.sources.journal import Journal
+
+    root = str(tmp_path / "jb")
+    CatalogStore(root).apply(
+        upserts=(JournalSpec(name="demo/b", bloom_columns=("k",)),)
+    )
+    j = Journal(root, "demo/b")
+    j.append(spark.range(0, 2000).selectExpr("id AS k"))
+    frag_dir = str(tmp_path / "jb" / "demo" / "b")
+    import os as _os
+
+    m = j.manifest()
+    path = _os.path.join(str(j.root), m.fragments[0].path)
+
+    assert main([
+        "fragments-bloom-probe", "--path", path,
+        "--column", "k", "--value", "7",
+    ]) == 0
+    row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert row["may_contain"] is True and row["no_filter"] is False
+
+    hits = 0
+    for v in range(900000, 900020):
+        assert main([
+            "fragments-bloom-probe", "--path", path,
+            "--column", "k", "--value", str(v),
+        ]) == 0
+        row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        hits += row["may_contain"]
+    assert hits <= 1  # absent values overwhelmingly prune
