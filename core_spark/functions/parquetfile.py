@@ -1654,3 +1654,94 @@ def parquet_bloom_may_contain(
         None if b is None else _sbbf_may_contain(b, data)
         for b in read_parquet_bloom(raw, path, row_groups)
     ]
+
+
+def read_parquet_struct_list(
+    raw: bytes, name: str, row_groups: list[int] | None = None
+) -> list:
+    """Whole-struct read of a list<struct<…>> column: per record a
+    list of DICTS (None for a null struct element) — the ORC
+    read_orc_list_column parity shape, assembled from ALL the struct's
+    field leaves. Per-field values come from the general Dremel
+    assembler; struct NULLNESS (vs all-fields-null) is recovered by
+    assembling one leaf under its levels TRUNCATED at the element
+    node — a definition level reaching the element's own optional
+    marks the struct present even when every field inside is null.
+    A required element (no optional between the repeated node and
+    the fields) can never be null, and the presence pass says so."""
+    footer = parse_parquet_footer(raw)
+    leaves = footer.get("schema_leaves", {})
+    cand = sorted(
+        p
+        for p in leaves
+        if leaves[p]["max_rep"] > 0
+        and (_user_path(p).startswith(name + ".") or p.startswith(name + "."))
+    )
+    if not cand:
+        raise ParquetError(f"no repeated struct column under {name!r}")
+    # the shared prefix up to the element node: everything before the
+    # field name segment(s)
+    first = leaves[cand[0]]
+    rep_pos = max(
+        d for d, t in enumerate(first["levels"], 1) if t == "r"
+    )
+    field_of = {}
+    for p in cand:
+        lf = leaves[p]
+        if lf["levels"][: rep_pos] != first["levels"][: rep_pos] or (
+            lf["d_rep"] != first["d_rep"]
+        ):
+            raise ParquetError(
+                f"{name!r} leaves disagree on their repetition "
+                "structure — not a single list<struct>"
+            )
+        field_of[p] = _user_path(p).split(".")[-1]
+    if len(set(field_of.values())) != len(field_of):
+        raise ParquetError(
+            f"{name!r} has nested struct fields — read them "
+            "individually by dotted path"
+        )
+    # element nullability: one more 'o' right after the innermost
+    # repeated node means the element slot itself is optional
+    elem_opt = (
+        len(first["levels"]) > rep_pos and first["levels"][rep_pos] == "o"
+    )
+    present_depth = rep_pos + (1 if elem_opt else 0)
+
+    per_field: dict[str, list] = {}
+    presence: list | None = None
+    for p in cand:
+        lf = leaves[p]
+        slots, defs, reps = _leaf_levels(raw, footer, p, lf, row_groups)
+        per_field[field_of[p]] = _assemble_records(
+            slots, defs, reps, lf["levels"], _leaf_converter(lf, p)
+        )
+        if presence is None:
+            # truncated-levels pass: value True iff the def level
+            # reaches the element node (struct present)
+            presence = _assemble_records(
+                [None] * len(slots),
+                [min(d, present_depth) for d in defs],
+                reps,
+                lf["levels"][:present_depth],
+                lambda _v: True,
+            )
+    names_sorted = sorted(per_field)
+    out: list = []
+    for ri, pres in enumerate(presence):
+        if pres is None:
+            out.append(None)
+            continue
+        row = []
+        for ei, flag in enumerate(pres):
+            if flag is None:
+                row.append(None)
+            else:
+                row.append(
+                    {
+                        fn: per_field[fn][ri][ei]
+                        for fn in names_sorted
+                    }
+                )
+        out.append(row)
+    return out

@@ -1187,3 +1187,64 @@ def test_sbbf_refuses_unknown_branches_and_bad_bitsets(spark, tmp_path):
     evil[off + 1] ^= 0x02
     with pytest.raises(ParquetError):
         read_parquet_bloom(bytes(evil), "id")
+
+
+def test_struct_list_reads_whole_dicts():
+    """read_parquet_struct_list — ORC-parity list<struct> reads:
+    null struct element vs all-fields-null DISTINGUISHED (the
+    truncated-levels presence pass), both page formats, and pinned
+    against a Spark-written file."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from core_spark.functions.parquetfile import read_parquet_struct_list
+
+    rows = [
+        [{"x": 1, "y": "a"}, {"x": None, "y": None}],  # all-null fields
+        None,
+        [],
+        [None, {"x": 3, "y": None}],                   # null struct
+    ]
+    typ = pa.list_(pa.struct([("x", pa.int64()), ("y", pa.string())]))
+    t = pa.table({"ev": pa.array(rows, type=typ)})
+    for v2 in (True, False):
+        buf = io.BytesIO()
+        pq.write_table(t, buf, data_page_version="2.0" if v2 else "1.0")
+        assert read_parquet_struct_list(buf.getvalue(), "ev") == rows
+
+
+def test_struct_list_matches_spark_written(spark, tmp_path):
+    import glob
+
+    from pyspark.sql import Row
+
+    from core_spark.functions.parquetfile import (
+        read_parquet_column,
+        read_parquet_struct_list,
+    )
+
+    rows = [
+        Row(id=0, ev=[Row(x=1, y="a"), None, Row(x=None, y=None)]),
+        Row(id=1, ev=None),
+        Row(id=2, ev=[]),
+    ]
+    df = spark.createDataFrame(
+        rows, "id int, ev array<struct<x:int,y:string>>"
+    )
+    out = str(tmp_path / "sl")
+    df.coalesce(1).write.mode("overwrite").parquet(out)
+    (path,) = glob.glob(out + "/*.parquet")
+    raw = open(path, "rb").read()
+    back = {r["id"]: r for r in spark.read.parquet(out).collect()}
+    ids = read_parquet_column(raw, "id")
+    evs = read_parquet_struct_list(raw, "ev")
+    for k, rid in enumerate(ids):
+        want = back[rid]["ev"]
+        want = (
+            None
+            if want is None
+            else [None if e is None else e.asDict() for e in want]
+        )
+        assert evs[k] == want
