@@ -170,8 +170,8 @@ HEADLINE = [
     "q_audit_embed",
     "q_balance_strat",
     "q_audit_leakage",
-    "q_nested_values",
-    "q_ts_values",
+    "q_bits_nested",
+    "q_bits_epoch",
     # q_dup_canonical is intentionally absent: its dominant cost is
     # the same pair+CC pipeline q_dup_clusters already times;
     # q_bands_serve (streaming materialize->serve) follows the

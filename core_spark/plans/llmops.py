@@ -5651,7 +5651,7 @@ def q_bits_orc_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q_nested_values",
+    "q_bits_nested",
     oracle="""
     WITH p AS (
       SELECT doc_id,
@@ -5682,7 +5682,7 @@ def q_bits_orc_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM c ORDER BY doc_id, row_idx
     """,
 )
-def q_nested_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_bits_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DEEP-nested value decode, both formats, cross-asserted (r11 —
     the round that lifted the one-level fences): each document
     becomes a REAL pyarrow-written parquet file AND ORC file holding
@@ -5831,7 +5831,7 @@ def q_nested_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q_ts_values",
+    "q_bits_epoch",
     oracle="""
     WITH p AS (
       SELECT doc_id,
@@ -5854,7 +5854,7 @@ def q_nested_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM c ORDER BY doc_id, row_idx
     """,
 )
-def q_ts_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_bits_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TIMESTAMP value decode, both formats, cross-asserted (r11 —
     the round that decided the ORC timestamp fence): each document
     becomes a REAL pyarrow-written ORC file (base-2015 seconds in

@@ -79,10 +79,12 @@ _REPO = Path(__file__).resolve().parent.parent
 # q_split_leakage→q_audit_leakage. The names they displaced
 # (q_block_fuzzy … q_bloom_auto) all hold green r10 rows. Late-r11
 # additions sort after the new cutoff (q_bits_zstd) for r12 rotation.
-PYTEST_ONLY: set[str] = {
-    "q_nested_values",
-    "q_ts_values",
-}
+# r12: CORRECTNESS_r11.json landed (50/50 green — every window name
+# holds a green row), so the two late-r11 names rotated INTO the
+# window via renames — q_nested_values→q_bits_nested,
+# q_ts_values→q_bits_epoch. The names they displaced (q_bits_zstd,
+# q_block_fuzzy) hold green r11/r10 rows. The set is empty again.
+PYTEST_ONLY: set[str] = set()
 
 
 def _historical_rows() -> set[str]:
