@@ -1022,22 +1022,25 @@ def attach_pdf_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     content streams genuinely FlateDecode-compressed, an exact xref
     table, and an /Info dict with an md5-derived CreationDate — built
     by multimodal/pdf.py so a SQL oracle recomputes page boundaries
-    and text."""
+    and text. Half the corpus (md5 nibble 5 odd) is emitted in the
+    PDF 1.5 form instead — xref STREAM + /ObjStm packing + PNG Up
+    predictor, the majority real-world layout — so the driver oracle
+    exercises BOTH cross-reference forms; extraction output is
+    form-independent by construction (the cross-form test pin)."""
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
         from core_spark.multimodal.pdf import build_pdf_fixture
 
+        def one(t: str) -> bytes:
+            digest = hashlib.md5(t.encode("utf-8")).hexdigest()
+            kind = "stream" if int(digest[5], 16) % 2 else "classic"
+            return build_pdf_fixture(t, digest, xref_kind=kind)
+
         for pdf in batches:
             yield from _payload_frames(
-                pdf["doc_id"],
-                (
-                    build_pdf_fixture(
-                        t, hashlib.md5(t.encode("utf-8")).hexdigest()
-                    )
-                    for t in pdf[text_col]
-                ),
+                pdf["doc_id"], (one(t) for t in pdf[text_col])
             )
 
     return docs.select("doc_id", text_col).mapInPandas(

