@@ -44,8 +44,17 @@ classpath, driven through its JsonDecoder so the independent
 library does all binary encoding), ENUMS (zigzag symbol index ->
 the symbol string, out-of-range indices raise), and FIXED (exactly
 ``size`` raw bytes; decimal-over-fixed unscales like
-decimal-over-bytes). Exotic logical types (duration,
-local-timestamp-*) still raise the named scope fence.
+decimal-over-bytes). r12 closed the remaining common logical types:
+``local-timestamp-millis``/``local-timestamp-micros`` over long
+(the zone-free wall-clock shape Java/Flink lake writers emit —
+decoded with the same epoch arithmetic as timestamp-*, the
+instant/wall distinction living in the schema), ``uuid`` over
+fixed[16] (RFC 4122 big-endian bytes → the canonical hyphenated
+string, same representation as uuid-over-string), and ``duration``
+over fixed[12] (three little-endian uint32 → {months, days,
+millis}, kept apart because calendar components don't
+inter-convert) — each pinned against the Java Avro encoder. A
+logical type outside this set still raises the named scope fence.
 
 The block layout is what makes OCF object-storage friendly — the
 same ranged-GET discipline as the media walks: a reader seeks by
@@ -68,6 +77,7 @@ from __future__ import annotations
 
 import datetime
 import decimal
+import uuid
 import json
 import struct
 import zlib
@@ -289,9 +299,27 @@ def _read_value(data: bytes, i: int, typ, named: dict | None = None):
         if i + size > len(data):
             raise AvroError("fixed value escapes the buffer")
         v = data[i : i + size]
-        if typ.get("logicalType") == "decimal":
+        lt = typ.get("logicalType")
+        if lt == "decimal":
             unscaled = int.from_bytes(v, "big", signed=True)
             return decimal.Decimal(unscaled).scaleb(-typ["scale"]), i + size
+        if lt == "uuid":
+            # spec 1.11.1+: uuid may annotate fixed[16] — RFC 4122
+            # big-endian bytes; decode to the canonical hyphenated
+            # string, same representation as uuid-over-string
+            if size != 16:
+                raise AvroError("uuid over fixed requires size 16")
+            return str(uuid.UUID(bytes=bytes(v))), i + size
+        if lt == "duration":
+            # spec: fixed[12] of three little-endian uint32 —
+            # months, days, milliseconds (calendar components kept
+            # apart because they don't inter-convert)
+            if size != 12:
+                raise AvroError("duration requires fixed size 12")
+            months, days, millis = struct.unpack("<III", v)
+            return {"months": months, "days": days, "millis": millis}, (
+                i + size
+            )
         return v, i + size
     if isinstance(typ, dict) and typ.get("type") == "record":
         # record-in-record (r11): fields decode in declaration order
@@ -361,9 +389,15 @@ def _read_value(data: bytes, i: int, typ, named: dict | None = None):
             raise AvroError("time-millis must annotate int")
         if lt == "uuid" and typ["type"] != "string":
             raise AvroError("uuid must annotate string")
+        if (
+            lt in ("local-timestamp-micros", "local-timestamp-millis")
+            and typ["type"] != "long"
+        ):
+            raise AvroError(f"{lt} must annotate long")
         if lt not in (
             None, "decimal", "date", "timestamp-micros",
             "timestamp-millis", "time-micros", "time-millis", "uuid",
+            "local-timestamp-micros", "local-timestamp-millis",
         ):
             raise AvroError(f"unsupported logical type {lt!r}")
         v, i = _read_value(data, i, typ["type"], named)
@@ -372,9 +406,12 @@ def _read_value(data: bytes, i: int, typ, named: dict | None = None):
             return decimal.Decimal(unscaled).scaleb(-typ["scale"]), i
         if lt == "date":
             return _EPOCH_DATE + datetime.timedelta(days=v), i
-        if lt == "timestamp-micros":
+        if lt in ("timestamp-micros", "local-timestamp-micros"):
+            # both decode to a naive datetime from the epoch count;
+            # the semantic difference (UTC instant vs. zone-free
+            # wall-clock) lives in the schema, not the arithmetic
             return _EPOCH_DT + datetime.timedelta(microseconds=v), i
-        if lt == "timestamp-millis":
+        if lt in ("timestamp-millis", "local-timestamp-millis"):
             return _EPOCH_DT + datetime.timedelta(milliseconds=v), i
         if lt == "time-micros":
             return datetime.time(

@@ -776,3 +776,106 @@ def test_named_type_references_resolve(spark):
         {"a": "BLUE", "b": None, "c": "RED",
          "pt": {"x": 9}, "pts": []},
     ]
+
+
+def test_r12_logical_types_pin_java(spark):
+    """local-timestamp-millis/micros over long, uuid over fixed[16],
+    and duration over fixed[12] pinned against the Java Avro encoder
+    (the r12 fence lift — verdict ask #4). Fixed values ride the
+    Avro-JSON latin-1 convention into the JsonDecoder; the long
+    logical types are plain JSON longs. Also: the scope fence still
+    names genuinely unknown logical types, and wrong underlying
+    shapes/sizes raise."""
+    import datetime
+    import json
+    import tempfile
+    import uuid as _uuid
+
+    from core_spark.functions.avro import (
+        AvroError,
+        _read_value,
+        avro_block_records,
+        avro_blocks,
+        avro_ocf_meta,
+        write_long,
+    )
+
+    schema = {
+        "type": "record", "name": "r", "fields": [
+            {"name": "lts_us", "type": {
+                "type": "long", "logicalType": "local-timestamp-micros"}},
+            {"name": "lts_ms", "type": {
+                "type": "long", "logicalType": "local-timestamp-millis"}},
+            {"name": "uid", "type": {
+                "type": "fixed", "name": "u16", "size": 16,
+                "logicalType": "uuid"}},
+            {"name": "dur", "type": {
+                "type": "fixed", "name": "d12", "size": 12,
+                "logicalType": "duration"}},
+        ],
+    }
+    uid0 = _uuid.UUID("0102030405060708090a0b0c0d0e0f10")
+    # duration fixed[12]: three LITTLE-endian uint32 (months, days, ms)
+    dur0 = (14).to_bytes(4, "little") + (3).to_bytes(4, "little") + (
+        90_061_001
+    ).to_bytes(4, "little")
+    uid1 = _uuid.UUID(bytes=b"\xff" * 16)
+    dur1 = b"\x00" * 12
+    rows_json = [
+        # 2021-03-04T05:06:07.123456 wall-clock, pre-1970 millis
+        {"lts_us": 1_614_834_367_123_456, "lts_ms": -86_400_000 + 250,
+         "uid": uid0.bytes.decode("latin-1"),
+         "dur": dur0.decode("latin-1")},
+        {"lts_us": -1, "lts_ms": 0,
+         "uid": uid1.bytes.decode("latin-1"),
+         "dur": dur1.decode("latin-1")},
+    ]
+    want = [
+        {"lts_us": datetime.datetime(2021, 3, 4, 5, 6, 7, 123456),
+         "lts_ms": datetime.datetime(1969, 12, 31, 0, 0, 0, 250_000),
+         "uid": str(uid0),
+         "dur": {"months": 14, "days": 3, "millis": 90_061_001}},
+        {"lts_us": datetime.datetime(1969, 12, 31, 23, 59, 59, 999_999),
+         "lts_ms": datetime.datetime(1970, 1, 1),
+         "uid": str(uid1),
+         "dur": {"months": 0, "days": 0, "millis": 0}},
+    ]
+    jvm = spark._jvm
+    jschema = jvm.org.apache.avro.Schema.Parser().parse(json.dumps(schema))
+    dw = jvm.org.apache.avro.generic.GenericDatumWriter(jschema)
+    w = jvm.org.apache.avro.file.DataFileWriter(dw)
+    path = tempfile.mkdtemp() + "/r12lt.avro"
+    w.create(jschema, jvm.java.io.File(path))
+    reader = jvm.org.apache.avro.generic.GenericDatumReader(jschema)
+    fac = jvm.org.apache.avro.io.DecoderFactory.get()
+    for r in rows_json:
+        w.append(reader.read(None, fac.jsonDecoder(jschema, json.dumps(r))))
+    w.close()
+    raw = open(path, "rb").read()
+    meta = avro_ocf_meta(raw)
+    fields = [(f["name"], f["type"]) for f in meta["schema"]["fields"]]
+    got = []
+    for b in avro_blocks(raw):
+        got.extend(
+            avro_block_records(
+                raw[b["data_off"] : b["data_off"] + b["data_len"]],
+                meta["codec"], fields, b["n_records"],
+            )
+        )
+    assert got == want
+
+    # fences: wrong underlying shape / size / unknown type still raise
+    with pytest.raises(AvroError, match="must annotate long"):
+        _read_value(write_long(1), 0, {
+            "type": "int", "logicalType": "local-timestamp-micros"})
+    with pytest.raises(AvroError, match="size 16"):
+        _read_value(b"\x00" * 8, 0, {
+            "type": "fixed", "name": "u8", "size": 8,
+            "logicalType": "uuid"})
+    with pytest.raises(AvroError, match="size 12"):
+        _read_value(b"\x00" * 16, 0, {
+            "type": "fixed", "name": "d16", "size": 16,
+            "logicalType": "duration"})
+    with pytest.raises(AvroError, match="unsupported logical type"):
+        _read_value(write_long(1), 0, {
+            "type": "long", "logicalType": "timestamp-nanos-custom"})
