@@ -11,7 +11,12 @@ sequence execution with the three-slot repeat-offset history, RLE /
 raw / compressed blocks, skippable frames, and XXH64 content-
 checksum verification — written from the spec, pinned in tests
 against pyarrow's (independent, C) zstd compressor at several levels
-and shapes.
+and shapes. As of r12, DICTIONARY frames too (§5): structured
+dictionaries parse (magic + id + preset Huffman/FSE entropy tables +
+repeat offsets + content), raw-content dictionaries serve as window
+prefix, and match copies reach into the dictionary content — pinned
+against zstd-jni on Spark's classpath, whose reference ZDICT trainer
+builds the dictionaries the tests decode.
 
 Scale shape: decompression is per-block CPU inside a map-side Arrow
 kernel — embarrassingly parallel, no shuffle, the same class as the
@@ -653,10 +658,13 @@ def _execute(
     seqs: list[tuple[int, int, int]],
     out: bytearray,
     rep: list[int],
+    prefix: bytes = b"",
 ) -> None:
     """Sequence execution (RFC 8878 §3.1.1.5): copy literals, then an
     overlappable match copy against the frame history; the 3-slot
-    repeat-offset list with the literals_length==0 index shift."""
+    repeat-offset list with the literals_length==0 index shift.
+    ``prefix`` is the dictionary content (§5), a virtual window
+    prefix that match offsets may reach back into."""
     lit = 0
     for ll, of_val, ml in seqs:
         if lit + ll > len(literals):
@@ -688,15 +696,22 @@ def _execute(
                 rep[2] = rep[1]
                 rep[1] = rep[0]
                 rep[0] = offset
-        if offset > len(out):
+        if offset > len(out) + len(prefix):
             raise ZstdDecodeError("match offset escapes the window")
         if ml:
-            if offset >= ml:
+            if offset <= len(out) and offset >= ml:
                 start = len(out) - offset
                 out += out[start : start + ml]
+            elif offset > len(out) and offset - len(out) >= ml:
+                # match lies entirely inside the dictionary prefix
+                start = len(prefix) - (offset - len(out))
+                out += prefix[start : start + ml]
             else:
+                # overlap and/or prefix-boundary crossing: the source
+                # advances with the destination (RFC overlap rule)
                 for _ in range(ml):
-                    out.append(out[-offset])
+                    j = len(out) - offset
+                    out.append(out[j] if j >= 0 else prefix[j])
     out += literals[lit:]
 
 
@@ -706,17 +721,76 @@ def _execute(
 def _decode_block(payload: bytes, out: bytearray, state: dict) -> None:
     lits, used = _literals(payload, state)
     seqs = _sequences(payload[used:], state)
-    _execute(lits, seqs, out, state["rep"])
+    _execute(lits, seqs, out, state["rep"], state.get("prefix", b""))
+
+
+# ----------------------------------------------------------- dictionary
+DICT_MAGIC = 0xEC30A437
+
+
+def parse_zstd_dictionary(raw: bytes) -> dict:
+    """RFC 8878 §5 dictionary → {dict_id, content, huf, ll/of/ml FSE
+    tables, rep}. A buffer that does not start with the dictionary
+    magic is a RAW CONTENT dictionary (spec: "a raw content
+    dictionary is just the content"): no id, no preset entropy, the
+    bytes serve only as window prefix. A structured dictionary is
+    magic + 4-byte LE Dictionary_ID + entropy tables in spec order
+    (Huffman literals, then FSE offsets / match-lengths /
+    literal-lengths) + three 4-byte LE repeat offsets + content."""
+    if len(raw) < 8 or struct.unpack_from("<I", raw, 0)[0] != DICT_MAGIC:
+        return {
+            "dict_id": 0,
+            "content": bytes(raw),
+            "huf": None,
+            "ll": None,
+            "of": None,
+            "ml": None,
+            "rep": [1, 4, 8],
+        }
+    dict_id = struct.unpack_from("<I", raw, 4)[0]
+    huf, used = _huf_read_tree(raw[8:])
+    i = 8 + used
+    tables = {}
+    for key, max_acc, max_sym in (
+        ("of", _OF_MAX_ACC, _OF_MAX_SYM),
+        ("ml", _ML_MAX_ACC, _ML_MAX_SYM),
+        ("ll", _LL_MAX_ACC, _LL_MAX_SYM),
+    ):
+        fb = _FwdBits(raw[i:])
+        tables[key] = _fse_parse(fb, max_acc, max_sym)
+        i += fb.consumed_bytes()
+    if i + 12 > len(raw):
+        raise ZstdDecodeError("truncated dictionary repeat offsets")
+    rep = list(struct.unpack_from("<III", raw, i))
+    if any(r == 0 for r in rep):
+        raise ZstdDecodeError("dictionary repeat offset of zero")
+    i += 12
+    return {
+        "dict_id": dict_id,
+        "content": bytes(raw[i:]),
+        "huf": huf,
+        "ll": tables["ll"],
+        "of": tables["of"],
+        "ml": tables["ml"],
+        "rep": rep,
+    }
 
 
 def zstd_decompress_frame(
-    raw: bytes, offset: int = 0, max_output: int = MAX_OUTPUT_DEFAULT
+    raw: bytes,
+    offset: int = 0,
+    max_output: int = MAX_OUTPUT_DEFAULT,
+    dictionary: bytes | dict | None = None,
 ) -> tuple[bytes, int]:
     """Decode ONE zstd frame at ``offset`` → (content, next offset).
     Skippable frames return b'' and skip. Content checksum, when
-    present, is VERIFIED (XXH64 low 32). Dictionary frames raise the
-    named error (install the public ``zstandard`` library for
-    dictionary decode — stub discipline)."""
+    present, is VERIFIED (XXH64 low 32). ``dictionary`` is raw
+    dictionary bytes (structured or raw-content) or the result of
+    parse_zstd_dictionary; a frame that DECLARES a dictionary id
+    raises the named error when no dictionary is supplied or the
+    supplied structured dictionary's id differs (RFC 8878 §5 —
+    r12 lifted the former fence, pinned against zstd-jni's
+    independent encoder+trainer on Spark's classpath)."""
     if offset + 4 > len(raw):
         raise ZstdDecodeError("truncated frame magic")
     magic = struct.unpack_from("<I", raw, offset)[0]
@@ -734,11 +808,19 @@ def zstd_decompress_frame(
         hdr, i = _frame_header(raw, offset + 4)
     except ZstdError as e:
         raise ZstdDecodeError(str(e)) from None
+    if isinstance(dictionary, (bytes, bytearray)):
+        dictionary = parse_zstd_dictionary(dictionary)
     if hdr["dict_id"]:
-        raise ZstdDecodeError(
-            "dictionary frames are not supported here — install the public"
-            " 'zstandard' library for dictionary decode"
-        )
+        if dictionary is None:
+            raise ZstdDecodeError(
+                f"frame requires dictionary id {hdr['dict_id']} and none "
+                "was supplied"
+            )
+        if dictionary["dict_id"] and dictionary["dict_id"] != hdr["dict_id"]:
+            raise ZstdDecodeError(
+                f"frame requires dictionary id {hdr['dict_id']}, got "
+                f"{dictionary['dict_id']}"
+            )
     declared = hdr["content_size"]
     if declared is not None and declared > max_output:
         raise ZstdDecodeError(
@@ -746,6 +828,15 @@ def zstd_decompress_frame(
         )
     out = bytearray()
     state: dict = {"rep": [1, 4, 8], "huf": None}
+    if dictionary is not None:
+        state = {
+            "rep": list(dictionary["rep"]),
+            "huf": dictionary["huf"],
+            "prefix": dictionary["content"],
+        }
+        for key in ("ll", "of", "ml"):
+            if dictionary[key] is not None:
+                state[key] = dictionary[key]
     while True:
         if i + 3 > len(raw):
             raise ZstdDecodeError("truncated block header")
@@ -791,15 +882,22 @@ def zstd_decompress_frame(
 
 
 def zstd_decompress(
-    raw: bytes, max_output: int = MAX_OUTPUT_DEFAULT
+    raw: bytes,
+    max_output: int = MAX_OUTPUT_DEFAULT,
+    dictionary: bytes | dict | None = None,
 ) -> bytes:
-    """Decode a whole (possibly frame-concatenated) .zst buffer."""
+    """Decode a whole (possibly frame-concatenated) .zst buffer.
+    ``dictionary`` applies to every frame that declares a dict id
+    (and seeds the window/entropy state of id-less frames too, the
+    reference behavior for raw-content dictionaries)."""
     if not raw:
         raise ZstdDecodeError("empty input is not a zstd frame")
+    if isinstance(dictionary, (bytes, bytearray)):
+        dictionary = parse_zstd_dictionary(dictionary)
     out = bytearray()
     i = 0
     while i < len(raw):
-        content, i = zstd_decompress_frame(raw, i, max_output)
+        content, i = zstd_decompress_frame(raw, i, max_output, dictionary)
         out += content
         if len(out) > max_output:
             raise ZstdDecodeError(f"output exceeds max_output {max_output}")

@@ -118,12 +118,14 @@ def test_corrupt_shapes_raise_named_error():
             zstd_decompress(blob)
 
 
-def test_dictionary_frames_raise_naming_the_library():
-    # FHD with dictionary-id flag 1 → 1-byte dict id ≠ 0.
+def test_dictionary_frames_require_a_supplied_dictionary():
+    # FHD with dictionary-id flag 1 → 1-byte dict id ≠ 0. With no
+    # dictionary supplied, the named error says which id is needed
+    # (r12: the former library-naming fence became real decode).
     blob = struct.pack("<I", 0xFD2FB528) + bytes([(2 << 6) | 0x20 | 0x01])
     blob += bytes([7]) + struct.pack("<I", 3)
     blob += b"\x19\x00\x00abc"
-    with pytest.raises(ZstdDecodeError, match="zstandard"):
+    with pytest.raises(ZstdDecodeError, match="requires dictionary id 7"):
         zstd_decompress(blob)
 
 
@@ -152,3 +154,100 @@ def test_bit_flip_fuzz_never_hangs_or_lies():
         except ZstdDecodeError:
             pass  # the only acceptable failure shape
         comp[i] = old
+
+
+def test_dictionary_decode_pins_against_zstd_jni(spark):
+    """RFC 8878 §5 dictionary frames (the r12 fence lift) pinned
+    against zstd-jni on Spark's own classpath — an independent
+    encoder AND trainer: a dictionary TRAINED by the reference ZDICT
+    trainer (structured: magic + entropy tables + rep offsets +
+    content), frames compressed with that dictionary across levels,
+    decoded by the from-spec decoder. Covers the preset-entropy
+    first-block path (Repeat/treeless modes backed by dict tables),
+    match copies reaching into the dictionary-content window prefix,
+    raw-content dictionaries, and the id-mismatch fence."""
+    import random
+
+    from core_spark.functions.zstd_decode import parse_zstd_dictionary
+
+    jvm = spark._jvm
+    rng = random.Random(41)
+    words = [b"journal", b"fragment", b"manifest", b"shard", b"offset",
+             b"commit", b"watermark", b"zstd", b"dictionary", b"training"]
+
+    def doc(n):
+        return b" ".join(rng.choice(words) for _ in range(n)) + b"\n"
+
+    samples = [doc(rng.randrange(30, 120)) for _ in range(200)]
+    trainer = jvm.com.github.luben.zstd.ZstdDictTrainer(
+        sum(len(s) for s in samples), 16 * 1024
+    )
+    for s in samples:
+        assert trainer.addSample(s)
+    dict_bytes = bytes(trainer.trainSamples())
+    parsed = parse_zstd_dictionary(dict_bytes)
+    assert parsed["dict_id"] != 0 and parsed["huf"] is not None
+    assert all(parsed[k] is not None for k in ("ll", "of", "ml"))
+    assert len(parsed["content"]) > 0
+
+    payloads = [doc(rng.randrange(5, 400)) for _ in range(30)]
+    payloads += [b"", b"zstd", samples[0] * 3]
+    for level in (1, 3, 19):
+        ctx = jvm.com.github.luben.zstd.ZstdCompressCtx()
+        ctx.setLevel(level)
+        ctx.loadDict(dict_bytes)
+        for p in payloads:
+            comp = bytes(ctx.compress(p))
+            assert zstd_decompress(comp, dictionary=dict_bytes) == p
+            assert zstd_decompress(comp, dictionary=parsed) == p
+
+    # raw-content dictionary (no magic): window-prefix-only decode
+    raw_dict = b"".join(samples[:20])
+    assert not raw_dict.startswith(b"\x37\xa4\x30\xec")
+    ctx = jvm.com.github.luben.zstd.ZstdCompressCtx()
+    ctx.setLevel(3)
+    ctx.loadDict(raw_dict)
+    for p in payloads[:10]:
+        comp = bytes(ctx.compress(p))
+        assert zstd_decompress(comp, dictionary=raw_dict) == p
+
+    # fences: structured-dict id mismatch, and missing dictionary
+    ctx = jvm.com.github.luben.zstd.ZstdCompressCtx()
+    ctx.setLevel(3)
+    ctx.loadDict(dict_bytes)
+    comp = bytes(ctx.compress(payloads[2]))
+    wrong = dict(parsed)
+    wrong["dict_id"] = parsed["dict_id"] + 1
+    with pytest.raises(ZstdDecodeError, match="requires dictionary id"):
+        zstd_decompress(comp, dictionary=wrong)
+    with pytest.raises(ZstdDecodeError, match="requires dictionary id"):
+        zstd_decompress(comp)
+
+
+def test_dictionary_corrupt_shapes_raise_named_error():
+    """Crafted dictionary hostiles stay named errors: zero repeat
+    offsets, truncated entropy/rep sections; plus a bit-flip fuzz
+    over a real trained dictionary's parse."""
+    import random
+
+    from core_spark.functions.zstd_decode import parse_zstd_dictionary
+
+    # structured magic + id, then junk entropy → named error
+    for tail in (b"", b"\x00", b"\xff" * 6):
+        with pytest.raises(ZstdDecodeError):
+            parse_zstd_dictionary(
+                struct.pack("<I", 0xEC30A437) + struct.pack("<I", 9) + tail
+            )
+
+    # raw-content dictionaries never raise (any bytes are a window)
+    d = parse_zstd_dictionary(b"arbitrary raw content bytes")
+    assert d["dict_id"] == 0 and d["huf"] is None
+
+    rng = random.Random(17)
+    base = struct.pack("<I", 0xEC30A437) + struct.pack("<I", 5)
+    for _ in range(300):
+        blob = base + bytes(rng.randrange(256) for _ in range(rng.randrange(0, 80)))
+        try:
+            parse_zstd_dictionary(blob)
+        except ValueError:
+            pass
