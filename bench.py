@@ -171,6 +171,7 @@ HEADLINE = [
     "q_balance_strat",
     "q_audit_leakage",
     "q_bits_nested",
+    "q_bits_dict",
     "q_bits_epoch",
     # q_dup_canonical is intentionally absent: its dominant cost is
     # the same pair+CC pipeline q_dup_clusters already times;

@@ -5273,6 +5273,103 @@ def q_bits_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_bits_dict",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           len(list_filter(string_split(text, ' '),
+                           w -> strlen(w) >= 4)) > 0 AS dict_needed,
+           array_to_string(list_reverse(string_split(text, ' ')), '|')
+             AS payload
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_bits_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zstd DICTIONARY frames under the driver oracle (r12 — the
+    round that lifted the dictionary fence): per document, the
+    document text is the raw-content dictionary (RFC 8878 §5 window
+    prefix) and the payload is the text's words REVERSED, joined by
+    '|' (a byte absent from the corpus, so cross-word grams can
+    never match the dictionary). The from-spec ENCODER
+    (functions/zstd_encode.py, itself pinned against zstd-jni's
+    independent decoder) compresses the payload against that
+    dictionary; the from-spec DECODER inflates it back through the
+    dictionary-prefix match path and the kernel emits the decoded
+    text — a single wrong byte in either direction hash-fails.
+
+    ``dict_needed`` is the sharp witness that the dictionary path
+    actually executed: the kernel sets it by attempting a decode
+    WITHOUT the dictionary (True = the named window-escape error was
+    raised), and the oracle recomputes it in closed form — a
+    document holds a >= 4-char word iff its first such word's 4-gram
+    can only be matched from the dictionary prefix (shorter words
+    cannot assemble a separator-free 4-gram, and a content-sourced
+    self-match of the word's FIRST occurrence would contradict its
+    firstness), so the first match escapes the frame-local window
+    exactly when such a word exists.
+
+    Corpus-purity notes: the synthetic corpus is ASCII and '|'-free
+    (verified r12, all sf tiers) and documents are far below the
+    64 KiB dictionary-index stride threshold — both travel with any
+    corpus change.
+
+    Scale shape: map-side Arrow kernel, zero shuffles before the
+    presentation sort (the q_bits_* discipline); at 100 TB the
+    production analog is per-shard trained dictionaries over small
+    fragments with decode cost linear in fragment bytes."""
+    from core_spark.functions.zstd_decode import (
+        ZstdDecodeError,
+        zstd_decompress,
+    )
+    from core_spark.functions.zstd_encode import zstd_compress
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+
+    def walk(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = text.split(" ")
+                payload = "|".join(reversed(words)).encode("utf-8")
+                dict_content = text.encode("utf-8")
+                comp = zstd_compress(payload, dictionary=dict_content)
+                got = zstd_decompress(comp, dictionary=dict_content)
+                if got != payload:
+                    raise ValueError("dictionary round-trip mismatch")
+                try:
+                    undictd = zstd_decompress(comp)
+                    dict_needed = undictd != payload
+                except ZstdDecodeError:
+                    dict_needed = True
+                rows.append(
+                    (
+                        int(doc_id),
+                        len(words),
+                        bool(dict_needed),
+                        got.decode("utf-8"),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_words", "dict_needed", "payload"],
+            )
+
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(
+            walk,
+            schema=(
+                "doc_id long, n_words long, dict_needed boolean,"
+                " payload string"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "q_bits_parquet",
     oracle="""
     WITH p AS (
