@@ -1024,9 +1024,13 @@ def attach_pdf_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     by multimodal/pdf.py so a SQL oracle recomputes page boundaries
     and text. Half the corpus (md5 nibble 5 odd) is emitted in the
     PDF 1.5 form instead — xref STREAM + /ObjStm packing + PNG Up
-    predictor, the majority real-world layout — so the driver oracle
-    exercises BOTH cross-reference forms; extraction output is
-    form-independent by construction (the cross-form test pin)."""
+    predictor, the majority real-world layout — and an independent
+    half (md5 nibble 6 odd) uses a CID /Type0 font with /Identity-H
+    glyph-code hex strings and a /ToUnicode CMap instead of the
+    simple Type1 font, so the driver oracle exercises both
+    cross-reference forms AND the composite-font text path;
+    extraction output is form- and font-independent by construction
+    (the cross-form test pins)."""
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -1036,7 +1040,8 @@ def attach_pdf_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
         def one(t: str) -> bytes:
             digest = hashlib.md5(t.encode("utf-8")).hexdigest()
             kind = "stream" if int(digest[5], 16) % 2 else "classic"
-            return build_pdf_fixture(t, digest, xref_kind=kind)
+            fnt = "cid" if int(digest[6], 16) % 2 else "simple"
+            return build_pdf_fixture(t, digest, xref_kind=kind, font=fnt)
 
         for pdf in batches:
             yield from _payload_frames(

@@ -566,13 +566,89 @@ class _Doc:
 
 
 # ------------------------------------------------------ text extraction
-def _content_text(content: bytes) -> str:
+_MAX_CMAP_ENTRIES = 65_536
+
+
+def _parse_tounicode_cmap(data: bytes) -> dict:
+    """/ToUnicode CMap (the Adobe CMap subset every conforming writer
+    emits, spec §9.10.3): beginbfchar/beginbfrange sections mapping
+    glyph codes to UTF-16BE text. → {"nbytes": code width in bytes,
+    "map": {code int: str}}. Entry count is capped so a crafted
+    <0000> <FFFFFFFF> range can't allocate unbounded memory."""
+    nbytes = 1
+    mapping: dict[int, str] = {}
+
+    def dst_text(hx: bytes) -> str:
+        return bytes.fromhex(hx.decode("ascii")).decode(
+            "utf-16-be", errors="replace"
+        )
+
+    for m in re.finditer(
+        rb"begincodespacerange(.*?)endcodespacerange", data, re.S
+    ):
+        for tok in re.findall(rb"<([0-9A-Fa-f]+)>", m.group(1)):
+            nbytes = max(nbytes, len(tok) // 2)
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.S):
+        toks = re.findall(rb"<([0-9A-Fa-f]+)>", m.group(1))
+        for j in range(0, len(toks) - 1, 2):
+            src, dst = toks[j], toks[j + 1]
+            nbytes = max(nbytes, len(src) // 2)
+            if len(mapping) >= _MAX_CMAP_ENTRIES:
+                raise PdfError("/ToUnicode CMap too large")
+            mapping[int(src, 16)] = dst_text(dst)
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.S):
+        body = m.group(1)
+        # range forms: <lo> <hi> <dst>  |  <lo> <hi> [<d1> <d2> ...]
+        for rm in re.finditer(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
+            rb"(?:<([0-9A-Fa-f]+)>|\[((?:\s*<[0-9A-Fa-f]+>)+)\s*\])",
+            body,
+        ):
+            lo, hi = int(rm.group(1), 16), int(rm.group(2), 16)
+            nbytes = max(nbytes, len(rm.group(1)) // 2)
+            if hi < lo or hi - lo + len(mapping) >= _MAX_CMAP_ENTRIES:
+                raise PdfError("/ToUnicode CMap range out of bounds")
+            if rm.group(3) is not None:
+                base = rm.group(3)
+                base_int = int(base, 16)
+                width = len(base) // 2
+                for k in range(hi - lo + 1):
+                    mapping[lo + k] = dst_text(
+                        (b"%%0%dx" % (width * 2)) % (base_int + k)
+                    )
+            else:
+                dsts = re.findall(rb"<([0-9A-Fa-f]+)>", rm.group(4))
+                for k, d in enumerate(dsts[: hi - lo + 1]):
+                    mapping[lo + k] = dst_text(d)
+    return {"nbytes": nbytes, "map": mapping}
+
+
+def _cmap_text(b: bytes, cmap: dict) -> str:
+    """Glyph-code string bytes → text through a /ToUnicode CMap;
+    unmapped codes become U+FFFD (what public extractors emit)."""
+    nb = cmap["nbytes"]
+    mp = cmap["map"]
+    return "".join(
+        mp.get(int.from_bytes(b[i : i + nb], "big"), "�")
+        for i in range(0, len(b) - nb + 1, nb)
+    )
+
+
+def _content_text(content: bytes, fonts: dict | None = None) -> str:
     """Tj/TJ walk over one page's content stream. Each Tj string is a
     run; TJ kerning ≤ TJ_SPACE_THRESHOLD breaks words; runs joined
-    by single spaces, whitespace collapsed."""
+    by single spaces, whitespace collapsed. ``fonts`` maps resource
+    names to a /ToUnicode CMap (or None); the Tf operator selects the
+    current font, and shown strings route through its CMap when one
+    exists — the CID/Type0 path real-world PDFs need for non-trivial
+    encodings (r12)."""
     i, n = 0, len(content)
     runs: list[str] = []
     stack: list = []  # operand stack, as the content-stream model has
+    cmap: dict | None = None  # current font's /ToUnicode, if any
+
+    def shown(b: bytes) -> str:
+        return _cmap_text(b, cmap) if cmap else _text_str(b)
     while i < n:
         i = _skip_ws(content, i)
         if i >= n:
@@ -581,6 +657,9 @@ def _content_text(content: bytes) -> str:
         if c == b"(":
             s, i = _parse_string(content, i)
             stack.append(("str", s))
+        elif c == b"<":  # hex string (the CID glyph-code shape)
+            v, i = _parse_value(content, i)
+            stack.append(v)
         elif c == b"[":
             v, i = _parse_value(content, i)
             stack.append(v)
@@ -606,18 +685,22 @@ def _content_text(content: bytes) -> str:
             if op == b"Tj" and stack:
                 v = stack[-1]
                 if isinstance(v, tuple) and v[0] == "str":
-                    runs.append(_text_str(v[1]))
+                    runs.append(shown(v[1]))
             elif op == b"TJ" and stack:
                 v = stack[-1]
                 if isinstance(v, list):
                     words: list[str] = [""]
                     for item in v:
                         if isinstance(item, tuple) and item[0] == "str":
-                            words[-1] += _text_str(item[1])
+                            words[-1] += shown(item[1])
                         elif isinstance(item, (int, float)):
                             if item <= TJ_SPACE_THRESHOLD:
                                 words.append("")
                     runs.append(" ".join(w for w in words if w))
+            elif op == b"Tf" and len(stack) >= 2 and fonts:
+                fname = stack[-2]
+                if isinstance(fname, tuple) and fname[0] == "name":
+                    cmap = fonts.get(fname[1])
             # every operator consumes its operands (content-stream
             # execution model) — Tf/Td/BT/ET operands included
             stack.clear()
@@ -645,6 +728,30 @@ def pdf_meta(raw: bytes) -> dict:
     }
 
 
+def _page_fonts(doc: "_Doc", page: dict) -> dict:
+    """Page /Resources /Font → {resource name: parsed /ToUnicode
+    CMap or None}. Fonts without a /ToUnicode (the simple-encoding
+    fixtures) map to None and strings decode as text strings."""
+    fonts: dict = {}
+    res = doc.deref(page.get("Resources"))
+    if not isinstance(res, dict):
+        return fonts
+    fdict = doc.deref(res.get("Font"))
+    if not isinstance(fdict, dict):
+        return fonts
+    for name, fref in fdict.items():
+        font = doc.deref(fref)
+        cmap = None
+        if isinstance(font, dict) and font.get("ToUnicode") is not None:
+            tu = font["ToUnicode"]
+            if isinstance(tu, tuple) and tu and tu[0] == "ref":
+                sd, data = doc.obj(tu[1])
+                if isinstance(sd, dict) and data is not None:
+                    cmap = _parse_tounicode_cmap(_decode_stream(sd, data))
+        fonts[name] = cmap
+    return fonts
+
+
 def pdf_pages_text(raw: bytes) -> list[str]:
     """Per-page extracted text, document order. A page whose content
     stream cannot be decoded yields ''."""
@@ -652,7 +759,11 @@ def pdf_pages_text(raw: bytes) -> list[str]:
     out = []
     for page in doc.pages():
         content = doc.page_content(page)
-        out.append("" if content is None else _content_text(content))
+        out.append(
+            ""
+            if content is None
+            else _content_text(content, _page_fonts(doc, page))
+        )
     return out
 
 
@@ -687,11 +798,36 @@ def _esc(s: str) -> bytes:
     )
 
 
+def _cid_cmap_stream(code_of: dict[str, int]) -> bytes:
+    """Minimal conforming /ToUnicode CMap for the CID fixture: one
+    <0000><ffff> codespace + bfchar sections of ≤100 entries mapping
+    each glyph code to its character's UTF-16BE text."""
+    lines = [
+        b"/CIDInit /ProcSet findresource begin",
+        b"12 dict begin",
+        b"begincmap",
+        b"1 begincodespacerange",
+        b"<0000> <ffff>",
+        b"endcodespacerange",
+    ]
+    items = sorted(code_of.items(), key=lambda kv: kv[1])
+    for s in range(0, len(items), 100):
+        sect = items[s : s + 100]
+        lines.append(b"%d beginbfchar" % len(sect))
+        for ch, code in sect:
+            dst = ch.encode("utf-16-be").hex().encode("ascii")
+            lines.append(b"<%04x> <" % code + dst + b">")
+        lines.append(b"endbfchar")
+    lines += [b"endcmap", b"end", b"end"]
+    return b"\n".join(lines)
+
+
 def build_pdf_fixture(
     text: str,
     digest: str,
     graphics_only: bool = False,
     xref_kind: str = "classic",
+    font: str = "simple",
 ) -> bytes:
     """Deterministic PDF 1.4 fixture: the document's words tiled
     `5 + digest[0]%4` per page; even pages show their words as one
@@ -706,6 +842,14 @@ def build_pdf_fixture(
     content stream draws paths instead of showing text — the
     scan-only/image-PDF shape whose extraction honestly yields ''
     per page (what a curation gate routes to OCR).
+
+    font="cid" swaps the simple Type1 font for a /Type0 (composite)
+    font with /Encoding /Identity-H and a /ToUnicode CMap: shown
+    strings become 2-byte glyph-code HEX strings under an arbitrary
+    per-document code assignment (code = rank of the character in
+    the document's sorted alphabet), so extraction is mojibake
+    unless the extractor actually consults the CMap — the modern
+    subset-embedded-font shape that dominates real PDF corpora.
 
     xref_kind="stream" emits the SAME document as PDF 1.5: every
     dictionary object (catalog, pages root, info, font, page dicts)
@@ -736,7 +880,40 @@ def build_pdf_fixture(
         b"<< /Producer (core_spark pdf builder)"
         b" /CreationDate (" + created.encode("latin-1") + b") >>"
     )
-    objs[4] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    if font == "cid":
+        code_of = {ch: i for i, ch in enumerate(sorted(set(text)))}
+        tu_num = 5 + 2 * n_pages
+        cmap = zlib.compress(_cid_cmap_stream(code_of))
+        objs[tu_num] = (
+            b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(cmap)
+            + cmap
+            + b"\nendstream"
+        )
+        objs[4] = (
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /CoreSparkCID"
+            b" /Encoding /Identity-H /DescendantFonts"
+            b" [ << /Type /Font /Subtype /CIDFontType2"
+            b" /BaseFont /CoreSparkCID"
+            b" /CIDSystemInfo << /Registry (Adobe) /Ordering (Identity)"
+            b" /Supplement 0 >> >> ]"
+            b" /ToUnicode %d 0 R >>" % tu_num
+        )
+
+        def _show(s: str) -> bytes:
+            return (
+                b"<"
+                + "".join(f"{code_of[c]:04x}" for c in s).encode("ascii")
+                + b">"
+            )
+
+    elif font == "simple":
+        objs[4] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+
+        def _show(s: str) -> bytes:
+            return b"(" + _esc(s) + b")"
+
+    else:
+        raise ValueError(f"unknown font kind {font!r}")
     for k in range(n_pages):
         chunk = words[k * wpp : (k + 1) * wpp]
         if graphics_only:
@@ -745,13 +922,11 @@ def build_pdf_fixture(
             )
         else:
             if k % 2 == 0:
-                shown = b"(" + _esc(" ".join(chunk)) + b") Tj"
+                shown = _show(" ".join(chunk)) + b" Tj"
             else:
                 shown = (
                     b"[ "
-                    + b" -120 ".join(
-                        b"(" + _esc(w) + b")" for w in chunk
-                    )
+                    + b" -120 ".join(_show(w) for w in chunk)
                     + b" ] TJ"
                 )
             body = zlib.compress(

@@ -2422,3 +2422,87 @@ def test_pdf15_hostile_inputs_stay_named_errors():
     out += b"startxref\n%d\n%%%%EOF\n" % xref_at
     with pytest.raises(PdfError):
         pdf_meta(bytes(out))
+
+
+def test_pdf_cid_tounicode_extraction():
+    """font="cid" fixtures (Type0 + Identity-H + /ToUnicode CMap,
+    2-byte glyph-code hex strings under an arbitrary per-document
+    code assignment) extract byte-identically to the simple-font
+    form in BOTH xref forms — the modern subset-embedded-font shape.
+    Without consulting the CMap the codes are mojibake by
+    construction, which pins that the extractor actually walks
+    /Resources /Font /ToUnicode."""
+    import hashlib
+    import random
+
+    from core_spark.multimodal.pdf import (
+        _parse_tounicode_cmap,
+        build_pdf_fixture,
+        pdf_meta,
+        pdf_pages_text,
+    )
+
+    texts = [
+        "hello world this is a cid document " * 6,
+        "short",
+        "汉字文本 ελληνικά mixed ascii 漢字 " * 4,
+        "\U0001F600 emoji supplementary plane test",
+    ]
+    rnd = random.Random(3)
+    words = "kappa lambda mu nu xi omicron pi rho".split()
+    for _ in range(12):
+        texts.append(" ".join(rnd.choice(words) for _ in range(rnd.randrange(1, 70))))
+    for t in texts:
+        d = hashlib.md5(t.encode()).hexdigest()
+        simple = build_pdf_fixture(t, d)
+        for xk in ("classic", "stream"):
+            cid = build_pdf_fixture(t, d, xref_kind=xk, font="cid")
+            assert pdf_pages_text(cid) == pdf_pages_text(simple)
+            assert (
+                pdf_meta(cid)["page_count"] == pdf_meta(simple)["page_count"]
+            )
+
+    # the glyph codes are deliberately NOT the characters: stripping
+    # the /ToUnicode (so the extractor falls back to text strings)
+    # yields mojibake, proving the CMap is load-bearing
+    t = texts[0]
+    cid = build_pdf_fixture(t, hashlib.md5(t.encode()).hexdigest(),
+                            font="cid")
+    stripped = cid.replace(b"/ToUnicode", b"/ToUnknown0", 1)
+    assert pdf_pages_text(stripped) != pdf_pages_text(cid)
+
+    # bfrange coverage: both destination forms, per spec §9.10.3
+    cm = _parse_tounicode_cmap(
+        b"1 begincodespacerange <0000> <ffff> endcodespacerange\n"
+        b"2 beginbfrange\n"
+        b"<0010> <0012> <0041>\n"
+        b"<0020> <0021> [<00480069> <0042>]\n"
+        b"endbfrange\n"
+        b"1 beginbfchar <0001> <20ac> endbfchar\n"
+    )
+    assert cm["nbytes"] == 2
+    assert cm["map"][0x10] == "A" and cm["map"][0x12] == "C"
+    assert cm["map"][0x20] == "Hi" and cm["map"][0x21] == "B"
+    assert cm["map"][0x1] == "€"
+
+
+def test_pdf_cid_hostile_cmaps():
+    """Crafted CMaps stay named errors / bounded: a <0000><ffffffff>
+    bfrange cannot allocate unbounded memory, and junk CMap bytes
+    never crash extraction (the page quarantines)."""
+    import pytest
+
+    from core_spark.multimodal.pdf import PdfError, _parse_tounicode_cmap
+
+    with pytest.raises(PdfError):
+        _parse_tounicode_cmap(
+            b"1 beginbfrange <00000000> <ffffffff> <0041> endbfrange"
+        )
+    # reversed range
+    with pytest.raises(PdfError):
+        _parse_tounicode_cmap(
+            b"1 beginbfrange <0010> <0002> <0041> endbfrange"
+        )
+    # junk parses to an empty map (no sections found), never raises
+    cm = _parse_tounicode_cmap(b"\x00\xffnot a cmap at all")
+    assert cm["map"] == {}
