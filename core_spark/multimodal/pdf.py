@@ -416,8 +416,13 @@ def _xref_offsets(raw: bytes) -> tuple[dict[int, tuple], dict]:
     return entries, trailer if trailer is not None else {}
 
 
-def _load_object(raw: bytes, off: int):
-    """Indirect object at byte `off` → (value, stream bytes | None)."""
+def _load_object(raw: bytes, off: int, resolve=None):
+    """Indirect object at byte `off` → (value, stream bytes | None).
+    A stream's /Length may be an indirect reference (the backfilled
+    layout streaming writers emit) when ``resolve`` is supplied —
+    it maps an object number to the referenced integer; without it,
+    only a direct integer /Length is accepted (the xref-stream rule,
+    spec §7.5.8.2)."""
     m = _OBJ_AT.match(raw, _skip_ws(raw, off))
     if not m:
         raise PdfError(f"no object at xref offset {off}")
@@ -429,11 +434,17 @@ def _load_object(raw: bytes, off: int):
             i += 2
         elif raw[i : i + 1] == b"\n":
             i += 1
-        if not isinstance(val, dict) or not isinstance(
-            val.get("Length"), int
+        length = val.get("Length") if isinstance(val, dict) else None
+        if (
+            resolve is not None
+            and isinstance(length, tuple)
+            and length
+            and length[0] == "ref"
         ):
+            length = resolve(length[1])
+        if not isinstance(val, dict) or not isinstance(length, int):
             raise PdfError("stream without integer /Length")
-        data = raw[i : i + val["Length"]]
+        data = raw[i : i + length]
         return val, data
     return val, None
 
@@ -455,8 +466,21 @@ class _Doc:
         if ent is None:
             raise PdfError(f"object {num} not in xref")
         if ent[0] == "at":
-            return _load_object(self.raw, ent[1])
+            return _load_object(self.raw, ent[1], self._resolve_length)
         return self._objstm_obj(ent[1], ent[2])
+
+    def _resolve_length(self, num: int) -> int:
+        """Indirect /Length target → its integer value. The length
+        object itself must be a plain (streamless) integer, which
+        also refuses a crafted `<< /Length N 0 R >>` self-cycle —
+        loading the target never needs another /Length resolution."""
+        ent = self.offsets.get(num)
+        if ent is None or ent[0] != "at":
+            raise PdfError(f"indirect /Length object {num} unavailable")
+        val, _ = _load_object(self.raw, ent[1])
+        if not isinstance(val, int):
+            raise PdfError(f"indirect /Length object {num} is not an int")
+        return val
 
     def _objstm_obj(self, snum: int, idx: int):
         """Object `idx` inside object stream `snum` (spec §7.5.7):

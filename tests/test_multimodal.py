@@ -2506,3 +2506,51 @@ def test_pdf_cid_hostile_cmaps():
     # junk parses to an empty map (no sections found), never raises
     cm = _parse_tounicode_cmap(b"\x00\xffnot a cmap at all")
     assert cm["map"] == {}
+
+
+def test_pdf_indirect_stream_length():
+    """A content stream whose /Length is an indirect reference (the
+    backfilled layout streaming writers emit) reads correctly; a
+    crafted self-referential /Length stays a named error."""
+    import zlib as _z
+
+    import pytest
+
+    from core_spark.multimodal.pdf import PdfError, pdf_pages_text
+
+    content = _z.compress(b"BT (indirect length) Tj ET")
+    out = bytearray(b"%PDF-1.4\n")
+    offs = {}
+
+    def emit(num, body):
+        offs[num] = len(out)
+        out.extend(b"%d 0 obj\n" % num + body + b"\nendobj\n")
+
+    emit(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    emit(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    emit(
+        3,
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+        b" /Contents 4 0 R >>",
+    )
+    emit(
+        4,
+        b"<< /Length 5 0 R /Filter /FlateDecode >>\nstream\n"
+        + content
+        + b"\nendstream",
+    )
+    emit(5, b"%d" % len(content))
+    xref_at = len(out)
+    out += b"xref\n0 6\n0000000000 65535 f \n"
+    for n in range(1, 6):
+        out += b"%010d 00000 n \n" % offs[n]
+    out += (
+        b"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % xref_at
+    )
+    assert pdf_pages_text(bytes(out)) == ["indirect length"]
+
+    # self-referential /Length: object 4 names itself
+    evil = bytes(out).replace(b"/Length 5 0 R", b"/Length 4 0 R", 1)
+    with pytest.raises(PdfError):
+        pdf_pages_text(evil)
