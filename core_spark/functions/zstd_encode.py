@@ -157,10 +157,17 @@ def _pack_back(fields: list[tuple[int, int]]) -> bytes:
 
 
 def _compress_block(
-    chunk: bytes, seqs: list[tuple[int, int, int]], literals: bytes
+    chunk: bytes,
+    seqs: list[tuple[int, int, int]],
+    literals: bytes,
+    economize: bool = True,
 ) -> bytes | None:
     """Literals + sequences → compressed-block payload, or None when
-    the encoding would not be smaller than a raw block."""
+    the encoding would not be smaller than a raw block. With
+    ``economize=False`` a block holding at least one sequence is
+    kept compressed even when larger than raw (still conforming —
+    chunks are ≤64 KiB so the payload stays far under the 128 KiB
+    block bound); sequence-free blocks always economize."""
     if len(literals) >= 1 << 20:
         return None
     lit_sec = bytes(
@@ -190,7 +197,7 @@ def _compress_block(
     for ll, of_val, ml in seqs:
         ll_codes.append(_ll_code(ll))
         k = of_val.bit_length() - 1
-        if k > 31:
+        if k > 28:  # predefined OF table holds symbols 0..28 only
             raise ZstdEncodeError("offset code out of range")
         of_codes.append(k)
         ml_codes.append(_ml_code(ml))
@@ -217,18 +224,29 @@ def _compress_block(
             fields.append(ml_up[n])
             fields.append(of_up[n])
     payload = lit_sec + head + _pack_back(fields)
-    return payload if len(payload) < len(chunk) else None
+    if economize and len(payload) >= len(chunk):
+        return None
+    return payload
 
 
 # ----------------------------------------------------------- match find
+# the predefined Offset_Code table holds symbols 0..28 only (RFC 8878
+# predefined distributions), so a representable offset value is < 2^29
+_MAX_OF_VAL = (1 << 29) - 1
+
+
 def _find_sequences(
-    chunk: bytes, prefix_len: int, index: dict, v_off: int, virtual
+    chunk: bytes, index: dict, v_off: int, virtual, index_content: bool
 ) -> tuple[list[tuple[int, int, int]], bytes]:
     """Greedy 4-gram LZ77 over the virtual buffer (dict prefix +
     frame history + this chunk). ``index`` maps 4-grams to recent
-    virtual positions and is updated in place; ``v_off`` is the
+    virtual positions and is updated in place (content positions are
+    added only when ``index_content`` — dictionary-only matching
+    keeps every match sourced from the §5 prefix); ``v_off`` is the
     chunk's first virtual position; ``virtual(p)`` reads one byte at
-    a virtual position."""
+    a virtual position. Candidates whose offset would not fit the
+    predefined offset-code table (symbol > 28) are skipped, never
+    errors."""
     seqs: list[tuple[int, int, int]] = []
     lits = bytearray()
     i = 0
@@ -242,6 +260,8 @@ def _find_sequences(
         if cands:
             vpos = v_off + i
             for cpos in reversed(cands):
+                if vpos - cpos + 3 > _MAX_OF_VAL:
+                    continue
                 length = 0
                 limit = min(n - i, _MAX_MATCH)
                 while length < limit and virtual(cpos + length) == chunk[
@@ -261,7 +281,7 @@ def _find_sequences(
             step = 1 if best_len < 64 else 7
             while i < end:
                 g = chunk[i : i + 4]
-                if len(g) == 4:
+                if index_content and len(g) == 4:
                     lst = index.setdefault(g, [])
                     lst.append(v_off + i)
                     if len(lst) > _CHAIN:
@@ -270,10 +290,11 @@ def _find_sequences(
             i = end
             run_start = end
         else:
-            lst = index.setdefault(gram, [])
-            lst.append(v_off + i)
-            if len(lst) > _CHAIN:
-                del lst[0]
+            if index_content:
+                lst = index.setdefault(gram, [])
+                lst.append(v_off + i)
+                if len(lst) > _CHAIN:
+                    del lst[0]
             i += 1
     lits += chunk[run_start:]
     return seqs, bytes(lits)
@@ -293,11 +314,21 @@ def zstd_compress(
     content: bytes,
     dictionary: bytes | None = None,
     checksum: bool = True,
+    dict_only: bool = False,
+    economize: bool = True,
 ) -> bytes:
     """Compress ``content`` into one conforming zstd frame (raw
     literals + predefined-FSE match sequences). ``dictionary`` bytes
     extend the match window as the §5 prefix; a structured
-    dictionary additionally stamps its id into the frame header."""
+    dictionary additionally stamps its id into the frame header.
+
+    ``dict_only=True`` sources matches exclusively from the
+    dictionary prefix (no frame-history self-matches) and
+    ``economize=False`` keeps a block compressed whenever it holds
+    at least one sequence even if the raw form would be smaller —
+    together they make "this frame depends on its dictionary" a
+    decidable function of the content alone (the q_bits_dict oracle
+    contract); both default off for normal compression."""
     dict_id = 0
     prefix = b""
     if dictionary:
@@ -334,9 +365,9 @@ def zstd_compress(
         chunk = content[pos : pos + _BLOCK]
         last = 1 if pos + len(chunk) >= len(content) else 0
         seqs, lits = _find_sequences(
-            chunk, plen, index, plen + pos, virtual
+            chunk, index, plen + pos, virtual, not dict_only
         )
-        payload = _compress_block(chunk, seqs, lits)
+        payload = _compress_block(chunk, seqs, lits, economize)
         if payload is None:  # incompressible: raw block
             hdr = (len(chunk) << 3) | (0 << 1) | last
             out += bytes((hdr & 0xFF, (hdr >> 8) & 0xFF, (hdr >> 16) & 0xFF))

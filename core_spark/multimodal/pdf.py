@@ -392,7 +392,11 @@ def _xref_offsets(raw: bytes) -> tuple[dict[int, tuple], dict]:
     while queue:
         pos = queue.pop(0)
         if pos in seen:
-            raise PdfError("xref section chain cycle")
+            # a DIAMOND is legal (hybrid files: /Prev and /XRefStm
+            # can both reach the same earlier section) and a true
+            # cycle is harmless once merged — re-visits are skipped;
+            # unterminated chains die on the section bound instead
+            continue
         seen.add(pos)
         if len(seen) > _MAX_XREF_SECTS:
             raise PdfError("xref section chain too long")
@@ -603,9 +607,14 @@ def _parse_tounicode_cmap(data: bytes) -> dict:
     mapping: dict[int, str] = {}
 
     def dst_text(hx: bytes) -> str:
-        return bytes.fromhex(hx.decode("ascii")).decode(
-            "utf-16-be", errors="replace"
-        )
+        if len(hx) % 2:  # odd digit counts pad like PDF hex strings
+            hx += b"0"
+        try:
+            return bytes.fromhex(hx.decode("ascii")).decode(
+                "utf-16-be", errors="replace"
+            )
+        except ValueError:
+            raise PdfError("non-hex digits in /ToUnicode CMap") from None
 
     for m in re.finditer(
         rb"begincodespacerange(.*?)endcodespacerange", data, re.S
@@ -635,11 +644,14 @@ def _parse_tounicode_cmap(data: bytes) -> dict:
             if rm.group(3) is not None:
                 base = rm.group(3)
                 base_int = int(base, 16)
-                width = len(base) // 2
+                # widen if the increment carries past the declared
+                # width (spec increments the final byte; a crafted
+                # overflowing range must not become odd-length hex)
                 for k in range(hi - lo + 1):
-                    mapping[lo + k] = dst_text(
-                        (b"%%0%dx" % (width * 2)) % (base_int + k)
-                    )
+                    h = b"%x" % (base_int + k)
+                    width = max(len(base), len(h))
+                    width += width % 2
+                    mapping[lo + k] = dst_text(h.rjust(width, b"0"))
             else:
                 dsts = re.findall(rb"<([0-9A-Fa-f]+)>", rm.group(4))
                 for k, d in enumerate(dsts[: hi - lo + 1]):

@@ -5300,13 +5300,22 @@ def q_bits_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dict_needed`` is the sharp witness that the dictionary path
     actually executed: the kernel sets it by attempting a decode
     WITHOUT the dictionary (True = the named window-escape error was
-    raised), and the oracle recomputes it in closed form — a
-    document holds a >= 4-char word iff its first such word's 4-gram
-    can only be matched from the dictionary prefix (shorter words
-    cannot assemble a separator-free 4-gram, and a content-sourced
-    self-match of the word's FIRST occurrence would contradict its
-    firstness), so the first match escapes the frame-local window
-    exactly when such a word exists.
+    raised), and the oracle recomputes it in closed form. The frame
+    is built with ``dict_only=True`` (matches source exclusively
+    from the dictionary prefix — no frame-history self-matches) and
+    ``economize=False`` (a block with at least one sequence stays
+    compressed even when raw would be smaller), which makes the
+    claim airtight in both directions: a dictionary match cannot
+    cross a '|' separator (the dictionary contains none), so every
+    >= 4-char word is matched within its own span against the
+    prefix and the frame cannot decode without it; conversely, a
+    document whose every word is shorter than 4 has no '|'-free
+    4-gram present in the dictionary, so no sequence exists at all
+    and the frame is dictionary-independent. (Without dict_only the
+    claim is UNSOUND — review r12 found the counterexample
+    'abcd q abc z', where a self-match sourced from the short word
+    'abc' plus its separator covers '|abc' of '|abcd' and no match
+    ever references the dictionary.)
 
     Corpus-purity notes: the synthetic corpus is ASCII and '|'-free
     (verified r12, all sf tiers) and documents are far below the
@@ -5334,7 +5343,12 @@ def q_bits_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
                 words = text.split(" ")
                 payload = "|".join(reversed(words)).encode("utf-8")
                 dict_content = text.encode("utf-8")
-                comp = zstd_compress(payload, dictionary=dict_content)
+                comp = zstd_compress(
+                    payload,
+                    dictionary=dict_content,
+                    dict_only=True,
+                    economize=False,
+                )
                 got = zstd_decompress(comp, dictionary=dict_content)
                 if got != payload:
                     raise ValueError("dictionary round-trip mismatch")

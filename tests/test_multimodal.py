@@ -2256,16 +2256,63 @@ def test_pdf_incremental_update_prev_chain():
     assert m["created"] == "D:20200101120000Z"
     assert pdf_pages_text(bytes(upd)) == pdf_pages_text(base)
 
-    # /Prev cycle: an update whose /Prev points at itself
+    # /Prev SELF-cycle: the re-visit is skipped, not an error in
+    # itself (diamonds are legal — hybrid /Prev and /XRefStm may
+    # reach the same earlier section), so the walk TERMINATES; this
+    # crafted section's entries never resolve the catalog, which
+    # surfaces as the named missing-object error — never a hang
     cyc = bytearray(base)
     xref_at = len(cyc)
     cyc += (
         b"xref\n0 1\n0000000000 65535 f \n"
-        b"trailer\n<< /Size %d /Root 1 0 R /Prev %d >>\n"
+        b"trailer\n<< /Size %d /Root 1 0 R /Info 3 0 R /Prev %d >>\n"
         b"startxref\n%d\n%%%%EOF\n" % (size, xref_at, xref_at)
     )
-    with pytest.raises(PdfError):
+    with pytest.raises(PdfError, match="not in xref"):
         pdf_meta(bytes(cyc))
+
+    # a legal DIAMOND (hybrid-reference, spec §7.5.8.4): the newest
+    # classic trailer reaches the original section BOTH through its
+    # /XRefStm stream's /Prev and through its own /Prev — the same
+    # offset arrives twice and must be merged once, not refused
+    import zlib as _z
+
+    dia = bytearray(base)
+    xdata = _z.compress(b"")  # an entry-less xref stream
+    s_num = size  # next free object number
+    s_at = len(dia)
+    dia += (
+        b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Index [0 0]"
+        b" /Root 1 0 R /Prev %d /Length %d /Filter /FlateDecode >>\n"
+        b"stream\n" % (s_num, size + 1, old_xref_at, len(xdata))
+        + xdata
+        + b"\nendstream\nendobj\n"
+    )
+    a_at = len(dia)
+    dia += (
+        b"xref\n0 1\n0000000000 65535 f \n"
+        b"trailer\n<< /Size %d /Root 1 0 R /Info 3 0 R /Prev %d"
+        b" /XRefStm %d >>\nstartxref\n%d\n%%%%EOF\n"
+        % (size + 1, old_xref_at, s_at, a_at)
+    )
+    m2 = pdf_meta(bytes(dia))
+    assert m2["producer"] == "core_spark pdf builder"
+    assert pdf_pages_text(bytes(dia)) == pdf_pages_text(base)
+
+    # an unterminated chain of DISTINCT sections still dies on the
+    # section bound: 70 chained updates exceed _MAX_XREF_SECTS
+    deep = bytearray(base)
+    prev_at = old_xref_at
+    for _ in range(70):
+        xref_at = len(deep)
+        deep += (
+            b"xref\n0 1\n0000000000 65535 f \n"
+            b"trailer\n<< /Size %d /Root 1 0 R /Info 3 0 R /Prev %d >>\n"
+            b"startxref\n%d\n%%%%EOF\n" % (size, prev_at, xref_at)
+        )
+        prev_at = xref_at
+    with pytest.raises(PdfError, match="chain too long"):
+        pdf_meta(bytes(deep))
 
 
 def test_pdf_hybrid_xrefstm_bridge():
@@ -2506,6 +2553,20 @@ def test_pdf_cid_hostile_cmaps():
     # junk parses to an empty map (no sections found), never raises
     cm = _parse_tounicode_cmap(b"\x00\xffnot a cmap at all")
     assert cm["map"] == {}
+
+    # a bfrange whose destination increments past its declared hex
+    # width (review r12: '%04x' of 0x10000 is 5 digits → odd-length
+    # hex reached bytes.fromhex as a raw ValueError): must widen and
+    # decode, never crash
+    cm = _parse_tounicode_cmap(
+        b"1 beginbfrange <fffe> <ffff> <ffff> endbfrange"
+    )
+    assert cm["map"][0xFFFE] == "￿"
+    assert isinstance(cm["map"][0xFFFF], str)  # widened, replace-decoded
+
+    # odd-digit destination tokens pad like PDF hex strings
+    cm = _parse_tounicode_cmap(b"1 beginbfchar <01> <004> endbfchar")
+    assert cm["map"][1] == "@"
 
 
 def test_pdf_indirect_stream_length():

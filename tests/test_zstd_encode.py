@@ -121,3 +121,31 @@ def test_encode_fences():
         _ll_code(1 << 20)  # beyond the last LL code band
     assert _ml_code(3) == 0 and _ml_code(34) == 31
     assert _ll_code(0) == 0 and _ll_code(15) == 15
+
+
+def test_dict_only_witness_soundness():
+    """dict_only=True + economize=False make dictionary dependence a
+    function of the content alone (the q_bits_dict oracle contract):
+    decode-without-dictionary fails iff a >=4-char '|'-free word
+    exists — including the review-r12 counterexample where a
+    frame-history self-match would otherwise preempt the dictionary
+    ('abcd q abc z': '|abc' from the short word covers '|abcd''s
+    prefix), and the tiny-single-word document where economizing to
+    a raw block would otherwise drop the dependence."""
+    from core_spark.functions.zstd_decode import ZstdDecodeError
+
+    cases = ["abcd q abc z", "ab c d", "abcd", "", "x",
+             "abc abc abc", "abcd abcd", "zz yy xx abcd"]
+    for text in cases:
+        words = text.split(" ")
+        payload = "|".join(reversed(words)).encode()
+        d = text.encode()
+        comp = zstd_compress(
+            payload, dictionary=d, dict_only=True, economize=False
+        )
+        assert zstd_decompress(comp, dictionary=d) == payload
+        try:
+            needed = zstd_decompress(comp) != payload
+        except ZstdDecodeError:
+            needed = True
+        assert needed == any(len(w) >= 4 for w in words), text
