@@ -329,6 +329,8 @@ def zstd_compress(
     together they make "this frame depends on its dictionary" a
     decidable function of the content alone (the q_bits_dict oracle
     contract); both default off for normal compression."""
+    if len(content) >= 1 << 32:
+        raise ZstdEncodeError("content too large for 4-byte FCS")
     dict_id = 0
     prefix = b""
     if dictionary:
@@ -347,7 +349,13 @@ def zstd_compress(
     # virtual buffer = prefix + content; pre-index the prefix grams
     index: dict[bytes, list[int]] = {}
     plen = len(prefix)
-    step = 1 if plen <= 1 << 16 else 3
+    # dict_only is the q_bits_dict decidability contract: every
+    # dictionary 4-gram must be findable, so a sparse stride would
+    # make "dict_needed" depend on word placement (a >=4-char word's
+    # only 4-gram can fall between stride-3 samples).  Full stride
+    # whenever soundness matters; sparse only for plain compression
+    # of oversized prefixes.
+    step = 1 if (dict_only or plen <= 1 << 16) else 3
     for p in range(0, max(0, plen - 3), step):
         g = prefix[p : p + 4]
         lst = index.setdefault(g, [])

@@ -149,3 +149,44 @@ def test_dict_only_witness_soundness():
         except ZstdDecodeError:
             needed = True
         assert needed == any(len(w) >= 4 for w in words), text
+
+
+def test_dict_only_full_stride_over_64k_prefix():
+    """ADVICE-r12 regression: with a >64 KiB dictionary the plain
+    encoder indexes the prefix at stride 3, which can skip the only
+    4-gram of a >=4-char word — silently flipping the q_bits_dict
+    witness for some placements. dict_only=True must index at full
+    stride so the witness is placement-independent."""
+    from core_spark.functions.zstd_decode import ZstdDecodeError
+
+    rng = random.Random(13)
+    small = ["abc", "de", "fgh", "ij", "klm", "no", "pqr"]
+    n = 20_000  # ~72 KiB of dictionary text, over the 64 KiB knee
+    for placement in (0, 1, 7, 1_234, 9_999, n - 1):
+        words = [rng.choice(small) for _ in range(n)]
+        words[placement] = "word"
+        text = " ".join(words)
+        d = text.encode()
+        assert len(d) > 1 << 16
+        payload = "|".join(reversed(words)).encode()
+        comp = zstd_compress(
+            payload, dictionary=d, dict_only=True, economize=False
+        )
+        assert zstd_decompress(comp, dictionary=d) == payload
+        try:
+            needed = zstd_decompress(comp) != payload
+        except ZstdDecodeError:
+            needed = True
+        assert needed, placement  # 'word' exists -> frame MUST need dict
+
+
+def test_fcs_overflow_named_fence():
+    """content >= 4 GiB exceeds the 4-byte Frame_Content_Size this
+    encoder always writes: named ZstdEncodeError, not struct.error."""
+
+    class _Huge(bytes):
+        def __len__(self):
+            return 1 << 32
+
+    with pytest.raises(ZstdEncodeError, match="4-byte FCS"):
+        zstd_compress(_Huge())
