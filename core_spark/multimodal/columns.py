@@ -1022,15 +1022,17 @@ def attach_pdf_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     content streams genuinely FlateDecode-compressed, an exact xref
     table, and an /Info dict with an md5-derived CreationDate — built
     by multimodal/pdf.py so a SQL oracle recomputes page boundaries
-    and text. Half the corpus (md5 nibble 5 odd) is emitted in the
-    PDF 1.5 form instead — xref STREAM + /ObjStm packing + PNG Up
-    predictor, the majority real-world layout — and an independent
-    half (md5 nibble 6 odd) uses a CID /Type0 font with /Identity-H
-    glyph-code hex strings and a /ToUnicode CMap instead of the
-    simple Type1 font, so the driver oracle exercises both
-    cross-reference forms AND the composite-font text path;
-    extraction output is form- and font-independent by construction
-    (the cross-form test pins)."""
+    and text. Independent md5 nibbles rotate the corpus across the
+    real-world form space: nibble 5 odd → PDF 1.5 layout (xref
+    STREAM + /ObjStm packing + PNG Up predictor, the majority
+    layout); nibble 6 odd → CID /Type0 font with /Identity-H
+    glyph-code hex strings and a /ToUnicode CMap; else nibble 7 odd
+    → simple font remapped through /WinAnsiEncoding + /Differences
+    with NO /ToUnicode (the older-toolchain shape); nibble 8 → a
+    quarter each RC4-40 and RC4-128 standard-handler encryption with
+    empty passwords (the restriction-flag crawl shape — r13).
+    Extraction output is form-, font- and encryption-independent by
+    construction (the cross-form test pins)."""
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -1040,8 +1042,16 @@ def attach_pdf_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
         def one(t: str) -> bytes:
             digest = hashlib.md5(t.encode("utf-8")).hexdigest()
             kind = "stream" if int(digest[5], 16) % 2 else "classic"
-            fnt = "cid" if int(digest[6], 16) % 2 else "simple"
-            return build_pdf_fixture(t, digest, xref_kind=kind, font=fnt)
+            if int(digest[6], 16) % 2:
+                fnt = "cid"
+            elif int(digest[7], 16) % 2:
+                fnt = "diffs"
+            else:
+                fnt = "simple"
+            enc = {2: "rc4-40", 3: "rc4-128"}.get(int(digest[8], 16) % 4)
+            return build_pdf_fixture(
+                t, digest, xref_kind=kind, font=fnt, encrypt=enc
+            )
 
         for pdf in batches:
             yield from _payload_frames(

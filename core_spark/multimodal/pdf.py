@@ -281,9 +281,103 @@ def _decode_stream(sd: dict, data: bytes) -> bytes:
                     buf[r0 + j] = (buf[r0 + j] + buf[r0 + j - bpp]) & 0xFF
             return bytes(buf)
         if 10 <= pred <= 15:
+            if bpc != 8:
+                # sub-byte bpc needs bit-level reconstruction;
+                # colors*bpc//8 would silently produce wrong bytes —
+                # refuse loudly, matching the TIFF branch's fence
+                raise PdfError("PNG predictor with bpc != 8")
             return _png_unpredict(out, cols, bpp)
         raise PdfError(f"unknown /Predictor {pred}")
     return out
+
+
+# ---------------------------------------------------------- encryption
+# Standard security handler, RC4 revisions (spec §7.6.3): the
+# empty-user-password V1/V2 shape that dominates crawled "encrypted"
+# PDFs (they restrict printing, not reading). AES (/V 4+) and real
+# passwords refuse with the named error — loud, never silent-empty.
+_ENC_PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+    0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+    0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+])
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    """RC4 stream cipher (the public KSA+PRGA description)."""
+    s = list(range(256))
+    j = 0
+    klen = len(key)
+    for i in range(256):
+        j = (j + s[i] + key[i % klen]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for k, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[k] = c ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+def _std_file_key(
+    o: bytes, p: int, id0: bytes, r: int, keylen: int, password: bytes = b""
+) -> bytes:
+    """Spec Algorithm 2: the file encryption key from the (padded)
+    user password, /O, /P (as a SIGNED int's 4 little-endian bytes),
+    and the first document /ID element; R>=3 re-hashes 50 times."""
+    import hashlib as _hl
+    import struct as _st
+
+    h = _hl.md5((password + _ENC_PAD)[:32])
+    h.update(o[:32])
+    h.update(_st.pack("<i", p if p < 1 << 31 else p - (1 << 32)))
+    h.update(id0)
+    key = h.digest()
+    if r >= 3:
+        for _ in range(50):
+            key = _hl.md5(key[:keylen]).digest()
+    return key[:keylen]
+
+
+def _std_user_check(key: bytes, id0: bytes, r: int) -> bytes:
+    """Spec Algorithms 4/5: the /U value the empty user password
+    produces (R=2: full 32 bytes; R=3: the 16 compared bytes)."""
+    import hashlib as _hl
+
+    if r == 2:
+        return _rc4(key, _ENC_PAD)
+    x = _rc4(key, _hl.md5(_ENC_PAD + id0).digest())
+    for i in range(1, 20):
+        x = _rc4(bytes(b ^ i for b in key), x)
+    return x
+
+
+def _std_owner_value(key_owner_digest: bytes, r: int, keylen: int) -> bytes:
+    """Spec Algorithm 3 tail: /O from the owner-password digest and
+    the padded user password (both empty here)."""
+    rc4key = key_owner_digest[:keylen]
+    o = _rc4(rc4key, _ENC_PAD)
+    if r >= 3:
+        for i in range(1, 20):
+            o = _rc4(bytes(b ^ i for b in rc4key), o)
+    return o
+
+
+def _obj_rc4_key(file_key: bytes, num: int, gen: int) -> bytes:
+    """Spec Algorithm 1: per-object RC4 key = MD5(file key + 3 low
+    bytes of the object number + 2 low bytes of the generation),
+    truncated to min(keylen+5, 16)."""
+    import hashlib as _hl
+
+    h = _hl.md5(
+        file_key
+        + bytes((num & 0xFF, (num >> 8) & 0xFF, (num >> 16) & 0xFF))
+        + bytes((gen & 0xFF, (gen >> 8) & 0xFF))
+    )
+    return h.digest()[: min(len(file_key) + 5, 16)]
 
 
 # ------------------------------------------------------------ document
@@ -411,6 +505,14 @@ def _xref_offsets(raw: bytes) -> tuple[dict[int, tuple], dict]:
             entries.setdefault(k, v)
         if trailer is None:
             trailer = tr
+        else:
+            # an /Encrypt (or its /ID) declared only in an EARLIER
+            # trailer of the update chain still governs the whole
+            # file — surface it so encryption is detected in ANY
+            # trailer, never silently skipped
+            for key in ("Encrypt", "ID"):
+                if key not in trailer and key in tr:
+                    trailer[key] = tr[key]
         x = tr.get("XRefStm")
         if isinstance(x, int):
             queue.append(x)
@@ -464,13 +566,104 @@ class _Doc:
             raise PdfError("trailer is not a dictionary")
         # parsed /ObjStm cache: stream obj num -> (body, first, pairs)
         self._objstms: dict[int, tuple] = {}
+        self._enc: dict | None = None
+        if self.trailer.get("Encrypt") is not None:
+            self._setup_encryption()
+
+    def _setup_encryption(self) -> None:
+        """/Encrypt present: verify the standard handler with the
+        EMPTY user password (the dominant crawl shape — restriction
+        flags, not read protection) and hold the file key so every
+        string/stream decrypts transparently; anything else — AES,
+        a real password, a non-standard handler — raises the named
+        PdfError instead of extracting silent empty pages."""
+        ref = self.trailer["Encrypt"]
+        if isinstance(ref, tuple) and ref and ref[0] == "ref":
+            self._enc_num = ref[1]
+            enc, _ = self.obj(ref[1])  # _enc still None: no decrypt
+        else:
+            self._enc_num = -1
+            enc = ref
+        if not isinstance(enc, dict):
+            raise PdfError("/Encrypt is not a dictionary")
+        if enc.get("Filter") != ("name", "Standard"):
+            raise PdfError(
+                f"unsupported encryption handler {enc.get('Filter')!r}"
+            )
+        v = enc.get("V", 0)
+        r = enc.get("R", 0)
+        if v not in (1, 2) or r not in (2, 3):
+            raise PdfError(
+                f"unsupported encryption /V {v} /R {r} "
+                "(RC4 V1/V2 R2/R3 only; AES refused loudly)"
+            )
+        length = enc.get("Length", 40)
+        if not isinstance(length, int) or length % 8 or not (
+            40 <= length <= 128
+        ):
+            raise PdfError("encryption /Length out of range")
+        o = enc.get("O")
+        u = enc.get("U")
+        p = enc.get("P")
+        ids = self.trailer.get("ID")
+        if (
+            not (isinstance(o, tuple) and o and o[0] == "str")
+            or not (isinstance(u, tuple) and u and u[0] == "str")
+            or not isinstance(p, int)
+            or not isinstance(ids, list)
+            or not ids
+            or not (isinstance(ids[0], tuple) and ids[0][0] == "str")
+        ):
+            raise PdfError("malformed /Encrypt dictionary")
+        id0 = ids[0][1]
+        keylen = (length if r >= 3 else 40) // 8
+        key = _std_file_key(o[1], p & 0xFFFFFFFF, id0, r, keylen)
+        want = _std_user_check(key, id0, r)
+        got = u[1]
+        ok = want == got[:32] if r == 2 else want[:16] == got[:16]
+        if not ok:
+            raise PdfError(
+                "encrypted PDF: empty user password rejected "
+                "(a real password is required)"
+            )
+        self._enc = {"key": key}
+
+    def _decrypt_loaded(self, num: int, off: int, val, data):
+        """Post-load decryption for a top-level object: strings and
+        the stream body decrypt under the per-object key; the
+        /Encrypt dictionary itself and /Type/XRef streams are
+        exempt by spec."""
+        if self._enc is None or num == self._enc_num:
+            return val, data
+        m = _OBJ_AT.match(self.raw, _skip_ws(self.raw, off))
+        gen = int(m.group(2)) if m else 0
+        okey = _obj_rc4_key(self._enc["key"], num, gen)
+
+        def walk(v):
+            if isinstance(v, tuple) and v and v[0] == "str":
+                return ("str", _rc4(okey, v[1]))
+            if isinstance(v, list):
+                return [walk(x) for x in v]
+            if isinstance(v, dict):
+                return {k: walk(x) for k, x in v.items()}
+            return v
+
+        val = walk(val)
+        if data is not None and not (
+            isinstance(val, dict) and val.get("Type") == ("name", "XRef")
+        ):
+            data = _rc4(okey, data)
+        return val, data
 
     def obj(self, num: int):
         ent = self.offsets.get(num)
         if ent is None:
             raise PdfError(f"object {num} not in xref")
         if ent[0] == "at":
-            return _load_object(self.raw, ent[1], self._resolve_length)
+            val, data = _load_object(
+                self.raw, ent[1], self._resolve_length
+            )
+            return self._decrypt_loaded(num, ent[1], val, data)
         return self._objstm_obj(ent[1], ent[2])
 
     def _resolve_length(self, num: int) -> int:
@@ -501,6 +694,7 @@ class _Doc:
                     f"object stream {snum} is not a top-level object"
                 )
             sd, data = _load_object(self.raw, ent[1])
+            sd, data = self._decrypt_loaded(snum, ent[1], sd, data)
             if (
                 not isinstance(sd, dict)
                 or sd.get("Type") != ("name", "ObjStm")
@@ -622,13 +816,42 @@ def _parse_tounicode_cmap(data: bytes) -> dict:
         for tok in re.findall(rb"<([0-9A-Fa-f]+)>", m.group(1)):
             nbytes = max(nbytes, len(tok) // 2)
     for m in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.S):
-        toks = re.findall(rb"<([0-9A-Fa-f]+)>", m.group(1))
-        for j in range(0, len(toks) - 1, 2):
-            src, dst = toks[j], toks[j + 1]
+        # positional scan, NOT a flat token list: each entry is
+        # <src> followed by <dst-hex> or (dst-literal) — a literal
+        # destination is legal CMap and a flat pairing would shift
+        # every subsequent entry, silently mis-mapping the section
+        body = m.group(1)
+        i, bn = 0, len(body)
+        while True:
+            i = _skip_ws(body, i)
+            if i >= bn:
+                break
+            if body[i : i + 1] != b"<":
+                raise PdfError("bfchar source is not a hex code")
+            j = body.find(b">", i)
+            if j < 0:
+                raise PdfError("unterminated bfchar source")
+            src = re.sub(rb"\s", b"", body[i + 1 : j])
+            try:
+                code = int(src, 16)
+            except ValueError:
+                raise PdfError("non-hex bfchar source") from None
+            i = _skip_ws(body, j + 1)
+            if body[i : i + 1] == b"<":
+                j = body.find(b">", i)
+                if j < 0:
+                    raise PdfError("unterminated bfchar destination")
+                txt = dst_text(re.sub(rb"\s", b"", body[i + 1 : j]))
+                i = j + 1
+            elif body[i : i + 1] == b"(":
+                s, i = _parse_string(body, i)
+                txt = s.decode("utf-16-be", errors="replace")
+            else:
+                raise PdfError("bfchar entry missing destination")
             nbytes = max(nbytes, len(src) // 2)
             if len(mapping) >= _MAX_CMAP_ENTRIES:
                 raise PdfError("/ToUnicode CMap too large")
-            mapping[int(src, 16)] = dst_text(dst)
+            mapping[code] = txt
     for m in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.S):
         body = m.group(1)
         # range forms: <lo> <hi> <dst>  |  <lo> <hi> [<d1> <d2> ...]
@@ -668,6 +891,123 @@ def _cmap_text(b: bytes, cmap: dict) -> str:
         mp.get(int.from_bytes(b[i : i + nb], "big"), "�")
         for i in range(0, len(b) - nb + 1, nb)
     )
+
+
+# Adobe Glyph List subset covering ASCII — the names every simple-
+# font /Differences array in a western corpus uses (the full public
+# AGL adds accented/symbol names; unlisted names fall through to the
+# AGL uniXXXX/uXXXXXX algorithmic forms or map to U+FFFD).
+_AGL = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    "quoteleft": "‘", "quoteright": "’",
+}
+_AGL.update({c: c for c in
+             "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"})
+_AGL_REV = {v: k for k, v in _AGL.items() if len(v) == 1}
+
+
+def _glyph_text(name: str) -> str | None:
+    """Glyph name → text per the public AGL algorithm: the named
+    table first, then the algorithmic uniXXXX (one or more UTF-16BE
+    quads) and uXXXX..XXXXXX forms; None when the name resolves to
+    nothing (callers map those codes to U+FFFD, the public-extractor
+    convention)."""
+    hit = _AGL.get(name)
+    if hit is not None:
+        return hit
+    m = re.fullmatch(r"uni((?:[0-9A-F]{4})+)", name)
+    if m:
+        try:
+            return bytes.fromhex(m.group(1)).decode(
+                "utf-16-be", errors="replace"
+            )
+        except ValueError:
+            return None
+    m = re.fullmatch(r"u([0-9A-F]{4,6})", name)
+    if m:
+        cp = int(m.group(1), 16)
+        return chr(cp) if cp <= 0x10FFFF else None
+    return None
+
+
+def _base_encoding_table(name: str) -> dict[int, str]:
+    """Named base encoding → {code: char}. WinAnsi and MacRoman are
+    byte-exact Python codecs (cp1252 / mac_roman); StandardEncoding
+    is built from its ASCII-visible range (0x27 is quoteright and
+    0x60 quoteleft per the spec's Annex D table; the 0xA1+ symbol
+    rows are left unmapped → U+FFFD, honest for a text-mining tier).
+    Codes a codec leaves undefined stay unmapped."""
+    if name in ("WinAnsiEncoding", "MacRomanEncoding"):
+        codec = "cp1252" if name == "WinAnsiEncoding" else "mac_roman"
+        table: dict[int, str] = {}
+        for c in range(256):
+            try:
+                table[c] = bytes([c]).decode(codec)
+            except UnicodeDecodeError:
+                pass
+        return table
+    if name == "StandardEncoding":
+        table = {c: chr(c) for c in range(0x20, 0x7F)}
+        table[0x27] = "’"
+        table[0x60] = "‘"
+        return table
+    raise PdfError(f"unknown base encoding /{name}")
+
+
+def _simple_encoding_map(doc: "_Doc", encval) -> dict | None:
+    """A simple font's /Encoding entry (name or dictionary, spec
+    §9.6.6) → the same {"nbytes": 1, "map": {code: str}} shape the
+    CMap path uses, so one decode routine serves both. A /Differences
+    array overlays the base encoding; glyph names resolve through
+    the AGL subset + algorithmic forms; unresolvable names unmap
+    their code (→ U+FFFD). Returns None when there is no /Encoding
+    (the build-in-font default — decode as a PDF text string)."""
+    encval = doc.deref(encval)
+    if encval is None:
+        return None
+    if isinstance(encval, tuple) and encval and encval[0] == "name":
+        return {"nbytes": 1, "map": _base_encoding_table(encval[1])}
+    if not isinstance(encval, dict):
+        raise PdfError("/Encoding is neither a name nor a dictionary")
+    base = encval.get("BaseEncoding")
+    if base is None:
+        table = _base_encoding_table("StandardEncoding")
+    elif isinstance(base, tuple) and base and base[0] == "name":
+        table = _base_encoding_table(base[1])
+    else:
+        raise PdfError("/BaseEncoding is not a name")
+    diffs = doc.deref(encval.get("Differences"))
+    if diffs is not None:
+        if not isinstance(diffs, list):
+            raise PdfError("/Differences is not an array")
+        code = None
+        for item in diffs:
+            if isinstance(item, int):
+                if not 0 <= item <= 255:
+                    raise PdfError("/Differences code out of range")
+                code = item
+            elif isinstance(item, tuple) and item and item[0] == "name":
+                if code is None or code > 255:
+                    raise PdfError("/Differences name before any code")
+                txt = _glyph_text(item[1])
+                if txt is None:
+                    table.pop(code, None)  # unknown glyph → U+FFFD
+                else:
+                    table[code] = txt
+                code += 1
+            else:
+                raise PdfError("/Differences holds a non-name value")
+    return {"nbytes": 1, "map": table}
 
 
 def _content_text(content: bytes, fonts: dict | None = None) -> str:
@@ -765,9 +1105,12 @@ def pdf_meta(raw: bytes) -> dict:
 
 
 def _page_fonts(doc: "_Doc", page: dict) -> dict:
-    """Page /Resources /Font → {resource name: parsed /ToUnicode
-    CMap or None}. Fonts without a /ToUnicode (the simple-encoding
-    fixtures) map to None and strings decode as text strings."""
+    """Page /Resources /Font → {resource name: decode map or None}.
+    Precedence per public extractors: an explicit /ToUnicode CMap
+    wins; otherwise a simple font's /Encoding (name or dictionary
+    with /Differences, spec §9.6.6) builds a 1-byte code table in
+    the same map shape; a font with neither maps to None and strings
+    decode as PDF text strings (the build-in-font default)."""
     fonts: dict = {}
     res = doc.deref(page.get("Resources"))
     if not isinstance(res, dict):
@@ -778,12 +1121,19 @@ def _page_fonts(doc: "_Doc", page: dict) -> dict:
     for name, fref in fdict.items():
         font = doc.deref(fref)
         cmap = None
-        if isinstance(font, dict) and font.get("ToUnicode") is not None:
-            tu = font["ToUnicode"]
-            if isinstance(tu, tuple) and tu and tu[0] == "ref":
-                sd, data = doc.obj(tu[1])
-                if isinstance(sd, dict) and data is not None:
-                    cmap = _parse_tounicode_cmap(_decode_stream(sd, data))
+        if isinstance(font, dict):
+            if font.get("ToUnicode") is not None:
+                tu = font["ToUnicode"]
+                if isinstance(tu, tuple) and tu and tu[0] == "ref":
+                    sd, data = doc.obj(tu[1])
+                    if isinstance(sd, dict) and data is not None:
+                        cmap = _parse_tounicode_cmap(
+                            _decode_stream(sd, data)
+                        )
+            elif font.get("Encoding") is not None and font.get(
+                "Subtype"
+            ) != ("name", "Type0"):
+                cmap = _simple_encoding_map(doc, font["Encoding"])
         fonts[name] = cmap
     return fonts
 
@@ -834,6 +1184,87 @@ def _esc(s: str) -> bytes:
     )
 
 
+def _esc_raw(raw: bytes) -> bytes:
+    """Escape arbitrary BYTES for a () literal: backslash the
+    delimiters, octal-free \\r/\\n for EOL bytes (a raw EOL inside a
+    literal is read back normalized, which would corrupt ciphertext)."""
+    out = bytearray()
+    for c in raw:
+        if c in (0x28, 0x29, 0x5C):
+            out += b"\\" + bytes([c])
+        elif c == 13:
+            out += b"\\r"
+        elif c == 10:
+            out += b"\\n"
+        else:
+            out.append(c)
+    return bytes(out)
+
+
+def _encrypt_obj_bytes(body: bytes, okey: bytes) -> bytes:
+    """Encrypt one serialized top-level object under its per-object
+    RC4 key: every () string literal in the dictionary part and the
+    raw stream bytes (encryption wraps OUTSIDE the filters — readers
+    decrypt, then inflate). RC4 preserves length, so a direct
+    /Length stays valid."""
+    sp = body.find(b"\nstream\n")
+    dictpart, streampart = (body, b"") if sp < 0 else (
+        body[:sp], body[sp:]
+    )
+    out = bytearray()
+    i, n = 0, len(dictpart)
+    while i < n:
+        if dictpart[i : i + 1] == b"(":
+            s, i = _parse_string(dictpart, i)
+            out += b"(" + _esc_raw(_rc4(okey, s)) + b")"
+        else:
+            out.append(dictpart[i])
+            i += 1
+    if streampart:
+        data = streampart[len(b"\nstream\n") : streampart.rfind(
+            b"\nendstream"
+        )]
+        out += b"\nstream\n" + _rc4(okey, data) + b"\nendstream"
+    return bytes(out)
+
+
+def _make_encryptor(digest: str, encrypt: str) -> dict:
+    """Standard-security-handler parameters for the fixture: empty
+    user AND owner passwords, all permissions (/P -4), /ID derived
+    from the md5 digest so the oracle side never needs randomness.
+    encrypt='rc4-40' → V1/R2; 'rc4-128' → V2/R3."""
+    import hashlib
+
+    if encrypt == "rc4-40":
+        v, r, length = 1, 2, 40
+    elif encrypt == "rc4-128":
+        v, r, length = 2, 3, 128
+    else:
+        raise ValueError(f"unknown encrypt kind {encrypt!r}")
+    keylen = length // 8
+    id0 = bytes.fromhex(digest)
+    od = hashlib.md5(_ENC_PAD).digest()  # empty owner password
+    if r >= 3:
+        for _ in range(50):
+            od = hashlib.md5(od[:keylen]).digest()
+    o = _std_owner_value(od, r, keylen)
+    p = 0xFFFFFFFC  # -4: every permission bit set, the common shape
+    key = _std_file_key(o, p, id0, r, keylen)
+    u = _std_user_check(key, id0, r)
+    if r >= 3:
+        u = u + bytes(16)  # spec: 16 compared + 16 arbitrary bytes
+    enc_dict = (
+        b"<< /Filter /Standard /V %d /R %d /Length %d /P -4"
+        b" /O <%s> /U <%s> >>"
+        % (v, r, length, o.hex().encode("ascii"), u.hex().encode("ascii"))
+    )
+    trailer_id = b"/ID [<%s> <%s>]" % (
+        digest.encode("ascii"),
+        digest.encode("ascii"),
+    )
+    return {"key": key, "dict": enc_dict, "id": trailer_id}
+
+
 def _cid_cmap_stream(code_of: dict[str, int]) -> bytes:
     """Minimal conforming /ToUnicode CMap for the CID fixture: one
     <0000><ffff> codespace + bfchar sections of ≤100 entries mapping
@@ -864,6 +1295,7 @@ def build_pdf_fixture(
     graphics_only: bool = False,
     xref_kind: str = "classic",
     font: str = "simple",
+    encrypt: str | None = None,
 ) -> bytes:
     """Deterministic PDF 1.4 fixture: the document's words tiled
     `5 + digest[0]%4` per page; even pages show their words as one
@@ -886,6 +1318,24 @@ def build_pdf_fixture(
     the document's sorted alphabet), so extraction is mojibake
     unless the extractor actually consults the CMap — the modern
     subset-embedded-font shape that dominates real PDF corpora.
+
+    font="diffs" keeps the simple Type1 font but remaps its codes
+    through /WinAnsiEncoding + a /Differences array with NO
+    /ToUnicode — the older-toolchain majority shape (LaTeX, Word
+    exports): shown strings are 1-byte-code hex strings, mojibake
+    unless the extractor resolves AGL glyph names / uniXXXX forms.
+    Documents whose alphabet exceeds the 1-byte code space fall back
+    to the cid form (extraction is font-form-independent, so the
+    oracle never notices).
+
+    encrypt="rc4-40" / "rc4-128" wraps the SAME document in the
+    standard security handler (spec §7.6.3, V1/R2 or V2/R3) with
+    EMPTY user and owner passwords and /P -4 — the dominant
+    "encrypted" crawl shape (restriction flags, not read
+    protection): every string and stream RC4-encrypts under
+    md5-derived per-object keys, /ID comes from the md5 digest so
+    the build stays deterministic, and extraction output is
+    byte-identical to the plaintext form.
 
     xref_kind="stream" emits the SAME document as PDF 1.5: every
     dictionary object (catalog, pages root, info, font, page dicts)
@@ -942,6 +1392,71 @@ def build_pdf_fixture(
                 + b">"
             )
 
+    elif font == "diffs":
+        # simple Type1 font, /WinAnsiEncoding base + a /Differences
+        # remap: chars whose ordinal %3 == 0 and that cp1252 can
+        # encode keep their cp1252 byte (exercising the BASE path);
+        # every other char is assigned a free code from 255 down and
+        # a /Differences entry — an AGL name when one exists, else
+        # the algorithmic uniXXXX / uXXXXXX form (exercising the
+        # Differences path). Shown strings become 1-byte-code HEX
+        # strings, so extraction is mojibake unless the extractor
+        # consults the encoding — the older-toolchain majority shape
+        # (LaTeX, Word exports) that has no /ToUnicode at all.
+        alphabet = sorted(set(text))
+        code_of = {}
+        taken: set[int] = set()
+        for ch in alphabet:
+            if ord(ch) % 3 == 0:
+                try:
+                    b = ch.encode("cp1252")
+                except UnicodeEncodeError:
+                    continue
+                if len(b) == 1 and b[0] not in taken:
+                    code_of[ch] = b[0]
+                    taken.add(b[0])
+        free = [c for c in range(255, 0, -1) if c not in taken]
+        diff_items = []
+        for ch in alphabet:
+            if ch in code_of:
+                continue
+            if not free:
+                # alphabet exceeds the 1-byte code space: this
+                # document is honestly a composite-font document
+                return build_pdf_fixture(
+                    text, digest, graphics_only=graphics_only,
+                    xref_kind=xref_kind, font="cid", encrypt=encrypt,
+                )
+            code_of[ch] = free.pop(0)
+            name = _AGL_REV.get(ch)
+            if name is None:
+                cp = ord(ch)
+                name = (
+                    "uni%04X" % cp if cp <= 0xFFFF else "u%06X" % cp
+                )
+            diff_items.append((code_of[ch], name))
+        diff_items.sort()
+        parts = []
+        prev_code = None
+        for code, name in diff_items:
+            if prev_code is None or code != prev_code + 1:
+                parts.append(b"%d" % code)
+            parts.append(b"/" + name.encode("ascii"))
+            prev_code = code
+        objs[4] = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+            b" /Encoding << /Type /Encoding"
+            b" /BaseEncoding /WinAnsiEncoding"
+            b" /Differences [ " + b" ".join(parts) + b" ] >> >>"
+        )
+
+        def _show(s: str) -> bytes:
+            return (
+                b"<"
+                + "".join(f"{code_of[c]:02x}" for c in s).encode("ascii")
+                + b">"
+            )
+
     elif font == "simple":
         objs[4] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
 
@@ -981,10 +1496,20 @@ def build_pdf_fixture(
             + b"\nendstream"
         )
 
+    enc = _make_encryptor(digest, encrypt) if encrypt else None
     if xref_kind == "stream":
-        return _serialize_pdf15(objs)
+        return _serialize_pdf15(objs, enc)
     if xref_kind != "classic":
         raise ValueError(f"unknown xref_kind {xref_kind!r}")
+    extra = b""
+    if enc is not None:
+        for num in list(objs):
+            objs[num] = _encrypt_obj_bytes(
+                objs[num], _obj_rc4_key(enc["key"], num, 0)
+            )
+        e_num = max(objs) + 1
+        objs[e_num] = enc["dict"]  # the handler's own dict: plaintext
+        extra = b" /Encrypt %d 0 R " % e_num + enc["id"]
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets: dict[int, int] = {}
     for num in sorted(objs):
@@ -997,21 +1522,34 @@ def build_pdf_fixture(
     for num in range(1, maxnum + 1):
         out += b"%010d 00000 n \n" % offsets[num]
     out += (
-        b"trailer\n<< /Size %d /Root 1 0 R /Info 3 0 R >>\n"
-        b"startxref\n%d\n%%%%EOF\n" % (maxnum + 1, xref_at)
-    )
+        b"trailer\n<< /Size %d /Root 1 0 R /Info 3 0 R" + extra + b" >>\n"
+        b"startxref\n%d\n%%%%EOF\n"
+    ) % (maxnum + 1, xref_at)
     return bytes(out)
 
 
-def _serialize_pdf15(objs: dict[int, bytes]) -> bytes:
+def _serialize_pdf15(objs: dict[int, bytes], enc: dict | None = None) -> bytes:
     """Serialize the builder's object set as PDF 1.5: dict-only
     objects into one /ObjStm, stream objects (those whose serialized
     form carries a `stream` keyword) top-level, cross-reference as a
-    PNG-Up-predictored /Type/XRef stream."""
+    PNG-Up-predictored /Type/XRef stream.
+
+    Encrypted form (``enc``): top-level stream objects encrypt under
+    their own object keys; packed objects are NOT individually
+    encrypted — the whole /ObjStm container is (spec §7.5.7 note),
+    under ITS key; the /Encrypt dictionary stays top-level plaintext
+    and the /Type/XRef stream is never encrypted."""
     maxnum = max(objs)
+    e_num = None
+    if enc is not None:
+        e_num = maxnum + 1
+        objs[e_num] = enc["dict"]
+        maxnum = e_num
     s_num = maxnum + 1  # the /ObjStm
     x_num = maxnum + 2  # the /Type/XRef stream
-    packed = sorted(n for n in objs if b"\nstream\n" not in objs[n])
+    packed = sorted(
+        n for n in objs if b"\nstream\n" not in objs[n] and n != e_num
+    )
     toplevel = sorted(n for n in objs if n not in packed)
 
     # /ObjStm body: "num off num off ..." header, then bare values.
@@ -1023,12 +1561,19 @@ def _serialize_pdf15(objs: dict[int, bytes]) -> bytes:
     header = " ".join(f"{n} {rel[n]}" for n in packed).encode("ascii")
     header += b"\n"
     stm_body = zlib.compress(bytes(header) + bytes(body))
+    if enc is not None:
+        stm_body = _rc4(_obj_rc4_key(enc["key"], s_num, 0), stm_body)
 
     out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
     offsets: dict[int, int] = {}
     for n in toplevel:
         offsets[n] = len(out)
-        out += b"%d 0 obj\n" % n + objs[n] + b"\nendobj\n"
+        body_n = objs[n]
+        if enc is not None and n != e_num:
+            body_n = _encrypt_obj_bytes(
+                body_n, _obj_rc4_key(enc["key"], n, 0)
+            )
+        out += b"%d 0 obj\n" % n + body_n + b"\nendobj\n"
     offsets[s_num] = len(out)
     out += (
         b"%d 0 obj\n<< /Type /ObjStm /N %d /First %d /Length %d"
@@ -1061,13 +1606,14 @@ def _serialize_pdf15(objs: dict[int, bytes]) -> bytes:
         pred += bytes((row[j] - prev[j]) & 0xFF for j in range(7))
         prev = row
     xref_body = zlib.compress(bytes(pred))
+    extra = b""
+    if enc is not None:
+        extra = b" /Encrypt %d 0 R " % e_num + enc["id"]
     out += (
         b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2]"
-        b" /Root 1 0 R /Info 3 0 R /Length %d /Filter /FlateDecode"
+        b" /Root 1 0 R /Info 3 0 R" + extra
+        + b" /Length %d /Filter /FlateDecode"
         b" /DecodeParms << /Predictor 12 /Columns 7 >> >>\nstream\n"
-        % (x_num, size, len(xref_body))
-        + xref_body
-        + b"\nendstream\nendobj\n"
-    )
+    ) % (x_num, size, len(xref_body)) + xref_body + b"\nendstream\nendobj\n"
     out += b"startxref\n%d\n%%%%EOF\n" % xref_at
     return bytes(out)

@@ -1152,7 +1152,14 @@ def q_cc_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     word-tiling is md5-derived so the DuckDB oracle recomputes every
     page boundary; even pages exercise the single-string Tj path and
     odd pages the kerned TJ-array path (word breaks at kerning <=
-    -100 thousandths of an em). Payload bytes never reach the JVM
+    -100 thousandths of an em). Independent md5 nibbles additionally
+    rotate each document across the real-world form space (see
+    attach_pdf_payload): classic vs xref-STREAM cross-reference,
+    simple vs CID-/ToUnicode vs /Differences-remapped fonts, and
+    plaintext vs RC4-40/RC4-128 standard-handler encryption with
+    empty passwords — extraction is form-independent by
+    construction, so the oracle stays pure word-tiling math while
+    the driver run exercises every decode path. Payload bytes never reach the JVM
     plan: both stages are executor-side mapInPandas, and the Arrow
     hop between them is bytes-bounded by
     spark.sql.execution.arrow.maxBytesPerBatch (session.py).

@@ -2615,3 +2615,274 @@ def test_pdf_indirect_stream_length():
     evil = bytes(out).replace(b"/Length 5 0 R", b"/Length 4 0 R", 1)
     with pytest.raises(PdfError):
         pdf_pages_text(evil)
+
+
+def test_rc4_public_vectors():
+    """The RC4 primitive pins against the classic public test
+    vectors (the ones RFC 6229 reproduces) — an independent check of
+    the KSA/PRGA before any PDF-layer use."""
+    from core_spark.multimodal.pdf import _rc4
+
+    vectors = [
+        (b"Key", b"Plaintext", "bbf316e8d940af0ad3"),
+        (b"Wiki", b"pedia", "1021bf0420"),
+        (b"Secret", b"Attack at dawn", "45a01f645fc35b383552544b9bf5"),
+    ]
+    for key, plain, hexct in vectors:
+        assert _rc4(key, plain).hex() == hexct
+        assert _rc4(key, bytes.fromhex(hexct)) == plain  # involution
+
+
+def test_pdf_encrypted_rc4_empty_password_reads():
+    """An RC4-encrypted fixture (standard security handler, empty
+    user password — the dominant crawl shape) extracts EXACTLY the
+    plaintext fixture's pages and /Info metadata, across V1/R2 40-bit
+    and V2/R3 128-bit, both xref forms and all three font forms; the
+    encrypted bytes genuinely differ and content no longer inflates
+    without the key."""
+    import hashlib
+    import itertools
+    import zlib
+
+    from core_spark.multimodal.pdf import (
+        build_pdf_fixture,
+        pdf_meta,
+        pdf_pages_text,
+    )
+
+    text = (
+        "the fast key order sort table scan merge part window small"
+        " hash scan join order batch"
+    )
+    dig = hashlib.md5(text.encode()).hexdigest()
+    plain_pages = pdf_pages_text(build_pdf_fixture(text, dig))
+    for xk, fnt, encr in itertools.product(
+        ("classic", "stream"),
+        ("simple", "cid", "diffs"),
+        ("rc4-40", "rc4-128"),
+    ):
+        blob = build_pdf_fixture(
+            text, dig, xref_kind=xk, font=fnt, encrypt=encr
+        )
+        assert pdf_pages_text(blob) == plain_pages, (xk, fnt, encr)
+        m = pdf_meta(blob)
+        assert m["producer"] == "core_spark pdf builder"
+        assert m["page_count"] == len(plain_pages)
+    # ciphertext discipline: the raw stream bytes of an encrypted
+    # classic fixture do not inflate (they are RC4'd zlib, not zlib)
+    blob = build_pdf_fixture(text, dig, encrypt="rc4-128")
+    start = blob.index(b"stream\n") + len(b"stream\n")
+    end = blob.index(b"\nendstream", start)
+    try:
+        zlib.decompress(blob[start:end])
+        raise AssertionError("encrypted stream inflated without key")
+    except zlib.error:
+        pass
+
+
+def test_pdf_encryption_refusals_are_named():
+    """The loud-fence contract for encryption: AES (/V 4), a
+    non-standard handler, a real (non-empty) user password, and a
+    malformed /Encrypt dict all raise PdfError — never the silent
+    all-pages-empty wrong answer the r12 verdict flagged."""
+    import hashlib
+
+    from core_spark.multimodal.pdf import (
+        PdfError,
+        build_pdf_fixture,
+        pdf_pages_text,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota"
+    dig = hashlib.md5(text.encode()).hexdigest()
+    blob = build_pdf_fixture(text, dig, encrypt="rc4-128")
+
+    def mutate(old: bytes, new: bytes) -> bytes:
+        assert old in blob, old
+        return blob.replace(old, new, 1)
+
+    # AES / unknown version: refuse by /V /R before any key math
+    for evil in (
+        mutate(b"/V 2 /R 3", b"/V 4 /R 4"),
+        mutate(b"/Filter /Standard", b"/Filter /AcmeSec "),
+        mutate(b"/Length 128", b"/Length 999"),
+    ):
+        with pytest.raises(PdfError):
+            pdf_pages_text(evil)
+
+    # wrong password: flip a /U byte so the empty-password check fails
+    at = blob.index(b"/U <") + 4
+    bad = blob[:at] + (b"0" if blob[at : at + 1] != b"0" else b"1") + blob[at + 1 :]
+    with pytest.raises(PdfError, match="password"):
+        pdf_pages_text(bad)
+
+    # /Encrypt present but malformed (missing /O): named, not a KeyError
+    with pytest.raises(PdfError):
+        pdf_pages_text(mutate(b"/O <", b"/Q <"))
+
+
+def test_pdf_encrypt_detected_in_prev_chain_trailer():
+    """/Encrypt declared only in an EARLIER trailer of an
+    incremental-update chain still governs the file: the update
+    whose own trailer lacks /Encrypt must still decrypt (or refuse),
+    never silently extract garbage."""
+    import hashlib
+
+    from core_spark.multimodal.pdf import (
+        PdfError,
+        build_pdf_fixture,
+        pdf_pages_text,
+    )
+
+    text = "one two three four five six seven eight nine ten"
+    dig = hashlib.md5(text.encode()).hexdigest()
+    base = build_pdf_fixture(text, dig, encrypt="rc4-128")
+    # append an incremental update whose new trailer carries only
+    # /Prev + /Root (no /Encrypt, no /ID) — a shape real editors emit
+    m = __import__("re").search(rb"startxref\s+(\d+)\s+%%EOF\s*$", base)
+    prev_at = int(m.group(1))
+    out = bytearray(base)
+    xref_at = len(out)
+    out += b"xref\n0 1\n0000000000 65535 f \ntrailer\n"
+    out += b"<< /Size 1 /Root 1 0 R /Prev %d >>\n" % prev_at
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_at
+    assert pdf_pages_text(bytes(out)) == pdf_pages_text(base)
+
+
+def test_pdf_differences_encoding_extraction():
+    """A simple font with /WinAnsiEncoding base + /Differences and NO
+    /ToUnicode (the older-toolchain majority shape) extracts exact
+    text — through AGL named glyphs, algorithmic uniXXXX/uXXXXXX
+    forms, and the base-encoding fallback — and WITHOUT consulting
+    the encoding the same codes are mojibake (the form is a real
+    test, not a pass-through)."""
+    import hashlib
+
+    from core_spark.multimodal.pdf import (
+        PdfError,
+        build_pdf_fixture,
+        pdf_pages_text,
+    )
+
+    text = "Grüße, naïve café — ‘smart’ quotes… αβγ 漢字 𝄞clef plus plain words"
+    dig = hashlib.md5(text.encode()).hexdigest()
+    words = text.split(" ")
+    wpp = 5 + int(dig[0], 16) % 4
+    n_pages = max(1, (len(words) + wpp - 1) // wpp)
+    expect = [
+        " ".join(words[k * wpp : (k + 1) * wpp]) for k in range(n_pages)
+    ]
+    for xk in ("classic", "stream"):
+        blob = build_pdf_fixture(text, dig, xref_kind=xk, font="diffs")
+        assert pdf_pages_text(blob) == expect, xk
+    # dropping the /Encoding (same codes, no map) must NOT round-trip:
+    # proves extraction really consulted the Differences table
+    blob = build_pdf_fixture(text, dig, font="diffs")
+    stripped = blob.replace(b"/Encoding", b"/Encoging", 1)
+    assert pdf_pages_text(stripped) != expect
+
+
+def test_pdf_differences_hostile_inputs():
+    """Encoding-path fences: unknown base encoding, non-name
+    /Differences entries, out-of-range codes, and a name before any
+    code raise PdfError; an unknown glyph name maps its code to
+    U+FFFD instead of shifting neighbouring codes. Fixture
+    mutations are LENGTH-PRESERVING so xref offsets stay valid —
+    the failure under test is the encoding fence, not a broken
+    xref."""
+    import hashlib
+    import re as _re
+
+    from core_spark.multimodal.pdf import (
+        PdfError,
+        _simple_encoding_map,
+        build_pdf_fixture,
+        pdf_pages_text,
+    )
+
+    text = "Grüße naïve café résumé"  # guarantees uniXXXX entries
+    dig = hashlib.md5(text.encode()).hexdigest()
+    blob = build_pdf_fixture(text, dig, font="diffs")
+
+    # unknown base encoding (same byte length as WinAnsiEncoding)
+    evil = blob.replace(
+        b"/BaseEncoding /WinAnsiEncoding",
+        b"/BaseEncoding /KlingonEncoding", 1,
+    )
+    assert evil != blob
+    with pytest.raises(PdfError):
+        pdf_pages_text(evil)
+
+    # structural fences, driven directly at the encoding parser
+    class _Stub:
+        def deref(self, v):
+            return v
+
+    win = ("name", "WinAnsiEncoding")
+    with pytest.raises(PdfError):  # non-name, non-int entry
+        _simple_encoding_map(
+            _Stub(), {"BaseEncoding": win, "Differences": [("str", b"x")]}
+        )
+    with pytest.raises(PdfError):  # code out of the 1-byte range
+        _simple_encoding_map(
+            _Stub(),
+            {"BaseEncoding": win, "Differences": [999, ("name", "a")]},
+        )
+    with pytest.raises(PdfError):  # name before any code marker
+        _simple_encoding_map(
+            _Stub(), {"BaseEncoding": win, "Differences": [("name", "a")]}
+        )
+    with pytest.raises(PdfError):  # /Encoding of a bogus shape
+        _simple_encoding_map(_Stub(), 42)
+
+    # unknown glyph name (length-preserving): its code shows U+FFFD
+    m = _re.search(rb"/(uni[0-9A-F]{4})", blob)
+    assert m, "fixture should carry a uniXXXX glyph"
+    evil = blob.replace(
+        m.group(0), b"/" + b"Q" * (len(m.group(1))), 1
+    )
+    pages = pdf_pages_text(evil)
+    assert any("�" in p for p in pages)
+
+
+def test_pdf_bfchar_literal_destination_and_misalignment():
+    """ADVICE-r12: a bfchar destination may be a LITERAL string
+    (valid CMap); the pairing must stay positional — and a source
+    that is not a hex code raises the named error instead of
+    silently shifting every later entry."""
+    from core_spark.multimodal.pdf import PdfError, _parse_tounicode_cmap
+
+    cmap = _parse_tounicode_cmap(
+        b"1 begincodespacerange\n<0000> <ffff>\nendcodespacerange\n"
+        b"3 beginbfchar\n"
+        b"<0001> <0041>\n"
+        b"<0002> (\x00B)\n"  # literal-string destination: UTF-16BE 'B'
+        b"<0003> <0043>\n"
+        b"endbfchar\n"
+    )
+    assert cmap["map"] == {1: "A", 2: "B", 3: "C"}
+    assert cmap["nbytes"] == 2
+    with pytest.raises(PdfError):
+        _parse_tounicode_cmap(
+            b"2 beginbfchar\n<0001> <0041>\n/Bad <0042>\nendbfchar\n"
+        )
+    with pytest.raises(PdfError):
+        _parse_tounicode_cmap(b"1 beginbfchar\n<0001>\nendbfchar\n")
+
+
+def test_pdf_png_predictor_bpc_fence():
+    """ADVICE-r12: the PNG-predictor path refuses BitsPerComponent
+    != 8 with the named error (sub-byte bpc would silently produce
+    wrong bytes), matching the TIFF branch."""
+    import zlib
+
+    from core_spark.multimodal.pdf import PdfError, _decode_stream
+
+    data = zlib.compress(b"\x00\x01\x02\x03\x04")
+    sd = {
+        "Filter": ("name", "FlateDecode"),
+        "DecodeParms": {"Predictor": 12, "Columns": 4,
+                        "Colors": 1, "BitsPerComponent": 4},
+    }
+    with pytest.raises(PdfError, match="bpc"):
+        _decode_stream(sd, data)
