@@ -1029,8 +1029,10 @@ def attach_pdf_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     glyph-code hex strings and a /ToUnicode CMap; else nibble 7 odd
     → simple font remapped through /WinAnsiEncoding + /Differences
     with NO /ToUnicode (the older-toolchain shape); nibble 8 → a
-    quarter each RC4-40 and RC4-128 standard-handler encryption with
-    empty passwords (the restriction-flag crawl shape — r13).
+    quarter each AES-128 (/V 4 /AESV2), RC4-40 and RC4-128
+    standard-handler encryption with empty passwords (the
+    restriction-flag crawl shape — r13), the remaining quarter
+    plaintext.
     Extraction output is form-, font- and encryption-independent by
     construction (the cross-form test pins)."""
 
@@ -1048,7 +1050,9 @@ def attach_pdf_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 fnt = "diffs"
             else:
                 fnt = "simple"
-            enc = {2: "rc4-40", 3: "rc4-128"}.get(int(digest[8], 16) % 4)
+            enc = {1: "aes-128", 2: "rc4-40", 3: "rc4-128"}.get(
+                int(digest[8], 16) % 4
+            )
             return build_pdf_fixture(
                 t, digest, xref_kind=kind, font=fnt, encrypt=enc
             )

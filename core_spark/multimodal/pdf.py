@@ -380,6 +380,57 @@ def _obj_rc4_key(file_key: bytes, num: int, gen: int) -> bytes:
     return h.digest()[: min(len(file_key) + 5, 16)]
 
 
+def _obj_aes_key(file_key: bytes, num: int, gen: int) -> bytes:
+    """Algorithm 1's AESV2 variant: the per-object key additionally
+    absorbs the spec's sAlT constant (0x73416C54)."""
+    import hashlib as _hl
+
+    h = _hl.md5(
+        file_key
+        + bytes((num & 0xFF, (num >> 8) & 0xFF, (num >> 16) & 0xFF))
+        + bytes((gen & 0xFF, (gen >> 8) & 0xFF))
+        + b"sAlT"
+    )
+    return h.digest()[: min(len(file_key) + 5, 16)]
+
+
+def _aes_cipher(key: bytes, iv: bytes):
+    """AES-CBC via the public `cryptography` package (OpenSSL) —
+    gated behind an import-try per the environment rules; absence
+    is a named refusal, never a silent wrong answer."""
+    try:
+        from cryptography.hazmat.primitives.ciphers import (
+            Cipher,
+            algorithms,
+            modes,
+        )
+    except ImportError:  # pragma: no cover - package is baked in
+        raise PdfError(
+            "AESV2 content requires the 'cryptography' package"
+        ) from None
+    return Cipher(algorithms.AES(key), modes.CBC(iv))
+
+
+def _aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
+    """AESV2 payload (spec §7.6.2): a 16-byte IV prefix, then
+    AES-128-CBC ciphertext with PKCS#7 padding — both verified."""
+    if len(data) < 32 or len(data) % 16:
+        raise PdfError("AESV2 data is not IV + whole blocks")
+    dec = _aes_cipher(key, data[:16]).decryptor()
+    pt = dec.update(data[16:]) + dec.finalize()
+    pad = pt[-1]
+    if not 1 <= pad <= 16 or pt[-pad:] != bytes((pad,)) * pad:
+        raise PdfError("bad AESV2 padding")
+    return pt[:-pad]
+
+
+def _aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """Builder-side inverse of _aes_cbc_decrypt."""
+    pad = 16 - len(data) % 16
+    enc = _aes_cipher(key, iv).encryptor()
+    return iv + enc.update(data + bytes((pad,)) * pad) + enc.finalize()
+
+
 # ------------------------------------------------------------ document
 # xref entry: ("at", byte_offset) for a top-level object, or
 # ("in", objstm_num, index) for a compressed object (type-2 entry).
@@ -574,9 +625,12 @@ class _Doc:
         """/Encrypt present: verify the standard handler with the
         EMPTY user password (the dominant crawl shape — restriction
         flags, not read protection) and hold the file key so every
-        string/stream decrypts transparently; anything else — AES,
-        a real password, a non-standard handler — raises the named
-        PdfError instead of extracting silent empty pages."""
+        string/stream decrypts transparently. Supported: RC4 V1/V2
+        (R2/R3) and V4/R4 crypt filters /V2 (RC4) and /AESV2
+        (AES-128-CBC). Anything else — AES-256 (R6), a real
+        password, /EncryptMetadata false, a non-standard handler —
+        raises the named PdfError instead of extracting silent
+        empty pages."""
         ref = self.trailer["Encrypt"]
         if isinstance(ref, tuple) and ref and ref[0] == "ref":
             self._enc_num = ref[1]
@@ -592,10 +646,39 @@ class _Doc:
             )
         v = enc.get("V", 0)
         r = enc.get("R", 0)
-        if v not in (1, 2) or r not in (2, 3):
+        cfm = "rc4"
+        if v in (1, 2) and r in (2, 3):
+            pass
+        elif v == 4 and r == 4:
+            if enc.get("EncryptMetadata") is False:
+                raise PdfError(
+                    "unsupported /EncryptMetadata false "
+                    "(plaintext-metadata variant)"
+                )
+            cf = enc.get("CF")
+            std = cf.get("StdCF") if isinstance(cf, dict) else None
+            if not isinstance(std, dict):
+                raise PdfError("/V 4 encryption without /CF /StdCF")
+            for role in ("StmF", "StrF"):
+                if enc.get(role, ("name", "Identity")) != (
+                    "name", "StdCF"
+                ):
+                    raise PdfError(
+                        f"unsupported /{role} (only /StdCF for both "
+                        "streams and strings)"
+                    )
+            m = std.get("CFM")
+            if m == ("name", "AESV2"):
+                cfm = "aesv2"
+            elif m == ("name", "V2"):
+                cfm = "rc4"
+            else:
+                raise PdfError(f"unsupported crypt filter /CFM {m!r}")
+        else:
             raise PdfError(
                 f"unsupported encryption /V {v} /R {r} "
-                "(RC4 V1/V2 R2/R3 only; AES refused loudly)"
+                "(RC4 V1/V2 R2/R3 and V4/R4 V2/AESV2 only; "
+                "AES-256 refused loudly)"
             )
         length = enc.get("Length", 40)
         if not isinstance(length, int) or length % 8 or not (
@@ -626,22 +709,32 @@ class _Doc:
                 "encrypted PDF: empty user password rejected "
                 "(a real password is required)"
             )
-        self._enc = {"key": key}
+        self._enc = {"key": key, "cfm": cfm}
 
     def _decrypt_loaded(self, num: int, off: int, val, data):
         """Post-load decryption for a top-level object: strings and
-        the stream body decrypt under the per-object key; the
-        /Encrypt dictionary itself and /Type/XRef streams are
-        exempt by spec."""
+        the stream body decrypt under the per-object key (RC4 or
+        AES-128-CBC per the crypt filter); the /Encrypt dictionary
+        itself and /Type/XRef streams are exempt by spec."""
         if self._enc is None or num == self._enc_num:
             return val, data
         m = _OBJ_AT.match(self.raw, _skip_ws(self.raw, off))
         gen = int(m.group(2)) if m else 0
-        okey = _obj_rc4_key(self._enc["key"], num, gen)
+        if self._enc["cfm"] == "aesv2":
+            okey = _obj_aes_key(self._enc["key"], num, gen)
+
+            def crypt(b: bytes) -> bytes:
+                return _aes_cbc_decrypt(okey, b)
+
+        else:
+            okey = _obj_rc4_key(self._enc["key"], num, gen)
+
+            def crypt(b: bytes) -> bytes:
+                return _rc4(okey, b)
 
         def walk(v):
             if isinstance(v, tuple) and v and v[0] == "str":
-                return ("str", _rc4(okey, v[1]))
+                return ("str", crypt(v[1]))
             if isinstance(v, list):
                 return [walk(x) for x in v]
             if isinstance(v, dict):
@@ -652,7 +745,7 @@ class _Doc:
         if data is not None and not (
             isinstance(val, dict) and val.get("Type") == ("name", "XRef")
         ):
-            data = _rc4(okey, data)
+            data = crypt(data)
         return val, data
 
     def obj(self, num: int):
@@ -1201,12 +1294,36 @@ def _esc_raw(raw: bytes) -> bytes:
     return bytes(out)
 
 
-def _encrypt_obj_bytes(body: bytes, okey: bytes) -> bytes:
+def _builder_crypt(enc: dict, num: int):
+    """Per-object ENCRYPT function for the fixture builder: RC4 or
+    AESV2 per the handler mode; AES IVs are md5-derived from the
+    object key and a call counter so builds stay deterministic."""
+    if enc["cfm"] == "aesv2":
+        import hashlib
+
+        okey = _obj_aes_key(enc["key"], num, 0)
+        ctr = [0]
+
+        def crypt(data: bytes) -> bytes:
+            ctr[0] += 1
+            iv = hashlib.md5(okey + ctr[0].to_bytes(4, "big")).digest()
+            return _aes_cbc_encrypt(okey, iv, data)
+
+    else:
+        okey = _obj_rc4_key(enc["key"], num, 0)
+
+        def crypt(data: bytes) -> bytes:
+            return _rc4(okey, data)
+
+    return crypt
+
+
+def _encrypt_obj_bytes(body: bytes, crypt) -> bytes:
     """Encrypt one serialized top-level object under its per-object
-    RC4 key: every () string literal in the dictionary part and the
-    raw stream bytes (encryption wraps OUTSIDE the filters — readers
-    decrypt, then inflate). RC4 preserves length, so a direct
-    /Length stays valid."""
+    crypt function: every () string literal in the dictionary part
+    and the raw stream bytes (encryption wraps OUTSIDE the filters —
+    readers decrypt, then inflate). AESV2 changes the stream length
+    (IV + padding), so the direct /Length is rewritten to match."""
     sp = body.find(b"\nstream\n")
     dictpart, streampart = (body, b"") if sp < 0 else (
         body[:sp], body[sp:]
@@ -1216,7 +1333,7 @@ def _encrypt_obj_bytes(body: bytes, okey: bytes) -> bytes:
     while i < n:
         if dictpart[i : i + 1] == b"(":
             s, i = _parse_string(dictpart, i)
-            out += b"(" + _esc_raw(_rc4(okey, s)) + b")"
+            out += b"(" + _esc_raw(crypt(s)) + b")"
         else:
             out.append(dictpart[i])
             i += 1
@@ -1224,7 +1341,17 @@ def _encrypt_obj_bytes(body: bytes, okey: bytes) -> bytes:
         data = streampart[len(b"\nstream\n") : streampart.rfind(
             b"\nendstream"
         )]
-        out += b"\nstream\n" + _rc4(okey, data) + b"\nendstream"
+        ct = crypt(data)
+        if len(ct) != len(data):
+            out = bytearray(
+                re.sub(
+                    rb"/Length \d+",
+                    b"/Length %d" % len(ct),
+                    bytes(out),
+                    count=1,
+                )
+            )
+        out += b"\nstream\n" + ct + b"\nendstream"
     return bytes(out)
 
 
@@ -1232,13 +1359,18 @@ def _make_encryptor(digest: str, encrypt: str) -> dict:
     """Standard-security-handler parameters for the fixture: empty
     user AND owner passwords, all permissions (/P -4), /ID derived
     from the md5 digest so the oracle side never needs randomness.
-    encrypt='rc4-40' → V1/R2; 'rc4-128' → V2/R3."""
+    encrypt='rc4-40' → V1/R2; 'rc4-128' → V2/R3; 'aes-128' → V4/R4
+    with the /AESV2 crypt filter."""
     import hashlib
 
+    cfm = "rc4"
     if encrypt == "rc4-40":
         v, r, length = 1, 2, 40
     elif encrypt == "rc4-128":
         v, r, length = 2, 3, 128
+    elif encrypt == "aes-128":
+        v, r, length = 4, 4, 128
+        cfm = "aesv2"
     else:
         raise ValueError(f"unknown encrypt kind {encrypt!r}")
     keylen = length // 8
@@ -1253,16 +1385,24 @@ def _make_encryptor(digest: str, encrypt: str) -> dict:
     u = _std_user_check(key, id0, r)
     if r >= 3:
         u = u + bytes(16)  # spec: 16 compared + 16 arbitrary bytes
+    cf = b""
+    if cfm == "aesv2":
+        cf = (
+            b" /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen"
+            b" /Length 16 >> >> /StmF /StdCF /StrF /StdCF"
+        )
     enc_dict = (
         b"<< /Filter /Standard /V %d /R %d /Length %d /P -4"
-        b" /O <%s> /U <%s> >>"
-        % (v, r, length, o.hex().encode("ascii"), u.hex().encode("ascii"))
+        % (v, r, length)
+        + cf
+        + b" /O <%s> /U <%s> >>"
+        % (o.hex().encode("ascii"), u.hex().encode("ascii"))
     )
     trailer_id = b"/ID [<%s> <%s>]" % (
         digest.encode("ascii"),
         digest.encode("ascii"),
     )
-    return {"key": key, "dict": enc_dict, "id": trailer_id}
+    return {"key": key, "dict": enc_dict, "id": trailer_id, "cfm": cfm}
 
 
 def _cid_cmap_stream(code_of: dict[str, int]) -> bytes:
@@ -1328,14 +1468,16 @@ def build_pdf_fixture(
     to the cid form (extraction is font-form-independent, so the
     oracle never notices).
 
-    encrypt="rc4-40" / "rc4-128" wraps the SAME document in the
-    standard security handler (spec §7.6.3, V1/R2 or V2/R3) with
-    EMPTY user and owner passwords and /P -4 — the dominant
-    "encrypted" crawl shape (restriction flags, not read
-    protection): every string and stream RC4-encrypts under
-    md5-derived per-object keys, /ID comes from the md5 digest so
-    the build stays deterministic, and extraction output is
-    byte-identical to the plaintext form.
+    encrypt="rc4-40" / "rc4-128" / "aes-128" wraps the SAME document
+    in the standard security handler (spec §7.6.3; V1/R2, V2/R3, or
+    V4/R4 with the /AESV2 crypt filter) with EMPTY user and owner
+    passwords and /P -4 — the dominant "encrypted" crawl shape
+    (restriction flags, not read protection): every string and
+    stream encrypts under md5-derived per-object keys (RC4, or
+    AES-128-CBC with an IV prefix and PKCS#7 padding — stream
+    /Length rewritten to the ciphertext size), /ID comes from the
+    md5 digest so the build stays deterministic, and extraction
+    output is byte-identical to the plaintext form.
 
     xref_kind="stream" emits the SAME document as PDF 1.5: every
     dictionary object (catalog, pages root, info, font, page dicts)
@@ -1505,7 +1647,7 @@ def build_pdf_fixture(
     if enc is not None:
         for num in list(objs):
             objs[num] = _encrypt_obj_bytes(
-                objs[num], _obj_rc4_key(enc["key"], num, 0)
+                objs[num], _builder_crypt(enc, num)
             )
         e_num = max(objs) + 1
         objs[e_num] = enc["dict"]  # the handler's own dict: plaintext
@@ -1562,7 +1704,7 @@ def _serialize_pdf15(objs: dict[int, bytes], enc: dict | None = None) -> bytes:
     header += b"\n"
     stm_body = zlib.compress(bytes(header) + bytes(body))
     if enc is not None:
-        stm_body = _rc4(_obj_rc4_key(enc["key"], s_num, 0), stm_body)
+        stm_body = _builder_crypt(enc, s_num)(stm_body)
 
     out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
     offsets: dict[int, int] = {}
@@ -1570,9 +1712,7 @@ def _serialize_pdf15(objs: dict[int, bytes], enc: dict | None = None) -> bytes:
         offsets[n] = len(out)
         body_n = objs[n]
         if enc is not None and n != e_num:
-            body_n = _encrypt_obj_bytes(
-                body_n, _obj_rc4_key(enc["key"], n, 0)
-            )
+            body_n = _encrypt_obj_bytes(body_n, _builder_crypt(enc, n))
         out += b"%d 0 obj\n" % n + body_n + b"\nendobj\n"
     offsets[s_num] = len(out)
     out += (

@@ -2636,10 +2636,10 @@ def test_rc4_public_vectors():
 def test_pdf_encrypted_rc4_empty_password_reads():
     """An RC4-encrypted fixture (standard security handler, empty
     user password — the dominant crawl shape) extracts EXACTLY the
-    plaintext fixture's pages and /Info metadata, across V1/R2 40-bit
-    and V2/R3 128-bit, both xref forms and all three font forms; the
-    encrypted bytes genuinely differ and content no longer inflates
-    without the key."""
+    plaintext fixture's pages and /Info metadata, across V1/R2
+    40-bit, V2/R3 128-bit and V4/R4 /AESV2 AES-128, both xref forms
+    and all three font forms; the encrypted bytes genuinely differ
+    and content no longer inflates without the key."""
     import hashlib
     import itertools
     import zlib
@@ -2659,7 +2659,7 @@ def test_pdf_encrypted_rc4_empty_password_reads():
     for xk, fnt, encr in itertools.product(
         ("classic", "stream"),
         ("simple", "cid", "diffs"),
-        ("rc4-40", "rc4-128"),
+        ("rc4-40", "rc4-128", "aes-128"),
     ):
         blob = build_pdf_fixture(
             text, dig, xref_kind=xk, font=fnt, encrypt=encr
@@ -2886,3 +2886,69 @@ def test_pdf_png_predictor_bpc_fence():
     }
     with pytest.raises(PdfError, match="bpc"):
         _decode_stream(sd, data)
+
+
+def test_pdf_aes_layer_vectors_and_fences():
+    """The AESV2 layer pins against a FIPS-197 known-answer vector
+    (AES-128 single block through the CBC path with a zero IV), the
+    spec's sAlT object-key derivation is checked against a by-hand
+    md5, and the hostile shapes — truncated IV, ragged blocks, bad
+    PKCS#7 padding, AES-256 (/R 6), /EncryptMetadata false, a /V 4
+    dict without /CF — all raise the named PdfError."""
+    import hashlib
+
+    from core_spark.multimodal.pdf import (
+        PdfError,
+        _aes_cbc_decrypt,
+        _aes_cbc_encrypt,
+        _obj_aes_key,
+        build_pdf_fixture,
+        pdf_pages_text,
+    )
+
+    # FIPS-197 appendix C.1 known answer: CBC with zero IV on one
+    # block is exactly the raw cipher
+    key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    want_ct = bytes.fromhex("69c4e0d86a7b0430d8cdb78070b4c55a")
+    iv = bytes(16)
+    enc = _aes_cbc_encrypt(key, iv, pt)
+    assert enc[:16] == iv and enc[16:32] == want_ct
+    assert _aes_cbc_decrypt(key, enc) == pt
+
+    # sAlT object-key derivation vs a by-hand md5
+    fkey = bytes(range(16))
+    want = hashlib.md5(
+        fkey + b"\x07\x00\x00" + b"\x00\x00" + b"sAlT"
+    ).digest()[:16]
+    assert _obj_aes_key(fkey, 7, 0) == want
+
+    # payload fences
+    okey = bytes(16)
+    for bad in (b"", bytes(15), bytes(31), bytes(33)):
+        with pytest.raises(PdfError):
+            _aes_cbc_decrypt(okey, bad)
+    with pytest.raises(PdfError, match="padding"):
+        _aes_cbc_decrypt(okey, _aes_cbc_encrypt(okey, iv, pt)[:-16]
+                         + bytes(16))
+
+    # document-level refusals stay named
+    text = "alpha beta gamma delta epsilon zeta eta theta iota"
+    dig = hashlib.md5(text.encode()).hexdigest()
+    blob = build_pdf_fixture(text, dig, encrypt="aes-128")
+    assert pdf_pages_text(build_pdf_fixture(text, dig)) == pdf_pages_text(
+        blob
+    )
+
+    def mutate(old: bytes, new: bytes) -> bytes:
+        assert old in blob, old
+        return blob.replace(old, new, 1)
+
+    for evil in (
+        mutate(b"/CFM /AESV2", b"/CFM /AESV3"),    # unknown filter
+        mutate(b"/V 4 /R 4", b"/V 5 /R 6"),        # AES-256
+        mutate(b"/StrF /StdCF", b"/StrF /Ident "), # split filters
+        mutate(b"/P -4", b"/P -4 /EncryptMetadata false"),
+    ):
+        with pytest.raises(PdfError):
+            pdf_pages_text(evil)
