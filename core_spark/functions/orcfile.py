@@ -163,12 +163,19 @@ def _deframe(raw: bytes, kind: str) -> bytes:
 
 # ------------------------------------------------------------- messages
 def _parse_postscript(raw: bytes) -> dict:
-    out = {"footer_len": None, "compression": "none", "magic": None}
+    out = {
+        "footer_len": None,
+        "compression": "none",
+        "magic": None,
+        "metadata_len": 0,
+    }
     for fid, wt, v in _fields(raw):
         if fid == 1 and wt == 0:
             out["footer_len"] = v
         elif fid == 2 and wt == 0:
             out["compression"] = _COMPRESSION.get(v, f"unknown({v})")
+        elif fid == 5 and wt == 0:
+            out["metadata_len"] = v
         elif fid == 8000 and wt == 2:
             out["magic"] = v
     if out["magic"] != MAGIC:
@@ -200,13 +207,42 @@ def _parse_int_stats(raw: bytes) -> dict:
     return out
 
 
+def _parse_double_stats(raw: bytes) -> dict:
+    # proto doubles are fixed64; _fields yields them as <Q ints
+    out = {}
+    names = {1: "min", 2: "max", 3: "sum"}
+    for fid, wt, v in _fields(raw):
+        if fid in names and wt == 1:
+            out[names[fid]] = struct.unpack("<d", struct.pack("<Q", v))[0]
+    return out
+
+
+def _parse_string_stats(raw: bytes) -> dict:
+    out = {}
+    for fid, wt, v in _fields(raw):
+        if fid == 1 and wt == 2:
+            out["min"] = v.decode("utf-8", "replace")
+        elif fid == 2 and wt == 2:
+            out["max"] = v.decode("utf-8", "replace")
+        elif fid == 3 and wt == 0:
+            out["sum"] = _unzigzag(v)  # total UTF-8 byte length
+    return out
+
+
 def _parse_col_stats(raw: bytes) -> dict:
-    out = {"n_values": None, "int": None}
+    out = {"n_values": None, "int": None, "string": None,
+           "double": None, "has_null": None}
     for fid, wt, v in _fields(raw):
         if fid == 1 and wt == 0:
             out["n_values"] = v
         elif fid == 2 and wt == 2:
             out["int"] = _parse_int_stats(v)
+        elif fid == 3 and wt == 2:
+            out["double"] = _parse_double_stats(v)
+        elif fid == 4 and wt == 2:
+            out["string"] = _parse_string_stats(v)
+        elif fid == 10 and wt == 0:
+            out["has_null"] = bool(v)
     return out
 
 
@@ -275,6 +311,151 @@ def parse_orc_tail(raw: bytes) -> dict:
             out["stats"].append(_parse_col_stats(v))
         elif fid == 8 and wt == 0:
             out["row_index_stride"] = v
+    return out
+
+
+def parse_orc_metadata(raw: bytes) -> list[list[dict]]:
+    """File Metadata section (the bytes between the stripes and the
+    footer; postscript field 5 carries its length) → per-STRIPE
+    column statistics: Metadata = repeated StripeStatistics (field
+    1), each = repeated ColumnStatistics (field 1), same message the
+    footer's file-level stats use. [[col0, col1, …] per stripe];
+    empty list when the writer recorded none."""
+    if len(raw) < 4 or raw[:3] != MAGIC:
+        raise OrcError("missing ORC header magic")
+    ps_len = raw[-1]
+    if ps_len + 1 > len(raw):
+        raise OrcError("postscript length escapes the file")
+    ps = _parse_postscript(raw[len(raw) - 1 - ps_len : len(raw) - 1])
+    mlen = ps.get("metadata_len", 0)
+    if not mlen:
+        return []
+    foot_end = len(raw) - 1 - ps_len - ps["footer_len"]
+    if mlen > foot_end:
+        raise OrcError("metadata length escapes the file")
+    meta = _deframe(raw[foot_end - mlen : foot_end], ps["compression"])
+    out: list[list[dict]] = []
+    for fid, wt, v in _fields(meta):
+        if fid == 1 and wt == 2:
+            cols = [
+                _parse_col_stats(c)
+                for f2, w2, c in _fields(v)
+                if f2 == 1 and w2 == 2
+            ]
+            out.append(cols)
+    return out
+
+
+def orc_verify_stripe_stats(raw: bytes, name: str) -> list[dict]:
+    """Cross-check the writer's recorded STRIPE statistics for one
+    column against a from-spec recompute: decode the column's values
+    (read_orc_column), slice them on the footer's per-stripe row
+    counts, recompute n_values / has_null and min/max/sum (integer
+    or string per the column kind), and compare with the Metadata
+    section's StripeStatistics AND the footer's file-level roll-up.
+    Any disagreement raises OrcError — the statistics either match
+    the data bit-exactly or the file is refused, the page-CRC
+    discipline applied to ORC's stats tier. Returns one dict per
+    stripe: {stripe_idx, n_rows, n_values, has_null, min, max, sum}
+    (min/max/sum None for an all-null stripe).
+
+    Reference parity: gazette/core ships no columnar stats
+    (message/interfaces.go — opaque serializations); this is the
+    verification tier for fragment recovery audits."""
+    tail = parse_orc_tail(raw)
+    meta = parse_orc_metadata(raw)
+    if not meta:
+        raise OrcError("file carries no stripe statistics metadata")
+    if len(meta) != len(tail["stripes"]):
+        raise OrcError(
+            f"{len(meta)} stripe-stat entries for "
+            f"{len(tail['stripes'])} stripes"
+        )
+    col_id = _root_col_id(tail, name)
+    kind = tail["types"][col_id]["kind"]
+    if kind not in ("byte", "short", "int", "long", "string",
+                    "varchar", "char"):
+        raise OrcError(
+            f"stripe-stat verify for kind '{kind}' is not supported"
+        )
+    is_str = kind in ("string", "varchar", "char")
+    values = read_orc_column(raw, name)
+    out: list[dict] = []
+    off = 0
+    agg_n = 0
+    agg_null = False
+    agg_min = agg_max = None
+    agg_sum = 0
+    for si, st in enumerate(tail["stripes"]):
+        n = st["n_rows"]
+        seg = values[off : off + n]
+        off += n
+        present = [v for v in seg if v is not None]
+        want_n = len(present)
+        want_null = len(present) < n
+        if is_str:
+            want_min = min(present) if present else None
+            want_max = max(present) if present else None
+            want_sum = (
+                sum(len(s.encode("utf-8")) for s in present)
+                if present
+                else None
+            )
+        else:
+            want_min = min(present) if present else None
+            want_max = max(present) if present else None
+            want_sum = sum(present) if present else None
+        if col_id >= len(meta[si]):
+            raise OrcError(f"stripe {si} lacks stats for column {col_id}")
+        cs = meta[si][col_id]
+        sub = cs["string"] if is_str else cs["int"]
+        got = {
+            "n_values": cs["n_values"],
+            "has_null": bool(cs["has_null"]),
+            "min": sub.get("min") if sub else None,
+            "max": sub.get("max") if sub else None,
+            "sum": sub.get("sum") if sub else None,
+        }
+        want = {
+            "n_values": want_n,
+            "has_null": want_null,
+            "min": want_min,
+            "max": want_max,
+            "sum": want_sum,
+        }
+        if got != want:
+            raise OrcError(
+                f"stripe {si} column '{name}' statistics disagree "
+                f"with the data: recorded {got}, recomputed {want}"
+            )
+        out.append({"stripe_idx": si, "n_rows": n, **want})
+        agg_n += want_n
+        agg_null = agg_null or want_null
+        if present:
+            agg_min = want_min if agg_min is None else min(agg_min, want_min)
+            agg_max = want_max if agg_max is None else max(agg_max, want_max)
+            agg_sum += want_sum
+    if off != (tail["n_rows"] or off):
+        raise OrcError("stripe row counts disagree with the footer")
+    fs = tail["stats"][col_id]
+    fsub = fs["string"] if is_str else fs["int"]
+    got_file = {
+        "n_values": fs["n_values"],
+        "min": fsub.get("min") if fsub else None,
+        "max": fsub.get("max") if fsub else None,
+        "sum": fsub.get("sum") if fsub else None,
+    }
+    want_file = {
+        "n_values": agg_n,
+        "min": agg_min,
+        "max": agg_max,
+        "sum": agg_sum if agg_n else None,
+    }
+    if got_file != want_file:
+        raise OrcError(
+            f"file-level statistics for '{name}' disagree with the "
+            f"stripe roll-up: recorded {got_file}, recomputed {want_file}"
+        )
     return out
 
 

@@ -6509,6 +6509,160 @@ def q_bits_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_bits_orc_stats",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, text, unnest(range(600)) AS k FROM documents
+    ),
+    v AS (
+      SELECT doc_id,
+             CAST(k AS BIGINT) AS k,
+             md5(text || ':' || CAST(k AS VARCHAR)) AS h
+      FROM f
+    ),
+    s AS (
+      SELECT doc_id,
+             CASE WHEN k % 5 = 0 THEN NULL
+                  ELSE CAST('0x' || substr(h, 1, 12) AS BIGINT)
+             END AS score,
+             substr(h, 1, 8) AS word
+      FROM v
+    )
+    SELECT doc_id,
+           CAST(600 AS BIGINT) AS n_rows,
+           CAST(count(score) AS BIGINT) AS n_values,
+           count(score) < 600 AS has_null,
+           min(score) AS min_score,
+           max(score) AS max_score,
+           CAST(sum(score) AS BIGINT) AS sum_score,
+           min(word) AS min_word,
+           max(word) AS max_word,
+           CAST(sum(strlen(word)) AS BIGINT) AS word_bytes
+    FROM s GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_bits_orc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC STRIPE-STATISTICS cross-check (r13 — the q_bits
+    verification tier extended from values to the stats the pruning
+    planner trusts): each document becomes a real multi-stripe ORC
+    file of 600 md5-derived rows (high-entropy int64 scores with
+    planted nulls + hex words; uncompressed, 1 KiB stripe target, so
+    the writer genuinely splits stripes), and
+    functions/orcfile.py orc_verify_stripe_stats decodes every
+    column, recomputes n_values / has_null / min / max / sum PER
+    STRIPE from the Metadata section's StripeStatistics, compares
+    bit-exactly, then rolls the stripes up against the footer's
+    file-level statistics — any disagreement raises OrcError, the
+    page-CRC discipline applied to ORC's stats tier (both pyarrow's
+    C++ writer here and Spark's Java orc-core writer in tests, two
+    independent producers). The emitted row is the VERIFIED
+    file-level roll-up; the DuckDB oracle recomputes it from raw
+    text, so a silently wrong writer stat or a broken recompute
+    both fail the driver hash.
+
+    Scale shape: map-side Arrow kernel, zero shuffles before the
+    presentation sort (the q_bits class); stats verification reads
+    only the tail + one column pass per file.
+
+    Fixture-coupling note: the >=2-stripe assertion rides pyarrow's
+    flush heuristic (600 rows / stripe_size=1024 / batch_size=64 →
+    2 stripes today); a pyarrow behavior change fails loudly in the
+    kernel, never silently."""
+    from core_spark.functions.orcfile import (
+        OrcError,
+        orc_verify_stripe_stats,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+
+    def walk(batches):
+        import hashlib
+        import io
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.orc as orc
+
+        schema = pa.schema(
+            [
+                pa.field("score", pa.int64(), nullable=True),
+                pa.field("word", pa.string(), nullable=False),
+            ]
+        )
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                hs = [
+                    hashlib.md5(f"{text}:{k}".encode("utf-8")).hexdigest()
+                    for k in range(600)
+                ]
+                t = pa.table(
+                    {
+                        "score": [
+                            None if k % 5 == 0 else int(h[:12], 16)
+                            for k, h in enumerate(hs)
+                        ],
+                        "word": [h[:8] for h in hs],
+                    },
+                    schema=schema,
+                )
+                buf = io.BytesIO()
+                orc.write_table(
+                    t,
+                    buf,
+                    compression="uncompressed",
+                    stripe_size=1024,
+                    batch_size=64,
+                )
+                raw = buf.getvalue()
+                sc = orc_verify_stripe_stats(raw, "score")
+                wd = orc_verify_stripe_stats(raw, "word")
+                if len(sc) < 2:
+                    raise OrcError(
+                        "fixture produced a single stripe — the "
+                        "multi-stripe claim no longer holds"
+                    )
+                n_rows = sum(r["n_rows"] for r in sc)
+                nn = sum(r["n_values"] for r in sc)
+                rows.append(
+                    (
+                        int(doc_id),
+                        n_rows,
+                        nn,
+                        any(r["has_null"] for r in sc),
+                        min(r["min"] for r in sc if r["min"] is not None),
+                        max(r["max"] for r in sc if r["max"] is not None),
+                        sum(r["sum"] for r in sc if r["sum"] is not None),
+                        min(r["min"] for r in wd),
+                        max(r["max"] for r in wd),
+                        sum(r["sum"] for r in wd),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_rows", "n_values", "has_null",
+                    "min_score", "max_score", "sum_score",
+                    "min_word", "max_word", "word_bytes",
+                ],
+            )
+
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(
+            walk,
+            schema=(
+                "doc_id long, n_rows long, n_values long,"
+                " has_null boolean, min_score long, max_score long,"
+                " sum_score long, min_word string, max_word string,"
+                " word_bytes long"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "q_blocks_xz",
     oracle="""
     WITH p AS (

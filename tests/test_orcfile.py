@@ -1258,3 +1258,141 @@ def test_rlev1_property_fuzz_against_test_encoder():
                     buf += varint(zigzag(v) if signed else v)
                 want.extend(lits)
         assert _rlev1(bytes(buf), signed=signed) == want, trial
+
+
+def test_orc_stripe_stats_verify_multi_stripe_and_tamper():
+    """orc_verify_stripe_stats (r13): per-stripe StripeStatistics
+    from the Metadata section match a from-spec recompute of the
+    decoded values (int with planted nulls + string columns, genuine
+    multi-stripe file), the stripes roll up to the footer's
+    file-level stats — and EVERY single-byte flip across the
+    Metadata section raises OrcError (either a parse fence or a
+    stats-disagree fence), never a silently-accepted wrong
+    statistic."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.orc as orc
+
+    from core_spark.functions.orcfile import (
+        OrcError,
+        _parse_postscript,
+        orc_verify_stripe_stats,
+        parse_orc_metadata,
+    )
+
+    import hashlib
+
+    n = 1200
+    hs = [hashlib.md5(b"stats:%d" % k).hexdigest() for k in range(n)]
+    t = pa.table(
+        {
+            "score": pa.array(
+                [None if k % 5 == 0 else int(h[:12], 16)
+                 for k, h in enumerate(hs)],
+                pa.int64(),
+            ),
+            "word": pa.array([h[:8] for h in hs], pa.string()),
+        }
+    )
+    buf = io.BytesIO()
+    orc.write_table(
+        t, buf, compression="uncompressed", stripe_size=1024,
+        batch_size=64,
+    )
+    raw = buf.getvalue()
+
+    sc = orc_verify_stripe_stats(raw, "score")
+    wd = orc_verify_stripe_stats(raw, "word")
+    assert len(sc) >= 2 and len(wd) >= 2  # genuinely multi-stripe
+    assert sum(r["n_rows"] for r in sc) == n
+    assert all(r["has_null"] for r in sc)
+    assert not any(r["has_null"] for r in wd)
+    present = [v for v in t["score"].to_pylist() if v is not None]
+    assert sum(r["sum"] for r in sc) == sum(present)
+    assert min(r["min"] for r in wd) == min(h[:8] for h in hs)
+
+    # tamper sweep: every byte of the Metadata section is live
+    ps_len = raw[-1]
+    ps = _parse_postscript(raw[len(raw) - 1 - ps_len : len(raw) - 1])
+    foot_end = len(raw) - 1 - ps_len - ps["footer_len"]
+    m0 = foot_end - ps["metadata_len"]
+    assert ps["metadata_len"] > 0
+    flips_ok = 0
+    for at in range(m0, foot_end):
+        evil = bytearray(raw)
+        evil[at] ^= 0xFF
+        try:
+            orc_verify_stripe_stats(bytes(evil), "score")
+            orc_verify_stripe_stats(bytes(evil), "word")
+        except OrcError:
+            flips_ok += 1
+        except Exception as e:  # noqa: BLE001 - the assertion below names it
+            raise AssertionError(
+                f"flip at {at - m0} escaped the named-error contract: "
+                f"{type(e).__name__}: {e}"
+            ) from e
+        else:
+            raise AssertionError(
+                f"flip at {at - m0} accepted: a corrupted statistic "
+                "verified clean"
+            )
+    assert flips_ok == ps["metadata_len"]
+
+    # no-metadata fence: strip the metadata by zeroing its length is
+    # not possible without rewriting the postscript; instead verify
+    # the named error on a file pyarrow writes with no stripes
+    empty = io.BytesIO()
+    orc.write_table(pa.table({"x": pa.array([], pa.int64())}), empty)
+    with pytest.raises(OrcError):
+        orc_verify_stripe_stats(empty.getvalue(), "x")
+
+    # unsupported-kind fence
+    buf2 = io.BytesIO()
+    orc.write_table(
+        pa.table({"d": pa.array([1.5, 2.5], pa.float64())}), buf2
+    )
+    with pytest.raises(OrcError, match="kind"):
+        orc_verify_stripe_stats(buf2.getvalue(), "d")
+
+    # metadata parses double stats even though verify fences them
+    md = parse_orc_metadata(buf2.getvalue())
+    assert md and md[0][1]["double"] == {"min": 1.5, "max": 2.5, "sum": 4.0}
+
+
+def test_orc_stripe_stats_pin_against_spark_java_writer(spark, tmp_path):
+    """The stats verifier against the OTHER independent producer:
+    Spark's Java orc-core writer (multi-stripe via orc.stripe.size),
+    int, string and nullable columns — recorded stripe stats match
+    the from-spec recompute bit-exactly, including the sum and
+    UTF-8-byte string totals."""
+    import glob
+
+    from core_spark.functions.orcfile import (
+        orc_verify_stripe_stats,
+        parse_orc_tail,
+    )
+
+    out = str(tmp_path / "ostats")
+    (
+        spark.range(0, 60000)
+        .selectExpr(
+            "id - 30000 AS id",  # negatives through the sint64 zigzag
+            "concat('v', CAST(id * 2654435761 % 1000000007 AS STRING))"
+            " AS name",
+            "CASE WHEN id % 7 = 0 THEN NULL ELSE id * 3 END AS score",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("orc.stripe.size", "65536")
+        .option("orc.compress", "ZSTD")
+        .orc(out)
+    )
+    (path,) = glob.glob(out + "/*.orc")
+    raw = open(path, "rb").read()
+    assert len(parse_orc_tail(raw)["stripes"]) > 1
+    for col in ("id", "name", "score"):
+        rows = orc_verify_stripe_stats(raw, col)
+        assert len(rows) > 1
+    assert sum(r["n_rows"] for r in rows) == 60000
+    assert sum(1 for r in rows if r["has_null"])

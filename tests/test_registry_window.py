@@ -84,6 +84,8 @@ _REPO = Path(__file__).resolve().parent.parent
 # window via renames — q_nested_values→q_bits_nested,
 # q_ts_values→q_bits_epoch. The names they displaced (q_bits_zstd,
 # q_block_fuzzy) hold green r11/r10 rows. The set is empty again.
+# r13: the new q_bits_orc_stats sorts into the window at position
+# 50, displacing q_bits_pages (green r12 row + SWEEP_r12 entry).
 PYTEST_ONLY: set[str] = set()
 
 
