@@ -304,8 +304,10 @@ _ENC_PAD = bytes([
 ])
 
 
-def _rc4(key: bytes, data: bytes) -> bytes:
-    """RC4 stream cipher (the public KSA+PRGA description)."""
+def _rc4_py(key: bytes, data: bytes) -> bytes:
+    """RC4 stream cipher from the public KSA+PRGA description — the
+    reference implementation the test vectors pin, and the fallback
+    when OpenSSL is absent or rejects the key size."""
     s = list(range(256))
     j = 0
     klen = len(key)
@@ -320,6 +322,30 @@ def _rc4(key: bytes, data: bytes) -> bytes:
         s[i], s[j] = s[j], s[i]
         out[k] = c ^ s[(s[i] + s[j]) & 0xFF]
     return bytes(out)
+
+
+# OpenSSL accepts these RC4 key sizes; PDF's standard handler only
+# produces 40/80/128-bit keys, all in the set — so the hot path runs
+# at C speed and the pure-Python reference covers everything else.
+_ARC4_BITS = frozenset((40, 56, 64, 80, 128, 160, 192, 256))
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    """RC4: OpenSSL (via the public `cryptography` package) when the
+    key size allows, else the from-spec pure-Python path — both
+    pinned against each other and the classic public vectors."""
+    if len(key) * 8 in _ARC4_BITS:
+        try:
+            from cryptography.hazmat.decrepit.ciphers.algorithms import (
+                ARC4,
+            )
+            from cryptography.hazmat.primitives.ciphers import Cipher
+
+            enc = Cipher(ARC4(key), mode=None).encryptor()
+            return enc.update(data) + enc.finalize()
+        except ImportError:
+            pass
+    return _rc4_py(key, data)
 
 
 def _std_file_key(
@@ -617,6 +643,10 @@ class _Doc:
             raise PdfError("trailer is not a dictionary")
         # parsed /ObjStm cache: stream obj num -> (body, first, pairs)
         self._objstms: dict[int, tuple] = {}
+        # per-font decode-map cache: font object num -> map | None
+        # (fonts are shared across pages; re-parsing the /ToUnicode
+        # CMap or /Differences table per page is O(pages) waste)
+        self._font_maps: dict[int, dict | None] = {}
         self._enc: dict | None = None
         if self.trailer.get("Encrypt") is not None:
             self._setup_encryption()
@@ -1212,6 +1242,14 @@ def _page_fonts(doc: "_Doc", page: dict) -> dict:
     if not isinstance(fdict, dict):
         return fonts
     for name, fref in fdict.items():
+        fkey = (
+            fref[1]
+            if isinstance(fref, tuple) and fref and fref[0] == "ref"
+            else None
+        )
+        if fkey is not None and fkey in doc._font_maps:
+            fonts[name] = doc._font_maps[fkey]
+            continue
         font = doc.deref(fref)
         cmap = None
         if isinstance(font, dict):
@@ -1227,6 +1265,8 @@ def _page_fonts(doc: "_Doc", page: dict) -> dict:
                 "Subtype"
             ) != ("name", "Type0"):
                 cmap = _simple_encoding_map(doc, font["Encoding"])
+        if fkey is not None:
+            doc._font_maps[fkey] = cmap
         fonts[name] = cmap
     return fonts
 

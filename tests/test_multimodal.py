@@ -2623,14 +2623,30 @@ def test_rc4_public_vectors():
     the KSA/PRGA before any PDF-layer use."""
     from core_spark.multimodal.pdf import _rc4
 
+    import random
+
+    from core_spark.multimodal.pdf import _rc4_py
+
     vectors = [
         (b"Key", b"Plaintext", "bbf316e8d940af0ad3"),
         (b"Wiki", b"pedia", "1021bf0420"),
         (b"Secret", b"Attack at dawn", "45a01f645fc35b383552544b9bf5"),
     ]
     for key, plain, hexct in vectors:
-        assert _rc4(key, plain).hex() == hexct
-        assert _rc4(key, bytes.fromhex(hexct)) == plain  # involution
+        for fn in (_rc4, _rc4_py):
+            assert fn(key, plain).hex() == hexct
+            assert fn(key, bytes.fromhex(hexct)) == plain  # involution
+
+    # the OpenSSL fast path and the from-spec reference agree on the
+    # key sizes PDF's standard handler actually produces (40/80/128)
+    rng = random.Random(3)
+    for bits in (40, 80, 128):
+        for _ in range(10):
+            key = bytes(rng.randrange(256) for _ in range(bits // 8))
+            data = bytes(
+                rng.randrange(256) for _ in range(rng.randrange(0, 2000))
+            )
+            assert _rc4(key, data) == _rc4_py(key, data)
 
 
 def test_pdf_encrypted_rc4_empty_password_reads():
