@@ -1031,8 +1031,9 @@ def attach_pdf_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     with NO /ToUnicode (the older-toolchain shape); nibble 8 → a
     quarter each AES-128 (/V 4 /AESV2), RC4-40 and RC4-128
     standard-handler encryption with empty passwords (the
-    restriction-flag crawl shape — r13), the remaining quarter
-    plaintext.
+    restriction-flag crawl shape — r13); within the remaining
+    quarter, nibble 9 odd → AES-256 (/V 5 /R 6 /AESV3, the PDF 2.0
+    handler), else plaintext.
     Extraction output is form-, font- and encryption-independent by
     construction (the cross-form test pins)."""
 
@@ -1053,6 +1054,8 @@ def attach_pdf_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
             enc = {1: "aes-128", 2: "rc4-40", 3: "rc4-128"}.get(
                 int(digest[8], 16) % 4
             )
+            if enc is None and int(digest[9], 16) % 2:
+                enc = "aes-256"  # half the remaining quarter: PDF 2.0
             return build_pdf_fixture(
                 t, digest, xref_kind=kind, font=fnt, encrypt=enc
             )

@@ -457,6 +457,36 @@ def _aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     return iv + enc.update(data + bytes((pad,)) * pad) + enc.finalize()
 
 
+def _aes_cbc_nopad(key: bytes, iv: bytes, data: bytes, decrypt: bool):
+    """Raw AES-CBC with no padding — the R6 key-wrap primitive
+    (spec: /UE //OE and Algorithm 2.B use exact-block payloads)."""
+    if len(data) % 16:
+        raise PdfError("R6 key blob is not whole AES blocks")
+    c = _aes_cipher(key, iv)
+    op = c.decryptor() if decrypt else c.encryptor()
+    return op.update(data) + op.finalize()
+
+
+def _r6_hash(password: bytes, salt: bytes, udata: bytes) -> bytes:
+    """ISO 32000-2 Algorithm 2.B (R6): the SHA-2 family iterated
+    hash — SHA-256 seed, then rounds of AES-128-CBC over 64
+    repetitions of (password + K + udata) with the digest algorithm
+    steered by E's first block mod 3, until round >= 64 and the last
+    byte of E says stop."""
+    import hashlib as _hl
+
+    k = _hl.sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = _aes_cbc_nopad(k[:16], k[16:32], k1, decrypt=False)
+        mod = int.from_bytes(e[:16], "big") % 3
+        k = (_hl.sha256, _hl.sha384, _hl.sha512)[mod](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
 # ------------------------------------------------------------ document
 # xref entry: ("at", byte_offset) for a top-level object, or
 # ("in", objstm_num, index) for a compressed object (type-2 entry).
@@ -677,6 +707,8 @@ class _Doc:
         v = enc.get("V", 0)
         r = enc.get("R", 0)
         cfm = "rc4"
+        if v == 5 and r == 6:
+            return self._setup_r6(enc)
         if v in (1, 2) and r in (2, 3):
             pass
         elif v == 4 and r == 4:
@@ -707,8 +739,7 @@ class _Doc:
         else:
             raise PdfError(
                 f"unsupported encryption /V {v} /R {r} "
-                "(RC4 V1/V2 R2/R3 and V4/R4 V2/AESV2 only; "
-                "AES-256 refused loudly)"
+                "(RC4 V1/V2 R2/R3, V4/R4 V2/AESV2, V5/R6 AESV3)"
             )
         length = enc.get("Length", 40)
         if not isinstance(length, int) or length % 8 or not (
@@ -741,6 +772,72 @@ class _Doc:
             )
         self._enc = {"key": key, "cfm": cfm}
 
+    def _setup_r6(self, enc: dict) -> None:
+        """AES-256 standard handler (ISO 32000-2, /V 5 /R 6 — the
+        PDF 2.0 shape): validate the EMPTY user password with the
+        Algorithm 2.B SHA-2 iterated hash against /U's validation
+        salt, unwrap the 256-bit file key from /UE with the key
+        salt, and verify /Perms decrypts to the 'adb' sentinel with
+        a /P that matches — any disagreement is the named refusal."""
+        if enc.get("EncryptMetadata") is False:
+            raise PdfError(
+                "unsupported /EncryptMetadata false "
+                "(plaintext-metadata variant)"
+            )
+        cf = enc.get("CF")
+        std = cf.get("StdCF") if isinstance(cf, dict) else None
+        if not isinstance(std, dict) or std.get("CFM") != (
+            "name", "AESV3"
+        ):
+            raise PdfError("/V 5 encryption without /CF /StdCF /AESV3")
+        for role in ("StmF", "StrF"):
+            if enc.get(role, ("name", "Identity")) != ("name", "StdCF"):
+                raise PdfError(
+                    f"unsupported /{role} (only /StdCF for both "
+                    "streams and strings)"
+                )
+        u = enc.get("U")
+        ue = enc.get("UE")
+        p = enc.get("P")
+        if (
+            not (isinstance(u, tuple) and u and u[0] == "str")
+            or not (isinstance(ue, tuple) and ue and ue[0] == "str")
+            or not isinstance(p, int)
+            or len(u[1]) < 48
+            or len(ue[1]) != 32
+        ):
+            raise PdfError("malformed /V 5 /Encrypt dictionary")
+        ub = u[1]
+        vsalt, ksalt = ub[32:40], ub[40:48]
+        if _r6_hash(b"", vsalt, b"") != ub[:32]:
+            raise PdfError(
+                "encrypted PDF: empty user password rejected "
+                "(a real password is required)"
+            )
+        ikey = _r6_hash(b"", ksalt, b"")
+        fkey = _aes_cbc_nopad(ikey, bytes(16), ue[1], decrypt=True)
+        perms = enc.get("Perms")
+        if isinstance(perms, tuple) and perms and perms[0] == "str":
+            if len(perms[1]) != 16:
+                raise PdfError("/Perms is not one AES block")
+            from cryptography.hazmat.primitives.ciphers import (
+                Cipher,
+                algorithms,
+                modes,
+            )
+
+            dec = Cipher(algorithms.AES(fkey), modes.ECB()).decryptor()
+            pt = dec.update(perms[1]) + dec.finalize()
+            if pt[9:12] != b"adb":
+                raise PdfError("/Perms does not decrypt to the sentinel")
+            import struct as _st
+
+            if pt[:4] != _st.pack(
+                "<i", p if p < 1 << 31 else p - (1 << 32)
+            ):
+                raise PdfError("/Perms permissions disagree with /P")
+        self._enc = {"key": fkey, "cfm": "aesv3"}
+
     def _decrypt_loaded(self, num: int, off: int, val, data):
         """Post-load decryption for a top-level object: strings and
         the stream body decrypt under the per-object key (RC4 or
@@ -750,7 +847,13 @@ class _Doc:
             return val, data
         m = _OBJ_AT.match(self.raw, _skip_ws(self.raw, off))
         gen = int(m.group(2)) if m else 0
-        if self._enc["cfm"] == "aesv2":
+        if self._enc["cfm"] == "aesv3":
+            okey = self._enc["key"]  # V5: the file key, no derivation
+
+            def crypt(b: bytes) -> bytes:
+                return _aes_cbc_decrypt(okey, b)
+
+        elif self._enc["cfm"] == "aesv2":
             okey = _obj_aes_key(self._enc["key"], num, gen)
 
             def crypt(b: bytes) -> bytes:
@@ -1335,18 +1438,25 @@ def _esc_raw(raw: bytes) -> bytes:
 
 
 def _builder_crypt(enc: dict, num: int):
-    """Per-object ENCRYPT function for the fixture builder: RC4 or
-    AESV2 per the handler mode; AES IVs are md5-derived from the
-    object key and a call counter so builds stay deterministic."""
-    if enc["cfm"] == "aesv2":
+    """Per-object ENCRYPT function for the fixture builder: RC4,
+    AESV2 (md5-derived per-object key) or AESV3 (the file key
+    directly, per spec); AES IVs are md5-derived from the key, the
+    object number and a call counter so builds stay deterministic."""
+    if enc["cfm"] in ("aesv2", "aesv3"):
         import hashlib
 
-        okey = _obj_aes_key(enc["key"], num, 0)
+        okey = (
+            enc["key"]
+            if enc["cfm"] == "aesv3"
+            else _obj_aes_key(enc["key"], num, 0)
+        )
         ctr = [0]
 
         def crypt(data: bytes) -> bytes:
             ctr[0] += 1
-            iv = hashlib.md5(okey + ctr[0].to_bytes(4, "big")).digest()
+            iv = hashlib.md5(
+                okey + num.to_bytes(4, "big") + ctr[0].to_bytes(4, "big")
+            ).digest()
             return _aes_cbc_encrypt(okey, iv, data)
 
     else:
@@ -1400,9 +1510,11 @@ def _make_encryptor(digest: str, encrypt: str) -> dict:
     user AND owner passwords, all permissions (/P -4), /ID derived
     from the md5 digest so the oracle side never needs randomness.
     encrypt='rc4-40' → V1/R2; 'rc4-128' → V2/R3; 'aes-128' → V4/R4
-    with the /AESV2 crypt filter."""
+    with the /AESV2 crypt filter; 'aes-256' → V5/R6 /AESV3."""
     import hashlib
 
+    if encrypt == "aes-256":
+        return _make_r6_encryptor(digest)
     cfm = "rc4"
     if encrypt == "rc4-40":
         v, r, length = 1, 2, 40
@@ -1443,6 +1555,65 @@ def _make_encryptor(digest: str, encrypt: str) -> dict:
         digest.encode("ascii"),
     )
     return {"key": key, "dict": enc_dict, "id": trailer_id, "cfm": cfm}
+
+
+def _make_r6_encryptor(digest: str) -> dict:
+    """AES-256 (/V 5 /R 6) handler parameters: empty user and owner
+    passwords, salts and the 256-bit file key all derived from the
+    md5 digest so builds stay deterministic; /U //O per Algorithm
+    2.B, /UE //OE as raw-CBC key wraps, /Perms the ECB'd sentinel
+    block carrying /P -4."""
+    import hashlib
+    import struct as _st
+
+    from cryptography.hazmat.primitives.ciphers import (
+        Cipher,
+        algorithms,
+        modes,
+    )
+
+    h = bytes.fromhex(digest)
+    u_vs = hashlib.md5(h + b"uv").digest()[:8]
+    u_ks = hashlib.md5(h + b"uk").digest()[:8]
+    o_vs = hashlib.md5(h + b"ov").digest()[:8]
+    o_ks = hashlib.md5(h + b"ok").digest()[:8]
+    fkey = hashlib.sha256(h + b"filekey").digest()
+    u = _r6_hash(b"", u_vs, b"") + u_vs + u_ks
+    ue = _aes_cbc_nopad(
+        _r6_hash(b"", u_ks, b""), bytes(16), fkey, decrypt=False
+    )
+    o = _r6_hash(b"", o_vs, u) + o_vs + o_ks
+    oe = _aes_cbc_nopad(
+        _r6_hash(b"", o_ks, u), bytes(16), fkey, decrypt=False
+    )
+    block = (
+        _st.pack("<i", -4)
+        + b"\xff\xff\xff\xff"
+        + b"T"
+        + b"adb"
+        + hashlib.md5(h + b"perms").digest()[:4]
+    )
+    encp = Cipher(algorithms.AES(fkey), modes.ECB()).encryptor()
+    perms = encp.update(block) + encp.finalize()
+    enc_dict = (
+        b"<< /Filter /Standard /V 5 /R 6 /Length 256 /P -4"
+        b" /CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen"
+        b" /Length 32 >> >> /StmF /StdCF /StrF /StdCF"
+        b" /O <%s> /U <%s> /OE <%s> /UE <%s> /Perms <%s> >>"
+        % (
+            o.hex().encode("ascii"),
+            u.hex().encode("ascii"),
+            oe.hex().encode("ascii"),
+            ue.hex().encode("ascii"),
+            perms.hex().encode("ascii"),
+        )
+    )
+    trailer_id = b"/ID [<%s> <%s>]" % (
+        digest.encode("ascii"),
+        digest.encode("ascii"),
+    )
+    return {"key": fkey, "dict": enc_dict, "id": trailer_id,
+            "cfm": "aesv3"}
 
 
 def _cid_cmap_stream(code_of: dict[str, int]) -> bytes:
@@ -1508,16 +1679,18 @@ def build_pdf_fixture(
     to the cid form (extraction is font-form-independent, so the
     oracle never notices).
 
-    encrypt="rc4-40" / "rc4-128" / "aes-128" wraps the SAME document
-    in the standard security handler (spec §7.6.3; V1/R2, V2/R3, or
-    V4/R4 with the /AESV2 crypt filter) with EMPTY user and owner
-    passwords and /P -4 — the dominant "encrypted" crawl shape
-    (restriction flags, not read protection): every string and
-    stream encrypts under md5-derived per-object keys (RC4, or
-    AES-128-CBC with an IV prefix and PKCS#7 padding — stream
-    /Length rewritten to the ciphertext size), /ID comes from the
-    md5 digest so the build stays deterministic, and extraction
-    output is byte-identical to the plaintext form.
+    encrypt="rc4-40" / "rc4-128" / "aes-128" / "aes-256" wraps the
+    SAME document in the standard security handler (spec §7.6.3;
+    V1/R2, V2/R3, V4/R4 /AESV2, or the ISO 32000-2 V5/R6 /AESV3
+    shape) with EMPTY user and owner passwords and /P -4 — the
+    dominant "encrypted" crawl shape (restriction flags, not read
+    protection): every string and stream encrypts under the
+    per-object RC4/AES-128 keys (or the R6 file key directly, per
+    spec) with IV prefix + PKCS#7 padding on the AES paths and the
+    stream /Length rewritten to the ciphertext size; salts, IVs and
+    /ID all derive from the md5 digest so the build stays
+    deterministic, and extraction output is byte-identical to the
+    plaintext form.
 
     xref_kind="stream" emits the SAME document as PDF 1.5: every
     dictionary object (catalog, pages root, info, font, page dicts)

@@ -1156,8 +1156,8 @@ def q_cc_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     rotate each document across the real-world form space (see
     attach_pdf_payload): classic vs xref-STREAM cross-reference,
     simple vs CID-/ToUnicode vs /Differences-remapped fonts, and
-    plaintext vs RC4-40/RC4-128/AES-128 standard-handler encryption
-    with empty passwords — extraction is form-independent by
+    plaintext vs RC4-40/RC4-128/AES-128/AES-256 standard-handler
+    encryption with empty passwords — extraction is form-independent by
     construction, so the oracle stays pure word-tiling math while
     the driver run exercises every decode path. Payload bytes never reach the JVM
     plan: both stages are executor-side mapInPandas, and the Arrow

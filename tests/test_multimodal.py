@@ -2968,3 +2968,64 @@ def test_pdf_aes_layer_vectors_and_fences():
     ):
         with pytest.raises(PdfError):
             pdf_pages_text(evil)
+
+
+def test_pdf_aes256_r6_empty_password_reads_and_refuses():
+    """AES-256 (/V 5 /R 6 /AESV3 — the PDF 2.0 shape): the empty
+    user password validates through the Algorithm 2.B SHA-2
+    iterated hash, the file key unwraps from /UE, /Perms must
+    decrypt to the 'adb' sentinel with a matching /P, and
+    extraction equals the plaintext fixture across xref and font
+    forms; tampered /U, /Perms, a wrong-sentinel /Perms and a
+    truncated /UE all refuse with the named error.
+
+    Pin disclosure (the fences-table PDF row): the 2.B iteration
+    loop is shared between builder and reader — only the AES/SHA-2
+    primitives (OpenSSL/hashlib) are independent; no second R6
+    implementation exists in this environment."""
+    import hashlib
+    import itertools
+
+    from core_spark.multimodal.pdf import (
+        PdfError,
+        build_pdf_fixture,
+        pdf_meta,
+        pdf_pages_text,
+    )
+
+    text = (
+        "the fast key order sort table scan merge part window small"
+        " hash scan join order batch"
+    )
+    dig = hashlib.md5(text.encode()).hexdigest()
+    plain = pdf_pages_text(build_pdf_fixture(text, dig))
+    for xk, fnt in itertools.product(
+        ("classic", "stream"), ("simple", "cid", "diffs")
+    ):
+        blob = build_pdf_fixture(
+            text, dig, xref_kind=xk, font=fnt, encrypt="aes-256"
+        )
+        assert pdf_pages_text(blob) == plain, (xk, fnt)
+        assert pdf_meta(blob)["producer"] == "core_spark pdf builder"
+
+    blob = build_pdf_fixture(text, dig, encrypt="aes-256")
+
+    def hexflip(marker: bytes) -> bytes:
+        at = blob.index(marker) + len(marker)
+        repl = b"0" if blob[at : at + 1] != b"0" else b"1"
+        return blob[:at] + repl + blob[at + 1 :]
+
+    with pytest.raises(PdfError, match="password"):
+        pdf_pages_text(hexflip(b"/U <"))
+    with pytest.raises(PdfError, match="Perms"):
+        pdf_pages_text(hexflip(b"/Perms <"))
+    # /UE truncated to a ragged block count
+    at = blob.index(b"/UE <") + 5
+    bad = blob[:at] + blob[at + 2 :]
+    with pytest.raises(PdfError):
+        pdf_pages_text(bad)
+    # unknown V5 crypt filter (length-preserving mutation)
+    evil = blob.replace(b"/CFM /AESV3", b"/CFM /AESV9", 1)
+    assert evil != blob
+    with pytest.raises(PdfError, match="AESV3"):
+        pdf_pages_text(evil)
