@@ -944,6 +944,49 @@ def orc_row_index(raw: bytes, name: str) -> list[dict]:
     return out
 
 
+def orc_verify_rowindex_stats(raw: bytes, name: str) -> list[dict]:
+    """The third rung of the stats-verify ladder (r13 — below
+    orc_verify_stripe_stats's file and stripe levels): every
+    RowIndexEntry's recorded n_values / min / max for an integer
+    column is recomputed from the decoded values sliced at the
+    row-group's own (stripe, row_start, n_rows) coordinates and
+    compared bit-exactly; any disagreement raises OrcError. This is
+    the statistics surface orc_rowgroup_prune TRUSTS when it skips
+    10k-row groups — after this check, a pruning verdict can only be
+    wrong if the writer lied consistently at every granularity."""
+    tail = parse_orc_tail(raw)
+    col_id = _root_col_id(tail, name)
+    kind = tail["types"][col_id]["kind"]
+    if kind not in ("byte", "short", "int", "long"):
+        raise OrcError(
+            f"row-index stat verify for kind '{kind}' is not supported"
+        )
+    entries = orc_row_index(raw, name)
+    values = read_orc_column(raw, name)
+    stripe_base: list[int] = []
+    off = 0
+    for st in tail["stripes"]:
+        stripe_base.append(off)
+        off += st["n_rows"]
+    for e in entries:
+        lo = stripe_base[e["stripe_idx"]] + e["row_start"]
+        seg = values[lo : lo + e["n_rows"]]
+        present = [v for v in seg if v is not None]
+        want = {
+            "n_values": len(present),
+            "min": min(present) if present else None,
+            "max": max(present) if present else None,
+        }
+        got = {k: e[k] for k in ("n_values", "min", "max")}
+        if got != want:
+            raise OrcError(
+                f"row group (stripe {e['stripe_idx']}, rg "
+                f"{e['rg_idx']}) column '{name}' statistics disagree: "
+                f"recorded {got}, recomputed {want}"
+            )
+    return entries
+
+
 def orc_rowgroup_prune(
     raw: bytes, name: str, op: str, value
 ) -> list[dict]:

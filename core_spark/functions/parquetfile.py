@@ -1745,3 +1745,93 @@ def read_parquet_struct_list(
                 )
         out.append(row)
     return out
+
+
+def parquet_verify_chunk_stats(raw: bytes, name: str) -> list[dict]:
+    """Column-chunk statistics cross-check (r13 — the parquet twin of
+    orcfile.orc_verify_stripe_stats, completing the stats-verify
+    ladder this repo's pruning tiers trust): for every row group,
+    the footer's recorded min / max / null_count for ``name`` is
+    recomputed from the chunk's decoded values and compared.
+    Numeric and boolean bounds must match BIT-EXACTLY; BYTE_ARRAY
+    string bounds are verified as SOUND (recorded_min <= true min,
+    recorded_max >= true max — writers may truncate long strings to
+    prefix bounds, spec parquet-format Statistics) and additionally
+    exact when the writer did not truncate. Any violation raises
+    ParquetError. Returns one dict per row group:
+    {rg_idx, n_rows, null_count, min, max, exact}.
+
+    (Page-level stats are already pinned behaviorally by
+    parse_page_index/q_bits_pages — each page's recorded bounds must
+    equal the actual value slice; page CRCs are verified in
+    read_column_chunk. This adds the row-group rung.)"""
+    footer = parse_parquet_footer(raw)
+    ptype = footer.get("schema_types", {}).get(name)
+    if ptype is None:
+        raise ParquetError(f"no flat column named {name!r}")
+    if ptype not in (
+        _PT_INT32, _PT_INT64, _PT_FLOAT, _PT_DOUBLE, _PT_BOOLEAN,
+        _PT_BYTE_ARRAY,
+    ):
+        raise ParquetError(
+            f"chunk-stat verify unsupported for physical type {ptype}"
+        )
+    is_str = ptype == _PT_BYTE_ARRAY
+    out: list[dict] = []
+    for k, rg in enumerate(footer["row_groups"]):
+        col = next(
+            (c for c in rg["columns"] if c.get("path") == name), None
+        )
+        if col is None:
+            raise ParquetError(f"row group {k} lacks column {name!r}")
+        st = col.get("stats") or {}
+        if st.get("min") is None and st.get("max") is None and (
+            "null_count" not in st
+        ):
+            raise ParquetError(
+                f"row group {k} column {name!r} carries no statistics"
+            )
+        vals = read_parquet_column(raw, name, row_groups=[k])
+        present = [v for v in vals if v is not None]
+        nulls = len(vals) - len(present)
+        if isinstance(st.get("null_count"), int) and st["null_count"] != nulls:
+            raise ParquetError(
+                f"row group {k} column {name!r} null_count disagrees: "
+                f"recorded {st['null_count']}, recomputed {nulls}"
+            )
+        tmin = min(present) if present else None
+        tmax = max(present) if present else None
+        rmin, rmax = st.get("min"), st.get("max")
+        if isinstance(tmin, bytes):  # non-STRING binary: compare raw
+            rmin = rmin.encode("utf-8", "surrogateescape") if isinstance(rmin, str) else rmin
+            rmax = rmax.encode("utf-8", "surrogateescape") if isinstance(rmax, str) else rmax
+        exact = rmin == tmin and rmax == tmax
+        if present and (rmin is not None or rmax is not None):
+            if is_str:
+                if rmin is not None and not (rmin <= tmin):
+                    raise ParquetError(
+                        f"row group {k} column {name!r} recorded min "
+                        f"{rmin!r} exceeds true min {tmin!r}"
+                    )
+                if rmax is not None and not (rmax >= tmax):
+                    raise ParquetError(
+                        f"row group {k} column {name!r} recorded max "
+                        f"{rmax!r} is below true max {tmax!r}"
+                    )
+            elif not exact:
+                raise ParquetError(
+                    f"row group {k} column {name!r} bounds disagree: "
+                    f"recorded ({rmin!r}, {rmax!r}), recomputed "
+                    f"({tmin!r}, {tmax!r})"
+                )
+        out.append(
+            {
+                "rg_idx": k,
+                "n_rows": len(vals),
+                "null_count": nulls,
+                "min": tmin,
+                "max": tmax,
+                "exact": bool(exact),
+            }
+        )
+    return out

@@ -1396,3 +1396,89 @@ def test_orc_stripe_stats_pin_against_spark_java_writer(spark, tmp_path):
         assert len(rows) > 1
     assert sum(r["n_rows"] for r in rows) == 60000
     assert sum(1 for r in rows if r["has_null"])
+
+
+def test_orc_rowindex_stats_verify_and_spark_pin(spark, tmp_path):
+    """orc_verify_rowindex_stats (r13): every RowIndexEntry's
+    recorded n_values/min/max recomputed from the decoded values at
+    the entry's own (stripe, row_start, n_rows) coordinates — the
+    exact statistics orc_rowgroup_prune trusts — against BOTH
+    independent writers; a recorded-stat byte flip in the index
+    region is caught."""
+    import glob
+    import hashlib
+    import io
+
+    import pyarrow as pa
+    import pyarrow.orc as orc
+
+    from core_spark.functions.orcfile import (
+        OrcError,
+        orc_verify_rowindex_stats,
+    )
+
+    n = 30_000
+    hs = [hashlib.md5(b"ri:%d" % k).hexdigest() for k in range(n)]
+    t = pa.table(
+        {
+            "v": pa.array(
+                [
+                    None if k % 5 == 0 else int(h[:12], 16) - (1 << 46)
+                    for k, h in enumerate(hs)
+                ],
+                pa.int64(),
+            )
+        }
+    )
+    buf = io.BytesIO()
+    orc.write_table(
+        t, buf, compression="uncompressed", stripe_size=65536,
+        row_index_stride=1000, batch_size=512,
+    )
+    raw = buf.getvalue()
+    entries = orc_verify_rowindex_stats(raw, "v")
+    assert len(entries) > 30 and len({e["stripe_idx"] for e in entries}) > 5
+    assert sum(e["n_rows"] for e in entries) == n
+
+    # Spark's Java orc-core writer, negatives + nulls
+    out = str(tmp_path / "ori")
+    (
+        spark.range(0, 60000)
+        .selectExpr(
+            "CASE WHEN id % 7 = 0 THEN NULL ELSE id * 3 - 90000 END AS s"
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("orc.stripe.size", "65536")
+        .option("orc.row.index.stride", "2000")
+        .orc(out)
+    )
+    (path,) = glob.glob(out + "/*.orc")
+    jraw = open(path, "rb").read()
+    jentries = orc_verify_rowindex_stats(jraw, "s")
+    assert sum(e["n_rows"] for e in jentries) == 60000
+    # the Java writer's memory-based flush keeps this file to one
+    # stripe; row-GROUP granularity (the surface under test) is
+    # still dense — the pyarrow file above covers multi-stripe
+    assert len(jentries) >= 30
+
+    # tamper sweep over stripe 0's uncompressed INDEX region: every
+    # flip landing on a recorded STATISTIC is caught (stats-disagree
+    # or a parse fence); flips on stream-seek POSITIONS are outside
+    # this verifier's scope, so the expected catch rate is the
+    # stats' share of the entry bytes — assert a robust floor
+    from core_spark.functions.orcfile import parse_orc_tail
+
+    tail = parse_orc_tail(raw)
+    st = tail["stripes"][0]
+    idx0, idx1 = st["offset"], st["offset"] + st["index_len"]
+    caught = total = 0
+    for at in range(idx0, idx1, 3):
+        evil = bytearray(raw)
+        evil[at] ^= 0x40
+        total += 1
+        try:
+            orc_verify_rowindex_stats(bytes(evil), "v")
+        except (OrcError, ValueError):
+            caught += 1
+    assert total >= 30 and caught >= total * 0.4, (caught, total)
