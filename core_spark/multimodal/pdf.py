@@ -505,11 +505,18 @@ def _rc4(key: bytes, data: bytes) -> bytes:
 
 
 def _std_file_key(
-    o: bytes, p: int, id0: bytes, r: int, keylen: int, password: bytes = b""
+    o: bytes,
+    p: int,
+    id0: bytes,
+    r: int,
+    keylen: int,
+    password: bytes = b"",
+    encrypt_metadata: bool = True,
 ) -> bytes:
     """Spec Algorithm 2: the file encryption key from the (padded)
     user password, /O, /P (as a SIGNED int's 4 little-endian bytes),
-    and the first document /ID element; R>=3 re-hashes 50 times."""
+    and the first document /ID element; R>=3 re-hashes 50 times;
+    R>=4 with /EncryptMetadata false absorbs the FFFFFFFF marker."""
     import hashlib as _hl
     import struct as _st
 
@@ -517,6 +524,8 @@ def _std_file_key(
     h.update(o[:32])
     h.update(_st.pack("<i", p if p < 1 << 31 else p - (1 << 32)))
     h.update(id0)
+    if r >= 4 and not encrypt_metadata:
+        h.update(b"\xff\xff\xff\xff")
     key = h.digest()
     if r >= 3:
         for _ in range(50):
@@ -868,11 +877,6 @@ class _Doc:
         if v in (1, 2) and r in (2, 3):
             pass
         elif v == 4 and r == 4:
-            if enc.get("EncryptMetadata") is False:
-                raise PdfError(
-                    "unsupported /EncryptMetadata false "
-                    "(plaintext-metadata variant)"
-                )
             cf = enc.get("CF")
             std = cf.get("StdCF") if isinstance(cf, dict) else None
             if not isinstance(std, dict):
@@ -916,8 +920,14 @@ class _Doc:
         ):
             raise PdfError("malformed /Encrypt dictionary")
         id0 = ids[0][1]
+        emeta = enc.get("EncryptMetadata", True)
+        if not isinstance(emeta, bool):
+            raise PdfError("/EncryptMetadata is not a boolean")
         keylen = (length if r >= 3 else 40) // 8
-        key = _std_file_key(o[1], p & 0xFFFFFFFF, id0, r, keylen)
+        key = _std_file_key(
+            o[1], p & 0xFFFFFFFF, id0, r, keylen,
+            encrypt_metadata=emeta,
+        )
         want = _std_user_check(key, id0, r)
         got = u[1]
         ok = want == got[:32] if r == 2 else want[:16] == got[:16]
@@ -926,7 +936,7 @@ class _Doc:
                 "encrypted PDF: empty user password rejected "
                 "(a real password is required)"
             )
-        self._enc = {"key": key, "cfm": cfm}
+        self._enc = {"key": key, "cfm": cfm, "emeta": emeta}
 
     def _setup_r6(self, enc: dict) -> None:
         """AES-256 standard handler (ISO 32000-2, /V 5 /R 6 — the
@@ -1031,9 +1041,14 @@ class _Doc:
             return v
 
         val = walk(val)
-        if data is not None and not (
-            isinstance(val, dict) and val.get("Type") == ("name", "XRef")
-        ):
+        exempt = isinstance(val, dict) and (
+            val.get("Type") == ("name", "XRef")
+            or (
+                val.get("Type") == ("name", "Metadata")
+                and not self._enc.get("emeta", True)
+            )
+        )
+        if data is not None and not exempt:
             data = crypt(data)
         return val, data
 
@@ -1717,12 +1732,14 @@ def _builder_crypt(enc: dict, num: int):
     return crypt
 
 
-def _encrypt_obj_bytes(body: bytes, crypt) -> bytes:
+def _encrypt_obj_bytes(body: bytes, crypt, skip_stream: bool = False) -> bytes:
     """Encrypt one serialized top-level object under its per-object
     crypt function: every () string literal in the dictionary part
     and the raw stream bytes (encryption wraps OUTSIDE the filters —
     readers decrypt, then inflate). AESV2 changes the stream length
-    (IV + padding), so the direct /Length is rewritten to match."""
+    (IV + padding), so the direct /Length is rewritten to match.
+    ``skip_stream`` leaves the stream payload plaintext (the
+    /EncryptMetadata false exemption for /Type/Metadata streams)."""
     sp = body.find(b"\nstream\n")
     dictpart, streampart = (body, b"") if sp < 0 else (
         body[:sp], body[sp:]
@@ -1740,7 +1757,7 @@ def _encrypt_obj_bytes(body: bytes, crypt) -> bytes:
         data = streampart[len(b"\nstream\n") : streampart.rfind(
             b"\nendstream"
         )]
-        ct = crypt(data)
+        ct = data if skip_stream else crypt(data)
         if len(ct) != len(data):
             out = bytearray(
                 re.sub(
@@ -1764,6 +1781,10 @@ def _make_encryptor(digest: str, encrypt: str) -> dict:
 
     if encrypt == "aes-256":
         return _make_r6_encryptor(digest)
+    emeta = True
+    if encrypt.endswith("-pm"):  # plaintext (unencrypted) metadata
+        emeta = False
+        encrypt = encrypt[:-3]
     cfm = "rc4"
     if encrypt == "rc4-40":
         v, r, length = 1, 2, 40
@@ -1774,6 +1795,8 @@ def _make_encryptor(digest: str, encrypt: str) -> dict:
         cfm = "aesv2"
     else:
         raise ValueError(f"unknown encrypt kind {encrypt!r}")
+    if not emeta and r < 4:
+        raise ValueError("/EncryptMetadata false needs the V4 handler")
     keylen = length // 8
     id0 = bytes.fromhex(digest)
     od = hashlib.md5(_ENC_PAD).digest()  # empty owner password
@@ -1782,7 +1805,7 @@ def _make_encryptor(digest: str, encrypt: str) -> dict:
             od = hashlib.md5(od[:keylen]).digest()
     o = _std_owner_value(od, r, keylen)
     p = 0xFFFFFFFC  # -4: every permission bit set, the common shape
-    key = _std_file_key(o, p, id0, r, keylen)
+    key = _std_file_key(o, p, id0, r, keylen, encrypt_metadata=emeta)
     u = _std_user_check(key, id0, r)
     if r >= 3:
         u = u + bytes(16)  # spec: 16 compared + 16 arbitrary bytes
@@ -1792,6 +1815,8 @@ def _make_encryptor(digest: str, encrypt: str) -> dict:
             b" /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen"
             b" /Length 16 >> >> /StmF /StdCF /StrF /StdCF"
         )
+    if not emeta:
+        cf += b" /EncryptMetadata false"
     enc_dict = (
         b"<< /Filter /Standard /V %d /R %d /Length %d /P -4"
         % (v, r, length)
@@ -1803,7 +1828,8 @@ def _make_encryptor(digest: str, encrypt: str) -> dict:
         digest.encode("ascii"),
         digest.encode("ascii"),
     )
-    return {"key": key, "dict": enc_dict, "id": trailer_id, "cfm": cfm}
+    return {"key": key, "dict": enc_dict, "id": trailer_id, "cfm": cfm,
+            "emeta": emeta}
 
 
 def _make_r6_encryptor(digest: str) -> dict:
@@ -2107,6 +2133,26 @@ def build_pdf_fixture(
             + b"\nendstream"
         )
 
+    if encrypt and encrypt.endswith("-pm"):
+        # /EncryptMetadata false form: a real (plaintext) XMP
+        # metadata stream hangs off the catalog so the exemption
+        # path is genuinely exercised
+        m_num = max(objs) + 1
+        xmp = (
+            b'<?xpacket begin="" id="W5M0MpCehiHzreSzNTczkc9d"?>'
+            b'<x:xmpmeta xmlns:x="adobe:ns:meta/"><rdf:RDF xmlns:rdf='
+            b'"http://www.w3.org/1999/02/22-rdf-syntax-ns#"/>'
+            b'</x:xmpmeta><?xpacket end="w"?>'
+        )
+        objs[m_num] = (
+            b"<< /Type /Metadata /Subtype /XML /Length %d >>"
+            b"\nstream\n" % len(xmp)
+            + xmp
+            + b"\nendstream"
+        )
+        objs[1] = (
+            b"<< /Type /Catalog /Pages 2 0 R /Metadata %d 0 R >>" % m_num
+        )
     enc = _make_encryptor(digest, encrypt) if encrypt else None
     if xref_kind == "stream":
         return _serialize_pdf15(objs, enc)
@@ -2116,7 +2162,12 @@ def build_pdf_fixture(
     if enc is not None:
         for num in list(objs):
             objs[num] = _encrypt_obj_bytes(
-                objs[num], _builder_crypt(enc, num)
+                objs[num],
+                _builder_crypt(enc, num),
+                skip_stream=(
+                    not enc.get("emeta", True)
+                    and b"/Type /Metadata" in objs[num]
+                ),
             )
         e_num = max(objs) + 1
         objs[e_num] = enc["dict"]  # the handler's own dict: plaintext
@@ -2181,7 +2232,14 @@ def _serialize_pdf15(objs: dict[int, bytes], enc: dict | None = None) -> bytes:
         offsets[n] = len(out)
         body_n = objs[n]
         if enc is not None and n != e_num:
-            body_n = _encrypt_obj_bytes(body_n, _builder_crypt(enc, n))
+            body_n = _encrypt_obj_bytes(
+                body_n,
+                _builder_crypt(enc, n),
+                skip_stream=(
+                    not enc.get("emeta", True)
+                    and b"/Type /Metadata" in body_n
+                ),
+            )
         out += b"%d 0 obj\n" % n + body_n + b"\nendobj\n"
     offsets[s_num] = len(out)
     out += (

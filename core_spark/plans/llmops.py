@@ -6552,7 +6552,9 @@ def q_bits_orc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     column, recomputes n_values / has_null / min / max / sum PER
     STRIPE from the Metadata section's StripeStatistics, compares
     bit-exactly, then rolls the stripes up against the footer's
-    file-level statistics — any disagreement raises OrcError, the
+    file-level statistics — and (late r13) re-verifies the THIRD
+    rung, every 128-row RowIndexEntry, at its own coordinates via
+    orc_verify_rowindex_stats — any disagreement raises OrcError, the
     page-CRC discipline applied to ORC's stats tier (both pyarrow's
     C++ writer here and Spark's Java orc-core writer in tests, two
     independent producers). The emitted row is the VERIFIED
@@ -6570,6 +6572,7 @@ def q_bits_orc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel, never silently."""
     from core_spark.functions.orcfile import (
         OrcError,
+        orc_verify_rowindex_stats,
         orc_verify_stripe_stats,
     )
 
@@ -6613,6 +6616,7 @@ def q_bits_orc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     compression="uncompressed",
                     stripe_size=1024,
                     batch_size=64,
+                    row_index_stride=128,
                 )
                 raw = buf.getvalue()
                 sc = orc_verify_stripe_stats(raw, "score")
@@ -6621,6 +6625,14 @@ def q_bits_orc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     raise OrcError(
                         "fixture produced a single stripe — the "
                         "multi-stripe claim no longer holds"
+                    )
+                # the third rung: every 128-row RowIndexEntry's
+                # recorded stats recomputed and compared (late r13)
+                ri = orc_verify_rowindex_stats(raw, "score")
+                if len(ri) < 4:
+                    raise OrcError(
+                        "fixture produced too few row groups — the "
+                        "row-index claim no longer holds"
                     )
                 n_rows = sum(r["n_rows"] for r in sc)
                 nn = sum(r["n_values"] for r in sc)

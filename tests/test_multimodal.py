@@ -3120,3 +3120,47 @@ def test_pdf_stream_filters_and_chains():
 
     with pytest.raises(PdfError, match="filter"):
         _decode_stream({"Filter": ("name", "LZXDecode")}, b"x")
+
+
+def test_pdf_encrypt_metadata_false():
+    """/EncryptMetadata false (V4 handler): the key derivation
+    absorbs the FFFFFFFF marker (a reader without it computes a
+    wrong key and fails the /U check — so a green read proves the
+    marker), the catalog's XMP /Type/Metadata stream stays
+    PLAINTEXT on disk and is served as-is through the exemption,
+    while every content stream still decrypts; a non-boolean
+    /EncryptMetadata refuses."""
+    import hashlib
+
+    from core_spark.multimodal.pdf import (
+        PdfError,
+        _Doc,
+        build_pdf_fixture,
+        pdf_pages_text,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    dig = hashlib.md5(text.encode()).hexdigest()
+    plain = pdf_pages_text(build_pdf_fixture(text, dig))
+    for xk in ("classic", "stream"):
+        blob = build_pdf_fixture(
+            text, dig, xref_kind=xk, encrypt="aes-128-pm"
+        )
+        assert pdf_pages_text(blob) == plain, xk
+        assert b"xpacket" in blob  # metadata plaintext on disk
+        doc = _Doc(blob)
+        root = doc.deref(doc.trailer.get("Root"))
+        _, data = doc.obj(root["Metadata"][1])
+        assert b"xmpmeta" in data  # served as-is, not mis-decrypted
+
+    # length-preserving tamper: true -> a non-boolean token
+    blob = build_pdf_fixture(text, dig, encrypt="aes-128-pm")
+    evil = blob.replace(
+        b"/EncryptMetadata false", b"/EncryptMetadata fals1", 1
+    )
+    assert evil != blob
+    with pytest.raises(PdfError):
+        pdf_pages_text(evil)
+    # builder fence: the flag needs the V4 handler
+    with pytest.raises(ValueError, match="V4"):
+        build_pdf_fixture(text, dig, encrypt="rc4-128-pm")
