@@ -1455,10 +1455,34 @@ def _content_text(content: bytes, fonts: dict | None = None) -> str:
                 )
             op = m.group(0)
             i += m.end()
-            if op == b"Tj" and stack:
+            if op in (b"Tj", b"'", b'"') and stack:
+                # ' and " are the move-and-show shorthands (spec
+                # Table 107) — their string operand SHOWS, so a
+                # tokenizer that only knows Tj silently loses text
                 v = stack[-1]
                 if isinstance(v, tuple) and v[0] == "str":
                     runs.append(shown(v[1]))
+            elif op == b"BI":
+                # inline image: 'BI <dict entries> ID <binary> EI'.
+                # The binary payload is not token-parseable — skip to
+                # the EI delimiter (whitespace-bounded, the public
+                # extractor rule) instead of quarantining the page.
+                j = content.find(b"ID", i)
+                if j < 0:
+                    raise PdfError("inline image without ID")
+                k = j + 3  # ID + the single whitespace byte
+                while True:
+                    k = content.find(b"EI", k)
+                    if k < 0:
+                        raise PdfError("inline image without EI")
+                    before_ws = content[k - 1] in b" \t\r\n\x00\x0c"
+                    after = content[k + 2 : k + 3]
+                    if before_ws and (
+                        after == b"" or after[0] in b" \t\r\n\x00\x0c/[(<"
+                    ):
+                        break
+                    k += 2
+                i = k + 2
             elif op == b"TJ" and stack:
                 v = stack[-1]
                 if isinstance(v, list):

@@ -3164,3 +3164,31 @@ def test_pdf_encrypt_metadata_false():
     # builder fence: the flag needs the V4 handler
     with pytest.raises(ValueError, match="V4"):
         build_pdf_fixture(text, dig, encrypt="rc4-128-pm")
+
+
+def test_pdf_quote_show_ops_and_inline_images():
+    """Content-stream semantics (late r13): the ' and \" move-and-
+    show shorthands SHOW their string (a Tj-only tokenizer silently
+    loses that text), and inline images (BI…ID <binary> EI) are
+    skipped to their whitespace-bounded EI instead of poisoning the
+    tokenizer and quarantining the page — including a payload that
+    contains a bare 'EI' without the delimiter rule."""
+    from core_spark.multimodal.pdf import PdfError, _content_text
+
+    assert _content_text(b"BT (one) Tj T* (two) ' ET") == "one two"
+    assert _content_text(b"BT 2 3 (three) \" ET") == "three"
+
+    # inline image whose binary contains (, \ and a bare EIx
+    payload = b"\x00\x01(EIx\\\xff\xfe"
+    cs = (
+        b"BT (before) Tj ET "
+        b"BI /W 2 /H 1 /CS /G /BPC 8 ID " + payload + b" EI\n"
+        b"BT (after) Tj ET"
+    )
+    assert _content_text(cs) == "before after"
+
+    # truncated forms refuse loudly
+    with pytest.raises(PdfError):
+        _content_text(b"BI /W 2 /H 1")
+    with pytest.raises(PdfError):
+        _content_text(b"BI /W 2 ID \x00\x01\x02")
