@@ -3192,3 +3192,55 @@ def test_pdf_quote_show_ops_and_inline_images():
         _content_text(b"BI /W 2 /H 1")
     with pytest.raises(PdfError):
         _content_text(b"BI /W 2 ID \x00\x01\x02")
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    words=st.lists(
+        st.text(
+            st.characters(
+                blacklist_categories=("Cs",),  # no lone surrogates
+                blacklist_characters="| ",
+            ),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    xk=st.sampled_from(["classic", "stream"]),
+    fnt=st.sampled_from(["simple", "cid", "diffs"]),
+    encr=st.sampled_from(
+        [None, "rc4-40", "rc4-128", "aes-128", "aes-256", "aes-128-pm"]
+    ),
+    cf=st.sampled_from(["flate", "a85-flate", "lzw", "rle", "hex"]),
+)
+def test_pdf_form_space_property_fuzz(words, xk, fnt, encr, cf):
+    """Property fuzz over the WHOLE builder form space (2 xref x 3
+    font x 6 crypto x 5 filter forms, arbitrary-unicode words):
+    extraction always equals the md5-derived word tiling, regardless
+    of form — the form-independence invariant q_cc_pdf's oracle
+    assumes, now hypothesis-checked instead of example-checked."""
+    import hashlib
+
+    from core_spark.multimodal.pdf import build_pdf_fixture, pdf_pages_text
+
+    # the tiling contract is on space-separated words; normalize any
+    # whitespace the generator produced inside a word
+    words = ["".join(w.split()) or "x" for w in words]
+    text = " ".join(words)
+    dig = hashlib.md5(text.encode("utf-8")).hexdigest()
+    wpp = 5 + int(dig[0], 16) % 4
+    n_pages = max(1, (len(words) + wpp - 1) // wpp)
+    expect = [
+        " ".join(words[k * wpp : (k + 1) * wpp]) for k in range(n_pages)
+    ]
+    blob = build_pdf_fixture(
+        text, dig, xref_kind=xk, font=fnt, encrypt=encr,
+        content_filter=cf,
+    )
+    assert pdf_pages_text(blob) == expect
