@@ -827,13 +827,58 @@ def _load_object(raw: bytes, off: int, resolve=None):
     return val, None
 
 
+def _recover_offsets(raw: bytes) -> tuple[dict[int, tuple], dict]:
+    """Damaged-xref RECOVERY — the fallback every public crawl-grade
+    extractor implements (truncated downloads, clobbered xref
+    tables, wrong startxref): scan the whole file for top-level
+    ``N G obj`` headers (the LAST occurrence of each number wins,
+    mirroring the incremental-update rule), take the newest
+    parseable ``trailer`` dict for /Root //Info //Encrypt //ID, and
+    when no trailer survives, locate the /Type/Catalog object and
+    synthesize one. A file yielding neither objects nor a catalog
+    stays a named PdfError — recovery widens what READS, never what
+    silently passes."""
+    entries: dict[int, tuple] = {}
+    for m in _OBJ_AT.finditer(raw):
+        entries[int(m.group(1))] = ("at", m.start())
+    if not entries:
+        raise PdfError("no indirect objects found for xref recovery")
+    trailer: dict = {}
+    for m in re.finditer(rb"trailer", raw):
+        try:
+            t, _ = _parse_value(raw, m.end())
+        except PdfError:
+            continue
+        if isinstance(t, dict):
+            trailer = t  # later updates win
+    if "Root" not in trailer:
+        for num in sorted(entries):
+            try:
+                val, _ = _load_object(raw, entries[num][1])
+            except PdfError:
+                continue
+            if isinstance(val, dict) and val.get("Type") == (
+                "name", "Catalog"
+            ):
+                trailer = {**trailer, "Root": ("ref", num)}
+                break
+    if "Root" not in trailer:
+        raise PdfError("xref recovery found no document catalog")
+    return entries, trailer
+
+
 class _Doc:
     def __init__(self, raw: bytes):
         if not _HEADER.match(raw):
             raise PdfError("missing %PDF- header")
         self.raw = raw
         self.version = raw[5:8].decode("latin-1")
-        self.offsets, self.trailer = _xref_offsets(raw)
+        try:
+            self.offsets, self.trailer = _xref_offsets(raw)
+            self.recovered = False
+        except PdfError:
+            self.offsets, self.trailer = _recover_offsets(raw)
+            self.recovered = True
         if not isinstance(self.trailer, dict):
             raise PdfError("trailer is not a dictionary")
         # parsed /ObjStm cache: stream obj num -> (body, first, pairs)

@@ -2311,8 +2311,17 @@ def test_pdf_incremental_update_prev_chain():
             b"startxref\n%d\n%%%%EOF\n" % (size, prev_at, xref_at)
         )
         prev_at = xref_at
+    # the chain WALKER still dies on its section bound (the anti-DoS
+    # fence)…
+    from core_spark.multimodal.pdf import _Doc, _xref_offsets
+
     with pytest.raises(PdfError, match="chain too long"):
-        pdf_meta(bytes(deep))
+        _xref_offsets(bytes(deep))
+    # …but the DOCUMENT, being legal-if-weird, now reads through the
+    # r13 recovery scan (linear in the file, so no DoS either way)
+    doc = _Doc(bytes(deep))
+    assert doc.recovered
+    assert pdf_meta(bytes(deep))["producer"] == "core_spark pdf builder"
 
 
 def test_pdf_hybrid_xrefstm_bridge():
@@ -3244,3 +3253,81 @@ def test_pdf_form_space_property_fuzz(words, xk, fnt, encr, cf):
         content_filter=cf,
     )
     assert pdf_pages_text(blob) == expect
+
+
+def test_pdf_xref_recovery():
+    """Damaged-xref recovery (late r13): a clobbered startxref, a
+    zeroed-out xref table, and a tail-truncated file (trailer gone,
+    catalog synthesized from the /Type/Catalog scan) all extract
+    EXACT text via the N-G-obj scan; a later duplicate object
+    number shadows the earlier one (the incremental-update rule);
+    damage past the object bodies stays a named PdfError; the
+    recovery flag is surfaced on the document."""
+    import hashlib
+
+    from core_spark.multimodal.pdf import (
+        PdfError,
+        _Doc,
+        build_pdf_fixture,
+        pdf_pages_text,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    dig = hashlib.md5(text.encode()).hexdigest()
+    blob = build_pdf_fixture(text, dig)
+    plain = pdf_pages_text(blob)
+    assert not _Doc(blob).recovered
+
+    # 1) startxref points into the void
+    import re as _re
+
+    m = _re.search(rb"startxref\s+(\d+)", blob)
+    evil = (
+        blob[: m.start(1)]
+        + b"9" * len(m.group(1))
+        + blob[m.end(1) :]
+    )
+    assert pdf_pages_text(evil) == plain
+    assert _Doc(evil).recovered
+
+    # 2) the xref table bytes zeroed out in place
+    at = blob.rindex(b"xref")
+    tr = blob.rindex(b"trailer")
+    evil = blob[:at] + b"\x00" * (tr - at) + blob[tr:]
+    assert pdf_pages_text(evil) == plain
+
+    # 3) tail truncated mid-xref: trailer AND table gone — catalog
+    # synthesized by the /Type/Catalog scan
+    evil = blob[: at + 10]
+    assert pdf_pages_text(evil) == plain
+
+    # 4) a later duplicate object wins (replace page 1's content)
+    rebuilt = bytearray(blob[: blob.rindex(b"xref")])
+    body = __import__("zlib").compress(b"BT /F1 12 Tf (REPLACED) Tj ET")
+    rebuilt += (
+        b"6 0 obj\n<< /Length %d /Filter /FlateDecode >>\nstream\n"
+        % len(body)
+        + body
+        + b"\nendstream\nendobj\n"
+    )
+    pages = pdf_pages_text(bytes(rebuilt))
+    assert pages[0] == "REPLACED" and pages[1:] == plain[1:]
+
+    # 5) recovery has a floor: no objects / no catalog stay named
+    with pytest.raises(PdfError):
+        pdf_pages_text(b"%PDF-1.4\njunk with no objects")
+    with pytest.raises(PdfError):
+        pdf_pages_text(
+            b"%PDF-1.4\n1 0 obj\n<< /Type /NotACatalog >>\nendobj\n"
+        )
+
+    # 6) encrypted doc with damaged startxref: the trailer scan
+    # still surfaces /Encrypt + /ID, so decryption works
+    eblob = build_pdf_fixture(text, dig, encrypt="aes-128")
+    m = _re.search(rb"startxref\s+(\d+)", eblob)
+    evil = (
+        eblob[: m.start(1)]
+        + b"9" * len(m.group(1))
+        + eblob[m.end(1) :]
+    )
+    assert pdf_pages_text(evil) == plain
