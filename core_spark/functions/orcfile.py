@@ -346,7 +346,9 @@ def parse_orc_metadata(raw: bytes) -> list[list[dict]]:
     return out
 
 
-def orc_verify_stripe_stats(raw: bytes, name: str) -> list[dict]:
+def orc_verify_stripe_stats(
+    raw: bytes, name: str, values: list | None = None
+) -> list[dict]:
     """Cross-check the writer's recorded STRIPE statistics for one
     column against a from-spec recompute: decode the column's values
     (read_orc_column), slice them on the footer's per-stripe row
@@ -379,7 +381,8 @@ def orc_verify_stripe_stats(raw: bytes, name: str) -> list[dict]:
             f"stripe-stat verify for kind '{kind}' is not supported"
         )
     is_str = kind in ("string", "varchar", "char")
-    values = read_orc_column(raw, name)
+    if values is None:
+        values = read_orc_column(raw, name)
     out: list[dict] = []
     off = 0
     agg_n = 0
@@ -944,7 +947,9 @@ def orc_row_index(raw: bytes, name: str) -> list[dict]:
     return out
 
 
-def orc_verify_rowindex_stats(raw: bytes, name: str) -> list[dict]:
+def orc_verify_rowindex_stats(
+    raw: bytes, name: str, values: list | None = None
+) -> list[dict]:
     """The third rung of the stats-verify ladder (r13 — below
     orc_verify_stripe_stats's file and stripe levels): every
     RowIndexEntry's recorded n_values / min / max for an integer
@@ -962,7 +967,8 @@ def orc_verify_rowindex_stats(raw: bytes, name: str) -> list[dict]:
             f"row-index stat verify for kind '{kind}' is not supported"
         )
     entries = orc_row_index(raw, name)
-    values = read_orc_column(raw, name)
+    if values is None:
+        values = read_orc_column(raw, name)
     stripe_base: list[int] = []
     off = 0
     for st in tail["stripes"]:

@@ -6619,8 +6619,15 @@ def q_bits_orc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     row_index_stride=128,
                 )
                 raw = buf.getvalue()
-                sc = orc_verify_stripe_stats(raw, "score")
-                wd = orc_verify_stripe_stats(raw, "word")
+                # decode each column ONCE; both verify rungs reuse
+                # the same decoded values (the pure-Python decode is
+                # the dominant per-doc cost)
+                from core_spark.functions.orcfile import read_orc_column
+
+                v_score = read_orc_column(raw, "score")
+                v_word = read_orc_column(raw, "word")
+                sc = orc_verify_stripe_stats(raw, "score", v_score)
+                wd = orc_verify_stripe_stats(raw, "word", v_word)
                 if len(sc) < 2:
                     raise OrcError(
                         "fixture produced a single stripe — the "
@@ -6628,7 +6635,7 @@ def q_bits_orc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 # the third rung: every 128-row RowIndexEntry's
                 # recorded stats recomputed and compared (late r13)
-                ri = orc_verify_rowindex_stats(raw, "score")
+                ri = orc_verify_rowindex_stats(raw, "score", v_score)
                 if len(ri) < 4:
                     raise OrcError(
                         "fixture produced too few row groups — the "
