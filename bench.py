@@ -174,6 +174,10 @@ HEADLINE = [
     "q_bits_dict",
     "q_bits_epoch",
     "q_bits_orc_stats",
+    "q_bundle_zip",
+    "q_cc_docx",
+    "q_cc_xlsx",
+    "q_crawl_meta",
     # q_dup_canonical is intentionally absent: its dominant cost is
     # the same pair+CC pipeline q_dup_clusters already times;
     # q_bands_serve (streaming materialize->serve) follows the

@@ -3988,6 +3988,268 @@ def q_bundle_tar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------ zip bundles
+@query(
+    "q_bundle_zip",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, text, string_split(text, ' ') AS w, md5(text) AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, text, w, h,
+             2 + CAST('0x' || substr(h, 1, 2) AS BIGINT) % 3 AS ns,
+             CAST('0x' || substr(h, 3, 1) AS BIGINT) % 4 AS form
+      FROM p
+    ),
+    -- APPNOTE layout arithmetic per form: local header 30 + 9-byte
+    -- name + (20-byte zip64 extra when form>=2); a data descriptor
+    -- after the member bytes when form is odd (16 bytes, or 24 with
+    -- zip64's 8-byte sizes)
+    g AS (
+      SELECT *,
+             30 + 9 + CASE WHEN form >= 2 THEN 20 ELSE 0 END AS hdr,
+             CASE WHEN form % 2 = 1
+                  THEN CASE WHEN form >= 2 THEN 24 ELSE 16 END
+                  ELSE 0 END AS dd
+      FROM c
+    ),
+    f AS (SELECT *, unnest(range(ns)) AS i FROM g),
+    s AS (
+      SELECT doc_id, form, hdr, dd, i,
+             array_to_string(list_transform(range(8),
+               k -> w[((i * 8 + k) % len(w)) + 1]), ' ') AS txt
+      FROM f
+    ),
+    o AS (
+      SELECT *,
+             hdr + COALESCE(SUM(hdr + strlen(txt) + dd) OVER (
+               PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS off
+      FROM s
+    ),
+    t AS (
+      SELECT doc_id, SUM(hdr + strlen(txt) + dd) AS tot
+      FROM o GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(i AS BIGINT) AS member_idx,
+           's' || lpad(CAST(i AS VARCHAR), 4, '0') || '.txt' AS name,
+           CAST(form AS BIGINT) AS form, 'stored' AS method,
+           CAST(off AS BIGINT) AS data_off,
+           CAST(strlen(txt) AS BIGINT) AS size,
+           md5(txt) AS content_md5
+    FROM o
+    UNION ALL
+    SELECT g.doc_id, CAST(g.ns AS BIGINT) AS member_idx,
+           'body.txt' AS name, CAST(g.form AS BIGINT) AS form,
+           'deflate' AS method,
+           CAST(t.tot + 30 + 8 +
+                CASE WHEN g.form >= 2 THEN 20 ELSE 0 END
+                AS BIGINT) AS data_off,
+           CAST(strlen(g.text) AS BIGINT) AS size,
+           md5(g.text) AS content_md5
+    FROM g JOIN t USING (doc_id)
+    ORDER BY doc_id, member_idx
+    """,
+)
+def q_bundle_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIP bundle ingestion — the other container crawled corpora
+    ship in (and the substrate of DOCX/XLSX/EPUB/JAR). Each document
+    becomes a genuine ZIP archive (functions/ziparchive.py, the
+    from-spec APPNOTE walker): stored sample members plus one
+    DEFLATED body member, with the archive's layout FORM rotating on
+    an md5 nibble across plain / data-descriptor / forced-ZIP64 /
+    descriptor+ZIP64 — so the walker's EOCD scan, ZIP64 locator
+    chain, central-directory↔local-header cross-checks and
+    descriptor verification are ALL under the driver oracle, not
+    just unit tests. The kernel walks the central directory, plans
+    the member byte ranges, extracts every member (CRC-32 verified),
+    and emits (name, form, data_off, size, content_md5) rows; the
+    oracle recomputes each stored member's ABSOLUTE data offset from
+    the APPNOTE layout arithmetic alone (constant per-form header
+    and descriptor overheads — a wrong walk slices garbage and fails
+    the md5), and the body member's content hash proves the inflate.
+    The zip layer itself is pinned against the stdlib zipfile module
+    in both directions in tests/test_ziparchive.py — an independent
+    writer the PDF tier lacks.
+
+    Scale shape: one round-robin exchange (spread, a local
+    single-file fixture artifact — see io.spread's docstring) into
+    one Arrow map stage; zero shuffles before the presentation sort.
+    At 100 TB the archives live in object storage and this plan is
+    the index pass: the central directory comes from a tail-KB
+    ranged GET and every member fetch is an exact byte range —
+    the parquet-footer discipline applied to crawl containers.
+
+    Corpus purity note (fixture-coupled oracle convention): documents
+    are ASCII with single-space word separation, so DuckDB's strlen
+    (bytes) and the builder's UTF-8 encode agree, and md5(txt) hashes
+    identical bytes on both sides."""
+    from core_spark.functions.ziparchive import (
+        build_zip_bundle_fixture,
+        zip_extract,
+        zip_members,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+
+    def walk(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                digest = hashlib.md5(text.encode("utf-8")).hexdigest()
+                form = int(digest[2], 16) % 4
+                blob = build_zip_bundle_fixture(text, digest)
+                for m in zip_members(blob):
+                    data = zip_extract(blob, m)
+                    rows.append(
+                        (
+                            int(doc_id),
+                            m["member_idx"],
+                            m["name"],
+                            form,
+                            m["method_name"],
+                            m["data_off"],
+                            m["size"],
+                            hashlib.md5(data).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "member_idx", "name", "form",
+                    "method", "data_off", "size", "content_md5",
+                ],
+            )
+
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(
+            walk,
+            schema=(
+                "doc_id long, member_idx long, name string,"
+                " form long, method string, data_off long,"
+                " size long, content_md5 string"
+            ),
+        )
+        .orderBy("doc_id", "member_idx")
+    )
+
+
+# ------------------------------------------------------ page metadata
+@query(
+    "q_crawl_meta",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, string_split(text, ' ') AS w, md5(text) AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, w, h,
+             CAST('0x' || substr(h, 8, 1) AS BIGINT) % 4 AS form,
+             2000 + CAST('0x' || substr(h, 2, 2) AS BIGINT) % 26 AS yy,
+             1 + CAST('0x' || substr(h, 4, 1) AS BIGINT) % 12 AS mm,
+             1 + CAST('0x' || substr(h, 5, 1) AS BIGINT) % 28 AS dd
+      FROM p
+    )
+    SELECT doc_id, CAST(form AS BIGINT) AS form,
+           'Doc ' || substr(h, 1, 8) AS title,
+           'https://example.com/p/' || substr(h, 1, 10)
+             AS canonical_url,
+           array_to_string(list_slice(w, 1, 6), ' ') AS headline,
+           CASE form WHEN 0 THEN 'og' WHEN 3 THEN 'micro'
+                ELSE 'ld' END AS headline_src,
+           printf('%04d-%02d-%02d', yy, mm, dd) AS pub_date,
+           'A. ' || substr(h, 9, 4) AS author,
+           CAST(CASE WHEN form IN (0, 2) THEN 4 ELSE 0 END
+                AS BIGINT) AS n_og,
+           TRUE AS ld_ok
+    FROM c ORDER BY doc_id
+    """,
+)
+def q_crawl_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-metadata extraction (functions/html_meta.py) — the
+    provenance pass beside q_crawl_extract's text pass: page title,
+    canonical URL (a dedup key), OpenGraph properties incl. the
+    article: typed extension, JSON-LD Article nodes (single object,
+    @graph wrapper, list-valued @type, nested author objects) and
+    HTML5 microdata itemscopes, merged under the aggregator
+    precedence JSON-LD > microdata > OpenGraph > <title> with the
+    winning source reported. An md5 nibble rotates each page across
+    og-only / ld-only / CONFLICTING og+@graph-ld (LD must win) /
+    microdata-only, so the oracle stays pure md5-and-word arithmetic
+    while the driver run exercises every parse path and the
+    precedence rule itself. A JSON-LD block that fails to parse is
+    REPORTED (ld_ok=false), never silently dropped — the pipeline
+    counts those pages (hostile pins in tests/test_html_meta.py).
+
+    Scale shape: one spread() exchange into one Arrow map stage;
+    zero shuffles before the presentation sort — the q_crawl_*
+    class. At 100 TB these fields feed canonical-URL dedup keys,
+    temporal curation buckets and provenance audits."""
+    from core_spark.functions.html_meta import (
+        build_meta_fixture,
+        extract_structured_meta,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+
+    def walk(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                digest = hashlib.md5(text.encode("utf-8")).hexdigest()
+                form = int(digest[7], 16) % 4
+                m = extract_structured_meta(
+                    build_meta_fixture(text, digest)
+                )
+                rows.append(
+                    (
+                        int(doc_id),
+                        form,
+                        m["title"],
+                        m["canonical"],
+                        m["headline"],
+                        m["headline_src"],
+                        m["pub_date"],
+                        m["author"],
+                        m["n_og"],
+                        m["ld_ok"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "form", "title", "canonical_url",
+                    "headline", "headline_src", "pub_date", "author",
+                    "n_og", "ld_ok",
+                ],
+            )
+
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(
+            walk,
+            schema=(
+                "doc_id long, form long, title string,"
+                " canonical_url string, headline string,"
+                " headline_src string, pub_date string,"
+                " author string, n_og long, ld_ok boolean"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ----------------------------------------------------------------- tokens
 @query(
     "q_tokens",

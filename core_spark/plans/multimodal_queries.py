@@ -1173,3 +1173,235 @@ def q_cc_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_pdf_pages(attach_pdf_payload(docs)).orderBy(
         "doc_id", "page_idx"
     )
+
+
+@query(
+    "q_cc_docx",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, string_split(text, ' ') AS w, md5(text) AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, w,
+             CAST('0x' || substr(h, 4, 1) AS BIGINT) % 4 AS form,
+             (len(w) + 12) // 13 AS np
+      FROM p
+    ),
+    f AS (SELECT *, unnest(range(np)) AS j FROM c),
+    s AS (
+      SELECT doc_id, form, j,
+             list_slice(w, j * 13 + 1, j * 13 + 13) AS cw
+      FROM f
+    )
+    SELECT doc_id, CAST(j AS BIGINT) AS block_idx,
+           CAST(form AS BIGINT) AS form, 'p' AS kind,
+           array_to_string(cw, ' ') AS block_text
+    FROM s WHERE form IN (0, 1)
+    UNION ALL
+    SELECT doc_id, CAST(j AS BIGINT), CAST(form AS BIGINT), 'p',
+           chr(9) || cw[1] || chr(10) ||
+           COALESCE(array_to_string(list_slice(cw, 2, len(cw)), ' '), '')
+    FROM s WHERE form = 2
+    UNION ALL
+    SELECT doc_id, CAST(2 * j + u.cc AS BIGINT),
+           CAST(form AS BIGINT), 'tc',
+           CASE WHEN u.cc = 0
+                THEN array_to_string(list_slice(cw, 1, 6), ' ')
+                ELSE COALESCE(
+                  array_to_string(list_slice(cw, 7, len(cw)), ' '), '')
+           END
+    FROM s CROSS JOIN (SELECT unnest([0, 1]) AS cc) u
+    WHERE form = 3
+    ORDER BY doc_id, block_idx
+    """,
+)
+def q_cc_docx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOCX text mining (multimodal/docx.py over the from-spec ZIP
+    walker, functions/ziparchive.py): each document becomes a REAL
+    OPC package — deflated ``[Content_Types].xml`` + ``_rels/.rels``
+    + WordprocessingML main part — and the kernel performs the
+    genuine extraction walk: central directory → rels-resolved main
+    part → namespace-URI XML walk → per-block text with split runs
+    reassembled, tracked deletions EXCLUDED, tabs/breaks mapped and
+    tables expanded row-major. An md5 nibble rotates each document
+    across the real-world form space (build_docx_fixture): simple
+    runs / Word-style split-run noise (rsid, proofErr, bookmarks, a
+    w:del that must vanish, a kept w:ins) / tab+break paragraphs in
+    a DEFAULT-namespace document (URI matching, not prefix) / a
+    two-cell table behind a NONSTANDARD part name (rels-following).
+    Extraction is form-independent for forms 0/1 and
+    layout-arithmetic for 2/3, so the oracle recomputes every block
+    from 13-word chunk math alone while the driver run exercises
+    every decode path. The zip layer is pinned against stdlib
+    zipfile both directions (tests/test_ziparchive.py) — an
+    independent writer the PDF tier lacks.
+
+    Scale shape: one round-robin exchange (spread) into one Arrow
+    map stage; zero shuffles before the presentation sort — per-doc
+    parse CPU that scales out with executors, the q_cc_pdf class.
+
+    Corpus purity note (fixture-coupled oracle convention):
+    documents are ASCII, single-space separated, no XML
+    metacharacters after _esc, so DuckDB string math and the
+    builder's UTF-8 bytes agree."""
+    from core_spark.multimodal.docx import build_docx_fixture, docx_blocks
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+
+    def walk(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                digest = hashlib.md5(text.encode("utf-8")).hexdigest()
+                form = int(digest[3], 16) % 4
+                blob = build_docx_fixture(text, digest)
+                for b in docx_blocks(blob):
+                    rows.append(
+                        (
+                            int(doc_id),
+                            b["block_idx"],
+                            form,
+                            b["kind"],
+                            b["text"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "block_idx", "form", "kind", "block_text",
+                ],
+            )
+
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(
+            walk,
+            schema=(
+                "doc_id long, block_idx long, form long,"
+                " kind string, block_text string"
+            ),
+        )
+        .orderBy("doc_id", "block_idx")
+    )
+
+
+@query(
+    "q_cc_xlsx",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, string_split(text, ' ') AS w, md5(text) AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, w,
+             CAST('0x' || substr(h, 7, 1) AS BIGINT) % 4 AS form,
+             ((len(w) + 4) // 5 + 1) // 2 AS split
+      FROM p
+    ),
+    f AS (SELECT *, unnest(range(len(w))) AS k FROM c),
+    s AS (
+      SELECT doc_id, form, split, k,
+             w[k + 1] AS word, k // 5 AS gr, k % 5 AS col
+      FROM f
+    ),
+    o AS (
+      SELECT *,
+             CASE WHEN form = 3 AND gr >= split THEN 1 ELSE 0 END
+               AS sh
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(sh AS BIGINT) AS sheet_idx,
+           'S' || CAST(sh AS VARCHAR) AS sheet_name,
+           CAST(gr - CASE WHEN sh = 1 THEN split ELSE 0 END
+                AS BIGINT) AS row_idx,
+           CAST(col AS BIGINT) AS col_idx,
+           CASE WHEN k % 3 = 2 THEN 'n' ELSE 's' END AS kind,
+           CASE WHEN k % 3 = 2 THEN CAST(strlen(word) + k AS VARCHAR)
+                ELSE word END AS cell_value,
+           CAST(form AS BIGINT) AS form
+    FROM o ORDER BY doc_id, sheet_idx, row_idx, col_idx
+    """,
+)
+def q_cc_xlsx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XLSX cell extraction (multimodal/xlsx.py over the zip
+    walker): each document becomes a REAL SpreadsheetML package —
+    package rels → workbook → workbook rels → worksheet parts +
+    shared-string table — and the kernel performs the genuine
+    extraction walk: A1 references decoded (multi-letter columns,
+    the sequential-inference rule for cells omitting ``r``),
+    shared-string indices resolved (deduplicated entries, rich-text
+    runs concatenated), inline strings, formula cells read through
+    their CACHED value, sheets in workbook order. An md5 nibble
+    rotates the REPRESENTATION across shared-strings /
+    inline-strings-with-prefixed-namespace / rich-text-runs-plus-
+    formula-cells / two-sheets-with-nonstandard-part-names while
+    the LOGICAL cells stay identical — so the oracle is pure
+    word-tiling arithmetic (5-column rows; every third cell numeric
+    with value strlen+k) and the driver run exercises every decode
+    path. Shared-string-index-out-of-range, unknown cell types,
+    missing relationships, malformed XML: the named XlsxError —
+    never a silent empty sheet.
+
+    Scale shape: one spread() exchange into one Arrow map stage;
+    zero shuffles before the presentation sort — the q_cc_docx
+    class. Corpus purity: ASCII single-space words, so DuckDB
+    strlen and Python len agree.
+
+    Independence disclosure: the zip container is stdlib-pinned
+    both directions; the SpreadsheetML layer is self-paired
+    (no openpyxl/xlsxwriter in this environment — the LZO-class
+    reasoning, recorded in COVERAGE.md's fences table)."""
+    from core_spark.multimodal.xlsx import build_xlsx_fixture, xlsx_cells
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+
+    def walk(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                digest = hashlib.md5(text.encode("utf-8")).hexdigest()
+                form = int(digest[6], 16) % 4
+                blob = build_xlsx_fixture(text, digest)
+                for cell in xlsx_cells(blob):
+                    rows.append(
+                        (
+                            int(doc_id),
+                            cell["sheet_idx"],
+                            cell["sheet_name"],
+                            cell["row"],
+                            cell["col"],
+                            cell["kind"],
+                            cell["value"],
+                            form,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sheet_idx", "sheet_name", "row_idx",
+                    "col_idx", "kind", "cell_value", "form",
+                ],
+            )
+
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(
+            walk,
+            schema=(
+                "doc_id long, sheet_idx long, sheet_name string,"
+                " row_idx long, col_idx long, kind string,"
+                " cell_value string, form long"
+            ),
+        )
+        .orderBy("doc_id", "sheet_idx", "row_idx", "col_idx")
+    )

@@ -86,7 +86,12 @@ _REPO = Path(__file__).resolve().parent.parent
 # q_block_fuzzy) hold green r11/r10 rows. The set is empty again.
 # r13: the new q_bits_orc_stats sorts into the window at position
 # 50, displacing q_bits_pages (green r12 row + SWEEP_r12 entry).
-PYTEST_ONLY: set[str] = set()
+# Late-r13 additions (the ZIP/OOXML container tier) sort far beyond
+# the cutoff (q_bundle_*, q_cc_*); per the standing rotation
+# protocol they take pytest-only + full-registry SWEEP_r13 coverage
+# this round and rotate into the window in r14 (COVERAGE.md
+# "Round-13 rotation").
+PYTEST_ONLY: set[str] = {"q_bundle_zip", "q_cc_docx", "q_cc_xlsx", "q_crawl_meta"}
 
 
 def _historical_rows() -> set[str]:
