@@ -283,6 +283,25 @@ def zip_members(raw: bytes) -> list[dict]:
                 f"member {len(out)} name is not valid"
                 f" {'utf-8' if ent['utf8'] else 'cp437'}"
             )
+        # Info-ZIP Unicode Path extra (0x7075): a UTF-8 override for
+        # a cp437 standard name — honored only when its embedded
+        # CRC-32 of the STANDARD name matches (the spec's staleness
+        # guard: after a plain rename the extra no longer applies).
+        j = 0
+        while j + 4 <= len(extra):
+            fid, flen = _u16(extra, j), _u16(extra, j + 2)
+            body = extra[j + 4 : j + 4 + flen]
+            if fid == 0x7075 and len(body) >= 5 and body[0] == 1:
+                if _u32(body, 1) == zlib.crc32(name_b):
+                    try:
+                        ent["name"] = body[5:].decode("utf-8")
+                        ent["utf8"] = True
+                    except UnicodeDecodeError:
+                        raise ZipError(
+                            f"member {len(out)} unicode-path extra"
+                            " is not valid utf-8"
+                        )
+            j += 4 + flen
         # Cross-check the local header and derive the data offset.
         lho_i = ent["header_off"]
         if raw[lho_i : lho_i + 4] != _LFH_MAGIC:
@@ -520,6 +539,7 @@ def write_zip(
     comment: bytes = b"",
     force_zip64: bool = False,
     level: int = 6,
+    unicode_path_extra: bool = False,
 ) -> bytes:
     """From-spec ZIP writer for fixtures and sinks: local headers,
     optional data descriptors, central directory, EOCD (+ ZIP64
@@ -538,8 +558,21 @@ def write_zip(
     for idx, ((name, data), m) in enumerate(zip(entries, per)):
         name_b = name.encode("utf-8")
         flag = 0
+        path_extra = b""
         if any(b >= 0x80 for b in name_b):
-            flag |= _FLAG_UTF8
+            if unicode_path_extra:
+                # the Info-ZIP shape: cp437(-lossy) standard name +
+                # 0x7075 UTF-8 override keyed by the standard name's
+                # CRC-32 (flag bit 11 stays clear)
+                name_b = name.encode("cp437", errors="replace")
+                pe_body = b"\x01" + struct.pack(
+                    "<I", zlib.crc32(name_b)
+                ) + name.encode("utf-8")
+                path_extra = struct.pack(
+                    "<HH", 0x7075, len(pe_body)
+                ) + pe_body
+            else:
+                flag |= _FLAG_UTF8
         if data_descriptor:
             flag |= _FLAG_DESCRIPTOR
         crc = zlib.crc32(data)
@@ -575,6 +608,7 @@ def write_zip(
         else:
             extra = b""
             lsize, lcomp = len(data), len(comp)
+        extra += path_extra
         body += struct.pack(
             "<4sHHHHHIIIHH",
             _LFH_MAGIC,
@@ -601,12 +635,12 @@ def write_zip(
                 body += _DD_MAGIC + struct.pack(
                     "<III", crc, len(comp), len(data)
                 )
-        cextra = b""
+        cextra = path_extra
         csize, ccomp, clho = len(data), len(comp), lho
         if zip64:
             cextra = struct.pack(
                 "<HHQQQ", 0x0001, 24, len(data), len(comp), lho
-            )
+            ) + path_extra
             csize = ccomp = clho = 0xFFFFFFFF
         central += struct.pack(
             "<4sHHHHHHIIIHHHHHII",

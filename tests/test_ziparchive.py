@@ -250,3 +250,107 @@ def test_descriptor_disagreement_refuses():
     raw[dd + 4] ^= 0xFF  # corrupt descriptor CRC
     with pytest.raises(ZipError, match="descriptor"):
         zip_extract(bytes(raw), zip_members(bytes(raw))[0])
+
+
+# ---------------------------------------- Info-ZIP unicode path extra
+
+
+def test_unicode_path_extra_override():
+    """The Info-ZIP 0x7075 shape: cp437 standard name + UTF-8
+    override keyed by the standard name's CRC-32; flag bit 11 stays
+    clear, stdlib reads the archive (by its cp437 name), and our
+    walker surfaces the UTF-8 name."""
+    raw = write_zip(
+        [("naïve-日本.txt", b"d1"), ("plain.txt", b"d2")],
+        method=M_STORED,
+        unicode_path_extra=True,
+    )
+    ms = zip_members(raw)
+    assert ms[0]["name"] == "naïve-日本.txt" and ms[0]["utf8"]
+    assert not (ms[0]["flag"] & 0x0800)
+    assert zip_extract(raw, ms[0]) == b"d1"
+    with zipfile.ZipFile(io.BytesIO(raw)) as z:
+        assert len(z.namelist()) == 2  # container stays readable
+
+
+def test_unicode_path_extra_stale_crc_ignored():
+    """A 0x7075 whose CRC does not match the standard name is STALE
+    (the spec's rename guard) and must be ignored, not honored and
+    not an error."""
+    raw = bytearray(
+        write_zip(
+            [("naïve.txt", b"d")],
+            method=M_STORED,
+            unicode_path_extra=True,
+        )
+    )
+    eocd = zip_eocd(bytes(raw))
+    i = raw.find(b"\x75\x70", eocd["cd_off"])  # the CENTRAL copy
+    assert i > 0
+    raw[i + 5] ^= 0xFF  # corrupt the embedded CRC
+    (m,) = zip_members(bytes(raw))
+    assert not m["utf8"]
+    assert m["name"] == "naïve.txt"  # cp437 round-trips this one
+
+
+# ----------------------------------------------- property fuzz
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_NAME = st.text(
+    alphabet=st.characters(
+        codec="utf-8",
+        exclude_characters="\x00/\\",
+        exclude_categories=("Cs", "Cc"),
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    entries=st.lists(
+        st.tuples(_NAME, st.binary(max_size=600)),
+        min_size=1,
+        max_size=5,
+        unique_by=lambda e: e[0],
+    ),
+    methods=st.lists(
+        st.sampled_from([M_STORED, M_DEFLATE, M_BZIP2, M_LZMA]),
+        min_size=5,
+        max_size=5,
+    ),
+    dd=st.booleans(),
+    z64=st.booleans(),
+    upe=st.booleans(),
+    comment=st.binary(max_size=80),
+)
+def test_fuzz_writer_walker_stdlib_triangle(
+    entries, methods, dd, z64, upe, comment
+):
+    """Any archive our writer can produce — any names (incl.
+    unicode via flag-11 or the 0x7075 extra), any method mix,
+    descriptor × zip64 × comment — must (a) round-trip through our
+    walker byte-exactly and (b) open and read identically with the
+    INDEPENDENT stdlib reader."""
+    raw = write_zip(
+        entries,
+        methods=methods[: len(entries)],
+        data_descriptor=dd,
+        force_zip64=z64,
+        comment=comment,
+        unicode_path_extra=upe,
+    )
+    ms = zip_members(raw)
+    assert len(ms) == len(entries)
+    for m, (name, data) in zip(ms, entries):
+        assert m["name"] == name
+        assert zip_extract(raw, m) == data
+    with zipfile.ZipFile(io.BytesIO(raw)) as z:
+        infos = z.infolist()
+        assert len(infos) == len(entries)
+        for info, (name, data) in zip(infos, entries):
+            assert z.read(info) == data
