@@ -175,6 +175,7 @@ HEADLINE = [
     "q_bits_epoch",
     "q_bits_orc_stats",
     "q_bundle_zip",
+    "q_bundle_epub",
     "q_cc_docx",
     "q_cc_xlsx",
     "q_crawl_meta",

@@ -4141,6 +4141,110 @@ def q_bundle_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------- epub bundles
+@query(
+    "q_bundle_epub",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, string_split(text, ' ') AS w, md5(text) AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, w, h,
+             CAST('0x' || substr(h, 10, 1) AS BIGINT) % 4 AS form,
+             (len(w) + 20) // 21 AS n
+      FROM p
+    ),
+    f AS (SELECT *, unnest(range(n)) AS i FROM c),
+    s AS (
+      SELECT doc_id, w, h, form, i,
+             CASE WHEN form = 2 THEN n - 1 - i ELSE i END AS src
+      FROM f
+    )
+    SELECT doc_id, CAST(i AS BIGINT) AS chapter_idx,
+           CAST(form AS BIGINT) AS form,
+           form <> 3 AS ocf_strict,
+           'Book ' || substr(h, 1, 6) AS title,
+           'A. ' || substr(h, 9, 4) AS creator,
+           array_to_string(
+             list_slice(w, src * 21 + 1, src * 21 + 21), ' ')
+             AS chapter_text
+    FROM s ORDER BY doc_id, chapter_idx
+    """,
+)
+def q_bundle_epub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPUB chapter extraction (multimodal/epub.py over the zip
+    walker): each document becomes a REAL OCF container — stored
+    ``mimetype`` magic, ``META-INF/container.xml`` → OPF package →
+    manifest/spine → XHTML chapters reduced to text by the crawl
+    tier's html_to_text kernel — and the extraction follows the
+    specs' actual indirection: the rootfile path comes from
+    container.xml (never assumed), hrefs resolve relative to the
+    OPF's directory, and the SPINE orders the book (form 2 reverses
+    the spine against manifest declaration order, so an extractor
+    that reads the manifest gets every chapter's text wrong).
+    Form 3 is the lax-OCF shape common in the wild (mimetype
+    deflated, not first): it READS, with ocf_strict=false REPORTED
+    for curation gates — while a missing/wrong mimetype refuses
+    with the named EpubError (tests). Dublin Core title/creator
+    ride the oracle check.
+
+    Scale shape: one spread() exchange into one Arrow map stage;
+    zero shuffles before the presentation sort — the q_bundle
+    class; at 100 TB the OCF walk is the same tail-KB
+    central-directory ranged GET as q_bundle_zip."""
+    from core_spark.multimodal.epub import (
+        build_epub_fixture,
+        epub_chapters,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+
+    def walk(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                digest = hashlib.md5(text.encode("utf-8")).hexdigest()
+                form = int(digest[9], 16) % 4
+                book = epub_chapters(build_epub_fixture(text, digest))
+                for ch in book["chapters"]:
+                    rows.append(
+                        (
+                            int(doc_id),
+                            ch["chapter_idx"],
+                            form,
+                            book["ocf_strict"],
+                            book["title"],
+                            book["creator"],
+                            ch["text"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "chapter_idx", "form", "ocf_strict",
+                    "title", "creator", "chapter_text",
+                ],
+            )
+
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(
+            walk,
+            schema=(
+                "doc_id long, chapter_idx long, form long,"
+                " ocf_strict boolean, title string, creator string,"
+                " chapter_text string"
+            ),
+        )
+        .orderBy("doc_id", "chapter_idx")
+    )
+
+
 # ------------------------------------------------------ page metadata
 @query(
     "q_crawl_meta",
