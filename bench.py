@@ -179,6 +179,7 @@ HEADLINE = [
     "q_cc_docx",
     "q_cc_xlsx",
     "q_crawl_meta",
+    "q_crawl_feed",
     # q_dup_canonical is intentionally absent: its dominant cost is
     # the same pair+CC pipeline q_dup_clusters already times;
     # q_bands_serve (streaming materialize->serve) follows the

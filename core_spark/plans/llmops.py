@@ -4245,6 +4245,115 @@ def q_bundle_epub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------- feeds
+@query(
+    "q_crawl_feed",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, string_split(text, ' ') AS w, md5(text) AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, w, h,
+             CAST('0x' || substr(h, 11, 1) AS BIGINT) % 4 AS form,
+             2 + CAST('0x' || substr(h, 1, 2) AS BIGINT) % 4 AS n,
+             2000 + CAST('0x' || substr(h, 2, 2) AS BIGINT) % 26 AS yy,
+             1 + CAST('0x' || substr(h, 4, 1) AS BIGINT) % 12 AS mm,
+             1 + CAST('0x' || substr(h, 5, 1) AS BIGINT) % 28 AS dd,
+             CAST('0x' || substr(h, 6, 1) AS BIGINT) AS hbase,
+             CAST('0x' || substr(h, 12, 2) AS BIGINT) % 60 AS mi,
+             CAST('0x' || substr(h, 14, 2) AS BIGINT) % 60 AS ss
+      FROM p
+    ),
+    f AS (SELECT *, unnest(range(n)) AS i FROM c)
+    SELECT doc_id, CAST(i AS BIGINT) AS entry_idx,
+           CAST(form AS BIGINT) AS form,
+           CASE WHEN form IN (0, 2) THEN 'rss' ELSE 'atom' END
+             AS kind,
+           'Feed ' || substr(h, 1, 6) AS feed_title,
+           array_to_string(list_transform(range(4),
+             k -> w[((i * 4 + k) % len(w)) + 1]), ' ') AS title,
+           'https://example.com/e/' || substr(h, 1, 6) || '/' ||
+             CAST(i AS VARCHAR) AS url,
+           CAST(epoch(make_timestamp(yy, mm, dd,
+             CAST((hbase + i) % 24 AS BIGINT), mi, ss))
+             AS BIGINT) AS pub_epoch,
+           array_to_string(list_transform(range(7),
+             k -> w[((i * 7 + k) % len(w)) + 1]), ' ') AS summary
+    FROM f ORDER BY doc_id, entry_idx
+    """,
+)
+def q_crawl_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-discovery parsing (functions/feeds.py): each document
+    becomes a REAL syndication feed and the kernel walks both
+    dialects a crawler meets — RSS 2.0 (RFC 822 pubDates,
+    hand-rendered with English day/month tables) and Atom 1.0 (RFC
+    3339, rel-typed links) — normalizing dates to epoch seconds
+    through two independent stdlib parsers while the oracle
+    recomputes them with make_timestamp arithmetic. The md5-nibble
+    form rotation plants the real-world traps: CDATA titles,
+    HTML-escaped markup in descriptions (must unescape AND
+    tag-strip), and Atom entries whose FIRST link is rel="self" —
+    an extractor that takes the first link emits the feed's own URL
+    for every entry. Malformed XML, unknown roots and unparseable
+    dates raise the named FeedError — a silently shifted timestamp
+    is a wrong freshness bucket downstream.
+
+    Scale shape: one spread() exchange into one Arrow map stage;
+    zero shuffles before the presentation sort — the q_crawl_*
+    class beside q_cc_sitemap and q_crawl_robots."""
+    from core_spark.functions.feeds import build_feed_fixture, parse_feed
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+
+    def walk(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                digest = hashlib.md5(text.encode("utf-8")).hexdigest()
+                form = int(digest[10], 16) % 4
+                feed = parse_feed(build_feed_fixture(text, digest))
+                for e in feed["entries"]:
+                    rows.append(
+                        (
+                            int(doc_id),
+                            e["entry_idx"],
+                            form,
+                            feed["kind"],
+                            feed["feed_title"],
+                            e["title"],
+                            e["url"],
+                            e["pub_epoch"],
+                            e["summary"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "entry_idx", "form", "kind",
+                    "feed_title", "title", "url", "pub_epoch",
+                    "summary",
+                ],
+            )
+
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(
+            walk,
+            schema=(
+                "doc_id long, entry_idx long, form long,"
+                " kind string, feed_title string, title string,"
+                " url string, pub_epoch long, summary string"
+            ),
+        )
+        .orderBy("doc_id", "entry_idx")
+    )
+
+
 # ------------------------------------------------------ page metadata
 @query(
     "q_crawl_meta",
