@@ -178,6 +178,7 @@ HEADLINE = [
     "q_bundle_epub",
     "q_cc_docx",
     "q_cc_xlsx",
+    "q_cc_odt",
     "q_crawl_meta",
     "q_crawl_feed",
     # q_dup_canonical is intentionally absent: its dominant cost is

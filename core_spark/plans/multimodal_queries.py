@@ -1291,6 +1291,103 @@ def q_cc_docx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_cc_odt",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, string_split(text, ' ') AS w, md5(text) AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, w,
+             CAST('0x' || substr(h, 13, 1) AS BIGINT) % 4 AS form,
+             (len(w) + 10) // 11 AS np
+      FROM p
+    ),
+    f AS (SELECT *, unnest(range(np)) AS j FROM c),
+    s AS (
+      SELECT doc_id, form, j,
+             list_slice(w, j * 11 + 1, j * 11 + 11) AS cw
+      FROM f
+    )
+    SELECT doc_id, CAST(j AS BIGINT) AS para_idx,
+           CAST(form AS BIGINT) AS form,
+           CASE WHEN form = 3 AND j % 3 = 0 THEN 'h'
+                ELSE 'p' END AS kind,
+           CASE WHEN form = 2
+                THEN cw[1] || chr(9) || COALESCE(
+                  array_to_string(list_slice(cw, 2, len(cw)), '   '),
+                  '')
+                ELSE array_to_string(cw, ' ')
+           END AS para_text
+    FROM s ORDER BY doc_id, para_idx
+    """,
+)
+def q_cc_odt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ODT text mining (multimodal/odt.py over the zip walker): each
+    document becomes a REAL OpenDocument package — stored mimetype
+    magic, manifest, content.xml — and the kernel walks office:body/
+    office:text with the ODF §6.1 whitespace rules most extractors
+    get wrong: ``text:s text:c="N"`` EXPANDS to N spaces (ODF
+    compresses space runs — ignoring it silently shortens every
+    multi-space gap; form 2's three-space joins prove the expansion
+    under the driver oracle), tabs/line-breaks map, spans nest
+    transparently, office:annotation margin comments and text:note
+    footnote bodies are EXCLUDED (form 1 plants both — same
+    extracted text as plain paragraphs), and text:h headings /
+    text:list items keep document order with their kind reported
+    (form 3). Wrong mimetype / missing content.xml / malformed XML
+    raise the named OdtError.
+
+    Scale shape: one spread() exchange into one Arrow map stage;
+    zero shuffles before the presentation sort — the q_cc_docx
+    class."""
+    from core_spark.multimodal.odt import build_odt_fixture, odt_paragraphs
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+
+    def walk(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                digest = hashlib.md5(text.encode("utf-8")).hexdigest()
+                form = int(digest[12], 16) % 4
+                for b in odt_paragraphs(
+                    build_odt_fixture(text, digest)
+                ):
+                    rows.append(
+                        (
+                            int(doc_id),
+                            b["para_idx"],
+                            form,
+                            b["kind"],
+                            b["text"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "para_idx", "form", "kind", "para_text",
+                ],
+            )
+
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(
+            walk,
+            schema=(
+                "doc_id long, para_idx long, form long,"
+                " kind string, para_text string"
+            ),
+        )
+        .orderBy("doc_id", "para_idx")
+    )
+
+
+@query(
     "q_cc_xlsx",
     oracle="""
     WITH p AS (
