@@ -179,6 +179,8 @@ HEADLINE = [
     "q_cc_docx",
     "q_cc_xlsx",
     "q_cc_odt",
+    "q_cc_rtf",
+    "q_cc_eml",
     "q_crawl_meta",
     "q_crawl_feed",
     # q_dup_canonical is intentionally absent: its dominant cost is

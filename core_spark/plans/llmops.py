@@ -4245,6 +4245,213 @@ def q_bundle_epub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------------------------- email
+@query(
+    "q_cc_eml",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, string_split(text, ' ') AS w, md5(text) AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, w, h,
+             CAST('0x' || substr(h, 15, 1) AS BIGINT) % 4 AS form,
+             (len(w) + 14) // 15 AS nl,
+             2000 + CAST('0x' || substr(h, 2, 2) AS BIGINT) % 26 AS yy,
+             1 + CAST('0x' || substr(h, 4, 1) AS BIGINT) % 12 AS mm,
+             1 + CAST('0x' || substr(h, 5, 1) AS BIGINT) % 28 AS dd,
+             CAST('0x' || substr(h, 6, 1) AS BIGINT) % 24 AS hh,
+             CAST('0x' || substr(h, 12, 2) AS BIGINT) % 60 AS mi,
+             CAST('0x' || substr(h, 14, 2) AS BIGINT) % 60 AS ss
+      FROM p
+    ),
+    f AS (SELECT *, unnest(range(nl)) AS j FROM c),
+    s AS (
+      SELECT doc_id, j,
+             array_to_string(
+               list_slice(w, j * 15 + 1, j * 15 + 15), ' ') AS ln
+      FROM f
+    ),
+    b AS (
+      SELECT doc_id,
+             string_agg(ln, chr(10) ORDER BY j) AS body_nl,
+             string_agg(ln, ' ' ORDER BY j) AS body_sp
+      FROM s GROUP BY doc_id
+    )
+    SELECT c.doc_id, CAST(form AS BIGINT) AS form,
+           array_to_string(list_slice(w, 1, 5), ' ') AS subject,
+           'a.' || substr(h, 1, 6) || '@example.com' AS from_addr,
+           CASE WHEN form = 2
+                THEN 'list-' || substr(h, 7, 4) ||
+                     '@example.com, list-' || substr(h, 7, 4) ||
+                     '@example.com'
+                ELSE 'list-' || substr(h, 7, 4) || '@example.com'
+           END AS to_addr,
+           CAST(epoch(make_timestamp(yy, mm, dd, hh, mi, ss))
+                AS BIGINT) AS date_epoch,
+           CAST(CASE WHEN form = 1 THEN 2 ELSE 1 END AS BIGINT)
+             AS n_parts,
+           CASE WHEN form = 3 THEN 'html' ELSE 'plain' END
+             AS body_source,
+           CASE WHEN form = 3 THEN b.body_sp ELSE b.body_nl END
+             AS body_text
+    FROM c JOIN b ON c.doc_id = b.doc_id
+    ORDER BY c.doc_id
+    """,
+)
+def q_cc_eml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email-archive parsing (functions/mail.py): each document
+    becomes a REAL RFC 5322 message and the kernel performs the
+    genuine MIME walk — header UNFOLDING (the folded To: form),
+    RFC 2047 encoded-word subjects (?B? and adjacent-?Q?-words
+    whose separating space must vanish), Content-Type parameter
+    quoting, multipart boundary walking with terminator checking,
+    base64 and quoted-printable transfer decoding (soft line breaks
+    reassembled), attachment exclusion, and the
+    first-text/plain-else-html body rule with the html branch
+    reduced by the crawl tier's extractor. The md5-nibble form
+    rotation covers plain / multipart-with-attachment /
+    QP+encoded-word+folding / html-only-alternative while the
+    oracle recomputes everything from word-tiling + make_timestamp
+    arithmetic. Pinned BOTH directions against the stdlib email
+    package in tests/test_mail.py — an independent implementation
+    of the whole grammar. No separator, unterminated multiparts,
+    undecodable transfer encodings raise the named MailError.
+
+    Scale shape: one spread() exchange into one Arrow map stage;
+    zero shuffles before the presentation sort — the q_cc class."""
+    from core_spark.functions.mail import build_eml_fixture, parse_eml
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+
+    def walk(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                digest = hashlib.md5(text.encode("utf-8")).hexdigest()
+                form = int(digest[14], 16) % 4
+                m = parse_eml(build_eml_fixture(text, digest))
+                rows.append(
+                    (
+                        int(doc_id),
+                        form,
+                        m["subject"],
+                        m["from_addr"],
+                        m["to_addr"],
+                        m["date_epoch"],
+                        m["n_parts"],
+                        m["body_source"],
+                        m["body_text"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "form", "subject", "from_addr",
+                    "to_addr", "date_epoch", "n_parts",
+                    "body_source", "body_text",
+                ],
+            )
+
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(
+            walk,
+            schema=(
+                "doc_id long, form long, subject string,"
+                " from_addr string, to_addr string,"
+                " date_epoch long, n_parts long,"
+                " body_source string, body_text string"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------- rtf
+@query(
+    "q_cc_rtf",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, string_split(text, ' ') AS w, md5(text) AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, w,
+             CAST('0x' || substr(h, 14, 1) AS BIGINT) % 4 AS form,
+             (len(w) + 8) // 9 AS np
+      FROM p
+    ),
+    f AS (SELECT *, unnest(range(np)) AS j FROM c)
+    SELECT doc_id, CAST(j AS BIGINT) AS para_idx,
+           CAST(form AS BIGINT) AS form,
+           array_to_string(list_slice(w, j * 9 + 1, j * 9 + 9), ' ')
+             AS para_text
+    FROM f ORDER BY doc_id, para_idx
+    """,
+)
+def q_cc_rtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RTF text mining (functions/rtf.py): each document becomes a
+    REAL RTF 1.9 token stream — font/color tables, an {\\info}
+    destination, formatting groups — and the kernel performs the
+    genuine grammar walk: destination groups (incl. {\\* unknown
+    ones) contribute NO text, \\'hh code-page escapes decode via
+    cp1252, \\uN unicode scalars emit while their \\uc-scoped
+    legacy fallback characters are SWALLOWED (double-emission is
+    the classic extractor bug), and group state restores on }.
+    The md5-nibble form rotation varies the ENCODING (plain /
+    formatting-noise groups / hex-escaped spaces / unicode escapes
+    with ? fallbacks) while the extracted text stays identical —
+    the q_cc_xlsx representation-rotation convention, one 9-word
+    chunk oracle for all four forms. Non-RTF payloads raise the
+    named RtfError; truncated RTF extracts its prefix (the
+    forgiving-HTML convention, documented).
+
+    Scale shape: one spread() exchange into one Arrow map stage;
+    zero shuffles before the presentation sort — the q_cc class."""
+    from core_spark.functions.rtf import build_rtf_fixture, rtf_to_text
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+
+    def walk(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                digest = hashlib.md5(text.encode("utf-8")).hexdigest()
+                form = int(digest[13], 16) % 4
+                extracted = rtf_to_text(
+                    build_rtf_fixture(text, digest)
+                )
+                for j, para in enumerate(
+                    extracted.rstrip("\n").split("\n")
+                ):
+                    rows.append((int(doc_id), j, form, para))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "para_idx", "form", "para_text"],
+            )
+
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(
+            walk,
+            schema=(
+                "doc_id long, para_idx long, form long,"
+                " para_text string"
+            ),
+        )
+        .orderBy("doc_id", "para_idx")
+    )
+
+
 # ------------------------------------------------------------- feeds
 @query(
     "q_crawl_feed",
