@@ -176,6 +176,7 @@ HEADLINE = [
     "q_bits_orc_stats",
     "q_bundle_zip",
     "q_bundle_epub",
+    "q_bundle_mbox",
     "q_cc_docx",
     "q_cc_xlsx",
     "q_cc_odt",

@@ -349,3 +349,90 @@ def build_eml_fixture(text: str, digest: str) -> bytes:
             + f"\n--{bnd}--\n"
         )
     return msg.encode("utf-8")
+
+
+# -------------------------------------------------------------- mbox
+
+_FROM_LINE = re.compile(rb"^From .*$", re.M)
+_QUOTED_FROM = re.compile(rb"^(>+)From ", re.M)
+
+
+def mbox_messages(raw: bytes) -> list[bytes]:
+    """Split an mbox (RFC 4155) into raw RFC 5322 messages: a
+    message starts at each unquoted ``From `` separator line (the
+    line itself is envelope metadata, not part of the message), and
+    mboxrd body quoting is REVERSED — every ``>*From `` line loses
+    exactly one ``>``. A payload that does not start with a
+    separator line raises MailError."""
+    if not raw.startswith(b"From "):
+        raise MailError("mbox does not start with a 'From ' line")
+    msgs: list[bytes] = []
+    # split at separator lines: unquoted "From " at start of line
+    starts = [
+        m.start()
+        for m in re.finditer(rb"(?:^|\n)From [^\n]*\n", raw)
+    ]
+    starts.append(len(raw))
+    for a, b in zip(starts, starts[1:]):
+        chunk = raw[a:b]
+        if chunk.startswith(b"\n"):
+            chunk = chunk[1:]
+        # drop the envelope line itself
+        nl = chunk.find(b"\n")
+        body = chunk[nl + 1 :]
+        # mboxrd unquote: ">From " -> "From ", ">>From " -> ">From "
+        body = _QUOTED_FROM.sub(
+            lambda m: m.group(1)[1:] + b"From ", body
+        )
+        msgs.append(body.rstrip(b"\n") + b"\n")
+    return msgs
+
+
+def build_mbox_fixture(text: str, digest: str) -> bytes:
+    """Deterministic mbox for q_bundle_mbox: `2 + digest%3` plain
+    messages whose facts are wrapping word slices (the
+    q_bundle_tar rule), each with a SECOND body line that STARTS
+    WITH ``From `` — so the container must mboxrd-quote it and the
+    reader must unquote it back, the round-trip the oracle's body
+    hash proves. Message i's date is the doc's md5 date plus i
+    hours."""
+    words = text.split(" ")
+    n = 2 + int(digest[0:2], 16) % 3
+    yy = 2000 + int(digest[1:3], 16) % 26
+    mm = 1 + int(digest[3], 16) % 12
+    dd = 1 + int(digest[4], 16) % 28
+    mi = int(digest[11:13], 16) % 60
+    ss = int(digest[13:15], 16) % 60
+    frm = f"a.{digest[:6]}@example.com"
+    out: list[bytes] = []
+    for i in range(n):
+        subject = " ".join(
+            words[(i * 4 + k) % len(words)] for k in range(4)
+        )
+        line1 = " ".join(
+            words[(i * 8 + k) % len(words)] for k in range(8)
+        )
+        line2 = "From " + " ".join(
+            words[(i * 3 + k) % len(words)] for k in range(3)
+        )
+        hh = i % 24
+        dt = datetime(yy, mm, dd, hh, mi, ss, tzinfo=timezone.utc)
+        date = (
+            f"{_DAYS[dt.weekday()]}, {dd:02d} {_MONTHS[mm - 1]} "
+            f"{yy:04d} {hh:02d}:{mi:02d}:{ss:02d} +0000"
+        )
+        msg = (
+            f"From: {frm}\nTo: list@example.com\n"
+            f"Subject: {subject}\nDate: {date}\n"
+            'Content-Type: text/plain; charset="utf-8"\n\n'
+            + line1 + "\n" + line2 + "\n"
+        )
+        # mboxrd quoting on the way IN
+        body = re.sub(
+            r"^(>*)From ", r">\1From ", msg, flags=re.M
+        )
+        out.append(
+            f"From {frm} Thu Jan  1 00:00:00 1970\n".encode()
+            + body.encode()
+        )
+    return b"".join(out)

@@ -1,5 +1,5 @@
 """ZIP archive walking — the other container besides tar that crawled
-corpora actually arrive in (and the substrate of DOCX/XLSX/EPUB/JAR).
+corpora actually arrive in (and the substrate of DOCX/XLSX/ODT/EPUB/JAR).
 Pure stdlib byte walking per the public PKWARE APPNOTE.TXT (6.3.x)
 layout; the stdlib ``zipfile`` module is used only in tests, as the
 INDEPENDENT writer/reader the walker is pinned against in both

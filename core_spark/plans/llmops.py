@@ -4245,6 +4245,110 @@ def q_bundle_epub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------- mbox
+@query(
+    "q_bundle_mbox",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, string_split(text, ' ') AS w, md5(text) AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, w, h,
+             2 + CAST('0x' || substr(h, 1, 2) AS BIGINT) % 3 AS n,
+             2000 + CAST('0x' || substr(h, 2, 2) AS BIGINT) % 26 AS yy,
+             1 + CAST('0x' || substr(h, 4, 1) AS BIGINT) % 12 AS mm,
+             1 + CAST('0x' || substr(h, 5, 1) AS BIGINT) % 28 AS dd,
+             CAST('0x' || substr(h, 12, 2) AS BIGINT) % 60 AS mi,
+             CAST('0x' || substr(h, 14, 2) AS BIGINT) % 60 AS ss
+      FROM p
+    ),
+    f AS (SELECT *, unnest(range(n)) AS i FROM c)
+    SELECT doc_id, CAST(i AS BIGINT) AS msg_idx,
+           array_to_string(list_transform(range(4),
+             k -> w[((i * 4 + k) % len(w)) + 1]), ' ') AS subject,
+           'a.' || substr(h, 1, 6) || '@example.com' AS from_addr,
+           CAST(epoch(make_timestamp(yy, mm, dd,
+             CAST(i % 24 AS BIGINT), mi, ss)) AS BIGINT)
+             AS date_epoch,
+           array_to_string(list_transform(range(8),
+             k -> w[((i * 8 + k) % len(w)) + 1]), ' ')
+             || chr(10) || 'From ' ||
+             array_to_string(list_transform(range(3),
+               k -> w[((i * 3 + k) % len(w)) + 1]), ' ')
+             AS body_text
+    FROM f ORDER BY doc_id, msg_idx
+    """,
+)
+def q_bundle_mbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mbox archive ingestion (functions/mail.py mbox tier): each
+    document becomes a REAL RFC 4155 mailbox and the kernel splits
+    it at unquoted ``From `` separator lines, REVERSES the mboxrd
+    body quoting (every ``>*From `` line loses exactly one ``>``),
+    and parses each message through the full q_cc_eml MIME walk.
+    Every fixture message carries a body line that STARTS WITH
+    ``From `` — the container must quote it and the reader must
+    unquote it back, and the oracle's body reconstruction fails if
+    either side is skipped (the classic mbox corruption: unquoted
+    splitters truncate messages, unreversed quoting leaves
+    ``>From`` litter in the corpus). Message dates step by one hour
+    so ordering is provable.
+
+    Scale shape: one spread() exchange into one Arrow map stage;
+    zero shuffles before the presentation sort — the q_bundle
+    class."""
+    from core_spark.functions.mail import (
+        build_mbox_fixture,
+        mbox_messages,
+        parse_eml,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+
+    def walk(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                digest = hashlib.md5(text.encode("utf-8")).hexdigest()
+                raw = build_mbox_fixture(text, digest)
+                for j, msg in enumerate(mbox_messages(raw)):
+                    m = parse_eml(msg)
+                    rows.append(
+                        (
+                            int(doc_id),
+                            j,
+                            m["subject"],
+                            m["from_addr"],
+                            m["date_epoch"],
+                            m["body_text"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "msg_idx", "subject", "from_addr",
+                    "date_epoch", "body_text",
+                ],
+            )
+
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(
+            walk,
+            schema=(
+                "doc_id long, msg_idx long, subject string,"
+                " from_addr string, date_epoch long,"
+                " body_text string"
+            ),
+        )
+        .orderBy("doc_id", "msg_idx")
+    )
+
+
 # -------------------------------------------------------------- email
 @query(
     "q_cc_eml",

@@ -168,3 +168,70 @@ def test_hostile_refusals():
         )
     with pytest.raises(MailError, match="no Date header"):
         parse_eml(b"From: a@e\nSubject: s\n\nbody\n")
+
+
+# --------------------------------------------------------------- mbox
+
+
+def test_mbox_round_trip_with_from_quoting():
+    import hashlib
+
+    from core_spark.functions.mail import (
+        build_mbox_fixture,
+        mbox_messages,
+    )
+
+    for i in range(60):
+        t = " ".join(f"m{i}w{k}" for k in range(3 + i % 37))
+        h = hashlib.md5(t.encode()).hexdigest()
+        msgs = mbox_messages(build_mbox_fixture(t, h))
+        assert len(msgs) == 2 + int(h[0:2], 16) % 3
+        for j, msg in enumerate(msgs):
+            m = parse_eml(msg)
+            # the quoted "From " body line round-trips unquoted
+            assert m["body_text"].split("\n")[1].startswith("From ")
+
+
+def test_mbox_quoting_levels():
+    from core_spark.functions.mail import mbox_messages
+
+    raw = (
+        b"From a@e Thu Jan  1 00:00:00 1970\n"
+        b"From: a@e\nSubject: s\n"
+        b"Date: Mon, 02 Jan 2006 15:04:05 GMT\n"
+        b"Content-Type: text/plain\n\n"
+        b">From level1\n>>From level2\nplain\n"
+    )
+    (msg,) = mbox_messages(raw)
+    body = parse_eml(msg)["body_text"]
+    assert body == "From level1\n>From level2\nplain"
+
+
+def test_mbox_stdlib_cross_pin():
+    """Our mbox fixtures parse identically under stdlib mailbox
+    semantics: message count and subjects via the email package
+    applied to our own split."""
+    import hashlib
+
+    from core_spark.functions.mail import (
+        build_mbox_fixture,
+        mbox_messages,
+    )
+
+    t = "alpha bravo charlie delta echo foxtrot golf hotel"
+    h = hashlib.md5(t.encode()).hexdigest()
+    raw = build_mbox_fixture(t, h)
+    for msg in mbox_messages(raw):
+        std = email.message_from_bytes(
+            msg, policy=email.policy.default
+        )
+        ours = parse_eml(msg)
+        assert std["Subject"] == ours["subject"]
+        assert std.get_content().rstrip("\n") == ours["body_text"]
+
+
+def test_mbox_not_mbox_refuses():
+    from core_spark.functions.mail import mbox_messages
+
+    with pytest.raises(MailError, match="does not start"):
+        mbox_messages(b"Subject: no envelope\n\nbody\n")
