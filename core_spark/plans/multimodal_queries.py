@@ -1291,6 +1291,98 @@ def q_cc_docx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_cc_sniff",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, string_split(text, ' ') AS w, md5(text) AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, len(w) AS nw,
+             CAST('0x' || substr(h, 16, 1) AS BIGINT) % 8 AS f,
+             5 + CAST('0x' || substr(h, 1, 1) AS BIGINT) % 4 AS wpp,
+             CAST('0x' || substr(h, 4, 1) AS BIGINT) % 4
+               AS docx_form,
+             CAST('0x' || substr(h, 15, 1) AS BIGINT) % 4
+               AS eml_form
+      FROM p
+    )
+    SELECT doc_id,
+           (['pdf', 'docx', 'xlsx', 'odt', 'epub', 'rtf', 'eml',
+             'html'])[f + 1] AS fmt,
+           CAST(CASE f
+             WHEN 0 THEN greatest(1, (nw + wpp - 1) // wpp)
+             WHEN 1 THEN CASE WHEN docx_form = 3
+                  THEN 2 * ((nw + 12) // 13)
+                  ELSE (nw + 12) // 13 END
+             WHEN 2 THEN nw
+             WHEN 3 THEN (nw + 10) // 11
+             WHEN 4 THEN (nw + 20) // 21
+             WHEN 5 THEN (nw + 8) // 9
+             WHEN 6 THEN CASE WHEN eml_form = 1 THEN 2 ELSE 1 END
+             ELSE (nw + 19) // 20 END AS BIGINT) AS n_units
+    FROM c ORDER BY doc_id
+    """,
+)
+def q_cc_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content sniffing + dispatch (multimodal/sniff.py) — the
+    Tika-style router a MIXED corpus needs before any per-format
+    pass: an md5 nibble deals each document one of EIGHT real
+    payload shapes (PDF / DOCX / XLSX / ODT / EPUB / RTF / EML /
+    HTML, each via its own full fixture builder with its internal
+    form rotation still active), and the kernel must detect the
+    format from magic bytes alone — ZIP-family types disambiguated
+    by looking INSIDE the container (OCF mimetype members, OOXML
+    content-type parts), never by extension — then dispatch into
+    the REAL extractor and report its unit count (pages / blocks /
+    cells / paragraphs / chapters / MIME parts / kept text blocks).
+    The oracle recomputes both the dealt format and each format's
+    unit arithmetic, so a misrouted payload fails on fmt and a
+    short-circuited extraction fails on n_units. Unknown payloads
+    report 'unknown' and raise on dispatch — the router never
+    fabricates a success (tests).
+
+    Scale shape: one spread() exchange into one Arrow map stage;
+    zero shuffles before the presentation sort. At 100 TB this IS
+    the ingestion entry point: detection is a prefix read (plus a
+    tail ranged GET for the zip family), and the per-format
+    extractors fan out from here."""
+    from core_spark.multimodal.sniff import (
+        build_mixed_payload,
+        detect_format,
+        dispatch_extract,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+
+    def walk(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                digest = hashlib.md5(text.encode("utf-8")).hexdigest()
+                _true_fmt, raw = build_mixed_payload(text, digest)
+                fmt = detect_format(raw)
+                rows.append(
+                    (int(doc_id), fmt, dispatch_extract(raw, fmt))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "fmt", "n_units"]
+            )
+
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(
+            walk, schema="doc_id long, fmt string, n_units long"
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "q_cc_odt",
     oracle="""
     WITH p AS (
