@@ -183,6 +183,7 @@ HEADLINE = [
     "q_cc_rtf",
     "q_cc_eml",
     "q_cc_sniff",
+    "q_cc_markdown",
     "q_crawl_meta",
     "q_crawl_feed",
     # q_dup_canonical is intentionally absent: its dominant cost is

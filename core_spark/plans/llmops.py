@@ -4245,6 +4245,114 @@ def q_bundle_epub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------------- markdown
+@query(
+    "q_cc_markdown",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, string_split(text, ' ') AS w, md5(text) AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             CAST('0x' || substr(h, 31, 1) AS BIGINT) % 4 AS form,
+             array_to_string(list_slice(w, 1, 4), ' ') AS head,
+             CASE WHEN len(w) <= 4 THEN w
+                  ELSE list_slice(w, 5, len(w)) END AS r
+      FROM p
+    ),
+    f AS (
+      SELECT *, unnest(range((len(r) + 15) // 16)) AS j FROM c
+    ),
+    s AS (
+      SELECT doc_id, j,
+             array_to_string(
+               list_slice(r, j * 16 + 1, j * 16 + 16), ' ') AS ch
+      FROM f
+    ),
+    b AS (
+      SELECT doc_id, string_agg(ch, chr(10) ORDER BY j) AS body
+      FROM s GROUP BY doc_id
+    )
+    SELECT c.doc_id, CAST(form AS BIGINT) AS form,
+           head AS title,
+           CAST(1 AS BIGINT) AS n_headings,
+           CAST(1 AS BIGINT) AS n_code_blocks,
+           CAST(1 AS BIGINT) AS n_links,
+           head || chr(10) || b.body AS body_text
+    FROM c JOIN b ON c.doc_id = b.doc_id
+    ORDER BY c.doc_id
+    """,
+)
+def q_cc_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown → text extraction (functions/markdown.py): each
+    document becomes a REAL markdown file and the kernel performs
+    the CommonMark-subset reduction a corpus pass needs — markup
+    STRIPS (emphasis, inline/reference/image link syntax, list and
+    blockquote prefixes, ATX and setext headings) while CODE
+    VANISHES from prose and is counted (fenced ```/~~~ and the
+    4-space indented rule — code goes to a code pipeline, not the
+    text corpus). The md5-nibble form rotation varies the MARKUP
+    (ATX+inline-link+fence / setext+reference-link+~~~ /
+    trailing-###+code-spans+indented-code+image /
+    list+blockquote+info-string-fence) while the extracted prose
+    stays IDENTICAL — one chunk oracle covers all four forms, and
+    any ``**``/``](``/``- `` litter left in the text (the classic
+    quality-gate failure) breaks the hash.
+
+    Scale shape: one spread() exchange into one Arrow map stage;
+    zero shuffles before the presentation sort — the q_cc class."""
+    from core_spark.functions.markdown import (
+        build_md_fixture,
+        md_to_text,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+
+    def walk(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                digest = hashlib.md5(text.encode("utf-8")).hexdigest()
+                form = int(digest[-2], 16) % 4
+                m = md_to_text(build_md_fixture(text, digest))
+                rows.append(
+                    (
+                        int(doc_id),
+                        form,
+                        m["title"],
+                        len(m["headings"]),
+                        m["n_code_blocks"],
+                        m["n_links"],
+                        m["text"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "form", "title", "n_headings",
+                    "n_code_blocks", "n_links", "body_text",
+                ],
+            )
+
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(
+            walk,
+            schema=(
+                "doc_id long, form long, title string,"
+                " n_headings long, n_code_blocks long,"
+                " n_links long, body_text string"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --------------------------------------------------------------- mbox
 @query(
     "q_bundle_mbox",
