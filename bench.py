@@ -184,6 +184,7 @@ HEADLINE = [
     "q_cc_eml",
     "q_cc_sniff",
     "q_cc_markdown",
+    "q_cc_latex",
     "q_crawl_meta",
     "q_crawl_feed",
     # q_dup_canonical is intentionally absent: its dominant cost is

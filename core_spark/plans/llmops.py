@@ -4245,6 +4245,118 @@ def q_bundle_epub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------------------------- latex
+@query(
+    "q_cc_latex",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, string_split(text, ' ') AS w, md5(text) AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             CAST('0x' || substr(h, 30, 1) AS BIGINT) % 4 AS form,
+             array_to_string(list_slice(w, 1, 4), ' ') AS title,
+             array_to_string(list_transform(range(3),
+               k -> w[((4 + k) % len(w)) + 1]), ' ') AS sec,
+             CASE WHEN len(w) <= 4 THEN w
+                  ELSE list_slice(w, 5, len(w)) END AS r
+      FROM p
+    ),
+    f AS (
+      SELECT *, unnest(range((len(r) + 13) // 14)) AS j FROM c
+    ),
+    s AS (
+      SELECT doc_id, j,
+             array_to_string(
+               list_slice(r, j * 14 + 1, j * 14 + 14), ' ') AS ch
+      FROM f
+    ),
+    b AS (
+      SELECT doc_id, string_agg(ch, chr(10) ORDER BY j) AS body
+      FROM s GROUP BY doc_id
+    )
+    SELECT c.doc_id, CAST(form AS BIGINT) AS form,
+           title,
+           CAST(1 AS BIGINT) AS n_math,
+           CAST(1 AS BIGINT) AS n_figures,
+           CAST(1 AS BIGINT) AS n_cites,
+           title || chr(10) || sec || chr(10) || b.body AS body_text
+    FROM c JOIN b ON c.doc_id = b.doc_id
+    ORDER BY c.doc_id
+    """,
+)
+def q_cc_latex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LaTeX → text extraction (functions/latex.py) — the
+    arXiv-paper shape, detexed the way published pipelines do: each
+    document becomes a REAL LaTeX source and the kernel strips
+    comments (escaped ``\\%`` stays), removes and COUNTS math in
+    all four grammars (``$…$``, ``\\[…\\]``, ``$$…$$``, equation
+    environments — half-tokenized formulas are the classic arXiv
+    extraction failure), keeps sectioning/formatting arguments as
+    prose while \\cite/\\ref/\\label/\\includegraphics and
+    \\footnote bodies vanish (cites counted), skips figure/table
+    environments wholesale (counted), resolves ``~`` ties and
+    escapes, and survives \\mbox{\\textit{…}} nesting via a
+    brace-balanced group reader. The md5-nibble form rotation
+    varies the MARKUP (plain / comments+escapes+display-math /
+    abstract+itemize+equation+footnote / nesting+$$+figure*) while
+    extracted prose stays IDENTICAL — one chunk oracle for all
+    four forms.
+
+    Scale shape: one spread() exchange into one Arrow map stage;
+    zero shuffles before the presentation sort — the q_cc class."""
+    from core_spark.functions.latex import (
+        build_latex_fixture,
+        latex_to_text,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+
+    def walk(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                digest = hashlib.md5(text.encode("utf-8")).hexdigest()
+                form = int(digest[-3], 16) % 4
+                m = latex_to_text(build_latex_fixture(text, digest))
+                rows.append(
+                    (
+                        int(doc_id),
+                        form,
+                        m["title"],
+                        m["n_math"],
+                        m["n_figures"],
+                        m["n_cites"],
+                        m["text"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "form", "title", "n_math",
+                    "n_figures", "n_cites", "body_text",
+                ],
+            )
+
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(
+            walk,
+            schema=(
+                "doc_id long, form long, title string,"
+                " n_math long, n_figures long, n_cites long,"
+                " body_text string"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ----------------------------------------------------------- markdown
 @query(
     "q_cc_markdown",
