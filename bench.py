@@ -185,6 +185,7 @@ HEADLINE = [
     "q_cc_sniff",
     "q_cc_markdown",
     "q_cc_latex",
+    "q_cc_ipynb",
     "q_crawl_meta",
     "q_crawl_feed",
     # q_dup_canonical is intentionally absent: its dominant cost is

@@ -4245,6 +4245,115 @@ def q_bundle_epub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------- ipynb
+@query(
+    "q_cc_ipynb",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, string_split(text, ' ') AS w, md5(text) AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, w, h,
+             CAST('0x' || substr(h, 29, 1) AS BIGINT) % 4 AS form,
+             (len(w) + 11) // 12 AS nc
+      FROM p
+    ),
+    f AS (SELECT *, unnest(range(nc)) AS k FROM c),
+    s AS (
+      SELECT doc_id, form, k,
+             array_to_string(
+               list_slice(w, k * 12 + 1, k * 12 + 12), ' ') AS ch
+      FROM f
+    )
+    SELECT doc_id, CAST(k AS BIGINT) AS cell_idx,
+           CAST(form AS BIGINT) AS form,
+           CASE WHEN k % 2 = 0 THEN 'markdown' ELSE 'code' END
+             AS cell_type,
+           CASE WHEN k % 2 = 0 THEN ch
+                ELSE 'print("' || ch || '")' END AS cell_text,
+           CAST(CASE WHEN form = 1 AND k % 2 = 1
+                THEN CASE WHEN k = 1 THEN 3 ELSE 2 END
+                ELSE 0 END AS BIGINT) AS n_outputs
+    FROM s
+    UNION ALL
+    SELECT doc_id, CAST(nc AS BIGINT), CAST(form AS BIGINT),
+           'raw', substr(h, 1, 8), CAST(0 AS BIGINT)
+    FROM c WHERE form = 2
+    ORDER BY doc_id, cell_idx
+    """,
+)
+def q_cc_ipynb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jupyter-notebook extraction (functions/notebook.py): each
+    document becomes a REAL .ipynb and the kernel walks the
+    nbformat JSON the way code-corpus pipelines must — BOTH legal
+    source spellings (string and list-of-lines), code-cell OUTPUTS
+    counted and excluded (streams, execute_result mime bundles with
+    base64 images, error tracebacks — the content a naive extractor
+    leaks into training text), markdown cells reduced by the
+    markdown reducer, raw cells verbatim, and legacy nbformat 3
+    normalized to the same view (worksheets flattened, code
+    ``input`` key, heading cells to markdown). The md5-nibble form
+    rotation varies REPRESENTATION (list-sources / string-sources+
+    outputs / +raw cell / v3 worksheets) while the normalized cells
+    stay identical — one word-tiling oracle covers all four.
+    Non-JSON, missing cells/worksheets, unknown cell types raise
+    the named NotebookError.
+
+    Scale shape: one spread() exchange into one Arrow map stage;
+    zero shuffles before the presentation sort — the q_cc class."""
+    from core_spark.functions.notebook import (
+        build_ipynb_fixture,
+        ipynb_cells,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+
+    def walk(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                digest = hashlib.md5(text.encode("utf-8")).hexdigest()
+                form = int(digest[-4], 16) % 4
+                for cell in ipynb_cells(
+                    build_ipynb_fixture(text, digest)
+                ):
+                    rows.append(
+                        (
+                            int(doc_id),
+                            cell["cell_idx"],
+                            form,
+                            cell["cell_type"],
+                            cell["text"],
+                            cell["n_outputs"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "cell_idx", "form", "cell_type",
+                    "cell_text", "n_outputs",
+                ],
+            )
+
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(
+            walk,
+            schema=(
+                "doc_id long, cell_idx long, form long,"
+                " cell_type string, cell_text string,"
+                " n_outputs long"
+            ),
+        )
+        .orderBy("doc_id", "cell_idx")
+    )
+
+
 # -------------------------------------------------------------- latex
 @query(
     "q_cc_latex",

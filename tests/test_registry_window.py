@@ -91,7 +91,7 @@ _REPO = Path(__file__).resolve().parent.parent
 # protocol they take pytest-only + full-registry SWEEP_r13 coverage
 # this round and rotate into the window in r14 (COVERAGE.md
 # "Round-13 rotation").
-PYTEST_ONLY: set[str] = {"q_bundle_epub", "q_bundle_mbox", "q_bundle_zip", "q_cc_docx", "q_cc_eml", "q_cc_latex", "q_cc_markdown", "q_cc_odt", "q_cc_rtf", "q_cc_sniff", "q_cc_xlsx",
+PYTEST_ONLY: set[str] = {"q_bundle_epub", "q_bundle_mbox", "q_bundle_zip", "q_cc_docx", "q_cc_eml", "q_cc_ipynb", "q_cc_latex", "q_cc_markdown", "q_cc_odt", "q_cc_rtf", "q_cc_sniff", "q_cc_xlsx",
     "q_crawl_feed", "q_crawl_meta"}
 
 
