@@ -65,8 +65,28 @@ def detect_format(raw: bytes) -> str:
             return "unknown"
     if raw.startswith(b"{\\rtf"):
         return "rtf"
+    if raw.lstrip()[:1] == b"{":
+        # JSON object: a notebook iff it has the nbformat shape
+        head = raw[:4096]
+        if b'"cells"' in head or b'"worksheets"' in head or (
+            b'"nbformat"' in head
+        ):
+            return "ipynb"
+        return "unknown"
     if raw.startswith(b"From "):
         return "mbox"
+    # LaTeX: first non-comment, non-blank line opens a document
+    for ln in raw[:4096].split(b"\n"):
+        t = ln.strip()
+        if not t or t.startswith(b"%"):
+            continue
+        if t.startswith(b"\\documentclass") or t.startswith(
+            b"\\begin{document}"
+        ):
+            return "latex"
+        break
+    if b"\\begin{document}" in raw[:4096]:
+        return "latex"
     m = _XML_PROLOG.match(raw)
     if m:
         root = m.group(1).split(b":")[-1].lower()
@@ -143,6 +163,15 @@ def dispatch_extract(raw: bytes, fmt: str) -> int:
         return html_to_text(raw.decode("utf-8", errors="replace"))[
             "blocks_kept"
         ]
+    if fmt == "ipynb":
+        from core_spark.functions.notebook import ipynb_cells
+
+        return len(ipynb_cells(raw))
+    if fmt == "latex":
+        from core_spark.functions.latex import latex_to_text
+
+        text = latex_to_text(raw.decode("utf-8", errors="replace"))
+        return len([p for p in text["text"].split("\n") if p])
     raise ValueError(f"no extractor for detected format {fmt!r}")
 
 

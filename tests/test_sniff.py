@@ -88,3 +88,21 @@ def test_eml_heuristic_requires_header_block():
     assert detect_format(b"Note: this is prose\nmore prose\n") == (
         "unknown"
     )
+
+
+def test_ipynb_and_latex_detection():
+    from core_spark.functions.latex import build_latex_fixture
+    from core_spark.functions.notebook import build_ipynb_fixture
+
+    t = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    h = hashlib.md5(t.encode()).hexdigest()
+    nb = build_ipynb_fixture(t, h)
+    assert detect_format(nb) == "ipynb"
+    assert dispatch_extract(nb, "ipynb") >= 1
+    tex = build_latex_fixture(t, h).encode()
+    assert detect_format(tex) == "latex"
+    assert dispatch_extract(tex, "latex") >= 3
+    # latex behind leading comments still detects
+    assert detect_format(b"% arXiv header\n\\documentclass{article}\n") == "latex"
+    # a random JSON object is NOT a notebook
+    assert detect_format(b'{"key": "value"}') == "unknown"
