@@ -86,11 +86,16 @@ _REPO = Path(__file__).resolve().parent.parent
 # q_block_fuzzy) hold green r11/r10 rows. The set is empty again.
 # r13: the new q_bits_orc_stats sorts into the window at position
 # 50, displacing q_bits_pages (green r12 row + SWEEP_r12 entry).
-# Late-r13 additions (the ZIP/OOXML container tier) sort far beyond
-# the cutoff (q_bundle_*, q_cc_*); per the standing rotation
-# protocol they take pytest-only + full-registry SWEEP_r13 coverage
-# this round and rotate into the window in r14 (COVERAGE.md
-# "Round-13 rotation").
+# Late-r13 additions (the container/markup tier) sort far beyond
+# the cutoff (q_bundle_*, q_cc_*, q_crawl_*); per the standing
+# rotation protocol they take pytest-only + full-registry SWEEP_r13
+# coverage this round and rotate into the window in r14 (COVERAGE.md
+# "Round-13 rotation"). r14 rotation plan: once CORRECTNESS_r13
+# lands green rows for the current window, rename this cohort to
+# sort inside the cutoff (the established q_bits_*/q_bitmap_* style,
+# e.g. q_bits_zip, q_bits_docx, …) — the names they displace
+# (q_bits_pages upward) will then hold r13 window rows AND green
+# SWEEP_r13 entries, keeping the no-blind-spot invariant.
 PYTEST_ONLY: set[str] = {"q_bundle_epub", "q_bundle_mbox", "q_bundle_zip", "q_cc_docx", "q_cc_eml", "q_cc_ipynb", "q_cc_latex", "q_cc_markdown", "q_cc_odt", "q_cc_rtf", "q_cc_sniff", "q_cc_xlsx",
     "q_crawl_feed", "q_crawl_meta"}
 
