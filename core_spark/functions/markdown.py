@@ -40,14 +40,67 @@ _CODE_SPAN = re.compile(r"`([^`]*)`")
 _EMPH = re.compile(r"(\*\*|__|\*|_)(?=\S)(.+?)(?<=\S)\1")
 
 
+_FM_SCALAR = re.compile(r"^([A-Za-z0-9_-]+):\s*(.*)$")
+
+
+def _parse_front_matter(lines: list[str]) -> tuple[dict, int]:
+    """YAML front matter (the Jekyll/Hugo/Obsidian convention): a
+    document whose FIRST line is ``---`` opens a metadata block
+    closed by the next ``---``/``...`` line. Parsed as the flat
+    subset real static-site metadata actually uses — scalar
+    ``key: value`` pairs (quotes stripped), inline lists
+    ``[a, b]``, and indented ``- item`` lists — with no YAML
+    library (none exists in this environment; anchors/nesting
+    degrade to their raw strings rather than failing). Returns
+    (mapping, lines consumed); (empty, 0) when there is no block,
+    including the unterminated case (then it's prose, per the
+    forgiving-markdown rule)."""
+    if not lines or lines[0].strip() != "---":
+        return {}, 0
+    end = None
+    for i in range(1, len(lines)):
+        if lines[i].strip() in ("---", "..."):
+            end = i
+            break
+    if end is None:
+        return {}, 0
+    fm: dict[str, object] = {}
+    key = None
+    for ln in lines[1:end]:
+        if ln.lstrip().startswith("- ") and key is not None:
+            cur = fm.get(key)
+            if not isinstance(cur, list):
+                cur = [] if cur in ("", None) else [cur]
+            cur.append(ln.lstrip()[2:].strip().strip("'\""))
+            fm[key] = cur
+            continue
+        m = _FM_SCALAR.match(ln)
+        if not m:
+            continue
+        key, val = m.group(1), m.group(2).strip()
+        if val.startswith("[") and val.endswith("]"):
+            fm[key] = [
+                v.strip().strip("'\"")
+                for v in val[1:-1].split(",")
+                if v.strip()
+            ]
+        else:
+            fm[key] = val.strip("'\"")
+    return fm, end + 1
+
+
 def md_to_text(raw: str) -> dict:
     """Extract {text, title (first heading), headings
-    [(level, text)], n_code_blocks, n_links} from a markdown
-    document. Prose joins with single newlines per block; code
-    blocks are excluded and counted; heading text participates in
-    both the heading list and the prose flow (the corpus-text
-    convention)."""
+    [(level, text)], n_code_blocks, n_links, front_matter} from a
+    markdown document. A leading YAML front-matter block is parsed
+    into ``front_matter`` and excluded from prose (metadata keys in
+    the corpus text are the static-site-scrape failure mode); prose
+    joins with single newlines per block; code blocks are excluded
+    and counted; heading text participates in both the heading list
+    and the prose flow (the corpus-text convention)."""
     lines = raw.split("\n")
+    front_matter, consumed = _parse_front_matter(lines)
+    lines = lines[consumed:]
     blocks: list[str] = []
     headings: list[tuple[int, str]] = []
     refs: dict[str, str] = {}
@@ -163,6 +216,7 @@ def md_to_text(raw: str) -> dict:
         "headings": headings,
         "n_code_blocks": n_code,
         "n_links": len(links),
+        "front_matter": front_matter,
     }
 
 

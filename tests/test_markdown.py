@@ -80,3 +80,51 @@ def test_list_and_quote_prefixes():
 def test_forgiving_never_raises():
     for raw in ("", "```unterminated fence\ncode", "# ", "***", ">"):
         md_to_text(raw)  # must not raise
+
+
+# ------------------------------------------------------ front matter
+
+
+def test_front_matter_parsed_and_excluded():
+    m = md_to_text(
+        "---\n"
+        "title: My Post\n"
+        'author: "A. Writer"\n'
+        "tags: [ml, data]\n"
+        "categories:\n- blog\n- tech\n"
+        "date: 2024-01-02\n"
+        "---\n"
+        "# Heading\n\nbody text\n"
+    )
+    assert m["front_matter"] == {
+        "title": "My Post",
+        "author": "A. Writer",
+        "tags": ["ml", "data"],
+        "categories": ["blog", "tech"],
+        "date": "2024-01-02",
+    }
+    assert m["text"] == "Heading\nbody text"
+    assert "My Post" not in m["text"]
+
+
+def test_front_matter_only_at_line_one():
+    m = md_to_text("intro\n\n---\nkey: value\n---\nafter\n")
+    assert m["front_matter"] == {}
+    assert "key: value" in m["text"]
+
+
+def test_unterminated_front_matter_is_prose():
+    m = md_to_text("---\ntitle: lonely\nno closer here\n")
+    assert m["front_matter"] == {}
+    assert "title: lonely" in m["text"]
+
+
+def test_fixture_round_trip_unaffected_by_front_matter_support():
+    import hashlib
+
+    t = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    h = hashlib.md5(t.encode()).hexdigest()
+    got = md_to_text(build_md_fixture(t, h))
+    want = _expected_md(t, h)
+    assert got["text"] == want["text"]
+    assert got["front_matter"] == {}
