@@ -47,14 +47,19 @@ def connected_components(
     Output: (doc_id, cluster_id) for every node that appears in a
     pair; cluster_id = min node id of the component.
 
-    `shuffle_partitions` pins the LABEL LOOP's shuffle width (restored
+    `shuffle_partitions` CAPS the LABEL LOOP's shuffle width (restored
     afterwards): every round materializes eagerly, so a caller
     session's default (200) costs 200 tasks x rounds x 3 jobs even on
-    a small pair graph. Size it to the expected edge count — the pair
-    graph is orders of magnitude smaller than the corpus. Edge
-    generation (the upstream pair pipeline) runs BEFORE the pin at the
-    caller's full width — it scans the corpus and wants the
-    parallelism the label rounds don't.
+    a small pair graph. The actual width is derived from the MEASURED
+    edge count (~64k edges per partition, floor 1) riding the count()
+    that materializes the pair pipeline anyway — scale-adaptive by
+    construction: a 480-edge sf0.1 dup graph loops on 1 task per
+    stage (r13 opt: 16 fixed-width tasks per stage were pure
+    scheduling overhead there), a billion-edge graph at 100 TB gets
+    the caller's full cap. Edge generation (the upstream pair
+    pipeline) runs BEFORE the pin at the caller's full width — it
+    scans the corpus and wants the parallelism the label rounds
+    don't.
     """
     fwd = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     edges = fwd.unionByName(
@@ -63,19 +68,29 @@ def connected_components(
 
     spark = pairs.sparkSession
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    if shuffle_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    cap = (
+        shuffle_partitions
+        if shuffle_partitions is not None
+        else int(prev_parts)
+    )
+    # Materialize the upstream pair pipeline at the caller's full
+    # width and measure it; the loop width follows the data.
+    edges0 = edges.persist()
+    n_edges = edges0.count()
+    width = max(1, min(cap, -(-n_edges // 65536)))
+    if shuffle_partitions is not None or width != int(prev_parts):
+        spark.conf.set("spark.sql.shuffle.partitions", str(width))
     try:
         # Align the persisted edge table to the loop width and key:
         # hashpartitioning(u) is what every round's neighbor join
         # reuses, so only the (node-width) label table shuffles per
-        # round. The count() materializes the upstream pair pipeline —
-        # it runs at the caller's full width (the repartition is the
-        # first narrow-to-loop boundary).
-        width = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        edges = edges.repartition(width, "u").persist()
-        edges.count()
-        return _cc_loop(edges, max_iter)
+        # round.
+        # No extra materialization job: round 0's aggregate fills the
+        # repartitioned cache from edges0's cache in one pass.
+        edges = edges0.repartition(width, "u").persist()
+        labels = _cc_loop(edges, max_iter)
+        edges0.unpersist()
+        return labels
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 

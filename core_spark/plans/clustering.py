@@ -15,11 +15,12 @@ from pyspark.sql import functions as F
 from core_spark.io import load_table
 from core_spark.operators.clustering import (
     assign,
+    assign_scored,
     assign_topn,
     lloyd_kmeans,
     persisted_quantized,
     quantize_vectors,
-    train_centroids,
+    train_centroids_row,
 )
 from core_spark.plans.registry import query
 
@@ -135,24 +136,31 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # assignment, query probes AND both sides of the distance join —
     # each consumer would otherwise re-scan and re-quantize.
     vecs = persisted_quantized(quantize_vectors(emb))
-    cents = train_centroids(vecs, _K, _ROUNDS).persist()
-    corpus_cells = assign(vecs, cents)
-    probes = (
-        assign_topn(vecs.filter(F.col("vid") < 10), cents, 2)
-        .select(F.col("vid").alias("qid"), F.col("cidx").alias("cell"))
+    cents = train_centroids_row(vecs, _K, _ROUNDS).persist()
+    # Map-side assignment keeps the corpus vector on the row, and the
+    # 20-row probe frame carries the query vector — the cell join then
+    # needs no corpus re-join by id for either side (r13 opt: the old
+    # shape paid two extra corpus-wide joins to re-attach qv/cv).
+    cand = assign_scored(vecs, cents).select(
+        "vid", F.col("best.cidx").alias("cell"), F.col("qv").alias("cqv")
     )
-    cand = corpus_cells.select("vid", F.col("cluster").alias("cell"))
-    qv = vecs.select(F.col("vid").alias("qid"), F.col("qv").alias("qqv"))
-    cv = vecs.select("vid", F.col("qv").alias("cqv"))
+    qvecs = vecs.filter(F.col("vid") < 10)
+    probes = (
+        assign_topn(qvecs, cents, 2)
+        .select(F.col("vid").alias("qid"), F.col("cidx").alias("cell"))
+        .join(
+            qvecs.select(F.col("vid").alias("qid"), F.col("qv").alias("qqv")),
+            "qid",
+        )
+    )
     dist = (
         "CAST(aggregate(zip_with(qqv, cqv, (x, y) -> (x - y) * (x - y)), "
         "CAST(0 AS BIGINT), (acc, d) -> acc + d) AS BIGINT)"
     )
     pairs = (
-        probes.join(cand, "cell")
+        F.broadcast(probes)
+        .join(cand, "cell")
         .filter(F.col("qid") != F.col("vid"))
-        .join(qv, "qid")
-        .join(cv, "vid")
         .withColumn("dist_sq", F.expr(dist))
     )
     w = W.partitionBy("qid").orderBy("dist_sq", "vid")
@@ -291,54 +299,139 @@ def _pq_oracle() -> str:
     """
 
 
+# Per-row PQ code words for every subspace, against the folded nested
+# codebook column `cents`: array (by m) of array<struct<cidx, cv>>.
+# Inner argmin = array_min over (dist, cidx) structs — identical
+# integer math and ties to the per-subspace Lloyd assignment.
+_PQ_CODES = (
+    f"transform(transform(cents, (cm, m) -> array_min(transform(cm, c -> "
+    f"struct(aggregate(zip_with(slice(qv, m * {_PQ_D} + 1, {_PQ_D}), c.cv, "
+    f"(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, d) -> acc + d) "
+    f"AS dist, c.cidx AS cidx)))), s -> s.cidx)"
+)
+
+# Fused training-round rows: ONE generator expression producing a
+# (m, best, sv) struct per subspace, the argmin computed exactly once
+# per subspace inside the generator (the alias-through-Generate
+# pitfall — see operators/clustering.py:_EL — would re-evaluate the
+# interpreted argmin per exploded element otherwise; measured 10x at
+# sf0.1).
+_PQ_SUB = (
+    f"transform(cents, (cm, m) -> struct(m AS m, "
+    f"array_min(transform(cm, c -> struct("
+    f"aggregate(zip_with(slice(qv, m * {_PQ_D} + 1, {_PQ_D}), c.cv, "
+    f"(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, d) -> acc + d) "
+    f"AS dist, c.cidx AS cidx))) AS best, "
+    f"slice(qv, m * {_PQ_D} + 1, {_PQ_D}) AS sv))"
+)
+
+# Per-query ADC lookup tables: array (by m) of map cidx -> integer
+# subdistance between the query's m-th subvector and that codeword.
+_PQ_QTAB = (
+    f"transform(cents, (cm, m) -> map_from_entries(transform(cm, c -> "
+    f"struct(c.cidx, aggregate(zip_with(slice(qv, m * {_PQ_D} + 1, {_PQ_D}), "
+    f"c.cv, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), "
+    f"(acc, d) -> acc + d)))))"
+)
+
+
+def _pq_codebooks(vecs: DataFrame) -> DataFrame:
+    """Train all _PQ_M codebooks in ONE corpus pass per Lloyd round
+    (r13 opt: the per-subspace loop planned 4 independent training
+    DAGs — 4x the corpus scans and 4x the update shuffles; fusing them
+    keys the update by (m, cluster) so one constant-width wide
+    exchange per round serves every subspace).
+
+    Returns a ONE-ROW DataFrame with `cents`: array (by subspace m)
+    of array<struct<cidx, cv>> — the round-_PQ_ROUNDS codebooks.
+    Integer math, seeds, assignment ties and floor-mean updates are
+    exactly the per-subspace originals, so codes hash-match."""
+    from pyspark.sql.window import Window as W
+
+    # Seeds: the _PQ_K lowest-vid vectors, sliced per subspace —
+    # identical to running seed_centroids on each sliced frame.
+    w = W.orderBy("vid")
+    seeded = (
+        vecs.orderBy("vid")
+        .limit(_PQ_K)
+        .select((F.row_number().over(w) - 1).alias("cidx"), "qv")
+    )
+    cents_row = seeded.agg(
+        F.array_sort(F.collect_list(F.struct("cidx", "qv"))).alias("seeds")
+    ).select(
+        F.expr(
+            f"transform(sequence(0, {_PQ_M - 1}), m -> transform(seeds, "
+            f"s -> struct(s.cidx AS cidx, "
+            f"slice(s.qv, m * {_PQ_D} + 1, {_PQ_D}) AS cv)))"
+        ).alias("cents")
+    )
+
+    for _ in range(_PQ_ROUNDS):
+        sub = (
+            vecs.crossJoin(F.broadcast(cents_row))
+            .select(F.explode(F.expr(_PQ_SUB)).alias("e"))
+            .select("e.m", F.col("e.best.cidx").alias("cluster"), "e.sv")
+        )
+        # ONE wide update exchange for all subspaces: groupBy
+        # (m, cluster) with _PQ_D sum columns + a count — 4k rows out,
+        # partial-aggregated map-side.
+        sums = sub.groupBy("m", "cluster").agg(
+            F.count(F.lit(1)).alias("c"),
+            *[F.sum(F.expr(f"sv[{i}]")).alias(f"_s{i}") for i in range(_PQ_D)],
+        )
+        cm = sums.select(
+            "m",
+            F.col("cluster").alias("cidx"),
+            F.array(
+                *[
+                    F.expr(f"(_s{i} - pmod(_s{i}, c)) DIV c")
+                    for i in range(_PQ_D)
+                ]
+            ).alias("cv"),
+        )
+        cents_row = cm.agg(
+            F.collect_list(F.struct("m", "cidx", "cv")).alias("alls")
+        ).select(
+            F.expr(
+                f"transform(sequence(0, {_PQ_M - 1}), mm -> "
+                "array_sort(transform(filter(alls, x -> x.m = mm), "
+                "x -> struct(x.cidx AS cidx, x.cv AS cv))))"
+            ).alias("cents")
+        )
+    return cents_row
+
+
 def _pq_adc_topk(vecs: DataFrame) -> DataFrame:
     """(qid, vec_id, adist): the ADC top-k over a persisted
     quantized corpus — the shared engine behind q_ann_pq and the
-    q_ann_pq_recall audit."""
-    enc_parts = []
-    table_parts = []
-    for m in range(_PQ_M):
-        sv = vecs.select(
-            "vid", F.expr(f"slice(qv, {m * _PQ_D + 1}, {_PQ_D})").alias("qv")
-        )
-        cents = train_centroids(sv, _PQ_K, _PQ_ROUNDS)
-        enc_parts.append(
-            assign(sv, cents).select(
-                "vid", F.lit(m).alias("m"), F.col("cluster").alias("code")
-            )
-        )
-        qsub = sv.filter(F.col("vid") < _PQ_NQ).select(
-            F.col("vid").alias("qid"), F.col("qv").alias("qqv")
-        )
-        table_parts.append(
-            qsub.crossJoin(F.broadcast(cents)).select(
-                "qid",
-                F.lit(m).alias("m"),
-                "cidx",
-                F.expr(
-                    "CAST(aggregate(zip_with(qqv, cv, (x, y) ->"
-                    " (x - y) * (x - y)), CAST(0 AS BIGINT),"
-                    " (acc, d) -> acc + d) AS BIGINT)"
-                ).alias("qd"),
-            )
-        )
-    enc = enc_parts[0]
-    for e in enc_parts[1:]:
-        enc = enc.unionByName(e)
-    tables = table_parts[0]
-    for t in table_parts[1:]:
-        tables = tables.unionByName(t)
-
+    q_ann_pq_recall audit. All codebooks ride one broadcast row;
+    corpus codes and per-query lookup tables are computed map-side,
+    so the only corpus-wide exchange outside training is the final
+    per-query top-k window."""
     from pyspark.sql.window import Window as W
 
+    books = _pq_codebooks(vecs)
+    codes = vecs.crossJoin(F.broadcast(books)).select(
+        "vid", F.expr(_PQ_CODES).alias("codes")
+    )
+    qtab_row = (
+        vecs.filter(F.col("vid") < _PQ_NQ)
+        .crossJoin(F.broadcast(books))
+        .select(F.col("vid").alias("qid"), F.expr(_PQ_QTAB).alias("qd"))
+        .agg(F.collect_list(F.struct("qid", "qd")).alias("qt"))
+    )
     adc = (
-        enc.join(
-            F.broadcast(tables),
-            (enc.m == tables.m) & (enc.code == tables.cidx),
+        codes.crossJoin(F.broadcast(qtab_row))
+        .select("vid", "codes", F.explode("qt").alias("q"))
+        .filter(F.col("q.qid") != F.col("vid"))
+        .select(
+            F.col("q.qid").alias("qid"),
+            "vid",
+            F.expr(
+                "aggregate(zip_with(codes, q.qd, (cd, t) -> element_at(t, cd)),"
+                " CAST(0 AS BIGINT), (acc, d) -> acc + d)"
+            ).alias("adist"),
         )
-        .filter(F.col("vid") != F.col("qid"))
-        .groupBy("qid", "vid")
-        .agg(F.sum("qd").alias("adist"))
     )
     w = W.partitionBy("qid").orderBy("adist", "vid")
     return (

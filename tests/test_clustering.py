@@ -86,6 +86,61 @@ def test_lloyd_matches_imperative_reference(spark, vecs):
     assert got == want, (vecs, got, want)
 
 
+@settings(max_examples=4, deadline=None)
+@given(_vector_sets())
+def test_topn_and_row_form_match_reference(spark, vecs):
+    """r13 optimization internals: (a) the frame-form train_centroids
+    equals the row-form loop it now unfolds; (b) the map-side
+    assign_topn (slice of array_sort) equals a per-vector ranking of
+    the reference distances, including (dist, cidx) ties."""
+    import numpy as np
+
+    from core_spark.operators.clustering import (
+        assign_topn,
+        persisted_quantized,
+        quantize_vectors,
+        train_centroids,
+        train_centroids_row,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(np.float32(e)) for e in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    vq = persisted_quantized(quantize_vectors(df))
+    frame = {
+        r["cidx"]: r["cv"] for r in train_centroids(vq, 4, 2).collect()
+    }
+    row = train_centroids_row(vq, 4, 2).collect()
+    unrolled = {s["cidx"]: list(s["cv"]) for s in row[0]["cents"]}
+    assert {c: list(v) for c, v in frame.items()} == unrolled
+
+    q = {
+        i: [
+            int(math.floor(abs(float(np.float32(e)) * 1e6) + 0.5))
+            * (1 if e >= 0 else -1)
+            for e in v
+        ]
+        for i, v in vecs.items()
+    }
+    want = {}
+    for i, v in q.items():
+        scored = sorted(
+            (
+                sum((a - b) * (a - b) for a, b in zip(v, cv)),
+                cidx,
+            )
+            for cidx, cv in unrolled.items()
+        )
+        want[i] = [(cidx, d) for d, cidx in scored[:2]]
+    got: dict[int, list] = {}
+    for r in assign_topn(vq, train_centroids_row(vq, 4, 2), 2).collect():
+        got.setdefault(r["vid"], []).append((r["cidx"], r["dist_sq"]))
+    got = {i: sorted(v, key=lambda t: (t[1], t[0])) for i, v in got.items()}
+    assert got == want, (vecs, got, want)
+    vq.unpersist()
+
+
 def test_empty_cluster_vanishes(spark):
     """Three seeds, two tight groups: the middle seed's cluster is
     emptied by the first update and later assignments use only the
