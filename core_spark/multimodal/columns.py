@@ -91,6 +91,42 @@ def _payload_frames(doc_ids, payloads) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame({"doc_id": ids_buf, "payload": pl_buf})
 
 
+def _kernel(
+    df: DataFrame, gen, schema, cols: tuple | None = None
+) -> DataFrame:
+    """mapInPandas with automatic CHAIN FUSION (r13 opt, guide §4):
+    when `df` is itself the output of a `_kernel` stage, compose the
+    batch generators into ONE Python stage — the intermediate frames
+    (typically the built media payloads, ~100 MB per corpus pass at
+    sf0.1) never cross the Arrow boundary at all, and the query plans
+    one MapInPandas node instead of two. Pure generator composition:
+    the downstream generator consumes exactly the frames the upstream
+    one yielded, so results are identical by construction.
+
+    `cols` is the projection applied in the UNFUSED path only (the
+    fused path's intermediate never reaches the JVM, so there is
+    nothing to prune)."""
+    base = getattr(df, "_kernel_chain", None)
+    if base is not None:
+        src, gens = base
+        chain = tuple(gens) + (gen,)
+
+        def fused(batches, _chain=chain):
+            it = batches
+            for g in _chain:
+                it = g(it)
+            yield from it
+
+        out = src.mapInPandas(fused, schema=schema)
+        out._kernel_chain = (src, chain)
+        return out
+    if cols is not None:
+        df = df.select(*cols)
+    out = df.mapInPandas(gen, schema=schema)
+    out._kernel_chain = (df, (gen,))
+    return out
+
+
 def attach_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Materialize an opaque binary payload column (UTF-8 bytes of the
     text stand in for real media bytes in this container)."""
@@ -196,9 +232,7 @@ def decode_image_meta(
                 }
             )
 
-    return df.select("doc_id", payload_col).mapInPandas(
-        decode, schema=IMAGE_META_SCHEMA
-    )
+    return _kernel(df, decode, IMAGE_META_SCHEMA, cols=("doc_id", payload_col))
 
 
 def resize_images(
@@ -349,7 +383,7 @@ def resize_images(
                 ]
             yield out
 
-    return df.mapInPandas(resize, schema=df.schema)
+    return _kernel(df, resize, df.schema)
 
 
 def sample_audio_frames(
@@ -438,9 +472,7 @@ def sample_audio_frames(
                 rows, columns=["doc_id", "frame_idx", "offset_ms", "n_bytes"]
             )
 
-    return df.select("doc_id", payload_col).mapInPandas(
-        sample, schema=AUDIO_FRAME_SCHEMA
-    )
+    return _kernel(df, sample, AUDIO_FRAME_SCHEMA, cols=("doc_id", payload_col))
 
 
 AUDIO_FEATURE_SCHEMA = (
@@ -521,9 +553,7 @@ def audio_frame_features(
                 ],
             )
 
-    return df.select("doc_id", payload_col).mapInPandas(
-        feats, schema=AUDIO_FEATURE_SCHEMA
-    )
+    return _kernel(df, feats, AUDIO_FEATURE_SCHEMA, cols=("doc_id", payload_col))
 
 
 VIDEO_FRAME_SCHEMA = (
@@ -566,9 +596,7 @@ def attach_mp4_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 pdf["doc_id"], (one(t) for t in pdf[text_col])
             )
 
-    return docs.select("doc_id", text_col).mapInPandas(
-        build, "doc_id long, payload binary"
-    )
+    return _kernel(docs, build, "doc_id long, payload binary", cols=("doc_id", text_col))
 
 
 AUDIO_SEGMENT_SCHEMA = (
@@ -609,9 +637,7 @@ def attach_mp3_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 pdf["doc_id"], (one(t) for t in pdf[text_col])
             )
 
-    return docs.select("doc_id", text_col).mapInPandas(
-        build, "doc_id long, payload binary"
-    )
+    return _kernel(docs, build, "doc_id long, payload binary", cols=("doc_id", text_col))
 
 
 def plan_audio_fetch(
@@ -644,9 +670,7 @@ def plan_audio_fetch(
                 ],
             )
 
-    return df.select("doc_id", payload_col).mapInPandas(
-        plan, schema=AUDIO_SEGMENT_SCHEMA
-    )
+    return _kernel(df, plan, AUDIO_SEGMENT_SCHEMA, cols=("doc_id", payload_col))
 
 
 AV_KEYFRAME_SCHEMA = (
@@ -688,9 +712,7 @@ def attach_mp4_stream_payload(
                 pdf["doc_id"], (one(t) for t in pdf[text_col])
             )
 
-    return docs.select("doc_id", text_col).mapInPandas(
-        build, "doc_id long, payload binary"
-    )
+    return _kernel(docs, build, "doc_id long, payload binary", cols=("doc_id", text_col))
 
 
 CAPTION_SCHEMA = (
@@ -722,9 +744,7 @@ def attach_vtt_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 ),
             )
 
-    return docs.select("doc_id", text_col).mapInPandas(
-        build, "doc_id long, payload string"
-    )
+    return _kernel(docs, build, "doc_id long, payload string", cols=("doc_id", text_col))
 
 
 def extract_captions(
@@ -756,9 +776,7 @@ def extract_captions(
                 ],
             )
 
-    return df.select("doc_id", payload_col).mapInPandas(
-        parse, schema=CAPTION_SCHEMA
-    )
+    return _kernel(df, parse, CAPTION_SCHEMA, cols=("doc_id", payload_col))
 
 
 AV_FRAGMENT_SCHEMA = (
@@ -803,9 +821,7 @@ def attach_fmp4_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 pdf["doc_id"], (one(t) for t in pdf[text_col])
             )
 
-    return docs.select("doc_id", text_col).mapInPandas(
-        build, "doc_id long, payload binary"
-    )
+    return _kernel(docs, build, "doc_id long, payload binary", cols=("doc_id", text_col))
 
 
 def plan_fragment_fetch(
@@ -840,9 +856,7 @@ def plan_fragment_fetch(
                 ],
             )
 
-    return df.select("doc_id", payload_col).mapInPandas(
-        plan, schema=AV_FRAGMENT_SCHEMA
-    )
+    return _kernel(df, plan, AV_FRAGMENT_SCHEMA, cols=("doc_id", payload_col))
 
 
 def plan_video_fetch(
@@ -877,9 +891,7 @@ def plan_video_fetch(
                 ],
             )
 
-    return df.select("doc_id", payload_col).mapInPandas(
-        plan, schema=AV_KEYFRAME_SCHEMA
-    )
+    return _kernel(df, plan, AV_KEYFRAME_SCHEMA, cols=("doc_id", payload_col))
 
 
 def decode_av_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
@@ -910,9 +922,7 @@ def decode_av_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                 ],
             )
 
-    return df.select("doc_id", payload_col).mapInPandas(
-        decode, schema=AV_META_SCHEMA
-    )
+    return _kernel(df, decode, AV_META_SCHEMA, cols=("doc_id", payload_col))
 
 
 def sample_video_frames(
@@ -1004,9 +1014,7 @@ def sample_video_frames(
                 ],
             )
 
-    return df.select("doc_id", payload_col).mapInPandas(
-        sample, schema=VIDEO_FRAME_SCHEMA
-    )
+    return _kernel(df, sample, VIDEO_FRAME_SCHEMA, cols=("doc_id", payload_col))
 
 
 PDF_PAGE_SCHEMA = (
@@ -1075,9 +1083,7 @@ def attach_pdf_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 pdf["doc_id"], (one(t) for t in pdf[text_col])
             )
 
-    return docs.select("doc_id", text_col).mapInPandas(
-        build, "doc_id long, payload binary"
-    )
+    return _kernel(docs, build, "doc_id long, payload binary", cols=("doc_id", text_col))
 
 
 def extract_pdf_pages(
@@ -1112,6 +1118,4 @@ def extract_pdf_pages(
                 ],
             )
 
-    return df.select("doc_id", payload_col).mapInPandas(
-        parse, schema=PDF_PAGE_SCHEMA
-    )
+    return _kernel(df, parse, PDF_PAGE_SCHEMA, cols=("doc_id", payload_col))

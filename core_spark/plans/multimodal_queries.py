@@ -523,13 +523,16 @@ def _phash_hashes(spark, sf_dir: str, heavy: bool):
                 rows, columns=["doc_id", "b0", "b1", "b2", "b3"]
             )
 
-    hashes = (
-        spread(docs.select("doc_id", "text"))
-        .mapInPandas(attach, schema="doc_id long, payload binary")
-        .mapInPandas(
-            dhash,
-            schema="doc_id long, b0 long, b1 long, b2 long, b3 long",
-        )
+    from core_spark.multimodal.columns import _kernel
+
+    hashes = _kernel(
+        _kernel(
+            spread(docs.select("doc_id", "text")),
+            attach,
+            "doc_id long, payload binary",
+        ),
+        dhash,
+        "doc_id long, b0 long, b1 long, b2 long, b3 long",
     )
     return hashes, G
 

@@ -3331,3 +3331,35 @@ def test_pdf_xref_recovery():
         + eblob[m.end(1) :]
     )
     assert pdf_pages_text(evil) == plain
+
+
+def test_kernel_chain_fusion_identical_and_single_stage(spark):
+    """r13 optimization internals: _kernel composes chained Arrow
+    kernels into ONE MapInPandas stage, and the fused chain's rows are
+    identical to running the stages as separate mapInPandas hops."""
+    from core_spark.io import load_table
+    from core_spark.multimodal import attach_pdf_payload, extract_pdf_pages
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    fused = extract_pdf_pages(attach_pdf_payload(docs))
+    plan = fused._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    assert plan.count("MapInPandas") == 1, plan
+
+    # unfused reference: force the chain apart with a projection
+    # barrier (any non-kernel transformation drops the fusion handle)
+    attached = attach_pdf_payload(docs).select("doc_id", "payload")
+    unfused = extract_pdf_pages(attached)
+    uplan = unfused._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    assert uplan.count("MapInPandas") == 2, uplan
+    a = sorted(map(tuple, fused.collect()))
+    b = sorted(map(tuple, unfused.collect()))
+    assert a == b
