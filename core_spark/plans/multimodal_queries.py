@@ -452,8 +452,9 @@ def _phash_hashes(spark, sf_dir: str, heavy: bool):
     fixture generator:
     deterministic 16x18 PNG per doc (group pattern g = md5[0:6] %
     G, G = max(64, n//8) corpus-derived), REAL png encode/decode
-    across an Arrow boundary, 2x2 average pool, 64-bit dHash as four
-    16-bit bands. Distortion classes by md5[6]%4: class 0 = one
+    (the two kernels fuse into one Python stage — r13 opt — so the
+    PNG bytes no longer cross Arrow between them), 2x2 average pool,
+    64-bit dHash as four 16-bit bands. Distortion classes by md5[6]%4: class 0 = one
     pixel +40 (2 adjacent gradient bits, always caught); with
     heavy=True class 1 = eight scattered pixels +100 at row stride
     2, touching EVERY pooled row — up to 16 flipped bits across all
@@ -1162,10 +1163,10 @@ def q_cc_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     plaintext vs RC4-40/RC4-128/AES-128/AES-256 standard-handler
     encryption with empty passwords — extraction is form-independent by
     construction, so the oracle stays pure word-tiling math while
-    the driver run exercises every decode path. Payload bytes never reach the JVM
-    plan: both stages are executor-side mapInPandas, and the Arrow
-    hop between them is bytes-bounded by
-    spark.sql.execution.arrow.maxBytesPerBatch (session.py).
+    the driver run exercises every decode path. Payload bytes never
+    reach the JVM plan at all: build and extract fuse into ONE
+    executor-side mapInPandas stage (r13 opt, columns.py:_kernel), so
+    the PDF bytes stay inside the Python worker between them.
 
     Scale shape: map-side only, zero shuffles before the final
     presentation sort — per-doc codec CPU that scales out with
