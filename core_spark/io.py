@@ -88,3 +88,28 @@ def spread(df: DataFrame) -> DataFrame:
     the kernel)."""
     sc = df.sparkSession.sparkContext
     return df.repartition(sc.defaultParallelism)
+
+
+def spread_ranged(df: DataFrame, *keys: str) -> DataFrame:
+    """`spread` for a kernel whose presentation sort leads with
+    `keys` (r13 opt, guide §2.4 "remove shuffles outright").
+
+    A global `orderBy` compiles to Exchange(rangepartitioning) +
+    per-partition Sort, and the range partitioner SAMPLES its child
+    to pick bounds — executing the entire kernel subtree a second
+    time (measured: the presentation sort alone more than doubled
+    q_canon_sent). Range-partitioning the INPUT by the same leading
+    key instead (a) samples only the cheap scan, (b) lets the final
+    sort be `sortWithinPartitions` with no second exchange, and
+    (c) runs the kernel exactly once. Equal keys land in one
+    partition and partitions are collected in range order, so
+    `sortWithinPartitions(keys…)` downstream yields the identical
+    total order as `orderBy(keys…)` — the same physical mechanics
+    (range exchange + local sort) with the exchange hoisted above
+    the scan instead of above the kernel.
+
+    CPU balance: per-row kernel cost varies by md5-derived form
+    nibbles, which are independent of the key ranges, so range
+    partitions carry the same expected cost as round-robin."""
+    sc = df.sparkSession.sparkContext
+    return df.repartitionByRange(sc.defaultParallelism, *keys)

@@ -25,7 +25,7 @@ from core_spark.functions.text import (
     spark_lang_pred,
     spark_stopword_ratio,
 )
-from core_spark.io import load_table, spread
+from core_spark.io import load_table, spread, spread_ranged
 from core_spark.operators.dedup import (
     MAX_SHINGLE_DF,
     MINHASH_P,
@@ -1980,7 +1980,7 @@ def q_clean_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     is generation cost a production corpus would not pay)."""
     from core_spark.functions.html import build_html_fixture, html_to_text
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = spread_ranged(load_table(spark, sf_dir, "documents"), "doc_id")
 
     def clean(batches):
         import hashlib
@@ -2016,7 +2016,7 @@ def q_clean_html(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " n_links long, blocks_kept long, blocks_dropped long"
             ),
         )
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -2064,7 +2064,7 @@ def q_canon_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     from core_spark.functions.urls import canonical_url
     from urllib.parse import urlsplit
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = spread_ranged(load_table(spark, sf_dir, "documents"), "doc_id")
 
     def canon(batches):
         import hashlib
@@ -2097,7 +2097,7 @@ def q_canon_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
             canon,
             schema="doc_id long, url string, canon string, host string",
         )
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -2254,7 +2254,7 @@ def q_crawl_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from core_spark.functions.html import html_to_text
     from core_spark.functions.warc import build_warc_fixture, warc_records
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = spread_ranged(load_table(spark, sf_dir, "documents"), "doc_id")
 
     def chain(batches):
         import hashlib
@@ -2297,7 +2297,7 @@ def q_crawl_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " n_links long, page_text string"
             ),
         )
-        .orderBy("doc_id", "rec_idx")
+        .sortWithinPartitions("doc_id", "rec_idx")
     )
 
 
@@ -2350,7 +2350,7 @@ def q_cc_warc_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
         warc_records,
     )
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = spread_ranged(load_table(spark, sf_dir, "documents"), "doc_id")
 
     def chain(batches):
         import hashlib
@@ -2393,7 +2393,7 @@ def q_cc_warc_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " page_text string"
             ),
         )
-        .orderBy("doc_id", "member_idx")
+        .sortWithinPartitions("doc_id", "member_idx")
     )
 
 
@@ -2449,7 +2449,7 @@ def q_blocks_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     protocol; content unchanged."""
     from core_spark.functions.orcfile import parse_orc_tail
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = spread_ranged(load_table(spark, sf_dir, "documents"), "doc_id")
 
     def walk(batches):
         import hashlib
@@ -2508,7 +2508,7 @@ def q_blocks_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " compression string"
             ),
         )
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -2722,39 +2722,61 @@ def q_canon_sent(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero Python, zero shuffles before the presentation sort; at
     100 TB this runs at scan speed like q_crawl_dates."""
     docs = load_table(spark, sf_dir, "documents")
-    h = F.md5("text")
-
-    def hx(pos: int) -> F.Column:
-        return F.conv(F.substring(h, pos, 1), 16, 10).cast("long")
-
-    slen = (F.lit(4) + hx(1) % 6).cast("int")
-    words = F.split(F.col("text"), " ")
-    nw = F.size(words)
-    nsent = F.greatest(F.lit(1), F.ceil(nw / slen)).cast("int")
     abbrs = F.array(*[F.lit(a) for a in _ABBREVS])
     terms = F.array(*[F.lit(t) for t in (".", "!", "?")])
-    h1, h2, h3 = hx(2), hx(3), hx(4)
 
-    def build(j):
-        sl = F.least(slen.cast("long"), nw - j * slen)
-        abbr_in = ((h1 + j) % 3 == 0) & (sl >= 2)
-        abbr = F.element_at(abbrs, ((h2 + j) % 3 + 1).cast("int"))
-        term = F.element_at(terms, ((h3 + j) % 3 + 1).cast("int"))
-        w1 = F.element_at(words, (j * slen + 1).cast("int"))
-        rest = F.array_join(
-            F.slice(words, (j * slen + 2).cast("int"), slen - 1), " "
+    # r13 opt: bind split(text) and md5(text) ONCE per row via the
+    # single-element transform(array(struct(...))) let-binding
+    # (operators/clustering.py:_EL idiom). The direct spelling
+    # references `words`/`h` inside the per-sentence transform
+    # lambda, and interpreted HOF evaluation re-computes the
+    # referenced subtree per element per reference (~4 splits + ~5
+    # md5s per sentence); the presentation sort's range-sampling
+    # pass then executes the whole page build a second time.
+    # Measured at sf0.1: page build 1.37s -> 0.35s, full query
+    # 2.64s -> 0.94s in-session. Identical expression per element,
+    # so results are byte-identical by construction.
+    bound = F.array(
+        F.struct(
+            F.split(F.col("text"), " ").alias("w"),
+            F.md5("text").alias("h"),
         )
-        base = F.array_join(
-            F.slice(words, (j * slen + 1).cast("int"), slen), " "
-        )
-        return F.when(
-            abbr_in,
-            F.concat(w1, F.lit(" "), abbr, F.lit(" "), rest, term),
-        ).otherwise(F.concat(base, term))
-
-    page = F.array_join(
-        F.transform(F.sequence(F.lit(0), nsent - 1), build), " "
     )
+
+    def page_of(b):
+        words, h = b["w"], b["h"]
+
+        def hx(pos: int) -> F.Column:
+            return F.conv(F.substring(h, pos, 1), 16, 10).cast("long")
+
+        slen = (F.lit(4) + hx(1) % 6).cast("int")
+        nw = F.size(words)
+        nsent = F.greatest(F.lit(1), F.ceil(nw / slen)).cast("int")
+        h1, h2, h3 = hx(2), hx(3), hx(4)
+
+        def build(j):
+            sl = F.least(slen.cast("long"), nw - j * slen)
+            abbr_in = ((h1 + j) % 3 == 0) & (sl >= 2)
+            abbr = F.element_at(abbrs, ((h2 + j) % 3 + 1).cast("int"))
+            term = F.element_at(terms, ((h3 + j) % 3 + 1).cast("int"))
+            w1 = F.element_at(words, (j * slen + 1).cast("int"))
+            rest = F.array_join(
+                F.slice(words, (j * slen + 2).cast("int"), slen - 1),
+                " ",
+            )
+            base = F.array_join(
+                F.slice(words, (j * slen + 1).cast("int"), slen), " "
+            )
+            return F.when(
+                abbr_in,
+                F.concat(w1, F.lit(" "), abbr, F.lit(" "), rest, term),
+            ).otherwise(F.concat(base, term))
+
+        return F.array_join(
+            F.transform(F.sequence(F.lit(0), nsent - 1), build), " "
+        )
+
+    page = F.element_at(F.transform(bound, page_of), 1)
     # the operator under test: terminator split with fixed-width
     # abbreviation lookbehind guards (Java regex, codegen'd) — the
     # guards see the space-preceded abbreviation, so "w1 e.g. w2"
@@ -2944,7 +2966,7 @@ def q_blocks_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     protocol; content unchanged."""
     from core_spark.functions.parquetfile import parse_parquet_footer
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = spread_ranged(load_table(spark, sf_dir, "documents"), "doc_id")
 
     def walk(batches):
         import hashlib
@@ -3008,7 +3030,7 @@ def q_blocks_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " v_max long, n_cols long, file_rows long"
             ),
         )
-        .orderBy("doc_id", "rg")
+        .sortWithinPartitions("doc_id", "rg")
     )
 
 
@@ -3262,7 +3284,7 @@ def q_bundle_wiki(spark: SparkSession, sf_dir: str) -> DataFrame:
         wikidump_streams,
     )
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = spread_ranged(load_table(spark, sf_dir, "documents"), "doc_id")
 
     def walk(batches):
         import hashlib
@@ -3308,7 +3330,7 @@ def q_bundle_wiki(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " page_text string"
             ),
         )
-        .orderBy("doc_id", "page_idx")
+        .sortWithinPartitions("doc_id", "page_idx")
     )
 
 
@@ -3372,7 +3394,7 @@ def q_avro_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_avro_fixture,
     )
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = spread_ranged(load_table(spark, sf_dir, "documents"), "doc_id")
     fields = [("seq", "long"), ("tag", "string"), ("score", "long")]
 
     def walk(batches):
@@ -3426,7 +3448,7 @@ def q_avro_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " tag string, score long, codec string"
             ),
         )
-        .orderBy("doc_id", "block_idx", "rec_idx")
+        .sortWithinPartitions("doc_id", "block_idx", "rec_idx")
     )
 
 
@@ -3511,7 +3533,7 @@ def q_bits_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_avro_typed_fixture,
     )
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = spread_ranged(load_table(spark, sf_dir, "documents"), "doc_id")
 
     def walk(batches):
         import hashlib
@@ -3574,7 +3596,7 @@ def q_bits_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " ts string, codec string"
             ),
         )
-        .orderBy("doc_id", "block_idx", "rec_idx")
+        .sortWithinPartitions("doc_id", "block_idx", "rec_idx")
     )
 
 
@@ -3683,7 +3705,7 @@ def q_cc_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
     against (by canonical URL, q_canon_urls) to plan ranged GETs."""
     from core_spark.functions.warc import build_warc_fixture, warc_records
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = spread_ranged(load_table(spark, sf_dir, "documents"), "doc_id")
 
     def cdx(batches):
         import hashlib
@@ -3736,7 +3758,7 @@ def q_cc_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " payload_len long, sha_hex string"
             ),
         )
-        .orderBy("doc_id", "response_idx")
+        .sortWithinPartitions("doc_id", "response_idx")
     )
 
 
@@ -3806,7 +3828,7 @@ def q_cc_sitemap(spark: SparkSession, sf_dir: str) -> DataFrame:
         parse_sitemap,
     )
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = spread_ranged(load_table(spark, sf_dir, "documents"), "doc_id")
 
     def walk(batches):
         import hashlib
@@ -3850,7 +3872,7 @@ def q_cc_sitemap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " changefreq string, prio_tenths long"
             ),
         )
-        .orderBy("doc_id", "url")
+        .sortWithinPartitions("doc_id", "url")
     )
 
 
@@ -3928,7 +3950,7 @@ def q_bundle_tar(spark: SparkSession, sf_dir: str) -> DataFrame:
         tar_members,
     )
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = spread_ranged(load_table(spark, sf_dir, "documents"), "doc_id")
 
     def chain(batches):
         import hashlib
@@ -3984,7 +4006,7 @@ def q_bundle_tar(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " sample_text string"
             ),
         )
-        .orderBy("doc_id", "sample_idx")
+        .sortWithinPartitions("doc_id", "sample_idx")
     )
 
 
@@ -4092,7 +4114,7 @@ def q_bundle_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
         zip_members,
     )
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = spread_ranged(load_table(spark, sf_dir, "documents"), "doc_id")
 
     def walk(batches):
         import hashlib
@@ -4137,7 +4159,7 @@ def q_bundle_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " size long, content_md5 string"
             ),
         )
-        .orderBy("doc_id", "member_idx")
+        .sortWithinPartitions("doc_id", "member_idx")
     )
 
 
@@ -4198,7 +4220,7 @@ def q_bundle_epub(spark: SparkSession, sf_dir: str) -> DataFrame:
         epub_chapters,
     )
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = spread_ranged(load_table(spark, sf_dir, "documents"), "doc_id")
 
     def walk(batches):
         import hashlib
@@ -4241,7 +4263,7 @@ def q_bundle_epub(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " chapter_text string"
             ),
         )
-        .orderBy("doc_id", "chapter_idx")
+        .sortWithinPartitions("doc_id", "chapter_idx")
     )
 
 
@@ -4307,7 +4329,7 @@ def q_cc_ipynb(spark: SparkSession, sf_dir: str) -> DataFrame:
         ipynb_cells,
     )
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = spread_ranged(load_table(spark, sf_dir, "documents"), "doc_id")
 
     def walk(batches):
         import hashlib
@@ -4350,7 +4372,7 @@ def q_cc_ipynb(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " n_outputs long"
             ),
         )
-        .orderBy("doc_id", "cell_idx")
+        .sortWithinPartitions("doc_id", "cell_idx")
     )
 
 
@@ -4420,7 +4442,7 @@ def q_cc_latex(spark: SparkSession, sf_dir: str) -> DataFrame:
         latex_to_text,
     )
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = spread_ranged(load_table(spark, sf_dir, "documents"), "doc_id")
 
     def walk(batches):
         import hashlib
@@ -4462,7 +4484,7 @@ def q_cc_latex(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " body_text string"
             ),
         )
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -4528,7 +4550,7 @@ def q_cc_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         md_to_text,
     )
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = spread_ranged(load_table(spark, sf_dir, "documents"), "doc_id")
 
     def walk(batches):
         import hashlib
@@ -4570,7 +4592,7 @@ def q_cc_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " n_links long, body_text string"
             ),
         )
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -4632,7 +4654,7 @@ def q_bundle_mbox(spark: SparkSession, sf_dir: str) -> DataFrame:
         parse_eml,
     )
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = spread_ranged(load_table(spark, sf_dir, "documents"), "doc_id")
 
     def walk(batches):
         import hashlib
@@ -4674,7 +4696,7 @@ def q_bundle_mbox(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " body_text string"
             ),
         )
-        .orderBy("doc_id", "msg_idx")
+        .sortWithinPartitions("doc_id", "msg_idx")
     )
 
 
@@ -4755,7 +4777,7 @@ def q_cc_eml(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero shuffles before the presentation sort — the q_cc class."""
     from core_spark.functions.mail import build_eml_fixture, parse_eml
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = spread_ranged(load_table(spark, sf_dir, "documents"), "doc_id")
 
     def walk(batches):
         import hashlib
@@ -4801,7 +4823,7 @@ def q_cc_eml(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " body_source string, body_text string"
             ),
         )
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -4848,7 +4870,7 @@ def q_cc_rtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero shuffles before the presentation sort — the q_cc class."""
     from core_spark.functions.rtf import build_rtf_fixture, rtf_to_text
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = spread_ranged(load_table(spark, sf_dir, "documents"), "doc_id")
 
     def walk(batches):
         import hashlib
@@ -4881,7 +4903,7 @@ def q_cc_rtf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " para_text string"
             ),
         )
-        .orderBy("doc_id", "para_idx")
+        .sortWithinPartitions("doc_id", "para_idx")
     )
 
 
@@ -4944,7 +4966,7 @@ def q_crawl_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     class beside q_cc_sitemap and q_crawl_robots."""
     from core_spark.functions.feeds import build_feed_fixture, parse_feed
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = spread_ranged(load_table(spark, sf_dir, "documents"), "doc_id")
 
     def walk(batches):
         import hashlib
@@ -4990,7 +5012,7 @@ def q_crawl_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " url string, pub_epoch long, summary string"
             ),
         )
-        .orderBy("doc_id", "entry_idx")
+        .sortWithinPartitions("doc_id", "entry_idx")
     )
 
 
@@ -5050,7 +5072,7 @@ def q_crawl_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_structured_meta,
     )
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = spread_ranged(load_table(spark, sf_dir, "documents"), "doc_id")
 
     def walk(batches):
         import hashlib
@@ -5099,7 +5121,7 @@ def q_crawl_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " author string, n_og long, ld_ok boolean"
             ),
         )
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -5586,7 +5608,7 @@ def q_crawl_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan with a repeated constant-cost parse."""
     from core_spark.functions.robots import parse_robots
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = spread_ranged(load_table(spark, sf_dir, "documents"), "doc_id")
 
     def gate(batches):
         import hashlib
@@ -5649,7 +5671,7 @@ def q_crawl_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " rule string, delay_s long"
             ),
         )
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -5710,7 +5732,7 @@ def q_audio_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
     (columns.py stub discipline)."""
     import numpy as np
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = spread_ranged(load_table(spark, sf_dir, "documents"), "doc_id")
     rates = (8000, 16000, 22050, 44100)
 
     def roundtrip(batches):
@@ -5765,7 +5787,7 @@ def q_audio_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " channels long, energy long, peak long"
             ),
         )
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -5926,7 +5948,7 @@ def q_blocks_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
         zstd_frames,
     )
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = spread_ranged(load_table(spark, sf_dir, "documents"), "doc_id")
 
     def walk(batches):
         import hashlib
@@ -5971,7 +5993,7 @@ def q_blocks_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " kind string, content_size long, n_blocks long"
             ),
         )
-        .orderBy("doc_id", "frame_idx")
+        .sortWithinPartitions("doc_id", "frame_idx")
     )
 
 
@@ -6077,7 +6099,7 @@ def q_blocks_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
         warc_records,
     )
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = spread_ranged(load_table(spark, sf_dir, "documents"), "doc_id")
 
     def resolve(batches):
         import hashlib
@@ -6138,7 +6160,7 @@ def q_blocks_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " digest_hex string, digest_ok boolean"
             ),
         )
-        .orderBy("doc_id", "revisit_idx")
+        .sortWithinPartitions("doc_id", "revisit_idx")
     )
 
 
@@ -6206,7 +6228,7 @@ def q_blocks_zstd_seek(spark: SparkSession, sf_dir: str) -> DataFrame:
         zstd_seek_table,
     )
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = spread_ranged(load_table(spark, sf_dir, "documents"), "doc_id")
 
     def walk(batches):
         import hashlib
@@ -6248,7 +6270,7 @@ def q_blocks_zstd_seek(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " c_size long, d_off long, d_size long"
             ),
         )
-        .orderBy("doc_id", "frame_idx")
+        .sortWithinPartitions("doc_id", "frame_idx")
     )
 
 
@@ -6312,7 +6334,7 @@ def q_bits_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
         zstd_seek_table,
     )
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = spread_ranged(load_table(spark, sf_dir, "documents"), "doc_id")
 
     def walk(batches):
         import hashlib
@@ -6383,7 +6405,7 @@ def q_bits_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " chunk string"
             ),
         )
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -6447,7 +6469,7 @@ def q_bits_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from core_spark.functions.zstd_encode import zstd_compress
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = spread_ranged(load_table(spark, sf_dir, "documents"), "doc_id")
 
     def walk(batches):
         import pandas as pd
@@ -6494,7 +6516,7 @@ def q_bits_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " payload string"
             ),
         )
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -6548,7 +6570,7 @@ def q_bits_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     into the driver window in r10 per the r5/r7/r9 protocol."""
     from core_spark.functions.parquetfile import read_parquet_column
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = spread_ranged(load_table(spark, sf_dir, "documents"), "doc_id")
 
     def walk(batches):
         import io
@@ -6622,7 +6644,7 @@ def q_bits_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
             walk,
             schema="doc_id long, idx long, word string, score long",
         )
-        .orderBy("doc_id", "idx")
+        .sortWithinPartitions("doc_id", "idx")
     )
 
 
@@ -6678,7 +6700,7 @@ def q_bits_parquet_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-split entry point at real scale)."""
     from core_spark.functions.parquetfile import read_parquet_list_column
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = spread_ranged(load_table(spark, sf_dir, "documents"), "doc_id")
 
     def walk(batches):
         import hashlib
@@ -6750,7 +6772,7 @@ def q_bits_parquet_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " n_elems long, sum_elems long, n_null_elems long"
             ),
         )
-        .orderBy("doc_id", "row_idx")
+        .sortWithinPartitions("doc_id", "row_idx")
     )
 
 
@@ -6804,7 +6826,7 @@ def q_bits_orc_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelizes."""
     from core_spark.functions.orcfile import read_orc_list_column
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = spread_ranged(load_table(spark, sf_dir, "documents"), "doc_id")
 
     def walk(batches):
         import hashlib
@@ -6872,7 +6894,7 @@ def q_bits_orc_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " n_elems long, sum_elems long, n_null_elems long"
             ),
         )
-        .orderBy("doc_id", "row_idx")
+        .sortWithinPartitions("doc_id", "row_idx")
     )
 
 
@@ -6935,7 +6957,7 @@ def q_bits_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     from core_spark.functions.orcfile import read_orc_list_column
     from core_spark.functions.parquetfile import read_parquet_list_column
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = spread_ranged(load_table(spark, sf_dir, "documents"), "doc_id")
 
     def walk(batches):
         import hashlib
@@ -7052,7 +7074,7 @@ def q_bits_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " n_tags long, sum_tags long"
             ),
         )
-        .orderBy("doc_id", "row_idx")
+        .sortWithinPartitions("doc_id", "row_idx")
     )
 
 
@@ -7102,7 +7124,7 @@ def q_bits_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from core_spark.functions.orcfile import read_orc_column
     from core_spark.functions.parquetfile import read_parquet_column
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = spread_ranged(load_table(spark, sf_dir, "documents"), "doc_id")
 
     def walk(batches):
         import hashlib
@@ -7172,7 +7194,7 @@ def q_bits_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " epoch_us long"
             ),
         )
-        .orderBy("doc_id", "row_idx")
+        .sortWithinPartitions("doc_id", "row_idx")
     )
 
 
@@ -7482,7 +7504,7 @@ def q_audit_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_canon_sent holds the cutoff slot awaiting its first row, which
     is why this is not named q_audit_nfc) — rotates into the driver
     window in r10 per the r5/r7/r9 protocol."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = spread_ranged(load_table(spark, sf_dir, "documents"), "doc_id")
 
     def kernel(batches):
         import unicodedata
@@ -7515,7 +7537,7 @@ def q_audit_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " n_norm long, n_composed long"
             ),
         )
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -7566,7 +7588,7 @@ def q_bits_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     into the driver window in r10 per the r5/r7/r9 protocol."""
     from core_spark.functions.orcfile import read_orc_column
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = spread_ranged(load_table(spark, sf_dir, "documents"), "doc_id")
 
     def walk(batches):
         import io
@@ -7619,7 +7641,7 @@ def q_bits_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
             walk,
             schema="doc_id long, idx long, word string, score long",
         )
-        .orderBy("doc_id", "idx")
+        .sortWithinPartitions("doc_id", "idx")
     )
 
 
@@ -7691,7 +7713,7 @@ def q_bits_orc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         orc_verify_stripe_stats,
     )
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = spread_ranged(load_table(spark, sf_dir, "documents"), "doc_id")
 
     def walk(batches):
         import hashlib
@@ -7792,7 +7814,7 @@ def q_bits_orc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " word_bytes long"
             ),
         )
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -7847,7 +7869,7 @@ def q_blocks_xz(spark: SparkSession, sf_dir: str) -> DataFrame:
     into the driver window in r10 per the r5/r7/r9 protocol."""
     from core_spark.functions.xzfile import xz_streams
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = spread_ranged(load_table(spark, sf_dir, "documents"), "doc_id")
 
     def walk(batches):
         import hashlib
@@ -7866,7 +7888,13 @@ def q_blocks_xz(spark: SparkSession, sf_dir: str) -> DataFrame:
                 pos = 0
                 for i in range(k):
                     ln = base + (1 if i < rem else 0)
-                    blob += lzma.compress(content[pos : pos + ln])
+                    # preset=0: the fixture only needs VALID xz
+                    # streams for the tail walker; the encoder's
+                    # effort level changes neither the container
+                    # layout the walker verifies nor the decoded
+                    # chunk (r13 opt: preset 6 was ~30x the kernel
+                    # CPU for bytes the query throws away).
+                    blob += lzma.compress(content[pos : pos + ln], preset=0)
                     pos += ln
                 blob = bytes(blob)
                 target = len(content) // 3
@@ -7903,7 +7931,7 @@ def q_blocks_xz(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " chunk string"
             ),
         )
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -8086,7 +8114,7 @@ def q_bitmap_jpegq(spark: SparkSession, sf_dir: str) -> DataFrame:
     into the driver window in r10 per the r5/r7/r9 protocol."""
     from core_spark.multimodal.jpeg import jpeg_encode, jpeg_quant_tables
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = spread_ranged(load_table(spark, sf_dir, "documents"), "doc_id")
 
     def audit(batches):
         import hashlib
@@ -8124,7 +8152,7 @@ def q_bitmap_jpegq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "doc_id long, q_true long, sum_t long, est_q long"
             ),
         )
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -8198,7 +8226,7 @@ def q_bits_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         parse_parquet_footer,
     )
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = spread_ranged(load_table(spark, sf_dir, "documents"), "doc_id")
 
     def walk(batches):
         import hashlib
@@ -8268,7 +8296,7 @@ def q_bits_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " null_count long"
             ),
         )
-        .orderBy("doc_id", "rg_idx", "page_idx")
+        .sortWithinPartitions("doc_id", "rg_idx", "page_idx")
     )
 
 

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from core_spark.io import load_table, spread
+from core_spark.io import load_table, spread, spread_ranged
 from core_spark.multimodal import (
     attach_fmp4_payload,
     attach_mp3_payload,
@@ -50,8 +50,8 @@ def q_av_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the video modality; frame decode stays behind the pyav
     stub). Payload bytes never reach the JVM plan: both stages are
     executor-side mapInPandas."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    return decode_av_meta(attach_mp4_payload(docs)).orderBy("doc_id")
+    docs = spread_ranged(load_table(spark, sf_dir, "documents"), "doc_id")
+    return decode_av_meta(attach_mp4_payload(docs)).sortWithinPartitions("doc_id")
 
 
 @query(
@@ -115,7 +115,7 @@ def q_bitmap_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
     typed-metadata journal the gates then filter JVM-side."""
     import pandas as pd
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = spread_ranged(load_table(spark, sf_dir, "documents"), "doc_id")
 
     def attach(batches):
         import hashlib
@@ -200,7 +200,7 @@ def q_bitmap_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " needs_transpose boolean"
             ),
         )
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -803,8 +803,8 @@ def q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     must walk every header rather than extrapolate the first frame's
     size; the oracle's prefix-sum over the varying sizes checks
     exactly that. Both stages are executor-side mapInPandas."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    return plan_audio_fetch(attach_mp3_payload(docs)).orderBy(
+    docs = spread_ranged(load_table(spark, sf_dir, "documents"), "doc_id")
+    return plan_audio_fetch(attach_mp3_payload(docs)).sortWithinPartitions(
         "doc_id", "seg_idx"
     )
 
@@ -845,10 +845,10 @@ def q_av_captions(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes. Both stages are executor-side mapInPandas fan-out;
     invalid blocks are skipped per spec, non-VTT payloads raise the
     named VttError."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = spread_ranged(load_table(spark, sf_dir, "documents"), "doc_id")
     from core_spark.multimodal import attach_vtt_payload, extract_captions
 
-    return extract_captions(attach_vtt_payload(docs)).orderBy(
+    return extract_captions(attach_vtt_payload(docs)).sortWithinPartitions(
         "doc_id", "cue_idx"
     )
 
@@ -927,8 +927,8 @@ def q_av_fmp4(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: gazette moves opaque serializations only
     (message/interfaces.go:121-124); container parsing is
     executor-side kernel work."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    return plan_fragment_fetch(attach_fmp4_payload(docs)).orderBy(
+    docs = spread_ranged(load_table(spark, sf_dir, "documents"), "doc_id")
+    return plan_fragment_fetch(attach_fmp4_payload(docs)).sortWithinPartitions(
         "doc_id", "frag_seq"
     )
 
@@ -990,8 +990,8 @@ def q_av_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
     executor-side mapInPandas; the oracle reproduces every offset
     including the container header arithmetic, and tests pin the
     offsets against the actual bytes by slicing the mdat."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    return plan_video_fetch(attach_mp4_stream_payload(docs)).orderBy(
+    docs = spread_ranged(load_table(spark, sf_dir, "documents"), "doc_id")
+    return plan_video_fetch(attach_mp4_stream_payload(docs)).sortWithinPartitions(
         "doc_id", "kf_idx"
     )
 
@@ -1014,8 +1014,8 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     container); the decode derivation is md5-based, so the oracle
     reproduces it byte-for-byte — proving the plumbing (schema, batch
     shape, worker self-containment) rather than a codec."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    return decode_image_meta(attach_payload(docs)).orderBy("doc_id")
+    docs = spread_ranged(load_table(spark, sf_dir, "documents"), "doc_id")
+    return decode_image_meta(attach_payload(docs)).sortWithinPartitions("doc_id")
 
 
 @query(
@@ -1043,8 +1043,8 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic from the text length."""
     from core_spark.multimodal import sample_audio_frames
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    return sample_audio_frames(attach_payload(docs)).orderBy(
+    docs = spread_ranged(load_table(spark, sf_dir, "documents"), "doc_id")
+    return sample_audio_frames(attach_payload(docs)).sortWithinPartitions(
         "doc_id", "frame_idx"
     )
 
@@ -1069,9 +1069,9 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle recomputes the downstream md5 on the truncated text."""
     from core_spark.multimodal import resize_images
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = spread_ranged(load_table(spark, sf_dir, "documents"), "doc_id")
     resized = resize_images(attach_payload(docs), max_side=256)
-    return decode_image_meta(resized).orderBy("doc_id")
+    return decode_image_meta(resized).sortWithinPartitions("doc_id")
 
 
 @query(
@@ -1108,8 +1108,8 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema/batching/fan-out plumbing on text payloads."""
     from core_spark.multimodal import sample_video_frames
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    return sample_video_frames(attach_payload(docs)).orderBy(
+    docs = spread_ranged(load_table(spark, sf_dir, "documents"), "doc_id")
+    return sample_video_frames(attach_payload(docs)).sortWithinPartitions(
         "doc_id", "frame_idx"
     )
 
@@ -1168,13 +1168,17 @@ def q_cc_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     executor-side mapInPandas stage (r13 opt, columns.py:_kernel), so
     the PDF bytes stay inside the Python worker between them.
 
-    Scale shape: map-side only, zero shuffles before the final
-    presentation sort — per-doc codec CPU that scales out with
-    executors exactly like q_av_meta/q_crawl_extract."""
+    Scale shape: map-side only, zero post-kernel shuffles — the
+    spread exchange is range-keyed on doc_id (io.py:spread_ranged,
+    r13 opt) so the presentation order comes from a within-partition
+    sort: the kernel runs exactly once (a global orderBy's range
+    sampling would execute it twice) and its output never crosses
+    another exchange. Per-doc codec CPU scales out with executors
+    exactly like q_av_meta/q_crawl_extract."""
     from core_spark.multimodal import attach_pdf_payload, extract_pdf_pages
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    return extract_pdf_pages(attach_pdf_payload(docs)).orderBy(
+    docs = spread_ranged(load_table(spark, sf_dir, "documents"), "doc_id")
+    return extract_pdf_pages(attach_pdf_payload(docs)).sortWithinPartitions(
         "doc_id", "page_idx"
     )
 
@@ -1251,7 +1255,7 @@ def q_cc_docx(spark: SparkSession, sf_dir: str) -> DataFrame:
     builder's UTF-8 bytes agree."""
     from core_spark.multimodal.docx import build_docx_fixture, docx_blocks
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = spread_ranged(load_table(spark, sf_dir, "documents"), "doc_id")
 
     def walk(batches):
         import hashlib
@@ -1290,7 +1294,7 @@ def q_cc_docx(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " kind string, block_text string"
             ),
         )
-        .orderBy("doc_id", "block_idx")
+        .sortWithinPartitions("doc_id", "block_idx")
     )
 
 
@@ -1357,7 +1361,7 @@ def q_cc_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
         dispatch_extract,
     )
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = spread_ranged(load_table(spark, sf_dir, "documents"), "doc_id")
 
     def walk(batches):
         import hashlib
@@ -1382,7 +1386,7 @@ def q_cc_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(
             walk, schema="doc_id long, fmt string, n_units long"
         )
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -1439,7 +1443,7 @@ def q_cc_odt(spark: SparkSession, sf_dir: str) -> DataFrame:
     class."""
     from core_spark.multimodal.odt import build_odt_fixture, odt_paragraphs
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = spread_ranged(load_table(spark, sf_dir, "documents"), "doc_id")
 
     def walk(batches):
         import hashlib
@@ -1479,7 +1483,7 @@ def q_cc_odt(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " kind string, para_text string"
             ),
         )
-        .orderBy("doc_id", "para_idx")
+        .sortWithinPartitions("doc_id", "para_idx")
     )
 
 
@@ -1552,7 +1556,7 @@ def q_cc_xlsx(spark: SparkSession, sf_dir: str) -> DataFrame:
     reasoning, recorded in COVERAGE.md's fences table)."""
     from core_spark.multimodal.xlsx import build_xlsx_fixture, xlsx_cells
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = spread_ranged(load_table(spark, sf_dir, "documents"), "doc_id")
 
     def walk(batches):
         import hashlib
@@ -1596,5 +1600,5 @@ def q_cc_xlsx(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " cell_value string, form long"
             ),
         )
-        .orderBy("doc_id", "sheet_idx", "row_idx", "col_idx")
+        .sortWithinPartitions("doc_id", "sheet_idx", "row_idx", "col_idx")
     )
