@@ -54,25 +54,40 @@ _SAMPLE_RATES = {
 _SAMPLE_SIZES = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
 
 
-def _crc8(data: bytes) -> int:
-    crc = 0
-    for b in data:
-        crc ^= b
+def _crc_tables() -> tuple[list[int], list[int]]:
+    t8, t16 = [], []
+    for b in range(256):
+        crc = b
         for _ in range(8):
             crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
-    return crc
-
-
-def _crc16(data: bytes) -> int:
-    crc = 0
-    for b in data:
-        crc ^= b << 8
+        t8.append(crc)
+        crc = b << 8
         for _ in range(8):
             crc = (
                 ((crc << 1) ^ 0x8005) & 0xFFFF
                 if crc & 0x8000
                 else (crc << 1) & 0xFFFF
             )
+        t16.append(crc)
+    return t8, t16
+
+
+_CRC8_TABLE, _CRC16_TABLE = _crc_tables()
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    t = _CRC8_TABLE
+    for b in data:
+        crc = t[crc ^ b]
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    crc = 0
+    t = _CRC16_TABLE
+    for b in data:
+        crc = t[(crc >> 8) ^ b] ^ ((crc << 8) & 0xFFFF)
     return crc
 
 
@@ -83,21 +98,19 @@ class _BitReader:
         self.bit = 0
 
     def read(self, n: int) -> int:
-        out = 0
-        while n:
-            if self.byte >= len(self.data):
-                raise ValueError("malformed FLAC: bitstream truncated")
-            avail = 8 - self.bit
-            take = min(n, avail)
-            cur = self.data[self.byte]
-            out = (out << take) | (
-                (cur >> (avail - take)) & ((1 << take) - 1)
-            )
-            self.bit += take
-            if self.bit == 8:
-                self.bit = 0
-                self.byte += 1
-            n -= take
+        # One int.from_bytes over the touched span instead of a
+        # per-byte Python loop — same bits, same truncation error.
+        total = self.bit + n
+        nbytes = (total + 7) >> 3
+        byte = self.byte
+        chunk = self.data[byte : byte + nbytes]
+        if len(chunk) < nbytes:
+            raise ValueError("malformed FLAC: bitstream truncated")
+        out = (
+            int.from_bytes(chunk, "big") >> ((nbytes << 3) - total)
+        ) & ((1 << n) - 1)
+        self.byte = byte + (total >> 3)
+        self.bit = total & 7
         return out
 
     def read_signed(self, n: int) -> int:
@@ -105,10 +118,29 @@ class _BitReader:
         return v - (1 << n) if v >= (1 << (n - 1)) else v
 
     def read_unary(self) -> int:
+        # Scan whole zero bytes at C speed; the terminating 1 bit is
+        # located with bit_length. Same bits consumed, same
+        # truncation error when the stream ends inside the zeros.
+        data, n = self.data, len(self.data)
+        byte, bit = self.byte, self.bit
         q = 0
-        while self.read(1) == 0:
-            q += 1
-        return q
+        while True:
+            if byte >= n:
+                raise ValueError("malformed FLAC: bitstream truncated")
+            cur = data[byte] & ((1 << (8 - bit)) - 1)
+            if cur == 0:
+                q += 8 - bit
+                byte += 1
+                bit = 0
+                continue
+            hb = cur.bit_length()  # 1..8-bit position of the first 1
+            q += (8 - bit) - hb
+            bit = 8 - hb + 1
+            if bit == 8:
+                byte += 1
+                bit = 0
+            self.byte, self.bit = byte, bit
+            return q
 
     def align(self):
         if self.bit:
@@ -372,51 +404,56 @@ class _BitWriter:
         return bytes(self.out)
 
 
-def _encode_subframe(w: _BitWriter, samples: list[int], bps: int):
+def _encode_subframe(w: _BitWriter, samples, bps: int):
     """FIXED order 0-2 with a single Rice partition, or VERBATIM when
-    Rice would expand (pathological residuals)."""
+    Rice would expand (pathological residuals). `samples` is any int
+    sequence; the order search runs vectorized (identical residuals,
+    parameter and cost arithmetic as the scalar spelling)."""
+    arr = np.asarray(samples, dtype=np.int64)
+    n_s = arr.shape[0]
     best_order, best_resid, best_cost = None, None, None
     for order in (0, 1, 2):
-        if len(samples) <= order:
+        if n_s <= order:
             continue
-        coeffs = _FIXED_COEFFS[order]
-        resid = [
-            samples[i]
-            - sum(c * samples[i - j - 1] for j, c in enumerate(coeffs))
-            for i in range(order, len(samples))
-        ]
-        mean = sum(abs(e) for e in resid) / max(1, len(resid))
+        if order == 0:
+            resid = arr
+        elif order == 1:
+            resid = arr[1:] - arr[:-1]
+        else:
+            resid = arr[2:] - 2 * arr[1:-1] + arr[:-2]
+        aresid = np.abs(resid)
+        mean = int(aresid.sum()) / max(1, resid.shape[0])
         k = 0
         while (1 << (k + 1)) < mean + 1 and k < 14:
             k += 1
-        cost = sum(((abs(e) << 1) >> k) + 1 + k for e in resid)
+        cost = int(((aresid << 1) >> k).sum()) + (1 + k) * resid.shape[0]
         if best_cost is None or cost < best_cost:
             best_order, best_resid, best_cost = order, (resid, k), cost
-    verbatim_cost = len(samples) * bps
+    verbatim_cost = n_s * bps
     if best_cost is None or best_cost > verbatim_cost:
         w.write(0, 1)
         w.write(1, 6)  # VERBATIM
         w.write(0, 1)
-        for s in samples:
+        for s in arr.tolist():
             w.write(s, bps)
         return
     resid, k = best_resid
     w.write(0, 1)
     w.write(8 + best_order, 6)  # FIXED
     w.write(0, 1)  # no wasted bits
-    for s in samples[:best_order]:
+    for s in arr[:best_order].tolist():
         w.write(s, bps)
     w.write(0, 2)  # 4-bit Rice parameters
     w.write(0, 4)  # partition order 0
     w.write(k, 4)
-    for e in resid:
-        z = ((-e << 1) - 1) if e < 0 else (e << 1)
-        q = z >> k
-        for _ in range(q):
-            w.write(0, 1)
-        w.write(1, 1)
+    # zigzag once, vectorized; q zero bits + the terminating 1 are a
+    # single (q+1)-bit write of the value 1 — identical bit output.
+    zs = np.where(resid < 0, ((-resid) << 1) - 1, resid << 1).tolist()
+    write = w.write
+    for z in zs:
+        write(1, (z >> k) + 1)
         if k:
-            w.write(z, k)
+            write(z, k)
 
 
 def flac_encode(
@@ -462,7 +499,7 @@ def flac_encode(
         hdr = w.bytes()
         w.write(_crc8(hdr), 8)
         for c in range(nch):
-            _encode_subframe(w, [int(v) for v in blk[:, c]], bps)
+            _encode_subframe(w, blk[:, c], bps)
         w.align()
         frame = w.bytes()
         out += frame + _crc16(frame).to_bytes(2, "big")

@@ -1210,6 +1210,137 @@ def test_flac_utf8_frame_number_roundtrip_all_widths():
         _write_utf8_number(w, 1 << 36)
 
 
+def test_flac_fast_paths_match_reference_forms():
+    """The r13-optimized internals (table CRCs, span bit reader,
+    byte-scan unary, vectorized order search, one-call unary write)
+    against their definitional spellings, bit for bit."""
+    import numpy as np
+
+    from core_spark.multimodal.flac import (
+        _BitReader,
+        _BitWriter,
+        _crc8,
+        _crc16,
+        _encode_subframe,
+        flac_decode,
+        flac_encode,
+    )
+
+    rng = np.random.default_rng(13)
+    # CRCs vs the bitwise polynomial definition
+    for data in (b"", b"\x00", rng.integers(0, 256, 257).astype(np.uint8).tobytes()):
+        c8 = 0
+        for b in data:
+            c8 ^= b
+            for _ in range(8):
+                c8 = ((c8 << 1) ^ 0x07) & 0xFF if c8 & 0x80 else (c8 << 1) & 0xFF
+        c16 = 0
+        for b in data:
+            c16 ^= b << 8
+            for _ in range(8):
+                c16 = (
+                    ((c16 << 1) ^ 0x8005) & 0xFFFF
+                    if c16 & 0x8000
+                    else (c16 << 1) & 0xFFFF
+                )
+        assert _crc8(data) == c8 and _crc16(data) == c16
+
+    # bit reader vs a one-bit-at-a-time reference over random widths
+    blob = rng.integers(0, 256, 64).astype(np.uint8).tobytes()
+    widths = [int(w) for w in rng.integers(0, 20, 40)]
+    r = _BitReader(blob)
+    pos = 0
+
+    def ref_read(n):
+        nonlocal pos
+        out = 0
+        for _ in range(n):
+            out = (out << 1) | ((blob[pos >> 3] >> (7 - (pos & 7))) & 1)
+            pos += 1
+        return out
+
+    for w_n in widths:
+        assert r.read(w_n) == ref_read(w_n)
+    # unary scan vs bit loop, including multi-byte zero runs
+    uw = _BitWriter()
+    qs = [0, 1, 7, 8, 9, 30, 3]
+    for q in qs:
+        uw.write(1, q + 1)
+    uw.align()
+    ur = _BitReader(uw.bytes())
+    assert [ur.read_unary() for _ in qs] == qs
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="truncated"):
+        _BitReader(b"\x00").read_unary()
+    with _pt.raises(ValueError, match="truncated"):
+        _BitReader(b"\x01").read(9)
+
+    # vectorized subframe encoder vs the scalar spelling
+    def scalar_subframe(samples, bps):
+        w = _BitWriter()
+        coeffs_tab = {0: [], 1: [1], 2: [2, -1]}
+        best_order, best_resid, best_cost = None, None, None
+        for order in (0, 1, 2):
+            if len(samples) <= order:
+                continue
+            coeffs = coeffs_tab[order]
+            resid = [
+                samples[i]
+                - sum(c * samples[i - j - 1] for j, c in enumerate(coeffs))
+                for i in range(order, len(samples))
+            ]
+            mean = sum(abs(e) for e in resid) / max(1, len(resid))
+            k = 0
+            while (1 << (k + 1)) < mean + 1 and k < 14:
+                k += 1
+            cost = sum(((abs(e) << 1) >> k) + 1 + k for e in resid)
+            if best_cost is None or cost < best_cost:
+                best_order, best_resid, best_cost = order, (resid, k), cost
+        if best_cost is None or best_cost > len(samples) * bps:
+            w.write(0, 1)
+            w.write(1, 6)
+            w.write(0, 1)
+            for s in samples:
+                w.write(s, bps)
+            return w.bytes(), w.nbits
+        resid, k = best_resid
+        w.write(0, 1)
+        w.write(8 + best_order, 6)
+        w.write(0, 1)
+        for s in samples[:best_order]:
+            w.write(s, bps)
+        w.write(0, 2)
+        w.write(0, 4)
+        w.write(k, 4)
+        for e in resid:
+            z = ((-e << 1) - 1) if e < 0 else (e << 1)
+            for _ in range(z >> k):
+                w.write(0, 1)
+            w.write(1, 1)
+            if k:
+                w.write(z, k)
+        return w.bytes(), w.nbits
+
+    cases = [
+        [0],
+        [5, 5, 5, 5],
+        list(rng.integers(-2048, 2048, 200)),
+        [int((-1) ** i * 32000) for i in range(100)],  # VERBATIM path
+        list(np.cumsum(rng.integers(-3, 4, 300))),  # order-2 wins
+    ]
+    for samples in cases:
+        w = _BitWriter()
+        _encode_subframe(w, samples, 16)
+        ref_bytes, ref_nbits = scalar_subframe([int(s) for s in samples], 16)
+        assert (w.bytes(), w.nbits) == (ref_bytes, ref_nbits), samples[:8]
+
+    # whole-file: encode still decodes to the input exactly
+    pcm = rng.integers(-2048, 2048, (700, 2)).astype(np.int32)
+    dec, rate = flac_decode(flac_encode(pcm, sample_rate=22050, block_size=128))
+    assert rate == 22050 and np.array_equal(dec, pcm)
+
+
 def test_audio_frame_features_wav_and_flac(spark):
     """Integer per-frame energy over real decoded PCM: a WAV whose
     samples are known constants and a FLAC round-trip of a ramp both
