@@ -1096,14 +1096,15 @@ def extract_pdf_pages(
     mapInPandas; non-PDF payloads raise the named PdfError."""
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from core_spark.multimodal.pdf import pdf_meta, pdf_pages_text
+        from core_spark.multimodal.pdf import pdf_extract
 
         for pdf in batches:
             rows = []
             for d, b in zip(pdf["doc_id"], pdf[payload_col]):
                 raw = bytes(b)
-                meta = pdf_meta(raw)
-                pages = pdf_pages_text(raw)
+                # one reader walk serves meta + pages (r13 opt:
+                # xref/encryption setup ran twice before)
+                meta, pages = pdf_extract(raw)
                 for i, pg in enumerate(pages):
                     rows.append(
                         (

@@ -77,18 +77,17 @@ class PdfError(ValueError):
 
 
 # --------------------------------------------------------------- lexer
+# whitespace runs + '%' comments-to-EOL in one C-level match (r13 opt;
+# same characters as the loop spelling: NUL TAB LF FF CR SP, comment
+# body = anything but CR/LF)
+_WS_RUN = re.compile(rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*")
+
+
 def _skip_ws(raw: bytes, i: int) -> int:
-    n = len(raw)
-    while i < n:
-        c = raw[i]
-        if c in b" \t\r\n\x00\x0c":
-            i += 1
-        elif c == 0x25:  # '%' comment runs to EOL
-            while i < n and raw[i] not in b"\r\n":
-                i += 1
-        else:
-            break
-    return i
+    return _WS_RUN.match(raw, i).end()
+
+
+_ESC_MAP = {0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12}
 
 
 def _parse_string(raw: bytes, i: int) -> tuple[bytes, int]:
@@ -106,9 +105,7 @@ def _parse_string(raw: bytes, i: int) -> tuple[bytes, int]:
                 break
             e = raw[i]
             if e in b"nrtbf":
-                out.append(
-                    {0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12}[e]
-                )
+                out.append(_ESC_MAP[e])
                 i += 1
             elif e in b"()\\":
                 out.append(e)
@@ -151,40 +148,27 @@ def _parse_value(raw: bytes, i: int, depth: int = 0):
     if depth > 48:
         raise PdfError("value nesting too deep")
     i = _skip_ws(raw, i)
-    if raw[i : i + 2] == b"<<":
-        d: dict = {}
-        i += 2
-        while True:
-            i = _skip_ws(raw, i)
-            if raw[i : i + 2] == b">>":
-                return d, i + 2
-            if raw[i : i + 1] != b"/":
-                raise PdfError("dict key is not a name")
-            m = _NAME.match(raw, i + 1)
-            if not m:
-                raise PdfError("empty dict key")
-            key = m.group(1).decode("latin-1")
-            val, i = _parse_value(raw, m.end(), depth + 1)
-            d[key] = val
-    if raw[i : i + 1] == b"[":
-        arr = []
-        i += 1
-        while True:
-            i = _skip_ws(raw, i)
-            if raw[i : i + 1] == b"]":
-                return arr, i + 1
-            v, i = _parse_value(raw, i, depth + 1)
-            arr.append(v)
-    if raw[i : i + 1] == b"/":
-        m = _NAME.match(raw, i + 1)
-        if not m:
-            raise PdfError("empty name")
-        return ("name", m.group(1).decode("latin-1")), m.end()
-    if raw[i : i + 1] == b"(":
-        s, i = _parse_string(raw, i)
-        return ("str", s), i
-    if raw[i : i + 1] == b"<":  # hex string
-        j = raw.find(b">", i)
+    # single-byte dispatch (r13 opt): the leading byte classes are
+    # disjoint, so this is the sequential-slice-probe spelling with
+    # the per-probe slice allocations removed
+    c = raw[i] if i < len(raw) else -1
+    if c == 0x3C:  # '<'
+        if raw[i + 1 : i + 2] == b"<":
+            d: dict = {}
+            i += 2
+            while True:
+                i = _skip_ws(raw, i)
+                if raw[i : i + 2] == b">>":
+                    return d, i + 2
+                if raw[i : i + 1] != b"/":
+                    raise PdfError("dict key is not a name")
+                m = _NAME.match(raw, i + 1)
+                if not m:
+                    raise PdfError("empty dict key")
+                key = m.group(1).decode("latin-1")
+                val, i = _parse_value(raw, m.end(), depth + 1)
+                d[key] = val
+        j = raw.find(b">", i)  # hex string
         if j < 0:
             raise PdfError("unterminated hex string")
         hexs = re.sub(rb"\s", b"", raw[i + 1 : j])
@@ -194,15 +178,34 @@ def _parse_value(raw: bytes, i: int, depth: int = 0):
             return ("str", bytes.fromhex(hexs.decode("ascii"))), j + 1
         except (ValueError, UnicodeDecodeError):
             raise PdfError("non-hex digits in hex string")
-    m = _REF.match(raw, i)
-    if m:
-        return ("ref", int(m.group(1))), m.end()
-    m = _NUM.match(raw, i)
-    if m:
-        t = m.group(0)
-        return (
-            float(t) if b"." in t else int(t)
-        ), m.end()
+    if c == 0x5B:  # '['
+        arr = []
+        i += 1
+        while True:
+            i = _skip_ws(raw, i)
+            if raw[i : i + 1] == b"]":
+                return arr, i + 1
+            v, i = _parse_value(raw, i, depth + 1)
+            arr.append(v)
+    if c == 0x2F:  # '/'
+        m = _NAME.match(raw, i + 1)
+        if not m:
+            raise PdfError("empty name")
+        return ("name", m.group(1).decode("latin-1")), m.end()
+    if c == 0x28:  # '('
+        s, i = _parse_string(raw, i)
+        return ("str", s), i
+    if 0x30 <= c <= 0x39:  # digit: reference or number
+        m = _REF.match(raw, i)
+        if m:
+            return ("ref", int(m.group(1))), m.end()
+    if 0x30 <= c <= 0x39 or c == 0x2B or c == 0x2D:  # [+-]digit
+        m = _NUM.match(raw, i)
+        if m:
+            t = m.group(0)
+            return (
+                float(t) if b"." in t else int(t)
+            ), m.end()
     for lit, val in ((b"true", True), (b"false", False), (b"null", None)):
         if raw[i : i + len(lit)] == lit:
             return val, i + len(lit)
@@ -1641,6 +1644,40 @@ def pdf_pages_text(raw: bytes) -> list[str]:
             else _content_text(content, _page_fonts(doc, page))
         )
     return out
+
+
+def pdf_extract(raw: bytes) -> tuple[dict, list[str]]:
+    """`(pdf_meta(raw), pdf_pages_text(raw))` off ONE reader walk:
+    the _Doc setup — xref/trailer parse plus encryption key
+    derivation (for AES-256 the deliberately hardened R6 hash) — runs
+    once instead of once per consumer, and the object/font caches are
+    shared. Field-identical to calling the two functions separately
+    (r13 opt; the extraction kernel is the caller)."""
+    doc = _Doc(raw)
+    producer = created = None
+    info = doc.deref(doc.trailer.get("Info"))
+    if isinstance(info, dict):
+        p = info.get("Producer")
+        if isinstance(p, tuple) and p[0] == "str":
+            producer = _text_str(p[1])
+        d = info.get("CreationDate")
+        if isinstance(d, tuple) and d[0] == "str":
+            created = _text_str(d[1])
+    pages_text = []
+    for page in doc.pages():
+        content = doc.page_content(page)
+        pages_text.append(
+            ""
+            if content is None
+            else _content_text(content, _page_fonts(doc, page))
+        )
+    meta = {
+        "version": doc.version,
+        "page_count": len(pages_text),
+        "producer": producer,
+        "created": created,
+    }
+    return meta, pages_text
 
 
 def _text_str(b: bytes) -> str:

@@ -2114,6 +2114,65 @@ def test_av_meta_kernels_build_and_walk_real_boxes(spark):
     assert out[2].width == mp4_meta(rows[2])["width"]
 
 
+def test_pdf_extract_fused_walk_matches_split_apis():
+    """pdf_extract (the r13 one-reader fusion the extraction kernel
+    calls) is field-identical to pdf_meta + pdf_pages_text across the
+    fixture form space, and the r13 lexer fast paths (_skip_ws regex,
+    first-byte dispatch) keep their loop-spelling semantics."""
+    import hashlib
+
+    from core_spark.multimodal.pdf import (
+        PdfError,
+        _parse_value,
+        _skip_ws,
+        build_pdf_fixture,
+        pdf_extract,
+        pdf_meta,
+        pdf_pages_text,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta " * 9
+    digest = hashlib.md5(text.encode()).hexdigest()
+    for kind in ("classic", "stream"):
+        for font in ("simple", "cid", "diffs"):
+            for enc in (None, "rc4-40", "aes-128", "aes-256"):
+                raw = build_pdf_fixture(
+                    text, digest, xref_kind=kind, font=font, encrypt=enc
+                )
+                meta, pages = pdf_extract(raw)
+                assert meta == pdf_meta(raw), (kind, font, enc)
+                assert pages == pdf_pages_text(raw), (kind, font, enc)
+    import pytest as _pt
+
+    with _pt.raises(PdfError):
+        pdf_extract(b"not a pdf at all")
+
+    # lexer pins: comments swallowed to EOL, NUL/FF are whitespace,
+    # EOF comment, and dispatch over every value class
+    assert _skip_ws(b"  % c\r\n\x00\x0c\tx", 0) == 10
+    assert _skip_ws(b"%only a comment", 0) == 15
+    assert _skip_ws(b"abc", 1) == 1
+    raw = b" <</A 1 0 R/B[(s\\)t)<4142>/N 3.5 -2 true false null]>> "
+    val, end = _parse_value(raw, 0)
+    assert val == {
+        "A": ("ref", 1),
+        "B": [
+            ("str", b"s)t"),
+            ("str", b"AB"),
+            ("name", "N"),
+            3.5,
+            -2,
+            True,
+            False,
+            None,
+        ],
+    }
+    assert raw[end:] == b" "
+    for bad in (b"", b"   ", b"}", b"<4G>", b"+x"):
+        with _pt.raises(PdfError):
+            _parse_value(bad, 0)
+
+
 def test_pdf_fixture_roundtrip_and_discipline():
     """build_pdf_fixture -> pdf_pages_text/pdf_meta recovers the exact
     word tiling, page count and md5-derived CreationDate through a
