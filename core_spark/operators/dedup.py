@@ -105,7 +105,10 @@ def minhash_params(k: int) -> list[tuple[int, int]]:
 
 
 def minhash_signatures(
-    docs: DataFrame, text_col: str = "text", k: int = 16
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 16,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature: k affine-family minima over the md5
     of each distinct word 3-shingle.
@@ -118,10 +121,32 @@ def minhash_signatures(
     lambdas evaluate interpreted per element — measured 3x faster at
     sf0.1, and the aggregate is the same map-side-partial shape the
     engine uses everywhere.
+
+    `shingles`: optionally the precomputed `_with_shingles(docs, …)`
+    table (doc_id, sh). Callers that also verify candidates (the
+    pair pipelines) pass ONE persisted shingle table so signature
+    and verification share a single corpus text pass (r14 opt,
+    guide §2.3/§5 — the static plan previously rebuilt the
+    split+shingle subtree up to 6x per query).
+
+    Empty documents (< 3 tokens, sh = array()) ride the SAME
+    aggregate via `explode_outer` — their single null shingle row
+    hashes to null, `min` ignores it, and the existing
+    coalesce(…, 0) yields the zero signature. This replaces the r1
+    left-anti join + union (a second corpus pass) with zero extra
+    operators; `explode_outer` is also exempt from
+    InferFiltersFromGenerate, so no size(sh) > 0 filter is inferred
+    that could re-inline split() below the projection boundary (the
+    `_explode_shingles` trap).
     """
-    exploded = _explode_shingles(docs, text_col, ["doc_id"]).select(
-        "doc_id", F.expr(SPARK_MD5I32.format(x="s")).alias("h")
+    sh = (
+        shingles
+        if shingles is not None
+        else _with_shingles(docs, text_col, [F.col("doc_id")])
     )
+    exploded = sh.select(
+        "doc_id", F.explode_outer(F.col("sh")).alias("s")
+    ).select("doc_id", F.expr(SPARK_MD5I32.format(x="s")).alias("h"))
     mins = [
         F.coalesce(
             F.min((F.col("h") * a + b) % MINHASH_P), F.lit(0)
@@ -129,11 +154,7 @@ def minhash_signatures(
         for i, (a, b) in enumerate(minhash_params(k))
     ]
     packed = exploded.groupBy("doc_id").agg(*mins)
-    # docs with no shingles (< 3 tokens) still get a signature
-    empty = docs.select("doc_id").join(
-        packed.select("doc_id"), "doc_id", "left_anti"
-    ).select("doc_id", *[F.lit(0).cast("bigint").alias(f"_m{i}") for i in range(k)])
-    return packed.unionByName(empty).select(
+    return packed.select(
         "doc_id", F.array(*[f"_m{i}" for i in range(k)]).alias("mh")
     )
 
@@ -216,10 +237,20 @@ def verify_jaccard(
     candidates: DataFrame,
     docs: DataFrame,
     text_col: str = "text",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-Jaccard for candidate pairs (integer arithmetic
-    only — no float boundary risk). Output adds (inter, uni)."""
-    sh = _with_shingles(docs, text_col, [F.col("doc_id")])
+    only — no float boundary risk). Output adds (inter, uni).
+
+    `shingles`: optionally the same precomputed (doc_id, sh) table
+    the caller fed `minhash_signatures` — pass the persisted one so
+    verification reuses the signature pass's shingles instead of
+    re-splitting the corpus (twice: both join sides)."""
+    sh = (
+        shingles
+        if shingles is not None
+        else _with_shingles(docs, text_col, [F.col("doc_id")])
+    )
     a = sh.alias("sa")
     b = sh.alias("sb")
     return (

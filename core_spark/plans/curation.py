@@ -307,6 +307,7 @@ def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the label-propagation loop, which runs at a pinned narrow width
     while the pair pipeline keeps full parallelism."""
     from core_spark.operators.dedup import (
+        _with_shingles,
         lsh_candidates,
         minhash_signatures,
         verify_jaccard,
@@ -320,15 +321,22 @@ def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    # d1 feeds four consumers (signatures, both verify sides, the
-    # final survivor join) — materialize once, as the jaccard index
-    # does (operators/dedup.py:blocked_jaccard_pairs).
+    # d1 feeds the dedup pipeline plus the final survivor join —
+    # materialize once, as the jaccard index does
+    # (operators/dedup.py:blocked_jaccard_pairs). The shingle table
+    # over d1 is additionally persisted so signatures and both
+    # verification sides share ONE split+shingle pass of the
+    # canonical corpus (r14 opt, guide §2.3/§5 — the same
+    # single-text-pass discipline as _minhash_dup_pairs).
     from pyspark import StorageLevel
 
     d1 = docs.join(canon, "doc_id").persist(StorageLevel.MEMORY_AND_DISK)
-    sigs = minhash_signatures(d1, k=16)
+    sh1 = _with_shingles(d1, "text", [F.col("doc_id")]).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sigs = minhash_signatures(d1, k=16, shingles=sh1)
     cand = lsh_candidates(sigs, bands=4, rows=4)
-    pairs = verify_jaccard(cand, d1).filter(
+    pairs = verify_jaccard(cand, d1, shingles=sh1).filter(
         F.col("inter") * 10 >= F.col("uni") * 7
     )
     cc = connected_components(pairs, shuffle_partitions=16)
@@ -453,13 +461,20 @@ def q_curate2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from core_spark.operators.similarity import semdedup
     from core_spark.plans.mixing import dsir_scores
 
+    from pyspark import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
+    # canon feeds TWO broadcast join builds (d1 and the embedding
+    # subset) — broadcast builds share no exchange, so the md5
+    # exact-dedup corpus pass ran twice without the persist (r14
+    # opt, guide §5); the cached frame is doc_id-only.
     canon = (
         docs.select("doc_id", F.md5("text").alias("h"))
         .groupBy("h")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     d1 = docs.join(canon, "doc_id")
     sub = emb.join(canon.withColumnRenamed("doc_id", "vec_id"), "vec_id")

@@ -158,10 +158,26 @@ def _minhash_dup_pairs(docs: DataFrame) -> DataFrame:
     0.7 (integer cross-multiplication). ONE definition so its four
     consumers (q_minhash_lsh / q_dup_clusters / q_dup_canonical /
     q_graph_triangles) and their DUCK_MINHASH_PAIR_SELECT oracle
-    twin can never silently diverge on k/bands/threshold."""
-    sigs = minhash_signatures(docs, k=_MINHASH_K)
+    twin can never silently diverge on k/bands/threshold.
+
+    The (doc_id, sh) shingle table is computed ONCE and persisted
+    (r14 opt, guide §2.3/§5): it feeds the signature aggregate and
+    BOTH verification join sides, and the banded self-join's
+    broadcast build side additionally replans the whole signature
+    subtree — without the cache the corpus text was split/shingled
+    up to 6x per query (static plan evidence in
+    plans/r14/q_minhash_lsh_before.txt). Same persist discipline as
+    blocked_jaccard_pairs' index (operators/dedup.py)."""
+    from pyspark import StorageLevel
+
+    from core_spark.operators.dedup import _with_shingles
+
+    sh = _with_shingles(docs, "text", [F.col("doc_id")]).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sigs = minhash_signatures(docs, k=_MINHASH_K, shingles=sh)
     cand = lsh_candidates(sigs, bands=_BANDS, rows=_ROWS)
-    return verify_jaccard(cand, docs).filter(
+    return verify_jaccard(cand, docs, shingles=sh).filter(
         F.col("inter") * 10 >= F.col("uni") * 7
     )
 
@@ -403,7 +419,10 @@ def q_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern), not recomputed — here both sides derive from one
     signature pass for the oracle's sake.
     """
+    from pyspark import StorageLevel
+
     from core_spark.operators.dedup import (
+        _with_shingles,
         banded_signatures,
         lsh_probe,
         minhash_signatures,
@@ -412,7 +431,14 @@ def q_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     is_batch = F.col("doc_id") % 10 == 0
-    sigs = minhash_signatures(docs, k=_MINHASH_K)
+    # One persisted shingle table feeds the signature pass and all
+    # four verification join sides (two verify calls x two sides) —
+    # the same single-text-pass discipline as _minhash_dup_pairs
+    # (r14 opt, guide §2.3/§5).
+    sh = _with_shingles(docs, "text", [F.col("doc_id")]).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sigs = minhash_signatures(docs, k=_MINHASH_K, shingles=sh)
     banded = banded_signatures(sigs, bands=_BANDS, rows=_ROWS)
     banded_b = banded.filter(F.col("doc_id") % 10 == 0)
     banded_c = banded.filter(F.col("doc_id") % 10 != 0)
@@ -422,7 +448,7 @@ def q_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_new").alias("doc_a"), F.col("doc_idx").alias("doc_b")
     )
     n_corpus = (
-        verify_jaccard(cand_bc, docs)
+        verify_jaccard(cand_bc, docs, shingles=sh)
         .filter(thr)
         .groupBy("doc_a")
         .agg(F.count("*").alias("n_corpus"))
@@ -441,7 +467,7 @@ def q_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     n_prior = (
-        verify_jaccard(cand_bb, docs)
+        verify_jaccard(cand_bb, docs, shingles=sh)
         .filter(thr)
         .groupBy("doc_b")
         .agg(F.count("*").alias("n_prior"))
@@ -608,6 +634,12 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = spark.sparkContext.defaultParallelism
     if d.rdd.getNumPartitions() < target:
         d = d.repartition(target)
+    # NOT persisted (r14: measured +0.4s): the static plan shows the
+    # kernel 4x, but at runtime ReuseExchange already dedupes the
+    # fph-keyed exchanges across the self-join sides, so the cache
+    # only added a fill barrier + serialization. Contrast
+    # _winnow_prints, whose second consumer is a BROADCAST build
+    # (no exchange to reuse) — there the persist measured faster.
     fp = d.mapInPandas(winnow, schema="doc_id long, fph long")
     kept = fp.groupBy("fph").count().filter(
         F.col("count") <= _WIN_DF
@@ -934,7 +966,14 @@ def _winnow_prints(spark: SparkSession, docs: DataFrame) -> DataFrame:
     target = spark.sparkContext.defaultParallelism
     if d.rdd.getNumPartitions() < target:
         d = d.repartition(target)
-    return d.mapInPandas(winnow_pos, schema="doc_id long, fph long, pos long")
+    # Persisted: both consumers feed the kernel output into a print-
+    # set aggregate AND a join probe side — two kernel executions per
+    # query without the cache (r14 opt, guide §4.1/§5).
+    from pyspark import StorageLevel
+
+    return d.mapInPandas(
+        winnow_pos, schema="doc_id long, fph long, pos long"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def _interval_ledger(iv: DataFrame) -> DataFrame:
