@@ -927,16 +927,21 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         width = min(session_width, max(4, li_bytes // 1_350_000))
     except OSError:
         width = min(session_width, max(4, (2 * li.count()) // 150_000))
-    spark.conf.set("spark.sql.shuffle.partitions", str(width))
-    try:
-        return _pr_build_and_loop(
-            li, orders, StorageLevel.MEMORY_AND_DISK, session_width
-        )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", str(session_width))
+    # r14 opt: the width is applied with an EXPLICIT repartition of
+    # the graph before the persist (and the loop's per-round contrib
+    # repartition), not by mutating spark.sql.shuffle.partitions —
+    # the session-global pin raced concurrent queries on one session
+    # and forced an eager graph.count() inside the pinned scope so
+    # the cache wouldn't re-plan at session width afterwards. With
+    # the partitioning carried by the plan itself, the count() job
+    # is gone too: the cache fills during the first round's scan.
+    # Build-side shuffles (lineitem join, distinct, degree) now plan
+    # at session width with AQE coalescing — full scan parallelism
+    # where the work is, loop width where the loop needs it.
+    return _pr_build_and_loop(li, orders, StorageLevel.MEMORY_AND_DISK, width)
 
 
-def _pr_build_and_loop(li, orders, level, session_width) -> DataFrame:
+def _pr_build_and_loop(li, orders, level, width) -> DataFrame:
     cs = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
         F.col("o_custkey").alias("cu"),
         (F.lit(_PR_SUPP_OFF) + F.col("l_suppkey")).alias("su"),
@@ -965,21 +970,31 @@ def _pr_build_and_loop(li, orders, level, session_width) -> DataFrame:
     # power-law graphs this query targets; the aggregate's partial
     # rows stay bounded by distinct keys per input partition.
     deg = und.groupBy("u").agg(F.count("*").cast("bigint").alias("d"))
-    # shuffle_hash hint pins the degree join to a SHUFFLED hash join,
-    # so the persisted graph's output partitioning is
-    # hashpartitioning(u) — each round's rank join then reuses it and
-    # shuffles only the rank vector.
-    graph = und.join(deg.hint("shuffle_hash"), "u").select("u", "v", "d").persist(
-        level
+    # shuffle_hash hint pins the degree join to a SHUFFLED hash join
+    # (never a broadcast of a node-scale table); the explicit
+    # repartition(width, "u") then pins the PERSISTED partitioning
+    # the loop reuses — each round's rank join sees
+    # hashpartitioning(u, width) on the cached side with no Exchange
+    # above the InMemoryTableScan, and shuffles only the rank vector.
+    graph = (
+        und.join(deg.hint("shuffle_hash"), "u")
+        .select("u", "v", "d")
+        .repartition(width, "u")
+        .persist(level)
     )
-    # Materialize the graph inside the pinned-width scope so the
-    # build's shuffles (distinct, degree) and the persisted
-    # partitioning all land at loop width.
+    # Eager fill is REQUIRED, not an optimization: under AQE the
+    # cached plan's output partitioning is unknown until its
+    # adaptive plan finalizes, so an unfilled cache makes every
+    # round's join add an Exchange above the InMemoryTableScan
+    # (verified: dropping this count() re-shuffled the graph in all
+    # five rounds — the r4 bug back). Once filled, the cache reports
+    # hashpartitioning(u, width) and the rounds are exchange-free on
+    # the graph side (pinned by test_pagerank_rank_join_is_...).
     graph.count()
-    return _pr_loop(graph, session_width)
+    return _pr_loop(graph, width)
 
 
-def _pr_loop(graph: DataFrame, session_width: int) -> DataFrame:
+def _pr_loop(graph: DataFrame, width: int) -> DataFrame:
     # Initial ranks: distinct u over the CACHED graph — its persisted
     # hashpartitioning(u) satisfies the distinct's distribution, so
     # this is exchange-free. Not checkpointed: round 0's checkpoint
@@ -992,9 +1007,8 @@ def _pr_loop(graph: DataFrame, session_width: int) -> DataFrame:
             F.lit(1_000_000).cast("bigint").alias("r"),
         )
     )
-    # loop width = the pinned conf this loop runs under; the TRUE
-    # session width is passed in because inside the pin they differ
-    width = int(graph.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # loop width = the cached graph's explicit partitioning width,
+    # passed in by the builder (no session conf involved — r14 opt)
     for i in range(_PR_ITERS):
         joined = graph.join(
             ranks.hint("shuffle_hash"), graph["u"] == ranks["node"]
