@@ -756,7 +756,7 @@ def embed_ingest_classify(
     bb, bc = banded(batch), banded(corpus)
     va = batch.select(F.col(id_col).alias("_a"), F.col(vec_col).alias("_va"))
 
-    def verified_counts(cand, b_side, key_out):
+    def verified_counts(cand, b_side, key_out, prune=False):
         # b_side: only the table the candidate's doc_b can come from
         # (corpus for batch x corpus pairs, batch for within-batch) —
         # joining a batch∪corpus union would drag the whole corpus
@@ -764,6 +764,31 @@ def embed_ingest_classify(
         vb = b_side.select(
             F.col(id_col).alias("_b"), F.col(vec_col).alias("_vb")
         )
+        if prune:
+            # §3.2 prune-before-attach (r14 opt, VERDICT r13 task 3),
+            # CORPUS branch only: the verification join used to
+            # attach _vb by an UNPRUNED id equi-join, which at scale
+            # shuffles (or worse, broadcasts) the whole corpus's
+            # vectors to serve a batch-bounded candidate list. The
+            # candidate doc_b ids are |batch| x bucket-mates —
+            # ingest-batch-bounded — so a broadcast semi-join drops
+            # every unmatched corpus row AT THE SCAN before any
+            # vector bytes move; only verified-candidate vectors
+            # reach the attach join. The candidate frame is persisted
+            # (batch-bounded): it feeds both the semi build and the
+            # attach join. The within-batch branch skips the prune —
+            # both of its sides are already batch-bounded, so the
+            # extra semi pass would be pure local overhead.
+            from pyspark import StorageLevel
+
+            cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+            vb = vb.join(
+                F.broadcast(
+                    cand.select(F.col("doc_b").alias("_b")).distinct()
+                ),
+                "_b",
+                "semi",
+            )
         pairs = (
             cand.join(va, cand["doc_a"] == va["_a"])
             .join(vb, cand["doc_b"] == vb["_b"])
@@ -782,7 +807,9 @@ def embed_ingest_classify(
         .select(bb["vec_id"].alias("doc_a"), bc["vec_id"].alias("doc_b"))
         .distinct()
     )
-    n_corpus = verified_counts(cand_bc, corpus, "doc_a").withColumnRenamed(
+    n_corpus = verified_counts(
+        cand_bc, corpus, "doc_a", prune=True
+    ).withColumnRenamed(
         "doc_a", "vec_id"
     )
     a, b = bb.alias("a"), bb.alias("b")
