@@ -438,6 +438,14 @@ def dsir_scores(docs: DataFrame) -> DataFrame:
         "lang",
         F.explode(F.split("text", " ")).alias("w"),
     ).filter(F.col("w") != "")
+    from pyspark import StorageLevel
+
+    # docf feeds the (broadcast) llr model AND the final score join;
+    # a broadcast build shares no exchange, so without the persist
+    # the whole upstream — the corpus word explode, and in q_curate2
+    # the semdedup kernel feeding it — ran twice (r14 opt, guide §5;
+    # static-plan evidence in plans/r14/q_curate2_before.txt). The
+    # cached frame is (doc_id, f, c, c_en): <= 64 slim rows per doc.
     docf = (
         words.select("doc_id", "lang", F.expr(_SPARK_WB).alias("f"))
         .groupBy("doc_id", "f")
@@ -447,6 +455,7 @@ def dsir_scores(docs: DataFrame) -> DataFrame:
                 "c_en"
             ),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     buckets = docf.groupBy("f").agg(
         (F.sum("c") + 1).alias("cr"), (F.sum("c_en") + 1).alias("ct")
