@@ -86,8 +86,7 @@ def spread(df: DataFrame) -> DataFrame:
     priced far below the kernel it feeds; on a real multi-fragment
     corpus it would be unnecessary (and a no-op cost-wise next to
     the kernel)."""
-    sc = df.sparkSession.sparkContext
-    return df.repartition(sc.defaultParallelism)
+    return df.repartition(_spread_width(df))
 
 
 def spread_ranged(df: DataFrame, *keys: str) -> DataFrame:
@@ -111,5 +110,39 @@ def spread_ranged(df: DataFrame, *keys: str) -> DataFrame:
     CPU balance: per-row kernel cost varies by md5-derived form
     nibbles, which are independent of the key ranges, so range
     partitions carry the same expected cost as round-robin."""
+    return df.repartitionByRange(_spread_width(df), *keys)
+
+
+# ~256 MB of (projected) input per kernel task at scale — guide §2.2
+# "fewer, larger partitions" / §6 split sizing; the kernels amplify
+# input bytes, so this errs small rather than at the 1 GB scan bound.
+_SPREAD_TARGET_BYTES = 256 << 20
+# Catalyst reports Long.MaxValue-ish sizes for plans it cannot
+# estimate (spark.sql.defaultSizeInBytes); treat anything absurd as
+# unknown rather than exploding the partition count.
+_SPREAD_UNKNOWN = 1 << 50
+
+
+def _spread_width(df: DataFrame) -> int:
+    """Partition count for spread/spread_ranged: the session's core
+    budget locally, growing with ESTIMATED INPUT BYTES at scale (r14
+    opt, VERDICT r13 task 9 — a cores-only width ties kernel
+    partition sizes to the executor count, so a 100 TB corpus on a
+    small cluster would produce arbitrarily fat kernel tasks; §2.2).
+
+    width = max(defaultParallelism, est_bytes // 256 MB), from the
+    optimizer's plan statistics (file-size-derived for parquet scans;
+    zero Spark jobs). Local fixtures are single-digit MB, so the
+    byte term is 0 and the width — and every committed local plan
+    and bench number — is exactly the pre-r14 `defaultParallelism`.
+    Unknown/absurd estimates (Catalyst's Long.MaxValue default above
+    non-estimable operators) fall back to the core budget too."""
     sc = df.sparkSession.sparkContext
-    return df.repartitionByRange(sc.defaultParallelism, *keys)
+    cores = sc.defaultParallelism
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return cores
+    if est <= 0 or est >= _SPREAD_UNKNOWN:
+        return cores
+    return max(cores, min(1_000_000, est // _SPREAD_TARGET_BYTES))

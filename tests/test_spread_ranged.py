@@ -55,6 +55,35 @@ def test_ranged_local_sort_equals_global_orderby(spark):
     ]
 
 
+def test_spread_width_is_core_budget_locally_and_byte_scaled(spark):
+    """r14 size-aware spread width (io.py:_spread_width): local
+    fixture-sized inputs must keep width == defaultParallelism (the
+    committed plans/bench numbers depend on it), while the byte term
+    takes over for corpus-scale estimates."""
+    from core_spark.io import (
+        _SPREAD_TARGET_BYTES,
+        _SPREAD_UNKNOWN,
+        _spread_width,
+        load_table,
+    )
+
+    cores = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, SF_SMOKE, "documents")
+    assert _spread_width(docs) == cores  # ~KBs: core budget wins
+    # A kernel output (non-estimable stats) must not explode the width.
+    def _ident(batches):
+        yield from batches
+
+    k = docs.select("doc_id").mapInPandas(_ident, schema="doc_id long")
+    assert _spread_width(k) == cores
+    # The scale arm of the formula itself (pure arithmetic contract):
+    est = 100 * _SPREAD_TARGET_BYTES
+    assert max(cores, min(1_000_000, est // _SPREAD_TARGET_BYTES)) == max(
+        cores, 100
+    )
+    assert _SPREAD_UNKNOWN > 1 << 40  # sanity: petabyte inputs still scale
+
+
 def test_converted_query_has_no_exchange_above_kernel(spark):
     # representative converted query: q_cc_pdf (the conversion's
     # prototype) — the formatted plan must place every Exchange
