@@ -105,8 +105,20 @@ def _kernel(
 
     `cols` is the projection applied in the UNFUSED path only (the
     fused path's intermediate never reaches the JVM, so there is
-    nothing to prune)."""
+    nothing to prune).
+
+    Persist / fan-out interaction (ADVICE r13): fusion recomputes the
+    upstream generator from `src`, so a PERSISTED intermediate kernel
+    output must not be fused through (the cache would be silently
+    bypassed) — `df.is_cached` disables fusion. A kernel output that
+    fans out to several downstream kernels re-runs the upstream
+    generator once per fused consumer; that is the deliberate trade
+    (Arrow-boundary crossings cost more than the regenerate at every
+    measured call site), and callers that want the intermediate
+    shared should persist it, which now also opts out of fusion."""
     base = getattr(df, "_kernel_chain", None)
+    if base is not None and df.is_cached:
+        base = None
     if base is not None:
         src, gens = base
         chain = tuple(gens) + (gen,)

@@ -168,16 +168,18 @@ def _parse_value(raw: bytes, i: int, depth: int = 0):
                 key = m.group(1).decode("latin-1")
                 val, i = _parse_value(raw, m.end(), depth + 1)
                 d[key] = val
-        j = raw.find(b">", i)  # hex string
-        if j < 0:
-            raise PdfError("unterminated hex string")
-        hexs = re.sub(rb"\s", b"", raw[i + 1 : j])
-        if len(hexs) % 2:
-            hexs += b"0"
-        try:
-            return ("str", bytes.fromhex(hexs.decode("ascii"))), j + 1
-        except (ValueError, UnicodeDecodeError):
-            raise PdfError("non-hex digits in hex string")
+        else:  # single '<': hex string (the dict loop above never
+            # falls through — it exits only via return/raise)
+            j = raw.find(b">", i)
+            if j < 0:
+                raise PdfError("unterminated hex string")
+            hexs = re.sub(rb"\s", b"", raw[i + 1 : j])
+            if len(hexs) % 2:
+                hexs += b"0"
+            try:
+                return ("str", bytes.fromhex(hexs.decode("ascii"))), j + 1
+            except (ValueError, UnicodeDecodeError):
+                raise PdfError("non-hex digits in hex string")
     if c == 0x5B:  # '['
         arr = []
         i += 1
