@@ -12,6 +12,8 @@ local[4,3] master rather than the shared test session.
 import json
 import subprocess
 import sys
+import pytest
+
 from pathlib import Path
 
 from core_spark.sources.journal import Journal
@@ -26,6 +28,9 @@ from pyspark.sql import SparkSession, functions as F
 from core_spark.streaming.shard import ShardConfig, run_shard
 from core_spark.sources.journal import Journal
 import os, json
+
+# kill/retry recovery fuzzes: opt-in slow tier (r14 test tiering)
+pytestmark = pytest.mark.slow
 
 work = {work!r}
 spark = (SparkSession.builder.master("local[4,3]")  # 3 task attempts

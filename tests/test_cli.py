@@ -175,7 +175,14 @@ def test_apply_and_specs(spark, tmp_path, capsys):
             "name": "topic/p0",
             "labels": [["app", "demo"]],
             "bloom_columns": ["lang"],
-            "max_append_rate": 1024,
+            # Generous cap: the rate must be PRESENT (the append below
+            # proves the applied spec drives the writer) but not
+            # binding — at 1024 B/s the parquet fragment's token-bucket
+            # debt made this test sleep ~17 MINUTES (r14: it was 47% of
+            # the whole suite's wall time and the reason the driver's
+            # pytest gate timed out). Throttle math is pinned by
+            # test_flow_control.py with synthetic clocks.
+            "max_append_rate": 1 << 30,
         }),
     ]) == 0
     assert json.loads(capsys.readouterr().out.strip())["version"] == 1

@@ -7,6 +7,8 @@ testing discipline)."""
 import math
 
 import numpy as np
+import pytest
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -70,6 +72,7 @@ def _vector_sets(draw):
 
 @settings(max_examples=8, deadline=None)
 @given(_vector_sets())
+@pytest.mark.slow
 def test_lloyd_matches_imperative_reference(spark, vecs):
     """Arbitrary vector sets — including duplicate points (distance
     ties, broken by centroid index) and clusters that lose every
@@ -88,6 +91,7 @@ def test_lloyd_matches_imperative_reference(spark, vecs):
 
 @settings(max_examples=4, deadline=None)
 @given(_vector_sets())
+@pytest.mark.slow
 def test_topn_and_row_form_match_reference(spark, vecs):
     """r13 optimization internals: (a) the frame-form train_centroids
     equals the row-form loop it now unfolds; (b) the map-side

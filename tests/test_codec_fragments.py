@@ -280,6 +280,7 @@ def test_shard_commits_codec_fragments(spark, tmp_path, small_chunks):
     assert sorted(r.v for r in rows) == list(range(200))
 
 
+@pytest.mark.slow
 def test_gz_fragments_tail_read_committed_end_to_end(
     spark, tmp_path, small_chunks
 ):

@@ -1,6 +1,8 @@
 """Connected-components operator: chains, cycles, transitivity, and a
 property-based sweep against a union-find reference."""
 
+import pytest
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -67,6 +69,7 @@ def test_long_chain_converges(spark):
         max_size=25,
     )
 )
+@pytest.mark.slow
 def test_cc_matches_union_find(spark, edges):
     """Random edge sets (self-loops excluded, duplicates and both
     orientations allowed): min-label propagation must agree with
@@ -105,6 +108,7 @@ def _brute_triangles(edges):
         max_size=25,
     )
 )
+@pytest.mark.slow
 def test_triangle_counts_match_bruteforce(spark, raw):
     from core_spark.operators.graph import triangle_counts
 

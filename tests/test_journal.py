@@ -412,6 +412,7 @@ def test_zone_map_nan_literal_never_prunes(spark, journal):
     assert df.count() == 1
 
 
+@pytest.mark.slow
 def test_zone_map_pruned_read_equals_filtered_read_fuzz(spark, tmp_path):
     """Property: for ANY fragment layout and ANY supported predicate,
     read(where=...) returns exactly the rows a full read + exact
@@ -530,6 +531,7 @@ def test_bloom_conservative_paths(spark, tmp_path):
     assert j.read(spark, where=[("lang", "=", "en")]).count() == 1
 
 
+@pytest.mark.slow
 def test_bloom_pruned_read_equals_filtered_read_fuzz(spark, tmp_path):
     """Soundness fuzz (the zone-map discipline): bloom-pruned reads
     must equal exact filtering for present AND absent values across

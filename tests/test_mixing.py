@@ -3,6 +3,8 @@ plans/mixing.py must equal an imperative reference on arbitrary
 domain tables (the oracle shares the formulation, so test_oracle
 alone could not catch a shared derivation bug)."""
 
+import pytest
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -42,6 +44,7 @@ def reference_waterfill(tokens: list[int]) -> list[int]:
 @given(
     st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=12)
 )
+@pytest.mark.slow
 def test_waterfill_matches_reference(spark, tokens):
     rows = [(f"src{i:02d}", n) for i, n in enumerate(tokens)]
     df = spark.createDataFrame(rows, "source string, n_tokens long")
@@ -110,6 +113,7 @@ def _reference_bpe(words: list[str], rounds: int):
         max_size=30,
     )
 )
+@pytest.mark.slow
 def test_bpe_train_matches_imperative_reference(spark, words):
     """The declarative merge rounds (position-local array expression +
     one-row broadcast winner) must equal an imperative leftmost-greedy

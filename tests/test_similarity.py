@@ -1,6 +1,8 @@
 """ANN tiers vs the exact baseline: determinism and recall floors for
 hyperplane LSH and IVF over the embeddings table."""
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from core_spark.io import load_table
@@ -489,6 +491,7 @@ def test_auto_width_formula_matches_duckdb_across_decades():
         )
 
 
+@pytest.mark.slow
 def test_dedup_embed_auto_oracle_holds_in_dynamic_width_region(spark):
     """At driver scales the auto width resolves to the demo value
     (4); this is the cross-engine check IN the dynamic region: a 5000

@@ -73,6 +73,7 @@ def test_stream_matches_batch(spark, messages, tmp_path):
     assert got == want and len(got) > 0
 
 
+@pytest.mark.slow
 def test_stream_prune_horizon_evicts_idle_state(spark, tmp_path):
     """A producer idle past idle_prune_ms has its state evicted (the
     24h messageSequencerPruneHorizon analog, consumer/shard.go:35-38):
