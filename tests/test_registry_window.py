@@ -90,12 +90,20 @@ _REPO = Path(__file__).resolve().parent.parent
 # the cutoff (q_bundle_*, q_cc_*, q_crawl_*); per the standing
 # rotation protocol they take pytest-only + full-registry SWEEP_r13
 # coverage this round and rotate into the window in r14 (COVERAGE.md
-# "Round-13 rotation"). r14 rotation plan: once CORRECTNESS_r13
-# lands green rows for the current window, rename this cohort to
-# sort inside the cutoff (the established q_bits_*/q_bitmap_* style,
+# "Round-13 rotation").
+# r14 (an OPTIMIZATION round): the rotation is DEFERRED — the
+# optimization-round contract forbids removing or renaming any
+# existing bench/registry query (a rename would surface as 14
+# dropped queries), so the cohort keeps PYTEST_ONLY + full-sweep
+# coverage (SWEEP_r13/SWEEP_r14) one more round and rotates in the
+# next BUILD round instead, same mechanics as below
+# (OPTIMIZATION_r14.md "Round-14 driver-window rotation").
+# Original rotation plan, unchanged: once a CORRECTNESS file lands
+# green rows for the current window, rename this cohort to sort
+# inside the cutoff (the established q_bits_*/q_bitmap_* style,
 # e.g. q_bits_zip, q_bits_docx, …) — the names they displace
 # (q_bits_pages upward) will then hold r13 window rows AND green
-# SWEEP_r13 entries, keeping the no-blind-spot invariant.
+# SWEEP entries, keeping the no-blind-spot invariant.
 PYTEST_ONLY: set[str] = {"q_bundle_epub", "q_bundle_mbox", "q_bundle_zip", "q_cc_docx", "q_cc_eml", "q_cc_ipynb", "q_cc_latex", "q_cc_markdown", "q_cc_odt", "q_cc_rtf", "q_cc_sniff", "q_cc_xlsx",
     "q_crawl_feed", "q_crawl_meta"}
 
