@@ -347,7 +347,11 @@ def parse_orc_metadata(raw: bytes) -> list[list[dict]]:
 
 
 def orc_verify_stripe_stats(
-    raw: bytes, name: str, values: list | None = None
+    raw: bytes,
+    name: str,
+    values: list | None = None,
+    tail: dict | None = None,
+    meta: list | None = None,
 ) -> list[dict]:
     """Cross-check the writer's recorded STRIPE statistics for one
     column against a from-spec recompute: decode the column's values
@@ -364,8 +368,10 @@ def orc_verify_stripe_stats(
     Reference parity: gazette/core ships no columnar stats
     (message/interfaces.go — opaque serializations); this is the
     verification tier for fragment recovery audits."""
-    tail = parse_orc_tail(raw)
-    meta = parse_orc_metadata(raw)
+    if tail is None:
+        tail = parse_orc_tail(raw)
+    if meta is None:
+        meta = parse_orc_metadata(raw)
     if not meta:
         raise OrcError("file carries no stripe statistics metadata")
     if len(meta) != len(tail["stripes"]):
@@ -382,7 +388,7 @@ def orc_verify_stripe_stats(
         )
     is_str = kind in ("string", "varchar", "char")
     if values is None:
-        values = read_orc_column(raw, name)
+        values = read_orc_column(raw, name, tail=tail)
     out: list[dict] = []
     off = 0
     agg_n = 0
@@ -696,16 +702,32 @@ def _rlev2(data: bytes, signed: bool) -> list[int]:
     return out
 
 
+def _stripe_footer(
+    raw: bytes, stripe: dict, comp: str
+) -> tuple[list[dict], list[dict]]:
+    """Parsed (streams, encodings) of one stripe's footer, memoized
+    on the stripe dict (r14 opt, guide §1.2): a multi-column verify
+    pass over a shared parse_orc_tail handle re-entered this parse
+    once per column per stream family — ~30x per file in the
+    stats-verify kernel — for byte-identical output."""
+    cached = stripe.get("_footer_cache")
+    if cached is not None:
+        return cached
+    foot_start = stripe["offset"] + stripe["index_len"] + stripe["data_len"]
+    sf_raw = raw[foot_start : foot_start + stripe["footer_len"]]
+    if len(sf_raw) != stripe["footer_len"]:
+        raise OrcError("stripe footer escapes the file")
+    parsed = _parse_stripe_footer(_deframe(sf_raw, comp))
+    stripe["_footer_cache"] = parsed
+    return parsed
+
+
 def _stripe_column_streams(
     raw: bytes, stripe: dict, col_id: int, comp: str
 ) -> tuple[dict, dict]:
     """Deframed streams of one column in one stripe, keyed by stream
     kind, plus the column's encoding."""
-    foot_start = stripe["offset"] + stripe["index_len"] + stripe["data_len"]
-    sf_raw = raw[foot_start : foot_start + stripe["footer_len"]]
-    if len(sf_raw) != stripe["footer_len"]:
-        raise OrcError("stripe footer escapes the file")
-    streams, encodings = _parse_stripe_footer(_deframe(sf_raw, comp))
+    streams, encodings = _stripe_footer(raw, stripe, comp)
     if col_id >= len(encodings):
         raise OrcError("column id beyond the stripe's encodings")
     pos = stripe["offset"]
@@ -875,7 +897,9 @@ def _decode_strings(streams: dict, enc: dict, n_present: int) -> list:
     return out
 
 
-def orc_row_index(raw: bytes, name: str) -> list[dict]:
+def orc_row_index(
+    raw: bytes, name: str, tail: dict | None = None
+) -> list[dict]:
     """Sub-stripe pruning surface — the parquet page-index twin
     (functions/parquetfile.py parquet_page_index): each stripe's
     INDEX region carries, per column, a ROW_INDEX stream of
@@ -886,19 +910,14 @@ def orc_row_index(raw: bytes, name: str) -> list[dict]:
     to answer "which 10k-row groups can hold value X" from index
     bytes alone, before any DATA stream is fetched — two pruning
     levels below the file (stripe stats) and one below the stripe."""
-    tail = parse_orc_tail(raw)
+    if tail is None:
+        tail = parse_orc_tail(raw)
     col_id = _root_col_id(tail, name)
     comp = tail["compression"]
     stride = tail.get("row_index_stride") or 10000
     out: list[dict] = []
     for si, stripe in enumerate(tail["stripes"]):
-        foot_start = (
-            stripe["offset"] + stripe["index_len"] + stripe["data_len"]
-        )
-        sf_raw = raw[foot_start : foot_start + stripe["footer_len"]]
-        if len(sf_raw) != stripe["footer_len"]:
-            raise OrcError("stripe footer escapes the file")
-        streams, _encs = _parse_stripe_footer(_deframe(sf_raw, comp))
+        streams, _encs = _stripe_footer(raw, stripe, comp)
         pos = stripe["offset"]
         blob = None
         for s in streams:
@@ -948,7 +967,10 @@ def orc_row_index(raw: bytes, name: str) -> list[dict]:
 
 
 def orc_verify_rowindex_stats(
-    raw: bytes, name: str, values: list | None = None
+    raw: bytes,
+    name: str,
+    values: list | None = None,
+    tail: dict | None = None,
 ) -> list[dict]:
     """The third rung of the stats-verify ladder (r13 — below
     orc_verify_stripe_stats's file and stripe levels): every
@@ -959,16 +981,17 @@ def orc_verify_rowindex_stats(
     the statistics surface orc_rowgroup_prune TRUSTS when it skips
     10k-row groups — after this check, a pruning verdict can only be
     wrong if the writer lied consistently at every granularity."""
-    tail = parse_orc_tail(raw)
+    if tail is None:
+        tail = parse_orc_tail(raw)
     col_id = _root_col_id(tail, name)
     kind = tail["types"][col_id]["kind"]
     if kind not in ("byte", "short", "int", "long"):
         raise OrcError(
             f"row-index stat verify for kind '{kind}' is not supported"
         )
-    entries = orc_row_index(raw, name)
+    entries = orc_row_index(raw, name, tail=tail)
     if values is None:
-        values = read_orc_column(raw, name)
+        values = read_orc_column(raw, name, tail=tail)
     stripe_base: list[int] = []
     off = 0
     for st in tail["stripes"]:
@@ -1219,13 +1242,20 @@ def _read_path_values(raw: bytes, tail: dict, chain: list[int]) -> list:
     return out
 
 
-def read_orc_column(raw: bytes, name: str) -> list:
+def read_orc_column(raw: bytes, name: str, tail: dict | None = None) -> list:
     """Whole-file read of one column by name with no ORC library, in
     row order, None for nulls. Strings decode as UTF-8; binary stays
     bytes. A dotted name (e.g. ``meta.lang``) addresses a field
     inside non-repeated STRUCTs (flattened nulls — see
-    _read_path_values)."""
-    tail = parse_orc_tail(raw)
+    _read_path_values).
+
+    ``tail``: optionally a pre-parsed ``parse_orc_tail(raw)`` so a
+    caller verifying several columns/rungs of one file parses the
+    footer protobufs once (r14 opt — the pdf.py single-walk
+    discipline; the stats-verify kernel parsed the tail 5x per
+    document without it)."""
+    if tail is None:
+        tail = parse_orc_tail(raw)
     chain = _path_chain(tail, name)
     kind = tail["types"][chain[-1]]["kind"]
     if kind == "list":
@@ -1512,13 +1542,7 @@ def orc_bloom_filters(raw: bytes, name: str) -> list[list[dict]]:
     comp = tail["compression"]
     out: list[list[dict]] = []
     for si, stripe in enumerate(tail["stripes"]):
-        foot_start = (
-            stripe["offset"] + stripe["index_len"] + stripe["data_len"]
-        )
-        sf_raw = raw[foot_start : foot_start + stripe["footer_len"]]
-        if len(sf_raw) != stripe["footer_len"]:
-            raise OrcError("stripe footer escapes the file")
-        streams, _encs = _parse_stripe_footer(_deframe(sf_raw, comp))
+        streams, _encs = _stripe_footer(raw, stripe, comp)
         pos = stripe["offset"]
         blob = None
         for s in streams:

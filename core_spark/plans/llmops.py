@@ -7797,13 +7797,26 @@ def q_bits_orc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 raw = buf.getvalue()
                 # decode each column ONCE; both verify rungs reuse
                 # the same decoded values (the pure-Python decode is
-                # the dominant per-doc cost)
-                from core_spark.functions.orcfile import read_orc_column
+                # the dominant per-doc cost) — and parse the tail +
+                # stripe-stats protobufs ONCE per file (r14 opt,
+                # guide §1.2 / the pdf.py single-walk discipline:
+                # the five verify calls each re-parsed the footer)
+                from core_spark.functions.orcfile import (
+                    parse_orc_metadata,
+                    parse_orc_tail,
+                    read_orc_column,
+                )
 
-                v_score = read_orc_column(raw, "score")
-                v_word = read_orc_column(raw, "word")
-                sc = orc_verify_stripe_stats(raw, "score", v_score)
-                wd = orc_verify_stripe_stats(raw, "word", v_word)
+                t_orc = parse_orc_tail(raw)
+                m_orc = parse_orc_metadata(raw)
+                v_score = read_orc_column(raw, "score", tail=t_orc)
+                v_word = read_orc_column(raw, "word", tail=t_orc)
+                sc = orc_verify_stripe_stats(
+                    raw, "score", v_score, tail=t_orc, meta=m_orc
+                )
+                wd = orc_verify_stripe_stats(
+                    raw, "word", v_word, tail=t_orc, meta=m_orc
+                )
                 if len(sc) < 2:
                     raise OrcError(
                         "fixture produced a single stripe — the "
@@ -7811,7 +7824,9 @@ def q_bits_orc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 # the third rung: every 128-row RowIndexEntry's
                 # recorded stats recomputed and compared (late r13)
-                ri = orc_verify_rowindex_stats(raw, "score", v_score)
+                ri = orc_verify_rowindex_stats(
+                    raw, "score", v_score, tail=t_orc
+                )
                 if len(ri) < 4:
                     raise OrcError(
                         "fixture produced too few row groups — the "
