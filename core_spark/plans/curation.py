@@ -461,20 +461,17 @@ def q_curate2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from core_spark.operators.similarity import semdedup
     from core_spark.plans.mixing import dsir_scores
 
-    from pyspark import StorageLevel
-
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
-    # canon feeds TWO broadcast join builds (d1 and the embedding
-    # subset) — broadcast builds share no exchange, so the md5
-    # exact-dedup corpus pass ran twice without the persist (r14
-    # opt, guide §5); the cached frame is doc_id-only.
+    # canon is NOT persisted despite feeding two broadcast builds:
+    # measured with the docf persist above, caching it was part of a
+    # consistent +1.5s q_curate2 regression (r14 interleaved A/B) —
+    # the duplicated md5 aggregate is cheaper than a fill barrier.
     canon = (
         docs.select("doc_id", F.md5("text").alias("h"))
         .groupBy("h")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     d1 = docs.join(canon, "doc_id")
     sub = emb.join(canon.withColumnRenamed("doc_id", "vec_id"), "vec_id")

@@ -438,14 +438,14 @@ def dsir_scores(docs: DataFrame) -> DataFrame:
         "lang",
         F.explode(F.split("text", " ")).alias("w"),
     ).filter(F.col("w") != "")
-    from pyspark import StorageLevel
-
-    # docf feeds the (broadcast) llr model AND the final score join;
-    # a broadcast build shares no exchange, so without the persist
-    # the whole upstream — the corpus word explode, and in q_curate2
-    # the semdedup kernel feeding it — ran twice (r14 opt, guide §5;
-    # static-plan evidence in plans/r14/q_curate2_before.txt). The
-    # cached frame is (doc_id, f, c, c_en): <= 64 slim rows per doc.
+    # NOT persisted (r14: tried, measured WORSE — q_dsir +0.4s,
+    # q_curate2 +1.5s across interleaved A/B sessions): docf feeds
+    # the broadcast llr model AND the final score join, and the
+    # static plan duplicates its upstream, but at runtime the
+    # duplicate is cheap next to the cache's fill barrier +
+    # serialization — the q_dup_spans lesson. Plan-level dedup of
+    # broadcast-fed subtrees only pays when the subtree is a real
+    # second execution of EXPENSIVE work (see _winnow_prints).
     docf = (
         words.select("doc_id", "lang", F.expr(_SPARK_WB).alias("f"))
         .groupBy("doc_id", "f")
@@ -455,7 +455,6 @@ def dsir_scores(docs: DataFrame) -> DataFrame:
                 "c_en"
             ),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     buckets = docf.groupBy("f").agg(
         (F.sum("c") + 1).alias("cr"), (F.sum("c_en") + 1).alias("ct")
