@@ -91,7 +91,7 @@ def connected_components(
         # No extra materialization job: round 0's aggregate fills the
         # repartitioned cache from edges0's cache in one pass.
         edges = edges0.repartition(width, "u").persist()
-        return _cc_loop(edges, max_iter)
+        return _cc_loop(edges, max_iter, width)
     finally:
         # Always release the full-width copy — _cc_loop runs its
         # rounds eagerly (localCheckpoint + Observation), so by the
@@ -106,7 +106,7 @@ def _cc_checksum_col():
     return F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
 
 
-def _cc_loop(edges: DataFrame, max_iter: int) -> DataFrame:
+def _cc_loop(edges: DataFrame, max_iter: int, width: int) -> DataFrame:
     # localCheckpoint truncates lineage each round: without it the
     # logical plan doubles per iteration (the label table references
     # its whole history) and the analyzer blows up after ~10 rounds.
@@ -134,8 +134,17 @@ def _cc_loop(edges: DataFrame, max_iter: int) -> DataFrame:
         # Hint the LABEL side as the shuffled-hash build: node-width,
         # always the smaller table; edges keep their persisted
         # hashpartitioning(u) so no edge bytes move after round 0.
-        nbr = labels.hint("shuffle_hash").join(
-            edges, labels["node"] == edges["u"], "inner"
+        # The EXPLICIT repartition(width, "node") is load-bearing, not
+        # cosmetic (r14 — the q_graph_pagerank per-round discipline):
+        # without it the label exchange plans at the session's
+        # shuffle width while the cached edges sit at loop width, and
+        # EnsureRequirements re-shuffles the PERSISTED edge table
+        # every round to align the join (the r4 bug; re-measured here
+        # as a consistent ~1.9x on q_dup_clusters when this line was
+        # briefly a conf-width exchange).
+        lbl_part = labels.repartition(width, "node").hint("shuffle_hash")
+        nbr = lbl_part.join(
+            edges, lbl_part["node"] == edges["u"], "inner"
         ).select(F.col("v").alias("node"), "lbl")
         obs = Observation()
         labels = (
