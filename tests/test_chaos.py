@@ -19,6 +19,9 @@ from pathlib import Path
 from core_spark.sources.journal import Journal
 from core_spark.streaming.sink import FencedJournalSink
 
+# kill/retry recovery fuzzes: opt-in slow tier (r14 test tiering)
+pytestmark = pytest.mark.slow
+
 REPO = Path(__file__).resolve().parents[1]
 
 RETRY_SCRIPT = r"""
@@ -28,9 +31,6 @@ from pyspark.sql import SparkSession, functions as F
 from core_spark.streaming.shard import ShardConfig, run_shard
 from core_spark.sources.journal import Journal
 import os, json
-
-# kill/retry recovery fuzzes: opt-in slow tier (r14 test tiering)
-pytestmark = pytest.mark.slow
 
 work = {work!r}
 spark = (SparkSession.builder.master("local[4,3]")  # 3 task attempts
