@@ -283,56 +283,50 @@ def _bloom_may_match(blooms: dict, col: str, op: str, value) -> bool:
     return _bloom_may_contain(blooms[col], value)
 
 
-def _build_blooms(spark: SparkSession, path: str, fmt: str, cols) -> dict:
-    """Per-column bloom hex maps for a written fragment. One
-    column-pruned scan of the fragment (only the listed columns are
-    read); the distinct (col, bit) set is at most _BLOOM_BITS rows
-    per column, so the collect is bounded by the filter geometry,
-    not the data. String columns hash their bytes; integer columns
-    (the journal's natural point-lookup key class, r11) hash their
-    canonical decimal rendering via CAST(.. AS STRING) and store the
-    map with the ``int:`` type prefix the probe keys on."""
-    from pyspark.sql import types as T
+def _build_blooms(path: str, fmt: str, cols) -> dict:
+    """Per-column bloom hex maps for a written fragment, computed on
+    the DRIVER from one column-pruned pyarrow read. This replaced a
+    per-append Spark job (scan + md5-explode + distinct + collect): the
+    append path already reads every fragment byte on the driver to
+    content-hash it (_content_hash), so a driver pass over just the
+    listed columns adds no new scaling exposure — and it removes a full
+    round of job scheduling from the append hot path. Bit identity with
+    the old Spark builder expression is by construction: both hash md5
+    over the value's UTF-8 bytes (ints via their canonical decimal
+    rendering, stored with the ``int:`` type prefix the probe keys on)
+    and take four 16-bit slices mod _BLOOM_BITS — exactly the
+    read-side _bloom_positions, which the journal tests and the
+    q_audit_scan DuckDB oracle pin bit-exactly."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as ds
 
-    _INT_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
-    df = getattr(spark.read, fmt)(path)
+    # partitioning="hive" restores path-postfix (key=value) columns the
+    # way Spark's read-side discovery does, so a postfix column listed
+    # in bloom_columns still gets its map; a flat fragment is untouched
+    dset = ds.dataset(path, format=fmt, partitioning="hive")
     picked: list[tuple[str, bool]] = []  # (col, is_int)
     for c in cols:
-        if c not in df.columns:
+        if c not in dset.schema.names:
             continue
-        dt = df.schema[c].dataType
-        if isinstance(dt, T.StringType):
+        t = dset.schema.field(c).type
+        if pa.types.is_dictionary(t):
+            t = t.value_type
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
             picked.append((c, False))
-        elif isinstance(dt, _INT_TYPES):
+        elif pa.types.is_integer(t):
             picked.append((c, True))
     if not picked:
         return {}
-    frames = []
+    tbl = dset.to_table(columns=[c for c, _ in picked])
+    out = {}
     for c, is_int in picked:
-        expr = f"CAST(`{c}` AS STRING)" if is_int else f"`{c}`"
-        hs = [
-            F.expr(
-                f"CAST(conv(substring(md5({expr}), {i * 4 + 1}, 4), 16, 10) "
-                f"AS INT) % {_BLOOM_BITS}"
-            )
-            for i in range(_BLOOM_K)
-        ]
-        frames.append(
-            df.where(F.col(c).isNotNull())
-            .select(F.lit(c).alias("col"), F.explode(F.array(*hs)).alias("bit"))
-            .distinct()
-        )
-    from functools import reduce
-
-    rows = reduce(lambda a, b: a.unionByName(b), frames).collect()
-    maps = {c: bytearray(_BLOOM_BITS // 8) for c, _ in picked}
-    for r in rows:
-        maps[r["col"]][r["bit"] // 8] |= 1 << (r["bit"] % 8)
-    kinds = dict(picked)
-    return {
-        c: ("int:" if kinds[c] else "") + bytes(m).hex()
-        for c, m in maps.items()
-    }
+        m = bytearray(_BLOOM_BITS // 8)
+        for v in pc.unique(tbl[c].drop_null().combine_chunks()).to_pylist():
+            for p in _bloom_positions(str(v) if is_int else v):
+                m[p // 8] |= 1 << (p % 8)
+        out[c] = ("int:" if is_int else "") + bytes(m).hex()
+    return out
 
 
 def _stats_may_match(
@@ -707,10 +701,10 @@ class Journal:
             n, stats = _footer_info(tmp)
 
             # Bloom index over spec-listed string columns (opt-in; one
-            # column-pruned scan of the just-written fragment, so the
-            # cost scales with the batch and the listed columns only).
+            # column-pruned driver read of the just-written fragment, so
+            # the cost scales with the batch and the listed columns only).
             blooms = (
-                _build_blooms(df.sparkSession, tmp, fmt, spec.bloom_columns)
+                _build_blooms(tmp, fmt, spec.bloom_columns)
                 if spec is not None and spec.bloom_columns
                 else {}
             )
@@ -1151,9 +1145,7 @@ class Journal:
                 # spec — compaction is when an index catches up with
                 # a bloom_columns change.
                 blooms=(
-                    _build_blooms(
-                        spark, final, "parquet", spec.bloom_columns
-                    )
+                    _build_blooms(final, "parquet", spec.bloom_columns)
                     if spec is not None and spec.bloom_columns
                     else {}
                 ),
