@@ -81,12 +81,24 @@ def _fields(raw: bytes):
     i, n = 0, len(raw)
     count = 0
     while i < n:
-        hdr, i = _varint(raw, i)
+        # single-byte fast path for the header and varint values (the
+        # overwhelmingly common case in ORC's small field ids/values;
+        # this walker runs per stripe footer, row-index entry and
+        # stats message, so it is the protobuf-side hot loop)
+        hdr = raw[i]
+        if hdr < 0x80:
+            i += 1
+        else:
+            hdr, i = _varint(raw, i)
         fid, wt = hdr >> 3, hdr & 7
         if fid == 0:
             raise OrcError("field id 0 is invalid protobuf")
         if wt == 0:
-            v, i = _varint(raw, i)
+            if i < n and raw[i] < 0x80:
+                v = raw[i]
+                i += 1
+            else:
+                v, i = _varint(raw, i)
         elif wt == 1:
             if i + 8 > n:
                 raise OrcError("fixed64 escapes the message")
@@ -554,35 +566,26 @@ def _bool_stream(data: bytes, count: int) -> list[int]:
     return [(bb[k >> 3] >> (7 - (k & 7))) & 1 for k in range(count)]
 
 
-class _BitsMsb:
-    """MSB-first bit reader (ORC packs bits big-endian, the opposite
-    of parquet's hybrid)."""
-
-    __slots__ = ("data", "pos")
-
-    def __init__(self, data: bytes, pos: int = 0):
-        self.data, self.pos = data, pos * 8
-
-    def read(self, nbits: int) -> int:
-        end = self.pos + nbits
-        if end > len(self.data) * 8:
-            raise OrcError("bit-packed run escapes the stream")
-        v = 0
-        p = self.pos
-        while nbits > 0:
-            byte = self.data[p >> 3]
-            avail = 8 - (p & 7)
-            take = min(avail, nbits)
-            v = (v << take) | (
-                (byte >> (avail - take)) & ((1 << take) - 1)
-            )
-            p += take
-            nbits -= take
-        self.pos = p
-        return v
-
-    def byte_align(self) -> int:
-        return (self.pos + 7) >> 3
+def _unpack_msb(data: bytes, pos: int, ln: int, w: int) -> tuple[list[int], int]:
+    """``ln`` MSB-first ``w``-bit values starting at byte ``pos`` —
+    the whole run extracted from ONE int.from_bytes + per-value shift
+    instead of a stateful per-value bit-reader loop (the RLEv2 hot
+    path: a 512-value 56-bit run cost ~30k interpreted bit ops, now
+    one bytes->int conversion and 512 big-int shifts).
+    Returns (values, next byte offset) — the offset is exactly the old
+    reader's byte_align(), because ORC's writer flushes whole bytes
+    between writeInts calls. ``w`` >= 1 (the width table has no 0)."""
+    total = ln * w
+    nbytes = (total + 7) >> 3
+    if pos + nbytes > len(data):
+        raise OrcError("bit-packed run escapes the stream")
+    big = int.from_bytes(data[pos : pos + nbytes], "big") >> (
+        nbytes * 8 - total
+    )
+    mask = (1 << w) - 1
+    return [
+        (big >> s) & mask for s in range((ln - 1) * w, -1, -w)
+    ], pos + nbytes
 
 
 def _rle_varint(data: bytes, i: int) -> tuple[int, int]:
@@ -621,11 +624,8 @@ def _rlev2(data: bytes, signed: bool) -> list[int]:
             if i + 1 >= n:
                 raise OrcError("direct run header escapes the stream")
             ln = ((hdr & 1) << 8 | data[i + 1]) + 1
-            br = _BitsMsb(data, i + 2)
-            for _ in range(ln):
-                v = br.read(w)
-                out.append(_unzigzag(v) if signed else v)
-            i = br.byte_align()
+            vals, i = _unpack_msb(data, i + 2, ln, w)
+            out.extend(map(_unzigzag, vals) if signed else vals)
         elif enc == 2:  # PATCHED_BASE
             w = _RLE_WIDTHS[(hdr >> 1) & 31]
             if i + 3 >= n:
@@ -642,8 +642,7 @@ def _rlev2(data: bytes, signed: bool) -> list[int]:
             sign_bit = 1 << (bw * 8 - 1)
             if base & sign_bit:  # sign-magnitude, not two's complement
                 base = -(base & (sign_bit - 1))
-            br = _BitsMsb(data, i + 4 + bw)
-            vals = [br.read(w) for _ in range(ln)]
+            vals, j = _unpack_msb(data, i + 4 + bw, ln, w)
             # Patch entries are bit-packed at getClosestFixedBits(
             # pgw + pw) — the width table's round-up, NOT the raw sum
             # (orc-format spec; Java RunLengthIntegerReaderV2 and the
@@ -657,10 +656,9 @@ def _rlev2(data: bytes, signed: bool) -> list[int]:
             # writeInts calls in the writer, and each call flushes
             # whole bytes — so the patch list starts at the next byte
             # boundary, not at the values' last bit.
-            br = _BitsMsb(data, br.byte_align())
+            entries, i = _unpack_msb(data, j, pl, ebits)
             idx = 0
-            for _ in range(pl):
-                entry = br.read(ebits)
+            for entry in entries:
                 gap = entry >> pw
                 patch = entry & ((1 << pw) - 1)
                 idx += gap
@@ -669,7 +667,6 @@ def _rlev2(data: bytes, signed: bool) -> list[int]:
                         raise OrcError("patch index escapes the run")
                     vals[idx] |= patch << w
             out.extend(base + v for v in vals)
-            i = br.byte_align()
         else:  # DELTA
             wenc = (hdr >> 1) & 31
             w = 0 if wenc == 0 else _RLE_WIDTHS[wenc]
@@ -690,13 +687,11 @@ def _rlev2(data: bytes, signed: bool) -> list[int]:
                         out.append(prev)
                     i = j
                 else:
-                    br = _BitsMsb(data, j)
+                    ds, i = _unpack_msb(data, j, ln - 2, w)
                     step = 1 if delta >= 0 else -1
-                    for _ in range(ln - 2):
-                        d = br.read(w)
+                    for d in ds:
                         prev += step * d
                         out.append(prev)
-                    i = br.byte_align()
             else:
                 i = j
     return out
@@ -866,12 +861,12 @@ def _decode_strings(streams: dict, enc: dict, n_present: int) -> list:
         if len(lengths) != enc["dict_size"]:
             raise OrcError("dictionary length stream size mismatch")
         blob = streams.get(_STREAM_DICT_DATA, b"")
-        words, off = [], 0
-        for ln in lengths:
-            if off + ln > len(blob):
-                raise OrcError("dictionary entry escapes its stream")
-            words.append(blob[off : off + ln])
-            off += ln
+        from itertools import accumulate
+
+        offs = [0, *accumulate(lengths)]
+        if offs[-1] > len(blob):
+            raise OrcError("dictionary entry escapes its stream")
+        words = [blob[a:b] for a, b in zip(offs, offs[1:])]
         idxs = _int_run(
             streams.get(_STREAM_DATA, b""), enc["kind"], signed=False
         )
@@ -888,13 +883,12 @@ def _decode_strings(streams: dict, enc: dict, n_present: int) -> list:
     if len(lengths) < n_present:
         raise OrcError("length stream shorter than rows")
     blob = streams.get(_STREAM_DATA, b"")
-    out, off = [], 0
-    for ln in lengths[:n_present]:
-        if off + ln > len(blob):
-            raise OrcError("string value escapes its stream")
-        out.append(blob[off : off + ln])
-        off += ln
-    return out
+    from itertools import accumulate
+
+    offs = [0, *accumulate(lengths[:n_present])]
+    if offs[-1] > len(blob):
+        raise OrcError("string value escapes its stream")
+    return [blob[a:b] for a, b in zip(offs, offs[1:])]
 
 
 def orc_row_index(
