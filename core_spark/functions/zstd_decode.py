@@ -43,6 +43,7 @@ CompressionCodecs); this is that reader edge for ZSTD_COMPRESSION.
 from __future__ import annotations
 
 import struct
+from functools import lru_cache
 
 from core_spark.functions.zstdfile import ZstdError, _frame_header
 
@@ -246,10 +247,21 @@ class _FseTable:
 
 def _fse_build(probs: list[int], acc_log: int) -> _FseTable:
     """Decoding table from normalized probabilities (RFC 8878
-    §4.1.1): -1 probabilities take single top cells with full-width
-    reads; positive probabilities spread with the fixed step; each
-    symbol's cells, in state order, get numBits/baseline from the
-    counter walk c = p, p+1, ..."""
+    §4.1.1) — memoized on the distribution: the table is a pure
+    function of (probs, acc_log), every consumer only reads it, and
+    the predefined sequence distributions (§3.1.1.3.2.2) plus
+    repeated Huffman-weight distributions rebuild the same tables
+    once per block otherwise (the dominant cost of decoding many
+    small frames — ~25 builds/document in the orc-fixture kernels)."""
+    return _fse_build_table(tuple(probs), acc_log)
+
+
+@lru_cache(maxsize=256)
+def _fse_build_table(probs: tuple[int, ...], acc_log: int) -> _FseTable:
+    """See _fse_build: -1 probabilities take single top cells with
+    full-width reads; positive probabilities spread with the fixed
+    step; each symbol's cells, in state order, get numBits/baseline
+    from the counter walk c = p, p+1, ..."""
     size = 1 << acc_log
     sym = [0] * size
     nbits = [0] * size
