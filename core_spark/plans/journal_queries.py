@@ -45,11 +45,18 @@ def q_journal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (ids are dense from 0, so id < 3000 IS the first 3k events) —
     # the rows never materialize on the driver. Each append is sorted
     # so journal offsets are deterministic (offset == event_id).
+    # repartition(1) + sortWithinPartitions is total-order identical
+    # to orderBy here (append coalesces to ONE partition anyway) and
+    # skips the range-exchange bounds-sampling job a global orderBy
+    # plans — one Spark job per append instead of two (guide §2.4:
+    # the sort exists only for deterministic offsets).
     for lo in range(0, 3000, 1000):
         j.append(
             events.filter(
                 (F.col("event_id") >= lo) & (F.col("event_id") < lo + 1000)
-            ).orderBy("event_id")
+            )
+            .repartition(1)
+            .sortWithinPartitions("event_id")
         )
     return (
         j.read(spark, begin=500, end=2500)
@@ -215,7 +222,12 @@ def q_append_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.append(
             events.filter(
                 (F.col("event_id") >= lo) & (F.col("event_id") < hi)
-            ).orderBy("event_id"),
+            )
+            # single-partition sort == orderBy under append's
+            # coalesce(1), minus the range-sampling job (q_journal_
+            # roundtrip's note)
+            .repartition(1)
+            .sortWithinPartitions("event_id"),
             fmt=fmt,
             codec_chunk_bytes=8192,
         )
@@ -341,7 +353,11 @@ def q_audit_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ranked.filter(
                 (F.col("rn") >= lo) & (F.col("rn") < lo + 700)
             )
-            .orderBy("rn")
+            # single-partition sort == orderBy under append's
+            # coalesce(1), minus the range-sampling job (q_journal_
+            # roundtrip's note)
+            .repartition(1)
+            .sortWithinPartitions("rn")
             .drop("rn"),
         )
     ranked.unpersist()

@@ -329,9 +329,18 @@ def read_codec_fragment(spark, path: str, fmt: str, schema_json: str):
             "journal: the schema rides the manifest, not the bytes)"
         )
     schema = StructType.fromJson(__import__("json").loads(schema_json))
+    # Parallelize the split plan AT its target width instead of
+    # createDataFrame + repartition: the plan is a driver-local list
+    # of (offset, size) triples, so slicing it at creation gives the
+    # same one-split-per-task fan-out without the round-robin
+    # exchange (one shuffle stage — and under AQE one Spark job —
+    # per fragment read; decode order is immaterial, every row is an
+    # independent ranged read).
+    n_slices = max(1, min(len(plan), 64))
     splits = spark.createDataFrame(
-        plan, "c_off long, c_size long, d_size long"
-    ).repartition(max(1, min(len(plan), 64)))
+        spark.sparkContext.parallelize(plan, n_slices),
+        "c_off long, c_size long, d_size long",
+    )
 
     def decode(batches):
         import gzip as _gzip
