@@ -109,11 +109,21 @@ class _Reader:
         return b
 
     def varint(self) -> int:
+        # bytes are read inline rather than via u8() — this is the
+        # thrift walker's innermost loop (hundreds of thousands of
+        # calls per multi-column file read), and the single-byte case
+        # dominates compact-encoded footers
+        raw, i = self.raw, self.i
+        n = len(raw)
         u = shift = 0
         for _ in range(10):
-            b = self.u8()
+            if i >= n:
+                raise ParquetError("truncated footer")
+            b = raw[i]
+            i += 1
             u |= (b & 0x7F) << shift
             if not b & 0x80:
+                self.i = i
                 return u
             shift += 7
         raise ParquetError("varint longer than 10 bytes")
@@ -1358,7 +1368,10 @@ def _assemble_records(
 
 
 def read_parquet_list_column(
-    raw: bytes, name: str, row_groups: list[int] | None = None
+    raw: bytes,
+    name: str,
+    row_groups: list[int] | None = None,
+    footer: dict | None = None,
 ) -> list:
     """Whole-file read of one nested column by name, across row
     groups, with no parquet library — general Dremel record
@@ -1372,8 +1385,14 @@ def read_parquet_list_column(
     (asking for the struct itself) raises the named error listing
     the field paths to pick from. ``row_groups`` selects row groups
     by index (records never span row groups, so a row group is an
-    independently decodable split — the scan-parallelism unit)."""
-    footer = parse_parquet_footer(raw)
+    independently decodable split — the scan-parallelism unit).
+
+    ``footer``: optionally a pre-parsed ``parse_parquet_footer(raw)``
+    so a caller reading several columns of one file parses the thrift
+    footer once (the q_bits_parquet kernel parsed it 3x per document
+    without it — the orcfile ``tail=`` discipline)."""
+    if footer is None:
+        footer = parse_parquet_footer(raw)
     leaves = footer.get("schema_leaves", {})
     hit = None
     if name in leaves and leaves[name]["max_rep"] > 0:
@@ -1406,7 +1425,10 @@ def read_parquet_list_column(
 
 
 def read_parquet_column(
-    raw: bytes, path: str, row_groups: list[int] | None = None
+    raw: bytes,
+    path: str,
+    row_groups: list[int] | None = None,
+    footer: dict | None = None,
 ) -> list:
     """Whole-file read of one flat column by name, across row
     groups, with no parquet library — the existence proof that the
@@ -1419,8 +1441,14 @@ def read_parquet_column(
     path addresses a field inside a non-repeated STRUCT (e.g.
     ``meta.lang``): it reads as a flat column whose value is None
     when the field OR any enclosing struct is null — the flattened
-    view a columnar scan serves without touching sibling fields."""
-    footer = parse_parquet_footer(raw)
+    view a columnar scan serves without touching sibling fields.
+
+    ``footer``: optionally a pre-parsed ``parse_parquet_footer(raw)``
+    so a caller reading several columns of one file parses the thrift
+    footer once (the q_bits_parquet kernel parsed it 3x per document
+    without it — the orcfile ``tail=`` discipline)."""
+    if footer is None:
+        footer = parse_parquet_footer(raw)
     leaf = footer.get("schema_leaves", {}).get(path)
     if leaf is not None and leaf["max_rep"] > 0:
         raise ParquetError(

@@ -6666,9 +6666,18 @@ def q_bits_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
                         },
                     )
                 raw = buf.getvalue()
-                idxs = read_parquet_column(raw, "idx")
-                words = read_parquet_column(raw, "word")
-                scores = read_parquet_column(raw, "score")
+                # parse the thrift footer ONCE per file; all three
+                # column reads share it (r14 opt, guide §1.2 — the
+                # orcfile tail= discipline: the footer walk was ~60%
+                # of this kernel's CPU and ran 3x per document)
+                from core_spark.functions.parquetfile import (
+                    parse_parquet_footer,
+                )
+
+                ftr = parse_parquet_footer(raw)
+                idxs = read_parquet_column(raw, "idx", footer=ftr)
+                words = read_parquet_column(raw, "word", footer=ftr)
+                scores = read_parquet_column(raw, "score", footer=ftr)
                 rows.extend(
                     (int(doc_id), i, w, s)
                     for i, w, s in zip(idxs, words, scores)
@@ -7052,8 +7061,15 @@ def q_bits_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
                         int(d[6], 16) % 2
                     ],
                 )
-                xs = read_parquet_list_column(pbuf.getvalue(), "ev.x")
-                ts = read_parquet_list_column(pbuf.getvalue(), "ev.tags")
+                # one footer parse for both nested reads (guide §1.2)
+                from core_spark.functions.parquetfile import (
+                    parse_parquet_footer,
+                )
+
+                praw = pbuf.getvalue()
+                ftr = parse_parquet_footer(praw)
+                xs = read_parquet_list_column(praw, "ev.x", footer=ftr)
+                ts = read_parquet_list_column(praw, "ev.tags", footer=ftr)
                 evs = read_orc_list_column(obuf.getvalue(), "ev")
                 assert len(xs) == len(ts) == len(evs) == nr
                 for i, (x_r, t_r, ev) in enumerate(zip(xs, ts, evs)):
