@@ -7679,9 +7679,14 @@ def q_bits_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
                     t, buf, compression="zstd", stripe_size=4096
                 )
                 raw = buf.getvalue()
-                idxs = read_orc_column(raw, "idx")
-                words = read_orc_column(raw, "word")
-                scores = read_orc_column(raw, "score")
+                # one tail parse for all three column reads (the
+                # q_bits_orc_stats tail= discipline, guide §1.2)
+                from core_spark.functions.orcfile import parse_orc_tail
+
+                t_orc = parse_orc_tail(raw)
+                idxs = read_orc_column(raw, "idx", tail=t_orc)
+                words = read_orc_column(raw, "word", tail=t_orc)
+                scores = read_orc_column(raw, "score", tail=t_orc)
                 rows.extend(
                     (int(doc_id), i, w, s)
                     for i, w, s in zip(idxs, words, scores)
